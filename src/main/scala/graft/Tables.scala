@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table registry for the TPC-H-ish test corpus (see TESTDATA.md).
+  *
+  * Mirrors the reference's table registration step
+  * (reference: datafusion-sqlgen/tests/select.rs:71-95 —
+  * `ctx.register_parquet` / `register_csv`): every query addresses
+  * tables by name; the engine resolves names to parquet scans so
+  * Catalyst sees a declarative relation it can prune and push
+  * filters into.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from a scale-factor directory. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects outright. Read nanos as raw
+    * longs (legacy conf) and convert to a microsecond TimestampType
+    * column with exact integer division — `ts / 1000` in double would
+    * silently lose precision above 2^53 ns.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Register every table as a temp view named after itself, so both
+    * the DataFrame API and `spark.sql` address the same relations.
+    * Idempotent; cheap (metadata only).
+    */
+  def register(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+}

@@ -1,0 +1,579 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** The relational query surface of the reference engine, re-expressed
+  * as declarative Spark DataFrame pipelines.
+  *
+  * Coverage maps 1:1 to the reference's plan/expression surface
+  * (reference: datafusion-sqlgen/src/logical_plan.rs:37-203 for
+  * Sort/Projection/Filter/Distinct/TableScan/Limit/Offset,
+  * datafusion-sqlgen/src/expr.rs:15-237 for the expression set, and
+  * datafusion-sqlgen/tests/select.rs for the test queries — including
+  * the commented-out aspirational surface: aggregates, windows, CTEs,
+  * unions, joins, struct access, select.rs:460-988).
+  *
+  * Numeric-determinism policy: every floating-point SUM first casts to
+  * DECIMAL(18,2) so partial (map-side) aggregation order cannot change
+  * the result — decimal addition is exact and associative. The final
+  * value is cast back to double. AVG is computed as exact-decimal-sum /
+  * count with one IEEE double division. This is both a correctness
+  * property at 100 TB (results don't drift with partitioning) and what
+  * keeps the DuckDB oracle hash stable.
+  */
+object Relational {
+
+  /** One checklist entry: the Spark pipeline + its DuckDB oracle. */
+  final case class Q(
+      name: String,
+      build: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  /** Exact, order-independent sum of a double column (see above). */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+  /** Discounted-revenue sum: price*(1-disc) computed entirely in
+    * decimal. Casting the raw columns (which are exact 2-decimal
+    * values) is engine-agnostic, whereas casting a *computed* double
+    * product to decimal rounds differently across engines when the
+    * product lands near a .005 tie.
+    */
+  private def drevSum(price: Column, disc: Column): Column =
+    sum(dec(price) * (lit(1) - dec(disc))).cast("double")
+
+  // Oracle-side helpers: same decimal contracts as dsum / drevSum.
+  private def oSum(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+  private def oRevSum(price: String, disc: String): String =
+    s"CAST(SUM(CAST($price AS DECIMAL(18,2)) * (1 - CAST($disc AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  val all: Seq[Q] = Seq(
+
+    // ───────────────────────── scan / project ─────────────────────────
+    // reference: logical_plan.rs:67-116 (Projection), 155-181 (TableScan)
+    Q("q01_scan_project",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ───────────────────────── filter ─────────────────────────
+    // reference: logical_plan.rs:117-135 (Filter); expr.rs:34-55 (binary ops)
+    Q("q02_filter",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                 col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                 col("l_discount").between(0.05, 0.07) &&
+                 col("l_quantity") < 24)
+          .select(col("l_orderkey"), col("l_linenumber"),
+                  col("l_extendedprice"), col("l_discount"),
+                  date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+             |strftime(l_shipdate, '%Y-%m-%d') AS ship_day FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             |AND l_shipdate < TIMESTAMP '1997-01-01'
+             |AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ───────────────────────── aggregate (TPC-H Q1 shape) ─────────────────────────
+    // reference: tests/select.rs:600-648 (COUNT/MIN/MAX/GROUP BY surface)
+    Q("q03_agg_pricing",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            drevSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+            (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |${oSum("l_quantity")} AS sum_qty,
+              |${oSum("l_extendedprice")} AS sum_base_price,
+              |${oRevSum("l_extendedprice", "l_discount")} AS sum_disc_price,
+              |${oSum("l_quantity")} / COUNT(*) AS avg_qty,
+              |MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+              |COUNT(*) AS count_order
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ───────────────────────── distinct ─────────────────────────
+    // reference: logical_plan.rs:136-154 (Distinct); tests/select.rs:125-158
+    Q("q04_distinct",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .select("l_returnflag", "l_linestatus").distinct()
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // ───────────────────────── sort + limit + offset ─────────────────────────
+    // reference: logical_plan.rs:38-66 (Sort), 182-198 (Limit fetch+skip)
+    Q("q05_sort_limit_offset",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .offset(5).limit(10)
+          .select("o_orderkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM
+             |(SELECT o_orderkey, o_totalprice FROM orders
+             | ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5) t
+             |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)),
+
+    // ───────────────────────── between / not between ─────────────────────────
+    // reference: expr.rs:60-75 (Between incl. negated)
+    Q("q06_between",
+      (s, dir) => {
+        Tables.load(s, dir, "part")
+          .where(col("p_size").between(10, 20) &&
+                 !col("p_retailprice").between(1000.0, 1500.0))
+          .select("p_partkey", "p_size", "p_retailprice")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_size, p_retailprice FROM part
+             |WHERE p_size BETWEEN 10 AND 20
+             |AND p_retailprice NOT BETWEEN 1000.0 AND 1500.0
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ───────────────────────── cast ─────────────────────────
+    // reference: expr.rs:56-59 + datatype_to_sql expr.rs:217-237
+    Q("q07_cast",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey") < 50)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_linenumber").cast("long").as("ln_big"),
+            col("l_linenumber").cast("short").as("ln_small"),
+            col("l_orderkey").cast("string").as("ok_str"),
+            col("l_orderkey").cast("double").as("ok_dbl"),
+            col("l_quantity").cast(DecimalType(10, 2)).cast("double").as("qty_fixed"),
+            col("l_shipdate").cast("date").cast("string").as("ship_str"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CAST(l_linenumber AS BIGINT) AS ln_big,
+             |CAST(l_linenumber AS SMALLINT) AS ln_small,
+             |CAST(l_orderkey AS VARCHAR) AS ok_str,
+             |CAST(l_orderkey AS DOUBLE) AS ok_dbl,
+             |CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DOUBLE) AS qty_fixed,
+             |CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
+             |FROM lineitem WHERE l_orderkey < 50
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ───────────────────────── IS [NOT] DISTINCT FROM ─────────────────────────
+    // reference: expr.rs:35-44; tests/select.rs:199-231
+    Q("q08_is_distinct",
+      (s, dir) => {
+        val one = lit(1)
+        val nullInt = lit(null).cast("int")
+        s.range(1).select(
+          !(one <=> nullInt) as "a",
+          !(one <=> one) as "b",
+          (one <=> nullInt) as "c",
+          (one <=> one) as "d",
+          !(lit("x") <=> lit(null).cast("string")) as "e",
+          (lit("x") <=> lit("x")) as "f",
+          (nullInt <=> nullInt) as "g",
+          !(nullInt <=> one) as "h")
+      },
+      Some("""SELECT 1 IS DISTINCT FROM CAST(NULL AS INT) AS a,
+             |1 IS DISTINCT FROM 1 AS b,
+             |1 IS NOT DISTINCT FROM CAST(NULL AS INT) AS c,
+             |1 IS NOT DISTINCT FROM 1 AS d,
+             |'x' IS DISTINCT FROM CAST(NULL AS VARCHAR) AS e,
+             |'x' IS NOT DISTINCT FROM 'x' AS f,
+             |CAST(NULL AS INT) IS NOT DISTINCT FROM CAST(NULL AS INT) AS g,
+             |CAST(NULL AS INT) IS DISTINCT FROM 1 AS h""".stripMargin)),
+
+    // ───────────────────────── scalar functions ─────────────────────────
+    // reference: expr.rs:76-94 (ScalarFunction); tests/select.rs:234-249
+    Q("q09_scalar_fns",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey") < 100)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            abs(col("l_extendedprice") - 20000.0).as("abs_diff"),
+            floor(col("l_quantity") / 2.0).as("half_floor"),
+            ceil(col("l_discount") * 100).as("disc_pct"),
+            sqrt(col("l_quantity")).as("qty_sqrt"),
+            upper(col("l_returnflag")).as("rf_up"),
+            lower(col("l_linestatus")).as("ls_low"),
+            concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("flag_pair"),
+            length(col("l_returnflag")).as("rf_len"),
+            coalesce(lit(null).cast("double"), col("l_tax")).as("tax_co"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |ABS(l_extendedprice - 20000.0) AS abs_diff,
+             |FLOOR(l_quantity / 2.0) AS half_floor,
+             |CEIL(l_discount * 100) AS disc_pct,
+             |SQRT(l_quantity) AS qty_sqrt,
+             |UPPER(l_returnflag) AS rf_up,
+             |LOWER(l_linestatus) AS ls_low,
+             |l_returnflag || '-' || l_linestatus AS flag_pair,
+             |LENGTH(l_returnflag) AS rf_len,
+             |COALESCE(CAST(NULL AS DOUBLE), l_tax) AS tax_co
+             |FROM lineitem WHERE l_orderkey < 100
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ───────────────────────── LIKE / regex ─────────────────────────
+    // reference: expr.rs binary_operator_to_sql:200-205 (Like, RegexMatch)
+    Q("q10_like_regex",
+      (s, dir) => {
+        Tables.load(s, dir, "part")
+          .where(col("p_name").like("%a%") &&
+                 !col("p_type").like("SMALL%") &&
+                 col("p_brand").rlike("Brand#[0-9]+"))
+          .select("p_partkey", "p_name", "p_brand", "p_type")
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, p_brand, p_type FROM part
+             |WHERE p_name LIKE '%a%' AND p_type NOT LIKE 'SMALL%'
+             |AND regexp_matches(p_brand, 'Brand#[0-9]+')
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // ───────────────────────── arithmetic / modulo / bitwise / concat ─────────────────────────
+    // reference: expr.rs binary_operator_to_sql:185-214
+    Q("q11_arith_bitwise",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey") < 100)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            (col("l_quantity") * 2 + 1 - 0.5).as("arith"),
+            (col("l_orderkey") % 7).as("mod7"),
+            (col("l_orderkey").bitwiseAND(15)).as("band"),
+            (col("l_orderkey").bitwiseOR(8)).as("bor"),
+            concat(col("l_returnflag"), col("l_linestatus")).as("cc"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |l_quantity * 2 + 1 - 0.5 AS arith,
+             |l_orderkey % 7 AS mod7,
+             |l_orderkey & 15 AS band,
+             |l_orderkey | 8 AS bor,
+             |l_returnflag || l_linestatus AS cc
+             |FROM lineitem WHERE l_orderkey < 100
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ───────────────────────── array index ─────────────────────────
+    // reference: expr.rs:95-102 (GetIndexedField); tests/select.rs:252-281
+    Q("q12_array_index",
+      (s, dir) => {
+        Tables.load(s, dir, "embeddings")
+          .select(
+            col("vec_id"),
+            element_at(col("embedding"), 1).cast("double").as("e1"),
+            element_at(col("embedding"), 8).cast("double").as("e8"),
+            size(col("embedding")).as("dim"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS e1,
+             |CAST(embedding[8] AS DOUBLE) AS e8,
+             |CAST(len(embedding) AS INT) AS dim
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // ───────────────────────── CASE WHEN ─────────────────────────
+    Q("q13_case_when",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .select(
+            when(col("o_totalprice") > 200000, "big")
+              .when(col("o_totalprice") > 100000, "mid")
+              .otherwise("small").as("bucket"),
+            col("o_totalprice"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("bucket")
+      },
+      Some(s"""SELECT CASE WHEN o_totalprice > 200000 THEN 'big'
+              |WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+              |COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ───────────────────────── IN list + IN subquery ─────────────────────────
+    Q("q14_in_subquery",
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer")
+        val bigSpenders = Tables.load(s, dir, "orders")
+          .where(col("o_totalprice") > 250000).select(col("o_custkey"))
+        customer
+          .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+          .join(bigSpenders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+             |WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+             |AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // ───────────────────────── inner join + agg ─────────────────────────
+    // reference: tests/select.rs:724-734 (join surface)
+    Q("q15_join_inner",
+      (s, dir) => {
+        val orders = Tables.load(s, dir, "orders")
+        val customer = Tables.load(s, dir, "customer")
+        orders.join(customer, col("o_custkey") === col("c_custkey"))
+          .where(col("c_mktsegment") === "BUILDING")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, COUNT(*) AS n_orders,
+              |${oSum("o_totalprice")} AS total
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // ───────────────────────── multi-way join (TPC-H Q3 shape) ─────────────────────────
+    Q("q16_join_multi",
+      (s, dir) => {
+        val cutoff = lit("1998-06-15").cast("timestamp")
+        val customer = Tables.load(s, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+        val orders = Tables.load(s, dir, "orders")
+          .where(col("o_orderdate") < cutoff)
+        val lineitem = Tables.load(s, dir, "lineitem")
+          .where(col("l_shipdate") > cutoff)
+        lineitem
+          .join(orders, col("l_orderkey") === col("o_orderkey"))
+          .join(customer, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("o_orderkey"),
+                   date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+          .agg(drevSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+      },
+      Some(s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+              |${oRevSum("l_extendedprice", "l_discount")} AS revenue
+              |FROM lineitem
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |WHERE c_mktsegment = 'BUILDING'
+              |AND o_orderdate < TIMESTAMP '1998-06-15'
+              |AND l_shipdate > TIMESTAMP '1998-06-15'
+              |GROUP BY o_orderkey, order_day
+              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // ───────────────────────── left outer join ─────────────────────────
+    Q("q17_join_outer",
+      (s, dir) => {
+        val nation = Tables.load(s, dir, "nation")
+        val richSup = Tables.load(s, dir, "supplier")
+          .where(col("s_acctbal") > 5000)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("cnt"), dsum(col("s_acctbal")).as("bal"))
+        nation.join(richSup, col("n_nationkey") === col("s_nationkey"), "left_outer")
+          .select(col("n_name"),
+                  coalesce(col("cnt"), lit(0L)).as("n_rich"),
+                  coalesce(col("bal"), lit(0.0)).as("rich_bal"))
+          .orderBy("n_name")
+      },
+      Some(s"""SELECT n_name, COALESCE(cnt, 0) AS n_rich,
+              |COALESCE(bal, 0.0) AS rich_bal
+              |FROM nation LEFT JOIN (
+              |  SELECT s_nationkey, COUNT(*) AS cnt, ${oSum("s_acctbal")} AS bal
+              |  FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+              |) s ON n_nationkey = s_nationkey
+              |ORDER BY n_name""".stripMargin)),
+
+    // ───────────────────────── semi / anti join (EXISTS) ─────────────────────────
+    Q("q18_semi_anti",
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer")
+        val orders = Tables.load(s, dir, "orders").select("o_custkey")
+        val semi = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+        val anti = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+        semi.unionAll(anti).orderBy("kind")
+      },
+      Some("""SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |UNION ALL
+             |SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY kind""".stripMargin)),
+
+    // ───────────────────────── union all + agg ─────────────────────────
+    // reference: tests/select.rs:708-721 (UNION ALL surface)
+    Q("q19_union",
+      (s, dir) => {
+        val c = Tables.load(s, dir, "customer").select(col("c_nationkey").cast("int").as("k"))
+        val su = Tables.load(s, dir, "supplier").select(col("s_nationkey").cast("int").as("k"))
+        c.unionAll(su).groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+      },
+      Some("""SELECT k, COUNT(*) AS n FROM (
+             |SELECT CAST(c_nationkey AS INT) AS k FROM customer
+             |UNION ALL SELECT CAST(s_nationkey AS INT) AS k FROM supplier) t
+             |GROUP BY k ORDER BY k""".stripMargin)),
+
+    // ───────────────────────── CTE / WITH ─────────────────────────
+    // reference: tests/select.rs:667-750 (CTE surface)
+    Q("q20_cte",
+      (s, dir) => {
+        Tables.register(s, dir)
+        s.sql("""WITH big_orders AS (
+                |  SELECT o_custkey, COUNT(*) AS n_big
+                |  FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+                |)
+                |SELECT c_mktsegment, COUNT(*) AS n_cust,
+                |       CAST(SUM(n_big) AS BIGINT) AS n_big_orders
+                |FROM customer JOIN big_orders ON c_custkey = o_custkey
+                |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      Some("""WITH big_orders AS (
+             |  SELECT o_custkey, COUNT(*) AS n_big
+             |  FROM orders WHERE o_totalprice > 200000 GROUP BY o_custkey
+             |)
+             |SELECT c_mktsegment, COUNT(*) AS n_cust,
+             |       CAST(SUM(n_big) AS BIGINT) AS n_big_orders
+             |FROM customer JOIN big_orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // ───────────────────────── window: ranking ─────────────────────────
+    // reference: tests/select.rs:650-662 (row_number OVER PARTITION BY)
+    Q("q21_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables.load(s, dir, "customer")
+          .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+                  row_number().over(w).as("rn"),
+                  rank().over(w).as("rk"),
+                  dense_rank().over(w).as("drk"))
+          .where(col("rn") <= 3)
+          .orderBy("c_nationkey", "rn")
+      },
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal, rn, rk, drk FROM (
+             |  SELECT c_nationkey, c_custkey, c_acctbal,
+             |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+             |  FROM customer
+             |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+             |) t WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin)),
+
+    // ───────────────────────── window: running agg + lag ─────────────────────────
+    Q("q22_window_agg",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.load(s, dir, "orders")
+          .where(col("o_custkey") < 100)
+          .select(col("o_custkey"), col("o_orderkey"),
+                  sum(dec(col("o_totalprice")))
+                    .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                    .cast("double").as("running_total"),
+                  lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+             |LAG(o_totalprice, 1) OVER (
+             |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+             |FROM orders WHERE o_custkey < 100
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ───────────────────────── rollup ─────────────────────────
+    Q("q23_rollup",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |${oSum("l_quantity")} AS qty
+              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // ───────────────────────── having ─────────────────────────
+    Q("q24_having",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_partkey")
+          .agg(dsum(col("l_quantity")).as("qty"))
+          .where(col("qty") > 150)
+          .orderBy("l_partkey")
+      },
+      Some(s"""SELECT l_partkey, ${oSum("l_quantity")} AS qty
+              |FROM lineitem GROUP BY l_partkey
+              |HAVING ${oSum("l_quantity")} > 150
+              |ORDER BY l_partkey""".stripMargin)),
+
+    // ───────────────────────── scalar subquery ─────────────────────────
+    Q("q25_scalar_subquery",
+      (s, dir) => {
+        val customer = Tables.load(s, dir, "customer")
+        // Exact decimal mean → the comparison threshold is identical on
+        // both engines regardless of row order.
+        val meanRow = customer
+          .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("m"))
+        customer.join(meanRow)
+          .where(col("c_acctbal") > col("m"))
+          .select("c_custkey", "c_acctbal")
+          .orderBy("c_custkey")
+      },
+      Some(s"""SELECT c_custkey, c_acctbal FROM customer
+              |WHERE c_acctbal > (SELECT ${oSum("c_acctbal")} / COUNT(*) FROM customer)
+              |ORDER BY c_custkey""".stripMargin)),
+
+    // ───────────────────────── struct / nested access ─────────────────────────
+    // reference: tests/select.rs:390-459 (struct + nested list access)
+    Q("q26_struct_access",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey") < 50)
+          .select(col("l_orderkey"), col("l_linenumber"),
+                  struct(col("l_quantity").as("qty"), col("l_extendedprice").as("price")).as("st"),
+                  array(col("l_quantity"), col("l_tax")).as("arr"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+                  col("st").getField("price").as("st_price"),
+                  element_at(col("arr"), 2).as("arr2"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |{'qty': l_quantity, 'price': l_extendedprice}.price AS st_price,
+             |[l_quantity, l_tax][2] AS arr2
+             |FROM lineitem WHERE l_orderkey < 50
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ───────────────────────── events: time-bucket agg ─────────────────────────
+    // Batch twin of the streaming tumbling-window agg (see graft.streaming).
+    Q("q27_events_bucket",
+      (s, dir) => {
+        Tables.events(s, dir)
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00:00").as("hour"),
+                   col("event_type"))
+          .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+          .orderBy("hour", "event_type")
+      },
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+              |event_type, COUNT(*) AS n, ${oSum("value")} AS total_value
+              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
+  )
+}
