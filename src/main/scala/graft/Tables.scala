@@ -38,6 +38,13 @@ object Tables {
     * the DataFrame API and `spark.sql` address the same relations.
     * Idempotent; cheap (metadata only).
     */
-  def register(spark: SparkSession, sfDir: String): Unit =
+  def register(spark: SparkSession, sfDir: String): Unit = {
     names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+    // The raw (nanos-as-long) events relation under its own name, so
+    // SQL regenerated from a plan that embeds the ns→µs conversion
+    // (SqlGen) resolves against the unconverted table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .createOrReplaceTempView("events_raw")
+  }
 }

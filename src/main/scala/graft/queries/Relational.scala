@@ -574,6 +574,29 @@ object Relational {
       },
       Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
               |event_type, COUNT(*) AS n, ${oSum("value")} AS total_value
-              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin))
+              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // ───────────────────────── plan → SQL → results gate ─────────────────────────
+    // The reference's headline capability exercised end-to-end: build a
+    // DataFrame plan, regenerate SQL from its Catalyst plan, and return
+    // the result of executing the *generated* text. The DuckDB oracle
+    // then certifies that plan → SQL preserved semantics.
+    // reference: datafusion-sqlgen/src/logical_plan.rs:10-206
+    Q("g01_sqlgen_roundtrip",
+      (s, dir) => {
+        graft.Tables.register(s, dir)
+        val df = Tables.load(s, dir, "orders")
+          .join(Tables.load(s, dir, "customer"),
+                col("o_custkey") === col("c_custkey"))
+          .where(col("o_totalprice") > 150000)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("c_mktsegment")
+        s.sql(graft.sqlgen.SqlGen.toSql(df))
+      },
+      Some(s"""SELECT c_mktsegment, COUNT(*) AS n, ${oSum("o_totalprice")} AS total
+              |FROM orders JOIN customer ON o_custkey = c_custkey
+              |WHERE o_totalprice > 150000
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin))
   )
 }

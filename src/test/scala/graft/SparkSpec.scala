@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all specs (sf0.001 inputs). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  val sfDir = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSpec.session
+
+  /** Order-insensitive comparison of two DataFrames. */
+  def assertSameRows(a: DataFrame, b: DataFrame): Unit = {
+    val ra = a.collect().map(_.toString).sorted
+    val rb = b.collect().map(_.toString).sorted
+    assert(ra.length == rb.length, s"row count ${ra.length} != ${rb.length}")
+    ra.zip(rb).zipWithIndex.foreach { case ((x, y), i) =>
+      assert(x == y, s"row $i differs:\n  $x\n  $y")
+    }
+  }
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
