@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Relational
+import graft.queries.{Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory
   * each entry maps to.
@@ -10,7 +10,7 @@ import graft.queries.Relational
 object SparkEntry {
 
   /** Every registered query group, concatenated. Order is stable. */
-  private def groups: Seq[Relational.Q] = Relational.all
+  private def groups: Seq[Relational.Q] = Relational.all ++ Pipeline.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

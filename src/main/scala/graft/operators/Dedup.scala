@@ -1,0 +1,232 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text corpora.
+  *
+  * These are the data-pipeline operators a 100 TB training-data job
+  * needs on top of the reference's relational surface. Everything here
+  * is built from declarative, shuffle-bounded primitives:
+  *
+  *  - exact dedup        → one hash-shuffle (groupBy content hash)
+  *  - MinHash + LSH      → shingle → signature → band → bucket join;
+  *                         the O(n²) pair space collapses to per-bucket
+  *                         joins, each shuffle-partitioned by band key
+  *  - SimHash            → 64-bit sketch + pigeonhole chunk join for
+  *                         hamming-radius search
+  *  - n-gram Jaccard     → exact verify pass over candidate pairs only
+  *
+  * No operator ever collects to the driver; every intermediate is a
+  * DataFrame keyed for its next shuffle.
+  */
+object Dedup {
+
+  /** Word k-shingles of a text column (arrays stay inside Tungsten;
+    * no explode unless an operator needs one).
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    val n = size(words)
+    when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => concat_ws(" ", slice(words, i + 1, lit(k)))))
+      .otherwise(array(concat_ws(" ", words)))
+  }
+
+  /** Distinct 64-bit hashes of the word k-shingle set. */
+  def shingleHashes(text: Column, k: Int): Column =
+    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+
+  /** Character n-grams (for the Jaccard verify pass). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val len = length(text)
+    when(len >= n,
+      array_distinct(transform(sequence(lit(1), len - n + 1),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array(text))
+  }
+
+  /** MinHash signature: `numHashes` permutations simulated as affine
+    * transforms (a·h + b) of a single base hash — the standard
+    * one-hash MinHash family. The arithmetic stays in a 30-bit domain
+    * (hash masked to 30 bits, 30-bit coefficients ⇒ products < 2^60)
+    * so it can never overflow a long — Spark 4 runs ANSI mode by
+    * default, where silent wraparound is an execution error.
+    * Deterministic via fixed seed.
+    */
+  def minhashSignature(hashes: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val mask = (1L << 30) - 1
+    val rnd = new scala.util.Random(seed)
+    val coefs = Seq.fill(numHashes)(
+      (rnd.nextLong() & mask | 1L, rnd.nextLong() & mask))
+    array(coefs.map { case (a, b) =>
+      array_min(transform(hashes,
+        h => h.bitwiseAND(lit(mask)) * lit(a) + lit(b)))
+    }: _*)
+  }
+
+  /** Exact duplicate groups by content hash. Output:
+    * (content_hash, survivor_id = min id, n_copies). One shuffle on
+    * the 64-bit content hash; map-side combine does the heavy lifting.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding.
+    *
+    * `bands` bands of `numHashes / bands` rows each; docs colliding in
+    * any band become a candidate pair. The band-bucket join is the
+    * scale path: shuffle key is (band, bucket-hash), so candidate
+    * generation is linear in collisions rather than quadratic in
+    * corpus size. Skewed buckets (boilerplate shingles) are bounded
+    * upstream by `array_distinct` and can be salted by raising
+    * `bands`×rows at constant signature length.
+    *
+    * Output: (id_a, id_b) with id_a < id_b, distinct.
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    require(rows * bands == numHashes, "bands must divide numHashes")
+    // Materialize the shingle-hash array in its own projection: the
+    // signature references it numHashes times, and CollapseProject
+    // would otherwise inline (and recompute) the whole shingle
+    // pipeline into every one of the 128 min-hash lambdas.
+    val sig = df
+      .select(col(idCol).as("id"),
+              shingleHashes(col(textCol), shingleK).as("sh"))
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+               xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
+      }: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact word-shingle Jaccard verification of candidate pairs.
+    * Joins the (small) candidate set back to the corpus twice —
+    * both joins are hash joins on the doc id — and computes
+    * |A∩B| / |A∪B| on the distinct shingle-hash arrays.
+    * Output: (id_a, id_b, jaccard) filtered to ≥ threshold.
+    */
+  def jaccardVerify(
+      candidates: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+                       shingleHashes(col(textCol), shingleK).as("sh"))
+    candidates
+      .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** End-to-end MinHash near-dup detection: candidates → verify. */
+  def minhashDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame =
+    jaccardVerify(
+      minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands),
+      df, idCol, textCol, shingleK, threshold)
+
+  /** 64-bit SimHash from a materialized feature-hash array column:
+    * per bit, majority vote of feature-hash bits. Pure builtin
+    * expressions (one aggregate per bit — wide but shuffle-free).
+    * IMPORTANT: pass an *attribute* (a column materialized by a prior
+    * projection), not an expression — this references its input 64
+    * times.
+    */
+  def simhashFromFeatures(feats: Column): Column = {
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(feats, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Token-bigram feature hashes for [[simhashFromFeatures]]. */
+  def simhashFeatures(text: Column): Column =
+    array_distinct(transform(shingles(text, 2), t => xxhash64(t)))
+
+  /** Convenience single-expression SimHash (fine for one-off use;
+    * inside an operator prefer the two-stage form above).
+    */
+  def simhash64(text: Column): Column = simhashFromFeatures(simhashFeatures(text))
+
+  /** SimHash near-dup pairs within a hamming radius, using the
+    * pigeonhole principle: split the 64-bit sketch into
+    * `maxHamming + 1` chunks; a pair within the radius must agree
+    * exactly on at least one chunk, so the join key is
+    * (chunk_index, chunk_value) — linear shuffle, no n² scan.
+    *
+    * Scale note: chunk width is 64/(r+1) bits, so bucket count per
+    * chunk is 2^width — at radius 3 that's 16-bit chunks (65k buckets,
+    * the classic production setting); wider radii shrink buckets and
+    * grow candidates. Short documents (few sketch features) need the
+    * wider radius; long documents separate at radius 3.
+    * Output: (id_a, id_b, hamming) with hamming ≤ maxHamming.
+    */
+  def simhashDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(nChunks <= 16, "radius > 15 would make chunks < 4 bits")
+    // near-equal chunk widths summing to 64
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sketched = df
+      .select(col(idCol).as("id"), simhashFeatures(col(textCol)).as("feats"))
+      .select(col("id"), simhashFromFeatures(col("feats")).as("sim"))
+    val chunked = sketched.select(
+      col("id"), col("sim"),
+      explode(array((0 until nChunks).map { c =>
+        struct(lit(c).as("chunk"),
+               shiftright(col("sim"), offsets(c))
+                 .bitwiseAND(lit((1L << widths(c)) - 1)).as("cv"))
+      }: _*)).as("ch"))
+      .select(col("id"), col("sim"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.cv") === col("b.cv") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Character n-gram Jaccard verify over candidate pairs (the
+    * "different distance, same verify shape" variant).
+    * Output: (id_a, id_b, char_jaccard) ≥ threshold.
+    */
+  def charJaccardVerify(
+      candidates: DataFrame, df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    val gr = df.select(col(idCol).as("id"),
+      array_distinct(transform(charNgrams(col(textCol), n), g => xxhash64(g))).as("gr"))
+    candidates.select("id_a", "id_b")
+      .join(gr.withColumnsRenamed(Map("id" -> "id_a", "gr" -> "gr_a")), "id_a")
+      .join(gr.withColumnsRenamed(Map("id" -> "id_b", "gr" -> "gr_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("gr_a"), col("gr_b"))).cast("double") /
+         size(array_union(col("gr_a"), col("gr_b")))).as("char_jaccard"))
+      .where(col("char_jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, same contract:
+  *  - `knnBrute`   — exact top-k by cosine; one scan + TakeOrdered
+  *                   (no full sort materializes — Spark turns
+  *                   sort+limit into a per-partition heap).
+  *  - `knnLsh`     — random-hyperplane LSH: the corpus is bucketed by
+  *                   sign-bit signatures once (an indexing pass you'd
+  *                   persist/bucket-by at 100 TB), queries probe only
+  *                   matching buckets across `bands` independent
+  *                   hash tables. Approximate; recall grows with
+  *                   bands, precision of candidates with bitsPerBand.
+  *
+  * The inner products run through the codegen'd
+  * [[graft.functions.DotProduct]] expression, not interpreted
+  * higher-order lambdas.
+  */
+object Similarity {
+
+  /** Deterministic random hyperplanes: `count` planes of `dim` dims. */
+  private def planes(dim: Int, count: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(count)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of a vector against a set of hyperplanes. */
+  private def signature(vec: Column, ps: Seq[Array[Double]]): Column =
+    ps.zipWithIndex.map { case (p, i) =>
+      when(VectorOps.dot(vec, typedlit(p.toSeq)) > 0d,
+           shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce(_.bitwiseOR(_))
+
+  /** Exact cosine top-k for one query vector.
+    * Output: (id, cosine), k rows, ties broken by id.
+    */
+  def knnBrute(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int): DataFrame = {
+    val q = typedlit(query.toSeq)
+    df.select(col(idCol).as("id"),
+              VectorOps.cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** LSH-bucketed approximate top-k: probe the query's bucket in each
+    * of `bands` hash tables, dedup candidates, exact-rank only those.
+    * At production scale the `banded` side is the precomputed index
+    * (write it bucketed by (band, sig) so the probe is a pruned scan,
+    * not a join).
+    */
+  def knnLsh(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int,
+      bands: Int = 8, bitsPerBand: Int = 8, seed: Long = 7L): DataFrame = {
+    val dim = query.length
+    val allPlanes = (0 until bands).map(b => planes(dim, bitsPerBand, seed + b))
+    val qd = query.map(_.toDouble)
+    def sigOf(ps: Seq[Array[Double]], v: Array[Double]): Long =
+      ps.zipWithIndex.map { case (p, i) =>
+        if (p.zip(v).map { case (a, b) => a * b }.sum > 0) 1L << i else 0L
+      }.reduce(_ | _)
+    val qSigs = allPlanes.map(ps => sigOf(ps, qd))
+
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"), col("vec"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"), signature(col("vec"), allPlanes(b)).as("sig"))
+        }: _*)).as("bs"))
+      .select(col("id"), col("vec"),
+              col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+    val probe = (0 until bands)
+      .map(b => col("band") === b && col("sig") === qSigs(b))
+      .reduce(_ || _)
+
+    val q = typedlit(query.toSeq)
+    banded.where(probe)
+      .select(col("id"), col("vec")).distinct()
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** All-pairs embedding near-duplicates above a cosine threshold,
+    * LSH-bucketed exactly like [[Dedup.minhashCandidates]] but in
+    * sign-bit space. Output: (id_a, id_b, cosine) ≥ threshold.
+    */
+  def cosineDuplicates(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double, bands: Int = 8, bitsPerBand: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    val allPlanes = (0 until bands).map(b => planes(dim, bitsPerBand, seed + b))
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .select(col("id"), col("vec"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band"), signature(col("vec"), allPlanes(b)).as("sig"))
+        }: _*)).as("bs"))
+      .select(col("id"), col("vec"),
+              col("bs.band").as("band"), col("bs.sig").as("sig"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.sig") === col("b.sig") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.vec").as("va"), col("b.vec").as("vb"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+              VectorOps.cosine(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token counting, fingerprinting. All pure builtin
+  * expressions (codegen-friendly, zero shuffles — these are mapper
+  * stages at 100 TB; only a downstream groupBy would shuffle).
+  */
+object TextAnalysis {
+
+  /** Per-language stopword profiles for the n-gram/stopword-overlap
+    * language heuristic. Deliberately small — the operator's value is
+    * the Spark shape (score = |tokens ∩ profile| per language, argmax
+    * via greatest-of-structs), not lexicography.
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** Predicted language code, or "und" when no profile matches. */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    // struct(score, tag) sorts lexicographically → greatest() is the
+    // argmax; tag order breaks score ties deterministically.
+    val scored = profiles.zipWithIndex.map { case ((lang, words), i) =>
+      struct(size(array_intersect(toks, typedlit(words))).as("score"),
+             lit(i).as("prio"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise("und")
+  }
+
+  /** Heuristic quality features + composite score in [0,1]:
+    * length band, alpha ratio, punctuation ratio, stopword hit rate,
+    * mean word length sanity. The weights are illustrative; the shape
+    * (bounded builtin expressions, no UDF) is the point.
+    */
+  def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("double")
+    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    val nPunct = length(regexp_replace(t, "[^.,;:!?'\"()-]", "")).cast("double")
+    val nTok = size(toks).cast("double")
+    val enStop = typedlit(profiles.head._2)
+    val stopHits = size(array_intersect(array_distinct(toks), enStop)).cast("double")
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      (nAlpha / greatest(nChars, lit(1d))).as("alpha_ratio"),
+      (nPunct / greatest(nChars, lit(1d))).as("punct_ratio"),
+      (stopHits / lit(profiles.head._2.size)).as("stopword_rate"),
+      (nChars / greatest(nTok, lit(1d))).as("mean_word_len"))
+      .withColumn("quality",
+        least(lit(1d), greatest(lit(0d),
+          lit(0.25) * least(col("n_tokens") / 20d, lit(1d)) +
+          lit(0.25) * col("alpha_ratio") +
+          lit(0.25) * (lit(1d) - least(col("punct_ratio") * 5d, lit(1d))) +
+          lit(0.25) * least(col("stopword_rate") * 2d, lit(1d)))))
+  }
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))
+
+  /** BPE-ish piece count: letter runs, digit runs, and isolated
+    * symbols — the classic pre-tokenizer regex. An upper bound on BPE
+    * vocabulary pieces, cheap enough to run over 100 TB as a scan.
+    */
+  def bpePieceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** 57-bit document fingerprint: polynomial rolling hash over word
+    * hashes (order-sensitive, unlike the MinHash sketch) — two docs
+    * with the same words in different order fingerprint differently.
+    * Accumulator is kept below 2^57 (so acc·31 + 30-bit hash < 2^63)
+    * because ANSI mode turns long wraparound into an error.
+    */
+  def fingerprint64(text: Column): Column = {
+    val mod = 1L << 57
+    val mask = (1L << 30) - 1
+    aggregate(tokens(text), lit(1125899906842597L % mod),
+      (acc, w) => (acc * lit(31L) + xxhash64(w).bitwiseAND(lit(mask))) % lit(mod))
+  }
+
+  /** The full per-document analysis row. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      langId(col(textCol)).as("lang_pred"),
+      wsTokenCount(col(textCol)).as("n_ws_tokens"),
+      bpePieceCount(col(textCol)).as("n_bpe_pieces"),
+      fingerprint64(col(textCol)).as("fingerprint"))
+}

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.Relational.Q
+
+/** SparkEntry wiring for the training-data pipeline operators
+  * (SURVEY.md §2: dedup, similarity, text analysis, multimodal).
+  * Entries without a DuckDB-expressible oracle are rows-only checks;
+  * each is still fully deterministic (fixed seeds, total ordering).
+  */
+object Pipeline {
+
+  /** First embedding (vec_id = min) as the query vector for the ANN
+    * entries — fetched per-run from the scale factor under test so the
+    * query composes at any SF. Single-row lookup, not a data scan.
+    */
+  private def queryVec(s: SparkSession, dir: String): Array[Float] = {
+    val row = Tables.load(s, dir, "embeddings")
+      .orderBy("vec_id").select("embedding").head()
+    row.getSeq[Float](0).toArray
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // exact dedup: survivors + multiplicity, SQL-checkable
+    Q("d01_dedup_exact",
+      (s, dir) => {
+        Dedup.exact(Tables.load(s, dir, "documents"), "doc_id", "text")
+          .select(col("survivor_id"), col("n_copies"))
+          .orderBy("survivor_id")
+      },
+      Some("""SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY text ORDER BY survivor_id""".stripMargin)),
+
+    // MinHash + LSH banding + exact-Jaccard verify
+    Q("d02_dedup_minhash",
+      (s, dir) => {
+        Dedup.minhashDuplicates(Tables.load(s, dir, "documents"),
+            "doc_id", "text", shingleK = 3, numHashes = 128, bands = 16,
+            threshold = 0.5)
+          .select(col("id_a"), col("id_b"),
+                  round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // SimHash + pigeonhole hamming join
+    Q("d03_dedup_simhash",
+      (s, dir) => {
+        // radius 10: the synthetic docs are short (~30 tokens), so the
+        // bigram sketch is noisy — see simhashDuplicates scale note.
+        Dedup.simhashDuplicates(Tables.load(s, dir, "documents"),
+            "doc_id", "text", maxHamming = 10)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // char n-gram Jaccard verify over MinHash candidates
+    Q("d04_dedup_jaccard",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+        Dedup.charJaccardVerify(cands, docs, "doc_id", "text",
+            n = 3, threshold = 0.7)
+          .select(col("id_a"), col("id_b"),
+                  round(col("char_jaccard"), 6).as("char_jaccard"))
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // embedding cosine near-dup via sign-LSH buckets
+    Q("d05_dedup_embedding",
+      (s, dir) => {
+        Similarity.cosineDuplicates(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", dim = 64, threshold = 0.4,
+            bands = 12, bitsPerBand = 6)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // exact brute-force cosine top-k
+    Q("s01_knn_brute",
+      (s, dir) => {
+        Similarity.knnBrute(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", queryVec(s, dir), k = 20)
+          .select(col("id"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      None),
+
+    // LSH-bucketed ANN, same query vector
+    Q("s02_knn_lsh",
+      (s, dir) => {
+        Similarity.knnLsh(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", queryVec(s, dir), k = 20,
+            bands = 8, bitsPerBand = 8)
+          .select(col("id"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      None),
+
+    // language ID heuristic
+    Q("t01_lang_id",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // quality features + composite score
+    Q("t02_quality",
+      (s, dir) => {
+        TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"),
+            "doc_id", "text")
+          .withColumn("quality", round(col("quality"), 6))
+          .withColumn("alpha_ratio", round(col("alpha_ratio"), 6))
+          .withColumn("punct_ratio", round(col("punct_ratio"), 6))
+          .withColumn("stopword_rate", round(col("stopword_rate"), 6))
+          .withColumn("mean_word_len", round(col("mean_word_len"), 6))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // token counting — SQL-checkable against DuckDB regex engine
+    Q("t03_token_count",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("doc_id"),
+            TextAnalysis.wsTokenCount(col("text")).as("n_ws_tokens"),
+            TextAnalysis.bpePieceCount(col("text")).as("n_bpe_pieces"),
+            length(col("text")).as("n_len"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_ws_tokens,
+             |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_pieces,
+             |CAST(length(text) AS INT) AS n_len
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // order-sensitive 64-bit fingerprint
+    Q("t04_fingerprint",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("doc_id"),
+            TextAnalysis.fingerprint64(col("text")).as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      None),
+
+    // multimodal: binary columns → stub decode → per-kind rollup
+    Q("m01_multimodal_meta",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
+        Multimodal.featureSummary(Multimodal.decodeFeatures(media))
+      },
+      None)
+  )
+}

@@ -3,7 +3,7 @@ package graft.sqlgen
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CreateNamedStruct, Expression, GetStructField, IntegerLiteral, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, CreateNamedStruct, Expression, GetStructField, IntegerLiteral, Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -52,7 +52,14 @@ object SqlGen {
       case g: GetStructField => s"${exprSql(g.child)}.`${g.extractFieldName}`"
       case c: CreateNamedStruct =>
         s"named_struct(${c.children.map(exprSql).mkString(", ")})"
-      case _ => e.sql
+      case _ =>
+        // Print attributes unqualified: qualifiers from the source
+        // plan ("orders.o_custkey") dangle once the child is wrapped
+        // in a generated subquery alias. Same bare-identifier contract
+        // as the reference (expr.rs:17-32).
+        e.transform {
+          case a: AttributeReference => a.withQualifier(Seq.empty)
+        }.sql
     }
 
     private def projList(es: Seq[Expression]): String =

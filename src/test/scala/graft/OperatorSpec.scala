@@ -1,0 +1,223 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_product matches manual computation and HOF equivalent") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("a", "b")
+    val got = df.select(VectorOps.dot($"a", $"b")).as[Double].collect()
+    assert(got.toSeq == Seq(32.0, 0.0))
+    // same answer as the interpreted zip_with + aggregate composition
+    val hof = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)).as[Double].collect()
+    assert(got.toSeq == hof.toSeq)
+  }
+
+  test("cosine is 1 for parallel vectors, 0 for zero vectors") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f))
+    ).toDF("a", "b")
+    val got = df.select(VectorOps.cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) == 0.0)
+  }
+
+  test("dot_product survives whole-stage codegen (no fallback errors)") {
+    val df = spark.range(1000).select(
+      $"id",
+      transform(sequence(lit(0), lit(63)), i => (i + $"id").cast("double")).as("v"))
+    val out = df.select(VectorOps.dot($"v", $"v").as("d"))
+      .agg(sum("d")).as[Double].head()
+    assert(out > 0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents").cache()
+
+  /** Brute-force ground truth pairs at a word-3-shingle threshold —
+    * only feasible at test scale, which is the point of LSH.
+    */
+  private lazy val truePairs: Set[(Long, Long)] = {
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def sh(t: String) = t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val sets = rows.map { case (i, t) => (i, sh(t)) }
+    (for {
+      (i, a) <- sets; (j, b) <- sets if i < j
+      jac = a.intersect(b).size.toDouble / a.union(b).size
+      if jac >= 0.5
+    } yield (i, j)).toSet
+  }
+
+  test("exact dedup partitions the corpus") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.agg(sum("n_copies")).head().getLong(0) == docs.count())
+  }
+
+  test("minhash LSH finds exactly the planted near-duplicates") {
+    val got = Dedup.minhashDuplicates(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truePairs.nonEmpty, "test data should contain planted dups")
+    assert(got == truePairs,
+      s"missed=${truePairs -- got} extra=${got -- truePairs}")
+  }
+
+  test("simhash finds the planted near-duplicates within hamming 10") {
+    val got = Dedup.simhashDuplicates(docs, "doc_id", "text", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert((truePairs -- got).isEmpty,
+      s"simhash missed planted pairs: ${truePairs -- got}")
+  }
+
+  test("simhash pigeonhole join returns no pair beyond the radius") {
+    val got = Dedup.simhashDuplicates(docs, "doc_id", "text", maxHamming = 10)
+      .select("hamming").as[Int].collect()
+    assert(got.forall(_ <= 10))
+  }
+
+  test("char-ngram jaccard verify keeps only true near-dups") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
+    val got = Dedup.charJaccardVerify(cands, docs, "doc_id", "text",
+        n = 3, threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == truePairs,
+      s"missed=${truePairs -- got} extra=${got -- truePairs}")
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings").cache()
+  private lazy val qv: Array[Float] =
+    emb.orderBy("vec_id").select("embedding").head().getSeq[Float](0).toArray
+
+  test("brute-force knn: query vector ranks itself first with cosine 1") {
+    val top = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 10).collect()
+    assert(top.length == 10)
+    assert(top.head.getLong(0) == 0L)
+    assert(math.abs(top.head.getDouble(1) - 1.0) < 1e-9)
+    val cosines = top.map(_.getDouble(1))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("lsh knn returns a subset of the corpus ranked consistently with brute") {
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.knnLsh(emb, "vec_id", "embedding", qv, 10).collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.head.getLong(0) == 0L, "query's own bucket must contain itself")
+    lsh.foreach { r =>
+      brute.get(r.getLong(0)).foreach(c => assert(math.abs(c - r.getDouble(1)) < 1e-9))
+    }
+  }
+
+  test("cosineDuplicates returns symmetric-free pairs above threshold") {
+    val pairs = Similarity.cosineDuplicates(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.4, bands = 12, bitsPerBand = 6).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId recognizes clear-cut samples and falls back to und") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it is a good day for the walk"),
+      (2L, "el perro y la casa de que en un dia los amigos por la tarde"),
+      (3L, "der hund und die katze ist nicht mit von zu ein haus"),
+      (4L, "le chat et les amis de la maison est que pour une fois"),
+      (5L, "的 是 了 在 我 有 和 不 人 这"),
+      (6L, "zzz qqq xxx www")
+    ).toDF("doc_id", "text")
+    val got = df.select($"doc_id", TextAnalysis.langId($"text"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en"); assert(got(2L) == "es"); assert(got(3L) == "de")
+    assert(got(4L) == "fr"); assert(got(5L) == "zh"); assert(got(6L) == "und")
+  }
+
+  test("quality score is bounded and penalizes junk") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and it is a fine day in the park for everyone"),
+      (2L, "!!! ??? ,,, ;;; ::: !!!")
+    ).toDF("doc_id", "text")
+    val q = TextAnalysis.qualityFeatures(df, "doc_id", "text")
+      .select("quality").as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(0) > q(1), "prose should outscore punctuation soup")
+  }
+
+  test("token counts on handcrafted text") {
+    val df = Seq((1L, "hello world, 42 times!"), (2L, "   "), (3L, "a")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+        TextAnalysis.wsTokenCount($"text"),
+        TextAnalysis.bpePieceCount($"text"))
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    // "hello world, 42 times!" → ws: 4; pieces: hello|world|,|42|times|! = 6
+    assert(got(0) == ((1L, 4, 6)))
+    assert(got(1)._2 == 0)
+    assert(got(2) == ((3L, 1, 1)))
+  }
+
+  test("fingerprint is order-sensitive, stable, and content-keyed") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+                 (3L, "alpha beta gamma")).toDF("doc_id", "text")
+    val fp = df.select($"doc_id", TextAnalysis.fingerprint64($"text"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media plumbing: schema, stub decode, per-kind rollup") {
+    implicit val s = spark
+    val docs = Tables.load(spark, sfDir, "documents")
+    val media = Multimodal.fromDocuments(docs)
+    assert(media.schema("bytes").dataType.typeName == "binary")
+
+    val feats = Multimodal.decodeFeatures(media, targetW = 128, targetH = 128)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { f =>
+      assert(f.out_width <= 128 && f.out_height <= 128)
+      if (f.kind == "audio") assert(f.n_frames == 0)
+      if (f.kind == "image") assert(f.n_frames == 1)
+    }
+    // byte_len must equal the source text length (payload untouched)
+    val lens = docs.select($"doc_id", length($"text")).as[(Long, Int)].collect().toMap
+    rows.foreach(f => assert(f.byte_len == lens(f.media_id)))
+
+    val summary = Multimodal.featureSummary(feats).collect()
+    assert(summary.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    assert(summary.map(_.getLong(1)).sum == rows.length)
+  }
+
+  test("stub decode is deterministic across runs") {
+    implicit val s = spark
+    val media = Multimodal.fromDocuments(Tables.load(spark, sfDir, "documents"))
+    val a = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    val b = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+}
