@@ -154,6 +154,41 @@ object Pipeline {
       },
       None),
 
+    // gap-based sessionization, batch twin of the streaming operator
+    // (graft.streaming.EventsStream.sessionize). Timestamps formatted
+    // at second precision: the raw column is ns in parquet, µs in
+    // Spark — second-level truncation is the engine-agnostic contract.
+    Q("st01_sessionize",
+      (s, dir) => {
+        graft.streaming.EventsStream
+          .sessionizeBatch(Tables.load(s, dir, "events"), 30 * 60 * 1000L)
+          .select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+            col("n_events"), col("total_value"))
+          .orderBy("user_id", "start_s")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN CAST(epoch(ts) AS BIGINT) * 1000 -
+             |      LAG(CAST(epoch(ts) AS BIGINT) * 1000) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+             |    THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |), s AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g
+             |)
+             |SELECT user_id,
+             |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+             |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, start_s""".stripMargin)),
+
     // multimodal: binary columns → stub decode → per-kind rollup
     Q("m01_multimodal_meta",
       (s, dir) => {

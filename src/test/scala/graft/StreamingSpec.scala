@@ -1,0 +1,110 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("streaming tumbling counts match the batch twin on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(5), 1, "click", 1.0),
+      Event(2, ts(20), 1, "click", 2.0),
+      Event(3, ts(65), 2, "view", 3.0),
+      Event(4, ts(70), 1, "click", 4.0),
+      Event(5, ts(130), 2, "view", 5.0))
+
+    val mem = MemoryStream[Event]
+    val q = EventsStream.tumblingCounts(mem.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = EventsStream.tumblingCounts(events.toDF())
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.size == 4)
+    } finally q.stop()
+  }
+
+  test("watermark drops state for closed windows (append mode emits finalized rows)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.tumblingCounts(mem.toDF(), "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("wm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(1, ts(5), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far beyond hour 0 + watermark → window closes
+      mem.addData(Event(2, ts(200), 1, "click", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("wm").collect()
+      assert(out.length == 1, "exactly the closed window is emitted")
+      assert(out.head.getTimestamp(0) == ts(0))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization matches the declarative batch twin") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 30 * 60 * 1000L // 30 min
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 2.0),   // same session
+      Event(3, ts(120), 1, "click", 3.0),  // new session (gap 110min)
+      Event(4, ts(5), 2, "view", 4.0),
+      Event(5, ts(400), 1, "click", 5.0),  // third session → closes second
+      Event(6, ts(410), 2, "view", 6.0))   // second session for user 2
+
+    val mem = MemoryStream[Event]
+    val q = EventsStream.sessionize(mem.toDS(), gap)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sessions")
+        .orderBy("user_id", "session_start").collect().toSeq
+
+      // batch twin over the same rows: closed sessions only (a later
+      // event exists after the gap)
+      val batchAll = EventsStream.sessionizeBatch(events.toDF(), gap)
+      val lastPerUser = events.groupBy(_.user_id)
+        .map { case (u, es) => u -> es.map(_.ts.getTime).max }
+      val closedBatch = batchAll.collect().toSeq.filter { r =>
+        r.getAs[Timestamp]("session_end").getTime <
+          lastPerUser(r.getAs[Long]("user_id")) - gap + 1
+      }
+      assert(streamed.map(_.getAs[Timestamp]("session_start")).toSet ==
+        closedBatch.map(_.getAs[Timestamp]("session_start")).toSet)
+      // user 1: sessions at minute 0-10 and 120 closed; user 2: minute 5 closed
+      assert(streamed.count(_.getAs[Long]("user_id") == 1L) == 2)
+      assert(streamed.count(_.getAs[Long]("user_id") == 2L) == 1)
+      val first = streamed.head
+      assert(first.getAs[Long]("n_events") == 2)
+      assert(first.getAs[Double]("total_value") == 3.0)
+    } finally q.stop()
+  }
+
+  test("batch sessionization on the real events table is consistent") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val sessions = EventsStream.sessionizeBatch(ev, 30 * 60 * 1000L)
+    val n = sessions.agg(sum("n_events")).head().getLong(0)
+    assert(n == ev.count(), "every event lands in exactly one session")
+    assert(sessions.where(col("session_end") < col("session_start")).isEmpty)
+  }
+}
