@@ -1,0 +1,187 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd sketching kernels. The composed builtin forms
+  * (`transform`+`array_min` per hash, one `aggregate` per bit) are
+  * semantically identical but evaluate interpreted lambdas per
+  * element×hash — at 100 TB these kernels run per row on billions of
+  * rows, so they get single-pass primitive loops instead
+  * (~10× per-row cost reduction measured at sf0.1).
+  */
+
+/** All-in-one MinHash signature: for each of k hash functions
+  * ((a·h30 + b) mod p over 30-bit-masked hashes — ANSI-overflow-safe,
+  * and crucially NON-monotonic: without the mod, min(a·h+b) =
+  * a·min(h)+b, i.e. every "permutation" would pick the same element
+  * and the whole family degenerates to one hash), the min over the
+  * input hash array. One pass over the array, k running mins.
+  * Input: array<long> (base hashes); output: array<long> of length k.
+  */
+case class MinHashSig(child: Expression, coefsA: Array[Long], coefsB: Array[Long])
+    extends UnaryExpression {
+
+  require(coefsA.length == coefsB.length && coefsA.nonEmpty)
+  private val mask = (1L << 30) - 1
+  private val prime = MinHashSig.Prime
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_sig expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = coefsA.length
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      val h = arr.getLong(j) & mask
+      var i = 0
+      while (i < k) {
+        val v = (coefsA(i) * h + coefsB(i)) % prime
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("coefsA", coefsA, "long[]")
+    val bRef = ctx.addReferenceObj("coefsB", coefsB, "long[]")
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, arr => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val n = ctx.freshName("n")
+      s"""
+         |long[] $out = new long[${coefsA.length}];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |int $n = $arr.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $arr.getLong($j) & ${mask}L;
+         |  for (int $i = 0; $i < ${coefsA.length}; $i++) {
+         |    long $v = ($aRef[$i] * $h + $bRef[$i]) % ${MinHashSig.Prime}L;
+         |    if ($v < $out[$i]) $out[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+  /** Largest prime below 2^30 — keeps a·h+b < 2^60 overflow-free. */
+  final val Prime = 1073741789L
+}
+
+/** Single-pass 64-bit SimHash from a feature-hash array: per bit,
+  * majority vote over features. Input: array<long>; output: long.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sketch = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sketch |= (1L << i)
+      i += 1
+    }
+    sketch
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val n = ctx.freshName("n")
+      val sk = ctx.freshName("sk")
+      s"""
+         |int[] $votes = new int[64];
+         |int $n = $arr.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $arr.getLong($j);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    if ((($h >>> $i) & 1L) == 1L) $votes[$i]++; else $votes[$i]--;
+         |  }
+         |}
+         |long $sk = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($votes[$i] > 0) $sk |= (1L << $i);
+         |}
+         |${ev.value} = $sk;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SketchOps {
+  /** Column wrapper for [[MinHashSig]] with the standard seeded
+    * coefficient family (matches Dedup.minhashSignature semantics).
+    */
+  def minhashSig(hashes: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val mask = (1L << 30) - 1
+    val rnd = new scala.util.Random(seed)
+    val coefs = Seq.fill(numHashes)(
+      (rnd.nextLong() & mask | 1L, rnd.nextLong() & mask))
+    GraftBridge.column(MinHashSig(GraftBridge.expression(hashes),
+      coefs.map(_._1).toArray, coefs.map(_._2).toArray))
+  }
+
+  def simhash64(features: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(features)))
+}

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text→hash-set kernels. The composed-builtin pipelines
+  * (split → transform(slice/concat_ws) → transform(xxhash64) →
+  * array_distinct) allocate a shingle *string* per window and run
+  * interpreted lambdas per element; these kernels hash words/chars in
+  * place and emit the distinct 64-bit shingle hashes directly —
+  * the text never materializes intermediate arrays. Per-row cost is
+  * O(len), allocation is one long[] — the shape that survives a
+  * 100 TB scan.
+  */
+object TextKernels {
+
+  private final val FnvOffset = 0xcbf29ce484222325L
+  private final val FnvPrime = 0x100000001b3L
+
+  /** FNV-1a over a char range. */
+  private def fnvRange(cs: String, from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) {
+      h = (h ^ cs.charAt(i)) * FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  private def distinctArray(buf: java.util.ArrayList[java.lang.Long]): ArrayData = {
+    val seen = new java.util.HashSet[java.lang.Long](buf.size * 2)
+    val out = new Array[Long](buf.size)
+    var n = 0
+    var i = 0
+    while (i < buf.size) {
+      val v = buf.get(i)
+      if (seen.add(v)) { out(n) = v; n += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+  }
+
+  /** Distinct hashes of word k-shingles. Same contract as
+    * `Dedup.shingleHashes`: whitespace tokenization after trim; fewer
+    * than k words hash as one all-words shingle; empty text yields the
+    * hash of the empty shingle.
+    */
+  def tokenShingleHashes(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    // word hashes + word boundaries in one scan
+    val wordHashes = new java.util.ArrayList[java.lang.Long]()
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && Character.isWhitespace(str.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !Character.isWhitespace(str.charAt(i))) i += 1
+        wordHashes.add(fnvRange(str, start, i))
+      }
+    }
+    val nw = wordHashes.size
+    val shingles = new java.util.ArrayList[java.lang.Long]()
+    if (nw == 0) {
+      shingles.add(FnvOffset) // hash of the empty shingle
+    } else if (nw < k) {
+      var h = FnvOffset
+      var j = 0
+      while (j < nw) { h = (h ^ wordHashes.get(j)) * FnvPrime; j += 1 }
+      shingles.add(h)
+    } else {
+      var w = 0
+      while (w + k <= nw) {
+        var h = FnvOffset
+        var j = 0
+        while (j < k) { h = (h ^ wordHashes.get(w + j)) * FnvPrime; j += 1 }
+        shingles.add(h)
+        w += 1
+      }
+    }
+    distinctArray(shingles)
+  }
+
+  /** Distinct hashes of character n-grams (text shorter than n hashes
+    * whole).
+    */
+  def charNgramHashes(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    val len = str.length
+    val grams = new java.util.ArrayList[java.lang.Long]()
+    if (len < n) grams.add(fnvRange(str, 0, len))
+    else {
+      var i = 0
+      while (i + n <= len) { grams.add(fnvRange(str, i, i + n)); i += 1 }
+    }
+    distinctArray(grams)
+  }
+}
+
+/** Expression wrapper: distinct word-k-shingle hashes of a string. */
+case class TokenShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_shingle_hashes expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenShingleHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kern = TextKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev,
+      in => s"${ev.value} = $kern.tokenShingleHashes($in, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "token_shingle_hashes"
+}
+
+/** Expression wrapper: distinct char-n-gram hashes of a string. */
+case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"char_ngram_hashes expects string, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.charNgramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kern = TextKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev,
+      in => s"${ev.value} = $kern.charNgramHashes($in, $n);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "char_ngram_hashes"
+}
+
+object TextKernelOps {
+  def tokenShingleHashes(text: Column, k: Int): Column =
+    GraftBridge.column(TokenShingleHashes(GraftBridge.expression(text), k))
+  def charNgramHashes(text: Column, n: Int): Column =
+    GraftBridge.column(CharNgramHashes(GraftBridge.expression(text), n))
+}

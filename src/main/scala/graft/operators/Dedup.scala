@@ -34,8 +34,17 @@ object Dedup {
       .otherwise(array(concat_ws(" ", words)))
   }
 
-  /** Distinct 64-bit hashes of the word k-shingle set. */
+  /** Distinct 64-bit hashes of the word k-shingle set (codegen'd
+    * single-pass kernel; see [[graft.functions.TextKernels]]).
+    */
   def shingleHashes(text: Column, k: Int): Column =
+    graft.functions.TextKernelOps.tokenShingleHashes(text, k)
+
+  /** Composed-builtin shingle hashing (different hash family than the
+    * kernel — set *cardinalities* and Jaccard ratios match, hash
+    * values don't). Kept as the slow-path reference.
+    */
+  def shingleHashesHof(text: Column, k: Int): Column =
     array_distinct(transform(shingles(text, k), s => xxhash64(s)))
 
   /** Character n-grams (for the Jaccard verify pass). */
@@ -54,17 +63,27 @@ object Dedup {
     * so it can never overflow a long — Spark 4 runs ANSI mode by
     * default, where silent wraparound is an execution error.
     * Deterministic via fixed seed.
+    *
+    * Production path is the codegen'd single-pass kernel
+    * [[graft.functions.SketchOps.minhashSig]]; this composed-builtin
+    * form computes the identical signature and serves as its test
+    * oracle.
     */
-  def minhashSignature(hashes: Column, numHashes: Int, seed: Long = 42L): Column = {
+  def minhashSignatureHof(hashes: Column, numHashes: Int, seed: Long = 42L): Column = {
     val mask = (1L << 30) - 1
     val rnd = new scala.util.Random(seed)
     val coefs = Seq.fill(numHashes)(
       (rnd.nextLong() & mask | 1L, rnd.nextLong() & mask))
     array(coefs.map { case (a, b) =>
       array_min(transform(hashes,
-        h => h.bitwiseAND(lit(mask)) * lit(a) + lit(b)))
+        h => (h.bitwiseAND(lit(mask)) * lit(a) + lit(b)) %
+          lit(graft.functions.MinHashSig.Prime)))
     }: _*)
   }
+
+  /** MinHash signature (codegen'd kernel). */
+  def minhashSignature(hashes: Column, numHashes: Int, seed: Long = 42L): Column =
+    graft.functions.SketchOps.minhashSig(hashes, numHashes, seed)
 
   /** Exact duplicate groups by content hash. Output:
     * (content_hash, survivor_id = min id, n_copies). One shuffle on
@@ -145,13 +164,14 @@ object Dedup {
       df, idCol, textCol, shingleK, threshold)
 
   /** 64-bit SimHash from a materialized feature-hash array column:
-    * per bit, majority vote of feature-hash bits. Pure builtin
-    * expressions (one aggregate per bit — wide but shuffle-free).
-    * IMPORTANT: pass an *attribute* (a column materialized by a prior
-    * projection), not an expression — this references its input 64
-    * times.
+    * per bit, majority vote of feature-hash bits. Composed-builtin
+    * test oracle for the codegen'd
+    * [[graft.functions.SketchOps.simhash64]] kernel (the production
+    * path). IMPORTANT: pass an *attribute* (a column materialized by a
+    * prior projection), not an expression — this references its input
+    * 64 times.
     */
-  def simhashFromFeatures(feats: Column): Column = {
+  def simhashFromFeaturesHof(feats: Column): Column = {
     val bits = (0 until 64).map { i =>
       val vote = aggregate(feats, lit(0L),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
@@ -160,14 +180,12 @@ object Dedup {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Token-bigram feature hashes for [[simhashFromFeatures]]. */
-  def simhashFeatures(text: Column): Column =
-    array_distinct(transform(shingles(text, 2), t => xxhash64(t)))
+  /** Token-bigram feature hashes (codegen'd kernel). */
+  def simhashFeatures(text: Column): Column = shingleHashes(text, 2)
 
-  /** Convenience single-expression SimHash (fine for one-off use;
-    * inside an operator prefer the two-stage form above).
-    */
-  def simhash64(text: Column): Column = simhashFromFeatures(simhashFeatures(text))
+  /** SimHash sketch of a text column (codegen'd kernel). */
+  def simhash64(text: Column): Column =
+    graft.functions.SketchOps.simhash64(simhashFeatures(text))
 
   /** SimHash near-dup pairs within a hamming radius, using the
     * pigeonhole principle: split the 64-bit sketch into
@@ -191,8 +209,7 @@ object Dedup {
     val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
     val sketched = df
-      .select(col(idCol).as("id"), simhashFeatures(col(textCol)).as("feats"))
-      .select(col("id"), simhashFromFeatures(col("feats")).as("sim"))
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
     val chunked = sketched.select(
       col("id"), col("sim"),
       explode(array((0 until nChunks).map { c =>
@@ -208,8 +225,11 @@ object Dedup {
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .distinct()
+      // filter BEFORE dedup: candidate volume is quadratic in bucket
+      // size; the radius test kills ~all of it, so the distinct only
+      // sees true pairs (once per agreeing chunk)
       .where(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Character n-gram Jaccard verify over candidate pairs (the
@@ -220,7 +240,7 @@ object Dedup {
       candidates: DataFrame, df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.7): DataFrame = {
     val gr = df.select(col(idCol).as("id"),
-      array_distinct(transform(charNgrams(col(textCol), n), g => xxhash64(g))).as("gr"))
+      graft.functions.TextKernelOps.charNgramHashes(col(textCol), n).as("gr"))
     candidates.select("id_a", "id_b")
       .join(gr.withColumnsRenamed(Map("id" -> "id_a", "gr" -> "gr_a")), "id_a")
       .join(gr.withColumnsRenamed(Map("id" -> "id_b", "gr" -> "gr_b")), "id_b")

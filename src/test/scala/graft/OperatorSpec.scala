@@ -62,6 +62,21 @@ class DedupSpec extends SparkSpec {
     } yield (i, j)).toSet
   }
 
+  test("codegen minhash kernel equals the composed-builtin oracle") {
+    val base = docs.select($"doc_id", Dedup.shingleHashes($"text", 3).as("sh"))
+    val a = base.select($"doc_id",
+      graft.functions.SketchOps.minhashSig($"sh", 32).as("sig"))
+    val b = base.select($"doc_id", Dedup.minhashSignatureHof($"sh", 32).as("sig"))
+    assertSameRows(a, b)
+  }
+
+  test("codegen simhash kernel equals the composed-builtin oracle") {
+    val base = docs.select($"doc_id", Dedup.simhashFeatures($"text").as("f"))
+    val a = base.select($"doc_id", graft.functions.SketchOps.simhash64($"f"))
+    val b = base.select($"doc_id", Dedup.simhashFromFeaturesHof($"f"))
+    assertSameRows(a, b)
+  }
+
   test("exact dedup partitions the corpus") {
     val out = Dedup.exact(docs, "doc_id", "text")
     assert(out.agg(sum("n_copies")).head().getLong(0) == docs.count())
