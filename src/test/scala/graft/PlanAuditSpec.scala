@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.queries.Relational
+
+/** Physical-plan audits: the scale properties SURVEY.md §4 promises
+  * must be visible in the plans, not just hoped for. Each assertion
+  * here is something that, if it regressed, would turn a 100 TB run
+  * from a pruned scan into a full-table read or an avoidable shuffle.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def explain(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def build(name: String): DataFrame =
+    (Relational.all ++ graft.queries.Pipeline.all)
+      .find(_.name == name).get.build(spark, sfDir)
+
+  test("q01: filter is pushed into the parquet scan") {
+    val plan = explain(build("q01_scan_project"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("q01: scan reads only the three projected columns") {
+    val plan = explain(build("q01_scan_project"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_linenumber") &&
+      readSchema.contains("l_extendedprice"))
+    assert(!readSchema.contains("l_quantity") && !readSchema.contains("l_shipdate"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q02: timestamp range predicates reach the scan") {
+    val plan = explain(build("q02_filter"))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("LessThan(l_shipdate"), s"date pushdown missing:\n$plan")
+  }
+
+  test("q03: aggregation is partial (map-side) before the exchange") {
+    val plan = explain(build("q03_agg_pricing"))
+    assert(plan.contains("HashAggregate"), plan)
+    // partial agg appears under the scan stage, final above exchange
+    assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
+  }
+
+  test("q16: dimension joins broadcast rather than shuffle both sides") {
+    val df = build("q16_join_multi")
+    df.collect() // let AQE finalize
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q12: embeddings scan prunes to the two referenced columns") {
+    val plan = explain(build("q12_array_index"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("label"), s"label not pruned: $readSchema")
+  }
+
+  test("relational suite stays inside whole-stage codegen") {
+    val df = build("q03_agg_pricing")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into a WholeStageCodegen stage
+    assert(plan.contains("*(1)"), s"nothing codegen-fused:\n$plan")
+  }
+
+  test("d01 exact dedup is a single hash-shuffle aggregation") {
+    val plan = explain(build("d01_dedup_exact"))
+    // one Exchange for the groupBy, one for the final orderBy — no join
+    assert(!plan.contains("Join"), s"dedup should not join:\n$plan")
+    assert(plan.contains("partial_min"), s"map-side combine missing:\n$plan")
+  }
+
+  test("sort+limit compiles to TakeOrderedAndProject (no global sort)") {
+    val df = Tables.load(spark, sfDir, "orders")
+      .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc)
+      .limit(5)
+    val plan = explain(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort materialized:\n$plan")
+  }
+}
