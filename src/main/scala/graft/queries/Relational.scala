@@ -576,6 +576,28 @@ object Relational {
               |event_type, COUNT(*) AS n, ${oSum("value")} AS total_value
               |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
+    // ───────────────────────── custom bounded-heap top-k aggregate ─────────────────────────
+    // Same semantics as q21's window ranking, executed by the
+    // graft.functions.TopKRows TypedImperativeAggregate: map-side state
+    // is a k-heap, so the shuffle carries ≤k rows per group per
+    // partition instead of every row (see TopK.scala scaladoc).
+    Q("q28_topk_per_group",
+      (s, dir) => {
+        Tables.load(s, dir, "customer")
+          .groupBy("c_nationkey")
+          .agg(graft.functions.TopK.topk(col("c_acctbal"), col("c_custkey"), 3).as("top"))
+          .select(col("c_nationkey"), posexplode(col("top")))
+          .select(col("c_nationkey"), (col("pos") + 1).cast("int").as("rn"),
+                  col("col.id").as("c_custkey"), col("col.ord").as("c_acctbal"))
+          .orderBy("c_nationkey", "rn")
+      },
+      Some("""SELECT c_nationkey, CAST(rn AS INT) AS rn, c_custkey, c_acctbal FROM (
+             |  SELECT c_nationkey, c_custkey, c_acctbal,
+             |  ROW_NUMBER() OVER (PARTITION BY c_nationkey
+             |    ORDER BY c_acctbal DESC, c_custkey) AS rn
+             |  FROM customer
+             |) t WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

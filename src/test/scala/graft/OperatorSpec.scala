@@ -151,6 +151,46 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bounded-heap topk matches window row_number on the customer table") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val customer = Tables.load(spark, sfDir, "customer")
+    val viaAgg = customer.groupBy("c_nationkey")
+      .agg(graft.functions.TopK.topk(col("c_acctbal"), col("c_custkey"), 3).as("top"))
+      .select(col("c_nationkey"), explode(col("top")).as("e"))
+      .select(col("c_nationkey"), col("e.id"), col("e.ord"))
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val viaWindow = customer
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+              row_number().over(w).as("rn"))
+      .where(col("rn") <= 3)
+      .select(col("c_nationkey"), col("c_custkey").as("id"),
+              col("c_acctbal").as("ord"))
+    assertSameRows(viaAgg, viaWindow)
+  }
+
+  test("topk handles groups smaller than k and duplicate ordinals") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 5.0, 10L), (1L, 5.0, 11L), (2L, 1.0, 20L))
+      .toDF("g", "ord", "id")
+    val out = df.groupBy("g")
+      .agg(graft.functions.TopK.topk(col("ord"), col("id"), 5).as("top"))
+      .select(col("g"), explode(col("top")).as("e"))
+      .select(col("g"), col("e.id")).as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (1L, 11L), (2L, 20L)))
+    // tie at ord=5.0 → smaller id first
+    val first = df.groupBy("g")
+      .agg(graft.functions.TopK.topk(col("ord"), col("id"), 1).as("top"))
+      .select(col("g"), element_at(col("top"), 1).getField("id"))
+      .as[(Long, Long)].collect().toMap
+    assert(first(1L) == 10L)
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 

@@ -12,6 +12,13 @@ import graft.queries.Relational
   */
 class PlanAuditSpec extends SparkSpec {
 
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // other specs cache test tables; a cached relation would shadow
+    // the parquet scan these audits inspect
+    spark.catalog.clearCache()
+  }
+
   private def explain(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 

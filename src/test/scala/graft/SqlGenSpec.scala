@@ -13,10 +13,11 @@ import graft.sqlgen.SqlGen
   */
 class SqlGenSpec extends SparkSpec {
 
-  // q20 is already SQL-built (CTE); its analyzed plan contains View
-  // nodes resolved from temp views — covered separately below.
+  // q20 is already SQL-built (CTE; plan contains View nodes); q28 uses
+  // a custom aggregate + posexplode (Generate), which have no SQL
+  // surface to regenerate to.
   private val roundtrippable =
-    Relational.all.filterNot(q => Set("q20_cte").contains(q.name))
+    Relational.all.filterNot(q => Set("q20_cte", "q28_topk_per_group").contains(q.name))
 
   for (q <- roundtrippable) {
     test(s"roundtrip ${q.name}") {
