@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join: for every left row, attach the most recent
+  * right row with `rightTs <= leftTs` for the same key.
+  *
+  * Spark has no native as-of join. The naive formulations are a range
+  * join (O(n·m) cross product per key) or a per-key
+  * `groupByKey.flatMapGroups` (all rows of a key in one task). This
+  * implementation is the scale-correct one: tag and UNION the two
+  * sides, sort within each key partition once, and carry the latest
+  * right-side values forward with `last(_, ignoreNulls = true)` over a
+  * running window. One shuffle on the key, linear work, no skew
+  * beyond what the key distribution already has.
+  *
+  * Ordering inside a key is (ts, isLeft, tiebreak), so a right row at
+  * exactly leftTs is visible to that left row (inclusive semantics)
+  * and results are deterministic under timestamp ties.
+  *
+  * `tolerance` (milliseconds, optional): right rows older than
+  * `leftTs - tolerance` are nulled out rather than matched.
+  */
+object AsOfJoin {
+
+  def backward(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String, rightTs: String,
+      leftTiebreak: String, rightTiebreak: String,
+      rightValueCols: Seq[String],
+      toleranceMs: Option[Long] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains("_asof_ts"), "reserved column name")
+
+    val taggedLeft = left
+      .withColumn("_asof_ts", col(leftTs))
+      .withColumn("_asof_is_left", lit(1))
+      .withColumn("_asof_tb", col(leftTiebreak).cast("long"))
+    val taggedRight = right.select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).as("_asof_ts"), lit(0).as("_asof_is_left"),
+            col(rightTiebreak).cast("long").as("_asof_tb"),
+            col(rightTs).as("_asof_right_ts")) ++
+        rightValueCols.map(c => col(c).as(s"_asof_v_$c")): _*)
+
+    // align schemas for the union
+    val allCols =
+      (taggedLeft.columns ++ taggedRight.columns).distinct
+    def aligned(df: DataFrame): DataFrame =
+      df.select(allCols.map(c =>
+        if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
+
+    val unioned = aligned(taggedLeft).unionByName(aligned(taggedRight))
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_asof_ts").asc, col("_asof_is_left").asc, col("_asof_tb").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = unioned
+      .withColumn("_asof_m_ts", last(col("_asof_right_ts"), ignoreNulls = true).over(w))
+      .withColumns(rightValueCols.map(c =>
+        s"_m_$c" -> last(col(s"_asof_v_$c"), ignoreNulls = true).over(w)).toMap)
+
+    val inTolerance = toleranceMs match {
+      case Some(t) =>
+        col("_asof_m_ts").isNotNull &&
+          (col("_asof_ts").cast("double") - col("_asof_m_ts").cast("double")) * 1000 <= t
+      case None => col("_asof_m_ts").isNotNull
+    }
+
+    carried
+      .where(col("_asof_is_left") === 1)
+      .select(
+        leftCols.map(col) ++
+          Seq(when(inTolerance, col("_asof_m_ts")).otherwise(lit(null))
+                .as(s"asof_$rightTs")) ++
+          rightValueCols.map(c =>
+            when(inTolerance, col(s"_m_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
+  }
+}

@@ -189,6 +189,48 @@ object Pipeline {
              |FROM s GROUP BY user_id, session_id
              |ORDER BY user_id, start_s""".stripMargin)),
 
+    // as-of (backward) join: each purchase gets the user's most recent
+    // signup at-or-before it. Implemented union+window (one shuffle) —
+    // see graft.operators.AsOfJoin.
+    Q("st02_asof_join",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        val purchases = events.where(col("event_type") === "purchase")
+        val signups = events.where(col("event_type") === "signup")
+          .select("user_id", "ts", "event_id", "value")
+        graft.operators.AsOfJoin.backward(
+            purchases, signups,
+            keyCols = Seq("user_id"),
+            leftTs = "ts", rightTs = "ts",
+            leftTiebreak = "event_id", rightTiebreak = "event_id",
+            rightValueCols = Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts_s"),
+            col("asof_value").as("signup_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    CASE WHEN event_type = 'signup' THEN ts END AS sig_ts,
+             |    CASE WHEN event_type = 'signup' THEN value END AS sig_val
+             |  FROM events WHERE event_type IN ('purchase', 'signup')
+             |), c AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    LAST_VALUE(sig_ts IGNORE NULLS) OVER w AS m_ts,
+             |    LAST_VALUE(sig_val IGNORE NULLS) OVER w AS m_val
+             |  FROM o
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY epoch_us(ts),
+             |      CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT event_id, user_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |  strftime(m_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts_s,
+             |  m_val AS signup_value
+             |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
     // multimodal: binary columns → stub decode → per-kind rollup
     Q("m01_multimodal_meta",
       (s, dir) => {

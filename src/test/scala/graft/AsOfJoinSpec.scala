@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(min: Int) = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  private lazy val trades = Seq(
+    (1L, t(10), "A", 100.0),
+    (2L, t(20), "A", 101.0),
+    (3L, t(5), "B", 50.0),
+    (4L, t(30), "B", 51.0)
+  ).toDF("trade_id", "ts", "sym", "px")
+
+  private lazy val quotes = Seq(
+    (101L, t(9), "A", 99.5),
+    (102L, t(15), "A", 100.5),
+    (103L, t(31), "B", 50.9), // after both B trades
+    (104L, t(20), "A", 100.9) // exactly at trade 2's ts → inclusive
+  ).toDF("quote_id", "ts", "sym", "bid")
+
+  test("backward as-of join picks latest right row at-or-before left ts") {
+    val out = AsOfJoin.backward(trades, quotes,
+        keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
+        leftTiebreak = "trade_id", rightTiebreak = "quote_id",
+        rightValueCols = Seq("bid"))
+      .select($"trade_id", $"asof_bid").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(99.5))   // quote at :09 for trade at :10
+    assert(out(2L).contains(100.9))  // same-ts quote matches (inclusive)
+    assert(out(3L).isEmpty)          // no B quote before :05
+    assert(out(4L).isEmpty)          // B quote is at :31, after the trade
+  }
+
+  test("tolerance nulls out stale matches") {
+    val out = AsOfJoin.backward(trades, quotes,
+        keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
+        leftTiebreak = "trade_id", rightTiebreak = "quote_id",
+        rightValueCols = Seq("bid"), toleranceMs = Some(60 * 1000L))
+      .select($"trade_id", $"asof_bid").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(99.5))   // 1 min gap, inside tolerance
+    assert(out(2L).contains(100.9))  // 0 gap
+    assert(out(3L).isEmpty && out(4L).isEmpty)
+  }
+
+  test("left rows and columns are all preserved") {
+    val out = AsOfJoin.backward(trades, quotes,
+      keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
+      leftTiebreak = "trade_id", rightTiebreak = "quote_id",
+      rightValueCols = Seq("bid"))
+    assert(out.count() == trades.count())
+    assert(Seq("trade_id", "ts", "sym", "px", "asof_ts", "asof_bid")
+      .forall(out.columns.contains))
+  }
+
+  test("single shuffle: no join node in the physical plan") {
+    val out = AsOfJoin.backward(trades, quotes,
+      keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
+      leftTiebreak = "trade_id", rightTiebreak = "quote_id",
+      rightValueCols = Seq("bid"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of should not use a join:\n$plan")
+  }
+}
