@@ -231,6 +231,29 @@ object Pipeline {
              |  m_val AS signup_value
              |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
 
+    // bucketed point-in-interval range join (equi-join on quantized
+    // buckets + residual BETWEEN — no nested-loop; see RangeJoin)
+    Q("q30_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          ("low", 0.0, 2500.0), ("mid", 2500.0, 7000.0),
+          ("high", 7000.0, 100000.0), ("neg", -100000.0, 0.0))
+          .toDF("band", "lo", "hi")
+        graft.operators.RangeJoin.pointInInterval(
+            Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+            bands, "c_acctbal", "lo", "hi", bucket = 2500.0)
+          .select(col("c_custkey"), col("band"), col("c_acctbal"))
+          .orderBy("c_custkey", "band")
+      },
+      Some("""SELECT c_custkey, band, c_acctbal
+             |FROM customer JOIN (VALUES
+             |  ('low', 0.0, 2500.0), ('mid', 2500.0, 7000.0),
+             |  ('high', 7000.0, 100000.0), ('neg', -100000.0, 0.0))
+             |  AS t(band, lo, hi)
+             |ON c_acctbal >= lo AND c_acctbal <= hi
+             |ORDER BY c_custkey, band""".stripMargin)),
+
     // multimodal: binary columns → stub decode → per-kind rollup
     Q("m01_multimodal_meta",
       (s, dir) => {

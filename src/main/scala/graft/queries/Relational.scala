@@ -576,6 +576,23 @@ object Relational {
               |event_type, COUNT(*) AS n, ${oSum("value")} AS total_value
               |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
 
+    // ───────────────────────── distinct-count + sketch aggregates ─────────────────────────
+    // Exact COUNT(DISTINCT) is the oracle-checked contract; the
+    // HLL/percentile sketch twins are spec-checked for accuracy bounds
+    // (SketchAggSpec) since approximate values are engine-specific.
+    Q("q29_distinct_agg",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+               countDistinct(col("l_suppkey")).as("n_supps"),
+               count(lit(1)).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+             |COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // ───────────────────────── custom bounded-heap top-k aggregate ─────────────────────────
     // Same semantics as q21's window ranking, executed by the
     // graft.functions.TopKRows TypedImperativeAggregate: map-side state

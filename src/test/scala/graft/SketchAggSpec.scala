@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+
+/** Approximate/sketch aggregates and skew tools: value is bounded
+  * error at a fraction of the shuffle cost, so the assertions are
+  * accuracy bounds against exact twins.
+  */
+class SketchAggSpec extends SparkSpec {
+
+  private lazy val li = Tables.load(spark, sfDir, "lineitem")
+
+  test("approx_count_distinct (HLL) within 5% of exact") {
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).head()
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"exact=$exact approx=$approx")
+  }
+
+  test("approx percentile brackets the exact median") {
+    val approx = li.agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)))
+      .head().getDouble(0)
+    val exact = li.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0).head
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
+  }
+
+  test("salted aggregation equals direct aggregation") {
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
+           count(col("l_orderkey")).as("n"))
+      .orderBy("l_returnflag")
+    val salted = Skew.saltedAggregate(
+        li.withColumn("l_qty_dec", col("l_quantity").cast("decimal(18,2)")),
+        keys = Seq("l_returnflag"),
+        aggs = Map("qty" -> ("l_qty_dec", "sum"), "n" -> ("l_orderkey", "count")),
+        saltBuckets = 16)
+      .select(col("l_returnflag"), col("qty"), col("n"))
+      .orderBy("l_returnflag")
+    assertSameRows(direct, salted)
+  }
+
+  test("salted aggregation plan has two exchanges, keyed then salted") {
+    val out = Skew.saltedAggregate(li,
+      keys = Seq("l_returnflag"),
+      aggs = Map("n" -> ("l_orderkey", "count")), saltBuckets = 16)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("_salt"), s"salt missing from plan:\n$plan")
+  }
+}
