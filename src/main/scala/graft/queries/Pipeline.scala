@@ -254,6 +254,29 @@ object Pipeline {
              |ON c_acctbal >= lo AND c_acctbal <= hi
              |ORDER BY c_custkey, band""".stripMargin)),
 
+    // deterministic stratified sampling: hash-based per-stratum rates.
+    // Unlike sampleBy (RNG over partition order), a hash-mod rule is
+    // reproducible across runs, partitionings and engines — at 100 TB
+    // resumable sampling beats "random but unrepeatable". The hash is
+    // Knuth multiplicative in explicit bigint arithmetic so any engine
+    // computes the same sample (and it stays below 2^63: ANSI-safe).
+    Q("t05_stratified_sample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val h = pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+                     lit(1000003L))
+        val rate = when(col("lang") === "en", 10)  // keep ~1/10 of en
+          .otherwise(2)                            // ~1/2 of the rest
+        docs.where(pmod(h, rate) === 0)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_sampled FROM documents
+             |WHERE ((doc_id % 2147483647) * 2654435761) % 1000003
+             |  % (CASE WHEN lang = 'en' THEN 10 ELSE 2 END) = 0
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // multimodal: binary columns → stub decode → per-kind rollup
     Q("m01_multimodal_meta",
       (s, dir) => {

@@ -615,6 +615,82 @@ object Relational {
              |  FROM customer
              |) t WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin)),
 
+    // ───────────────────────── intersect / except ─────────────────────────
+    Q("q31_intersect_except",
+      (s, dir) => {
+        val cust = Tables.load(s, dir, "customer").select(col("c_nationkey").cast("int").as("k"))
+        val supp = Tables.load(s, dir, "supplier").select(col("s_nationkey").cast("int").as("k"))
+        val both = cust.intersect(supp).select(col("k"), lit("both").as("src"))
+        val custOnly = cust.except(supp).select(col("k"), lit("cust_only").as("src"))
+        both.unionAll(custOnly).orderBy("src", "k")
+      },
+      Some("""SELECT k, 'both' AS src FROM (
+             |  SELECT CAST(c_nationkey AS INT) AS k FROM customer
+             |  INTERSECT SELECT CAST(s_nationkey AS INT) FROM supplier) t
+             |UNION ALL
+             |SELECT k, 'cust_only' AS src FROM (
+             |  SELECT CAST(c_nationkey AS INT) AS k FROM customer
+             |  EXCEPT SELECT CAST(s_nationkey AS INT) FROM supplier) t2
+             |ORDER BY src, k""".stripMargin)),
+
+    // ───────────────────────── pivot ─────────────────────────
+    // Spark-side .pivot(); the oracle spells it as CASE aggregation
+    // (engine-portable pivot semantics).
+    Q("q32_pivot",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(first(lit(null)).as("drop"), count(lit(1)).as("n"))
+          .select(col("l_returnflag"),
+                  coalesce(col("F_n"), lit(0L)).as("f_n"),
+                  coalesce(col("O_n"), lit(0L)).as("o_n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_n,
+             |COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ───────────────────────── null handling (na.fill / na.drop) ─────────────────────────
+    Q("q33_na_handling",
+      (s, dir) => {
+        val nation = Tables.load(s, dir, "nation")
+        val richSup = Tables.load(s, dir, "supplier")
+          .where(col("s_acctbal") > 9000)
+          .groupBy("s_nationkey").agg(dsum(col("s_acctbal")).as("bal"))
+        val joined = nation
+          .join(richSup, col("n_nationkey") === col("s_nationkey"), "left_outer")
+          .select(col("n_name"), col("bal"))
+        joined.na.fill(Map("bal" -> -1.0))
+          .unionAll(joined.na.drop(Seq("bal"))
+            .select(col("n_name"), col("bal") + 1000000))
+          .orderBy("n_name", "bal")
+      },
+      Some(s"""WITH j AS (
+              |  SELECT n_name, bal FROM nation LEFT JOIN (
+              |    SELECT s_nationkey, ${oSum("s_acctbal")} AS bal
+              |    FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey
+              |  ) s ON n_nationkey = s_nationkey)
+              |SELECT n_name, COALESCE(bal, -1.0) AS bal FROM j
+              |UNION ALL
+              |SELECT n_name, bal + 1000000 FROM j WHERE bal IS NOT NULL
+              |ORDER BY n_name, bal""".stripMargin)),
+
+    // ───────────────────────── explode / unnest ─────────────────────────
+    Q("q34_unnest",
+      (s, dir) => {
+        Tables.load(s, dir, "embeddings")
+          .where(col("vec_id") < 10)
+          .select(col("vec_id"), posexplode(col("embedding")))
+          .select(col("vec_id"), (col("pos") + 1).cast("int").as("i"),
+                  col("col").cast("double").as("v"))
+          .orderBy("vec_id", "i")
+      },
+      Some("""SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
+             |CAST(unnest(embedding) AS DOUBLE) AS v
+             |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id, i""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

@@ -52,6 +52,12 @@ object SqlGen {
       case g: GetStructField => s"${exprSql(g.child)}.`${g.extractFieldName}`"
       case c: CreateNamedStruct =>
         s"named_struct(${c.children.map(exprSql).mkString(", ")})"
+      // na.drop's predicate has no SQL function name — spell it out
+      case n: org.apache.spark.sql.catalyst.expressions.AtLeastNNonNulls =>
+        val indicators = n.children
+          .map(c => s"(CASE WHEN ${exprSql(c)} IS NOT NULL THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"(($indicators) >= ${n.n})"
       case _ =>
         // Print attributes unqualified: qualifiers from the source
         // plan ("orders.o_custkey") dangle once the child is wrapped
@@ -209,6 +215,26 @@ object SqlGen {
 
       case Union(children, false, false) =>
         children.map(c => s"SELECT * FROM ${rel(c)}").mkString(" UNION ALL ")
+      case Intersect(left, right, isAll) =>
+        val kw = if (isAll) "INTERSECT ALL" else "INTERSECT"
+        s"SELECT * FROM ${rel(left)} $kw SELECT * FROM ${rel(right)}"
+      case Except(left, right, isAll) =>
+        val kw = if (isAll) "EXCEPT ALL" else "EXCEPT"
+        s"SELECT * FROM ${rel(left)} $kw SELECT * FROM ${rel(right)}"
+
+      case g: Generate =>
+        val gen = g.generator match {
+          case org.apache.spark.sql.catalyst.expressions.Explode(e) =>
+            s"EXPLODE(${exprSql(e)})"
+          case org.apache.spark.sql.catalyst.expressions.PosExplode(e) =>
+            s"POSEXPLODE(${exprSql(e)})"
+          case other =>
+            throw new IllegalArgumentException(
+              s"SqlGen: unsupported generator ${other.prettyName}")
+        }
+        val outer = if (g.outer) " OUTER" else ""
+        val cols = g.generatorOutput.map(a => s"`${a.name}`").mkString(", ")
+        s"SELECT * FROM ${rel(g.child)} LATERAL VIEW$outer $gen _lv AS $cols"
 
       case Window(windowExprs, _, _, child, _) =>
         s"SELECT *, ${projList(windowExprs)} FROM ${rel(child)}"

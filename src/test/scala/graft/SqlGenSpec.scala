@@ -14,10 +14,11 @@ import graft.sqlgen.SqlGen
 class SqlGenSpec extends SparkSpec {
 
   // q20 is already SQL-built (CTE; plan contains View nodes); q28 uses
-  // a custom aggregate + posexplode (Generate), which have no SQL
-  // surface to regenerate to.
+  // a custom aggregate with no SQL name; q32's pivot analyzes into
+  // internal PivotFirst expressions.
   private val roundtrippable =
-    Relational.all.filterNot(q => Set("q20_cte", "q28_topk_per_group").contains(q.name))
+    Relational.all.filterNot(q =>
+      Set("q20_cte", "q28_topk_per_group", "q32_pivot").contains(q.name))
 
   for (q <- roundtrippable) {
     test(s"roundtrip ${q.name}") {

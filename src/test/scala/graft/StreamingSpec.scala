@@ -100,6 +100,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(1, ts(1), 1, "click", 1.0),  // dup id inside watermark
+        Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts(3), 1, "view", 2.0)) // dup across batches
+      q.processAllAvailable()
+      val out = spark.table("dedup").collect()
+      assert(out.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("batch sessionization on the real events table is consistent") {
     val ev = Tables.load(spark, sfDir, "events")
     val sessions = EventsStream.sessionizeBatch(ev, 30 * 60 * 1000L)
