@@ -691,6 +691,87 @@ object Relational {
              |CAST(unnest(embedding) AS DOUBLE) AS v
              |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id, i""".stripMargin)),
 
+    // ───────────────────────── datetime functions ─────────────────────────
+    Q("q35_datetime_fns",
+      (s, dir) => {
+        Tables.load(s, dir, "orders")
+          .where(col("o_orderkey") < 200)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            dayofmonth(col("o_orderdate")).as("d"),
+            quarter(col("o_orderdate")).as("q"),
+            date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+            datediff(lit("2000-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_y2k"),
+            date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+             |CAST(year(o_orderdate) AS INT) AS y,
+             |CAST(month(o_orderdate) AS INT) AS m,
+             |CAST(day(o_orderdate) AS INT) AS d,
+             |CAST(quarter(o_orderdate) AS INT) AS q,
+             |strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+             |CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
+             |strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30
+             |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin)),
+
+    // ───────────────────────── string functions ─────────────────────────
+    Q("q36_string_fns",
+      (s, dir) => {
+        Tables.load(s, dir, "part")
+          .where(col("p_partkey") < 300)
+          .select(col("p_partkey"),
+            trim(col("p_name")).as("t"),
+            lpad(col("p_brand"), 12, "*").as("lp"),
+            rpad(col("p_brand"), 12, "*").as("rp"),
+            regexp_replace(col("p_type"), "[aeiou]", "_").as("rr"),
+            element_at(split(col("p_type"), " "), 1).as("first_word"),
+            instr(col("p_name"), "a").as("pos_a"),
+            reverse(col("p_brand")).as("rev"),
+            substring(col("p_name"), 2, 5).as("mid"),
+            repeat(col("p_brand"), 2).as("rep"),
+            translate(col("p_brand"), "#", "-").as("tr"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, trim(p_name) AS t,
+             |lpad(p_brand, 12, '*') AS lp, rpad(p_brand, 12, '*') AS rp,
+             |regexp_replace(p_type, '[aeiou]', '_', 'g') AS rr,
+             |split_part(p_type, ' ', 1) AS first_word,
+             |CAST(instr(p_name, 'a') AS INT) AS pos_a,
+             |reverse(p_brand) AS rev,
+             |substr(p_name, 2, 5) AS mid,
+             |repeat(p_brand, 2) AS rep,
+             |translate(p_brand, '#', '-') AS tr
+             |FROM part WHERE p_partkey < 300 ORDER BY p_partkey""".stripMargin)),
+
+    // ───────────────────────── math + conditional functions ─────────────────────────
+    Q("q37_math_conditional",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            pow(col("l_linenumber"), 2).as("sq"),
+            signum(col("l_extendedprice") - 30000).as("sign"),
+            greatest(col("l_quantity"), col("l_tax") * 100).as("gr"),
+            least(col("l_quantity"), col("l_discount") * 100).as("ls"),
+            nullif(col("l_linenumber"), lit(1)).as("nn"),
+            nvl(nullif(col("l_linenumber"), lit(1)), lit(-1)).as("nv"),
+            expr("if(l_quantity > 25, 'hi', 'lo')").as("branch"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CAST(power(l_linenumber, 2) AS DOUBLE) AS sq,
+             |CAST(CASE WHEN l_extendedprice - 30000 > 0 THEN 1
+             |  WHEN l_extendedprice - 30000 < 0 THEN -1 ELSE 0 END AS DOUBLE) AS sign,
+             |greatest(l_quantity, l_tax * 100) AS gr,
+             |least(l_quantity, l_discount * 100) AS ls,
+             |nullif(l_linenumber, 1) AS nn,
+             |COALESCE(nullif(l_linenumber, 1), -1) AS nv,
+             |CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS branch
+             |FROM lineitem WHERE l_orderkey < 100
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return
