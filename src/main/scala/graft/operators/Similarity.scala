@@ -89,6 +89,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF-style index: assign every vector to its nearest of `nCells`
+    * centroid cells. Centroid selection here is deterministic seeding
+    * (the `nCells` lowest-id vectors) — a real deployment would run
+    * k-means over a sample; the *engine shape* is identical: one
+    * narrow pass computing `argmax_i dot(vec, c_i)`, output written
+    * partitioned/bucketed by `cell` so probes prune to the probed
+    * cells' files.
+    */
+  def buildIvfIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16): DataFrame = {
+    val cents = df.orderBy(idCol).limit(nCells)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cellOf = cents.zipWithIndex.map { case (c, i) =>
+      struct(VectorOps.dot(col(vecCol), typedlit(c.toSeq)).as("score"),
+             lit(i).as("cell"))
+    }
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+              greatest(cellOf: _*).getField("cell").as("cell"))
+  }
+
+  /** IVF probe: rank the query against the same deterministic
+    * centroids, brute-force only the `nProbe` best cells. At scale the
+    * index is pre-built and partitioned by cell, so this reads
+    * nProbe/nCells of the data.
+    */
+  def knnIvf(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val indexed = buildIvfIndex(df, idCol, vecCol, nCells)
+    val cents = df.orderBy(idCol).limit(nCells)
+      .select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val qd = query.map(_.toDouble)
+    val probeCells = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
+      .sortBy(-_._1).take(nProbe).map(_._2)
+    val q = typedlit(query.toSeq)
+    indexed.where(col("cell").isin(probeCells: _*))
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** All-pairs embedding near-duplicates above a cosine threshold,
     * LSH-bucketed exactly like [[Dedup.minhashCandidates]] but in
     * sign-bit space. Output: (id_a, id_b, cosine) ≥ threshold.

@@ -104,6 +104,18 @@ object Pipeline {
       },
       None),
 
+    // IVF-bucketed ANN: nearest-centroid cells only (scale path reads
+    // nProbe/nCells of the corpus when the index is cell-partitioned)
+    Q("s03_knn_ivf",
+      (s, dir) => {
+        Similarity.knnIvf(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", queryVec(s, dir), k = 20,
+            nCells = 16, nProbe = 4)
+          .select(col("id"), round(col("cosine"), 6).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      None),
+
     // language ID heuristic
     Q("t01_lang_id",
       (s, dir) => {

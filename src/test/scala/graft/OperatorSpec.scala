@@ -141,6 +141,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf knn probes contain the query vector and rank like brute force") {
+    val ivf = Similarity.knnIvf(emb, "vec_id", "embedding", qv, 10,
+      nCells = 8, nProbe = 3).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.head.getLong(0) == 0L, "query's own cell must contain it")
+    assert(math.abs(ivf.head.getDouble(1) - 1.0) < 1e-9)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach { r =>
+      brute.get(r.getLong(0)).foreach(c => assert(math.abs(c - r.getDouble(1)) < 1e-9))
+    }
+    val cosines = ivf.map(_.getDouble(1))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("ivf index assigns every vector to exactly one of nCells cells") {
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nCells = 8)
+    assert(idx.count() == emb.count())
+    val cells = idx.select("cell").distinct().collect().map(_.getInt(0)).sorted
+    assert(cells.forall(c => c >= 0 && c < 8))
+  }
+
   test("cosineDuplicates returns symmetric-free pairs above threshold") {
     val pairs = Similarity.cosineDuplicates(emb, "vec_id", "embedding",
       dim = 64, threshold = 0.4, bands = 12, bitsPerBand = 6).collect()
