@@ -239,18 +239,24 @@ object Relational {
 
     // ───────────────────────── LIKE / regex ─────────────────────────
     // reference: expr.rs binary_operator_to_sql:200-205 (Like, RegexMatch)
+    // reference covers all four PG regex operators (~ ~* !~ !~*),
+    // expr.rs:202-205: match, case-insensitive match, and negations
     Q("q10_like_regex",
       (s, dir) => {
         Tables.load(s, dir, "part")
           .where(col("p_name").like("%a%") &&
                  !col("p_type").like("SMALL%") &&
-                 col("p_brand").rlike("Brand#[0-9]+"))
+                 col("p_brand").rlike("Brand#[0-9]+") &&
+                 col("p_type").rlike("(?i)^[a-z]+") &&
+                 !col("p_name").rlike("zzz+"))
           .select("p_partkey", "p_name", "p_brand", "p_type")
           .orderBy("p_partkey")
       },
       Some("""SELECT p_partkey, p_name, p_brand, p_type FROM part
              |WHERE p_name LIKE '%a%' AND p_type NOT LIKE 'SMALL%'
              |AND regexp_matches(p_brand, 'Brand#[0-9]+')
+             |AND regexp_matches(p_type, '^[a-z]+', 'i')
+             |AND NOT regexp_matches(p_name, 'zzz+')
              |ORDER BY p_partkey""".stripMargin)),
 
     // ───────────────────────── arithmetic / modulo / bitwise / concat ─────────────────────────
@@ -265,6 +271,9 @@ object Relational {
             (col("l_orderkey") % 7).as("mod7"),
             (col("l_orderkey").bitwiseAND(15)).as("band"),
             (col("l_orderkey").bitwiseOR(8)).as("bor"),
+            (col("l_orderkey").bitwiseXOR(21)).as("bxor"),
+            shiftleft(col("l_linenumber"), 2).as("shl"),
+            shiftright(col("l_orderkey"), 1).as("shr"),
             concat(col("l_returnflag"), col("l_linestatus")).as("cc"))
           .orderBy("l_orderkey", "l_linenumber")
       },
@@ -273,6 +282,9 @@ object Relational {
              |l_orderkey % 7 AS mod7,
              |l_orderkey & 15 AS band,
              |l_orderkey | 8 AS bor,
+             |xor(l_orderkey, 21) AS bxor,
+             |CAST(l_linenumber << 2 AS INT) AS shl,
+             |l_orderkey >> 1 AS shr,
              |l_returnflag || l_linestatus AS cc
              |FROM lineitem WHERE l_orderkey < 100
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
