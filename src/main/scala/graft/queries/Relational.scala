@@ -476,13 +476,20 @@ object Relational {
           .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
                   row_number().over(w).as("rn"),
                   rank().over(w).as("rk"),
-                  dense_rank().over(w).as("drk"))
+                  dense_rank().over(w).as("drk"),
+                  ntile(4).over(w).as("quartile"),
+                  round(percent_rank().over(w), 6).as("prk"),
+                  round(cume_dist().over(w), 6).as("cd"))
           .where(col("rn") <= 3)
           .orderBy("c_nationkey", "rn")
       },
-      Some("""SELECT c_nationkey, c_custkey, c_acctbal, rn, rk, drk FROM (
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal, rn, rk, drk,
+             |CAST(quartile AS INT) AS quartile, prk, cd FROM (
              |  SELECT c_nationkey, c_custkey, c_acctbal,
-             |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk
+             |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk,
+             |  NTILE(4) OVER w AS quartile,
+             |  round(PERCENT_RANK() OVER w, 6) AS prk,
+             |  round(CUME_DIST() OVER w, 6) AS cd
              |  FROM customer
              |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
              |) t WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin)),
@@ -492,22 +499,35 @@ object Relational {
       (s, dir) => {
         val w = Window.partitionBy("o_custkey")
           .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val wk = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").asc)
         Tables.load(s, dir, "orders")
           .where(col("o_custkey") < 100)
           .select(col("o_custkey"), col("o_orderkey"),
                   sum(dec(col("o_totalprice")))
                     .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
                     .cast("double").as("running_total"),
-                  lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+                  lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+                  lead(col("o_totalprice"), 1).over(w).as("next_price"),
+                  first(col("o_totalprice"))
+                    .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+                    .as("first_price"),
+                  sum(dec(col("o_totalprice")))
+                    .over(wk.rangeBetween(-5, 0))
+                    .cast("double").as("range5_total"))
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("""SELECT o_custkey, o_orderkey,
-             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-             |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (w
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
-             |LAG(o_totalprice, 1) OVER (
-             |  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+             |LAG(o_totalprice, 1) OVER w AS prev_price,
+             |LEAD(o_totalprice, 1) OVER w AS next_price,
+             |FIRST_VALUE(o_totalprice) OVER (w
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             |  PARTITION BY o_custkey ORDER BY o_orderkey
+             |  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range5_total
              |FROM orders WHERE o_custkey < 100
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // ───────────────────────── rollup ─────────────────────────
@@ -702,6 +722,33 @@ object Relational {
       Some("""SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS i,
              |CAST(unnest(embedding) AS DOUBLE) AS v
              |FROM embeddings WHERE vec_id < 10 ORDER BY vec_id, i""".stripMargin)),
+
+    // ───────────────────────── array functions ─────────────────────────
+    Q("q38_array_fns",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey") < 100)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            array(col("l_quantity"), col("l_tax"), col("l_discount")).as("arr"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            array_contains(col("arr"), 0.0).as("has_zero"),
+            array_max(col("arr")).as("mx"),
+            array_min(col("arr")).as("mn"),
+            size(col("arr")).as("sz"),
+            element_at(sort_array(col("arr")), 2).as("mid"),
+            element_at(slice(col("arr"), 2, 2), 1).as("second"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |list_contains(arr, 0.0) AS has_zero,
+             |list_max(arr) AS mx, list_min(arr) AS mn,
+             |CAST(len(arr) AS INT) AS sz,
+             |list_sort(arr)[2] AS mid,
+             |arr[2] AS second
+             |FROM (SELECT l_orderkey, l_linenumber,
+             |  [l_quantity, l_tax, l_discount] AS arr
+             |  FROM lineitem WHERE l_orderkey < 100) t
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     // ───────────────────────── datetime functions ─────────────────────────
     Q("q35_datetime_fns",
