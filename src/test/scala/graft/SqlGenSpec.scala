@@ -30,6 +30,16 @@ class SqlGenSpec extends SparkSpec {
     }
   }
 
+  test("roundtrip cube (generic grouping-sets reconstruction)") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, sfDir)
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+    val re = spark.sql(sqlgen.SqlGen.toSql(df))
+    assertSameRows(df, re)
+  }
+
   test("generated SQL is flat for simple scan-filter-project") {
     val df = Tables.load(spark, sfDir, "lineitem")
       .where(org.apache.spark.sql.functions.col("l_orderkey") < 10)
