@@ -91,6 +91,23 @@ object TextAnalysis {
       (acc, w) => (acc * lit(31L) + xxhash64(w).bitwiseAND(lit(mask))) % lit(mod))
   }
 
+  /** Deterministic train/val/test split assignment: hash-mod over the
+    * id in explicit bigint arithmetic (engine-agnostic, reproducible
+    * across runs and partitionings — the property a 100 TB snapshot
+    * split must have; RNG-based `randomSplit` depends on partition
+    * layout). `weights` are per-mille (must sum to 1000).
+    */
+  def splitLabel(id: Column, weights: Seq[(String, Int)]): Column = {
+    require(weights.map(_._2).sum == 1000, "weights must sum to 1000 (per-mille)")
+    val h = pmod(pmod(id, lit(2147483647L)) * lit(2654435761L), lit(1000L))
+    val (label, _) = weights.tail.foldLeft(
+      (when(h < weights.head._2, weights.head._1), weights.head._2)) {
+      case ((expr, acc), (name, wt)) =>
+        (expr.when(h < acc + wt, name), acc + wt)
+    }
+    label
+  }
+
   /** The full per-document analysis row. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

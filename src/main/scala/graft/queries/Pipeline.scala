@@ -289,6 +289,23 @@ object Pipeline {
              |  % (CASE WHEN lang = 'en' THEN 10 ELSE 2 END) = 0
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // deterministic train/val/test split (hash-mod assignment)
+    Q("t06_train_val_split",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(TextAnalysis.splitLabel(col("doc_id"),
+            Seq("train" -> 900, "val" -> 50, "test" -> 50)).as("split"))
+          .groupBy("split").agg(count(lit(1)).as("n"))
+          .orderBy("split")
+      },
+      Some("""SELECT CASE
+             |  WHEN h < 900 THEN 'train'
+             |  WHEN h < 950 THEN 'val'
+             |  ELSE 'test' END AS split, COUNT(*) AS n
+             |FROM (SELECT ((doc_id % 2147483647) * 2654435761) % 1000 AS h
+             |      FROM documents) t
+             |GROUP BY 1 ORDER BY split""".stripMargin)),
+
     // multimodal: binary columns → stub decode → per-kind rollup
     Q("m01_multimodal_meta",
       (s, dir) => {

@@ -254,6 +254,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) == ((3L, 1, 1)))
   }
 
+  test("split labels partition the corpus deterministically") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val weights = Seq("train" -> 800, "val" -> 100, "test" -> 100)
+    val labeled = docs.select($"doc_id",
+      TextAnalysis.splitLabel($"doc_id", weights).as("split"))
+    assert(labeled.where($"split".isNull).isEmpty)
+    val counts = labeled.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val"))
+    // stable across evaluations
+    val again = docs.select($"doc_id",
+      TextAnalysis.splitLabel($"doc_id", weights).as("split"))
+    assertSameRows(labeled, again)
+  }
+
   test("fingerprint is order-sensitive, stable, and content-keyed") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
                  (3L, "alpha beta gamma")).toDF("doc_id", "text")
