@@ -121,6 +121,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join with watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val signups = MemoryStream[Event]
+    val p = purchases.toDF().withWatermark("ts", "1 hour")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+              col("ts").as("p_ts"))
+    val sg = signups.toDF().withWatermark("ts", "1 hour")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+              col("ts").as("s_ts"))
+    // purchase joins a signup of the same user within the prior hour
+    val joined = p.join(sg,
+      col("p_user") === col("s_user") &&
+      col("p_ts") >= col("s_ts") &&
+      col("p_ts") <= col("s_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      signups.addData(Event(10, ts(0), 1, "signup", 0.0),
+                      Event(11, ts(0), 2, "signup", 0.0))
+      purchases.addData(
+        Event(20, ts(30), 1, "purchase", 5.0),   // within the hour → joins
+        Event(21, ts(90), 2, "purchase", 7.0),   // 90 min later → no join
+        Event(22, ts(10), 3, "purchase", 9.0))   // no signup → no join
+      q.processAllAvailable()
+      val out = spark.table("ssj").collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[Long]("p_id") == 20L)
+      assert(out.head.getAs[Long]("s_id") == 10L)
+    } finally q.stop()
+  }
+
   test("batch sessionization on the real events table is consistent") {
     val ev = Tables.load(spark, sfDir, "events")
     val sessions = EventsStream.sessionizeBatch(ev, 30 * 60 * 1000L)
