@@ -18,6 +18,9 @@ class LshReuseSpec extends SparkSpec {
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // other specs cache the documents table; a cached relation
+      // changes the exchange shape this test pins
+      spark.catalog.clearCache()
       val docs = Tables.load(spark, sfDir, "documents")
       val cand = Dedup.minhashCandidates(docs, "doc_id", "text")
       cand.collect()
