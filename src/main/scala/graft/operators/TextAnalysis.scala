@@ -73,10 +73,11 @@ object TextAnalysis {
 
   /** BPE-ish piece count: letter runs, digit runs, and isolated
     * symbols — the classic pre-tokenizer regex. An upper bound on BPE
-    * vocabulary pieces, cheap enough to run over 100 TB as a scan.
+    * vocabulary pieces, cheap enough to run over 100 TB as a scan
+    * (regexp_count counts matches without materializing the pieces).
     */
   def bpePieceCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("int")
 
   /** 57-bit document fingerprint: polynomial rolling hash over word
     * hashes (order-sensitive, unlike the MinHash sketch) — two docs
