@@ -50,6 +50,18 @@ class SqlGenSpec extends SparkSpec {
     assert(!sql.contains("_g"), s"expected single flat SELECT, got: $sql")
   }
 
+  test("golden text: scan-filter-project-sort generates stable SQL") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sfDir, "nation")
+      .where(col("n_regionkey") === 1)
+      .select(col("n_name"), col("n_nationkey"))
+      .orderBy(col("n_name").desc)
+    val sql = SqlGen.toSql(df)
+    assert(sql ==
+      "SELECT * FROM (SELECT n_name, n_nationkey FROM nation " +
+      "WHERE (n_regionkey = 1)) AS _g1 ORDER BY n_name DESC NULLS LAST")
+  }
+
   test("unsupported node raises a clear error") {
     import spark.implicits._
     val df = Seq(1, 2).toDF("x") // LocalRelation — intentionally unsupported
