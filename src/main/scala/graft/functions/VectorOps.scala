@@ -61,13 +61,14 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double acc = 0.0;
+         |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
+         |  $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
          |}
-         |${ev.value} = acc;
+         |${ev.value} = $acc;
        """.stripMargin
     })
   }

@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   * exactly leftTs is visible to that left row (inclusive semantics)
   * and results are deterministic under timestamp ties.
   *
-  * `tolerance` (milliseconds, optional): right rows older than
-  * `leftTs - tolerance` are nulled out rather than matched.
+  * `tolerance` (optional): right rows older than
+  * `leftTs - tolerance` are nulled out rather than matched. For
+  * TimestampType ts columns the tolerance is in **milliseconds**; for
+  * numeric ts columns it is in the **column's own unit** (the two ts
+  * columns must be the same kind).
   */
 object AsOfJoin {
 
@@ -34,7 +37,19 @@ object AsOfJoin {
       toleranceMs: Option[Long] = None): DataFrame = {
 
     val leftCols = left.columns.toSeq
-    require(!leftCols.contains("_asof_ts"), "reserved column name")
+    require(!leftCols.exists(_.startsWith("_asof_")),
+      "left column names starting with _asof_ are reserved")
+    rightValueCols.foreach(c => require(!leftCols.contains(s"_m_$c"),
+      s"left column _m_$c collides with an internal carry column"))
+    val leftTsType = left.schema(leftTs).dataType
+    val rightTsType = right.schema(rightTs).dataType
+    val bothTimestamps = leftTsType == org.apache.spark.sql.types.TimestampType &&
+      rightTsType == org.apache.spark.sql.types.TimestampType
+    require(bothTimestamps ||
+      (leftTsType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+       rightTsType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+      s"ts columns must both be TimestampType or both numeric, got " +
+        s"${leftTsType.simpleString} / ${rightTsType.simpleString}")
 
     val taggedLeft = left
       .withColumn("_asof_ts", col(leftTs))
@@ -67,8 +82,12 @@ object AsOfJoin {
 
     val inTolerance = toleranceMs match {
       case Some(t) =>
-        col("_asof_m_ts").isNotNull &&
-          (col("_asof_ts").cast("double") - col("_asof_m_ts").cast("double")) * 1000 <= t
+        // timestamp cast("double") yields SECONDS → scale to ms;
+        // numeric ts columns are already in the tolerance's unit
+        val diff =
+          col("_asof_ts").cast("double") - col("_asof_m_ts").cast("double")
+        val scaled = if (bothTimestamps) diff * 1000 else diff
+        col("_asof_m_ts").isNotNull && scaled <= t
       case None => col("_asof_m_ts").isNotNull
     }
 

@@ -24,8 +24,12 @@ import graft.functions.VectorOps
   */
 object Similarity {
 
-  /** Deterministic random hyperplanes: `count` planes of `dim` dims. */
-  private def planes(dim: Int, count: Int, seed: Long): Seq[Array[Double]] = {
+  /** Deterministic random hyperplanes: `count` planes of `dim` dims.
+    * Visible in-package so the d05 oracle can inline the same planes
+    * as SQL literals (java.util.Random's Gaussian stream is specified
+    * behavior, identical on every JVM).
+    */
+  private[graft] def planes(dim: Int, count: Int, seed: Long): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(count)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -138,37 +142,46 @@ object Similarity {
   /** All-pairs embedding near-duplicates above a cosine threshold,
     * LSH-bucketed exactly like [[Dedup.minhashCandidates]] but in
     * sign-bit space. Output: (id_a, id_b, cosine) ≥ threshold.
+    *
+    * Shuffle discipline: the banded frame carries only
+    * (id, band, sig) — ~24 bytes/row — so the exploded self-join never
+    * moves an embedding. Candidate id-pairs are deduped *before* the
+    * verify pass, then the (small) pair set hash-joins the vectors
+    * back, so each embedding crosses the wire once per join side
+    * instead of `bands`× plus once per colliding candidate.
     */
   def cosineDuplicates(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, bands: Int = 8, bitsPerBand: Int = 8,
       seed: Long = 7L): DataFrame = {
     val allPlanes = (0 until bands).map(b => planes(dim, bitsPerBand, seed + b))
-    // Pre-compute each vector's norm once before banding: the pair
-    // join then needs a single dot product per candidate instead of
-    // dot + two norms (3× the flops on the quadratic side).
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .select(col("id"), col("vec"), VectorOps.norm(col("vec")).as("nrm"))
-      .select(col("id"), col("vec"), col("nrm"),
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = base
+      .select(col("id"),
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band"), signature(col("vec"), allPlanes(b)).as("sig"))
         }: _*)).as("bs"))
-      .select(col("id"), col("vec"), col("nrm"),
-              col("bs.band").as("band"), col("bs.sig").as("sig"))
-    banded.as("a")
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
         col("a.sig") === col("b.sig") &&
         col("a.id") < col("b.id"))
-      // cosine + threshold BEFORE dedup: the codegen'd dot product is
-      // cheaper than shuffling vectors into a distinct, and the filter
-      // collapses the quadratic candidate volume first
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        when(col("a.nrm") * col("b.nrm") === 0d, 0d)
-          .otherwise(VectorOps.dot(col("a.vec"), col("b.vec")) /
-                     (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Verify pass over candidates only. Norms are computed once per
+    // vector here (not per candidate): one dot product per pair.
+    val withNorm = base.select(col("id"), col("vec"),
+      VectorOps.norm(col("vec")).as("nrm"))
+    pairs
+      .join(withNorm.withColumnsRenamed(
+        Map("id" -> "id_a", "vec" -> "vec_a", "nrm" -> "nrm_a")), "id_a")
+      .join(withNorm.withColumnsRenamed(
+        Map("id" -> "id_b", "vec" -> "vec_b", "nrm" -> "nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        when(col("nrm_a") * col("nrm_b") === 0d, 0d)
+          .otherwise(VectorOps.dot(col("vec_a"), col("vec_b")) /
+                     (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .where(col("cosine") >= threshold)
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("cosine")).as("cosine"))
   }
 }

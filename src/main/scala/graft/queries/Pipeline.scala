@@ -24,6 +24,62 @@ object Pipeline {
     row.getSeq[Float](0).toArray
   }
 
+  /** Cross-engine 6-decimal rounding: `floor(x·1e6 + 0.5)/1e6` is the
+    * same sequence of IEEE double ops in Spark and DuckDB, so both
+    * engines produce bit-identical values — `round(x, 6)` does not
+    * (Spark rounds the decimal expansion HALF_UP; DuckDB rounds the
+    * binary double), which flips the 6th decimal on ties and breaks
+    * the driver's hash compare.
+    */
+  private def r6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  /** DuckDB fragment mirroring [[r6]]. */
+  private def r6sql(expr: String): String =
+    s"FLOOR(($expr) * 1000000 + 0.5) / 1000000"
+
+  /** d05 oracle: replicates the sign-LSH pipeline *exactly* in DuckDB
+    * by inlining the deterministic hyperplanes as literals — brute
+    * force can't serve as the oracle here because the corpus has no
+    * cosine gap at the 0.4 threshold, so LSH recall < 1 is part of the
+    * operator's defined output. java.util.Random's Gaussian stream is
+    * specified, so the planes are identical constants on any JVM, and
+    * Scala's Double.toString round-trips exactly through DuckDB's
+    * literal parser.
+    */
+  private lazy val d05OracleSql: String = {
+    val bands = 12; val bitsPerBand = 6; val seed = 7L; val dim = 64
+    val sigCols = (0 until bands).map { b =>
+      val ps = Similarity.planes(dim, bitsPerBand, seed + b)
+      val bits = ps.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS sig_$b"
+    }.mkString(",\n    ")
+    val collide = (0 until bands).map(b => s"a.sig_$b = b.sig_$b").mkString(" OR ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), s AS (
+       |  SELECT vec_id, v,
+       |    $sigCols
+       |  FROM e
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS va, b.v AS vb
+       |  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($collide)
+       |), scored AS (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN sqrt(list_dot_product(va, va))
+       |            * sqrt(list_dot_product(vb, vb)) = 0 THEN 0
+       |    ELSE list_dot_product(va, vb)
+       |      / (sqrt(list_dot_product(va, va))
+       |         * sqrt(list_dot_product(vb, vb))) END AS c
+       |  FROM pairs
+       |)
+       |SELECT id_a, id_b, ${r6sql("c")} AS cosine
+       |FROM scored WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // exact dedup: survivors + multiplicity, SQL-checkable
@@ -36,17 +92,37 @@ object Pipeline {
       Some("""SELECT MIN(doc_id) AS survivor_id, COUNT(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY survivor_id""".stripMargin)),
 
-    // MinHash + LSH banding + exact-Jaccard verify
+    // MinHash + LSH banding + exact-Jaccard verify. Oracle: brute-force
+    // word-3-shingle Jaccard over all pairs — valid because the verify
+    // pass makes the operator's output exactly "pairs with Jaccard ≥
+    // threshold among LSH candidates", and at 128 hashes / 16 bands the
+    // planted duplicates' collision probability is ≈1 (the DedupSpec
+    // truth-set test pins recall = 100% on this corpus).
     Q("d02_dedup_minhash",
       (s, dir) => {
         Dedup.minhashDuplicates(Tables.load(s, dir, "documents"),
             "doc_id", "text", shingleK = 3, numHashes = 128, bands = 16,
             threshold = 0.5)
           .select(col("id_a"), col("id_b"),
-                  round(col("jaccard"), 6).as("jaccard"))
+                  r6(col("jaccard")).as("jaccard"))
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(w) >= 3
+             |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
+             |                        for i in range(1, len(w) - 1)])
+             |    ELSE [array_to_string(w, ' ')] END AS s
+             |  FROM t
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  ${r6sql("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s))")} AS jaccard
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |  / len(list_distinct(a.s || b.s)) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
 
     // SimHash + pigeonhole hamming join
     Q("d03_dedup_simhash",
@@ -59,85 +135,205 @@ object Pipeline {
       },
       None),
 
-    // char n-gram Jaccard verify over MinHash candidates
+    // char n-gram Jaccard verify over MinHash candidates. Oracle:
+    // brute-force char-3-gram Jaccard over all pairs — valid because at
+    // threshold 0.8 the corpus separates cleanly (coincidental overlap
+    // tops out ≈0.73, planted near-dups start ≈0.93), and every
+    // ≥0.8 pair is an LSH candidate (recall pinned by the DedupSpec
+    // truth-set test). At 0.7 the oracle and the operator diverge:
+    // borderline ≈0.70 pairs pass the brute-force filter but are not
+    // word-shingle LSH candidates.
     Q("d04_dedup_jaccard",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
         Dedup.charJaccardVerify(cands, docs, "doc_id", "text",
-            n = 3, threshold = 0.7)
+            n = 3, threshold = 0.8)
           .select(col("id_a"), col("id_b"),
-                  round(col("char_jaccard"), 6).as("char_jaccard"))
+                  r6(col("char_jaccard")).as("char_jaccard"))
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(s"""WITH g AS (
+             |  SELECT doc_id, CASE WHEN length(text) >= 3
+             |    THEN list_distinct([text[i:i+2]
+             |                        for i in range(1, length(text) - 1)])
+             |    ELSE [text] END AS s
+             |  FROM documents
+             |)
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |  ${r6sql("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s))")} AS char_jaccard
+             |FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |  / len(list_distinct(a.s || b.s)) >= 0.8
+             |ORDER BY id_a, id_b""".stripMargin)),
 
-    // embedding cosine near-dup via sign-LSH buckets
+    // embedding cosine near-dup via sign-LSH buckets; oracle replays
+    // the identical LSH pipeline in DuckDB (see d05OracleSql).
     Q("d05_dedup_embedding",
       (s, dir) => {
         Similarity.cosineDuplicates(Tables.load(s, dir, "embeddings"),
             "vec_id", "embedding", dim = 64, threshold = 0.4,
             bands = 12, bitsPerBand = 6)
-          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+          .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(d05OracleSql)),
 
-    // exact brute-force cosine top-k
+    // exact brute-force cosine top-k. Oracle is the same scan+sort+k in
+    // DuckDB, with the query vector looked up identically (lowest
+    // vec_id); cosine mirrored op-for-op so doubles are bit-identical.
     Q("s01_knn_brute",
       (s, dir) => {
         Similarity.knnBrute(Tables.load(s, dir, "embeddings"),
             "vec_id", "embedding", queryVec(s, dir), k = 20)
-          .select(col("id"), round(col("cosine"), 6).as("cosine"))
+          .select(col("id"), r6(col("cosine")).as("cosine"))
           .orderBy(col("cosine").desc, col("id"))
       },
-      None),
+      Some(s"""WITH q AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings ORDER BY vec_id LIMIT 1
+             |), e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), c AS (
+             |  SELECT vec_id AS id,
+             |    CASE WHEN sqrt(list_dot_product(v, v))
+             |            * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+             |    ELSE list_dot_product(v, qv)
+             |      / (sqrt(list_dot_product(v, v))
+             |         * sqrt(list_dot_product(qv, qv))) END AS cos
+             |  FROM e, q
+             |)
+             |SELECT id, ${r6sql("cos")} AS cosine
+             |FROM c ORDER BY cos DESC, id LIMIT 20""".stripMargin)),
 
-    // LSH-bucketed ANN, same query vector
+    // LSH-bucketed ANN, same query vector. No oracle: the random
+    // hyperplanes come from a JVM-seeded Gaussian stream DuckDB can't
+    // reproduce; the spec checks candidates against brute-force ranks.
     Q("s02_knn_lsh",
       (s, dir) => {
         Similarity.knnLsh(Tables.load(s, dir, "embeddings"),
             "vec_id", "embedding", queryVec(s, dir), k = 20,
             bands = 8, bitsPerBand = 8)
-          .select(col("id"), round(col("cosine"), 6).as("cosine"))
+          .select(col("id"), r6(col("cosine")).as("cosine"))
           .orderBy(col("cosine").desc, col("id"))
       },
       None),
 
     // IVF-bucketed ANN: nearest-centroid cells only (scale path reads
-    // nProbe/nCells of the corpus when the index is cell-partitioned)
+    // nProbe/nCells of the corpus when the index is cell-partitioned).
+    // Oracle replays the whole deterministic pipeline: centroids = 16
+    // lowest-id vectors, cell = argmax dot (ties → higher cell, as
+    // greatest(struct) breaks them), probe = top-4 centroids by dot
+    // with the query (ties → lower cell, stable sort), then brute
+    // top-k within probed cells.
     Q("s03_knn_ivf",
       (s, dir) => {
         Similarity.knnIvf(Tables.load(s, dir, "embeddings"),
             "vec_id", "embedding", queryVec(s, dir), k = 20,
             nCells = 16, nProbe = 4)
-          .select(col("id"), round(col("cosine"), 6).as("cosine"))
+          .select(col("id"), r6(col("cosine")).as("cosine"))
           .orderBy(col("cosine").desc, col("id"))
       },
-      None),
+      Some(s"""WITH cent AS (
+             |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+             |), q AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings ORDER BY vec_id LIMIT 1
+             |), e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), assigned AS (
+             |  SELECT vec_id, v, cell,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id
+             |      ORDER BY list_dot_product(v, cv) DESC, cell DESC) AS rn
+             |  FROM e CROSS JOIN cent
+             |), probe AS (
+             |  SELECT cell FROM cent, q
+             |  ORDER BY list_dot_product(cv, qv) DESC, cell ASC LIMIT 4
+             |), scored AS (
+             |  SELECT vec_id AS id,
+             |    CASE WHEN sqrt(list_dot_product(v, v))
+             |            * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+             |    ELSE list_dot_product(v, qv)
+             |      / (sqrt(list_dot_product(v, v))
+             |         * sqrt(list_dot_product(qv, qv))) END AS cos
+             |  FROM assigned, q
+             |  WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+             |)
+             |SELECT id, ${r6sql("cos")} AS cosine
+             |FROM scored ORDER BY cos DESC, id LIMIT 20""".stripMargin)),
 
-    // language ID heuristic
+    // language ID heuristic. Oracle replicates the stopword-overlap
+    // scores per profile; the CASE chain encodes greatest(struct)'s
+    // tie-breaking (equal scores → later profile wins).
     Q("t01_lang_id",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+             |  FROM documents
+             |), sc AS (
+             |  SELECT doc_id,
+             |    len(list_intersect(t, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+             |    len(list_intersect(t, ['el','la','de','que','y','en','un','una','los','por'])) AS s_es,
+             |    len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS s_de,
+             |    len(list_intersect(t, ['le','la','les','de','et','un','une','est','que','pour'])) AS s_fr,
+             |    len(list_intersect(t, ['的','是','了','在','我','有','和','不','人','这'])) AS s_zh
+             |  FROM tok
+             |)
+             |SELECT doc_id, CASE
+             |  WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+             |  WHEN s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_de AND s_zh >= s_fr THEN 'zh'
+             |  WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+             |  WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+             |  WHEN s_es >= s_en THEN 'es'
+             |  ELSE 'en' END AS lang_pred
+             |FROM sc ORDER BY doc_id""".stripMargin)),
 
-    // quality features + composite score
+    // quality features + composite score. Oracle mirrors the exact
+    // double-arithmetic order of TextAnalysis.qualityFeatures so the
+    // values are bit-identical before r6.
     Q("t02_quality",
       (s, dir) => {
         TextAnalysis.qualityFeatures(Tables.load(s, dir, "documents"),
             "doc_id", "text")
-          .withColumn("quality", round(col("quality"), 6))
-          .withColumn("alpha_ratio", round(col("alpha_ratio"), 6))
-          .withColumn("punct_ratio", round(col("punct_ratio"), 6))
-          .withColumn("stopword_rate", round(col("stopword_rate"), 6))
-          .withColumn("mean_word_len", round(col("mean_word_len"), 6))
+          .withColumn("quality", r6(col("quality")))
+          .withColumn("alpha_ratio", r6(col("alpha_ratio")))
+          .withColumn("punct_ratio", r6(col("punct_ratio")))
+          .withColumn("stopword_rate", r6(col("stopword_rate")))
+          .withColumn("mean_word_len", r6(col("mean_word_len")))
           .orderBy("doc_id")
       },
-      None),
+      Some(s"""WITH f AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS DOUBLE) AS n_chars,
+             |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
+             |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_tokens,
+             |    CAST(len(list_intersect(
+             |      list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+             |      ['the','a','of','and','to','in','is','that','it','for'])) AS DOUBLE) AS stop_hits
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, n_chars, n_tokens,
+             |    n_alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+             |    n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+             |    stop_hits / 10.0 AS stopword_rate,
+             |    n_chars / greatest(n_tokens, 1.0) AS mean_word_len
+             |  FROM f
+             |)
+             |SELECT doc_id, n_chars, n_tokens,
+             |  ${r6sql("alpha_ratio")} AS alpha_ratio,
+             |  ${r6sql("punct_ratio")} AS punct_ratio,
+             |  ${r6sql("stopword_rate")} AS stopword_rate,
+             |  ${r6sql("mean_word_len")} AS mean_word_len,
+             |  ${r6sql("least(1.0, greatest(0.0, 0.25 * least(n_tokens / 20.0, 1.0) + 0.25 * alpha_ratio + 0.25 * (1.0 - least(punct_ratio * 5.0, 1.0)) + 0.25 * least(stopword_rate * 2.0, 1.0)))")} AS quality
+             |FROM g ORDER BY doc_id""".stripMargin)),
 
     // token counting — SQL-checkable against DuckDB regex engine
     Q("t03_token_count",
@@ -156,15 +352,33 @@ object Pipeline {
              |CAST(length(text) AS INT) AS n_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // order-sensitive 64-bit fingerprint
+    // order-sensitive fingerprint → duplicate groups. The raw hash
+    // value is engine-specific (xxhash64 words), so the oracle-checked
+    // output is the fingerprint's *equality classes*: two docs share a
+    // fingerprint iff they have the same token sequence (57-bit hash ⇒
+    // collisions are ~n²/2^58, negligible). DuckDB groups by the
+    // normalized token sequence itself.
     Q("t04_fingerprint",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, dir, "documents")
+        val w = Window.partitionBy("fingerprint")
         docs.select(col("doc_id"),
             TextAnalysis.fingerprint64(col("text")).as("fingerprint"))
+          .select(col("doc_id"),
+            min("doc_id").over(w).as("fp_survivor"),
+            count(lit(1)).over(w).as("fp_group_size"))
           .orderBy("doc_id")
       },
-      None),
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |    array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ') AS norm
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  MIN(doc_id) OVER (PARTITION BY norm) AS fp_survivor,
+             |  COUNT(*) OVER (PARTITION BY norm) AS fp_group_size
+             |FROM n ORDER BY doc_id""".stripMargin)),
 
     // gap-based sessionization, batch twin of the streaming operator
     // (graft.streaming.EventsStream.sessionize). Timestamps formatted
@@ -182,9 +396,9 @@ object Pipeline {
       },
       Some("""WITH g AS (
              |  SELECT user_id, ts, event_id, value,
-             |    CASE WHEN CAST(epoch(ts) AS BIGINT) * 1000 -
-             |      LAG(CAST(epoch(ts) AS BIGINT) * 1000) OVER
-             |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+             |    CASE WHEN epoch_us(ts) -
+             |      LAG(epoch_us(ts)) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
              |    THEN 1 ELSE 0 END AS new_session
              |  FROM events
              |), s AS (
@@ -306,13 +520,33 @@ object Pipeline {
              |      FROM documents) t
              |GROUP BY 1 ORDER BY split""".stripMargin)),
 
-    // multimodal: binary columns → stub decode → per-kind rollup
+    // multimodal: binary columns → stub decode → per-kind rollup.
+    // The rollup's inputs are all deterministic functions of doc_id +
+    // the UTF-8 byte length of text (the checksum, which is not SQL-
+    // reproducible, is not in the output), so the whole mapPartitions
+    // pipeline is oracle-checkable end to end.
     Q("m01_multimodal_meta",
       (s, dir) => {
         implicit val sp: SparkSession = s
         val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
         Multimodal.featureSummary(Multimodal.decodeFeatures(media))
       },
-      None)
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+             |    strlen(text) AS byte_len,
+             |    CASE WHEN doc_id % 3 = 0 THEN 1
+             |         WHEN doc_id % 3 = 1 THEN 0
+             |         ELSE greatest(1, (doc_id * 40 % 60000) // 1000) END AS n_frames,
+             |    least(doc_id % 640 + 16, 256) AS out_w,
+             |    least(doc_id % 480 + 16, 256) AS out_h
+             |  FROM documents
+             |)
+             |SELECT kind, COUNT(*) AS n_media,
+             |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+             |  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+             |  CAST(MAX(out_w) AS INT) AS max_w,
+             |  CAST(MAX(out_h) AS INT) AS max_h
+             |FROM m GROUP BY kind ORDER BY kind""".stripMargin))
   )
 }

@@ -186,14 +186,20 @@ object Relational {
       (s, dir) => {
         val one = lit(1)
         val nullInt = lit(null).cast("int")
+        // structurally distinct right-hand twins: Column WARNs
+        // ("trivially true equals predicate") whenever both <=>
+        // operands are the same expression tree
+        val one2 = lit(1L).cast("int")
+        val nullInt2 = lit(null).cast("long").cast("int")
+        val x2 = concat(lit("x"), lit(""))
         s.range(1).select(
           !(one <=> nullInt) as "a",
-          !(one <=> one) as "b",
+          !(one <=> one2) as "b",
           (one <=> nullInt) as "c",
-          (one <=> one) as "d",
+          (one <=> one2) as "d",
           !(lit("x") <=> lit(null).cast("string")) as "e",
-          (lit("x") <=> lit("x")) as "f",
-          (nullInt <=> nullInt) as "g",
+          (lit("x") <=> x2) as "f",
+          (nullInt <=> nullInt2) as "g",
           !(nullInt <=> one) as "h")
       },
       Some("""SELECT 1 IS DISTINCT FROM CAST(NULL AS INT) AS a,
@@ -226,8 +232,8 @@ object Relational {
       },
       Some("""SELECT l_orderkey, l_linenumber,
              |ABS(l_extendedprice - 20000.0) AS abs_diff,
-             |FLOOR(l_quantity / 2.0) AS half_floor,
-             |CEIL(l_discount * 100) AS disc_pct,
+             |CAST(FLOOR(l_quantity / 2.0) AS BIGINT) AS half_floor,
+             |CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct,
              |SQRT(l_quantity) AS qty_sqrt,
              |UPPER(l_returnflag) AS rf_up,
              |LOWER(l_linestatus) AS ls_low,

@@ -3,10 +3,10 @@ package graft.sqlgen
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, CreateNamedStruct, Expression, GetStructField, IntegerLiteral, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BitwiseAnd, Cast, CreateNamedStruct, Expression, GetStructField, IntegerLiteral, Literal, ShiftRight, SortOrder}
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
-import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
 /** Catalyst `LogicalPlan → SQL` generation — the Spark-native
   * re-expression of the reference's headline capability
@@ -37,9 +37,54 @@ object SqlGen {
 
   def toSql(plan: LogicalPlan): String = new Gen().gen(plan)
 
+  /** Register-time relation → name map. The reference names every
+    * relation when it is registered (select.rs:46-145:
+    * `register_parquet` / `register_csv` / MemTable); parquet-path
+    * recovery alone cannot name a CSV/JSON or in-memory relation, so
+    * mixing sources used to emit SQL referencing `_gN` tables that
+    * don't exist. `register(name, df)` fixes the name for every leaf
+    * relation of `df`, matching the reference's contract.
+    */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[AnyRef, String]()
+
+  /** A key identifying a leaf relation independent of exprIds, so a
+    * re-read of the same source (same format + paths, or same local
+    * data) resolves to the registered name.
+    */
+  private def leafKey(p: LogicalPlan): Option[AnyRef] = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        Some(("file", fs.fileFormat.getClass.getName,
+          fs.location.rootPaths.map(_.toString).toList))
+      case other => Some(("rel", Integer.valueOf(System.identityHashCode(other))))
+    }
+    case l: LocalRelation =>
+      Some(("local", l.output.map(a => (a.name, a.dataType)).toList, l.data))
+    case _ => None
+  }
+
+  /** Associate every leaf relation of `df` with `name` (and create the
+    * matching temp view is the caller's job — `Tables.register` does
+    * both for the test corpus).
+    */
+  def register(name: String, df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves()
+      .foreach(l => leafKey(l).foreach(k => registry.put(k, name)))
+
+  private def registeredName(p: LogicalPlan): Option[String] =
+    leafKey(p).flatMap(k => Option(registry.get(k)))
+
   private final class Gen {
     private val n = new AtomicInteger(0)
     private def fresh(): String = s"_g${n.incrementAndGet()}"
+
+    // While printing a grouping-sets Aggregate: the exprId of the
+    // internal spark_grouping_id attribute and the original grouping
+    // expressions in bit order (col i ↔ bit k-1-i), so references to
+    // the internal attribute print as GROUPING_ID()/GROUPING(col).
+    private var gidId: Option[org.apache.spark.sql.catalyst.expressions.ExprId] = None
+    private var gidCols: Seq[Expression] = Nil
 
     /** Expression → SQL. Catalyst's `Expression.sql` is authoritative
       * for almost everything; the exceptions are struct construction
@@ -49,6 +94,15 @@ object SqlGen {
       */
     private def exprSql(e: Expression): String = e match {
       case a: Alias => s"${exprSql(a.child)} AS `${a.name}`"
+      // grouping(col): the analyzer lowers it to a bit-test on the
+      // internal grouping id — print it back as the SQL function
+      case Cast(BitwiseAnd(ShiftRight(a: AttributeReference, Literal(sh, _)),
+                           Literal(one, _)), _, _, _)
+          if gidId.contains(a.exprId) && one == 1 =>
+        val idx = gidCols.size - 1 - sh.toString.toInt
+        s"GROUPING(${exprSql(gidCols(idx))})"
+      // grouping_id() projected bare or aliased
+      case a: AttributeReference if gidId.contains(a.exprId) => "GROUPING_ID()"
       case g: GetStructField => s"${exprSql(g.child)}.`${g.extractFieldName}`"
       case c: CreateNamedStruct =>
         s"named_struct(${c.children.map(exprSql).mkString(", ")})"
@@ -78,30 +132,65 @@ object SqlGen {
     private def rel(plan: LogicalPlan): String = plan match {
       case lr: LogicalRelation => tableName(lr)
       case SubqueryAlias(id, child) => child match {
-        case lr: LogicalRelation => tableName(lr)
+        case lr: LogicalRelation => tableNameOpt(lr).getOrElse(id.name)
+        case l: LocalRelation =>
+          SqlGen.registeredName(l).getOrElse(localRel(l, id.name))
         case v: View => id.name
         case _ => s"(${gen(child)}) AS ${id.name}"
       }
+      case l: LocalRelation =>
+        SqlGen.registeredName(l).getOrElse(localRel(l, fresh()))
       case v: View => v.desc.identifier.table
       case other => s"(${gen(other)}) AS ${fresh()}"
     }
 
-    /** Recover the table name of a parquet relation from its file
-      * location (the registry reads `<dir>/<name>.parquet`).
+    /** Name of a file-backed relation: the registered name if any
+      * (SqlGen.register — covers CSV/JSON), else recovered from a
+      * parquet file location (the registry reads
+      * `<dir>/<name>.parquet`).
       */
-    private def tableName(lr: LogicalRelation): String = {
-      val path = lr.relation match {
-        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-          fs.location.rootPaths.headOption.map(_.getName).getOrElse("")
-        case _ => ""
+    private def tableNameOpt(lr: LogicalRelation): Option[String] =
+      SqlGen.registeredName(lr).orElse {
+        val fname = lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.headOption.map(_.getName).getOrElse("")
+          case _ => ""
+        }
+        if (fname.endsWith(".parquet"))
+          Some(fname.stripSuffix(".parquet") match {
+            // A raw events relation carries ts as long nanos; the
+            // `events` view already includes the µs conversion, so
+            // point at the raw view to avoid converting twice (see
+            // Tables.register).
+            case "events" => "events_raw"
+            case t => t
+          })
+        else None
       }
-      path.stripSuffix(".parquet") match {
-        case "" => fresh()
-        // A raw events relation carries ts as long nanos; the `events`
-        // view already includes the µs conversion, so point at the raw
-        // view to avoid converting twice (see Tables.register).
-        case "events" => "events_raw"
-        case t => t
+
+    private def tableName(lr: LogicalRelation): String =
+      tableNameOpt(lr).getOrElse(throw new IllegalArgumentException(
+        "SqlGen: cannot name a non-parquet relation — register it " +
+          "first via SqlGen.register(name, df) (+ a matching temp view)"))
+
+    /** In-memory relation → inline SQL: `(VALUES …) AS a(cols)`, or a
+      * zero-row SELECT for an empty relation (the reference's
+      * EmptyRelation, logical_plan.rs:191-203).
+      */
+    private def localRel(l: LocalRelation, alias: String): String = {
+      if (l.data.isEmpty) {
+        val nulls = l.output
+          .map(a => s"CAST(NULL AS ${a.dataType.sql}) AS `${a.name}`")
+          .mkString(", ")
+        s"(SELECT $nulls WHERE 1 = 0) AS $alias"
+      } else {
+        val rows = l.data.map { row =>
+          l.output.zipWithIndex.map { case (a, i) =>
+            Literal(row.get(i, a.dataType), a.dataType).sql
+          }.mkString("(", ", ", ")")
+        }.mkString(", ")
+        val cols = l.output.map(a => s"`${a.name}`").mkString(", ")
+        s"(VALUES $rows) AS $alias($cols)"
       }
     }
 
@@ -135,8 +224,6 @@ object SqlGen {
           if ge.nonEmpty && ge.last.isInstanceOf[Attribute] &&
              ge.last.asInstanceOf[Attribute].name == "spark_grouping_id" =>
         val gidAttr = ge.last.asInstanceOf[Attribute]
-        require(!aggs.exists(_.exists(_.semanticEquals(gidAttr))),
-          "SqlGen: grouping()/grouping_id() in the select list is not supported")
         def gidOf(p: Seq[Expression]): Long = p.last match {
           case Literal(v: Long, _) => v
           case Literal(v: Int, _) => v.toLong
@@ -162,13 +249,22 @@ object SqlGen {
         val k = ge.size - 1
         val origExprs =
           full.slice(output.size - 1 - k, output.size - 1).map(subst)
-        val sets = projections.map { p =>
-          val gid = gidOf(p)
-          (0 until k).filter(i => (gid & (1L << (k - 1 - i))) == 0)
-            .map(i => exprSql(origExprs(i))).mkString("(", ", ", ")")
-        }
-        s"SELECT ${projList(aggs.map(a => subst(a).asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]))} FROM ${rel(baseRel)} " +
-          s"GROUP BY GROUPING SETS (${sets.mkString(", ")})"
+        gidId = Some(gidAttr.exprId)
+        gidCols = origExprs
+        try {
+          val sets = projections.map { p =>
+            val gid = gidOf(p)
+            (0 until k).filter(i => (gid & (1L << (k - 1 - i))) == 0)
+              .map(i => exprSql(origExprs(i))).mkString("(", ", ", ")")
+          }
+          val sel = projList(aggs.map(a => subst(a)
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression]))
+          require(!sel.contains("spark_grouping_id"),
+            "SqlGen: grouping_id() may only appear bare/aliased or as " +
+              "grouping(col) in the select list")
+          s"SELECT $sel FROM ${rel(baseRel)} " +
+            s"GROUP BY GROUPING SETS (${sets.mkString(", ")})"
+        } finally { gidId = None; gidCols = Nil }
 
       case Aggregate(Nil, aggs, child, _) =>
         s"SELECT ${projList(aggs)} FROM ${rel(child)}"
@@ -242,6 +338,7 @@ object SqlGen {
       case SubqueryAlias(_, child) => gen(child)
       case v: View => s"SELECT * FROM ${v.desc.identifier.table}"
       case lr: LogicalRelation => s"SELECT * FROM ${tableName(lr)}"
+      case l: LocalRelation => s"SELECT * FROM ${rel(l)}"
       case r: Range =>
         s"SELECT id FROM range(${r.start}, ${r.end}, ${r.step})"
       case _: OneRowRelation => "SELECT 1"

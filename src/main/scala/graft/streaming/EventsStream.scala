@@ -18,8 +18,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale: the windowed aggregate shuffles on (window, event_type) and
   * keeps per-window partial state only until the watermark closes the
   * window; sessionization state is per-user, partitioned by user_id,
-  * and evicted by processing-time timeout — bounded memory at any
-  * input volume.
+  * and evicted by event-time timeout once the watermark passes
+  * `session_end + gap` (the final session is flushed at eviction) —
+  * bounded memory at any input volume.
   */
 object EventsStream {
 
@@ -55,34 +56,58 @@ object EventsStream {
   /** Gap-based sessionization: a session closes when a user is idle
     * for `gapMs`. Custom per-key state via flatMapGroupsWithState —
     * the Spark-native shape for "operator the built-ins can't
-    * express". Emits closed sessions; open sessions stay in state.
+    * express". Emits sessions closed by a later event immediately;
+    * an idle user's open session is flushed (and its state evicted)
+    * by event-time timeout once the watermark passes
+    * `session_end + gap`, so state is bounded on an unbounded stream
+    * and every session is eventually emitted exactly once.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long)
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 watermarkDelay: String = "0 seconds")
                 (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
-    events
+    val src =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var cur = state.getOption
-          val closed = Seq.newBuilder[Session]
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            cur match {
-              case Some(s) if t - s.end <= gapMs =>
-                cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
-              case Some(s) =>
-                closed += Session(userId, new Timestamp(s.start),
-                  new Timestamp(s.end), s.n, s.total)
-                cur = Some(SessionState(t, t, 1, e.value))
-              case None =>
-                cur = Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed session_end + gap: no earlier event can
+            // arrive, so the open session is final — flush and evict
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur.foreach { s =>
+              state.update(s)
+              // must be strictly above the current watermark or Spark
+              // rejects the timestamp (late-arriving key whose session
+              // already expired relative to the watermark)
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
           }
-          cur.foreach(state.update)
-          closed.result().iterator
       }
   }
 
@@ -93,9 +118,12 @@ object EventsStream {
   def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    // gap measured in microseconds: cast("long") would truncate to
+    // whole seconds and diverge from the streaming twin (which uses
+    // millisecond Timestamp.getTime) for sub-second event spacing
+    val tsUs = unix_micros(col("ts"))
     val gapFlag = when(
-      col("ts").cast("long") * 1000 -
-        lag(col("ts").cast("long") * 1000, 1).over(byUser) > gapMs, 1L)
+      tsUs - lag(tsUs, 1).over(byUser) > gapMs * 1000, 1L)
       .otherwise(0L)
     events
       .withColumn("new_session", gapFlag)

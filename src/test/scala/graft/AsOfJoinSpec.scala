@@ -60,6 +60,46 @@ class AsOfJoinSpec extends SparkSpec {
       .forall(out.columns.contains))
   }
 
+  test("numeric ts columns: tolerance applies in the column's own unit") {
+    // ts as plain longs (e.g. epoch seconds): tolerance is NOT scaled
+    // by 1000 — it's in the column's unit
+    val l = Seq((1L, 100L, "A"), (2L, 500L, "A")).toDF("id", "ts", "k")
+    val r = Seq((10L, 95L, "A", 1.0), (11L, 200L, "A", 2.0))
+      .toDF("rid", "ts", "k", "v")
+    val out = AsOfJoin.backward(l, r,
+        keyCols = Seq("k"), leftTs = "ts", rightTs = "ts",
+        leftTiebreak = "id", rightTiebreak = "rid",
+        rightValueCols = Seq("v"), toleranceMs = Some(10L))
+      .select($"id", $"asof_v").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).contains(1.0))  // gap 5 ≤ 10
+    assert(out(2L).isEmpty)        // gap 300 > 10 → stale
+  }
+
+  test("mixed timestamp/numeric ts columns are rejected") {
+    val l = Seq((1L, 100L, "A")).toDF("id", "ts", "k")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, quotes.withColumnRenamed("sym", "k"),
+        keyCols = Seq("k"), leftTs = "ts", rightTs = "ts",
+        leftTiebreak = "id", rightTiebreak = "quote_id",
+        rightValueCols = Seq("bid"))
+    }
+  }
+
+  test("reserved working-column names are rejected up front") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(trades.withColumn("_asof_m_ts", lit(1)), quotes,
+        keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
+        leftTiebreak = "trade_id", rightTiebreak = "quote_id",
+        rightValueCols = Seq("bid"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(trades.withColumn("_m_bid", lit(1)), quotes,
+        keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
+        leftTiebreak = "trade_id", rightTiebreak = "quote_id",
+        rightValueCols = Seq("bid"))
+    }
+  }
+
   test("single shuffle: no join node in the physical plan") {
     val out = AsOfJoin.backward(trades, quotes,
       keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",

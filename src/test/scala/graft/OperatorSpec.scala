@@ -40,6 +40,28 @@ class VectorOpsSpec extends SparkSpec {
       .agg(sum("d")).as[Double].head()
     assert(out > 0)
   }
+
+  test("several dot_products in one generated function compile (freshName'd accumulator)") {
+    // non-nullable children make nullSafeCodeGen emit the kernel at
+    // method scope without braces — a shared local name would be a
+    // duplicate declaration, Janino would fail, and the stage would
+    // silently drop to the interpreted path. fallback=false turns that
+    // silent regression into a test failure.
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val a = typedlit(Seq(1.0f, 2.0f))
+      val b = typedlit(Seq(3.0f, 4.0f))
+      val row = spark.range(1).select(
+        VectorOps.dot(a, a).as("aa"),
+        VectorOps.dot(b, b).as("bb"),
+        VectorOps.dot(a, b).as("ab"),
+        VectorOps.cosine(a, b).as("cos")).head()
+      assert(row.getDouble(0) == 5.0)
+      assert(row.getDouble(1) == 25.0)
+      assert(row.getDouble(2) == 11.0)
+      assert(math.abs(row.getDouble(3) - 11.0 / math.sqrt(5.0 * 25.0)) < 1e-12)
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
 }
 
 class DedupSpec extends SparkSpec {

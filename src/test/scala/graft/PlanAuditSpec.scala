@@ -83,6 +83,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_min"), s"map-side combine missing:\n$plan")
   }
 
+  test("d05 banding exchange carries (id, band, sig) — never the vectors") {
+    val plan = explain(build("d05_dedup_embedding"))
+    // formatted explain prints one block per operator; every Exchange
+    // partitioned on the band key must not move embedding payloads —
+    // vectors re-enter later via hash joins keyed on id only
+    val blocks = plan.split("\n\n")
+    // shuffle Exchange at scale, BroadcastExchange when AQE sizes the
+    // banded side under the broadcast threshold — either way it must
+    // not carry vectors
+    val bandExchanges = blocks.filter(b =>
+      b.contains("Exchange") && b.contains("band"))
+    assert(bandExchanges.nonEmpty, s"no banding exchange found:\n$plan")
+    bandExchanges.foreach { b =>
+      assert(!b.contains("vec") && !b.contains("embedding"),
+        s"banding exchange carries vectors:\n$b")
+    }
+  }
+
   test("sort+limit compiles to TakeOrderedAndProject (no global sort)") {
     val df = Tables.load(spark, sfDir, "orders")
       .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc)

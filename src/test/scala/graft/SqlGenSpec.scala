@@ -62,10 +62,53 @@ class SqlGenSpec extends SparkSpec {
       "WHERE (n_regionkey = 1)) AS _g1 ORDER BY n_name DESC NULLS LAST")
   }
 
-  test("unsupported node raises a clear error") {
+  test("roundtrip cube with grouping_id()/grouping() projected") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, sfDir)
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        grouping_id().as("gid"), grouping("l_returnflag").as("g_rf"))
+    val sql = SqlGen.toSql(df)
+    assert(sql.contains("GROUPING_ID()"))
+    assert(sql.contains("GROUPING("))
+    assertSameRows(df, spark.sql(sql))
+  }
+
+  test("in-memory relation roundtrips as inline VALUES") {
     import spark.implicits._
-    val df = Seq(1, 2).toDF("x") // LocalRelation — intentionally unsupported
+    val df = Seq((1, "a"), (2, "b"), (3, "b")).toDF("x", "s")
+      .where($"x" > 1).select($"s", $"x")
+    val sql = SqlGen.toSql(df)
+    assert(sql.contains("VALUES"), sql)
+    assertSameRows(df, spark.sql(sql))
+  }
+
+  test("registered CSV relation is named in generated SQL (reference select.rs:88-104)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("sqlgen-csv").toString
+    Tables.load(spark, sfDir, "nation")
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/nation_csv")
+    val csv = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/nation_csv")
+    csv.createOrReplaceTempView("nation_csv")
+    SqlGen.register("nation_csv", csv)
+    val df = csv.where(col("n_regionkey") === 1).select("n_name", "n_nationkey")
+    val sql = SqlGen.toSql(df)
+    assert(sql.contains("FROM nation_csv"), sql)
+    assertSameRows(df, spark.sql(sql))
+    // a fresh read of the same files resolves to the same name
+    val again = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(s"$dir/nation_csv")
+      .select("n_name")
+    assert(SqlGen.toSql(again).contains("FROM nation_csv"))
+  }
+
+  test("unnamed non-parquet relation raises a clear error") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlgen-anon").toString
+    Tables.load(spark, sfDir, "region").write.mode("overwrite").json(s"$dir/r")
+    val df = spark.read.json(s"$dir/r")
     val e = intercept[IllegalArgumentException](SqlGen.toSql(df))
-    assert(e.getMessage.contains("SqlGen"))
+    assert(e.getMessage.contains("register"))
   }
 }

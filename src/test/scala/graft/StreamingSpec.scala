@@ -100,6 +100,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize flushes an idle user's final session via event-time timeout") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 30 * 60 * 1000L
+    val mem = MemoryStream[Event]
+    val q = EventsStream.sessionize(mem.toDS(), gap)
+      .writeStream.format("memory").queryName("sessions_timeout")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0),
+                  Event(2, ts(10), 1, "click", 2.0))
+      q.processAllAvailable()
+      // session open, watermark (minute 10) below its timeout (40)
+      assert(spark.table("sessions_timeout").isEmpty)
+      // another user's event pushes the watermark past minute 40 →
+      // user 1's state times out: final session flushed, state evicted
+      mem.addData(Event(3, ts(120), 2, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions_timeout").collect()
+      assert(out.length == 1, s"expected exactly the flushed session, got ${out.toSeq}")
+      assert(out.head.getAs[Long]("user_id") == 1L)
+      assert(out.head.getAs[Long]("n_events") == 2L)
+      assert(out.head.getAs[Timestamp]("session_end") == ts(10))
+      // user 2's own session (timeout minute 150) is still open
+    } finally q.stop()
+  }
+
+  test("parquet sink + checkpoint survives stop-and-restart without loss or dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val mem = MemoryStream[Event]
+    def start() = mem.toDF().writeStream.format("parquet")
+      .option("checkpointLocation", s"$dir/ckpt").option("path", s"$dir/out")
+      .outputMode(OutputMode.Append()).start()
+    val q1 = start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0),
+                  Event(2, ts(1), 1, "click", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    mem.addData(Event(3, ts(2), 2, "view", 3.0))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.parquet(s"$dir/out")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L),
+      s"restart must resume from the committed offset exactly once, got $ids")
+  }
+
   test("streaming dedup drops repeated ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
