@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Adversarial scale probe for the LSH operators (companion to the
+  * round-1 document-dedup probe recorded in SURVEY.md §4): replicate
+  * the embeddings table `rep`× with shifted ids, so every vector gains
+  * `rep-1` exact twins — the candidate graph is maximally dense — and
+  * time candidates+verify end to end. The property under test: runtime
+  * tracks the verified-candidate count (linear in collisions), not
+  * corpus², and the banding exchange moves (id, band, sig) only.
+  *
+  * Each arg is `rep` or `rep:bitsPerBand` — the probe demonstrates the
+  * operative scaling rule: bitsPerBand must grow ≈ log2(corpus) so the
+  * per-band bucket count stays ahead of the corpus, or random
+  * collisions (corpus²/2^bits per band) swamp the true candidates.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.ScaleProbe [rep[:bits]...]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs: Seq[(Int, Int)] =
+      if (args.nonEmpty) args.toSeq.map { a =>
+        a.split(":") match {
+          case Array(r) => (r.toInt, 6)
+          case Array(r, b) => (r.toInt, b.toInt)
+        }
+      }
+      else Seq((1, 6), (5, 6), (20, 12))
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val n0 = emb.count() // also warms the parquet footer cache
+
+    for ((rep, bits) <- runs) {
+      val big = (0 until rep).map { i =>
+        emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val pairs = operators.Similarity.cosineDuplicates(
+        big, "vec_id", "embedding", dim = 64, threshold = 0.4,
+        bands = 12, bitsPerBand = bits)
+      val nPairs = pairs.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] cosineDuplicates rep=$rep%-3d bits=$bits%-3d " +
+        f"vectors=${n0 * rep}%-8d pairs=$nPairs%-9d time=$sec%.1fs")
+    }
+    spark.stop()
+  }
+}

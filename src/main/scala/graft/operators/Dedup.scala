@@ -232,6 +232,53 @@ object Dedup {
       .distinct()
   }
 
+  /** Resolve near-duplicate *pairs* into duplicate *clusters*: every
+    * id is labeled with the minimum id reachable through the pair
+    * graph (connected components). Pairs alone don't answer the
+    * question a 100 TB dedup job actually asks — "which one copy do I
+    * keep?" — when duplicates chain (A~B, B~C but A≁C).
+    *
+    * Algorithm: iterative min-label propagation to fixpoint. Each
+    * round is one shuffle (join on dst + groupBy src); rounds needed =
+    * graph diameter, and LSH duplicate clusters are near-cliques, so
+    * 2-3 rounds in practice. The driver-side loop reads only a single
+    * converged? scalar per round (an aggregate, not data).
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * doesn't replay rounds 1..N-1.
+    *
+    * Input: pairs (idA, idB). Output: (id, cluster) for every id that
+    * appears in a pair; cluster = min id of its component. Ids with no
+    * pairs are implicitly their own singleton cluster (left to the
+    * caller to union in, so the operator stays linear in |pairs|).
+    */
+  def duplicateClusters(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnsRenamed(Map("id" -> "dst", "label" -> "dst_label")), "dst")
+        .groupBy(col("src")).agg(min(col("dst_label")).as("nbr_label"))
+      val updated = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+        .localCheckpoint(true)
+      converged = updated.where(col("new_label") < col("label")).isEmpty
+      labels = updated.select(col("id"), col("new_label").as("label"))
+      iters += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Character n-gram Jaccard verify over candidate pairs (the
     * "different distance, same verify shape" variant).
     * Output: (id_a, id_b, char_jaccard) ≥ threshold.

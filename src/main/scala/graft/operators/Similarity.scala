@@ -139,6 +139,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch exact top-k: many query vectors against the corpus in ONE
+    * pass. The per-query `knnBrute` shape doesn't scale to a batch of
+    * queries (a job per query); this is the 100 TB formulation:
+    * broadcast the (small) query set, stream the corpus once, and
+    * aggregate with the bounded-heap [[graft.functions.TopK]] — the
+    * shuffle carries at most k rows per (query, partition) instead of
+    * |queries|×|corpus| scored rows into a sort.
+    *
+    * Output: (query_id, id, cosine), k rows per query, ties broken by
+    * ascending id (same contract as knnBrute).
+    */
+  def knnBruteBatch(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
+      .crossJoin(q)
+      .select(col("query_id"), col("id"),
+              VectorOps.cosine(col("cv"), col("qv")).as("cosine"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cosine"), col("id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"), col("e.ord").as("cosine"))
+  }
+
   /** All-pairs embedding near-duplicates above a cosine threshold,
     * LSH-bucketed exactly like [[Dedup.minhashCandidates]] but in
     * sign-bit space. Output: (id_a, id_b, cosine) ≥ threshold.

@@ -167,6 +167,56 @@ object Pipeline {
              |  / len(list_distinct(a.s || b.s)) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // duplicate-cluster resolution: near-dup pairs → connected
+    // components → per-doc (cluster survivor, cluster size). Oracle:
+    // recursive-CTE transitive closure over the same brute-force pair
+    // graph as d02.
+    Q("d06_dup_clusters",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val pairs = Dedup.minhashDuplicates(docs, "doc_id", "text",
+          shingleK = 3, numHashes = 128, bands = 16, threshold = 0.5)
+        val clusters = Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
+        docs.select(col("doc_id"))
+          .join(clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster"), col("doc_id")).as("cluster_id"))
+          .select(col("doc_id"), col("cluster_id"),
+            count(lit(1)).over(Window.partitionBy("cluster_id")).as("cluster_size"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(w) >= 3
+             |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
+             |                        for i in range(1, len(w) - 1)])
+             |    ELSE [array_to_string(w, ' ')] END AS s
+             |  FROM t
+             |), p AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |    / len(list_distinct(a.s || b.s)) >= 0.5
+             |), e AS (
+             |  SELECT id_a AS src, id_b AS dst FROM p
+             |  UNION SELECT id_b, id_a FROM p
+             |), reach(src, dst) AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+             |), lab AS (
+             |  SELECT d.doc_id, least(d.doc_id, coalesce(
+             |    (SELECT MIN(dst) FROM reach WHERE src = d.doc_id),
+             |    d.doc_id)) AS cluster_id
+             |  FROM documents d
+             |)
+             |SELECT doc_id, cluster_id,
+             |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+             |FROM lab ORDER BY doc_id""".stripMargin)),
+
     // embedding cosine near-dup via sign-LSH buckets; oracle replays
     // the identical LSH pipeline in DuckDB (see d05OracleSql).
     Q("d05_dedup_embedding",
@@ -205,6 +255,39 @@ object Pipeline {
              |)
              |SELECT id, ${r6sql("cos")} AS cosine
              |FROM c ORDER BY cos DESC, id LIMIT 20""".stripMargin)),
+
+    // batch exact top-k: 5 query vectors × corpus in one pass, bounded
+    // heap per query. Oracle: window row_number per query over the
+    // mirrored cosine.
+    Q("s04_knn_batch",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.orderBy("vec_id").limit(5)
+        Similarity.knnBruteBatch(queries, "vec_id", "embedding",
+            emb, "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("id"), r6(col("cosine")).as("cosine"))
+          .orderBy("query_id", "id")
+      },
+      Some(s"""WITH q AS (
+             |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings ORDER BY vec_id LIMIT 5
+             |), e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), scored AS (
+             |  SELECT query_id, vec_id AS id,
+             |    CASE WHEN sqrt(list_dot_product(v, v))
+             |            * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+             |    ELSE list_dot_product(v, qv)
+             |      / (sqrt(list_dot_product(v, v))
+             |         * sqrt(list_dot_product(qv, qv))) END AS cos
+             |  FROM e CROSS JOIN q
+             |), ranked AS (
+             |  SELECT query_id, id, cos, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rn
+             |  FROM scored
+             |)
+             |SELECT query_id, id, ${r6sql("cos")} AS cosine
+             |FROM ranked WHERE rn <= 10 ORDER BY query_id, id""".stripMargin)),
 
     // LSH-bucketed ANN, same query vector. No oracle: the random
     // hyperplanes come from a JVM-seeded Gaussian stream DuckDB can't

@@ -134,6 +134,40 @@ class DedupSpec extends SparkSpec {
     assert(got == truePairs,
       s"missed=${truePairs -- got} extra=${got -- truePairs}")
   }
+
+  test("duplicateClusters resolves chains and separate components") {
+    // chain 1-2-3-4-5 (diameter 4 → several propagation rounds),
+    // pair {10,11}, triangle {20,21,22}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+                    (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(got(_) == 1L), s"chain not collapsed: $got")
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+    assert(got.size == 10)
+  }
+
+  test("duplicateClusters matches brute-force components on the corpus") {
+    val pairs = Dedup.minhashDuplicates(docs, "doc_id", "text",
+      shingleK = 3, numHashes = 128, bands = 16, threshold = 0.5)
+    val got = Dedup.duplicateClusters(pairs.select("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    // brute-force union-find over truePairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    truePairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = truePairs.flatMap(p => Seq(p._1, p._2))
+      .map(id => id -> find(id)).toMap
+    assert(got == want, s"missed=${want.toSet -- got.toSet} extra=${got.toSet -- want.toSet}")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -183,6 +217,21 @@ class SimilaritySpec extends SparkSpec {
     assert(idx.count() == emb.count())
     val cells = idx.select("cell").distinct().collect().map(_.getInt(0)).sorted
     assert(cells.forall(c => c >= 0 && c < 8))
+  }
+
+  test("batch knn equals per-query knnBrute for every query vector") {
+    val queries = emb.orderBy("vec_id").limit(3)
+    val batch = Similarity.knnBruteBatch(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val single = queries.select("vec_id", "embedding").collect()
+      .flatMap { q =>
+        val qid = q.getLong(0)
+        val qv = q.getSeq[Float](1).toArray
+        Similarity.knnBrute(emb, "vec_id", "embedding", qv, 5)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }.toSet
+    assert(batch == single)
   }
 
   test("cosineDuplicates returns symmetric-free pairs above threshold") {
