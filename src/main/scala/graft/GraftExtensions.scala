@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CharNgramHashes, DotProduct, SimHash64, TokenShingleHashes}
+import graft.functions.{CharNgramHashes, DotProduct, SimHash64, TokenShingleHashes, TopKRows}
 
 /** Session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql` users get the codegen'd
@@ -20,6 +20,7 @@ import graft.functions.{CharNgramHashes, DotProduct, SimHash64, TokenShingleHash
   *   simhash64(hashes)             — 64-bit simhash of array<bigint>
   *   token_shingle_hashes(s, k)    — distinct word-k-shingle hashes
   *   char_ngram_hashes(s, n)       — distinct char-n-gram hashes
+  *   topk_rows(struct(ord,id), k)  — bounded-heap top-k aggregate
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -50,7 +51,10 @@ object GraftExtensions {
     ("char_ngram_hashes",
       new ExpressionInfo(classOf[CharNgramHashes].getName, "char_ngram_hashes"),
       (args: Seq[Expression]) =>
-        CharNgramHashes(args(0), intArg(args(1), "char_ngram_hashes"))))
+        CharNgramHashes(args(0), intArg(args(1), "char_ngram_hashes"))),
+    ("topk_rows",
+      new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),
+      (args: Seq[Expression]) => TopKRows(args(0), args(1))))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

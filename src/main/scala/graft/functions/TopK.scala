@@ -24,14 +24,24 @@ import org.apache.spark.sql.types._
   * smaller `id` (total order ⇒ deterministic result). Input is
   * `struct(ord: double, id: long)`; output is the array of winners,
   * best first.
+  *
+  * `kExpr` must be an integer literal: keeping k as a *child* (rather
+  * than a constructor scalar) makes the aggregate print as
+  * `topk_rows(struct(…), k)`, so SqlGen round-trips it through the
+  * registered SQL function.
   */
 case class TopKRows(
     child: Expression,
-    k: Int,
+    kExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
+  val k: Int = kExpr match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"topk_rows: k must be an integer literal, got $other")
+  }
   require(k >= 1, "k must be positive")
 
   // min-heap on the ranking order: the head is the currently-worst
@@ -96,10 +106,10 @@ case class TopKRows(
     containsNull = false)
 
   override def nullable: Boolean = false
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(child, kExpr)
 
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKRows =
-    copy(child = newChildren.head)
+    copy(child = newChildren(0), kExpr = newChildren(1))
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKRows =
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): TopKRows =
@@ -115,6 +125,7 @@ object TopK {
   def topk(ord: Column, id: Column, k: Int): Column =
     GraftBridge.column(
       TopKRows(GraftBridge.expression(struct(ord.cast("double").as("ord"),
-                                             id.cast("long").as("id"))), k)
+                                             id.cast("long").as("id"))),
+               org.apache.spark.sql.catalyst.expressions.Literal(k))
         .toAggregateExpression())
 }

@@ -86,6 +86,10 @@ object SqlGen {
     private var gidId: Option[org.apache.spark.sql.catalyst.expressions.ExprId] = None
     private var gidCols: Seq[Expression] = Nil
 
+    // CTE definition id → name, populated when a WithCTE node is
+    // entered so CTERelationRef leaves print as the CTE's name.
+    private val cteNames = scala.collection.mutable.Map[Long, String]()
+
     /** Expression → SQL. Catalyst's `Expression.sql` is authoritative
       * for almost everything; the exceptions are struct construction
       * (its `.sql` prints `struct(v1, v2)` and loses field names) and
@@ -141,6 +145,7 @@ object SqlGen {
       case l: LocalRelation =>
         SqlGen.registeredName(l).getOrElse(localRel(l, fresh()))
       case v: View => v.desc.identifier.table
+      case r: CTERelationRef if cteNames.contains(r.cteId) => cteNames(r.cteId)
       case other => s"(${gen(other)}) AS ${fresh()}"
     }
 
@@ -334,6 +339,24 @@ object SqlGen {
 
       case Window(windowExprs, _, _, child, _) =>
         s"SELECT *, ${projList(windowExprs)} FROM ${rel(child)}"
+
+      // CTEs: the analyzer hoists WITH into WithCTE(plan, defs); each
+      // def wraps its plan in SubqueryAlias(name, …) and references
+      // appear as CTERelationRef (reference: tests/select.rs:640-704
+      // roundtrips WITH … UNION ALL … queries).
+      case w: WithCTE =>
+        val defs = w.cteDefs.map { d =>
+          val (name, body) = d.child match {
+            case SubqueryAlias(id, inner) => (id.name, inner)
+            case other => (fresh(), other)
+          }
+          cteNames(d.id) = name
+          s"$name AS (${gen(body)})"
+        }
+        s"WITH ${defs.mkString(", ")} ${gen(w.plan)}"
+      case r: CTERelationRef =>
+        s"SELECT * FROM ${cteNames.getOrElse(r.cteId, throw new IllegalArgumentException(
+          s"SqlGen: CTE reference ${r.cteId} outside its WITH scope"))}"
 
       case SubqueryAlias(_, child) => gen(child)
       case v: View => s"SELECT * FROM ${v.desc.identifier.table}"

@@ -13,12 +13,11 @@ import graft.sqlgen.SqlGen
   */
 class SqlGenSpec extends SparkSpec {
 
-  // q20 is already SQL-built (CTE; plan contains View nodes); q28 uses
-  // a custom aggregate with no SQL name; q32's pivot analyzes into
-  // internal PivotFirst expressions.
-  private val roundtrippable =
-    Relational.all.filterNot(q =>
-      Set("q20_cte", "q28_topk_per_group", "q32_pivot").contains(q.name))
+  // The whole relational suite round-trips: CTEs print as WITH
+  // (WithCTE/CTERelationRef), pivot's lowered count-if aggregates
+  // print directly, and topk_rows resolves via the registered SQL
+  // function (GraftExtensions).
+  private val roundtrippable = Relational.all
 
   for (q <- roundtrippable) {
     test(s"roundtrip ${q.name}") {
