@@ -139,6 +139,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the IVF index partitioned by cell: `path/cells/cell=N/…`
+    * plus the centroids under `path/centroids`. At 100 TB this is the
+    * one-pass indexing job whose output makes every probe a
+    * partition-pruned scan of nProbe/nCells of the files instead of a
+    * full read (pinned by the PartitionFilters plan audit in
+    * SimilaritySpec).
+    */
+  def writeIvfIndex(
+      df: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int = 16): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    buildIvfIndex(df, idCol, vecCol, nCells)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    // centroid i = i-th lowest id, identical to buildIvfIndex's seeding
+    // (global window over nCells rows only — post-limit, bounded)
+    df.orderBy(idCol).limit(nCells)
+      .select(col(vecCol).as("cv"),
+        (row_number().over(Window.orderBy(col(idCol))) - 1).as("cell"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted IVF index: rank the stored centroids against
+    * the query (bounded nCells-row collect), then scan ONLY the
+    * `nProbe` best cells' files. Same ranking contract as [[knnIvf]].
+    */
+  def knnIvfIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val probeCells = spark.read.parquet(s"$path/centroids").collect()
+      .map { r =>
+        val cv = r.getSeq[Float](r.fieldIndex("cv")).map(_.toDouble)
+        val cell = r.getInt(r.fieldIndex("cell"))
+        (cv.zip(qd).map { case (a, b) => a * b }.sum, cell)
+      }
+      .sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2)
+    val q = typedlit(query.toSeq)
+    spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Batch exact top-k: many query vectors against the corpus in ONE
     * pass. The per-query `knnBrute` shape doesn't scale to a batch of
     * queries (a job per query); this is the 100 TB formulation:

@@ -212,6 +212,21 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
 
+  test("persisted ivf index: probe equals in-memory knnIvf and prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir, nCells = 8)
+    val probe = Similarity.knnIvfIndexed(spark, dir, qv, k = 10, nProbe = 3)
+    val mem = Similarity.knnIvf(emb, "vec_id", "embedding", qv, 10,
+      nCells = 8, nProbe = 3)
+    assertSameRows(probe, mem)
+    // the probe must reach the scan as a partition filter — at 100 TB
+    // this is the difference between reading 3/8 of the files and all
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("cell")), s"no partition filter on cell:\n$plan")
+  }
+
   test("ivf index assigns every vector to exactly one of nCells cells") {
     val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nCells = 8)
     assert(idx.count() == emb.count())
