@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CharNgramHashes, DotProduct, SimHash64, TokenShingleHashes, TopKRows}
+import graft.functions.{CharNgramHashes, DotProduct, MinHashSig, SimHash64, TokenShingleHashes, TopKRows}
 
 /** Session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql` users get the codegen'd
@@ -21,6 +21,7 @@ import graft.functions.{CharNgramHashes, DotProduct, SimHash64, TokenShingleHash
   *   token_shingle_hashes(s, k)    — distinct word-k-shingle hashes
   *   char_ngram_hashes(s, n)       — distinct char-n-gram hashes
   *   topk_rows(struct(ord,id), k)  — bounded-heap top-k aggregate
+  *   minhash_sig(hashes, k, seed)  — k-permutation MinHash signature
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -35,6 +36,13 @@ object GraftExtensions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$fn: second argument must be an integer literal, got $other")
+  }
+
+  private def longArg(e: Expression, fn: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument must be an integer literal, got $other")
   }
 
   private[graft] val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -54,7 +62,11 @@ object GraftExtensions {
         CharNgramHashes(args(0), intArg(args(1), "char_ngram_hashes"))),
     ("topk_rows",
       new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),
-      (args: Seq[Expression]) => TopKRows(args(0), args(1))))
+      (args: Seq[Expression]) => TopKRows(args(0), args(1))),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args(0),
+        intArg(args(1), "minhash_sig"), longArg(args(2), "minhash_sig"))))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -22,12 +22,29 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * input hash array. One pass over the array, k running mins.
   * Input: array<long> (base hashes); output: array<long> of length k.
   */
-case class MinHashSig(child: Expression, coefsA: Array[Long], coefsB: Array[Long])
+case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
     extends UnaryExpression {
 
-  require(coefsA.length == coefsB.length && coefsA.nonEmpty)
+  require(numHashes >= 1)
+
+  // the standard seeded coefficient family (must stay formula-identical
+  // to Dedup.minhashSignatureHof, its composed-builtin test oracle)
+  @transient private lazy val coefs: (Array[Long], Array[Long]) = {
+    val mask = (1L << 30) - 1
+    val rnd = new scala.util.Random(seed)
+    val cs = Seq.fill(numHashes)(
+      (rnd.nextLong() & mask | 1L, rnd.nextLong() & mask))
+    (cs.map(_._1).toArray, cs.map(_._2).toArray)
+  }
+  private def coefsA: Array[Long] = coefs._1
+  private def coefsB: Array[Long] = coefs._2
   private val mask = (1L << 30) - 1
   private val prime = MinHashSig.Prime
+
+  /** Print with the deriving parameters so SqlGen output re-parses
+    * through the registered `minhash_sig(hashes, k, seed)` function.
+    */
+  override def sql: String = s"minhash_sig(${child.sql}, $numHashes, ${seed}L)"
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -173,14 +190,8 @@ object SketchOps {
   /** Column wrapper for [[MinHashSig]] with the standard seeded
     * coefficient family (matches Dedup.minhashSignature semantics).
     */
-  def minhashSig(hashes: Column, numHashes: Int, seed: Long = 42L): Column = {
-    val mask = (1L << 30) - 1
-    val rnd = new scala.util.Random(seed)
-    val coefs = Seq.fill(numHashes)(
-      (rnd.nextLong() & mask | 1L, rnd.nextLong() & mask))
-    GraftBridge.column(MinHashSig(GraftBridge.expression(hashes),
-      coefs.map(_._1).toArray, coefs.map(_._2).toArray))
-  }
+  def minhashSig(hashes: Column, numHashes: Int, seed: Long = 42L): Column =
+    GraftBridge.column(MinHashSig(GraftBridge.expression(hashes), numHashes, seed))
 
   def simhash64(features: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(features)))

@@ -116,6 +116,11 @@ case class TokenShingleHashes(child: Expression, k: Int) extends UnaryExpression
           s"token_shingle_hashes expects string, got ${other.simpleString}")
     }
 
+  /** Print with k so SqlGen output re-parses through the registered
+    * two-argument SQL function.
+    */
+  override def sql: String = s"token_shingle_hashes(${child.sql}, $k)"
+
   override def nullSafeEval(input: Any): Any =
     TextKernels.tokenShingleHashes(input.asInstanceOf[UTF8String], k)
 
@@ -143,6 +148,11 @@ case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"char_ngram_hashes expects string, got ${other.simpleString}")
     }
+
+  /** Print with n so SqlGen output re-parses through the registered
+    * two-argument SQL function.
+    */
+  override def sql: String = s"char_ngram_hashes(${child.sql}, $n)"
 
   override def nullSafeEval(input: Any): Any =
     TextKernels.charNgramHashes(input.asInstanceOf[UTF8String], n)

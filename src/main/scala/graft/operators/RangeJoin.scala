@@ -29,16 +29,23 @@ object RangeJoin {
     val p = points.withColumn("_rj_bucket",
       floor(col(pointCol) / bucket).cast("long"))
 
+    // interval-side working columns carry a distinct suffix: a USING
+    // join on shared names would make the generated SQL's join
+    // condition ambiguous once both inputs become subqueries (SqlGen
+    // prints bare identifiers)
     val iv = intervals
+      .withColumnsRenamed(extraKeys.map(k => k -> s"_rj_k_$k").toMap)
       .withColumn("_rj_lo_b", floor(col(loCol) / bucket).cast("long"))
       .withColumn("_rj_hi_b", floor(col(hiCol) / bucket).cast("long"))
-      .withColumn("_rj_bucket",
+      .withColumn("_rj_bucket_iv",
         explode(sequence(col("_rj_lo_b"), col("_rj_hi_b"))))
       .drop("_rj_lo_b", "_rj_hi_b")
 
-    val joinKeys = ("_rj_bucket" +: extraKeys)
-    p.join(iv, joinKeys, "inner")
+    val cond = (Seq(col("_rj_bucket") === col("_rj_bucket_iv")) ++
+      extraKeys.map(k => col(k) === col(s"_rj_k_$k"))).reduce(_ && _)
+    p.join(iv, cond, "inner")
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
-      .drop("_rj_bucket")
+      .drop("_rj_bucket", "_rj_bucket_iv")
+      .drop(extraKeys.map(k => s"_rj_k_$k"): _*)
   }
 }

@@ -3,10 +3,12 @@ package graft.sqlgen
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BitwiseAnd, Cast, CreateNamedStruct, Expression, GetStructField, IntegerLiteral, Literal, ShiftRight, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BitwiseAnd, Cast, CreateNamedStruct, Expression, GetStructField, IntegerLiteral, LambdaFunction, LeafExpression, Literal, NamedLambdaVariable, ShiftRight, SortOrder, Unevaluable, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, Last}
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DataType
 
 /** Catalyst `LogicalPlan → SQL` generation — the Spark-native
   * re-expression of the reference's headline capability
@@ -75,6 +77,18 @@ object SqlGen {
   private def registeredName(p: LogicalPlan): Option[String] =
     leafKey(p).flatMap(k => Option(registry.get(k)))
 
+  /** Carrier for SQL text produced by our own renderer, spliced into a
+    * subtree before delegating to Catalyst's `Expression.sql` — lets
+    * the generic printer handle a node whose *children* need custom
+    * rendering (nested named_structs, lambda variables).
+    */
+  private case class RawSql(text: String, dataType: DataType,
+                            nullable: Boolean)
+      extends LeafExpression with Unevaluable {
+    override def sql: String = text
+    override def toString: String = text
+  }
+
   private final class Gen {
     private val n = new AtomicInteger(0)
     private def fresh(): String = s"_g${n.incrementAndGet()}"
@@ -89,6 +103,15 @@ object SqlGen {
     // CTE definition id → name, populated when a WithCTE node is
     // entered so CTERelationRef leaves print as the CTE's name.
     private val cteNames = scala.collection.mutable.Map[Long, String]()
+
+    // While printing a join's condition and (for Project-over-Join)
+    // its select list: maps each side's output exprIds to that side's
+    // FROM-clause alias, so references stay unambiguous when both
+    // sides expose the same column name (self-joins, USING joins).
+    // Scoped strictly to the join being printed: the side subqueries
+    // are rendered BEFORE the map is set, so their internals never see
+    // the outer aliases.
+    private var joinQuals: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String] = Map.empty
 
     /** Expression → SQL. Catalyst's `Expression.sql` is authoritative
       * for almost everything; the exceptions are struct construction
@@ -110,21 +133,66 @@ object SqlGen {
       case g: GetStructField => s"${exprSql(g.child)}.`${g.extractFieldName}`"
       case c: CreateNamedStruct =>
         s"named_struct(${c.children.map(exprSql).mkString(", ")})"
+      // Catalyst prints lambdas as `lambdafunction(body, vars…)`,
+      // which doesn't re-parse; print arrow syntax. Variable names get
+      // an exprId suffix so shadowed names in nested lambdas stay
+      // unambiguous.
+      case lf: LambdaFunction =>
+        def vname(v: NamedLambdaVariable) = s"${v.name}_${v.exprId.id}"
+        val args = lf.arguments.map {
+          case v: NamedLambdaVariable => vname(v)
+          case other => exprSql(other)
+        }
+        val body = exprSql(lf.function.transform {
+          case v: NamedLambdaVariable =>
+            RawSql(vname(v), v.dataType, v.nullable)
+        })
+        // grammar quirk: parens require ≥2 args; single-arg is bare
+        if (args.size == 1) s"${args.head} -> $body"
+        else s"(${args.mkString(", ")}) -> $body"
+      // `.sql` drops First/Last's ignoreNulls flag inside windows,
+      // silently changing semantics on re-parse — print the two-arg
+      // SQL form.
+      case we: WindowExpression =>
+        val fn = we.windowFunction match {
+          case ae: AggregateExpression => ae.aggregateFunction match {
+            case l: Last if l.ignoreNulls =>
+              s"last(${exprSql(l.child)}, true)"
+            case f: First if f.ignoreNulls =>
+              s"first(${exprSql(f.child)}, true)"
+            case _ => genericSql(ae)
+          }
+          case other => genericSql(other)
+        }
+        s"$fn OVER ${genericSql(we.windowSpec)}"
       // na.drop's predicate has no SQL function name — spell it out
       case n: org.apache.spark.sql.catalyst.expressions.AtLeastNNonNulls =>
         val indicators = n.children
           .map(c => s"(CASE WHEN ${exprSql(c)} IS NOT NULL THEN 1 ELSE 0 END)")
           .mkString(" + ")
         s"(($indicators) >= ${n.n})"
-      case _ =>
-        // Print attributes unqualified: qualifiers from the source
-        // plan ("orders.o_custkey") dangle once the child is wrapped
-        // in a generated subquery alias. Same bare-identifier contract
-        // as the reference (expr.rs:17-32).
-        e.transform {
-          case a: AttributeReference => a.withQualifier(Seq.empty)
-        }.sql
+      case _ => genericSql(e)
     }
+
+    /** Delegate to Catalyst's `Expression.sql` after splicing in the
+      * renderings `.sql` would get wrong: qualifiers stripped (they
+      * dangle once the child is wrapped in a generated subquery alias
+      * — same bare-identifier contract as the reference,
+      * expr.rs:17-32), nested named_structs and lambdas re-rendered
+      * through [[exprSql]].
+      */
+    private def genericSql(e: Expression): String =
+      e.transform {
+        case a: AttributeReference =>
+          joinQuals.get(a.exprId) match {
+            case Some(q) => a.withQualifier(Seq(q))
+            case None => a.withQualifier(Seq.empty)
+          }
+        case c: CreateNamedStruct =>
+          RawSql(exprSql(c), c.dataType, c.nullable)
+        case lf: LambdaFunction =>
+          RawSql(exprSql(lf), lf.dataType, lf.nullable)
+      }.sql
 
     private def projList(es: Seq[Expression]): String =
       es.map(exprSql).mkString(", ")
@@ -134,9 +202,14 @@ object SqlGen {
       * subquery.
       */
     private def rel(plan: LogicalPlan): String = plan match {
+      // hints (broadcast() etc.) don't change results; the re-planned
+      // query re-derives the strategy from stats
+      case h: ResolvedHint => rel(h.child)
       case lr: LogicalRelation => tableName(lr)
       case SubqueryAlias(id, child) => child match {
-        case lr: LogicalRelation => tableNameOpt(lr).getOrElse(id.name)
+        case lr: LogicalRelation =>
+          val n = tableNameOpt(lr).getOrElse(id.name)
+          if (n == id.name) n else s"$n AS ${id.name}"
         case l: LocalRelation =>
           SqlGen.registeredName(l).getOrElse(localRel(l, id.name))
         case v: View => id.name
@@ -199,6 +272,38 @@ object SqlGen {
       }
     }
 
+    /** Render a join child for the FROM clause and return
+      * (sql, alias-to-qualify-its-columns-with). Named relations
+      * qualify by their own name; everything else gets an explicit
+      * alias.
+      */
+    private def joinSide(plan: LogicalPlan): (String, String) = plan match {
+      case h: ResolvedHint => joinSide(h.child)
+      case SubqueryAlias(id, _) => (rel(plan), id.name)
+      case lr: LogicalRelation =>
+        val n = tableName(lr); (n, n)
+      case v: View =>
+        val n = v.desc.identifier.table; (n, n)
+      case r: CTERelationRef if cteNames.contains(r.cteId) =>
+        val n = cteNames(r.cteId); (n, n)
+      case other =>
+        val a = fresh()
+        (s"(${gen(other)}) AS $a", a)
+    }
+
+    /** Print `exprs` with both join sides' outputs qualified by their
+      * FROM-clause aliases (the sides must already be rendered).
+      */
+    private def withJoinScope[A](left: LogicalPlan, leftQ: String,
+                                 right: LogicalPlan, rightQ: String)
+                                (body: => A): A = {
+      val saved = joinQuals
+      joinQuals = joinQuals ++
+        left.output.map(_.exprId -> leftQ) ++
+        right.output.map(_.exprId -> rightQ)
+      try body finally joinQuals = saved
+    }
+
     private def joinKw(t: JoinType): String = t match {
       case Inner => "JOIN"
       case LeftOuter => "LEFT JOIN"
@@ -217,6 +322,19 @@ object SqlGen {
       // re-planned query identical.
       case Project(list, Filter(cond, child)) =>
         s"SELECT ${projList(list)} FROM ${rel(child)} WHERE ${exprSql(cond)}"
+      // Projection straight over a join folds too, with both sides'
+      // outputs qualified by their FROM aliases: a self-join or USING
+      // join exposes duplicate column names, so the projection MUST be
+      // printed as `a.id, b.id` inside the same SELECT — wrapping the
+      // join in a subquery first would make the bare names ambiguous.
+      case Project(list, Join(left, right, jt, Some(cond), _))
+          if jt != LeftSemi && jt != LeftAnti =>
+        val (lsql, lq) = joinSide(left)
+        val (rsql, rq) = joinSide(right)
+        withJoinScope(left, lq, right, rq) {
+          s"SELECT ${projList(list)} FROM $lsql ${joinKw(jt)} " +
+            s"$rsql ON ${exprSql(cond)}"
+        }
       case Project(list, child) =>
         s"SELECT ${projList(list)} FROM ${rel(child)}"
 
@@ -305,14 +423,22 @@ object SqlGen {
         s"SELECT DISTINCT * FROM ${rel(child)}"
 
       case Join(left, right, jt @ (LeftSemi | LeftAnti), cond, _) =>
-        val on = cond.map(c => s" ON ${exprSql(c)}").getOrElse("")
-        s"SELECT * FROM ${rel(left)} ${joinKw(jt)} ${rel(right)}$on"
+        val (lsql, lq) = joinSide(left)
+        val (rsql, rq) = joinSide(right)
+        val on = cond.map(c => withJoinScope(left, lq, right, rq) {
+          s" ON ${exprSql(c)}"
+        }).getOrElse("")
+        s"SELECT * FROM $lsql ${joinKw(jt)} $rsql$on"
       case Join(left, right, Cross, None, _) =>
         s"SELECT * FROM ${rel(left)} CROSS JOIN ${rel(right)}"
       case Join(left, right, Inner, None, _) =>
         s"SELECT * FROM ${rel(left)} CROSS JOIN ${rel(right)}"
       case Join(left, right, jt, Some(cond), _) =>
-        s"SELECT * FROM ${rel(left)} ${joinKw(jt)} ${rel(right)} ON ${exprSql(cond)}"
+        val (lsql, lq) = joinSide(left)
+        val (rsql, rq) = joinSide(right)
+        withJoinScope(left, lq, right, rq) {
+          s"SELECT * FROM $lsql ${joinKw(jt)} $rsql ON ${exprSql(cond)}"
+        }
 
       case Union(children, false, false) =>
         children.map(c => s"SELECT * FROM ${rel(c)}").mkString(" UNION ALL ")
@@ -359,6 +485,7 @@ object SqlGen {
           s"SqlGen: CTE reference ${r.cteId} outside its WITH scope"))}"
 
       case SubqueryAlias(_, child) => gen(child)
+      case h: ResolvedHint => gen(h.child)
       case v: View => s"SELECT * FROM ${v.desc.identifier.table}"
       case lr: LogicalRelation => s"SELECT * FROM ${tableName(lr)}"
       case l: LocalRelation => s"SELECT * FROM ${rel(l)}"

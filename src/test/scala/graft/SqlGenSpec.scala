@@ -19,9 +19,21 @@ class SqlGenSpec extends SparkSpec {
   // function (GraftExtensions).
   private val roundtrippable = Relational.all
 
-  for (q <- roundtrippable) {
+  // The pipeline suite round-trips too — LSH banding self-joins
+  // (side-qualified conditions), lambda HOFs (arrow syntax), the
+  // codegen kernels (registered SQL functions carrying their
+  // parameters), windows with IGNORE NULLS. The only exclusions are
+  // inherently non-relational plans: d06's iterative localCheckpoint
+  // (LogicalRDD barrier) and m01's typed mapPartitions
+  // (SerializeFromObject).
+  private val pipelineRoundtrippable =
+    graft.queries.Pipeline.all.filterNot(q =>
+      Set("d06_dup_clusters", "m01_multimodal_meta").contains(q.name))
+
+  for (q <- roundtrippable ++ pipelineRoundtrippable) {
     test(s"roundtrip ${q.name}") {
       Tables.register(spark, sfDir)
+      GraftExtensions.register(spark)
       val df = q.build(spark, sfDir)
       val sql = SqlGen.toSql(df)
       val re = spark.sql(sql)
