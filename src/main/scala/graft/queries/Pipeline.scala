@@ -540,6 +540,48 @@ object Pipeline {
              |  m_val AS signup_value
              |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
 
+    // forward as-of join: each purchase gets the user's NEXT signup
+    // at-or-after it (same union+window shape, scan reversed)
+    Q("st03_asof_forward",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        val purchases = events.where(col("event_type") === "purchase")
+        val signups = events.where(col("event_type") === "signup")
+          .select("user_id", "ts", "event_id", "value")
+        graft.operators.AsOfJoin.forward(
+            purchases, signups,
+            keyCols = Seq("user_id"),
+            leftTs = "ts", rightTs = "ts",
+            leftTiebreak = "event_id", rightTiebreak = "event_id",
+            rightValueCols = Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts_s"),
+            col("asof_value").as("signup_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    CASE WHEN event_type = 'signup' THEN ts END AS sig_ts,
+             |    CASE WHEN event_type = 'signup' THEN value END AS sig_val
+             |  FROM events WHERE event_type IN ('purchase', 'signup')
+             |), c AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    LAST_VALUE(sig_ts IGNORE NULLS) OVER w AS m_ts,
+             |    LAST_VALUE(sig_val IGNORE NULLS) OVER w AS m_val
+             |  FROM o
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY epoch_us(ts) DESC,
+             |      CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END ASC,
+             |      event_id DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT event_id, user_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |  strftime(m_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts_s,
+             |  m_val AS signup_value
+             |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
     // bucketed point-in-interval range join (equi-join on quantized
     // buckets + residual BETWEEN — no nested-loop; see RangeJoin)
     Q("q30_range_join",

@@ -100,6 +100,32 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("forward as-of join picks earliest right row at-or-after left ts") {
+    val out = AsOfJoin.forward(trades, quotes,
+        keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
+        leftTiebreak = "trade_id", rightTiebreak = "quote_id",
+        rightValueCols = Seq("bid"))
+      .select($"trade_id", $"asof_bid").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(100.5))  // next A quote after :10 is :15
+    assert(out(2L).contains(100.9))  // same-ts quote matches (inclusive)
+    assert(out(3L).contains(50.9))   // next B quote after :05 is :31
+    assert(out(4L).contains(50.9))   // :31 quote after the :30 trade
+  }
+
+  test("forward tolerance nulls out far-future matches") {
+    val out = AsOfJoin.forward(trades, quotes,
+        keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
+        leftTiebreak = "trade_id", rightTiebreak = "quote_id",
+        rightValueCols = Seq("bid"), toleranceMs = Some(5 * 60 * 1000L))
+      .select($"trade_id", $"asof_bid").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(100.5))  // 5 min gap, at tolerance edge
+    assert(out(2L).contains(100.9))  // 0 gap
+    assert(out(3L).isEmpty)          // :05 → :31 is 26 min, too far
+    assert(out(4L).contains(50.9))   // 1 min gap
+  }
+
   test("single shuffle: no join node in the physical plan") {
     val out = AsOfJoin.backward(trades, quotes,
       keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",

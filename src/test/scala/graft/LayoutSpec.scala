@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-layout").toString
+
+  test("compact collapses a many-tiny-files directory") {
+    val dir = tmp()
+    val df = Tables.load(spark, sfDir, "lineitem")
+    df.repartition(64).write.parquet(s"$dir/tiny")
+    val before = new java.io.File(s"$dir/tiny")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 32, s"expected many input files, got $before")
+
+    Layout.compact(spark, s"$dir/tiny", s"$dir/compacted", targetMB = 512)
+    val after = new java.io.File(s"$dir/compacted")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after <= 2, s"compaction left $after files")
+    // content unchanged
+    assertSameRows(spark.read.parquet(s"$dir/compacted"), df)
+  }
+
+  test("range-sorted layout gives files narrow disjoint value ranges (skippable)") {
+    val dir = tmp()
+    val df = Tables.load(spark, sfDir, "orders")
+    Layout.writeRangeSorted(df, s"$dir/sorted", numFiles = 8, "o_totalprice")
+    val files = new java.io.File(s"$dir/sorted")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 8, s"expected 8 range files, got ${files.length}")
+
+    // the skip property is in the footers: each file must cover a
+    // narrow, essentially disjoint slice of the value space, so a
+    // selective predicate intersects ~1 file's [min,max] (readers
+    // prune row groups / files from exactly these stats)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("o_totalprice"), max("o_totalprice")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach { case Array((_, hiA), (loB, _)) =>
+      assert(hiA <= loB, s"file ranges overlap: $hiA > $loB")
+    }
+    val cut = df.selectExpr("percentile(o_totalprice, 0.05)").head().getDouble(0)
+    val intersecting = ranges.count { case (lo, _) => lo < cut }
+    assert(intersecting <= 1,
+      s"a 5%-selective predicate intersects $intersecting of 8 files")
+
+    // unsorted baseline: the same predicate intersects every file
+    df.repartition(8).write.parquet(s"$dir/unsorted")
+    val unsortedHit = new java.io.File(s"$dir/unsorted")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      .count { f =>
+        spark.read.parquet(f).agg(min("o_totalprice")).head().getDouble(0) < cut
+      }
+    assert(unsortedHit >= 6, s"baseline should be unskippable, hit $unsortedHit")
+
+    // scan metrics sanity + correctness
+    assert(Layout.filesRead(spark.read.parquet(s"$dir/sorted")) == 8L)
+    assertSameRows(
+      spark.read.parquet(s"$dir/sorted").where(col("o_totalprice") < lit(cut)),
+      df.where(col("o_totalprice") < lit(cut)))
+  }
+}
