@@ -10,8 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: JIT + codegen + parquet footer caches, outside timing
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // warm-up: JIT + codegen + parquet footer caches, outside timing —
+    // all tables, so no measured query pays first-touch footer reads
+    try Tables.names.foreach(n => Tables.load(spark, sfDir, n).count())
     catch { case _: Throwable => }
     // noop sink: forces every projected column to be computed —
     // count() would let Catalyst prune the projections and time only

@@ -232,6 +232,35 @@ object Dedup {
       .distinct()
   }
 
+  /** Streaming exact dedup: first document per content hash within
+    * the watermark survives; later copies are dropped. The same
+    * content-hash contract as [[exact]] lifted onto Structured
+    * Streaming — state is one hash per distinct document, evicted
+    * when the watermark passes (bounded by distinct-docs-per-window,
+    * not stream length). Works on any stream with an event-time
+    * column.
+    */
+  def streamingExact(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    docs.withColumn("content_hash", xxhash64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming near-dup dedup: drop documents whose SimHash sketch
+    * has been seen within the watermark. The sketch is the codegen'd
+    * [[graft.functions.SketchOps.simhash64]] kernel, so "near" means
+    * identical 64-bit sketch — the streaming-feasible approximation
+    * (banded LSH joins need a batch verify pass; sketch-equality
+    * catches boilerplate/whitespace variants at zero join cost).
+    */
+  def streamingNearDup(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    docs.withColumn("simhash", simhash64(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("simhash")
+
   /** Resolve near-duplicate *pairs* into duplicate *clusters*: every
     * id is labeled with the minimum id reachable through the pair
     * graph (connected components). Pairs alone don't answer the

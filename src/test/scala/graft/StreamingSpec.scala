@@ -9,6 +9,8 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventsStream
 import graft.streaming.EventsStream.Event
 
+final case class StreamDoc(doc_id: Long, ts: Timestamp, text: String)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -201,6 +203,34 @@ class StreamingSpec extends SparkSpec {
       assert(out.head.getAs[Long]("p_id") == 20L)
       assert(out.head.getAs[Long]("s_id") == 10L)
     } finally q.stop()
+  }
+
+  test("streaming document dedup: exact by content hash, near by simhash") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamDoc]
+    val exact = Dedup.streamingExact(mem.toDF(), "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("sdedup_exact")
+      .outputMode(OutputMode.Append()).start()
+    val near = Dedup.streamingNearDup(mem.toDF(), "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("sdedup_near")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        StreamDoc(1, ts(0), "the quick brown fox jumps over the lazy dog"),
+        StreamDoc(2, ts(1), "the quick brown fox jumps over the lazy dog"), // exact dup
+        StreamDoc(3, ts(2), "an entirely different document about spark engines"))
+      exact.processAllAvailable(); near.processAllAvailable()
+      mem.addData( // dup across batches, inside watermark
+        StreamDoc(4, ts(3), "the quick brown fox jumps over the lazy dog"))
+      exact.processAllAvailable(); near.processAllAvailable()
+      val exactIds = spark.table("sdedup_exact")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(exactIds == Seq(1L, 3L), s"exact dedup kept $exactIds")
+      val nearIds = spark.table("sdedup_near")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(nearIds == Seq(1L, 3L), s"simhash dedup kept $nearIds")
+    } finally { exact.stop(); near.stop() }
   }
 
   test("batch sessionization on the real events table is consistent") {
