@@ -38,6 +38,51 @@ object Pipeline {
   private def r6sql(expr: String): String =
     s"FLOOR(($expr) * 1000000 + 0.5) / 1000000"
 
+  /** s02 oracle: replays the sign-LSH probe exactly — corpus and query
+    * signatures computed in SQL from the inlined deterministic
+    * hyperplanes, probe filter = signature match in any band, then
+    * exact cosine ranking of the candidates (same contract as knnLsh).
+    */
+  private lazy val s02OracleSql: String = {
+    val bands = 8; val bitsPerBand = 8; val seed = 7L; val dim = 64
+    def sigCols(vec: String, prefix: String): String =
+      (0 until bands).map { b =>
+        val ps = Similarity.planes(dim, bitsPerBand, seed + b)
+        val bits = ps.zipWithIndex.map { case (p, i) =>
+          val arr = p.mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product($vec, $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"($bits) AS ${prefix}_$b"
+      }.mkString(",\n    ")
+    val probe = (0 until bands).map(b => s"s.sig_$b = sq.qsig_$b").mkString(" OR ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings ORDER BY vec_id LIMIT 1
+       |), sq AS (
+       |  SELECT qv,
+       |    ${sigCols("qv", "qsig")}
+       |  FROM q
+       |), s AS (
+       |  SELECT vec_id, v,
+       |    ${sigCols("v", "sig")}
+       |  FROM e
+       |), cand AS (
+       |  SELECT vec_id, v, qv FROM s, sq WHERE $probe
+       |), scored AS (
+       |  SELECT vec_id AS id,
+       |    CASE WHEN sqrt(list_dot_product(v, v))
+       |            * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+       |    ELSE list_dot_product(v, qv)
+       |      / (sqrt(list_dot_product(v, v))
+       |         * sqrt(list_dot_product(qv, qv))) END AS cos
+       |  FROM cand
+       |)
+       |SELECT id, ${r6sql("cos")} AS cosine
+       |FROM scored ORDER BY cos DESC, id LIMIT 20""".stripMargin
+  }
+
   /** d05 oracle: replicates the sign-LSH pipeline *exactly* in DuckDB
     * by inlining the deterministic hyperplanes as literals — brute
     * force can't serve as the oracle here because the corpus has no
@@ -289,9 +334,8 @@ object Pipeline {
              |SELECT query_id, id, ${r6sql("cos")} AS cosine
              |FROM ranked WHERE rn <= 10 ORDER BY query_id, id""".stripMargin)),
 
-    // LSH-bucketed ANN, same query vector. No oracle: the random
-    // hyperplanes come from a JVM-seeded Gaussian stream DuckDB can't
-    // reproduce; the spec checks candidates against brute-force ranks.
+    // LSH-bucketed ANN, same query vector; oracle replays the probe
+    // with the deterministic hyperplanes inlined (see s02OracleSql).
     Q("s02_knn_lsh",
       (s, dir) => {
         Similarity.knnLsh(Tables.load(s, dir, "embeddings"),
@@ -300,7 +344,7 @@ object Pipeline {
           .select(col("id"), r6(col("cosine")).as("cosine"))
           .orderBy(col("cosine").desc, col("id"))
       },
-      None),
+      Some(s02OracleSql)),
 
     // IVF-bucketed ANN: nearest-centroid cells only (scale path reads
     // nProbe/nCells of the corpus when the index is cell-partitioned).
