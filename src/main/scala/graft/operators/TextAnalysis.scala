@@ -109,6 +109,40 @@ object TextAnalysis {
     label
   }
 
+  /** Per-document top-k salient terms by tf·idf-style weighting.
+    *
+    * Shuffle shape at 100 TB: explode → partial-aggregated
+    * groupBy(doc, term) → groupBy(term) for document frequencies →
+    * broadcast of the single-row corpus count → hash join → per-doc
+    * window top-k (each partition is one document's term list —
+    * bounded, no global sort).
+    *
+    * The weight is the *rational* idf `tf · (N+1)/(df+1)` rather than
+    * a logarithm: monotonic in the same ranking for fixed tf, and —
+    * deliberately — free of transcendental functions, so the DuckDB
+    * oracle computes bit-identical doubles. Ties rank by term asc.
+    * Output: (doc_id, term, tf, doc_freq, score, term_rank).
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+               k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("doc_freq"))
+    val nDocs = df.select(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") * (col("n_docs") + 1) / (col("doc_freq") + 1))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("term_rank", row_number().over(w))
+      .where(col("term_rank") <= k)
+      .select("doc_id", "term", "tf", "doc_freq", "score", "term_rank")
+  }
+
   /** The full per-document analysis row. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

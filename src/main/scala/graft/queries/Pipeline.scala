@@ -507,6 +507,39 @@ object Pipeline {
              |  COUNT(*) OVER (PARTITION BY norm) AS fp_group_size
              |FROM n ORDER BY doc_id""".stripMargin)),
 
+    // per-document top-k salient terms (tf·idf-style, rational idf so
+    // both engines compute bit-identical doubles)
+    Q("t07_top_terms",
+      (s, dir) => {
+        TextAnalysis.topTerms(Tables.load(s, dir, "documents"),
+            "doc_id", "text", k = 5)
+          .withColumn("score", r6(col("score")))
+          .orderBy("doc_id", "term_rank")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+             |), dfreq AS (
+             |  SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+             |), n AS (
+             |  SELECT COUNT(*) AS n_docs FROM documents
+             |), scored AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+             |    CAST(tf.tf AS DOUBLE) * (n.n_docs + 1) / (dfreq.doc_freq + 1) AS score
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+             |), ranked AS (
+             |  SELECT doc_id, term, tf, doc_freq, score,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY score DESC, term ASC) AS term_rank
+             |  FROM scored
+             |)
+             |SELECT doc_id, term, tf, doc_freq,
+             |  ${r6sql("score")} AS score, CAST(term_rank AS INT) AS term_rank
+             |FROM ranked WHERE term_rank <= 5
+             |ORDER BY doc_id, term_rank""".stripMargin)),
+
     // gap-based sessionization, batch twin of the streaming operator
     // (graft.streaming.EventsStream.sessionize). Timestamps formatted
     // at second precision: the raw column is ns in parquet, µs in

@@ -356,6 +356,23 @@ class TextAnalysisSpec extends SparkSpec {
     assertSameRows(labeled, again)
   }
 
+  test("topTerms ranks distinctive terms above ubiquitous ones") {
+    val df = Seq(
+      (1L, "spark spark spark common"),
+      (2L, "duck duck common"),
+      (3L, "common common entirely")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.topTerms(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(5)) -> r.getString(1)).toMap
+    // "common" is in every doc (df=3) so the doc-specific term wins rank 1
+    assert(top((1L, 1)) == "spark")
+    assert(top((2L, 1)) == "duck")
+    assert(top((3L, 1)) == "common", "tf=2 beats df penalty for doc 3")
+    // every doc gets at most k ranked terms, ranks contiguous from 1
+    val byDoc = top.keySet.groupBy(_._1)
+    byDoc.values.foreach(ks => assert(ks.map(_._2) == (1 to ks.size).toSet))
+  }
+
   test("fingerprint is order-sensitive, stable, and content-keyed") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
                  (3L, "alpha beta gamma")).toDF("doc_id", "text")
