@@ -38,6 +38,78 @@ object Pipeline {
   private def r6sql(expr: String): String =
     s"FLOOR(($expr) * 1000000 + 0.5) / 1000000"
 
+  /** d03 oracle: replays the ENTIRE simhash pipeline in DuckDB —
+    * FNV-1a word/bigram hashing with 64-bit wraparound emulated in
+    * HUGEINT arithmetic (BIGINT multiply would overflow-error), bit
+    * votes, sketch assembly, pigeonhole chunking, hamming join. Every
+    * constant mirrors graft.functions.TextKernels/SketchOps; verified
+    * value-identical because both engines fold the same integer ops
+    * mod 2^64.
+    */
+  private lazy val d03OracleSql: String = {
+    val maxHamming = 10
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    val M = "18446744073709551616" // 2^64
+    val off = "14695981039346656037" // FNV offset basis (unsigned)
+    val fold = s"(h, c2) -> (xor(h, c2) * 1099511628211) % $M"
+    def pow2(i: Int): String = java.math.BigInteger.TWO.pow(i).toString
+    val votes = (0 until 64).map(i =>
+      s"SUM(CASE WHEN (f // ${pow2(i)}) % 2 = 1 THEN 1 ELSE -1 END) AS v_$i")
+      .mkString(",\n    ")
+    val sketchBits = (0 until 64).map(i =>
+      s"(CASE WHEN v_$i > 0 THEN CAST(${pow2(i)} AS HUGEINT) ELSE 0 END)")
+      .mkString(" +\n    ")
+    val chunkCols = (0 until nChunks).map(c =>
+      s"(sim // ${pow2(offsets(c))}) % ${pow2(widths(c))} AS cv_$c")
+      .mkString(",\n    ")
+    val collide = (0 until nChunks).map(c => s"a.cv_$c = b.cv_$c").mkString(" OR ")
+    val signed = (u: String) =>
+      s"CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - $M ELSE $u END AS BIGINT)"
+    val ham = s"bit_count(xor(${signed("a.sim")}, ${signed("b.sim")}))"
+    s"""WITH w AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+       |  FROM documents
+       |), wh AS (
+       |  SELECT doc_id,
+       |    [list_reduce([CAST($off AS HUGEINT)] ||
+       |       [CAST(unicode(ch) AS HUGEINT) for ch in string_split(wd, '')], $fold)
+       |     for wd in words] AS whs
+       |  FROM w
+       |), feats AS (
+       |  SELECT doc_id, CASE
+       |    WHEN len(whs) = 0 THEN [CAST($off AS HUGEINT)]
+       |    WHEN len(whs) = 1 THEN
+       |      [list_reduce([CAST($off AS HUGEINT)] || whs, $fold)]
+       |    ELSE list_distinct(
+       |      [list_reduce([CAST($off AS HUGEINT), whs[i], whs[i + 1]], $fold)
+       |       for i in range(1, len(whs))])
+       |    END AS fs
+       |  FROM wh
+       |), f AS (
+       |  SELECT doc_id, unnest(fs) AS f FROM feats
+       |), votes AS (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM f GROUP BY doc_id
+       |), sketch AS (
+       |  SELECT doc_id,
+       |    $sketchBits AS sim
+       |  FROM votes
+       |), ch AS (
+       |  SELECT doc_id, sim,
+       |    $chunkCols
+       |  FROM sketch
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST($ham AS INT) AS hamming
+       |FROM ch a JOIN ch b ON a.doc_id < b.doc_id AND ($collide)
+       |WHERE $ham <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** s02 oracle: replays the sign-LSH probe exactly — corpus and query
     * signatures computed in SQL from the inlined deterministic
     * hyperplanes, probe filter = signature match in any band, then
@@ -169,7 +241,8 @@ object Pipeline {
              |  / len(list_distinct(a.s || b.s)) >= 0.5
              |ORDER BY id_a, id_b""".stripMargin)),
 
-    // SimHash + pigeonhole hamming join
+    // SimHash + pigeonhole hamming join; oracle replays the whole
+    // sketch pipeline in HUGEINT arithmetic (see d03OracleSql)
     Q("d03_dedup_simhash",
       (s, dir) => {
         // radius 10: the synthetic docs are short (~30 tokens), so the
@@ -178,7 +251,7 @@ object Pipeline {
             "doc_id", "text", maxHamming = 10)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(d03OracleSql)),
 
     // char n-gram Jaccard verify over MinHash candidates. Oracle:
     // brute-force char-3-gram Jaccard over all pairs — valid because at
