@@ -23,10 +23,14 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Word k-shingles of a text column (arrays stay inside Tungsten;
-    * no explode unless an operator needs one).
+    * no explode unless an operator needs one). Empty tokens are
+    * filtered rather than trimmed away: Spark's `trim` strips only
+    * U+0020, so a leading tab/newline would otherwise inject a
+    * phantom "" word and diverge from the kernel's
+    * skip-all-whitespace tokenization (caught by KernelPropertySpec).
     */
   def shingles(text: Column, k: Int): Column = {
-    val words = split(trim(text), "\\s+")
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
     val n = size(words)
     when(n >= k,
       transform(sequence(lit(0), n - k),

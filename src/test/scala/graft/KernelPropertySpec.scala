@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+import graft.operators.Dedup
+
+/** Property-style checks for the codegen kernels: generated inputs —
+  * unicode, degenerate whitespace, empty strings, adversarial
+  * duplicates — instead of only the corpus. Uses scalacheck
+  * generators sampled into Spark rows (a full forAll-per-row round
+  * trip through a SparkSession would be quadratically slow; one batch
+  * of 200 generated docs exercises the same space).
+  */
+class KernelPropertySpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  private val wordGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("的", "是", "naïve", "Ω", "🦆🦆", "a-b.c", "x'y\"z", ""),
+    Gen.listOfN(3, Gen.choose('!', '~')).map(_.mkString))
+
+  private val textGen: Gen[String] = for {
+    n <- Gen.choose(0, 12)
+    ws <- Gen.listOfN(n, wordGen)
+    sep <- Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+  } yield ws.mkString(sep)
+
+  private lazy val docs = {
+    val seed = org.scalacheck.rng.Seed(42L)
+    val texts = Iterator.iterate(seed)(_.next)
+      .map(s => textGen.pureApply(Gen.Parameters.default, s))
+      .take(200).toSeq
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .cache()
+  }
+
+  test("minhash kernel equals the composed-builtin family on generated texts") {
+    val base = docs.select($"doc_id", Dedup.shingleHashes($"text", 3).as("sh"))
+    val a = base.select($"doc_id",
+      graft.functions.SketchOps.minhashSig($"sh", 64).as("sig"))
+    val b = base.select($"doc_id", Dedup.minhashSignatureHof($"sh", 64).as("sig"))
+    assertSameRows(a, b)
+  }
+
+  test("simhash kernel equals the composed-builtin votes on generated texts") {
+    val base = docs.select($"doc_id", Dedup.simhashFeatures($"text").as("f"))
+    val a = base.select($"doc_id", graft.functions.SketchOps.simhash64($"f"))
+    val b = base.select($"doc_id", Dedup.simhashFromFeaturesHof($"f"))
+    assertSameRows(a, b)
+  }
+
+  test("shingle-hash cardinalities equal the HOF shingle pipeline on generated texts") {
+    // different hash families — the SET SIZES must agree (that is what
+    // jaccard consumes), including whitespace-only and empty texts
+    val a = docs.select($"doc_id", size(Dedup.shingleHashes($"text", 3)).as("n"))
+    val b = docs.select($"doc_id", size(Dedup.shingleHashesHof($"text", 3)).as("n"))
+    assertSameRows(a, b)
+  }
+
+  test("fingerprint and split labels are partition-independent") {
+    val wide = docs.repartition(13)
+    val narrow = docs.coalesce(1)
+    def fp(df: org.apache.spark.sql.DataFrame) = df.select($"doc_id",
+      graft.operators.TextAnalysis.fingerprint64($"text").as("fp"),
+      graft.operators.TextAnalysis.splitLabel($"doc_id",
+        Seq("train" -> 900, "val" -> 50, "test" -> 50)).as("split"))
+    assertSameRows(fp(wide), fp(narrow))
+  }
+
+  test("topk aggregate equals window ranking on generated skewed data") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(500) { i =>
+      // heavy ties: ord drawn from only 5 distinct values
+      (rnd.nextInt(8).toLong, rnd.nextInt(5).toDouble, i.toLong)
+    }
+    val df = rows.toDF("g", "ord", "id")
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.TopK.topk($"ord", $"id", 4).as("top"))
+      .select($"g", explode($"top").as("e"))
+      .select($"g", $"e.id", $"e.ord")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy($"ord".desc, $"id".asc)
+    val viaWindow = df
+      .select($"g", $"id", $"ord", row_number().over(w).as("rn"))
+      .where($"rn" <= 4).select($"g", $"id", $"ord")
+    assertSameRows(viaAgg, viaWindow)
+  }
+}

@@ -101,6 +101,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s04 batch knn: queries broadcast, topk aggregation is partial (map-side heaps)") {
+    val df = build("s04_knn_batch")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+    // partial topk_rows before the exchange: the shuffle carries ≤k
+    // rows per (query, partition), not every scored row
+    assert(plan.contains("partial_topk_rows"),
+      s"no map-side topk aggregation:\n$plan")
+  }
+
   test("sort+limit compiles to TakeOrderedAndProject (no global sort)") {
     val df = Tables.load(spark, sfDir, "orders")
       .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc)
