@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CharNgramHashes, DotProduct, MinHashSig, SimHash64, TokenShingleHashes, TopKRows}
+import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashSig, SimHash64, TokenShingleHashes, TopKRows}
 
 /** Session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql` users get the codegen'd
@@ -22,6 +22,7 @@ import graft.functions.{CharNgramHashes, DotProduct, MinHashSig, SimHash64, Toke
   *   char_ngram_hashes(s, n)       — distinct char-n-gram hashes
   *   topk_rows(struct(ord,id), k)  — bounded-heap top-k aggregate
   *   minhash_sig(hashes, k, seed)  — k-permutation MinHash signature
+  *   hyperplane_sigs(v, planes, bits, dim) — sign-LSH band signatures
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -66,7 +67,17 @@ object GraftExtensions {
     ("minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(args(0),
-        intArg(args(1), "minhash_sig"), longArg(args(2), "minhash_sig"))))
+        intArg(args(1), "minhash_sig"), longArg(args(2), "minhash_sig"))),
+    ("hyperplane_sigs",
+      new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
+      (args: Seq[Expression]) => {
+        require(args(1).foldable, "hyperplane_sigs: planes must be a literal array")
+        val flat = args(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray()
+        HyperplaneSigs(args(0), flat,
+          intArg(args(2), "hyperplane_sigs"), intArg(args(3), "hyperplane_sigs"))
+      }))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

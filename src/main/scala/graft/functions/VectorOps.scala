@@ -80,12 +80,116 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** All sign-LSH band signatures of a vector in ONE pass: for plane
+  * p (band p/bitsPerBand, bit p%bitsPerBand), set the bit when
+  * `dot(vec, plane_p) > 0`. Replaces bands×bitsPerBand separate
+  * [[DotProduct]] expressions (72 for the default d05 config) with a
+  * single kernel looping over a flattened band-major plane matrix —
+  * the per-row cost that dominates an LSH indexing scan at 100 TB.
+  *
+  * Prints with its parameters inline (planes as an array literal) so
+  * SqlGen output re-parses through the registered `hyperplane_sigs`
+  * SQL function — same pattern as [[graft.functions.MinHashSig]].
+  */
+case class HyperplaneSigs(child: Expression, flatPlanes: Array[Double],
+                          bitsPerBand: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(bitsPerBand >= 1 && bitsPerBand <= 62 && dim >= 1)
+  require(flatPlanes.length % (dim * bitsPerBand) == 0,
+    "planes length must be bands*bitsPerBand*dim")
+  private val nPlanes = flatPlanes.length / dim
+  private val nBands = nPlanes / bitsPerBand
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(vt, _) if vt == FloatType || vt == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_sigs expects array<float|double>, got ${other.simpleString}")
+    }
+
+  override def sql: String =
+    s"hyperplane_sigs(${child.sql}, " +
+      s"array(${flatPlanes.map(d => s"${d}D").mkString(", ")}), " +
+      s"$bitsPerBand, $dim)"
+
+  private def vecIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val vf = vecIsFloat
+    val sigs = new Array[Long](nBands)
+    val n = math.min(dim, arr.numElements())
+    var p = 0
+    while (p < nPlanes) {
+      val base = p * dim
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val x = if (vf) arr.getFloat(j).toDouble else arr.getDouble(j)
+        acc += flatPlanes(base + j) * x
+        j += 1
+      }
+      if (acc > 0) sigs(p / bitsPerBand) |= 1L << (p % bitsPerBand)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("planes", flatPlanes, "double[]")
+    val get = if (vecIsFloat) "getFloat" else "getDouble"
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sigs = ctx.freshName("sigs")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      s"""
+         |long[] $sigs = new long[$nBands];
+         |int $n = java.lang.Math.min($dim, $arr.numElements());
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  int $base = $p * $dim;
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $acc += $flatRef[$base + $j] * ((double) $arr.$get($j));
+         |  }
+         |  if ($acc > 0) $sigs[$p / $bitsPerBand] |= 1L << ($p % $bitsPerBand);
+         |}
+         |${ev.value} = new $gad($sigs);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigs =
+    copy(child = newChild)
+
+  override def prettyName: String = "hyperplane_sigs"
+}
+
 object VectorOps {
   import org.apache.spark.sql.functions._
 
   /** Codegen'd dot product of two vector columns (float or double). */
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** All sign-LSH band signatures in one codegen'd pass.
+    * `planes` is band-major: bands × bitsPerBand planes of `dim` dims.
+    */
+  def hyperplaneSigs(vec: Column, planes: Seq[Array[Double]],
+                     bitsPerBand: Int, dim: Int): Column =
+    GraftBridge.column(HyperplaneSigs(GraftBridge.expression(vec),
+      planes.flatMap(_.toSeq).toArray, bitsPerBand, dim))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

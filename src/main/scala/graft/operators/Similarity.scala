@@ -34,12 +34,23 @@ object Similarity {
     Seq.fill(count)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-bit signature of a vector against a set of hyperplanes. */
-  private def signature(vec: Column, ps: Seq[Array[Double]]): Column =
+  /** Sign-bit signature of a vector against a set of hyperplanes
+    * (composed-builtin form — the test oracle for the single-pass
+    * [[graft.functions.HyperplaneSigs]] kernel used by the operators).
+    */
+  private[graft] def signature(vec: Column, ps: Seq[Array[Double]]): Column =
     ps.zipWithIndex.map { case (p, i) =>
       when(VectorOps.dot(vec, typedlit(p.toSeq)) > 0d,
            shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce(_.bitwiseOR(_))
+
+  /** (band, sig) rows for every band in one exploded pass over the
+    * single kernel output.
+    */
+  private def bandedSigs(vec: Column, allPlanes: Seq[Seq[Array[Double]]],
+                         bitsPerBand: Int, dim: Int) =
+    posexplode(VectorOps.hyperplaneSigs(vec, allPlanes.flatten,
+      bitsPerBand, dim))
 
   /** Exact cosine top-k for one query vector.
     * Output: (id, cosine), k rows, ties broken by id.
@@ -75,11 +86,7 @@ object Similarity {
 
     val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .select(col("id"), col("vec"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"), signature(col("vec"), allPlanes(b)).as("sig"))
-        }: _*)).as("bs"))
-      .select(col("id"), col("vec"),
-              col("bs.band").as("band"), col("bs.sig").as("sig"))
+        bandedSigs(col("vec"), allPlanes, bitsPerBand, dim).as(Seq("band", "sig")))
 
     val probe = (0 until bands)
       .map(b => col("band") === b && col("sig") === qSigs(b))
@@ -230,10 +237,7 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val banded = base
       .select(col("id"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"), signature(col("vec"), allPlanes(b)).as("sig"))
-        }: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+        bandedSigs(col("vec"), allPlanes, bitsPerBand, dim).as(Seq("band", "sig")))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

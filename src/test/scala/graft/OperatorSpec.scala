@@ -212,6 +212,17 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
 
+  test("hyperplane_sigs kernel equals the composed per-band signatures") {
+    val dim = 64; val bands = 12; val bits = 6
+    val allPlanes = (0 until bands).map(b => Similarity.planes(dim, bits, 7L + b))
+    val a = emb.select($"vec_id",
+      VectorOps.hyperplaneSigs($"embedding", allPlanes.flatten, bits, dim).as("sigs"))
+    val b = emb.select($"vec_id",
+      array(allPlanes.map(ps =>
+        Similarity.signature($"embedding", ps)): _*).as("sigs"))
+    assertSameRows(a, b)
+  }
+
   test("persisted ivf index: probe equals in-memory knnIvf and prunes partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir, nCells = 8)

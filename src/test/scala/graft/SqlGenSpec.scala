@@ -86,6 +86,19 @@ class SqlGenSpec extends SparkSpec {
     assertSameRows(df, spark.sql(sql))
   }
 
+  test("empty relation roundtrips (reference select.rs EmptyRelation)") {
+    import spark.implicits._
+    val df = Seq.empty[(Int, String)].toDF("x", "s")
+    val sql = SqlGen.toSql(df)
+    val re = spark.sql(sql)
+    assert(re.isEmpty)
+    assert(re.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    // and under operators
+    val filtered = Seq.empty[(Int, String)].toDF("x", "s").where($"x" > 0)
+    assert(spark.sql(SqlGen.toSql(filtered)).isEmpty)
+  }
+
   test("in-memory relation roundtrips as inline VALUES") {
     import spark.implicits._
     val df = Seq((1, "a"), (2, "b"), (3, "b")).toDF("x", "s")
