@@ -66,7 +66,7 @@ object AsOfJoin {
     val allCols =
       (taggedLeft.columns ++ taggedRight.columns).distinct
     def aligned(df: DataFrame): DataFrame =
-      df.select(allCols.map(c =>
+      df.select(allCols.toIndexedSeq.map(c =>
         if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
 
     val unioned = aligned(taggedLeft).unionByName(aligned(taggedRight))
@@ -143,7 +143,7 @@ object AsOfJoin {
 
     val allCols = (taggedLeft.columns ++ taggedRight.columns).distinct
     def aligned(df: DataFrame): DataFrame =
-      df.select(allCols.map(c =>
+      df.select(allCols.toIndexedSeq.map(c =>
         if (df.columns.contains(c)) col(c) else lit(null).as(c)): _*)
 
     val unioned = aligned(taggedLeft).unionByName(aligned(taggedRight))

@@ -119,7 +119,7 @@ object Similarity {
              lit(i).as("cell"))
     }
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-              greatest(cellOf: _*).getField("cell").as("cell"))
+              greatest(cellOf.toIndexedSeq: _*).getField("cell").as("cell"))
   }
 
   /** IVF probe: rank the query against the same deterministic
@@ -140,7 +140,7 @@ object Similarity {
       .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
       .sortBy(-_._1).take(nProbe).map(_._2)
     val q = typedlit(query.toSeq)
-    indexed.where(col("cell").isin(probeCells: _*))
+    indexed.where(col("cell").isin(probeCells.toIndexedSeq: _*))
       .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)

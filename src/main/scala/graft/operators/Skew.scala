@@ -28,7 +28,7 @@ object Skew {
       saltBuckets: Int = 64): DataFrame = {
     require(saltBuckets >= 2)
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(saltBuckets)))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
     val phase1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(

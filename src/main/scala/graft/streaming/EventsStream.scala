@@ -104,7 +104,7 @@ object EventsStream {
               // rejects the timestamp (late-arriving key whose session
               // already expired relative to the watermark)
               state.setTimeoutTimestamp(
-                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }
