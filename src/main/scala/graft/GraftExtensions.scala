@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashSig, SimHash64, TokenShingleHashes, TopKRows}
+import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBandBuckets, MinHashSig, SimHash64, TokenShingleHashes, TopKRows}
 
 /** Session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql` users get the codegen'd
@@ -68,6 +68,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) => MinHashSig(args(0),
         intArg(args(1), "minhash_sig"), longArg(args(2), "minhash_sig"))),
+    ("minhash_band_buckets",
+      new ExpressionInfo(classOf[MinHashBandBuckets].getName, "minhash_band_buckets"),
+      (args: Seq[Expression]) =>
+        MinHashBandBuckets(args(0), intArg(args(1), "minhash_band_buckets"))),
     ("hyperplane_sigs",
       new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
       (args: Seq[Expression]) => {

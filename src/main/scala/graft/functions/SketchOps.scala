@@ -115,6 +115,84 @@ object MinHashSig {
   final val Prime = 1073741789L
 }
 
+/** LSH band buckets of a MinHash signature in one pass: the signature
+  * splits into `bands` equal row-groups and each group folds to one
+  * 64-bit bucket hash (FNV-1a over the longs). Replaces the composed
+  * `xxhash64(slice(sig, …))`×bands form, which copies a sub-array per
+  * band per row. The bucket hash only has to be well-mixed — it is a
+  * shuffle key, never an output value — so the family differs from
+  * xxhash64 without changing any verified pair set.
+  * Input: array<long> of length bands·rows; output: array<long> of
+  * length bands.
+  */
+case class MinHashBandBuckets(child: Expression, bands: Int)
+    extends UnaryExpression {
+
+  require(bands >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"minhash_band_buckets expects array<bigint>, got ${other.simpleString}")
+    }
+
+  override def sql: String = s"minhash_band_buckets(${child.sql}, $bands)"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val rows = arr.numElements() / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = -3750763034362895579L // FNV offset basis as signed
+      var j = b * rows
+      val end = j + rows
+      while (j < end) {
+        h = (h ^ arr.getLong(j)) * 1099511628211L
+        j += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, arr => {
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val rows = ctx.freshName("rows")
+      val end = ctx.freshName("end")
+      s"""
+         |long[] $out = new long[$bands];
+         |int $rows = $arr.numElements() / $bands;
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = -3750763034362895579L;
+         |  int $end = $b * $rows + $rows;
+         |  for (int $j = $b * $rows; $j < $end; $j++) {
+         |    $h = ($h ^ $arr.getLong($j)) * 1099511628211L;
+         |  }
+         |  $out[$b] = $h;
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_band_buckets"
+}
+
 /** Single-pass 64-bit SimHash from a feature-hash array: per bit,
   * majority vote over features. Input: array<long>; output: long.
   */
@@ -195,4 +273,8 @@ object SketchOps {
 
   def simhash64(features: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(features)))
+
+  /** Band bucket hashes of a MinHash signature (codegen'd kernel). */
+  def minhashBandBuckets(sig: Column, bands: Int): Column =
+    GraftBridge.column(MinHashBandBuckets(GraftBridge.expression(sig), bands))
 }

@@ -122,13 +122,11 @@ object Dedup {
       .select(col(idCol).as("id"),
               shingleHashes(col(textCol), shingleK).as("sh"))
       .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // single-pass band bucketing: no per-band slice copies
     val banded = sig.select(
       col("id"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-               xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
-      }: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      posexplode(graft.functions.SketchOps
+        .minhashBandBuckets(col("sig"), bands)).as(Seq("band", "bucket")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
