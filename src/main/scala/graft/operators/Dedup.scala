@@ -136,6 +136,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-corpus MinHash candidates: near-duplicate pairs BETWEEN two
+    * corpora (never within one) — the decontamination shape: "which
+    * eval/benchmark documents leak into the training set". Each side
+    * is banded independently; the band-bucket join keys one side
+    * against the other, so cost is linear in cross-collisions, and a
+    * duplicate-heavy training corpus never pays intra-corpus pair
+    * volume. Output: (id_left, id_right), distinct.
+    */
+  def minhashCandidatesAcross(
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def banded(df: DataFrame, idAs: String) = df
+      .select(col(idCol).as(idAs),
+              shingleHashes(col(textCol), shingleK).as("sh"))
+      .select(col(idAs), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col(idAs),
+        posexplode(graft.functions.SketchOps
+          .minhashBandBuckets(col("sig"), bands)).as(Seq("band", "bucket")))
+    banded(left, "id_left").as("a")
+      .join(banded(right, "id_right").as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id_left"), col("b.id_right"))
+      .distinct()
+  }
+
+  /** Decontamination: training documents whose word-shingle Jaccard
+    * against any right-side (eval) document meets `threshold`.
+    * Candidates via cross-corpus LSH, then the exact verify pass.
+    * Output: (id_left, id_right, jaccard) ≥ threshold.
+    */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    val cands = minhashCandidatesAcross(train, eval, idCol, textCol,
+      shingleK, numHashes, bands)
+    val shL = train.select(col(idCol).as("id_left"),
+      shingleHashes(col(textCol), shingleK).as("sh_l"))
+    val shR = eval.select(col(idCol).as("id_right"),
+      shingleHashes(col(textCol), shingleK).as("sh_r"))
+    cands
+      .join(shL, "id_left")
+      .join(shR, "id_right")
+      .select(col("id_left"), col("id_right"),
+        (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+         size(array_union(col("sh_l"), col("sh_r")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Exact word-shingle Jaccard verification of candidate pairs.
     * Joins the (small) candidate set back to the corpus twice —
     * both joins are hash joins on the doc id — and computes

@@ -285,6 +285,37 @@ object Pipeline {
              |  / len(list_distinct(a.s || b.s)) >= 0.8
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // decontamination: near-dup pairs BETWEEN a train split and a
+    // held-out eval split (cross-corpus LSH + exact verify). Oracle:
+    // brute-force cross Jaccard — same separation argument as d02.
+    Q("d07_decontaminate",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.where(col("doc_id") % 10 =!= 0)
+        val eval = docs.where(col("doc_id") % 10 === 0)
+        Dedup.decontaminate(train, eval, "doc_id", "text",
+            shingleK = 3, numHashes = 128, bands = 16, threshold = 0.5)
+          .select(col("id_left"), col("id_right"), r6(col("jaccard")).as("jaccard"))
+          .orderBy("id_left", "id_right")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(w) >= 3
+             |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
+             |                        for i in range(1, len(w) - 1)])
+             |    ELSE [array_to_string(w, ' ')] END AS s
+             |  FROM t
+             |)
+             |SELECT a.doc_id AS id_left, b.doc_id AS id_right,
+             |  ${r6sql("CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s))")} AS jaccard
+             |FROM sh a JOIN sh b
+             |  ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+             |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |  / len(list_distinct(a.s || b.s)) >= 0.5
+             |ORDER BY id_left, id_right""".stripMargin)),
+
     // duplicate-cluster resolution: near-dup pairs → connected
     // components → per-doc (cluster survivor, cluster size). Oracle:
     // recursive-CTE transitive closure over the same brute-force pair

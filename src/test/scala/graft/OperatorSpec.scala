@@ -135,6 +135,17 @@ class DedupSpec extends SparkSpec {
       s"missed=${truePairs -- got} extra=${got -- truePairs}")
   }
 
+  test("decontamination finds exactly the cross-split near-dup pairs") {
+    val train = docs.where($"doc_id" % 10 =!= 0)
+    val eval = docs.where($"doc_id" % 10 === 0)
+    val got = Dedup.decontaminate(train, eval, "doc_id", "text")
+      .select("id_left", "id_right").as[(Long, Long)].collect().toSet
+    val want = truePairs.flatMap { case (i, j) => Seq((i, j), (j, i)) }
+      .filter { case (l, r) => l % 10 != 0 && r % 10 == 0 }
+    assert(want.nonEmpty, "split should cut through some planted dup groups")
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+  }
+
   test("duplicateClusters resolves chains and separate components") {
     // chain 1-2-3-4-5 (diameter 4 → several propagation rounds),
     // pair {10,11}, triangle {20,21,22}
