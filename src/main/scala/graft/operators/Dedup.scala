@@ -339,8 +339,12 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with min(self, neighbors) — the first propagation round
+    // fused into initialization, so near-cliques converge in one
+    // verification round instead of two
+    var labels = edges.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("label"))
+      .select(col("src").as("id"), col("label"))
       .localCheckpoint(true)
     var iters = 0
     var converged = false
