@@ -113,6 +113,20 @@ class PlanAuditSpec extends SparkSpec {
       s"no map-side topk aggregation:\n$plan")
   }
 
+  test("d02/d07 banding exchanges carry (id, band, bucket) — never text or shingles") {
+    for (name <- Seq("d02_dedup_minhash", "d07_decontaminate")) {
+      val plan = explain(build(name))
+      val blocks = plan.split("\n\n")
+      val bandExchanges = blocks.filter(b =>
+        b.contains("Exchange") && b.contains("band"))
+      assert(bandExchanges.nonEmpty, s"$name: no banding exchange:\n$plan")
+      bandExchanges.foreach { b =>
+        assert(!b.contains("text") && !b.contains("sh#") && !b.contains("sig"),
+          s"$name banding exchange carries document payloads:\n$b")
+      }
+    }
+  }
+
   test("sort+limit compiles to TakeOrderedAndProject (no global sort)") {
     val df = Tables.load(spark, sfDir, "orders")
       .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc)
