@@ -233,6 +233,30 @@ class StreamingSpec extends SparkSpec {
     } finally { exact.stop(); near.stop() }
   }
 
+  test("bounded-heap topk aggregate runs as a streaming leaderboard") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = mem.toDF().groupBy("event_type")
+      .agg(graft.functions.TopK.topk(col("value"), col("event_id"), 2).as("top"))
+      .select(col("event_type"), col("top.id").as("ids"))
+      .writeStream.format("memory").queryName("stopk")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 5.0),
+                  Event(2, ts(1), 1, "click", 9.0),
+                  Event(3, ts(2), 2, "click", 1.0))
+      q.processAllAvailable()
+      def tops() = spark.table("stopk").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      assert(tops()("click") == List(2L, 1L))
+      // a later batch displaces the weakest entry — the heap state
+      // merges across micro-batches
+      mem.addData(Event(4, ts(3), 2, "click", 7.0))
+      q.processAllAvailable()
+      assert(tops()("click") == List(2L, 4L))
+    } finally q.stop()
+  }
+
   test("batch sessionization on the real events table is consistent") {
     val ev = Tables.load(spark, sfDir, "events")
     val sessions = EventsStream.sessionizeBatch(ev, 30 * 60 * 1000L)
