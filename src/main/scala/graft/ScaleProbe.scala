@@ -54,6 +54,24 @@ object ScaleProbe {
       println(f"[probe] cosineDuplicates rep=$rep%-3d bits=$bits%-3d " +
         f"vectors=${n0 * rep}%-8d pairs=$nPairs%-9d time=$sec%.1fs")
     }
+
+    // document near-dup probe: every doc gains rep-1 exact twins —
+    // maximal candidate density for the minhash banding join
+    val docs = Tables.load(spark, sfDir, "documents")
+    val d0 = docs.count()
+    for (rep <- runs.map(_._1).distinct) {
+      val big = (0 until rep).map { i =>
+        docs.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val nPairs = operators.Dedup.minhashDuplicates(
+        big, "doc_id", "text", shingleK = 3, numHashes = 128,
+        bands = 16, threshold = 0.5).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] minhashDuplicates rep=$rep%-3d docs=${d0 * rep}%-8d " +
+        f"pairs=$nPairs%-9d time=$sec%.1fs")
+    }
     spark.stop()
   }
 }
