@@ -66,7 +66,10 @@ case class TopKRows(
   override def update(
       buf: mutable.PriorityQueue[(Double, Long)], input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val row = child.eval(input).asInstanceOf[InternalRow]
-    if (row != null) offer(buf, (row.getDouble(0), row.getLong(1)))
+    // null ord/id are skipped like every SQL aggregate skips nulls —
+    // getDouble on a null slot would silently rank the row at 0.0
+    if (row != null && !row.isNullAt(0) && !row.isNullAt(1))
+      offer(buf, (row.getDouble(0), row.getLong(1)))
     buf
   }
 

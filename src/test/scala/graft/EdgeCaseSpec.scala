@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup, Similarity}
+
+/** Degenerate-input behavior: empty sides, null ordinals, no
+  * candidates. These are the shapes long pipelines actually hit
+  * (an empty partition of a filtered source, a null-scored row) and
+  * where silent wrong answers hide.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topk skips null ordinals and null ids instead of ranking them at 0.0") {
+    val df = Seq(
+      (1L, Some(5.0), Some(10L)),
+      (1L, None, Some(11L)),        // null ord → skipped
+      (1L, Some(-3.0), Some(12L)),  // negative beats nothing but IS ranked
+      (1L, Some(2.0), None)         // null id → skipped
+    ).toDF("g", "ord", "id")
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopK.topk($"ord", $"id", 10).as("top"))
+      .select(explode($"top").as("e")).select($"e.id", $"e.ord")
+      .as[(Long, Double)].collect().toList
+    assert(got == List((10L, 5.0), (12L, -3.0)),
+      s"null ord must not rank as 0.0 (above -3.0): $got")
+  }
+
+  test("as-of joins tolerate an empty right side") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "A"))
+      .toDF("id", "ts", "k")
+    val r = Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+      .toDF("rid", "ts", "k", "v")
+    for (join <- Seq(AsOfJoin.backward _, AsOfJoin.forward _)) {
+      val out = join(l, r, Seq("k"), "ts", "ts", "id", "rid", Seq("v"), None)
+      assert(out.count() == 1)
+      assert(out.select("asof_v").head().isNullAt(0))
+    }
+  }
+
+  test("duplicateClusters of an empty pair set is empty") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(pairs).isEmpty)
+  }
+
+  test("decontaminate with an empty eval side finds nothing") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val out = Dedup.decontaminate(docs, docs.where(lit(false)), "doc_id", "text")
+    assert(out.isEmpty)
+  }
+
+  test("batch knn with an empty query set is empty") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val out = Similarity.knnBruteBatch(emb.where(lit(false)), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3)
+    assert(out.isEmpty)
+  }
+
+  test("cosineDuplicates on a single-row corpus is empty") {
+    val emb = Tables.load(spark, sfDir, "embeddings").limit(1)
+    val out = Similarity.cosineDuplicates(emb, "vec_id", "embedding",
+      dim = 64, threshold = 0.0, bands = 4, bitsPerBand = 4)
+    assert(out.isEmpty)
+  }
+}
