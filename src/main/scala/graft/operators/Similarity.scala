@@ -218,6 +218,39 @@ object Similarity {
       .select(col("query_id"), col("e.id").as("id"), col("e.ord").as("cosine"))
   }
 
+  /** kNN classification: predict each query's label by majority vote
+    * of its k nearest corpus neighbors (self-matches excluded). Same
+    * one-scan shape as [[knnBruteBatch]] — broadcast queries,
+    * bounded-heap top-k, then a vote aggregate over k·|queries| rows.
+    * Ties: more votes win, then the smaller label (deterministic).
+    * Output: (query_id, pred_label, votes).
+    */
+  def knnClassify(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(
+      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv")))
+    val neighbors = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("cv"))
+      .crossJoin(q)
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+              VectorOps.cosine(col("cv"), col("qv")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cosine"), col("id"), k).as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("id"))
+    val votes = neighbors
+      .join(corpus.select(col(idCol).as("id"), col(labelCol).as("label")), "id")
+      .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   /** All-pairs embedding near-duplicates above a cosine threshold,
     * LSH-bucketed exactly like [[Dedup.minhashCandidates]] but in
     * sign-bit space. Output: (id_a, id_b, cosine) ≥ threshold.

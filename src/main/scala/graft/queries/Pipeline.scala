@@ -495,6 +495,45 @@ object Pipeline {
              |SELECT id, ${r6sql("cos")} AS cosine
              |FROM scored ORDER BY cos DESC, id LIMIT 20""".stripMargin)),
 
+    // kNN classification: majority label of the 10 nearest neighbors
+    // for the 5 lowest-id vectors (self excluded). Oracle replays the
+    // rank + vote chain with the mirrored cosine.
+    Q("s05_knn_classify",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.knnClassify(emb.orderBy("vec_id").limit(5),
+            "vec_id", "embedding", emb, "vec_id", "embedding", "label",
+            k = 10)
+          .orderBy("query_id")
+      },
+      Some("""WITH q AS (
+             |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings ORDER BY vec_id LIMIT 5
+             |), e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), ranked AS (
+             |  SELECT query_id, vec_id, label, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY
+             |      CASE WHEN sqrt(list_dot_product(v, v))
+             |              * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
+             |      ELSE list_dot_product(v, qv)
+             |        / (sqrt(list_dot_product(v, v))
+             |           * sqrt(list_dot_product(qv, qv))) END DESC,
+             |      vec_id ASC) AS rn
+             |  FROM e CROSS JOIN q
+             |  WHERE vec_id <> query_id
+             |), votes AS (
+             |  SELECT query_id, label, COUNT(*) AS votes
+             |  FROM ranked WHERE rn <= 10 GROUP BY query_id, label
+             |), best AS (
+             |  SELECT query_id, label, votes, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY votes DESC, label ASC) AS rk
+             |  FROM votes
+             |)
+             |SELECT query_id, label AS pred_label, votes
+             |FROM best WHERE rk = 1 ORDER BY query_id""".stripMargin)),
+
     // language ID heuristic. Oracle replicates the stopword-overlap
     // scores per profile; the CASE chain encodes greatest(struct)'s
     // tie-breaking (equal scores → later profile wins).

@@ -223,6 +223,21 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
 
+  test("knn classification predicts the planted cluster label") {
+    val df = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.95f, 0.05f), 1),
+      (3L, Array(0f, 1f), 2), (4L, Array(0.1f, 0.9f), 2),
+      (5L, Array(0.05f, 0.95f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnClassify(
+        df.where($"vec_id".isin(0L, 3L)), "vec_id", "embedding",
+        df, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(0L) == ((1, 2L)), "query 0 sits in the label-1 cluster")
+    assert(out(3L) == ((2, 2L)), "query 3 sits in the label-2 cluster")
+  }
+
   test("hyperplane_sigs kernel equals the composed per-band signatures") {
     val dim = 64; val bands = 12; val bits = 6
     val allPlanes = (0 until bands).map(b => Similarity.planes(dim, bits, 7L + b))
