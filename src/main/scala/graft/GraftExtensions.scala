@@ -22,7 +22,7 @@ import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBand
   *   char_ngram_hashes(s, n)       — distinct char-n-gram hashes
   *   topk_rows(struct(ord,id), k)  — bounded-heap top-k aggregate
   *   minhash_sig(hashes, k, seed)  — k-permutation MinHash signature
-  *   hyperplane_sigs(v, planes, bits, dim) — sign-LSH band signatures
+  *   hyperplane_sigs(v, bands, bits, dim, seed) — sign-LSH band signatures
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -74,14 +74,10 @@ object GraftExtensions {
         MinHashBandBuckets(args(0), intArg(args(1), "minhash_band_buckets"))),
     ("hyperplane_sigs",
       new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
-      (args: Seq[Expression]) => {
-        require(args(1).foldable, "hyperplane_sigs: planes must be a literal array")
-        val flat = args(1).eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-          .toDoubleArray()
-        HyperplaneSigs(args(0), flat,
-          intArg(args(2), "hyperplane_sigs"), intArg(args(3), "hyperplane_sigs"))
-      }))
+      (args: Seq[Expression]) =>
+        HyperplaneSigs(args(0),
+          intArg(args(1), "hyperplane_sigs"), intArg(args(2), "hyperplane_sigs"),
+          intArg(args(3), "hyperplane_sigs"), longArg(args(4), "hyperplane_sigs"))))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -145,6 +145,12 @@ case class MinHashBandBuckets(child: Expression, bands: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    // SQL callers reach this without the Scala wrapper's divisibility
+    // guard; silently dropping trailing hashes would corrupt buckets
+    if (arr.numElements() % bands != 0)
+      throw new IllegalArgumentException(
+        s"minhash_band_buckets: signature length ${arr.numElements()} " +
+          s"is not divisible by bands=$bands")
     val rows = arr.numElements() / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -172,6 +178,11 @@ case class MinHashBandBuckets(child: Expression, bands: Int)
       val rows = ctx.freshName("rows")
       val end = ctx.freshName("end")
       s"""
+         |if ($arr.numElements() % $bands != 0) {
+         |  throw new IllegalArgumentException(
+         |    "minhash_band_buckets: signature length " + $arr.numElements() +
+         |    " is not divisible by bands=" + $bands);
+         |}
          |long[] $out = new long[$bands];
          |int $rows = $arr.numElements() / $bands;
          |for (int $b = 0; $b < $bands; $b++) {

@@ -87,19 +87,22 @@ case class DotProduct(left: Expression, right: Expression)
   * single kernel looping over a flattened band-major plane matrix —
   * the per-row cost that dominates an LSH indexing scan at 100 TB.
   *
-  * Prints with its parameters inline (planes as an array literal) so
-  * SqlGen output re-parses through the registered `hyperplane_sigs`
-  * SQL function — same pattern as [[graft.functions.MinHashSig]].
+  * Parameterized on (bands, bitsPerBand, dim, seed) — the planes are
+  * derived lazily from the seed (band b uses `Random(seed + b)`'s
+  * Gaussian stream, same family as `Similarity.planes`), so equality /
+  * canonicalization is structural (semanticEquals and subexpression
+  * elimination work) and `.sql` prints four scalar literals instead of
+  * a bands×bitsPerBand×dim array — same pattern as [[MinHashSig]].
   */
-case class HyperplaneSigs(child: Expression, flatPlanes: Array[Double],
-                          bitsPerBand: Int, dim: Int)
+case class HyperplaneSigs(child: Expression, bands: Int,
+                          bitsPerBand: Int, dim: Int, seed: Long)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  require(bitsPerBand >= 1 && bitsPerBand <= 62 && dim >= 1)
-  require(flatPlanes.length % (dim * bitsPerBand) == 0,
-    "planes length must be bands*bitsPerBand*dim")
-  private val nPlanes = flatPlanes.length / dim
-  private val nBands = nPlanes / bitsPerBand
+  require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 62 && dim >= 1)
+  @transient private lazy val flatPlanes: Array[Double] =
+    HyperplaneSigs.flatPlanes(bands, bitsPerBand, dim, seed)
+  private val nPlanes = bands * bitsPerBand
+  private val nBands = bands
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -115,9 +118,7 @@ case class HyperplaneSigs(child: Expression, flatPlanes: Array[Double],
     }
 
   override def sql: String =
-    s"hyperplane_sigs(${child.sql}, " +
-      s"array(${flatPlanes.map(d => s"${d}D").mkString(", ")}), " +
-      s"$bitsPerBand, $dim)"
+    s"hyperplane_sigs(${child.sql}, $bands, $bitsPerBand, $dim, ${seed}L)"
 
   private def vecIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -176,6 +177,30 @@ case class HyperplaneSigs(child: Expression, flatPlanes: Array[Double],
   override def prettyName: String = "hyperplane_sigs"
 }
 
+object HyperplaneSigs {
+  /** Band-major flattened plane matrix: band b's `bitsPerBand` planes
+    * of `dim` dims drawn from `Random(seed + b)`'s Gaussian stream —
+    * formula-identical to `Similarity.planes(dim, bitsPerBand, seed+b)`
+    * (java.util.Random's Gaussian stream is specified behavior, so the
+    * planes are the same constants on every JVM — the property the
+    * DuckDB oracles rely on when they inline them as literals).
+    */
+  def flatPlanes(bands: Int, bitsPerBand: Int, dim: Int, seed: Long): Array[Double] = {
+    val out = new Array[Double](bands * bitsPerBand * dim)
+    var p = 0
+    var b = 0
+    while (b < bands) {
+      val rnd = new scala.util.Random(seed + b)
+      var i = 0
+      while (i < bitsPerBand * dim) {
+        out(p) = rnd.nextGaussian(); p += 1; i += 1
+      }
+      b += 1
+    }
+    out
+  }
+}
+
 object VectorOps {
   import org.apache.spark.sql.functions._
 
@@ -183,13 +208,13 @@ object VectorOps {
   def dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** All sign-LSH band signatures in one codegen'd pass.
-    * `planes` is band-major: bands × bitsPerBand planes of `dim` dims.
+  /** All sign-LSH band signatures in one codegen'd pass; the planes
+    * derive deterministically from (bands, bitsPerBand, dim, seed).
     */
-  def hyperplaneSigs(vec: Column, planes: Seq[Array[Double]],
-                     bitsPerBand: Int, dim: Int): Column =
+  def hyperplaneSigs(vec: Column, bands: Int, bitsPerBand: Int,
+                     dim: Int, seed: Long): Column =
     GraftBridge.column(HyperplaneSigs(GraftBridge.expression(vec),
-      planes.flatMap(_.toSeq).toArray, bitsPerBand, dim))
+      bands, bitsPerBand, dim, seed))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

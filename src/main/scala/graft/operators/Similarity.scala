@@ -45,12 +45,13 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
 
   /** (band, sig) rows for every band in one exploded pass over the
-    * single kernel output.
+    * single kernel output. Band b's planes are `planes(dim,
+    * bitsPerBand, seed + b)` — the kernel derives the same matrix
+    * from (bands, bitsPerBand, dim, seed).
     */
-  private def bandedSigs(vec: Column, allPlanes: Seq[Seq[Array[Double]]],
-                         bitsPerBand: Int, dim: Int) =
-    posexplode(VectorOps.hyperplaneSigs(vec, allPlanes.flatten,
-      bitsPerBand, dim))
+  private def bandedSigs(vec: Column, bands: Int,
+                         bitsPerBand: Int, dim: Int, seed: Long) =
+    posexplode(VectorOps.hyperplaneSigs(vec, bands, bitsPerBand, dim, seed))
 
   /** Exact cosine top-k for one query vector.
     * Output: (id, cosine), k rows, ties broken by id.
@@ -86,7 +87,7 @@ object Similarity {
 
     val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .select(col("id"), col("vec"),
-        bandedSigs(col("vec"), allPlanes, bitsPerBand, dim).as(Seq("band", "sig")))
+        bandedSigs(col("vec"), bands, bitsPerBand, dim, seed).as(Seq("band", "sig")))
 
     val probe = (0 until bands)
       .map(b => col("band") === b && col("sig") === qSigs(b))
@@ -266,11 +267,10 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double, bands: Int = 8, bitsPerBand: Int = 8,
       seed: Long = 7L): DataFrame = {
-    val allPlanes = (0 until bands).map(b => planes(dim, bitsPerBand, seed + b))
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val banded = base
       .select(col("id"),
-        bandedSigs(col("vec"), allPlanes, bitsPerBand, dim).as(Seq("band", "sig")))
+        bandedSigs(col("vec"), bands, bitsPerBand, dim, seed).as(Seq("band", "sig")))
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&

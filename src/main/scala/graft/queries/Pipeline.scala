@@ -225,7 +225,8 @@ object Pipeline {
           .orderBy("id_a", "id_b")
       },
       Some(s"""WITH t AS (
-             |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
              |  FROM documents
              |), sh AS (
              |  SELECT doc_id, CASE WHEN len(w) >= 3
@@ -299,7 +300,8 @@ object Pipeline {
           .orderBy("id_left", "id_right")
       },
       Some(s"""WITH t AS (
-             |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
              |  FROM documents
              |), sh AS (
              |  SELECT doc_id, CASE WHEN len(w) >= 3
@@ -336,7 +338,8 @@ object Pipeline {
           .orderBy("doc_id")
       },
       Some("""WITH RECURSIVE t AS (
-             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
              |  FROM documents
              |), sh AS (
              |  SELECT doc_id, CASE WHEN len(w) >= 3

@@ -66,13 +66,21 @@ object EventsStream {
                  watermarkDelay: String = "0 seconds")
                 (implicit spark: SparkSession): Dataset[Session] = {
     import spark.implicits._
+    // Batch inputs have no watermark: GroupState.getCurrentWatermarkMs
+    // throws under NoTimeout-less batch execution, and no timeout ever
+    // fires — so the batch path flushes the trailing session inline
+    // instead of parking it in state.
+    val streaming = events.isStreaming
     val src =
-      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      if (streaming) events.withWatermark("ts", watermarkDelay)
       else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             // watermark passed session_end + gap: no earlier event can
@@ -99,12 +107,19 @@ object EventsStream {
               }
             }
             cur.foreach { s =>
-              state.update(s)
-              // must be strictly above the current watermark or Spark
-              // rejects the timestamp (late-arriving key whose session
-              // already expired relative to the watermark)
-              state.setTimeoutTimestamp(
-                math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+              if (streaming) {
+                state.update(s)
+                // must be strictly above the current watermark or Spark
+                // rejects the timestamp (late-arriving key whose session
+                // already expired relative to the watermark)
+                state.setTimeoutTimestamp(
+                  math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+              } else {
+                // batch: one invocation per key sees every event, so the
+                // open session is final — emit it now
+                closed += Session(userId, new Timestamp(s.start),
+                  new Timestamp(s.end), s.n, s.total)
+              }
             }
             closed.result().iterator
           }

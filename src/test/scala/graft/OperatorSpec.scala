@@ -242,7 +242,7 @@ class SimilaritySpec extends SparkSpec {
     val dim = 64; val bands = 12; val bits = 6
     val allPlanes = (0 until bands).map(b => Similarity.planes(dim, bits, 7L + b))
     val a = emb.select($"vec_id",
-      VectorOps.hyperplaneSigs($"embedding", allPlanes.flatten, bits, dim).as("sigs"))
+      VectorOps.hyperplaneSigs($"embedding", bands, bits, dim, 7L).as("sigs"))
     val b = emb.select($"vec_id",
       array(allPlanes.map(ps =>
         Similarity.signature($"embedding", ps)): _*).as("sigs"))

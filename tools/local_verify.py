@@ -34,7 +34,8 @@ def main():
         if not files:
             fails.append((name, "no spark output"))
             continue
-        spark_rel = con.sql(f"SELECT * FROM '{files[0]}'")
+        # read ALL part files — Spark may write multi-part outputs
+        spark_rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
         try:
             ora_rel = con.sql(sql)
         except Exception as e:
