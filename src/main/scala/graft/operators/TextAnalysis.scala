@@ -143,6 +143,42 @@ object TextAnalysis {
       .select("doc_id", "term", "tf", "doc_freq", "score", "term_rank")
   }
 
+  /** Default stopword list for [[normalize]] (the `en` profile). */
+  val defaultStopwords: Seq[String] = profiles.head._2
+
+  /** Canonical cleaning pass: lowercase → strip non-alphanumerics →
+    * collapse runs of spaces → drop stopwords. Pure per-row builtin
+    * expressions (one codegen'd scan stage at 100 TB — this is the
+    * mapper every training-data pipeline runs before dedup/tokenize).
+    * Output: (id, norm_text, n_tokens, n_distinct).
+    */
+  def normalize(df: DataFrame, idCol: String, textCol: String,
+                stopwords: Seq[String] = defaultStopwords): DataFrame = {
+    val collapsed = regexp_replace(
+      regexp_replace(lower(trim(col(textCol))), "[^a-z0-9 ]", " "),
+      " +", " ")
+    val toks = filter(split(trim(collapsed), " "),
+      t => t =!= "" && !t.isin(stopwords: _*))
+    df.select(
+      col(idCol),
+      array_join(toks, " ").as("norm_text"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"))
+  }
+
+  /** Corpus-global heavy hitters: top-k terms by document-independent
+    * frequency. Shape at 100 TB: explode → partially-aggregated
+    * groupBy(term) (map-side combine collapses each partition to its
+    * vocabulary before the shuffle) → TakeOrderedAndProject (per-
+    * partition k-heaps; no global sort materializes). Ties rank by
+    * term asc so the cut at k is total and deterministic.
+    */
+  def heavyHitters(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(k)
+
   /** The full per-document analysis row. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

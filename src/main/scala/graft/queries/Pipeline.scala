@@ -537,6 +537,44 @@ object Pipeline {
              |SELECT query_id, label AS pred_label, votes
              |FROM best WHERE rk = 1 ORDER BY query_id""".stripMargin)),
 
+    // int8-quantized kNN: the oracle replays the symmetric
+    // quantization (scale = 127/max|x|, floor(x·scale + 0.5)) on both
+    // corpus and query, then the mirrored cosine — codes are
+    // integer-valued doubles so every op is exact cross-engine.
+    Q("s06_knn_quantized",
+      (s, dir) => {
+        Similarity.knnQuantized(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", queryVec(s, dir), k = 20)
+          .select(col("id"), r6(col("cosine")).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), eq AS (
+             |  SELECT vec_id, CASE WHEN list_max([abs(x) for x in v]) = 0
+             |    THEN [0.0 for x in v]
+             |    ELSE [floor(x * (127.0 / list_max([abs(y) for y in v])) + 0.5)
+             |          for x in v] END AS qv
+             |  FROM e
+             |), q AS (
+             |  SELECT CASE WHEN list_max([abs(x) for x in v]) = 0
+             |    THEN [0.0 for x in v]
+             |    ELSE [floor(x * (127.0 / list_max([abs(y) for y in v])) + 0.5)
+             |          for x in v] END AS qq
+             |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v
+             |        FROM embeddings ORDER BY vec_id LIMIT 1)
+             |), c AS (
+             |  SELECT vec_id AS id,
+             |    CASE WHEN sqrt(list_dot_product(qv, qv))
+             |            * sqrt(list_dot_product(qq, qq)) = 0 THEN 0
+             |    ELSE list_dot_product(qv, qq)
+             |      / (sqrt(list_dot_product(qv, qv))
+             |         * sqrt(list_dot_product(qq, qq))) END AS cos
+             |  FROM eq, q
+             |)
+             |SELECT id, ${r6sql("cos")} AS cosine
+             |FROM c ORDER BY cos DESC, id LIMIT 20""".stripMargin)),
+
     // language ID heuristic. Oracle replicates the stopword-overlap
     // scores per profile; the CASE chain encodes greatest(struct)'s
     // tie-breaking (equal scores → later profile wins).
@@ -685,6 +723,42 @@ object Pipeline {
              |  ${r6sql("score")} AS score, CAST(term_rank AS INT) AS term_rank
              |FROM ranked WHERE term_rank <= 5
              |ORDER BY doc_id, term_rank""".stripMargin)),
+
+    // canonical text-normalization pass (lower → strip non-alnum →
+    // collapse spaces → drop stopwords), pure per-row expressions.
+    Q("t08_normalize",
+      (s, dir) => {
+        TextAnalysis.normalize(Tables.load(s, dir, "documents"),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id, list_filter(
+             |    string_split(trim(regexp_replace(regexp_replace(
+             |      lower(trim(text)), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '),
+             |    t -> t <> '' AND t NOT IN
+             |      ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for')) AS w
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |  array_to_string(w, ' ') AS norm_text,
+             |  CAST(len(w) AS INT) AS n_tokens,
+             |  CAST(len(list_distinct(w)) AS INT) AS n_distinct
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // corpus-global heavy hitters: top-100 terms by frequency —
+    // explode → map-side-combined groupBy → TakeOrdered (no global
+    // sort); ties cut deterministically by term asc.
+    Q("t09_heavy_hitters",
+      (s, dir) => {
+        TextAnalysis.heavyHitters(Tables.load(s, dir, "documents"),
+            "text", k = 100)
+          .orderBy(col("n").desc, col("term").asc)
+      },
+      Some("""SELECT term, COUNT(*) AS n
+             |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             |      FROM documents)
+             |GROUP BY term ORDER BY n DESC, term ASC LIMIT 100""".stripMargin)),
 
     // gap-based sessionization, batch twin of the streaming operator
     // (graft.streaming.EventsStream.sessionize). Timestamps formatted

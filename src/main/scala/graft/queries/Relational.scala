@@ -837,6 +837,111 @@ object Relational {
              |FROM lineitem WHERE l_orderkey < 100
              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    // ───────────────────────── JSON extraction ─────────────────────────
+    // Semi-structured metadata parsing — the `props` column is a JSON
+    // string, the universal shape of web-crawl/event metadata. The
+    // extraction stays a codegen'd scan expression (get_json_object),
+    // so at 100 TB this is a mapper, not a parse-then-shuffle.
+    Q("q39_json_extract",
+      (s, dir) => {
+        Tables.load(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"),
+            (sum(col("k")).cast("double") / count(lit(1))).as("avg_k"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+             |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             |  / COUNT(*) AS avg_k
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // ───────────────────────── exact percentiles ─────────────────────────
+    // percentile_cont at quarter points: with integer-valued inputs
+    // and p ∈ {.25, .5, .75}, the linear interpolation
+    // lo + (hi−lo)·frac is exact in binary (frac is a dyadic
+    // rational), so Spark and DuckDB agree bit-for-bit with no
+    // rounding shim. Exact percentiles sort within each group — at
+    // 100 TB prefer approx_percentile (mergeable sketch, one pass,
+    // bounded error; accuracy spec'd in SketchAggSpec).
+    Q("q40_percentiles",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(percentile(col("l_quantity"), lit(0.25)).as("q25"),
+            median(col("l_quantity")).as("q50"),
+            percentile(col("l_quantity"), lit(0.75)).as("q75"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |quantile_cont(l_quantity, 0.25) AS q25,
+             |quantile_cont(l_quantity, 0.50) AS q50,
+             |quantile_cont(l_quantity, 0.75) AS q75,
+             |COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ───────────────────────── distribution moments ─────────────────────────
+    // stddev/correlation computed the order-independent way: exact
+    // decimal power sums (n, Σx, Σx², Σy, Σy², Σxy) in the aggregate —
+    // partial aggregation can combine them in any order — then ONE
+    // fixed sequence of double ops derives mean/var/std/corr.
+    // Spark's native stddev/corr stream IEEE doubles, so their low
+    // bits depend on partition layout; these don't, which is what
+    // makes a 100 TB statistic reproducible run-to-run (and lets the
+    // DuckDB oracle match the hash exactly).
+    Q("q41_stats_moments",
+      (s, dir) => {
+        val x = dec(col("l_quantity"))
+        val y = dec(col("l_extendedprice"))
+        val sums = Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).cast("double").as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y).cast("double").as("sy"),
+            sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+        val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
+        val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
+        sums.select(col("l_returnflag"),
+            (sx / n).as("mean_qty"),
+            sqrt((sxx - sx * sx / n) / (n - 1)).as("std_qty"),
+            (sy / n).as("mean_price"),
+            sqrt((syy - sy * sy / n) / (n - 1)).as("std_price"),
+            ((sxy - sx * sy / n) /
+              sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH sums AS (
+             |  SELECT l_returnflag,
+             |    CAST(COUNT(*) AS DOUBLE) AS n,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag
+             |)
+             |SELECT l_returnflag,
+             |  sx / n AS mean_qty,
+             |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
+             |  sy / n AS mean_price,
+             |  sqrt((syy - sy * sy / n) / (n - 1)) AS std_price,
+             |  (sxy - sx * sy / n)
+             |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+             |FROM sums ORDER BY l_returnflag""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

@@ -197,6 +197,26 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
 
+  test("quantized knn: self-match first, high overlap with brute top-k") {
+    val quant = Similarity.knnQuantized(emb, "vec_id", "embedding", qv, 10)
+      .collect()
+    assert(quant.length == 10)
+    // the query quantizes to its own codes → exact self-match
+    assert(quant.head.getLong(0) == 0L)
+    assert(math.abs(quant.head.getDouble(1) - 1.0) < 1e-12)
+    // int8 error is small: quantized top-10 overlaps brute top-10
+    val bruteIds = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = quant.map(_.getLong(0)).count(bruteIds.contains)
+    assert(overlap >= 7, s"quantized/brute top-10 overlap only $overlap")
+    // zero vectors neither crash nor rank above real matches
+    val withZero = emb.limit(50).union(
+      Seq((99999L, Array.fill(64)(0f), 0)).toDF("vec_id", "embedding", "label"))
+    val z = Similarity.knnQuantized(withZero, "vec_id", "embedding", qv, 50)
+      .collect()
+    assert(z.find(_.getLong(0) == 99999L).get.getDouble(1) == 0.0)
+  }
+
   test("lsh knn returns a subset of the corpus ranked consistently with brute") {
     val brute = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 50)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -375,6 +395,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0) == ((1L, 4, 6)))
     assert(got(1)._2 == 0)
     assert(got(2) == ((3L, 1, 1)))
+  }
+
+  test("normalize lowers, strips punctuation, collapses runs, drops stopwords") {
+    val df = Seq(
+      (1L, "The  QUICK\tbrown fox, and IT jumped!"),
+      (2L, "  \n  "),
+      (3L, "a the of and to in is that it for"), // all stopwords
+      (4L, "data2vec++ rocks")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.normalize(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(out(0) == ((1L, "quick brown fox jumped", 4, 4)))
+    assert(out(1) == ((2L, "", 0, 0)))
+    assert(out(2) == ((3L, "", 0, 0)))
+    assert(out(3) == ((4L, "data2vec rocks", 2, 2)))
+  }
+
+  test("heavy hitters ranks by frequency with deterministic tie order") {
+    val df = Seq("b b b a a c", "a c d", "e").map(Tuple1(_)).toDF("text")
+    val out = TextAnalysis.heavyHitters(df, "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 3L), ("b", 3L), ("c", 2L)))
   }
 
   test("split labels partition the corpus deterministically") {

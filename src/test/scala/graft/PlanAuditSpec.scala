@@ -76,6 +76,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"nothing codegen-fused:\n$plan")
   }
 
+  test("q39: events scan prunes to the two referenced columns") {
+    val plan = explain(build("q39_json_extract"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("event_type") && readSchema.contains("props"))
+    assert(!readSchema.contains("user_id") && !readSchema.contains("value"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("q41: decimal power sums aggregate map-side before the exchange") {
+    val plan = explain(build("q41_stats_moments"))
+    assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
+    assert(plan.contains("partial_count"), s"no partial count:\n$plan")
+  }
+
+  test("t09 heavy hitters: map-side combine + TakeOrdered, no global sort") {
+    val plan = explain(build("t09_heavy_hitters"))
+    assert(plan.contains("partial_count"), s"map-side combine missing:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be a bounded heap, not a sort:\n$plan")
+  }
+
+  test("s06 quantized knn: one scan, bounded top-k, zero exchanges") {
+    // the raw operator (the Pipeline entry adds a presentation sort of
+    // the 20-row result, which is an Exchange but not a data-scale one)
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val qv = emb.orderBy("vec_id").select("embedding")
+      .head().getSeq[Float](0).toArray
+    val plan = explain(
+      graft.operators.Similarity.knnQuantized(emb, "vec_id", "embedding", qv, 20))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be a bounded heap:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"quantized scan+rank must not shuffle:\n$plan")
+  }
+
   test("d01 exact dedup is a single hash-shuffle aggregation") {
     val plan = explain(build("d01_dedup_exact"))
     // one Exchange for the groupBy, one for the final orderBy — no join

@@ -45,6 +45,31 @@ class SketchAggSpec extends SparkSpec {
     assertSameRows(direct, salted)
   }
 
+  test("moment-derived stddev/corr agree with Spark's native aggregates") {
+    // q41 derives stats from exact decimal power sums (partition-order
+    // independent); Spark's native stddev_samp/corr stream doubles.
+    // Both estimate the same statistic — agreement to 1e-9 relative
+    // validates the derivation without inheriting the native
+    // aggregates' partition-order sensitivity.
+    val derived = graft.queries.Relational.all
+      .find(_.name == "q41_stats_moments").get.build(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(4), r.getDouble(5))).toMap
+    val native = li.groupBy("l_returnflag").agg(
+        stddev_samp(col("l_quantity")).as("sq"),
+        stddev_samp(col("l_extendedprice")).as("sp"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(derived.keySet == native.keySet)
+    for ((flag, (sq, sp, c)) <- derived) {
+      val (nsq, nsp, nc) = native(flag)
+      assert(math.abs(sq - nsq) / nsq < 1e-9, s"$flag std_qty $sq vs $nsq")
+      assert(math.abs(sp - nsp) / nsp < 1e-9, s"$flag std_price $sp vs $nsp")
+      assert(math.abs(c - nc) < 1e-9, s"$flag corr $c vs $nc")
+    }
+  }
+
   test("salted aggregation plan has two exchanges, keyed then salted") {
     val out = Skew.saltedAggregate(li,
       keys = Seq("l_returnflag"),
