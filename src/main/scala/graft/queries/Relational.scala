@@ -856,7 +856,7 @@ object Relational {
           .orderBy("event_type")
       },
       Some("""SELECT event_type, COUNT(*) AS n,
-             |SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
              |MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
              |CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)

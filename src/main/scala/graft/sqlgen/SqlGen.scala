@@ -3,7 +3,7 @@ package graft.sqlgen
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BitwiseAnd, Cast, CreateNamedStruct, Expression, GetStructField, IntegerLiteral, LambdaFunction, LeafExpression, Literal, NamedLambdaVariable, ShiftRight, SortOrder, Unevaluable, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BitwiseAnd, Cast, CreateNamedStruct, Exists, Expression, GetStructField, InSubquery, IntegerLiteral, LambdaFunction, LeafExpression, Literal, NamedLambdaVariable, OuterReference, ScalarSubquery, ShiftRight, SortOrder, Unevaluable, WindowExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, First, Last}
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -143,7 +143,16 @@ object SqlGen {
           case v: NamedLambdaVariable => vname(v)
           case other => exprSql(other)
         }
+        // Intercept nested lambdas BEFORE substituting variables: a
+        // blanket NamedLambdaVariable substitution would also rewrite
+        // an inner lambda's *argument list* (typed Seq[NamedExpression])
+        // into RawSql and crash the rebuild. Rendering the inner lambda
+        // recursively is safe — vname is deterministic (name_exprId),
+        // so outer variables captured in the inner body print the same
+        // text as in the outer argument list.
         val body = exprSql(lf.function.transform {
+          case inner: LambdaFunction =>
+            RawSql(exprSql(inner), inner.dataType, inner.nullable)
           case v: NamedLambdaVariable =>
             RawSql(vname(v), v.dataType, v.nullable)
         })
@@ -165,6 +174,22 @@ object SqlGen {
           case other => genericSql(other)
         }
         s"$fn OVER ${genericSql(we.windowSpec)}"
+      // Subquery *expressions* — the reference's nested-subquery
+      // surface (select.rs:752-988): a scalar subquery, EXISTS, or
+      // IN (subquery) inside a WHERE/SELECT. Catalyst's `.sql` prints
+      // `scalar-subquery#N []`, which doesn't re-parse — render the
+      // inner plan recursively through `gen` instead. Correlated
+      // references appear as OuterReference(attr) and print as the
+      // bare outer column name (same bare-identifier contract as
+      // everything else here: names must be unambiguous).
+      case s: ScalarSubquery => s"(${gen(s.plan)})"
+      case ex: Exists => s"EXISTS (${gen(ex.plan)})"
+      case in: InSubquery =>
+        val vals = in.values.map(exprSql)
+        val v = if (vals.size == 1) vals.head
+                else vals.mkString("(", ", ", ")")
+        s"$v IN (${gen(in.query.plan)})"
+      case o: OuterReference => exprSql(o.e)
       // na.drop's predicate has no SQL function name — spell it out
       case n: org.apache.spark.sql.catalyst.expressions.AtLeastNNonNulls =>
         val indicators = n.children
@@ -192,6 +217,10 @@ object SqlGen {
           RawSql(exprSql(c), c.dataType, c.nullable)
         case lf: LambdaFunction =>
           RawSql(exprSql(lf), lf.dataType, lf.nullable)
+        case s: ScalarSubquery => RawSql(exprSql(s), s.dataType, s.nullable)
+        case ex: Exists => RawSql(exprSql(ex), ex.dataType, ex.nullable)
+        case in: InSubquery => RawSql(exprSql(in), in.dataType, in.nullable)
+        case o: OuterReference => RawSql(exprSql(o), o.dataType, o.nullable)
       }.sql
 
     private def projList(es: Seq[Expression]): String =

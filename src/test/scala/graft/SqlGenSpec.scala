@@ -128,6 +128,52 @@ class SqlGenSpec extends SparkSpec {
     assert(SqlGen.toSql(again).contains("FROM nation_csv"))
   }
 
+  // Subquery *expressions* — the reference's nested-subquery surface
+  // (select.rs:752-988): scalar subqueries, EXISTS and IN (subquery)
+  // inside WHERE/SELECT, without pre-lowering to joins.
+  test("roundtrip scalar subquery in WHERE") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      "SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)")
+    val sql = SqlGen.toSql(df)
+    assert(sql.contains("(SELECT"), sql)
+    assertSameRows(df, spark.sql(sql))
+  }
+
+  test("roundtrip scalar subquery in SELECT list") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      "SELECT n_name, (SELECT max(r_name) FROM region) AS top_r FROM nation")
+    assertSameRows(df, spark.sql(SqlGen.toSql(df)))
+  }
+
+  test("roundtrip correlated EXISTS / NOT EXISTS in WHERE") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_totalprice > 100000) ORDER BY c_custkey")
+    val sql = SqlGen.toSql(df)
+    assert(sql.contains("EXISTS (SELECT"), sql)
+    assertSameRows(df, spark.sql(sql))
+
+    val not = spark.sql(
+      "SELECT c_custkey FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)")
+    assertSameRows(not, spark.sql(SqlGen.toSql(not)))
+  }
+
+  test("roundtrip IN (subquery) in WHERE") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      "SELECT s_suppkey, s_name FROM supplier WHERE s_nationkey IN " +
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)")
+    val sql = SqlGen.toSql(df)
+    assert(sql.contains("IN (SELECT"), sql)
+    assertSameRows(df, spark.sql(sql))
+  }
+
   test("unnamed non-parquet relation raises a clear error") {
     val dir = java.nio.file.Files.createTempDirectory("sqlgen-anon").toString
     Tables.load(spark, sfDir, "region").write.mode("overwrite").json(s"$dir/r")
