@@ -40,6 +40,11 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Truncation-proofing: the full line above can be cut by bounded
+    // output captures (round 3 lost its head, and with it the total and
+    // the first queries). Repeat the small summary on its own final
+    // line so either capture direction preserves it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for large text corpora.
   *
@@ -111,17 +112,31 @@ object Dedup {
     */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame = {
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame =
+    candidatesFromHashes(hashedCorpus(df, idCol, textCol, shingleK),
+      numHashes, bands)
+
+  /** The canonical (id, sh) projection every MinHash operator consumes.
+    * Materialized in its own projection: the signature references `sh`
+    * numHashes times, and CollapseProject would otherwise inline (and
+    * recompute) the whole shingle pipeline into every one of the 128
+    * min-hash lambdas.
+    */
+  private def hashedCorpus(
+      df: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+              shingleHashes(col(textCol), shingleK).as("sh"))
+
+  /** Candidate pairs from a pre-hashed (id, sh) corpus — lets the
+    * end-to-end paths ([[minhashDuplicates]], [[decontaminate]]) share
+    * ONE text-hashing pass between candidate generation and verify.
+    */
+  private def candidatesFromHashes(
+      sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     require(rows * bands == numHashes, "bands must divide numHashes")
-    // Materialize the shingle-hash array in its own projection: the
-    // signature references it numHashes times, and CollapseProject
-    // would otherwise inline (and recompute) the whole shingle
-    // pipeline into every one of the 128 min-hash lambdas.
-    val sig = df
-      .select(col(idCol).as("id"),
-              shingleHashes(col(textCol), shingleK).as("sh"))
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+    val sig = sh.select(col("id"),
+      minhashSignature(col("sh"), numHashes).as("sig"))
     // single-pass band bucketing: no per-band slice copies
     val banded = sig.select(
       col("id"),
@@ -171,15 +186,29 @@ object Dedup {
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    val cands = minhashCandidatesAcross(train, eval, idCol, textCol,
-      shingleK, numHashes, bands)
-    val shL = train.select(col(idCol).as("id_left"),
-      shingleHashes(col(textCol), shingleK).as("sh_l"))
-    val shR = eval.select(col(idCol).as("id_right"),
-      shingleHashes(col(textCol), shingleK).as("sh_r"))
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // hash each corpus ONCE; persist shares the pass between banding
+    // and verify (MEMORY_AND_DISK: spills instead of recomputing at
+    // 100 TB). The logical plan is untouched — caching swaps in at
+    // physical planning — so SqlGen roundtrips are unaffected.
+    val shL = hashedCorpus(train, idCol, textCol, shingleK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shR = hashedCorpus(eval, idCol, textCol, shingleK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def banded(sh: DataFrame, idAs: String) = sh
+      .select(col("id").as(idAs),
+        minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col(idAs),
+        posexplode(graft.functions.SketchOps
+          .minhashBandBuckets(col("sig"), bands)).as(Seq("band", "bucket")))
+    val cands = banded(shL, "id_left").as("a")
+      .join(banded(shR, "id_right").as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id_left"), col("b.id_right"))
+      .distinct()
     cands
-      .join(shL, "id_left")
-      .join(shR, "id_right")
+      .join(shL.withColumnsRenamed(Map("id" -> "id_left", "sh" -> "sh_l")), "id_left")
+      .join(shR.withColumnsRenamed(Map("id" -> "id_right", "sh" -> "sh_r")), "id_right")
       .select(col("id_left"), col("id_right"),
         (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
          size(array_union(col("sh_l"), col("sh_r")))).as("jaccard"))
@@ -194,9 +223,13 @@ object Dedup {
     */
   def jaccardVerify(
       candidates: DataFrame, df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-                       shingleHashes(col(textCol), shingleK).as("sh"))
+      shingleK: Int = 3, threshold: Double = 0.5): DataFrame =
+    jaccardVerifyHashed(candidates,
+      hashedCorpus(df, idCol, textCol, shingleK), threshold)
+
+  /** Verify pass over a pre-hashed (id, sh) corpus. */
+  private def jaccardVerifyHashed(
+      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
@@ -204,16 +237,24 @@ object Dedup {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
       .where(col("jaccard") >= threshold)
-  }
 
-  /** End-to-end MinHash near-dup detection: candidates → verify. */
+  /** End-to-end MinHash near-dup detection: candidates → verify.
+    * The corpus is text-hashed ONCE: the (id, sh) projection is
+    * persisted (MEMORY_AND_DISK — spills rather than recomputes) and
+    * shared by the signature/banding pass and both verify join sides,
+    * so at 100 TB the shingle-hash kernel reads the corpus once, not
+    * three times. Caching is a physical-planning substitution; the
+    * logical plan (and so SqlGen) is unchanged.
+    */
   def minhashDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame =
-    jaccardVerify(
-      minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands),
-      df, idCol, textCol, shingleK, threshold)
+      threshold: Double = 0.5): DataFrame = {
+    val sh = hashedCorpus(df, idCol, textCol, shingleK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    jaccardVerifyHashed(
+      candidatesFromHashes(sh, numHashes, bands), sh, threshold)
+  }
 
   /** 64-bit SimHash from a materialized feature-hash array column:
     * per bit, majority vote of feature-hash bits. Composed-builtin
@@ -371,8 +412,11 @@ object Dedup {
   def charJaccardVerify(
       candidates: DataFrame, df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.7): DataFrame = {
+    // one char-ngram pass feeds both join sides (same hash-once shape
+    // as minhashDuplicates)
     val gr = df.select(col(idCol).as("id"),
       graft.functions.TextKernelOps.charNgramHashes(col(textCol), n).as("gr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     candidates.select("id_a", "id_b")
       .join(gr.withColumnsRenamed(Map("id" -> "id_a", "gr" -> "gr_a")), "id_a")
       .join(gr.withColumnsRenamed(Map("id" -> "id_b", "gr" -> "gr_b")), "id_b")

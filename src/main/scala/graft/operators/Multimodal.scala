@@ -8,11 +8,13 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` stage (the Scala analogue of `mapInPandas`:
   * partition-at-a-time batches, stable schema in and out, no shuffle).
   *
-  * The actual codecs are NOT in this container, so the decode step is
-  * a clearly marked STUB — a deterministic fake that consumes the real
-  * bytes. Everything around it — schema, encoders, partition batching,
-  * per-kind dispatch, downstream aggregation — is the real pipeline
-  * and is tested.
+  * Image decode is REAL (JDK javax.imageio: PNG/JPEG/GIF/BMP decode,
+  * bounded resize, pixel checksum). Audio/video codecs are NOT in this
+  * container, so those paths use a clearly marked STUB — a
+  * deterministic fake that consumes the real bytes. Everything around
+  * the codec — schema, encoders, partition batching, per-kind
+  * dispatch, downstream aggregation — is the real pipeline and is
+  * tested (including a real in-spec PNG).
   */
 object Multimodal {
 
@@ -41,9 +43,43 @@ object Multimodal {
       (col("doc_id") * 40 % 60000).as("duration_ms"),
       lit("raw").as("format"))
 
+  /** REAL image decode via the JDK's javax.imageio (PNG/JPEG/GIF/BMP):
+    * decode → bounded resize (never upscale) → pixel checksum. Returns
+    * None when the payload isn't a readable image (or isn't an image
+    * at all), falling back to the stub — so synthetic "raw" payloads
+    * keep their deterministic fake features while a real PNG gets a
+    * real decode. Runs inside mapPartitions: narrow, no shuffle.
+    */
+  private def imageIoDecode(
+      m: MediaRecord, targetW: Int, targetH: Int): Option[MediaFeatures] = {
+    if (m.kind != "image") return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.bytes))
+      if (img == null) None
+      else {
+        val outW = math.min(img.getWidth, targetW)
+        val outH = math.min(img.getHeight, targetH)
+        val scaled = new java.awt.image.BufferedImage(
+          outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = scaled.createGraphics()
+        try g.drawImage(img, 0, 0, outW, outH, null) finally g.dispose()
+        var sum = 1125899906842597L
+        var y = 0
+        while (y < outH) {
+          var x = 0
+          while (x < outW) { sum = sum * 31 + scaled.getRGB(x, y); x += 1 }
+          y += 1
+        }
+        Some(MediaFeatures(m.media_id, m.kind, m.bytes.length, sum,
+          outW, outH, 1))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   // ──────────────────────────── STUB ────────────────────────────
-  // Real implementation would decode `bytes` with an image/audio lib
-  // (not present in this container). The fake is deterministic in the
+  // Fallback for audio/video (no codec libs in the JDK) and for
+  // payloads that aren't decodable images. Deterministic in the
   // payload so tests are stable, and it touches every byte — same
   // memory-access shape as a real decode.
   private def stubDecode(m: MediaRecord, targetW: Int, targetH: Int): MediaFeatures = {
@@ -68,7 +104,9 @@ object Multimodal {
   def decodeFeatures(media: DataFrame, targetW: Int = 256, targetH: Int = 256)
                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions(_.map(stubDecode(_, targetW, targetH)))
+    media.as[MediaRecord].mapPartitions(_.map(m =>
+      imageIoDecode(m, targetW, targetH)
+        .getOrElse(stubDecode(m, targetW, targetH))))
   }
 
   /** Per-kind rollup of extracted features. */

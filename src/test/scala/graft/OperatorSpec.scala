@@ -497,4 +497,41 @@ class MultimodalSpec extends SparkSpec {
     val b = Multimodal.decodeFeatures(media).orderBy("media_id").collect()
     assert(a.toSeq == b.toSeq)
   }
+
+  test("a real PNG payload gets a real ImageIO decode (resize bounded, not upscaled)") {
+    implicit val s = spark
+    // author two PNGs in-spec: one larger than the target (downscaled),
+    // one smaller (must NOT be upscaled)
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val big = png(300, 200)
+    val small = png(40, 30)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", big, 300, 200, 0L, "png"),
+      Multimodal.MediaRecord(2L, "image", small, 40, 30, 0L, "png"),
+      // same bytes, kind=audio: must take the stub path (n_frames 0)
+      Multimodal.MediaRecord(3L, "audio", big, 300, 200, 5000L, "png")
+    ).toDS().toDF()
+    val feats = Multimodal.decodeFeatures(media, targetW = 128, targetH = 128)
+      .collect().sortBy(_.media_id)
+    assert(feats(0).out_width == 128 && feats(0).out_height == 128)
+    assert(feats(0).n_frames == 1 && feats(0).byte_len == big.length)
+    assert(feats(1).out_width == 40 && feats(1).out_height == 30)
+    // the real decode checksums decoded pixels, not raw bytes: the two
+    // images share no dimensions, so their checksums must differ, and
+    // decoding the same PNG twice must agree
+    val again = Multimodal.decodeFeatures(media, targetW = 128, targetH = 128)
+      .collect().sortBy(_.media_id)
+    assert(feats.toSeq == again.toSeq)
+    assert(feats(0).checksum != feats(1).checksum)
+    // audio with image bytes: stub path (frames 0, byte checksum)
+    assert(feats(2).n_frames == 0)
+  }
 }

@@ -73,6 +73,53 @@ class SqlGenSpec extends SparkSpec {
       "WHERE (n_regionkey = 1)) AS _g1 ORDER BY n_name DESC NULLS LAST")
   }
 
+  // Golden SQL *text* pins (the reference asserts byte-identical text,
+  // select.rs:57-104) — catches formatting drift that result-equality
+  // can't: qualifier loss, frame-clause drift, CTE naming.
+  test("golden text: join with side-qualified projection") {
+    val nation = Tables.load(spark, sfDir, "nation")
+    val region = Tables.load(spark, sfDir, "region")
+    val df = nation.join(region, nation("n_regionkey") === region("r_regionkey"))
+      .select(nation("n_name"), region("r_name"))
+    assert(SqlGen.toSql(df) ==
+      "SELECT nation.n_name, region.r_name FROM nation JOIN region " +
+      "ON (nation.n_regionkey = region.r_regionkey)")
+  }
+
+  test("golden text: window rank with explicit frame and null ordering") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sfDir, "nation").select(col("n_name"),
+      rank().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("n_regionkey").orderBy("n_name")).as("rk"))
+    assert(SqlGen.toSql(df) ==
+      "SELECT n_name, rk FROM (SELECT n_name, n_regionkey, rk, rk FROM " +
+      "(SELECT *, RANK() OVER (PARTITION BY n_regionkey ORDER BY n_name " +
+      "ASC NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+      "AS `rk` FROM (SELECT n_name, n_regionkey FROM nation) AS _g1) " +
+      "AS _g2) AS _g3")
+  }
+
+  test("golden text: CTE keeps its name and positional GROUP BY") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      "WITH big AS (SELECT n_regionkey, count(*) AS n FROM nation " +
+        "GROUP BY n_regionkey) SELECT * FROM big WHERE n > 3")
+    assert(SqlGen.toSql(df) ==
+      "WITH big AS (SELECT n_regionkey, count(1) AS `n` FROM nation " +
+      "GROUP BY 1) SELECT n_regionkey, n FROM (SELECT * FROM big) AS big " +
+      "WHERE (n > CAST(3 AS BIGINT))")
+  }
+
+  test("golden text: correlated EXISTS prints the inner plan inline") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      "SELECT r_name FROM region WHERE EXISTS " +
+        "(SELECT 1 FROM nation WHERE n_regionkey = r_regionkey)")
+    assert(SqlGen.toSql(df) ==
+      "SELECT r_name FROM region WHERE EXISTS (SELECT 1 AS `1` " +
+      "FROM nation WHERE (n_regionkey = r_regionkey))")
+  }
+
   test("roundtrip cube with grouping_id()/grouping() projected") {
     import org.apache.spark.sql.functions._
     Tables.register(spark, sfDir)
