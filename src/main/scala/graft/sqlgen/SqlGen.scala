@@ -293,12 +293,36 @@ object SqlGen {
       } else {
         val rows = l.data.map { row =>
           l.output.zipWithIndex.map { case (a, i) =>
-            Literal(row.get(i, a.dataType), a.dataType).sql
+            litSql(row.get(i, a.dataType), a.dataType)
           }.mkString("(", ", ", ")")
         }.mkString(", ")
         val cols = l.output.map(a => s"`${a.name}`").mkString(", ")
         s"(VALUES $rows) AS $alias($cols)"
       }
+    }
+
+    /** Literal → SQL, recursing into nested arrays/structs/maps:
+      * Catalyst's `Literal.sql` renders flat values but falls back to
+      * `toString` for nested container data (printing
+      * `GenericArrayData@…`), which doesn't re-parse.
+      */
+    private def litSql(v: Any, dt: DataType): String = (v, dt) match {
+      case (null, _) => s"CAST(NULL AS ${dt.sql})"
+      case (a: org.apache.spark.sql.catalyst.util.ArrayData,
+            org.apache.spark.sql.types.ArrayType(et, _)) =>
+        a.toSeq[Any](et).map(litSql(_, et)).mkString("ARRAY(", ", ", ")")
+      case (r: org.apache.spark.sql.catalyst.InternalRow,
+            st: org.apache.spark.sql.types.StructType) =>
+        st.fields.zipWithIndex.map { case (f, i) =>
+          s"'${f.name}', ${litSql(r.get(i, f.dataType), f.dataType)}"
+        }.mkString("named_struct(", ", ", ")")
+      case (m: org.apache.spark.sql.catalyst.util.MapData,
+            org.apache.spark.sql.types.MapType(kt, vt, _)) =>
+        val ks = m.keyArray.toSeq[Any](kt).map(litSql(_, kt))
+        val vs = m.valueArray.toSeq[Any](vt).map(litSql(_, vt))
+        ks.zip(vs).map { case (k, w) => s"$k, $w" }
+          .mkString("map(", ", ", ")")
+      case _ => Literal(v, dt).sql
     }
 
     /** Render a join child for the FROM clause and return
@@ -320,18 +344,50 @@ object SqlGen {
         (s"(${gen(other)}) AS $a", a)
     }
 
-    /** Print `exprs` with both join sides' outputs qualified by their
-      * FROM-clause aliases (the sides must already be rendered).
+    /** Print `body` with the given exprId→alias qualifiers in scope
+      * (the relations must already be rendered).
       */
-    private def withJoinScope[A](left: LogicalPlan, leftQ: String,
-                                 right: LogicalPlan, rightQ: String)
-                                (body: => A): A = {
+    private def withQuals[A](
+        quals: Map[org.apache.spark.sql.catalyst.expressions.ExprId, String])
+        (body: => A): A = {
       val saved = joinQuals
-      joinQuals = joinQuals ++
-        left.output.map(_.exprId -> leftQ) ++
-        right.output.map(_.exprId -> rightQ)
+      joinQuals = joinQuals ++ quals
       try body finally joinQuals = saved
     }
+
+    private def plainJoin(jt: JoinType): Boolean = jt match {
+      case Inner | Cross | LeftOuter | RightOuter | FullOuter => true
+      case _ => false
+    }
+
+    /** Flatten the left spine of a join tree into ONE multi-relation
+      * FROM clause, accumulating an exprId→alias qualifier for every
+      * leaf side. Wrapping a nested join in a subquery instead would
+      * collapse its sides' qualifiers — a self-join exposing the same
+      * column name from three sides (reference select.rs:668-690, the
+      * v1/v1a/v1b CTE self-join) must print as
+      * `v1 JOIN v1 AS v1a ON … JOIN v1 AS v1b ON …` or the re-parse is
+      * ambiguous.
+      */
+    private def renderFrom(plan: LogicalPlan)
+        : (String, Map[org.apache.spark.sql.catalyst.expressions.ExprId, String]) =
+      plan match {
+        case h: ResolvedHint => renderFrom(h.child)
+        case Join(left, right, jt, cond, _) if plainJoin(jt) =>
+          val (lsql, lquals) = renderFrom(left)
+          val (rsql, ralias) = joinSide(right)
+          val quals = lquals ++ right.output.map(_.exprId -> ralias)
+          val on = cond.map(c => withQuals(quals) {
+            s" ON ${exprSql(c)}"
+          }).getOrElse("")
+          val kw =
+            if (cond.isEmpty && (jt == Inner || jt == Cross)) "CROSS JOIN"
+            else joinKw(jt)
+          (s"$lsql $kw $rsql$on", quals)
+        case other =>
+          val (sql, alias) = joinSide(other)
+          (sql, other.output.map(_.exprId -> alias).toMap)
+      }
 
     private def joinKw(t: JoinType): String = t match {
       case Inner => "JOIN"
@@ -349,21 +405,22 @@ object SqlGen {
       // SELECT … WHERE … (mirrors the reference's single-SELECT shape,
       // logical_plan.rs:67-135) — keeps generated SQL readable and the
       // re-planned query identical.
+      // Projection (with optional filter) straight over a join tree
+      // folds into one SELECT with every join side's outputs qualified
+      // by its FROM alias: a self-join or USING join exposes duplicate
+      // column names, so the projection MUST be printed as
+      // `a.id, b.id` inside the same SELECT — wrapping the join in a
+      // subquery first would make the bare names ambiguous.
+      case Project(list, Filter(cond, j: Join)) if plainJoin(j.joinType) =>
+        val (from, quals) = renderFrom(j)
+        withQuals(quals) {
+          s"SELECT ${projList(list)} FROM $from WHERE ${exprSql(cond)}"
+        }
       case Project(list, Filter(cond, child)) =>
         s"SELECT ${projList(list)} FROM ${rel(child)} WHERE ${exprSql(cond)}"
-      // Projection straight over a join folds too, with both sides'
-      // outputs qualified by their FROM aliases: a self-join or USING
-      // join exposes duplicate column names, so the projection MUST be
-      // printed as `a.id, b.id` inside the same SELECT — wrapping the
-      // join in a subquery first would make the bare names ambiguous.
-      case Project(list, Join(left, right, jt, Some(cond), _))
-          if jt != LeftSemi && jt != LeftAnti =>
-        val (lsql, lq) = joinSide(left)
-        val (rsql, rq) = joinSide(right)
-        withJoinScope(left, lq, right, rq) {
-          s"SELECT ${projList(list)} FROM $lsql ${joinKw(jt)} " +
-            s"$rsql ON ${exprSql(cond)}"
-        }
+      case Project(list, j: Join) if plainJoin(j.joinType) =>
+        val (from, quals) = renderFrom(j)
+        withQuals(quals) { s"SELECT ${projList(list)} FROM $from" }
       case Project(list, child) =>
         s"SELECT ${projList(list)} FROM ${rel(child)}"
 
@@ -433,6 +490,9 @@ object SqlGen {
         }
         s"SELECT ${projList(aggs)} FROM ${rel(child)} GROUP BY ${pos.mkString(", ")}"
 
+      case Filter(cond, j: Join) if plainJoin(j.joinType) =>
+        val (from, quals) = renderFrom(j)
+        withQuals(quals) { s"SELECT * FROM $from WHERE ${exprSql(cond)}" }
       case Filter(cond, child) =>
         s"SELECT * FROM ${rel(child)} WHERE ${exprSql(cond)}"
 
@@ -454,20 +514,15 @@ object SqlGen {
       case Join(left, right, jt @ (LeftSemi | LeftAnti), cond, _) =>
         val (lsql, lq) = joinSide(left)
         val (rsql, rq) = joinSide(right)
-        val on = cond.map(c => withJoinScope(left, lq, right, rq) {
+        val on = cond.map(c => withQuals(
+          (left.output.map(_.exprId -> lq) ++
+            right.output.map(_.exprId -> rq)).toMap) {
           s" ON ${exprSql(c)}"
         }).getOrElse("")
         s"SELECT * FROM $lsql ${joinKw(jt)} $rsql$on"
-      case Join(left, right, Cross, None, _) =>
-        s"SELECT * FROM ${rel(left)} CROSS JOIN ${rel(right)}"
-      case Join(left, right, Inner, None, _) =>
-        s"SELECT * FROM ${rel(left)} CROSS JOIN ${rel(right)}"
-      case Join(left, right, jt, Some(cond), _) =>
-        val (lsql, lq) = joinSide(left)
-        val (rsql, rq) = joinSide(right)
-        withJoinScope(left, lq, right, rq) {
-          s"SELECT * FROM $lsql ${joinKw(jt)} $rsql ON ${exprSql(cond)}"
-        }
+      case j: Join if plainJoin(j.joinType) =>
+        val (from, _) = renderFrom(j)
+        s"SELECT * FROM $from"
 
       case Union(children, false, false) =>
         children.map(c => s"SELECT * FROM ${rel(c)}").mkString(" UNION ALL ")

@@ -221,6 +221,44 @@ class SqlGenSpec extends SparkSpec {
     assertSameRows(df, spark.sql(sql))
   }
 
+  // The reference's commented-out aspirational CTE surface
+  // (select.rs:667-750): multi-definition WITH, CTEs referencing CTEs,
+  // a CTE joined to itself under different aliases, SELECT without
+  // FROM inside a CTE.
+  test("roundtrip multi-CTE join and CTE-referencing-CTE") {
+    val a = spark.sql(
+      "WITH t AS (SELECT 1 AS id1), u AS (SELECT 1 AS id2, 5 AS x) " +
+        "SELECT x FROM t JOIN u ON (id1 = id2)")
+    assertSameRows(a, spark.sql(SqlGen.toSql(a)))
+    val b = spark.sql(
+      "WITH t AS (SELECT 1 AS id1), u AS (SELECT * FROM t) SELECT * FROM u")
+    assertSameRows(b, spark.sql(SqlGen.toSql(b)))
+  }
+
+  test("roundtrip CTE self-joined under three aliases (select.rs:668-690)") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      "WITH v1 AS (SELECT n_nationkey AS id FROM nation), " +
+        "v2 AS (SELECT v1.id AS id, v1a.id AS id_a, v1b.id AS id_b " +
+        "FROM v1, v1 v1a, v1 v1b " +
+        "WHERE v1a.id = v1.id - 1 AND v1b.id = v1.id + 1) " +
+        "SELECT * FROM v2")
+    assertSameRows(df, spark.sql(SqlGen.toSql(df)))
+  }
+
+  test("roundtrip nested array index and struct-array access (select.rs:283-388)") {
+    import spark.implicits._
+    val nested = Seq((1, Seq(Seq(10, 11), Seq(20))), (2, Seq(Seq(30, 31))))
+      .toDF("id", "some_list")
+    val a = nested.select($"id", $"some_list" (0)(1).as("i0"))
+    assertSameRows(a, spark.sql(SqlGen.toSql(a)))
+    val structs = Seq((1, (Seq(5, 6), "x")), (2, (Seq(7), "y")))
+      .toDF("id", "some_struct")
+    val b = structs.select($"some_struct._1" (0).as("i0"),
+      $"some_struct._2".as("l0"))
+    assertSameRows(b, spark.sql(SqlGen.toSql(b)))
+  }
+
   test("unnamed non-parquet relation raises a clear error") {
     val dir = java.nio.file.Files.createTempDirectory("sqlgen-anon").toString
     Tables.load(spark, sfDir, "region").write.mode("overwrite").json(s"$dir/r")
