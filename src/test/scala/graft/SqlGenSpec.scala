@@ -259,6 +259,14 @@ class SqlGenSpec extends SparkSpec {
     assertSameRows(b, spark.sql(SqlGen.toSql(b)))
   }
 
+  test("roundtrip SELECT constants without FROM (select.rs:180-215)") {
+    val df = spark.sql(
+      "SELECT 1 IS DISTINCT FROM CAST(NULL AS INT) AS a, " +
+        "NULL IS NOT DISTINCT FROM NULL AS f, " +
+        "'x' IS NOT DISTINCT FROM 'x' AS d")
+    assertSameRows(df, spark.sql(SqlGen.toSql(df)))
+  }
+
   test("unnamed non-parquet relation raises a clear error") {
     val dir = java.nio.file.Files.createTempDirectory("sqlgen-anon").toString
     Tables.load(spark, sfDir, "region").write.mode("overwrite").json(s"$dir/r")
