@@ -570,6 +570,13 @@ object SqlGen {
 
       case SubqueryAlias(_, child) => gen(child)
       case h: ResolvedHint => gen(h.child)
+      // Physical-distribution operators don't change the result
+      // multiset — SQL has no syntax for them, and the re-planned
+      // query re-derives distribution from the plan. Same contract as
+      // dropping ResolvedHint above.
+      case r: Repartition => gen(r.child)
+      case r: RepartitionByExpression => gen(r.child)
+      case Sort(_, false, child, _) => gen(child) // sortWithinPartitions
       case v: View => s"SELECT * FROM ${v.desc.identifier.table}"
       case lr: LogicalRelation => s"SELECT * FROM ${tableName(lr)}"
       case l: LocalRelation => s"SELECT * FROM ${rel(l)}"

@@ -259,6 +259,25 @@ class SqlGenSpec extends SparkSpec {
     assertSameRows(b, spark.sql(SqlGen.toSql(b)))
   }
 
+  test("roundtrip NOT IN (subquery)") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      "SELECT s_suppkey FROM supplier WHERE s_nationkey NOT IN " +
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)")
+    assertSameRows(df, spark.sql(SqlGen.toSql(df)))
+  }
+
+  test("repartition/sortWithinPartitions are transparent to generated SQL") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.load(spark, sfDir, "nation")
+      .repartition(4, col("n_regionkey"))
+      .sortWithinPartitions("n_name")
+      .select("n_name", "n_regionkey")
+    val sql = SqlGen.toSql(df)
+    assert(!sql.toLowerCase.contains("repartition"), sql)
+    assertSameRows(df, spark.sql(sql))
+  }
+
   test("roundtrip SELECT constants without FROM (select.rs:180-215)") {
     val df = spark.sql(
       "SELECT 1 IS DISTINCT FROM CAST(NULL AS INT) AS a, " +
