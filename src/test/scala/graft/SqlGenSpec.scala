@@ -259,6 +259,15 @@ class SqlGenSpec extends SparkSpec {
     assertSameRows(b, spark.sql(SqlGen.toSql(b)))
   }
 
+  test("roundtrip correlated scalar subquery in WHERE") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      "SELECT o_orderkey FROM orders WHERE o_totalprice > " +
+        "(SELECT 2 * sum(l_extendedprice) FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey)")
+    assertSameRows(df, spark.sql(SqlGen.toSql(df)))
+  }
+
   test("roundtrip NOT IN (subquery)") {
     Tables.register(spark, sfDir)
     val df = spark.sql(
