@@ -162,22 +162,25 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("d02 hashes the corpus once: every shingle kernel sits under the cache") {
-    // minhashDuplicates persists the (id, sh) projection; signature and
-    // both verify sides must read the cache, never re-run the kernel.
-    // In the executed-plan string, each InMemoryTableScan prints its
-    // cached build plan (containing the kernel) — so kernel mentions
-    // must equal InMemoryRelation mentions; a live (uncached) kernel
-    // evaluation would break the equality.
-    val df = build("d02_dedup_minhash")
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    val kernels = "token_shingle_hashes".r.findAllIn(plan).size
-    val cached = "InMemoryRelation".r.findAllIn(plan).size
-    assert(cached > 0, s"d02 no longer caches the hashed corpus:\n$plan")
-    assert(kernels == cached,
-      s"d02 evaluates the shingle kernel outside the cache " +
-        s"($kernels kernels vs $cached cached relations):\n$plan")
+  test("d02/d07 hash each corpus once: every shingle kernel sits under the cache") {
+    // minhashDuplicates/decontaminate persist the (id, sh) projection;
+    // signature/banding and the verify join sides must read the cache,
+    // never re-run the kernel. In the executed-plan string, each
+    // InMemoryTableScan prints its cached build plan (containing the
+    // kernel) — so kernel mentions must equal InMemoryRelation
+    // mentions; a live (uncached) kernel evaluation breaks the
+    // equality.
+    for (name <- Seq("d02_dedup_minhash", "d07_decontaminate")) {
+      val df = build(name)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      val kernels = "token_shingle_hashes".r.findAllIn(plan).size
+      val cached = "InMemoryRelation".r.findAllIn(plan).size
+      assert(cached > 0, s"$name no longer caches the hashed corpus:\n$plan")
+      assert(kernels == cached,
+        s"$name evaluates the shingle kernel outside the cache " +
+          s"($kernels kernels vs $cached cached relations):\n$plan")
+    }
   }
 
   test("sort+limit compiles to TakeOrderedAndProject (no global sort)") {
