@@ -256,6 +256,56 @@ object Dedup {
       candidatesFromHashes(sh, numHashes, bands), sh, threshold)
   }
 
+  /** Streaming decontamination: flag streaming documents whose
+    * MinHash-LSH word-shingle Jaccard against a STATIC eval corpus
+    * meets `threshold` — the ingest-time twin of [[decontaminate]]
+    * ("is this incoming training document a near-copy of a benchmark
+    * document?").
+    *
+    * Fully STATELESS on the stream side: shingle-hash, signature and
+    * banding are per-row projections, the band-bucket match and the
+    * verify lookup are stream-static inner joins (no watermark
+    * state), and the Jaccard test is row-local — so this runs inside
+    * ingest at any scale. The static side is hashed once and
+    * persisted, exactly like the batch path. Output:
+    * (id_left, id_right, jaccard) with jaccard ≥ threshold; a pair
+    * colliding in several bands emits one row per colliding band
+    * (exactly-once flags need a watermarked dropDuplicates
+    * downstream — state the caller owns).
+    */
+  def streamingDecontaminate(
+      docs: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val shR = hashedCorpus(eval, idCol, textCol, shingleK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bandedR = shR
+      .select(col("id").as("id_right"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id_right"),
+        posexplode(graft.functions.SketchOps
+          .minhashBandBuckets(col("sig"), bands)).as(Seq("band", "bucket")))
+    // the stream doc's shingle hashes ride along to the verify step, so
+    // the text-hashing kernel runs once per streamed row too
+    val shL = docs.select(col(idCol).as("id_left"),
+      shingleHashes(col(textCol), shingleK).as("sh_l"))
+    val bandedL = shL
+      .select(col("id_left"), col("sh_l"),
+        minhashSignature(col("sh_l"), numHashes).as("sig"))
+      .select(col("id_left"), col("sh_l"),
+        posexplode(graft.functions.SketchOps
+          .minhashBandBuckets(col("sig"), bands)).as(Seq("band", "bucket")))
+    bandedL
+      .join(bandedR, Seq("band", "bucket"))
+      .join(shR.withColumnsRenamed(Map("id" -> "id_right", "sh" -> "sh_r")),
+        "id_right")
+      .select(col("id_left"), col("id_right"),
+        (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+         size(array_union(col("sh_l"), col("sh_r")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash from a materialized feature-hash array column:
     * per bit, majority vote of feature-hash bits. Composed-builtin
     * test oracle for the codegen'd

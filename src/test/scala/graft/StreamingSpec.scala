@@ -233,6 +233,42 @@ class StreamingSpec extends SparkSpec {
     } finally { exact.stop(); near.stop() }
   }
 
+  test("streaming decontamination flags near-copies of a static eval set, statelessly") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs far away into the woods"),
+      (101L, "completely unrelated benchmark prompt about distributed query engines")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[StreamDoc]
+    val flagged = Dedup.streamingDecontaminate(
+      mem.toDF(), eval, "doc_id", "text",
+      shingleK = 2, numHashes = 32, bands = 16, threshold = 0.4)
+    val q = flagged.writeStream.format("memory").queryName("sdecon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        // near-copy of eval 100 (one word changed)
+        StreamDoc(1, ts(0), "the quick brown fox jumps over the lazy cat and runs far away into the woods"),
+        // clean document
+        StreamDoc(2, ts(1), "spark structured streaming joins a static dimension without state"))
+      q.processAllAvailable()
+      mem.addData( // exact copy of eval 101, later batch
+        StreamDoc(3, ts(2), "completely unrelated benchmark prompt about distributed query engines"))
+      q.processAllAvailable()
+      val out = spark.table("sdecon")
+        .select("id_left", "id_right").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 100L), (3L, 101L)), s"flags were $out")
+      // stateless: the plan must not carry any stateful operator
+      val lastProgress = q.lastProgress
+      assert(lastProgress == null ||
+        lastProgress.stateOperators == null ||
+        lastProgress.stateOperators.isEmpty,
+        "streaming decontamination must be stateless")
+    } finally q.stop()
+  }
+
   test("bounded-heap topk aggregate runs as a streaming leaderboard") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
