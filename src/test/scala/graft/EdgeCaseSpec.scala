@@ -50,6 +50,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("streaming decontaminate against an empty eval side flags nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val flagged = Dedup.streamingDecontaminate(
+      mem.toDF().toDF("doc_id", "text"),
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    val q = flagged.writeStream.format("memory").queryName("sdecon_empty")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "some streaming document text here"))
+      q.processAllAvailable()
+      assert(spark.table("sdecon_empty").isEmpty)
+    } finally q.stop()
+  }
+
   test("batch knn with an empty query set is empty") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val out = Similarity.knnBruteBatch(emb.where(lit(false)), "vec_id", "embedding",
