@@ -146,6 +146,20 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"missed=${want -- got} extra=${got -- want}")
   }
 
+  test("standalone cross-corpus candidates agree with the fused decontaminate path") {
+    val train = docs.where($"doc_id" % 10 =!= 0)
+    val eval = docs.where($"doc_id" % 10 === 0)
+    val cands = Dedup.minhashCandidatesAcross(train, eval, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(cands.nonEmpty, "banding should collide on the planted dups")
+    // the fused path runs the identical banding, so its verified pairs
+    // must be exactly the candidates that survive the Jaccard threshold
+    val verified = Dedup.decontaminate(train, eval, "doc_id", "text")
+      .select("id_left", "id_right").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(cands),
+      s"verified pairs missing from candidates: ${verified -- cands}")
+  }
+
   test("duplicateClusters resolves chains and separate components") {
     // chain 1-2-3-4-5 (diameter 4 → several propagation rounds),
     // pair {10,11}, triangle {20,21,22}
