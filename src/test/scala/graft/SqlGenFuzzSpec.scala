@@ -15,7 +15,7 @@ import graft.sqlgen.SqlGen
   */
 class SqlGenFuzzSpec extends SparkSpec {
 
-  test("40 seeded random plan pipelines roundtrip through SqlGen") {
+  test("60 seeded random plan pipelines roundtrip through SqlGen") {
     Tables.register(spark, sfDir)
     GraftExtensions.register(spark)
     val rnd = new scala.util.Random(20260812L)
@@ -39,15 +39,20 @@ class SqlGenFuzzSpec extends SparkSpec {
     def rndPipeline(): DataFrame = {
       var df = nation
       if (rnd.nextBoolean()) df = df.where(rndPred())
+      if (rnd.nextBoolean()) df = df.union(nation.where(rndPred()))
       if (rnd.nextBoolean())
         df = df.join(region, df("n_regionkey") === region("r_regionkey"))
-      df = rnd.nextInt(3) match {
+      df = rnd.nextInt(4) match {
         case 0 => df.select(col("n_nationkey"), col("n_name"),
           (col("n_regionkey") * 2 + 1).as("rk2"))
         case 1 => df.groupBy(col("n_regionkey"))
           .agg(count(lit(1)).as("n"), max(col("n_name")).as("mx"))
         case 2 => df.select(col("n_nationkey"),
           when(col("n_regionkey") > 2, lit("hi")).otherwise(lit("lo")).as("b"))
+        case 3 => df.select(col("n_nationkey"), col("n_regionkey"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("n_regionkey"))
+            .orderBy(col("n_nationkey"))).as("rn"))
       }
       if (rnd.nextBoolean()) df = df.distinct()
       if (rnd.nextBoolean()) {
@@ -59,7 +64,7 @@ class SqlGenFuzzSpec extends SparkSpec {
       df
     }
 
-    for (i <- 1 to 40) {
+    for (i <- 1 to 60) {
       val df = rndPipeline()
       val sql =
         try SqlGen.toSql(df)
