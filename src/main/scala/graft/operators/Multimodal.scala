@@ -50,9 +50,15 @@ object Multimodal {
     * keep their deterministic fake features while a real PNG gets a
     * real decode. Runs inside mapPartitions: narrow, no shuffle.
     */
+  // ImageIO defaults to a disk-backed stream cache — pure contention
+  // for in-memory byte-array decodes at 32+ executor threads.
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private def imageIoDecode(
       m: MediaRecord, targetW: Int, targetH: Int): Option[MediaFeatures] = {
     if (m.kind != "image") return None
+    imageIoNoDiskCache
     try {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(m.bytes))
