@@ -127,21 +127,55 @@ object Dedup {
     df.select(col(idCol).as("id"),
               shingleHashes(col(textCol), shingleK).as("sh"))
 
+  /** (id → idAs, band, bucket) banding of a pre-hashed (id, sh) corpus —
+    * the ONE implementation of signature + band bucketing every MinHash
+    * operator shares (within-corpus, cross-corpus, streaming).
+    * `carry` columns ride along (used by the streaming path to keep the
+    * stream row's own hashes for the verify step without re-hashing).
+    */
+  private def bandedFromHashes(
+      sh: DataFrame, idAs: String, numHashes: Int, bands: Int,
+      carry: Seq[String] = Nil): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val keep = (idAs +: carry).map(col)
+    sh.select((col("id").as(idAs) +: carry.map(col)) :+
+        minhashSignature(col("sh"), numHashes).as("sig"): _*)
+      .select(keep :+
+        posexplode(graft.functions.SketchOps
+          .minhashBandBuckets(col("sig"), bands)).as(Seq("band", "bucket")): _*)
+  }
+
+  /** Registry of projections persisted by Dedup operators, so a
+    * long-lived session can reclaim executor storage:
+    * [[unpersistAll]] releases everything cached by this object.
+    * (The persists are deliberate — they are what makes each corpus
+    * hash once — but Spark offers no scope-bound cache, so the
+    * library tracks its own handles.)
+    */
+  private val persistedCaches =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  private def persistTracked(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    persistedCaches.add(p)
+    p
+  }
+
+  /** Unpersist every projection cached by Dedup operators. */
+  def unpersistAll(): Unit = {
+    persistedCaches.forEach(df => { df.unpersist(false); () })
+    persistedCaches.clear()
+  }
+
   /** Candidate pairs from a pre-hashed (id, sh) corpus — lets the
     * end-to-end paths ([[minhashDuplicates]], [[decontaminate]]) share
     * ONE text-hashing pass between candidate generation and verify.
     */
   private def candidatesFromHashes(
       sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val rows = numHashes / bands
-    require(rows * bands == numHashes, "bands must divide numHashes")
-    val sig = sh.select(col("id"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
     // single-pass band bucketing: no per-band slice copies
-    val banded = sig.select(
-      col("id"),
-      posexplode(graft.functions.SketchOps
-        .minhashBandBuckets(col("sig"), bands)).as(Seq("band", "bucket")))
+    val banded = bandedFromHashes(sh, "id", numHashes, bands)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -161,21 +195,20 @@ object Dedup {
     */
   def minhashCandidatesAcross(
       left: DataFrame, right: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    def banded(df: DataFrame, idAs: String) = df
-      .select(col(idCol).as(idAs),
-              shingleHashes(col(textCol), shingleK).as("sh"))
-      .select(col(idAs), minhashSignature(col("sh"), numHashes).as("sig"))
-      .select(col(idAs),
-        posexplode(graft.functions.SketchOps
-          .minhashBandBuckets(col("sig"), bands)).as(Seq("band", "bucket")))
-    banded(left, "id_left").as("a")
-      .join(banded(right, "id_right").as("b"),
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame =
+    candidatesAcrossFromHashes(
+      hashedCorpus(left, idCol, textCol, shingleK),
+      hashedCorpus(right, idCol, textCol, shingleK), numHashes, bands)
+
+  /** Cross-corpus candidates from two pre-hashed (id, sh) sides. */
+  private def candidatesAcrossFromHashes(
+      shL: DataFrame, shR: DataFrame,
+      numHashes: Int, bands: Int): DataFrame =
+    bandedFromHashes(shL, "id_left", numHashes, bands).as("a")
+      .join(bandedFromHashes(shR, "id_right", numHashes, bands).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id_left"), col("b.id_right"))
       .distinct()
-  }
 
   /** Decontamination: training documents whose word-shingle Jaccard
     * against any right-side (eval) document meets `threshold`.
@@ -191,21 +224,10 @@ object Dedup {
     // and verify (MEMORY_AND_DISK: spills instead of recomputing at
     // 100 TB). The logical plan is untouched — caching swaps in at
     // physical planning — so SqlGen roundtrips are unaffected.
-    val shL = hashedCorpus(train, idCol, textCol, shingleK)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val shR = hashedCorpus(eval, idCol, textCol, shingleK)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    def banded(sh: DataFrame, idAs: String) = sh
-      .select(col("id").as(idAs),
-        minhashSignature(col("sh"), numHashes).as("sig"))
-      .select(col(idAs),
-        posexplode(graft.functions.SketchOps
-          .minhashBandBuckets(col("sig"), bands)).as(Seq("band", "bucket")))
-    val cands = banded(shL, "id_left").as("a")
-      .join(banded(shR, "id_right").as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
-      .select(col("a.id_left"), col("b.id_right"))
-      .distinct()
+    // Long-lived sessions can reclaim the caches via [[unpersistAll]].
+    val shL = persistTracked(hashedCorpus(train, idCol, textCol, shingleK))
+    val shR = persistTracked(hashedCorpus(eval, idCol, textCol, shingleK))
+    val cands = candidatesAcrossFromHashes(shL, shR, numHashes, bands)
     cands
       .join(shL.withColumnsRenamed(Map("id" -> "id_left", "sh" -> "sh_l")), "id_left")
       .join(shR.withColumnsRenamed(Map("id" -> "id_right", "sh" -> "sh_r")), "id_right")
@@ -250,8 +272,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
-    val sh = hashedCorpus(df, idCol, textCol, shingleK)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = persistTracked(hashedCorpus(df, idCol, textCol, shingleK))
     jaccardVerifyHashed(
       candidatesFromHashes(sh, numHashes, bands), sh, threshold)
   }
@@ -266,8 +287,9 @@ object Dedup {
     * banding are per-row projections, the band-bucket match and the
     * verify lookup are stream-static inner joins (no watermark
     * state), and the Jaccard test is row-local — so this runs inside
-    * ingest at any scale. The static side is hashed once and
-    * persisted, exactly like the batch path. Output:
+    * ingest at any scale. The static side is hashed AND banded once,
+    * persisted, so per-batch work is O(batch), not O(eval corpus).
+    * Output:
     * (id_left, id_right, jaccard) with jaccard ≥ threshold; a pair
     * colliding in several bands emits one row per colliding band
     * (exactly-once flags need a watermarked dropDuplicates
@@ -278,24 +300,19 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val shR = hashedCorpus(eval, idCol, textCol, shingleK)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val bandedR = shR
-      .select(col("id").as("id_right"),
-        minhashSignature(col("sh"), numHashes).as("sig"))
-      .select(col("id_right"),
-        posexplode(graft.functions.SketchOps
-          .minhashBandBuckets(col("sig"), bands)).as(Seq("band", "bucket")))
+    val shR = persistTracked(hashedCorpus(eval, idCol, textCol, shingleK))
+    // persist the BANDED static side too: every micro-batch replays the
+    // stream-static join's static subtree, so without this the
+    // signature + explode would recompute over the whole eval corpus
+    // per batch — per-batch work must be O(batch), not O(eval)
+    val bandedR = persistTracked(
+      bandedFromHashes(shR, "id_right", numHashes, bands))
     // the stream doc's shingle hashes ride along to the verify step, so
     // the text-hashing kernel runs once per streamed row too
-    val shL = docs.select(col(idCol).as("id_left"),
-      shingleHashes(col(textCol), shingleK).as("sh_l"))
-    val bandedL = shL
-      .select(col("id_left"), col("sh_l"),
-        minhashSignature(col("sh_l"), numHashes).as("sig"))
-      .select(col("id_left"), col("sh_l"),
-        posexplode(graft.functions.SketchOps
-          .minhashBandBuckets(col("sig"), bands)).as(Seq("band", "bucket")))
+    val bandedL = bandedFromHashes(
+      hashedCorpus(docs, idCol, textCol, shingleK),
+      "id_left", numHashes, bands, carry = Seq("sh"))
+      .withColumnRenamed("sh", "sh_l")
     bandedL
       .join(bandedR, Seq("band", "bucket"))
       .join(shR.withColumnsRenamed(Map("id" -> "id_right", "sh" -> "sh_r")),
@@ -464,9 +481,8 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.7): DataFrame = {
     // one char-ngram pass feeds both join sides (same hash-once shape
     // as minhashDuplicates)
-    val gr = df.select(col(idCol).as("id"),
-      graft.functions.TextKernelOps.charNgramHashes(col(textCol), n).as("gr"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gr = persistTracked(df.select(col(idCol).as("id"),
+      graft.functions.TextKernelOps.charNgramHashes(col(textCol), n).as("gr")))
     candidates.select("id_a", "id_b")
       .join(gr.withColumnsRenamed(Map("id" -> "id_a", "gr" -> "gr_a")), "id_a")
       .join(gr.withColumnsRenamed(Map("id" -> "id_b", "gr" -> "gr_b")), "id_b")

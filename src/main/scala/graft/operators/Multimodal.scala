@@ -50,18 +50,17 @@ object Multimodal {
     * keep their deterministic fake features while a real PNG gets a
     * real decode. Runs inside mapPartitions: narrow, no shuffle.
     */
-  // ImageIO defaults to a disk-backed stream cache — pure contention
-  // for in-memory byte-array decodes at 32+ executor threads.
-  private lazy val imageIoNoDiskCache: Unit =
-    javax.imageio.ImageIO.setUseCache(false)
-
   private def imageIoDecode(
       m: MediaRecord, targetW: Int, targetH: Int): Option[MediaFeatures] = {
     if (m.kind != "image") return None
-    imageIoNoDiskCache
     try {
+      // an explicit memory-cached stream keeps the decode off ImageIO's
+      // default disk-backed cache (pure contention at 32+ executor
+      // threads) WITHOUT flipping the global ImageIO.setUseCache flag
+      // for every other library in the JVM
       val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(m.bytes))
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(m.bytes)))
       if (img == null) None
       else {
         val outW = math.min(img.getWidth, targetW)

@@ -182,13 +182,13 @@ object SqlGen {
       // references appear as OuterReference(attr) and print as the
       // bare outer column name (same bare-identifier contract as
       // everything else here: names must be unambiguous).
-      case s: ScalarSubquery => s"(${gen(s.plan)})"
-      case ex: Exists => s"EXISTS (${gen(ex.plan)})"
+      case s: ScalarSubquery => s"(${subquerySql(s.plan)})"
+      case ex: Exists => s"EXISTS (${subquerySql(ex.plan)})"
       case in: InSubquery =>
         val vals = in.values.map(exprSql)
         val v = if (vals.size == 1) vals.head
                 else vals.mkString("(", ", ", ")")
-        s"$v IN (${gen(in.query.plan)})"
+        s"$v IN (${subquerySql(in.query.plan)})"
       case o: OuterReference => exprSql(o.e)
       // na.drop's predicate has no SQL function name — spell it out
       case n: org.apache.spark.sql.catalyst.expressions.AtLeastNNonNulls =>
@@ -206,6 +206,32 @@ object SqlGen {
       * expr.rs:17-32), nested named_structs and lambdas re-rendered
       * through [[exprSql]].
       */
+    /** Render a subquery-expression plan, first refusing the one case
+      * bare-identifier printing gets silently WRONG: a correlated
+      * outer column whose name is also exposed inside the subquery
+      * (e.g. a subquery correlated against the same table it scans).
+      * The printed bare name would re-resolve to the inner relation —
+      * `WHERE (o_custkey = o_custkey)`, a tautology — so fail loudly
+      * and tell the user to alias, same contract as the reference's
+      * bare-identifier printing (expr.rs:17-32).
+      */
+    private def subquerySql(p: LogicalPlan): String = {
+      val outerNames = p.collect { case n =>
+        n.expressions.flatMap(_.collect { case o: OuterReference => o.name })
+      }.flatten.toSet
+      if (outerNames.nonEmpty) {
+        val innerNames =
+          p.collect { case n => n.output.map(_.name) }.flatten.toSet
+        val shadowed = outerNames.intersect(innerNames)
+        require(shadowed.isEmpty,
+          s"SqlGen: correlated column(s) ${shadowed.mkString(", ")} are " +
+            "shadowed by the subquery's own relations — the bare name " +
+            "would re-resolve inside the subquery. Alias the outer or " +
+            "inner column before generating SQL.")
+      }
+      gen(p)
+    }
+
     private def genericSql(e: Expression): String =
       e.transform {
         case a: AttributeReference =>
@@ -308,20 +334,27 @@ object SqlGen {
       */
     private def litSql(v: Any, dt: DataType): String = (v, dt) match {
       case (null, _) => s"CAST(NULL AS ${dt.sql})"
+      // empty containers need the CAST: bare ARRAY() types as
+      // array<void> and map() as map<string,string> on re-parse
       case (a: org.apache.spark.sql.catalyst.util.ArrayData,
             org.apache.spark.sql.types.ArrayType(et, _)) =>
-        a.toSeq[Any](et).map(litSql(_, et)).mkString("ARRAY(", ", ", ")")
+        if (a.numElements == 0) s"CAST(ARRAY() AS ${dt.sql})"
+        else a.toSeq[Any](et).map(litSql(_, et)).mkString("ARRAY(", ", ", ")")
       case (r: org.apache.spark.sql.catalyst.InternalRow,
             st: org.apache.spark.sql.types.StructType) =>
         st.fields.zipWithIndex.map { case (f, i) =>
-          s"'${f.name}', ${litSql(r.get(i, f.dataType), f.dataType)}"
+          // Literal.sql gives proper single-quote escaping of the name
+          s"${Literal(f.name).sql}, ${litSql(r.get(i, f.dataType), f.dataType)}"
         }.mkString("named_struct(", ", ", ")")
       case (m: org.apache.spark.sql.catalyst.util.MapData,
             org.apache.spark.sql.types.MapType(kt, vt, _)) =>
-        val ks = m.keyArray.toSeq[Any](kt).map(litSql(_, kt))
-        val vs = m.valueArray.toSeq[Any](vt).map(litSql(_, vt))
-        ks.zip(vs).map { case (k, w) => s"$k, $w" }
-          .mkString("map(", ", ", ")")
+        if (m.numElements == 0) s"CAST(map() AS ${dt.sql})"
+        else {
+          val ks = m.keyArray.toSeq[Any](kt).map(litSql(_, kt))
+          val vs = m.valueArray.toSeq[Any](vt).map(litSql(_, vt))
+          ks.zip(vs).map { case (k, w) => s"$k, $w" }
+            .mkString("map(", ", ", ")")
+        }
       case _ => Literal(v, dt).sql
     }
 

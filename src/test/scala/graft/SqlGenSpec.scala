@@ -268,6 +268,30 @@ class SqlGenSpec extends SparkSpec {
     assertSameRows(df, spark.sql(SqlGen.toSql(df)))
   }
 
+  test("same-table correlation raises a clear shadowing error instead of a tautology") {
+    Tables.register(spark, sfDir)
+    // o_custkey is exposed by the subquery's own orders scan: the bare
+    // printed name would silently re-resolve inner=inner
+    val df = spark.sql(
+      "SELECT o_orderkey FROM orders o1 WHERE o_totalprice > " +
+        "(SELECT avg(o2.o_totalprice) FROM orders o2 " +
+        "WHERE o2.o_custkey = o1.o_custkey)")
+    val e = intercept[IllegalArgumentException](SqlGen.toSql(df))
+    assert(e.getMessage.contains("shadowed"), e.getMessage)
+  }
+
+  test("empty nested containers keep their element type through VALUES") {
+    import spark.implicits._
+    val df = Seq((1L, Seq.empty[Int]), (2L, Seq(7))).toDF("id", "xs")
+    val sql = SqlGen.toSql(df)
+    val re = spark.sql(sql)
+    // catalogString: the element TYPE must survive (array<int>, not
+    // array<void>); containsNull inference may legitimately tighten
+    assert(re.schema("xs").dataType.catalogString ==
+      df.schema("xs").dataType.catalogString, sql)
+    assertSameRows(df, re)
+  }
+
   test("roundtrip NOT IN (subquery)") {
     Tables.register(spark, sfDir)
     val df = spark.sql(

@@ -260,12 +260,13 @@ class StreamingSpec extends SparkSpec {
         .select("id_left", "id_right").distinct()
         .as[(Long, Long)].collect().toSet
       assert(out == Set((1L, 100L), (3L, 101L)), s"flags were $out")
-      // stateless: the plan must not carry any stateful operator
+      // stateless: the plan must not carry any stateful operator —
+      // processAllAvailable has run, so progress MUST be populated
       val lastProgress = q.lastProgress
-      assert(lastProgress == null ||
-        lastProgress.stateOperators == null ||
-        lastProgress.stateOperators.isEmpty,
-        "streaming decontamination must be stateless")
+      assert(lastProgress != null, "no progress after processAllAvailable")
+      assert(lastProgress.stateOperators.isEmpty,
+        "streaming decontamination must be stateless, found state operators: " +
+          lastProgress.stateOperators.mkString(", "))
     } finally q.stop()
   }
 
