@@ -112,9 +112,10 @@ object Dedup {
     */
   def minhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame =
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
     candidatesFromHashes(hashedCorpus(df, idCol, textCol, shingleK),
-      numHashes, bands)
+      numHashes, bands, maxBucketSize)
 
   /** The canonical (id, sh) projection every MinHash operator consumes.
     * Materialized in its own projection: the signature references `sh`
@@ -173,9 +174,24 @@ object Dedup {
     * ONE text-hashing pass between candidate generation and verify.
     */
   private def candidatesFromHashes(
-      sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+      sh: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     // single-pass band bucketing: no per-band slice copies
-    val banded = bandedFromHashes(sh, "id", numHashes, bands)
+    val banded0 = bandedFromHashes(sh, "id", numHashes, bands)
+    // Skew guard: a bucket hit by boilerplate shingles produces
+    // |bucket|² candidate pairs — at corpus scale a single saturated
+    // bucket can dominate the whole join. Buckets over the cap carry
+    // no discriminative signal (they match "everything with this
+    // header"), so production dedup drops them; true near-dup pairs
+    // still collide in their other, selective bands. The count and the
+    // semi-join share the (band, bucket) hash partitioning, so the
+    // guard adds no extra exchange of the banded side.
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else banded0.join(
+        banded0.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+          .where(col("n") <= maxBucketSize).select("band", "bucket"),
+        Seq("band", "bucket"), "left_semi")
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -271,10 +287,12 @@ object Dedup {
   def minhashDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val sh = persistTracked(hashedCorpus(df, idCol, textCol, shingleK))
     jaccardVerifyHashed(
-      candidatesFromHashes(sh, numHashes, bands), sh, threshold)
+      candidatesFromHashes(sh, numHashes, bands, maxBucketSize),
+      sh, threshold)
   }
 
   /** Streaming decontamination: flag streaming documents whose

@@ -146,6 +146,23 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"missed=${want -- got} extra=${got -- want}")
   }
 
+  test("bucket-size cap drops saturated buckets but keeps selective collisions") {
+    // cap = 1: every bucket with a collision is "saturated", so no
+    // candidates survive — the guard provably gates the join
+    val none = Dedup.minhashCandidates(docs, "doc_id", "text",
+      maxBucketSize = 1).count()
+    assert(none == 0L, s"cap=1 should kill all candidates, got $none")
+    // a generous cap changes nothing: planted near-dup groups are tiny,
+    // so their buckets are far below the cap
+    val capped = Dedup.minhashDuplicates(docs, "doc_id", "text",
+        maxBucketSize = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashDuplicates(docs, "doc_id", "text")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == uncapped,
+      s"cap=64 altered results: ${capped.diff(uncapped)} ${uncapped.diff(capped)}")
+  }
+
   test("standalone cross-corpus candidates agree with the fused decontaminate path") {
     val train = docs.where($"doc_id" % 10 =!= 0)
     val eval = docs.where($"doc_id" % 10 === 0)
