@@ -105,8 +105,11 @@ object Dedup {
     * scale path: shuffle key is (band, bucket-hash), so candidate
     * generation is linear in collisions rather than quadratic in
     * corpus size. Skewed buckets (boilerplate shingles) are bounded
-    * upstream by `array_distinct` and can be salted by raising
-    * `bands`×rows at constant signature length.
+    * upstream by `array_distinct`, can be salted by raising
+    * `bands`×rows at constant signature length, and — the production
+    * guard — dropped outright via `maxBucketSize` (a saturated bucket
+    * carries no discriminative signal; true near-dups still collide in
+    * their selective bands).
     *
     * Output: (id_a, id_b) with id_a < id_b, distinct.
     */
