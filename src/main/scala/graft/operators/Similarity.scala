@@ -146,19 +146,37 @@ object Similarity {
     * partitioned/bucketed by `cell` so probes prune to the probed
     * cells' files.
     */
-  def buildIvfIndex(
+  /** The deterministic centroid seeding shared by every IVF path —
+    * ONE bounded collect (nCells rows), reused between index build and
+    * probe ranking instead of re-collecting per call.
+    */
+  private def centroidVectors(
       df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int = 16): DataFrame = {
-    val cents = df.orderBy(idCol).limit(nCells)
+      nCells: Int): Array[Array[Double]] =
+    df.orderBy(idCol).limit(nCells)
       .select(vecCol).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  private def assignCells(
+      df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    // ties (duplicate centroids) break toward the LOWEST cell index —
+    // the same direction both probe paths rank, so a probe never scans
+    // an empty twin cell while the populated one goes unprobed.
+    // greatest() prefers the LARGEST struct, so carry -cell and negate.
     val cellOf = cents.zipWithIndex.map { case (c, i) =>
       struct(VectorOps.dot(col(vecCol), typedlit(c.toSeq)).as("score"),
-             lit(i).as("cell"))
+             lit(-i).as("negcell"))
     }
     df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-              greatest(cellOf.toIndexedSeq: _*).getField("cell").as("cell"))
+      (-greatest(cellOf.toIndexedSeq: _*).getField("negcell")).as("cell"))
   }
+
+  def buildIvfIndex(
+      df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16): DataFrame =
+    assignCells(df, idCol, vecCol,
+      centroidVectors(df, idCol, vecCol, nCells))
 
   /** IVF probe: rank the query against the same deterministic
     * centroids, brute-force only the `nProbe` best cells. At scale the
@@ -169,10 +187,8 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val indexed = buildIvfIndex(df, idCol, vecCol, nCells)
-    val cents = df.orderBy(idCol).limit(nCells)
-      .select(vecCol).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val cents = centroidVectors(df, idCol, vecCol, nCells)
+    val indexed = assignCells(df, idCol, vecCol, cents)
     val qd = query.map(_.toDouble)
     val probeCells = cents.zipWithIndex
       .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
@@ -240,10 +256,24 @@ object Similarity {
     * Output: (query_id, id, cosine), k rows per query, ties broken by
     * ascending id (same contract as knnBrute).
     */
+  /** The bounded-heap aggregate packs ids as longs: a non-integral id
+    * would cast to null and be silently skipped — fail fast instead.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(dt == LongType || dt == IntegerType || dt == ShortType ||
+        dt == ByteType,
+      s"batch knn operators require an integral id column (the top-k " +
+        s"heap packs ids as long); '$idCol' is $dt — add a surrogate " +
+        "long id or use knnBrute")
+  }
+
   def knnBruteBatch(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
+    requireIntegralId(corpus, idCol)
     val q = broadcast(
       queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv")))
     val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("cv"))
@@ -257,23 +287,30 @@ object Similarity {
   }
 
   /** kNN classification: predict each query's label by majority vote
-    * of its k nearest corpus neighbors (self-matches excluded). Same
-    * one-scan shape as [[knnBruteBatch]] — broadcast queries,
-    * bounded-heap top-k, then a vote aggregate over k·|queries| rows.
+    * of its k nearest corpus neighbors. Same one-scan shape as
+    * [[knnBruteBatch]] — broadcast queries, bounded-heap top-k, then a
+    * vote aggregate over k·|queries| rows.
     * Ties: more votes win, then the smaller label (deterministic).
     * Output: (query_id, pred_label, votes).
+    *
+    * `excludeSelf` (default true) drops corpus rows whose id equals
+    * the query id — the leave-one-out contract when queries ARE corpus
+    * rows. Set it false when query and corpus id spaces are unrelated:
+    * with shared numbering, id equality would wrongly exclude an
+    * unrelated corpus row from exactly that query's neighborhood.
     */
   def knnClassify(
       queries: DataFrame, qIdCol: String, qVecCol: String,
       corpus: DataFrame, idCol: String, vecCol: String, labelCol: String,
-      k: Int): DataFrame = {
+      k: Int, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    requireIntegralId(corpus, idCol)
     val q = broadcast(
       queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv")))
     val neighbors = corpus
       .select(col(idCol).as("id"), col(vecCol).as("cv"))
       .crossJoin(q)
-      .where(col("id") =!= col("query_id"))
+      .where(if (excludeSelf) col("id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("id"),
               VectorOps.cosine(col("cv"), col("qv")).as("cosine"))
       .groupBy(col("query_id"))

@@ -22,7 +22,13 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
 
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  /** Lowercased whitespace tokens, empty-safe: `split` on an empty or
+    * whitespace-only string yields `[""]`, which would flow a phantom
+    * "" term into topTerms/heavyHitters/fingerprints and count 1 token
+    * for an empty document — filter it here, once, for every consumer.
+    */
+  def tokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
 
   /** Predicted language code, or "und" when no profile matches. */
   def langId(text: Column): Column = {

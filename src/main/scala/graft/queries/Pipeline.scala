@@ -480,7 +480,7 @@ object Pipeline {
              |), assigned AS (
              |  SELECT vec_id, v, cell,
              |    ROW_NUMBER() OVER (PARTITION BY vec_id
-             |      ORDER BY list_dot_product(v, cv) DESC, cell DESC) AS rn
+             |      ORDER BY list_dot_product(v, cv) DESC, cell ASC) AS rn
              |  FROM e CROSS JOIN cent
              |), probe AS (
              |  SELECT cell FROM cent, q
@@ -586,7 +586,8 @@ object Pipeline {
       },
       Some("""WITH tok AS (
              |  SELECT doc_id,
-             |    list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+             |    list_distinct(list_filter(
+             |      regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS t
              |  FROM documents
              |), sc AS (
              |  SELECT doc_id,
@@ -625,9 +626,11 @@ object Pipeline {
              |    CAST(length(text) AS DOUBLE) AS n_chars,
              |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
              |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
-             |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) AS n_tokens,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),
+             |      '\\s+'), x -> x <> '')) AS DOUBLE) AS n_tokens,
              |    CAST(len(list_intersect(
-             |      list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+             |      list_distinct(list_filter(regexp_split_to_array(trim(lower(text)),
+             |        '\\s+'), x -> x <> '')),
              |      ['the','a','of','and','to','in','is','that','it','for'])) AS DOUBLE) AS stop_hits
              |  FROM documents
              |), g AS (
@@ -701,7 +704,8 @@ object Pipeline {
           .orderBy("doc_id", "term_rank")
       },
       Some(s"""WITH toks AS (
-             |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '\\s+'), x -> x <> '')) AS term
              |  FROM documents
              |), tf AS (
              |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
@@ -756,7 +760,8 @@ object Pipeline {
           .orderBy(col("n").desc, col("term").asc)
       },
       Some("""SELECT term, COUNT(*) AS n
-             |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+             |FROM (SELECT unnest(list_filter(regexp_split_to_array(
+             |        trim(lower(text)), '\s+'), x -> x <> '')) AS term
              |      FROM documents)
              |GROUP BY term ORDER BY n DESC, term ASC LIMIT 100""".stripMargin)),
 

@@ -30,6 +30,13 @@ object Layout {
   def compact(spark: SparkSession, inPath: String, outPath: String,
               targetMB: Int = 512): Unit = {
     require(targetMB > 0)
+    // overwrite mode truncates the output directory BEFORE the lazy
+    // read executes — an in-place call would destroy its own input
+    require(new org.apache.hadoop.fs.Path(inPath) !=
+        new org.apache.hadoop.fs.Path(outPath),
+      "compact: outPath must differ from inPath (overwrite truncates " +
+        "the output before the read runs — write to a staging dir and " +
+        "rename for in-place compaction)")
     val df = spark.read.parquet(inPath)
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val files = math.max(1,
@@ -61,16 +68,23 @@ object Layout {
     * for skip tests.
     */
   def filesRead(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     val qe = df.queryExecution
     qe.toRdd.count()
-    val plan = qe.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
-    plan.collectLeaves().collect {
+    // AQE wraps each shuffle stage in a QueryStageExec, which is a
+    // LeafExecNode — collectLeaves() would stop AT the stage and never
+    // reach the FileSourceScanExec inside it, reporting 0 for any plan
+    // with a shuffle. Recurse through stage boundaries explicitly.
+    def scans(p: SparkPlan): Seq[Long] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scans(r.child)
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.metrics.get("numFiles").map(_.value).getOrElse(0L)
-    }.sum
+        Seq(s.metrics.get("numFiles").map(_.value).getOrElse(0L))
+      case other => other.children.flatMap(scans)
+    }
+    scans(qe.executedPlan).sum
   }
 }

@@ -62,6 +62,25 @@ object EventsStream {
     * `session_end + gap`, so state is bounded on an unbounded stream
     * and every session is eventually emitted exactly once.
     */
+  // µs precision, matching sessionizeBatch's unix_micros semantics:
+  // Timestamp.getTime alone truncates to ms, so sub-ms event spacing
+  // would make the twins split sessions differently.
+  private def tsMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  private def tsFromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  // per-value decimal(18,2) rounding, matching the batch twin's
+  // sum(value.cast(decimal(18,2))) — raw double accumulation would
+  // diverge on sub-cent values (sums of 2-decimal doubles stay exact)
+  private def round2(v: Double): Double =
+    BigDecimal(v).setScale(2, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
   def sessionize(events: Dataset[Event], gapMs: Long,
                  watermarkDelay: String = "0 seconds")
                 (implicit spark: SparkSession): Dataset[Session] = {
@@ -87,38 +106,47 @@ object EventsStream {
             // arrive, so the open session is final — flush and evict
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.end), s.n, s.total))
+            Iterator.single(Session(userId, tsFromMicros(s.start),
+              tsFromMicros(s.end), s.n, s.total))
           } else {
-            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[Session]
             for (e <- sorted) {
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) if t - s.end <= gapMs * 1000 =>
+                  // min/max, not overwrite: a late-but-within-watermark
+                  // event from an earlier micro-batch window must not
+                  // regress session_end (or precede session_start) —
+                  // that would corrupt the next gap decision
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.total + round2(e.value)))
                 case Some(s) =>
-                  closed += Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.end), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  closed += Session(userId, tsFromMicros(s.start),
+                    tsFromMicros(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, round2(e.value)))
                 case None =>
-                  cur = Some(SessionState(t, t, 1, e.value))
+                  cur = Some(SessionState(t, t, 1, round2(e.value)))
               }
             }
             cur.foreach { s =>
               if (streaming) {
                 state.update(s)
-                // must be strictly above the current watermark or Spark
-                // rejects the timestamp (late-arriving key whose session
-                // already expired relative to the watermark)
+                // timeout is in ms: round the µs deadline UP so it can
+                // never fire early; must also be strictly above the
+                // current watermark or Spark rejects the timestamp
+                // (late-arriving key whose session already expired
+                // relative to the watermark)
+                val deadlineMs =
+                  math.floorDiv(s.end + gapMs * 1000 + 999, 1000L)
                 state.setTimeoutTimestamp(
-                  math.max(s.end + gapMs, state.getCurrentWatermarkMs() + 1))
+                  math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
               } else {
                 // batch: one invocation per key sees every event, so the
                 // open session is final — emit it now
-                closed += Session(userId, new Timestamp(s.start),
-                  new Timestamp(s.end), s.n, s.total)
+                closed += Session(userId, tsFromMicros(s.start),
+                  tsFromMicros(s.end), s.n, s.total)
               }
             }
             closed.result().iterator

@@ -65,5 +65,23 @@ class LayoutSpec extends SparkSpec {
     assertSameRows(
       spark.read.parquet(s"$dir/sorted").where(col("o_totalprice") < lit(cut)),
       df.where(col("o_totalprice") < lit(cut)))
+
+    // filesRead must see through AQE query-stage boundaries: a shuffled
+    // plan's scan sits inside a QueryStageExec leaf
+    val shuffled = spark.read.parquet(s"$dir/sorted")
+      .groupBy("o_orderstatus").count()
+    assert(Layout.filesRead(shuffled) == 8L,
+      "filesRead lost the scan behind an AQE stage boundary")
+  }
+
+  test("compact refuses in-place overwrite (would truncate its own input)") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-inplace").toString
+    Tables.load(spark, sfDir, "region").write.mode("overwrite")
+      .parquet(s"$dir/t")
+    val e = intercept[IllegalArgumentException](
+      Layout.compact(spark, s"$dir/t", s"$dir/t"))
+    assert(e.getMessage.contains("staging"), e.getMessage)
+    // input intact
+    assert(spark.read.parquet(s"$dir/t").count() > 0)
   }
 }

@@ -405,6 +405,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) == "fr"); assert(got(5L) == "zh"); assert(got(6L) == "und")
   }
 
+  test("empty and whitespace-only documents contribute no phantom tokens") {
+    val df = Seq((1L, ""), (2L, " \t\n "), (3L, "real words here"))
+      .toDF("doc_id", "text")
+    // no "" term anywhere downstream
+    val hh = TextAnalysis.heavyHitters(df, "text", 10)
+      .select("term").as[String].collect().toSeq
+    assert(!hh.contains(""), s"phantom empty term in heavy hitters: $hh")
+    val tt = TextAnalysis.topTerms(df, "doc_id", "text")
+      .select("term").as[String].collect().toSeq
+    assert(!tt.contains(""), s"phantom empty term in top terms: $tt")
+    // zero tokens, not one
+    val q = TextAnalysis.qualityFeatures(df, "doc_id", "text")
+      .select("doc_id", "n_tokens").as[(Long, Double)].collect().toMap
+    assert(q(1L) == 0.0 && q(2L) == 0.0 && q(3L) == 3.0, q.toString)
+  }
+
   test("quality score is bounded and penalizes junk") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and it is a fine day in the park for everyone"),

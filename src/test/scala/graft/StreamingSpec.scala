@@ -102,6 +102,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late-but-within-watermark event cannot regress the session window") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.sessionize(mem.toDS(), gapMs = 30 * 60 * 1000L,
+        watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("slate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(1, ts(60), 1, "a", 1.0)) // 01:00
+      q.processAllAvailable() // watermark → 00:50
+      // late event 00:55 ≥ watermark: must extend the window backwards,
+      // not overwrite session_end down to 00:55
+      mem.addData(Event(2, ts(55), 1, "a", 1.0))
+      q.processAllAvailable()
+      // 01:27 is 27 min after the TRUE session end (01:00) → same
+      // session; an end regressed to 00:55 would wrongly split here
+      mem.addData(Event(3, ts(87), 1, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(240), 2, "a", 1.0)) // watermark → 03:50, flush user 1
+      q.processAllAvailable()
+      val out = spark.table("slate")
+        .where(col("user_id") === 1L).collect()
+      assert(out.length == 1,
+        s"late event split the session: ${out.mkString(", ")}")
+      val r = out.head
+      assert(r.getAs[Timestamp]("session_start") == ts(55), r.toString)
+      assert(r.getAs[Timestamp]("session_end") == ts(87), r.toString)
+      assert(r.getAs[Long]("n_events") == 3L, r.toString)
+    } finally q.stop()
+  }
+
   test("sessionize flushes an idle user's final session via event-time timeout") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
