@@ -155,11 +155,11 @@ case class MinHashBandBuckets(child: Expression, bands: Int)
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      var h = -3750763034362895579L // FNV offset basis as signed
+      var h = TextKernels.FnvOffset
       var j = b * rows
       val end = j + rows
       while (j < end) {
-        h = (h ^ arr.getLong(j)) * 1099511628211L
+        h = (h ^ arr.getLong(j)) * TextKernels.FnvPrime
         j += 1
       }
       out(b) = h
@@ -186,10 +186,10 @@ case class MinHashBandBuckets(child: Expression, bands: Int)
          |long[] $out = new long[$bands];
          |int $rows = $arr.numElements() / $bands;
          |for (int $b = 0; $b < $bands; $b++) {
-         |  long $h = -3750763034362895579L;
+         |  long $h = ${TextKernels.FnvOffset}L;
          |  int $end = $b * $rows + $rows;
          |  for (int $j = $b * $rows; $j < $end; $j++) {
-         |    $h = ($h ^ $arr.getLong($j)) * 1099511628211L;
+         |    $h = ($h ^ $arr.getLong($j)) * ${TextKernels.FnvPrime}L;
          |  }
          |  $out[$b] = $h;
          |}

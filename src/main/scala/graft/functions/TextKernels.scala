@@ -18,8 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
-  private final val FnvOffset = 0xcbf29ce484222325L
-  private final val FnvPrime = 0x100000001b3L
+  // shared by SketchOps.MinHashBandBuckets (bucket hashing must stay
+  // in the same hash family as the shingle kernels)
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
 
   /** FNV-1a over a char range. */
   private def fnvRange(cs: String, from: Int, until: Int): Long = {

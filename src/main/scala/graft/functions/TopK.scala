@@ -44,22 +44,31 @@ case class TopKRows(
   }
   require(k >= 1, "k must be positive")
 
-  // min-heap on the ranking order: the head is the currently-worst
-  // kept row, evicted when something better arrives
-  private def heapOrdering: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (ord, id) => (-ord, id) }
+  /** ONE total order for heap, eviction test, and final sort — best
+    * first: larger ord wins with `java.lang.Double.compare` semantics
+    * (NaN ranks above every finite double, exactly like Spark's
+    * DESC sort, so results cannot depend on which partition a NaN row
+    * arrived from), ties prefer the smaller id. A primitive `>` here
+    * would silently drop or keep NaN rows by arrival order.
+    */
+  private val rankOrdering: Ordering[(Double, Long)] =
+    new Ordering[(Double, Long)] {
+      def compare(a: (Double, Long), b: (Double, Long)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1) // desc by ord
+        if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+      }
+    }
 
+  // the priority queue dequeues its MAX per the given ordering; in
+  // rankOrdering best-first means best = smallest, so the max (head)
+  // is exactly the currently-worst kept row
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
-    mutable.PriorityQueue.empty(heapOrdering)
+    mutable.PriorityQueue.empty(rankOrdering)
 
   private def offer(buf: mutable.PriorityQueue[(Double, Long)], e: (Double, Long)): Unit = {
     if (buf.size < k) buf.enqueue(e)
-    else {
-      val worst = buf.head
-      // better = larger ord, or same ord with smaller id
-      if (e._1 > worst._1 || (e._1 == worst._1 && e._2 < worst._2)) {
-        buf.dequeue(); buf.enqueue(e)
-      }
+    else if (rankOrdering.compare(e, buf.head) < 0) {
+      buf.dequeue(); buf.enqueue(e)
     }
   }
 
@@ -68,8 +77,13 @@ case class TopKRows(
     val row = child.eval(input).asInstanceOf[InternalRow]
     // null ord/id are skipped like every SQL aggregate skips nulls —
     // getDouble on a null slot would silently rank the row at 0.0
-    if (row != null && !row.isNullAt(0) && !row.isNullAt(1))
-      offer(buf, (row.getDouble(0), row.getLong(1)))
+    if (row != null && !row.isNullAt(0) && !row.isNullAt(1)) {
+      val o = row.getDouble(0)
+      // normalize -0.0 to 0.0: Spark compares them equal, Double.compare
+      // does not — without this a -0.0/0.0 tie breaks differently here
+      // than in the row_number() oracle
+      offer(buf, (if (o == 0.0d) 0.0d else o, row.getLong(1)))
+    }
     buf
   }
 
@@ -81,7 +95,7 @@ case class TopKRows(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortBy { case (ord, id) => (-ord, id) }
+    val sorted = buf.toArray.sorted(rankOrdering)
     new GenericArrayData(sorted.map { case (ord, id) =>
       InternalRow(ord, id)
     }.toArray[Any])

@@ -41,7 +41,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    // fail fast: silently truncating to the shorter side would return
+    // a plausible-looking but wrong dot product (and a cosine whose
+    // norms cover a different span than the products)
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: vector length mismatch ${a.numElements()} vs " +
+          s"${b.numElements()}")
+    val n = a.numElements()
     val af = elemIsFloat(left.dataType)
     val bf = elemIsFloat(right.dataType)
     var acc = 0.0
@@ -63,7 +70,12 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: vector length mismatch " + $a.numElements() +
+         |    " vs " + $b.numElements());
+         |}
+         |int $n = $a.numElements();
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += ((double) $a.$aGet($i)) * ((double) $b.$bGet($i));
@@ -125,9 +137,15 @@ case class HyperplaneSigs(child: Expression, bands: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    // the plane matrix is sized for `dim` exactly — a silent
+    // min(dim, len) would sign-hash a truncated (or zero-padded)
+    // vector and bucket it wrongly without any error
+    if (arr.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_sigs: vector length ${arr.numElements()} != dim $dim")
     val vf = vecIsFloat
     val sigs = new Array[Long](nBands)
-    val n = math.min(dim, arr.numElements())
+    val n = dim
     var p = 0
     while (p < nPlanes) {
       val base = p * dim
@@ -156,8 +174,13 @@ case class HyperplaneSigs(child: Expression, bands: Int,
       val acc = ctx.freshName("acc")
       val base = ctx.freshName("base")
       s"""
+         |if ($arr.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "hyperplane_sigs: vector length " + $arr.numElements() +
+         |    " != dim " + $dim);
+         |}
          |long[] $sigs = new long[$nBands];
-         |int $n = java.lang.Math.min($dim, $arr.numElements());
+         |int $n = $dim;
          |for (int $p = 0; $p < $nPlanes; $p++) {
          |  int $base = $p * $dim;
          |  double $acc = 0.0;

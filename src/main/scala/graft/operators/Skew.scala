@@ -15,9 +15,9 @@ object Skew {
   /** Two-phase salted sum/count aggregation.
     *
     * `aggs` maps output column name → (valueColumn, "sum" | "count").
-    * Phase 1 groups by (keys ++ salt) — the salt is a deterministic
-    * hash of the full row spread over `saltBuckets` — and computes
-    * partials; phase 2 re-groups by the true keys and combines.
+    * Phase 1 groups by (keys ++ salt) — a per-row salt spread over
+    * `saltBuckets` — and computes partials; phase 2 re-groups by the
+    * true keys and combines.
     * Results are identical to the direct groupBy (sum/count are
     * commutative monoids); only the shuffle shape changes.
     */
@@ -27,8 +27,20 @@ object Skew {
       aggs: Map[String, (String, String)],
       saltBuckets: Int = 64): DataFrame = {
     require(saltBuckets >= 2)
+    require(aggs.nonEmpty, "saltedAggregate: aggs must be non-empty")
+    require(!df.columns.contains("_salt"),
+      "saltedAggregate: input already has a _salt column — rename it " +
+        "(the synthetic salt would silently overwrite it)")
+    // per-ROW salt, not a hash of the row's content: the degenerate hot
+    // key is often millions of IDENTICAL rows (sentinel/default rows),
+    // and a content hash would put every copy in the same bucket —
+    // reproducing exactly the skew this operator exists to break up.
+    // spark_partition_id spreads buckets across input partitions and
+    // the id counter spreads within one; determinism of the salt is
+    // irrelevant because phase 2 re-merges every bucket.
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(saltBuckets)))
+      pmod(monotonically_increasing_id() + spark_partition_id(),
+        lit(saltBuckets.toLong)))
     val phase1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(

@@ -93,10 +93,11 @@ class AsOfJoinSpec extends SparkSpec {
         rightValueCols = Seq("bid"))
     }
     intercept[IllegalArgumentException] {
-      AsOfJoin.backward(trades.withColumn("_m_bid", lit(1)), quotes,
+      AsOfJoin.backward(trades,
+        quotes.withColumnRenamed("bid", "_asof_struct_ts"),
         keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
         leftTiebreak = "trade_id", rightTiebreak = "quote_id",
-        rightValueCols = Seq("bid"))
+        rightValueCols = Seq("_asof_struct_ts"))
     }
   }
 
@@ -133,5 +134,55 @@ class AsOfJoinSpec extends SparkSpec {
       rightValueCols = Seq("bid"))
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"as-of should not use a join:\n$plan")
+  }
+
+  test("matched ts and values come from the SAME right row when values are null") {
+    // right rows: (ts=9, bid=100), (ts=15, bid=NULL); a left row at 20
+    // must get (15, NULL) — per-column carries would smear (15, 100)
+    val q = Seq(
+      (101L, t(9), "A", Some(100.0)),
+      (102L, t(15), "A", None: Option[Double])
+    ).toDF("quote_id", "ts", "sym", "bid")
+    val l = Seq((1L, t(20), "A", 1.0)).toDF("trade_id", "ts", "sym", "px")
+    val out = AsOfJoin.backward(l, q,
+        keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
+        leftTiebreak = "trade_id", rightTiebreak = "quote_id",
+        rightValueCols = Seq("bid"))
+      .select($"asof_ts", $"asof_bid").collect().head
+    assert(out.getAs[Timestamp]("asof_ts") == t(15), out.toString)
+    assert(out.isNullAt(1), s"null bid smeared over by an older row: $out")
+    // and with a tolerance that excludes ts=9 but includes ts=15, the
+    // match must still be (15, NULL) — not a stale out-of-tolerance 100
+    val tol = AsOfJoin.backward(l, q,
+        keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
+        leftTiebreak = "trade_id", rightTiebreak = "quote_id",
+        rightValueCols = Seq("bid"), toleranceMs = Some(6 * 60 * 1000L))
+      .select($"asof_ts", $"asof_bid").collect().head
+    assert(tol.getAs[Timestamp]("asof_ts") == t(15), tol.toString)
+    assert(tol.isNullAt(1), tol.toString)
+  }
+
+  test("null keys never match (equi-join semantics)") {
+    val l = Seq((1L, t(20), Option.empty[String], 1.0))
+      .toDF("trade_id", "ts", "sym", "px")
+    val q = Seq((101L, t(9), Option.empty[String], 99.5))
+      .toDF("quote_id", "ts", "sym", "bid")
+    val out = AsOfJoin.backward(l, q,
+        keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
+        leftTiebreak = "trade_id", rightTiebreak = "quote_id",
+        rightValueCols = Seq("bid"))
+      .select($"asof_bid").collect()
+    assert(out.length == 1 && out.head.isNullAt(0),
+      s"null key matched a null-key right row: ${out.toSeq}")
+  }
+
+  test("output-name collisions are rejected up front") {
+    val l = trades.withColumn("asof_bid", lit(1))
+    val e = intercept[IllegalArgumentException](
+      AsOfJoin.backward(l, quotes,
+        keyCols = Seq("sym"), leftTs = "ts", rightTs = "ts",
+        leftTiebreak = "trade_id", rightTiebreak = "quote_id",
+        rightValueCols = Seq("bid")))
+    assert(e.getMessage.contains("asof_bid"), e.getMessage)
   }
 }

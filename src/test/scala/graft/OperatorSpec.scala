@@ -64,6 +64,26 @@ class VectorOpsSpec extends SparkSpec {
   }
 }
 
+class VectorOpsMismatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dot_product and hyperplane_sigs fail fast on vector length mismatch") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    def rootMessages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val e1 = intercept[Throwable](
+      df.select(graft.functions.VectorOps.dot($"a", $"b")).collect())
+    assert(rootMessages(e1).exists(_.contains("length mismatch")),
+      rootMessages(e1).mkString(" | "))
+    val e2 = intercept[Throwable](
+      df.select(graft.functions.VectorOps.hyperplaneSigs(
+        $"a", bands = 2, bitsPerBand = 4, dim = 8, seed = 42L)).collect())
+    assert(rootMessages(e2).exists(_.contains("!= dim")),
+      rootMessages(e2).mkString(" | "))
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
@@ -367,6 +387,20 @@ class TopKSpec extends SparkSpec {
       .select(col("c_nationkey"), col("c_custkey").as("id"),
               col("c_acctbal").as("ord"))
     assertSameRows(viaAgg, viaWindow)
+  }
+
+  test("NaN ordinals rank first regardless of arrival order (total order)") {
+    import org.apache.spark.sql.functions._
+    // Spark's DESC sort puts NaN above every double; the bounded heap
+    // must agree no matter which partition the NaN row arrives from
+    val rows = Seq((1L, 0.9, 10L), (1L, Double.NaN, 7L), (1L, 0.8, 20L))
+    for (perm <- rows.permutations.toSeq) {
+      val got = perm.toDF("g", "ord", "id").repartition(3)
+        .groupBy("g")
+        .agg(graft.functions.TopK.topk(col("ord"), col("id"), 2).as("top"))
+        .select(explode(col("top.id")).as("id")).as[Long].collect().toSeq
+      assert(got == Seq(7L, 10L), s"perm $perm gave $got")
+    }
   }
 
   test("topk handles groups smaller than k and duplicate ordinals") {
