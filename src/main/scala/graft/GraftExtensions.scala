@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryMinus}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
@@ -22,6 +22,7 @@ import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBand
   *   char_ngram_hashes(s, n)       — distinct char-n-gram hashes
   *   topk_rows(struct(ord,id), k)  — bounded-heap top-k aggregate
   *   minhash_sig(hashes, k, seed)  — k-permutation MinHash signature
+  *   minhash_band_buckets(sig, bands) — (band, bucket) pairs of a signature
   *   hyperplane_sigs(v, bands, bits, dim, seed) — sign-LSH band signatures
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -33,51 +34,77 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intArg(e: Expression, fn: String): Int = e match {
+  private def arity(args: Seq[Expression], n: Int, fn: String): Unit =
+    if (args.size != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${args.size}")
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
     case Literal(v: Int, _) => v
+    // the SQL parser produces UnaryMinus(Literal), not a negative
+    // Literal — accept it so e.g. a negative seed works from SQL too
+    case UnaryMinus(Literal(v: Int, _), _) => -v
     case other => throw new IllegalArgumentException(
-      s"$fn: second argument must be an integer literal, got $other")
+      s"$fn: argument $pos must be an integer literal, got $other")
   }
 
-  private def longArg(e: Expression, fn: String): Long = e match {
+  private def longArg(e: Expression, fn: String, pos: Int): Long = e match {
     case Literal(v: Long, _) => v
     case Literal(v: Int, _) => v.toLong
+    case UnaryMinus(Literal(v: Long, _), _) => -v
+    case UnaryMinus(Literal(v: Int, _), _) => -v.toLong
     case other => throw new IllegalArgumentException(
-      s"$fn: argument must be an integer literal, got $other")
+      s"$fn: argument $pos must be an integer literal, got $other")
   }
 
   private[graft] val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "dot_product"); DotProduct(args(0), args(1))
+      }),
     ("simhash64",
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args(0))),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "simhash64"); SimHash64(args(0))
+      }),
     ("token_shingle_hashes",
       new ExpressionInfo(classOf[TokenShingleHashes].getName, "token_shingle_hashes"),
-      (args: Seq[Expression]) =>
-        TokenShingleHashes(args(0), intArg(args(1), "token_shingle_hashes"))),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "token_shingle_hashes")
+        TokenShingleHashes(args(0), intArg(args(1), "token_shingle_hashes", 2))
+      }),
     ("char_ngram_hashes",
       new ExpressionInfo(classOf[CharNgramHashes].getName, "char_ngram_hashes"),
-      (args: Seq[Expression]) =>
-        CharNgramHashes(args(0), intArg(args(1), "char_ngram_hashes"))),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "char_ngram_hashes")
+        CharNgramHashes(args(0), intArg(args(1), "char_ngram_hashes", 2))
+      }),
     ("topk_rows",
       new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),
-      (args: Seq[Expression]) => TopKRows(args(0), args(1))),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "topk_rows"); TopKRows(args(0), args(1))
+      }),
     ("minhash_sig",
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
-      (args: Seq[Expression]) => MinHashSig(args(0),
-        intArg(args(1), "minhash_sig"), longArg(args(2), "minhash_sig"))),
+      (args: Seq[Expression]) => {
+        arity(args, 3, "minhash_sig")
+        MinHashSig(args(0),
+          intArg(args(1), "minhash_sig", 2), longArg(args(2), "minhash_sig", 3))
+      }),
     ("minhash_band_buckets",
       new ExpressionInfo(classOf[MinHashBandBuckets].getName, "minhash_band_buckets"),
-      (args: Seq[Expression]) =>
-        MinHashBandBuckets(args(0), intArg(args(1), "minhash_band_buckets"))),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "minhash_band_buckets")
+        MinHashBandBuckets(args(0), intArg(args(1), "minhash_band_buckets", 2))
+      }),
     ("hyperplane_sigs",
       new ExpressionInfo(classOf[HyperplaneSigs].getName, "hyperplane_sigs"),
-      (args: Seq[Expression]) =>
+      (args: Seq[Expression]) => {
+        arity(args, 5, "hyperplane_sigs")
         HyperplaneSigs(args(0),
-          intArg(args(1), "hyperplane_sigs"), intArg(args(2), "hyperplane_sigs"),
-          intArg(args(3), "hyperplane_sigs"), longArg(args(4), "hyperplane_sigs"))))
+          intArg(args(1), "hyperplane_sigs", 2), intArg(args(2), "hyperplane_sigs", 3),
+          intArg(args(3), "hyperplane_sigs", 4), longArg(args(4), "hyperplane_sigs", 5))
+      }))
 
   /** Register on an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

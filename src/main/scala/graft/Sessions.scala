@@ -32,9 +32,27 @@ object Sessions {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
 
-  /** Local session for tests/exploration. */
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
-    builder("graft", cores).master(s"local[$cores]")
+  /** Local session for tests/exploration.
+    *
+    * getOrCreate returns a pre-existing session if the JVM already has
+    * one, and STATIC confs (spark.sql.extensions, master, nanosAsLong)
+    * are then silently ignored — so the graft functions are registered
+    * explicitly (idempotent) and the runtime confs re-applied, making
+    * the promised surface available either way.
+    */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder("graft", cores).master(s"local[$cores]")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    GraftExtensions.register(s)
+    Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.shuffle.partitions" -> cores.toString,
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.sql.legacy.parquet.nanosAsLong" -> "true"
+    ).foreach { case (k, v) => s.conf.set(k, v) }
+    s
+  }
 }

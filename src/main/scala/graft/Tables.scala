@@ -25,13 +25,17 @@ object Tables {
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark's vectorized reader rejects outright. Read nanos as raw
     * longs (legacy conf) and convert to a microsecond TimestampType
-    * column with exact integer division — `ts / 1000` in double would
-    * silently lose precision above 2^53 ns.
+    * column with exact integer FLOOR division: `ts / 1000` in double
+    * would silently lose precision above 2^53 ns, and `div` truncates
+    * toward zero, which rounds pre-epoch remainders the wrong way
+    * (DuckDB's native ns→µs cast of the same parquet floors) —
+    * `(ts - pmod(ts, 1000)) div 1000` floors for any sign.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts",
+        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
   }
 
   /** Register every table as a temp view named after itself, so both

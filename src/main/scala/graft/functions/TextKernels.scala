@@ -23,6 +23,15 @@ object TextKernels {
   final val FnvOffset = 0xcbf29ce484222325L
   final val FnvPrime = 0x100000001b3L
 
+  /** Exactly the Java regex `\s` class — NOT Character.isWhitespace,
+    * which also matches U+2028/U+2029/U+001C–1F and would tokenize
+    * differently from the documented `Dedup.shingles` (`split("\\s+")`)
+    * contract on such separators.
+    */
+  private def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+
   /** FNV-1a over a char range. */
   private def fnvRange(cs: String, from: Int, until: Int): Long = {
     var h = FnvOffset
@@ -34,18 +43,23 @@ object TextKernels {
     h
   }
 
-  private def distinctArray(buf: java.util.ArrayList[java.lang.Long]): ArrayData = {
-    val seen = new java.util.HashSet[java.lang.Long](buf.size * 2)
-    val out = new Array[Long](buf.size)
-    var n = 0
+  // sort-and-dedup on the primitive buffer: no boxing, two arrays
+  // total. Output order is SORTED distinct (every consumer —
+  // Jaccard set ops, min-hash, sign votes — is order-independent).
+  private def distinctSorted(buf: Array[Long], n: Int): ArrayData = {
+    java.util.Arrays.sort(buf, 0, n)
+    val out = new Array[Long](n)
+    var m = 0
     var i = 0
-    while (i < buf.size) {
-      val v = buf.get(i)
-      if (seen.add(v)) { out(n) = v; n += 1 }
+    while (i < n) {
+      if (m == 0 || buf(i) != out(m - 1)) { out(m) = buf(i); m += 1 }
       i += 1
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, n))
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
+
+  private def grow(a: Array[Long], n: Int): Array[Long] =
+    if (n < a.length) a else java.util.Arrays.copyOf(a, a.length * 2)
 
   /** Distinct hashes of word k-shingles. Same contract as
     * `Dedup.shingleHashes`: whitespace tokenization after trim; fewer
@@ -55,52 +69,65 @@ object TextKernels {
   def tokenShingleHashes(s: UTF8String, k: Int): ArrayData = {
     val str = s.toString
     // word hashes + word boundaries in one scan
-    val wordHashes = new java.util.ArrayList[java.lang.Long]()
+    var wordHashes = new Array[Long](16)
+    var nw = 0
     var i = 0
     val len = str.length
     while (i < len) {
-      while (i < len && Character.isWhitespace(str.charAt(i))) i += 1
+      while (i < len && isSpace(str.charAt(i))) i += 1
       if (i < len) {
         val start = i
-        while (i < len && !Character.isWhitespace(str.charAt(i))) i += 1
-        wordHashes.add(fnvRange(str, start, i))
+        while (i < len && !isSpace(str.charAt(i))) i += 1
+        wordHashes = grow(wordHashes, nw)
+        wordHashes(nw) = fnvRange(str, start, i)
+        nw += 1
       }
     }
-    val nw = wordHashes.size
-    val shingles = new java.util.ArrayList[java.lang.Long]()
     if (nw == 0) {
-      shingles.add(FnvOffset) // hash of the empty shingle
+      new GenericArrayData(Array(FnvOffset)) // hash of the empty shingle
     } else if (nw < k) {
       var h = FnvOffset
       var j = 0
-      while (j < nw) { h = (h ^ wordHashes.get(j)) * FnvPrime; j += 1 }
-      shingles.add(h)
+      while (j < nw) { h = (h ^ wordHashes(j)) * FnvPrime; j += 1 }
+      new GenericArrayData(Array(h))
     } else {
+      val shingles = new Array[Long](nw - k + 1)
       var w = 0
       while (w + k <= nw) {
         var h = FnvOffset
         var j = 0
-        while (j < k) { h = (h ^ wordHashes.get(w + j)) * FnvPrime; j += 1 }
-        shingles.add(h)
+        while (j < k) { h = (h ^ wordHashes(w + j)) * FnvPrime; j += 1 }
+        shingles(w) = h
         w += 1
       }
+      distinctSorted(shingles, shingles.length)
     }
-    distinctArray(shingles)
   }
 
   /** Distinct hashes of character n-grams (text shorter than n hashes
-    * whole).
+    * whole). Windows over CODEPOINTS — matching Spark's
+    * `length`/`substr` semantics in `Dedup.charNgrams` — so non-BMP
+    * text (emoji, CJK extensions) never yields grams that split a
+    * surrogate pair. For BMP-only text the hashes are identical to
+    * UTF-16 windowing.
     */
   def charNgramHashes(s: UTF8String, n: Int): ArrayData = {
     val str = s.toString
-    val len = str.length
-    val grams = new java.util.ArrayList[java.lang.Long]()
-    if (len < n) grams.add(fnvRange(str, 0, len))
-    else {
-      var i = 0
-      while (i + n <= len) { grams.add(fnvRange(str, i, i + n)); i += 1 }
+    val cps = str.codePoints().toArray
+    val len = cps.length
+    def fnvCp(from: Int, until: Int): Long = {
+      var h = FnvOffset
+      var i = from
+      while (i < until) { h = (h ^ cps(i)) * FnvPrime; i += 1 }
+      h
     }
-    distinctArray(grams)
+    if (len < n) new GenericArrayData(Array(fnvCp(0, len)))
+    else {
+      val grams = new Array[Long](len - n + 1)
+      var i = 0
+      while (i + n <= len) { grams(i) = fnvCp(i, i + n); i += 1 }
+      distinctSorted(grams, grams.length)
+    }
   }
 }
 

@@ -17,13 +17,24 @@ object Sources {
 
   /** CSV with an explicit schema (production path — inference reads
     * the data twice and guesses types).
+    *
+    * multiLine: quoted fields may span physical lines — without it a
+    * text value containing a newline (ubiquitous in the documents
+    * corpus) splits into malformed rows. emptyValue "" keeps written
+    * empty strings distinct from nulls on the way back in.
     */
   def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).option("header", "true").csv(path)
+    spark.read.schema(schema).option("header", "true")
+      .option("multiLine", "true").option("emptyValue", "")
+      .option("nullValue", "\\N")
+      .csv(path)
 
   /** CSV with header + inference (exploration path only). */
   def csvInferred(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .option("multiLine", "true").option("emptyValue", "")
+      .option("nullValue", "\\N")
+      .csv(path)
 
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
@@ -34,7 +45,9 @@ object Sources {
   }
 
   def writeCsv(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    df.write.mode(SaveMode.Overwrite).option("header", "true")
+      .option("emptyValue", "\"\"").option("nullValue", "\\N")
+      .csv(path)
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)

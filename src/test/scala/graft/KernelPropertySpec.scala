@@ -24,7 +24,11 @@ class KernelPropertySpec extends SparkSpec with TableDrivenPropertyChecks {
   private val textGen: Gen[String] = for {
     n <- Gen.choose(0, 12)
     ws <- Gen.listOfN(n, wordGen)
-    sep <- Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    // exotic separators pin the tokenizer contract: U+2028/U+00A0 are
+    // NOT Java-\s whitespace (they must stay part of words in kernel
+    // and HOF alike),  IS
+    sep <- Gen.oneOf(" ", "  ", "\t", "\n", " \t ", "\u000B",
+      " \u2028 ", " \u00A0 ")
   } yield ws.mkString(sep)
 
   private lazy val docs = {

@@ -17,6 +17,20 @@ class SourcesSpec extends SparkSpec {
     assertSameRows(nation, back)
   }
 
+  test("csv roundtrip survives embedded newlines and empty strings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("src-csv-hard").toString
+    val df = Seq(
+      (1L, "first line\nsecond line"),
+      (2L, ""),
+      (3L, "plain"),
+      (4L, null)
+    ).toDF("id", "text")
+    Sources.writeCsv(df, s"$dir/t")
+    val back = Sources.csv(spark, s"$dir/t", df.schema)
+    assertSameRows(df, back)
+  }
+
   test("json-lines roundtrip preserves rows") {
     Sources.writeJsonLines(nation, s"$tmp/nation_json")
     val back = Sources.jsonLines(spark, s"$tmp/nation_json", nation.schema)
