@@ -24,14 +24,13 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Some(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
-        }
+        } finally
+          // release dedup caches so per-query times stay independent
+          // (and memory bounded) across the sweep
+          graft.operators.Dedup.unpersistAll()
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(s: String): String = SparkEntry.jsonStr(s)
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a failed query must be visible in the JSON, not only on stderr

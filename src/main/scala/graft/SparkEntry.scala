@@ -9,8 +9,33 @@ import graft.queries.{Pipeline, Relational}
   */
 object SparkEntry {
 
-  /** Every registered query group, concatenated. Order is stable. */
-  private def groups: Seq[Relational.Q] = Relational.all ++ Pipeline.all
+  /** Every registered query group, concatenated. Order is stable.
+    * Duplicate names fail fast: queries/oracleSql are Maps, so a
+    * shadowed name would silently drop a query from execution AND from
+    * the oracle gate while the gate still reports all-pass.
+    */
+  private def groups: Seq[Relational.Q] = {
+    val gs = Relational.all ++ Pipeline.all
+    val dups = gs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    gs
+  }
+
+  /** One JSON string escaper for every driver artifact (Verify's
+    * oracle_sql.json and Bench's metric lines): backslash, quote, and
+    * ALL control chars (<0x20) — a stray tab/CR in builder-authored
+    * SQL would otherwise make the driver's json.load fail and silently
+    * zero a round's results.
+    */
+  private[graft] def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

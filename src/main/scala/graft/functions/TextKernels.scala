@@ -32,13 +32,19 @@ object TextKernels {
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
       c == '\r'
 
-  /** FNV-1a over a char range. */
+  /** FNV-1a over a char range, folding CODEPOINTS: the d03 oracle
+    * replays this hash in DuckDB by folding `unicode(ch)` per
+    * character, and charNgramHashes already windows codepoints —
+    * folding UTF-16 units here would diverge on every non-BMP word.
+    * (BMP text: codepoint == unit, identical hashes.)
+    */
   private def fnvRange(cs: String, from: Int, until: Int): Long = {
     var h = FnvOffset
     var i = from
     while (i < until) {
-      h = (h ^ cs.charAt(i)) * FnvPrime
-      i += 1
+      val cp = cs.codePointAt(i)
+      h = (h ^ cp) * FnvPrime
+      i += Character.charCount(cp)
     }
     h
   }

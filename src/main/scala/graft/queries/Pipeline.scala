@@ -15,14 +15,18 @@ import graft.queries.Relational.Q
 object Pipeline {
 
   /** First embedding (vec_id = min) as the query vector for the ANN
-    * entries — fetched per-run from the scale factor under test so the
-    * query composes at any SF. Single-row lookup, not a data scan.
+    * entries — fetched per scale-factor directory so the query composes
+    * at any SF. Memoized: four ANN entries share the identical vector,
+    * and without the cache each triggered its own TakeOrdered job over
+    * the embeddings table per Verify/Bench sweep.
     */
-  private def queryVec(s: SparkSession, dir: String): Array[Float] = {
-    val row = Tables.load(s, dir, "embeddings")
-      .orderBy("vec_id").select("embedding").head()
-    row.getSeq[Float](0).toArray
-  }
+  private val queryVecCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Float]]()
+  private def queryVec(s: SparkSession, dir: String): Array[Float] =
+    queryVecCache.computeIfAbsent(dir, _ =>
+      Tables.load(s, dir, "embeddings")
+        .orderBy("vec_id").select("embedding").head()
+        .getSeq[Float](0).toArray)
 
   /** Cross-engine 6-decimal rounding: `floor(x·1e6 + 0.5)/1e6` is the
     * same sequence of IEEE double ops in Spark and DuckDB, so both
@@ -70,7 +74,7 @@ object Pipeline {
     val ham = s"bit_count(xor(${signed("a.sim")}, ${signed("b.sim")}))"
     s"""WITH w AS (
        |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+       |    list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS words
        |  FROM documents
        |), wh AS (
        |  SELECT doc_id,
@@ -226,7 +230,7 @@ object Pipeline {
       },
       Some(s"""WITH t AS (
              |  SELECT doc_id, list_filter(
-             |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+             |    regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS w
              |  FROM documents
              |), sh AS (
              |  SELECT doc_id, CASE WHEN len(w) >= 3
@@ -301,7 +305,7 @@ object Pipeline {
       },
       Some(s"""WITH t AS (
              |  SELECT doc_id, list_filter(
-             |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+             |    regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS w
              |  FROM documents
              |), sh AS (
              |  SELECT doc_id, CASE WHEN len(w) >= 3
@@ -339,7 +343,7 @@ object Pipeline {
       },
       Some("""WITH RECURSIVE t AS (
              |  SELECT doc_id, list_filter(
-             |    regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+             |    regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '') AS w
              |  FROM documents
              |), sh AS (
              |  SELECT doc_id, CASE WHEN len(w) >= 3
@@ -456,10 +460,11 @@ object Pipeline {
     // IVF-bucketed ANN: nearest-centroid cells only (scale path reads
     // nProbe/nCells of the corpus when the index is cell-partitioned).
     // Oracle replays the whole deterministic pipeline: centroids = 16
-    // lowest-id vectors, cell = argmax dot (ties → higher cell, as
-    // greatest(struct) breaks them), probe = top-4 centroids by dot
-    // with the query (ties → lower cell, stable sort), then brute
-    // top-k within probed cells.
+    // lowest-id vectors, cell = argmax dot (ties → LOWER cell — the
+    // same direction the probe ranking breaks them, so duplicate
+    // centroids can't send probes to an empty twin cell), probe =
+    // top-4 centroids by dot with the query (ties → lower cell,
+    // stable sort), then brute top-k within probed cells.
     Q("s03_knn_ivf",
       (s, dir) => {
         Similarity.knnIvf(Tables.load(s, dir, "embeddings"),
@@ -587,7 +592,7 @@ object Pipeline {
       Some("""WITH tok AS (
              |  SELECT doc_id,
              |    list_distinct(list_filter(
-             |      regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS t
+             |      regexp_split_to_array(trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '')) AS t
              |  FROM documents
              |), sc AS (
              |  SELECT doc_id,
@@ -627,10 +632,10 @@ object Pipeline {
              |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
              |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
              |    CAST(len(list_filter(regexp_split_to_array(trim(lower(text)),
-             |      '\\s+'), x -> x <> '')) AS DOUBLE) AS n_tokens,
+             |      '[ \\t\\n\\v\\f\\r]+'), x -> x <> '')) AS DOUBLE) AS n_tokens,
              |    CAST(len(list_intersect(
              |      list_distinct(list_filter(regexp_split_to_array(trim(lower(text)),
-             |        '\\s+'), x -> x <> '')),
+             |        '[ \\t\\n\\v\\f\\r]+'), x -> x <> '')),
              |      ['the','a','of','and','to','in','is','that','it','for'])) AS DOUBLE) AS stop_hits
              |  FROM documents
              |), g AS (
@@ -660,8 +665,8 @@ object Pipeline {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-             |  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INT) AS n_ws_tokens,
+             |CAST(len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'),
+             |  x -> x <> '')) AS INT) AS n_ws_tokens,
              |CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_pieces,
              |CAST(length(text) AS INT) AS n_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
@@ -686,7 +691,8 @@ object Pipeline {
       },
       Some("""WITH n AS (
              |  SELECT doc_id,
-             |    array_to_string(regexp_split_to_array(trim(lower(text)), '\s+'), ' ') AS norm
+             |    array_to_string(list_filter(
+             |      regexp_split_to_array(trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> ''), ' ') AS norm
              |  FROM documents
              |)
              |SELECT doc_id,
@@ -705,7 +711,7 @@ object Pipeline {
       },
       Some(s"""WITH toks AS (
              |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
-             |    trim(lower(text)), '\\s+'), x -> x <> '')) AS term
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '')) AS term
              |  FROM documents
              |), tf AS (
              |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
@@ -761,7 +767,7 @@ object Pipeline {
       },
       Some("""SELECT term, COUNT(*) AS n
              |FROM (SELECT unnest(list_filter(regexp_split_to_array(
-             |        trim(lower(text)), '\s+'), x -> x <> '')) AS term
+             |        trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '')) AS term
              |      FROM documents)
              |GROUP BY term ORDER BY n DESC, term ASC LIMIT 100""".stripMargin)),
 

@@ -484,8 +484,12 @@ object Relational {
                   rank().over(w).as("rk"),
                   dense_rank().over(w).as("drk"),
                   ntile(4).over(w).as("quartile"),
-                  round(percent_rank().over(w), 6).as("prk"),
-                  round(cume_dist().over(w), 6).as("cd"))
+                  // floor-scale, NOT round(): Spark rounds the decimal
+                  // repr HALF_UP, DuckDB the binary double — they flip
+                  // 6th-decimal ties differently; floor(x*1e6+0.5)/1e6
+                  // is the same IEEE op sequence on both engines
+                  (floor(percent_rank().over(w) * lit(1e6) + lit(0.5)) / lit(1e6)).as("prk"),
+                  (floor(cume_dist().over(w) * lit(1e6) + lit(0.5)) / lit(1e6)).as("cd"))
           .where(col("rn") <= 3)
           .orderBy("c_nationkey", "rn")
       },
@@ -494,8 +498,8 @@ object Relational {
              |  SELECT c_nationkey, c_custkey, c_acctbal,
              |  ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk, DENSE_RANK() OVER w AS drk,
              |  NTILE(4) OVER w AS quartile,
-             |  round(PERCENT_RANK() OVER w, 6) AS prk,
-             |  round(CUME_DIST() OVER w, 6) AS cd
+             |  FLOOR((PERCENT_RANK() OVER w) * 1000000 + 0.5) / 1000000 AS prk,
+             |  FLOOR((CUME_DIST() OVER w) * 1000000 + 0.5) / 1000000 AS cd
              |  FROM customer
              |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
              |) t WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin)),
