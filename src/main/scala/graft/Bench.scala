@@ -38,12 +38,20 @@ object Bench {
       s"${jstr(k)}:${jstr(m.take(300))}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    // Truncation-proofing: the full line above can be cut by bounded
-    // output captures (round 3 lost its head, and with it the total and
-    // the first queries). Repeat the small summary on its own final
-    // line so either capture direction preserves it.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"errors":$errs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(full)
+    // Truncation-proofing, twice over: bounded stdout captures have
+    // lost the head (round 3) and the per-query tail (round 4) of the
+    // full line, so (a) repeat the small summary on its own final line
+    // — either capture direction preserves it — and (b) write the full
+    // JSON to a FILE next to the bench (like Verify's oracle_sql.json),
+    // which no stdout capture can truncate.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json"))
+    java.nio.file.Files.write(outPath,
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"errors":$errs,"out":${jstr(outPath.toAbsolutePath.toString)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

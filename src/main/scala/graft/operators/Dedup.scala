@@ -149,28 +149,56 @@ object Dedup {
           .minhashBandBuckets(col("sig"), bands)).as(Seq("band", "bucket")): _*)
   }
 
-  /** Registry of projections persisted by Dedup operators, so a
-    * long-lived session can reclaim executor storage:
-    * [[unpersistAll]] releases everything cached by this object.
-    * (The persists are deliberate — they are what makes each corpus
-    * hash once — but Spark offers no scope-bound cache, so the
-    * library tracks its own handles.)
+  /** Scope-bound registry of persisted projections. The persists are
+    * deliberate — they are what makes each corpus hash once — but
+    * Spark offers no scope-bound cache, so the library tracks its own
+    * handles. Every persisting operator takes a `scope` parameter;
+    * callers running concurrent work (e.g. a batch verify sweep next
+    * to a long-lived streaming query in the same JVM) pass their own
+    * scope so releasing one caller's caches can never unpersist
+    * another's.
     */
-  private val persistedCaches =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+  final class CacheScope {
+    private val handles =
+      java.util.Collections.newSetFromMap(
+        new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
 
-  private def persistTracked(df: DataFrame): DataFrame = {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    persistedCaches.add(p)
-    p
+    private[operators] def persistTracked(df: DataFrame): DataFrame = {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      handles.add(p)
+      p
+    }
+
+    /** Unpersist everything tracked by this scope. */
+    def release(): Unit = {
+      handles.forEach(df => { df.unpersist(false); () })
+      handles.clear()
+    }
+
+    /** Number of live handles (for specs/diagnostics). */
+    def size: Int = handles.size()
   }
 
-  /** Unpersist every projection cached by Dedup operators. */
-  def unpersistAll(): Unit = {
-    persistedCaches.forEach(df => { df.unpersist(false); () })
-    persistedCaches.clear()
-  }
+  /** Default scope for BATCH operators; [[unpersistAll]] releases it.
+    * Per-query release (as Verify/Bench do) is safe for sequential
+    * batch work; concurrent batch callers should pass their own scope.
+    */
+  val batchScope = new CacheScope
+
+  /** Default scope for [[streamingDecontaminate]]'s static-side caches.
+    * Deliberately NOT touched by [[unpersistAll]]: a streaming query's
+    * persisted banded eval side must survive unrelated batch cleanup,
+    * or every micro-batch silently recomputes O(eval corpus). Release
+    * explicitly via `Dedup.streamingScope.release()` once the streams
+    * using it are stopped.
+    */
+  val streamingScope = new CacheScope
+
+  /** Unpersist every projection cached by batch Dedup operators in the
+    * default [[batchScope]]. Streaming-owned caches ([[streamingScope]]
+    * or any caller-provided scope) are untouched.
+    */
+  def unpersistAll(): Unit = batchScope.release()
 
   /** Candidate pairs from a pre-hashed (id, sh) corpus — lets the
     * end-to-end paths ([[minhashDuplicates]], [[decontaminate]]) share
@@ -237,15 +265,16 @@ object Dedup {
   def decontaminate(
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      scope: CacheScope = batchScope): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // hash each corpus ONCE; persist shares the pass between banding
     // and verify (MEMORY_AND_DISK: spills instead of recomputing at
     // 100 TB). The logical plan is untouched — caching swaps in at
     // physical planning — so SqlGen roundtrips are unaffected.
     // Long-lived sessions can reclaim the caches via [[unpersistAll]].
-    val shL = persistTracked(hashedCorpus(train, idCol, textCol, shingleK))
-    val shR = persistTracked(hashedCorpus(eval, idCol, textCol, shingleK))
+    val shL = scope.persistTracked(hashedCorpus(train, idCol, textCol, shingleK))
+    val shR = scope.persistTracked(hashedCorpus(eval, idCol, textCol, shingleK))
     val cands = candidatesAcrossFromHashes(shL, shR, numHashes, bands)
     cands
       .join(shL.withColumnsRenamed(Map("id" -> "id_left", "sh" -> "sh_l")), "id_left")
@@ -291,8 +320,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.5,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val sh = persistTracked(hashedCorpus(df, idCol, textCol, shingleK))
+      maxBucketSize: Int = Int.MaxValue,
+      scope: CacheScope = batchScope): DataFrame = {
+    val sh = scope.persistTracked(hashedCorpus(df, idCol, textCol, shingleK))
     jaccardVerifyHashed(
       candidatesFromHashes(sh, numHashes, bands, maxBucketSize),
       sh, threshold)
@@ -313,20 +343,27 @@ object Dedup {
     * Output:
     * (id_left, id_right, jaccard) with jaccard ≥ threshold; a pair
     * colliding in several bands emits one row per colliding band
-    * (exactly-once flags need a watermarked dropDuplicates
-    * downstream — state the caller owns).
+    * (a within-stream distinct would itself be a stateful
+    * aggregate). Exactly-once flags are the caller's consumption
+    * pattern: foreachBatch + `dropDuplicates("id_left", "id_right")`
+    * per micro-batch — pinned by StreamingSpec's "exactly-once
+    * decontamination flags via foreachBatch per-pair dedup".
     */
   def streamingDecontaminate(
       docs: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      scope: CacheScope = streamingScope): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val shR = persistTracked(hashedCorpus(eval, idCol, textCol, shingleK))
+    // static-side caches live in streamingScope by default: they must
+    // outlive any batch cleanup (unpersistAll) running in the same JVM,
+    // or every micro-batch recomputes O(eval corpus)
+    val shR = scope.persistTracked(hashedCorpus(eval, idCol, textCol, shingleK))
     // persist the BANDED static side too: every micro-batch replays the
     // stream-static join's static subtree, so without this the
     // signature + explode would recompute over the whole eval corpus
     // per batch — per-batch work must be O(batch), not O(eval)
-    val bandedR = persistTracked(
+    val bandedR = scope.persistTracked(
       bandedFromHashes(shR, "id_right", numHashes, bands))
     // the stream doc's shingle hashes ride along to the verify step, so
     // the text-hashing kernel runs once per streamed row too
@@ -499,10 +536,11 @@ object Dedup {
     */
   def charJaccardVerify(
       candidates: DataFrame, df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.7): DataFrame = {
+      n: Int = 3, threshold: Double = 0.7,
+      scope: CacheScope = batchScope): DataFrame = {
     // one char-ngram pass feeds both join sides (same hash-once shape
     // as minhashDuplicates)
-    val gr = persistTracked(df.select(col(idCol).as("id"),
+    val gr = scope.persistTracked(df.select(col(idCol).as("id"),
       graft.functions.TextKernelOps.charNgramHashes(col(textCol), n).as("gr")))
     candidates.select("id_a", "id_b")
       .join(gr.withColumnsRenamed(Map("id" -> "id_a", "gr" -> "gr_a")), "id_a")

@@ -138,24 +138,144 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style index: assign every vector to its nearest of `nCells`
-    * centroid cells. Centroid selection here is deterministic seeding
-    * (the `nCells` lowest-id vectors) — a real deployment would run
-    * k-means over a sample; the *engine shape* is identical: one
-    * narrow pass computing `argmax_i dot(vec, c_i)`, output written
-    * partitioned/bucketed by `cell` so probes prune to the probed
-    * cells' files.
+  /** How the IVF paths pick their `nCells` centroids. */
+  sealed trait CentroidStrategy
+
+  /** The `nCells` lowest-id vectors. Fully deterministic and trivially
+    * replayable in another engine — the oracle path. On clustered real
+    * embeddings the seeds can all land in one cluster, giving
+    * unbalanced cells and poor recall at a fixed nProbe; prefer
+    * [[KMeansCentroids]] for production indexes.
     */
-  /** The deterministic centroid seeding shared by every IVF path —
-    * ONE bounded collect (nCells rows), reused between index build and
-    * probe ranking instead of re-collecting per call.
+  case object SeededCentroids extends CentroidStrategy
+
+  /** Spherical k-means (k-means++ init, Lloyd iterations) over a
+    * bounded deterministic sample. The sample is the `sampleSize`
+    * rows with the lowest `xxhash64(id)` — a content-defined choice
+    * that is stable across partition layouts and replays identically
+    * on retry — collected to the driver (one bounded TakeOrdered; at
+    * 100 TB this is a few thousand rows, not a scan result). Lloyd
+    * runs on the driver over that sample: iterations cost
+    * O(sampleSize·nCells·dim) — no per-iteration cluster job.
+    * Deterministic for a fixed (sampleSize, iters, seed).
+    */
+  final case class KMeansCentroids(
+      sampleSize: Int = 4096, iters: Int = 20,
+      seed: Long = 42L) extends CentroidStrategy
+
+  /** IVF-style index: assign every vector to its nearest of `nCells`
+    * centroid cells — one narrow pass computing
+    * `argmax_i dot(vec, c_i)`, output written partitioned/bucketed by
+    * `cell` so probes prune to the probed cells' files.
+    */
+  /** The centroid computation shared by every IVF path — ONE bounded
+    * collect, reused between index build and probe ranking instead of
+    * re-collecting per call. k-means centroids are unit-norm, so
+    * `argmax dot` = `argmax cosine` for every assignment/probe.
     */
   private def centroidVectors(
       df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int): Array[Array[Double]] =
-    df.orderBy(idCol).limit(nCells)
-      .select(vecCol).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      nCells: Int, strategy: CentroidStrategy): Array[Array[Double]] =
+    strategy match {
+      case SeededCentroids =>
+        df.orderBy(idCol).limit(nCells)
+          .select(vecCol).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      case KMeansCentroids(sampleSize, iters, seed) =>
+        val sample = df
+          .select(col(idCol).as("id"), col(vecCol).as("vec"))
+          .orderBy(xxhash64(col("id")), col("id")).limit(sampleSize)
+          .select("vec").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        kmeansOnSample(sample, nCells, iters, seed)
+    }
+
+  /** Driver-side spherical k-means over an already-collected sample:
+    * unit-normalize, k-means++ seeding (D² weighting with distance
+    * 1 − cosine), then Lloyd iterations assigning by max dot and
+    * re-normalizing mean centroids. Empty cells keep their previous
+    * centroid. Stops early when assignments stabilize.
+    */
+  private[graft] def kmeansOnSample(
+      sample: Array[Array[Double]], nCells: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    def normed(v: Array[Double]): Option[Array[Double]] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0d) None else Some(v.map(_ / n))
+    }
+    val pts = sample.flatMap(normed)
+    require(pts.nonEmpty,
+      "kmeans centroids: sample contains no non-zero vectors")
+    val rnd = new scala.util.Random(seed)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // k-means++ seeding: D²-weighted draws, D = 1 − cos ∈ [0, 2]
+    val cents = scala.collection.mutable.ArrayBuffer(
+      pts(rnd.nextInt(pts.length)))
+    val minD = pts.map(p => 1d - dot(p, cents.head))
+    while (cents.length < math.min(nCells, pts.length)) {
+      val total = minD.sum
+      val pick =
+        if (total <= 0d) rnd.nextInt(pts.length) // all points covered
+        else {
+          var r = rnd.nextDouble() * total; var i = 0
+          while (i < pts.length - 1 && r > minD(i)) { r -= minD(i); i += 1 }
+          i
+        }
+      val c = pts(pick)
+      cents += c
+      var i = 0
+      while (i < pts.length) {
+        val d = 1d - dot(pts(i), c)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+    }
+    val centroids = cents.toArray
+    // Lloyd: assign to max-dot centroid (ties → lowest cell, matching
+    // assignCells), recompute unit-normalized means
+    val assign = Array.fill(pts.length)(-1)
+    var iter = 0
+    var changed = true
+    while (iter < iters && changed) {
+      changed = false
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bestD = dot(pts(i), centroids(0)); var c = 1
+        while (c < centroids.length) {
+          val d = dot(pts(i), centroids(c))
+          if (d > bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; changed = true }
+        i += 1
+      }
+      if (changed) {
+        val dim = pts(0).length
+        var c = 0
+        while (c < centroids.length) {
+          val mean = new Array[Double](dim)
+          var n = 0
+          var i = 0
+          while (i < pts.length) {
+            if (assign(i) == c) {
+              var j = 0
+              while (j < dim) { mean(j) += pts(i)(j); j += 1 }
+              n += 1
+            }
+            i += 1
+          }
+          if (n > 0) normed(mean).foreach(centroids(c) = _)
+          c += 1
+        }
+      }
+      iter += 1
+    }
+    centroids
+  }
 
   private def assignCells(
       df: DataFrame, idCol: String, vecCol: String,
@@ -174,9 +294,10 @@ object Similarity {
 
   def buildIvfIndex(
       df: DataFrame, idCol: String, vecCol: String,
-      nCells: Int = 16): DataFrame =
+      nCells: Int = 16,
+      strategy: CentroidStrategy = SeededCentroids): DataFrame =
     assignCells(df, idCol, vecCol,
-      centroidVectors(df, idCol, vecCol, nCells))
+      centroidVectors(df, idCol, vecCol, nCells, strategy))
 
   /** IVF probe: rank the query against the same deterministic
     * centroids, brute-force only the `nProbe` best cells. At scale the
@@ -186,8 +307,9 @@ object Similarity {
   def knnIvf(
       df: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val cents = centroidVectors(df, idCol, vecCol, nCells)
+      nCells: Int = 16, nProbe: Int = 4,
+      strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+    val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
     val indexed = assignCells(df, idCol, vecCol, cents)
     val qd = query.map(_.toDouble)
     val probeCells = cents.zipWithIndex
@@ -209,15 +331,19 @@ object Similarity {
     */
   def writeIvfIndex(
       df: DataFrame, idCol: String, vecCol: String, path: String,
-      nCells: Int = 16): Unit = {
-    import org.apache.spark.sql.expressions.Window
-    buildIvfIndex(df, idCol, vecCol, nCells)
+      nCells: Int = 16,
+      strategy: CentroidStrategy = SeededCentroids): Unit = {
+    val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
+    assignCells(df, idCol, vecCol, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    // centroid i = i-th lowest id, identical to buildIvfIndex's seeding
-    // (global window over nCells rows only — post-limit, bounded)
-    df.orderBy(idCol).limit(nCells)
-      .select(col(vecCol).as("cv"),
-        (row_number().over(Window.orderBy(col(idCol))) - 1).as("cell"))
+    // centroids are already on the driver (bounded nCells rows) — write
+    // them as-is so the stored index replays the exact build centroids
+    // for ANY strategy
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (c.toSeq, i) }.toDF("cv", "cell")
+      .repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
@@ -231,7 +357,7 @@ object Similarity {
     val qd = query.map(_.toDouble)
     val probeCells = spark.read.parquet(s"$path/centroids").collect()
       .map { r =>
-        val cv = r.getSeq[Float](r.fieldIndex("cv")).map(_.toDouble)
+        val cv = r.getSeq[Double](r.fieldIndex("cv"))
         val cell = r.getInt(r.fieldIndex("cell"))
         (cv.zip(qd).map { case (a, b) => a * b }.sum, cell)
       }

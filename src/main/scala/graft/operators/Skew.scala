@@ -20,27 +20,50 @@ object Skew {
     * true keys and combines.
     * Results are identical to the direct groupBy (sum/count are
     * commutative monoids); only the shuffle shape changes.
+    *
+    * The salt must be DETERMINISTIC under stage retry: after a shuffle
+    * fetch failure Spark recomputes only the lost map tasks, and a
+    * positional salt (monotonically_increasing_id) can assign the
+    * replayed rows different buckets than the first run saw — rows
+    * then land in reduce partitions that already consumed the old
+    * copies, double-counting or dropping them (the SPARK-23207
+    * round-robin class of bug). Two safe shapes:
+    *
+    *  - `saltBy = Seq(cols…)`: salt = xxhash64(cols…) mod buckets — a
+    *    pure function of row content, replayed identically on retry.
+    *    The columns should together be (near-)unique per row (a
+    *    primary key); note a content hash of NON-unique columns would
+    *    send every copy of an identical hot row to one bucket,
+    *    reproducing the skew.
+    *  - `saltBy = Nil`: positional salt, made retry-safe by eagerly
+    *    materializing the salted projection with localCheckpoint():
+    *    lineage is truncated, so retries re-read the stored blocks
+    *    instead of recomputing salts. Costs one materialization of the
+    *    input; if an executor holding blocks dies the job FAILS
+    *    (and can be rerun) rather than silently corrupting counts.
     */
   def saltedAggregate(
       df: DataFrame,
       keys: Seq[String],
       aggs: Map[String, (String, String)],
-      saltBuckets: Int = 64): DataFrame = {
+      saltBuckets: Int = 64,
+      saltBy: Seq[String] = Nil): DataFrame = {
     require(saltBuckets >= 2)
     require(aggs.nonEmpty, "saltedAggregate: aggs must be non-empty")
     require(!df.columns.contains("_salt"),
       "saltedAggregate: input already has a _salt column — rename it " +
         "(the synthetic salt would silently overwrite it)")
-    // per-ROW salt, not a hash of the row's content: the degenerate hot
-    // key is often millions of IDENTICAL rows (sentinel/default rows),
-    // and a content hash would put every copy in the same bucket —
-    // reproducing exactly the skew this operator exists to break up.
-    // spark_partition_id spreads buckets across input partitions and
-    // the id counter spreads within one; determinism of the salt is
-    // irrelevant because phase 2 re-merges every bucket.
-    val salted = df.withColumn("_salt",
-      pmod(monotonically_increasing_id() + spark_partition_id(),
-        lit(saltBuckets.toLong)))
+    val salted =
+      if (saltBy.nonEmpty) {
+        saltBy.foreach(c => require(df.columns.contains(c),
+          s"saltedAggregate: saltBy column $c not in input"))
+        df.withColumn("_salt",
+          pmod(xxhash64(saltBy.map(col): _*), lit(saltBuckets.toLong)))
+      } else
+        df.withColumn("_salt",
+            pmod(monotonically_increasing_id() + spark_partition_id(),
+              lit(saltBuckets.toLong)))
+          .localCheckpoint()
     val phase1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(

@@ -219,11 +219,17 @@ object Pipeline {
     // threshold among LSH candidates", and at 128 hashes / 16 bands the
     // planted duplicates' collision probability is ≈1 (the DedupSpec
     // truth-set test pins recall = 100% on this corpus).
+    // maxBucketSize = 8 keeps the production skew guard ACTIVE in the
+    // oracle-checked plan (bucket counting + semi-join execute) while
+    // provably changing nothing: the corpus' largest band bucket is 4
+    // at every test SF (measured sf0.001/0.01/0.1), so no bucket is
+    // dropped and the brute-force oracle stays valid. LshReuseSpec
+    // pins the dropping behavior itself on a saturated corpus.
     Q("d02_dedup_minhash",
       (s, dir) => {
         Dedup.minhashDuplicates(Tables.load(s, dir, "documents"),
             "doc_id", "text", shingleK = 3, numHashes = 128, bands = 16,
-            threshold = 0.5)
+            threshold = 0.5, maxBucketSize = 8)
           .select(col("id_a"), col("id_b"),
                   r6(col("jaccard")).as("jaccard"))
           .orderBy("id_a", "id_b")

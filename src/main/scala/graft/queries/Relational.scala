@@ -946,6 +946,26 @@ object Relational {
              |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
              |FROM sums ORDER BY l_returnflag""".stripMargin)),
 
+    // ───────────────────────── cube ─────────────────────────
+    // CUBE over (returnflag, linestatus) with grouping_id() so every
+    // subtotal level is distinguishable even if a grouping column were
+    // nullable. reference: logical_plan.rs GroupingSet::Cube surface.
+    Q("q42_cube",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
+            grouping_id(col("l_returnflag"), col("l_linestatus"))
+              .cast("bigint").as("gid"))
+          .orderBy(col("gid"),
+            asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |${oSum("l_quantity")} AS qty,
+              |CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

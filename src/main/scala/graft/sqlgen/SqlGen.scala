@@ -410,9 +410,13 @@ object SqlGen {
           val (lsql, lquals) = renderFrom(left)
           val (rsql, ralias) = joinSide(right)
           val quals = lquals ++ right.output.map(_.exprId -> ralias)
+          // condition-less joins: inner/cross print as CROSS JOIN; an
+          // outer join needs an explicit ON TRUE (bare `A LEFT JOIN B`
+          // is a syntax error that would otherwise surface only at
+          // re-parse time)
           val on = cond.map(c => withQuals(quals) {
             s" ON ${exprSql(c)}"
-          }).getOrElse("")
+          }).getOrElse(if (jt == Inner || jt == Cross) "" else " ON TRUE")
           val kw =
             if (cond.isEmpty && (jt == Inner || jt == Cross)) "CROSS JOIN"
             else joinKw(jt)
@@ -551,7 +555,7 @@ object SqlGen {
           (left.output.map(_.exprId -> lq) ++
             right.output.map(_.exprId -> rq)).toMap) {
           s" ON ${exprSql(c)}"
-        }).getOrElse("")
+        }).getOrElse(" ON TRUE") // bare SEMI/ANTI JOIN is a syntax error
         s"SELECT * FROM $lsql ${joinKw(jt)} $rsql$on"
       case j: Join if plainJoin(j.joinType) =>
         val (from, _) = renderFrom(j)

@@ -109,25 +109,38 @@ object EventsStream {
             Iterator.single(Session(userId, tsFromMicros(s.start),
               tsFromMicros(s.end), s.n, s.total))
           } else {
-            val sorted = it.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-            var cur = state.getOption
+            // Gap-merge over INTERVALS, with the live state session as
+            // one of them: sort (state ++ events) by start, then merge
+            // neighbours whose gap is within `gapMs`. This is the batch
+            // twin's semantics restated — in particular a
+            // late-but-within-watermark event more than `gap` OLDER
+            // than the live session closes as its own earlier session
+            // (a naive `t - s.end <= gap` test is vacuously true for
+            // any older event and would wrongly absorb it), and several
+            // such late events group among themselves first.
+            val evIvs = it.toSeq
+              .sortBy(e => (tsMicros(e.ts), e.event_id))
+              .map { e =>
+                val t = tsMicros(e.ts)
+                SessionState(t, t, 1, round2(e.value))
+              }
+            val items = (state.getOption.toSeq ++ evIvs)
+              .sortBy(s => (s.start, s.end))
+            var cur: Option[SessionState] = None
             val closed = Seq.newBuilder[Session]
-            for (e <- sorted) {
-              val t = tsMicros(e.ts)
+            for (iv <- items) {
               cur match {
-                case Some(s) if t - s.end <= gapMs * 1000 =>
-                  // min/max, not overwrite: a late-but-within-watermark
-                  // event from an earlier micro-batch window must not
-                  // regress session_end (or precede session_start) —
-                  // that would corrupt the next gap decision
-                  cur = Some(SessionState(math.min(s.start, t),
-                    math.max(s.end, t), s.n + 1, s.total + round2(e.value)))
-                case Some(s) =>
-                  closed += Session(userId, tsFromMicros(s.start),
-                    tsFromMicros(s.end), s.n, s.total)
-                  cur = Some(SessionState(t, t, 1, round2(e.value)))
+                case Some(c) if iv.start - c.end <= gapMs * 1000 =>
+                  // min/max extension: an event inside the current
+                  // interval must not regress session_end
+                  cur = Some(SessionState(math.min(c.start, iv.start),
+                    math.max(c.end, iv.end), c.n + iv.n, c.total + iv.total))
+                case Some(c) =>
+                  closed += Session(userId, tsFromMicros(c.start),
+                    tsFromMicros(c.end), c.n, c.total)
+                  cur = Some(iv)
                 case None =>
-                  cur = Some(SessionState(t, t, 1, round2(e.value)))
+                  cur = Some(iv)
               }
             }
             cur.foreach { s =>

@@ -174,13 +174,18 @@ class DedupSpec extends SparkSpec {
     assert(none == 0L, s"cap=1 should kill all candidates, got $none")
     // a generous cap changes nothing: planted near-dup groups are tiny,
     // so their buckets are far below the cap
-    val capped = Dedup.minhashDuplicates(docs, "doc_id", "text",
-        maxBucketSize = 64)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val uncapped = Dedup.minhashDuplicates(docs, "doc_id", "text")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(capped == uncapped,
-      s"cap=64 altered results: ${capped.diff(uncapped)} ${uncapped.diff(capped)}")
+    // 8 is the cap the oracle-checked d02 query runs with (largest
+    // observed bucket on the test corpora is 4) — pin that it is
+    // lossless here so the driver-oracle comparison stays valid
+    for (cap <- Seq(8, 64)) {
+      val capped = Dedup.minhashDuplicates(docs, "doc_id", "text",
+          maxBucketSize = cap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(capped == uncapped,
+        s"cap=$cap altered results: ${capped.diff(uncapped)} ${uncapped.diff(capped)}")
+    }
   }
 
   test("standalone cross-corpus candidates agree with the fused decontaminate path") {
@@ -333,6 +338,56 @@ class SimilaritySpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
     assert(pf.exists(_.contains("cell")), s"no partition filter on cell:\n$plan")
+  }
+
+  test("kmeans centroids recover recall that lowest-id seeding loses on clustered vectors") {
+    // 8 clusters along basis directions; ids laid out so the 16 LOWEST
+    // ids all sit in cluster 0 — the adversarial-but-realistic case for
+    // seeded centroids (sorted ingest order), where every seed lands in
+    // one cluster. Geometry note: the failure only shows once
+    // sqrt(dim)·σ ≳ 2 — below that, a vector's cell assignment and the
+    // query's probe ranking key on the SAME per-centroid noise
+    // coordinates and stay correlated, hiding the damage (recall looks
+    // fine even with all 16 centroids inside one cluster). dim=256,
+    // σ=0.125 decorrelates them while keeping intra-cluster cosine
+    // (≈0.2) well above inter-cluster (≈0.05), so brute-force
+    // neighborhoods and k-means cells still follow the true clusters.
+    val dim = 256; val nClusters = 8; val perCluster = 64
+    val rnd = new scala.util.Random(1234L)
+    def point(c: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat * 0.125f)
+      v(c) += 1f
+      v
+    }
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield ((c * perCluster + i).toLong, point(c).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val query = point(5)
+    val brute = Similarity.knnBrute(corpus, "vec_id", "embedding", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(strategy: Similarity.CentroidStrategy): Double = {
+      val got = Similarity.knnIvf(corpus, "vec_id", "embedding", query,
+          10, nCells = 16, nProbe = 4, strategy = strategy)
+        .collect().map(_.getLong(0)).toSet
+      got.intersect(brute).size / 10.0
+    }
+    val seeded = recall(Similarity.SeededCentroids)
+    val kmeans = recall(Similarity.KMeansCentroids())
+    info(s"recall@10 at nProbe=4: seeded=$seeded kmeans=$kmeans")
+    assert(kmeans >= 0.9, s"kmeans recall@10 only $kmeans (seeded $seeded)")
+    assert(seeded <= kmeans - 0.3,
+      s"seeded recall $seeded not well below kmeans $kmeans — corpus not adversarial?")
+    // the persisted-index path replays the k-means centroids exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-km").toString
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding", dir,
+      nCells = 16, strategy = Similarity.KMeansCentroids())
+    val probe = Similarity.knnIvfIndexed(spark, dir, query, k = 10, nProbe = 4)
+    val mem = Similarity.knnIvf(corpus, "vec_id", "embedding", query, 10,
+      nCells = 16, nProbe = 4, strategy = Similarity.KMeansCentroids())
+    assertSameRows(probe, mem)
   }
 
   test("ivf index assigns every vector to exactly one of nCells cells") {

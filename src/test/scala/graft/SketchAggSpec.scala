@@ -43,6 +43,15 @@ class SketchAggSpec extends SparkSpec {
       .select(col("l_returnflag"), col("qty"), col("n"))
       .orderBy("l_returnflag")
     assertSameRows(direct, salted)
+    // deterministic-salt path: xxhash64 of a per-row key
+    val saltedDet = Skew.saltedAggregate(
+        li.withColumn("l_qty_dec", col("l_quantity").cast("decimal(18,2)")),
+        keys = Seq("l_returnflag"),
+        aggs = Map("qty" -> ("l_qty_dec", "sum"), "n" -> ("l_orderkey", "count")),
+        saltBuckets = 16, saltBy = Seq("l_orderkey", "l_linenumber"))
+      .select(col("l_returnflag"), col("qty"), col("n"))
+      .orderBy("l_returnflag")
+    assertSameRows(direct, saltedDet)
   }
 
   test("moment-derived stddev/corr agree with Spark's native aggregates") {
@@ -73,8 +82,23 @@ class SketchAggSpec extends SparkSpec {
   test("salted aggregation plan has two exchanges, keyed then salted") {
     val out = Skew.saltedAggregate(li,
       keys = Seq("l_returnflag"),
-      aggs = Map("n" -> ("l_orderkey", "count")), saltBuckets = 16)
+      aggs = Map("n" -> ("l_orderkey", "count")), saltBuckets = 16,
+      saltBy = Seq("l_orderkey", "l_linenumber"))
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("_salt"), s"salt missing from plan:\n$plan")
+    assert(plan.contains("xxhash64"),
+      s"deterministic salt (xxhash64) missing from plan:\n$plan")
+  }
+
+  test("salted aggregation salt is a pure function of row content") {
+    // retry-safety: with saltBy, re-evaluating the salted projection
+    // (as a recomputed map task would) yields the identical bucket for
+    // every row — no dependence on partition layout or row order.
+    val a = li.limit(200)
+    val salt = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16L))
+    val once  = a.select(col("l_orderkey"), col("l_linenumber"), salt.as("s"))
+    val twice = a.repartition(7).select(
+      col("l_orderkey"), col("l_linenumber"), salt.as("s"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
   }
 }

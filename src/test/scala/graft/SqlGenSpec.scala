@@ -120,6 +120,44 @@ class SqlGenSpec extends SparkSpec {
       "FROM nation WHERE (n_regionkey = r_regionkey))")
   }
 
+  test("condition-less outer join prints ON TRUE and roundtrips") {
+    val nation = Tables.load(spark, sfDir, "nation").select("n_name", "n_regionkey")
+    val region = Tables.load(spark, sfDir, "region").select("r_name")
+    Tables.register(spark, sfDir)
+    val df = nation.join(region, Seq.empty[String], "left")
+    val sql = SqlGen.toSql(df)
+    assert(sql.contains("LEFT JOIN") && sql.contains("ON TRUE"),
+      s"expected explicit ON TRUE, got: $sql")
+    assertSameRows(df, spark.sql(sql))
+  }
+
+  test("golden text: scalar subquery in SELECT (reference select.rs:752-988)") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      "SELECT r_name, (SELECT count(*) FROM nation " +
+        "WHERE n_regionkey = r_regionkey) AS n_nations FROM region")
+    val sql = SqlGen.toSql(df)
+    assert(sql ==
+      "SELECT r_name, (SELECT count(1) AS `count(1)` FROM (SELECT * " +
+      "FROM nation WHERE (n_regionkey = r_regionkey)) AS _g1) " +
+      "AS `n_nations` FROM region",
+      s"golden text drift: $sql")
+    assertSameRows(df, spark.sql(sql))
+  }
+
+  test("golden text: IN (subquery) predicate (reference select.rs:752-988)") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      "SELECT n_name FROM nation WHERE n_regionkey IN " +
+        "(SELECT r_regionkey FROM region WHERE r_name LIKE 'A%')")
+    val sql = SqlGen.toSql(df)
+    assert(sql ==
+      "SELECT n_name FROM nation WHERE n_regionkey IN (SELECT " +
+      "r_regionkey FROM region WHERE r_name LIKE 'A%')",
+      s"golden text drift: $sql")
+    assertSameRows(df, spark.sql(sql))
+  }
+
   test("roundtrip cube with grouping_id()/grouping() projected") {
     import org.apache.spark.sql.functions._
     Tables.register(spark, sfDir)

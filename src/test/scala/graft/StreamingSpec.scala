@@ -134,6 +134,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late events older than the live session by > gap close as their own session") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 10 * 60 * 1000L // 10 min
+    val mem = MemoryStream[Event]
+    val q = EventsStream.sessionize(mem.toDS(), gap,
+        watermarkDelay = "60 minutes")
+      .writeStream.format("memory").queryName("slate_old")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Event(1, ts(100), 1, "a", 1.0)) // live session [100,100]
+      q.processAllAvailable() // watermark → minute 40
+      // two late-but-within-watermark events, > gap OLDER than the live
+      // session, within gap of EACH OTHER: the batch twin (ascending
+      // order) makes them one separate earlier session [50,55] — they
+      // must not be absorbed into the live session
+      mem.addData(Event(2, ts(50), 1, "a", 2.0), Event(3, ts(55), 1, "a", 3.0))
+      q.processAllAvailable()
+      val early = spark.table("slate_old").collect()
+      assert(early.length == 1, s"expected the closed early session, got ${early.toSeq}")
+      assert(early.head.getAs[Timestamp]("session_start") == ts(50))
+      assert(early.head.getAs[Timestamp]("session_end") == ts(55))
+      assert(early.head.getAs[Long]("n_events") == 2L)
+      assert(early.head.getAs[Double]("total_value") == 5.0)
+      // flush the live session via watermark advance; it must still be
+      // the untouched [100,100] single-event session
+      mem.addData(Event(4, ts(600), 2, "a", 1.0))
+      q.processAllAvailable()
+      val all = spark.table("slate_old")
+        .where(col("user_id") === 1L).orderBy("session_start").collect()
+      assert(all.length == 2, s"got ${all.toSeq}")
+      assert(all(1).getAs[Timestamp]("session_start") == ts(100))
+      assert(all(1).getAs[Timestamp]("session_end") == ts(100))
+      assert(all(1).getAs[Long]("n_events") == 1L)
+      // agrees with the batch twin over the same rows
+      val batch = EventsStream.sessionizeBatch(Seq(
+          Event(1, ts(100), 1, "a", 1.0), Event(2, ts(50), 1, "a", 2.0),
+          Event(3, ts(55), 1, "a", 3.0)).toDF(), gap)
+        .orderBy("session_start").collect()
+      assert(batch.map(r => (r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))).toSeq ==
+        all.map(r => (r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))).toSeq)
+    } finally q.stop()
+  }
+
   test("sessionize flushes an idle user's final session via event-time timeout") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
@@ -273,18 +319,28 @@ class StreamingSpec extends SparkSpec {
       (101L, "completely unrelated benchmark prompt about distributed query engines")
     ).toDF("doc_id", "text")
     val mem = MemoryStream[StreamDoc]
+    // caller-owned cache scope: batch cleanup (unpersistAll) running in
+    // the same JVM must never release a streaming query's static-side
+    // caches
+    val scope = new Dedup.CacheScope
     val flagged = Dedup.streamingDecontaminate(
       mem.toDF(), eval, "doc_id", "text",
-      shingleK = 2, numHashes = 32, bands = 16, threshold = 0.4)
+      shingleK = 2, numHashes = 32, bands = 16, threshold = 0.4,
+      scope = scope)
     val q = flagged.writeStream.format("memory").queryName("sdecon")
       .outputMode(OutputMode.Append()).start()
     try {
+      assert(scope.size == 2, s"expected hashed + banded eval caches, got ${scope.size}")
       mem.addData(
         // near-copy of eval 100 (one word changed)
         StreamDoc(1, ts(0), "the quick brown fox jumps over the lazy cat and runs far away into the woods"),
         // clean document
         StreamDoc(2, ts(1), "spark structured streaming joins a static dimension without state"))
       q.processAllAvailable()
+      // a batch caller's cleanup between micro-batches must not touch
+      // this stream's scope
+      Dedup.unpersistAll()
+      assert(scope.size == 2, "unpersistAll released streaming-owned caches")
       mem.addData( // exact copy of eval 101, later batch
         StreamDoc(3, ts(2), "completely unrelated benchmark prompt about distributed query engines"))
       q.processAllAvailable()
@@ -299,7 +355,51 @@ class StreamingSpec extends SparkSpec {
       assert(lastProgress.stateOperators.isEmpty,
         "streaming decontamination must be stateless, found state operators: " +
           lastProgress.stateOperators.mkString(", "))
-    } finally q.stop()
+    } finally { q.stop(); scope.release() }
+  }
+
+  test("exactly-once decontamination flags via foreachBatch per-pair dedup") {
+    // streamingDecontaminate emits one row per colliding band (a
+    // within-batch distinct would itself be a stateful aggregate);
+    // the intended exactly-once consumption pattern is foreachBatch +
+    // dropDuplicates over the pair key. This pins that pattern: an
+    // exact copy collides in ALL bands, yet exactly one flag survives.
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog and runs far away into the woods")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[StreamDoc]
+    val scope = new Dedup.CacheScope
+    val flagged = Dedup.streamingDecontaminate(
+      mem.toDF(), eval, "doc_id", "text",
+      shingleK = 2, numHashes = 32, bands = 16, threshold = 0.4,
+      scope = scope)
+    val rawRows = new java.util.concurrent.atomic.AtomicLong
+    val sink = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long)]())
+    val q = flagged.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        rawRows.addAndGet(batch.count())
+        batch.dropDuplicates("id_left", "id_right")
+          .select("id_left", "id_right").collect()
+          .foreach(r => sink.add((r.getLong(0), r.getLong(1))))
+        ()
+      }
+      .start()
+    try {
+      mem.addData( // exact copy of eval 100 → collides in every band
+        StreamDoc(1, ts(0), "the quick brown fox jumps over the lazy dog and runs far away into the woods"))
+      q.processAllAvailable()
+      mem.addData( // clean doc in a later batch → no new flags
+        StreamDoc(2, ts(1), "spark structured streaming joins a static dimension without state"))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(rawRows.get() > 1,
+        s"expected multi-band duplicate rows pre-dedup, got ${rawRows.get()}")
+      assert(sink.asScala.toSeq == Seq((1L, 100L)),
+        s"expected exactly one flag, got ${sink.asScala.toSeq}")
+    } finally { q.stop(); scope.release() }
   }
 
   test("bounded-heap topk aggregate runs as a streaming leaderboard") {
