@@ -72,6 +72,45 @@ object ScaleProbe {
       println(f"[probe] minhashDuplicates rep=$rep%-3d docs=${d0 * rep}%-8d " +
         f"pairs=$nPairs%-9d time=$sec%.1fs")
     }
+
+    // cross-corpus decontamination probe: replicated train side vs the
+    // FIXED eval split — cost must track cross-collisions (linear in
+    // rep, since the eval side doesn't grow), not train².
+    val evalSplit = docs.where(col("doc_id") % 10 === 0)
+    val train1 = docs.where(col("doc_id") % 10 =!= 0)
+    for (rep <- runs.map(_._1).distinct) {
+      val train = (0 until rep).map { i =>
+        train1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val nPairs = operators.Dedup.decontaminate(
+        train, evalSplit, "doc_id", "text").count()
+      operators.Dedup.unpersistAll()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] decontaminate rep=$rep%-3d pairs=$nPairs%-9d time=$sec%.1fs")
+    }
+
+    // boilerplate-saturated decontamination: one shared header appears
+    // 100000× in train and 500× in eval, so ONE (band, bucket) key
+    // yields 5·10⁷ signal-free pairs uncapped — the |L|·|R| blowup —
+    // while maxBucketSize drops the saturated key on both sides and
+    // the probe collapses back to the clean-corpus cost.
+    val boiler = "standard legal disclaimer header all rights " +
+      "reserved do not distribute this document to anyone"
+    val trainSat = train1.select("doc_id", "text").unionByName(spark.range(100000)
+      .select((col("id") + 50000000L).as("doc_id"), lit(boiler).as("text")))
+    val evalSat = evalSplit.select("doc_id", "text").unionByName(spark.range(500)
+      .select((col("id") + 60000000L).as("doc_id"), lit(boiler).as("text")))
+    for ((cap, tag) <- Seq(Int.MaxValue -> "uncapped", 8 -> "cap=8")) {
+      val t0 = System.nanoTime()
+      val nPairs = operators.Dedup.decontaminate(
+        trainSat, evalSat, "doc_id", "text", maxBucketSize = cap).count()
+      operators.Dedup.unpersistAll()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] decontaminate-saturated $tag%-8s " +
+        f"pairs=$nPairs%-9d time=$sec%.1fs")
+    }
     spark.stop()
   }
 }

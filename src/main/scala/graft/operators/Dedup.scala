@@ -242,20 +242,45 @@ object Dedup {
     */
   def minhashCandidatesAcross(
       left: DataFrame, right: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame =
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
     candidatesAcrossFromHashes(
       hashedCorpus(left, idCol, textCol, shingleK),
-      hashedCorpus(right, idCol, textCol, shingleK), numHashes, bands)
+      hashedCorpus(right, idCol, textCol, shingleK), numHashes, bands,
+      maxBucketSize)
 
-  /** Cross-corpus candidates from two pre-hashed (id, sh) sides. */
+  /** Cross-corpus candidates from two pre-hashed (id, sh) sides.
+    *
+    * `maxBucketSize` is the cross-corpus skew guard: a (band, bucket)
+    * key saturated on EITHER side produces |L|·|R| cross pairs — a
+    * boilerplate header present 10⁵× in train and 10²× in eval is 10⁷
+    * pairs from ONE bucket, all signal-free. Keys over the cap on
+    * either side are dropped from both (an anti-join against the
+    * small oversized-key set, which reuses the banding partitioning);
+    * true near-dup pairs still collide in their selective bands.
+    */
   private def candidatesAcrossFromHashes(
       shL: DataFrame, shR: DataFrame,
-      numHashes: Int, bands: Int): DataFrame =
-    bandedFromHashes(shL, "id_left", numHashes, bands).as("a")
-      .join(bandedFromHashes(shR, "id_right", numHashes, bands).as("b"),
+      numHashes: Int, bands: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val bL0 = bandedFromHashes(shL, "id_left", numHashes, bands)
+    val bR0 = bandedFromHashes(shR, "id_right", numHashes, bands)
+    val (bL, bR) =
+      if (maxBucketSize == Int.MaxValue) (bL0, bR0)
+      else {
+        def oversized(b: DataFrame) =
+          b.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+            .where(col("n") > maxBucketSize).select("band", "bucket")
+        val bad = oversized(bL0).union(oversized(bR0)).distinct()
+        (bL0.join(bad, Seq("band", "bucket"), "left_anti"),
+         bR0.join(bad, Seq("band", "bucket"), "left_anti"))
+      }
+    bL.as("a")
+      .join(bR.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id_left"), col("b.id_right"))
       .distinct()
+  }
 
   /** Decontamination: training documents whose word-shingle Jaccard
     * against any right-side (eval) document meets `threshold`.
@@ -266,6 +291,7 @@ object Dedup {
       train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.5,
+      maxBucketSize: Int = Int.MaxValue,
       scope: CacheScope = batchScope): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // hash each corpus ONCE; persist shares the pass between banding
@@ -275,7 +301,8 @@ object Dedup {
     // Long-lived sessions can reclaim the caches via [[unpersistAll]].
     val shL = scope.persistTracked(hashedCorpus(train, idCol, textCol, shingleK))
     val shR = scope.persistTracked(hashedCorpus(eval, idCol, textCol, shingleK))
-    val cands = candidatesAcrossFromHashes(shL, shR, numHashes, bands)
+    val cands = candidatesAcrossFromHashes(shL, shR, numHashes, bands,
+      maxBucketSize)
     cands
       .join(shL.withColumnsRenamed(Map("id" -> "id_left", "sh" -> "sh_l")), "id_left")
       .join(shR.withColumnsRenamed(Map("id" -> "id_right", "sh" -> "sh_r")), "id_right")

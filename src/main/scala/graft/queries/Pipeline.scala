@@ -304,8 +304,11 @@ object Pipeline {
         val docs = Tables.load(s, dir, "documents")
         val train = docs.where(col("doc_id") % 10 =!= 0)
         val eval = docs.where(col("doc_id") % 10 === 0)
+        // maxBucketSize = 8: same lossless-but-active guard rationale
+        // as d02 (largest per-side band bucket on the test corpora is 4)
         Dedup.decontaminate(train, eval, "doc_id", "text",
-            shingleK = 3, numHashes = 128, bands = 16, threshold = 0.5)
+            shingleK = 3, numHashes = 128, bands = 16, threshold = 0.5,
+            maxBucketSize = 8)
           .select(col("id_left"), col("id_right"), r6(col("jaccard")).as("jaccard"))
           .orderBy("id_left", "id_right")
       },

@@ -955,8 +955,9 @@ object Relational {
         Tables.load(s, dir, "lineitem")
           .cube("l_returnflag", "l_linestatus")
           .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"),
-            grouping_id(col("l_returnflag"), col("l_linestatus"))
-              .cast("bigint").as("gid"))
+            // grouping_id is already bigint; a Cast here would also
+            // fall outside SqlGen's grouping-sets select-list contract
+            grouping_id(col("l_returnflag"), col("l_linestatus")).as("gid"))
           .orderBy(col("gid"),
             asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
       },

@@ -188,6 +188,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cross-corpus bucket cap drops boilerplate floods but keeps true pairs") {
+    // a boilerplate doc repeated on BOTH sides makes one (band, bucket)
+    // key produce |train|·|eval| signal-free pairs; the cap must kill
+    // exactly those while the planted near-dup (selective buckets)
+    // survives. Also: on the clean corpus the cap must change nothing.
+    val boiler = "standard legal disclaimer header all rights reserved do not distribute this document"
+    val planted = "the migration runbook covers spark shuffle tuning for large clusters in production"
+    val plantedNear = planted + " today" // jaccard 11/12 — a near-dup
+    val train = (
+      (1 to 30).map(i => (i.toLong, boiler)) :+ (100L, planted)
+    ).toDF("doc_id", "text")
+    val eval = (
+      (1 to 10).map(i => (1000L + i, boiler)) :+ (1100L, plantedNear)
+    ).toDF("doc_id", "text")
+    val uncapped = Dedup.decontaminate(train, eval, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 16, threshold = 0.5)
+      .select("id_left", "id_right").as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 30 * 10 + 1, s"expected the flood, got ${uncapped.size}")
+    val capped = Dedup.decontaminate(train, eval, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 16, threshold = 0.5,
+        maxBucketSize = 8)
+      .select("id_left", "id_right").as[(Long, Long)].collect().toSet
+    assert(capped == Set((100L, 1100L)),
+      s"cap should keep only the planted pair, got $capped")
+    // lossless on the real corpus: largest per-side bucket is 4 there
+    val trainReal = docs.where($"doc_id" % 10 =!= 0)
+    val evalReal = docs.where($"doc_id" % 10 === 0)
+    val a = Dedup.decontaminate(trainReal, evalReal, "doc_id", "text")
+      .select("id_left", "id_right").as[(Long, Long)].collect().toSet
+    val b = Dedup.decontaminate(trainReal, evalReal, "doc_id", "text",
+        maxBucketSize = 8)
+      .select("id_left", "id_right").as[(Long, Long)].collect().toSet
+    assert(a == b, s"cap=8 altered real-corpus results: ${a.diff(b)} ${b.diff(a)}")
+  }
+
   test("standalone cross-corpus candidates agree with the fused decontaminate path") {
     val train = docs.where($"doc_id" % 10 =!= 0)
     val eval = docs.where($"doc_id" % 10 === 0)
