@@ -380,6 +380,7 @@ object Dedup {
       docs: DataFrame, eval: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
       threshold: Double = 0.5,
+      maxStaticBucketSize: Int = Int.MaxValue,
       scope: CacheScope = streamingScope): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // static-side caches live in streamingScope by default: they must
@@ -390,8 +391,19 @@ object Dedup {
     // stream-static join's static subtree, so without this the
     // signature + explode would recompute over the whole eval corpus
     // per batch — per-batch work must be O(batch), not O(eval)
+    val bandedR0 = bandedFromHashes(shR, "id_right", numHashes, bands)
+    // static-side skew guard, applied ONCE at stream start (the capped
+    // frame is what gets persisted): a streamed boilerplate row hitting
+    // a saturated eval bucket would otherwise fan out |bucket| rows per
+    // colliding band, per batch, forever. The stream side itself can't
+    // be capped without stateful aggregation — the static cap is what
+    // bounds the per-row fanout.
     val bandedR = scope.persistTracked(
-      bandedFromHashes(shR, "id_right", numHashes, bands))
+      if (maxStaticBucketSize == Int.MaxValue) bandedR0
+      else bandedR0.join(
+        bandedR0.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+          .where(col("n") <= maxStaticBucketSize).select("band", "bucket"),
+        Seq("band", "bucket"), "left_semi"))
     // the stream doc's shingle hashes ride along to the verify step, so
     // the text-hashing kernel runs once per streamed row too
     val bandedL = bandedFromHashes(

@@ -412,6 +412,47 @@ object Similarity {
       .select(col("query_id"), col("e.id").as("id"), col("e.ord").as("cosine"))
   }
 
+  /** Batch IVF top-k: many query vectors against the corpus, reading
+    * only probed cells — the composition of [[knnBruteBatch]]'s
+    * one-scan shape with [[knnIvf]]'s cell pruning. Per query, the
+    * `nProbe` best cells are picked by an array expression over the
+    * centroid literals (rank by dot, ties → lower cell — identical to
+    * knnIvf's probe), the (query, cell) pairs broadcast, and the
+    * cell-assigned corpus joins on `cell`: a corpus row is scored only
+    * against queries probing its cell, and the shuffle into the
+    * bounded-heap top-k carries ≤k rows per (query, partition). With a
+    * persisted cell-partitioned index the join prunes to
+    * |∪ probed cells| / nCells of the files.
+    * Output: (query_id, id, cosine), k rows per query, ties by id.
+    */
+  def knnIvfBatch(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    val cents = centroidVectors(corpus, idCol, vecCol, nCells, strategy)
+    val indexed = assignCells(corpus, idCol, vecCol, cents)
+    // (-score, cell) structs sort ascending = score desc, ties → lower
+    // cell; slice nProbe and explode to (query_id, qv, cell)
+    val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
+             lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val probes = broadcast(
+      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+        .select(col("query_id"), col("qv"),
+          explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
+            s => s.getField("cell"))).as("cell")))
+    indexed.join(probes, "cell")
+      .select(col("query_id"), col("id"),
+              VectorOps.cosine(col("vec"), col("qv")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cosine"), col("id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"), col("e.ord").as("cosine"))
+  }
+
   /** kNN classification: predict each query's label by majority vote
     * of its k nearest corpus neighbors. Same one-scan shape as
     * [[knnBruteBatch]] — broadcast queries, bounded-heap top-k, then a

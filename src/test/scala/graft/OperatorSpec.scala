@@ -432,6 +432,27 @@ class SimilaritySpec extends SparkSpec {
     assert(cells.forall(c => c >= 0 && c < 8))
   }
 
+  test("batch ivf knn equals per-query knnIvf for every query and strategy") {
+    val queries = emb.orderBy("vec_id").limit(3)
+    val qvecs = queries.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    for (strategy <- Seq(Similarity.SeededCentroids,
+                         Similarity.KMeansCentroids())) {
+      val batch = Similarity.knnIvfBatch(queries, "vec_id", "embedding",
+          emb, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 3,
+          strategy = strategy)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val single = qvecs.flatMap { case (qid, qv) =>
+        Similarity.knnIvf(emb, "vec_id", "embedding", qv, 5,
+            nCells = 8, nProbe = 3, strategy = strategy)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }.toSet
+      assert(batch == single,
+        s"$strategy: batch=${batch.size} single=${single.size} " +
+          s"diff=${batch.diff(single)} ${single.diff(batch)}")
+    }
+  }
+
   test("batch knn equals per-query knnBrute for every query vector") {
     val queries = emb.orderBy("vec_id").limit(3)
     val batch = Similarity.knnBruteBatch(queries, "vec_id", "embedding",

@@ -358,6 +358,40 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); scope.release() }
   }
 
+  test("streaming decontamination static-side bucket cap bounds boilerplate fanout") {
+    // 20 copies of a boilerplate doc in the STATIC eval set: a streamed
+    // copy of it would fan out 20 rows per colliding band per batch,
+    // forever. The static cap (applied once, before the persisted
+    // banded side) drops those buckets; the planted near-dup's
+    // selective buckets survive.
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val boiler = "standard legal disclaimer header all rights reserved do not distribute"
+    val planted = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    val eval = (
+      (1 to 20).map(i => (100L + i, boiler)) :+ (200L, planted)
+    ).toDF("doc_id", "text")
+    val memStream = MemoryStream[StreamDoc]
+    val scope = new Dedup.CacheScope
+    val flagged = Dedup.streamingDecontaminate(
+      memStream.toDF(), eval, "doc_id", "text",
+      shingleK = 2, numHashes = 32, bands = 16, threshold = 0.4,
+      maxStaticBucketSize = 8, scope = scope)
+    val q = flagged.writeStream.format("memory").queryName("sdecon_cap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memStream.addData(
+        StreamDoc(1, ts(0), planted), // copy of eval 200 → flagged
+        StreamDoc(2, ts(1), boiler))  // hits only capped buckets → silent
+      q.processAllAvailable()
+      val out = spark.table("sdecon_cap")
+        .select("id_left", "id_right").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 200L)),
+        s"cap should keep only the planted pair, got $out")
+    } finally { q.stop(); scope.release() }
+  }
+
   test("exactly-once decontamination flags via foreachBatch per-pair dedup") {
     // streamingDecontaminate emits one row per colliding band (a
     // within-batch distinct would itself be a stateful aggregate);
