@@ -111,6 +111,42 @@ object ScaleProbe {
       println(f"[probe] decontaminate-saturated $tag%-8s " +
         f"pairs=$nPairs%-9d time=$sec%.1fs")
     }
+
+    // batch-ANN probe: a 5-query batch against the replicated corpus.
+    // Brute scores |Q|·|corpus| rows every time; the persisted IVF
+    // index pays its assignment pass ONCE (build, timed separately)
+    // and each probe then reads only the probed cells' FILES —
+    // at local test scale wall-clock is fixed-overhead-dominated, so
+    // the probe reports files read (the quantity that scales with
+    // corpus size) alongside the times. ∪(5 queries × 4 probes) of 64
+    // cells ⇒ ≤ 20/64 of the files; at 100 TB that ratio IS the win.
+    val queries5 = emb.orderBy("vec_id").limit(5)
+    for ((rep, _) <- runs) {
+      val big = (0 until rep).map { i =>
+        emb.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val nBrute = operators.Similarity.knnBruteBatch(
+        queries5, "vec_id", "embedding",
+        big, "vec_id", "embedding", k = 10).count()
+      val tBrute = (System.nanoTime() - t0) / 1e9
+      val dir = java.nio.file.Files.createTempDirectory("graft-probe-ivf").toString
+      val t1 = System.nanoTime()
+      operators.Similarity.writeIvfIndex(big, "vec_id", "embedding", dir,
+        nCells = 64)
+      val tBuild = (System.nanoTime() - t1) / 1e9
+      val probeDf = operators.Similarity.knnIvfBatchIndexed(spark, dir,
+        queries5, "vec_id", "embedding", k = 10, nProbe = 4)
+      val t2 = System.nanoTime()
+      val probeFiles = sources.Layout.filesRead(probeDf)
+      val tProbe = (System.nanoTime() - t2) / 1e9
+      val totalFiles = sources.Layout.filesRead(
+        spark.read.parquet(s"$dir/cells").select(count(lit(1))))
+      println(f"[probe] batch-ann rep=$rep%-3d vectors=${n0 * rep}%-8d " +
+        f"brute=$tBrute%.1fs build=$tBuild%.1fs probe=$tProbe%.1fs " +
+        f"files=$probeFiles/$totalFiles brute_rows=$nBrute")
+    }
     spark.stop()
   }
 }

@@ -453,6 +453,56 @@ object Similarity {
       .select(col("query_id"), col("e.id").as("id"), col("e.ord").as("cosine"))
   }
 
+  /** Batch probe of a PERSISTED IVF index ([[writeIvfIndex]]) — the
+    * production shape: the index is built once (the expensive
+    * assignment pass over 100 TB), then every query batch reads only
+    * `|∪ probed cells| / nCells` of the files. The probed-cell union
+    * is collected driver-side (bounded by nCells) and applied as a
+    * static `isin` partition filter, so pruning does not depend on
+    * dynamic-partition-pruning kicking in; per-query matching then
+    * rides the broadcast (query, cell) join exactly like
+    * [[knnIvfBatch]]. Same output contract.
+    *
+    * Batch-size tradeoff: the pruning ratio is |∪ probed cells| /
+    * nCells, and the union grows with the batch — 50 diverse queries
+    * at nProbe=4 over 64 cells probe nearly every cell. Large query
+    * batches want nCells scaled up (keep nProbe·|Q| ≪ nCells), or
+    * the batch split by query similarity so each sub-batch's union
+    * stays small.
+    */
+  def knnIvfBatchIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val centRows = spark.read.parquet(s"$path/centroids").collect()
+    val cents = centRows
+      .map(r => (r.getInt(r.fieldIndex("cell")),
+                 r.getSeq[Double](r.fieldIndex("cv")).toArray))
+      .sortBy(_._1).map(_._2)
+    val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
+             lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val probes0 = queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+    val probedCells = probes0.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(s"$path/cells")
+    requireIntegralId(cells, "id")
+    cells
+      .where(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .join(broadcast(probes0), "cell")
+      .select(col("query_id"), col("id"),
+              VectorOps.cosine(col("vec"), col("qv")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cosine"), col("id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"), col("e.ord").as("cosine"))
+  }
+
   /** kNN classification: predict each query's label by majority vote
     * of its k nearest corpus neighbors. Same one-scan shape as
     * [[knnBruteBatch]] — broadcast queries, bounded-heap top-k, then a

@@ -79,4 +79,41 @@ class EdgeCaseSpec extends SparkSpec {
       dim = 64, threshold = 0.0, bands = 4, bitsPerBand = 4)
     assert(out.isEmpty)
   }
+
+  test("kmeans centroids handle nCells larger than the corpus") {
+    // 3 distinct vectors, 8 requested cells: k-means caps at the
+    // sample size; assignment and probe still agree end-to-end
+    val tiny = Seq(
+      (1L, Seq(1f, 0f, 0f)), (2L, Seq(0f, 1f, 0f)), (3L, Seq(0f, 0f, 1f))
+    ).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val out = Similarity.knnIvf(tiny, "vec_id", "embedding",
+      Array(1f, 0f, 0f), k = 2, nCells = 8, nProbe = 2,
+      strategy = Similarity.KMeansCentroids())
+    val rows = out.collect()
+    assert(rows.nonEmpty && rows.head.getLong(0) == 1L,
+      s"query's own vector must rank first, got ${rows.toSeq}")
+  }
+
+  test("kmeans centroids skip zero vectors in the sample") {
+    // zero vectors carry no direction: they must not become centroids
+    // (or crash the normalizer) — and a mixed corpus still indexes
+    val mixed = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(1f, 0f)), (3L, Seq(0f, 1f)),
+      (4L, Seq(0.9f, 0.1f))
+    ).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val idx = Similarity.buildIvfIndex(mixed, "vec_id", "embedding",
+      nCells = 2, strategy = Similarity.KMeansCentroids())
+    assert(idx.count() == 4) // every row (zero vector included) lands in a cell
+    // an all-zero sample has no direction at all — fail fast, loudly
+    val zeros = Seq((1L, Seq(0f, 0f)), (2L, Seq(0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.buildIvfIndex(zeros, "vec_id", "embedding",
+        nCells = 2, strategy = Similarity.KMeansCentroids())
+    }
+    assert(e.getMessage.contains("non-zero"))
+  }
 }

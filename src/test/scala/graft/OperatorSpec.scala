@@ -453,6 +453,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("batch probe of a persisted ivf index equals the inline path and prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-batch").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir, nCells = 8)
+    val queries = emb.orderBy("vec_id").limit(3)
+    val probe = Similarity.knnIvfBatchIndexed(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+    val inline = Similarity.knnIvfBatch(queries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 3)
+    assertSameRows(probe, inline)
+    // probed cells reach the scan as a static partition filter
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("cell")), s"no partition filter on cell:\n$plan")
+  }
+
   test("batch knn equals per-query knnBrute for every query vector") {
     val queries = emb.orderBy("vec_id").limit(3)
     val batch = Similarity.knnBruteBatch(queries, "vec_id", "embedding",

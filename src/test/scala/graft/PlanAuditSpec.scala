@@ -183,6 +183,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s07 batch ivf knn: probes broadcast, no cartesian, map-side heaps") {
+    val df = build("s07_knn_ivf_batch")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the (query, cell) probe side must broadcast against the
+    // cell-assigned corpus — the corpus is never shuffled to meet the
+    // queries, and nothing degenerates to a cartesian product
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"batch ivf degenerated to a cartesian product:\n$plan")
+    // top-k heaps combine map-side: the shuffle into the final
+    // aggregate carries partial heaps, not scored rows
+    assert(plan.contains("partial_topk_rows"),
+      s"topk aggregation not partial:\n$plan")
+  }
+
   test("sort+limit compiles to TakeOrderedAndProject (no global sort)") {
     val df = Tables.load(spark, sfDir, "orders")
       .orderBy(org.apache.spark.sql.functions.col("o_totalprice").desc)
