@@ -49,8 +49,13 @@ object Bench {
     // which no stdout capture can truncate.
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json"))
-    java.nio.file.Files.write(outPath,
+    // an unwritable path must not kill the tail: the stdout summary
+    // below is the fallback the file exists to back up, not vice versa
+    try java.nio.file.Files.write(outPath,
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: $e")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"errors":$errs,"out":${jstr(outPath.toAbsolutePath.toString)},"sf":"$sfDir"}""")
     spark.stop()
   }

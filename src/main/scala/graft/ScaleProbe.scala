@@ -136,9 +136,11 @@ object ScaleProbe {
       operators.Similarity.writeIvfIndex(big, "vec_id", "embedding", dir,
         nCells = 64)
       val tBuild = (System.nanoTime() - t1) / 1e9
+      // time INCLUDES the driver-side cell selection (centroid read +
+      // probed-cell collect) — every real query batch pays it
+      val t2 = System.nanoTime()
       val probeDf = operators.Similarity.knnIvfBatchIndexed(spark, dir,
         queries5, "vec_id", "embedding", k = 10, nProbe = 4)
-      val t2 = System.nanoTime()
       val probeFiles = sources.Layout.filesRead(probeDf)
       val tProbe = (System.nanoTime() - t2) / 1e9
       val totalFiles = sources.Layout.filesRead(

@@ -351,14 +351,32 @@ object Similarity {
     * the query (bounded nCells-row collect), then scan ONLY the
     * `nProbe` best cells' files. Same ranking contract as [[knnIvf]].
     */
+  /** Stored centroids as double arrays, sorted by cell. Indexes
+    * written by writeIvfIndex before round 5 stored the raw float
+    * vectors — accept both element types so an old persisted index
+    * (built once, by design long-lived) keeps probing after upgrade.
+    */
+  private def readCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Double]] =
+    spark.read.parquet(s"$path/centroids").collect()
+      .map { r =>
+        val cv = r.getSeq[Any](r.fieldIndex("cv")).map {
+          case d: java.lang.Double => d.doubleValue
+          case f: java.lang.Float => f.doubleValue
+          case other => throw new IllegalArgumentException(
+            s"centroid element of unexpected type: ${other.getClass}")
+        }.toArray
+        (r.getInt(r.fieldIndex("cell")), cv)
+      }
+      .sortBy(_._1).map(_._2)
+
   def knnIvfIndexed(
       spark: org.apache.spark.sql.SparkSession, path: String,
       query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
     val qd = query.map(_.toDouble)
-    val probeCells = spark.read.parquet(s"$path/centroids").collect()
-      .map { r =>
-        val cv = r.getSeq[Double](r.fieldIndex("cv"))
-        val cell = r.getInt(r.fieldIndex("cell"))
+    val probeCells = readCentroids(spark, path).zipWithIndex
+      .map { case (cv, cell) =>
         (cv.zip(qd).map { case (a, b) => a * b }.sum, cell)
       }
       .sortBy { case (score, cell) => (-score, cell) }
@@ -474,11 +492,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nProbe: Int = 4): DataFrame = {
-    val centRows = spark.read.parquet(s"$path/centroids").collect()
-    val cents = centRows
-      .map(r => (r.getInt(r.fieldIndex("cell")),
-                 r.getSeq[Double](r.fieldIndex("cv")).toArray))
-      .sortBy(_._1).map(_._2)
+    val cents = readCentroids(spark, path)
     val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
       struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
              lit(i).as("cell"))

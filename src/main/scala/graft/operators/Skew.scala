@@ -35,12 +35,18 @@ object Skew {
     *    primary key); note a content hash of NON-unique columns would
     *    send every copy of an identical hot row to one bucket,
     *    reproducing the skew.
-    *  - `saltBy = Nil`: positional salt, made retry-safe by eagerly
-    *    materializing the salted projection with localCheckpoint():
-    *    lineage is truncated, so retries re-read the stored blocks
-    *    instead of recomputing salts. Costs one materialization of the
-    *    input; if an executor holding blocks dies the job FAILS
-    *    (and can be rerun) rather than silently corrupting counts.
+    *  - `saltBy = Nil`: positional salt, made retry-safe by a LAZY
+    *    localCheckpoint() of the salted projection: lineage is
+    *    truncated, so once a partition's blocks are stored, retries
+    *    re-read them instead of recomputing salts (and each stored
+    *    partition is internally salt-consistent — nothing downstream
+    *    consumes a partition before its blocks exist). If an executor
+    *    holding blocks dies the job FAILS (and can be rerun) rather
+    *    than silently corrupting counts. Cost: the salted projection
+    *    stays pinned in executor storage until the checkpointed RDD
+    *    is GC'd, and the plan is no longer SqlGen-printable (it
+    *    contains an RDD barrier) — prefer `saltBy` with a key column
+    *    in production and for anything long-lived.
     */
   def saltedAggregate(
       df: DataFrame,
@@ -63,7 +69,7 @@ object Skew {
         df.withColumn("_salt",
             pmod(monotonically_increasing_id() + spark_partition_id(),
               lit(saltBuckets.toLong)))
-          .localCheckpoint()
+          .localCheckpoint(false) // lazy: no job at construction time
     val phase1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(

@@ -53,14 +53,27 @@ object EventsStream {
   final case class SessionState(start: Long, end: Long,
                                 n: Long, total: Double)
 
+  /** Per-user state: every session not yet FINAL, ascending by start.
+    * A session is final only once the watermark passes
+    * `end + gap` — before that, a late-but-within-watermark event can
+    * still merge into it (or bridge it with a neighbour), so emitting
+    * earlier would fragment sessions across micro-batches and diverge
+    * from the batch twin. The list stays short: it holds at most the
+    * sessions inside one watermark window.
+    */
+  final case class SessionsState(sessions: List[SessionState])
+
   /** Gap-based sessionization: a session closes when a user is idle
     * for `gapMs`. Custom per-key state via flatMapGroupsWithState —
     * the Spark-native shape for "operator the built-ins can't
-    * express". Emits sessions closed by a later event immediately;
-    * an idle user's open session is flushed (and its state evicted)
-    * by event-time timeout once the watermark passes
-    * `session_end + gap`, so state is bounded on an unbounded stream
-    * and every session is eventually emitted exactly once.
+    * express". Sessions are emitted exactly when the watermark
+    * passes `session_end + gap` (no earlier event can arrive, so the
+    * session can never change again — the same condition that makes
+    * the emission agree with the batch twin even for late events
+    * split across micro-batches); an idle user's remaining sessions
+    * flush via event-time timeout and the state is evicted, so state
+    * is bounded on an unbounded stream and every session is emitted
+    * exactly once.
     */
   // µs precision, matching sessionizeBatch's unix_micros semantics:
   // Timestamp.getTime alone truncates to ms, so sub-ms event spacing
@@ -96,73 +109,80 @@ object EventsStream {
     val timeoutConf =
       if (streaming) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
+    val gapUs = gapMs * 1000
     src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, Session](
+      .flatMapGroupsWithState[SessionsState, Session](
         OutputMode.Append(), timeoutConf) {
-        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionsState]) =>
+
+          def toSession(s: SessionState) = Session(userId,
+            tsFromMicros(s.start), tsFromMicros(s.end), s.n, s.total)
+
+          // Emit every session the watermark has made FINAL
+          // (end + gap < watermark ⇒ no admissible event can merge
+          // into or bridge it), park the rest with a timeout at the
+          // earliest pending deadline.
+          def emitFinal(sessions: List[SessionState]): Iterator[Session] = {
+            val wmUs = state.getCurrentWatermarkMs() * 1000
+            val (done, open) = sessions.partition(s => s.end + gapUs < wmUs)
+            if (open.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(SessionsState(open))
+              // timeout is in ms: round the µs deadline UP so it can
+              // never fire early; must also be strictly above the
+              // current watermark or Spark rejects the timestamp
+              val deadlineMs =
+                math.floorDiv(open.head.end + gapUs + 999, 1000L)
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
+            }
+            done.map(toSession).iterator
+          }
+
           if (state.hasTimedOut) {
-            // watermark passed session_end + gap: no earlier event can
-            // arrive, so the open session is final — flush and evict
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, tsFromMicros(s.start),
-              tsFromMicros(s.end), s.n, s.total))
+            // watermark advanced past the earliest pending deadline:
+            // flush what became final, re-arm for whatever remains
+            emitFinal(state.get.sessions)
           } else {
-            // Gap-merge over INTERVALS, with the live state session as
-            // one of them: sort (state ++ events) by start, then merge
-            // neighbours whose gap is within `gapMs`. This is the batch
-            // twin's semantics restated — in particular a
+            // Gap-merge over INTERVALS, with every pending state
+            // session among them: sort (state ++ events) by start,
+            // then merge neighbours whose gap is within `gapMs`. This
+            // is the batch twin's semantics restated — in particular a
             // late-but-within-watermark event more than `gap` OLDER
-            // than the live session closes as its own earlier session
-            // (a naive `t - s.end <= gap` test is vacuously true for
-            // any older event and would wrongly absorb it), and several
-            // such late events group among themselves first.
+            // than the live session groups with its own era (possibly
+            // bridging two pending sessions), never absorbs into the
+            // live one, and the result is independent of how the
+            // events were split across micro-batches.
             val evIvs = it.toSeq
               .sortBy(e => (tsMicros(e.ts), e.event_id))
               .map { e =>
                 val t = tsMicros(e.ts)
                 SessionState(t, t, 1, round2(e.value))
               }
-            val items = (state.getOption.toSeq ++ evIvs)
-              .sortBy(s => (s.start, s.end))
+            val items =
+              (state.getOption.map(_.sessions).getOrElse(Nil) ++ evIvs)
+                .sortBy(s => (s.start, s.end))
             var cur: Option[SessionState] = None
-            val closed = Seq.newBuilder[Session]
+            val merged = List.newBuilder[SessionState]
             for (iv <- items) {
               cur match {
-                case Some(c) if iv.start - c.end <= gapMs * 1000 =>
+                case Some(c) if iv.start - c.end <= gapUs =>
                   // min/max extension: an event inside the current
                   // interval must not regress session_end
                   cur = Some(SessionState(math.min(c.start, iv.start),
                     math.max(c.end, iv.end), c.n + iv.n, c.total + iv.total))
                 case Some(c) =>
-                  closed += Session(userId, tsFromMicros(c.start),
-                    tsFromMicros(c.end), c.n, c.total)
+                  merged += c
                   cur = Some(iv)
                 case None =>
                   cur = Some(iv)
               }
             }
-            cur.foreach { s =>
-              if (streaming) {
-                state.update(s)
-                // timeout is in ms: round the µs deadline UP so it can
-                // never fire early; must also be strictly above the
-                // current watermark or Spark rejects the timestamp
-                // (late-arriving key whose session already expired
-                // relative to the watermark)
-                val deadlineMs =
-                  math.floorDiv(s.end + gapMs * 1000 + 999, 1000L)
-                state.setTimeoutTimestamp(
-                  math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
-              } else {
-                // batch: one invocation per key sees every event, so the
-                // open session is final — emit it now
-                closed += Session(userId, tsFromMicros(s.start),
-                  tsFromMicros(s.end), s.n, s.total)
-              }
-            }
-            closed.result().iterator
+            cur.foreach(merged += _)
+            val sessions = merged.result()
+            if (streaming) emitFinal(sessions)
+            else sessions.map(toSession).iterator // batch: all final
           }
       }
   }

@@ -469,6 +469,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pf.exists(_.contains("cell")), s"no partition filter on cell:\n$plan")
   }
 
+  test("persisted ivf probes accept a pre-round-5 float centroid format") {
+    // older writeIvfIndex stored centroids as the raw float vectors;
+    // a long-lived index must keep probing after upgrade
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-old").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir, nCells = 8)
+    val expect = Similarity.knnIvfIndexed(spark, dir, qv, k = 10, nProbe = 3)
+      .collect().toSeq
+    // rewrite the centroids in the legacy float layout (seeded
+    // centroids ARE raw corpus vectors, so the float cast is lossless
+    // and the probe must rank identically)
+    val legacy = spark.read.parquet(s"$dir/centroids")
+      .select(col("cv").cast("array<float>").as("cv"), col("cell"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-leg").toString
+    legacy.write.parquet(s"$tmp/centroids")
+    spark.read.parquet(s"$tmp/centroids")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val got = Similarity.knnIvfIndexed(spark, dir, qv, k = 10, nProbe = 3)
+      .collect().toSeq
+    assert(got == expect, s"legacy centroid probe diverged: $got vs $expect")
+  }
+
   test("batch knn equals per-query knnBrute for every query vector") {
     val queries = emb.orderBy("vec_id").limit(3)
     val batch = Similarity.knnBruteBatch(queries, "vec_id", "embedding",

@@ -94,7 +94,9 @@ class SketchAggSpec extends SparkSpec {
     // retry-safety: with saltBy, re-evaluating the salted projection
     // (as a recomputed map task would) yields the identical bucket for
     // every row — no dependence on partition layout or row order.
-    val a = li.limit(200)
+    // deterministic row subset: an unordered limit can pick different
+    // rows on each execution and fail this test for unrelated reasons
+    val a = li.orderBy("l_orderkey", "l_linenumber").limit(200)
     val salt = pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(16L))
     val once  = a.select(col("l_orderkey"), col("l_linenumber"), salt.as("s"))
     val twice = a.repartition(7).select(

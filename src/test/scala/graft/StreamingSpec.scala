@@ -147,24 +147,30 @@ class StreamingSpec extends SparkSpec {
       mem.addData(Event(1, ts(100), 1, "a", 1.0)) // live session [100,100]
       q.processAllAvailable() // watermark → minute 40
       // two late-but-within-watermark events, > gap OLDER than the live
-      // session, within gap of EACH OTHER: the batch twin (ascending
-      // order) makes them one separate earlier session [50,55] — they
-      // must not be absorbed into the live session
-      mem.addData(Event(2, ts(50), 1, "a", 2.0), Event(3, ts(55), 1, "a", 3.0))
+      // session, within gap of EACH OTHER, arriving in SEPARATE
+      // micro-batches: the batch twin (ascending order) makes them one
+      // separate earlier session [50,55] — they must neither be
+      // absorbed into the live session nor fragment into two sessions
+      // because a batch boundary fell between them. (This is why
+      // pending sessions park in state until the watermark passes
+      // end+gap instead of emitting eagerly.)
+      mem.addData(Event(2, ts(50), 1, "a", 2.0))
       q.processAllAvailable()
-      val early = spark.table("slate_old").collect()
-      assert(early.length == 1, s"expected the closed early session, got ${early.toSeq}")
-      assert(early.head.getAs[Timestamp]("session_start") == ts(50))
-      assert(early.head.getAs[Timestamp]("session_end") == ts(55))
-      assert(early.head.getAs[Long]("n_events") == 2L)
-      assert(early.head.getAs[Double]("total_value") == 5.0)
-      // flush the live session via watermark advance; it must still be
-      // the untouched [100,100] single-event session
+      mem.addData(Event(3, ts(55), 1, "a", 3.0))
+      q.processAllAvailable()
+      // nothing is final yet: watermark (40) hasn't passed 55+gap
+      assert(spark.table("slate_old").isEmpty,
+        s"premature emission: ${spark.table("slate_old").collect().toSeq}")
+      // advance the watermark past every deadline via another user
       mem.addData(Event(4, ts(600), 2, "a", 1.0))
       q.processAllAvailable()
       val all = spark.table("slate_old")
         .where(col("user_id") === 1L).orderBy("session_start").collect()
       assert(all.length == 2, s"got ${all.toSeq}")
+      assert(all(0).getAs[Timestamp]("session_start") == ts(50))
+      assert(all(0).getAs[Timestamp]("session_end") == ts(55))
+      assert(all(0).getAs[Long]("n_events") == 2L)
+      assert(all(0).getAs[Double]("total_value") == 5.0)
       assert(all(1).getAs[Timestamp]("session_start") == ts(100))
       assert(all(1).getAs[Timestamp]("session_end") == ts(100))
       assert(all(1).getAs[Long]("n_events") == 1L)
