@@ -82,4 +82,68 @@ class SqlGenFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("40 seeded subquery and grouping-set pipelines roundtrip through SqlGen") {
+    // round-4 added subquery-expression printing and grouping-set
+    // reconstruction; this extends the fuzz space to those surfaces —
+    // correlated scalar/EXISTS/IN subqueries (region inner, nation
+    // outer: same-table correlation is a documented SqlGen error) and
+    // ROLLUP/CUBE with grouping()/grouping_id(), composed with random
+    // filters, distinct and sort+limit.
+    Tables.register(spark, sfDir)
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(20260813L)
+    val nation = Tables.load(spark, sfDir, "nation")
+
+    def letter(): String = ('A' + rnd.nextInt(26)).toChar.toString
+
+    def rndBase(): DataFrame = rnd.nextInt(6) match {
+      case 0 => spark.sql(
+        "SELECT n_name, (SELECT count(*) FROM region " +
+          s"WHERE r_regionkey = n_regionkey AND r_name LIKE '${letter()}%')" +
+          " AS c FROM nation")
+      case 1 => spark.sql(
+        "SELECT n_name, n_regionkey FROM nation WHERE n_regionkey IN " +
+          s"(SELECT r_regionkey FROM region WHERE r_name LIKE '${letter()}%')")
+      case 2 => spark.sql(
+        "SELECT n_name FROM nation WHERE EXISTS (SELECT 1 FROM region " +
+          s"WHERE r_regionkey = n_regionkey AND r_name LIKE '${letter()}%')")
+      case 3 => spark.sql(
+        "SELECT n_name, n_nationkey FROM nation WHERE NOT EXISTS " +
+          "(SELECT 1 FROM region WHERE r_regionkey = n_regionkey AND " +
+          s"r_regionkey > ${rnd.nextInt(4)})")
+      case 4 => spark.sql(
+        s"SELECT n_nationkey FROM nation WHERE n_nationkey < " +
+          s"(SELECT max(r_regionkey) FROM region) * ${rnd.nextInt(5) + 1}")
+      case 5 =>
+        val g =
+          if (rnd.nextBoolean()) nation.rollup(col("n_regionkey"))
+          else nation.cube(col("n_regionkey"))
+        g.agg(count(lit(1)).as("n"),
+          (if (rnd.nextBoolean()) grouping(col("n_regionkey"))
+           else grouping_id(col("n_regionkey"))).as("g"))
+    }
+
+    for (i <- 1 to 40) {
+      var df = rndBase()
+      if (rnd.nextBoolean()) df = df.distinct()
+      if (rnd.nextBoolean())
+        df = df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+          .limit(rnd.nextInt(20) + 1)
+      val sql =
+        try SqlGen.toSql(df)
+        catch {
+          case e: Throwable =>
+            fail(s"case $i: toSql failed for plan:\n" +
+              s"${df.queryExecution.analyzed}\n$e")
+        }
+      try assertSameRows(df, spark.sql(sql))
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException =>
+          fail(s"case $i roundtrip mismatch; sql=$sql\n${e.getMessage}")
+        case e: Throwable =>
+          fail(s"case $i re-parse failed; sql=$sql\n${e.getMessage}")
+      }
+    }
+  }
 }
