@@ -47,16 +47,25 @@ object Bench {
     // — either capture direction preserves it — and (b) write the full
     // JSON to a FILE next to the bench (like Verify's oracle_sql.json),
     // which no stdout capture can truncate.
-    val outPath = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json"))
-    // an unwritable path must not kill the tail: the stdout summary
-    // below is the fallback the file exists to back up, not vice versa
-    try java.nio.file.Files.write(outPath,
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write $outPath: $e")
-    }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"errors":$errs,"out":${jstr(outPath.toAbsolutePath.toString)},"sf":"$sfDir"}""")
+    // An unwritable path must not kill the tail (the stdout summary is
+    // the fallback the file backs up, not vice versa), and "out" is
+    // only reported when the write SUCCEEDED — a consumer must never
+    // be pointed at a stale file from a previous run.
+    val outName =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES.json")
+    val written: Option[String] =
+      try {
+        val p = java.nio.file.Paths.get(outName)
+        java.nio.file.Files.write(p,
+          full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        Some(p.toAbsolutePath.toString)
+      } catch { case e @ (_: java.io.IOException |
+                          _: java.nio.file.InvalidPathException) =>
+        System.err.println(s"[bench] could not write $outName: $e")
+        None
+      }
+    val outField = written.map(p => s""","out":${jstr(p)}""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"errors":$errs$outField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

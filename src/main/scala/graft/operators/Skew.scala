@@ -35,18 +35,22 @@ object Skew {
     *    primary key); note a content hash of NON-unique columns would
     *    send every copy of an identical hot row to one bucket,
     *    reproducing the skew.
-    *  - `saltBy = Nil`: positional salt, made retry-safe by a LAZY
-    *    localCheckpoint() of the salted projection: lineage is
-    *    truncated, so once a partition's blocks are stored, retries
-    *    re-read them instead of recomputing salts (and each stored
-    *    partition is internally salt-consistent — nothing downstream
-    *    consumes a partition before its blocks exist). If an executor
-    *    holding blocks dies the job FAILS (and can be rerun) rather
-    *    than silently corrupting counts. Cost: the salted projection
-    *    stays pinned in executor storage until the checkpointed RDD
-    *    is GC'd, and the plan is no longer SqlGen-printable (it
-    *    contains an RDD barrier) — prefer `saltBy` with a key column
-    *    in production and for anything long-lived.
+    *  - `saltBy = Nil`: positional salt, made retry-safe by an EAGER
+    *    localCheckpoint() of the salted projection. Eager is
+    *    load-bearing: the blocks must exist and lineage must be
+    *    truncated BEFORE the aggregation job consumes any salt. A
+    *    lazy checkpoint materializes during the phase-1 job itself —
+    *    an executor lost mid-job would recompute its partitions from
+    *    intact lineage with fresh salts while other reducers already
+    *    consumed the old ones (the exact SPARK-23207 corruption).
+    *    With eager, the dedicated materialization job can recompute
+    *    freely (nothing has consumed salts yet), and afterwards a
+    *    lost block FAILS the job loudly instead of corrupting it.
+    *    Costs: one full materialization at CALL time (constructing
+    *    the frame launches a job even if never used), the salted
+    *    projection pinned in executor storage until the RDD is GC'd,
+    *    and a plan SqlGen can't print (RDD barrier) — prefer `saltBy`
+    *    with a key column in production and for anything long-lived.
     */
   def saltedAggregate(
       df: DataFrame,
@@ -69,7 +73,7 @@ object Skew {
         df.withColumn("_salt",
             pmod(monotonically_increasing_id() + spark_partition_id(),
               lit(saltBuckets.toLong)))
-          .localCheckpoint(false) // lazy: no job at construction time
+          .localCheckpoint() // eager — see the retry-safety note above
     val phase1 = salted
       .groupBy((keys :+ "_salt").map(col): _*)
       .agg(

@@ -74,6 +74,15 @@ object EventsStream {
     * flush via event-time timeout and the state is evicted, so state
     * is bounded on an unbounded stream and every session is emitted
     * exactly once.
+    *
+    * Checkpoint compatibility: the state schema changed in round 5
+    * (single SessionState → SessionsState list). A sessionize query
+    * restarted from a pre-round-5 checkpoint fails LOUDLY at Spark's
+    * state-schema check (StateSchemaNotCompatible) — discard the
+    * checkpoint and reprocess from the source (the operator is
+    * deterministic over the replayed input). Spark offers no
+    * in-place FMGWS state migration; do not disable stateSchemaCheck
+    * to force a restart, that would misdecode old rows.
     */
   // µs precision, matching sessionizeBatch's unix_micros semantics:
   // Timestamp.getTime alone truncates to ms, so sub-ms event spacing
