@@ -103,6 +103,32 @@ object Similarity {
       .limit(k)
   }
 
+  /** Quantized-scan + exact re-rank: the production two-pass ANN
+    * pattern the quantized index exists for. Pass 1 ranks the whole
+    * corpus on int8 codes ([[knnQuantized]] — at 100 TB that scan
+    * reads the 4×-smaller persisted codes column, never the float
+    * vectors) and keeps `k · overfetch` coarse candidates; pass 2
+    * joins ONLY those ids back to the full-precision vectors
+    * (broadcast — the candidate set is k·overfetch rows) and re-ranks
+    * by exact cosine. Overfetch covers quantization-error rank
+    * inversions near the cut; recall→exact as it grows, while the
+    * expensive float read stays O(k·overfetch) instead of O(corpus).
+    * Output: (id, cosine) with EXACT cosines, k rows, ties by id.
+    */
+  def knnQuantizedRerank(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val coarse = knnQuantized(df, idCol, vecCol, query, k * overfetch)
+      .select(col("id"))
+    val q = typedlit(query.toSeq)
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(broadcast(coarse), "id")
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** LSH-bucketed approximate top-k: probe the query's bucket in each
     * of `bands` hash tables, dedup candidates, exact-rank only those.
     * At production scale the `banded` side is the precomputed index

@@ -642,6 +642,52 @@ object Pipeline {
              |SELECT id, ${r6sql("cos")} AS cosine
              |FROM c ORDER BY cos DESC, id LIMIT 20""".stripMargin)),
 
+    // quantized-scan + exact re-rank: coarse top-40 on int8 codes,
+    // exact cosine only on those 40, final top-10 — the two-pass
+    // pattern whose oracle replays coarse rank THEN exact re-rank.
+    Q("s08_knn_rerank",
+      (s, dir) => {
+        Similarity.knnQuantizedRerank(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", queryVec(s, dir), k = 10, overfetch = 4)
+          .select(col("id"), r6(col("cosine")).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), eq AS (
+             |  SELECT vec_id, v, CASE WHEN list_max([abs(x) for x in v]) = 0
+             |    THEN [0.0 for x in v]
+             |    ELSE [floor(x * (127.0 / list_max([abs(y) for y in v])) + 0.5)
+             |          for x in v] END AS qv
+             |  FROM e
+             |), q AS (
+             |  SELECT v AS qfull, CASE WHEN list_max([abs(x) for x in v]) = 0
+             |    THEN [0.0 for x in v]
+             |    ELSE [floor(x * (127.0 / list_max([abs(y) for y in v])) + 0.5)
+             |          for x in v] END AS qq
+             |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v
+             |        FROM embeddings ORDER BY vec_id LIMIT 1)
+             |), coarse AS (
+             |  SELECT vec_id, v, qfull,
+             |    CASE WHEN sqrt(list_dot_product(qv, qv))
+             |            * sqrt(list_dot_product(qq, qq)) = 0 THEN 0
+             |    ELSE list_dot_product(qv, qq)
+             |      / (sqrt(list_dot_product(qv, qv))
+             |         * sqrt(list_dot_product(qq, qq))) END AS qcos
+             |  FROM eq, q
+             |  ORDER BY qcos DESC, vec_id ASC LIMIT 40
+             |), exact AS (
+             |  SELECT vec_id AS id,
+             |    CASE WHEN sqrt(list_dot_product(v, v))
+             |            * sqrt(list_dot_product(qfull, qfull)) = 0 THEN 0
+             |    ELSE list_dot_product(v, qfull)
+             |      / (sqrt(list_dot_product(v, v))
+             |         * sqrt(list_dot_product(qfull, qfull))) END AS cos
+             |  FROM coarse
+             |)
+             |SELECT id, ${r6sql("cos")} AS cosine
+             |FROM exact ORDER BY cos DESC, id LIMIT 10""".stripMargin)),
+
     // language ID heuristic. Oracle replicates the stopword-overlap
     // scores per profile; the CASE chain encodes greatest(struct)'s
     // tie-breaking (equal scores → later profile wins).

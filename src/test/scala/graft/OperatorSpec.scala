@@ -308,6 +308,29 @@ class SimilaritySpec extends SparkSpec {
     assert(z.find(_.getLong(0) == 99999L).get.getDouble(1) == 0.0)
   }
 
+  test("quantized rerank recovers exact top-k once overfetch covers the error band") {
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // generous overfetch ⇒ the exact top-k must be inside the coarse
+    // candidate set and the re-rank returns it with EXACT cosines
+    val wide = Similarity.knnQuantizedRerank(emb, "vec_id", "embedding",
+        qv, k = 10, overfetch = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(wide == brute, s"wide rerank diverged from brute:\n$wide\n$brute")
+    // default overfetch: near-exact (quantization inversions only at
+    // the cut), and cosines of returned rows are the exact ones
+    val narrow = Similarity.knnQuantizedRerank(emb, "vec_id", "embedding",
+        qv, k = 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val bruteMap = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 200)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    narrow.foreach { case (id, c) =>
+      assert(math.abs(bruteMap(id) - c) < 1e-12,
+        s"rerank returned non-exact cosine for $id")
+    }
+    val overlap = narrow.map(_._1).count(brute.map(_._1).toSet)
+    assert(overlap >= 9, s"default-overfetch top-10 overlap only $overlap")
+  }
+
   test("lsh knn returns a subset of the corpus ranked consistently with brute") {
     val brute = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 50)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
