@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: the jobs that keep a 100 TB parquet lake
@@ -59,6 +59,57 @@ object Layout {
     require(numFiles > 0 && sortCols.nonEmpty)
     df.repartitionByRange(numFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Morton bit-spread: place the low 16 bits of `c` at even bit
+    * positions (the standard mask-shift cascade, composed from
+    * codegen'd bitwise builtins — no UDF).
+    */
+  private def spreadBits16(c: Column): Column = {
+    var x = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    x = (x.bitwiseOR(shiftleft(x, 8))).bitwiseAND(lit(0x00FF00FFL))
+    x = (x.bitwiseOR(shiftleft(x, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    x = (x.bitwiseOR(shiftleft(x, 2))).bitwiseAND(lit(0x33333333L))
+    x = (x.bitwiseOR(shiftleft(x, 1))).bitwiseAND(lit(0x55555555L))
+    x
+  }
+
+  /** Z-order (Morton) layout over TWO numeric columns — the
+    * multi-dimension data-skipping layout [[writeRangeSorted]] can't
+    * give: range-sorting on x makes every file narrow in x but full-
+    * width in y, so y-predicates read everything. Interleaving the
+    * bits of both (rank-scaled) columns into one z-value and range-
+    * sorting on THAT bounds every file in BOTH dimensions (a z-curve
+    * interval is a union of small rectangles), so parquet min/max
+    * stats prune files for predicates on either column.
+    *
+    * Scaling is min/max-linear into 16 bits per column, from ONE
+    * bounded 2-row aggregate (at 100 TB you'd reuse catalog stats).
+    * The z-value is a helper column, dropped from the written files.
+    * Skew note: heavily skewed columns want rank (ntile) scaling
+    * instead of linear; linear keeps the write single-pass and
+    * deterministic, which is what the oracle-less layout job needs.
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+                    colX: String, colY: String): Unit = {
+    require(numFiles > 0)
+    val Array(mins, maxs) = df.agg(
+      struct(min(col(colX)).cast("double"), min(col(colY)).cast("double")),
+      struct(max(col(colX)).cast("double"), max(col(colY)).cast("double")))
+      .head().toSeq.map(_.asInstanceOf[org.apache.spark.sql.Row]).toArray
+    def scale(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(65535L), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
+          .cast("long")))
+    val z = spreadBits16(scale(col(colX), mins.getDouble(0), maxs.getDouble(0)))
+      .bitwiseOR(shiftleft(
+        spreadBits16(scale(col(colY), mins.getDouble(1), maxs.getDouble(1))), 1))
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
 

@@ -74,6 +74,44 @@ class LayoutSpec extends SparkSpec {
       "filesRead lost the scan behind an AQE stage boundary")
   }
 
+  test("z-order layout prunes files for predicates on BOTH dimensions") {
+    val dir = tmp()
+    // deterministic pseudo-uniform grid: two decorrelated coordinates
+    // derived from the id by multiplicative hashing
+    val df = spark.range(20000).select(
+      col("id"),
+      (col("id") * 2654435761L % 65536).as("x"),
+      (col("id") * 40503L % 65536).as("y"))
+    val nFiles = 16
+    Layout.writeZOrdered(df, s"$dir/z", nFiles, "x", "y")
+    assert(spark.read.parquet(s"$dir/z").count() == 20000)
+    // the skip property is in the FOOTERS (same assertion style as the
+    // range-sorted test — vanilla Spark prunes row groups, stats-
+    // indexed table formats prune whole files, both from exactly
+    // these [min,max] ranges): a z-curve interval is bounded in BOTH
+    // dims, so a 1/16-wide band on either column intersects few files
+    def fileRanges(path: String, c: String): Array[(Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getPath).agg(min(c), max(c)).head()
+          (r.getLong(0), r.getLong(1))
+        }
+    val xHit = fileRanges(s"$dir/z", "x").count { case (lo, _) => lo < 4096 }
+    val yHit = fileRanges(s"$dir/z", "y").count { case (lo, _) => lo < 4096 }
+    assert(xHit <= nFiles / 2,
+      s"x-band intersects $xHit of $nFiles z-ordered files")
+    assert(yHit <= nFiles / 2,
+      s"y-band intersects $yHit of $nFiles z-ordered files")
+    // baseline: x-range-sorted layout prunes x perfectly but every
+    // file spans the whole y domain — y-predicates skip nothing
+    Layout.writeRangeSorted(df, s"$dir/xsorted", nFiles, "x")
+    val xBase = fileRanges(s"$dir/xsorted", "x").count { case (lo, _) => lo < 4096 }
+    assert(xBase <= 2, s"x-sorted baseline: x-band intersects $xBase files")
+    val yBase = fileRanges(s"$dir/xsorted", "y").count { case (lo, _) => lo < 4096 }
+    assert(yBase == nFiles,
+      s"x-sorted baseline unexpectedly bounded y: $yBase of $nFiles")
+  }
+
   test("compact refuses in-place overwrite (would truncate its own input)") {
     val dir = java.nio.file.Files.createTempDirectory("layout-inplace").toString
     Tables.load(spark, sfDir, "region").write.mode("overwrite")
