@@ -42,6 +42,29 @@ object Pipeline {
   private def r6sql(expr: String): String =
     s"FLOOR(($expr) * 1000000 + 0.5) / 1000000"
 
+  /** DuckDB mirror of Similarity's symmetric int8 quantization of a
+    * DOUBLE[] expression (scale = 127/max|x|, floor(x·scale + 0.5),
+    * zero vectors → zero codes) — ONE fragment shared by the s06 and
+    * s08 oracles so a change to the Scala quantizer has a single SQL
+    * twin to keep in lockstep.
+    */
+  private def quantizeSql(v: String): String =
+    s"""CASE WHEN list_max([abs(x) for x in $v]) = 0
+       |    THEN [0.0 for x in $v]
+       |    ELSE [floor(x * (127.0 / list_max([abs(y) for y in $v])) + 0.5)
+       |          for x in $v] END""".stripMargin
+
+  /** DuckDB fragment mirroring [[graft.functions.VectorOps.cosine]]
+    * over two DOUBLE[] expressions (norm-product-then-divide, zero
+    * norms → 0) — shared by every kNN oracle's scoring step.
+    */
+  private def cosineSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a, $a))
+       |        * sqrt(list_dot_product($b, $b)) = 0 THEN 0
+       |ELSE list_dot_product($a, $b)
+       |  / (sqrt(list_dot_product($a, $a))
+       |     * sqrt(list_dot_product($b, $b))) END""".stripMargin
+
   /** d03 oracle: replays the ENTIRE simhash pipeline in DuckDB —
     * FNV-1a word/bigram hashing with 64-bit wraparound emulated in
     * HUGEINT arithmetic (BIGINT multiply would overflow-error), bit
@@ -148,11 +171,7 @@ object Pipeline {
        |  SELECT vec_id, v, qv FROM s, sq WHERE $probe
        |), scored AS (
        |  SELECT vec_id AS id,
-       |    CASE WHEN sqrt(list_dot_product(v, v))
-       |            * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
-       |    ELSE list_dot_product(v, qv)
-       |      / (sqrt(list_dot_product(v, v))
-       |         * sqrt(list_dot_product(qv, qv))) END AS cos
+       |    ${cosineSql("v", "qv")} AS cos
        |  FROM cand
        |)
        |SELECT id, ${r6sql("cos")} AS cosine
@@ -190,11 +209,7 @@ object Pipeline {
        |  FROM s a JOIN s b ON a.vec_id < b.vec_id AND ($collide)
        |), scored AS (
        |  SELECT id_a, id_b,
-       |    CASE WHEN sqrt(list_dot_product(va, va))
-       |            * sqrt(list_dot_product(vb, vb)) = 0 THEN 0
-       |    ELSE list_dot_product(va, vb)
-       |      / (sqrt(list_dot_product(va, va))
-       |         * sqrt(list_dot_product(vb, vb))) END AS c
+       |    ${cosineSql("va", "vb")} AS c
        |  FROM pairs
        |)
        |SELECT id_a, id_b, ${r6sql("c")} AS cosine
@@ -411,11 +426,7 @@ object Pipeline {
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
              |), c AS (
              |  SELECT vec_id AS id,
-             |    CASE WHEN sqrt(list_dot_product(v, v))
-             |            * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
-             |    ELSE list_dot_product(v, qv)
-             |      / (sqrt(list_dot_product(v, v))
-             |         * sqrt(list_dot_product(qv, qv))) END AS cos
+             |    ${cosineSql("v", "qv")} AS cos
              |  FROM e, q
              |)
              |SELECT id, ${r6sql("cos")} AS cosine
@@ -440,11 +451,7 @@ object Pipeline {
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
              |), scored AS (
              |  SELECT query_id, vec_id AS id,
-             |    CASE WHEN sqrt(list_dot_product(v, v))
-             |            * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
-             |    ELSE list_dot_product(v, qv)
-             |      / (sqrt(list_dot_product(v, v))
-             |         * sqrt(list_dot_product(qv, qv))) END AS cos
+             |    ${cosineSql("v", "qv")} AS cos
              |  FROM e CROSS JOIN q
              |), ranked AS (
              |  SELECT query_id, id, cos, ROW_NUMBER() OVER (
@@ -501,11 +508,7 @@ object Pipeline {
              |  ORDER BY list_dot_product(cv, qv) DESC, cell ASC LIMIT 4
              |), scored AS (
              |  SELECT vec_id AS id,
-             |    CASE WHEN sqrt(list_dot_product(v, v))
-             |            * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
-             |    ELSE list_dot_product(v, qv)
-             |      / (sqrt(list_dot_product(v, v))
-             |         * sqrt(list_dot_product(qv, qv))) END AS cos
+             |    ${cosineSql("v", "qv")} AS cos
              |  FROM assigned, q
              |  WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
              |)
@@ -549,11 +552,7 @@ object Pipeline {
              |  WHERE pk <= 4
              |), scored AS (
              |  SELECT q.query_id, a.vec_id AS id,
-             |    CASE WHEN sqrt(list_dot_product(a.v, a.v))
-             |            * sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0
-             |    ELSE list_dot_product(a.v, q.qv)
-             |      / (sqrt(list_dot_product(a.v, a.v))
-             |         * sqrt(list_dot_product(q.qv, q.qv))) END AS cos
+             |    ${cosineSql("a.v", "q.qv")} AS cos
              |  FROM assigned a
              |  JOIN probe p ON a.cell = p.cell AND a.rn = 1
              |  JOIN q ON q.query_id = p.query_id
@@ -576,7 +575,7 @@ object Pipeline {
             k = 10)
           .orderBy("query_id")
       },
-      Some("""WITH q AS (
+      Some(s"""WITH q AS (
              |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
              |  FROM embeddings ORDER BY vec_id LIMIT 5
              |), e AS (
@@ -585,11 +584,7 @@ object Pipeline {
              |), ranked AS (
              |  SELECT query_id, vec_id, label, ROW_NUMBER() OVER (
              |    PARTITION BY query_id ORDER BY
-             |      CASE WHEN sqrt(list_dot_product(v, v))
-             |              * sqrt(list_dot_product(qv, qv)) = 0 THEN 0
-             |      ELSE list_dot_product(v, qv)
-             |        / (sqrt(list_dot_product(v, v))
-             |           * sqrt(list_dot_product(qv, qv))) END DESC,
+             |      ${cosineSql("v", "qv")} DESC,
              |      vec_id ASC) AS rn
              |  FROM e CROSS JOIN q
              |  WHERE vec_id <> query_id
@@ -618,25 +613,14 @@ object Pipeline {
       Some(s"""WITH e AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
              |), eq AS (
-             |  SELECT vec_id, CASE WHEN list_max([abs(x) for x in v]) = 0
-             |    THEN [0.0 for x in v]
-             |    ELSE [floor(x * (127.0 / list_max([abs(y) for y in v])) + 0.5)
-             |          for x in v] END AS qv
+             |  SELECT vec_id, ${quantizeSql("v")} AS qv
              |  FROM e
              |), q AS (
-             |  SELECT CASE WHEN list_max([abs(x) for x in v]) = 0
-             |    THEN [0.0 for x in v]
-             |    ELSE [floor(x * (127.0 / list_max([abs(y) for y in v])) + 0.5)
-             |          for x in v] END AS qq
+             |  SELECT ${quantizeSql("v")} AS qq
              |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v
              |        FROM embeddings ORDER BY vec_id LIMIT 1)
              |), c AS (
-             |  SELECT vec_id AS id,
-             |    CASE WHEN sqrt(list_dot_product(qv, qv))
-             |            * sqrt(list_dot_product(qq, qq)) = 0 THEN 0
-             |    ELSE list_dot_product(qv, qq)
-             |      / (sqrt(list_dot_product(qv, qv))
-             |         * sqrt(list_dot_product(qq, qq))) END AS cos
+             |  SELECT vec_id AS id, ${cosineSql("qv", "qq")} AS cos
              |  FROM eq, q
              |)
              |SELECT id, ${r6sql("cos")} AS cosine
@@ -655,34 +639,18 @@ object Pipeline {
       Some(s"""WITH e AS (
              |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
              |), eq AS (
-             |  SELECT vec_id, v, CASE WHEN list_max([abs(x) for x in v]) = 0
-             |    THEN [0.0 for x in v]
-             |    ELSE [floor(x * (127.0 / list_max([abs(y) for y in v])) + 0.5)
-             |          for x in v] END AS qv
+             |  SELECT vec_id, v, ${quantizeSql("v")} AS qv
              |  FROM e
              |), q AS (
-             |  SELECT v AS qfull, CASE WHEN list_max([abs(x) for x in v]) = 0
-             |    THEN [0.0 for x in v]
-             |    ELSE [floor(x * (127.0 / list_max([abs(y) for y in v])) + 0.5)
-             |          for x in v] END AS qq
+             |  SELECT v AS qfull, ${quantizeSql("v")} AS qq
              |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS v
              |        FROM embeddings ORDER BY vec_id LIMIT 1)
              |), coarse AS (
-             |  SELECT vec_id, v, qfull,
-             |    CASE WHEN sqrt(list_dot_product(qv, qv))
-             |            * sqrt(list_dot_product(qq, qq)) = 0 THEN 0
-             |    ELSE list_dot_product(qv, qq)
-             |      / (sqrt(list_dot_product(qv, qv))
-             |         * sqrt(list_dot_product(qq, qq))) END AS qcos
+             |  SELECT vec_id, v, qfull, ${cosineSql("qv", "qq")} AS qcos
              |  FROM eq, q
              |  ORDER BY qcos DESC, vec_id ASC LIMIT 40
              |), exact AS (
-             |  SELECT vec_id AS id,
-             |    CASE WHEN sqrt(list_dot_product(v, v))
-             |            * sqrt(list_dot_product(qfull, qfull)) = 0 THEN 0
-             |    ELSE list_dot_product(v, qfull)
-             |      / (sqrt(list_dot_product(v, v))
-             |         * sqrt(list_dot_product(qfull, qfull))) END AS cos
+             |  SELECT vec_id AS id, ${cosineSql("v", "qfull")} AS cos
              |  FROM coarse
              |)
              |SELECT id, ${r6sql("cos")} AS cosine

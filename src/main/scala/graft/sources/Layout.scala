@@ -94,10 +94,19 @@ object Layout {
   def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
                     colX: String, colY: String): Unit = {
     require(numFiles > 0)
+    require(!df.columns.contains("_z"),
+      "writeZOrdered: input already has a _z column — rename it (the " +
+        "helper z-value would silently replace and then drop it)")
     val Array(mins, maxs) = df.agg(
       struct(min(col(colX)).cast("double"), min(col(colY)).cast("double")),
       struct(max(col(colX)).cast("double"), max(col(colY)).cast("double")))
       .head().toSeq.map(_.asInstanceOf[org.apache.spark.sql.Row]).toArray
+    if (mins.isNullAt(0) || mins.isNullAt(1)) {
+      // empty input (or all-NULL layout columns): nothing to order —
+      // write as-is, like the other layout jobs do on empty inputs
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     def scale(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
       else least(lit(65535L), greatest(lit(0L),

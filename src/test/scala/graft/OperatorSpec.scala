@@ -324,7 +324,10 @@ class SimilaritySpec extends SparkSpec {
     val bruteMap = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 200)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     narrow.foreach { case (id, c) =>
-      assert(math.abs(bruteMap(id) - c) < 1e-12,
+      val exact = bruteMap.get(id)
+      assert(exact.isDefined,
+        s"rerank returned id $id outside the brute top-200")
+      assert(math.abs(exact.get - c) < 1e-12,
         s"rerank returned non-exact cosine for $id")
     }
     val overlap = narrow.map(_._1).count(brute.map(_._1).toSet)
