@@ -1012,6 +1012,30 @@ object Pipeline {
              |  % (CASE WHEN lang = 'en' THEN 10 ELSE 2 END) = 0
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // integer-weighted sampling (best-of-w draws): curated sources
+    // get weight 8, the rest 1 — the domain-reweighting primitive for
+    // a training mix. Oracle replays the identical integer hashing.
+    Q("t10_weighted_sample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val w = when(col("source")
+          .isin("src0", "src1", "src2", "src3", "src4"), 8).otherwise(1)
+        graft.operators.Sampling.weightedSample(docs, "doc_id", w, k = 60)
+          .select(col("doc_id"), col("source"), col("sample_key"))
+          .orderBy("sample_key", "doc_id")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT doc_id, source,
+             |    list_min([((doc_id + r * 7919) % 2147483647)
+             |               * 2654435761 % 1000003
+             |              for r in range(1, (CASE WHEN source IN
+             |                ('src0','src1','src2','src3','src4')
+             |                THEN 8 ELSE 1 END) + 1)]) AS sample_key
+             |  FROM documents
+             |)
+             |SELECT doc_id, source, sample_key FROM keyed
+             |ORDER BY sample_key, doc_id LIMIT 60""".stripMargin)),
+
     // deterministic train/val/test split (hash-mod assignment)
     Q("t06_train_val_split",
       (s, dir) => {

@@ -598,6 +598,31 @@ class TopKSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("weighted sampling over-represents heavy domains proportionally") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sfDir, "documents")
+    val heavy = Set("src0", "src1", "src2", "src3", "src4")
+    val w = when(col("source").isin(heavy.toSeq.map(lit): _*), 8).otherwise(1)
+    val k = 60
+    val got = Sampling.weightedSample(docs, "doc_id", w, k)
+      .select("doc_id", "source").collect()
+    assert(got.length == math.min(k, docs.count()).toInt)
+    // heavy sources are 25% of rows at weight 8 ⇒ expected sample
+    // share ≈ 8·0.25/(8·0.25 + 0.75) ≈ 73%; demand a clear majority
+    val nHeavy = got.count(r => heavy(r.getString(1)))
+    assert(nHeavy > k / 2,
+      s"weight-8 sources got only $nHeavy of $k sampled rows")
+    // deterministic: a second run returns the identical sample
+    val again = Sampling.weightedSample(docs, "doc_id", w, k)
+      .select("doc_id", "source").collect()
+    assert(got.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+    // degenerate weights: w=1 everywhere is plain uniform min-hash
+    // top-k — still exactly k rows, no duplicates
+    val uni = Sampling.weightedSample(docs, "doc_id", lit(1), k)
+      .select("doc_id").as[Long].collect()
+    assert(uni.length == uni.distinct.length && uni.length == k)
+  }
+
   test("langId recognizes clear-cut samples and falls back to und") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is a good day for the walk"),
