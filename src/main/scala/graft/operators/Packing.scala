@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence assembly for LLM training data: concat-and-chunk packing
+  * and sliding-window chunking.
+  *
+  * Packing is how training pipelines turn variable-length documents
+  * into fixed-length model sequences: concatenate documents in a
+  * deterministic order and cut every `seqLen` tokens. A single global
+  * concatenation order would be a one-partition window — the classic
+  * scale-killer — so packing here is SHARDED: documents hash into
+  * `numShards` independent streams, each packed by a windowed
+  * cumulative sum partitioned on the shard. That is exactly how a real
+  * 1000-executor packing job runs (each worker packs its shard; chunk
+  * ids are (shard, local_chunk)), and it keeps every window bounded at
+  * corpus_size / numShards rows. The shard hash is the same integer
+  * scheme as [[TextAnalysis.splitLabel]] — engine-reproducible, no
+  * xxhash64 — so a SQL oracle can replay the assignment exactly.
+  */
+object Packing {
+
+  /** Deterministic shard in [0, numShards) from an integer id —
+    * `((id % 2147483647) * 2654435761) % numShards`, the repo's
+    * cross-engine integer hash (fits in a signed 64-bit intermediate
+    * for any id ≥ 0).
+    */
+  def shardOf(id: Column, numShards: Int): Column = {
+    require(numShards > 0)
+    (id % 2147483647L) * 2654435761L % numShards
+  }
+
+  /** Concat-and-chunk packing plan: each document is assigned to the
+    * fixed-size sequence (chunk) in which its FIRST token lands when
+    * its shard's documents are concatenated in `id` order. Documents
+    * spanning a boundary belong to the chunk they start in (the
+    * standard "document may straddle sequences" packing; the trainer
+    * reads on from the next chunk).
+    *
+    * Output: one row per (shard, chunk_id) with n_docs and n_tokens —
+    * the packing manifest a downstream writer would consume.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
+      seqLen: Int, numShards: Int): DataFrame = {
+    require(seqLen > 0)
+    val shard = shardOf(col(idCol), numShards)
+    val w = Window.partitionBy("shard").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), shard.as("shard"), tokenCount.as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      // first-token offset of this doc within the shard's stream
+      .withColumn("chunk_id",
+        floor((col("cum_tok") - col("n_tok")) / lit(seqLen.toDouble)).cast("long"))
+      .groupBy("shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"))
+  }
+
+  /** Sliding-window chunking: one row per (document, window) for
+    * windows of `windowTokens` tokens advancing by `strideTokens`.
+    * Start offsets are `{0, stride, 2·stride, …}` kept while the
+    * window still contributes a token the previous one didn't —
+    * i.e. `start < max(n_tok - max(window - stride, 0), 1)` — so an
+    * empty document still yields its one (empty) chunk, every token is
+    * covered when stride ≤ window, and a final window that would sit
+    * entirely inside the previous one is dropped (a doc of exactly
+    * `windowTokens` tokens yields ONE chunk, not a redundant second).
+    * Pure narrow explode — rows fan out ~n_tok/stride per doc with no
+    * shuffle; the downstream writer partitions however it likes.
+    */
+  def chunkWindows(df: DataFrame, idCol: String, tokenCount: Column,
+      windowTokens: Int, strideTokens: Int): DataFrame = {
+    require(windowTokens > 0 && strideTokens > 0)
+    val overlap = math.max(windowTokens - strideTokens, 0).toLong
+    df.select(col(idCol), tokenCount.cast("long").as("n_tok"))
+      .withColumn("start_tok",
+        explode(sequence(lit(0L),
+          greatest(col("n_tok") - overlap - 1L, lit(0L)),
+          lit(strideTokens.toLong))))
+      .select(col(idCol),
+        (col("start_tok") / strideTokens).cast("long").as("chunk_idx"),
+        col("start_tok"),
+        least(col("start_tok") + windowTokens, col("n_tok")).as("end_tok"))
+  }
+}

@@ -73,6 +73,38 @@ object TextAnalysis {
           lit(0.25) * least(col("stopword_rate") * 2d, lit(1d)))))
   }
 
+  /** Repetition metrics for boilerplate/degenerate-text filtering (the
+    * C4/Gopher family of rules): the fraction of word occurrences that
+    * are repeats of an earlier word, and the same for non-empty lines.
+    * Machine-generated spam and scraper boilerplate score high on
+    * both; clean prose stays low. Pure per-row builtin expressions —
+    * a mapper stage at 100 TB, no shuffle, no UDF.
+    *
+    * `dupWordFrac = 1 - |distinct words| / |words|` (0 for an empty
+    * doc), and likewise for trimmed non-empty lines. Both are exact
+    * IEEE divisions of two integer counts, so every engine that
+    * tokenizes identically produces bit-identical doubles.
+    */
+  def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
+      wordThreshold: Double = 0.3, lineThreshold: Double = 0.2): DataFrame = {
+    val toks = tokens(col(textCol))
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    def dupFrac(arr: Column): Column = {
+      val n = size(arr).cast("double")
+      when(n === 0d, 0d)
+        .otherwise((n - size(array_distinct(arr)).cast("double")) / n)
+    }
+    df.select(
+        col(idCol),
+        dupFrac(toks).as("dup_word_frac"),
+        dupFrac(lines).as("dup_line_frac"))
+      .withColumn("flagged",
+        (col("dup_word_frac") > wordThreshold ||
+          col("dup_line_frac") > lineThreshold).cast("int"))
+  }
+
   /** Whitespace token count. */
   def wsTokenCount(text: Column): Column =
     when(length(trim(text)) === 0, 0).otherwise(size(tokens(text)))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.queries.Relational.Q
 
 /** SparkEntry wiring for the training-data pipeline operators
@@ -1080,6 +1080,102 @@ object Pipeline {
              |  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
              |  CAST(MAX(out_w) AS INT) AS max_w,
              |  CAST(MAX(out_h) AS INT) AS max_h
-             |FROM m GROUP BY kind ORDER BY kind""".stripMargin))
+             |FROM m GROUP BY kind ORDER BY kind""".stripMargin)),
+
+    // repetition metrics (C4/Gopher boilerplate rules): fraction of
+    // word occurrences / non-empty lines that repeat. Thresholds are
+    // compared on the RAW fractions (rounding only for the emitted
+    // columns), so both engines flag identically even on boundary
+    // values. Tokenization parity with DuckDB is the t03-proven
+    // regex class.
+    Q("t11_repetition",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+          .select(col("doc_id"),
+            r6(col("dup_word_frac")).as("dup_word_frac"),
+            r6(col("dup_line_frac")).as("dup_line_frac"),
+            col("flagged"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH m AS (
+              |  SELECT doc_id,
+              |    list_filter(regexp_split_to_array(trim(lower(text)),
+              |      '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks,
+              |    list_filter([trim(l) for l in string_split(text, chr(10))],
+              |      x -> x <> '') AS lns
+              |  FROM documents
+              |), f AS (
+              |  SELECT doc_id,
+              |    CASE WHEN len(toks) = 0 THEN 0.0
+              |         ELSE (len(toks) - len(list_distinct(toks)))
+              |              / CAST(len(toks) AS DOUBLE) END AS dwf,
+              |    CASE WHEN len(lns) = 0 THEN 0.0
+              |         ELSE (len(lns) - len(list_distinct(lns)))
+              |              / CAST(len(lns) AS DOUBLE) END AS dlf
+              |  FROM m
+              |)
+              |SELECT doc_id,
+              |  ${r6sql("dwf")} AS dup_word_frac,
+              |  ${r6sql("dlf")} AS dup_line_frac,
+              |  CAST(CASE WHEN dwf > 0.3 OR dlf > 0.2 THEN 1 ELSE 0 END AS INT)
+              |    AS flagged
+              |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // sharded concat-and-chunk packing manifest: chunk = the fixed
+    // 2048-token sequence a doc's first token lands in when its shard
+    // concatenates docs in id order. Window is partitioned on the
+    // shard (never global) — the scale contract; oracle replays the
+    // identical integer shard hash and windowed cumulative sum.
+    Q("p01_pack_sequences",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Packing.packSequences(docs, "doc_id",
+            TextAnalysis.bpePieceCount(col("text")),
+            seqLen = 2048, numShards = 8)
+          .orderBy("shard", "chunk_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2147483647) * 2654435761) % 8 AS shard,
+             |    len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+             |  FROM documents
+             |), c AS (
+             |  SELECT shard, doc_id, n_tok,
+             |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+             |  FROM t
+             |)
+             |SELECT shard,
+             |  CAST(FLOOR((cum_tok - n_tok) / 2048.0) AS BIGINT) AS chunk_id,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin)),
+
+    // sliding-window chunking: 512-token windows, 384 stride (1/4
+    // overlap = 128), start offsets {0, 384, …} < max(n_tok - 128, 1)
+    // (a window adding no new tokens is dropped). Narrow explode, no
+    // shuffle; oracle replays with range()+unnest.
+    Q("p02_chunk_windows",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Packing.chunkWindows(docs, "doc_id",
+            TextAnalysis.bpePieceCount(col("text")),
+            windowTokens = 512, strideTokens = 384)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, len(regexp_extract_all(text,
+             |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+             |  FROM documents
+             |), s AS (
+             |  SELECT doc_id, n_tok,
+             |    unnest(range(0, greatest(n_tok - 128, 1), 384)) AS start_tok
+             |  FROM t
+             |)
+             |SELECT doc_id, CAST(start_tok // 384 AS BIGINT) AS chunk_idx,
+             |  CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST(least(start_tok + 512, n_tok) AS BIGINT) AS end_tok
+             |FROM s ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

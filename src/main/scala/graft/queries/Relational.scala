@@ -967,6 +967,35 @@ object Relational {
               |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
               |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
 
+    // ───────────────────────── bloom-pruned join ─────────────────────────
+    // Runtime-filter pattern: a selective orders subset builds a bloom
+    // bitset; lineitem (the 100 TB side) is pruned by it BEFORE the
+    // join's exchange, so the shuffle carries matches + ~1% false
+    // positives instead of the full fact table. The exact equi-join
+    // absorbs the false positives, which is why a plain-join oracle
+    // certifies the whole mechanism. reference has no runtime filters;
+    // this is the scale-path addition (SURVEY §4).
+    Q("q43_bloom_join",
+      (s, dir) => {
+        val urgent = Tables.load(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 150000)
+        // sizing estimate only affects fpp, never correctness; a real
+        // caller passes a count estimate (or build.count())
+        graft.operators.BloomPrune
+          .pruneJoin(Tables.load(s, dir, "lineitem"), urgent,
+            "l_orderkey", "o_orderkey", expectedBuildRows = 10000)
+          .groupBy(year(col("o_orderdate")).as("y"))
+          .agg(count(lit(1)).as("n_items"),
+            drevSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+          .orderBy("y")
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS y, COUNT(*) AS n_items,
+              |${oRevSum("l_extendedprice", "l_discount")} AS revenue
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+              |GROUP BY 1 ORDER BY y""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

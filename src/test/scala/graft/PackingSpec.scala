@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Packing, TextAnalysis}
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, Int)*) =
+    rows.toDF("id", "n")
+
+  test("packSequences: chunks advance with the cumulative token count") {
+    // one shard (numShards=1) to make the stream order obvious
+    val d = docs(1L -> 100, 2L -> 900, 3L -> 100, 4L -> 1000, 5L -> 50)
+    val out = Packing.packSequences(d, "id", col("n"),
+        seqLen = 1000, numShards = 1)
+      .orderBy("chunk_id")
+      .select("chunk_id", "n_docs", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    // starts: 0,100,1000,1100,2100 → chunks 0,0,1,1,2
+    assert(out == Seq((0L, 2L, 1000L), (1L, 2L, 1100L), (2L, 1L, 50L)))
+  }
+
+  test("packSequences: shard totals conserve every token") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val tok = TextAnalysis.bpePieceCount(col("text"))
+    val packed = Packing.packSequences(d, "doc_id", tok, 2048, 8)
+    val packedTotal = packed.agg(sum("n_tokens")).head().getLong(0)
+    val rawTotal = d.select(sum(tok.cast("long"))).head().getLong(0)
+    assert(packedTotal == rawTotal)
+    val nShards = packed.select("shard").distinct().count()
+    assert(nShards > 1 && nShards <= 8)
+  }
+
+  test("packSequences: window is partitioned, never global") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val plan = Packing.packSequences(d, "doc_id",
+        TextAnalysis.bpePieceCount(col("text")), 2048, 8)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(shard"),
+      s"window must partition on shard:\n$plan")
+  }
+
+  test("chunkWindows: covers every token, stride-aligned") {
+    val d = docs(1L -> 0, 2L -> 1, 3L -> 512, 4L -> 513, 5L -> 900)
+    val out = Packing.chunkWindows(d, "id", col("n"), 512, 384)
+      .orderBy("id", "chunk_idx")
+      .select("id", "chunk_idx", "start_tok", "end_tok")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 0L, 0L),          // empty doc → one empty chunk
+      (2L, 0L, 0L, 1L),
+      (3L, 0L, 0L, 512L),        // exactly one window
+      (4L, 0L, 0L, 512L), (4L, 1L, 384L, 513L),
+      (5L, 0L, 0L, 512L), (5L, 1L, 384L, 896L), (5L, 2L, 768L, 900L)))
+    // every token index < n is inside some [start, end) window
+    out.groupBy(_._1).foreach { case (_, chunks) =>
+      val n = chunks.map(_._4).max
+      (0L until n).foreach { t =>
+        assert(chunks.exists(c => c._3 <= t && t < c._4))
+      }
+    }
+  }
+
+  test("repetitionMetrics: degenerate text flags, clean prose does not") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over one lazy sleeping dog"),
+      (3L, "a\na\na\na\na\nunique line here"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "dup_word_frac", "dup_line_frac", "flagged")
+      .as[(Long, Double, Double, Int)].collect().toSeq
+    assert(out(0)._2 == 0.9 && out(0)._4 == 1)   // 10 words, 1 distinct
+    assert(out(1)._2 == 0.0 && out(1)._4 == 0)
+    assert(out(2)._3 == 4.0 / 6 && out(2)._4 == 1) // 6 lines, 2 distinct
+    assert(out(3)._2 == 0.0 && out(3)._3 == 0.0 && out(3)._4 == 0)
+  }
+}
