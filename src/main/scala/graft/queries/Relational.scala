@@ -996,6 +996,92 @@ object Relational {
               |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
               |GROUP BY 1 ORDER BY y""".stripMargin)),
 
+    // ───────────────────────── full outer join ─────────────────────────
+    // Both-sided null production: high-balance customers FULL JOIN
+    // per-customer big-order rollups; the coalesced key is total, so
+    // the ORDER BY needs no null spelling. Completes the join-type
+    // matrix (inner/left/semi/anti are q15-q18).
+    Q("q44_full_outer",
+      (s, dir) => {
+        val rich = Tables.load(s, dir, "customer")
+          .where(col("c_acctbal") > 9000)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val big = Tables.load(s, dir, "orders")
+          .where(col("o_totalprice") > 250000)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_big_orders"),
+            dsum(col("o_totalprice")).as("big_total"))
+        rich.join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_name"), col("c_acctbal"),
+            col("n_big_orders"), col("big_total"))
+          .orderBy("custkey")
+      },
+      Some(s"""WITH rich AS (
+              |  SELECT c_custkey, c_name, c_acctbal FROM customer
+              |  WHERE c_acctbal > 9000
+              |), big AS (
+              |  SELECT o_custkey, COUNT(*) AS n_big_orders,
+              |    ${oSum("o_totalprice")} AS big_total
+              |  FROM orders WHERE o_totalprice > 250000 GROUP BY 1
+              |)
+              |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name,
+              |  c_acctbal, n_big_orders, big_total
+              |FROM rich FULL JOIN big ON c_custkey = o_custkey
+              |ORDER BY custkey""".stripMargin)),
+
+    // ───────────────────────── funnel analysis ─────────────────────────
+    // Strictly-ordered view→click→purchase funnel. The Spark plan
+    // chains three min-over-user windows on ONE user_id exchange
+    // (EventsAnalytics.funnelTimes); the oracle replays the identical
+    // chained windows. events.ts is floored to µs identically by both
+    // engines (Tables.events / DuckDB TIMESTAMP cast).
+    Q("e01_funnel",
+      (s, dir) => {
+        graft.operators.EventsAnalytics.funnelCounts(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "click", "purchase"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events
+             |), w1 AS (
+             |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+             |    OVER (PARTITION BY user_id) AS t1 FROM e
+             |), w2 AS (
+             |  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t1
+             |    THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM w1
+             |), w3 AS (
+             |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+             |    THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM w2
+             |)
+             |SELECT
+             |  COUNT(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS n_step_1,
+             |  COUNT(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS n_step_2,
+             |  COUNT(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS n_step_3
+             |FROM w3""".stripMargin)),
+
+    // ───────────────────────── cohort retention ─────────────────────────
+    Q("e02_retention",
+      (s, dir) => {
+        graft.operators.EventsAnalytics.retention(
+            Tables.events(s, dir), "user_id", "ts")
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+             |  FROM events
+             |), c AS (
+             |  SELECT *, MIN(d) OVER (PARTITION BY user_id) AS cohort FROM e
+             |), x AS (
+             |  SELECT DISTINCT cohort, datediff('day', cohort, d) AS day_offset,
+             |    user_id
+             |  FROM c
+             |)
+             |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+             |  CAST(day_offset AS INT) AS day_offset, COUNT(*) AS n_users
+             |FROM x GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EventsAnalytics
+
+class EventsAnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val log = Seq(
+    // user 1 completes view -> click -> purchase in order
+    (1L, ts("2024-01-01 10:00:00"), "view"),
+    (1L, ts("2024-01-01 10:01:00"), "click"),
+    (1L, ts("2024-01-01 10:02:00"), "purchase"),
+    // user 2: purchase BEFORE view/click — strict ordering must not count it
+    (2L, ts("2024-01-01 09:00:00"), "purchase"),
+    (2L, ts("2024-01-01 10:00:00"), "view"),
+    (2L, ts("2024-01-01 10:30:00"), "click"),
+    // user 3: click only — never enters the funnel (no view)
+    (3L, ts("2024-01-01 11:00:00"), "click"),
+    // user 4: view then click at the SAME instant — strict > excludes it
+    (4L, ts("2024-01-01 12:00:00"), "view"),
+    (4L, ts("2024-01-01 12:00:00"), "click"))
+    .toDF("user_id", "ts", "event_type")
+
+  test("funnelCounts enforces strict event ordering per user") {
+    val out = EventsAnalytics.funnelCounts(log, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .as[(Long, Long, Long)].head()
+    // step1: users 1,2,4 viewed; step2: 1,2 clicked after view
+    // (user 4's same-instant click fails strict >); step3: only user 1
+    assert(out == ((3L, 2L, 1L)))
+  }
+
+  test("funnelTimes picks the EARLIEST qualifying event per step") {
+    val repeat = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:03:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val t2 = EventsAnalytics.funnelTimes(repeat, "user_id", "ts",
+        "event_type", Seq("view", "click"))
+      .select("step_2").distinct().as[Timestamp].head()
+    assert(t2 == ts("2024-01-01 10:03:00"))
+  }
+
+  test("funnel chains all steps over ONE user_id exchange") {
+    val plan = EventsAnalytics.funnelCounts(
+        Tables.events(spark, sfDir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1,
+      s"expected one user_id exchange for the whole funnel, got $exchanges:\n$plan")
+  }
+
+  test("retention counts each user once per (cohort, offset)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")), // cohort 01-01
+      (1L, ts("2024-01-01 18:00:00")), // same day, dedup to one row
+      (1L, ts("2024-01-03 10:00:00")), // offset 2
+      (2L, ts("2024-01-01 12:00:00")), // cohort 01-01
+      (2L, ts("2024-01-02 12:00:00")), // offset 1
+      (3L, ts("2024-01-02 09:00:00"))) // cohort 01-02
+      .toDF("user_id", "ts")
+    val out = EventsAnalytics.retention(events, "user_id", "ts")
+      .orderBy("cohort_day", "day_offset")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
+      ("2024-01-02", 0, 1L)))
+  }
+}
