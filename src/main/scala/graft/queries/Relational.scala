@@ -1030,6 +1030,31 @@ object Relational {
               |FROM rich FULL JOIN big ON c_custkey = o_custkey
               |ORDER BY custkey""".stripMargin)),
 
+    // ───────────────────────── salted aggregation ─────────────────────────
+    // The skew-mitigation path under the driver oracle: two-phase
+    // salted aggregation (content-hash salt on the lineitem PK) must
+    // be bit-identical to the direct GROUP BY — sums ride the decimal
+    // contract so the extra combine step cannot drift. The salt/bucket
+    // machinery is invisible to the oracle, which is the point: only
+    // the shuffle shape changes.
+    Q("q45_salted_agg",
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+          .withColumn("qty_dec", dec(col("l_quantity")))
+        graft.operators.Skew.saltedAggregate(li,
+            keys = Seq("l_returnflag"),
+            aggs = Map("sum_qty" -> ("qty_dec", "sum"),
+              "n" -> ("l_quantity", "count")),
+            saltBuckets = 16,
+            saltBy = Seq("l_orderkey", "l_linenumber"))
+          .select(col("l_returnflag"),
+            col("sum_qty").cast("double").as("sum_qty"), col("n"))
+          .orderBy("l_returnflag")
+      },
+      Some(s"""SELECT l_returnflag, ${oSum("l_quantity")} AS sum_qty,
+              |COUNT(l_quantity) AS n
+              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // ───────────────────────── funnel analysis ─────────────────────────
     // Strictly-ordered view→click→purchase funnel. The Spark plan
     // chains three min-over-user windows on ONE user_id exchange

@@ -51,4 +51,28 @@ object Sources {
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** ORC — the other columnar warehouse format Spark ships natively;
+    * same pushdown/pruning contract as parquet (predicate pushdown via
+    * ORC's row-group stats, column pruning via the reader schema).
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
+  /** Raw text lines: one string column `value`, one row per physical
+    * line — the ingest shape for undelimited corpora (a writer row
+    * containing '\n' therefore reads back as multiple rows; normalize
+    * first if roundtripping matters).
+    */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Write a single string column as raw text lines. */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
 }

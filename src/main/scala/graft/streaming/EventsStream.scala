@@ -222,4 +222,115 @@ object EventsStream {
            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .drop("session_id")
   }
+
+  /** Per-step candidate event times (µs, ascending) for one user.
+    * Public for the state encoder, like [[SessionsState]].
+    */
+  final case class FunnelState(cand: List[List[Long]])
+
+  /** One funnel progress row: how far the user's strictly-ordered
+    * chain currently reaches, and the chosen per-step times (length
+    * == steps_reached).
+    */
+  final case class FunnelUpdate(user_id: Long, steps_reached: Int,
+                                step_times: List[Timestamp])
+
+  /** Streaming funnel: incrementally maintains, per user, the same
+    * strictly-ordered chain [[graft.operators.EventsAnalytics]]
+    * computes in batch (t_i = earliest `steps(i)` event strictly after
+    * t_{i-1}), and emits an updated [[FunnelUpdate]] for every user
+    * touched in a micro-batch (Update output mode).
+    *
+    * Out-of-order input is the whole difficulty: a late-but-admissible
+    * step-1 event can LOWER t_1 and thereby re-qualify a step-2 time
+    * that previously failed the strict `>` — so the state must retain
+    * not just the chain but the candidate times that could still be
+    * chosen. Retention is pruned with two sound rules (chain values
+    * only ever decrease as events arrive; a late event must carry
+    * ts ≥ watermark):
+    *
+    *  - above-chain: a step-i candidate > the currently chosen t_i can
+    *    never win (t_i only decreases);
+    *  - dead-below: a candidate x ≤ watermark with x ≤ lb_{i-1} can
+    *    never qualify, where lb_i is a lower bound on every FUTURE
+    *    t_i: lb_0 = min(cand_0 ∪ {W}), lb_i = min of (the earliest
+    *    retained candidate > lb_{i-1}) and W — any future chain value
+    *    is an existing candidate above its predecessor's bound or a
+    *    new event above the watermark.
+    *
+    * Together these keep per-user state at (chain values) + (events
+    * inside the watermark window), bounded on an unbounded stream.
+    * Batch inputs take W = +∞ (no late data), which collapses the
+    * state to exactly the chain and makes the operator agree with the
+    * batch twin by construction (spec-pinned).
+    */
+  def streamingFunnel(events: Dataset[Event], steps: Seq[String],
+                      watermarkDelay: String = "0 seconds")
+                     (implicit spark: SparkSession): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    require(steps.nonEmpty)
+    val streaming = events.isStreaming
+    val stepIdx = steps.zipWithIndex.toMap
+    val src =
+      if (streaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    src
+      .filter(e => stepIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000
+            else Long.MaxValue
+          val prior = state.getOption.map(_.cand.toVector)
+            .getOrElse(Vector.fill(steps.size)(List.empty[Long]))
+          // Enforce the watermark contract OURSELVES: Spark only
+          // auto-drops late rows for stateful ops with an event-time
+          // timeout, and the dead-below prune is sound precisely
+          // because no event below the watermark is ever admitted.
+          // (Batch: wm is −∞, nothing drops.)
+          val lateCutoff = if (streaming) wmUs else Long.MinValue
+          val fresh = it.toSeq
+            .filter(e => tsMicros(e.ts) >= lateCutoff)
+            .groupBy(e => stepIdx(e.event_type))
+          val cand: Vector[List[Long]] = prior.zipWithIndex.map {
+            case (old, i) =>
+              val add = fresh.getOrElse(i, Nil).map(e => tsMicros(e.ts))
+              (old ++ add).distinct.sorted
+          }
+          // greedy chain: earliest candidate strictly above the
+          // previous step's chosen time (candidates sorted ⇒ find=min)
+          val chain = Vector.newBuilder[Long]
+          var prev = Long.MinValue
+          var broken = false
+          for (i <- steps.indices if !broken) {
+            cand(i).find(_ > prev) match {
+              case Some(t) => chain += t; prev = t
+              case None => broken = true
+            }
+          }
+          val chosen = chain.result()
+          // lower bounds on all future chain values (see scaladoc)
+          val lbs = Vector.newBuilder[Long]
+          var lbPrev = Long.MinValue
+          for (i <- steps.indices) {
+            val viaCand = cand(i).find(_ > lbPrev).getOrElse(Long.MaxValue)
+            val lb = math.min(viaCand, wmUs)
+            lbs += lb
+            lbPrev = lb
+          }
+          val lb = lbs.result()
+          val pruned = steps.indices.map { i =>
+            val belowChain =
+              if (i < chosen.length) cand(i).filter(_ <= chosen(i))
+              else cand(i)
+            val lbPrevI = if (i == 0) Long.MinValue else lb(i - 1)
+            belowChain.filter(x => x > lbPrevI || x > wmUs)
+          }.toList
+          state.update(FunnelState(pruned))
+          FunnelUpdate(userId, chosen.length,
+            chosen.map(tsFromMicros).toList)
+      }
+  }
 }

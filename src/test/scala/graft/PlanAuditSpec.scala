@@ -207,4 +207,29 @@ class PlanAuditSpec extends SparkSpec {
     val plan = explain(df)
     assert(plan.contains("TakeOrderedAndProject"), s"full sort materialized:\n$plan")
   }
+
+  test("t11/p01/p02: documents scan prunes to (doc_id, text)") {
+    for (q <- Seq("t11_repetition", "p01_pack_sequences", "p02_chunk_windows")) {
+      val plan = explain(build(q))
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+      assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+        !readSchema.contains("lang") && !readSchema.contains("source") &&
+        !readSchema.contains("n_chars"),
+        s"$q column pruning failed: $readSchema")
+    }
+  }
+
+  test("q43: orders-side filters push to the bloom build's scan") {
+    val plan = explain(build("q43_bloom_join"))
+    assert(plan.contains("EqualTo(o_orderpriority,1-URGENT)") &&
+      plan.contains("GreaterThan(o_totalprice"),
+      s"build-side pushdown missing:\n$plan")
+  }
+
+  test("q45: salted aggregation aggregates map-side in both phases") {
+    val plan = build("q45_salted_agg").queryExecution.executedPlan.toString
+    val partials = plan.linesIterator.count(_.contains("partial_sum"))
+    assert(partials >= 2,
+      s"expected map-side partial aggregation in both salt phases:\n$plan")
+  }
 }

@@ -48,6 +48,34 @@ class SourcesSpec extends SparkSpec {
       s"partition pruning missing:\n$plan")
   }
 
+  test("orc roundtrip preserves rows; predicate pushes to the scan") {
+    Sources.writeOrc(nation, s"$tmp/nation_orc")
+    val back = Sources.orc(spark, s"$tmp/nation_orc")
+    assertSameRows(nation, back)
+    val plan = back.where(col("n_nationkey") > 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_nationkey), GreaterThan(n_nationkey"),
+      s"ORC pushdown missing:\n$plan")
+  }
+
+  test("partitioned orc write enables partition pruning") {
+    Sources.writeOrc(nation, s"$tmp/nation_orc_part", partitionBy = Seq("n_regionkey"))
+    val back = Sources.orc(spark, s"$tmp/nation_orc_part")
+      .where(col("n_regionkey") === 0)
+    assert(back.count() == nation.where(col("n_regionkey") === 0).count())
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(n_regionkey"),
+      s"partition pruning missing:\n$plan")
+  }
+
+  test("text lines roundtrip single-line strings") {
+    import spark.implicits._
+    val lines = Seq("alpha", "beta gamma", "", "delta").toDF("value")
+    Sources.writeText(lines, s"$tmp/lines_txt")
+    val back = Sources.textLines(spark, s"$tmp/lines_txt")
+    assertSameRows(lines, back)
+  }
+
   test("graft SQL functions are callable after registration") {
     GraftExtensions.register(spark)
     val r = spark.sql(
