@@ -46,6 +46,60 @@ object EventsAnalytics {
           .as(s"n_step_${i + 1}")): _*)
   }
 
+  /** Daily resample with zero gap fill: one row per user per calendar
+    * day between that user's first and last activity, `total_value` =
+    * the day's decimal-exact value sum (0.0 on gap days). The day
+    * domain comes from `sequence(min_day, max_day)` exploded per user
+    * — row fanout is the user's active span in days, never a global
+    * calendar cross join — and the domain↔daily join keys on
+    * (user, day), riding the same partitioning as the daily rollup.
+    */
+  def resampleDaily(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val daily = events
+      .select(col(userCol).as("_rd_u"), to_date(col(tsCol)).as("_rd_day"),
+        col(valueCol).cast("decimal(18,2)").as("_rd_v"))
+      .groupBy("_rd_u", "_rd_day")
+      .agg(sum("_rd_v").as("_rd_sum"))
+    val domain = daily.groupBy("_rd_u")
+      .agg(min("_rd_day").as("_rd_lo"), max("_rd_day").as("_rd_hi"))
+      .select(col("_rd_u").as(userCol),
+        explode(sequence(col("_rd_lo"), col("_rd_hi"))).as("_rd_dom_day"))
+    domain
+      .join(daily, col(userCol) === col("_rd_u") &&
+        col("_rd_dom_day") === col("_rd_day"), "left")
+      .select(col(userCol),
+        date_format(col("_rd_dom_day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("_rd_sum"), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("total_value"))
+  }
+
+  /** Daily resample with FORWARD fill: gap days carry the last
+    * observed daily sum instead of zero (the feature-pipeline "state
+    * as of day d" shape). Same domain construction; the carry-forward
+    * is `last(_, ignoreNulls)` over the per-user day order — one
+    * window on the same user partitioning.
+    */
+  def resampleDailyFfill(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val zeroFilled = resampleDaily(events, userCol, tsCol, valueCol)
+    // re-derive observed days: a gap day's 0.0 must not contaminate
+    // the carry-forward, so mark days with no events as null first
+    val daily = events
+      .select(col(userCol).as("_rf_u"),
+        date_format(to_date(col(tsCol)), "yyyy-MM-dd").as("_rf_day"))
+      .distinct()
+    zeroFilled
+      .join(daily, col(userCol) === col("_rf_u") &&
+        col("day") === col("_rf_day"), "left")
+      .withColumn("_rf_obs",
+        when(col("_rf_day").isNotNull, col("total_value")))
+      .select(col(userCol), col("day"),
+        last(col("_rf_obs"), ignoreNulls = true).over(w).as("total_value"))
+  }
+
   /** Cohort retention: users cohort by their first-activity date; the
     * output counts, per (cohort_day, day_offset), the users active
     * `day_offset` days after their cohort date. One exchange for the

@@ -1107,6 +1107,36 @@ object Relational {
              |  CAST(day_offset AS INT) AS day_offset, COUNT(*) AS n_users
              |FROM x GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
 
+    // ───────────────────────── time-series gap fill ─────────────────────────
+    // Per-user daily resample: every calendar day in the user's active
+    // span, decimal-exact daily value sums, zero on gap days. The day
+    // domain explodes per user (span-bounded, no global calendar
+    // cross join); oracle replays with generate_series.
+    Q("e03_gap_fill",
+      (s, dir) => {
+        graft.operators.EventsAnalytics.resampleDaily(
+            Tables.events(s, dir), "user_id", "ts", "value")
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             |    CAST(value AS DECIMAL(18,2)) AS v
+             |  FROM events
+             |), daily AS (
+             |  SELECT user_id, d, SUM(v) AS sv FROM e GROUP BY 1, 2
+             |), dom AS (
+             |  SELECT user_id, CAST(unnest(generate_series(
+             |    CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP),
+             |    INTERVAL 1 DAY)) AS DATE) AS day
+             |  FROM (SELECT user_id, MIN(d) AS mn, MAX(d) AS mx
+             |        FROM daily GROUP BY 1) t
+             |)
+             |SELECT dom.user_id, strftime(dom.day, '%Y-%m-%d') AS day,
+             |  CAST(COALESCE(daily.sv, 0) AS DOUBLE) AS total_value
+             |FROM dom LEFT JOIN daily
+             |  ON dom.user_id = daily.user_id AND dom.day = daily.d
+             |ORDER BY dom.user_id, day""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

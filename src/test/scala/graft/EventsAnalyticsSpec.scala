@@ -58,6 +58,35 @@ class EventsAnalyticsSpec extends SparkSpec {
       s"expected one user_id exchange for the whole funnel, got $exchanges:\n$plan")
   }
 
+  test("resampleDaily fills gaps with zero over each user's span") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2.0),
+      (1L, ts("2024-01-01 12:00:00"), 3.0),
+      (1L, ts("2024-01-04 09:00:00"), 5.0), // 2 gap days
+      (2L, ts("2024-02-10 00:00:00"), 7.0)) // single-day span
+      .toDF("user_id", "ts", "value")
+    val out = EventsAnalytics.resampleDaily(events, "user_id", "ts", "value")
+      .orderBy("user_id", "day")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01", 5.0), (1L, "2024-01-02", 0.0),
+      (1L, "2024-01-03", 0.0), (1L, "2024-01-04", 5.0),
+      (2L, "2024-02-10", 7.0)))
+  }
+
+  test("resampleDailyFfill carries the last observed day forward") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2.0),
+      (1L, ts("2024-01-04 09:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val out = EventsAnalytics.resampleDailyFfill(events, "user_id", "ts", "value")
+      .orderBy("user_id", "day")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "2024-01-01", 2.0), (1L, "2024-01-02", 2.0),
+      (1L, "2024-01-03", 2.0), (1L, "2024-01-04", 5.0)))
+  }
+
   test("retention counts each user once per (cohort, offset)") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")), // cohort 01-01
