@@ -149,6 +149,42 @@ object ScaleProbe {
         f"brute=$tBrute%.1fs build=$tBuild%.1fs probe=$tProbe%.1fs " +
         f"files=$probeFiles/$totalFiles brute_rows=$nBrute")
     }
+    // bloom runtime-filter probe: a selective orders subset joined to
+    // the full lineitem with broadcast disabled (the large-large shape
+    // bloom pruning exists for). Wall-clock at local SF is overhead-
+    // dominated; the scalable quantity is the SURVIVING-ROW RATIO —
+    // the fraction of the fact side that still pays the shuffle after
+    // the map-side bloom filter (matches + fpp), which is what the
+    // exchange carries at 100 TB.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val nLi = li.count()
+    val sel = Tables.load(spark, sfDir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 250000)
+    val nSel = math.max(sel.count(), 1)
+    val tp0 = System.nanoTime()
+    val plainN = li.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    val tPlain = (System.nanoTime() - tp0) / 1e9
+    val nb = operators.BloomPrune.bitsFor(nSel)
+    val nh = operators.BloomPrune.hashesFor(nb, nSel)
+    // timed INCLUDING the bitset build — the price a real job pays
+    val tq0 = System.nanoTime()
+    val words = operators.BloomPrune.buildBitset(sel, col("o_orderkey"), nb, nh)
+    val prunedSide = li.where(
+      operators.BloomPrune.mightContain(col("l_orderkey"), words, nh))
+    val prunedN = prunedSide
+      .join(sel, col("l_orderkey") === col("o_orderkey")).count()
+    val tPruned = (System.nanoTime() - tq0) / 1e9
+    val surviving = prunedSide.count()
+    require(prunedN == plainN,
+      s"bloom prune changed the join result: $prunedN != $plainN")
+    println(f"[probe] bloom-join lineitem=$nLi%-9d sel_orders=$nSel%-7d " +
+      f"surviving=$surviving (${100.0 * surviving / nLi}%.1f%% of fact side) " +
+      f"plain=$tPlain%.1fs pruned=$tPruned%.1fs (incl. build)")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
     spark.stop()
   }
 }
