@@ -373,6 +373,30 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incrementally append vectors to a persisted IVF index: new rows
+    * are assigned against the STORED centroids (identical tie-break
+    * contract to the build's assignCells, any centroid strategy) and
+    * appended to their cell partitions — no rebuild, no touch of
+    * existing files, and every probe path picks the new vectors up
+    * unchanged. This is the ingest shape for a living 100 TB ANN
+    * corpus: the daily embedding batch pays one narrow assignment
+    * pass + a partitioned append.
+    *
+    * Centroids are deliberately NOT updated — moving them would
+    * reassign existing cells' contents (full rewrite). As the corpus
+    * drifts from the build distribution, cell balance degrades;
+    * monitor per-cell counts and rebuild when skew warrants (the
+    * classic IVF maintenance contract). The appended frame must carry
+    * the same id/vector types as the original build.
+    */
+  def appendToIvfIndex(
+      df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val cents = readCentroids(df.sparkSession, path)
+    require(cents.nonEmpty, s"appendToIvfIndex: no centroids at $path")
+    assignCells(df, idCol, vecCol, cents)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Probe a persisted IVF index: rank the stored centroids against
     * the query (bounded nCells-row collect), then scan ONLY the
     * `nProbe` best cells' files. Same ranking contract as [[knnIvf]].

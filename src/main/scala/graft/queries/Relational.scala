@@ -1107,6 +1107,32 @@ object Relational {
              |  CAST(day_offset AS INT) AS day_offset, COUNT(*) AS n_users
              |FROM x GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
 
+    // ───────────────────────── grouping sets ─────────────────────────
+    // Explicit GROUPING SETS (the general form q23 ROLLUP / q42 CUBE
+    // specialize): detail, one-dim subtotal, and grand total — but NOT
+    // the (linestatus) subtotal, which only GROUPING SETS can express.
+    // Via spark.sql: the Dataset API has no grouping-sets entry point.
+    Q("q46_grouping_sets",
+      (s, dir) => {
+        Tables.register(s, dir)
+        s.sql(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                 |${oSum("l_quantity")} AS qty,
+                 |grouping_id(l_returnflag, l_linestatus) AS gid
+                 |FROM lineitem
+                 |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                 |                        (l_returnflag), ())
+                 |ORDER BY gid, l_returnflag NULLS FIRST,
+                 |  l_linestatus NULLS FIRST""".stripMargin)
+      },
+      Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+              |${oSum("l_quantity")} AS qty,
+              |CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+              |                        (l_returnflag), ())
+              |ORDER BY gid, l_returnflag NULLS FIRST,
+              |  l_linestatus NULLS FIRST""".stripMargin)),
+
     // ───────────────────────── time-series gap fill ─────────────────────────
     // Per-user daily resample: every calendar day in the user's active
     // span, decimal-exact daily value sums, zero on gap days. The day

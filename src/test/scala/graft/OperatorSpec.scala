@@ -401,6 +401,27 @@ class SimilaritySpec extends SparkSpec {
     assert(pf.exists(_.contains("cell")), s"no partition filter on cell:\n$plan")
   }
 
+  test("ivf index append: probe equals the in-memory path over the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
+    val cut = emb.agg(org.apache.spark.sql.functions.expr(
+      "percentile(vec_id, 0.5)")).head().getDouble(0)
+    val first = emb.where($"vec_id" < cut)
+    val second = emb.where($"vec_id" >= cut)
+    // seeded centroids = the 8 lowest ids, all inside `first`, so the
+    // appended index and a full one-shot build share exact centroids
+    Similarity.writeIvfIndex(first, "vec_id", "embedding", dir, nCells = 8)
+    Similarity.appendToIvfIndex(second, "vec_id", "embedding", dir)
+    val appended = Similarity.knnIvfIndexed(spark, dir, qv, k = 10, nProbe = 3)
+    val mem = Similarity.knnIvf(emb, "vec_id", "embedding", qv, 10,
+      nCells = 8, nProbe = 3)
+    assertSameRows(appended, mem)
+    // nothing lost, nothing duplicated, and the new rows live in
+    // real cell partitions (readable through the partitioned layout)
+    val stored = spark.read.parquet(s"$dir/cells")
+    assert(stored.count() == emb.count())
+    assert(stored.select("id").distinct().count() == emb.count())
+  }
+
   test("kmeans centroids recover recall that lowest-id seeding loses on clustered vectors") {
     // 8 clusters along basis directions; ids laid out so the 16 LOWEST
     // ids all sit in cluster 0 — the adversarial-but-realistic case for
