@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Sequence assembly for LLM training data: concat-and-chunk packing
   * and sliding-window chunking.
@@ -56,6 +57,61 @@ object Packing {
       .groupBy("shard", "chunk_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).cast("long").as("n_tokens"))
+  }
+
+  /** Input row shape for [[streamingPackSequences]]. */
+  final case class PackInput(doc_id: Long, shard: Int, n_tok: Long)
+
+  /** One packing assignment: the chunk (fixed `seqLen`-token
+    * sequence) in which this document's first token lands within its
+    * shard's stream, and the token offset where it starts.
+    */
+  final case class PackAssignment(doc_id: Long, shard: Int,
+                                  chunk_id: Long, start_tok: Long)
+
+  /** Per-shard state: tokens emitted so far. One long per shard —
+    * state is O(numShards) forever, the smallest possible stateful
+    * operator. Public for the state encoder.
+    */
+  final case class PackState(cumTok: Long)
+
+  /** Streaming concat-and-chunk packing: documents are packed in
+    * ARRIVAL order (micro-batch by micro-batch; deterministic id
+    * order within a batch), each shard maintaining one cumulative
+    * token counter. An assignment never changes once emitted — append
+    * mode, no watermark, no retraction — which is exactly the
+    * training-data ingest contract: the packer tells the writer where
+    * each arriving document goes, and the sequence files fill in
+    * order.
+    *
+    * Arrival order IS the semantic (what a live packer can do);
+    * fed the whole corpus in one batch it reproduces the batch
+    * manifest ([[packSequences]]) exactly, which is how the spec pins
+    * the two against each other.
+    */
+  def streamingPackSequences(docs: DataFrame, idCol: String,
+      tokenCount: Column, seqLen: Int, numShards: Int)
+      (implicit spark: SparkSession): Dataset[PackAssignment] = {
+    import spark.implicits._
+    require(seqLen > 0)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        shardOf(col(idCol), numShards).cast("int").as("shard"),
+        tokenCount.cast("long").as("n_tok"))
+      .as[PackInput]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackAssignment](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard, it, state) =>
+          var cum = state.getOption.map(_.cumTok).getOrElse(0L)
+          val out = it.toSeq.sortBy(_.doc_id).map { d =>
+            val start = cum
+            cum += d.n_tok
+            PackAssignment(d.doc_id, shard, start / seqLen, start)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
   }
 
   /** Sliding-window chunking: one row per (document, window) for

@@ -1133,6 +1133,42 @@ object Relational {
               |ORDER BY gid, l_returnflag NULLS FIRST,
               |  l_linestatus NULLS FIRST""".stripMargin)),
 
+    // ───────────────────────── higher-order array functions ─────────────────────────
+    // transform / filter / aggregate / exists over a per-order
+    // quantity array — the lambda-HOF surface (expr.rs lambda exprs)
+    // as one oracle-gated query. All-integer lambdas so both engines
+    // compute identical values; DuckDB's list_sum of an empty list is
+    // NULL where Spark's aggregate seeds 0 — the oracle coalesces.
+    Q("q47_hof_array",
+      (s, dir) => {
+        Tables.load(s, dir, "lineitem")
+          .where(col("l_orderkey") < 2000)
+          .groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_quantity").cast("int")))
+            .as("qs"))
+          .select(col("l_orderkey"),
+            size(col("qs")).as("n"),
+            aggregate(filter(col("qs"), q => q % 2 === 0),
+              lit(0L), (acc, x) => acc + x).as("even_sum"),
+            aggregate(transform(col("qs"), q => q * q),
+              lit(0L), (acc, x) => acc + x).as("sum_sq"),
+            exists(col("qs"), q => q > 45).cast("int").as("has_gt45"))
+          .orderBy("l_orderkey")
+      },
+      Some("""WITH a AS (
+             |  SELECT l_orderkey,
+             |    list_sort(list(CAST(l_quantity AS INT))) AS qs
+             |  FROM lineitem WHERE l_orderkey < 2000 GROUP BY 1
+             |)
+             |SELECT l_orderkey, CAST(len(qs) AS INT) AS n,
+             |  CAST(COALESCE(list_sum(list_filter(qs, x -> x % 2 = 0)), 0)
+             |    AS BIGINT) AS even_sum,
+             |  CAST(COALESCE(list_sum(list_transform(qs, x -> x * x)), 0)
+             |    AS BIGINT) AS sum_sq,
+             |  CAST(CASE WHEN len(list_filter(qs, x -> x > 45)) > 0
+             |    THEN 1 ELSE 0 END AS INT) AS has_gt45
+             |FROM a ORDER BY l_orderkey""".stripMargin)),
+
     // ───────────────────────── time-series gap fill ─────────────────────────
     // Per-user daily resample: every calendar day in the user's active
     // span, decimal-exact daily value sums, zero on gap days. The day

@@ -63,6 +63,52 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("streamingPackSequences: one-batch run reproduces the batch manifest") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = (0L until 100L).map(i => (i, (i * 37 % 500) + 1))
+    val mem = MemoryStream[(Long, Long)]
+    val q = Packing.streamingPackSequences(
+        mem.toDS().toDF("doc_id", "n_tok"), "doc_id", col("n_tok"),
+        seqLen = 1000, numShards = 4)
+      .writeStream.format("memory").queryName("pack_one")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*); q.processAllAvailable()
+      val streamed = spark.table("pack_one")
+        .groupBy("shard", "chunk_id")
+        .agg(count(lit(1)).as("n_docs"))
+      val batch = Packing.packSequences(
+          rows.toDF("doc_id", "n_tok"), "doc_id", col("n_tok"), 1000, 4)
+        .select("shard", "chunk_id", "n_docs")
+      assertSameRows(streamed.select("shard", "chunk_id", "n_docs"),
+        batch.withColumn("shard", col("shard").cast("int")))
+    } finally q.stop()
+  }
+
+  test("streamingPackSequences: counters continue across micro-batches in arrival order") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, Long)]
+    // numShards=1 so every doc shares one counter
+    val q = Packing.streamingPackSequences(
+        mem.toDS().toDF("doc_id", "n_tok"), "doc_id", col("n_tok"),
+        seqLen = 100, numShards = 1)
+      .writeStream.format("memory").queryName("pack_cont")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, 60L), (20L, 70L)); q.processAllAvailable()
+      // batch 2 arrives with SMALLER ids — arrival order still appends
+      mem.addData((1L, 50L)); q.processAllAvailable()
+      val rows = spark.table("pack_cont")
+        .select("doc_id", "chunk_id", "start_tok")
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._3)
+      assert(rows == Seq((10L, 0L, 0L), (20L, 0L, 60L), (1L, 1L, 130L)))
+    } finally q.stop()
+  }
+
   test("repetitionMetrics: degenerate text flags, clean prose does not") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),
