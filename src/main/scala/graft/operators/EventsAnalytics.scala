@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object EventsAnalytics {
 
+  private def df2StepCols(df: DataFrame, n: Int): Seq[String] =
+    (1 to n).map(i => s"step_$i").filter(df.columns.contains)
+
   /** Strictly-ordered funnel: step i matches the earliest event of
     * `steps(i)` that happens strictly AFTER the user's step i-1 time.
     * Adds one nullable timestamp column per step (`step_1` … in input
@@ -24,6 +27,13 @@ object EventsAnalytics {
   def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty)
+    // withColumn REPLACES an existing column silently — a pre-existing
+    // step_N in the input would vanish under the window min (same
+    // hazard class as saltedAggregate's _salt / weightedSample's
+    // sample_key, guarded the same way)
+    val clash = df2StepCols(events, steps.size)
+    require(clash.isEmpty,
+      s"funnelTimes: input already has ${clash.mkString(", ")} — rename")
     val w = Window.partitionBy(userCol)
     steps.zipWithIndex.foldLeft(events) { case (df, (step, i)) =>
       val hit = if (i == 0) col(typeCol) === step
@@ -54,8 +64,14 @@ object EventsAnalytics {
     * calendar cross join — and the domain↔daily join keys on
     * (user, day), riding the same partitioning as the daily rollup.
     */
-  def resampleDaily(events: DataFrame, userCol: String, tsCol: String,
-      valueCol: String): DataFrame = {
+  /** Shared resample core: the exploded per-user day domain LEFT
+    * JOINed to the daily decimal sums — `_rd_sum` stays NULL on gap
+    * days, so each fill variant is a pure projection over this one
+    * plan (no second events scan, no re-join to recover
+    * observedness).
+    */
+  private def resampleCore(events: DataFrame, userCol: String,
+      tsCol: String, valueCol: String): DataFrame = {
     val daily = events
       .select(col(userCol).as("_rd_u"), to_date(col(tsCol)).as("_rd_day"),
         col(valueCol).cast("decimal(18,2)").as("_rd_v"))
@@ -70,34 +86,30 @@ object EventsAnalytics {
         col("_rd_dom_day") === col("_rd_day"), "left")
       .select(col(userCol),
         date_format(col("_rd_dom_day"), "yyyy-MM-dd").as("day"),
+        col("_rd_sum"))
+  }
+
+  def resampleDaily(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame =
+    resampleCore(events, userCol, tsCol, valueCol)
+      .select(col(userCol), col("day"),
         coalesce(col("_rd_sum"), lit(0).cast("decimal(18,2)"))
           .cast("double").as("total_value"))
-  }
 
   /** Daily resample with FORWARD fill: gap days carry the last
     * observed daily sum instead of zero (the feature-pipeline "state
-    * as of day d" shape). Same domain construction; the carry-forward
-    * is `last(_, ignoreNulls)` over the per-user day order — one
-    * window on the same user partitioning.
+    * as of day d" shape). The carry-forward is `last(_, ignoreNulls)`
+    * over the core's nullable sums — gap days are ALREADY null there,
+    * so the fill is one window on the same user partitioning.
     */
   def resampleDailyFfill(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val zeroFilled = resampleDaily(events, userCol, tsCol, valueCol)
-    // re-derive observed days: a gap day's 0.0 must not contaminate
-    // the carry-forward, so mark days with no events as null first
-    val daily = events
-      .select(col(userCol).as("_rf_u"),
-        date_format(to_date(col(tsCol)), "yyyy-MM-dd").as("_rf_day"))
-      .distinct()
-    zeroFilled
-      .join(daily, col(userCol) === col("_rf_u") &&
-        col("day") === col("_rf_day"), "left")
-      .withColumn("_rf_obs",
-        when(col("_rf_day").isNotNull, col("total_value")))
+    resampleCore(events, userCol, tsCol, valueCol)
       .select(col(userCol), col("day"),
-        last(col("_rf_obs"), ignoreNulls = true).over(w).as("total_value"))
+        last(col("_rd_sum"), ignoreNulls = true).over(w)
+          .cast("double").as("total_value"))
   }
 
   /** Cohort retention: users cohort by their first-activity date; the

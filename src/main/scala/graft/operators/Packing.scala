@@ -30,7 +30,10 @@ object Packing {
     */
   def shardOf(id: Column, numShards: Int): Column = {
     require(numShards > 0)
-    (id % 2147483647L) * 2654435761L % numShards
+    // pmod, not % — Spark's % keeps the dividend's sign, so a signed
+    // id (e.g. an xxhash64-derived key) would produce a NEGATIVE
+    // shard and silently break the documented [0, numShards) range
+    pmod(pmod(id, lit(2147483647L)) * 2654435761L, lit(numShards.toLong))
   }
 
   /** Concat-and-chunk packing plan: each document is assigned to the
@@ -129,6 +132,13 @@ object Packing {
   def chunkWindows(df: DataFrame, idCol: String, tokenCount: Column,
       windowTokens: Int, strideTokens: Int): DataFrame = {
     require(windowTokens > 0 && strideTokens > 0)
+    // stride > window would silently leave every (window, stride)
+    // residue range of tokens in NO chunk — almost always transposed
+    // arguments, and a violation of the coverage contract above.
+    // Deliberate gap sampling should be composed explicitly.
+    require(strideTokens <= windowTokens,
+      s"chunkWindows: stride $strideTokens > window $windowTokens would " +
+        "leave token gaps uncovered")
     val overlap = math.max(windowTokens - strideTokens, 0).toLong
     df.select(col(idCol), tokenCount.cast("long").as("n_tok"))
       .withColumn("start_tok",

@@ -43,7 +43,17 @@ object Sampling {
     // divisible by it cancels in the final mod and every draw
     // collapses to the same value (no weighting at all) — 7919 is
     // prime and coprime to both moduli.
-    val key = array_min(transform(sequence(lit(1), weight),
+    // Enforce the positive-integer contract AT RUNTIME, per row: a
+    // zero/negative weight makes the 2-arg sequence(1, w) run
+    // DESCENDING (yielding 1+|1-w| draws — MORE aggressive sampling
+    // for the rows the caller meant to exclude), and a NULL weight
+    // yields a NULL key that sorts FIRST and monopolizes the top-k.
+    // Both are silent wrong-sample bugs; fail loudly instead.
+    val checkedWeight = when(weight.isNotNull && weight >= 1, weight)
+      .otherwise(raise_error(concat(
+        lit("weightedSample: weight must be a positive integer, got "),
+        coalesce(weight.cast("string"), lit("NULL")))))
+    val key = array_min(transform(sequence(lit(1), checkedWeight),
       r => pmod(
         pmod(col(idCol) + r * lit(7919L), lit(2147483647L)) *
           lit(2654435761L),

@@ -258,28 +258,48 @@ object EventsStream {
     *    is an existing candidate above its predecessor's bound or a
     *    new event above the watermark.
     *
-    * Together these keep per-user state at (chain values) + (events
-    * inside the watermark window), bounded on an unbounded stream.
-    * Batch inputs take W = +∞ (no late data), which collapses the
-    * state to exactly the chain and makes the operator agree with the
-    * batch twin by construction (spec-pinned).
+    * Together these keep PER-USER state at (chain values) + (events
+    * inside the watermark window). TOTAL state is still linear in
+    * distinct users — an unbounded user space would grow the store
+    * forever — so `evictAfterIdleMs` (recommended for production)
+    * arms an event-time timeout re-set on every touch: a user idle
+    * for that long in WATERMARK time is evicted. The tradeoff is
+    * explicit: an evicted user who returns restarts from an empty
+    * chain (their pre-idle steps are forgotten), the same
+    * keep-or-bound contract sessionize resolves via its gap. Batch
+    * inputs take W = +∞ (no late data), which collapses the state to
+    * exactly the chain and makes the operator agree with the batch
+    * twin by construction (spec-pinned).
     */
   def streamingFunnel(events: Dataset[Event], steps: Seq[String],
-                      watermarkDelay: String = "0 seconds")
+                      watermarkDelay: String = "0 seconds",
+                      evictAfterIdleMs: Option[Long] = None)
                      (implicit spark: SparkSession): Dataset[FunnelUpdate] = {
     import spark.implicits._
     require(steps.nonEmpty)
+    require(evictAfterIdleMs.forall(_ > 0))
     val streaming = events.isStreaming
     val stepIdx = steps.zipWithIndex.toMap
     val src =
       if (streaming) events.withWatermark("ts", watermarkDelay)
       else events
+    val timeoutConf =
+      if (streaming && evictAfterIdleMs.isDefined)
+        GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     src
       .filter(e => stepIdx.contains(e.event_type))
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FunnelState, FunnelUpdate](
-        GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[FunnelState, FunnelUpdate](
+        OutputMode.Update(), timeoutConf) {
         (userId: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            // idle past the eviction horizon: drop the state; the last
+            // emitted update for this user already carried the final
+            // pre-idle chain, so nothing new is emitted here
+            state.remove()
+            Iterator.empty
+          } else {
           val wmUs =
             if (streaming) state.getCurrentWatermarkMs() * 1000
             else Long.MaxValue
@@ -329,8 +349,15 @@ object EventsStream {
             belowChain.filter(x => x > lbPrevI || x > wmUs)
           }.toList
           state.update(FunnelState(pruned))
-          FunnelUpdate(userId, chosen.length,
-            chosen.map(tsFromMicros).toList)
+          // re-arm the idle-eviction clock on every touch: the timeout
+          // fires only when the WATERMARK advances past last-touch + idle
+          // with no intervening events for this user
+          if (streaming) evictAfterIdleMs.foreach { ms =>
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ms)
+          }
+          Iterator.single(FunnelUpdate(userId, chosen.length,
+            chosen.map(tsFromMicros).toList))
+          }
       }
   }
 }

@@ -29,10 +29,12 @@ class FunnelStreamSpec extends SparkSpec {
     * replace earlier rows for the same key — a memory-sink max() can't
     * express that, because a later update may carry SMALLER times).
     */
-  private class Harness(mem: MemoryStream[Event], watermarkDelay: String) {
+  private class Harness(mem: MemoryStream[Event], watermarkDelay: String,
+      evictAfterIdleMs: Option[Long] = None) {
     val latest = TrieMap.empty[Long, (Int, List[Timestamp])]
     private val q = EventsStream
-      .streamingFunnel(mem.toDS(), steps, watermarkDelay)(spark)
+      .streamingFunnel(mem.toDS(), steps, watermarkDelay,
+        evictAfterIdleMs)(spark)
       .writeStream
       .foreachBatch { (ds: Dataset[FunnelUpdate], _: Long) =>
         ds.collect().foreach(u =>
@@ -102,6 +104,23 @@ class FunnelStreamSpec extends SparkSpec {
         assert(h.latest(u) == ((bTimes.length, bTimes)),
           s"user $u: stream=${h.latest(u)} batch=$bTimes")
       }
+    } finally h.stop()
+  }
+
+  test("idle users are evicted and restart from an empty chain") {
+    // 0s watermark delay: wm = max event time seen; 1-minute idle horizon
+    val h = new Harness(MemoryStream[Event], "0 seconds",
+      evictAfterIdleMs = Some(60000L))
+    try {
+      h.feed(Event(1, ts(10), 1, "view", 0))
+      assert(h.latest(1L)._1 == 1)
+      // another user pushes the watermark far past user 1's idle horizon
+      h.feed(Event(2, ts(500), 2, "view", 0))
+      // user 1 returns: pre-idle view was evicted, so this click has no
+      // qualifying view and the chain restarts at 0
+      h.feed(Event(3, ts(501), 1, "click", 0))
+      assert(h.latest(1L)._1 == 0,
+        s"evicted user must restart from empty: ${h.latest(1L)}")
     } finally h.stop()
   }
 
