@@ -49,10 +49,15 @@ object Sampling {
     // for the rows the caller meant to exclude), and a NULL weight
     // yields a NULL key that sorts FIRST and monopolizes the top-k.
     // Both are silent wrong-sample bugs; fail loudly instead.
-    val checkedWeight = when(weight.isNotNull && weight >= 1, weight)
-      .otherwise(raise_error(concat(
-        lit("weightedSample: weight must be a positive integer, got "),
-        coalesce(weight.cast("string"), lit("NULL")))))
+    // assert_true (not raise_error): Spark 4's raise_error(Column)
+    // desugars to the 2-child USER_RAISED_EXCEPTION form whose
+    // printed SQL doesn't re-parse (the SQL builder takes 1 arg), so
+    // it would break the SqlGen roundtrip; assert_true prints as the
+    // 2-arg SQL it parses from.
+    val guard = assert_true(weight.isNotNull && weight >= 1, concat(
+      lit("weightedSample: weight must be a positive integer, got "),
+      coalesce(weight.cast("string"), lit("NULL"))))
+    val checkedWeight = when(guard.isNull, weight)
     val key = array_min(transform(sequence(lit(1), checkedWeight),
       r => pmod(
         pmod(col(idCol) + r * lit(7919L), lit(2147483647L)) *

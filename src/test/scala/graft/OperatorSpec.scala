@@ -644,6 +644,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(uni.length == uni.distinct.length && uni.length == k)
   }
 
+  test("weighted sampling rejects zero/negative/null weights loudly") {
+    import graft.operators.Sampling
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "source")
+    for (bad <- Seq(lit(0), lit(-5),
+        when(col("source") === "never", 1))) { // null for every row
+      val e = intercept[Exception] {
+        Sampling.weightedSample(docs, "doc_id", bad, k = 2).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("positive integer")),
+        s"expected the weight-contract error, got: $e")
+    }
+  }
+
   test("langId recognizes clear-cut samples and falls back to und") {
     val df = Seq(
       (1L, "the cat sat on the mat and it is a good day for the walk"),
