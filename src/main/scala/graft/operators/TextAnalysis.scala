@@ -64,13 +64,31 @@ object TextAnalysis {
       (nAlpha / greatest(nChars, lit(1d))).as("alpha_ratio"),
       (nPunct / greatest(nChars, lit(1d))).as("punct_ratio"),
       (stopHits / lit(profiles.head._2.size)).as("stopword_rate"),
-      (nChars / greatest(nTok, lit(1d))).as("mean_word_len"))
-      .withColumn("quality",
-        least(lit(1d), greatest(lit(0d),
-          lit(0.25) * least(col("n_tokens") / 20d, lit(1d)) +
-          lit(0.25) * col("alpha_ratio") +
-          lit(0.25) * (lit(1d) - least(col("punct_ratio") * 5d, lit(1d))) +
-          lit(0.25) * least(col("stopword_rate") * 2d, lit(1d)))))
+      (nChars / greatest(nTok, lit(1d))).as("mean_word_len"),
+      qualityScore(t).as("quality"))
+  }
+
+  /** The composite [0,1] quality score as one reusable column
+    * expression — the same formula [[qualityFeatures]] emits, exposed
+    * so a curation pipeline can filter on it in a single scan without
+    * materializing the feature frame and joining back.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("double")
+    val nAlpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    val nPunct = length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double")
+    val nTok = size(toks).cast("double")
+    val stopHits = size(array_intersect(array_distinct(toks),
+      typedlit(profiles.head._2))).cast("double")
+    val alphaRatio = nAlpha / greatest(nChars, lit(1d))
+    val punctRatio = nPunct / greatest(nChars, lit(1d))
+    val stopRate = stopHits / lit(profiles.head._2.size)
+    least(lit(1d), greatest(lit(0d),
+      lit(0.25) * least(nTok / 20d, lit(1d)) +
+      lit(0.25) * alphaRatio +
+      lit(0.25) * (lit(1d) - least(punctRatio * 5d, lit(1d))) +
+      lit(0.25) * least(stopRate * 2d, lit(1d))))
   }
 
   /** Repetition metrics for boilerplate/degenerate-text filtering (the
@@ -85,21 +103,28 @@ object TextAnalysis {
     * IEEE divisions of two integer counts, so every engine that
     * tokenizes identically produces bit-identical doubles.
     */
+  private def dupFrac(arr: Column): Column = {
+    val n = size(arr).cast("double")
+    when(n === 0d, 0d)
+      .otherwise((n - size(array_distinct(arr)).cast("double")) / n)
+  }
+
+  /** Fraction of word occurrences that repeat an earlier word —
+    * reusable column form for single-scan curation filters.
+    */
+  def dupWordFrac(text: Column): Column = dupFrac(tokens(text))
+
+  /** Fraction of trimmed non-empty lines that repeat an earlier line. */
+  def dupLineFrac(text: Column): Column =
+    dupFrac(filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0))
+
   def repetitionMetrics(df: DataFrame, idCol: String, textCol: String,
       wordThreshold: Double = 0.3, lineThreshold: Double = 0.2): DataFrame = {
-    val toks = tokens(col(textCol))
-    val lines = filter(
-      transform(split(col(textCol), "\n"), l => trim(l)),
-      l => length(l) > 0)
-    def dupFrac(arr: Column): Column = {
-      val n = size(arr).cast("double")
-      when(n === 0d, 0d)
-        .otherwise((n - size(array_distinct(arr)).cast("double")) / n)
-    }
     df.select(
         col(idCol),
-        dupFrac(toks).as("dup_word_frac"),
-        dupFrac(lines).as("dup_line_frac"))
+        dupWordFrac(col(textCol)).as("dup_word_frac"),
+        dupLineFrac(col(textCol)).as("dup_line_frac"))
       .withColumn("flagged",
         (col("dup_word_frac") > wordThreshold ||
           col("dup_line_frac") > lineThreshold).cast("int"))

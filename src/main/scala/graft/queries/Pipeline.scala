@@ -1082,6 +1082,56 @@ object Pipeline {
              |  CAST(MAX(out_h) AS INT) AS max_h
              |FROM m GROUP BY kind ORDER BY kind""".stripMargin)),
 
+    // end-to-end curation pipeline in ONE scan: exact-dedup survivor
+    // (min doc_id per text, window — no self-join), quality score and
+    // repetition fraction as inline column expressions (the Column
+    // forms of t02/t11), then a per-(source, lang) keep count. The
+    // single-pass shape is the point: a 100 TB curation run pays one
+    // read + one content-partition window + one small aggregate, not
+    // three materialized frames joined back together. Thresholds are
+    // corpus-calibrated (the synthetic word-soup runs dup-word-heavy).
+    Q("c01_curate",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        docs
+          .withColumn("_c_surv",
+            min("doc_id").over(Window.partitionBy("text")))
+          .where(col("doc_id") === col("_c_surv") &&
+            TextAnalysis.qualityScore(col("text")) >= 0.75 &&
+            TextAnalysis.dupWordFrac(col("text")) <= 0.7)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy("source", "lang")
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id, source, lang, text,
+              |    CAST(length(text) AS DOUBLE) AS n_chars,
+              |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+              |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
+              |    list_filter(regexp_split_to_array(trim(lower(text)),
+              |      '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks
+              |  FROM documents
+              |), g AS (
+              |  SELECT doc_id, source, lang, text,
+              |    least(1.0, greatest(0.0,
+              |      0.25 * least(len(toks) / 20.0, 1.0) +
+              |      0.25 * (n_alpha / greatest(n_chars, 1.0)) +
+              |      0.25 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5.0, 1.0)) +
+              |      0.25 * least((len(list_intersect(list_distinct(toks),
+              |        ['the','a','of','and','to','in','is','that','it','for'])) / 10.0)
+              |        * 2.0, 1.0))) AS qual,
+              |    CASE WHEN len(toks) = 0 THEN 0.0
+              |         ELSE (len(toks) - len(list_distinct(toks)))
+              |              / CAST(len(toks) AS DOUBLE) END AS dwf,
+              |    MIN(doc_id) OVER (PARTITION BY text) AS surv
+              |  FROM f
+              |)
+              |SELECT source, lang, COUNT(*) AS n_kept
+              |FROM g
+              |WHERE doc_id = surv AND qual >= 0.75 AND dwf <= 0.7
+              |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin)),
+
     // repetition metrics (C4/Gopher boilerplate rules): fraction of
     // word occurrences / non-empty lines that repeat. Thresholds are
     // compared on the RAW fractions (rounding only for the emitted
