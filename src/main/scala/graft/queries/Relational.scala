@@ -1133,6 +1133,36 @@ object Relational {
               |ORDER BY gid, l_returnflag NULLS FIRST,
               |  l_linestatus NULLS FIRST""".stripMargin)),
 
+    // ───────────────────────── lateral join ─────────────────────────
+    // Correlated subquery in FROM: per-customer aggregate computed by
+    // a LATERAL body (the select.rs:460-988 aspirational nested-
+    // subquery surface in its most general form). An aggregate
+    // lateral always yields one row, so the comma (inner) form keeps
+    // every outer row. Catalyst decorrelates this into a join — no
+    // per-row subquery execution at scale.
+    Q("q48_lateral_join",
+      (s, dir) => {
+        Tables.register(s, dir)
+        s.sql("""SELECT c_custkey, c_name, t.max_price, t.n_big
+                |FROM customer,
+                |LATERAL (SELECT max(o_totalprice) AS max_price,
+                |                count(*) AS n_big
+                |         FROM orders
+                |         WHERE o_custkey = c_custkey
+                |           AND o_totalprice > 200000) t
+                |WHERE c_acctbal > 9500
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, c_name, t.max_price, t.n_big
+             |FROM customer,
+             |LATERAL (SELECT max(o_totalprice) AS max_price,
+             |                count(*) AS n_big
+             |         FROM orders
+             |         WHERE o_custkey = c_custkey
+             |           AND o_totalprice > 200000) t
+             |WHERE c_acctbal > 9500
+             |ORDER BY c_custkey""".stripMargin)),
+
     // ───────────────────────── higher-order array functions ─────────────────────────
     // transform / filter / aggregate / exists over a per-order
     // quantity array — the lambda-HOF surface (expr.rs lambda exprs)

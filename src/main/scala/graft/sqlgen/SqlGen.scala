@@ -561,6 +561,30 @@ object SqlGen {
         val (from, _) = renderFrom(j)
         s"SELECT * FROM $from"
 
+      // LATERAL (correlated subquery in FROM): the analyzer wraps the
+      // body in a LateralSubquery whose OuterReferences print as bare
+      // outer columns (subquerySql's shadow check applies, same as
+      // scalar/EXISTS subqueries). Inner+no-condition prints the
+      // comma form `left, LATERAL (...)`; outer prints
+      // `LEFT JOIN LATERAL (...) ON TRUE` (bare JOIN LATERAL without
+      // ON is a syntax error, like the other outer joins).
+      case lj: LateralJoin =>
+        val (lsql, _) = renderFrom(lj.left)
+        val (alias, body) = lj.right.plan match {
+          case SubqueryAlias(id, inner) => (id.name, inner)
+          case other => (fresh(), other)
+        }
+        val sub = s"(${subquerySql(body)}) AS $alias"
+        (lj.joinType, lj.condition) match {
+          case (Inner | Cross, None) =>
+            s"SELECT * FROM $lsql, LATERAL $sub"
+          case (LeftOuter, None) =>
+            s"SELECT * FROM $lsql LEFT JOIN LATERAL $sub ON TRUE"
+          case (jt, cond) =>
+            val on = cond.map(c => s" ON ${exprSql(c)}").getOrElse(" ON TRUE")
+            s"SELECT * FROM $lsql ${joinKw(jt)} LATERAL $sub$on"
+        }
+
       case Union(children, false, false) =>
         children.map(c => s"SELECT * FROM ${rel(c)}").mkString(" UNION ALL ")
       case Intersect(left, right, isAll) =>

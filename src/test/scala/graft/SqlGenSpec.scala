@@ -41,6 +41,21 @@ class SqlGenSpec extends SparkSpec {
     }
   }
 
+  test("roundtrip LEFT JOIN LATERAL (outer lateral prints ON TRUE)") {
+    Tables.register(spark, sfDir)
+    val df = spark.sql(
+      """SELECT c_custkey, t.p FROM customer LEFT JOIN LATERAL
+        |  (SELECT max(o_totalprice) AS p FROM orders
+        |   WHERE o_custkey = c_custkey AND o_totalprice > 400000) t
+        |ON TRUE WHERE c_custkey < 30 ORDER BY c_custkey""".stripMargin)
+    val sql = SqlGen.toSql(df)
+    // the parsed ON TRUE survives as a literal condition (printed
+    // lowercase by Literal.sql) — either spelling is the same SQL
+    assert(sql.contains("LEFT JOIN LATERAL") &&
+      sql.toUpperCase.contains("ON TRUE"), sql)
+    assertSameRows(df, spark.sql(sql))
+  }
+
   test("roundtrip cube (generic grouping-sets reconstruction)") {
     import org.apache.spark.sql.functions._
     Tables.register(spark, sfDir)
