@@ -86,7 +86,11 @@ object EventsAnalytics {
         col("_rd_dom_day") === col("_rd_day"), "left")
       .select(col(userCol),
         date_format(col("_rd_dom_day"), "yyyy-MM-dd").as("day"),
-        col("_rd_sum"))
+        col("_rd_sum"),
+        // observedness is NOT derivable from _rd_sum alone: a day
+        // whose events all carry NULL values sums to NULL yet IS
+        // observed (it must zero, not forward-fill)
+        col("_rd_day").isNotNull.as("_rd_obs"))
   }
 
   def resampleDaily(events: DataFrame, userCol: String, tsCol: String,
@@ -97,10 +101,11 @@ object EventsAnalytics {
           .cast("double").as("total_value"))
 
   /** Daily resample with FORWARD fill: gap days carry the last
-    * observed daily sum instead of zero (the feature-pipeline "state
-    * as of day d" shape). The carry-forward is `last(_, ignoreNulls)`
-    * over the core's nullable sums — gap days are ALREADY null there,
-    * so the fill is one window on the same user partitioning.
+    * observed day's value instead of zero (the feature-pipeline
+    * "state as of day d" shape). Observed days contribute their sum
+    * (NULL-valued events count as 0.0 — same as the zero-fill
+    * variant); only truly event-free days carry forward. One window
+    * on the same user partitioning.
     */
   def resampleDailyFfill(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String): DataFrame = {
@@ -108,7 +113,10 @@ object EventsAnalytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     resampleCore(events, userCol, tsCol, valueCol)
       .select(col(userCol), col("day"),
-        last(col("_rd_sum"), ignoreNulls = true).over(w)
+        last(
+          when(col("_rd_obs"),
+            coalesce(col("_rd_sum"), lit(0).cast("decimal(18,2)"))),
+          ignoreNulls = true).over(w)
           .cast("double").as("total_value"))
   }
 

@@ -139,7 +139,7 @@ object Packing {
     require(strideTokens <= windowTokens,
       s"chunkWindows: stride $strideTokens > window $windowTokens would " +
         "leave token gaps uncovered")
-    val overlap = math.max(windowTokens - strideTokens, 0).toLong
+    val overlap = (windowTokens - strideTokens).toLong // ≥ 0 by the require
     df.select(col(idCol), tokenCount.cast("long").as("n_tok"))
       .withColumn("start_tok",
         explode(sequence(lit(0L),

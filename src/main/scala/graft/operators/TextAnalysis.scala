@@ -48,23 +48,36 @@ object TextAnalysis {
     * mean word length sanity. The weights are illustrative; the shape
     * (bounded builtin expressions, no UDF) is the point.
     */
+  // Quality sub-expressions, shared by qualityFeatures (as emitted
+  // columns) and qualityScore (inside the composite) — ONE definition
+  // per regex/ratio so the feature frame and the filter can never
+  // drift apart.
+  private def nChars(t: Column): Column = length(t).cast("double")
+  private def nAlpha(t: Column): Column =
+    length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+  private def nPunct(t: Column): Column =
+    length(regexp_replace(t, "[^.,;:!?'\"()-]", "")).cast("double")
+  private def stopHits(t: Column): Column =
+    size(array_intersect(array_distinct(tokens(t)),
+      typedlit(profiles.head._2))).cast("double")
+  private def alphaRatio(t: Column): Column =
+    nAlpha(t) / greatest(nChars(t), lit(1d))
+  private def punctRatio(t: Column): Column =
+    nPunct(t) / greatest(nChars(t), lit(1d))
+  private def stopwordRate(t: Column): Column =
+    stopHits(t) / lit(profiles.head._2.size)
+
   def qualityFeatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    val nChars = length(t).cast("double")
-    val nAlpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
-    val nPunct = length(regexp_replace(t, "[^.,;:!?'\"()-]", "")).cast("double")
-    val nTok = size(toks).cast("double")
-    val enStop = typedlit(profiles.head._2)
-    val stopHits = size(array_intersect(array_distinct(toks), enStop)).cast("double")
+    val nTok = size(tokens(t)).cast("double")
     df.select(
       col(idCol),
-      nChars.as("n_chars"),
+      nChars(t).as("n_chars"),
       nTok.as("n_tokens"),
-      (nAlpha / greatest(nChars, lit(1d))).as("alpha_ratio"),
-      (nPunct / greatest(nChars, lit(1d))).as("punct_ratio"),
-      (stopHits / lit(profiles.head._2.size)).as("stopword_rate"),
-      (nChars / greatest(nTok, lit(1d))).as("mean_word_len"),
+      alphaRatio(t).as("alpha_ratio"),
+      punctRatio(t).as("punct_ratio"),
+      stopwordRate(t).as("stopword_rate"),
+      (nChars(t) / greatest(nTok, lit(1d))).as("mean_word_len"),
       qualityScore(t).as("quality"))
   }
 
@@ -74,21 +87,12 @@ object TextAnalysis {
     * materializing the feature frame and joining back.
     */
   def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val nChars = length(text).cast("double")
-    val nAlpha = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")
-    val nPunct = length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast("double")
-    val nTok = size(toks).cast("double")
-    val stopHits = size(array_intersect(array_distinct(toks),
-      typedlit(profiles.head._2))).cast("double")
-    val alphaRatio = nAlpha / greatest(nChars, lit(1d))
-    val punctRatio = nPunct / greatest(nChars, lit(1d))
-    val stopRate = stopHits / lit(profiles.head._2.size)
+    val nTok = size(tokens(text)).cast("double")
     least(lit(1d), greatest(lit(0d),
       lit(0.25) * least(nTok / 20d, lit(1d)) +
-      lit(0.25) * alphaRatio +
-      lit(0.25) * (lit(1d) - least(punctRatio * 5d, lit(1d))) +
-      lit(0.25) * least(stopRate * 2d, lit(1d))))
+      lit(0.25) * alphaRatio(text) +
+      lit(0.25) * (lit(1d) - least(punctRatio(text) * 5d, lit(1d))) +
+      lit(0.25) * least(stopwordRate(text) * 2d, lit(1d))))
   }
 
   /** Repetition metrics for boilerplate/degenerate-text filtering (the

@@ -569,7 +569,7 @@ object SqlGen {
       // `LEFT JOIN LATERAL (...) ON TRUE` (bare JOIN LATERAL without
       // ON is a syntax error, like the other outer joins).
       case lj: LateralJoin =>
-        val (lsql, _) = renderFrom(lj.left)
+        val (lsql, lquals) = renderFrom(lj.left)
         val (alias, body) = lj.right.plan match {
           case SubqueryAlias(id, inner) => (id.name, inner)
           case other => (fresh(), other)
@@ -581,7 +581,15 @@ object SqlGen {
           case (LeftOuter, None) =>
             s"SELECT * FROM $lsql LEFT JOIN LATERAL $sub ON TRUE"
           case (jt, cond) =>
-            val on = cond.map(c => s" ON ${exprSql(c)}").getOrElse(" ON TRUE")
+            // ON attributes need the same qualifier scope every other
+            // join path establishes — a name shared by both sides
+            // would otherwise print bare and re-resolve ambiguously
+            // (or as a tautology)
+            val quals = lquals ++
+              lj.right.plan.output.map(_.exprId -> alias)
+            val on = cond.map(c => withQuals(quals) {
+              s" ON ${exprSql(c)}"
+            }).getOrElse(" ON TRUE")
             s"SELECT * FROM $lsql ${joinKw(jt)} LATERAL $sub$on"
         }
 

@@ -223,10 +223,12 @@ object EventsStream {
       .drop("session_id")
   }
 
-  /** Per-step candidate event times (µs, ascending) for one user.
-    * Public for the state encoder, like [[SessionsState]].
+  /** Per-step candidate event times (µs, ascending) for one user,
+    * plus the max event time ever admitted for the user (µs) — the
+    * idle-eviction clock's anchor. Public for the state encoder, like
+    * [[SessionsState]].
     */
-  final case class FunnelState(cand: List[List[Long]])
+  final case class FunnelState(cand: List[List[Long]], maxSeenUs: Long)
 
   /** One funnel progress row: how far the user's strictly-ordered
     * chain currently reaches, and the chosen per-step times (length
@@ -305,6 +307,8 @@ object EventsStream {
             else Long.MaxValue
           val prior = state.getOption.map(_.cand.toVector)
             .getOrElse(Vector.fill(steps.size)(List.empty[Long]))
+          val priorMaxSeen = state.getOption.map(_.maxSeenUs)
+            .getOrElse(Long.MinValue)
           // Enforce the watermark contract OURSELVES: Spark only
           // auto-drops late rows for stateful ops with an event-time
           // timeout, and the dead-below prune is sound precisely
@@ -348,12 +352,25 @@ object EventsStream {
             val lbPrevI = if (i == 0) Long.MinValue else lb(i - 1)
             belowChain.filter(x => x > lbPrevI || x > wmUs)
           }.toList
-          state.update(FunnelState(pruned))
-          // re-arm the idle-eviction clock on every touch: the timeout
-          // fires only when the WATERMARK advances past last-touch + idle
-          // with no intervening events for this user
+          val maxSeen = (priorMaxSeen +:
+            fresh.values.flatten.map(e => tsMicros(e.ts)).toSeq).max
+          state.update(FunnelState(pruned, maxSeen))
+          // Re-arm the idle-eviction clock on every touch, anchored at
+          // max(watermark, the user's max EVENT time): anchoring at the
+          // watermark alone would let the effective idle horizon
+          // collapse to (idle − watermark lag) — under a long
+          // watermark delay a user could be evicted while
+          // late-but-admissible events near their last activity were
+          // still inside the window, losing exactly the candidates the
+          // retention pruning exists to keep. With the event-time
+          // anchor, eviction fires only once the watermark passes
+          // last-activity + idle, so any post-eviction event is
+          // genuinely after an idle gap in EVENT time and correctly
+          // starts a new era.
           if (streaming) evictAfterIdleMs.foreach { ms =>
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ms)
+            val anchorMs = math.max(state.getCurrentWatermarkMs(),
+              math.floorDiv(maxSeen, 1000L))
+            state.setTimeoutTimestamp(anchorMs + ms)
           }
           Iterator.single(FunnelUpdate(userId, chosen.length,
             chosen.map(tsFromMicros).toList))

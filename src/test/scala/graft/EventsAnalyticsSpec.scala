@@ -87,6 +87,24 @@ class EventsAnalyticsSpec extends SparkSpec {
       (1L, "2024-01-03", 2.0), (1L, "2024-01-04", 5.0)))
   }
 
+  test("resampleDailyFfill: an observed day of all-NULL values zeros, not fills") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampType), StructField("value", DoubleType)))
+    val events = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, ts("2024-01-01 10:00:00"), 5.0),
+      Row(1L, ts("2024-01-02 10:00:00"), null), // observed, NULL value
+      Row(1L, ts("2024-01-03 10:00:00"), 7.0)), schema)
+    val out = EventsAnalytics.resampleDailyFfill(events, "user_id", "ts", "value")
+      .orderBy("day").as[(Long, String, Double)].collect().toSeq
+    // day2 is OBSERVED (its events just carry no value) — it must
+    // contribute 0.0 like the zero-fill variant, not inherit day1's 5.0
+    assert(out == Seq(
+      (1L, "2024-01-01", 5.0), (1L, "2024-01-02", 0.0),
+      (1L, "2024-01-03", 7.0)))
+  }
+
   test("retention counts each user once per (cohort, offset)") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")), // cohort 01-01

@@ -108,17 +108,21 @@ class FunnelStreamSpec extends SparkSpec {
   }
 
   test("idle users are evicted and restart from an empty chain") {
-    // 0s watermark delay: wm = max event time seen; 1-minute idle horizon
+    // 0s watermark delay: wm = max event time seen; 1-minute idle
+    // horizon anchored at the user's last EVENT time
     val h = new Harness(MemoryStream[Event], "0 seconds",
       evictAfterIdleMs = Some(60000L))
     try {
       h.feed(Event(1, ts(10), 1, "view", 0))
       assert(h.latest(1L)._1 == 1)
-      // another user pushes the watermark far past user 1's idle horizon
+      // push the watermark far past user 1's idle horizon (10min+1min);
+      // the timeout is evaluated against the NEW watermark on the batch
+      // after the one that advanced it, hence two feeds
       h.feed(Event(2, ts(500), 2, "view", 0))
-      // user 1 returns: pre-idle view was evicted, so this click has no
-      // qualifying view and the chain restarts at 0
-      h.feed(Event(3, ts(501), 1, "click", 0))
+      h.feed(Event(3, ts(510), 2, "view", 0))
+      // user 1 returns after the idle gap: the pre-idle view was
+      // evicted, so this click has no qualifying view — chain restarts
+      h.feed(Event(4, ts(515), 1, "click", 0))
       assert(h.latest(1L)._1 == 0,
         s"evicted user must restart from empty: ${h.latest(1L)}")
     } finally h.stop()
