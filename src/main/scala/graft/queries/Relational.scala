@@ -541,6 +541,29 @@ object Relational {
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
     // ───────────────────────── rollup ─────────────────────────
+    // event-time RANGE frame: rolling 1-hour per-user event count —
+    // the interval-bounded window q22's numeric RANGE can't express.
+    // Both engines read ts at the µs floor (Tables.events / CAST), so
+    // the inclusive ts-1h lower bound admits identical peer sets.
+    Q("q49_range_interval_window",
+      (s, dir) => {
+        Tables.register(s, dir)
+        s.sql("""SELECT event_id, user_id,
+                |count(*) OVER (PARTITION BY user_id ORDER BY ts
+                |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                |  AS n_last_hour
+                |FROM events ORDER BY event_id""".stripMargin)
+      },
+      Some("""WITH e AS (
+             |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events
+             |)
+             |SELECT event_id, user_id,
+             |COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+             |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |  AS n_last_hour
+             |FROM e ORDER BY event_id""".stripMargin)),
+
     Q("q23_rollup",
       (s, dir) => {
         Tables.load(s, dir, "lineitem")
