@@ -42,7 +42,7 @@ class SqlGenFuzzSpec extends SparkSpec {
       if (rnd.nextBoolean()) df = df.union(nation.where(rndPred()))
       if (rnd.nextBoolean())
         df = df.join(region, df("n_regionkey") === region("r_regionkey"))
-      df = rnd.nextInt(4) match {
+      df = rnd.nextInt(5) match {
         case 0 => df.select(col("n_nationkey"), col("n_name"),
           (col("n_regionkey") * 2 + 1).as("rk2"))
         case 1 => df.groupBy(col("n_regionkey"))
@@ -53,6 +53,13 @@ class SqlGenFuzzSpec extends SparkSpec {
           row_number().over(org.apache.spark.sql.expressions.Window
             .partitionBy(col("n_regionkey"))
             .orderBy(col("n_nationkey"))).as("rn"))
+        // lambda HOF chain — covers the arrow-syntax printer under
+        // random upstream compositions (q47 pins the fixed shape)
+        case 4 => df.select(col("n_nationkey"),
+          aggregate(
+            filter(sequence(lit(1L), col("n_nationkey") % 5 + 1),
+              x => x % 2 === 0),
+            lit(0L), (a, x) => a + x).as("hof"))
       }
       if (rnd.nextBoolean()) df = df.distinct()
       if (rnd.nextBoolean()) {
