@@ -226,6 +226,21 @@ class PlanAuditSpec extends SparkSpec {
       s"build-side pushdown missing:\n$plan")
   }
 
+  test("c01: metric filters push below the survivor window") {
+    // quality/repetition predicates are functions of the window's
+    // partition key (text), so Catalyst must evaluate them BEFORE the
+    // content exchange — the filtered-out rows never pay the shuffle.
+    // If this regresses, c01 shuffles the full corpus text.
+    val plan = build("c01_curate").queryExecution.optimizedPlan.toString
+    val lines = plan.linesIterator.toVector
+    val windowIdx = lines.indexWhere(_.contains("Window ["))
+    val metricFilterIdx = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("regexp_replace"))
+    assert(windowIdx >= 0 && metricFilterIdx >= 0, plan)
+    assert(metricFilterIdx > windowIdx,
+      s"metric filter should sit below (print after) the window:\n$plan")
+  }
+
   test("q45: salted aggregation aggregates map-side in both phases") {
     val plan = build("q45_salted_agg").queryExecution.executedPlan.toString
     val partials = plan.linesIterator.count(_.contains("partial_sum"))
