@@ -28,7 +28,10 @@ class SqlGenSpec extends SparkSpec {
   // (SerializeFromObject).
   private val pipelineRoundtrippable =
     graft.queries.Pipeline.all.filterNot(q =>
-      Set("d06_dup_clusters", "m01_multimodal_meta").contains(q.name))
+      // d06/d08 ride duplicateClusters' localCheckpoint RDD barrier;
+      // m01 is a typed mapPartitions — none have a SQL rendering
+      Set("d06_dup_clusters", "d08_quality_survivor",
+        "m01_multimodal_meta").contains(q.name))
 
   for (q <- roundtrippable ++ pipelineRoundtrippable) {
     test(s"roundtrip ${q.name}") {
