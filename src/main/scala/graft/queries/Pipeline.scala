@@ -216,6 +216,68 @@ object Pipeline {
        |FROM scored WHERE c >= 0.4 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Shared d06/d08 oracle prefix: word 3-shingles → Jaccard-0.5
+    * pairs → recursive transitive closure → per-doc min-label (`lab`).
+    * ONE copy — a shingle-regex or threshold change propagates to
+    * both oracles. Plain (non-interpolated) literal on purpose: the
+    * regex classes rely on `\t\n\v\f\r` staying raw backslashes.
+    */
+  private val closureCtesSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '') AS w
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id, CASE WHEN len(w) >= 3
+      |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
+      |                        for i in range(1, len(w) - 1)])
+      |    ELSE [array_to_string(w, ' ')] END AS s
+      |  FROM t
+      |), p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(a.s || b.s)) >= 0.5
+      |), e AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION SELECT id_b, id_a FROM p
+      |), reach(src, dst) AS (
+      |  SELECT src, dst FROM e
+      |  UNION
+      |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
+      |), lab AS (
+      |  SELECT d.doc_id, least(d.doc_id, coalesce(
+      |    (SELECT MIN(dst) FROM reach WHERE src = d.doc_id),
+      |    d.doc_id)) AS cluster_id
+      |  FROM documents d
+      |)""".stripMargin
+
+  /** t02's quality formula as `q(doc_id, qual)` CTEs, appended after
+    * [[closureCtesSql]] by d08 (c01/t02 carry their own inline copies
+    * because their CTE shapes differ — the FORMULA text must match
+    * term-for-term across all of them; spec'd via the oracle gate).
+    */
+  private val qualityCtesSql: String =
+    """qf AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
+      |    list_filter(regexp_split_to_array(trim(lower(text)),
+      |      '[ \t\n\v\f\r]+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id,
+      |    least(1.0, greatest(0.0,
+      |      0.25 * least(len(toks) / 20.0, 1.0) +
+      |      0.25 * (n_alpha / greatest(n_chars, 1.0)) +
+      |      0.25 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5.0, 1.0)) +
+      |      0.25 * least((len(list_intersect(list_distinct(toks),
+      |        ['the','a','of','and','to','in','is','that','it','for'])) / 10.0)
+      |        * 2.0, 1.0))) AS qual
+      |  FROM qf
+      |)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // exact dedup: survivors + multiplicity, SQL-checkable
@@ -365,37 +427,11 @@ object Pipeline {
             count(lit(1)).over(Window.partitionBy("cluster_id")).as("cluster_size"))
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE t AS (
-             |  SELECT doc_id, list_filter(
-             |    regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '') AS w
-             |  FROM documents
-             |), sh AS (
-             |  SELECT doc_id, CASE WHEN len(w) >= 3
-             |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
-             |                        for i in range(1, len(w) - 1)])
-             |    ELSE [array_to_string(w, ' ')] END AS s
-             |  FROM t
-             |), p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             |    / len(list_distinct(a.s || b.s)) >= 0.5
-             |), e AS (
-             |  SELECT id_a AS src, id_b AS dst FROM p
-             |  UNION SELECT id_b, id_a FROM p
-             |), reach(src, dst) AS (
-             |  SELECT src, dst FROM e
-             |  UNION
-             |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
-             |), lab AS (
-             |  SELECT d.doc_id, least(d.doc_id, coalesce(
-             |    (SELECT MIN(dst) FROM reach WHERE src = d.doc_id),
-             |    d.doc_id)) AS cluster_id
-             |  FROM documents d
-             |)
-             |SELECT doc_id, cluster_id,
-             |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-             |FROM lab ORDER BY doc_id""".stripMargin)),
+      Some(closureCtesSql +
+        """
+          |SELECT doc_id, cluster_id,
+          |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          |FROM lab ORDER BY doc_id""".stripMargin)),
 
     // quality-aware survivor selection: within each near-dup cluster
     // keep the HIGHEST-quality copy (tie → lowest id), not the lowest
@@ -427,63 +463,19 @@ object Pipeline {
             (col("doc_id") === col("survivor_id")).cast("int"))
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE t AS (
-             |  SELECT doc_id, list_filter(
-             |    regexp_split_to_array(trim(text), '[ \t\n\v\f\r]+'), x -> x <> '') AS w
-             |  FROM documents
-             |), sh AS (
-             |  SELECT doc_id, CASE WHEN len(w) >= 3
-             |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
-             |                        for i in range(1, len(w) - 1)])
-             |    ELSE [array_to_string(w, ' ')] END AS s
-             |  FROM t
-             |), p AS (
-             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-             |    / len(list_distinct(a.s || b.s)) >= 0.5
-             |), e AS (
-             |  SELECT id_a AS src, id_b AS dst FROM p
-             |  UNION SELECT id_b, id_a FROM p
-             |), reach(src, dst) AS (
-             |  SELECT src, dst FROM e
-             |  UNION
-             |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src
-             |), lab AS (
-             |  SELECT d.doc_id, least(d.doc_id, coalesce(
-             |    (SELECT MIN(dst) FROM reach WHERE src = d.doc_id),
-             |    d.doc_id)) AS cluster_id
-             |  FROM documents d
-             |), qf AS (
-             |  SELECT doc_id,
-             |    CAST(length(text) AS DOUBLE) AS n_chars,
-             |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-             |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
-             |    list_filter(regexp_split_to_array(trim(lower(text)),
-             |      '[ \t\n\v\f\r]+'), x -> x <> '') AS toks
-             |  FROM documents
-             |), q AS (
-             |  SELECT doc_id,
-             |    least(1.0, greatest(0.0,
-             |      0.25 * least(len(toks) / 20.0, 1.0) +
-             |      0.25 * (n_alpha / greatest(n_chars, 1.0)) +
-             |      0.25 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5.0, 1.0)) +
-             |      0.25 * least((len(list_intersect(list_distinct(toks),
-             |        ['the','a','of','and','to','in','is','that','it','for'])) / 10.0)
-             |        * 2.0, 1.0))) AS qual
-             |  FROM qf
-             |)
-             |SELECT lab.doc_id, lab.cluster_id,
-             |  FIRST_VALUE(lab.doc_id) OVER (PARTITION BY cluster_id
-             |    ORDER BY qual DESC, lab.doc_id ASC
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-             |    AS survivor_id,
-             |  CAST(CASE WHEN lab.doc_id = FIRST_VALUE(lab.doc_id) OVER (
-             |    PARTITION BY cluster_id ORDER BY qual DESC, lab.doc_id ASC
-             |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-             |    THEN 1 ELSE 0 END AS INT) AS is_survivor
-             |FROM lab JOIN q ON lab.doc_id = q.doc_id
-             |ORDER BY lab.doc_id""".stripMargin)),
+      Some(closureCtesSql + ", " + qualityCtesSql +
+        """, s AS (
+          |  SELECT lab.doc_id, lab.cluster_id,
+          |    FIRST_VALUE(lab.doc_id) OVER (PARTITION BY cluster_id
+          |      ORDER BY qual DESC, lab.doc_id ASC
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |      AS survivor_id
+          |  FROM lab JOIN q ON lab.doc_id = q.doc_id
+          |)
+          |SELECT doc_id, cluster_id, survivor_id,
+          |  CAST(CASE WHEN doc_id = survivor_id THEN 1 ELSE 0 END AS INT)
+          |    AS is_survivor
+          |FROM s ORDER BY doc_id""".stripMargin)),
 
     // embedding cosine near-dup via sign-LSH buckets; oracle replays
     // the identical LSH pipeline in DuckDB (see d05OracleSql).

@@ -540,7 +540,6 @@ object Relational {
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              |ORDER BY o_custkey, o_orderkey""".stripMargin)),
 
-    // ───────────────────────── rollup ─────────────────────────
     // event-time RANGE frame: rolling 1-hour per-user event count —
     // the interval-bounded window q22's numeric RANGE can't express.
     // Both engines read ts at the µs floor (Tables.events / CAST), so
@@ -564,6 +563,7 @@ object Relational {
              |  AS n_last_hour
              |FROM e ORDER BY event_id""".stripMargin)),
 
+    // ───────────────────────── rollup ─────────────────────────
     Q("q23_rollup",
       (s, dir) => {
         Tables.load(s, dir, "lineitem")

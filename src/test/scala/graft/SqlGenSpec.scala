@@ -23,9 +23,9 @@ class SqlGenSpec extends SparkSpec {
   // (side-qualified conditions), lambda HOFs (arrow syntax), the
   // codegen kernels (registered SQL functions carrying their
   // parameters), windows with IGNORE NULLS. The only exclusions are
-  // inherently non-relational plans: d06's iterative localCheckpoint
-  // (LogicalRDD barrier) and m01's typed mapPartitions
-  // (SerializeFromObject).
+  // inherently non-relational plans: d06/d08's iterative
+  // localCheckpoint (LogicalRDD barrier) and m01's typed
+  // mapPartitions (SerializeFromObject).
   private val pipelineRoundtrippable =
     graft.queries.Pipeline.all.filterNot(q =>
       // d06/d08 ride duplicateClusters' localCheckpoint RDD barrier;
