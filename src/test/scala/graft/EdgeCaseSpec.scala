@@ -116,4 +116,58 @@ class EdgeCaseSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("non-zero"))
   }
+
+  test("bloom: empty build side rejects everything; pruned join is empty") {
+    import graft.operators.BloomPrune
+    val probe = Seq(1L, 2L, 3L).toDF("k")
+    val build = Seq.empty[Long].toDF("b")
+    val words = BloomPrune.buildBitset(build, col("b"), 1 << 10, 5)
+    assert(words.forall(_ == 0L))
+    assert(probe.where(BloomPrune.mightContain(col("k"), words, 5)).count() == 0)
+    val joined = BloomPrune.pruneJoin(probe, build, "k", "b",
+      expectedBuildRows = 1)
+    assert(joined.count() == 0)
+  }
+
+  test("packing operators are empty-safe") {
+    import graft.operators.Packing
+    val empty = Seq.empty[(Long, Int)].toDF("id", "n")
+    assert(Packing.packSequences(empty, "id", col("n"), 1000, 4).count() == 0)
+    assert(Packing.chunkWindows(empty, "id", col("n"), 512, 384).count() == 0)
+  }
+
+  test("events analytics are empty-safe") {
+    import graft.operators.EventsAnalytics
+    val empty = Seq.empty[(Long, java.sql.Timestamp, String, Double)]
+      .toDF("user_id", "ts", "event_type", "value")
+    val fc = EventsAnalytics.funnelCounts(empty, "user_id", "ts",
+      "event_type", Seq("view", "click")).head()
+    assert(fc.getLong(0) == 0L && fc.getLong(1) == 0L)
+    assert(EventsAnalytics.retention(empty, "user_id", "ts").count() == 0)
+    assert(EventsAnalytics.resampleDaily(empty, "user_id", "ts", "value")
+      .count() == 0)
+    assert(EventsAnalytics.resampleDailyFfill(empty, "user_id", "ts", "value")
+      .count() == 0)
+  }
+
+  test("repetition/curation expressions are null-text safe") {
+    import graft.operators.TextAnalysis
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    // null text → null repetition metrics (never an exception); the
+    // flag's null-comparison semantics make it null too, cast(int) → null
+    val r = TextAnalysis.repetitionMetrics(df, "doc_id", "text").head()
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    // quality of a null text is 0.0, not null: the weighted sum is
+    // null but greatest(0.0, null) SKIPS nulls (both engines), so a
+    // null doc deterministically scores worst and curation filters
+    // drop it — the behavior a pipeline wants
+    val q = df.select(TextAnalysis.qualityScore(col("text"))).head()
+    assert(!q.isNullAt(0) && q.getDouble(0) == 0.0)
+  }
 }
