@@ -938,12 +938,22 @@ object Relational {
             sum(x * y).cast("double").as("sxy"))
         val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
         val sy = col("sy"); val syy = col("syy"); val sxy = col("sxy")
+        // The power SUMS are exact; the decimal→double CAST of the
+        // big sums is not engine-identical (Spark's BigDecimal path
+        // rounds once; DuckDB's int128 path can land 1 ulp away once
+        // the scaled integer exceeds 2^53 — observed at sf0.001).
+        // The DERIVED stats therefore round at a granularity chosen
+        // per column magnitude so a 1-ulp input wobble cannot flip
+        // the rounded output (ulp/granularity < 1e-5): 4 decimals
+        // for the ~1e1..1e5 means/stds, 6 for the ~1e-2 correlation.
+        def r4(c: Column): Column = floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+        def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
         sums.select(col("l_returnflag"),
-            (sx / n).as("mean_qty"),
-            sqrt((sxx - sx * sx / n) / (n - 1)).as("std_qty"),
-            (sy / n).as("mean_price"),
-            sqrt((syy - sy * sy / n) / (n - 1)).as("std_price"),
-            ((sxy - sx * sy / n) /
+            r4(sx / n).as("mean_qty"),
+            r4(sqrt((sxx - sx * sx / n) / (n - 1))).as("std_qty"),
+            r4(sy / n).as("mean_price"),
+            r4(sqrt((syy - sy * sy / n) / (n - 1))).as("std_price"),
+            r6((sxy - sx * sy / n) /
               sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))).as("corr_qty_price"))
           .orderBy("l_returnflag")
       },
@@ -961,12 +971,15 @@ object Relational {
              |  FROM lineitem GROUP BY l_returnflag
              |)
              |SELECT l_returnflag,
-             |  sx / n AS mean_qty,
-             |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_qty,
-             |  sy / n AS mean_price,
-             |  sqrt((syy - sy * sy / n) / (n - 1)) AS std_price,
-             |  (sxy - sx * sy / n)
-             |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) AS corr_qty_price
+             |  FLOOR((sx / n) * 10000 + 0.5) / 10000 AS mean_qty,
+             |  FLOOR(sqrt((sxx - sx * sx / n) / (n - 1)) * 10000 + 0.5) / 10000
+             |    AS std_qty,
+             |  FLOOR((sy / n) * 10000 + 0.5) / 10000 AS mean_price,
+             |  FLOOR(sqrt((syy - sy * sy / n) / (n - 1)) * 10000 + 0.5) / 10000
+             |    AS std_price,
+             |  FLOOR(((sxy - sx * sy / n)
+             |    / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)))
+             |    * 1000000 + 0.5) / 1000000 AS corr_qty_price
              |FROM sums ORDER BY l_returnflag""".stripMargin)),
 
     // ───────────────────────── cube ─────────────────────────

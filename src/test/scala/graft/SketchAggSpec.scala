@@ -57,9 +57,11 @@ class SketchAggSpec extends SparkSpec {
   test("moment-derived stddev/corr agree with Spark's native aggregates") {
     // q41 derives stats from exact decimal power sums (partition-order
     // independent); Spark's native stddev_samp/corr stream doubles.
-    // Both estimate the same statistic — agreement to 1e-9 relative
-    // validates the derivation without inheriting the native
-    // aggregates' partition-order sensitivity.
+    // Both estimate the same statistic — agreement within the query's
+    // OUTPUT ROUNDING granularity (4 decimals for means/stds, 6 for
+    // corr; added so big-decimal→double cast wobble can't flip an
+    // oracle bit cross-engine) validates the derivation without
+    // inheriting the native aggregates' partition-order sensitivity.
     val derived = graft.queries.Relational.all
       .find(_.name == "q41_stats_moments").get.build(spark, sfDir)
       .collect().map(r => r.getString(0) ->
@@ -73,9 +75,9 @@ class SketchAggSpec extends SparkSpec {
     assert(derived.keySet == native.keySet)
     for ((flag, (sq, sp, c)) <- derived) {
       val (nsq, nsp, nc) = native(flag)
-      assert(math.abs(sq - nsq) / nsq < 1e-9, s"$flag std_qty $sq vs $nsq")
-      assert(math.abs(sp - nsp) / nsp < 1e-9, s"$flag std_price $sp vs $nsp")
-      assert(math.abs(c - nc) < 1e-9, s"$flag corr $c vs $nc")
+      assert(math.abs(sq - nsq) < 1e-4, s"$flag std_qty $sq vs $nsq")
+      assert(math.abs(sp - nsp) < 1e-4, s"$flag std_price $sp vs $nsp")
+      assert(math.abs(c - nc) < 1e-6, s"$flag corr $c vs $nc")
     }
   }
 
