@@ -158,6 +158,7 @@ object ScaleProbe {
     // exchange carries at 100 TB.
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
     val li = Tables.load(spark, sfDir, "lineitem")
     val nLi = li.count()
     val sel = Tables.load(spark, sfDir, "orders")
@@ -183,8 +184,12 @@ object ScaleProbe {
     println(f"[probe] bloom-join lineitem=$nLi%-9d sel_orders=$nSel%-7d " +
       f"surviving=$surviving (${100.0 * surviving / nLi}%.1f%% of fact side) " +
       f"plain=$tPlain%.1fs pruned=$tPruned%.1fs (incl. build)")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-
-    spark.stop()
+    } finally {
+      // restore even if an action or the result-equality require throws,
+      // so a failed probe doesn't leave the session with broadcast joins
+      // disabled (and always release the JVM's executor threads)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.stop()
+    }
   }
 }

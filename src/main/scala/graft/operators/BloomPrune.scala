@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * The bitset build is itself distributed: each build row emits its k
   * bit positions, positions reduce to at most `numBits/64` (word,
   * OR-mask) rows via a map-side-combined `bit_or` aggregate, and only
-  * that bounded word array is collected (2 KiB–2 MiB for any sane m) —
-  * never the keys. The probe-side test is pure built-in expressions
+  * that bounded word array is collected (128 B–16 MiB by the bitsFor
+  * clamp; warned above 1 MiB) — never the keys. The probe-side test is pure built-in expressions
   * (xxhash64 / shiftleft / element_at on an array literal), so it stays
   * inside whole-stage codegen and costs k hashes + k word probes per
   * row.
@@ -29,18 +29,30 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Smallest power-of-two bit count for `expectedItems` keys at false
-    * positive rate `fpp`, clamped to [2^10, 2^30] (128 B – 128 MiB).
+    * positive rate `fpp`, clamped to [2^10, 2^27] (128 B – 16 MiB).
+    * The word array rides the plan as a literal shipped with every task
+    * binary, so the upper clamp is deliberately tight; sizings above
+    * 2^23 bits (1 MiB) log a warning — past that point a real deployment
+    * should prefer a semi-join or accept a higher fpp (false positives
+    * only cost shuffle bytes, never correctness).
     */
   def bitsFor(expectedItems: Long, fpp: Double = 0.01): Int = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1)
     val m = math.ceil(-expectedItems * math.log(fpp) /
       (math.log(2) * math.log(2)))
-    val clamped = math.min(math.max(m, 1L << 10), 1L << 30).toLong
-    java.lang.Long.highestOneBit(clamped - 1) << 1 match {
+    val clamped = math.min(math.max(m, 1L << 10), 1L << 27).toLong
+    val bits = java.lang.Long.highestOneBit(clamped - 1) << 1 match {
       case 0 => 1 << 10
       case b => b.toInt
     }
+    if (bits > (1 << 23))
+      log.warn(s"bloom filter sized to $bits bits (${bits / 8 >> 20} MiB) " +
+        s"for $expectedItems keys @ fpp=$fpp — this ships as a plan " +
+        "literal with every task; consider a coarser fpp or a semi-join")
+    bits
   }
 
   /** Optimal hash count for a filter of `numBits` over `expectedItems`,
@@ -138,9 +150,26 @@ object BloomPrune {
       expectedBuildRows: Long, fpp: Double = 0.01): DataFrame = {
     val numBits = bitsFor(expectedBuildRows, fpp)
     val numHashes = hashesFor(numBits, expectedBuildRows)
-    val words = buildBitset(build, col(buildKey), numBits, numHashes)
+    val words = buildBitset(build, build(buildKey), numBits, numHashes)
+    // keys bound to their source frames so resolution stays exact even
+    // when probeKey == buildKey or a name appears on both sides
     probe
-      .where(mightContain(col(probeKey), words, numHashes))
-      .join(build, col(probeKey) === col(buildKey))
+      .where(mightContain(probe(probeKey), words, numHashes))
+      .join(build, probe(probeKey) === build(buildKey))
+  }
+
+  /** [[pruneJoin]] with the filter auto-sized from a count of the build
+    * side. The count is one extra action over the side that is by
+    * premise already small and filtered (that's why it's the build
+    * side); cache `build` if the recompute matters. Sizing from the true
+    * cardinality keeps the measured fpp at the target instead of
+    * trusting a caller estimate that drifts as upstream filters change.
+    */
+  def pruneJoinAuto(
+      probe: DataFrame, build: DataFrame,
+      probeKey: String, buildKey: String,
+      fpp: Double = 0.01): DataFrame = {
+    val n = math.max(build.where(build(buildKey).isNotNull).count(), 1L)
+    pruneJoin(probe, build, probeKey, buildKey, n, fpp)
   }
 }

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * partition-at-a-time batches, stable schema in and out, no shuffle).
   *
   * Image decode is REAL (JDK javax.imageio: PNG/JPEG/GIF/BMP decode,
-  * bounded resize, pixel checksum). Audio/video codecs are NOT in this
-  * container, so those paths use a clearly marked STUB — a
-  * deterministic fake that consumes the real bytes. Everything around
-  * the codec — schema, encoders, partition batching, per-kind
-  * dispatch, downstream aggregation — is the real pipeline and is
-  * tested (including a real in-spec PNG).
+  * bounded resize, pixel checksum). Audio decode is REAL for the
+  * JDK-supported container formats (javax.sound.sampled: WAV/AIFF/AU,
+  * including the µ-law/a-law encodings AU carries): sample rate,
+  * channels, PCM frame count, duration, PCM checksum. Video codecs and
+  * compressed audio (MP3/AAC/OGG) are NOT in the JDK, so those paths
+  * use a clearly marked STUB — a deterministic fake that consumes the
+  * real bytes. Everything around the codecs — schema, encoders,
+  * partition batching, per-kind dispatch, downstream aggregation — is
+  * the real pipeline and is tested (including a real in-spec PNG and a
+  * real in-spec WAV/AIFF/AU triple).
   */
 object Multimodal {
 
@@ -82,11 +86,89 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
+  /** Decoded audio: the typed feature row a real audio pipeline wants.
+    * Separate from [[MediaFeatures]] (whose schema is shared with
+    * image/video) so sample rate / channels / duration are first-class
+    * columns, not squeezed into width/height fields.
+    */
+  final case class AudioFeatures(
+      media_id: Long, sample_rate: Int, channels: Int,
+      pcm_frames: Long, duration_ms: Long, pcm_checksum: Long)
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (WAV, AIFF,
+    * AU containers; PCM plus the µ-law/a-law encodings AU carries are
+    * transcoded to signed PCM first). The checksum folds endian-
+    * normalized, sign-extended SAMPLE VALUES — not container bytes —
+    * so identical content in WAV (little-endian) and AIFF (big-endian)
+    * yields the identical checksum: the decode is content-defined.
+    * Returns None for non-audio kinds and for payloads the JDK can't
+    * parse (MP3/AAC/OGG, synthetic bytes), falling back to the stub.
+    * Streams through a bounded buffer — never materializes the full
+    * PCM — so arbitrarily long clips decode in constant memory inside
+    * mapPartitions.
+    */
+  private def javaSoundDecode(m: MediaRecord): Option[AudioFeatures] = {
+    if (m.kind != "audio") return None
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.bytes))
+      try {
+        val pcmIn =
+          if (in.getFormat.getEncoding == AudioFormat.Encoding.PCM_SIGNED) in
+          else AudioSystem.getAudioInputStream(
+            AudioFormat.Encoding.PCM_SIGNED, in)
+        val fmt = pcmIn.getFormat
+        val bps = math.max(fmt.getSampleSizeInBits / 8, 1)
+        val big = fmt.isBigEndian
+        // AudioInputStream.read returns whole frames and a frame is
+        // channels × bps bytes, so a bps-aligned buffer never splits a
+        // sample across reads
+        val buf = new Array[Byte](8192 - 8192 % (bps * fmt.getChannels))
+        var sum = 1125899906842597L
+        var total = 0L
+        var n = pcmIn.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) {
+            var v = 0
+            var b = 0
+            while (b < bps) {
+              v = (v << 8) | (buf(i + (if (big) b else bps - 1 - b)) & 0xff)
+              b += 1
+            }
+            val shift = 32 - 8 * bps
+            sum = sum * 31 + ((v << shift) >> shift)
+            i += bps
+          }
+          total += n
+          n = pcmIn.read(buf)
+        }
+        val frames = total / math.max(fmt.getFrameSize, 1)
+        val rate = math.round(fmt.getSampleRate)
+        val durationMs = if (rate > 0) frames * 1000L / rate else 0L
+        Some(AudioFeatures(m.media_id, rate, fmt.getChannels, frames,
+          durationMs, sum))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Typed audio-decode stage: WAV/AIFF/AU payloads decode for real;
+    * everything else is dropped (use [[decodeFeatures]] for the
+    * stub-backed all-kinds path). Narrow, no shuffle.
+    */
+  def decodeAudio(media: DataFrame)
+                 (implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap(javaSoundDecode))
+  }
+
   // ──────────────────────────── STUB ────────────────────────────
-  // Fallback for audio/video (no codec libs in the JDK) and for
-  // payloads that aren't decodable images. Deterministic in the
-  // payload so tests are stable, and it touches every byte — same
-  // memory-access shape as a real decode.
+  // Fallback for video and compressed audio (no MP3/AAC/OGG or video
+  // codec in the JDK) and for payloads that aren't decodable
+  // images/audio. Deterministic in the payload so tests are stable,
+  // and it touches every byte — same memory-access shape as a real
+  // decode.
   private def stubDecode(m: MediaRecord, targetW: Int, targetH: Int): MediaFeatures = {
     var sum = 1125899906842597L
     var i = 0
@@ -109,9 +191,17 @@ object Multimodal {
   def decodeFeatures(media: DataFrame, targetW: Int = 256, targetH: Int = 256)
                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions(_.map(m =>
+    media.as[MediaRecord].mapPartitions(_.map { m =>
       imageIoDecode(m, targetW, targetH)
-        .getOrElse(stubDecode(m, targetW, targetH))))
+        .orElse(javaSoundDecode(m).map(a =>
+          // audio in the shared schema: checksum is the DECODED-PCM
+          // checksum, n_frames the PCM frame count (clamped to Int);
+          // width/height stay the metadata passthrough, as in the stub
+          MediaFeatures(m.media_id, m.kind, m.bytes.length, a.pcm_checksum,
+            math.min(m.width, targetW), math.min(m.height, targetH),
+            math.min(a.pcm_frames, Int.MaxValue.toLong).toInt)))
+        .getOrElse(stubDecode(m, targetW, targetH))
+    })
   }
 
   /** Per-kind rollup of extracted features. */

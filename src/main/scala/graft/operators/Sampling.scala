@@ -31,40 +31,93 @@ object Sampling {
     * Output: the input row plus `sample_key`, the k winners, ordered
     * by (sample_key, id). One TakeOrdered — no shuffle of the corpus.
     */
+  /** The best-of-w-draws key shared by [[weightedSample]] and
+    * [[weightedStratifiedSample]].
+    *
+    * hash(id, draw) in a 30-bit-safe domain: (id + draw·7919) stays
+    * far below 2^31 for any realistic id, the 2654435761 multiply
+    * below 2^62 — no overflow under ANSI mode. The draw stride MUST
+    * NOT be a multiple of the output modulus 1000003: a stride
+    * divisible by it cancels in the final mod and every draw
+    * collapses to the same value (no weighting at all) — 7919 is
+    * prime and coprime to both moduli.
+    *
+    * Enforces the positive-integer contract AT RUNTIME, per row: a
+    * zero/negative weight makes the 2-arg sequence(1, w) run
+    * DESCENDING (yielding 1+|1-w| draws — MORE aggressive sampling
+    * for the rows the caller meant to exclude), and a NULL weight
+    * yields a NULL key that sorts FIRST and monopolizes the top-k.
+    * Both are silent wrong-sample bugs; fail loudly instead.
+    * assert_true (not raise_error): Spark 4's raise_error(Column)
+    * desugars to the 2-child USER_RAISED_EXCEPTION form whose
+    * printed SQL doesn't re-parse (the SQL builder takes 1 arg), so
+    * it would break the SqlGen roundtrip; assert_true prints as the
+    * 2-arg SQL it parses from.
+    */
+  private def sampleKey(id: Column, weight: Column): Column = {
+    val guard = assert_true(weight.isNotNull && weight >= 1, concat(
+      lit("weightedSample: weight must be a positive integer, got "),
+      coalesce(weight.cast("string"), lit("NULL"))))
+    val checkedWeight = when(guard.isNull, weight)
+    array_min(transform(sequence(lit(1), checkedWeight),
+      r => pmod(
+        pmod(id + r * lit(7919L), lit(2147483647L)) *
+          lit(2654435761L),
+        lit(1000003L))))
+  }
+
   def weightedSample(
       df: DataFrame, idCol: String, weight: Column, k: Int): DataFrame = {
     require(k > 0)
     require(!df.columns.contains("sample_key"),
       "weightedSample: input already has a sample_key column")
-    // hash(id, draw) in a 30-bit-safe domain: (id + draw·7919) stays
-    // far below 2^31 for any realistic id, the 2654435761 multiply
-    // below 2^62 — no overflow under ANSI mode. The draw stride MUST
-    // NOT be a multiple of the output modulus 1000003: a stride
-    // divisible by it cancels in the final mod and every draw
-    // collapses to the same value (no weighting at all) — 7919 is
-    // prime and coprime to both moduli.
-    // Enforce the positive-integer contract AT RUNTIME, per row: a
-    // zero/negative weight makes the 2-arg sequence(1, w) run
-    // DESCENDING (yielding 1+|1-w| draws — MORE aggressive sampling
-    // for the rows the caller meant to exclude), and a NULL weight
-    // yields a NULL key that sorts FIRST and monopolizes the top-k.
-    // Both are silent wrong-sample bugs; fail loudly instead.
-    // assert_true (not raise_error): Spark 4's raise_error(Column)
-    // desugars to the 2-child USER_RAISED_EXCEPTION form whose
-    // printed SQL doesn't re-parse (the SQL builder takes 1 arg), so
-    // it would break the SqlGen roundtrip; assert_true prints as the
-    // 2-arg SQL it parses from.
-    val guard = assert_true(weight.isNotNull && weight >= 1, concat(
-      lit("weightedSample: weight must be a positive integer, got "),
-      coalesce(weight.cast("string"), lit("NULL"))))
-    val checkedWeight = when(guard.isNull, weight)
-    val key = array_min(transform(sequence(lit(1), checkedWeight),
-      r => pmod(
-        pmod(col(idCol) + r * lit(7919L), lit(2147483647L)) *
-          lit(2654435761L),
-        lit(1000003L))))
-    df.withColumn("sample_key", key)
+    df.withColumn("sample_key", sampleKey(col(idCol), weight))
       .orderBy(col("sample_key"), col(idCol))
       .limit(k)
+  }
+
+  /** Per-stratum integer-weighted sampling — [[weightedSample]]'s
+    * best-of-w-draws keys ranked WITHIN each stratum, k winners per
+    * stratum: the actual training-mix primitive ("5 docs per language,
+    * books weighted 8×"). Strata and weights compose freely because
+    * the key depends only on (id, weight), never on the stratum.
+    *
+    * Scale shape: a global TakeOrdered can't express per-stratum k,
+    * and the declarative window alternative (row_number over stratum)
+    * sorts EVERY row of every stratum. Instead the winners come from
+    * the bounded-heap topk_rows aggregate — map-side state is a
+    * k-heap per stratum, the exchange carries ≤ k rows per (stratum,
+    * input partition) — and the (tiny, ≤ k·|strata|) winner id set
+    * broadcast-joins back to recover full rows. No corpus-wide sort,
+    * no corpus-wide shuffle beyond the heap partials.
+    *
+    * Ranking contract matches weightedSample per stratum: ascending
+    * (sample_key, id); topk_rows ranks descending by ord with
+    * smaller-id tie-break, so ord = −sample_key (exact in double —
+    * keys are < 2^20). Output: input row + `sample_key`.
+    */
+  def weightedStratifiedSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      weight: Column, kPerStratum: Int): DataFrame = {
+    require(kPerStratum > 0)
+    require(!df.columns.contains("sample_key"),
+      "weightedStratifiedSample: input already has a sample_key column")
+    val idType = df.schema(idCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(idType.typeName),
+      s"weightedStratifiedSample needs an integral id column (the heap " +
+        s"packs ids as long); '$idCol' is $idType")
+    val keyed = df.withColumn("sample_key", sampleKey(col(idCol), weight))
+    val winners = keyed
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.TopK.topk(
+        negate(col("sample_key").cast("double")),
+        col(idCol).cast("long"), kPerStratum).as("_ws_top"))
+      .select(col(stratumCol).as("_ws_stratum"),
+        explode(col("_ws_top")).as("_ws_w"))
+      .select(col("_ws_stratum"), col("_ws_w.id").as("_ws_id"))
+    keyed.join(broadcast(winners),
+        keyed(idCol) === winners("_ws_id") &&
+          keyed(stratumCol) <=> winners("_ws_stratum"))
+      .drop("_ws_stratum", "_ws_id")
   }
 }

@@ -385,9 +385,9 @@ object Similarity {
     * Centroids are deliberately NOT updated — moving them would
     * reassign existing cells' contents (full rewrite). As the corpus
     * drifts from the build distribution, cell balance degrades;
-    * monitor per-cell counts and rebuild when skew warrants (the
-    * classic IVF maintenance contract). The appended frame must carry
-    * the same id/vector types as the original build.
+    * [[cellStats]] measures it and [[needsRebuild]] is the documented
+    * trigger (the classic IVF maintenance contract). The appended
+    * frame must carry the same id/vector types as the original build.
     */
   def appendToIvfIndex(
       df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
@@ -396,6 +396,50 @@ object Similarity {
     assignCells(df, idCol, vecCol, cents)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
+
+  /** Balance snapshot of a persisted IVF index. `skew` is the classic
+    * max/mean load factor: 1.0 is perfectly balanced; a probe of the
+    * heaviest cell costs `skew`× the balanced cost, so skew IS the
+    * worst-case probe-latency multiplier. Empty cells waste probe
+    * budget (an nProbe draw on one reads nothing).
+    */
+  final case class IvfCellStats(
+      nCells: Int, totalRows: Long, minCell: Long, maxCell: Long,
+      meanCell: Double, skew: Double, emptyCells: Int)
+
+  /** Per-cell row counts + skew for a persisted index — the monitoring
+    * half of the append-only maintenance contract. One count aggregate
+    * over the cells; the collect is bounded by nCells rows (cell is
+    * the partition column, so the scan prunes to footers + the cell
+    * directory listing, never the vector bytes).
+    */
+  def cellStats(
+      spark: org.apache.spark.sql.SparkSession, path: String): IvfCellStats = {
+    val nCells = readCentroids(spark, path).length
+    require(nCells > 0, s"cellStats: no centroids at $path")
+    val counts = spark.read.parquet(s"$path/cells")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val perCell = (0 until nCells).map(c => counts.getOrElse(c, 0L))
+    val total = perCell.sum
+    val mean = total.toDouble / nCells
+    IvfCellStats(
+      nCells = nCells, totalRows = total,
+      minCell = perCell.min, maxCell = perCell.max, meanCell = mean,
+      skew = if (mean > 0) perCell.max / mean else 0.0,
+      emptyCells = perCell.count(_ == 0L))
+  }
+
+  /** The rebuild trigger the append-only contract documents: rebuild
+    * when the heaviest cell costs more than `maxSkew`× the balanced
+    * probe (default 4×), or when over half the cells are empty (the
+    * corpus has drifted off the build centroids entirely). Thresholds
+    * are policy, not physics — expose them to the caller.
+    */
+  def needsRebuild(stats: IvfCellStats, maxSkew: Double = 4.0,
+      maxEmptyFrac: Double = 0.5): Boolean =
+    stats.skew > maxSkew ||
+      stats.emptyCells > stats.nCells * maxEmptyFrac
 
   /** Probe a persisted IVF index: rank the stored centroids against
     * the query (bounded nCells-row collect), then scan ONLY the

@@ -1116,6 +1116,38 @@ object Pipeline {
              |SELECT doc_id, source, sample_key FROM keyed
              |ORDER BY sample_key, doc_id LIMIT 60""".stripMargin)),
 
+    // weighted + stratified composed: k winners per stratum (lang),
+    // weights by source — the per-stratum heap replaces the global
+    // TakeOrdered (see Sampling.weightedStratifiedSample scaladoc);
+    // oracle replays the identical integer hashing per stratum with a
+    // per-partition row_number.
+    Q("t12_weighted_stratified_sample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val w = when(col("source")
+          .isin("src0", "src1", "src2", "src3", "src4"), 8).otherwise(1)
+        graft.operators.Sampling.weightedStratifiedSample(
+            docs, "doc_id", "lang", w, kPerStratum = 5)
+          .select(col("lang"), col("doc_id"), col("source"), col("sample_key"))
+          .orderBy("lang", "sample_key", "doc_id")
+      },
+      Some("""WITH keyed AS (
+             |  SELECT doc_id, lang, source,
+             |    list_min([((doc_id + r * 7919) % 2147483647)
+             |               * 2654435761 % 1000003
+             |              for r in range(1, (CASE WHEN source IN
+             |                ('src0','src1','src2','src3','src4')
+             |                THEN 8 ELSE 1 END) + 1)]) AS sample_key
+             |  FROM documents
+             |), ranked AS (
+             |  SELECT lang, doc_id, source, sample_key,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY sample_key, doc_id) AS rn
+             |  FROM keyed
+             |)
+             |SELECT lang, doc_id, source, sample_key FROM ranked
+             |WHERE rn <= 5 ORDER BY lang, sample_key, doc_id""".stripMargin)),
+
     // deterministic train/val/test split (hash-mod assignment)
     Q("t06_train_val_split",
       (s, dir) => {
@@ -1163,23 +1195,32 @@ object Pipeline {
              |FROM m GROUP BY kind ORDER BY kind""".stripMargin)),
 
     // end-to-end curation pipeline in ONE scan: exact-dedup survivor
-    // (min doc_id per text, window — no self-join), quality score and
-    // repetition fraction as inline column expressions (the Column
+    // (min doc_id per text-hash, window — no self-join), quality score
+    // and repetition fraction as inline column expressions (the Column
     // forms of t02/t11), then a per-(source, lang) keep count. The
     // single-pass shape is the point: a 100 TB curation run pays one
-    // read + one content-partition window + one small aggregate, not
-    // three materialized frames joined back together. Thresholds are
-    // corpus-calibrated (the synthetic word-soup runs dup-word-heavy).
+    // read + one content-hash window + one small aggregate, not three
+    // materialized frames joined back together. Two scale choices:
+    // (1) the window partitions on xxhash64(text) — d01's collision
+    // stance — so the exchange and in-partition sort compare 8-byte
+    // keys, never KB-MB documents; (2) the metric filters run BEFORE
+    // the window — legal because every duplicate shares the text, so a
+    // group passes or fails as a unit and min(doc_id) over the
+    // survivors equals min over the originals; with the hash key
+    // Catalyst could no longer prove that for us (the text-keyed form
+    // relied on filter-below-window pushdown), so the plan states it.
+    // Thresholds are corpus-calibrated (the synthetic word-soup runs
+    // dup-word-heavy).
     Q("c01_curate",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.load(s, dir, "documents")
         docs
-          .withColumn("_c_surv",
-            min("doc_id").over(Window.partitionBy("text")))
-          .where(col("doc_id") === col("_c_surv") &&
-            TextAnalysis.qualityScore(col("text")) >= 0.75 &&
+          .where(TextAnalysis.qualityScore(col("text")) >= 0.75 &&
             TextAnalysis.dupWordFrac(col("text")) <= 0.7)
+          .withColumn("_c_surv",
+            min("doc_id").over(Window.partitionBy(xxhash64(col("text")))))
+          .where(col("doc_id") === col("_c_surv"))
           .groupBy("source", "lang")
           .agg(count(lit(1)).as("n_kept"))
           .orderBy("source", "lang")

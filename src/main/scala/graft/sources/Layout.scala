@@ -75,46 +75,72 @@ object Layout {
     x
   }
 
-  /** Z-order (Morton) layout over TWO numeric columns — the
+  /** Generic Morton spread for N-dimension interleave: bit `j` of the
+    * (already bits-bounded) value lands at position `j*n + offset`.
+    * The 2-D mask-shift cascade above doesn't generalize to arbitrary
+    * stride, so this composes the spread from `bits` explicit
+    * shift/and/or builtins — a wider but still fully codegen'd
+    * expression tree (16 terms per dimension at the default width).
+    */
+  private def spreadBitsN(c: Column, bits: Int, n: Int, offset: Int): Column =
+    (0 until bits).map { j =>
+      shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), j * n + offset)
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-order (Morton) layout over N ≥ 2 numeric columns — the
     * multi-dimension data-skipping layout [[writeRangeSorted]] can't
     * give: range-sorting on x makes every file narrow in x but full-
-    * width in y, so y-predicates read everything. Interleaving the
-    * bits of both (rank-scaled) columns into one z-value and range-
-    * sorting on THAT bounds every file in BOTH dimensions (a z-curve
-    * interval is a union of small rectangles), so parquet min/max
-    * stats prune files for predicates on either column.
+    * width in every other dimension, so their predicates read
+    * everything. Interleaving the bits of all (rank-scaled) columns
+    * into one z-value and range-sorting on THAT bounds every file in
+    * EVERY dimension (a z-curve interval is a union of small
+    * hyper-rectangles), so parquet min/max stats prune files for
+    * predicates on any of the columns.
     *
-    * Scaling is min/max-linear into 16 bits per column, from ONE
-    * bounded 2-row aggregate (at 100 TB you'd reuse catalog stats).
-    * The z-value is a helper column, dropped from the written files.
-    * Skew note: heavily skewed columns want rank (ntile) scaling
-    * instead of linear; linear keeps the write single-pass and
-    * deterministic, which is what the oracle-less layout job needs.
+    * Scaling is min/max-linear into `min(16, 63/N)` bits per column
+    * (the per-dimension resolution falls as dimensions rise — the
+    * inherent z-order trade; past ~4 dims prefer fewer, better-chosen
+    * columns), from ONE bounded 2-row aggregate (at 100 TB you'd reuse
+    * catalog stats). The z-value is a helper column, dropped from the
+    * written files. Skew note: heavily skewed columns want rank
+    * (ntile) scaling instead of linear; linear keeps the write
+    * single-pass and deterministic, which is what the oracle-less
+    * layout job needs.
     */
   def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
-                    colX: String, colY: String): Unit = {
+                    cols: String*): Unit = {
+    val n = cols.length
     require(numFiles > 0)
+    require(n >= 2, s"writeZOrdered wants >= 2 columns, got $n " +
+      "(use writeRangeSorted for one)")
+    require(n <= 8, s"writeZOrdered: $n dims leaves < 8 bits of " +
+      "per-dimension resolution — pick the selective columns")
     require(!df.columns.contains("_z"),
       "writeZOrdered: input already has a _z column — rename it (the " +
         "helper z-value would silently replace and then drop it)")
+    val bits = math.min(16, 63 / n)
+    val maxVal = (1L << bits) - 1
     val Array(mins, maxs) = df.agg(
-      struct(min(col(colX)).cast("double"), min(col(colY)).cast("double")),
-      struct(max(col(colX)).cast("double"), max(col(colY)).cast("double")))
+      struct(cols.map(c => min(col(c)).cast("double")): _*),
+      struct(cols.map(c => max(col(c)).cast("double")): _*))
       .head().toSeq.map(_.asInstanceOf[org.apache.spark.sql.Row]).toArray
-    if (mins.isNullAt(0) || mins.isNullAt(1)) {
-      // empty input (or all-NULL layout columns): nothing to order —
+    if (cols.indices.exists(mins.isNullAt)) {
+      // empty input (or an all-NULL layout column): nothing to order —
       // write as-is, like the other layout jobs do on empty inputs
       df.write.mode("overwrite").parquet(path)
       return
     }
     def scale(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
-      else least(lit(65535L), greatest(lit(0L),
-        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * 65535.0)
+      else least(lit(maxVal), greatest(lit(0L),
+        floor((c.cast("double") - lit(lo)) / lit(hi - lo) * maxVal.toDouble)
           .cast("long")))
-    val z = spreadBits16(scale(col(colX), mins.getDouble(0), maxs.getDouble(0)))
-      .bitwiseOR(shiftleft(
-        spreadBits16(scale(col(colY), mins.getDouble(1), maxs.getDouble(1))), 1))
+    val z = cols.zipWithIndex.map { case (cn, d) =>
+      val scaled = scale(col(cn), mins.getDouble(d), maxs.getDouble(d))
+      // 2-D keeps the classic mask-shift cascade (5 ops/dim vs 16)
+      if (n == 2) shiftleft(spreadBits16(scaled), d)
+      else spreadBitsN(scaled, bits, n, d)
+    }.reduce(_ bitwiseOR _)
     df.withColumn("_z", z)
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))

@@ -13,7 +13,8 @@ class BloomPruneSpec extends SparkSpec {
     val k = BloomPrune.hashesFor(131072, 10000)
     assert(k >= 7 && k <= 10)
     assert(BloomPrune.bitsFor(1, 0.5) == 1024)          // lower clamp
-    assert(BloomPrune.bitsFor(Long.MaxValue, 1e-9) == (1 << 30)) // upper
+    // upper clamp keeps the plan-literal word array ≤ 16 MiB
+    assert(BloomPrune.bitsFor(Long.MaxValue, 1e-9) == (1 << 27))
   }
 
   test("mightContain has no false negatives") {
@@ -56,6 +57,36 @@ class BloomPruneSpec extends SparkSpec {
       "l_orderkey", "o_orderkey", expectedBuildRows = 1)
     val plain = lineitem.join(urgent, col("l_orderkey") === col("o_orderkey"))
     assertSameRows(pruned, plain)
+  }
+
+  test("pruneJoinAuto sizes from the true build count; measured fpp ≤ 2× target") {
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val urgent = Tables.load(spark, sfDir, "orders")
+      .where(col("o_orderpriority") === "1-URGENT")
+    val pruned = BloomPrune.pruneJoinAuto(lineitem, urgent,
+      "l_orderkey", "o_orderkey", fpp = 0.01)
+    val plain = lineitem.join(urgent, col("l_orderkey") === col("o_orderkey"))
+    assertSameRows(pruned, plain)
+    // measured fpp on a known-miss probe set: keys guaranteed absent
+    // from the build side, sized from its true cardinality
+    val n = urgent.count()
+    val nb = BloomPrune.bitsFor(n, 0.01)
+    val nh = BloomPrune.hashesFor(nb, n)
+    val words = BloomPrune.buildBitset(urgent, col("o_orderkey"), nb, nh)
+    val misses = (1000000000L until 1000020000L).toDF("k")
+    val fp = misses.where(BloomPrune.mightContain(col("k"), words, nh)).count()
+    val rate = fp.toDouble / 20000
+    assert(rate <= 0.02, s"measured fpp $rate above 2x the 1% sizing target")
+  }
+
+  test("pruneJoin resolves identically-named keys to their source frames") {
+    val probe = (0L until 1000L).toDF("k")
+    val build = Seq(3L, 7L, 500L, 999L).toDF("k")
+    val pruned = BloomPrune.pruneJoin(probe, build, "k", "k",
+      expectedBuildRows = 4)
+    assert(pruned.count() == 4)
+    assert(pruned.select(probe("k")).as[Long].collect().sorted
+      .sameElements(Array(3L, 7L, 500L, 999L)))
   }
 
   test("null probe keys are pruned, matching equi-join semantics") {

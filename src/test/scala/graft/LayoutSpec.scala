@@ -112,6 +112,34 @@ class LayoutSpec extends SparkSpec {
       s"x-sorted baseline unexpectedly bounded y: $yBase of $nFiles")
   }
 
+  test("z-order generalizes to 3 columns: every dimension stays bounded") {
+    val dir = tmp()
+    // three decorrelated pseudo-uniform coordinates from the id
+    val df = spark.range(20000).select(
+      col("id"),
+      (col("id") * 2654435761L % 65536).as("x"),
+      (col("id") * 40503L % 65536).as("y"),
+      (col("id") * 2246822519L % 65536).as("w"))
+    val nFiles = 16
+    Layout.writeZOrdered(df, s"$dir/z3", nFiles, "x", "y", "w")
+    assert(spark.read.parquet(s"$dir/z3").count() == 20000)
+    def fileRanges(path: String, c: String): Array[(Long, Long)] =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getPath).agg(min(c), max(c)).head()
+          (r.getLong(0), r.getLong(1))
+        }
+    // a 1/16-wide band on ANY of the three columns intersects at most
+    // half the files (an x-sorted layout would leave y and w bands
+    // hitting all 16); the 3-D bound is looser than 2-D because each
+    // dim gets a third of the interleaved bits, hence nFiles/2 + 2
+    for (c <- Seq("x", "y", "w")) {
+      val hit = fileRanges(s"$dir/z3", c).count { case (lo, _) => lo < 4096 }
+      assert(hit <= nFiles / 2 + 2,
+        s"$c-band intersects $hit of $nFiles 3-col z-ordered files")
+    }
+  }
+
   test("compact refuses in-place overwrite (would truncate its own input)") {
     val dir = java.nio.file.Files.createTempDirectory("layout-inplace").toString
     Tables.load(spark, sfDir, "region").write.mode("overwrite")

@@ -422,6 +422,37 @@ class SimilaritySpec extends SparkSpec {
     assert(stored.select("id").distinct().count() == emb.count())
   }
 
+  test("cellStats: balanced build passes; drifted appends trip needsRebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stats").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir, nCells = 8)
+    val before = Similarity.cellStats(spark, dir)
+    assert(before.nCells == 8 && before.totalRows == emb.count())
+    assert(before.minCell + before.maxCell > 0 &&
+      before.meanCell * 8 == before.totalRows)
+    // the synthetic corpus is near-uniform over the seeded cells: the
+    // documented 4x max/mean threshold must NOT fire on a fresh build
+    assert(!Similarity.needsRebuild(before),
+      s"fresh build should not need a rebuild: $before")
+    // drift: a batch of one repeated vector (10x the corpus) — every
+    // appended row assigns to the same stored centroid, the definition
+    // of distribution drift under append-only maintenance
+    val one = emb.orderBy("vec_id").limit(1)
+      .select($"embedding").head().getSeq[Float](0)
+    val n = emb.count() * 10
+    val drifted = spark.range(n)
+      .select(($"id" + 5000000L).as("vec_id"),
+        typedlit(one).cast("array<float>").as("embedding"))
+    Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", dir)
+    val after = Similarity.cellStats(spark, dir)
+    assert(after.totalRows == before.totalRows + n)
+    // the constant vector assigns to exactly one stored centroid, so
+    // some single cell absorbed the whole batch
+    assert(after.maxCell >= n,
+      s"the drifted batch must all land in one cell: $after")
+    assert(after.skew > 4.0 && Similarity.needsRebuild(after),
+      s"drifted append must trip the rebuild threshold: $after")
+  }
+
   test("kmeans centroids recover recall that lowest-id seeding loses on clustered vectors") {
     // 8 clusters along basis directions; ids laid out so the 16 LOWEST
     // ids all sit in cluster 0 — the adversarial-but-realistic case for
@@ -644,6 +675,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(uni.length == uni.distinct.length && uni.length == k)
   }
 
+  test("weighted stratified sampling: k per stratum, same ranking, heap not sort") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sfDir, "documents")
+    val w = when(col("source")
+      .isin("src0", "src1", "src2", "src3", "src4"), 8).otherwise(1)
+    val k = 5
+    val got = Sampling.weightedStratifiedSample(docs, "doc_id", "lang", w, k)
+    // exactly min(k, |stratum|) winners per stratum
+    val perStratum = got.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perStratum.keySet == sizes.keySet)
+    perStratum.foreach { case (lang, n) =>
+      assert(n == math.min(k.toLong, sizes(lang)), s"$lang got $n winners")
+    }
+    // within each stratum the winners equal weightedSample run on that
+    // stratum alone — strata compose without changing the ranking
+    val enOnly = Sampling.weightedSample(
+      docs.where(col("lang") === "en"), "doc_id", w, k)
+      .select("doc_id").as[Long].collect().toSeq
+    val enStrat = got.where(col("lang") === "en")
+      .orderBy("sample_key", "doc_id").select("doc_id").as[Long]
+      .collect().toSeq
+    assert(enStrat == enOnly,
+      s"per-stratum ranking diverged from weightedSample: $enStrat vs $enOnly")
+    // scale shape: the winners come from the bounded-heap aggregate
+    // (partial topk_rows), not a corpus-wide window sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_rows"),
+      s"expected map-side topk_rows partials:\n$plan")
+    assert(!plan.contains("Window"), s"no window sort expected:\n$plan")
+  }
+
   test("weighted sampling rejects zero/negative/null weights loudly") {
     import graft.operators.Sampling
     val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "source")
@@ -850,5 +914,57 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(0).checksum != feats(1).checksum)
     // audio with image bytes: stub path (frames 0, byte checksum)
     assert(feats(2).n_frames == 0)
+  }
+
+  test("real WAV/AIFF/AU audio decode is content-defined across containers") {
+    implicit val s = spark
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // author the SAME 16-bit mono 8 kHz signal into all three JDK
+    // containers, each in its native byte order (WAV little-endian,
+    // AIFF/AU big-endian) — the decode must agree on every field
+    // because it checksums sample values, not container bytes
+    val rate = 8000f
+    val nFrames = 1600
+    val samples = Array.tabulate(nFrames)(i => (math.sin(i * 0.05) * 12000).toShort)
+    def container(t: AudioFileFormat.Type, bigEndian: Boolean): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, bigEndian)
+      val pcm = new Array[Byte](nFrames * 2)
+      for (i <- 0 until nFrames) {
+        val v = samples(i)
+        if (bigEndian) { pcm(2 * i) = (v >> 8).toByte; pcm(2 * i + 1) = v.toByte }
+        else { pcm(2 * i) = v.toByte; pcm(2 * i + 1) = (v >> 8).toByte }
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong), t, out)
+      out.toByteArray
+    }
+    val wav = container(AudioFileFormat.Type.WAVE, bigEndian = false)
+    val aiff = container(AudioFileFormat.Type.AIFF, bigEndian = true)
+    val au = container(AudioFileFormat.Type.AU, bigEndian = true)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav, 0, 0, 0L, "wav"),
+      Multimodal.MediaRecord(2L, "audio", aiff, 0, 0, 0L, "aiff"),
+      Multimodal.MediaRecord(3L, "audio", au, 0, 0, 0L, "au"),
+      // same bytes, kind=video: no JDK codec, must take the stub path
+      Multimodal.MediaRecord(4L, "video", wav, 640, 480, 3000L, "wav")
+    ).toDS().toDF()
+
+    val af = Multimodal.decodeAudio(media).collect().sortBy(_.media_id)
+    assert(af.length == 3, "non-audio rows must be dropped by decodeAudio")
+    af.foreach { a =>
+      assert(a.sample_rate == 8000 && a.channels == 1)
+      assert(a.pcm_frames == nFrames && a.duration_ms == 200)
+    }
+    assert(af.map(_.pcm_checksum).distinct.length == 1,
+      "the same signal in WAV/AIFF/AU must produce the same PCM checksum")
+
+    // the shared-schema path also takes the real decode for audio
+    val mf = Multimodal.decodeFeatures(media).collect().sortBy(_.media_id)
+    assert(mf(0).n_frames == nFrames && mf(0).checksum == af(0).pcm_checksum)
+    assert(mf(1).checksum == mf(0).checksum && mf(2).checksum == mf(0).checksum)
+    // video: stub (1 fps frame sample over duration_ms), byte checksum
+    assert(mf(3).n_frames == 3 && mf(3).checksum != mf(0).checksum)
   }
 }

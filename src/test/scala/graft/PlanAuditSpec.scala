@@ -226,11 +226,13 @@ class PlanAuditSpec extends SparkSpec {
       s"build-side pushdown missing:\n$plan")
   }
 
-  test("c01: metric filters push below the survivor window") {
-    // quality/repetition predicates are functions of the window's
-    // partition key (text), so Catalyst must evaluate them BEFORE the
-    // content exchange — the filtered-out rows never pay the shuffle.
-    // If this regresses, c01 shuffles the full corpus text.
+  test("c01: metric filters below the survivor window; window keys on hash") {
+    // Two pins. (1) The quality/repetition predicates evaluate BEFORE
+    // the content exchange — filtered-out rows never pay the shuffle.
+    // (2) The window partitions on xxhash64(text), so the exchange and
+    // its in-partition sort compare 8-byte keys, not full documents —
+    // at 100 TB that is the difference between hashing and shipping
+    // KB-MB sort keys in the heaviest query of the suite.
     val plan = build("c01_curate").queryExecution.optimizedPlan.toString
     val lines = plan.linesIterator.toVector
     val windowIdx = lines.indexWhere(_.contains("Window ["))
@@ -239,6 +241,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(windowIdx >= 0 && metricFilterIdx >= 0, plan)
     assert(metricFilterIdx > windowIdx,
       s"metric filter should sit below (print after) the window:\n$plan")
+    val windowLine = lines(windowIdx)
+    assert(plan.contains("xxhash64(text"),
+      s"survivor window should partition on xxhash64(text):\n$plan")
+    assert(!windowLine.matches(""".*windowspecdefinition\(text#.*"""),
+      s"survivor window must not key on the raw document text:\n$plan")
   }
 
   test("q45: salted aggregation aggregates map-side in both phases") {

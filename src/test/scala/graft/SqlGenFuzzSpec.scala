@@ -153,4 +153,73 @@ class SqlGenFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("30 seeded LATERAL and interval-frame pipelines roundtrip through SqlGen") {
+    // round-5 added LateralJoin printing (comma + JOIN LATERAL forms)
+    // and interval RANGE frames, pinned by goldens and the fixed q48/
+    // q49 roundtrips; this composes them RANDOMLY — lateral body
+    // aggregate/predicate, join form, interval unit/width, frame
+    // bounds, downstream distinct/sort/limit — so the printer paths
+    // get the same continuous composition coverage as the rest.
+    Tables.register(spark, sfDir)
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(20260815L)
+
+    def rndLateral(): DataFrame = {
+      val agg = Seq("max", "min", "count", "sum")(rnd.nextInt(4))
+      val pred = rnd.nextInt(3) match {
+        case 0 => ""
+        case 1 => s" AND r_regionkey > ${rnd.nextInt(3)}"
+        case 2 => s" AND r_name LIKE '${('A' + rnd.nextInt(6)).toChar}%'"
+      }
+      val body = s"(SELECT $agg(r_regionkey) AS x FROM region " +
+        s"WHERE r_regionkey = n_regionkey$pred) t"
+      rnd.nextInt(3) match {
+        case 0 => spark.sql( // comma (inner) form
+          s"SELECT n_name, n_regionkey, t.x FROM nation, LATERAL $body")
+        case 1 => spark.sql( // outer form, ON TRUE
+          s"SELECT n_name, t.x FROM nation LEFT JOIN LATERAL $body ON TRUE")
+        case 2 => spark.sql( // join form with a real ON condition
+          s"SELECT n_name, t.x FROM nation JOIN LATERAL $body " +
+            "ON t.x IS NOT NULL")
+      }
+    }
+
+    def rndIntervalWindow(): DataFrame = {
+      val unit = Seq("MINUTE", "HOUR", "DAY")(rnd.nextInt(3))
+      val n = rnd.nextInt(5) + 1
+      val agg = Seq("count(*)", "sum(event_id)", "min(event_id)")(rnd.nextInt(3))
+      val frame = rnd.nextInt(3) match {
+        case 0 => s"RANGE BETWEEN INTERVAL $n $unit PRECEDING AND CURRENT ROW"
+        case 1 => s"RANGE BETWEEN CURRENT ROW AND INTERVAL $n $unit FOLLOWING"
+        case 2 => s"RANGE BETWEEN INTERVAL $n $unit PRECEDING " +
+          s"AND INTERVAL ${n + rnd.nextInt(3)} $unit FOLLOWING"
+      }
+      spark.sql("SELECT event_id, user_id, " +
+        s"$agg OVER (PARTITION BY user_id ORDER BY ts $frame) AS w " +
+        "FROM events WHERE event_id < 2000")
+    }
+
+    for (i <- 1 to 30) {
+      var df = if (rnd.nextBoolean()) rndLateral() else rndIntervalWindow()
+      if (rnd.nextBoolean()) df = df.distinct()
+      if (rnd.nextBoolean())
+        df = df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+          .limit(rnd.nextInt(20) + 1)
+      val sql =
+        try SqlGen.toSql(df)
+        catch {
+          case e: Throwable =>
+            fail(s"case $i: toSql failed for plan:\n" +
+              s"${df.queryExecution.analyzed}\n$e")
+        }
+      try assertSameRows(df, spark.sql(sql))
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException =>
+          fail(s"case $i roundtrip mismatch; sql=$sql\n${e.getMessage}")
+        case e: Throwable =>
+          fail(s"case $i re-parse failed; sql=$sql\n${e.getMessage}")
+      }
+    }
+  }
 }
