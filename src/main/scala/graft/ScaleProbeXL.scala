@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Order-of-magnitude scale probe (round 6): grow the CORPUS 10×
+  * beyond the round-5 probes while holding duplicate DENSITY fixed,
+  * and show runtime/candidates grow with the corpus, not its square.
+  *
+  * Why a new replication shape: [[ScaleProbe]] replicates every row
+  * rep× with shifted ids, so every copy duplicates every other — the
+  * true-pair count itself grows as rep²·n, and at rep=200 a probe
+  * couldn't distinguish "runtime tracks candidates" (the claim that
+  * carries to 100 TB) from "runtime tracks corpus²" (the failure it
+  * exists to catch): both predict the same curve. Here replication
+  * happens in GROUPS of 20 copies whose content is salted per group
+  * (documents: a group token interleaved between words, so the
+  * 3-token shingle sets of different groups are disjoint; embeddings:
+  * the vector circular-shifted by the group index, which preserves
+  * the norm and decorrelates groups), so a corpus replicated rep×
+  * holds rep/20 disjoint 20-copy duplicate families. Corpus grows
+  * 10×/30×/100×… while true pairs grow only 1×/3×/10× — the linear
+  * and quadratic hypotheses finally predict different curves, and
+  * three measured points per family show which one the operators
+  * follow.
+  *
+  * Families probed (same operators, same configs as the oracle paths,
+  * all in one process so the comparison is ambient-load-fair):
+  * dedup LSH, embedding LSH, cross-corpus decontamination (unsalted —
+  * its eval side is fixed, so growth is already linear by
+  * construction), batch-ANN over a persisted IVF index (files-read
+  * ratio), bloom runtime filter (surviving-row ratio at 10× the fact
+  * side).
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=16 \
+  *   sbt "runMain graft.ScaleProbeXL [rep...]"   (default 20 60 200)
+  */
+object ScaleProbeXL {
+  private val GroupSize = 20
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val reps: Seq[Int] =
+      if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(20, 60, 200)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.driver.memory", "48g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val d0 = docs.count()
+    val n0 = emb.count()
+    val dim = 64
+
+    /** documents replicated rep× in GroupSize-copy families: copy i
+      * gets shifted ids and the group token `zq<g>` interleaved
+      * between words — same shingle set within a family, disjoint
+      * shingle sets across families.
+      */
+    def saltedDocs(rep: Int): DataFrame =
+      (0 until rep).map { i =>
+        val g = i / GroupSize
+        docs.select(
+          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), " ", s" zq$g ").as("text"))
+      }.reduce(_ unionByName _)
+
+    /** embeddings replicated rep× in GroupSize-copy families: copy i
+      * circular-shifts the vector by its group index — norm-preserving
+      * and (for these pseudo-random vectors) decorrelated across
+      * families, exact twins within one.
+      */
+    def saltedEmb(rep: Int): DataFrame =
+      (0 until rep).map { i =>
+        val g = i / GroupSize
+        val vec =
+          if (g == 0) col("embedding")
+          else concat(slice(col("embedding"), g + 1, dim - g),
+            slice(col("embedding"), 1, g))
+        emb.select(
+          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+          vec.as("embedding"))
+      }.reduce(_ unionByName _)
+
+    // ── dedup LSH: pairs must scale with families (rep/20), not corpus² ──
+    for (rep <- reps) {
+      val big = saltedDocs(rep)
+      val t0 = System.nanoTime()
+      val nPairs = operators.Dedup.minhashDuplicates(
+        big, "doc_id", "text", shingleK = 3, numHashes = 128,
+        bands = 16, threshold = 0.5).count()
+      operators.Dedup.unpersistAll()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe-xl] minhash rep=$rep%-4d docs=${d0 * rep}%-8d " +
+        f"groups=${rep / GroupSize}%-3d pairs=$nPairs%-9d time=$sec%.1fs")
+    }
+
+    // ── embedding LSH: bitsPerBand=16 per the log2(corpus) rule ──
+    for (rep <- reps) {
+      val big = saltedEmb(rep)
+      val t0 = System.nanoTime()
+      val nPairs = operators.Similarity.cosineDuplicates(
+        big, "vec_id", "embedding", dim = dim, threshold = 0.4,
+        bands = 12, bitsPerBand = 16).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe-xl] cosine rep=$rep%-4d vectors=${n0 * rep}%-8d " +
+        f"groups=${rep / GroupSize}%-3d pairs=$nPairs%-9d time=$sec%.1fs")
+    }
+
+    // ── cross-corpus decontamination: eval fixed, train grows — the
+    // unsalted replication is already the right shape (cross-pair
+    // growth is linear in rep by construction) ──
+    val evalSplit = docs.where(col("doc_id") % 10 === 0)
+    val train1 = docs.where(col("doc_id") % 10 =!= 0)
+    for (rep <- reps) {
+      val train = (0 until rep).map { i =>
+        train1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+          col("text"))
+      }.reduce(_ unionByName _)
+      val t0 = System.nanoTime()
+      val nPairs = operators.Dedup.decontaminate(
+        train, evalSplit, "doc_id", "text").count()
+      operators.Dedup.unpersistAll()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe-xl] decontaminate rep=$rep%-4d " +
+        f"train=${train1.count() * rep}%-8d pairs=$nPairs%-9d time=$sec%.1fs")
+    }
+
+    // ── batch-ANN over a persisted IVF index at 400k vectors: the
+    // carrying metric is files read / total files ──
+    {
+      val rep = reps.max
+      val big = saltedEmb(rep)
+      val queries5 = emb.orderBy("vec_id").limit(5)
+      val dir = java.nio.file.Files.createTempDirectory("graft-xl-ivf").toString
+      val t1 = System.nanoTime()
+      operators.Similarity.writeIvfIndex(big, "vec_id", "embedding", dir,
+        nCells = 64)
+      val tBuild = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val probeDf = operators.Similarity.knnIvfBatchIndexed(spark, dir,
+        queries5, "vec_id", "embedding", k = 10, nProbe = 4)
+      val probeFiles = sources.Layout.filesRead(probeDf)
+      val tProbe = (System.nanoTime() - t2) / 1e9
+      val totalFiles = sources.Layout.filesRead(
+        spark.read.parquet(s"$dir/cells").select(count(lit(1))))
+      val stats = operators.Similarity.cellStats(spark, dir)
+      println(f"[probe-xl] batch-ann rep=$rep%-4d vectors=${n0 * rep}%-8d " +
+        f"build=$tBuild%.1fs probe=$tProbe%.1fs " +
+        f"files=$probeFiles/$totalFiles skew=${stats.skew}%.2f")
+    }
+
+    // ── bloom runtime filter at 10× the fact side: the surviving-row
+    // RATIO is the scale quantity — it must hold as the probe side
+    // grows, because it is what the exchange carries at 100 TB ──
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li1 = Tables.load(spark, sfDir, "lineitem")
+      val sel = Tables.load(spark, sfDir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 250000)
+      val nSel = math.max(sel.count(), 1)
+      val nb = operators.BloomPrune.bitsFor(nSel)
+      val nh = operators.BloomPrune.hashesFor(nb, nSel)
+      for (factor <- Seq(1, 10)) {
+        val li = (0 until factor).map(_ => li1).reduce(_ unionByName _)
+        val nLi = li.count()
+        val t0 = System.nanoTime()
+        val words = operators.BloomPrune.buildBitset(
+          sel, sel("o_orderkey"), nb, nh)
+        val pruned = li.where(
+          operators.BloomPrune.mightContain(col("l_orderkey"), words, nh))
+        val surviving = pruned.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[probe-xl] bloom fact=$nLi%-9d surviving=$surviving%-8d " +
+          f"(${100.0 * surviving / nLi}%.1f%%) time=$sec%.1fs (incl. build)")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.stop()
+    }
+  }
+}

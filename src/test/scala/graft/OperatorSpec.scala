@@ -706,6 +706,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("partial_topk_rows"),
       s"expected map-side topk_rows partials:\n$plan")
     assert(!plan.contains("Window"), s"no window sort expected:\n$plan")
+    // a NULL stratum is a real stratum (SQL GROUP BY semantics): the
+    // null-safe join-back must not drop its winners
+    val withNull = docs.withColumn("lang",
+      when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+    val nulls = Sampling.weightedStratifiedSample(
+        withNull, "doc_id", "lang", w, k)
+      .where(col("lang").isNull).count()
+    assert(nulls == k.toLong, s"null stratum kept $nulls of $k winners")
   }
 
   test("weighted sampling rejects zero/negative/null weights loudly") {
