@@ -441,6 +441,30 @@ object Similarity {
     stats.skew > maxSkew ||
       stats.emptyCells > stats.nCells * maxEmptyFrac
 
+  /** The rebuild itself: re-read the stored (id, vec) pairs, recompute
+    * centroids over the CURRENT corpus (k-means by default — the
+    * whole point of rebuilding is adapting to drift the stale
+    * centroids can't express), and write a fresh index at `newPath`.
+    * Writes to a NEW path on purpose: probes against oldPath stay
+    * correct throughout (the index is immutable-plus-append), and the
+    * atomic old→new swap is a catalog/pointer update owned by the
+    * caller — same contract as every compaction job here (see
+    * Layout.compact's in-place refusal; overwrite truncates before
+    * the lazy read runs).
+    */
+  def rebuildIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      oldPath: String, newPath: String, nCells: Int,
+      strategy: CentroidStrategy = KMeansCentroids()): Unit = {
+    require(new org.apache.hadoop.fs.Path(oldPath) !=
+        new org.apache.hadoop.fs.Path(newPath),
+      "rebuildIvfIndex: newPath must differ from oldPath (overwrite " +
+        "truncates the output before the read runs; swap pointers " +
+        "after the rebuild lands)")
+    val stored = spark.read.parquet(s"$oldPath/cells").select("id", "vec")
+    writeIvfIndex(stored, "id", "vec", newPath, nCells, strategy)
+  }
+
   /** Probe a persisted IVF index: rank the stored centroids against
     * the query (bounded nCells-row collect), then scan ONLY the
     * `nProbe` best cells' files. Same ranking contract as [[knnIvf]].

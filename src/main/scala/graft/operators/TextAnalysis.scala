@@ -246,6 +246,32 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
 
+  /** PII redaction patterns, applied in this order (email before IP —
+    * an address can embed digit runs; IP before phone — dotted quads
+    * must not half-match the phone shape; phone before bare digit
+    * runs). Every pattern lives in the Java-regex ∩ RE2 common subset
+    * (no backrefs, no lookaround, \b and \d mean the same), so the
+    * DuckDB oracle replays the byte-identical rewrite — which is what
+    * lets a redaction pass be oracle-GATED instead of spot-checked.
+    * Replacement tokens are angle-bracket tags a tokenizer keeps as
+    * rare types, the common convention for redacted training corpora.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{12,19}\\b" -> "<NUM>")
+
+  /** Scrub emails / IPv4s / phone-shaped numbers / long digit runs
+    * (card- and id-shaped) from a text column. Pure codegen'd
+    * regexp_replace chain — a no-shuffle mapper stage at 100 TB, like
+    * the other per-row text metrics.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+
   /** The full per-document analysis row. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -1293,6 +1293,55 @@ object Pipeline {
               |    AS flagged
               |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // PII redaction: the corpus itself is PII-free word soup, so each
+    // doc gets deterministic synthetic PII appended (email, dotted
+    // quad, 16-digit card, phone — all derived from doc_id), the
+    // operator scrubs it, and the redaction-tag counts + redacted
+    // length are compared. Patterns live in the Java-regex ∩ RE2
+    // common subset, so DuckDB replays the identical rewrite chain —
+    // the whole pass is oracle-GATED, not spot-checked. Per-row
+    // builtins only: a no-shuffle mapper stage at 100 TB.
+    Q("t13_pii_redaction",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val dirty = concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex.com ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 card 4111111111111111 tel 415-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val red = TextAnalysis.redactPii(dirty)
+        docs.select(col("doc_id"),
+          (size(split(red, "<EMAIL>", -1)) - 1).as("n_email"),
+          (size(split(red, "<IP>", -1)) - 1).as("n_ip"),
+          (size(split(red, "<PHONE>", -1)) - 1).as("n_phone"),
+          (size(split(red, "<NUM>", -1)) - 1).as("n_num"),
+          length(red).as("red_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dirty AS (
+             |  SELECT doc_id,
+             |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+             |    '@ex.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+             |    '.7 card 4111111111111111 tel 415-555-' ||
+             |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+             |  FROM documents
+             |), red AS (
+             |  SELECT doc_id,
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             |      '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+             |      '\b\d{12,19}\b', '<NUM>', 'g') AS r
+             |  FROM dirty
+             |)
+             |SELECT doc_id,
+             |  CAST(len(string_split(r, '<EMAIL>')) - 1 AS INT) AS n_email,
+             |  CAST(len(string_split(r, '<IP>')) - 1 AS INT) AS n_ip,
+             |  CAST(len(string_split(r, '<PHONE>')) - 1 AS INT) AS n_phone,
+             |  CAST(len(string_split(r, '<NUM>')) - 1 AS INT) AS n_num,
+             |  CAST(length(r) AS INT) AS red_len
+             |FROM red ORDER BY doc_id""".stripMargin)),
+
     // sharded concat-and-chunk packing manifest: chunk = the fixed
     // 2048-token sequence a doc's first token lands in when its shard
     // concatenates docs in id order. Window is partitioned on the

@@ -453,6 +453,45 @@ class SimilaritySpec extends SparkSpec {
       s"drifted append must trip the rebuild threshold: $after")
   }
 
+  test("rebuildIvfIndex: k-means over the drifted corpus restores balance") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-rb").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", s"$dir/v1", nCells = 8)
+    // drift: a 10x batch clustered near one direction, deterministic
+    // per-element noise so the cluster has real extent (k-means can
+    // split what identical copies would pin to a point)
+    val one = emb.orderBy("vec_id").limit(1)
+      .select($"embedding").head().getSeq[Float](0)
+    val n = emb.count() * 10
+    val noisy = transform(typedlit(one), (x, j) =>
+      x + (pmod(xxhash64($"vec_id" * 64 + j), lit(1000)) / lit(1000.0) -
+        lit(0.5)) * lit(0.2)).cast("array<float>")
+    val drifted = spark.range(n)
+      .select(($"id" + 5000000L).as("vec_id"), noisy.as("embedding"))
+    Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", s"$dir/v1")
+    val statsDrift = Similarity.cellStats(spark, s"$dir/v1")
+    assert(Similarity.needsRebuild(statsDrift), s"drift not visible: $statsDrift")
+
+    Similarity.rebuildIvfIndex(spark, s"$dir/v1", s"$dir/v2", nCells = 8)
+    val statsNew = Similarity.cellStats(spark, s"$dir/v2")
+    // nothing lost, balance restored: k-means places several centroids
+    // inside the dense drifted cluster, splitting the load the stale
+    // seeded centroids pinned to one cell
+    assert(statsNew.totalRows == statsDrift.totalRows)
+    assert(spark.read.parquet(s"$dir/v2/cells").select("id")
+      .distinct().count() == statsNew.totalRows)
+    assert(statsNew.skew < statsDrift.skew / 2,
+      s"rebuild should at least halve the skew: $statsDrift -> $statsNew")
+    assert(!Similarity.needsRebuild(statsNew),
+      s"rebuilt index still trips the threshold: $statsNew")
+    // the old index stays probe-able throughout (immutable contract)
+    val probeOld = Similarity.knnIvfIndexed(spark, s"$dir/v1", qv, 5, nProbe = 8)
+    assert(probeOld.count() == 5)
+    // in-place rebuild refused
+    val e = intercept[IllegalArgumentException](
+      Similarity.rebuildIvfIndex(spark, s"$dir/v2", s"$dir/v2", 8))
+    assert(e.getMessage.contains("swap pointers"))
+  }
+
   test("kmeans centroids recover recall that lowest-id seeding loses on clustered vectors") {
     // 8 clusters along basis directions; ids laid out so the 16 LOWEST
     // ids all sit in cluster 0 — the adversarial-but-realistic case for
@@ -731,6 +770,27 @@ class TextAnalysisSpec extends SparkSpec {
       assert(msgs(e).exists(_.contains("positive integer")),
         s"expected the weight-contract error, got: $e")
     }
+  }
+
+  test("redactPii scrubs emails, IPs, phones, digit runs; clean text unchanged") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "mail alice.smith+x@corp-mail.co.uk now"),
+      (2L, "server at 192.168.0.1 and 10.255.3.77 up"),
+      (3L, "call 415-555-0042 or 415.555.9999 today"),
+      (4L, "card 4111111111111111 acct 123456789012"),
+      (5L, "plain text with short 123 and 3.14 stays"),
+      (6L, "mixed: bob@x.io from 10.0.0.7 card 5500005555555559")
+    ).toDF("id", "t")
+    val got = rows.select($"id", TextAnalysis.redactPii($"t").as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "server at <IP> and <IP> up")
+    assert(got(3L) == "call <PHONE> or <PHONE> today")
+    assert(got(4L) == "card <NUM> acct <NUM>")
+    // no false positives on short numbers / decimals / clean prose
+    assert(got(5L) == "plain text with short 123 and 3.14 stays")
+    assert(got(6L) == "mixed: <EMAIL> from <IP> card <NUM>")
   }
 
   test("langId recognizes clear-cut samples and falls back to und") {
