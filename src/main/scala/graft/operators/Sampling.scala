@@ -120,4 +120,38 @@ object Sampling {
           keyed(stratumCol) <=> winners("_ws_stratum"))
       .drop("_ws_stratum", "_ws_id")
   }
+
+  /** Streaming twin of [[weightedStratifiedSample]]: a live winners
+    * leaderboard per stratum over an unbounded document stream — the
+    * ingest-time training-mix primitive ("the best k docs per
+    * language seen so far, books weighted 8×").
+    *
+    * The sample keys are stateless per-row functions of (id, weight),
+    * so the bounded topk_rows heap is the ONLY state: k entries per
+    * stratum, merged across micro-batches, O(k·|strata|) forever.
+    * Determinism buys the batch-twin contract: after ANY prefix of
+    * the stream the leaderboard holds exactly the batch sampler's
+    * winners over the rows seen so far, and a drained stream equals
+    * [[weightedStratifiedSample]] on the same corpus (spec-pinned,
+    * including mid-stream). Run with Complete output mode (the
+    * leaderboard is a revision, not an append).
+    *
+    * Emits one row per stratum: winner ids best-first plus their
+    * sample keys (so downstream can merge leaderboards by key).
+    */
+  def streamingWeightedStratifiedSample(
+      stream: DataFrame, idCol: String, stratumCol: String,
+      weight: Column, kPerStratum: Int): DataFrame = {
+    require(kPerStratum > 0)
+    stream
+      .withColumn("_ws_key", sampleKey(col(idCol), weight))
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.TopK.topk(
+        negate(col("_ws_key").cast("double")),
+        col(idCol).cast("long"), kPerStratum).as("_t"))
+      .select(col(stratumCol),
+        col("_t.id").as("winner_ids"),
+        transform(col("_t.ord"), o => negate(o).cast("long"))
+          .as("winner_keys"))
+  }
 }

@@ -466,6 +466,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weighted stratified sample equals the batch sampler, incl. mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Sampling
+    val heavy = Seq("src0", "src1", "src2", "src3", "src4")
+    def w = when(col("source").isin(heavy.map(lit): _*), 8).otherwise(1)
+    val k = 5
+    def batchWinners(df: org.apache.spark.sql.DataFrame): Map[String, List[Long]] =
+      Sampling.weightedStratifiedSample(df, "doc_id", "lang", w, k)
+        .orderBy("lang", "sample_key", "doc_id")
+        .select("lang", "doc_id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toList).toMap
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "lang", "source")
+    val mem = MemoryStream[(Long, String, String)]
+    val out = Sampling.streamingWeightedStratifiedSample(
+      mem.toDF().toDF("doc_id", "lang", "source"), "doc_id", "lang", w, k)
+    val q = out.writeStream.format("memory").queryName("swss")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      def streamed(): Map[String, List[Long]] = spark.table("swss").collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      val all = docs.as[(Long, String, String)].collect()
+      val (evens, odds) = all.partition(_._1 % 2 == 0)
+      // prefix consistency: after the first half, the leaderboard IS
+      // the batch sampler over that half
+      mem.addData(evens.toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchWinners(docs.where($"doc_id" % 2 === 0)))
+      // drained: equals the batch sampler over the full corpus — the
+      // heap state merged correctly across micro-batches
+      mem.addData(odds.toIndexedSeq: _*)
+      q.processAllAvailable()
+      assert(streamed() == batchWinners(docs))
+    } finally q.stop()
+  }
+
   test("batch sessionization on the real events table is consistent") {
     val ev = Tables.load(spark, sfDir, "events")
     val sessions = EventsStream.sessionizeBatch(ev, 30 * 60 * 1000L)
