@@ -716,4 +716,63 @@ object Similarity {
                      (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Semantic decontamination: training vectors whose cosine against
+    * ANY eval vector meets `threshold` — the embedding-space twin of
+    * [[graft.operators.Dedup.decontaminate]]. Text shingles catch
+    * verbatim and near-verbatim leakage; embeddings catch the
+    * paraphrase-level leakage a shingle Jaccard structurally misses —
+    * a benchmark answer reworded shares no 3-shingles but sits on the
+    * same embedding ray. Production decontamination runs BOTH.
+    *
+    * Candidates via cross-corpus sign-LSH: both sides band with the
+    * SAME seed-derived hyperplanes, so near-parallel vectors collide
+    * regardless of which corpus they sit in; the banding exchanges
+    * carry (id, band, sig) only, and the eval side is typically tiny
+    * (benchmarks), so the join broadcasts it. `maxBucketSize` is the
+    * |L|·|R| flood guard with the same both-sides stance as the text
+    * path: a (band, sig) key saturated on EITHER side is dropped from
+    * BOTH (embedding-space floods are real — all-zero vectors, a
+    * boilerplate template embedded 10⁵×). Exact cosine verify runs
+    * over the deduped candidates only.
+    * Output: (id_left, id_right, cosine) ≥ threshold.
+    */
+  def cosineDecontaminate(
+      train: DataFrame, eval: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bands: Int = 8, bitsPerBand: Int = 8,
+      maxBucketSize: Int = Int.MaxValue, seed: Long = 7L): DataFrame = {
+    val baseL = train.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val baseR = eval.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    def banded(b: DataFrame, idName: String) =
+      b.select(col("id").as(idName),
+        bandedSigs(col("vec"), bands, bitsPerBand, dim, seed)
+          .as(Seq("band", "sig")))
+    val bL0 = banded(baseL, "id_left")
+    val bR0 = banded(baseR, "id_right")
+    val (bL, bR) =
+      if (maxBucketSize == Int.MaxValue) (bL0, bR0)
+      else {
+        def oversized(b: DataFrame) =
+          b.groupBy("band", "sig").agg(count(lit(1)).as("n"))
+            .where(col("n") > maxBucketSize).select("band", "sig")
+        val bad = oversized(bL0).union(oversized(bR0)).distinct()
+        (bL0.join(bad, Seq("band", "sig"), "left_anti"),
+         bR0.join(bad, Seq("band", "sig"), "left_anti"))
+      }
+    val pairs = bL.as("a")
+      .join(bR.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .select(col("a.id_left"), col("b.id_right"))
+      .distinct()
+    pairs
+      .join(baseL.select(col("id").as("id_left"), col("vec").as("vec_l"),
+        VectorOps.norm(col("vec")).as("nrm_l")), "id_left")
+      .join(baseR.select(col("id").as("id_right"), col("vec").as("vec_r"),
+        VectorOps.norm(col("vec")).as("nrm_r")), "id_right")
+      .select(col("id_left"), col("id_right"),
+        when(col("nrm_l") * col("nrm_r") === 0d, 0d)
+          .otherwise(VectorOps.dot(col("vec_l"), col("vec_r")) /
+                     (col("nrm_l") * col("nrm_r"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
 }

@@ -187,6 +187,41 @@ object Pipeline {
     * Scala's Double.toString round-trips exactly through DuckDB's
     * literal parser.
     */
+  /** d09: cross-corpus (train × eval) replay of the same sign-LSH —
+    * identical inlined hyperplanes, split predicates instead of the
+    * within-corpus id ordering, and the exact cosine verify.
+    */
+  private lazy val d09OracleSql: String = {
+    val bands = 12; val bitsPerBand = 6; val seed = 7L; val dim = 64
+    val sigCols = (0 until bands).map { b =>
+      val ps = Similarity.planes(dim, bitsPerBand, seed + b)
+      val bits = ps.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"($bits) AS sig_$b"
+    }.mkString(",\n    ")
+    val collide = (0 until bands).map(b => s"a.sig_$b = b.sig_$b").mkString(" OR ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), s AS (
+       |  SELECT vec_id, v,
+       |    $sigCols
+       |  FROM e
+       |), pairs AS (
+       |  SELECT a.vec_id AS id_left, b.vec_id AS id_right,
+       |         a.v AS vl, b.v AS vr
+       |  FROM s a JOIN s b
+       |    ON a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0 AND ($collide)
+       |), scored AS (
+       |  SELECT id_left, id_right,
+       |    ${cosineSql("vl", "vr")} AS c
+       |  FROM pairs
+       |)
+       |SELECT id_left, id_right, ${r6sql("c")} AS cosine
+       |FROM scored WHERE c >= 0.4 ORDER BY id_left, id_right""".stripMargin
+  }
+
   private lazy val d05OracleSql: String = {
     val bands = 12; val bitsPerBand = 6; val seed = 7L; val dim = 64
     val sigCols = (0 until bands).map { b =>
@@ -488,6 +523,24 @@ object Pipeline {
           .orderBy("id_a", "id_b")
       },
       Some(d05OracleSql)),
+
+    // semantic (embedding-space) cross-corpus decontamination: the
+    // paraphrase-level twin of d07 — train vectors near-parallel to
+    // any eval vector. Same deterministic hyperplanes on both sides;
+    // oracle replays the cross-banding + cosine verify (d09OracleSql).
+    Q("d09_semantic_decontaminate",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.cosineDecontaminate(
+            emb.where(col("vec_id") % 10 =!= 0),
+            emb.where(col("vec_id") % 10 === 0),
+            "vec_id", "embedding", dim = 64, threshold = 0.4,
+            bands = 12, bitsPerBand = 6)
+          .select(col("id_left"), col("id_right"),
+            r6(col("cosine")).as("cosine"))
+          .orderBy("id_left", "id_right")
+      },
+      Some(d09OracleSql)),
 
     // exact brute-force cosine top-k. Oracle is the same scan+sort+k in
     // DuckDB, with the query vector looked up identically (lowest

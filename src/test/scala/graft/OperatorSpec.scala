@@ -422,6 +422,57 @@ class SimilaritySpec extends SparkSpec {
     assert(stored.select("id").distinct().count() == emb.count())
   }
 
+  test("cosineDecontaminate equals within-corpus pairs restricted to cross-split") {
+    // same hyperplanes, same collision condition, same verify ⇒ the
+    // cross-corpus result must be exactly the within-corpus near-dup
+    // pairs with one id on each side of the split
+    val cross = Similarity.cosineDecontaminate(
+        emb.where($"vec_id" % 10 =!= 0), emb.where($"vec_id" % 10 === 0),
+        "vec_id", "embedding", dim = 64, threshold = 0.4,
+        bands = 12, bitsPerBand = 6)
+      .select("id_left", "id_right").as[(Long, Long)].collect()
+      .map { case (l, r) => (math.min(l, r), math.max(l, r)) }.toSet
+    val full = Similarity.cosineDuplicates(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.4, bands = 12, bitsPerBand = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }.toSet
+    assert(cross == full)
+    assert(cross.nonEmpty, "the probe needs signal to be meaningful")
+  }
+
+  test("cosineDecontaminate bucket cap removes a template flood, keeps real pairs") {
+    // the embedding analogue of the text boilerplate flood: one
+    // template direction embedded 200x in train and 200x in eval.
+    // Every copy shares the template's (band, sig) keys, so uncapped
+    // banding carries 200x200 cross pairs from those buckets alone;
+    // the cap drops the saturated keys from BOTH sides. The contract
+    // (same stance as the d07 text probe): a capped flooded run
+    // restores exactly the clean corpus's verified pairs. Cap sizing
+    // differs from the text path on purpose: 6-bit sign-LSH has only
+    // 64 buckets per band, so ORGANIC occupancy runs far above text
+    // minhash buckets (measured here: a cap of 8 drops two real pairs
+    // whose only collisions sit in heavy organic buckets; 32 loses
+    // none); the rule is cap > organic max, well under the flood.
+    val template = Seq.tabulate(64)(j => if (j % 2 == 0) 1f else -1f)
+    val flood = (900000L until 900200L).map(i => (i, template))
+      .toDF("vec_id", "embedding")
+    val train = emb.where($"vec_id" % 10 =!= 0)
+      .select($"vec_id", $"embedding").unionByName(flood)
+    val ev = emb.where($"vec_id" % 10 === 0).select($"vec_id", $"embedding")
+      .unionByName(flood.select(($"vec_id" + 1000L).as("vec_id"), $"embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_left", "id_right").as[(Long, Long)].collect().toSet
+    val cleanPairs = pairs(Similarity.cosineDecontaminate(
+      emb.where($"vec_id" % 10 =!= 0), emb.where($"vec_id" % 10 === 0),
+      "vec_id", "embedding", dim = 64, threshold = 0.4,
+      bands = 12, bitsPerBand = 6))
+    val cappedFlood = pairs(Similarity.cosineDecontaminate(
+      train, ev, "vec_id", "embedding", dim = 64, threshold = 0.4,
+      bands = 12, bitsPerBand = 6, maxBucketSize = 32))
+    assert(cappedFlood == cleanPairs,
+      "the cap should remove exactly the flood and keep every real pair")
+  }
+
   test("cellStats: balanced build passes; drifted appends trip needsRebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stats").toString
     Similarity.writeIvfIndex(emb, "vec_id", "embedding", dir, nCells = 8)
