@@ -775,4 +775,64 @@ object Similarity {
                      (col("nrm_l") * col("nrm_r"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** Streaming semantic decontamination: flag streamed vectors whose
+    * cosine against ANY vector of a STATIC eval corpus meets
+    * `threshold` — the ingest-time twin of [[cosineDecontaminate]],
+    * built like the text path (Dedup.streamingDecontaminate) from
+    * stateless pieces only: the stream side's banding is a per-row
+    * projection (one kernel pass + posexplode), the join is
+    * stream-static, no watermark state. Per-batch work is O(batch):
+    * the banded static side (and its norms) persist in the streaming
+    * cache scope so micro-batches never recompute O(eval).
+    *
+    * `maxStaticBucketSize` is the static-side skew guard, applied
+    * ONCE at stream start: without it, a streamed template vector
+    * hitting a saturated eval bucket fans out |bucket| rows per
+    * colliding band, per batch, forever. (The stream side can't be
+    * capped statelessly; the static cap is what bounds the per-row
+    * fanout.) Cap sizing: sign-LSH buckets run organically heavier
+    * than text minhash buckets — see the SimilaritySpec flood spec.
+    *
+    * Output per batch: (id_left, id_right, cosine) ≥ threshold. A
+    * pair colliding in several bands emits once per band — a
+    * stateless stream can't dedup across rows (that would be a state
+    * store growing with the corpus); consumers dedup per sink batch
+    * (foreachBatch dropDuplicates) if they need exactly-one, same
+    * contract as the text path.
+    */
+  def streamingCosineDecontaminate(
+      stream: DataFrame, eval: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double, bands: Int = 8, bitsPerBand: Int = 8,
+      maxStaticBucketSize: Int = Int.MaxValue, seed: Long = 7L,
+      scope: Dedup.CacheScope = Dedup.streamingScope): DataFrame = {
+    val baseR = eval.select(col(idCol).as("id_right"), col(vecCol).as("vec"))
+    val bandedR0 = baseR.select(col("id_right"),
+      bandedSigs(col("vec"), bands, bitsPerBand, dim, seed)
+        .as(Seq("band", "sig")))
+    val bandedR = scope.persistTracked(
+      if (maxStaticBucketSize == Int.MaxValue) bandedR0
+      else bandedR0.join(
+        bandedR0.groupBy("band", "sig").agg(count(lit(1)).as("n"))
+          .where(col("n") <= maxStaticBucketSize).select("band", "sig"),
+        Seq("band", "sig"), "left_semi"))
+    val normR = scope.persistTracked(baseR.select(col("id_right"),
+      col("vec").as("vec_r"), VectorOps.norm(col("vec")).as("nrm_r")))
+    // stream side: vec + norm ride along with the banding projection,
+    // so the kernel and the norm run once per streamed row
+    val bandedL = stream.select(
+      col(idCol).as("id_left"), col(vecCol).as("vec_l"),
+      VectorOps.norm(col(vecCol)).as("nrm_l"),
+      bandedSigs(col(vecCol), bands, bitsPerBand, dim, seed)
+        .as(Seq("band", "sig")))
+    bandedL
+      .join(bandedR, Seq("band", "sig"))
+      .select(col("id_left"), col("id_right"), col("vec_l"), col("nrm_l"))
+      .join(normR, "id_right")
+      .select(col("id_left"), col("id_right"),
+        when(col("nrm_l") * col("nrm_r") === 0d, 0d)
+          .otherwise(VectorOps.dot(col("vec_l"), col("vec_r")) /
+                     (col("nrm_l") * col("nrm_r"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
 }

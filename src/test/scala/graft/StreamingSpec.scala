@@ -466,6 +466,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic decontamination flags near-parallel vectors, statelessly") {
+    import graft.operators.{Dedup, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 16
+    // eval vectors: two well-separated directions
+    def unit(axis: Int): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == axis) 1f else 0f)
+    val eval = Seq((100L, unit(0)), (101L, unit(7))).toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val scope = new Dedup.CacheScope
+    val flagged = Similarity.streamingCosineDecontaminate(
+      mem.toDF().toDF("vec_id", "embedding"), eval, "vec_id", "embedding",
+      dim = dim, threshold = 0.9, bands = 8, bitsPerBand = 4, scope = scope)
+    val q = flagged.writeStream.format("memory").queryName("scdecon")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      assert(scope.size == 2, s"expected banded + norm eval caches, got ${scope.size}")
+      mem.addData(
+        (1L, unit(0).map(_ * 3f)),                       // parallel to eval 100
+        (2L, Seq.tabulate(dim)(j => (j % 3 - 1).toFloat))) // unrelated
+      q.processAllAvailable()
+      // a batch caller's cleanup must not touch this stream's scope
+      Dedup.unpersistAll()
+      assert(scope.size == 2, "unpersistAll released streaming-owned caches")
+      mem.addData((3L, unit(7))) // exact copy of eval 101, later batch
+      q.processAllAvailable()
+      val out = spark.table("scdecon")
+        .select("id_left", "id_right").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 100L), (3L, 101L)), s"flags were $out")
+      val lastProgress = q.lastProgress
+      assert(lastProgress != null, "no progress after processAllAvailable")
+      assert(lastProgress.stateOperators.isEmpty,
+        "streaming semantic decontamination must be stateless, found: " +
+          lastProgress.stateOperators.mkString(", "))
+    } finally { q.stop(); scope.release() }
+  }
+
   test("streaming weighted stratified sample equals the batch sampler, incl. mid-stream") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Sampling
