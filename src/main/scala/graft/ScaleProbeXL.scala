@@ -43,10 +43,11 @@ object ScaleProbeXL {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val reps: Seq[Int] =
       if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(20, 60, 200)
+    // heap comes from build.sbt's fork JVM opts — spark.driver.memory
+    // set at builder time is a no-op for an already-started local JVM
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory", "48g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -122,9 +122,13 @@ object Multimodal {
         val bps = math.max(fmt.getSampleSizeInBits / 8, 1)
         val big = fmt.isBigEndian
         // AudioInputStream.read returns whole frames and a frame is
-        // channels × bps bytes, so a bps-aligned buffer never splits a
-        // sample across reads
-        val buf = new Array[Byte](8192 - 8192 % (bps * fmt.getChannels))
+        // channels × bps bytes, so a frame-aligned buffer never splits
+        // a sample across reads; the outer max keeps the buffer at
+        // least one frame even for absurd channel counts (a zero-length
+        // buffer would end the loop after reading nothing)
+        val frameBytes = bps * math.max(fmt.getChannels, 1)
+        val buf = new Array[Byte](
+          math.max(frameBytes, 8192 - 8192 % frameBytes))
         var sum = 1125899906842597L
         var total = 0L
         var n = pcmIn.read(buf)
