@@ -246,6 +246,33 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("term").asc)
       .limit(k)
 
+  /** Character-trigram uniqueness: distinct char 3-grams / total char
+    * 3-grams over the lowercased text — the char-level repetitiveness
+    * signal word-level metrics (t11) structurally miss ("abababab…"
+    * has one distinct word but also only two distinct trigrams; a
+    * keyboard-mash filler string fools word dedup but not this).
+    * Low uniqueness ⇒ templated/repetitive content. Pure per-row
+    * builtins (sequence + substr + array_distinct) — O(len) per row,
+    * a no-shuffle mapper stage, and string-exact across engines (no
+    * hashing, no floats until the final ratio).
+    * Texts under 3 chars have no trigrams: count 0, fraction 0.
+    */
+  def trigramStats(text: Column): (Column, Column, Column) = {
+    val t = lower(text)
+    val n = length(t)
+    // 2-arg sequence runs DESCENDING for n-2 < 1 (the t10 trap), so
+    // the empty case is guarded out rather than clamped
+    val grams = when(n >= 3,
+      transform(sequence(lit(1), (n - 2).cast("int")),
+        i => t.substr(i, lit(3))))
+      .otherwise(typedlit(Seq.empty[String]))
+    val total = (n - 2).cast("long")
+    val distinctN = size(array_distinct(grams)).cast("long")
+    (when(n >= 3, total).otherwise(0L),
+     when(n >= 3, distinctN).otherwise(0L),
+     when(n >= 3, distinctN.cast("double") / total).otherwise(0d))
+  }
+
   /** PII redaction patterns, applied in this order (email before IP —
     * an address can embed digit runs; IP before phone — dotted quads
     * must not half-match the phone shape; phone before bare digit

@@ -1346,6 +1346,37 @@ object Pipeline {
               |    AS flagged
               |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // char-trigram uniqueness: the char-level repetitiveness signal
+    // word-level t11 misses. Counts are string-exact across engines;
+    // the only float is the final ratio (r6-rounded).
+    Q("t14_trigram_uniqueness",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val (total, distinctN, frac) = TextAnalysis.trigramStats(col("text"))
+        docs.select(col("doc_id"),
+            total.as("n_trigrams"),
+            distinctN.as("n_distinct"),
+            r6(frac).as("uniq_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, lower(text) AS t, length(text) AS n
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id,
+             |    CASE WHEN n >= 3 THEN n - 2 ELSE 0 END AS n_trigrams,
+             |    CASE WHEN n >= 3 THEN len(list_distinct(
+             |      [substr(t, i, 3) for i in range(1, n - 1)]))
+             |      ELSE 0 END AS n_distinct
+             |  FROM t
+             |)
+             |SELECT doc_id,
+             |  CAST(n_trigrams AS BIGINT) AS n_trigrams,
+             |  CAST(n_distinct AS BIGINT) AS n_distinct,
+             |  ${r6sql("CASE WHEN n_trigrams >= 1 THEN CAST(n_distinct AS DOUBLE) / n_trigrams ELSE 0 END")}
+             |    AS uniq_frac
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
     // PII redaction: the corpus itself is PII-free word soup, so each
     // doc gets deterministic synthetic PII appended (email, dotted
     // quad, 16-digit card, phone — all derived from doc_id), the

@@ -823,6 +823,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("trigramStats flags char-level repetition word metrics miss") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "abababababababab"),     // 14 trigrams, 2 distinct (aba, bab)
+      (2L, "the quick brown fox"),  // natural text: high uniqueness
+      (3L, "ab"),                   // under 3 chars: no trigrams
+      (4L, "")                      // empty
+    ).toDF("id", "t")
+    val (total, distinctN, frac) = TextAnalysis.trigramStats($"t")
+    val got = rows.select($"id", total.as("n"), distinctN.as("d"),
+        frac.as("f")).as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((14L, 2L, 2.0 / 14)))
+    assert(got(2L)._1 == 17L && got(2L)._3 > 0.9)
+    assert(got(3L) == ((0L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    // the word-level metric sees "ababab…" as ONE word, zero repetition
+    val dwf = rows.where($"id" === 1L)
+      .select(TextAnalysis.dupWordFrac($"t")).head().getDouble(0)
+    assert(dwf == 0.0, "word-level metric should miss char-level repetition")
+  }
+
   test("redactPii scrubs emails, IPs, phones, digit runs; clean text unchanged") {
     import graft.operators.TextAnalysis
     val rows = Seq(
