@@ -251,23 +251,27 @@ object TextAnalysis {
     * signal word-level metrics (t11) structurally miss ("abababab…"
     * has one distinct word but also only two distinct trigrams; a
     * keyboard-mash filler string fools word dedup but not this).
-    * Low uniqueness ⇒ templated/repetitive content. Pure per-row
-    * builtins (sequence + substr + array_distinct) — O(len) per row,
-    * a no-shuffle mapper stage, and string-exact across engines (no
-    * hashing, no floats until the final ratio).
+    * Low uniqueness ⇒ templated/repetitive content.
+    *
+    * The distinct count rides the codegen'd CharNgramHashes kernel —
+    * one native pass over the codepoints, never materializing gram
+    * strings (the HOF substr/array_distinct formulation measured
+    * 13.6 s over sf0.1 documents; the kernel is the t04/d04 path and
+    * runs with the rest of the sub-second text metrics). Counting
+    * distinct 64-bit FNV hashes instead of distinct strings is the
+    * d01 collision stance: a collision would undercount by one with
+    * probability ~grams²/2⁶⁵, and the string-exact DuckDB oracle
+    * would catch exactly that. No shuffle, O(len) per row.
     * Texts under 3 chars have no trigrams: count 0, fraction 0.
     */
   def trigramStats(text: Column): (Column, Column, Column) = {
     val t = lower(text)
     val n = length(t)
-    // 2-arg sequence runs DESCENDING for n-2 < 1 (the t10 trap), so
-    // the empty case is guarded out rather than clamped
-    val grams = when(n >= 3,
-      transform(sequence(lit(1), (n - 2).cast("int")),
-        i => t.substr(i, lit(3))))
-      .otherwise(typedlit(Seq.empty[String]))
     val total = (n - 2).cast("long")
-    val distinctN = size(array_distinct(grams)).cast("long")
+    // the kernel hashes the whole text as one gram when len < n, so
+    // the short-text case is guarded out rather than special-cased
+    val distinctN = size(
+      graft.functions.TextKernelOps.charNgramHashes(t, 3)).cast("long")
     (when(n >= 3, total).otherwise(0L),
      when(n >= 3, distinctN).otherwise(0L),
      when(n >= 3, distinctN.cast("double") / total).otherwise(0d))
