@@ -150,6 +150,50 @@ class EdgeCaseSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("round-6 text expressions are null-text safe") {
+    import graft.operators.TextAnalysis
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, null)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    // redaction of a null text is null (regexp_replace propagates),
+    // never an exception
+    assert(df.select(TextAnalysis.redactPii(col("text"))).head().isNullAt(0))
+    // trigram stats: a null length fails the n >= 3 guard into the
+    // otherwise branch — zeros, not nulls, so downstream filters on
+    // uniq_frac treat a null doc as maximally repetitive
+    val (total, distinctN, frac) = TextAnalysis.trigramStats(col("text"))
+    val r = df.select(total, distinctN, frac).head()
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getDouble(2) == 0.0)
+  }
+
+  test("weighted stratified sampling of an empty frame is empty") {
+    import graft.operators.Sampling
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "source")
+    assert(Sampling.weightedStratifiedSample(
+      empty, "doc_id", "lang", lit(1), 3).isEmpty)
+  }
+
+  test("semantic decontamination with an empty eval side finds nothing") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val out = Similarity.cosineDecontaminate(
+      emb, emb.where(lit(false)), "vec_id", "embedding",
+      dim = 64, threshold = 0.4, bands = 12, bitsPerBand = 6)
+    assert(out.isEmpty)
+  }
+
+  test("N-column z-order on an empty frame writes an empty directory, no crash") {
+    import graft.sources.Layout
+    val dir = java.nio.file.Files.createTempDirectory("edge-z3").toString
+    val empty = Seq.empty[(Long, Long, Long)].toDF("x", "y", "w")
+    Layout.writeZOrdered(empty, s"$dir/z", 4, "x", "y", "w")
+    assert(spark.read.parquet(s"$dir/z").count() == 0)
+  }
+
   test("repetition/curation expressions are null-text safe") {
     import graft.operators.TextAnalysis
     val df = spark.createDataFrame(
