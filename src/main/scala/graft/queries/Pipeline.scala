@@ -880,6 +880,41 @@ object Pipeline {
              |CAST(length(text) AS INT) AS n_len
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // training-mix budget allocation: per-source token counts → the
+    // per-source sampling rate realizing a uniform token budget ("cap
+    // every source at budget/n_sources tokens") — the planning step
+    // that precedes t10/t12's weighted draws. The corpus is touched
+    // by ONE map-side-combined aggregation; the global window runs
+    // over the already-aggregated per-source frame (≤ |sources| rows),
+    // so the no-global-window scale rule is not violated by it.
+    Q("t15_mix_allocation",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val perSource = docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+              .as("n_tokens"))
+        perSource
+          .withColumn("rate", r6(least(lit(1.0),
+            lit(100000.0) / count(lit(1)).over(Window.partitionBy()) /
+              col("n_tokens"))))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("rate"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source,
+              |    COUNT(*) AS n_docs,
+              |    CAST(SUM(len(list_filter(
+              |      regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+'),
+              |      x -> x <> ''))) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY source
+              |)
+              |SELECT source, n_docs, n_tokens,
+              |  ${r6sql("LEAST(1.0, 100000.0 / (SELECT COUNT(*) FROM t) / n_tokens)")}
+              |    AS rate
+              |FROM t ORDER BY source""".stripMargin)),
+
     // order-sensitive fingerprint → duplicate groups. The raw hash
     // value is engine-specific (xxhash64 words), so the oracle-checked
     // output is the fingerprint's *equality classes*: two docs share a
