@@ -49,6 +49,41 @@ object Layout {
     shaped.write.mode("overwrite").parquet(outPath)
   }
 
+  /** Compact a hive-partitioned directory partition-BY-partition:
+    * rows hash-shuffle on the partition columns so each output
+    * partition is written by as few tasks as its size needs, then
+    * `partitionBy` restores the directory layout. The per-partition
+    * file count is ⌈partition bytes / targetMB⌉ approximated
+    * globally: `maxRecordsPerFile` derived from the average row width
+    * caps any one file near targetMB even when partition sizes skew
+    * (a purely global `coalesce` would merge ACROSS partitions and
+    * re-fragment on write). Same in-place refusal as [[compact]].
+    */
+  def compactPartitioned(spark: SparkSession, inPath: String,
+      outPath: String, partitionCols: Seq[String],
+      targetMB: Int = 512): Unit = {
+    require(targetMB > 0 && partitionCols.nonEmpty)
+    require(new org.apache.hadoop.fs.Path(inPath) !=
+        new org.apache.hadoop.fs.Path(outPath),
+      "compactPartitioned: outPath must differ from inPath (overwrite " +
+        "truncates the output before the read runs — write to a " +
+        "staging dir and rename for in-place compaction)")
+    val df = spark.read.parquet(inPath)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rows = df.count()
+    // BigInt end to end: rows × targetMB × 2^20 overflows Long for
+    // catalog-scale row counts
+    val maxRecords =
+      if (rows == 0 || bytes <= 0) Long.MaxValue
+      else (BigInt(rows) * targetMB * 1024 * 1024 / bytes)
+        .max(1).min(BigInt(Long.MaxValue)).toLong
+    df.repartition(partitionCols.map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecords)
+      .partitionBy(partitionCols: _*)
+      .parquet(outPath)
+  }
+
   /** Write `df` range-partitioned and sorted on `sortCols` into
     * `numFiles` files: file i covers the i-th value range, so a
     * selective filter on the leading sort column scans ~1 file

@@ -140,6 +140,34 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compactPartitioned collapses per-partition small files, keeps the layout") {
+    val dir = tmp()
+    // fragment: 8 writer tasks per partition → ~8 files under each
+    // lang=... directory
+    val docs = Tables.load(spark, sfDir, "documents")
+    docs.repartition(8).write.partitionBy("lang").parquet(s"$dir/frag")
+    def filesPerPartition(root: String): Map[String, Int] =
+      new java.io.File(root).listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    val before = filesPerPartition(s"$dir/frag")
+    assert(before.values.forall(_ >= 4), s"baseline not fragmented: $before")
+
+    Layout.compactPartitioned(spark, s"$dir/frag", s"$dir/tidy",
+      Seq("lang"), targetMB = 512)
+    val after = filesPerPartition(s"$dir/tidy")
+    assert(after.keySet == before.keySet, "partition layout changed")
+    assert(after.values.forall(_ == 1),
+      s"small partitions should collapse to one file each: $after")
+    // nothing lost
+    assertSameRows(spark.read.parquet(s"$dir/tidy"),
+      spark.read.parquet(s"$dir/frag"))
+    // in-place refused
+    val e = intercept[IllegalArgumentException](
+      Layout.compactPartitioned(spark, s"$dir/tidy", s"$dir/tidy", Seq("lang")))
+    assert(e.getMessage.contains("staging"))
+  }
+
   test("compact refuses in-place overwrite (would truncate its own input)") {
     val dir = java.nio.file.Files.createTempDirectory("layout-inplace").toString
     Tables.load(spark, sfDir, "region").write.mode("overwrite")
