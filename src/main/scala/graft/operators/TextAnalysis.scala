@@ -277,6 +277,32 @@ object TextAnalysis {
      when(n >= 3, distinctN.cast("double") / total).otherwise(0d))
   }
 
+  /** C4-style line-level cleaning: keep a line iff it (a) has ≥ 3
+    * whitespace tokens, (b) ends in terminal punctuation (.!?" after
+    * trim), and (c) contains no template markers (lorem ipsum, braces
+    * — the classic code/boilerplate tells). Returns (cleaned text,
+    * kept count, dropped count); cleaned text joins the kept lines
+    * with newlines. All builtins (split + filter + array_join),
+    * per-row, no shuffle — the C4 rules are exactly the shape that
+    * must run as a mapper over 100 TB. Predicates use only
+    * cross-engine-identical string ops so the DuckDB oracle replays
+    * the rewrite verbatim.
+    */
+  def cleanLines(text: Column): (Column, Column, Column) = {
+    val lines = split(text, "\n")
+    def keepLine(l: Column): Column = {
+      val t = trim(l)
+      size(filter(split(t, " +"), w => w =!= "")) >= 3 &&
+        t.rlike("[.!?\"]$") &&
+        !lower(t).contains("lorem ipsum") &&
+        !t.contains("{") && !t.contains("}")
+    }
+    val kept = filter(lines, keepLine(_))
+    (array_join(kept, "\n"),
+     size(kept).cast("long"),
+     (size(lines) - size(kept)).cast("long"))
+  }
+
   /** PII redaction patterns, applied in this order (email before IP —
     * an address can embed digit runs; IP before phone — dotted quads
     * must not half-match the phone shape; phone before bare digit

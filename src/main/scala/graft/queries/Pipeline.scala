@@ -1412,6 +1412,54 @@ object Pipeline {
              |    AS uniq_frac
              |FROM g ORDER BY doc_id""".stripMargin)),
 
+    // C4-style line cleaning: the corpus is single-block word soup, so
+    // the query builds a structured doc per row (corpus text + a kept
+    // sentence, a too-short line, a braced template line, a
+    // doc-varying closer) and the operator strips the boilerplate.
+    // Rules replayed verbatim in DuckDB; counts + cleaned length
+    // gate the rewrite.
+    Q("t16_line_cleaning",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val structured = concat_ws("\n",
+          col("text"),
+          lit("This is a proper kept sentence."),
+          lit("Too short."),
+          lit("A brace { template line with many words."),
+          concat(lit("Doc "), col("doc_id").cast("string"),
+            lit(" has a unique closing line!")))
+        val (cleaned, nKept, nDropped) = TextAnalysis.cleanLines(structured)
+        docs.select(col("doc_id"),
+            nKept.as("n_kept"), nDropped.as("n_dropped"),
+            length(cleaned).as("clean_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    text || chr(10) || 'This is a proper kept sentence.'
+             |      || chr(10) || 'Too short.'
+             |      || chr(10) || 'A brace { template line with many words.'
+             |      || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR)
+             |      || ' has a unique closing line!' AS t
+             |  FROM documents
+             |), k AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(t, chr(10)), l ->
+             |      len(list_filter(regexp_split_to_array(trim(l), ' +'),
+             |        w -> w <> '')) >= 3
+             |      AND regexp_matches(trim(l), '[.!?"]$')
+             |      AND NOT contains(lower(trim(l)), 'lorem ipsum')
+             |      AND NOT contains(trim(l), '{')
+             |      AND NOT contains(trim(l), '}')) AS kept,
+             |    len(string_split(t, chr(10))) AS n_lines
+             |  FROM d
+             |)
+             |SELECT doc_id,
+             |  CAST(len(kept) AS BIGINT) AS n_kept,
+             |  CAST(n_lines - len(kept) AS BIGINT) AS n_dropped,
+             |  CAST(length(array_to_string(kept, chr(10))) AS INT) AS clean_len
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
     // PII redaction: the corpus itself is PII-free word soup, so each
     // doc gets deterministic synthetic PII appended (email, dotted
     // quad, 16-digit card, phone — all derived from doc_id), the

@@ -845,6 +845,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dwf == 0.0, "word-level metric should miss char-level repetition")
   }
 
+  test("cleanLines keeps prose, drops short/unpunctuated/template lines") {
+    import graft.operators.TextAnalysis
+    val doc = Seq(
+      "This line is a kept sentence.",
+      "no terminal punctuation here",
+      "Short one.",
+      "Lorem Ipsum dolor sit amet, the classic filler text.",
+      "function f() { return 42; }",
+      "  Surrounding spaces still count as a kept line!  ",
+      "Is a quoted ending kept too?\"",
+      ""
+    ).mkString("\n")
+    val (cleaned, kept, dropped) = TextAnalysis.cleanLines(lit(doc))
+    val r = Seq(1).toDF("x").select(cleaned, kept, dropped).head()
+    assert(r.getLong(1) == 3L && r.getLong(2) == 5L,
+      s"kept/dropped = ${r.getLong(1)}/${r.getLong(2)}")
+    val lines = r.getString(0).split("\n").toSeq
+    assert(lines.head == "This line is a kept sentence.")
+    assert(lines(1).trim.startsWith("Surrounding spaces"))
+    assert(lines(2).endsWith("\""))
+  }
+
   test("redactPii scrubs emails, IPs, phones, digit runs; clean text unchanged") {
     import graft.operators.TextAnalysis
     val rows = Seq(
