@@ -807,6 +807,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nulls == k.toLong, s"null stratum kept $nulls of $k winners")
   }
 
+  test("stratified/global sampler agreement holds under randomized configs") {
+    // the t12 spec pins one config; this sweeps seeded random
+    // (stratum column, k, weight expression) triples and demands the
+    // per-stratum winners always equal weightedSample run on that
+    // stratum alone — the composition law that makes strata and
+    // weights independently tunable
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rnd = new scala.util.Random(20260816L)
+    for (i <- 1 to 5) {
+      val stratum = if (rnd.nextBoolean()) "lang" else "source"
+      val k = rnd.nextInt(7) + 1
+      val w = rnd.nextInt(3) match {
+        case 0 => lit(rnd.nextInt(9) + 1)
+        case 1 => when(col("lang") === "en", rnd.nextInt(8) + 1).otherwise(1)
+        case 2 => (pmod(col("doc_id"), lit(5)) + 1).cast("int")
+      }
+      val gotMap = Sampling
+        .weightedStratifiedSample(docs, "doc_id", stratum, w, k)
+        .select(col(stratum), col("doc_id")).as[(String, Long)]
+        .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      for (s0 <- docs.select(stratum).distinct().as[String].collect()) {
+        val expect = Sampling.weightedSample(
+            docs.where(col(stratum) === s0), "doc_id", w, k)
+          .select("doc_id").as[Long].collect().toSet
+        assert(gotMap.getOrElse(s0, Set.empty) == expect,
+          s"case $i: stratum=$stratum k=$k value=$s0 diverged")
+      }
+    }
+  }
+
   test("weighted sampling rejects zero/negative/null weights loudly") {
     import graft.operators.Sampling
     val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "source")
