@@ -208,8 +208,8 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"full sort materialized:\n$plan")
   }
 
-  test("t11/t13/p01/p02: documents scan prunes to (doc_id, text)") {
-    for (q <- Seq("t11_repetition", "t13_pii_redaction",
+  test("t11/t13/t16/p01/p02: documents scan prunes to (doc_id, text)") {
+    for (q <- Seq("t11_repetition", "t13_pii_redaction", "t16_line_cleaning",
         "p01_pack_sequences", "p02_chunk_windows")) {
       val plan = explain(build(q))
       val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
@@ -218,6 +218,21 @@ class PlanAuditSpec extends SparkSpec {
         !readSchema.contains("n_chars"),
         s"$q column pruning failed: $readSchema")
     }
+  }
+
+  test("t15: documents scan prunes to (source, text); one partial aggregate") {
+    val df = build("t15_mix_allocation")
+    val plan = explain(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("source") && readSchema.contains("text") &&
+      !readSchema.contains("doc_id") && !readSchema.contains("lang"),
+      s"t15 column pruning failed: $readSchema")
+    // the corpus-touching aggregation combines map-side; the global
+    // window only ever sees the aggregated per-source frame
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("partial_count") ||
+      physical.contains("partial_sum"),
+      s"t15 aggregation not partial:\n$physical")
   }
 
   test("q43: orders-side filters push to the bloom build's scan") {
