@@ -39,6 +39,52 @@ object Sources {
   def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Permissive JSON-lines read that QUARANTINES malformed records
+    * instead of nulling them silently (PERMISSIVE's default) or
+    * killing the job (FAILFAST). At 100 TB of scraped JSON a handful
+    * of truncated lines is a certainty, not a corner case; the right
+    * contract is the classic bad-records pattern: every row lands in
+    * the frame, good rows with their columns parsed, bad rows with
+    * the RAW line preserved in `_corrupt_record` and everything else
+    * null — so `where($"_corrupt_record".isNull)` is the clean set
+    * and the quarantine can be written aside for reprocessing, with
+    * counts for the ingest report. The caller's schema must NOT
+    * declare `_corrupt_record`; it is appended here.
+    *
+    * Spark caveat: since 2.3 a json scan whose referenced columns
+    * reduce to ONLY the corrupt column is disallowed (the parser
+    * would run with an empty required schema and report nothing as
+    * corrupt). [[splitQuarantine]] therefore keeps ALL columns on the
+    * bad side — write it aside or cache it before narrowing to the
+    * raw line, exactly as the Spark error message prescribes.
+    */
+  def jsonLinesQuarantine(
+      spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "jsonLinesQuarantine appends _corrupt_record; the data schema " +
+        "must not declare it")
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** Split a quarantine read into (clean rows without the marker
+    * column, bad rows with ALL columns — the raw line sits in
+    * `_corrupt_record`, the data columns are null). The bad side
+    * deliberately keeps every column: projecting it down to the raw
+    * line alone would reduce the scan's required schema to the
+    * corrupt column only, which Spark rejects (see
+    * [[jsonLinesQuarantine]]); write it aside or cache before
+    * narrowing.
+    */
+  def splitQuarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    (df.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
+     df.where(col("_corrupt_record").isNotNull))
+  }
+
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)

@@ -37,6 +37,44 @@ class SourcesSpec extends SparkSpec {
     assertSameRows(nation, back)
   }
 
+  test("json quarantine read preserves bad raw lines, parses good rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("src-json-bad").toString
+    val lines = Seq(
+      """{"id": 1, "text": "good row"}""",
+      """{"id": 2, "text": "truncated""",          // malformed: cut off
+      """{"id": "not a number", "text": "bad type"}""",
+      """{"id": 4, "text": "another good one"}""",
+      """not json at all""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part-0.json"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val df = Sources.jsonLinesQuarantine(spark, s"$dir", schema)
+    val (clean, bad) = Sources.splitQuarantine(df)
+    assert(clean.columns.toSeq == Seq("id", "text"))
+    assert(clean.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 4L))
+    // every malformed line is preserved VERBATIM for reprocessing —
+    // collected as full rows (narrowing the scan to the corrupt
+    // column alone is the documented Spark restriction)
+    val rawBad = bad.collect()
+      .map(r => r.getString(r.fieldIndex("_corrupt_record"))).toSet
+    assert(rawBad == Set(lines(1), lines(2), lines(4)),
+      s"quarantine lost or altered raw lines: $rawBad")
+    // and the write-aside path (the production shape) narrows fine
+    val qdir = s"$dir/quarantine"
+    bad.write.parquet(qdir)
+    assert(spark.read.parquet(qdir).select("_corrupt_record")
+      .as[String].collect().toSet == rawBad)
+    // schema collision fails loudly
+    val e = intercept[IllegalArgumentException](
+      Sources.jsonLinesQuarantine(spark, dir,
+        schema.add("_corrupt_record", "string")))
+    assert(e.getMessage.contains("must not declare"))
+  }
+
   test("partitioned parquet write enables partition pruning") {
     Sources.writeParquet(nation, s"$tmp/nation_part", partitionBy = Seq("n_regionkey"))
     val back = Sources.parquet(spark, s"$tmp/nation_part")
