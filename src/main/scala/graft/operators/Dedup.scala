@@ -504,6 +504,30 @@ object Dedup {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming curation: c01's single-pass shape at ingest time —
+    * quality + repetition filters (stateless per-row expressions, the
+    * Column forms of t02/t11) BEFORE the exact-dedup state, then
+    * [[streamingExact]]'s content-hash dropDuplicates. Filter-first
+    * matters twice: low-quality rows never enter the dedup state
+    * store (the same rows-never-pay-the-shuffle argument as c01's
+    * filter-below-window), and a low-quality earlier copy can't
+    * shadow a later identical copy — filtering after dedup would
+    * drop BOTH. Survivor contract: FIRST ARRIVAL wins (stream order),
+    * where batch c01 keeps min doc_id — identical when the stream
+    * arrives in id order, documented divergence otherwise (an ingest
+    * pipeline keeps what it has already shipped; it cannot retract
+    * for a lower id it hasn't seen).
+    */
+  def streamingCurate(
+      docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String, minQuality: Double = 0.75,
+      maxDupWordFrac: Double = 0.7): DataFrame =
+    streamingExact(
+      docs.where(
+        TextAnalysis.qualityScore(col(textCol)) >= minQuality &&
+          TextAnalysis.dupWordFrac(col(textCol)) <= maxDupWordFrac),
+      textCol, tsCol, watermark)
+
   /** Streaming near-dup dedup: drop documents whose SimHash sketch
     * has been seen within the watermark. The sketch is the codegen'd
     * [[graft.functions.SketchOps.simhash64]] kernel, so "near" means

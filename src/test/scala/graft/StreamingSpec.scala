@@ -466,6 +466,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation equals batch c01 survivors on id-ordered arrival") {
+    import graft.operators.{Dedup, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth: quality/repetition filters then min-id survivor
+    // per content hash — c01's pre-aggregation row set
+    val docs = Tables.load(spark, sfDir, "documents")
+    val expected = docs
+      .where(TextAnalysis.qualityScore(col("text")) >= 0.75 &&
+        TextAnalysis.dupWordFrac(col("text")) <= 0.7)
+      .withColumn("h", xxhash64(col("text")))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(expected.nonEmpty && expected.size < docs.count(),
+      "the probe needs both survivors and drops to be meaningful")
+
+    val rows = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1)
+      .map { case (id, text) => StreamDoc(id, ts(0), text) }
+    val mem = MemoryStream[StreamDoc]
+    val curated = Dedup.streamingCurate(
+      mem.toDF(), "text", "ts", "1 hour")
+    val q = curated.writeStream.format("memory").queryName("scurate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("scurate").select("doc_id").as[Long]
+        .collect().toSet
+      assert(got == expected,
+        s"streaming curation diverged from batch: extra=${got -- expected} " +
+          s"missing=${expected -- got}")
+    } finally q.stop()
+  }
+
   test("streaming semantic decontamination flags near-parallel vectors, statelessly") {
     import graft.operators.{Dedup, Similarity}
     implicit val sqlCtx = spark.sqlContext
