@@ -262,9 +262,19 @@ object Dedup {
   private def candidatesAcrossFromHashes(
       shL: DataFrame, shR: DataFrame,
       numHashes: Int, bands: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    crossCandidatesFromBanded(
+      bandedFromHashes(shL, "id_left", numHashes, bands),
+      bandedFromHashes(shR, "id_right", numHashes, bands),
+      maxBucketSize)
+
+  /** The (band, bucket) cross join + skew guard over two already-banded
+    * sides — shared by the in-memory cross-corpus path and the
+    * persisted-index probe (whose left side comes banded from disk).
+    */
+  private def crossCandidatesFromBanded(
+      bL0: DataFrame, bR0: DataFrame,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val bL0 = bandedFromHashes(shL, "id_left", numHashes, bands)
-    val bR0 = bandedFromHashes(shR, "id_right", numHashes, bands)
     val (bL, bR) =
       if (maxBucketSize == Int.MaxValue) (bL0, bR0)
       else {
@@ -612,5 +622,149 @@ object Dedup {
         (size(array_intersect(col("gr_a"), col("gr_b"))).cast("double") /
          size(array_union(col("gr_a"), col("gr_b")))).as("char_jaccard"))
       .where(col("char_jaccard") >= threshold)
+  }
+
+  // ——— Persisted LSH dedup index ———————————————————————————————————
+  //
+  // The incremental-dedup shape a living 100 TB corpus actually runs:
+  // nobody re-hashes yesterday's exabyte to admit today's batch. The
+  // corpus is shingle-hashed and banded ONCE, the banding and the
+  // shingle-hash sets go to parquet, and every future ingest batch
+  // dedups against the index with a (band, bucket) join + the exact
+  // Jaccard verify — reading index bytes, never index text. Same
+  // immutable-plus-append lifecycle as the persisted IVF index
+  // (Similarity.writeIvfIndex): build writes a fresh tree, append adds
+  // new docs banded under the STORED parameters, probes stay correct
+  // throughout.
+  //
+  // Layout under `path`:
+  //   meta/     1 row (shingle_k, num_hashes, bands) — probe/append
+  //             read the build parameters from here, so a mismatched
+  //             banding between build and probe is unrepresentable
+  //   buckets/  (id, bucket) partitioned by band — the join target
+  //   hashes/   (id, sh) — the verify side, joined only for candidates
+
+  private def lshMetaOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"),
+      r.getAs[Int]("bands"))
+  }
+
+  /** Build a persisted LSH dedup index over a corpus. One text-hashing
+    * pass (persisted, shared by the banding write and the hashes
+    * write), two parquet writes. Overwrite semantics match
+    * [[graft.operators.Similarity.writeIvfIndex]]: a rebuild targets a
+    * fresh path and the old index stays probe-able until the caller
+    * swaps pointers.
+    */
+  def writeLshIndex(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      scope: CacheScope = batchScope): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((shingleK, numHashes, bands))
+      .toDF("shingle_k", "num_hashes", "bands")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    val sh = scope.persistTracked(hashedCorpus(df, idCol, textCol, shingleK))
+    bandedFromHashes(sh, "id", numHashes, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
+    sh.write.mode("overwrite").parquet(s"$path/hashes")
+  }
+
+  /** Append a batch to a persisted LSH index: band the new docs under
+    * the STORED build parameters (read from `path/meta` — the caller
+    * cannot get them wrong) and append to both trees. Existing files
+    * are untouched; ids are the caller's contract (append the same doc
+    * twice and it will later self-report as a duplicate, which is the
+    * honest answer).
+    */
+  def appendToLshIndex(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      scope: CacheScope = batchScope): Unit = {
+    val (shingleK, numHashes, bands) = lshMetaOf(df.sparkSession, path)
+    val sh = scope.persistTracked(hashedCorpus(df, idCol, textCol, shingleK))
+    bandedFromHashes(sh, "id", numHashes, bands)
+      .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
+    sh.write.mode("append").parquet(s"$path/hashes")
+  }
+
+  /** Dedup an ingest batch against a persisted LSH index: batch docs
+    * whose word-shingle Jaccard against any INDEXED doc meets
+    * `threshold`. Candidates come from the (band, bucket) join of the
+    * batch's banding against the stored banding — cost is linear in
+    * cross-collisions and in the BATCH size, never in the indexed
+    * corpus (whose text is not even readable from here). The verify
+    * join touches stored hash sets only for candidate ids.
+    * `maxBucketSize` is the same either-side skew guard as
+    * [[decontaminate]]: at index scale the count on the stored side is
+    * a columnar scan of (band, bucket) pairs, no text.
+    *
+    * Output: (id_left = indexed id, id_right = batch id, jaccard) —
+    * identical contract to `decontaminate(indexedCorpus, batch, …)`,
+    * which is exactly what the spec pins it against.
+    */
+  def dedupAgainstLshIndex(
+      batch: DataFrame, idCol: String, textCol: String, path: String,
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue,
+      scope: CacheScope = batchScope): DataFrame = {
+    val spark = batch.sparkSession
+    val (shingleK, numHashes, bands) = lshMetaOf(spark, path)
+    val shB = scope.persistTracked(hashedCorpus(batch, idCol, textCol, shingleK))
+    val bIdx = spark.read.parquet(s"$path/buckets")
+      .select(col("id").as("id_left"), col("band"), col("bucket"))
+    val cands = crossCandidatesFromBanded(
+      bIdx, bandedFromHashes(shB, "id_right", numHashes, bands),
+      maxBucketSize)
+    val shIdx = spark.read.parquet(s"$path/hashes")
+    cands
+      .join(shIdx.withColumnsRenamed(Map("id" -> "id_left", "sh" -> "sh_l")), "id_left")
+      .join(shB.withColumnsRenamed(Map("id" -> "id_right", "sh" -> "sh_r")), "id_right")
+      .select(col("id_left"), col("id_right"),
+        (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
+         size(array_union(col("sh_l"), col("sh_r")))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Benchmark n-gram overlap contamination score (the GPT-3 appendix
+    * style "dirty if it shares n-grams with the benchmark" check, as a
+    * per-document FRACTION rather than d07's pair list): for every
+    * train doc, the share of its distinct word `shingleK`-shingles
+    * that appear anywhere in `bench`. 1.0 = every shingle leaked;
+    * scores feed a threshold the caller owns (GPT-3 used containment
+    * of 8-grams; the default here matches the suite's 3-shingle
+    * convention).
+    *
+    * Scale shape: the benchmark side is DISTINCT shingle hashes —
+    * definitionally small (eval sets are thousands of docs, not
+    * billions) — broadcast to a left join against the train corpus's
+    * exploded shingles; one exchange of (doc_id, flag) pairs re-
+    * aggregates per doc. Train text is hashed once, streamed through
+    * the codegen'd shingle kernel; nothing is quadratic and nothing
+    * shuffles full text.
+    *
+    * Output: (id, n_shingles, n_contaminated, overlap_frac), one row
+    * per train doc (docs with zero shingle overlap included, frac 0).
+    */
+  def ngramOverlapScore(
+      train: DataFrame, bench: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    val benchSh = bench
+      .select(explode(shingleHashes(col(textCol), shingleK)).as("_no_h"))
+      .distinct()
+    train
+      .select(col(idCol).as("id"),
+        explode(shingleHashes(col(textCol), shingleK)).as("_no_sh"))
+      .join(broadcast(benchSh), col("_no_sh") === col("_no_h"), "left")
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("_no_h").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"))
+      .select(col("id"), col("n_shingles"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_shingles"))
+          .as("overlap_frac"))
   }
 }

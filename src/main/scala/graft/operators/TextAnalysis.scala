@@ -329,6 +329,56 @@ object TextAnalysis {
       regexp_replace(c, p, r)
     }
 
+  /** Corpus-level exact line deduplication (the CCNet/RefinedWeb
+    * boilerplate pass [[cleanLines]]' per-row rules can't express):
+    * drop every line that occurs in at least `minDocs` DISTINCT
+    * documents — navigation bars, cookie banners, footers — and
+    * reassemble each document from its surviving lines in order.
+    * Whitespace-only lines are never counted and never dropped (they
+    * are document structure, not boilerplate).
+    *
+    * Scale shape: lines are keyed by xxhash64 (8-byte exchange keys,
+    * d01's collision stance — two colliding distinct lines could pool
+    * their doc counts and over-drop; probability ~lines²/2⁶⁵ and the
+    * string-exact oracle would catch it). The common-line set
+    * (count ≥ minDocs on the hash) is the heavy-hitter tail — small
+    * relative to the corpus, broadcastable when it fits, a plain hash
+    * join when it doesn't; Spark picks at runtime from sizes. The
+    * reassembly groupBy ships each line exactly once keyed by the
+    * 8-byte doc id — one corpus-sized exchange, the same budget c01
+    * pays for its survivor window. Rows with a NULL text are dropped
+    * (posexplode of a NULL array yields nothing) — filter upstream if
+    * NULLs must survive.
+    *
+    * Output: (idCol, text_clean, n_kept, n_removed), one row per doc.
+    */
+  def dedupCorpusLines(
+      df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"dedupCorpusLines: minDocs must be >= 2 " +
+      s"(got $minDocs — at 1 every line is 'common' and all text is dropped)")
+    val lines = df.select(col(idCol).as("_ld_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("_ld_pos", "_ld_line")))
+    val common = lines
+      .where(trim(col("_ld_line")) =!= "")
+      .groupBy(xxhash64(col("_ld_line")).as("_ld_h"))
+      .agg(countDistinct(col("_ld_id")).as("_ld_n"))
+      .where(col("_ld_n") >= minDocs)
+      .select(col("_ld_h"))
+    lines
+      .join(common, xxhash64(col("_ld_line")) === common("_ld_h"), "left")
+      .select(col("_ld_id"), col("_ld_pos"), col("_ld_line"),
+        col("_ld_h").isNotNull.as("_ld_drop"))
+      .groupBy(col("_ld_id").as(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(
+            when(!col("_ld_drop"), struct(col("_ld_pos"), col("_ld_line"))))),
+          s => s("_ld_line")), "\n").as("text_clean"),
+        sum(when(col("_ld_drop"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("_ld_drop"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** The full per-document analysis row. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -1460,6 +1460,129 @@ object Pipeline {
              |  CAST(length(array_to_string(kept, chr(10))) AS INT) AS clean_len
              |FROM k ORDER BY doc_id""".stripMargin)),
 
+    // Corpus-level line dedup (CCNet/RefinedWeb): drop lines occurring
+    // in >= 3 distinct docs. The word-soup corpus is single-line, so
+    // each doc gets a structured tail: a corpus-wide footer (always
+    // removed), a group footer shared by doc_id % 300 (removed exactly
+    // when its group has >= 3 members at this SF — the threshold
+    // boundary is exercised differently per scale factor), and a
+    // per-doc unique closing (always kept). The original text line is
+    // common only within exact-duplicate families. Oracle replays the
+    // same count-distinct-docs rule on raw line strings — which also
+    // cross-checks the Spark side's xxhash64 line keys (d01 stance).
+    Q("t17_corpus_line_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val structured = docs.select(col("doc_id"), concat_ws("\n",
+          col("text"),
+          lit("All rights reserved."),
+          concat(lit("Group "), (col("doc_id") % 300).cast("string"),
+            lit(" footer.")),
+          concat(lit("Doc "), col("doc_id").cast("string"),
+            lit(" unique closing."))).as("text"))
+        TextAnalysis.dedupCorpusLines(structured, "doc_id", "text", minDocs = 3)
+          .select(col("doc_id"), col("n_kept"), col("n_removed"),
+            length(col("text_clean")).as("clean_len"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    text || chr(10) || 'All rights reserved.'
+             |      || chr(10) || 'Group ' || CAST(doc_id % 300 AS VARCHAR)
+             |      || ' footer.'
+             |      || chr(10) || 'Doc ' || CAST(doc_id AS VARCHAR)
+             |      || ' unique closing.' AS t
+             |  FROM documents
+             |), l AS (
+             |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+             |  FROM d
+             |), common AS (
+             |  SELECT coalesce(list(line), []) AS cl FROM (
+             |    SELECT line FROM l WHERE trim(line) <> ''
+             |    GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3)
+             |), k AS (
+             |  SELECT doc_id,
+             |    list_filter(string_split(t, chr(10)),
+             |      ln -> NOT list_contains(cl, ln)) AS kept,
+             |    len(string_split(t, chr(10))) AS n_lines
+             |  FROM d, common
+             |)
+             |SELECT doc_id,
+             |  CAST(len(kept) AS BIGINT) AS n_kept,
+             |  CAST(n_lines - len(kept) AS BIGINT) AS n_removed,
+             |  CAST(length(array_to_string(kept, chr(10))) AS INT) AS clean_len
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // deterministic training-order shuffle: shard + in-shard position,
+    // both pure integer hashes of doc_id (no global sort — see
+    // Sampling.shardAssignment). Oracle replays the identical
+    // arithmetic with a per-shard ROW_NUMBER.
+    Q("t18_shard_assignment",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Sampling.shardAssignment(docs, "doc_id", nShards = 8)
+          .select(col("doc_id"), col("shard"), col("shard_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2147483647) * 2654435761) % 1000003 AS h1,
+             |    (((doc_id + 9176) % 2147483647) * 1540483477) % 1000003 AS h2
+             |  FROM documents
+             |)
+             |SELECT doc_id, CAST(h1 % 8 AS INT) AS shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY h1 % 8
+             |    ORDER BY h2, doc_id) AS INT) AS shard_pos
+             |FROM h ORDER BY doc_id""".stripMargin)),
+
+    // benchmark n-gram overlap contamination score: per-train-doc
+    // fraction of its distinct word 3-shingles appearing anywhere in
+    // the benchmark split (doc_id % 10 = 0, same split as d09) —
+    // GPT-3-style containment as a score, complementing d07's
+    // Jaccard pair list. Oracle replays shingling on raw strings
+    // (cross-checking the kernel's hashed shingles) with the same
+    // tokenization text as the d06/d08 closure CTEs.
+    Q("d10_ngram_overlap",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.where(col("doc_id") % 10 =!= 0)
+        val bench = docs.where(col("doc_id") % 10 === 0)
+        Dedup.ngramOverlapScore(train, bench, "doc_id", "text", shingleK = 3)
+          .select(col("id").as("doc_id"),
+            col("n_shingles"), col("n_contaminated"),
+            r6(col("overlap_frac")).as("overlap_frac"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+'),
+             |    x -> x <> '') AS w
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(w) >= 3
+             |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
+             |                        for i in range(1, len(w) - 1)])
+             |    ELSE [array_to_string(w, ' ')] END AS s
+             |  FROM t
+             |), bench AS (
+             |  SELECT DISTINCT unnest(s) AS bs FROM sh WHERE doc_id % 10 = 0
+             |), tr AS (
+             |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0
+             |), m AS (
+             |  SELECT tr.doc_id,
+             |    COUNT(*) AS n_shingles,
+             |    SUM(CASE WHEN b.bs IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS n_contaminated
+             |  FROM tr LEFT JOIN bench b ON tr.g = b.bs
+             |  GROUP BY tr.doc_id
+             |)
+             |SELECT doc_id,
+             |  CAST(n_shingles AS BIGINT) AS n_shingles,
+             |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+             |  ${r6sql("CAST(n_contaminated AS DOUBLE) / n_shingles")}
+             |    AS overlap_frac
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     // PII redaction: the corpus itself is PII-free word soup, so each
     // doc gets deterministic synthetic PII appended (email, dotted
     // quad, 16-digit card, phone — all derived from doc_id), the
