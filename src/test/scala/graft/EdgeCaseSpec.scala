@@ -178,6 +178,50 @@ class EdgeCaseSpec extends SparkSpec {
       empty, "doc_id", "lang", lit(1), 3).isEmpty)
   }
 
+  test("corpus line dedup: empty frame empty; single doc keeps everything") {
+    import graft.operators.TextAnalysis
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.dedupCorpusLines(empty, "doc_id", "text", 2).isEmpty)
+    // one doc can never reach minDocs >= 2 distinct docs
+    val one = Seq((1L, "a\nb\na")).toDF("doc_id", "text")
+    val r = TextAnalysis.dedupCorpusLines(one, "doc_id", "text", 2)
+      .as[(Long, String, Long, Long)].head()
+    assert(r == ((1L, "a\nb\na", 3L, 0L)))
+    // minDocs < 2 would silently drop ALL text — must refuse
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dedupCorpusLines(one, "doc_id", "text", 1)
+    }
+  }
+
+  test("shard assignment: empty frame empty; more shards than rows") {
+    import graft.operators.Sampling
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Sampling.shardAssignment(empty, "doc_id", 4).isEmpty)
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val got = Sampling.shardAssignment(tiny, "doc_id", 64)
+      .select("doc_id", "shard", "shard_pos")
+      .as[(Long, Int, Int)].collect()
+    assert(got.length == 2)
+    assert(got.forall { case (_, s, p) => s >= 0 && s < 64 && p >= 1 })
+  }
+
+  test("ngram overlap with an empty bench side scores every doc 0") {
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = Dedup.ngramOverlapScore(train, bench, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].head()
+    assert(r == ((1L, 2L, 0L, 0.0)))
+  }
+
+  test("lsh index probe with an empty batch is empty") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("edge-lsh").toString
+    Dedup.writeLshIndex(docs.limit(30), "doc_id", "text", dir)
+    val out = Dedup.dedupAgainstLshIndex(
+      docs.where(lit(false)), "doc_id", "text", dir)
+    assert(out.isEmpty)
+  }
+
   test("semantic decontamination with an empty eval side finds nothing") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val out = Similarity.cosineDecontaminate(

@@ -220,6 +220,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("t17/d10: documents scans prune to (doc_id, text); t17 keys lines by hash") {
+    for (q <- Seq("t17_corpus_line_dedup", "d10_ngram_overlap")) {
+      val plan = explain(build(q))
+      val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toList
+      assert(schemas.nonEmpty, s"$q: no scans found")
+      assert(schemas.forall(s => s.contains("doc_id") && s.contains("text") &&
+        !s.contains("lang") && !s.contains("source")),
+        s"$q column pruning failed: $schemas")
+    }
+    // the common-line aggregation must key on xxhash64(line) — an
+    // exchange keyed on raw line strings would sort KB keys at 100 TB
+    // (same contract as d01/c01's content hashing)
+    val opt = build("t17_corpus_line_dedup")
+      .queryExecution.optimizedPlan.toString
+    assert(opt.contains("xxhash64(_ld_line"),
+      s"t17 common-line groupBy should key on xxhash64:\n$opt")
+  }
+
   test("t15: documents scan prunes to (source, text); one partial aggregate") {
     val df = build("t15_mix_allocation")
     val plan = explain(df)
