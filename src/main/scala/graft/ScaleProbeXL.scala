@@ -156,6 +156,33 @@ object ScaleProbeXL {
         f"files=$probeFiles/$totalFiles skew=${stats.skew}%.2f")
     }
 
+    // ── persisted LSH index: probe a FIXED ingest batch against a 1×
+    // vs 10× index. The incremental-dedup claim that carries to
+    // 100 TB is that probe cost tracks the BATCH and its candidates
+    // (the batch matches only group-0 families, so true pairs are
+    // fixed by construction); index growth contributes only the
+    // columnar (band, bucket) scan. Build time may grow linearly —
+    // that is the once-per-corpus cost the index exists to amortize. ──
+    for (rep <- Seq(reps.min, reps.max)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-xl-lsh$rep").toString
+      val big = saltedDocs(rep)
+      val batch = evalSplit.select(
+        (col("doc_id") + lit(900000000L)).as("doc_id"),
+        regexp_replace(col("text"), " ", " zq0 ").as("text"))
+      val tb0 = System.nanoTime()
+      operators.Dedup.writeLshIndex(big, "doc_id", "text", dir)
+      operators.Dedup.unpersistAll()
+      val tBuild = (System.nanoTime() - tb0) / 1e9
+      val tp0 = System.nanoTime()
+      val nPairs = operators.Dedup.dedupAgainstLshIndex(
+        batch, "doc_id", "text", dir).count()
+      operators.Dedup.unpersistAll()
+      val tProbe = (System.nanoTime() - tp0) / 1e9
+      println(f"[probe-xl] lsh-index rep=$rep%-4d indexed=${d0 * rep}%-8d " +
+        f"build=$tBuild%.1fs probe=$tProbe%.1fs pairs=$nPairs%-7d")
+    }
+
     // ── bloom runtime filter at 10× the fact side: the surviving-row
     // RATIO is the scale quantity — it must hold as the probe side
     // grows, because it is what the exchange carries at 100 TB ──

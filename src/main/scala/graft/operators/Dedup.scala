@@ -206,9 +206,18 @@ object Dedup {
     */
   private def candidatesFromHashes(
       sh: DataFrame, numHashes: Int, bands: Int,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
     // single-pass band bucketing: no per-band slice copies
-    val banded0 = bandedFromHashes(sh, "id", numHashes, bands)
+    selfCandidatesFromBanded(
+      bandedFromHashes(sh, "id", numHashes, bands), maxBucketSize)
+
+  /** The within-corpus (band, bucket) self-join + skew guard over an
+    * already-banded (id, band, bucket) frame — shared by the in-memory
+    * path and [[selfDedupFromLshIndex]] (whose banding comes from
+    * disk).
+    */
+  private def selfCandidatesFromBanded(
+      banded0: DataFrame, maxBucketSize: Int): DataFrame = {
     // Skew guard: a bucket hit by boilerplate shingles produces
     // |bucket|² candidate pairs — at corpus scale a single saturated
     // bucket can dominate the whole join. Buckets over the cap carry
@@ -726,6 +735,25 @@ object Dedup {
         (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
          size(array_union(col("sh_l"), col("sh_r")))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  /** Within-corpus near-dup pairs straight from a persisted LSH index
+    * — [[minhashDuplicates]] semantics without touching (or even
+    * having) the corpus text: candidates from the stored banding
+    * self-joined on (band, bucket), verify from the stored hash sets.
+    * This is the re-dedup shape after appends ("what duplicates does
+    * the index hold NOW?") and costs one columnar banding self-join +
+    * the candidate-bounded verify, never a re-hash of the corpus.
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, ≥ threshold.
+    */
+  def selfDedupFromLshIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val banded = spark.read.parquet(s"$path/buckets")
+      .select(col("id"), col("band"), col("bucket"))
+    jaccardVerifyHashed(
+      selfCandidatesFromBanded(banded, maxBucketSize),
+      spark.read.parquet(s"$path/hashes"), threshold)
   }
 
   /** Benchmark n-gram overlap contamination score (the GPT-3 appendix

@@ -268,6 +268,16 @@ class DedupSpec extends SparkSpec {
       s"probe matched only one index generation: $leftIds")
   }
 
+  test("lsh index self-dedup equals minhashDuplicates without re-hashing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-self").toString
+    Dedup.writeLshIndex(docs, "doc_id", "text", dir)
+    // same banding parameters, same verify — the stored index must
+    // reproduce the in-memory end-to-end dedup exactly
+    val got = Dedup.selfDedupFromLshIndex(spark, dir)
+    val mem = Dedup.minhashDuplicates(docs, "doc_id", "text")
+    assertSameRows(got, mem)
+  }
+
   test("ngram overlap score: contained docs score 1, disjoint 0, partial exact") {
     val train = Seq(
       (1L, "a b c d e f"),      // every 3-shingle in bench doc 10

@@ -90,6 +90,59 @@ class SqlGenFuzzSpec extends SparkSpec {
     }
   }
 
+  test("20 seeded generator (explode/posexplode) pipelines roundtrip through SqlGen") {
+    // t17's posexplode landed Generate in a driver query; this walks
+    // the neighborhood: explode vs posexplode vs explode_outer over
+    // string-split / sequence / literal arrays, with random filters,
+    // aggregation, distinct and sort+limit downstream
+    Tables.register(spark, sfDir)
+    val rnd = new scala.util.Random(20260813L)
+    val nation = Tables.load(spark, sfDir, "nation")
+
+    def rndGen(): DataFrame = {
+      val arr = rnd.nextInt(3) match {
+        case 0 => split(col("n_name"), "A")
+        case 1 => sequence(lit(1L), col("n_nationkey") % 4 + 1)
+        case 2 => array(col("n_nationkey"), col("n_regionkey"), lit(7L))
+      }
+      var df = rnd.nextInt(3) match {
+        case 0 => nation.select(col("n_nationkey"), explode(arr).as("e"))
+        case 1 => nation.select(col("n_nationkey"),
+          posexplode(arr).as(Seq("p", "e")))
+        case 2 => nation.select(col("n_nationkey"), explode_outer(arr).as("e"))
+      }
+      if (rnd.nextBoolean())
+        df = df.where(col("n_nationkey") % lit(rnd.nextInt(3) + 2) === 0)
+      df = rnd.nextInt(3) match {
+        case 0 => df
+        case 1 => df.groupBy(col("n_nationkey")).agg(count(lit(1)).as("n"))
+        case 2 => df.distinct()
+      }
+      if (rnd.nextBoolean())
+        df = df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+          .limit(rnd.nextInt(15) + 1)
+      df
+    }
+
+    for (i <- 1 to 20) {
+      val df = rndGen()
+      val sql =
+        try SqlGen.toSql(df)
+        catch {
+          case e: Throwable =>
+            fail(s"case $i: toSql failed for plan:\n" +
+              s"${df.queryExecution.analyzed}\n$e")
+        }
+      try assertSameRows(df, spark.sql(sql))
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException =>
+          fail(s"case $i roundtrip mismatch; sql=$sql\n${e.getMessage}")
+        case e: Throwable =>
+          fail(s"case $i re-parse failed; sql=$sql\n${e.getMessage}")
+      }
+    }
+  }
+
   test("40 seeded subquery and grouping-set pipelines roundtrip through SqlGen") {
     // round-4 added subquery-expression printing and grouping-set
     // reconstruction; this extends the fuzz space to those surfaces —
