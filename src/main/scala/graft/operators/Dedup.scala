@@ -756,6 +756,47 @@ object Dedup {
       spark.read.parquet(s"$path/hashes"), threshold)
   }
 
+  /** Exact-dedup ledger: the content-hash twin of the LSH index for
+    * the most common incremental question — "which of today's docs
+    * has the pipeline never seen, byte-for-byte?". The ledger is the
+    * DISTINCT xxhash64(text) set (8 bytes/doc — a 10¹²-doc corpus is
+    * an 8 TB ledger, scannable; same collision stance as [[exact]]).
+    */
+  def writeExactLedger(
+      df: DataFrame, textCol: String, path: String): Unit =
+    df.select(xxhash64(col(textCol)).as("content_hash")).distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes")
+
+  /** Record a batch's content hashes in the ledger (append-only;
+    * cross-generation duplicate hashes are harmless — admission is an
+    * anti-join). Callers append the ADMITTED batch after a successful
+    * ingest, making admit-then-append exactly-once per content.
+    */
+  def appendToExactLedger(
+      df: DataFrame, textCol: String, path: String): Unit =
+    df.select(xxhash64(col(textCol)).as("content_hash")).distinct()
+      .write.mode("append").parquet(s"$path/hashes")
+
+  /** Admit the byte-new documents of an ingest batch: within-batch
+    * survivors ([[exact]]'s min-id contract) whose content hash is
+    * absent from the ledger. One hash aggregation of the batch + one
+    * anti-join against the ledger's 8-byte column — the batch text
+    * shuffles zero times beyond the survivor groupBy, and the ledger
+    * is never read as text because it has none. Output: the admitted
+    * batch rows + (content_hash, n_copies = within-batch multiplicity).
+    */
+  def admitAgainstExactLedger(
+      batch: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    require(idCol != "survivor_id",
+      "admitAgainstExactLedger: idCol must not be named survivor_id")
+    val led = batch.sparkSession.read.parquet(s"$path/hashes")
+    exact(batch, idCol, textCol)
+      .join(led, Seq("content_hash"), "left_anti")
+      .join(batch, col("survivor_id") === col(idCol))
+      .drop("survivor_id")
+  }
+
   /** Benchmark n-gram overlap contamination score (the GPT-3 appendix
     * style "dirty if it shares n-grams with the benchmark" check, as a
     * per-document FRACTION rather than d07's pair list): for every

@@ -379,6 +379,53 @@ object TextAnalysis {
         sum(when(col("_ld_drop"), 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** URL canonicalization for crawl-curation joins: lowercase the
+    * scheme+host (never the path — paths are case-significant),
+    * strip the fragment, strip `utm_*` tracking parameters, and drop
+    * a dangling `?`. Every step is a regexp in the Java ∩ RE2 common
+    * subset applied in a FIXED order (the `&utm` pass must run before
+    * the `?utm` passes so `?utm_a&utm_b&id` collapses correctly), so
+    * the DuckDB oracle replays the identical rewrite. Pure per-row
+    * builtins — a no-shuffle mapper stage, like redactPii.
+    * Returns (normalized url, lowercased host).
+    */
+  def normalizeUrl(url: Column): (Column, Column) = {
+    val prefix = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val rest = substr(url, length(prefix) + 1, lit(Int.MaxValue))
+    val noFrag = regexp_replace(rest, "#.*", "")
+    val noUtm = regexp_replace(
+      regexp_replace(
+        regexp_replace(noFrag, "&utm_[^&]*", ""),
+        "\\?utm_[^&]*&", "?"),
+      "\\?utm_[^&]*", "")
+    val clean = regexp_replace(noUtm, "\\?$", "")
+    val host = regexp_extract(prefix, "://(.*)", 1)
+    (concat(prefix, clean), host)
+  }
+
+  /** Adjacent-token-pair frequencies — the counting step of one BPE
+    * merge round (tokenizer induction over a corpus): every adjacent
+    * token pair, corpus-wide counts, deterministic (count desc, pair
+    * asc) top-k. Pair construction is a per-row builtin transform
+    * over the token array (guarded: texts with < 2 tokens contribute
+    * nothing — the 2-arg sequence would run DESCENDING on size-1 <
+    * 1); counting is one map-side-combined aggregation + a bounded
+    * TakeOrdered, the same shape as [[heavyHitters]]. At 100 TB this
+    * is the job you run per merge round; the k winners feed the next
+    * round's merge table.
+    */
+  def bigramMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val toks = tokens(col(textCol))
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array())
+    df.select(explode(pairs).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** The full per-document analysis row. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -1583,6 +1583,80 @@ object Pipeline {
              |    AS overlap_frac
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // URL canonicalization for crawl curation: synthetic URLs (mixed-
+    // case scheme+host, tracking params, fragment) derived from
+    // doc_id, normalized by the fixed regexp chain — oracle replays
+    // the identical rewrites ('g' flags mirror Spark's replace-all).
+    // Per-row builtins only: a no-shuffle mapper at 100 TB.
+    Q("t19_url_normalize",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val host0 = when(col("doc_id") % 3 === 0, "WWW.Example.COM")
+          .when(col("doc_id") % 3 === 1, "blog.Example.com")
+          .otherwise("news.site.org")
+        val url = concat(lit("HTTPS://"), host0,
+          lit("/Path/"), col("doc_id").cast("string"),
+          lit("?utm_source=x&id="), (col("doc_id") % 7).cast("string"),
+          lit("&utm_campaign=y#frag"))
+        val (norm, host) = TextAnalysis.normalizeUrl(url)
+        docs.select(col("doc_id"), norm.as("norm_url"), host.as("host"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'HTTPS://' ||
+             |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+             |         WHEN doc_id % 3 = 1 THEN 'blog.Example.com'
+             |         ELSE 'news.site.org' END ||
+             |    '/Path/' || CAST(doc_id AS VARCHAR) ||
+             |    '?utm_source=x&id=' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    '&utm_campaign=y#frag' AS url
+             |  FROM documents
+             |), p AS (
+             |  SELECT doc_id, url,
+             |    lower(regexp_extract(url,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS prefix
+             |  FROM u
+             |), c AS (
+             |  SELECT doc_id, prefix,
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(
+             |          regexp_replace(substr(url, length(prefix) + 1),
+             |            '#.*', '', 'g'),
+             |          '&utm_[^&]*', '', 'g'),
+             |        '\?utm_[^&]*&', '?', 'g'),
+             |      '\?utm_[^&]*', '', 'g') AS clean
+             |  FROM p
+             |)
+             |SELECT doc_id,
+             |  prefix || regexp_replace(clean, '\?$', '', 'g') AS norm_url,
+             |  regexp_extract(prefix, '://(.*)', 1) AS host
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // adjacent-token-pair heavy hitters — the counting step of one
+    // BPE merge round (tokenizer induction). Same tokenization as
+    // t09; explode → map-side-combined count → TakeOrdered with the
+    // (n desc, pair asc) total order making the LIMIT deterministic.
+    Q("t20_bigram_merges",
+      (s, dir) => {
+        TextAnalysis.bigramMerges(
+            Tables.load(s, dir, "documents"), "text", k = 50)
+          .orderBy(col("n").desc, col("pair").asc)
+      },
+      Some("""WITH t AS (
+             |  SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+             |    '[ \t\n\v\f\r]+'), x -> x <> '') AS w
+             |  FROM documents
+             |), b AS (
+             |  SELECT unnest(CASE WHEN len(w) >= 2
+             |    THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+             |    ELSE [] END) AS pair
+             |  FROM t
+             |)
+             |SELECT pair, COUNT(*) AS n FROM b
+             |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin)),
+
     // PII redaction: the corpus itself is PII-free word soup, so each
     // doc gets deterministic synthetic PII appended (email, dotted
     // quad, 16-digit card, phone — all derived from doc_id), the

@@ -803,6 +803,58 @@ class TopKSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("normalizeUrl lowers scheme+host only, strips utm/fragment/dangling ?") {
+    import graft.operators.TextAnalysis
+    val cases = Seq(
+      // utm in the middle: '?' must survive for the remaining param
+      ("HTTPS://WWW.Ex.COM/Path/A?utm_s=x&id=3&utm_c=y#f",
+        "https://www.ex.com/Path/A?id=3", "www.ex.com"),
+      // only utm params: the dangling '?' goes too
+      ("http://a.B.c/p?utm_only=1", "http://a.b.c/p", "a.b.c"),
+      // nothing to strip; PATH case preserved
+      ("https://Host.org/CaseSensitive/Path", "https://host.org/CaseSensitive/Path", "host.org"),
+      // fragment without query
+      ("https://h.io/x#section-2", "https://h.io/x", "h.io"))
+    val df = cases.map(_._1).zipWithIndex.map(_.swap).toDF("i", "url")
+    val (norm, host) = TextAnalysis.normalizeUrl(col("url"))
+    val got = df.select(col("i"), norm, host).orderBy("i")
+      .as[(Int, String, String)].collect()
+    for (((u, wantN, wantH), (_, gotN, gotH)) <- cases.zip(got)) {
+      assert(gotN == wantN, s"norm($u)")
+      assert(gotH == wantH, s"host($u)")
+    }
+  }
+
+  test("bigramMerges counts adjacent pairs; sub-2-token docs contribute nothing") {
+    import graft.operators.TextAnalysis
+    val df = Seq("a b c a b", "a b", "solo", "").toDF("text")
+    val got = TextAnalysis.bigramMerges(df, "text", k = 10)
+      .as[(String, Long)].collect().toList
+    // "a b c a b": pairs (a b)(b c)(c a)(a b); "a b": (a b) → a b ×3
+    assert(got == List(("a b", 3L), ("b c", 1L), ("c a", 1L)), got.toString)
+  }
+
+  test("exact ledger admits only byte-new within-batch survivors, once") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    val corpus = Seq((1L, "seen one"), (2L, "seen two")).toDF("doc_id", "text")
+    Dedup.writeExactLedger(corpus, "text", dir)
+    val batch = Seq(
+      (10L, "seen one"),    // known content → rejected
+      (11L, "fresh alpha"), // new
+      (12L, "fresh alpha"), // within-batch copy → survivor is 11
+      (13L, "fresh beta"))  // new
+      .toDF("doc_id", "text")
+    val admitted = Dedup.admitAgainstExactLedger(batch, "doc_id", "text", dir)
+      .select("doc_id", "text", "n_copies")
+      .as[(Long, String, Long)].collect().toSet
+    assert(admitted == Set((11L, "fresh alpha", 2L), (13L, "fresh beta", 1L)))
+    // append the admitted content; the same batch re-admits nothing
+    Dedup.appendToExactLedger(
+      Seq("fresh alpha", "fresh beta").toDF("text"), "text", dir)
+    assert(Dedup.admitAgainstExactLedger(batch, "doc_id", "text", dir).isEmpty)
+  }
+
   test("corpus line dedup drops corpus-common lines, keeps unique and blanks") {
     import graft.operators.TextAnalysis
     val df = Seq(
