@@ -415,12 +415,19 @@ object TextAnalysis {
     * round's merge table.
     */
   def bigramMerges(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val toks = tokens(col(textCol))
+    // tokens materialized in their own projection: the pair lambda
+    // references the array per ELEMENT, and lambda bodies sit outside
+    // codegen's subexpression elimination — inlined, the split+filter
+    // pipeline re-runs for every element_at (the hashedCorpus trap,
+    // Dedup.scala:123). Measured on sf0.1 documents: 7.7 s inlined,
+    // sub-second as a bound attribute.
+    val toked = df.select(tokens(col(textCol)).as("_bm_toks"))
+    val toks = col("_bm_toks")
     val pairs = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
       .otherwise(array())
-    df.select(explode(pairs).as("pair"))
+    toked.select(explode(pairs).as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("pair").asc)
       .limit(k)
