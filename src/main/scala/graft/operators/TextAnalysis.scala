@@ -433,6 +433,59 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Domain-affinity scoring for data selection (the DSIR/importance-
+    * resampling idea reduced to an integer-exact form): for every
+    * train doc, the fraction of its distinct word shingles that are
+    * RELATIVELY more frequent in the target corpus than in the train
+    * corpus — i.e. shingles with df_t/|T| > df_s/|S|, compared by
+    * cross-multiplication so the whole pipeline stays in exact
+    * integer/decimal arithmetic (classic DSIR scores sum log-ratios;
+    * IEEE log is not bit-identical across engines, a comparison is —
+    * which is what lets this be oracle-GATED). High affinity = the
+    * doc's vocabulary leans toward the target domain; feed the score
+    * to t10/t12's weighted draws to upsample it.
+    *
+    * Scale shape: shingle document-frequencies are one groupBy per
+    * side keyed by the 8-byte shingle hash; corpus-size totals ride a
+    * broadcast 1-row frame; the leaning table full-outer-joins the
+    * two count tables (vocabulary-sized, hash join); scoring is one
+    * join of the train side's exploded shingles against it + one
+    * per-doc re-agg. Nothing quadratic, no text in any exchange.
+    * Cross-multiplied products are decimal(38,0) — exact to 10³⁸,
+    * overflow-safe for any real corpus (df ≤ 10¹² docs × totals ≤
+    * 10¹⁹ shingle occurrences).
+    *
+    * Output: (id, n_shingles, n_target_leaning, affinity).
+    */
+  def domainAffinity(
+      train: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3): DataFrame = {
+    def occ(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(Dedup.shingleHashes(col(textCol), shingleK)).as("g"))
+    val occS = occ(train)
+    val occT = occ(target)
+    val cS = occS.groupBy("g").agg(count(lit(1)).as("c_s"))
+    val cT = occT.groupBy("g").agg(count(lit(1)).as("c_t"))
+    val totals = occS.agg(count(lit(1)).as("n_s"))
+      .crossJoin(occT.agg(count(lit(1)).as("n_t")))
+    val lean = cT.join(cS, Seq("g"), "full_outer")
+      .select(col("g"),
+        coalesce(col("c_t"), lit(0L)).as("c_t"),
+        coalesce(col("c_s"), lit(0L)).as("c_s"))
+      .crossJoin(broadcast(totals))
+      .select(col("g"),
+        (col("c_t").cast("decimal(19,0)") * col("n_s").cast("decimal(19,0)") >
+         col("c_s").cast("decimal(19,0)") * col("n_t").cast("decimal(19,0)"))
+          .as("lt"))
+    occS.join(lean, Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("lt"), 1L).otherwise(0L)).as("n_target_leaning"))
+      .select(col("id"), col("n_shingles"), col("n_target_leaning"),
+        (col("n_target_leaning").cast("double") / col("n_shingles"))
+          .as("affinity"))
+  }
+
   /** The full per-document analysis row. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -1657,6 +1657,65 @@ object Pipeline {
              |SELECT pair, COUNT(*) AS n FROM b
              |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin)),
 
+    // DSIR-style domain affinity: per-train-doc fraction of shingles
+    // relatively more frequent in the target split — integer-exact by
+    // cross-multiplication (no IEEE log), so the oracle replays it
+    // with HUGEINT products over raw shingle strings. Same split as
+    // d09/d10; totals are document frequencies summed per side.
+    Q("t21_domain_affinity",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.where(col("doc_id") % 10 =!= 0)
+        val target = docs.where(col("doc_id") % 10 === 0)
+        TextAnalysis.domainAffinity(train, target, "doc_id", "text",
+            shingleK = 3)
+          .select(col("id").as("doc_id"),
+            col("n_shingles"), col("n_target_leaning"),
+            r6(col("affinity")).as("affinity"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+'),
+             |    x -> x <> '') AS w
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(w) >= 3
+             |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
+             |                        for i in range(1, len(w) - 1)])
+             |    ELSE [array_to_string(w, ' ')] END AS s
+             |  FROM t
+             |), occ AS (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
+             |), ct AS (
+             |  SELECT g, COUNT(*) AS c FROM occ WHERE doc_id % 10 = 0 GROUP BY g
+             |), cs AS (
+             |  SELECT g, COUNT(*) AS c FROM occ WHERE doc_id % 10 <> 0 GROUP BY g
+             |), tot AS (
+             |  SELECT
+             |    (SELECT COUNT(*) FROM occ WHERE doc_id % 10 = 0) AS nt,
+             |    (SELECT COUNT(*) FROM occ WHERE doc_id % 10 <> 0) AS ns
+             |), lean AS (
+             |  SELECT coalesce(ct.g, cs.g) AS g,
+             |    CASE WHEN CAST(coalesce(ct.c, 0) AS HUGEINT) * ns
+             |            > CAST(coalesce(cs.c, 0) AS HUGEINT) * nt
+             |         THEN 1 ELSE 0 END AS lt
+             |  FROM ct FULL OUTER JOIN cs ON ct.g = cs.g, tot
+             |), m AS (
+             |  SELECT o.doc_id,
+             |    COUNT(*) AS n_shingles,
+             |    SUM(l.lt) AS n_target_leaning
+             |  FROM occ o JOIN lean l ON o.g = l.g
+             |  WHERE o.doc_id % 10 <> 0
+             |  GROUP BY o.doc_id
+             |)
+             |SELECT doc_id,
+             |  CAST(n_shingles AS BIGINT) AS n_shingles,
+             |  CAST(n_target_leaning AS BIGINT) AS n_target_leaning,
+             |  ${r6sql("CAST(n_target_leaning AS DOUBLE) / n_shingles")}
+             |    AS affinity
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     // PII redaction: the corpus itself is PII-free word soup, so each
     // doc gets deterministic synthetic PII appended (email, dotted
     // quad, 16-digit card, phone — all derived from doc_id), the

@@ -834,6 +834,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == List(("a b", 3L), ("b c", 1L), ("c a", 1L)), got.toString)
   }
 
+  test("domainAffinity scores lean fractions by exact cross-multiplication") {
+    import graft.operators.TextAnalysis
+    val train = Seq((1L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text")
+    val target = Seq((10L, "a b c q")).toDF("doc_id", "text")
+    // DFs: target {a b c:1, b c q:1}, n_t=2; train {a b c:1, b c d:1,
+    // x y z:1, y z w:1}, n_s=4. "a b c" leans target (1·4 > 1·2);
+    // doc 1 scores 1/2, doc 3 shares nothing with the target → 0
+    val got = TextAnalysis.domainAffinity(train, target, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, l, a) => id -> ((n, l, a)) }.toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+  }
+
   test("exact ledger admits only byte-new within-batch survivors, once") {
     import graft.operators.Dedup
     val dir = java.nio.file.Files.createTempDirectory("graft-ledger").toString

@@ -238,6 +238,28 @@ class PlanAuditSpec extends SparkSpec {
       s"t17 common-line groupBy should key on xxhash64:\n$opt")
   }
 
+  test("t19/t20/t21: documents scans prune to exactly the used columns") {
+    // t19 builds URLs from doc_id alone — text must not be read
+    val rs19 = explain(build("t19_url_normalize"))
+      .linesIterator.find(_.contains("ReadSchema")).get
+    assert(rs19.contains("doc_id") && !rs19.contains("text"), rs19)
+    // t20 tokenizes text alone — doc_id must not be read
+    val rs20 = explain(build("t20_bigram_merges"))
+      .linesIterator.find(_.contains("ReadSchema")).get
+    assert(rs20.contains("text") && !rs20.contains("doc_id"), rs20)
+    // and its corpus-wide count combines map-side, top-k is bounded
+    val phys20 = build("t20_bigram_merges")
+      .queryExecution.executedPlan.toString
+    assert(phys20.contains("partial_count"), phys20.take(1500))
+    assert(phys20.contains("TakeOrderedAndProject"),
+      "t20 top-k should be TakeOrdered, not a global sort")
+    val schemas21 = explain(build("t21_domain_affinity"))
+      .linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(schemas21.nonEmpty && schemas21.forall(s =>
+      s.contains("doc_id") && s.contains("text") && !s.contains("lang")),
+      schemas21.toString)
+  }
+
   test("t15: documents scan prunes to (source, text); one partial aggregate") {
     val df = build("t15_mix_allocation")
     val plan = explain(df)
