@@ -777,6 +777,30 @@ object Dedup {
     df.select(xxhash64(col(textCol)).as("content_hash")).distinct()
       .write.mode("append").parquet(s"$path/hashes")
 
+  /** Streaming admission against a persisted exact ledger: the
+    * ingest-time twin of [[admitAgainstExactLedger]] — drop stream
+    * docs whose content hash the ledger already holds (stream-static
+    * anti-join, stateless; the ledger projection is scope-persisted so
+    * micro-batches don't re-read it), then within-stream first-arrival
+    * dedup via the watermarked content-hash state
+    * ([[streamingExact]]'s contract). The static side is the ledger
+    * SNAPSHOT at query start — content admitted mid-stream is deduped
+    * by the in-stream state, not the ledger; restart the query after
+    * [[appendToExactLedger]] to fold a new generation in. Emits the
+    * admitted rows + `content_hash` (feed them back to the ledger
+    * append on successful ingest).
+    */
+  def streamingAdmitAgainstExactLedger(
+      docs: DataFrame, textCol: String, tsCol: String, watermark: String,
+      path: String, scope: CacheScope = streamingScope): DataFrame = {
+    val led = scope.persistTracked(
+      docs.sparkSession.read.parquet(s"$path/hashes"))
+    docs.withColumn("content_hash", xxhash64(col(textCol)))
+      .join(led, Seq("content_hash"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+
   /** Admit the byte-new documents of an ingest batch: within-batch
     * survivors ([[exact]]'s min-id contract) whose content hash is
     * absent from the ledger. One hash aggregation of the batch + one

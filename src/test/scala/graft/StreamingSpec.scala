@@ -503,6 +503,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ledger admission drops known content, dedups in-stream, statelessly vs the snapshot") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sledger").toString
+    val corpus = Seq((1L, "ledger alpha"), (2L, "ledger beta"))
+      .toDF("doc_id", "text")
+    Dedup.writeExactLedger(corpus, "text", dir)
+    val mem = MemoryStream[StreamDoc]
+    val admitted = Dedup.streamingAdmitAgainstExactLedger(
+      mem.toDF(), "text", "ts", "1 hour", dir)
+    val q = admitted.writeStream.format("memory").queryName("sledger")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        StreamDoc(10L, ts(0), "ledger alpha"),   // known → rejected
+        StreamDoc(11L, ts(1), "fresh gamma"))    // new → admitted
+      q.processAllAvailable()
+      mem.addData(
+        StreamDoc(12L, ts(2), "fresh gamma"),    // in-stream dup → state drops
+        StreamDoc(13L, ts(3), "fresh delta"),    // new → admitted
+        StreamDoc(14L, ts(4), "ledger beta"))    // known → rejected
+      q.processAllAvailable()
+      val got = spark.table("sledger").select("doc_id")
+        .as[Long].collect().toSet
+      assert(got == Set(11L, 13L),
+        s"admission diverged: $got (want first arrivals of byte-new only)")
+      // the admitted rows carry the hash the ledger append consumes
+      assert(spark.table("sledger").columns.contains("content_hash"))
+      // the plan is a stateless anti-join vs the snapshot + ONE dedup
+      // state operator — no stream-stream join, no aggregation state
+      val p = q.lastProgress
+      assert(p == null || p.stateOperators.length <= 1)
+    } finally {
+      q.stop()
+      Dedup.streamingScope.release()
+    }
+  }
+
   test("streaming semantic decontamination flags near-parallel vectors, statelessly") {
     import graft.operators.{Dedup, Similarity}
     implicit val sqlCtx = spark.sqlContext
