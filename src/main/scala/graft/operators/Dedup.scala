@@ -669,18 +669,23 @@ object Dedup {
     */
   def writeLshIndex(
       df: DataFrame, idCol: String, textCol: String, path: String,
-      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
-      scope: CacheScope = batchScope): Unit = {
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
     import spark.implicits._
     Seq((shingleK, numHashes, bands))
       .toDF("shingle_k", "num_hashes", "bands")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
-    val sh = scope.persistTracked(hashedCorpus(df, idCol, textCol, shingleK))
-    bandedFromHashes(sh, "id", numHashes, bands)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
-    sh.write.mode("overwrite").parquet(s"$path/hashes")
+    // local persist, released before returning: both writes consume it
+    // eagerly and nothing lazy escapes — unlike the probe, whose
+    // returned frame still references its cache
+    val sh = hashedCorpus(df, idCol, textCol, shingleK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      bandedFromHashes(sh, "id", numHashes, bands)
+        .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
+      sh.write.mode("overwrite").parquet(s"$path/hashes")
+    } finally sh.unpersist(false)
   }
 
   /** Append a batch to a persisted LSH index: band the new docs under
@@ -691,13 +696,15 @@ object Dedup {
     * honest answer).
     */
   def appendToLshIndex(
-      df: DataFrame, idCol: String, textCol: String, path: String,
-      scope: CacheScope = batchScope): Unit = {
+      df: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val (shingleK, numHashes, bands) = lshMetaOf(df.sparkSession, path)
-    val sh = scope.persistTracked(hashedCorpus(df, idCol, textCol, shingleK))
-    bandedFromHashes(sh, "id", numHashes, bands)
-      .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
-    sh.write.mode("append").parquet(s"$path/hashes")
+    val sh = hashedCorpus(df, idCol, textCol, shingleK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      bandedFromHashes(sh, "id", numHashes, bands)
+        .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
+      sh.write.mode("append").parquet(s"$path/hashes")
+    } finally sh.unpersist(false)
   }
 
   /** Dedup an ingest batch against a persisted LSH index: batch docs

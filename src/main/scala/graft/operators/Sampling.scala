@@ -139,45 +139,6 @@ object Sampling {
     * Emits one row per stratum: winner ids best-first plus their
     * sample keys (so downstream can merge leaderboards by key).
     */
-  /** Deterministic training-order shuffle: assign every row a shard
-    * and a position within its shard, both pure integer-hash functions
-    * of the id — the "global shuffle" step before writing a training
-    * corpus as N order-randomized shard files. Two INDEPENDENT hashes
-    * (different increment/multiplier) so the within-shard order is
-    * decorrelated from the shard assignment: rows that land together
-    * do not arrive in id order.
-    *
-    * Scale shape: there is deliberately NO global sort/row_number — a
-    * single-partition window is the classic 100 TB killer. The only
-    * sort is per-shard (one window partitioned by shard), which is the
-    * sort a shard-file writer pays anyway; pick nShards so
-    * corpus/nShards fits a task (shard files are GB-sized by design,
-    * so real runs have 10⁴-10⁵ shards, not 8). All arithmetic stays in
-    * the sampler's overflow-safe integer domain and both multipliers
-    * are coprime to the 1000003 modulus, so the oracle replays it
-    * exactly.
-    *
-    * Output: input row + (shard INT, shard_pos INT), shard_pos
-    * starting at 1 within each shard.
-    */
-  def shardAssignment(
-      df: DataFrame, idCol: String, nShards: Int): DataFrame = {
-    require(nShards > 0)
-    require(!df.columns.contains("shard") && !df.columns.contains("shard_pos"),
-      "shardAssignment: input already has a shard/shard_pos column")
-    val id = col(idCol)
-    val h1 = pmod(pmod(id, lit(2147483647L)) * lit(2654435761L),
-      lit(1000003L))
-    val h2 = pmod(pmod(id + lit(9176L), lit(2147483647L)) * lit(1540483477L),
-      lit(1000003L))
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("shard", pmod(h1, lit(nShards.toLong)).cast("int"))
-      .withColumn("_sh_ord", h2)
-      .withColumn("shard_pos", row_number().over(
-        Window.partitionBy(col("shard")).orderBy(col("_sh_ord"), id)))
-      .drop("_sh_ord")
-  }
-
   def streamingWeightedStratifiedSample(
       stream: DataFrame, idCol: String, stratumCol: String,
       weight: Column, kPerStratum: Int): DataFrame = {
@@ -192,5 +153,46 @@ object Sampling {
         col("_t.id").as("winner_ids"),
         transform(col("_t.ord"), o => negate(o).cast("long"))
           .as("winner_keys"))
+  }
+
+  /** Deterministic training-order shuffle: assign every row a shard
+    * and a position within its shard, both pure integer-hash functions
+    * of the id — the "global shuffle" step before writing a training
+    * corpus as N order-randomized shard files. Two INDEPENDENT hashes
+    * (different increment/multiplier) so the within-shard order is
+    * decorrelated from the shard assignment: rows that land together
+    * do not arrive in id order.
+    *
+    * Scale shape: there is deliberately NO global sort/row_number — a
+    * single-partition window is the classic 100 TB killer. The only
+    * sort is per-shard (one window partitioned by shard), which is the
+    * sort a shard-file writer pays anyway; pick nShards so
+    * corpus/nShards fits a task (shard files are GB-sized by design,
+    * so real runs have 10⁴-10⁵ shards, not 8). Arithmetic is
+    * overflow-safe for the FULL long id range: every id is reduced
+    * mod 2³¹−1 BEFORE the +9176 increment and the multiplies (the
+    * products stay below 2⁶³), and both multipliers are coprime to
+    * the 1000003 modulus, so the oracle replays it exactly.
+    *
+    * Output: input row + (shard INT, shard_pos INT), shard_pos
+    * starting at 1 within each shard.
+    */
+  def shardAssignment(
+      df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0)
+    require(!df.columns.contains("shard") && !df.columns.contains("shard_pos")
+        && !df.columns.contains("_sh_ord"),
+      "shardAssignment: input already has a shard/shard_pos/_sh_ord column")
+    val id = col(idCol)
+    val h1 = pmod(pmod(id, lit(2147483647L)) * lit(2654435761L),
+      lit(1000003L))
+    val h2 = pmod((pmod(id, lit(2147483647L)) + lit(9176L)) * lit(1540483477L),
+      lit(1000003L))
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("shard", pmod(h1, lit(nShards.toLong)).cast("int"))
+      .withColumn("_sh_ord", h2)
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("_sh_ord"), id)))
+      .drop("_sh_ord")
   }
 }

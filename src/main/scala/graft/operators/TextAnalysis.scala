@@ -354,11 +354,16 @@ object TextAnalysis {
     */
   def dedupCorpusLines(
       df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int): DataFrame = {
+      minDocs: Int,
+      scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
     require(minDocs >= 2, s"dedupCorpusLines: minDocs must be >= 2 " +
       s"(got $minDocs — at 1 every line is 'common' and all text is dropped)")
-    val lines = df.select(col(idCol).as("_ld_id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("_ld_pos", "_ld_line")))
+    // the exploded lines feed both the common-line aggregate and the
+    // rejoin — persist so the corpus is split once, not twice
+    // (decontaminate's hash-once contract; caching swaps in at
+    // physical planning, the logical plan and SqlGen are untouched)
+    val lines = scope.persistTracked(df.select(col(idCol).as("_ld_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("_ld_pos", "_ld_line"))))
     val common = lines
       .where(trim(col("_ld_line")) =!= "")
       .groupBy(xxhash64(col("_ld_line")).as("_ld_h"))
@@ -390,17 +395,30 @@ object TextAnalysis {
     * Returns (normalized url, lowercased host).
     */
   def normalizeUrl(url: Column): (Column, Column) = {
-    val prefix = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
-    val rest = substr(url, length(prefix) + 1, lit(Int.MaxValue))
+    val rawPrefix = regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val prefix = lower(rawPrefix)
+    // offsets measured on the UN-lowered prefix: case mapping can
+    // change codepoint counts (İ lowers to i + combining dot) and
+    // would shift the split point
+    val rest = substr(url, length(rawPrefix) + 1, lit(Int.MaxValue))
     val noFrag = regexp_replace(rest, "#.*", "")
-    val noUtm = regexp_replace(
+    // utm stripping confined to the QUERY STRING — '&' and 'utm_' are
+    // legal in path segments, so the patterns must never see the path
+    // (and the leading-param passes are ^-anchored: a query string may
+    // itself contain a later '?')
+    val path = regexp_extract(noFrag, "^[^?]*", 0)
+    val query = substr(noFrag, length(path) + 1, lit(Int.MaxValue))
+    val qNoUtm = regexp_replace(
       regexp_replace(
-        regexp_replace(noFrag, "&utm_[^&]*", ""),
-        "\\?utm_[^&]*&", "?"),
-      "\\?utm_[^&]*", "")
-    val clean = regexp_replace(noUtm, "\\?$", "")
+        regexp_replace(query, "&utm_[^&]*", ""),
+        "^\\?utm_[^&]*&", "?"),
+      "^\\?utm_[^&]*", "")
+    // a query reduced to the bare '?' disappears — an equality CASE,
+    // not '\?$' (Java's '$' matches before a trailing line terminator,
+    // RE2's does not; scraped URLs can carry exactly that)
+    val cleanQuery = when(qNoUtm === "?", lit("")).otherwise(qNoUtm)
     val host = regexp_extract(prefix, "://(.*)", 1)
-    (concat(prefix, clean), host)
+    (concat(prefix, path, cleanQuery), host)
   }
 
   /** Adjacent-token-pair frequencies — the counting step of one BPE
@@ -459,15 +477,20 @@ object TextAnalysis {
     */
   def domainAffinity(
       train: DataFrame, target: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3): DataFrame = {
+      shingleK: Int = 3,
+      scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
     def occ(df: DataFrame) = df.select(col(idCol).as("id"),
       explode(Dedup.shingleHashes(col(textCol), shingleK)).as("g"))
-    val occS = occ(train)
-    val occT = occ(target)
+    // the train explode feeds BOTH the count table and the scoring
+    // join — persist it so the shingle kernel reads the corpus once
+    // (decontaminate's hash-once contract); the totals come from the
+    // count tables for free (Σ document frequencies = the occurrence
+    // total), so neither corpus is exploded a second time
+    val occS = scope.persistTracked(occ(train))
     val cS = occS.groupBy("g").agg(count(lit(1)).as("c_s"))
-    val cT = occT.groupBy("g").agg(count(lit(1)).as("c_t"))
-    val totals = occS.agg(count(lit(1)).as("n_s"))
-      .crossJoin(occT.agg(count(lit(1)).as("n_t")))
+    val cT = occ(target).groupBy("g").agg(count(lit(1)).as("c_t"))
+    val totals = cS.agg(coalesce(sum("c_s"), lit(0L)).as("n_s"))
+      .crossJoin(cT.agg(coalesce(sum("c_t"), lit(0L)).as("n_t")))
     val lean = cT.join(cS, Seq("g"), "full_outer")
       .select(col("g"),
         coalesce(col("c_t"), lit(0L)).as("c_t"),

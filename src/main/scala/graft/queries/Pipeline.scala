@@ -1527,7 +1527,7 @@ object Pipeline {
       Some("""WITH h AS (
              |  SELECT doc_id,
              |    ((doc_id % 2147483647) * 2654435761) % 1000003 AS h1,
-             |    (((doc_id + 9176) % 2147483647) * 1540483477) % 1000003 AS h2
+             |    ((doc_id % 2147483647 + 9176) * 1540483477) % 1000003 AS h2
              |  FROM documents
              |)
              |SELECT doc_id, CAST(h1 % 8 AS INT) AS shard,
@@ -1614,23 +1614,32 @@ object Pipeline {
              |  FROM documents
              |), p AS (
              |  SELECT doc_id, url,
-             |    lower(regexp_extract(url,
-             |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS prefix
+             |    regexp_extract(url,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS rawp
              |  FROM u
-             |), c AS (
+             |), r AS (
+             |  SELECT doc_id, lower(rawp) AS prefix,
+             |    regexp_replace(substr(url, length(rawp) + 1),
+             |      '#.*', '', 'g') AS nofrag
+             |  FROM p
+             |), sq AS (
              |  SELECT doc_id, prefix,
+             |    regexp_extract(nofrag, '^[^?]*', 0) AS path,
+             |    substr(nofrag,
+             |      length(regexp_extract(nofrag, '^[^?]*', 0)) + 1) AS q
+             |  FROM r
+             |), c AS (
+             |  SELECT doc_id, prefix, path,
              |    regexp_replace(
              |      regexp_replace(
-             |        regexp_replace(
-             |          regexp_replace(substr(url, length(prefix) + 1),
-             |            '#.*', '', 'g'),
-             |          '&utm_[^&]*', '', 'g'),
-             |        '\?utm_[^&]*&', '?', 'g'),
-             |      '\?utm_[^&]*', '', 'g') AS clean
-             |  FROM p
+             |        regexp_replace(q, '&utm_[^&]*', '', 'g'),
+             |        '^\?utm_[^&]*&', '?', 'g'),
+             |      '^\?utm_[^&]*', '', 'g') AS qq
+             |  FROM sq
              |)
              |SELECT doc_id,
-             |  prefix || regexp_replace(clean, '\?$', '', 'g') AS norm_url,
+             |  prefix || path ||
+             |    (CASE WHEN qq = '?' THEN '' ELSE qq END) AS norm_url,
              |  regexp_extract(prefix, '://(.*)', 1) AS host
              |FROM c ORDER BY doc_id""".stripMargin)),
 

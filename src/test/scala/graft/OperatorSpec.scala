@@ -814,7 +814,12 @@ class TextAnalysisSpec extends SparkSpec {
       // nothing to strip; PATH case preserved
       ("https://Host.org/CaseSensitive/Path", "https://host.org/CaseSensitive/Path", "host.org"),
       // fragment without query
-      ("https://h.io/x#section-2", "https://h.io/x", "h.io"))
+      ("https://h.io/x#section-2", "https://h.io/x", "h.io"),
+      // '&'/'utm_' are legal in PATHS — stripping must not touch them
+      ("https://x.com/a&utm_b/c?utm_z=1", "https://x.com/a&utm_b/c", "x.com"),
+      // a query string may contain a second '?' — only the LEADING
+      // utm param is position-stripped
+      ("https://x.com/p?utm_a=1&q=what?", "https://x.com/p?q=what?", "x.com"))
     val df = cases.map(_._1).zipWithIndex.map(_.swap).toDF("i", "url")
     val (norm, host) = TextAnalysis.normalizeUrl(col("url"))
     val got = df.select(col("i"), norm, host).orderBy("i")
