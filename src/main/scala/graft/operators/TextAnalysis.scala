@@ -509,6 +509,70 @@ object TextAnalysis {
           .as("affinity"))
   }
 
+  /** Collocation mining: top-k adjacent-token bigrams by LIFT —
+    * `(c_ab · N) / (c_a · c_b)`, i.e. how much more often the pair
+    * occurs than independence predicts. This is the monotone core of
+    * PMI (`PMI = ln lift`): ranking by lift IS ranking by PMI, so the
+    * `ln` — not bit-reproducible across engines — never needs to be
+    * computed (t21's cross-multiplication stance). All four counts are
+    * exact longs; the ratio is a fixed sequence of IEEE casts/mul/div,
+    * bit-identical in any engine, so the result is oracle-GATED.
+    * `minCount` drops hapax pairs (classic PMI degeneracy: a pair seen
+    * once between two rare words gets an enormous lift).
+    *
+    * Scale shape: unigrams and bigrams ride ONE explode over one
+    * bound token array (two transforms concatenated, tagged by kind —
+    * one corpus scan, one map-side-combined count), `scope`-persisted
+    * because the unigram side is consumed three times (w1 join, w2
+    * join, token total). The joins key on vocabulary-sized count
+    * tables — hash joins on the term, never on document text. Final
+    * cut is TakeOrdered on the (lift desc, pair asc) total order.
+    * Count products stay exact in double up to 2^53 ≈ 9·10^15 — above
+    * that (≈10^14-token corpora × frequent pairs) the lift loses ulps
+    * but both engines lose the SAME ulps.
+    *
+    * Output: (pair, n_pair, n_w1, n_w2, lift), best first.
+    */
+  def collocations(
+      df: DataFrame, textCol: String, k: Int, minCount: Long = 2,
+      scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
+    require(k >= 1, "collocations: k must be positive")
+    require(minCount >= 1, "collocations: minCount must be >= 1")
+    // tokens bound in their own projection (the t20 lambda trap:
+    // inlined, the split pipeline re-runs per element)
+    val toked = df.select(tokens(col(textCol)).as("_cl_toks"))
+    val toks = col("_cl_toks")
+    val pairs = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val counts = scope.persistTracked(
+      toked.select(explode(concat(
+          transform(toks, t => struct(lit(0).as("kind"), t.as("gram"))),
+          transform(pairs, p => struct(lit(1).as("kind"), p.as("gram")))))
+          .as("g"))
+        .groupBy(col("g.kind").as("kind"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as("n")))
+    val uni = counts.where(col("kind") === 0)
+      .select(col("gram").as("w"), col("n").as("c"))
+    val bi = counts.where(col("kind") === 1 && col("n") >= minCount)
+      .select(col("gram").as("pair"), col("n").as("n_pair"),
+        split(col("gram"), " ").getItem(0).as("_w1"),
+        split(col("gram"), " ").getItem(1).as("_w2"))
+    val total = uni.agg(coalesce(sum("c"), lit(0L)).as("n_total"))
+    bi.join(uni.withColumnRenamed("w", "_w1").withColumnRenamed("c", "n_w1"),
+        Seq("_w1"))
+      .join(uni.withColumnRenamed("w", "_w2").withColumnRenamed("c", "n_w2"),
+        Seq("_w2"))
+      .crossJoin(broadcast(total))
+      .select(col("pair"), col("n_pair"), col("n_w1"), col("n_w2"),
+        ((col("n_pair").cast("double") * col("n_total").cast("double")) /
+          (col("n_w1").cast("double") * col("n_w2").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** The full per-document analysis row. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -1828,6 +1828,186 @@ object Pipeline {
              |SELECT doc_id, CAST(start_tok // 384 AS BIGINT) AS chunk_idx,
              |  CAST(start_tok AS BIGINT) AS start_tok,
              |  CAST(least(start_tok + 512, n_tok) AS BIGINT) AS end_tok
-             |FROM s ORDER BY doc_id, chunk_idx""".stripMargin))
+             |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // BM25 top-k retrieval for a 3-query probe set — rational RSJ idf
+    // (no ln: every step is a fixed IEEE op sequence both engines
+    // replay bit-identically) and 6-decimal-scaled LONG per-term
+    // contributions so the per-(query, doc) sum is exact integer
+    // arithmetic (a double sum depends on partition arrival order).
+    // Query-vocab semi-filter before any scoring; bounded-heap top-k.
+    Q("s09_bm25",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val probes = Seq(
+          (1, "hash join table"),
+          (2, "window agg sort stream"),
+          (3, "fast vector scan")).toDF("query_id", "query_text")
+        graft.operators.Retrieval.bm25(docs, "doc_id", "text",
+            probes, "query_id", "query_text", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q(query_id, qtext) AS (
+             |  VALUES (1, 'hash join table'), (2, 'window agg sort stream'),
+             |         (3, 'fast vector scan')
+             |), toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '')) AS term
+             |  FROM documents
+             |), postings AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+             |), dl AS (
+             |  SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY doc_id
+             |), stats AS (
+             |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             |         (SELECT coalesce(SUM(dl), 0) FROM dl) AS n_tokens
+             |), qterms AS (
+             |  SELECT query_id, unnest(list_distinct(list_filter(
+             |    regexp_split_to_array(trim(lower(qtext)), '[ \t\n\v\f\r]+'),
+             |    x -> x <> ''))) AS term
+             |  FROM q
+             |), matched AS (
+             |  SELECT p.* FROM postings p
+             |  WHERE term IN (SELECT term FROM qterms)
+             |), dfreq AS (
+             |  SELECT term, COUNT(*) AS doc_freq FROM matched GROUP BY term
+             |), contrib AS (
+             |  SELECT qt.query_id, m.doc_id,
+             |    CAST(FLOOR(
+             |      ((n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+             |      * (CAST(m.tf AS DOUBLE) * (1.2 + 1.0))
+             |      / (CAST(m.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+             |         + 0.75 * (CAST(d.dl AS DOUBLE)
+             |                   / (CAST(n_tokens AS DOUBLE) / n_docs))))
+             |      * 1000000 + 0.5) AS BIGINT) AS ci
+             |  FROM matched m
+             |  JOIN qterms qt USING (term)
+             |  JOIN dfreq USING (term)
+             |  JOIN dl d ON m.doc_id = d.doc_id, stats
+             |), sc AS (
+             |  SELECT query_id, doc_id, SUM(ci) AS score_i
+             |  FROM contrib GROUP BY query_id, doc_id
+             |), r AS (
+             |  SELECT query_id, doc_id, score_i,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY score_i DESC, doc_id ASC) AS rnk
+             |  FROM sc
+             |)
+             |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
+             |  score_i / 1000000.0 AS score
+             |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // canonical-URL dedup curation: normalize crawl URLs (t19's
+    // chain), then first-crawl-wins survivor per canonical URL — the
+    // URL-level dedup every crawl pipeline runs BEFORE content dedup
+    // (same page re-crawled under rotating tracking params). The
+    // synthetic URLs collide on purpose: path = doc_id % 50, so
+    // distinct raw URLs (different utm_ payloads) canonicalize
+    // together. Window keys on xxhash64(norm_url) — c01's stance: the
+    // exchange compares 8-byte hashes, never URL strings; the string-
+    // keyed DuckDB twin would catch a collision.
+    Q("c02_url_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val host0 = when(col("doc_id") % 3 === 0, "WWW.Example.COM")
+          .when(col("doc_id") % 3 === 1, "blog.Example.com")
+          .otherwise("news.site.org")
+        val url = concat(lit("HTTPS://"), host0,
+          lit("/page/"), (col("doc_id") % 50).cast("string"),
+          lit("?utm_source=s"), (col("doc_id") % 7).cast("string"),
+          lit("&ref=r"), (col("doc_id") % 4).cast("string"),
+          lit("&utm_campaign=c"), col("doc_id").cast("string"))
+        val (norm, host) = TextAnalysis.normalizeUrl(url)
+        val w = Window.partitionBy(xxhash64(col("norm_url")))
+        docs.select(col("doc_id"), norm.as("norm_url"), host.as("host"))
+          .withColumn("survivor_id", min("doc_id").over(w))
+          .withColumn("n_dups", count(lit(1)).over(w))
+          .withColumn("is_survivor", col("doc_id") === col("survivor_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'HTTPS://' ||
+             |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+             |         WHEN doc_id % 3 = 1 THEN 'blog.Example.com'
+             |         ELSE 'news.site.org' END ||
+             |    '/page/' || CAST(doc_id % 50 AS VARCHAR) ||
+             |    '?utm_source=s' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    '&ref=r' || CAST(doc_id % 4 AS VARCHAR) ||
+             |    '&utm_campaign=c' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents
+             |), p AS (
+             |  SELECT doc_id, url,
+             |    regexp_extract(url,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS rawp
+             |  FROM u
+             |), r AS (
+             |  SELECT doc_id, lower(rawp) AS prefix,
+             |    regexp_replace(substr(url, length(rawp) + 1),
+             |      '#.*', '', 'g') AS nofrag
+             |  FROM p
+             |), sq AS (
+             |  SELECT doc_id, prefix,
+             |    regexp_extract(nofrag, '^[^?]*', 0) AS path,
+             |    substr(nofrag,
+             |      length(regexp_extract(nofrag, '^[^?]*', 0)) + 1) AS q
+             |  FROM r
+             |), c AS (
+             |  SELECT doc_id, prefix, path,
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(q, '&utm_[^&]*', '', 'g'),
+             |        '^\?utm_[^&]*&', '?', 'g'),
+             |      '^\?utm_[^&]*', '', 'g') AS qq
+             |  FROM sq
+             |), n AS (
+             |  SELECT doc_id,
+             |    prefix || path ||
+             |      (CASE WHEN qq = '?' THEN '' ELSE qq END) AS norm_url,
+             |    regexp_extract(prefix, '://(.*)', 1) AS host
+             |  FROM c
+             |)
+             |SELECT doc_id, norm_url, host,
+             |  MIN(doc_id) OVER (PARTITION BY norm_url) AS survivor_id,
+             |  COUNT(*) OVER (PARTITION BY norm_url) AS n_dups,
+             |  doc_id = MIN(doc_id) OVER (PARTITION BY norm_url) AS is_survivor
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
+    // collocation mining: top-50 bigrams by lift (the monotone core of
+    // PMI — ranking by lift IS ranking by PMI, so the cross-engine-
+    // unreproducible ln never gets computed; t21's stance). Unigrams
+    // and bigrams ride ONE explode; all counts exact longs; the lift
+    // ratio is a fixed IEEE cast/mul/div sequence.
+    Q("t22_collocations",
+      (s, dir) => {
+        TextAnalysis.collocations(Tables.load(s, dir, "documents"),
+            "text", k = 50, minCount = 2)
+          .orderBy(col("lift").desc, col("pair").asc)
+      },
+      Some("""WITH t AS (
+             |  SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+             |    '[ \t\n\v\f\r]+'), x -> x <> '') AS w
+             |  FROM documents
+             |), uc AS (
+             |  SELECT g, COUNT(*) AS c
+             |  FROM (SELECT unnest(w) AS g FROM t) GROUP BY g
+             |), bc AS (
+             |  SELECT pair, COUNT(*) AS c
+             |  FROM (SELECT unnest(CASE WHEN len(w) >= 2
+             |    THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+             |    ELSE [] END) AS pair FROM t)
+             |  GROUP BY pair HAVING COUNT(*) >= 2
+             |), tot AS (
+             |  SELECT coalesce(SUM(c), 0) AS n_total FROM uc
+             |)
+             |SELECT bc.pair, bc.c AS n_pair, u1.c AS n_w1, u2.c AS n_w2,
+             |  (CAST(bc.c AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+             |    (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+             |FROM bc
+             |JOIN uc u1 ON string_split(bc.pair, ' ')[1] = u1.g
+             |JOIN uc u2 ON string_split(bc.pair, ' ')[2] = u2.g, tot
+             |ORDER BY lift DESC, pair ASC LIMIT 50""".stripMargin))
   )
 }

@@ -1265,6 +1265,40 @@ object Relational {
              |  ON dom.user_id = daily.user_id AND dom.day = daily.d
              |ORDER BY dom.user_id, day""".stripMargin)),
 
+    // ───────────────────────── transition matrix ─────────────────────────
+    // First-order Markov transitions between consecutive per-user
+    // event types: one user-key exchange for the lead window (the
+    // funnel partitioning), a |types|²-sized aggregate, broadcast row
+    // totals. event_id totalizes the order under equal timestamps —
+    // without it lead() on ties is nondeterministic in BOTH engines.
+    // p is one long/long IEEE division: bit-identical, no rounding.
+    Q("e04_transitions",
+      (s, dir) => {
+        graft.operators.EventsAnalytics.transitionMatrix(
+            Tables.events(s, dir), "user_id", "ts", "event_type",
+            tieCol = "event_id")
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events
+             |), nx AS (
+             |  SELECT event_type AS from_type,
+             |    LEAD(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM e
+             |), c AS (
+             |  SELECT from_type, to_type, COUNT(*) AS n
+             |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2
+             |), t AS (
+             |  SELECT from_type, SUM(n) AS total_from FROM c GROUP BY 1
+             |)
+             |SELECT c.from_type, c.to_type, n, total_from,
+             |  CAST(n AS DOUBLE) / CAST(total_from AS DOUBLE) AS p
+             |FROM c JOIN t USING (from_type)
+             |ORDER BY from_type, to_type""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

@@ -121,4 +121,44 @@ class EventsAnalyticsSpec extends SparkSpec {
       ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-01", 2, 1L),
       ("2024-01-02", 0, 1L)))
   }
+
+  test("transitionMatrix counts consecutive pairs per user, row-normalized") {
+    val events = Seq(
+      // user 1: view -> click -> view -> purchase
+      (1L, 10L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, 11L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, 12L, ts("2024-01-01 10:02:00"), "view"),
+      (1L, 13L, ts("2024-01-01 10:03:00"), "purchase"),
+      // user 2: view -> view (no cross-user pair with user 1's tail)
+      (2L, 20L, ts("2024-01-01 09:00:00"), "view"),
+      (2L, 21L, ts("2024-01-01 09:05:00"), "view"),
+      // user 3: single event — no transition at all
+      (3L, 30L, ts("2024-01-01 08:00:00"), "click"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventsAnalytics.transitionMatrix(
+        events, "user_id", "ts", "event_type", tieCol = "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // user 1: view->click, click->view, view->purchase; user 2:
+    // view->view; user 3 contributes nothing. From view: 3 total.
+    assert(out == Seq(
+      ("click", "view", 1L, 1L, 1.0),
+      ("view", "click", 1L, 3L, 1.0 / 3.0),
+      ("view", "purchase", 1L, 3L, 1.0 / 3.0),
+      ("view", "view", 1L, 3L, 1.0 / 3.0)))
+  }
+
+  test("transitionMatrix breaks timestamp ties by the tie column") {
+    // two same-instant events: order must follow event_id, not arrival
+    val events = Seq(
+      (1L, 2L, ts("2024-01-01 10:00:00"), "b"),
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 3L, ts("2024-01-01 10:01:00"), "c"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventsAnalytics.transitionMatrix(
+        events, "user_id", "ts", "event_type", tieCol = "event_id")
+      .orderBy("from_type")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(("a", "b", 1L, 1L, 1.0), ("b", "c", 1L, 1L, 1.0)))
+  }
 }

@@ -839,6 +839,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == List(("a b", 3L), ("b c", 1L), ("c a", 1L)), got.toString)
   }
 
+  test("collocations ranks by exact lift; minCount drops hapax pairs") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val scope = new Dedup.CacheScope
+    try {
+      // 'new york' always adjacent (high lift); 'the cat' adjacent
+      // twice but both words common elsewhere (low lift); 'rare gem'
+      // occurs once → hapax, cut by minCount=2
+      val df = Seq(
+        "new york new york", "the cat sat", "the cat ran the dog",
+        "rare gem").toDF("text")
+      val got = TextAnalysis.collocations(df, "text", k = 10,
+          minCount = 2, scope = scope)
+        .as[(String, Long, Long, Long, Double)].collect().toList
+      assert(!got.exists(_._1 == "rare gem"), got.toString)
+      // N = 14 unigram tokens. new york: c_ab=2 c_a=2 c_b=2 →
+      // lift 2·14/4 = 7.0; the cat: c_ab=2, the=3, cat=2 → 2·14/6;
+      // york new: 1 → hapax, cut
+      val m = got.map(g => g._1 -> g).toMap
+      assert(m("new york") == (("new york", 2L, 2L, 2L, 7.0)), got.toString)
+      assert(m("the cat") ==
+        (("the cat", 2L, 3L, 2L, 2.0 * 14.0 / (3.0 * 2.0))), got.toString)
+      assert(got.map(_._5) == got.map(_._5).sorted.reverse, got.toString)
+    } finally scope.release()
+  }
+
+  test("collocations: unigram and bigram counts share ONE cached scan") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val scope = new Dedup.CacheScope
+    try {
+      val df = Seq("a b a b", "b c").toDF("text")
+      val out = TextAnalysis.collocations(df, "text", k = 5,
+          minCount = 1, scope = scope)
+      // the fused kind-tagged explode is persisted ONCE, and every
+      // consumer (w1/w2 joins, token total) reads the cache — the
+      // corpus explode never re-executes
+      assert(scope.size == 1, s"expected one tracked cache, got ${scope.size}")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"count consumers should read the cached gram counts:\n$plan")
+      assert(out.count() > 0)
+    } finally scope.release()
+  }
+
   test("domainAffinity scores lean fractions by exact cross-multiplication") {
     import graft.operators.TextAnalysis
     val train = Seq((1L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text")

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Retrieval}
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, "spark shuffle join"),
+    (2L, "spark spark spark streaming"),
+    (3L, "hash join hash join strategy"),
+    (4L, "window aggregate"),
+    (5L, "")) // token-less doc: counts toward N, can never match
+    .toDF("doc_id", "text")
+
+  private def queries(qs: (Int, String)*) =
+    qs.toSeq.toDF("query_id", "query_text")
+
+  /** The operator's exact arithmetic, replayed in plain Scala: rational
+    * RSJ idf, Okapi tf saturation, 6-decimal-scaled integer sum.
+    */
+  private def bm25Ref(
+      terms: Seq[(Long, Map[String, Long])], // (doc_id, tf map)
+      nDocs: Long, q: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): Map[Long, Double] = {
+    val dl = terms.map { case (id, tfs) => id -> tfs.values.sum }.toMap
+    val avgdl = dl.values.sum.toDouble / nDocs
+    val df = q.map(t => t -> terms.count(_._2.contains(t)).toLong).toMap
+    terms.flatMap { case (id, tfs) =>
+      val ci = q.filter(tfs.contains).map { t =>
+        val idf = (nDocs - df(t) + 0.5) / (df(t) + 0.5)
+        val tf = tfs(t).toDouble
+        val c = idf * (tf * (k1 + 1.0)) /
+          (tf + k1 * ((1.0 - b) + b * (dl(id).toDouble / avgdl)))
+        math.floor(c * 1e6 + 0.5).toLong
+      }.sum
+      if (ci == 0L) None else Some(id -> ci / 1e6)
+    }.toMap
+  }
+
+  private lazy val tfMaps = Seq(
+    1L -> Map("spark" -> 1L, "shuffle" -> 1L, "join" -> 1L),
+    2L -> Map("spark" -> 3L, "streaming" -> 1L),
+    3L -> Map("hash" -> 2L, "join" -> 2L, "strategy" -> 1L),
+    4L -> Map("window" -> 1L, "aggregate" -> 1L))
+
+  test("bm25 matches the hand arithmetic exactly (scores and ranks)") {
+    val got = Retrieval.bm25(corpus, "doc_id", "text",
+        queries(1 -> "spark join"), "query_id", "query_text", k = 10)
+      .select("doc_id", "rank", "score")
+      .as[(Long, Int, Double)].collect()
+      .map { case (id, r, s) => id -> ((r, s)) }.toMap
+    val want = bm25Ref(tfMaps, nDocs = 5, q = Seq("spark", "join"))
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, s) =>
+      assert(got(id)._2 == s, s"doc $id: got ${got(id)._2}, want $s")
+    }
+    // ranks follow (score desc, doc_id asc)
+    val byRank = got.toSeq.sortBy(_._2._1)
+    val resorted = got.toSeq.sortBy { case (id, (_, s)) => (-s, id) }
+    assert(byRank == resorted)
+  }
+
+  test("bm25 ranks the rare term above the common one") {
+    // 'streaming' appears in 1 doc, 'spark' in 2 — a doc matching only
+    // the rare term must outscore one matching only the common term
+    // at comparable tf/dl
+    val out = Retrieval.bm25(corpus, "doc_id", "text",
+        queries(1 -> "streaming shuffle"), "query_id", "query_text", k = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(out.toSet == Set(1L, 2L))
+  }
+
+  test("bm25 k cuts with smaller-doc-id tie preference; no-hit query is empty") {
+    val out = Retrieval.bm25(corpus, "doc_id", "text",
+        queries(1 -> "join", 2 -> "nosuchterm"), "query_id", "query_text",
+        k = 1)
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(out.map(_._1).toSet == Set(1)) // query 2: zero rows
+    assert(out.size == 1)
+    // docs 1 and 3 both contain 'join'; doc 3 has tf=2 → higher score
+    assert(out.head._3 == 3L)
+  }
+
+  test("bm25 plan: query vocab broadcast-filters postings, topk is a heap") {
+    val scope = new Dedup.CacheScope
+    try {
+      val plan = Retrieval.bm25(corpus, "doc_id", "text",
+          queries(1 -> "spark join"), "query_id", "query_text", k = 3,
+          scope = scope)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("topk_rows"),
+        s"expected the bounded topk_rows heap, not a window sort:\n$plan")
+      assert(!plan.contains("Window"),
+        s"no window sort should appear in the bm25 plan:\n$plan")
+      val broadcasts = plan.linesIterator
+        .count(_.contains("BroadcastExchange"))
+      assert(broadcasts >= 3, // qvocab semi-filter, qterms, dfreq, stats
+        s"expected broadcast joins for the query-side tables:\n$plan")
+    } finally scope.release()
+  }
+}
