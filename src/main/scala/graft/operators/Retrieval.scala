@@ -34,19 +34,19 @@ object Retrieval {
     * could not be oracle-gated.
     *
     * Scale shape (the part that matters at 100 TB):
-    *  - the corpus is tokenized ONCE into a postings table
-    *    (doc, term, tf) — one map-side-combined groupBy; `scope`
-    *    persists it across its three consumers (doc lengths, the
-    *    semi-filter, corpus token total), the decontaminate
-    *    hash-once contract;
-    *  - the query set is small by declaration: its distinct-term
-    *    vocabulary BROADCASTS into a semi-filter so only postings of
-    *    query terms (a vanishing corpus fraction) ever reach scoring —
-    *    document frequencies are computed AFTER the filter (per-term
-    *    df over filtered postings equals corpus-wide df for those
+    *  - the corpus is tokenized ONCE (`scope`-persisted token arrays,
+    *    the hashedCorpus contract) and the query set is small by
+    *    declaration: its distinct-term vocabulary BROADCASTS into a
+    *    semi-filter on the exploded tokens BEFORE any aggregation, so
+    *    the only shuffle in the whole pipeline carries query-term
+    *    tokens — a vanishing corpus fraction — never full postings;
+    *  - document frequencies are computed AFTER the filter (per-term
+    *    df over filtered tokens equals corpus-wide df for those
     *    terms), so no vocabulary-sized aggregate is ever built;
-    *  - the only big–big exchange joins matched postings to per-doc
-    *    lengths on the 8-byte doc id;
+    *  - doc length rides the explode as a per-row column into the tf
+    *    groupBy key (it is functionally dependent on doc_id — the
+    *    Lucene norms denormalization), so there is NO doc-length join
+    *    at all; corpus stats are one narrow 1-row aggregate;
     *  - top-k per query rides the bounded [[graft.functions.TopK]]
     *    heap (k rows per query per partition on the exchange), never a
     *    corpus-wide window sort; ties rank by smaller doc id.
@@ -60,27 +60,42 @@ object Retrieval {
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
-    require(k >= 1, "bm25: k must be positive")
-    require(k1 > 0 && b >= 0 && b <= 1, s"bm25: need k1 > 0, b in [0,1]")
-
-    val postings = scope.persistTracked(
-      docs.select(col(idCol).as("doc_id"),
-          explode(TextAnalysis.tokens(col(textCol))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    val docLen = postings.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val toked = scope.persistTracked(docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("_bm_toks")))
     // N counts ALL docs (token-less ones included — they shorten
-    // avgdl); the count-only scan prunes every column
-    val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(docLen.agg(coalesce(sum("dl"), lit(0L)).as("n_tokens")))
+    // avgdl); one narrow no-shuffle aggregate over the cached arrays
+    // (measured: re-tokenizing for this agg costs ~2× the whole query)
+    val stats = toked.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("_bm_toks"))), lit(0)).cast("long")
+        .as("n_tokens"))
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+    val qvocab = qterms.select("term").distinct()
+    val matched = toked
+      .select(col("doc_id"), size(col("_bm_toks")).cast("long").as("dl"),
+        explode(col("_bm_toks")).as("term"))
+      .join(broadcast(qvocab), Seq("term"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+    scoreTopK(matched, stats, qterms, k, k1, b)
+  }
 
-    val qterms = queries.select(col(queryIdCol).as("query_id"),
+  /** The query side: (query_id, term), per-query distinct. */
+  private def queryTerms(
+      queries: DataFrame, queryIdCol: String, queryTextCol: String): DataFrame =
+    queries.select(col(queryIdCol).as("query_id"),
       explode(array_distinct(TextAnalysis.tokens(col(queryTextCol))))
         .as("term"))
-    val qvocab = qterms.select("term").distinct()
 
-    val matched = postings.join(broadcast(qvocab), Seq("term"))
-    // (doc, term) is unique in postings, so count(*) = document
-    // frequency; query-vocab-sized, broadcastable by construction
+  /** Shared scoring tail of the in-memory and persisted-index paths.
+    * `matched` rows are (doc_id, term, dl, tf), unique per (doc, term)
+    * and corpus-complete for the query terms — so per-term row counts
+    * ARE document frequencies.
+    */
+  private def scoreTopK(
+      matched: DataFrame, stats: DataFrame, qterms: DataFrame,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    require(k >= 1, "bm25: k must be positive")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bm25: need k1 > 0, b in [0,1]")
+    // query-vocab-sized, broadcastable by construction
     val dfreq = matched.groupBy("term").agg(count(lit(1)).as("doc_freq"))
 
     val tfD = col("tf").cast("double")
@@ -94,7 +109,6 @@ object Retrieval {
     val scores = matched
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
-      .join(docLen, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .withColumn("_bm_ci",
         floor(contrib * lit(1e6) + lit(0.5)).cast("long"))
@@ -110,5 +124,103 @@ object Retrieval {
       .select(col("query_id"), (col("_p") + 1).cast("int").as("rank"),
         col("_w.id").as("doc_id"),
         (col("_w.ord") / lit(1e6)).as("score"))
+  }
+
+  /** One batch's index rows: (doc_id, term, dl, tf) — dl denormalized
+    * into every posting (the Lucene norms layout) so probes never pay
+    * a doc-length join.
+    */
+  private def postingsWithDl(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("_bm_toks"))
+      .select(col("doc_id"), size(col("_bm_toks")).cast("long").as("dl"),
+        explode(col("_bm_toks")).as("term"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+
+  /** Persist an inverted index for [[bm25AgainstIndex]]: postings
+    * hash-partitioned into `numBuckets` term buckets (a probe reads
+    * only its query terms' buckets — the partition-pruning contract
+    * the IVF cells and LSH bands use) plus the 1-row corpus stats.
+    * The corpus is tokenized once per write (the stats aggregate is a
+    * separate narrow count/sum scan that never explodes).
+    *
+    * Sizing: a probe reads ~|query vocab| / numBuckets of the postings
+    * bytes; more buckets prune harder but shrink files. At 100 TB
+    * postings, 4-16k buckets keeps files in the GB range — the same
+    * arithmetic as shuffle-partition sizing.
+    */
+  def writeBm25Index(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      numBuckets: Int = 64): Unit = {
+    require(numBuckets > 0, "writeBm25Index: numBuckets must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq(numBuckets).toDF("num_buckets")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    postingsWithDl(docs, idCol, textCol)
+      .withColumn("tbucket",
+        pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$path/postings")
+    docs.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(size(TextAnalysis.tokens(col(textCol)))), lit(0))
+          .cast("long").as("n_tokens"))
+      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Append a document batch to a persisted BM25 index: batch postings
+    * land in their term buckets and the 1-row stats are re-written as
+    * old + batch (the old row is COLLECTED before the overwrite —
+    * reading while overwriting the same path races). Batch doc ids
+    * must be new; re-ingesting an id would double its postings
+    * silently (the exact-ledger admission operator is the dedup gate
+    * for that).
+    */
+  def appendToBm25Index(
+      docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val old = spark.read.parquet(s"$path/stats").head()
+    val (oldDocs, oldToks) = (old.getLong(0), old.getLong(1))
+    postingsWithDl(docs, idCol, textCol)
+      .withColumn("tbucket",
+        pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
+      .write.mode("append").partitionBy("tbucket")
+      .parquet(s"$path/postings")
+    val batch = docs.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(TextAnalysis.tokens(col(textCol)))), lit(0))
+        .cast("long").as("t")).head()
+    Seq((oldDocs + batch.getLong(0), oldToks + batch.getLong(1)))
+      .toDF("n_docs", "n_tokens")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 probe of a persisted index — identical results to [[bm25]]
+    * on the indexed corpus (spec-pinned), without re-reading any
+    * document text. The postings scan prunes to the query terms'
+    * buckets via STATIC `isin` partition filters (the collected bucket
+    * set is bounded by the query vocabulary — tiny by the same
+    * declaration that lets it broadcast), so a 3-term probe of a
+    * 64-bucket index reads ≤3 buckets, and at 100 TB a probe costs
+    * ~|qvocab|/numBuckets of the postings bytes.
+    */
+  def bm25AgainstIndex(
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      path: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = queries.sparkSession
+    val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val qterms = queryTerms(queries, queryIdCol, queryTextCol)
+    // bounded collect: ≤ |query vocab| bucket ids
+    val buckets = qterms
+      .select(pmod(xxhash64(col("term")), lit(numBuckets.toLong))
+        .cast("int").as("tb"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val matched = spark.read.parquet(s"$path/postings")
+      .where(col("tbucket").isin(buckets: _*))
+      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      .select("doc_id", "term", "dl", "tf")
+    scoreTopK(matched, spark.read.parquet(s"$path/stats"), qterms, k, k1, b)
   }
 }

@@ -84,6 +84,43 @@ class RetrievalSpec extends SparkSpec {
     assert(out.head._3 == 3L)
   }
 
+  test("bm25 index probe equals the in-memory path; appends are picked up") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    val base = corpus.where(col("doc_id") <= 3)
+    val batch = corpus.where(col("doc_id") > 3)
+    Retrieval.writeBm25Index(base, "doc_id", "text", dir, numBuckets = 8)
+    val probes = queries(1 -> "spark join", 2 -> "window")
+    val scope = new Dedup.CacheScope
+    try {
+      assertSameRows(
+        Retrieval.bm25AgainstIndex(probes, "query_id", "query_text", dir,
+          k = 10),
+        Retrieval.bm25(base, "doc_id", "text", probes, "query_id",
+          "query_text", k = 10, scope = scope))
+      // append the rest: probe must now equal in-memory over the FULL
+      // corpus (stats roll forward: N includes the token-less doc 5)
+      Retrieval.appendToBm25Index(batch, "doc_id", "text", dir)
+      assertSameRows(
+        Retrieval.bm25AgainstIndex(probes, "query_id", "query_text", dir,
+          k = 10),
+        Retrieval.bm25(corpus, "doc_id", "text", probes, "query_id",
+          "query_text", k = 10, scope = scope))
+    } finally scope.release()
+  }
+
+  test("bm25 index probe prunes postings to the query-term buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25prune").toString
+    Retrieval.writeBm25Index(corpus, "doc_id", "text", dir, numBuckets = 16)
+    val plan = Retrieval.bm25AgainstIndex(
+        queries(1 -> "spark"), "query_id", "query_text", dir, k = 5)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator
+      .filter(_.contains("PartitionFilters"))
+      .find(_.contains("tbucket"))
+    assert(pf.isDefined && pf.get.contains("tbucket#"),
+      s"postings scan must carry a static tbucket partition filter:\n$plan")
+  }
+
   test("bm25 plan: query vocab broadcast-filters postings, topk is a heap") {
     val scope = new Dedup.CacheScope
     try {
