@@ -377,4 +377,121 @@ object EventsStream {
           }
       }
   }
+
+  /** One emitted edge of the per-user event chain. */
+  final case class Transition(user_id: Long, from_type: String,
+                              to_type: String, from_ts: Timestamp,
+                              to_ts: Timestamp)
+
+  /** Per-user transition state (public for the state encoder): the
+    * last LINKED event — the head the next final event chains from —
+    * and events still above the watermark, which may yet be reordered
+    * by a late arrival.
+    */
+  final case class PendingEvent(ts: Long, event_id: Long, tpe: String)
+  final case class TransitionState(lastFinal: Option[PendingEvent],
+                                   pending: List[PendingEvent])
+
+  /** Streaming twin of [[EventsAnalytics.transitionMatrix]]'s pair
+    * extraction: emits one [[Transition]] row per consecutive pair of
+    * a user's events, exactly once, in a form a downstream streaming
+    * `groupBy(from, to).count` turns into the live transition matrix.
+    *
+    * The naive formulation — link each batch's events to the last seen
+    * event — breaks on late data: with events e1(t1), e3(t3) already
+    * linked, a late e2 (t1 < t2 < t3) must produce e1→e2→e3, not an
+    * extra edge dangling off e3. So a pair is emitted only when it is
+    * FINAL under the watermark: (a, b) consecutive and `b.ts ≤ wm`
+    * guarantees no admissible event can still land between them
+    * (anything earlier than b is older than the watermark ⇒ dropped
+    * at the source). Later events park in state and flush via
+    * event-time timeout once the watermark passes them — the
+    * sessionize emission discipline applied to chain edges.
+    *
+    * State per user: ONE linked-head event + the pending tail inside
+    * the watermark window — the same bound as any per-user streaming
+    * aggregate. The head is retained while the user lives so an edge
+    * spanning a long idle gap still emits; pass `evictAfterIdleMs` to
+    * trade that edge for state eviction on idle users (the funnel's
+    * documented idle contract). Ties on (ts, event_id) boundary
+    * equality with the linked head are dropped defensively — they can
+    * only arise from an event EXACTLY at the watermark racing the
+    * head, and emitting it would re-link a pair already emitted.
+    *
+    * Batch inputs run the same code with an infinite watermark: every
+    * pair emits inline, no state survives — the batch-twin contract
+    * (spec-pinned against transitionMatrix).
+    */
+  def transitionStream(events: Dataset[Event],
+                       watermarkDelay: String = "0 seconds",
+                       evictAfterIdleMs: Option[Long] = None)
+                      (implicit spark: SparkSession): Dataset[Transition] = {
+    import spark.implicits._
+    val streaming = events.isStreaming
+    val src =
+      if (streaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    src
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransitionState, Transition](
+        OutputMode.Append(), timeoutConf) {
+        (userId: Long, it: Iterator[Event], state: GroupState[TransitionState]) =>
+
+          val st = state.getOption
+            .getOrElse(TransitionState(None, Nil))
+          // a timeout fire with nothing pending can only be the idle
+          // timer (the flush deadline is armed strictly when pending
+          // events exist): evict the head, ending this user's chain
+          val idleFire = streaming && state.hasTimedOut && st.pending.isEmpty
+          val wmUs =
+            if (streaming) state.getCurrentWatermarkMs() * 1000
+            else Long.MaxValue
+
+          val fresh = it.map(e =>
+            PendingEvent(tsMicros(e.ts), e.event_id, e.event_type)).toList
+          val ord = Ordering.by[PendingEvent, (Long, Long)](
+            e => (e.ts, e.event_id))
+          // drop boundary races that sort at or before the linked head
+          // (see scaladoc) — late-beyond-watermark data never reaches
+          // here, Spark filtered it at the source
+          val admissible = st.lastFinal match {
+            case Some(h) => fresh.filter(e => ord.compare(e, h) > 0)
+            case None => fresh
+          }
+          val all = (st.pending ++ admissible).sorted(ord)
+          val (fin, pend) = all.partition(_.ts <= wmUs)
+
+          val chain = st.lastFinal.toList ++ fin
+          val edges = chain.zip(chain.drop(1)).map { case (a, b) =>
+            Transition(userId, a.tpe, b.tpe,
+              tsFromMicros(a.ts), tsFromMicros(b.ts))
+          }
+
+          val newHead = fin.lastOption.orElse(st.lastFinal)
+          if (!streaming) {
+            // batch: everything was final; keep nothing
+            if (state.exists) state.remove()
+          } else if (idleFire || (pend.isEmpty && newHead.isEmpty)) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(TransitionState(newHead, pend))
+            if (pend.nonEmpty) {
+              // flush deadline: earliest pending event, rounded UP to
+              // ms, strictly above the current watermark
+              val deadlineMs = math.floorDiv(pend.head.ts + 999, 1000L)
+              state.setTimeoutTimestamp(
+                math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
+            } else evictAfterIdleMs.foreach { ms =>
+              // no pending edges: the head alone can expire on idle
+              val anchorMs = math.max(state.getCurrentWatermarkMs(),
+                newHead.map(h => math.floorDiv(h.ts, 1000L)).getOrElse(0L))
+              state.setTimeoutTimestamp(anchorMs + ms)
+            }
+          }
+          edges.iterator
+      }
+  }
 }
