@@ -573,6 +573,36 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Token frequency-of-frequencies — the Zipf spectrum diagnostic
+    * ("how many terms occur exactly n times"). Tokenizer and corpus
+    * health both read off this table: a healthy natural corpus has a
+    * hapax mass around half the vocabulary; a boilerplate-flooded or
+    * template corpus collapses the low-frequency tail, and a broken
+    * tokenizer explodes it. `vocab_frac` = n_terms / vocab_size is a
+    * single long/long IEEE division (bit-identical cross-engine).
+    *
+    * Scale shape: explode → map-side-combined term counts (the t09
+    * shuffle) → a second, frequency-keyed aggregate whose output is
+    * tiny (distinct frequency VALUES — tens to hundreds of rows at any
+    * corpus size); `scope` persists that small table for its two
+    * consumers (rows + vocab total), so the corpus-sized stages run
+    * once.
+    */
+  def frequencySpectrum(
+      df: DataFrame, textCol: String,
+      scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
+    val spectrum = scope.persistTracked(
+      df.select(explode(tokens(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("freq"))
+        .groupBy("freq").agg(count(lit(1)).as("n_terms")))
+    spectrum
+      .crossJoin(broadcast(spectrum.agg(
+        coalesce(sum("n_terms"), lit(0L)).as("vocab_size"))))
+      .select(col("freq"), col("n_terms"), col("vocab_size"),
+        (col("n_terms").cast("double") / col("vocab_size").cast("double"))
+          .as("vocab_frac"))
+  }
+
   /** The full per-document analysis row. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

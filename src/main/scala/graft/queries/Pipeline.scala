@@ -2008,6 +2008,31 @@ object Pipeline {
              |FROM bc
              |JOIN uc u1 ON string_split(bc.pair, ' ')[1] = u1.g
              |JOIN uc u2 ON string_split(bc.pair, ' ')[2] = u2.g, tot
-             |ORDER BY lift DESC, pair ASC LIMIT 50""".stripMargin))
+             |ORDER BY lift DESC, pair ASC LIMIT 50""".stripMargin)),
+
+    // Zipf frequency spectrum: how many terms occur exactly n times —
+    // the corpus/tokenizer health diagnostic (hapax mass, tail shape).
+    // Corpus-sized stages run once; the spectrum itself is tiny.
+    Q("t23_freq_spectrum",
+      (s, dir) => {
+        TextAnalysis.frequencySpectrum(
+            Tables.load(s, dir, "documents"), "text")
+          .orderBy("freq")
+      },
+      Some("""WITH tc AS (
+             |  SELECT term, COUNT(*) AS freq FROM (
+             |    SELECT unnest(list_filter(regexp_split_to_array(
+             |      trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '')) AS term
+             |    FROM documents)
+             |  GROUP BY term
+             |), sp AS (
+             |  SELECT freq, COUNT(*) AS n_terms FROM tc GROUP BY freq
+             |), v AS (
+             |  SELECT coalesce(SUM(n_terms), 0) AS vocab_size FROM sp
+             |)
+             |SELECT freq, n_terms, vocab_size,
+             |  CAST(n_terms AS DOUBLE) / CAST(vocab_size AS DOUBLE)
+             |    AS vocab_frac
+             |FROM sp, v ORDER BY freq""".stripMargin))
   )
 }

@@ -1299,6 +1299,55 @@ object Relational {
              |FROM c JOIN t USING (from_type)
              |ORDER BY from_type, to_type""".stripMargin)),
 
+    // ───────────────────────── conversion latency ─────────────────────────
+    // Per-cohort view→purchase latency: the funnel's strictly-ordered
+    // step times reduced to one row per converted user, then a
+    // cohort-day rollup. Lag stays in exact integer MICROSECONDS
+    // through the sum; the average is a fixed double-division chain
+    // (sum/n then /1e6, both IEEE-exact cross-engine).
+    Q("e05_conversion_lag",
+      (s, dir) => {
+        val timed = graft.operators.EventsAnalytics.funnelTimes(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          Seq("view", "purchase"))
+        timed.groupBy("user_id")
+          .agg(min("step_1").as("t_view"), min("step_2").as("t_purchase"))
+          .where(col("t_purchase").isNotNull)
+          .select(col("user_id"),
+            date_format(col("t_view"), "yyyy-MM-dd").as("cohort_day"),
+            (unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+              .as("lag_us"))
+          .groupBy("cohort_day")
+          .agg(count(lit(1)).as("n_converted"),
+            sum("lag_us").as("total_lag_us"))
+          .withColumn("avg_lag_s",
+            col("total_lag_us").cast("double") / col("n_converted") /
+              lit(1e6))
+          .orderBy("cohort_day")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+             |  FROM events
+             |), w1 AS (
+             |  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+             |    OVER (PARTITION BY user_id) AS t1 FROM e
+             |), w2 AS (
+             |  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts > t1
+             |    THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM w1
+             |), u AS (
+             |  SELECT user_id, MIN(t1) AS t1, MIN(t2) AS t2
+             |  FROM w2 GROUP BY user_id
+             |), c AS (
+             |  SELECT strftime(CAST(t1 AS DATE), '%Y-%m-%d') AS cohort_day,
+             |    epoch_us(t2) - epoch_us(t1) AS lag_us
+             |  FROM u WHERE t2 IS NOT NULL
+             |)
+             |SELECT cohort_day, COUNT(*) AS n_converted,
+             |  SUM(lag_us) AS total_lag_us,
+             |  (CAST(SUM(lag_us) AS DOUBLE) / COUNT(*)) / 1000000.0
+             |    AS avg_lag_s
+             |FROM c GROUP BY cohort_day ORDER BY cohort_day""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

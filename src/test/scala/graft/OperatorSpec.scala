@@ -864,6 +864,21 @@ class TextAnalysisSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("frequencySpectrum counts terms per frequency with exact fractions") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val scope = new Dedup.CacheScope
+    try {
+      // a:3, b:2, c:1, d:1 → freq 1: 2 terms, freq 2: 1, freq 3: 1
+      val df = Seq("a a b", "a b c d", "").toDF("text")
+      val got = TextAnalysis.frequencySpectrum(df, "text", scope)
+        .orderBy("freq")
+        .as[(Long, Long, Long, Double)].collect().toList
+      assert(got == List(
+        (1L, 2L, 4L, 0.5), (2L, 1L, 4L, 0.25), (3L, 1L, 4L, 0.25)),
+        got.toString)
+    } finally scope.release()
+  }
+
   test("collocations: unigram and bigram counts share ONE cached scan") {
     import graft.operators.{Dedup, TextAnalysis}
     val scope = new Dedup.CacheScope
