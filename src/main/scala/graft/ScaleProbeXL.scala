@@ -183,6 +183,35 @@ object ScaleProbeXL {
         f"build=$tBuild%.1fs probe=$tProbe%.1fs pairs=$nPairs%-7d")
     }
 
+    // ── persisted BM25 inverted index: fixed 3-query probe against a
+    // 1× vs 10× index. The carrying claim is PRUNING: a probe reads
+    // only its query terms' buckets, so the files-read FRACTION stays
+    // ≈ |probed buckets|/numBuckets at both scales, and probe time
+    // grows with the probed buckets' bytes (corpus/numBuckets), never
+    // with a corpus-wide postings scan or a vocabulary aggregate. ──
+    for (rep <- Seq(reps.min, reps.max)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-xl-bm25-$rep").toString
+      val big = saltedDocs(rep)
+      import spark.implicits._
+      val probes = Seq((1, "hash join table"),
+        (2, "window agg sort stream"), (3, "fast vector scan"))
+        .toDF("query_id", "query_text")
+      val tb0 = System.nanoTime()
+      operators.Retrieval.writeBm25Index(big, "doc_id", "text", dir,
+        numBuckets = 64)
+      val tBuild = (System.nanoTime() - tb0) / 1e9
+      val tp0 = System.nanoTime()
+      val probeDf = operators.Retrieval.bm25AgainstIndex(
+        probes, "query_id", "query_text", dir, k = 10)
+      val probeFiles = sources.Layout.filesRead(probeDf)
+      val tProbe = (System.nanoTime() - tp0) / 1e9
+      val totalFiles = sources.Layout.filesRead(
+        spark.read.parquet(s"$dir/postings").select(count(lit(1))))
+      println(f"[probe-xl] bm25-index rep=$rep%-4d indexed=${d0 * rep}%-8d " +
+        f"build=$tBuild%.1fs probe=$tProbe%.1fs files=$probeFiles/$totalFiles")
+    }
+
     // ── bloom runtime filter at 10× the fact side: the surviving-row
     // RATIO is the scale quantity — it must hold as the probe side
     // grows, because it is what the exchange carries at 100 TB ──

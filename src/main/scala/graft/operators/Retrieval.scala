@@ -95,6 +95,12 @@ object Retrieval {
       k: Int, k1: Double, b: Double): DataFrame = {
     require(k >= 1, "bm25: k must be positive")
     require(k1 > 0 && b >= 0 && b <= 1, s"bm25: need k1 > 0, b in [0,1]")
+    // matched feeds the df aggregate AND the score join; the in-memory
+    // path deliberately does NOT cache it — its subtree reads the
+    // already-cached token arrays, and materializing the intermediate
+    // measured ~2× slower than recomputing it (cache write + lost
+    // pipelining). The index path caches before calling, because there
+    // the subtree is a parquet scan worth running once.
     // query-vocab-sized, broadcastable by construction
     val dfreq = matched.groupBy("term").agg(count(lit(1)).as("doc_freq"))
 
@@ -208,7 +214,8 @@ object Retrieval {
     */
   def bm25AgainstIndex(
       queries: DataFrame, queryIdCol: String, queryTextCol: String,
-      path: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      path: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
     val spark = queries.sparkSession
     val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
@@ -217,10 +224,98 @@ object Retrieval {
       .select(pmod(xxhash64(col("term")), lit(numBuckets.toLong))
         .cast("int").as("tb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val matched = spark.read.parquet(s"$path/postings")
-      .where(col("tbucket").isin(buckets: _*))
-      .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-      .select("doc_id", "term", "dl", "tf")
-    scoreTopK(matched, spark.read.parquet(s"$path/stats"), qterms, k, k1, b)
+    val matched = scope.persistTracked(
+      spark.read.parquet(s"$path/postings")
+        .where(col("tbucket").isin(buckets: _*))
+        .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+        .select("doc_id", "term", "dl", "tf"))
+    scoreTopK(matched, spark.read.parquet(s"$path/stats"),
+      qterms, k, k1, b)
+  }
+
+  /** Ingest-time BM25 flagging: score ARRIVING documents against a
+    * small query set using a persisted index's frozen corpus
+    * statistics (df, N, avgdl) — the retrieval-scored cousin of the
+    * n-gram decontamination flag: "does this incoming doc smell like
+    * one of the benchmark probes?"
+    *
+    * Everything data-dependent is collected from the index at PLAN
+    * time (per-query-term df rows + the 1-row stats — both bounded by
+    * the query vocabulary), and each query's score compiles into one
+    * per-row Column expression over the arriving doc's bound token
+    * array: `Σ_t idf_t · sat(tf_t)` with `tf_t = |filter(toks, = t)|`.
+    * No state, no shuffle, no per-batch aggregation — the operator is
+    * a mapper, so it runs identically over a batch frame or a
+    * `readStream` in append mode (batch-twin spec), and at 100 TB/day
+    * ingest it costs one codegen'd pass per row.
+    *
+    * Arithmetic matches [[bm25]] exactly: same rational idf (driver
+    * doubles replay the engine's IEEE sequence), same 6-decimal-scaled
+    * long contributions, exact integer sum — so a flagged score equals
+    * what [[bm25]] would report for that (doc, query) pair had the doc
+    * been in a corpus with the index's statistics. A query term the
+    * index has never seen gets df = 0 (maximal rational idf), not an
+    * error. Docs flag when score > `threshold`; emitted rows are
+    * (id, query_id, score).
+    */
+  def bm25FlagAgainstIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)], path: String,
+      threshold: Double = 0.0, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25FlagAgainstIndex: empty query set")
+    require(k1 > 0 && b >= 0 && b <= 1, s"bm25: need k1 > 0, b in [0,1]")
+    val spark = docs.sparkSession
+    val stats = spark.read.parquet(s"$path/stats").head()
+    val (nDocs, nTokens) = (stats.getLong(0), stats.getLong(1))
+    require(nDocs > 0, s"bm25FlagAgainstIndex: empty index at $path")
+    val avgdl = nTokens.toDouble / nDocs
+
+    // driver-side twin of TextAnalysis.tokens: the empty filter makes
+    // trim irrelevant, Locale.ROOT keeps lowercasing locale-free
+    // (matching Spark's UTF8String lower on the ASCII queries this is
+    // meant for)
+    val qtoks: Seq[(Int, Seq[String])] = queries.map { case (qid, text) =>
+      qid -> text.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+        .filter(_.nonEmpty).distinct
+    }
+    val vocab = qtoks.flatMap(_._2).distinct
+    // df per query term from the index — one partition-pruned probe of
+    // the term buckets, ≤ |vocab| result rows
+    val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val dfMap: Map[String, Long] = {
+      import spark.implicits._
+      val vdf = vocab.toDF("term")
+        .withColumn("tb",
+          pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
+      val tbs = vdf.select("tb").distinct().collect().map(_.getInt(0)).toSeq
+      spark.read.parquet(s"$path/postings")
+        .where(col("tbucket").isin(tbs: _*))
+        .join(broadcast(vdf.select("term")), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+
+    // bind the token array once (the t20 lambda trap), dl off the
+    // bound array in a second projection
+    val toked = docs
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("_bm_toks"))
+      .withColumn("_bm_dl", size(col("_bm_toks")).cast("double"))
+    def scoreExpr(terms: Seq[String]) = terms.map { t =>
+      val df = dfMap.getOrElse(t, 0L)
+      val idf = (nDocs - df + 0.5) / (df + 0.5)
+      val tf = size(filter(col("_bm_toks"), x => x === lit(t)))
+        .cast("double")
+      val contrib = (lit(idf) * (tf * lit(k1 + 1.0))) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("_bm_dl") / lit(avgdl))))
+      // a term with tf = 0 contributes 0/denominator = 0 exactly
+      floor(contrib * lit(1e6) + lit(0.5)).cast("long")
+    }.reduce(_ + _)
+
+    qtoks.map { case (qid, terms) =>
+      toked.select(col(idCol), lit(qid).as("query_id"),
+        (scoreExpr(terms) / lit(1e6)).as("score"))
+    }.reduce(_ unionByName _)
+      .where(col("score") > threshold)
   }
 }

@@ -121,6 +121,64 @@ class RetrievalSpec extends SparkSpec {
       s"postings scan must carry a static tbucket partition filter:\n$plan")
   }
 
+  test("bm25FlagAgainstIndex scores arriving docs with the index's stats") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25flag").toString
+    Retrieval.writeBm25Index(corpus, "doc_id", "text", dir, numBuckets = 8)
+    val arriving = Seq(
+      (100L, "spark spark join"), // matches both probe terms
+      (101L, "window window"),    // matches neither
+      (102L, "")).toDF("doc_id", "text")
+    val got = Retrieval.bm25FlagAgainstIndex(arriving, "doc_id", "text",
+        Seq(1 -> "spark join"), dir)
+      .as[(Long, Int, Double)].collect().toList
+    assert(got.map(_._1) == List(100L), got.toString)
+    // exact arithmetic twin: idf from the INDEX corpus (N=5, df from
+    // tfMaps), tf/dl from the ARRIVING doc
+    val dfSpark = tfMaps.count(_._2.contains("spark")).toLong
+    val dfJoin = tfMaps.count(_._2.contains("join")).toLong
+    val avgdl = tfMaps.map(_._2.values.sum).sum.toDouble / 5
+    def ci(df: Long, tf: Double, dl: Double) = {
+      val idf = (5 - df + 0.5) / (df + 0.5)
+      math.floor(idf * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))) * 1e6 + 0.5).toLong
+    }
+    val want = (ci(dfSpark, 2.0, 3.0) + ci(dfJoin, 1.0, 3.0)) / 1e6
+    assert(got.head._3 == want, s"got ${got.head._3}, want $want")
+  }
+
+  test("bm25FlagAgainstIndex is stateless and runs on a stream unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bm25flagstream").toString
+    Retrieval.writeBm25Index(corpus, "doc_id", "text", dir, numBuckets = 8)
+    val mem = MemoryStream[(Long, String)]
+    val flagged = Retrieval.bm25FlagAgainstIndex(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      Seq(1 -> "spark join", 2 -> "strategy"), dir)
+    assert(flagged.isStreaming)
+    val q = flagged.writeStream.format("memory").queryName("bm25_flags")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(100L -> "spark shuffle", 101L -> "nothing relevant")
+      q.processAllAvailable()
+      mem.addData(102L -> "join strategy notes")
+      q.processAllAvailable()
+      val rows = spark.table("bm25_flags")
+        .select("doc_id", "query_id").as[(Long, Int)].collect().toSet
+      // 100 hits q1 (spark); 102 hits q1 (join) and q2 (strategy);
+      // 101 hits nothing
+      assert(rows == Set((100L, 1), (102L, 1), (102L, 2)), rows.toString)
+      // batch twin over the same rows emits the identical flag set
+      val batchRows = Retrieval.bm25FlagAgainstIndex(
+          Seq(100L -> "spark shuffle", 101L -> "nothing relevant",
+            102L -> "join strategy notes").toDF("doc_id", "text"),
+          "doc_id", "text", Seq(1 -> "spark join", 2 -> "strategy"), dir)
+        .select("doc_id", "query_id").as[(Long, Int)].collect().toSet
+      assert(batchRows == rows)
+    } finally q.stop()
+  }
+
   test("bm25 plan: query vocab broadcast-filters postings, topk is a heap") {
     val scope = new Dedup.CacheScope
     try {
