@@ -150,8 +150,10 @@ object EventsAnalytics {
     * (pass the event id) — without it `lead` is nondeterministic on
     * ties and the counts would vary run to run. One user-key exchange
     * feeds the lead window (the funnel/retention partitioning); the
-    * (from, to) aggregate is |types|²-sized, its row totals ride a
-    * broadcast join. `p` is a single long/long IEEE division —
+    * (from, to) aggregate is |types|²-sized, and its row totals come
+    * from a window over that TINY frame — a totals join would consume
+    * the aggregate twice and re-run the events window (the plan audit
+    * caught exactly that). `p` is a single long/long IEEE division —
     * bit-identical in any engine, no rounding helper needed.
     *
     * Output: (from_type, to_type, n, total_from, p).
@@ -159,16 +161,15 @@ object EventsAnalytics {
   def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
-    val counts = events
+    events
       .select(col(userCol), col(tsCol), col(tieCol),
         col(typeCol).as("from_type"))
       .withColumn("to_type", lead(col("from_type"), 1).over(w))
       .where(col("to_type").isNotNull)
       .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy("from_type")
-      .agg(sum("n").as("total_from"))
-    counts.join(broadcast(totals), Seq("from_type"))
+      .withColumn("total_from",
+        sum("n").over(Window.partitionBy("from_type")))
       .select(col("from_type"), col("to_type"), col("n"), col("total_from"),
         (col("n").cast("double") / col("total_from").cast("double")).as("p"))
   }

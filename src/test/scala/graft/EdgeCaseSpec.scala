@@ -230,6 +230,56 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("bm25: empty corpus, all-miss query set, and empty query frame are empty") {
+    import graft.operators.{Dedup, Retrieval}
+    val scope = new Dedup.CacheScope
+    try {
+      val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+      val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val probes = Seq((1, "a")).toDF("query_id", "query_text")
+      assert(Retrieval.bm25(none, "doc_id", "text", probes,
+        "query_id", "query_text", k = 3, scope = scope).isEmpty)
+      assert(Retrieval.bm25(docs, "doc_id", "text",
+        Seq((1, "zz qq")).toDF("query_id", "query_text"),
+        "query_id", "query_text", k = 3, scope = scope).isEmpty)
+      assert(Retrieval.bm25(docs, "doc_id", "text",
+        Seq.empty[(Int, String)].toDF("query_id", "query_text"),
+        "query_id", "query_text", k = 3, scope = scope).isEmpty)
+    } finally scope.release()
+  }
+
+  test("collocations/frequencySpectrum: empty and sub-2-token corpora") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val scope = new Dedup.CacheScope
+    try {
+      val empty = Seq.empty[String].toDF("text")
+      assert(TextAnalysis.collocations(empty, "text", k = 5,
+        scope = scope).isEmpty)
+      assert(TextAnalysis.frequencySpectrum(empty, "text", scope).isEmpty)
+      // single-token docs: no pairs at all, spectrum still counts
+      val solo = Seq("one", "two", "one").toDF("text")
+      assert(TextAnalysis.collocations(solo, "text", k = 5,
+        minCount = 1, scope = scope).isEmpty)
+      val sp = TextAnalysis.frequencySpectrum(solo, "text", scope)
+        .orderBy("freq").as[(Long, Long, Long, Double)].collect().toList
+      assert(sp == List((1L, 1L, 2L, 0.5), (2L, 1L, 2L, 0.5)), sp.toString)
+    } finally scope.release()
+  }
+
+  test("transitionMatrix on empty and single-event-per-user inputs is empty") {
+    import graft.operators.EventsAnalytics
+    val empty = Seq.empty[(Long, Long, java.sql.Timestamp, String)]
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(EventsAnalytics.transitionMatrix(
+      empty, "user_id", "ts", "event_type", "event_id").isEmpty)
+    val singles = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a"),
+      (2L, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    assert(EventsAnalytics.transitionMatrix(
+      singles, "user_id", "ts", "event_type", "event_id").isEmpty)
+  }
+
   test("N-column z-order on an empty frame writes an empty directory, no crash") {
     import graft.sources.Layout
     val dir = java.nio.file.Files.createTempDirectory("edge-z3").toString

@@ -275,6 +275,48 @@ class PlanAuditSpec extends SparkSpec {
       s"t15 aggregation not partial:\n$physical")
   }
 
+  test("s09/t22/t23/c02: documents scans prune to exactly the used columns") {
+    // every session-4 text query reads (doc_id, text) or less — a scan
+    // of lang/source/n_chars would be 100 TB of wasted bytes
+    for (q <- Seq("s09_bm25", "t22_collocations", "t23_freq_spectrum",
+        "c02_url_dedup")) {
+      val plan = explain(build(q))
+      val schemas = plan.linesIterator
+        .filter(_.contains("ReadSchema")).toList
+      assert(schemas.nonEmpty, s"$q: no scans found")
+      assert(schemas.forall(s =>
+        !s.contains("lang") && !s.contains("source") &&
+          !s.contains("n_chars")),
+        s"$q column pruning failed: $schemas")
+    }
+    // t22/t23 read ONLY text (no id survives into the aggregates)
+    for (q <- Seq("t22_collocations", "t23_freq_spectrum")) {
+      val plan = explain(build(q))
+      val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+      assert(!readSchema.contains("doc_id"),
+        s"$q should not read doc_id: $readSchema")
+    }
+  }
+
+  test("e04: the lead window and its filter ride ONE user_id exchange") {
+    val plan = build("e04_transitions")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning(user_id"))
+    assert(exchanges == 1,
+      s"expected one user_id exchange for the transition window, " +
+        s"got $exchanges:\n$plan")
+  }
+
+  test("s09: per-term contributions aggregate map-side (partial before exchange)") {
+    // the (query, doc) score sum and the topk heap must both emit
+    // partials below their exchanges — at 100 TB the shuffle carries
+    // per-partition partials, never raw per-term rows
+    val plan = explain(build("s09_bm25"))
+    assert(plan.contains("partial_topk_rows"),
+      s"topk must aggregate map-side:\n$plan")
+  }
+
   test("q43: orders-side filters push to the bloom build's scan") {
     val plan = explain(build("q43_bloom_join"))
     assert(plan.contains("EqualTo(o_orderpriority,1-URGENT)") &&
