@@ -1348,6 +1348,30 @@ object Relational {
              |    AS avg_lag_s
              |FROM c GROUP BY cohort_day ORDER BY cohort_day""".stripMargin)),
 
+    // ───────────────────────── top event paths ─────────────────────────
+    // Most common per-user-day event sequences (first 8 events,
+    // '>'-joined) — the funnel-DISCOVERY step before e01 verifies one.
+    // collect_list has no order contract: the struct array sorts after
+    // collection on (ts, event_id, type), a total order.
+    Q("e06_top_paths",
+      (s, dir) => {
+        graft.operators.EventsAnalytics.topPaths(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          tieCol = "event_id", maxLen = 8, k = 25)
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS ts,
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+             |  FROM events
+             |), p AS (
+             |  SELECT array_to_string(
+             |    (list(event_type ORDER BY ts, event_id))[1:8], '>') AS path
+             |  FROM e GROUP BY user_id, day
+             |)
+             |SELECT path, COUNT(*) AS n FROM p
+             |GROUP BY path ORDER BY n DESC, path ASC LIMIT 25""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

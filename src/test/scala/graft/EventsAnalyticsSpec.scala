@@ -148,6 +148,39 @@ class EventsAnalyticsSpec extends SparkSpec {
       ("view", "view", 1L, 3L, 1.0 / 3.0)))
   }
 
+  test("topPaths orders within (user, day), caps length, ranks by count") {
+    val events = Seq(
+      // user 1 day 1: c-b-a by arrival, a-b-c by (ts, id)
+      (1L, 12L, ts("2024-01-01 10:02:00"), "c"),
+      (1L, 11L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 10L, ts("2024-01-01 10:00:00"), "a"),
+      // user 2 day 1: the same a>b>c path
+      (2L, 20L, ts("2024-01-01 09:00:00"), "a"),
+      (2L, 21L, ts("2024-01-01 09:01:00"), "b"),
+      (2L, 22L, ts("2024-01-01 09:02:00"), "c"),
+      // user 1 day 2: single event
+      (1L, 13L, ts("2024-01-02 08:00:00"), "a"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventsAnalytics.topPaths(events, "user_id", "ts",
+        "event_type", "event_id", maxLen = 8, k = 10)
+      .as[(String, Long)].collect().toList
+    assert(out == List(("a>b>c", 2L), ("a", 1L)), out.toString)
+    // maxLen truncates to the FIRST events in time order
+    val capped = EventsAnalytics.topPaths(events, "user_id", "ts",
+        "event_type", "event_id", maxLen = 2, k = 10)
+      .as[(String, Long)].collect().toList
+    assert(capped == List(("a>b", 2L), ("a", 1L)), capped.toString)
+    // same-instant events order by the tie column
+    val tied = Seq(
+      (1L, 2L, ts("2024-01-01 10:00:00"), "y"),
+      (1L, 1L, ts("2024-01-01 10:00:00"), "x"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val tp = EventsAnalytics.topPaths(tied, "user_id", "ts",
+        "event_type", "event_id", maxLen = 8, k = 10)
+      .as[(String, Long)].collect().toList
+    assert(tp == List(("x>y", 1L)), tp.toString)
+  }
+
   test("transitionMatrix breaks timestamp ties by the tie column") {
     // two same-instant events: order must follow event_id, not arrival
     val events = Seq(
