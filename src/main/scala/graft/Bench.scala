@@ -21,6 +21,12 @@ object Bench {
     // (unset = the full sweep the driver runs)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd name must fail fast, not silently bench zero queries
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY: unknown queries ${unknown.mkString(", ")}")
+    }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries

@@ -206,6 +206,9 @@ object ScaleProbeXL {
         probes, "query_id", "query_text", dir, k = 10)
       val probeFiles = sources.Layout.filesRead(probeDf)
       val tProbe = (System.nanoTime() - tp0) / 1e9
+      // release the probe's batchScope cache like every sibling block —
+      // a resident rep=1 cache would skew the rep=10 measurements
+      operators.Dedup.unpersistAll()
       val totalFiles = sources.Layout.filesRead(
         spark.read.parquet(s"$dir/postings").select(count(lit(1))))
       println(f"[probe-xl] bm25-index rep=$rep%-4d indexed=${d0 * rep}%-8d " +

@@ -140,6 +140,45 @@ object EventsAnalytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Top-k most common event-type paths: each (user, calendar day)
+    * contributes ONE path — its first `maxLen` events' types joined
+    * with '>' in (ts, tie) order — and paths rank by frequency. The
+    * discovery step BEFORE funnel analysis: e01 verifies a path you
+    * already suspect, this surfaces the paths worth suspecting.
+    *
+    * Determinism and boundedness share one mechanism: a row_number
+    * window on (ts, tieCol) — a total order — keeps only each
+    * (user, day)'s first `maxLen` events BEFORE any collection, so
+    * the aggregation buffer holds ≤ maxLen structs regardless of how
+    * many events a bot's day carries (collect_list alone would buffer
+    * the whole day and truncate after — an OOM/skew hazard at scale).
+    * The groupBy rides the window's (user, day) partitioning — one
+    * exchange total. collect_list still has no order contract, so the
+    * ≤ maxLen-element array sorts after collection. Count table is
+    * path-cardinality-sized; the final cut is TakeOrdered on
+    * (n desc, path asc).
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, tieCol: String, maxLen: Int, k: Int): DataFrame = {
+    require(maxLen >= 1 && k >= 1, "topPaths: maxLen and k must be positive")
+    val w = Window.partitionBy(col(userCol), col("_tp_day"))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol),
+        to_date(col(tsCol)).as("_tp_day"),
+        struct(col(tsCol), col(tieCol), col(typeCol)).as("_tp_e"))
+      .withColumn("_tp_rn", row_number().over(w))
+      .where(col("_tp_rn") <= maxLen)
+      .groupBy(col(userCol), col("_tp_day"))
+      .agg(collect_list("_tp_e").as("_tp_es"))
+      .select(array_join(
+        transform(sort_array(col("_tp_es")), e => e.getField(typeCol)),
+        ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: for every (from, to) pair of consecutive event types,
     * the transition count and the row-normalized probability
@@ -158,36 +197,6 @@ object EventsAnalytics {
     *
     * Output: (from_type, to_type, n, total_from, p).
     */
-  /** Top-k most common event-type paths: each (user, calendar day)
-    * contributes ONE path — its first `maxLen` events' types joined
-    * with '>' in (ts, tie) order — and paths rank by frequency. The
-    * discovery step BEFORE funnel analysis: e01 verifies a path you
-    * already suspect, this surfaces the paths worth suspecting.
-    *
-    * Determinism: collect_list has no order contract, so the struct
-    * array sorts AFTER collection on (ts, tieCol, type) — a total
-    * order, micro-batch/partition-arrival independent. `maxLen` caps
-    * the row width (a bot's 10⁶-event day would otherwise build a
-    * megabyte path string); the cap is per (user, day), so group state
-    * stays bounded. Count table is path-cardinality-sized; the final
-    * cut is TakeOrdered on (n desc, path asc).
-    */
-  def topPaths(events: DataFrame, userCol: String, tsCol: String,
-      typeCol: String, tieCol: String, maxLen: Int, k: Int): DataFrame = {
-    require(maxLen >= 1 && k >= 1, "topPaths: maxLen and k must be positive")
-    events
-      .select(col(userCol), to_date(col(tsCol)).as("_tp_day"),
-        struct(col(tsCol), col(tieCol), col(typeCol)).as("_tp_e"))
-      .groupBy(col(userCol), col("_tp_day"))
-      .agg(collect_list("_tp_e").as("_tp_es"))
-      .select(array_join(
-        transform(slice(sort_array(col("_tp_es")), 1, maxLen),
-          e => e.getField(typeCol)), ">").as("path"))
-      .groupBy("path").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("path").asc)
-      .limit(k)
-  }
-
   def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))

@@ -132,24 +132,31 @@ object Retrieval {
         (col("_w.ord") / lit(1e6)).as("score"))
   }
 
-  /** One batch's index rows: (doc_id, term, dl, tf) — dl denormalized
-    * into every posting (the Lucene norms layout) so probes never pay
-    * a doc-length join.
+  /** One batch's index rows from a bound (doc_id, _bm_toks)
+    * projection: (doc_id, term, dl, tf) — dl denormalized into every
+    * posting (the Lucene norms layout) so probes never pay a
+    * doc-length join.
     */
-  private def postingsWithDl(
-      docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("_bm_toks"))
+  private def postingsFromToked(toked: DataFrame): DataFrame =
+    toked
       .select(col("doc_id"), size(col("_bm_toks")).cast("long").as("dl"),
         explode(col("_bm_toks")).as("term"))
       .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+
+  /** 1-row (n_docs, n_tokens) over the same bound projection. */
+  private def statsOfToked(toked: DataFrame): DataFrame =
+    toked.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(size(col("_bm_toks"))), lit(0)).cast("long")
+        .as("n_tokens"))
 
   /** Persist an inverted index for [[bm25AgainstIndex]]: postings
     * hash-partitioned into `numBuckets` term buckets (a probe reads
     * only its query terms' buckets — the partition-pruning contract
     * the IVF cells and LSH bands use) plus the 1-row corpus stats.
-    * The corpus is tokenized once per write (the stats aggregate is a
-    * separate narrow count/sum scan that never explodes).
+    * The corpus is tokenized ONCE per write: the token-array
+    * projection persists locally (released before returning — both
+    * the postings write and the stats aggregate consume it eagerly,
+    * the writeLshIndex pattern).
     *
     * Sizing: a probe reads ~|query vocab| / numBuckets of the postings
     * bytes; more buckets prune harder but shrink files. At 100 TB
@@ -164,15 +171,19 @@ object Retrieval {
     import spark.implicits._
     Seq(numBuckets).toDF("num_buckets")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
-    postingsWithDl(docs, idCol, textCol)
-      .withColumn("tbucket",
-        pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
-      .write.mode("overwrite").partitionBy("tbucket")
-      .parquet(s"$path/postings")
-    docs.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(size(TextAnalysis.tokens(col(textCol)))), lit(0))
-          .cast("long").as("n_tokens"))
-      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    val toked = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("_bm_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      postingsFromToked(toked)
+        .withColumn("tbucket",
+          pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$path/postings")
+      statsOfToked(toked)
+        .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    } finally toked.unpersist(false)
   }
 
   /** Append a document batch to a persisted BM25 index: batch postings
@@ -190,17 +201,21 @@ object Retrieval {
     val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
     val old = spark.read.parquet(s"$path/stats").head()
     val (oldDocs, oldToks) = (old.getLong(0), old.getLong(1))
-    postingsWithDl(docs, idCol, textCol)
-      .withColumn("tbucket",
-        pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
-      .write.mode("append").partitionBy("tbucket")
-      .parquet(s"$path/postings")
-    val batch = docs.agg(count(lit(1)).as("n"),
-      coalesce(sum(size(TextAnalysis.tokens(col(textCol)))), lit(0))
-        .cast("long").as("t")).head()
-    Seq((oldDocs + batch.getLong(0), oldToks + batch.getLong(1)))
-      .toDF("n_docs", "n_tokens")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    val toked = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("_bm_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      postingsFromToked(toked)
+        .withColumn("tbucket",
+          pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
+        .write.mode("append").partitionBy("tbucket")
+        .parquet(s"$path/postings")
+      val batch = statsOfToked(toked).head()
+      Seq((oldDocs + batch.getLong(0), oldToks + batch.getLong(1)))
+        .toDF("n_docs", "n_tokens")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+    } finally toked.unpersist(false)
   }
 
   /** BM25 probe of a persisted index — identical results to [[bm25]]
@@ -312,10 +327,24 @@ object Retrieval {
       floor(contrib * lit(1e6) + lit(0.5)).cast("long")
     }.reduce(_ + _)
 
-    qtoks.map { case (qid, terms) =>
-      toked.select(col(idCol), lit(qid).as("query_id"),
-        (scoreExpr(terms) / lit(1e6)).as("score"))
-    }.reduce(_ unionByName _)
-      .where(col("score") > threshold)
+    // a query whose text tokenizes to nothing can flag nothing — drop
+    // it here (its scoreExpr would be an empty reduce)
+    val scorable = qtoks.filter(_._2.nonEmpty)
+    if (scorable.isEmpty)
+      // typed empty result, same schema as the scored path
+      toked.select(col(idCol), lit(0).as("query_id"),
+        lit(0.0).as("score")).where(lit(false))
+    else
+      // ALL query scores ride one array in one projection — a union of
+      // per-query branches would scan and re-tokenize the corpus
+      // |queries| times (Spark does not dedupe union subtrees), which
+      // is exactly what "one codegen'd pass per row" forbids
+      toked.select(col(idCol), explode(array(scorable.map {
+          case (qid, terms) => struct(lit(qid).as("query_id"),
+            (scoreExpr(terms) / lit(1e6)).as("score"))
+        }: _*)).as("_bm_q"))
+        .select(col(idCol), col("_bm_q.query_id").as("query_id"),
+          col("_bm_q.score").as("score"))
+        .where(col("score") > threshold)
   }
 }

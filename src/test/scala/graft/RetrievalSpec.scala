@@ -63,14 +63,15 @@ class RetrievalSpec extends SparkSpec {
     assert(byRank == resorted)
   }
 
-  test("bm25 ranks the rare term above the common one") {
-    // 'streaming' appears in 1 doc, 'spark' in 2 — a doc matching only
-    // the rare term must outscore one matching only the common term
-    // at comparable tf/dl
+  test("bm25 ranks the rare-term doc above common-term docs") {
+    // 'window' appears in 1 doc (idf (5-1+.5)/1.5 = 3.0), 'spark' in 2
+    // (idf 1.4): doc 4's single rare hit must outrank doc 2's THREE
+    // common hits and doc 1's one — the idf dominance a set-only
+    // assertion (or an inverted idf) would miss
     val out = Retrieval.bm25(corpus, "doc_id", "text",
-        queries(1 -> "streaming shuffle"), "query_id", "query_text", k = 10)
+        queries(1 -> "window spark"), "query_id", "query_text", k = 10)
       .orderBy("rank").select("doc_id").as[Long].collect().toSeq
-    assert(out.toSet == Set(1L, 2L))
+    assert(out == Seq(4L, 2L, 1L), out.toString)
   }
 
   test("bm25 k cuts with smaller-doc-id tie preference; no-hit query is empty") {
@@ -144,6 +145,22 @@ class RetrievalSpec extends SparkSpec {
     }
     val want = (ci(dfSpark, 2.0, 3.0) + ci(dfJoin, 1.0, 3.0)) / 1e6
     assert(got.head._3 == want, s"got ${got.head._3}, want $want")
+  }
+
+  test("bm25FlagAgainstIndex: token-less queries flag nothing, never crash") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25flagempty").toString
+    Retrieval.writeBm25Index(corpus, "doc_id", "text", dir, numBuckets = 8)
+    val arriving = Seq((100L, "spark")).toDF("doc_id", "text")
+    // all-empty query set: empty result, correct schema
+    val none = Retrieval.bm25FlagAgainstIndex(arriving, "doc_id", "text",
+      Seq(1 -> "", 2 -> "   "), dir)
+    assert(none.columns.toSeq == Seq("doc_id", "query_id", "score"))
+    assert(none.isEmpty)
+    // mixed: the empty query drops, the real one still scores
+    val mixed = Retrieval.bm25FlagAgainstIndex(arriving, "doc_id", "text",
+        Seq(1 -> "", 2 -> "spark"), dir)
+      .select("doc_id", "query_id").as[(Long, Int)].collect().toSet
+    assert(mixed == Set((100L, 2)), mixed.toString)
   }
 
   test("bm25FlagAgainstIndex is stateless and runs on a stream unchanged") {
