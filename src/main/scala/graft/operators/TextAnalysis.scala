@@ -451,6 +451,106 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** One learned BPE merge: rank 1 = first merge chosen. */
+  final case class BpeMerge(rank: Int, left: String, right: String, n: Long)
+
+  /** Train a byte-pair-encoding merge table on the corpus — the full
+    * iterative loop [[bigramMerges]] counts ONE round of, at the
+    * character level where real tokenizer induction runs.
+    *
+    * Shape (the sentencepiece/subword-nmt trainer shape, distributed):
+    * the corpus is touched ONCE, to build the word-frequency table;
+    * every merge round then runs on that VOCABULARY-sized table —
+    * explode weighted adjacent symbol pairs → map-side-combined sum →
+    * collect the single argmax row (bounded: 1 row, total (n desc,
+    * pair asc) order so ties are deterministic) → rewrite the symbol
+    * arrays with leftmost-first non-overlapping greedy replacement
+    * (the classic BPE merge rule). numMerges rounds = numMerges
+    * vocabulary-scale jobs, never corpus-scale; lineage is truncated
+    * by re-persisting the working table each round and checkpointing
+    * every 8 rounds (d06's iterative-loop discipline — without it the
+    * plan tree grows linearly in rounds). The per-row merge rewrite is
+    * a typed map over the small vocab table (the one place imperative
+    * per-row logic is the honest tool; the corpus-sized stage stays
+    * declarative).
+    *
+    * Training stops early when no pair reaches `minPairCount`
+    * (degenerate merges of hapax junk are worse than a shorter table).
+    * Symbols never contain spaces (tokens are whitespace-split), so
+    * the "left right" pair key is unambiguous. Returns the merge
+    * table (rank, left, right, n) — apply it with any standard BPE
+    * encoder; [[bpePieceCount]] stays the cheap pre-tokenization
+    * estimator.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
+               minPairCount: Long = 2): DataFrame = {
+    require(numMerges >= 1, "bpeTrain: numMerges must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the ONLY corpus-sized stage: word frequencies
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .as[(String, Long)]
+
+    def mergeOnce(syms: List[String], l: String, r: String): List[String] = {
+      // leftmost-first, non-overlapping: after a merge the cursor
+      // moves PAST the merged symbol (classic BPE — "aaa" with merge
+      // (a,a) becomes [aa, a], not [aa, aa])
+      val out = List.newBuilder[String]
+      var rest = syms
+      while (rest.nonEmpty) rest match {
+        case a :: b :: tail if a == l && b == r =>
+          out += (l + r); rest = tail
+        case a :: tail => out += a; rest = tail
+        case Nil => ()
+      }
+      out.result()
+    }
+
+    var vocab = words
+      .map { case (w, n) => (w.map(_.toString).toList, n) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var done = false
+    var round = 1
+    while (!done && round <= numMerges) {
+      val top = vocab
+        .flatMap { case (syms, n) =>
+          if (syms.size < 2) Iterator.empty
+          else syms.iterator.zip(syms.iterator.drop(1))
+            .map { case (a, b) => (a + " " + b, n) }
+        }
+        .toDF("pair", "n")
+        .groupBy("pair").agg(sum("n").as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1)
+        .as[(String, Long)].collect()
+      top.headOption.filter(_._2 >= minPairCount) match {
+        case None => done = true
+        case Some((pair, n)) =>
+          val Array(l, r) = pair.split(" ", 2)
+          merges += BpeMerge(round, l, r, n)
+          val mapped = vocab.map { case (syms, c) => (mergeOnce(syms, l, r), c) }
+          // truncate the typed-map lineage every 8 rounds (eager
+          // localCheckpoint returns a plan-free Dataset — d06's
+          // discipline); other rounds just materialize the cache
+          val next =
+            if (round % 8 == 0) mapped.localCheckpoint()
+            else {
+              val p = mapped.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              p.count()
+              p
+            }
+          vocab.unpersist(false)
+          vocab = next
+      }
+      round += 1
+    }
+    vocab.unpersist(false)
+    merges.toSeq.toDF("rank", "left", "right", "n")
+  }
+
   /** Domain-affinity scoring for data selection (the DSIR/importance-
     * resampling idea reduced to an integer-exact form): for every
     * train doc, the fraction of its distinct word shingles that are

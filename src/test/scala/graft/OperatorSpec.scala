@@ -864,6 +864,44 @@ class TextAnalysisSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("bpeTrain learns the hand-computed merge sequence") {
+    import graft.operators.TextAnalysis
+    // the classic subword-nmt corpus: low×5, lower×2, newest×6,
+    // widest×3. Hand-computed pair totals per round:
+    //  r1: (e,s)=9 ties (s,t)=9 → 'e s' wins on pair asc
+    //  r2: (es,t)=9 (newest 6 + widest 3)
+    //  r3: (l,o)=7 ties (o,w)=7 → 'l o' wins
+    //  r4: (lo,w)=7
+    val docs = Seq(
+      Seq.fill(5)("low"), Seq.fill(2)("lower"),
+      Seq.fill(6)("newest"), Seq.fill(3)("widest"))
+      .flatten.mkString(" ")
+    val merges = TextAnalysis.bpeTrain(
+        Seq(docs).toDF("text"), "text", numMerges = 4)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(merges == List(
+      (1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "l", "o", 7L), (4, "lo", "w", 7L)), merges.toString)
+  }
+
+  test("bpeTrain merges leftmost-first without overlap; stops when dry") {
+    import graft.operators.TextAnalysis
+    // 'aaa': pairs (a,a)=2 from ONE word — after merging (a,a) the
+    // word is [aa, a] (non-overlapping), so round 2's best pair
+    // (aa,a)=3 counts the word frequency, not phantom overlaps
+    val merges = TextAnalysis.bpeTrain(
+        Seq("aaa aaa aaa", "bb").toDF("text"), "text",
+        numMerges = 10, minPairCount = 2)
+      .as[(Int, String, String, Long)].collect().toList
+    // r1: (a,a)=6 (3 words × 2 adjacent pairs... leftmost-first
+    // counting is positional: 'a a a' has pairs (1,2),(2,3) → 2 per
+    // word × 3 = 6). merge → [aa, a] ×3
+    // r2: (aa,a)=3. merge → [aaa] ×3
+    // r3: best remaining is (b,b)=1 < minPairCount → stop
+    assert(merges == List(
+      (1, "a", "a", 6L), (2, "aa", "a", 3L)), merges.toString)
+  }
+
   test("frequencySpectrum counts terms per frequency with exact fractions") {
     import graft.operators.{Dedup, TextAnalysis}
     val scope = new Dedup.CacheScope
