@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text → fixed-width feature vectors without a model — the bridge
+  * from the text operators to the dense-vector family: hash-embedded
+  * documents feed [[Similarity]]'s kNN/IVF/quantization machinery
+  * unchanged (near-dup mining, clustering, diversity sampling) on
+  * corpora that have no learned embeddings yet.
+  */
+object Featurize {
+
+  /** Feature-hashed tf·idf document vectors ("hashing trick",
+    * Weinberger et al.): each term lands in bucket
+    * `xxhash64(term) mod dim` with a pseudo-random ±1 sign (an
+    * independent hash bit — signed hashing keeps collision noise
+    * zero-mean instead of additive), weighted tf · idf with t07's
+    * RATIONAL idf `(N+1)/(df+1)` (no transcendentals — every value is
+    * a fixed IEEE op sequence). Optional L2 normalization so cosine
+    * against other hashed vectors is a plain dot product.
+    *
+    * Scale shape: the same stages tf·idf itself needs — one explode →
+    * map-side-combined (doc, term) tf, a vocabulary-sized df
+    * aggregate joined back on the term (hash join, 8-byte-hashable
+    * keys), a (doc, bucket) re-aggregate, then ONE per-doc map build;
+    * the dense array materializes once per document, `dim` floats
+    * wide. No window, no driver loop; every shuffle key is a doc id,
+    * term, or (doc, bucket).
+    *
+    * Collisions are the accepted trade (dim buckets for an unbounded
+    * vocabulary); the spec pins that near-dup texts cosine ≈ 1 and
+    * unrelated texts stay well-separated at dim = 256 on word-soup
+    * vocabulary. Token-less docs emit the zero vector (normalized
+    * form included — 0/1 guard, not NaN).
+    *
+    * Output: (id, vector: array<float> of length dim).
+    */
+  def hashedTfIdf(
+      df: DataFrame, idCol: String, textCol: String, dim: Int = 256,
+      normalize: Boolean = true,
+      scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
+    require(dim >= 2, "hashedTfIdf: dim must be >= 2")
+    val tf = scope.persistTracked(
+      df.select(col(idCol).as("_fh_id"),
+          explode(TextAnalysis.tokens(col(textCol))).as("term"))
+        .groupBy("_fh_id", "term").agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+
+    val h = xxhash64(col("term"))
+    val bucket = pmod(h, lit(dim.toLong)).cast("int")
+    // an independent bit of the same hash (bit 32 — above the bucket
+    // bits for any sane dim): ±1 sign, exact long bit ops
+    val sign = when(pmod(shiftright(h, 32), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+    val weight = col("tf").cast("double") *
+      ((col("n_docs") + lit(1)) / (col("df") + lit(1))) * sign
+
+    val buckets = tf
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("_fh_id"), bucket.as("_fh_b"))
+      // 6-decimal-scaled LONG sum (the s09 trick): a double sum's
+      // value depends on partition arrival order; collision sums must
+      // be retry-deterministic like every aggregate in this library
+      .agg((sum(floor(weight * lit(1e6) + lit(0.5)).cast("long")) /
+        lit(1e6)).as("_fh_v"))
+
+    val dense = buckets
+      .groupBy("_fh_id")
+      .agg(map_from_arrays(collect_list("_fh_b"), collect_list("_fh_v"))
+        .as("_fh_m"))
+      .select(col("_fh_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => coalesce(element_at(col("_fh_m"), i), lit(0.0))).as("_fh_raw"))
+
+    val out =
+      if (!normalize) dense.select(col("_fh_id"), col("_fh_raw"))
+      else {
+        val norm = sqrt(aggregate(col("_fh_raw"), lit(0.0),
+          (acc, x) => acc + x * x))
+        dense.select(col("_fh_id"),
+          transform(col("_fh_raw"),
+            x => x / when(norm === 0.0, 1.0).otherwise(norm)).as("_fh_raw"))
+      }
+    // docs with no tokens never reach `buckets` — restore them as
+    // zero vectors so the output covers the input exactly
+    val zeros = df.select(col(idCol).as("_fh_id"))
+      .join(out.select("_fh_id"), Seq("_fh_id"), "left_anti")
+      .select(col("_fh_id"),
+        transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0))
+          .as("_fh_raw"))
+    out.unionByName(zeros)
+      .select(col("_fh_id").as(idCol),
+        col("_fh_raw").cast("array<float>").as("vector"))
+  }
+}

@@ -317,6 +317,20 @@ class PlanAuditSpec extends SparkSpec {
       s"topk must aggregate map-side:\n$plan")
   }
 
+  test("e06: the path window, its cap filter, and the collect ride ONE exchange") {
+    // the row_number cap and the collect_list groupBy share the
+    // (user, day) partitioning — a second exchange would mean the cap
+    // stopped protecting the aggregation buffer
+    val plan = build("e06_top_paths")
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") &&
+        l.contains("user_id"))
+    assert(exchanges == 1,
+      s"expected one (user, day) exchange, got $exchanges:\n$plan")
+    assert(plan.contains("_tp_rn"), s"cap filter missing from plan:\n$plan")
+  }
+
   test("q43: orders-side filters push to the bloom build's scan") {
     val plan = explain(build("q43_bloom_join"))
     assert(plan.contains("EqualTo(o_orderpriority,1-URGENT)") &&
