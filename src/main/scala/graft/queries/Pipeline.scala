@@ -2010,6 +2010,42 @@ object Pipeline {
              |JOIN uc u2 ON string_split(bc.pair, ' ')[2] = u2.g, tot
              |ORDER BY lift DESC, pair ASC LIMIT 50""".stripMargin)),
 
+    // shard manifest: the provenance "data card" a training job reads
+    // before consuming a sharded corpus — per shard (t18's assignment):
+    // doc count, token/char budgets, id range. All exact integers, one
+    // map-side-combined aggregate over the shard hash; no window (t18's
+    // in-shard positions aren't needed for budget accounting).
+    Q("p03_shard_manifest",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs
+          .withColumn("shard",
+            pmod(pmod(pmod(col("doc_id"), lit(2147483647L)) *
+              lit(2654435761L), lit(1000003L)), lit(8L)).cast("int"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+              .as("total_tokens"),
+            sum(length(col("text")).cast("long")).as("total_chars"),
+            min("doc_id").as("min_doc_id"),
+            max("doc_id").as("max_doc_id"))
+          .orderBy("shard")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, text,
+             |    CAST(((doc_id % 2147483647) * 2654435761) % 1000003 % 8
+             |      AS INT) AS shard
+             |  FROM documents
+             |)
+             |SELECT shard, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(list_filter(regexp_split_to_array(
+             |    trim(lower(text)),
+             |    '[ \t\n\v\f\r]+'), x -> x <> ''))) AS BIGINT)
+             |    AS total_tokens,
+             |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+             |FROM h GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // Zipf frequency spectrum: how many terms occur exactly n times —
     // the corpus/tokenizer health diagnostic (hapax mass, tail shape).
     // Corpus-sized stages run once; the spectrum itself is tiny.

@@ -163,6 +163,36 @@ class SqlGenSpec extends SparkSpec {
     assertSameRows(df, spark.sql(sql))
   }
 
+  test("golden text: bounded-heap topk + posexplode (the s09 tail shape)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents").limit(0)
+    val df = docs.groupBy(col("lang"))
+      .agg(graft.functions.TopK.topk(col("n_chars").cast("double"),
+        col("doc_id"), 3).as("t"))
+      .select(col("lang"), posexplode(col("t")).as(Seq("p", "w")))
+    assert(SqlGen.toSql(df) ==
+      "SELECT lang, p, w FROM (SELECT * FROM (SELECT lang, " +
+      "topk_rows(named_struct('ord', CAST(CAST(n_chars AS DOUBLE) AS " +
+      "DOUBLE), 'id', CAST(doc_id AS BIGINT)), 3) AS `t` FROM " +
+      "(SELECT * FROM documents LIMIT 0) AS _g1 GROUP BY 1) AS _g2 " +
+      "LATERAL VIEW POSEXPLODE(t) _lv AS `p`, `w`) AS _g3",
+      s"golden text drift: ${SqlGen.toSql(df)}")
+  }
+
+  test("golden text: collect_list + sort_array + slice + array_join (e06 shape)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents").limit(0)
+    val df = docs.groupBy(col("lang"))
+      .agg(collect_list(col("source")).as("ids"))
+      .select(col("lang"),
+        array_join(slice(sort_array(col("ids")), 1, 4), ">").as("path"))
+    assert(SqlGen.toSql(df) ==
+      "SELECT lang, array_join(slice(sort_array(ids, true), 1, 4), '>') " +
+      "AS `path` FROM (SELECT lang, collect_list(source) AS `ids` FROM " +
+      "(SELECT * FROM documents LIMIT 0) AS _g1 GROUP BY 1) AS _g2",
+      s"golden text drift: ${SqlGen.toSql(df)}")
+  }
+
   test("golden text: IN (subquery) predicate (reference select.rs:752-988)") {
     Tables.register(spark, sfDir)
     val df = spark.sql(
