@@ -202,13 +202,24 @@ object ScaleProbeXL {
         numBuckets = 64)
       val tBuild = (System.nanoTime() - tb0) / 1e9
       val tp0 = System.nanoTime()
-      val probeDf = operators.Retrieval.bm25AgainstIndex(
-        probes, "query_id", "query_text", dir, k = 10)
-      val probeFiles = sources.Layout.filesRead(probeDf)
+      operators.Retrieval.bm25AgainstIndex(
+        probes, "query_id", "query_text", dir, k = 10).count()
       val tProbe = (System.nanoTime() - tp0) / 1e9
       // release the probe's batchScope cache like every sibling block —
       // a resident rep=1 cache would skew the rep=10 measurements
       operators.Dedup.unpersistAll()
+      // pruning measured on the raw pruned scan: the operator's own
+      // plan caches the matched postings, and filesRead cannot see
+      // scans that run inside InMemoryRelation materialization
+      val numBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+      val qbuckets = probes
+        .select(explode(split(lower(col("query_text")), " ")).as("term"))
+        .select(pmod(xxhash64(col("term")), lit(numBuckets.toLong))
+          .cast("int").as("tb"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val probeFiles = sources.Layout.filesRead(
+        spark.read.parquet(s"$dir/postings")
+          .where(col("tbucket").isin(qbuckets: _*)).select(count(lit(1))))
       val totalFiles = sources.Layout.filesRead(
         spark.read.parquet(s"$dir/postings").select(count(lit(1))))
       println(f"[probe-xl] bm25-index rep=$rep%-4d indexed=${d0 * rep}%-8d " +

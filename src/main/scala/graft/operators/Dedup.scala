@@ -763,6 +763,49 @@ object Dedup {
       spark.read.parquet(s"$path/hashes"), threshold)
   }
 
+  /** Occupancy snapshot of a persisted LSH index — the maintenance
+    * monitor [[Similarity.cellStats]] is for IVF, applied to banding
+    * buckets. The quantity that matters is SATURATION against the
+    * probe-time `maxBucketSize` cap: every doc in a bucket past the
+    * cap contributes candidates the capped probe will DROP, so
+    * `saturatedDocRows / totalRows` estimates the fraction of banding
+    * rows whose candidate pairs are being sacrificed to flood
+    * control. A healthy text index keeps it near zero; growth over
+    * appends means boilerplate is pooling (raise shingle K, pre-clean
+    * with [[TextAnalysis.cleanLines]], or re-shard the corpus) — the
+    * documented rebuild trigger, now measured instead of prose.
+    */
+  final case class LshBucketStats(
+      totalRows: Long, nBuckets: Long, maxBucket: Long,
+      saturatedBuckets: Long, saturatedDocRows: Long,
+      saturatedRowFrac: Double)
+
+  /** One columnar scan of the stored (band, bucket) pairs; the
+    * collect is one row. `capForStats` should match the probe-time
+    * maxBucketSize.
+    */
+  def lshBucketStats(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      capForStats: Int): LshBucketStats = {
+    require(capForStats >= 2, "lshBucketStats: cap must be >= 2")
+    val per = spark.read.parquet(s"$path/buckets")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+    val r = per.agg(
+      coalesce(sum("n"), lit(0L)).as("total"),
+      count(lit(1)).as("nb"),
+      coalesce(max("n"), lit(0L)).as("mx"),
+      coalesce(sum(when(col("n") > capForStats, 1L).otherwise(0L)), lit(0L))
+        .as("satB"),
+      coalesce(sum(when(col("n") > capForStats, col("n")).otherwise(0L)),
+        lit(0L)).as("satRows")).head()
+    val total = r.getLong(0)
+    LshBucketStats(
+      totalRows = total, nBuckets = r.getLong(1), maxBucket = r.getLong(2),
+      saturatedBuckets = r.getLong(3), saturatedDocRows = r.getLong(4),
+      saturatedRowFrac =
+        if (total == 0) 0.0 else r.getLong(4).toDouble / total)
+  }
+
   /** Exact-dedup ledger: the content-hash twin of the LSH index for
     * the most common incremental question — "which of today's docs
     * has the pipeline never seen, byte-for-byte?". The ledger is the

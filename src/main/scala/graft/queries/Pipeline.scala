@@ -2010,6 +2010,119 @@ object Pipeline {
              |JOIN uc u2 ON string_split(bc.pair, ' ')[2] = u2.g, tot
              |ORDER BY lift DESC, pair ASC LIMIT 50""".stripMargin)),
 
+    // multi-signal contamination audit: the report a curation run
+    // hands a human — per train doc, BOTH the d10 n-gram containment
+    // evidence AND the s09 retrieval evidence (how many bench probes
+    // retrieve it in their top-5, and at what best rank). One signal
+    // alone misses: containment is blind to paraphrase-scale overlap
+    // below the shingle width, retrieval is blind to verbatim spans of
+    // globally-common terms; an auditor wants the join. Bench probes
+    // are the % 200 sample of the bench split (bench texts as
+    // queries); each signal reuses its parent query's exact shape.
+    Q("c03_contamination_report",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.where(col("doc_id") % 10 =!= 0)
+        val probes = docs.where(col("doc_id") % 200 === 0)
+          .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+        val overlap = Dedup.ngramOverlapScore(
+            train, docs.where(col("doc_id") % 10 === 0),
+            "doc_id", "text", shingleK = 3)
+          .select(col("id").as("doc_id"), col("n_contaminated"),
+            r6(col("overlap_frac")).as("overlap_frac"))
+        val hits = graft.operators.Retrieval.bm25(train, "doc_id", "text",
+            probes, "query_id", "query_text", k = 5)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bench_hits"),
+            min("rank").as("best_rank"))
+        overlap.join(hits, Seq("doc_id"), "left")
+          .where(col("n_contaminated") > 0 || col("n_bench_hits").isNotNull)
+          .select(col("doc_id"), col("n_contaminated"), col("overlap_frac"),
+            coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+            coalesce(col("best_rank"), lit(0)).as("best_rank"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'), x -> x <> ''))
+             |    AS term
+             |  FROM documents WHERE doc_id % 10 <> 0
+             |), postings AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf
+             |  FROM toks GROUP BY doc_id, term
+             |), dl AS (
+             |  SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY doc_id
+             |), stats AS (
+             |  SELECT (SELECT COUNT(*) FROM documents
+             |          WHERE doc_id % 10 <> 0) AS n_docs,
+             |         (SELECT coalesce(SUM(dl), 0) FROM dl) AS n_tokens
+             |), qterms AS (
+             |  SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
+             |    regexp_split_to_array(trim(lower(text)),
+             |    '[ \\t\\n\\v\\f\\r]+'), x -> x <> ''))) AS term
+             |  FROM documents WHERE doc_id % 200 = 0
+             |), matched AS (
+             |  SELECT p.* FROM postings p
+             |  WHERE term IN (SELECT term FROM qterms)
+             |), dfreq AS (
+             |  SELECT term, COUNT(*) AS doc_freq FROM matched GROUP BY term
+             |), contrib AS (
+             |  SELECT qt.query_id, m.doc_id,
+             |    CAST(FLOOR(
+             |      ((n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+             |      * (CAST(m.tf AS DOUBLE) * (1.2 + 1.0))
+             |      / (CAST(m.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+             |         + 0.75 * (CAST(d.dl AS DOUBLE)
+             |                   / (CAST(n_tokens AS DOUBLE) / n_docs))))
+             |      * 1000000 + 0.5) AS BIGINT) AS ci
+             |  FROM matched m
+             |  JOIN qterms qt USING (term)
+             |  JOIN dfreq USING (term)
+             |  JOIN dl d ON m.doc_id = d.doc_id, stats
+             |), sc AS (
+             |  SELECT query_id, doc_id, SUM(ci) AS score_i
+             |  FROM contrib GROUP BY query_id, doc_id
+             |), rk AS (
+             |  SELECT query_id, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY score_i DESC, doc_id ASC) AS rnk
+             |  FROM sc
+             |), hits AS (
+             |  SELECT doc_id, COUNT(*) AS n_bench_hits, MIN(rnk) AS best_rank
+             |  FROM rk WHERE rnk <= 5 GROUP BY doc_id
+             |), tt AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+'),
+             |    x -> x <> '') AS w
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(w) >= 3
+             |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
+             |                        for i in range(1, len(w) - 1)])
+             |    ELSE [array_to_string(w, ' ')] END AS s
+             |  FROM tt
+             |), bench AS (
+             |  SELECT DISTINCT unnest(s) AS bs FROM sh WHERE doc_id % 10 = 0
+             |), tr AS (
+             |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0
+             |), m AS (
+             |  SELECT tr.doc_id,
+             |    COUNT(*) AS n_shingles,
+             |    SUM(CASE WHEN b.bs IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS n_contaminated
+             |  FROM tr LEFT JOIN bench b ON tr.g = b.bs
+             |  GROUP BY tr.doc_id
+             |)
+             |SELECT m.doc_id,
+             |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+             |  ${r6sql("CAST(n_contaminated AS DOUBLE) / n_shingles")}
+             |    AS overlap_frac,
+             |  CAST(coalesce(n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+             |  CAST(coalesce(best_rank, 0) AS INT) AS best_rank
+             |FROM m LEFT JOIN hits ON m.doc_id = hits.doc_id
+             |WHERE n_contaminated > 0 OR n_bench_hits IS NOT NULL
+             |ORDER BY m.doc_id""".stripMargin)),
+
     // shard manifest: the provenance "data card" a training job reads
     // before consuming a sharded corpus — per shard (t18's assignment):
     // doc count, token/char budgets, id range. All exact integers, one

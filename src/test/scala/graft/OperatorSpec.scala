@@ -278,6 +278,25 @@ class DedupSpec extends SparkSpec {
     assertSameRows(got, mem)
   }
 
+  test("lshBucketStats: healthy index near zero, boilerplate flood trips it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-stat").toString
+    Dedup.writeLshIndex(docs, "doc_id", "text", dir)
+    val healthy = Dedup.lshBucketStats(spark, dir, capForStats = 8)
+    assert(healthy.totalRows > 0 && healthy.nBuckets > 0)
+    assert(healthy.saturatedRowFrac < 0.05,
+      s"word-soup corpus should not saturate: $healthy")
+    // boilerplate flood: 200 byte-identical docs pool in ONE bucket
+    // per band — saturation must become clearly visible
+    val flood = (1 to 200).map(i => (10000L + i, "same boilerplate text " +
+      "repeated across every mirror page of the crawl")).toDF("doc_id", "text")
+    Dedup.appendToLshIndex(flood, "doc_id", "text", dir)
+    val after = Dedup.lshBucketStats(spark, dir, capForStats = 8)
+    assert(after.maxBucket >= 200, s"flood bucket missing: $after")
+    assert(after.saturatedDocRows > healthy.saturatedDocRows &&
+      after.saturatedRowFrac > 0.05,
+      s"flood not visible in saturation: $after")
+  }
+
   test("ngram overlap score: contained docs score 1, disjoint 0, partial exact") {
     val train = Seq(
       (1L, "a b c d e f"),      // every 3-shingle in bench doc 10
