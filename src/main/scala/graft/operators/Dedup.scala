@@ -806,6 +806,28 @@ object Dedup {
         if (total == 0) 0.0 else r.getLong(4).toDouble / total)
   }
 
+  /** Content diff of two corpus snapshots — the review artifact
+    * between dataset versions ("what did this recrawl/refilter change
+    *?"): per id, `added` (only in `b`), `removed` (only in `a`),
+    * `changed` (both, content differs), `unchanged`.
+    *
+    * Content compares by xxhash64 computed BEFORE the join, so the
+    * full-outer exchange carries (id, 8-byte hash) — never document
+    * text ([[exact]]'s collision stance; a string-exact oracle twin
+    * catches a collision). One join keyed on the id; no window.
+    */
+  def snapshotDiff(
+      a: DataFrame, b: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ha = a.select(col(idCol).as("id"), xxhash64(col(textCol)).as("_sd_ha"))
+    val hb = b.select(col(idCol).as("id"), xxhash64(col(textCol)).as("_sd_hb"))
+    ha.join(hb, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("_sd_ha").isNull, "added")
+          .when(col("_sd_hb").isNull, "removed")
+          .when(col("_sd_ha") =!= col("_sd_hb"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Exact-dedup ledger: the content-hash twin of the LSH index for
     * the most common incremental question — "which of today's docs
     * has the pipeline never seen, byte-for-byte?". The ledger is the

@@ -2010,6 +2010,39 @@ object Pipeline {
              |JOIN uc u2 ON string_split(bc.pair, ' ')[2] = u2.g, tot
              |ORDER BY lift DESC, pair ASC LIMIT 50""".stripMargin)),
 
+    // snapshot content diff: what did this recrawl/refilter change —
+    // v1/v2 are synthetic slices of documents with a deterministic
+    // modification band, exercising all four statuses. Spark compares
+    // 8-byte content hashes (never text on the exchange); the string-
+    // exact oracle twin is what would catch a hash collision.
+    Q("d11_snapshot_diff",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val v1 = docs.where(col("doc_id") % 7 =!= 0)
+        val v2 = docs.where(col("doc_id") % 5 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 11 === 0,
+              concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+        Dedup.snapshotDiff(v1, v2, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("status"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+             |), v2 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+             |         ELSE text END AS text
+             |  FROM documents WHERE doc_id % 5 <> 0
+             |)
+             |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+             |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+             |       WHEN v2.doc_id IS NULL THEN 'removed'
+             |       WHEN v1.text <> v2.text THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+             |ORDER BY doc_id""".stripMargin)),
+
     // multi-signal contamination audit: the report a curation run
     // hands a human — per train doc, BOTH the d10 n-gram containment
     // evidence AND the s09 retrieval evidence (how many bench probes
