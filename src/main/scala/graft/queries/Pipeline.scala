@@ -2010,6 +2010,62 @@ object Pipeline {
              |JOIN uc u2 ON string_split(bc.pair, ' ')[2] = u2.g, tot
              |ORDER BY lift DESC, pair ASC LIMIT 50""".stripMargin)),
 
+    // per-source quality quantiles — the calibration table quality
+    // thresholds (c01's 0.75) are read off. DISCRETE quantiles by
+    // explicit row_number selection at ceil(p·n): interpolating
+    // percentile_cont on arbitrary doubles risks cross-engine ulp
+    // drift (a + (b−a)·d is not pinned to one op order across
+    // engines); picking an actual member value is exact. Ties in the
+    // quality sort are totalized by doc_id.
+    Q("t24_quality_quantiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val q = docs.select(col("source"), col("doc_id"),
+          r6(TextAnalysis.qualityScore(col("text"))).as("qual"))
+        val w = Window.partitionBy("source")
+        val ranked = q
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("qual"), col("doc_id"))))
+          .withColumn("cnt", count(lit(1)).over(w))
+        ranked.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            max(when(col("rn") === ceil(col("cnt") * lit(0.5)),
+              col("qual"))).as("q50"),
+            max(when(col("rn") === ceil(col("cnt") * lit(0.9)),
+              col("qual"))).as("q90"))
+          .orderBy("source")
+      },
+      Some(s"""WITH f AS (
+             |  SELECT doc_id, source,
+             |    CAST(length(text) AS DOUBLE) AS n_chars,
+             |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
+             |    list_filter(regexp_split_to_array(trim(lower(text)),
+             |      '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, source,
+             |    ${r6sql("""least(1.0, greatest(0.0,
+             |      0.25 * least(len(toks) / 20.0, 1.0) +
+             |      0.25 * (n_alpha / greatest(n_chars, 1.0)) +
+             |      0.25 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5.0, 1.0)) +
+             |      0.25 * least((len(list_intersect(list_distinct(toks),
+             |        ['the','a','of','and','to','in','is','that','it','for'])) / 10.0)
+             |        * 2.0, 1.0)))""")} AS qual
+             |  FROM f
+             |), r AS (
+             |  SELECT source, qual,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY qual, doc_id) AS rn,
+             |    COUNT(*) OVER (PARTITION BY source) AS cnt
+             |  FROM g
+             |)
+             |SELECT source, COUNT(*) AS n_docs,
+             |  MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN qual END) AS q50,
+             |  MAX(CASE WHEN rn = CEIL(cnt * 0.9) THEN qual END) AS q90
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
     // snapshot content diff: what did this recrawl/refilter change —
     // v1/v2 are synthetic slices of documents with a deterministic
     // modification band, exercising all four statuses. Spark compares
@@ -2210,7 +2266,8 @@ object Pipeline {
              |), sp AS (
              |  SELECT freq, COUNT(*) AS n_terms FROM tc GROUP BY freq
              |), v AS (
-             |  SELECT coalesce(SUM(n_terms), 0) AS vocab_size FROM sp
+             |  SELECT CAST(coalesce(SUM(n_terms), 0) AS BIGINT) AS vocab_size
+             |  FROM sp
              |)
              |SELECT freq, n_terms, vocab_size,
              |  CAST(n_terms AS DOUBLE) / CAST(vocab_size AS DOUBLE)

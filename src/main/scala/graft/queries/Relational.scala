@@ -1292,7 +1292,8 @@ object Relational {
              |  SELECT from_type, to_type, COUNT(*) AS n
              |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2
              |), t AS (
-             |  SELECT from_type, SUM(n) AS total_from FROM c GROUP BY 1
+             |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS total_from
+             |  FROM c GROUP BY 1
              |)
              |SELECT c.from_type, c.to_type, n, total_from,
              |  CAST(n AS DOUBLE) / CAST(total_from AS DOUBLE) AS p
@@ -1343,7 +1344,7 @@ object Relational {
              |  FROM u WHERE t2 IS NOT NULL
              |)
              |SELECT cohort_day, COUNT(*) AS n_converted,
-             |  SUM(lag_us) AS total_lag_us,
+             |  CAST(SUM(lag_us) AS BIGINT) AS total_lag_us,
              |  (CAST(SUM(lag_us) AS DOUBLE) / COUNT(*)) / 1000000.0
              |    AS avg_lag_s
              |FROM c GROUP BY cohort_day ORDER BY cohort_day""".stripMargin)),

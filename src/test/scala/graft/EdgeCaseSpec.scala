@@ -280,6 +280,27 @@ class EdgeCaseSpec extends SparkSpec {
       singles, "user_id", "ts", "event_type", "event_id").isEmpty)
   }
 
+  test("snapshotDiff: empty sides classify as pure adds/removes") {
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val allAdded = Dedup.snapshotDiff(empty, docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(allAdded == Map(1L -> "added", 2L -> "added"))
+    val allRemoved = Dedup.snapshotDiff(docs, empty, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(allRemoved == Map(1L -> "removed", 2L -> "removed"))
+    assert(Dedup.snapshotDiff(empty, empty, "doc_id", "text").isEmpty)
+  }
+
+  test("bpeTrain: empty and single-char corpora learn nothing, no crash") {
+    import graft.operators.TextAnalysis
+    val empty = Seq.empty[String].toDF("text")
+    assert(TextAnalysis.bpeTrain(empty, "text", numMerges = 3).isEmpty)
+    // all words single-char: no adjacent pair ever exists
+    val chars = Seq("a b c", "a b").toDF("text")
+    assert(TextAnalysis.bpeTrain(chars, "text", numMerges = 3).isEmpty)
+  }
+
   test("N-column z-order on an empty frame writes an empty directory, no crash") {
     import graft.sources.Layout
     val dir = java.nio.file.Files.createTempDirectory("edge-z3").toString
