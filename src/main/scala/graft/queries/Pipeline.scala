@@ -2112,7 +2112,7 @@ object Pipeline {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val train = docs.where(col("doc_id") % 10 =!= 0)
-        val probes = docs.where(col("doc_id") % 200 === 0)
+        val probes = docs.where(col("doc_id") % 1000 === 0)
           .select(col("doc_id").as("query_id"), col("text").as("query_text"))
         val overlap = Dedup.ngramOverlapScore(
             train, docs.where(col("doc_id") % 10 === 0),
@@ -2149,7 +2149,7 @@ object Pipeline {
              |  SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
              |    regexp_split_to_array(trim(lower(text)),
              |    '[ \\t\\n\\v\\f\\r]+'), x -> x <> ''))) AS term
-             |  FROM documents WHERE doc_id % 200 = 0
+             |  FROM documents WHERE doc_id % 1000 = 0
              |), matched AS (
              |  SELECT p.* FROM postings p
              |  WHERE term IN (SELECT term FROM qterms)
