@@ -212,8 +212,12 @@ object ScaleProbeXL {
       // plan caches the matched postings, and filesRead cannot see
       // scans that run inside InMemoryRelation materialization
       val numBuckets = spark.read.parquet(s"$dir/meta").head().getInt(0)
+      // derive the bucket set with the OPERATOR's tokenizer — an ad-hoc
+      // split would drift (empty terms from double spaces hash to
+      // buckets the operator never reads, inflating probeFiles)
       val qbuckets = probes
-        .select(explode(split(lower(col("query_text")), " ")).as("term"))
+        .select(explode(operators.TextAnalysis.tokens(col("query_text")))
+          .as("term"))
         .select(pmod(xxhash64(col("term")), lit(numBuckets.toLong))
           .cast("int").as("tb"))
         .distinct().collect().map(_.getInt(0)).toSeq

@@ -78,16 +78,25 @@ object Featurize {
     val out =
       if (!normalize) dense.select(col("_fh_id"), col("_fh_raw"))
       else {
-        val norm = sqrt(aggregate(col("_fh_raw"), lit(0.0),
-          (acc, x) => acc + x * x))
-        dense.select(col("_fh_id"),
-          transform(col("_fh_raw"),
-            x => x / when(norm === 0.0, 1.0).otherwise(norm)).as("_fh_raw"))
+        // norm bound in its own projection (the t20 lambda trap: a
+        // lambda body sits outside codegen subexpression elimination,
+        // so an inlined O(dim) fold would re-run per element — O(dim²)
+        // per doc)
+        dense
+          .withColumn("_fh_norm", sqrt(aggregate(col("_fh_raw"), lit(0.0),
+            (acc, x) => acc + x * x)))
+          .select(col("_fh_id"),
+            transform(col("_fh_raw"),
+              x => x / when(col("_fh_norm") === 0.0, 1.0)
+                .otherwise(col("_fh_norm"))).as("_fh_raw"))
       }
     // docs with no tokens never reach `buckets` — restore them as
-    // zero vectors so the output covers the input exactly
+    // zero vectors so the output covers the input exactly. The id set
+    // in `out` is exactly the ids in the CACHED tf table — anti-join
+    // against that, not against `out`, whose whole vector-build chain
+    // would otherwise execute a second time
     val zeros = df.select(col(idCol).as("_fh_id"))
-      .join(out.select("_fh_id"), Seq("_fh_id"), "left_anti")
+      .join(tf.select("_fh_id").distinct(), Seq("_fh_id"), "left_anti")
       .select(col("_fh_id"),
         transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0))
           .as("_fh_raw"))

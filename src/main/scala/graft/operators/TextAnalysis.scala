@@ -507,8 +507,22 @@ object TextAnalysis {
       out.result()
     }
 
+    // split on CODEPOINTS, not UTF-16 chars: per-Char split turns an
+    // astral-plane character (emoji, CJK-ext) into two lone
+    // surrogates, which UTF8String encoding collapses to U+FFFD —
+    // all distinct astral chars would merge into one symbol
+    def codepointSyms(w: String): List[String] = {
+      val out = List.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.result()
+    }
     var vocab = words
-      .map { case (w, n) => (w.map(_.toString).toList, n) }
+      .map { case (w, n) => (codepointSyms(w), n) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var done = false

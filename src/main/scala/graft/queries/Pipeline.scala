@@ -294,7 +294,7 @@ object Pipeline {
     */
   private val qualityCtesSql: String =
     """qf AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, source,
       |    CAST(length(text) AS DOUBLE) AS n_chars,
       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
       |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
@@ -302,7 +302,7 @@ object Pipeline {
       |      '[ \t\n\v\f\r]+'), x -> x <> '') AS toks
       |  FROM documents
       |), q AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, source,
       |    least(1.0, greatest(0.0,
       |      0.25 * least(len(toks) / 20.0, 1.0) +
       |      0.25 * (n_alpha / greatest(n_chars, 1.0)) +
@@ -2036,30 +2036,12 @@ object Pipeline {
               col("qual"))).as("q90"))
           .orderBy("source")
       },
-      Some(s"""WITH f AS (
-             |  SELECT doc_id, source,
-             |    CAST(length(text) AS DOUBLE) AS n_chars,
-             |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
-             |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
-             |    list_filter(regexp_split_to_array(trim(lower(text)),
-             |      '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks
-             |  FROM documents
-             |), g AS (
-             |  SELECT doc_id, source,
-             |    ${r6sql("""least(1.0, greatest(0.0,
-             |      0.25 * least(len(toks) / 20.0, 1.0) +
-             |      0.25 * (n_alpha / greatest(n_chars, 1.0)) +
-             |      0.25 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5.0, 1.0)) +
-             |      0.25 * least((len(list_intersect(list_distinct(toks),
-             |        ['the','a','of','and','to','in','is','that','it','for'])) / 10.0)
-             |        * 2.0, 1.0)))""")} AS qual
-             |  FROM f
-             |), r AS (
-             |  SELECT source, qual,
+      Some(s"""WITH $qualityCtesSql, r AS (
+             |  SELECT source, ${r6sql("qual")} AS qual,
              |    ROW_NUMBER() OVER (PARTITION BY source
-             |      ORDER BY qual, doc_id) AS rn,
+             |      ORDER BY ${r6sql("qual")}, doc_id) AS rn,
              |    COUNT(*) OVER (PARTITION BY source) AS cnt
-             |  FROM g
+             |  FROM q
              |)
              |SELECT source, COUNT(*) AS n_docs,
              |  MAX(CASE WHEN rn = CEIL(cnt * 0.5) THEN qual END) AS q50,
@@ -2106,8 +2088,15 @@ object Pipeline {
     // alone misses: containment is blind to paraphrase-scale overlap
     // below the shingle width, retrieval is blind to verbatim spans of
     // globally-common terms; an auditor wants the join. Bench probes
-    // are the % 200 sample of the bench split (bench texts as
-    // queries); each signal reuses its parent query's exact shape.
+    // are the % 1000 sample of the bench split (bench texts as
+    // queries). Probe-count note: the synthetic corpus has a 31-word
+    // TOTAL vocabulary, so any full-document probe covers it, every
+    // doc matches every probe, and scoring is probe-count-independent
+    // (measured 25/10/5 probes: 6.0/5.8/6.1 s at sf0.1 — the vocab
+    // semi-filter has nothing to prune). On a Zipf-sparse real
+    // vocabulary (t23 measures the spectrum) the semi-filter prunes
+    // postings to the probed terms and this side scales like s09.
+    // Each signal reuses its parent query's exact shape.
     Q("c03_contamination_report",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")

@@ -903,6 +903,23 @@ class TextAnalysisSpec extends SparkSpec {
       (3, "l", "o", 7L), (4, "lo", "w", 7L)), merges.toString)
   }
 
+  test("bpeTrain splits on codepoints: astral chars stay distinct symbols") {
+    import graft.operators.TextAnalysis
+    // two DIFFERENT astral-plane characters: a per-Char split would
+    // shred both into lone surrogates that UTF8String collapses to
+    // U+FFFD, merging their pair counts into one phantom symbol
+    val gclef = new String(Character.toChars(0x1D11E)) // 𝄞
+    val emoji = new String(Character.toChars(0x1F600)) // 😀
+    val docs = Seq(
+      Seq.fill(3)(gclef + "a").mkString(" "),
+      Seq.fill(2)(emoji + "b").mkString(" ")).toDF("text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 2)
+      .as[(Int, String, String, Long)].collect().toList
+    // (𝄞,a)=3 beats (😀,b)=2; both symbols survive intact
+    assert(merges == List(
+      (1, gclef, "a", 3L), (2, emoji, "b", 2L)), merges.toString)
+  }
+
   test("bpeTrain merges leftmost-first without overlap; stops when dry") {
     import graft.operators.TextAnalysis
     // 'aaa': pairs (a,a)=2 from ONE word — after merging (a,a) the
