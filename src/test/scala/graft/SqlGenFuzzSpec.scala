@@ -275,4 +275,67 @@ class SqlGenFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("20 seeded array-agg (collect/sort/slice/topk) pipelines roundtrip") {
+    // e06 landed collect_list + sort_array + slice + array_join and
+    // s09 landed topk_rows + posexplode; the goldens pin those two
+    // exact texts — this walks the neighborhood: random array
+    // aggregate, random post-processing chain, random group key and
+    // downstream distinct/sort+limit
+    Tables.register(spark, sfDir)
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(20260814L)
+    val nation = Tables.load(spark, sfDir, "nation")
+
+    def rndArrayAgg(): DataFrame = {
+      val key = if (rnd.nextBoolean()) col("n_regionkey") else
+        (col("n_nationkey") % 3).as("k3")
+      var df = rnd.nextInt(3) match {
+        case 0 => nation.groupBy(key)
+          .agg(collect_list(col("n_name")).as("xs"))
+          .select(col("xs"), lit(1).as("tag"))
+        case 1 => nation.groupBy(key)
+          .agg(sort_array(collect_list(col("n_nationkey"))).as("xs"))
+          .select(col("xs"), lit(2).as("tag"))
+        case 2 => nation.groupBy(key)
+          .agg(graft.functions.TopK.topk(
+            col("n_nationkey").cast("double"), col("n_nationkey"),
+            rnd.nextInt(3) + 1).as("t"))
+          .select(posexplode(col("t")).as(Seq("p", "w")))
+          .select(col("p"), col("w.id").as("id"))
+      }
+      if (df.columns.contains("xs")) {
+        df = rnd.nextInt(3) match {
+          case 0 => df.select(
+            array_join(slice(sort_array(col("xs")), 1,
+              rnd.nextInt(4) + 1), ">").as("s"), col("tag"))
+          case 1 => df.select(size(col("xs")).as("n"), col("tag"))
+          case 2 => df.select(explode_outer(col("xs")).as("e"), col("tag"))
+        }
+      }
+      if (rnd.nextBoolean()) df = df.distinct()
+      if (rnd.nextBoolean())
+        df = df.orderBy(df.columns.map(col).toIndexedSeq: _*)
+          .limit(rnd.nextInt(10) + 1)
+      df
+    }
+
+    for (i <- 1 to 20) {
+      val df = rndArrayAgg()
+      val sql =
+        try SqlGen.toSql(df)
+        catch {
+          case e: Throwable =>
+            fail(s"case $i: toSql failed for plan:\n" +
+              s"${df.queryExecution.analyzed}\n$e")
+        }
+      try assertSameRows(df, spark.sql(sql))
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException =>
+          fail(s"case $i roundtrip mismatch; sql=$sql\n${e.getMessage}")
+        case e: Throwable =>
+          fail(s"case $i re-parse failed; sql=$sql\n${e.getMessage}")
+      }
+    }
+  }
 }
