@@ -147,6 +147,22 @@ class RetrievalSpec extends SparkSpec {
     assert(got.head._3 == want, s"got ${got.head._3}, want $want")
   }
 
+  test("bm25AgainstIndex: token-less and all-miss query sets are empty") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idxempty").toString
+    Retrieval.writeBm25Index(corpus, "doc_id", "text", dir, numBuckets = 8)
+    val scope = new Dedup.CacheScope
+    try {
+      // no tokens → empty bucket list → isin() over nothing
+      assert(Retrieval.bm25AgainstIndex(
+        queries(1 -> "   "), "query_id", "query_text", dir, k = 3,
+        scope = scope).isEmpty)
+      // tokens that hit buckets but no postings row
+      assert(Retrieval.bm25AgainstIndex(
+        queries(1 -> "zzz qqq"), "query_id", "query_text", dir, k = 3,
+        scope = scope).isEmpty)
+    } finally scope.release()
+  }
+
   test("bm25FlagAgainstIndex: token-less queries flag nothing, never crash") {
     val dir = java.nio.file.Files.createTempDirectory("bm25flagempty").toString
     Retrieval.writeBm25Index(corpus, "doc_id", "text", dir, numBuckets = 8)
