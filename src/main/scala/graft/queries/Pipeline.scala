@@ -2010,6 +2010,88 @@ object Pipeline {
              |JOIN uc u2 ON string_split(bc.pair, ' ')[2] = u2.g, tot
              |ORDER BY lift DESC, pair ASC LIMIT 50""".stripMargin)),
 
+    // leakage-safe train/val/test split: t06's hash-mod assignment
+    // applied to the GROUP representative (min doc_id per canonical
+    // URL), so near-identical re-crawls of one page can never straddle
+    // train and eval — the group-aware splitting every leakage-
+    // conscious pipeline needs (splitting on the raw doc id leaks
+    // t19-class URL duplicates across the boundary). Same synthetic
+    // colliding URLs as c02.
+    Q("t25_group_split",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val host0 = when(col("doc_id") % 3 === 0, "WWW.Example.COM")
+          .when(col("doc_id") % 3 === 1, "blog.Example.com")
+          .otherwise("news.site.org")
+        val url = concat(lit("HTTPS://"), host0,
+          lit("/page/"), (col("doc_id") % 50).cast("string"),
+          lit("?utm_source=s"), (col("doc_id") % 7).cast("string"),
+          lit("&ref=r"), (col("doc_id") % 4).cast("string"),
+          lit("&utm_campaign=c"), col("doc_id").cast("string"))
+        val (norm, _) = TextAnalysis.normalizeUrl(url)
+        docs.select(col("doc_id"), norm.as("norm_url"))
+          .withColumn("rep_id", min("doc_id").over(
+            Window.partitionBy(xxhash64(col("norm_url")))))
+          .select(col("doc_id"), col("norm_url"),
+            TextAnalysis.splitLabel(col("rep_id"),
+              Seq("train" -> 900, "val" -> 50, "test" -> 50)).as("split"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'HTTPS://' ||
+             |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+             |         WHEN doc_id % 3 = 1 THEN 'blog.Example.com'
+             |         ELSE 'news.site.org' END ||
+             |    '/page/' || CAST(doc_id % 50 AS VARCHAR) ||
+             |    '?utm_source=s' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    '&ref=r' || CAST(doc_id % 4 AS VARCHAR) ||
+             |    '&utm_campaign=c' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents
+             |), p AS (
+             |  SELECT doc_id, url,
+             |    regexp_extract(url,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS rawp
+             |  FROM u
+             |), r AS (
+             |  SELECT doc_id, lower(rawp) AS prefix,
+             |    regexp_replace(substr(url, length(rawp) + 1),
+             |      '#.*', '', 'g') AS nofrag
+             |  FROM p
+             |), sq AS (
+             |  SELECT doc_id, prefix,
+             |    regexp_extract(nofrag, '^[^?]*', 0) AS path,
+             |    substr(nofrag,
+             |      length(regexp_extract(nofrag, '^[^?]*', 0)) + 1) AS q
+             |  FROM r
+             |), c AS (
+             |  SELECT doc_id, prefix, path,
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(q, '&utm_[^&]*', '', 'g'),
+             |        '^\?utm_[^&]*&', '?', 'g'),
+             |      '^\?utm_[^&]*', '', 'g') AS qq
+             |  FROM sq
+             |), n AS (
+             |  SELECT doc_id,
+             |    prefix || path ||
+             |      (CASE WHEN qq = '?' THEN '' ELSE qq END) AS norm_url
+             |  FROM c
+             |), g AS (
+             |  SELECT doc_id, norm_url,
+             |    MIN(doc_id) OVER (PARTITION BY norm_url) AS rep_id
+             |  FROM n
+             |)
+             |SELECT doc_id, norm_url,
+             |  CASE WHEN h < 900 THEN 'train'
+             |       WHEN h < 950 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (SELECT doc_id, norm_url,
+             |        ((rep_id % 2147483647) * 2654435761) % 1000 AS h
+             |      FROM g) t
+             |ORDER BY doc_id""".stripMargin)),
+
     // per-source quality quantiles — the calibration table quality
     // thresholds (c01's 0.75) are read off. DISCRETE quantiles by
     // explicit row_number selection at ceil(p·n): interpolating
