@@ -121,11 +121,14 @@ object Retrieval {
       .groupBy("query_id", "doc_id")
       .agg(sum("_bm_ci").as("score_i"))
 
-    // score_i < 2^53 by construction (6-decimal-scaled bounded
-    // contributions × query length), so the heap's double ord is exact
+    // the heap ranks on the RAW long score (TopK long-ordinal mode):
+    // a double-cast ord would lose exactness past 2^53, which a
+    // 1e9-doc corpus's rare-term idf sums genuinely reach
+    // (idf ≈ 0.67·N at df=1 ⇒ a single contribution ~1.5e15 scaled;
+    // a 6-term query sum crosses 2^53 ≈ 9.0e15)
     scores.groupBy("query_id")
-      .agg(graft.functions.TopK.topk(
-        col("score_i").cast("double"), col("doc_id"), k).as("_t"))
+      .agg(graft.functions.TopK.topkLong(
+        col("score_i"), col("doc_id"), k).as("_t"))
       .select(col("query_id"), posexplode(col("_t")).as(Seq("_p", "_w")))
       .select(col("query_id"), (col("_p") + 1).cast("int").as("rank"),
         col("_w.id").as("doc_id"),
@@ -149,6 +152,58 @@ object Retrieval {
       coalesce(sum(size(col("_bm_toks"))), lit(0)).cast("long")
         .as("n_tokens"))
 
+  /** The committed generation number: `$path/CURRENT` holds the int g
+    * such that postings generations 0..g and the cumulative stats row
+    * at gen g are the index's visible state. The pointer is the COMMIT
+    * — everything else is written first, to generation-private
+    * directories old readers never look at, and becomes visible only
+    * when the rename below lands.
+    */
+  private def readCurrentGen(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+  }
+
+  /** Atomically (re)point CURRENT at `gen`: write CURRENT.tmp, then
+    * rename with OVERWRITE via FileContext — the one metadata op HDFS
+    * and POSIX both make atomic. A crash before the rename leaves the
+    * old pointer (and thus the old index state) fully intact.
+    */
+  private def commitCurrentGen(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      gen: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/CURRENT.tmp")
+    val fs = dst.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Committed postings scan: only generations ≤ CURRENT are listed
+    * (explicit per-generation paths + basePath, so a crashed append's
+    * orphan directory is never even read for footers), with `gen` and
+    * `tbucket` both available as partition columns for pruning.
+    */
+  private def committedPostings(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      gen: Int): DataFrame =
+    spark.read.option("basePath", s"$path/postings")
+      .parquet((0 to gen).map(i => s"$path/postings/gen=$i"): _*)
+
+  private def committedStats(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      gen: Int): DataFrame =
+    spark.read.parquet(s"$path/stats/gen=$gen").select("n_docs", "n_tokens")
+
   /** Persist an inverted index for [[bm25AgainstIndex]]: postings
     * hash-partitioned into `numBuckets` term buckets (a probe reads
     * only its query terms' buckets — the partition-pruning contract
@@ -157,6 +212,11 @@ object Retrieval {
     * projection persists locally (released before returning — both
     * the postings write and the stats aggregate consume it eagerly,
     * the writeLshIndex pattern).
+    *
+    * Layout is generational for failure-atomic appends: postings live
+    * under `postings/gen=<g>/tbucket=<b>`, the CUMULATIVE stats row
+    * under `stats/gen=<g>`, and `CURRENT` names the committed g —
+    * see [[appendToBm25Index]] for the commit protocol.
     *
     * Sizing: a probe reads ~|query vocab| / numBuckets of the postings
     * bytes; more buckets prune harder but shrink files. At 100 TB
@@ -180,26 +240,34 @@ object Retrieval {
         .withColumn("tbucket",
           pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
         .write.mode("overwrite").partitionBy("tbucket")
-        .parquet(s"$path/postings")
+        .parquet(s"$path/postings/gen=0")
       statsOfToked(toked)
-        .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/stats/gen=0")
     } finally toked.unpersist(false)
+    commitCurrentGen(spark, path, 0)
   }
 
-  /** Append a document batch to a persisted BM25 index: batch postings
-    * land in their term buckets and the 1-row stats are re-written as
-    * old + batch (the old row is COLLECTED before the overwrite —
-    * reading while overwriting the same path races). Batch doc ids
-    * must be new; re-ingesting an id would double its postings
-    * silently (the exact-ledger admission operator is the dedup gate
-    * for that).
+  /** Append a document batch to a persisted BM25 index, FAILURE-
+    * ATOMICALLY: the batch's postings and the new cumulative stats
+    * both land in generation-(g+1) directories (overwrite mode, so a
+    * half-written orphan from a previous crash is truncated, making
+    * the retry idempotent), and only then does the atomic CURRENT
+    * rename commit them TOGETHER. A crash anywhere before the rename
+    * leaves every reader — probes, flaggers, and the next append —
+    * on generation g with postings, df, n_docs and avgdl still
+    * mutually consistent; re-running the append lands the batch
+    * exactly once. Batch doc ids must be new; re-ingesting an id
+    * after a SUCCESSFUL commit would double its postings silently
+    * (the exact-ledger admission operator is the dedup gate for
+    * that).
     */
   def appendToBm25Index(
       docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val old = spark.read.parquet(s"$path/stats").head()
+    val gen = readCurrentGen(spark, path)
+    val old = committedStats(spark, path, gen).head()
     val (oldDocs, oldToks) = (old.getLong(0), old.getLong(1))
     val toked = docs
       .select(col(idCol).as("doc_id"),
@@ -209,13 +277,15 @@ object Retrieval {
       postingsFromToked(toked)
         .withColumn("tbucket",
           pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
-        .write.mode("append").partitionBy("tbucket")
-        .parquet(s"$path/postings")
+        .write.mode("overwrite").partitionBy("tbucket")
+        .parquet(s"$path/postings/gen=${gen + 1}")
       val batch = statsOfToked(toked).head()
       Seq((oldDocs + batch.getLong(0), oldToks + batch.getLong(1)))
         .toDF("n_docs", "n_tokens")
-        .repartition(1).write.mode("overwrite").parquet(s"$path/stats")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$path/stats/gen=${gen + 1}")
     } finally toked.unpersist(false)
+    commitCurrentGen(spark, path, gen + 1)
   }
 
   /** BM25 probe of a persisted index — identical results to [[bm25]]
@@ -233,6 +303,7 @@ object Retrieval {
       scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
     val spark = queries.sparkSession
     val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val gen = readCurrentGen(spark, path)
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     // bounded collect: ≤ |query vocab| bucket ids
     val buckets = qterms
@@ -240,11 +311,11 @@ object Retrieval {
         .cast("int").as("tb"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val matched = scope.persistTracked(
-      spark.read.parquet(s"$path/postings")
+      committedPostings(spark, path, gen)
         .where(col("tbucket").isin(buckets: _*))
         .join(broadcast(qterms.select("term").distinct()), Seq("term"))
         .select("doc_id", "term", "dl", "tf"))
-    scoreTopK(matched, spark.read.parquet(s"$path/stats"),
+    scoreTopK(matched, committedStats(spark, path, gen),
       qterms, k, k1, b)
   }
 
@@ -281,7 +352,8 @@ object Retrieval {
     require(queries.nonEmpty, "bm25FlagAgainstIndex: empty query set")
     require(k1 > 0 && b >= 0 && b <= 1, s"bm25: need k1 > 0, b in [0,1]")
     val spark = docs.sparkSession
-    val stats = spark.read.parquet(s"$path/stats").head()
+    val curGen = readCurrentGen(spark, path)
+    val stats = committedStats(spark, path, curGen).head()
     val (nDocs, nTokens) = (stats.getLong(0), stats.getLong(1))
     require(nDocs > 0, s"bm25FlagAgainstIndex: empty index at $path")
     val avgdl = nTokens.toDouble / nDocs
@@ -304,7 +376,7 @@ object Retrieval {
         .withColumn("tb",
           pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
       val tbs = vdf.select("tb").distinct().collect().map(_.getInt(0)).toSeq
-      spark.read.parquet(s"$path/postings")
+      committedPostings(spark, path, curGen)
         .where(col("tbucket").isin(tbs: _*))
         .join(broadcast(vdf.select("term")), Seq("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))

@@ -286,10 +286,14 @@ object TextAnalysis {
     * per-row, no shuffle — the C4 rules are exactly the shape that
     * must run as a mapper over 100 TB. Predicates use only
     * cross-engine-identical string ops so the DuckDB oracle replays
-    * the rewrite verbatim.
+    * the rewrite verbatim. Lines split on `\r?\n`, not `\n`: a CRLF
+    * corpus would otherwise keep a trailing `\r` on every line, and
+    * Java's `$` (matches before a final line terminator) would then
+    * disagree with RE2/DuckDB's end-of-string `$` on rule (b) — the
+    * normalizeUrl-documented divergence, applied here too.
     */
   def cleanLines(text: Column): (Column, Column, Column) = {
-    val lines = split(text, "\n")
+    val lines = split(text, "\r?\n")
     def keepLine(l: Column): Column = {
       val t = trim(l)
       size(filter(split(t, " +"), w => w =!= "")) >= 3 &&
@@ -362,8 +366,10 @@ object TextAnalysis {
     // rejoin — persist so the corpus is split once, not twice
     // (decontaminate's hash-once contract; caching swaps in at
     // physical planning, the logical plan and SqlGen are untouched)
+    // split on \r?\n (not \n) so CRLF corpora key lines without the
+    // trailing \r — the cleanLines cross-engine `$`-anchor stance
     val lines = scope.persistTracked(df.select(col(idCol).as("_ld_id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("_ld_pos", "_ld_line"))))
+      posexplode(split(col(textCol), "\r?\n")).as(Seq("_ld_pos", "_ld_line"))))
     val common = lines
       .where(trim(col("_ld_line")) =!= "")
       .groupBy(xxhash64(col("_ld_line")).as("_ld_h"))

@@ -1444,14 +1444,14 @@ object Pipeline {
              |  FROM documents
              |), k AS (
              |  SELECT doc_id,
-             |    list_filter(string_split(t, chr(10)), l ->
+             |    list_filter(string_split_regex(t, '\r?\n'), l ->
              |      len(list_filter(regexp_split_to_array(trim(l), ' +'),
              |        w -> w <> '')) >= 3
              |      AND regexp_matches(trim(l), '[.!?"]$')
              |      AND NOT contains(lower(trim(l)), 'lorem ipsum')
              |      AND NOT contains(trim(l), '{')
              |      AND NOT contains(trim(l), '}')) AS kept,
-             |    len(string_split(t, chr(10))) AS n_lines
+             |    len(string_split_regex(t, '\r?\n')) AS n_lines
              |  FROM d
              |)
              |SELECT doc_id,
@@ -1494,7 +1494,7 @@ object Pipeline {
              |      || ' unique closing.' AS t
              |  FROM documents
              |), l AS (
-             |  SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+             |  SELECT doc_id, unnest(string_split_regex(t, '\r?\n')) AS line
              |  FROM d
              |), common AS (
              |  SELECT coalesce(list(line), []) AS cl FROM (
@@ -1502,9 +1502,9 @@ object Pipeline {
              |    GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 3)
              |), k AS (
              |  SELECT doc_id,
-             |    list_filter(string_split(t, chr(10)),
+             |    list_filter(string_split_regex(t, '\r?\n'),
              |      ln -> NOT list_contains(cl, ln)) AS kept,
-             |    len(string_split(t, chr(10))) AS n_lines
+             |    len(string_split_regex(t, '\r?\n')) AS n_lines
              |  FROM d, common
              |)
              |SELECT doc_id,

@@ -801,6 +801,31 @@ class TopKSpec extends SparkSpec {
     }
   }
 
+  test("long-ordinal topk ranks exactly past the double 2^53 cliff") {
+    import org.apache.spark.sql.functions._
+    val base = 9007199254740992L // 2^53
+    // base+1 is NOT representable as a double: a double-ord heap ties
+    // these rows and falls back to the smaller id, silently
+    // mis-ranking — exactly the regime a 1e9-doc BM25 idf sum reaches.
+    // The long-ord heap must rank the truly-larger ord first.
+    val df = Seq((1L, base, 100L), (1L, base + 1L, 200L))
+      .toDF("g", "ord", "id").repartition(2)
+    val viaLong = df.groupBy("g")
+      .agg(graft.functions.TopK.topkLong(col("ord"), col("id"), 1).as("top"))
+      .select(element_at(col("top"), 1).getField("id")).as[Long].collect()
+    assert(viaLong.toSeq == Seq(200L))
+    val viaDouble = df.groupBy("g")
+      .agg(graft.functions.TopK.topk(col("ord"), col("id"), 1).as("top"))
+      .select(element_at(col("top"), 1).getField("id")).as[Long].collect()
+    assert(viaDouble.toSeq == Seq(100L), "the documented double cliff")
+    // output ord keeps the long type and the exact values, best first
+    val out = df.groupBy("g")
+      .agg(graft.functions.TopK.topkLong(col("ord"), col("id"), 2).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.ord"), col("e.id")).as[(Long, Long)].collect().toSeq
+    assert(out == Seq((base + 1L) -> 200L, base -> 100L))
+  }
+
   test("topk handles groups smaller than k and duplicate ordinals") {
     import org.apache.spark.sql.functions._
     val df = Seq((1L, 5.0, 10L), (1L, 5.0, 11L), (2L, 1.0, 20L))
@@ -1223,6 +1248,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(lines.head == "This line is a kept sentence.")
     assert(lines(1).trim.startsWith("Surrounding spaces"))
     assert(lines(2).endsWith("\""))
+  }
+
+  test("cleanLines and dedupCorpusLines split CRLF text without keeping \\r") {
+    import graft.operators.TextAnalysis
+    // With a plain \n split each line keeps its trailing \r: Java's $
+    // (matches before a final line terminator) would still pass rule
+    // (b) while RE2/DuckDB's end-of-string $ would not — the
+    // cross-engine divergence the \r?\n split removes. The \r must
+    // also not survive into the cleaned text.
+    val crlf = Seq(
+      "First kept sentence is here.",
+      "too short",
+      "Second kept line stays as well!").mkString("\r\n")
+    val (cleaned, kept, dropped) = TextAnalysis.cleanLines(lit(crlf))
+    val r = Seq(1).toDF("x").select(cleaned, kept, dropped).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 1L)
+    assert(r.getString(0) ==
+      "First kept sentence is here.\nSecond kept line stays as well!")
+    assert(!r.getString(0).contains("\r"))
+    // corpus line dedup: the shared boilerplate line must key the same
+    // from a CRLF doc and an LF doc (and be dropped from both)
+    val docs = Seq(
+      (1L, "All rights reserved.\r\nDoc one unique closing."),
+      (2L, "All rights reserved.\nDoc two unique closing.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .dedupCorpusLines(docs, "doc_id", "text", minDocs = 2)
+      .select($"doc_id", $"text_clean", $"n_removed")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, t, n) => id -> ((t, n)) }.toMap
+    assert(out(1L) == (("Doc one unique closing.", 1L)), out.toString)
+    assert(out(2L) == (("Doc two unique closing.", 1L)), out.toString)
   }
 
   test("redactPii scrubs emails, IPs, phones, digit runs; clean text unchanged") {

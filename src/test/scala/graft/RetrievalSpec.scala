@@ -109,6 +109,44 @@ class RetrievalSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("append crash window is invisible; the retry lands exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25crash").toString
+    val base = corpus.where(col("doc_id") <= 3)
+    val batch = corpus.where(col("doc_id") > 3)
+    Retrieval.writeBm25Index(base, "doc_id", "text", dir, numBuckets = 8)
+    val probes = queries(1 -> "spark join", 2 -> "window")
+    val scope = new Dedup.CacheScope
+    try {
+      // simulate a crash AFTER the generation-1 postings+stats writes
+      // but BEFORE the CURRENT swap: run the real append, then roll
+      // the pointer back to generation 0
+      Retrieval.appendToBm25Index(batch, "doc_id", "text", dir)
+      // the rollback bypasses Hadoop's ChecksumFileSystem, so drop the
+      // .crc sidecar the committed pointer left behind
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, ".CURRENT.crc"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "CURRENT"),
+        "0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // the orphan generation is invisible: postings, df, N and avgdl
+      // all still describe the base corpus (score-exact, not just
+      // row-set-equal — a stats/postings divergence would shift scores)
+      assertSameRows(
+        Retrieval.bm25AgainstIndex(probes, "query_id", "query_text", dir,
+          k = 10),
+        Retrieval.bm25(base, "doc_id", "text", probes, "query_id",
+          "query_text", k = 10, scope = scope))
+      // the retry overwrites the orphan and commits: batch lands
+      // exactly once, never doubled
+      Retrieval.appendToBm25Index(batch, "doc_id", "text", dir)
+      assertSameRows(
+        Retrieval.bm25AgainstIndex(probes, "query_id", "query_text", dir,
+          k = 10),
+        Retrieval.bm25(corpus, "doc_id", "text", probes, "query_id",
+          "query_text", k = 10, scope = scope))
+    } finally scope.release()
+  }
+
   test("bm25 index probe prunes postings to the query-term buckets") {
     val dir = java.nio.file.Files.createTempDirectory("bm25prune").toString
     Retrieval.writeBm25Index(corpus, "doc_id", "text", dir, numBuckets = 16)
