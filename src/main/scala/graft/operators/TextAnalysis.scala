@@ -488,6 +488,40 @@ object TextAnalysis {
     * encoder; [[bpePieceCount]] stays the cheap pre-tokenization
     * estimator.
     */
+  /** Leftmost-first, non-overlapping single-merge pass: after a merge
+    * the cursor moves PAST the merged symbol (classic BPE — "aaa" with
+    * merge (a,a) becomes [aa, a], not [aa, aa]). Shared by the trainer
+    * (one pass per round) and the encoder (one pass per chosen pair).
+    */
+  private[operators] def mergeOnce(
+      syms: List[String], l: String, r: String): List[String] = {
+    val out = List.newBuilder[String]
+    var rest = syms
+    while (rest.nonEmpty) rest match {
+      case a :: b :: tail if a == l && b == r =>
+        out += (l + r); rest = tail
+      case a :: tail => out += a; rest = tail
+      case Nil => ()
+    }
+    out.result()
+  }
+
+  /** Split on CODEPOINTS, not UTF-16 chars: per-Char split turns an
+    * astral-plane character (emoji, CJK-ext) into two lone surrogates,
+    * which UTF8String encoding collapses to U+FFFD — all distinct
+    * astral chars would merge into one symbol.
+    */
+  private[operators] def codepointSyms(w: String): List[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
                minPairCount: Long = 2): DataFrame = {
     require(numMerges >= 1, "bpeTrain: numMerges must be positive")
@@ -498,35 +532,6 @@ object TextAnalysis {
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
 
-    def mergeOnce(syms: List[String], l: String, r: String): List[String] = {
-      // leftmost-first, non-overlapping: after a merge the cursor
-      // moves PAST the merged symbol (classic BPE — "aaa" with merge
-      // (a,a) becomes [aa, a], not [aa, aa])
-      val out = List.newBuilder[String]
-      var rest = syms
-      while (rest.nonEmpty) rest match {
-        case a :: b :: tail if a == l && b == r =>
-          out += (l + r); rest = tail
-        case a :: tail => out += a; rest = tail
-        case Nil => ()
-      }
-      out.result()
-    }
-
-    // split on CODEPOINTS, not UTF-16 chars: per-Char split turns an
-    // astral-plane character (emoji, CJK-ext) into two lone
-    // surrogates, which UTF8String encoding collapses to U+FFFD —
-    // all distinct astral chars would merge into one symbol
-    def codepointSyms(w: String): List[String] = {
-      val out = List.newBuilder[String]
-      var i = 0
-      while (i < w.length) {
-        val cp = w.codePointAt(i)
-        out += new String(Character.toChars(cp))
-        i += Character.charCount(cp)
-      }
-      out.result()
-    }
     var vocab = words
       .map { case (w, n) => (codepointSyms(w), n) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -569,6 +574,108 @@ object TextAnalysis {
     }
     vocab.unpersist(false)
     merges.toSeq.toDF("rank", "left", "right", "n")
+  }
+
+  /** Segment ONE word with a trained merge table — the canonical
+    * subword-nmt apply loop: repeatedly merge the lowest-rank pair
+    * present (ranks are unique, so no ties), each application
+    * leftmost-first non-overlapping ([[mergeOnce]]), until no adjacent
+    * pair is in the table.
+    *
+    * For "unique-creation" tables — every symbol string is created by
+    * at most one merge, at a rank before any pair that uses it as a
+    * component — this loop is provably identical to applying merges in
+    * rank order, which is both what [[bpeTrain]] does to its own
+    * vocabulary each round and what the t26 DuckDB oracle replays with
+    * a nested-replace chain. Tables with a re-creation path (a later
+    * merge rebuilding an earlier pair's component string, e.g.
+    * [(bc,d), (b,c)] applied to "bcd") make the two loops diverge on
+    * novel words; this encoder follows subword-nmt (min-rank wins:
+    * "bcd" → [bcd], not [bc, d]) — pinned by spec. Trained tables
+    * re-create a component only when two merge paths concat to the
+    * same string, which [[bpeTrain]]'s greedy argmax essentially never
+    * emits; the oracle query's fixed table is unique-creation by
+    * construction.
+    */
+  private[graft] def bpeSegment(
+      w: String, rank: Map[(String, String), Int]): List[String] = {
+    var syms = codepointSyms(w)
+    var done = syms.lengthCompare(2) < 0
+    while (!done) {
+      var best = Int.MaxValue
+      var bl: String = null
+      var br: String = null
+      var rest = syms
+      while (rest.nonEmpty && rest.tail.nonEmpty) {
+        val r = rank.getOrElse((rest.head, rest.tail.head), Int.MaxValue)
+        if (r < best) { best = r; bl = rest.head; br = rest.tail.head }
+        rest = rest.tail
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        syms = mergeOnce(syms, bl, br)
+        done = syms.lengthCompare(2) < 0
+      }
+    }
+    syms
+  }
+
+  /** Apply a trained BPE merge table to the corpus — the encode half
+    * of [[bpeTrain]], closing the loop so downstream token budgeting
+    * (mix allocation, packing, manifests) can run on REAL trained-
+    * vocabulary piece counts instead of [[bpePieceCount]]'s regex
+    * estimate.
+    *
+    * Scale shape: the merge table rides a broadcast hashmap (even a
+    * 100k-merge table is a few MB); the imperative [[bpeSegment]] loop
+    * runs once per DISTINCT word (a VOCABULARY-sized typed map — the
+    * same "imperative only off the corpus path" stance as the
+    * trainer); the corpus-sized stages are all declarative: one
+    * posexplode of tokens, one hash join of token occurrences against
+    * the word→pieces table (vocabulary-sized build side — broadcast
+    * when it fits, shuffled hash join when a 100 TB corpus's long-tail
+    * vocabulary doesn't), and whatever aggregation the consumer adds.
+    * Nothing re-runs the merge loop per token occurrence: a word seen
+    * 10⁹ times is segmented once.
+    *
+    * Output: one row per token occurrence —
+    * (idCol, pos, word, pieces Array[String], n_pieces). Zero-token
+    * documents contribute no rows (posexplode of an empty array);
+    * [[bpeDocPieceCount]] restores them with count 0.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[BpeMerge]): DataFrame = {
+    require(merges.nonEmpty, "bpeEncode: empty merge table")
+    val rankMap = merges.map(m => ((m.left, m.right), m.rank)).toMap
+    require(rankMap.size == merges.size,
+      "bpeEncode: duplicate (left, right) pairs in merge table")
+    require(merges.map(_.rank).distinct.size == merges.size,
+      "bpeEncode: duplicate ranks in merge table")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rankMap)
+    val toks = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+    val wordPieces = toks.select("word").distinct().as[String]
+      .map(w => (w, bpeSegment(w, bc.value).toArray))
+      .toDF("word", "pieces")
+    toks.join(wordPieces, "word")
+      .select(col(idCol), col("pos"), col("word"), col("pieces"),
+        size(col("pieces")).as("n_pieces"))
+  }
+
+  /** Per-document trained-vocabulary piece count: sum of per-token
+    * piece counts, with zero-token documents restored at 0 via a left
+    * join back onto the id spine (posexplode drops them; a packing or
+    * mix-allocation consumer must still see every document).
+    */
+  def bpeDocPieceCount(df: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[BpeMerge]): DataFrame = {
+    val perDoc = bpeEncode(df, idCol, textCol, merges)
+      .groupBy(idCol).agg(sum("n_pieces").as("_bpe_n"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_bpe_n"), lit(0L)).as("n_bpe_pieces"))
   }
 
   /** Domain-affinity scoring for data selection (the DSIR/importance-

@@ -42,6 +42,51 @@ object Pipeline {
   private def r6sql(expr: String): String =
     s"FLOOR(($expr) * 1000000 + 0.5) / 1000000"
 
+  /** Fixed BPE merge table shared by t26/t27/p04 and their oracles —
+    * common English digraphs, ordered so every merged string is
+    * created by exactly one rule at a rank BEFORE any rule that uses
+    * it as a component ("th" at 1 before ("th","e") at 2; "an" at 4
+    * before ("an","d") at 5). That unique-creation property is what
+    * makes the Scala encoder's min-rank loop equal to the oracle's
+    * rank-ordered replace chain (TextAnalysis.bpeSegment scaladoc).
+    */
+  private val bpeFixedMerges: Seq[TextAnalysis.BpeMerge] = Seq(
+    (1, "t", "h"), (2, "th", "e"), (3, "i", "n"), (4, "a", "n"),
+    (5, "an", "d"), (6, "e", "r"), (7, "o", "n"), (8, "r", "e"),
+    (9, "o", "r"), (10, "e", "n"), (11, "a", "t"), (12, "e", "s"),
+    (13, "o", "u"), (14, "i", "t"), (15, "i", "s"), (16, "t", "o")
+  ).map { case (rk, l, r) => TextAnalysis.BpeMerge(rk, l, r, 0L) }
+
+  /** Separator for the oracle's flat-string symbol encoding: U+001F
+    * (unit separator), a control char that never appears in the test
+    * corpora (and cannot survive `tokens`' whitespace-split as part
+    * of a merge-table symbol, which are all ASCII letters here).
+    */
+  private val bpeSep = "\u001f"
+
+  /** DuckDB replay of [[TextAnalysis.bpeSegment]] on one word
+    * expression, as a flat string: each symbol is wrapped ⟨sep⟩sym⟨sep⟩
+    * (so the string is sep sep s1 sep sep s2 … sep sep), and one merge
+    * (l, r) is `replace(s, ⟨sep⟩l⟨sep⟩⟨sep⟩r⟨sep⟩, ⟨sep⟩lr⟨sep⟩)` —
+    * plain replace is leftmost-first non-overlapping and keeps the
+    * boundary separators on both flanks, so repeated adjacent pairs
+    * ("a a a" under (a,a) → [aa, a]) and consecutive disjoint matches
+    * ("a b a b" under (a,b) → [ab, ab]) both come out exactly like
+    * mergeOnce; a pattern can never match inside a symbol because a
+    * single separator flanked by symbol chars occurs only at a
+    * boundary. Merges compose in rank order — identical to the
+    * min-rank loop for the unique-creation [[bpeFixedMerges]] table.
+    * Pieces are read back by splitting on the double separator.
+    */
+  private def bpeOracleEncode(wExpr: String): String = {
+    val wrapped =
+      s"'$bpeSep$bpeSep' || regexp_replace($wExpr, '(.)', '\\1$bpeSep$bpeSep', 'g')"
+    bpeFixedMerges.sortBy(_.rank).foldLeft(wrapped) { (acc, m) =>
+      s"replace($acc, '$bpeSep${m.left}$bpeSep$bpeSep${m.right}$bpeSep', " +
+        s"'$bpeSep${m.left}${m.right}$bpeSep')"
+    }
+  }
+
   /** DuckDB mirror of Similarity's symmetric int8 quantization of a
     * DOUBLE[] expression (scale = 127/max|x|, floor(x·scale + 0.5),
     * zero vectors → zero codes) — ONE fragment shared by the s06 and
@@ -1665,6 +1710,123 @@ object Pipeline {
              |)
              |SELECT pair, COUNT(*) AS n FROM b
              |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 50""".stripMargin)),
+
+    // trained-vocabulary BPE encode (t26) + the budgeting consumers
+    // that switch from bpePieceCount's regex estimate to REAL piece
+    // counts (t27 mix allocation, p04 packing). The merge table is a
+    // FIXED literal (both engines must replay the identical table;
+    // training at query time would make the oracle depend on the
+    // scale factor) and is unique-creation by construction — each
+    // merged string is produced by exactly one rule, at a rank before
+    // any rule that consumes it — which makes the encoder's canonical
+    // min-rank loop (TextAnalysis.bpeSegment) provably identical to
+    // the rank-ordered nested-replace chain the oracle replays.
+    Q("t26_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        TextAnalysis.bpeEncode(docs, "doc_id", "text", bpeFixedMerges)
+          .select(explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("piece").asc)
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'),
+             |    x -> x <> '')) AS w
+             |  FROM documents
+             |), enc AS (
+             |  SELECT ${bpeOracleEncode("w")} AS e FROM toks
+             |), p AS (
+             |  SELECT unnest(list_filter(string_split(e, '$bpeSep$bpeSep'),
+             |    x -> x <> '')) AS piece
+             |  FROM enc
+             |)
+             |SELECT piece, COUNT(*) AS n FROM p
+             |GROUP BY piece ORDER BY n DESC, piece ASC""".stripMargin)),
+
+    // t15's mix-allocation planning step re-run on trained-vocabulary
+    // piece counts — the numbers a real training run budgets with.
+    // Same single map-side-combined corpus aggregation; the encode
+    // join adds one vocabulary-sized build side.
+    Q("t27_mix_bpe",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val counts = TextAnalysis.bpeDocPieceCount(
+          docs, "doc_id", "text", bpeFixedMerges)
+        docs.select(col("doc_id"), col("source"))
+          .join(counts, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bpe_pieces").as("n_tokens"))
+          .withColumn("rate", r6(least(lit(1.0),
+            lit(100000.0) / count(lit(1)).over(Window.partitionBy()) /
+              col("n_tokens"))))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("rate"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'),
+             |    x -> x <> '')) AS w
+             |  FROM documents
+             |), enc AS (
+             |  SELECT doc_id, ${bpeOracleEncode("w")} AS e FROM toks
+             |), cnt AS (
+             |  SELECT doc_id, SUM(len(list_filter(
+             |    string_split(e, '$bpeSep$bpeSep'), x -> x <> ''))) AS n
+             |  FROM enc GROUP BY doc_id
+             |), t AS (
+             |  SELECT d.source, COUNT(*) AS n_docs,
+             |    CAST(SUM(COALESCE(c.n, 0)) AS BIGINT) AS n_tokens
+             |  FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+             |  GROUP BY d.source
+             |)
+             |SELECT source, n_docs, n_tokens,
+             |  ${r6sql("LEAST(1.0, 100000.0 / (SELECT COUNT(*) FROM t) / n_tokens)")}
+             |    AS rate
+             |FROM t ORDER BY source""".stripMargin)),
+
+    // p01's sharded concat-and-chunk manifest re-run on trained-
+    // vocabulary piece counts. Zero-token documents still occupy a
+    // manifest row (COALESCE 0 via bpeDocPieceCount's left join) —
+    // a packer that silently dropped them would desync doc ordering.
+    Q("p04_pack_bpe",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val counts = TextAnalysis.bpeDocPieceCount(
+          docs, "doc_id", "text", bpeFixedMerges)
+        Packing.packSequences(counts, "doc_id", col("n_bpe_pieces"),
+            seqLen = 2048, numShards = 8)
+          .orderBy("shard", "chunk_id")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'),
+             |    x -> x <> '')) AS w
+             |  FROM documents
+             |), enc AS (
+             |  SELECT doc_id, ${bpeOracleEncode("w")} AS e FROM toks
+             |), cnt AS (
+             |  SELECT doc_id, SUM(len(list_filter(
+             |    string_split(e, '$bpeSep$bpeSep'), x -> x <> ''))) AS n
+             |  FROM enc GROUP BY doc_id
+             |), t AS (
+             |  SELECT d.doc_id,
+             |    ((d.doc_id % 2147483647) * 2654435761) % 8 AS shard,
+             |    COALESCE(c.n, 0) AS n_tok
+             |  FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+             |), cc AS (
+             |  SELECT shard, doc_id, n_tok,
+             |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+             |  FROM t
+             |)
+             |SELECT shard,
+             |  CAST(FLOOR((cum_tok - n_tok) / 2048.0) AS BIGINT) AS chunk_id,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+             |FROM cc GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin)),
 
     // DSIR-style domain affinity: per-train-doc fraction of shingles
     // relatively more frequent in the target split — integer-exact by

@@ -963,6 +963,98 @@ class TextAnalysisSpec extends SparkSpec {
       (1, "a", "a", 6L), (2, "aa", "a", 3L)), merges.toString)
   }
 
+  test("bpeEncode segments with a trained table: hand-computed pieces") {
+    import graft.operators.TextAnalysis
+    // table trained by the subword-nmt corpus spec above:
+    // (e,s) (es,t) (l,o) (lo,w)
+    val merges = Seq(
+      TextAnalysis.BpeMerge(1, "e", "s", 9L),
+      TextAnalysis.BpeMerge(2, "es", "t", 9L),
+      TextAnalysis.BpeMerge(3, "l", "o", 7L),
+      TextAnalysis.BpeMerge(4, "lo", "w", 7L))
+    val docs = Seq((1L, "lowest newest low wider")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("pos")
+      .select("word", "pieces")
+      .as[(String, Seq[String])].collect().toList
+    assert(got == List(
+      // l,o,w,e,s,t → es → est → lo → low ⇒ [low, est]
+      ("lowest", Seq("low", "est")),
+      ("newest", Seq("n", "e", "w", "est")),
+      ("low", Seq("low")),
+      // no trained pair applies
+      ("wider", Seq("w", "i", "d", "e", "r"))), got.toString)
+  }
+
+  test("bpeEncode encodes each DISTINCT word once and is partition-independent") {
+    import graft.operators.TextAnalysis
+    val merges = Seq(TextAnalysis.BpeMerge(1, "a", "b", 2L))
+    val docs = (1L to 40L).map(i => (i, "ab ba ab"))
+      .toDF("doc_id", "text")
+    // piece multiset identical across partitionings
+    def pieceCounts(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bpeEncode(df, "doc_id", "text", merges)
+        .select(explode($"pieces").as("p"))
+        .groupBy("p").count().as[(String, Long)].collect().toMap
+    val a = pieceCounts(docs.coalesce(1))
+    val b = pieceCounts(docs.repartition(7))
+    assert(a == b, s"$a vs $b")
+    assert(a == Map("ab" -> 80L, "b" -> 40L, "a" -> 40L), a.toString)
+  }
+
+  test("bpeEncode pathological re-creation table follows subword-nmt min-rank") {
+    import graft.operators.TextAnalysis
+    // (bc,d) outranks (b,c) but its left component only EXISTS after
+    // (b,c) runs: rank-order application would stop at [bc, d]; the
+    // canonical min-rank loop re-scans and lands [bcd]. bpeTrain can
+    // never emit such a table (a pair is only counted when its
+    // components are already adjacent symbols) — pinned here so the
+    // encoder's contract is explicit.
+    val merges = Seq(
+      TextAnalysis.BpeMerge(1, "bc", "d", 5L),
+      TextAnalysis.BpeMerge(2, "b", "c", 5L))
+    val docs = Seq((1L, "bcd")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .select("pieces").as[Seq[String]].head()
+    assert(got == Seq("bcd"), got.toString)
+  }
+
+  test("bpeEncode keeps astral codepoints whole; bpeDocPieceCount restores empty docs at 0") {
+    import graft.operators.TextAnalysis
+    val emoji = new String(Character.toChars(0x1F600)) // 😀
+    val merges = Seq(TextAnalysis.BpeMerge(1, emoji, "a", 2L))
+    val docs = Seq(
+      (1L, s"${emoji}a ${emoji}b"),
+      (2L, "   "), // zero tokens: posexplode drops it
+      (3L, "")).toDF("doc_id", "text")
+    val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id", "pos")
+      .select("pieces").as[Seq[String]].collect().toList
+    assert(enc == List(Seq(emoji + "a"), Seq(emoji, "b")), enc.toString)
+    val counts = TextAnalysis.bpeDocPieceCount(
+        docs, "doc_id", "text", merges)
+      .orderBy("doc_id").as[(Long, Long)].collect().toList
+    assert(counts == List((1L, 3L), (2L, 0L), (3L, 0L)), counts.toString)
+  }
+
+  test("bpeEncode rejects malformed merge tables") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "ab")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", Seq(
+        TextAnalysis.BpeMerge(1, "a", "b", 1L),
+        TextAnalysis.BpeMerge(2, "a", "b", 1L)))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", Seq(
+        TextAnalysis.BpeMerge(1, "a", "b", 1L),
+        TextAnalysis.BpeMerge(1, "b", "c", 1L)))
+    }
+  }
+
   test("frequencySpectrum counts terms per frequency with exact fractions") {
     import graft.operators.{Dedup, TextAnalysis}
     val scope = new Dedup.CacheScope
