@@ -478,21 +478,36 @@ object Dedup {
     */
   def simhashDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim")),
+      "id", "sim", maxHamming)
+
+  /** Pigeonhole hamming join over ANY 64-bit sketch column — the
+    * machinery behind [[simhashDuplicates]], shared with the image
+    * perceptual-hash near-dup (d12): split the sketch into
+    * `maxHamming + 1` near-equal chunks; a pair within the radius must
+    * agree exactly on at least one chunk, so the join key is
+    * (chunk_index, chunk_value) — linear shuffle, no n² scan.
+    * Output: (id_a, id_b, hamming) with hamming ≤ maxHamming, each
+    * pair once.
+    */
+  def hammingPairs(sketched: DataFrame, idCol: String, sketchCol: String,
+                   maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
     require(nChunks <= 16, "radius > 15 would make chunks < 4 bits")
     // near-equal chunk widths summing to 64
     val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val sketched = df
-      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-    val chunked = sketched.select(
-      col("id"), col("sim"),
-      explode(array((0 until nChunks).map { c =>
-        struct(lit(c).as("chunk"),
-               shiftright(col("sim"), offsets(c))
-                 .bitwiseAND(lit((1L << widths(c)) - 1)).as("cv"))
-      }: _*)).as("ch"))
+    val chunked = sketched
+      .select(col(idCol).as("id"), col(sketchCol).as("sim"))
+      .select(
+        col("id"), col("sim"),
+        explode(array((0 until nChunks).map { c =>
+          struct(lit(c).as("chunk"),
+                 shiftright(col("sim"), offsets(c))
+                   .bitwiseAND(lit((1L << widths(c)) - 1)).as("cv"))
+        }: _*)).as("ch"))
       .select(col("id"), col("sim"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
     chunked.as("a")
       .join(chunked.as("b"),

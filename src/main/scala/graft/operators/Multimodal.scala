@@ -208,6 +208,106 @@ object Multimodal {
     })
   }
 
+  // dHash grid geometry: 9 columns × 8 rows of grayscale, 8 horizontal
+  // comparisons per row → 64 bits.
+  private val DHashW = 9
+  private val DHashH = 8
+
+  /** 9×8 grayscale grid of a decoded image (row-major), integer
+    * BT.601 luma — every step is integer arithmetic on the resized
+    * RGB, so the grid (and hence the hash) is deterministic.
+    */
+  private def grayGrid(img: java.awt.image.BufferedImage): Array[Int] = {
+    val scaled = new java.awt.image.BufferedImage(
+      DHashW, DHashH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    try g.drawImage(img, 0, 0, DHashW, DHashH, null) finally g.dispose()
+    val out = new Array[Int](DHashW * DHashH)
+    var y = 0
+    while (y < DHashH) {
+      var x = 0
+      while (x < DHashW) {
+        val rgb = scaled.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val gg = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        out(y * DHashW + x) = (299 * r + 587 * gg + 114 * b) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Difference-hash bits from a 9×8 grid: bit y·8+x set iff the cell
+    * is brighter than its right neighbor. Gradient direction — not
+    * absolute brightness — so the hash survives resize, recompression,
+    * and global brightness shifts (the aHash failure mode).
+    */
+  private[graft] def dHashBits(g: Array[Int]): Long = {
+    require(g.length == DHashW * DHashH, s"grid must be ${DHashW}x$DHashH")
+    var bits = 0L
+    var y = 0
+    while (y < DHashH) {
+      var x = 0
+      while (x < DHashW - 1) {
+        if (g(y * DHashW + x) > g(y * DHashW + x + 1))
+          bits |= 1L << (y * (DHashW - 1) + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Deterministic stub grid for payloads the JDK cannot decode as an
+    * image (the m01 stance: the codec is faked, the pipeline around it
+    * is real): resample the payload's UTF-8 CODEPOINTS onto the
+    * 72-cell grid (cell i ← codepoint ⌊i·n/72⌋). Codepoints, not
+    * bytes, because the DuckDB oracle replays this with unicode() over
+    * a per-character split — both engines walk the identical integer
+    * sequence for any valid UTF-8 payload. Empty payloads → all-zero
+    * grid.
+    */
+  private[graft] def stubGrid(bytes: Array[Byte]): Array[Int] = {
+    val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().toArray
+    Array.tabulate(DHashW * DHashH) { i =>
+      if (cps.isEmpty) 0
+      else cps((i.toLong * cps.length / (DHashW * DHashH)).toInt)
+    }
+  }
+
+  /** Per-image 64-bit perceptual difference hash: REAL decode (same
+    * javax.imageio path as [[decodeFeatures]]) → 9×8 grayscale →
+    * [[dHashBits]]; undecodable payloads fall back to [[stubGrid]]'s
+    * deterministic fake pixels so the hash-join plumbing downstream is
+    * exercised (and oracle-replayable) on synthetic corpora. Narrow
+    * mapPartitions stage — embarrassingly parallel at 100 TB; only
+    * the downstream pair join shuffles.
+    */
+  def imageDHash(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { m =>
+      val grid =
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(m.bytes)))
+          if (img == null) stubGrid(m.bytes) else grayGrid(img)
+        } catch { case scala.util.control.NonFatal(_) => stubGrid(m.bytes) }
+      (m.media_id, dHashBits(grid))
+    }).toDF("media_id", "phash")
+  }
+
+  /** Image near-dup pairs within a hamming radius — the d02-equivalent
+    * for the image side of a multimodal corpus: perceptual hashes via
+    * [[imageDHash]], pairs via the same pigeonhole chunk join SimHash
+    * uses (Dedup.hammingPairs) — linear shuffle on (chunk, value)
+    * keys, never an all-pairs scan. Output: (id_a, id_b, hamming).
+    */
+  def imageNearDup(media: DataFrame, maxHamming: Int = 3)
+                  (implicit spark: SparkSession): DataFrame =
+    Dedup.hammingPairs(imageDHash(media), "media_id", "phash", maxHamming)
+
   /** Per-kind rollup of extracted features. */
   def featureSummary(features: Dataset[MediaFeatures]): DataFrame =
     features.groupBy("kind")

@@ -182,6 +182,49 @@ object Pipeline {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** d12 oracle: replays the planted-copy media construction,
+    * Multimodal.stubGrid (codepoint resample onto the 72-cell grid),
+    * dHashBits (HUGEINT bit sum wrapped to signed BIGINT, the d03
+    * trick) and an all-pairs hamming filter — the oracle may be
+    * quadratic; the Spark plan under test is the pigeonhole join.
+    */
+  private lazy val d12OracleSql: String = {
+    val M = "18446744073709551616" // 2^64
+    val bitSum = (for { y <- 0 until 8; x <- 0 until 8 } yield {
+      val idx = y * 8 + x
+      val l = y * 9 + x + 1 // 1-based list index of the cell
+      s"(CASE WHEN gr[$l] > gr[${l + 1}] THEN CAST(${java.math.BigInteger.TWO.pow(idx)} AS HUGEINT) ELSE 0 END)"
+    }).mkString(" +\n    ")
+    val signed = (u: String) =>
+      s"CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - $M ELSE $u END AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, 'x' || substr(text, 2)
+       |  FROM documents WHERE doc_id % 6 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 12 = 0
+       |), cp AS (
+       |  SELECT doc_id,
+       |    [unicode(ch) for ch in string_split(text, '')] AS cps
+       |  FROM base
+       |), g AS (
+       |  SELECT doc_id, CASE WHEN len(cps) = 0
+       |    THEN [0 for i in range(0, 72)]
+       |    ELSE [cps[CAST((i * len(cps)) // 72 AS BIGINT) + 1]
+       |          for i in range(0, 72)] END AS gr
+       |  FROM cp
+       |), h AS (
+       |  SELECT doc_id, ${signed(s"($bitSum)")} AS phash
+       |  FROM g
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** s02 oracle: replays the sign-LSH probe exactly — corpus and query
     * signatures computed in SQL from the inlined deterministic
     * hyperplanes, probe filter = signature match in any band, then
@@ -420,6 +463,35 @@ object Pipeline {
           .orderBy("id_a", "id_b")
       },
       Some(d03OracleSql)),
+
+    // image perceptual-hash near-dup (the d02-equivalent for the image
+    // side of a multimodal corpus): dHash over the decoded 9×8
+    // grayscale, pigeonhole hamming join. Synthetic payloads take the
+    // stub grid (codepoint resample — the m01 stance: codec faked,
+    // pipeline real), which is what makes the query oracle-GATED: the
+    // oracle replays grid, bits and pairs exactly. Near-copies are
+    // PLANTED (one-codepoint edits and exact twins of strata of the
+    // image docs — the t25 stance) because the corpus has no natural
+    // image-payload duplicates; a one-codepoint edit moves one grid
+    // cell, flipping at most 2 of the 64 gradient bits.
+    Q("d12_image_phash_dedup",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val docs = Tables.load(s, dir, "documents")
+        val edited = docs.where(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("x"), substring(col("text"), 2, Int.MaxValue))
+              .as("text"))
+        val twins = docs.where(col("doc_id") % 12 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
+        val media = Multimodal.fromDocuments(
+            docs.select("doc_id", "text")
+              .unionByName(edited).unionByName(twins))
+          .where(col("kind") === "image")
+        Multimodal.imageNearDup(media, maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(d12OracleSql)),
 
     // char n-gram Jaccard verify over MinHash candidates. Oracle:
     // brute-force char-3-gram Jaccard over all pairs — valid because at

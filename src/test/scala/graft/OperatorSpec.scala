@@ -1587,6 +1587,88 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2).n_frames == 0)
   }
 
+  test("dHashBits: hand-checked bit layout; stubGrid: codepoint resample, empty-safe") {
+    // strictly increasing grid → every left cell < right neighbor → 0
+    assert(Multimodal.dHashBits(Array.tabulate(72)(identity)) == 0L)
+    // flip exactly cell (0,0): g[0] > g[1] sets bit 0 only
+    val g0 = Array.tabulate(72)(identity); g0(0) = 99
+    assert(Multimodal.dHashBits(g0) == 1L)
+    // last comparison of last row: bit 63
+    val g1 = Array.tabulate(72)(identity); g1(7 * 9 + 7) = 999
+    assert(Multimodal.dHashBits(g1) == Long.MinValue) // 1L << 63
+    intercept[IllegalArgumentException] {
+      Multimodal.dHashBits(Array.fill(64)(0))
+    }
+    // stub grid: resamples codepoints; empty → all zeros
+    assert(Multimodal.stubGrid(Array.emptyByteArray).forall(_ == 0))
+    val cps = "ab".getBytes("UTF-8")
+    val sg = Multimodal.stubGrid(cps)
+    assert(sg.take(36).forall(_ == 'a'.toInt) &&
+      sg.drop(36).forall(_ == 'b'.toInt), sg.toSeq.toString)
+    // astral codepoint (not surrogate halves)
+    val e = new String(Character.toChars(0x1F600)).getBytes("UTF-8")
+    assert(Multimodal.stubGrid(e).forall(_ == 0x1F600))
+  }
+
+  test("imageDHash survives resize/recompression/brightness; separates different images") {
+    implicit val s = spark
+    // block image: 3×2 blocks of distinct levels plus a steep inner
+    // horizontal ramp (≥16 luma between adjacent hash cells) so JPEG
+    // noise (±2) can never flip a gradient comparison
+    def render(w: Int, h: Int, levels: Array[Array[Int]]): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val bx = math.min(x * 3 / w, 2); val by = math.min(y * 2 / h, 1)
+        val inBlock = x - bx * w / 3
+        val v = math.min(255, levels(by)(bx) + inBlock * 160 / w)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val base = Array(Array(30, 140, 70), Array(190, 50, 210))
+    val other = Array(Array(210, 50, 190), Array(70, 140, 30))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", enc(render(90, 80, base), "png"), 90, 80, 0, "png"),
+      Multimodal.MediaRecord(2L, "image", enc(render(45, 40, base), "png"), 45, 40, 0, "png"),
+      Multimodal.MediaRecord(3L, "image", enc(render(90, 80, base), "jpg"), 90, 80, 0, "jpg"),
+      Multimodal.MediaRecord(4L, "image", enc(render(90, 80, base.map(_.map(_ + 25))), "png"), 90, 80, 0, "png"),
+      Multimodal.MediaRecord(5L, "image", enc(render(90, 80, other), "png"), 90, 80, 0, "png")
+    ).toDS().toDF()
+    val h = Multimodal.imageDHash(media).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    // resized / recompressed / brightness-shifted: same gradient field
+    assert(ham(1, 2) <= 6, s"resize hamming ${ham(1, 2)}")
+    assert(ham(1, 3) <= 6, s"jpeg hamming ${ham(1, 3)}")
+    assert(ham(1, 4) <= 6, s"brightness hamming ${ham(1, 4)}")
+    // permuted blocks: gradient field reverses at every boundary
+    assert(ham(1, 5) >= 12, s"different-image hamming ${ham(1, 5)}")
+
+    // end-to-end near-dup join recovers the copies, not the stranger
+    val pairs = Multimodal.imageNearDup(media, maxHamming = 6)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) &&
+      pairs.contains((1L, 4L)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), pairs.toString)
+  }
+
+  test("imageNearDup stub path: exact payload twins collide at hamming 0") {
+    implicit val s = spark
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", "the quick brown fox jumps over the lazy dog end".getBytes("UTF-8"), 10, 10, 0, "raw"),
+      Multimodal.MediaRecord(2L, "image", "the quick brown fox jumps over the lazy dog end".getBytes("UTF-8"), 10, 10, 0, "raw"),
+      Multimodal.MediaRecord(3L, "image", "a completely unrelated payload with different gradient structure zz".getBytes("UTF-8"), 10, 10, 0, "raw")
+    ).toDS().toDF()
+    val pairs = Multimodal.imageNearDup(media, maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toList
+    assert(pairs == List((1L, 2L, 0)), pairs.toString)
+  }
+
   test("real WAV/AIFF/AU audio decode is content-defined across containers") {
     implicit val s = spark
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
