@@ -835,4 +835,321 @@ object Similarity {
                      (col("nrm_l") * col("nrm_r"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  // ───────────────── Product quantization (s10) ─────────────────
+
+  /** PQ codebook: `codebooks(s)(c)` is the `subDim`-dim centroid `c`
+    * of subspace `s`. The standard 100 TB ANN memory layout: a
+    * 64-dim float vector (256 B) compresses to `m` small code ints
+    * (m bytes as int8 on disk) + one stored norm — 16-32× smaller
+    * than float32, vs int8 scalar quantization's 4×.
+    */
+  final case class PqCodebook(
+      subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+    def m: Int = codebooks.length
+    def nCodes: Int = codebooks.head.length
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "PqCodebook: empty codebook")
+    require(codebooks.forall(_.forall(_.length == subDim)),
+      "PqCodebook: centroid dim != subDim")
+  }
+
+  /** Sequential left-to-right dot — the SAME fold order as the
+    * codegen'd VectorOps kernel and DuckDB's list_dot_product, so a
+    * driver-computed lookup table is bit-identical to what either
+    * engine computes from the same doubles.
+    */
+  private def dotSeq(a: Array[Double], b: Array[Double], aOff: Int): Double = {
+    var s = 0d; var j = 0
+    while (j < b.length) { s += a(aOff + j) * b(j); j += 1 }
+    s
+  }
+
+  /** Sequential squared L2 between `v[off, off+subDim)` and a
+    * codebook centroid — term order pinned (left to right) so the
+    * DuckDB oracle's list_reduce fold reproduces every rounding step.
+    */
+  private def sqDistSeq(v: Array[Double], off: Int, c: Array[Double]): Double = {
+    var s = 0d; var j = 0
+    while (j < c.length) {
+      val d = v(off + j) - c(j); s += d * d; j += 1
+    }
+    s
+  }
+
+  /** Euclidean k-means on a driver-side sample — PQ subspace training.
+    * [[kmeansOnSample]] is spherical (unit-normalize, max-dot): right
+    * for IVF cells over cosine space, wrong for PQ subvectors, which
+    * are arbitrary-scale slices. This is the plain-L2 variant: D²
+    * seeding, Lloyd assigning nearest by squared L2 (ties → lowest
+    * centroid, the [[pqEncode]] contract), unnormalized means; empty
+    * cells keep their previous centroid. Deterministic given the seed.
+    */
+  private[graft] def kmeansEuclidean(
+      sample: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty, "kmeansEuclidean: empty sample")
+    val dim = sample(0).length
+    val rnd = new scala.util.Random(seed)
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0d; var j = 0
+      while (j < dim) { val d = a(j) - b(j); s += d * d; j += 1 }
+      s
+    }
+    val cents = scala.collection.mutable.ArrayBuffer(
+      sample(rnd.nextInt(sample.length)).clone())
+    val minD = sample.map(p => sq(p, cents.head))
+    while (cents.length < math.min(k, sample.length)) {
+      val total = minD.sum
+      val pick =
+        if (total <= 0d) rnd.nextInt(sample.length)
+        else {
+          var r = rnd.nextDouble() * total; var i = 0
+          while (i < sample.length - 1 && r > minD(i)) { r -= minD(i); i += 1 }
+          i
+        }
+      val c = sample(pick).clone()
+      cents += c
+      var i = 0
+      while (i < sample.length) {
+        val d = sq(sample(i), c)
+        if (d < minD(i)) minD(i) = d
+        i += 1
+      }
+    }
+    val centroids = cents.toArray
+    val assign = Array.fill(sample.length)(-1)
+    var iter = 0
+    var changed = true
+    while (iter < iters && changed) {
+      changed = false
+      var i = 0
+      while (i < sample.length) {
+        var best = 0; var bestD = sq(sample(i), centroids(0)); var c = 1
+        while (c < centroids.length) {
+          val d = sq(sample(i), centroids(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(i) != best) { assign(i) = best; changed = true }
+        i += 1
+      }
+      if (changed) {
+        var c = 0
+        while (c < centroids.length) {
+          val mean = new Array[Double](dim)
+          var n = 0
+          var i = 0
+          while (i < sample.length) {
+            if (assign(i) == c) {
+              var j = 0
+              while (j < dim) { mean(j) += sample(i)(j); j += 1 }
+              n += 1
+            }
+            i += 1
+          }
+          if (n > 0) {
+            var j = 0
+            while (j < dim) { mean(j) /= n; j += 1 }
+            centroids(c) = mean
+          }
+          c += 1
+        }
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  private def splitSub(v: Array[Double], m: Int, subDim: Int): Array[Array[Double]] =
+    Array.tabulate(m)(s => v.slice(s * subDim, (s + 1) * subDim))
+
+  /** Deterministic codebook from the `nCodes` lowest-id vectors'
+    * subvectors — the [[SeededCentroids]] stance, which is what lets
+    * the s10 query be oracle-GATED (DuckDB rebuilds the identical
+    * codebook with a row_number over vec_id). Production uses
+    * [[pqTrainCodebook]]; the two share every downstream step.
+    */
+  def pqSeededCodebook(df: DataFrame, idCol: String, vecCol: String,
+                       m: Int, nCodes: Int): PqCodebook = {
+    val vecs = df.orderBy(idCol).limit(nCodes).select(vecCol).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(vecs.length >= nCodes,
+      s"pqSeededCodebook: corpus has ${vecs.length} < $nCodes vectors")
+    val dim = vecs(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    PqCodebook(subDim,
+      Array.tabulate(m)(s => vecs.map(_.slice(s * subDim, (s + 1) * subDim))))
+  }
+
+  /** Trained codebook: ONE bounded hash-ordered sample collect (the
+    * KMeansCentroids stance), then `m` independent Euclidean k-means
+    * runs — one per subspace, each over the sample's slices.
+    */
+  def pqTrainCodebook(df: DataFrame, idCol: String, vecCol: String,
+                      m: Int, nCodes: Int, sampleSize: Int = 4096,
+                      iters: Int = 10, seed: Long = 42L): PqCodebook = {
+    val sample = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(sampleSize)
+      .select("vec").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "pqTrainCodebook: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    PqCodebook(subDim, Array.tabulate(m) { s =>
+      kmeansEuclidean(
+        sample.map(_.slice(s * subDim, (s + 1) * subDim)),
+        nCodes, iters, seed + s)
+    })
+  }
+
+  /** PQ-encode the corpus: (id, codes array<int>, norm double), one
+    * row per vector. codes(s) = argmin over the subspace-s codebook
+    * of sequential squared L2 (ties → lowest code); norm is the full
+    * vector's L2, stored so the asymmetric-distance probe can rank an
+    * approximate COSINE without touching float vectors. The per-row
+    * argmin loop is m·nCodes·subDim integer-indexed flops — genuine
+    * per-row imperative work (the Multimodal-decode stance), run
+    * inside mapPartitions with the codebook broadcast once; narrow,
+    * no shuffle, embarrassingly parallel at 100 TB.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               cb: PqCodebook): DataFrame = {
+    requireIntegralId(df, idCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val k = bc.value
+        it.map { case (id, v) =>
+          require(v.length == k.m * k.subDim,
+            s"pqEncode: vector dim ${v.length} != ${k.m}·${k.subDim}")
+          val codes = new Array[Int](k.m)
+          var s = 0
+          while (s < k.m) {
+            val off = s * k.subDim
+            val book = k.codebooks(s)
+            var best = 0; var bestD = sqDistSeq(v, off, book(0)); var c = 1
+            while (c < book.length) {
+              val d = sqDistSeq(v, off, book(c))
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(s) = best
+            s += 1
+          }
+          (id, codes, math.sqrt(dotSeq(v, v, 0)))
+        }
+      }
+      .toDF("id", "codes", "norm")
+  }
+
+  /** PQ probe over an encoded frame: asymmetric-distance scoring —
+    * the query stays full-precision; per-vector work is `m` lookups
+    * into a driver-computed (m·nCodes)-entry table — then the s08
+    * exact-rerank pattern. The scoring expression is pure builtins
+    * (element_at on a literal array + left-fold sum), so the coarse
+    * pass is whole-stage-codegen over the 16-32×-compressed codes.
+    */
+  private def pqCoarse(encoded: DataFrame, cb: PqCodebook,
+                       query: Array[Float], nCand: Int): DataFrame = {
+    val qd = query.map(_.toDouble)
+    require(qd.length == cb.m * cb.subDim,
+      s"query dim ${qd.length} != ${cb.m}·${cb.subDim}")
+    val qnorm = math.sqrt(dotSeq(qd, qd, 0))
+    val lut = Array.tabulate(cb.m, cb.nCodes)((s, c) =>
+      dotSeq(qd, cb.codebooks(s)(c), s * cb.subDim)).flatten
+    val lutLit = typedlit(lut.toSeq)
+    // left-fold in subspace order: ((l0 + l1) + l2) + … — the exact
+    // op sequence the oracle's ordered list_reduce replays
+    val adc = (0 until cb.m).map(s =>
+      element_at(lutLit,
+        lit(s * cb.nCodes) + element_at(col("codes"), s + 1) + 1))
+      .reduceLeft(_ + _)
+    val denom = lit(qnorm) * col("norm")
+    encoded.select(col("id"),
+        when(denom === 0d, 0d).otherwise(adc / denom).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(nCand)
+  }
+
+  /** PQ-quantized ANN with exact re-rank: coarse pass ranks the whole
+    * corpus on codes (at 100 TB that scan reads the m-byte codes
+    * column, never the float vectors), keeps `k·overfetch`
+    * candidates, then joins ONLY those back to full-precision vectors
+    * (broadcast — bounded rows) for exact cosine. Same contract as
+    * [[knnQuantizedRerank]]: (id, cosine) with EXACT cosines, k rows,
+    * ties by id; recall→exact as overfetch grows.
+    */
+  def knnPq(df: DataFrame, idCol: String, vecCol: String,
+            query: Array[Float], k: Int, cb: PqCodebook,
+            overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val coarse = pqCoarse(pqEncode(df, idCol, vecCol, cb), cb,
+      query, k * overfetch).select(col("id"))
+    val q = typedlit(query.toSeq)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(broadcast(coarse), "id")
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Persist a PQ index: codes+norms parquet (the compressed scan
+    * target) plus the codebook flattened to (s, c, cv) rows — same
+    * store-the-build-artifacts contract as [[writeIvfIndex]], so a
+    * probe replays the exact training-time codebook.
+    */
+  def writePqIndex(df: DataFrame, idCol: String, vecCol: String,
+                   path: String, cb: PqCodebook): Unit = {
+    pqEncode(df, idCol, vecCol, cb)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    (for { s <- cb.codebooks.indices; c <- cb.codebooks(s).indices }
+      yield (s, c, cb.codebooks(s)(c).toSeq)).toDF("s", "c", "cv")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Stored codebook, reassembled in (s, c) order. */
+  def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+                     path: String): PqCodebook = {
+    val rows = spark.read.parquet(s"$path/codebook").collect()
+      .map(r => (r.getInt(r.fieldIndex("s")), r.getInt(r.fieldIndex("c")),
+        r.getSeq[Double](r.fieldIndex("cv")).toArray))
+      .sortBy(t => (t._1, t._2))
+    require(rows.nonEmpty, s"readPqCodebook: no codebook at $path")
+    val m = rows.map(_._1).max + 1
+    PqCodebook(rows.head._3.length,
+      Array.tabulate(m)(s => rows.filter(_._1 == s).map(_._3)))
+  }
+
+  /** Probe a persisted PQ index: coarse-rank the stored codes with
+    * the stored codebook, then exact-rerank against the caller's
+    * full-precision vector table (the float vectors stay wherever
+    * they live — the index holds only codes). Probe ≡ in-memory
+    * [[knnPq]] for the same build inputs (spec-pinned).
+    */
+  def knnPqIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                   vectors: DataFrame, idCol: String, vecCol: String,
+                   query: Array[Float], k: Int,
+                   overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val cb = readPqCodebook(spark, path)
+    val coarse = pqCoarse(spark.read.parquet(s"$path/codes"), cb,
+      query, k * overfetch).select(col("id"))
+    val q = typedlit(query.toSeq)
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(broadcast(coarse), "id")
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
 }

@@ -906,6 +906,75 @@ object Pipeline {
              |SELECT id, ${r6sql("cos")} AS cosine
              |FROM exact ORDER BY cos DESC, id LIMIT 10""".stripMargin)),
 
+    // product quantization + exact rerank — the 16-32× ANN memory
+    // layout (m=4 subspaces × 16 codes over dim 64). Codebook is
+    // SEEDED (subvectors of the 16 lowest-id vectors — the
+    // SeededCentroids stance) so DuckDB rebuilds it exactly; encode =
+    // argmin sequential squared-L2 per subspace (list_reduce fold =
+    // the Scala loop's op order, ties → lowest code), coarse rank =
+    // ADC lookup sum in subspace order / (|q|·stored norm), rerank
+    // exact. Production trains with pqTrainCodebook (spec-pinned
+    // recall); every downstream step is shared.
+    Q("s10_knn_pq",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = Similarity.pqSeededCodebook(
+          emb, "vec_id", "embedding", m = 4, nCodes = 16)
+        Similarity.knnPq(emb, "vec_id", "embedding", queryVec(s, dir),
+            k = 10, cb = cb, overfetch = 4)
+          .select(col("id"), r6(col("cosine")).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), q AS (
+             |  SELECT v AS qv FROM e ORDER BY vec_id LIMIT 1
+             |), cbsrc AS (
+             |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS c
+             |  FROM e ORDER BY vec_id LIMIT 16
+             |), cb AS (
+             |  SELECT c, s, v[s * 16 + 1 : s * 16 + 16] AS cv
+             |  FROM cbsrc, range(0, 4) t(s)
+             |), sub AS (
+             |  SELECT vec_id, s, v[s * 16 + 1 : s * 16 + 16] AS sv
+             |  FROM e, range(0, 4) t(s)
+             |), d AS (
+             |  SELECT vec_id, s, c,
+             |    list_reduce([(sv[j] - cv[j]) * (sv[j] - cv[j])
+             |                 for j in range(1, 17)],
+             |                (a, b) -> a + b) AS dist
+             |  FROM sub JOIN cb USING (s)
+             |), code AS (
+             |  SELECT vec_id, s, c FROM (
+             |    SELECT vec_id, s, c,
+             |      row_number() OVER (PARTITION BY vec_id, s
+             |                         ORDER BY dist, c) AS rn
+             |    FROM d) WHERE rn = 1
+             |), lut AS (
+             |  SELECT vec_id, s,
+             |    list_dot_product(qv[s * 16 + 1 : s * 16 + 16], cv) AS term
+             |  FROM code JOIN cb USING (s, c), q
+             |), adcv AS (
+             |  SELECT vec_id,
+             |    list_reduce(list(term ORDER BY s), (a, b) -> a + b) AS adc
+             |  FROM lut GROUP BY vec_id
+             |), approx AS (
+             |  SELECT a.vec_id,
+             |    CASE WHEN sqrt(list_dot_product(qv, qv))
+             |              * sqrt(list_dot_product(v, v)) = 0 THEN 0
+             |    ELSE adc / (sqrt(list_dot_product(qv, qv))
+             |                * sqrt(list_dot_product(v, v))) END AS score
+             |  FROM adcv a JOIN e ON a.vec_id = e.vec_id, q
+             |), cand AS (
+             |  SELECT vec_id FROM approx
+             |  ORDER BY score DESC, vec_id ASC LIMIT 40
+             |), exact AS (
+             |  SELECT e.vec_id AS id, ${cosineSql("v", "qv")} AS cos
+             |  FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+             |)
+             |SELECT id, ${r6sql("cos")} AS cosine
+             |FROM exact ORDER BY cos DESC, id LIMIT 10""".stripMargin)),
+
     // language ID heuristic. Oracle replicates the stopword-overlap
     // scores per profile; the CASE chain encodes greatest(struct)'s
     // tie-breaking (equal scores → later profile wins).
