@@ -722,6 +722,82 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
+  /** One micro-batch of the streaming LSH ingest loop — the
+    * foreachBatch body that closes the live-corpus cycle
+    * admit → dedup → index on a persisted LSH index:
+    *
+    *  1. replay guard: `path/ingest_log` records ingested batch ids;
+    *     a restarted stream re-offering a logged batch is a no-op, so
+    *     appends are exactly-once per batch id.
+    *  2. within-batch near-dup: a batch doc whose Jaccard against a
+    *     LOWER-id batch doc meets `threshold` is rejected (min-id
+    *     survivor, d01's direction), under the INDEX's stored banding
+    *     parameters so batch and index agree on what "near" means.
+    *  3. index near-dup: survivors colliding with any indexed doc at
+    *     `threshold` are rejected ([[dedupAgainstLshIndex]]).
+    *  4. the admitted remainder is appended ([[appendToLshIndex]]),
+    *     then the batch id is logged with its admitted count.
+    *
+    * Crash window: a failure between the data append and the log
+    * write leaves the batch unlogged, so the restarted stream replays
+    * it and re-appends — duplicate byte-identical index rows, never
+    * wrong ones (same text ⇒ same banding/hash rows; the re-run's
+    * admission decisions repeat because the extra rows only ADD
+    * already-rejected collisions). Both probe paths distinct their
+    * output, so duplicated rows cannot change any probe result
+    * (spec-pinned: a crashed-and-replayed ingest leaves the index
+    * probe-identical to a clean batch rebuild). This recover-by-replay
+    * stance — rather than the BM25 generation-pointer commit — is
+    * deliberate: LSH index rows are idempotent facts, while BM25's
+    * n_docs/n_tokens stats would double-count.
+    *
+    * Wire it:
+    * {{{
+    * docs.writeStream
+    *   .foreachBatch(Dedup.lshIngestBatch("doc_id", "text", path) _)
+    *   .start()
+    * }}}
+    */
+  def lshIngestBatch(idCol: String, textCol: String, path: String,
+                     threshold: Double = 0.5,
+                     maxBucketSize: Int = Int.MaxValue)
+                    (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$path/ingest_log"
+    val replayed =
+      try spark.read.parquet(logPath)
+        .where(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case scala.util.control.NonFatal(_) => false } // no log yet
+    if (replayed) return
+    val (shingleK, numHashes, bands) = lshMetaOf(spark, path)
+    val scope = new CacheScope
+    try {
+      val b = scope.persistTracked(batch)
+      val selfDrop = minhashDuplicates(b, idCol, textCol,
+          shingleK = shingleK, numHashes = numHashes, bands = bands,
+          threshold = threshold, maxBucketSize = maxBucketSize,
+          scope = scope)
+        .select(col("id_b").as(idCol))
+      val idxDrop = dedupAgainstLshIndex(b, idCol, textCol, path,
+          threshold, maxBucketSize, scope)
+        .select(col("id_right").as(idCol))
+      // eager localCheckpoint severs the plan's dependency on the
+      // index paths BEFORE the append mutates them: admitted's lazy
+      // plan reads the index (the probe), and a post-append recompute
+      // (cache invalidation refreshes plans reading a written path)
+      // would see the batch's own rows in the index and self-collide
+      // everything to zero
+      val admitted = b.join(selfDrop, Seq(idCol), "left_anti")
+        .join(idxDrop, Seq(idCol), "left_anti")
+        .localCheckpoint()
+      appendToLshIndex(admitted, idCol, textCol, path)
+      Seq((batchId, admitted.count()))
+        .toDF("batch_id", "n_admitted")
+        .repartition(1).write.mode("append").parquet(logPath)
+    } finally scope.release()
+  }
+
   /** Dedup an ingest batch against a persisted LSH index: batch docs
     * whose word-shingle Jaccard against any INDEXED doc meets
     * `threshold`. Candidates come from the (band, bucket) join of the
@@ -757,6 +833,13 @@ object Dedup {
         (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
          size(array_union(col("sh_l"), col("sh_r")))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+      // duplicate tolerance: a [[lshIngestBatch]] crash-window replay
+      // can leave byte-identical duplicate index rows, which multiply
+      // verify-join rows with IDENTICAL values — a result-sized
+      // distinct restores exact probe output. No-op (and ~free) on a
+      // clean index: candidates are already pair-distinct and hashes
+      // hold one row per id.
+      .distinct()
   }
 
   /** Within-corpus near-dup pairs straight from a persisted LSH index
@@ -776,6 +859,11 @@ object Dedup {
     jaccardVerifyHashed(
       selfCandidatesFromBanded(banded, maxBucketSize),
       spark.read.parquet(s"$path/hashes"), threshold)
+      // duplicate tolerance — same contract as the probe in
+      // [[dedupAgainstLshIndex]]: replayed appends can only duplicate
+      // identical rows, never change values, and the distinct makes
+      // them invisible to callers.
+      .distinct()
   }
 
   /** Occupancy snapshot of a persisted LSH index — the maintenance

@@ -541,6 +541,99 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming LSH ingest: admit → dedup → index, probe-identical to a batch rebuild") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshing").toString
+    // 8-word docs → 6 word-3-shingles; a one-word tail edit keeps
+    // jaccard at 5/7 ≈ 0.714 ≥ 0.5 (near-dup), disjoint words → 0
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val d1e = "alpha beta gamma delta epsilon zeta eta iota"
+    val a = "red orange yellow green blue indigo violet ultraviolet"
+    val ae = "red orange yellow green blue indigo violet infrared"
+    val b = "one two three four five six seven eight"
+    val be = "one two three four five six seven nine"
+    val c = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    Dedup.writeLshIndex(
+      Seq((1L, d1)).toDF("doc_id", "text"), "doc_id", "text", dir)
+
+    val mem = MemoryStream[StreamDoc]
+    val q = mem.toDF().writeStream
+      .foreachBatch(Dedup.lshIngestBatch("doc_id", "text", dir) _)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        StreamDoc(10L, ts(0), d1e), // near-dup of indexed → rejected
+        StreamDoc(11L, ts(1), a),   // fresh → admitted
+        StreamDoc(12L, ts(2), b),   // fresh → admitted
+        StreamDoc(13L, ts(3), be))  // in-batch near-dup of 12 → rejected
+      q.processAllAvailable()
+      mem.addData(
+        StreamDoc(14L, ts(4), ae),  // near-dup of now-INDEXED 11 → rejected
+        StreamDoc(15L, ts(5), c))   // fresh → admitted
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val storedIds = spark.read.parquet(s"$dir/hashes")
+      .select("id").as[Long].collect().toSet
+    assert(storedIds == Set(1L, 11L, 12L, 15L), storedIds.toString)
+    val log = spark.read.parquet(s"$dir/ingest_log")
+      .as[(Long, Long)].collect().toMap
+    assert(log == Map(0L -> 2L, 1L -> 1L), log.toString)
+
+    // probe-identical to a batch rebuild over the same surviving docs
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-lshrb").toString
+    Dedup.writeLshIndex(
+      Seq((1L, d1), (11L, a), (12L, b), (15L, c)).toDF("doc_id", "text"),
+      "doc_id", "text", rebuilt)
+    val probe = Seq((90L, d1e), (91L, ae), (92L, be), (93L, c), (94L, "zz yy xx ww vv uu tt ss"))
+      .toDF("doc_id", "text")
+    def probeRows(p: String) =
+      Dedup.dedupAgainstLshIndex(probe, "doc_id", "text", p)
+        .collect().map(_.toString).sorted.toSeq
+    assert(probeRows(dir) == probeRows(rebuilt),
+      s"ingested index probe diverged from rebuild:\n${probeRows(dir)}\n${probeRows(rebuilt)}")
+    def selfRows(p: String) =
+      Dedup.selfDedupFromLshIndex(spark, p).collect().map(_.toString).sorted.toSeq
+    assert(selfRows(dir) == selfRows(rebuilt))
+    Dedup.unpersistAll()
+  }
+
+  test("streaming LSH ingest: replayed batch is a no-op; crash-window duplicates are probe-invisible") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshrp").toString
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val a = "red orange yellow green blue indigo violet ultraviolet"
+    Dedup.writeLshIndex(
+      Seq((1L, d1)).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val batch = Seq((20L, a)).toDF("doc_id", "text")
+    Dedup.lshIngestBatch("doc_id", "text", dir)(batch, 7L)
+    def idRows() = spark.read.parquet(s"$dir/hashes").count()
+    val afterFirst = idRows()
+    // restarted stream re-offers the logged batch id → no-op
+    Dedup.lshIngestBatch("doc_id", "text", dir)(batch, 7L)
+    assert(idRows() == afterFirst, "replayed batch re-appended rows")
+
+    // crash window: data landed but the log write was lost → the
+    // replay re-appends byte-identical rows; probes must not change
+    val probe = Seq((90L, "red orange yellow green blue indigo violet infrared"))
+      .toDF("doc_id", "text")
+    val cleanProbe = Dedup.dedupAgainstLshIndex(probe, "doc_id", "text", dir)
+      .collect().map(_.toString).sorted.toSeq
+    val cleanSelf = Dedup.selfDedupFromLshIndex(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    Dedup.appendToLshIndex(batch, "doc_id", "text", dir) // the replay
+    assert(idRows() == afterFirst * 2 - 1) // duplicate rows really exist
+    val dupProbe = Dedup.dedupAgainstLshIndex(probe, "doc_id", "text", dir)
+      .collect().map(_.toString).sorted.toSeq
+    val dupSelf = Dedup.selfDedupFromLshIndex(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(dupProbe == cleanProbe,
+      s"duplicate index rows changed the probe:\n$dupProbe\n$cleanProbe")
+    assert(dupSelf == cleanSelf)
+    Dedup.unpersistAll()
+  }
+
   test("streaming semantic decontamination flags near-parallel vectors, statelessly") {
     import graft.operators.{Dedup, Similarity}
     implicit val sqlCtx = spark.sqlContext
