@@ -36,9 +36,18 @@ object Featurize {
     *
     * Output: (id, vector: array<float> of length dim).
     */
-  def hashedTfIdf(
-      df: DataFrame, idCol: String, textCol: String, dim: Int = 256,
-      normalize: Boolean = true,
+  /** The sparse scaled-long form of [[hashedTfIdf]]: one row per
+    * (doc, non-empty bucket) with the bucket's signed tf·idf sum as a
+    * 6-decimal-scaled LONG (`_fh_v6` — exact integer arithmetic, the
+    * s09 stance). This is both the dense builder's input and the
+    * integer-exact surface [[QualityModel.score]] consumes directly:
+    * a linear scorer never needs the dense array, and the sparse form
+    * keeps the 100 TB scoring pass to (doc, bucket, long) rows.
+    * Zero-token docs have no rows here; dense/scoring consumers
+    * restore them. Output: (_fh_id, _fh_b, _fh_v6).
+    */
+  def hashedTfIdfSparse(
+      df: DataFrame, idCol: String, textCol: String, dim: Int,
       scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
     require(dim >= 2, "hashedTfIdf: dim must be >= 2")
     val tf = scope.persistTracked(
@@ -57,15 +66,25 @@ object Featurize {
     val weight = col("tf").cast("double") *
       ((col("n_docs") + lit(1)) / (col("df") + lit(1))) * sign
 
-    val buckets = tf
+    tf
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .groupBy(col("_fh_id"), bucket.as("_fh_b"))
       // 6-decimal-scaled LONG sum (the s09 trick): a double sum's
       // value depends on partition arrival order; collision sums must
       // be retry-deterministic like every aggregate in this library
-      .agg((sum(floor(weight * lit(1e6) + lit(0.5)).cast("long")) /
-        lit(1e6)).as("_fh_v"))
+      .agg(sum(floor(weight * lit(1e6) + lit(0.5)).cast("long"))
+        .as("_fh_v6"))
+  }
+
+  def hashedTfIdf(
+      df: DataFrame, idCol: String, textCol: String, dim: Int = 256,
+      normalize: Boolean = true,
+      scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
+    val sparse = scope.persistTracked(
+      hashedTfIdfSparse(df, idCol, textCol, dim, scope))
+    val buckets = sparse.select(col("_fh_id"), col("_fh_b"),
+      (col("_fh_v6") / lit(1e6)).as("_fh_v"))
 
     val dense = buckets
       .groupBy("_fh_id")
@@ -92,11 +111,11 @@ object Featurize {
       }
     // docs with no tokens never reach `buckets` — restore them as
     // zero vectors so the output covers the input exactly. The id set
-    // in `out` is exactly the ids in the CACHED tf table — anti-join
-    // against that, not against `out`, whose whole vector-build chain
-    // would otherwise execute a second time
+    // in `out` is exactly the ids in the CACHED sparse table —
+    // anti-join against that, not against `out`, whose whole
+    // vector-build chain would otherwise execute a second time
     val zeros = df.select(col(idCol).as("_fh_id"))
-      .join(tf.select("_fh_id").distinct(), Seq("_fh_id"), "left_anti")
+      .join(sparse.select("_fh_id").distinct(), Seq("_fh_id"), "left_anti")
       .select(col("_fh_id"),
         transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0))
           .as("_fh_raw"))

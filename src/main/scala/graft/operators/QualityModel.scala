@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** fastText-style learned quality filter — the trained upgrade of
+  * TextAnalysis.qualityScore's hand-tuned heuristics, and the filter
+  * every modern curation pipeline runs before heavier models: a
+  * linear scorer over [[Featurize.hashedTfIdf]] features.
+  *
+  * Division of labor at 100 TB:
+  *  - TRAINING is driver-side on a BOUNDED labeled sample (quality
+  *    labels are human- or LLM-annotated — thousands of rows, never
+  *    corpus-scale), so a deterministic Newton/IRLS fit on the driver
+  *    is the honest tool, exactly like the IVF/PQ codebooks.
+  *  - SCORING is corpus-scale and stays declarative AND integer-exact:
+  *    weights quantize to 6-decimal scaled longs, features are already
+  *    6-decimal scaled longs ([[Featurize.hashedTfIdfSparse]]), and
+  *    the per-doc margin accumulates their products in decimal(38,0)
+  *    — exact, overflow-checked, partition-order-independent (the s09
+  *    stance, spec-pinned) — before one final double conversion.
+  */
+object QualityModel {
+
+  /** Trained linear model over `dim` hashed tf·idf buckets. */
+  final case class LinearModel(dim: Int, bias: Double, weights: Array[Double]) {
+    require(weights.length == dim, s"weights length ${weights.length} != dim $dim")
+  }
+
+  /** Deterministic L2-regularized logistic regression (Newton/IRLS)
+    * on the driver over a bounded labeled sample. `labelCol` must be
+    * 0/1 (bad/good). No randomness anywhere: features come from the
+    * deterministic hasher, the solve is Gaussian elimination with
+    * partial pivoting, iterations are fixed — same inputs, same model,
+    * every run. Fails fast if the labeled frame exceeds `maxSample`
+    * (a corpus-sized label set belongs in a distributed trainer, not
+    * here — and no real quality-label set is corpus-sized).
+    */
+  def train(labeled: DataFrame, idCol: String, textCol: String,
+            labelCol: String, dim: Int = 256, iters: Int = 8,
+            l2: Double = 1e-2, maxSample: Int = 100000,
+            scope: Dedup.CacheScope = Dedup.batchScope): LinearModel = {
+    require(iters >= 1 && l2 > 0, "train: iters >= 1 and l2 > 0 required")
+    val rows = Featurize.hashedTfIdf(labeled, idCol, textCol, dim,
+        normalize = false, scope = scope)
+      .join(labeled.select(col(idCol),
+        col(labelCol).cast("double").as("_qm_y")), idCol)
+      // id-ordered collect: the driver accumulates gradients in row
+      // order, and IEEE addition is order-sensitive — an arbitrary
+      // partition arrival order would make the fit nondeterministic
+      .orderBy(idCol)
+      .select(col("vector"), col("_qm_y"))
+      .limit(maxSample + 1).collect()
+    require(rows.length <= maxSample,
+      s"train: labeled sample exceeds maxSample=$maxSample")
+    require(rows.nonEmpty, "train: empty labeled sample")
+    val n = rows.length
+    val x = rows.map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val y = rows.map(_.getDouble(1))
+    require(y.forall(v => v == 0d || v == 1d), "train: labels must be 0/1")
+    val d = dim + 1 // weights + bias (bias at index dim)
+
+    val w = new Array[Double](d)
+    var iter = 0
+    while (iter < iters) {
+      // gradient g = X'(y − p) − λw ; Hessian H = X'diag(p(1−p))X + λI
+      val g = new Array[Double](d)
+      val hess = Array.fill(d)(new Array[Double](d))
+      var i = 0
+      while (i < n) {
+        val xi = x(i)
+        var m = w(dim)
+        var j = 0
+        while (j < dim) { m += w(j) * xi(j); j += 1 }
+        val p = 1.0 / (1.0 + math.exp(-m))
+        val r = math.max(p * (1 - p), 1e-6) // floor keeps H invertible
+        val e = y(i) - p
+        j = 0
+        while (j < dim) { g(j) += e * xi(j); j += 1 }
+        g(dim) += e
+        j = 0
+        while (j < d) {
+          val xj = if (j == dim) 1.0 else xi(j)
+          if (xj != 0d) {
+            val hj = hess(j)
+            val rj = r * xj
+            var k = j
+            while (k < d) {
+              hj(k) += rj * (if (k == dim) 1.0 else xi(k))
+              k += 1
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < d) {
+        g(j) -= l2 * w(j)
+        hess(j)(j) += l2
+        // mirror the upper triangle accumulated above
+        var k = 0
+        while (k < j) { hess(j)(k) = hess(k)(j); k += 1 }
+        j += 1
+      }
+      val step = solve(hess, g)
+      j = 0
+      while (j < d) { w(j) += step(j); j += 1 }
+      iter += 1
+    }
+    LinearModel(dim, w(dim), w.take(dim))
+  }
+
+  /** In-place Gaussian elimination with partial pivoting (H is SPD +
+    * ridge, so pivots never vanish); deterministic for fixed input.
+    */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    val x = b.clone()
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var r = col + 1
+      while (r < n) {
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+        r += 1
+      }
+      if (piv != col) {
+        val t = a(col); a(col) = a(piv); a(piv) = t
+        val tb = x(col); x(col) = x(piv); x(piv) = tb
+      }
+      val d = a(col)(col)
+      require(math.abs(d) > 0, "solve: singular system (l2 too small?)")
+      r = col + 1
+      while (r < n) {
+        val f = a(r)(col) / d
+        if (f != 0d) {
+          var k = col
+          while (k < n) { a(r)(k) -= f * a(col)(k); k += 1 }
+          x(r) -= f * x(col)
+        }
+        r += 1
+      }
+      col += 1
+    }
+    var row = n - 1
+    while (row >= 0) {
+      var s = x(row)
+      var k = row + 1
+      while (k < n) { s -= a(row)(k) * x(k); k += 1 }
+      x(row) = s / a(row)(row)
+      row -= 1
+    }
+    x
+  }
+
+  /** Score the corpus with a trained model. The margin is exact: the
+    * model's weights quantize once to 6-decimal scaled longs, the
+    * features are already 6-decimal scaled longs, and every per-doc
+    * product and their sum run in decimal(38,0) — so the score of a
+    * document is a pure function of its text, independent of
+    * partitioning, task retries, or row order (spec-pinned). One
+    * sparse-frame aggregation; zero-token docs score at the bias.
+    * Output: (idCol, margin, quality_prob = σ(margin)).
+    */
+  def score(df: DataFrame, idCol: String, textCol: String,
+            model: LinearModel,
+            scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
+    val wq = model.weights.map(w => math.floor(w * 1e6 + 0.5).toLong)
+    val wLit = typedlit(wq.toSeq)
+    val dec = DecimalType(38, 0)
+    val margins = Featurize
+      .hashedTfIdfSparse(df, idCol, textCol, model.dim, scope)
+      .select(col("_fh_id"),
+        (element_at(wLit, col("_fh_b") + 1).cast(dec) *
+          col("_fh_v6").cast(dec)).as("_qm_p"))
+      .groupBy("_fh_id")
+      .agg(sum(col("_qm_p")).as("_qm_s"))
+      .select(col("_fh_id").as(idCol),
+        (lit(model.bias) + col("_qm_s").cast("double") / lit(1e12))
+          .as("margin"))
+    df.select(col(idCol))
+      .join(margins, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("margin"), lit(model.bias)).as("margin"))
+      .withColumn("quality_prob",
+        lit(1.0) / (lit(1.0) + exp(-col("margin"))))
+  }
+}

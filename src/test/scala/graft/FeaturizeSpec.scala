@@ -2,10 +2,94 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Featurize, Similarity}
+import graft.operators.{Dedup, Featurize, QualityModel, Similarity}
 
 class FeaturizeSpec extends SparkSpec {
   import spark.implicits._
+
+  // planted corpora for the learned quality filter: "good" docs look
+  // like prose (stopwords, varied vocabulary), "bad" docs are the
+  // boilerplate/spam shapes a curation filter exists to kill
+  private def goodDoc(i: Int): String =
+    s"the quick study of language model training data shows that " +
+      s"careful curation improves results across benchmark $i and " +
+      s"downstream evaluation with diverse well formed sentences"
+  private def badDoc(i: Int): String =
+    s"click here buy now $i free free free offer offer " +
+      "win win win cash prize " + ("spam " * 12).trim
+
+  test("quality classifier separates planted good/bad docs and generalizes") {
+    val scope = new Dedup.CacheScope
+    try {
+      val labeled = ((1 to 30).map(i => (i.toLong, goodDoc(i), 1)) ++
+        (31 to 60).map(i => (i.toLong, badDoc(i), 0)))
+        .toDF("doc_id", "text", "label")
+      val model = QualityModel.train(labeled, "doc_id", "text", "label",
+        dim = 128, scope = scope)
+      assert(model.weights.length == 128)
+      // held-out docs (ids/pattern indices the trainer never saw)
+      val held = ((101 to 110).map(i => (i.toLong, goodDoc(i))) ++
+        (201 to 210).map(i => (i.toLong, badDoc(i))) :+
+        (301L.toLong, "")).toDF("doc_id", "text")
+      val scored = QualityModel.score(held, "doc_id", "text", model,
+          scope = scope)
+        .as[(Long, Double, Double)].collect().toSeq
+      val byId = scored.map(s => s._1 -> s._2).toMap
+      val worstGood = (101 to 110).map(i => byId(i.toLong)).min
+      val bestBad = (201 to 210).map(i => byId(i.toLong)).max
+      assert(worstGood > bestBad,
+        s"no margin separation: worst good $worstGood <= best bad $bestBad")
+      // probabilities land on the right sides of 0.5
+      val probs = scored.map(s => s._1 -> s._3).toMap
+      assert((101 to 110).forall(i => probs(i.toLong) > 0.5))
+      assert((201 to 210).forall(i => probs(i.toLong) < 0.5))
+      // token-less doc scores exactly at the bias
+      assert(byId(301L) == model.bias)
+    } finally scope.release()
+  }
+
+  test("quality scores are partition-independent and training is deterministic") {
+    val scope = new Dedup.CacheScope
+    try {
+      val labeled = ((1 to 20).map(i => (i.toLong, goodDoc(i), 1)) ++
+        (21 to 40).map(i => (i.toLong, badDoc(i), 0)))
+        .toDF("doc_id", "text", "label")
+      val m1 = QualityModel.train(labeled, "doc_id", "text", "label",
+        dim = 64, scope = scope)
+      val m2 = QualityModel.train(labeled.repartition(13), "doc_id",
+        "text", "label", dim = 64, scope = scope)
+      assert(m1.bias == m2.bias &&
+        m1.weights.toSeq == m2.weights.toSeq,
+        "training diverged across partitionings")
+      val corpus = (1 to 50).map(i =>
+        (i.toLong, if (i % 2 == 0) goodDoc(i) else badDoc(i)))
+        .toDF("doc_id", "text")
+      def scores(df: org.apache.spark.sql.DataFrame) =
+        QualityModel.score(df, "doc_id", "text", m1, scope = scope)
+          .as[(Long, Double, Double)].collect().sortBy(_._1).toSeq
+      val a = scores(corpus.coalesce(1))
+      val b = scores(corpus.repartition(11))
+      assert(a == b, "scores diverged across partitionings")
+    } finally scope.release()
+  }
+
+  test("quality trainer fails fast on bad labels and oversized samples") {
+    val scope = new Dedup.CacheScope
+    try {
+      intercept[IllegalArgumentException] {
+        QualityModel.train(
+          Seq((1L, "a b c", 2)).toDF("doc_id", "text", "label"),
+          "doc_id", "text", "label", dim = 16, scope = scope)
+      }
+      intercept[IllegalArgumentException] {
+        QualityModel.train(
+          Seq((1L, "a b c", 1), (2L, "d e f", 0))
+            .toDF("doc_id", "text", "label"),
+          "doc_id", "text", "label", dim = 16, maxSample = 1,
+          scope = scope)
+      }
+    } finally scope.release()
+  }
 
   private def cosine(a: Seq[Float], b: Seq[Float]): Double = {
     val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
