@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Bench honesty guard: compare a fresh per-query bench dump against the
+committed quiet-box baseline and fail loudly on regressions, so the
+"±35% ambient band" stops being adjudicated by prose each round.
+
+Usage:
+  python3 tools/bench_gate.py [current.json] [baseline.json] [max_ratio]
+
+Defaults: BENCH_QUERIES.json (written by `runMain graft.Bench`) vs
+BENCH_BASELINE_QUERIES.json (committed; refresh it from a quiet box in
+the same round that changes a query's plan), ratio gate 2.0.
+
+Rules:
+ - a query present in both: FAIL if current > max_ratio * max(baseline,
+   floor). The floor (0.25 s) keeps sub-second queries, where per-query
+   constants dominate, from tripping the gate on scheduler noise.
+ - a query only in current: reported as NEW (informational).
+ - a query only in baseline: FAIL (a query silently disappeared from
+   the bench — that is how coverage quietly rots).
+Exit code 1 on any FAIL.
+"""
+import json
+import sys
+
+FLOOR_SEC = 0.25
+
+
+def main() -> int:
+    cur_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_QUERIES.json"
+    base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE_QUERIES.json"
+    max_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    cur = json.load(open(cur_path))["queries"]
+    base = json.load(open(base_path))["queries"]
+
+    fails, news = [], []
+    for name in sorted(set(cur) | set(base)):
+        if name not in base:
+            news.append(name)
+            print(f"NEW  {name:30s} {cur[name]:7.2f}s (no baseline)")
+            continue
+        if name not in cur:
+            fails.append(name)
+            print(f"FAIL {name:30s} missing from current bench "
+                  f"(baseline {base[name]:.2f}s)")
+            continue
+        budget = max_ratio * max(base[name], FLOOR_SEC)
+        ratio = cur[name] / max(base[name], 1e-9)
+        if cur[name] > budget:
+            fails.append(name)
+            print(f"FAIL {name:30s} {cur[name]:7.2f}s vs baseline "
+                  f"{base[name]:7.2f}s (ratio {ratio:.2f}, budget {budget:.2f}s)")
+    tot_c = sum(cur.values())
+    tot_b = sum(v for k, v in base.items() if k in cur)
+    print(f"\n{len(cur)} queries, total {tot_c:.1f}s "
+          f"(baseline common-set total {tot_b:.1f}s); "
+          f"{len(news)} new, {len(fails)} failing the {max_ratio}x gate")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
