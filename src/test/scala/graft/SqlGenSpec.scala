@@ -23,15 +23,21 @@ class SqlGenSpec extends SparkSpec {
   // (side-qualified conditions), lambda HOFs (arrow syntax), the
   // codegen kernels (registered SQL functions carrying their
   // parameters), windows with IGNORE NULLS. The only exclusions are
-  // inherently non-relational plans: d06/d08's iterative
-  // localCheckpoint (LogicalRDD barrier) and m01's typed
-  // mapPartitions (SerializeFromObject).
+  // inherently non-relational plans: iterative localCheckpoint
+  // (LogicalRDD barrier) and typed map/mapPartitions stages
+  // (SerializeFromObject) — none have a SQL rendering. Every
+  // excluded query still has a full DuckDB oracle (the driver gate),
+  // so exclusion here weakens nothing about correctness.
   private val pipelineRoundtrippable =
     graft.queries.Pipeline.all.filterNot(q =>
-      // d06/d08 ride duplicateClusters' localCheckpoint RDD barrier;
-      // m01 is a typed mapPartitions — none have a SQL rendering
-      Set("d06_dup_clusters", "d08_quality_survivor",
-        "m01_multimodal_meta").contains(q.name))
+      Set(
+        // d06/d08 ride duplicateClusters' localCheckpoint RDD barrier
+        "d06_dup_clusters", "d08_quality_survivor",
+        // typed mapPartitions (multimodal decode, PQ encode, image
+        // dHash) or the typed vocabulary-sized bpeSegment map
+        "m01_multimodal_meta", "d12_image_phash_dedup", "s10_knn_pq",
+        "t26_bpe_encode", "t27_mix_bpe", "p04_pack_bpe",
+      ).contains(q.name))
 
   for (q <- roundtrippable ++ pipelineRoundtrippable) {
     test(s"roundtrip ${q.name}") {
