@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryMinu
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBandBuckets, MinHashSig, SimHash64, TokenShingleHashes, TopKRows}
+import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBandBuckets, MinHashSig, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
 
 /** Session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql` users get the codegen'd
@@ -20,6 +20,7 @@ import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBand
   *   simhash64(hashes)             — 64-bit simhash of array<bigint>
   *   token_shingle_hashes(s, k)    — distinct word-k-shingle hashes
   *   char_ngram_hashes(s, n)       — distinct char-n-gram hashes
+  *   token_window_hashes(s, k)     — positional word-k-window hashes
   *   topk_rows(struct(ord,id), k)  — bounded-heap top-k aggregate
   *   minhash_sig(hashes, k, seed)  — k-permutation MinHash signature
   *   minhash_band_buckets(sig, bands) — (band, bucket) pairs of a signature
@@ -78,6 +79,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity(args, 2, "char_ngram_hashes")
         CharNgramHashes(args(0), intArg(args(1), "char_ngram_hashes", 2))
+      }),
+    ("token_window_hashes",
+      new ExpressionInfo(classOf[TokenWindowHashes].getName, "token_window_hashes"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "token_window_hashes")
+        TokenWindowHashes(args(0), intArg(args(1), "token_window_hashes", 2))
       }),
     ("topk_rows",
       new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),

@@ -110,6 +110,47 @@ object TextKernels {
     }
   }
 
+  /** POSITIONAL window hashes: element i = the FNV-1a chain over the
+    * word hashes of words [i, i+k) — the same chain
+    * tokenShingleHashes folds, but keeping ORDER and DUPLICATES so
+    * `posexplode` recovers each window's token offset (what a
+    * duplicated-SPAN pass needs; a distinct set can't say WHERE the
+    * duplicate sits). Texts with fewer than k words yield an EMPTY
+    * array: there is no k-window to match — deliberately unlike the
+    * shingle-set contract, which hashes short texts whole so Jaccard
+    * never divides by zero.
+    */
+  def tokenWindowHashes(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    var wordHashes = new Array[Long](16)
+    var nw = 0
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      while (i < len && isSpace(str.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        while (i < len && !isSpace(str.charAt(i))) i += 1
+        wordHashes = grow(wordHashes, nw)
+        wordHashes(nw) = fnvRange(str, start, i)
+        nw += 1
+      }
+    }
+    if (nw < k) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val out = new Array[Long](nw - k + 1)
+      var w = 0
+      while (w + k <= nw) {
+        var h = FnvOffset
+        var j = 0
+        while (j < k) { h = (h ^ wordHashes(w + j)) * FnvPrime; j += 1 }
+        out(w) = h
+        w += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Distinct hashes of character n-grams (text shorter than n hashes
     * whole). Windows over CODEPOINTS — matching Spark's
     * `length`/`substr` semantics in `Dedup.charNgrams` — so non-BMP
@@ -170,6 +211,41 @@ case class TokenShingleHashes(child: Expression, k: Int) extends UnaryExpression
   override def prettyName: String = "token_shingle_hashes"
 }
 
+/** Expression wrapper: positional word-k-window hashes of a string
+  * (ordered, duplicates kept, empty below k words).
+  */
+case class TokenWindowHashes(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"token_window_hashes expects string, got ${other.simpleString}")
+    }
+
+  /** Print with k so SqlGen output re-parses through the registered
+    * two-argument SQL function.
+    */
+  override def sql: String = s"token_window_hashes(${child.sql}, $k)"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenWindowHashes(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kern = TextKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev,
+      in => s"${ev.value} = $kern.tokenWindowHashes($in, $k);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "token_window_hashes"
+}
+
 /** Expression wrapper: distinct char-n-gram hashes of a string. */
 case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1)
@@ -208,4 +284,6 @@ object TextKernelOps {
     GraftBridge.column(TokenShingleHashes(GraftBridge.expression(text), k))
   def charNgramHashes(text: Column, n: Int): Column =
     GraftBridge.column(CharNgramHashes(GraftBridge.expression(text), n))
+  def tokenWindowHashes(text: Column, k: Int): Column =
+    GraftBridge.column(TokenWindowHashes(GraftBridge.expression(text), k))
 }

@@ -1035,4 +1035,103 @@ object Dedup {
         (col("n_contaminated").cast("double") / col("n_shingles"))
           .as("overlap_frac"))
   }
+
+  /** Duplicated-SPAN detection — the windowed form of exact substring
+    * dedup (the suffix-array pass of Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better", re-expressed for a
+    * distributed engine): every k-token window whose hash occurs
+    * ≥ minCount times CORPUS-WIDE (across docs AND within one doc —
+    * occurrences, not distinct docs) is duplicated; per doc,
+    * overlapping/touching duplicated windows merge into maximal spans
+    * `[span_start, span_end)` in token offsets. This is what doc-level
+    * dedup (d01/d02) structurally misses: two long documents sharing
+    * one boilerplate paragraph are nowhere near Jaccard-duplicate,
+    * but the paragraph itself is repeated training text.
+    *
+    * Scale shape: the corpus-sized stage is ONE codegen'd kernel pass
+    * (token_window_hashes — positional FNV chains, no window strings
+    * materialized) + posexplode to (id, pos, 8-byte hash) rows. The
+    * duplicated-hash set comes from a map-side-combined count on the
+    * 8-byte key (partial counts collapse per partition before the
+    * exchange); the windows-side join lets AQE broadcast that set in
+    * the common case (duplicated windows are the small minority of a
+    * healthy corpus). Span merge is gaps-and-islands — a window
+    * PARTITIONED BY DOC over the duplicated windows only (a running
+    * max over preceding ends; never a global sort).
+    *
+    * Hash-keyed with the d01 collision stance: the string-exact
+    * DuckDB oracle (d13) would catch an FNV collision merging two
+    * distinct windows.
+    */
+  def duplicatedWindowSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Int = 2): DataFrame = {
+    require(k >= 2, s"window width k must be ≥ 2, got $k")
+    require(minCount >= 2, s"minCount must be ≥ 2, got $minCount")
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs.select(
+      col(idCol),
+      posexplode(graft.functions.TextKernelOps
+        .tokenWindowHashes(col(textCol), k)).as(Seq("pos", "wh")))
+    val dup = wins.groupBy("wh").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minCount)
+      .select("wh")
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val prevMaxEnd = max(col("pos") + lit(k))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    wins.join(dup, "wh")
+      // a window starts a new span iff its coverage [pos, pos+k)
+      // neither overlaps nor touches the furthest end seen so far
+      .withColumn("_sp_new",
+        when(prevMaxEnd.isNull || col("pos") > prevMaxEnd, 1L)
+          .otherwise(0L))
+      .withColumn("_sp_id",
+        sum("_sp_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("_sp_id"))
+      .agg(min("pos").as("span_start"),
+        (max(col("pos")) + lit(k)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
+
+  /** Span REMOVAL: drop every token covered by a duplicated span and
+    * reassemble the document (the curation rewrite
+    * duplicatedWindowSpans exists for). Emits the original docs plus
+    * `clean_text` (surviving tokens joined by single spaces —
+    * original whitespace inside removed regions is gone, the
+    * tokenization contract), `n_tokens`, `n_spans`, `n_cov_tokens`.
+    * Docs without spans (including sub-k docs) pass through with
+    * zeros; a fully-covered doc cleans to "".
+    *
+    * The span list joins back as a per-doc ARRAY (bounded by doc
+    * length — never a corpus-wide explode of covered positions), and
+    * the rewrite is a per-row builtin filter over token positions:
+    * O(n_tokens · n_spans) per doc, no extra shuffle beyond the spans
+    * computation itself.
+    */
+  def removeDuplicatedWindows(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, minCount: Int = 2): DataFrame = {
+    val spans = duplicatedWindowSpans(docs, idCol, textCol, k, minCount)
+      .groupBy(idCol)
+      .agg(
+        sort_array(collect_list(struct(col("span_start"), col("span_end"))))
+          .as("_sp_spans"),
+        count(lit(1)).as("_sp_n"),
+        sum(col("span_end") - col("span_start")).as("_sp_cov"))
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("_sp_toks", toks)
+      .select(
+        docs.columns.map(col) ++ Seq(
+          when(col("_sp_spans").isNull,
+              concat_ws(" ", col("_sp_toks")))
+            .otherwise(concat_ws(" ",
+              filter(col("_sp_toks"), (t, i) =>
+                !exists(col("_sp_spans"), r =>
+                  i >= r("span_start") && i < r("span_end")))))
+            .as("clean_text"),
+          size(col("_sp_toks")).cast("long").as("n_tokens"),
+          coalesce(col("_sp_n"), lit(0L)).as("n_spans"),
+          coalesce(col("_sp_cov"), lit(0L)).as("n_cov_tokens")): _*)
+  }
 }

@@ -225,6 +225,91 @@ object Pipeline {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // planted shared passages for d13 (see the query comment): a footer
+  // shared by doc_id%5 docs, a header by doc_id%7, a within-doc
+  // repeated phrase on doc_id%11 — all ≥8 tokens so each carries
+  // duplicated 8-windows of its own.
+  private val d13Header =
+    "cookie policy notice we use cookies to improve your experience"
+  private val d13Footer =
+    "subscribe to our newsletter for daily updates and exclusive offers today now"
+  private val d13Phrase = "please rate this article and share it widely"
+
+  /** d13 oracle: replays the windowed substring dedup on RAW window
+    * strings (the d01 collision stance — an FNV window-hash collision
+    * in the operator would hash-mismatch here), with the same
+    * gaps-and-islands span merge and token-level removal. The oracle
+    * may explode covered positions; the Spark plan under test carries
+    * spans as bounded per-doc arrays.
+    */
+  private lazy val d13OracleSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 7 = 0 THEN '$d13Header ' ELSE '' END)
+       |    || text
+       |    || (CASE WHEN doc_id % 5 = 0 THEN ' $d13Footer' ELSE '' END)
+       |    || (CASE WHEN doc_id % 11 = 0
+       |        THEN ' $d13Phrase $d13Phrase' ELSE '' END) AS t
+       |  FROM documents
+       |), d AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(t, '[ \\t\\n\\v\\f\\r]+'),
+       |    x -> x <> '') AS w
+       |  FROM aug
+       |), toks0 AS (
+       |  SELECT doc_id,
+       |    unnest([{'pos': i, 'tok': w[i + 1]}
+       |            for i in range(0, len(w))]) AS u
+       |  FROM d
+       |), toks AS (
+       |  SELECT doc_id, u.pos AS pos, u.tok AS tok FROM toks0
+       |), wins0 AS (
+       |  SELECT doc_id,
+       |    unnest([{'pos': i,
+       |             'wstr': array_to_string(w[i + 1:i + 8], ' ')}
+       |            for i in range(0, greatest(len(w) - 7, 0))]) AS u
+       |  FROM d
+       |), wins AS (
+       |  SELECT doc_id, u.pos AS pos, u.wstr AS wstr FROM wins0
+       |), dup AS (
+       |  SELECT wstr FROM wins GROUP BY wstr HAVING COUNT(*) >= 2
+       |), dw AS (
+       |  SELECT w.doc_id, w.pos FROM wins w JOIN dup d2 ON w.wstr = d2.wstr
+       |), pm AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM dw
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+       |  FROM pm
+       |), spans AS (
+       |  SELECT doc_id, span_id, MIN(pos) AS lo, MAX(pos) + 8 AS hi
+       |  FROM isl GROUP BY doc_id, span_id
+       |), cov AS (
+       |  SELECT doc_id,
+       |    unnest([lo + i for i in range(0, hi - lo)]) AS pos
+       |  FROM spans
+       |), st AS (
+       |  SELECT doc_id, COUNT(*) AS n_sp, SUM(hi - lo) AS n_cov
+       |  FROM spans GROUP BY doc_id
+       |), cl AS (
+       |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS ct
+       |  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+       |  WHERE c.pos IS NULL
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(st.n_sp, 0) AS BIGINT) AS n_spans,
+       |  CAST(COALESCE(st.n_cov, 0) AS BIGINT) AS n_cov_tokens,
+       |  COALESCE(cl.ct, '') AS clean_text
+       |FROM d LEFT JOIN st ON d.doc_id = st.doc_id
+       |LEFT JOIN cl ON d.doc_id = cl.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** s02 oracle: replays the sign-LSH probe exactly — corpus and query
     * signatures computed in SQL from the inlined deterministic
     * hyperplanes, probe filter = signature match in any band, then
@@ -492,6 +577,40 @@ object Pipeline {
           .orderBy("id_a", "id_b")
       },
       Some(d12OracleSql)),
+
+    // duplicated-SPAN removal (windowed exact-substring dedup, Lee et
+    // al. 2021): every 8-token window occurring ≥2 times corpus-wide
+    // is duplicated; per doc the duplicated windows merge into
+    // maximal spans and every covered token is removed. What d01/d02
+    // miss: two long docs sharing ONE boilerplate paragraph are
+    // nowhere near doc-level duplicates, but the paragraph is
+    // repeated training text. Shared passages are PLANTED (the t13
+    // stance — a shared footer on doc_id%5, a shared header on
+    // doc_id%7, a within-doc repeated phrase on doc_id%11, so some
+    // docs carry several and the within-doc occurrence counting is
+    // exercised); organic word-soup repeats are replayed equally by
+    // the string-exact oracle (the d01 collision stance on the FNV
+    // window hashes).
+    Q("d13_substring_dedup",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val aug = docs.select(col("doc_id"),
+          concat(
+            when(col("doc_id") % 7 === 0, lit(d13Header + " "))
+              .otherwise(lit("")),
+            col("text"),
+            when(col("doc_id") % 5 === 0, lit(" " + d13Footer))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+                lit(" " + d13Phrase + " " + d13Phrase))
+              .otherwise(lit(""))).as("text"))
+        Dedup.removeDuplicatedWindows(aug, "doc_id", "text",
+            k = 8, minCount = 2)
+          .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+            col("n_cov_tokens"), col("clean_text"))
+          .orderBy("doc_id")
+      },
+      Some(d13OracleSql)),
 
     // char n-gram Jaccard verify over MinHash candidates. Oracle:
     // brute-force char-3-gram Jaccard over all pairs — valid because at

@@ -352,6 +352,88 @@ class DedupSpec extends SparkSpec {
       .map(id => id -> find(id)).toMap
     assert(got == want, s"missed=${want.toSet -- got.toSet} extra=${got.toSet -- want.toSet}")
   }
+
+  test("token_window_hashes: positional, duplicates kept, empty below k") {
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b"),          // fewer than k=3 words → NO windows
+      (3L, ""),
+      (4L, "p q p q p q")   // repeated window hashes kept in place
+    ).toDF("id", "text")
+    val got = df.select($"id", graft.functions.TextKernelOps
+        .tokenWindowHashes($"text", 3).as("wh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L).length == 3 && got(2L).isEmpty && got(3L).isEmpty)
+    // window i = the FNV chain tokenShingleHashes folds for a k-word
+    // text, so each positional hash equals the single-shingle hash of
+    // its window text
+    val words = "a b c d e".split(" ")
+    val single = words.sliding(3).map { w =>
+      Seq((w.mkString(" "))).toDF("t")
+        .select(Dedup.shingleHashes($"t", 3)).as[Seq[Long]].head().head
+    }.toSeq
+    assert(got(1L) == single)
+    // "p q p q p q": windows at 0, 2 identical ("p q p"), 1, 3
+    // identical ("q p q") — positional form keeps all four
+    assert(got(4L).length == 4 && got(4L)(0) == got(4L)(2) &&
+      got(4L)(1) == got(4L)(3) && got(4L)(0) != got(4L)(1))
+  }
+
+  test("duplicatedWindowSpans: cross-doc shared run merges to one span per doc") {
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x y a b c d z")
+    ).toDF("id", "text")
+    val spans = Dedup.duplicatedWindowSpans(df, "id", "text", k = 3)
+      .as[(Long, Int, Int)].collect().toSet
+    // shared 4-token run "a b c d" → windows "a b c"+"b c d" in both
+    // docs; overlapping windows merge: doc1 [0,4), doc2 [2,6)
+    assert(spans == Set((1L, 0, 4), (2L, 2, 6)))
+  }
+
+  test("duplicatedWindowSpans: within-doc repetition counts occurrences") {
+    val df = Seq((1L, "p q r s p q r s"), (2L, "t u v w")).toDF("id", "text")
+    val spans = Dedup.duplicatedWindowSpans(df, "id", "text", k = 4)
+      .as[(Long, Int, Int)].collect().toSet
+    // "p q r s" occurs at 0 and 4 in ONE doc — occurrence counting
+    // (not distinct-doc counting) flags it; the touching spans [0,4)
+    // and [4,8) merge. doc 2 shares nothing.
+    assert(spans == Set((1L, 0, 8)))
+  }
+
+  test("removeDuplicatedWindows: removal, pass-through and full-cover edges") {
+    val df = Seq(
+      (1L, "a b c d e f g"),     // [0,4) removed → "e f g"
+      (2L, "x y a b c d z"),     // [2,6) removed → "x y z"
+      (3L, "m n"),               // sub-k: untouched, zero spans
+      (4L, ""),                  // empty: zero tokens, clean ""
+      (5L, "a b c d"),           // exactly the shared run → fully covered
+      (6L, "a b c d")            // its twin
+    ).toDF("id", "text")
+    val got = Dedup.removeDuplicatedWindows(df, "id", "text", k = 3)
+      .select("id", "clean_text", "n_tokens", "n_spans", "n_cov_tokens")
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "e f g", 7L, 1L, 4L)))
+    assert(got(2L) == ((2L, "x y z", 7L, 1L, 4L)))
+    assert(got(3L) == ((3L, "m n", 2L, 0L, 0L)))
+    assert(got(4L) == ((4L, "", 0L, 0L, 0L)))
+    assert(got(5L) == ((5L, "", 4L, 1L, 4L)))
+    assert(got(6L) == ((6L, "", 4L, 1L, 4L)))
+  }
+
+  test("removeDuplicatedWindows: disjoint docs pass through unchanged") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six")
+    ).toDF("id", "text")
+    val got = Dedup.removeDuplicatedWindows(df, "id", "text", k = 3)
+      .select("id", "clean_text", "n_spans")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("alpha beta gamma delta epsilon", 0L)))
+    assert(got(2L) == (("one two three four five six", 0L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -404,4 +404,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(partials >= 2,
       s"expected map-side partial aggregation in both salt phases:\n$plan")
   }
+
+  test("d13: window-hash count is map-side partial; islands window is doc-partitioned") {
+    val plan = build("d13_substring_dedup").queryExecution.optimizedPlan.toString
+    val phys = build("d13_substring_dedup").queryExecution.executedPlan.toString
+    // the duplicated-hash set comes from a partial (map-side) count on
+    // the 8-byte window hash — the corpus-sized aggregate must combine
+    // before its exchange
+    assert(phys.contains("partial_count"),
+      s"window-hash count is not map-side combined:\n$phys")
+    // the span-merge window partitions by doc id — a SinglePartition
+    // window here would serialize the corpus through one task
+    val windowLines = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windowLines.nonEmpty)
+    assert(windowLines.forall(_.contains("doc_id")),
+      s"islands window not partitioned by doc:\n${windowLines.mkString("\n")}")
+    assert(!phys.contains("SinglePartition"),
+      s"unexpected global window/sort:\n$phys")
+  }
 }
