@@ -1220,6 +1220,97 @@ object Pipeline {
               |    AS rate
               |FROM t ORDER BY source""".stripMargin)),
 
+    // temperature-scaled mix allocation (T = 2): sampling weight ∝
+    // sqrt(token share) — the standard smoothing that upsamples small
+    // domains without letting one giant source dominate (multilingual
+    // and DoReMi-adjacent mixes). Oracle-gatable because T = 2 needs
+    // only sqrt — CORRECTLY ROUNDED per IEEE 754, so cross-engine
+    // bit-identical where pow/log (general T) are not — and the
+    // normalization denominator is an exact INTEGER sum of
+    // floor-scaled weights (a float denominator would depend on
+    // engine summation order; the scaled-long sum does not — the
+    // t21/s09 stance). Global windows run over the ≤|sources|
+    // aggregated frame only (t15's carve-out).
+    Q("t28_mix_temperature",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val tot = Window.partitionBy()
+        docs.groupBy("source")
+          .agg(sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+            .as("n_tokens"))
+          .withColumn("w_temp",
+            floor(sqrt(col("n_tokens").cast("double") /
+              sum("n_tokens").over(tot).cast("double")) * lit(1e9))
+              .cast("long"))
+          .withColumn("rate", r6(least(lit(1.0),
+            lit(100000.0) * (col("w_temp").cast("double") /
+              sum("w_temp").over(tot).cast("double")) /
+              col("n_tokens").cast("double"))))
+          .select(col("source"), col("n_tokens"), col("w_temp"),
+            col("rate"))
+          .orderBy("source")
+      },
+      Some(s"""WITH t AS (
+              |  SELECT source,
+              |    CAST(SUM(len(list_filter(
+              |      regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+'),
+              |      x -> x <> ''))) AS BIGINT) AS n_tokens
+              |  FROM documents GROUP BY source
+              |), tw AS (
+              |  SELECT source, n_tokens,
+              |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE) /
+              |      CAST(CAST((SELECT SUM(n_tokens) FROM t) AS BIGINT) AS DOUBLE))
+              |      * 1000000000.0) AS BIGINT) AS w_temp
+              |  FROM t
+              |)
+              |SELECT source, n_tokens, w_temp,
+              |  ${r6sql("LEAST(1.0, (100000.0 * (CAST(w_temp AS DOUBLE) / CAST(CAST((SELECT SUM(w_temp) FROM tw) AS BIGINT) AS DOUBLE))) / CAST(n_tokens AS DOUBLE))")}
+              |    AS rate
+              |FROM tw ORDER BY source""".stripMargin)),
+
+    // per-domain document cap: keep the top-100 docs per domain by
+    // quality (ties → lowest id) — the crawl-curation step that stops
+    // one boilerplate-heavy domain from flooding the corpus (every
+    // CommonCrawl pipeline caps per-registered-domain). Scale shape:
+    // the winners ride the bounded topk_rows heap per domain
+    // (map-side partial heaps, ≤cap rows per (domain, input
+    // partition) on the exchange — t12's shape, NEVER a corpus-wide
+    // row_number window); quality is t02's engine-reproducible
+    // formula, so the oracle's ROW_NUMBER ranking lands identically.
+    Q("c04_domain_cap",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val host = when(col("doc_id") % 3 === 0, lit("www.example.com"))
+          .when(col("doc_id") % 3 === 1, lit("blog.example.com"))
+          .otherwise(lit("news.site.org"))
+        docs.select(col("doc_id"), host.as("domain"),
+            TextAnalysis.qualityScore(col("text")).as("qual"))
+          .groupBy("domain")
+          .agg(graft.functions.TopK.topk(
+            col("qual"), col("doc_id"), 100).as("_t"))
+          .select(col("domain"), posexplode(col("_t")).as(Seq("rk0", "w")))
+          .select(col("w.id").as("doc_id"), col("domain"),
+            r6(col("w.ord")).as("qual"),
+            (col("rk0") + 1).as("rk"))
+          .orderBy("domain", "rk")
+      },
+      Some(s"""WITH $qualityCtesSql, dom AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN 'www.example.com'
+             |         WHEN doc_id % 3 = 1 THEN 'blog.example.com'
+             |         ELSE 'news.site.org' END AS domain, qual
+             |  FROM q
+             |), rk AS (
+             |  SELECT doc_id, domain, qual, ROW_NUMBER() OVER (
+             |    PARTITION BY domain ORDER BY qual DESC, doc_id ASC) AS rk
+             |  FROM dom
+             |)
+             |SELECT doc_id, domain, ${r6sql("qual")} AS qual,
+             |  CAST(rk AS INT) AS rk
+             |FROM rk WHERE rk <= 100
+             |ORDER BY domain, rk""".stripMargin)),
+
     // order-sensitive fingerprint → duplicate groups. The raw hash
     // value is engine-specific (xxhash64 words), so the oracle-checked
     // output is the fingerprint's *equality classes*: two docs share a

@@ -405,6 +405,17 @@ class PlanAuditSpec extends SparkSpec {
       s"expected map-side partial aggregation in both salt phases:\n$plan")
   }
 
+  test("c04: per-domain cap is bounded-heap partials, never a corpus row_number window") {
+    val phys = build("c04_domain_cap").queryExecution.executedPlan.toString
+    // cap winners come from map-side topk heaps (≤cap rows per
+    // (domain, input partition) on the exchange); a row_number window
+    // here would sort every domain's full document set
+    assert(phys.contains("partial_topk_rows"),
+      s"domain cap must aggregate map-side heaps:\n$phys")
+    assert(!phys.contains("Window"),
+      s"unexpected window operator in the cap plan:\n$phys")
+  }
+
   test("d13: window-hash count is map-side partial; islands window is doc-partitioned") {
     val plan = build("d13_substring_dedup").queryExecution.optimizedPlan.toString
     val phys = build("d13_substring_dedup").queryExecution.executedPlan.toString
