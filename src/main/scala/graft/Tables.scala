@@ -22,20 +22,34 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. Read nanos as raw
-    * longs (legacy conf) and convert to a microsecond TimestampType
-    * column with exact integer FLOOR division: `ts / 1000` in double
-    * would silently lose precision above 2^53 ns, and `div` truncates
-    * toward zero, which rounds pre-epoch remainders the wrong way
-    * (DuckDB's native ns→µs cast of the same parquet floors) —
-    * `(ts - pmod(ts, 1000)) div 1000` floors for any sign.
+  /** The events table's `ts` arrives in two physical forms depending
+    * on the generator vintage: parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright (read as raw longs via the
+    * legacy conf), or native TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Both normalize to
+    * ONE logical schema — a microsecond TimestampType column — so
+    * every downstream query sees identical types and values:
+    *  - long nanos floor-divide with exact integer math: `ts / 1000`
+    *    in double would silently lose precision above 2^53 ns, and
+    *    `div` truncates toward zero, which rounds pre-epoch
+    *    remainders the wrong way (DuckDB's native ns→µs cast of the
+    *    same parquet floors) — `(ts - pmod(ts, 1000)) div 1000`
+    *    floors for any sign;
+    *  - TIMESTAMP_NTZ casts to TimestampType, value-preserving under
+    *    the UTC session timezone every entry point pins (and exactly
+    *    how DuckDB reads the same column: naive wall-clock = UTC).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts",
-        timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Register every table as a temp view named after itself, so both
