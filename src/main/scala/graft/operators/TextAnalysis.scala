@@ -830,6 +830,112 @@ object TextAnalysis {
           .as("vocab_frac"))
   }
 
+  // ───────────── n-gram language-model perplexity (CCNet-style) ─────────────
+
+  /** Beginning-of-sentence marker prepended to every document's token
+    * stream so the first real token is conditioned on a context too.
+    * A plain literal: [[tokens]] lowercases, so a corpus token can
+    * collide with it only as the literal string "<s>" — which then
+    * (correctly) shares the boundary context's statistics.
+    */
+  private[operators] val LmBos = "<s>"
+
+  /** A trained bigram language model as three count frames — the
+    * vocabulary-bounded artifacts a scorer joins against (train once,
+    * score many: batch re-scores and per-micro-batch streaming twins
+    * reuse the same frames).
+    *
+    *  - `bigrams`:  (prev, cur, c_bi) — bigram occurrence counts
+    *  - `contexts`: (prev, c_ctx)     — context occurrence counts
+    *  - `vocab`:    1 row (v)         — distinct token-type count
+    */
+  final case class BigramLm(bigrams: DataFrame, contexts: DataFrame,
+                            vocab: DataFrame)
+
+  /** Document token stream as exploded (prev, cur) bigram rows, BOS
+    * prepended. Fully declarative: the token array is bound in its own
+    * projection (the t20 lambda trap — inlined, the split re-runs per
+    * consumer), bigrams are a zip of the array against its own shift,
+    * and a zero-token document yields no rows (empty zip).
+    */
+  private def docBigrams(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val toked = df.select(col(idCol).as("id"),
+      concat(array(lit(LmBos)), tokens(col(textCol))).as("_a"))
+    toked.select(col("id"),
+        explode(zip_with(
+          slice(col("_a"), lit(1), size(col("_a")) - 1),
+          slice(col("_a"), lit(2), size(col("_a")) - 1),
+          (p, c) => struct(p.as("prev"), c.as("cur")))).as("bg"))
+      .select(col("id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+  }
+
+  /** Train an add-one-smoothed bigram LM on a corpus: the count side
+    * of the CCNet-style perplexity filter (score docs against an LM of
+    * a trusted corpus; drop the high-perplexity tail).
+    *
+    * Scale shape: ONE corpus scan — bigram counts ride a single
+    * map-side-combined groupBy keyed by the (prev, cur) pair; context
+    * counts and the vocabulary size are re-aggregations of that
+    * vocabulary²-bounded count table, never of the corpus. `scope`
+    * persists the count table for its three consumers.
+    */
+  def bigramLmTrain(train: DataFrame, textCol: String,
+      scope: Dedup.CacheScope = Dedup.batchScope): BigramLm = {
+    val bg = docBigrams(train.select(lit(0L).as("_lm_id"), col(textCol)),
+      "_lm_id", textCol)
+    val cBi = scope.persistTracked(
+      bg.groupBy("prev", "cur").agg(count(lit(1)).as("c_bi")))
+    val cCtx = cBi.groupBy("prev").agg(sum("c_bi").as("c_ctx"))
+    val vocab = cBi.agg(countDistinct("cur").as("v"))
+    BigramLm(cBi, cCtx, vocab)
+  }
+
+  /** Score documents against a trained [[BigramLm]]: per-token
+    * add-one-smoothed conditional probability
+    * `p(cur|prev) = (c_bi + 1) / (c_ctx + V)`, per-document perplexity
+    * `exp(−mean ln p)`.
+    *
+    * Cross-engine exactness stance: a raw double Σ ln p is
+    * partition-order-dependent, so each token's log-probability is
+    * quantized to MICRO-NATS first — `round(ln p · 10⁶)` as a long —
+    * and the per-doc sum is an exact, order-independent integer
+    * (`lp_micro`, the primary oracle-compared value; `ppl` is one
+    * fixed exp/div sequence of it). The only cross-engine freedom left
+    * is `ln` itself (1-ulp engines differ only when ln p · 10⁶ lands
+    * within an ulp of a rounding boundary — LmPerplexityFuzz pins the
+    * measured margin; the same boundary stance as r6 everywhere else).
+    *
+    * Scale shape: the corpus-sized stages are one bigram explode, one
+    * hash join against the vocabulary²-bounded bigram counts, one
+    * against the vocabulary-bounded context counts (both declarative —
+    * AQE broadcasts them when they fit, shuffles on the term keys when
+    * a 100 TB corpus's vocabulary doesn't; frequent-token skew is
+    * AQE's skew-join case), a 1-row broadcast of V, and one per-doc
+    * re-agg riding map-side combine. Zero-token documents yield no
+    * row (no tokens → no perplexity; join back on an id spine to
+    * restore them if a consumer needs every doc).
+    *
+    * Output: (idCol, n_tokens, lp_micro, ppl) — ppl raw double;
+    * round at the consumer.
+    */
+  def bigramLmPerplexity(lm: BigramLm, docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val p = (coalesce(col("c_bi"), lit(0L)) + lit(1L)).cast("double") /
+      (coalesce(col("c_ctx"), lit(0L)) + col("v")).cast("double")
+    docBigrams(docs, idCol, textCol)
+      .join(lm.bigrams, Seq("prev", "cur"), "left")
+      .join(lm.contexts, Seq("prev"), "left")
+      .crossJoin(broadcast(lm.vocab))
+      .select(col("id"),
+        floor(log(p) * lit(1e6) + lit(0.5)).as("_lq"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("_lq").as("lp_micro"))
+      .select(col("id").as(idCol), col("n_tokens"), col("lp_micro"),
+        exp(-(col("lp_micro").cast("double") / lit(1e6)
+          / col("n_tokens").cast("double"))).as("ppl"))
+  }
+
   /** The full per-document analysis row. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -2856,6 +2856,118 @@ object Pipeline {
              |SELECT freq, n_terms, vocab_size,
              |  CAST(n_terms AS DOUBLE) / CAST(vocab_size AS DOUBLE)
              |    AS vocab_frac
-             |FROM sp, v ORDER BY freq""".stripMargin))
+             |FROM sp, v ORDER BY freq""".stripMargin)),
+
+    // bigram-LM perplexity (the CCNet filter): train an add-one-
+    // smoothed bigram LM on the %10≠0 split, score EVERY doc. The
+    // oracle-compared value is lp_micro — each token's ln p quantized
+    // to micro-nats BEFORE summing, so the per-doc sum is an exact
+    // order-independent long (raw double Σ ln p would be partition-
+    // order-dependent); ppl is one fixed exp/div sequence of it. The
+    // only cross-engine freedom is ln's 1-ulp band at a rounding
+    // boundary — LmPerplexitySpec measures the actual margin.
+    Q("t29_lm_perplexity",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val lm = TextAnalysis.bigramLmTrain(
+          docs.where(col("doc_id") % 10 =!= 0), "text")
+        TextAnalysis.bigramLmPerplexity(lm, docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_tokens"), col("lp_micro"),
+            r6(col("ppl")).as("ppl"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tr AS (
+             |  SELECT ['<s>'] || list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
+             |  FROM documents WHERE doc_id % 10 <> 0
+             |), tb AS (
+             |  SELECT u.p AS prev, u.c AS cur, COUNT(*) AS c_bi FROM (
+             |    SELECT unnest([{'p': t[i], 'c': t[i+1]}
+             |                   for i in range(1, len(t))]) AS u FROM tr)
+             |  GROUP BY 1, 2
+             |), ctx AS (
+             |  SELECT prev, SUM(c_bi) AS c_ctx FROM tb GROUP BY prev
+             |), v AS (
+             |  SELECT COUNT(DISTINCT cur) AS v FROM tb
+             |), sc AS (
+             |  SELECT doc_id, ['<s>'] || list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS t
+             |  FROM documents
+             |), sbg AS (
+             |  SELECT doc_id, u.p AS prev, u.c AS cur FROM (
+             |    SELECT doc_id, unnest([{'p': t[i], 'c': t[i+1]}
+             |                           for i in range(1, len(t))]) AS u
+             |    FROM sc)
+             |), lq AS (
+             |  SELECT doc_id,
+             |    CAST(floor(ln(CAST(coalesce(c_bi, 0) + 1 AS DOUBLE)
+             |      / CAST(coalesce(c_ctx, 0) + v AS DOUBLE))
+             |      * 1000000 + 0.5) AS BIGINT) AS lq
+             |  FROM sbg LEFT JOIN tb USING (prev, cur)
+             |  LEFT JOIN ctx USING (prev), v
+             |)
+             |SELECT doc_id, COUNT(*) AS n_tokens,
+             |  CAST(SUM(lq) AS BIGINT) AS lp_micro,
+             |  ${r6sql("exp(-(CAST(SUM(lq) AS DOUBLE) / 1000000) / COUNT(*))")}
+             |    AS ppl
+             |FROM lq GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // tokenizer health per source: fertility (pieces per word),
+    // whole-word rate (occurrences the vocabulary covers in ONE
+    // piece), chars per piece (compression) — the dashboard a
+    // tokenizer/vocab owner watches before a training run budgets
+    // with its counts. One encode join (t26's vocabulary-sized build
+    // side), one map-side-combined aggregate; the ratios are single
+    // divisions of exact longs (bit-identical cross-engine, no r6).
+    Q("t30_vocab_coverage",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val enc = TextAnalysis.bpeEncode(docs, "doc_id", "text",
+          bpeFixedMerges)
+        docs.select(col("doc_id"), col("source"))
+          .join(enc, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_words"),
+            sum("n_pieces").as("n_pieces"),
+            sum(when(col("n_pieces") === 1, 1L).otherwise(0L))
+              .as("n_whole"),
+            sum(length(col("word")).cast("long")).as("n_chars"))
+          .select(col("source"), col("n_words"), col("n_pieces"),
+            col("n_whole"),
+            (col("n_pieces").cast("double") / col("n_words").cast("double"))
+              .as("fertility"),
+            (col("n_whole").cast("double") / col("n_words").cast("double"))
+              .as("whole_word_rate"),
+            (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+              .as("chars_per_piece"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'),
+             |    x -> x <> '')) AS w
+             |  FROM documents
+             |), p AS (
+             |  SELECT doc_id, w, len(list_filter(string_split(
+             |    ${bpeOracleEncode("w")}, '$bpeSep$bpeSep'),
+             |    x -> x <> '')) AS np
+             |  FROM toks
+             |), g AS (
+             |  SELECT d.source, COUNT(*) AS n_words,
+             |    CAST(SUM(np) AS BIGINT) AS n_pieces,
+             |    CAST(SUM(CASE WHEN np = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_whole,
+             |    CAST(SUM(length(w)) AS BIGINT) AS n_chars
+             |  FROM p JOIN documents d USING (doc_id)
+             |  GROUP BY d.source
+             |)
+             |SELECT source, n_words, n_pieces, n_whole,
+             |  CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+             |    AS fertility,
+             |  CAST(n_whole AS DOUBLE) / CAST(n_words AS DOUBLE)
+             |    AS whole_word_rate,
+             |  CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)
+             |    AS chars_per_piece
+             |FROM g ORDER BY source""".stripMargin))
   )
 }
