@@ -308,6 +308,130 @@ object Multimodal {
                   (implicit spark: SparkSession): DataFrame =
     Dedup.hammingPairs(imageDHash(media), "media_id", "phash", maxHamming)
 
+  // Audio fingerprint geometry: 65 energy windows → 64 delta-sign
+  // bits (the dHash idea on the time axis).
+  private val ASigWindows = 65
+
+  /** 64-bit audio energy signature from REAL decoded PCM: mean
+    * absolute sample value over [[ASigWindows]] equal time windows,
+    * bit i set iff window i is louder than window i+1. Gradient
+    * direction, not absolute level — so the signature survives gain
+    * changes (any positive scale preserves every comparison) and
+    * container re-encodes, the audio analogues of dHash's brightness/
+    * recompression invariance. Window sums are exact longs over the
+    * endian-normalized sample values (the [[javaSoundDecode]]
+    * normalization), so the signature is deterministic. None for
+    * non-audio kinds, undecodable payloads, and streams that don't
+    * report a frame length (the window map needs the total).
+    */
+  private def energySigFromAudio(m: MediaRecord): Option[Long] = {
+    if (m.kind != "audio") return None
+    try {
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.bytes))
+      try {
+        val pcmIn =
+          if (in.getFormat.getEncoding == AudioFormat.Encoding.PCM_SIGNED) in
+          else AudioSystem.getAudioInputStream(
+            AudioFormat.Encoding.PCM_SIGNED, in)
+        val fmt = pcmIn.getFormat
+        val totalFrames = pcmIn.getFrameLength
+        if (totalFrames <= 0) return None
+        val bps = math.max(fmt.getSampleSizeInBits / 8, 1)
+        val big = fmt.isBigEndian
+        val channels = math.max(fmt.getChannels, 1)
+        val frameBytes = bps * channels
+        val buf = new Array[Byte](
+          math.max(frameBytes, 8192 - 8192 % frameBytes))
+        val sums = new Array[Long](ASigWindows)
+        val counts = new Array[Long](ASigWindows)
+        var frame = 0L
+        var n = pcmIn.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) {
+            val w = (frame * ASigWindows / totalFrames).toInt
+            if (w < ASigWindows) {
+              var ch = 0
+              while (ch < channels) {
+                var v = 0
+                var b = 0
+                while (b < bps) {
+                  v = (v << 8) |
+                    (buf(i + ch * bps + (if (big) b else bps - 1 - b)) & 0xff)
+                  b += 1
+                }
+                val shift = 32 - 8 * bps
+                sums(w) += math.abs(((v << shift) >> shift).toLong)
+                counts(w) += 1
+                ch += 1
+              }
+            }
+            frame += 1
+            i += frameBytes
+          }
+          n = pcmIn.read(buf)
+        }
+        val means = Array.tabulate(ASigWindows) { w =>
+          if (counts(w) == 0) 0d else sums(w).toDouble / counts(w)
+        }
+        var bits = 0L
+        var i = 0
+        while (i < ASigWindows - 1) {
+          if (means(i) > means(i + 1)) bits |= 1L << i
+          i += 1
+        }
+        Some(bits)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic stub signature for payloads the JDK cannot decode
+    * as audio (the [[stubGrid]] stance): resample the payload's UTF-8
+    * codepoints onto [[ASigWindows]] cells (cell i ← codepoint
+    * ⌊i·n/65⌋) and take the 64 delta-sign bits — oracle-replayable
+    * with unicode() over a per-character split. Empty payloads → 0.
+    */
+  private[graft] def stubAudioSig(bytes: Array[Byte]): Long = {
+    val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().toArray
+    val cells = Array.tabulate(ASigWindows) { i =>
+      if (cps.isEmpty) 0
+      else cps((i.toLong * cps.length / ASigWindows).toInt)
+    }
+    var bits = 0L
+    var i = 0
+    while (i < ASigWindows - 1) {
+      if (cells(i) > cells(i + 1)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Per-clip 64-bit audio fingerprint: real decode where the JDK has
+    * a codec, [[stubAudioSig]]'s deterministic fake otherwise. Narrow
+    * mapPartitions stage — embarrassingly parallel at 100 TB; only
+    * the downstream pair join shuffles.
+    */
+  def audioEnergySig(media: DataFrame)
+                    (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.map { m =>
+      (m.media_id, energySigFromAudio(m).getOrElse(stubAudioSig(m.bytes)))
+    }).toDF("media_id", "asig")
+  }
+
+  /** Audio near-dup pairs within a hamming radius — the d02-
+    * equivalent for the audio side of a multimodal corpus, reusing
+    * the same pigeonhole chunk join as SimHash/imageNearDup (linear
+    * shuffle on (chunk, value) keys, never all-pairs).
+    */
+  def audioNearDup(media: DataFrame, maxHamming: Int = 3)
+                  (implicit spark: SparkSession): DataFrame =
+    Dedup.hammingPairs(audioEnergySig(media), "media_id", "asig",
+      maxHamming)
+
   /** Per-kind rollup of extracted features. */
   def featureSummary(features: Dataset[MediaFeatures]): DataFrame =
     features.groupBy("kind")

@@ -305,7 +305,8 @@ object Similarity {
 
   private def assignCells(
       df: DataFrame, idCol: String, vecCol: String,
-      cents: Array[Array[Double]]): DataFrame = {
+      cents: Array[Array[Double]],
+      extraCols: Seq[String] = Nil): DataFrame = {
     // ties (duplicate centroids) break toward the LOWEST cell index —
     // the same direction both probe paths rank, so a probe never scans
     // an empty twin cell while the populated one goes unprobed.
@@ -314,8 +315,9 @@ object Similarity {
       struct(VectorOps.dot(col(vecCol), typedlit(c.toSeq)).as("score"),
              lit(-i).as("negcell"))
     }
-    df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
       (-greatest(cellOf.toIndexedSeq: _*).getField("negcell")).as("cell"))
+      ++ extraCols.map(col): _*)
   }
 
   def buildIvfIndex(
@@ -324,6 +326,64 @@ object Similarity {
       strategy: CentroidStrategy = SeededCentroids): DataFrame =
     assignCells(df, idCol, vecCol,
       centroidVectors(df, idCol, vecCol, nCells, strategy))
+
+  /** Topic-clustering corpus profile: assign every vector to its
+    * nearest centroid (the [[buildIvfIndex]] assignment — argmax dot,
+    * ties to the lowest cluster) and roll each cluster up into the
+    * composition report a curation run reads: size, mean similarity
+    * to the centroid, dominant label and its purity.
+    *
+    * Cross-engine exactness: the per-vector cosine to its assigned
+    * centroid is quantized to micro-units BEFORE the per-cluster sum
+    * (the t29 micro-nat stance), so `mean_cos` derives from an exact
+    * order-independent long; the dominant label is an exact count
+    * argmax (ties → lowest label).
+    *
+    * Scale shape: centroids ride the driver (bounded: nClusters ×
+    * dim doubles) into codegen'd dot/cosine expressions — the
+    * assignment pass is NARROW (no shuffle, embarrassingly parallel
+    * at 100 TB); the only exchanges are two map-side-combined
+    * aggregates keyed by cluster and (cluster, label) — both bounded
+    * by nClusters × |labels| rows.
+    *
+    * Output: (cluster, n_vecs, mean_cos, top_label, top_label_n,
+    * purity) — mean_cos/purity raw doubles of exact integer inputs;
+    * round at the consumer.
+    */
+  def clusterProfile(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      nClusters: Int = 8,
+      strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+    val cents = centroidVectors(df, idCol, vecCol, nClusters, strategy)
+    val assigned = assignCells(df, idCol, vecCol, cents, Seq(labelCol))
+    // cosine to the ASSIGNED centroid: a when-chain over the bounded
+    // centroid table keeps the whole pass inside codegen
+    val centOf = cents.zipWithIndex.tail.foldLeft(
+        typedlit(cents.head.toSeq): Column) { case (acc, (c, i)) =>
+      when(col("cell") === i, typedlit(c.toSeq)).otherwise(acc)
+    }
+    val cq = assigned.select(col("cell").as("cluster"), col(labelCol),
+      floor(VectorOps.cosine(col("vec"), centOf) * lit(1e6) + lit(0.5))
+        .as("cq"))
+    val byCluster = cq.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum("cq").as("sq"))
+    val byLabel = cq.groupBy(col("cluster"), col(labelCol))
+      .agg(count(lit(1)).as("nl"))
+    // exact-count argmax, ties to the LOWEST label (max struct of
+    // (nl, -label) — the assignCells tie stance)
+    val top = byLabel.groupBy("cluster")
+      .agg(max(struct(col("nl"), (-col(labelCol)).as("neglabel")))
+        .as("t"))
+      .select(col("cluster"), (-col("t.neglabel")).as("top_label"),
+        col("t.nl").as("top_label_n"))
+    byCluster.join(top, "cluster")
+      .select(col("cluster"), col("n_vecs"),
+        (col("sq").cast("double") / lit(1e6)
+          / col("n_vecs").cast("double")).as("mean_cos"),
+        col("top_label"), col("top_label_n"),
+        (col("top_label_n").cast("double") / col("n_vecs").cast("double"))
+          .as("purity"))
+  }
 
   /** IVF probe: rank the query against the same deterministic
     * centroids, brute-force only the `nProbe` best cells. At scale the

@@ -225,6 +225,48 @@ object Pipeline {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** d14 oracle: replays the planted-copy media construction over the
+    * AUDIO kind slice, Multimodal.stubAudioSig (codepoint resample
+    * onto 65 windows → 64 delta-sign bits; HUGEINT bit sum wrapped to
+    * signed BIGINT, the d03/d12 trick) and an all-pairs hamming
+    * filter — the oracle may be quadratic; the Spark plan under test
+    * is the pigeonhole join.
+    */
+  private lazy val d14OracleSql: String = {
+    val M = "18446744073709551616" // 2^64
+    val bitSum = (0 until 64).map { i =>
+      s"(CASE WHEN gr[${i + 1}] > gr[${i + 2}] THEN CAST(${java.math.BigInteger.TWO.pow(i)} AS HUGEINT) ELSE 0 END)"
+    }.mkString(" +\n    ")
+    val signed = (u: String) =>
+      s"CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - $M ELSE $u END AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, 'x' || substr(text, 2)
+       |  FROM documents WHERE doc_id % 6 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 12 = 4
+       |), cp AS (
+       |  SELECT doc_id,
+       |    [unicode(ch) for ch in string_split(text, '')] AS cps
+       |  FROM base
+       |), g AS (
+       |  SELECT doc_id, CASE WHEN len(cps) = 0
+       |    THEN [0 for i in range(0, 65)]
+       |    ELSE [cps[CAST((i * len(cps)) // 65 AS BIGINT) + 1]
+       |          for i in range(0, 65)] END AS gr
+       |  FROM cp
+       |), h AS (
+       |  SELECT doc_id, ${signed(s"($bitSum)")} AS asig
+       |  FROM g
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.asig, b.asig)) AS INT) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.asig, b.asig)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // planted shared passages for d13 (see the query comment): a footer
   // shared by doc_id%5 docs, a header by doc_id%7, a within-doc
   // repeated phrase on doc_id%11 — all ≥8 tokens so each carries
@@ -577,6 +619,32 @@ object Pipeline {
           .orderBy("id_a", "id_b")
       },
       Some(d12OracleSql)),
+
+    // audio fingerprint near-dup: d12's planted-copy construction on
+    // the AUDIO kind slice, fingerprinted by the 65-window energy
+    // delta-sign signature (real decode for WAV/AIFF/AU; stubAudioSig
+    // codepoint resample for these synthetic payloads — the m01
+    // stance) and paired by the same pigeonhole hamming join.
+    // MultimodalSpec pins the REAL-decode side: a gain-scaled WAV
+    // copy fingerprints identically, disjoint noise does not.
+    Q("d14_audio_sig_dedup",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val docs = Tables.load(s, dir, "documents")
+        val edited = docs.where(col("doc_id") % 6 === 1)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            concat(lit("x"), substring(col("text"), 2, Int.MaxValue))
+              .as("text"))
+        val twins = docs.where(col("doc_id") % 12 === 4)
+          .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
+        val media = Multimodal.fromDocuments(
+            docs.select("doc_id", "text")
+              .unionByName(edited).unionByName(twins))
+          .where(col("kind") === "audio")
+        Multimodal.audioNearDup(media, maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(d14OracleSql)),
 
     // duplicated-SPAN removal (windowed exact-substring dedup, Lee et
     // al. 2021): every 8-token window occurring ≥2 times corpus-wide
@@ -2968,6 +3036,61 @@ object Pipeline {
              |    AS whole_word_rate,
              |  CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)
              |    AS chars_per_piece
-             |FROM g ORDER BY source""".stripMargin))
+             |FROM g ORDER BY source""".stripMargin)),
+
+    // topic-cluster corpus profile: every embedding assigned to its
+    // nearest seeded centroid (the IVF assignment — argmax dot, ties
+    // to the lowest cluster), rolled up into the composition report a
+    // curation run reads: cluster size, mean cosine to centroid
+    // (micro-quantized per row before the sum — t29's exactness
+    // stance, though here even the raw cosine is bit-identical
+    // cross-engine), dominant label and purity (exact-count argmax,
+    // ties to the lowest label). The assignment pass is narrow; both
+    // rollups are bounded by clusters × labels.
+    Q("c05_topic_clusters",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.clusterProfile(emb, "vec_id", "embedding", "label",
+            nClusters = 8)
+          .orderBy("cluster")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), cb AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+             |  FROM e ORDER BY vec_id LIMIT 8
+             |), d AS (
+             |  SELECT vec_id, label, v, c, cv,
+             |    list_dot_product(v, cv) AS s
+             |  FROM e, cb
+             |), a AS (
+             |  SELECT vec_id, label, v, c, cv FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY s DESC, c ASC) AS rn FROM d)
+             |  WHERE rn = 1
+             |), q AS (
+             |  SELECT c, label,
+             |    CAST(floor((${cosineSql("v", "cv")}) * 1000000 + 0.5)
+             |      AS BIGINT) AS cq
+             |  FROM a
+             |), g AS (
+             |  SELECT c, COUNT(*) AS n_vecs, CAST(SUM(cq) AS BIGINT) AS sq
+             |  FROM q GROUP BY c
+             |), l AS (
+             |  SELECT c, label, COUNT(*) AS nl FROM q GROUP BY c, label
+             |), top AS (
+             |  SELECT c, label AS top_label, nl AS top_label_n FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY c
+             |      ORDER BY nl DESC, label ASC) AS rn FROM l)
+             |  WHERE rn = 1
+             |)
+             |SELECT CAST(g.c AS INT) AS cluster, n_vecs,
+             |  CAST(sq AS DOUBLE) / 1000000 / CAST(n_vecs AS DOUBLE)
+             |    AS mean_cos,
+             |  top_label, top_label_n,
+             |  CAST(top_label_n AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+             |    AS purity
+             |FROM g JOIN top ON g.c = top.c ORDER BY cluster""".stripMargin))
   )
 }

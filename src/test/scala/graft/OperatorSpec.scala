@@ -934,6 +934,42 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.4)
     }
   }
+
+  test("clusterProfile: partition-complete, driver-checked assignment, purity bounds") {
+    val prof = Similarity.clusterProfile(emb, "vec_id", "embedding",
+      "label", nClusters = 8).collect()
+    assert(prof.map(_.getLong(1)).sum == emb.count(),
+      "every vector must land in exactly one cluster")
+    // driver-side brute-force replay of the argmax-dot assignment for
+    // the first centroid's population
+    val cents = emb.orderBy("vec_id").limit(8)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]) = {
+      var s = 0d; var j = 0
+      while (j < b.length) { s += a(j) * b(j); j += 1 }; s
+    }
+    val expected0 = all.count { case (_, v) =>
+      val scores = cents.map(c => dot(v, c))
+      scores.indexOf(scores.max) == 0
+    }
+    val row0 = prof.find(_.getInt(0) == 0).get
+    assert(row0.getLong(1) == expected0,
+      s"cluster 0 size ${row0.getLong(1)} != brute-force $expected0")
+    prof.foreach { r =>
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, "purity in (0,1]")
+      assert(r.getDouble(2) <= 1.000001, "mean cosine bounded")
+      assert(r.getLong(4) <= r.getLong(1), "top label count <= cluster size")
+    }
+    // partition-order independence (exact micro-quantized sums)
+    val re = Similarity.clusterProfile(
+      emb.repartition(13, col("vec_id")), "vec_id", "embedding",
+      "label", nClusters = 8)
+    assertSameRows(
+      Similarity.clusterProfile(emb, "vec_id", "embedding", "label", 8), re)
+  }
 }
 
 class TopKSpec extends SparkSpec {
@@ -1890,5 +1926,64 @@ class MultimodalSpec extends SparkSpec {
     assert(mf(1).checksum == mf(0).checksum && mf(2).checksum == mf(0).checksum)
     // video: stub (1 fps frame sample over duration_ms), byte checksum
     assert(mf(3).n_frames == 3 && mf(3).checksum != mf(0).checksum)
+  }
+
+  test("audioEnergySig survives gain/container; separates different signals") {
+    implicit val s = spark
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val rate = 8000f
+    val nFrames = 1600
+    // an amplitude-modulated tone: window energies vary, so the
+    // delta-sign signature has structure (a constant tone would hash
+    // to a degenerate all-equal-windows signature)
+    val base = Array.tabulate(nFrames)(i =>
+      (math.sin(i * 0.05) * (6000 + 5000 * math.sin(i * 0.004))).toShort)
+    val noise = {
+      val r = new scala.util.Random(7)
+      Array.fill(nFrames)((r.nextInt(24000) - 12000).toShort)
+    }
+    def container(samples: Array[Short], t: AudioFileFormat.Type,
+                  bigEndian: Boolean): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, 1, 2, rate, bigEndian)
+      val pcm = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        val v = samples(i)
+        if (bigEndian) { pcm(2 * i) = (v >> 8).toByte; pcm(2 * i + 1) = v.toByte }
+        else { pcm(2 * i) = v.toByte; pcm(2 * i + 1) = (v >> 8).toByte }
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong), t, out)
+      out.toByteArray
+    }
+    val wav = container(base, AudioFileFormat.Type.WAVE, bigEndian = false)
+    val aiff = container(base, AudioFileFormat.Type.AIFF, bigEndian = true)
+    val halfGain = container(base.map(v => (v / 2).toShort),
+      AudioFileFormat.Type.WAVE, bigEndian = false)
+    val other = container(noise, AudioFileFormat.Type.WAVE, bigEndian = false)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav, 0, 0, 0L, "wav"),
+      Multimodal.MediaRecord(2L, "audio", aiff, 0, 0, 0L, "aiff"),
+      Multimodal.MediaRecord(3L, "audio", halfGain, 0, 0, 0L, "wav"),
+      Multimodal.MediaRecord(4L, "audio", other, 0, 0, 0L, "wav")
+    ).toDS().toDF()
+    val sig = Multimodal.audioEnergySig(media)
+      .as[(Long, Long)].collect().toMap
+    assert(sig(2L) == sig(1L),
+      "same signal in WAV vs AIFF must fingerprint identically")
+    assert(sig(3L) == sig(1L),
+      "a gain-scaled copy must fingerprint identically " +
+        "(delta-sign is scale-invariant)")
+    assert(java.lang.Long.bitCount(sig(4L) ^ sig(1L)) > 3,
+      "disjoint noise must not land within the near-dup radius")
+    // the pair join recovers exactly the planted trio
+    val pairs = Multimodal.audioNearDup(media, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // stub path: deterministic, empty-safe, codepoint-driven
+    assert(Multimodal.stubAudioSig(Array.emptyByteArray) == 0L)
+    val b = "abcba".getBytes("UTF-8")
+    assert(Multimodal.stubAudioSig(b) == Multimodal.stubAudioSig(b.clone))
   }
 }
