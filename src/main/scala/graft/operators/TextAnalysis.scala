@@ -936,6 +936,78 @@ object TextAnalysis {
           / col("n_tokens").cast("double"))).as("ppl"))
   }
 
+  /** A [[BigramLm]] collected to driver-side maps for broadcast — the
+    * streaming scorer's model form (CCNet's actual shape: the LM is
+    * trained on a bounded trusted corpus and shipped to workers; a
+    * model that doesn't fit a broadcast belongs on the batch join
+    * path). Collect is bounded by the TRAIN corpus's bigram-type
+    * count, not the scored corpus.
+    */
+  final case class BigramLmLocal(
+      bigrams: Map[(String, String), Long],
+      contexts: Map[String, Long], v: Long)
+
+  /** Collect a trained [[BigramLm]] into its broadcastable form. */
+  def collectLm(lm: BigramLm): BigramLmLocal = BigramLmLocal(
+    lm.bigrams.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap,
+    lm.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+    lm.vocab.head().getLong(0))
+
+  /** Local twin of [[tokens]], op-for-op: UTF8String lowercase then
+    * space-trim (Spark's `lower`/`trim` exactly — String.trim would
+    * also strip control chars, String.toLowerCase can diverge on
+    * locale-sensitive codepoints), regex split, drop empties.
+    */
+  private def tokensLocal(text: String): Array[String] =
+    org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .toLowerCase.trim().toString.split("\\s+").filter(_.nonEmpty)
+
+  /** Stateless streaming twin of [[bigramLmPerplexity]]: one narrow
+    * map per document against the broadcast model — no explode, no
+    * join, no aggregation state, so it runs in append mode with no
+    * watermark and survives any micro-batch slicing (per-doc scores
+    * don't cross rows). Exact-parity contract with the batch scorer:
+    * the same micro-nat quantization per token (`Math.round` IS the
+    * batch path's `floor(x + 0.5)`), the same long sum, the same
+    * exp/div sequence — StreamingSpec pins row-identical output on
+    * the real corpus. Works unchanged on batch frames (it's a plain
+    * DataFrame transform).
+    */
+  def streamingLmPerplexity(docs: DataFrame, lm: BigramLmLocal,
+                            idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(lm)
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (id, text) =>
+          val toks = tokensLocal(text)
+          if (toks.isEmpty) None
+          else {
+            var prev = LmBos
+            var sum = 0L
+            var n = 0
+            toks.foreach { cur =>
+              val cbi = m.bigrams.getOrElse((prev, cur), 0L)
+              val cctx = m.contexts.getOrElse(prev, 0L)
+              val p = (cbi + 1L).toDouble / (cctx + m.v).toDouble
+              // StrictMath, not scala.math: Spark's codegen for
+              // log/exp calls java.lang.StrictMath (verified in the
+              // 4.1.2 bytecode), and the parity contract is bit-exact
+              sum += math.round(java.lang.StrictMath.log(p) * 1e6)
+              n += 1
+              prev = cur
+            }
+            Some((id, n.toLong, sum,
+              java.lang.StrictMath.exp(-(sum.toDouble / 1e6 / n))))
+          }
+        }
+      }.toDF(idCol, "n_tokens", "lp_micro", "ppl")
+  }
+
   /** The full per-document analysis row. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(

@@ -35,7 +35,7 @@ class LmPerplexitySpec extends SparkSpec {
     val out = TextAnalysis.bigramLmPerplexity(
       lm, Seq((0L, "a b")).toDF("doc_id", "text"), "doc_id", "text").head()
     assert(out.getLong(1) == 2L, "n_tokens")
-    assert(out.getLong(2) == 2L * math.round(math.log(0.75) * 1e6))
+    assert(out.getLong(2) == 2L * math.round(java.lang.StrictMath.log(0.75) * 1e6))
     // unseen bigram from a seen context: p(a|a) = (0+1)/(2+2) = 0.25;
     // "z z": p(z|<s>) = (0+1)/(2+2) = 0.25 (seen context <s>), then
     // the unseen-context floor p(z|z) = (0+1)/(0+2) = 1/V = 0.5
@@ -43,9 +43,9 @@ class LmPerplexitySpec extends SparkSpec {
       lm, Seq((0L, "a a"), (1L, "z z")).toDF("doc_id", "text"),
       "doc_id", "text").orderBy("doc_id").collect()
     assert(out2(0).getLong(2) ==
-      math.round(math.log(0.75) * 1e6) + math.round(math.log(0.25) * 1e6))
+      math.round(java.lang.StrictMath.log(0.75) * 1e6) + math.round(java.lang.StrictMath.log(0.25) * 1e6))
     assert(out2(1).getLong(2) ==
-      math.round(math.log(0.25) * 1e6) + math.round(math.log(0.5) * 1e6))
+      math.round(java.lang.StrictMath.log(0.25) * 1e6) + math.round(java.lang.StrictMath.log(0.5) * 1e6))
   }
 
   test("zero-token docs yield no row; every tokenized doc scores") {
@@ -84,8 +84,8 @@ class LmPerplexitySpec extends SparkSpec {
   }
 
   test("quantization-boundary margin on the real corpus is >> 1 ulp") {
-    // The cross-engine stance: Spark's Math.log and DuckDB's ln may
-    // differ by 1 ulp, which flips round(ln p · 1e6) only when the
+    // The cross-engine stance: Spark's StrictMath.log and DuckDB's
+    // libm ln may differ by 1 ulp, which flips round(ln p · 1e6) only when the
     // product sits within ~1e-9 of a half-integer boundary. Measure
     // the minimum distance over every distinct probability the sf0.001
     // corpus produces — the margin backing t29's oracle gate.

@@ -34,9 +34,11 @@ class SqlGenSpec extends SparkSpec {
         // d06/d08 ride duplicateClusters' localCheckpoint RDD barrier
         "d06_dup_clusters", "d08_quality_survivor",
         // typed mapPartitions (multimodal decode, PQ encode, image
-        // dHash) or the typed vocabulary-sized bpeSegment map
+        // dHash, audio fingerprint) or the typed vocabulary-sized
+        // bpeSegment map
         "m01_multimodal_meta", "d12_image_phash_dedup", "s10_knn_pq",
         "t26_bpe_encode", "t27_mix_bpe", "p04_pack_bpe",
+        "d14_audio_sig_dedup", "t30_vocab_coverage",
       ).contains(q.name))
 
   for (q <- roundtrippable ++ pipelineRoundtrippable) {

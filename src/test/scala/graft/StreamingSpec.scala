@@ -709,6 +709,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM perplexity scores row-identical to the batch scorer, statelessly") {
+    import graft.operators.{Dedup, TextAnalysis}
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.load(spark, sfDir, "documents")
+    val scope = new Dedup.CacheScope
+    val lm = TextAnalysis.bigramLmTrain(
+      docs.where(col("doc_id") % 10 =!= 0), "text", scope)
+    val local = TextAnalysis.collectLm(lm)
+    // batch truth from the JOIN path — the streaming broadcast path
+    // must match it row for row, exact longs included
+    val expected = TextAnalysis.bigramLmPerplexity(
+      lm, docs, "doc_id", "text")
+    try {
+      val rows = docs.select("doc_id", "text").as[(Long, String)]
+        .collect().sortBy(_._1)
+        .map { case (id, text) => StreamDoc(id, ts(0), text) }
+      val mem = MemoryStream[StreamDoc]
+      val scored = TextAnalysis.streamingLmPerplexity(
+        mem.toDF(), local, "doc_id", "text")
+      val q = scored.writeStream.format("memory").queryName("slm")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val (a, b) = rows.splitAt(rows.length / 2)
+        mem.addData(a.toIndexedSeq: _*)
+        q.processAllAvailable()
+        mem.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        assertSameRows(spark.table("slm"), expected)
+        val p = q.lastProgress
+        assert(p != null && p.stateOperators.isEmpty,
+          "broadcast-model scoring must be stateless")
+      } finally q.stop()
+    } finally scope.release()
+  }
+
   test("batch sessionization on the real events table is consistent") {
     val ev = Tables.load(spark, sfDir, "events")
     val sessions = EventsStream.sessionizeBatch(ev, 30 * 60 * 1000L)
