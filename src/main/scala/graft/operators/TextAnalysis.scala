@@ -936,6 +936,53 @@ object TextAnalysis {
           / col("n_tokens").cast("double"))).as("ppl"))
   }
 
+  /** Curation funnel report: per source, how many documents each
+    * stage of the c01 curation pipeline drops — quality gate first,
+    * then repetition, then exact-dedup survivor selection — with
+    * mutually exclusive attribution in STAGE ORDER (a doc failing
+    * both quality and repetition counts against quality, the stage
+    * that actually dropped it). The report every curation run hands
+    * its owner before the corpus ships.
+    *
+    * Same single-pass plan as c01: one scan, one window exchange keyed
+    * on the 8-byte content hash (never document text), one bounded
+    * per-source aggregate. The survivor window takes `min(doc_id)`
+    * over METRIC-PASSING rows only (conditional min — null-skipping),
+    * which equals c01's filter-then-window because duplicate groups
+    * share their text and therefore their metrics.
+    *
+    * Output: (srcCol, n_docs, n_quality_drop, n_repetition_drop,
+    * n_dup_drop, n_kept, keep_rate) — keep_rate an exact long/long
+    * division.
+    */
+  def curationFunnel(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, qualityMin: Double = 0.75,
+      dupWordMax: Double = 0.7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qual = qualityScore(col(textCol))
+    val dwf = dupWordFrac(col(textCol))
+    val passes = col("_f_qual") >= qualityMin && col("_f_dwf") <= dupWordMax
+    df.select(col(idCol).as("_f_id"), col(srcCol), col(textCol),
+        qual.as("_f_qual"), dwf.as("_f_dwf"))
+      .withColumn("_f_surv",
+        min(when(passes, col("_f_id")))
+          .over(Window.partitionBy(xxhash64(col(textCol)))))
+      .groupBy(srcCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("_f_qual") < qualityMin, 1L).otherwise(0L))
+          .as("n_quality_drop"),
+        sum(when(col("_f_qual") >= qualityMin &&
+          col("_f_dwf") > dupWordMax, 1L).otherwise(0L))
+          .as("n_repetition_drop"),
+        sum(when(passes && col("_f_id") =!= col("_f_surv"), 1L)
+          .otherwise(0L)).as("n_dup_drop"),
+        sum(when(passes && col("_f_id") === col("_f_surv"), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .withColumn("keep_rate",
+        col("n_kept").cast("double") / col("n_docs").cast("double"))
+  }
+
   /** A [[BigramLm]] collected to driver-side maps for broadcast — the
     * streaming scorer's model form (CCNet's actual shape: the LM is
     * trained on a bounded trusted corpus and shipped to workers; a

@@ -225,6 +225,38 @@ object Pipeline {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Shared DuckDB replay of TextAnalysis.langId, ending in a `pred`
+    * CTE of (doc_id, lang, lang_pred) — ONE definition for the t01
+    * oracle and the t31 confusion-matrix oracle, so a change to the
+    * heuristic has a single SQL twin to keep in lockstep. The CASE
+    * chain encodes greatest(struct)'s tie-breaking (equal scores →
+    * later profile wins).
+    */
+  private lazy val langPredCtesSql: String =
+    """tok AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct(list_filter(
+      |      regexp_split_to_array(trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '')) AS t
+      |  FROM documents
+      |), sc AS (
+      |  SELECT doc_id, lang,
+      |    len(list_intersect(t, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
+      |    len(list_intersect(t, ['el','la','de','que','y','en','un','una','los','por'])) AS s_es,
+      |    len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS s_de,
+      |    len(list_intersect(t, ['le','la','les','de','et','un','une','est','que','pour'])) AS s_fr,
+      |    len(list_intersect(t, ['的','是','了','在','我','有','和','不','人','这'])) AS s_zh
+      |  FROM tok
+      |), pred AS (
+      |  SELECT doc_id, lang, CASE
+      |    WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+      |    WHEN s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_de AND s_zh >= s_fr THEN 'zh'
+      |    WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+      |    WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
+      |    WHEN s_es >= s_en THEN 'es'
+      |    ELSE 'en' END AS lang_pred
+      |  FROM sc
+      |)""".stripMargin
+
   /** d14 oracle: replays the planted-copy media construction over the
     * AUDIO kind slice, Multimodal.stubAudioSig (codepoint resample
     * onto 65 windows → 64 delta-sign bits; HUGEINT bit sum wrapped to
@@ -1171,28 +1203,40 @@ object Pipeline {
         docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
           .orderBy("doc_id")
       },
-      Some("""WITH tok AS (
-             |  SELECT doc_id,
-             |    list_distinct(list_filter(
-             |      regexp_split_to_array(trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '')) AS t
-             |  FROM documents
-             |), sc AS (
-             |  SELECT doc_id,
-             |    len(list_intersect(t, ['the','a','of','and','to','in','is','that','it','for'])) AS s_en,
-             |    len(list_intersect(t, ['el','la','de','que','y','en','un','una','los','por'])) AS s_es,
-             |    len(list_intersect(t, ['der','die','das','und','ist','nicht','ein','mit','von','zu'])) AS s_de,
-             |    len(list_intersect(t, ['le','la','les','de','et','un','une','est','que','pour'])) AS s_fr,
-             |    len(list_intersect(t, ['的','是','了','在','我','有','和','不','人','这'])) AS s_zh
-             |  FROM tok
+      Some(s"""WITH $langPredCtesSql
+             |SELECT doc_id, lang_pred
+             |FROM pred ORDER BY doc_id""".stripMargin)),
+
+    // classifier evaluation: confusion matrix of the t01 heuristic
+    // against the labeled lang column, with each cell's share of its
+    // actual-language row — the accuracy dashboard any classifier-
+    // driven curation stage (lang filter, quality model) needs before
+    // its predictions gate a 100 TB corpus. One mapper pass + one
+    // map-side-combined aggregate (cells are bounded by langs²); the
+    // share is an exact long/long division over a bounded window.
+    Q("t31_langid_eval",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        docs.select(col("lang").as("lang_actual"),
+            TextAnalysis.langId(col("text")).as("lang_pred"))
+          .groupBy("lang_actual", "lang_pred")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("frac_of_actual",
+            col("n").cast("double") /
+              sum("n").over(Window.partitionBy("lang_actual"))
+                .cast("double"))
+          .orderBy("lang_actual", "lang_pred")
+      },
+      Some(s"""WITH $langPredCtesSql, cm AS (
+             |  SELECT lang AS lang_actual, lang_pred, COUNT(*) AS n
+             |  FROM pred GROUP BY 1, 2
              |)
-             |SELECT doc_id, CASE
-             |  WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
-             |  WHEN s_zh >= s_en AND s_zh >= s_es AND s_zh >= s_de AND s_zh >= s_fr THEN 'zh'
-             |  WHEN s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_de THEN 'fr'
-             |  WHEN s_de >= s_en AND s_de >= s_es THEN 'de'
-             |  WHEN s_es >= s_en THEN 'es'
-             |  ELSE 'en' END AS lang_pred
-             |FROM sc ORDER BY doc_id""".stripMargin)),
+             |SELECT lang_actual, lang_pred, n,
+             |  CAST(n AS DOUBLE)
+             |    / CAST(SUM(n) OVER (PARTITION BY lang_actual) AS DOUBLE)
+             |    AS frac_of_actual
+             |FROM cm ORDER BY lang_actual, lang_pred""".stripMargin)),
 
     // quality features + composite score. Oracle mirrors the exact
     // double-arithmetic order of TextAnalysis.qualityFeatures so the
@@ -1804,6 +1848,64 @@ object Pipeline {
               |FROM g
               |WHERE doc_id = surv AND qual >= 0.75 AND dwf <= 0.7
               |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin)),
+
+    // curation funnel: per-source drop accounting for c01's stages,
+    // mutually exclusive in stage order (quality → repetition →
+    // dedup → kept) — the report a curation run hands its owner.
+    // Same plan class as c01 (one scan, one 8-byte-hash window, one
+    // bounded aggregate); the survivor window is a conditional min
+    // over metric-passing rows, equal to c01's filter-then-window
+    // because duplicate groups share their text. Oracle replays the
+    // same stages over raw text (the d01 collision stance on the
+    // window key).
+    Q("c06_curation_funnel",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        TextAnalysis.curationFunnel(docs, "doc_id", "text", "source")
+          .orderBy("source")
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id, source, text,
+              |    CAST(length(text) AS DOUBLE) AS n_chars,
+              |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+              |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
+              |    list_filter(regexp_split_to_array(trim(lower(text)),
+              |      '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks
+              |  FROM documents
+              |), g AS (
+              |  SELECT doc_id, source, text,
+              |    least(1.0, greatest(0.0,
+              |      0.25 * least(len(toks) / 20.0, 1.0) +
+              |      0.25 * (n_alpha / greatest(n_chars, 1.0)) +
+              |      0.25 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5.0, 1.0)) +
+              |      0.25 * least((len(list_intersect(list_distinct(toks),
+              |        ['the','a','of','and','to','in','is','that','it','for'])) / 10.0)
+              |        * 2.0, 1.0))) AS qual,
+              |    CASE WHEN len(toks) = 0 THEN 0.0
+              |         ELSE (len(toks) - len(list_distinct(toks)))
+              |              / CAST(len(toks) AS DOUBLE) END AS dwf
+              |  FROM f
+              |), h AS (
+              |  SELECT *,
+              |    MIN(CASE WHEN qual >= 0.75 AND dwf <= 0.7
+              |        THEN doc_id END) OVER (PARTITION BY text) AS surv
+              |  FROM g
+              |)
+              |SELECT source, COUNT(*) AS n_docs,
+              |  CAST(SUM(CASE WHEN qual < 0.75 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_quality_drop,
+              |  CAST(SUM(CASE WHEN qual >= 0.75 AND dwf > 0.7
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_drop,
+              |  CAST(SUM(CASE WHEN qual >= 0.75 AND dwf <= 0.7
+              |    AND doc_id <> surv THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_dup_drop,
+              |  CAST(SUM(CASE WHEN qual >= 0.75 AND dwf <= 0.7
+              |    AND doc_id = surv THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_kept,
+              |  CAST(SUM(CASE WHEN qual >= 0.75 AND dwf <= 0.7
+              |    AND doc_id = surv THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+              |FROM h GROUP BY source ORDER BY source""".stripMargin)),
 
     // repetition metrics (C4/Gopher boilerplate rules): fraction of
     // word occurrences / non-empty lines that repeat. Thresholds are
