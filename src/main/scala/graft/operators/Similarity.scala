@@ -353,7 +353,8 @@ object Similarity {
   def clusterProfile(
       df: DataFrame, idCol: String, vecCol: String, labelCol: String,
       nClusters: Int = 8,
-      strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+      strategy: CentroidStrategy = SeededCentroids,
+      scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
     val cents = centroidVectors(df, idCol, vecCol, nClusters, strategy)
     val assigned = assignCells(df, idCol, vecCol, cents, Seq(labelCol))
     // cosine to the ASSIGNED centroid: a when-chain over the bounded
@@ -365,13 +366,20 @@ object Similarity {
     val cq = assigned.select(col("cell").as("cluster"), col(labelCol),
       floor(VectorOps.cosine(col("vec"), centOf) * lit(1e6) + lit(0.5))
         .as("cq"))
-    val byCluster = cq.groupBy("cluster")
-      .agg(count(lit(1)).as("n_vecs"), sum("cq").as("sq"))
-    val byLabel = cq.groupBy(col("cluster"), col(labelCol))
-      .agg(count(lit(1)).as("nl"))
+    // ONE corpus scan, ONE corpus-sized exchange keyed
+    // (cluster, label): both rollups re-aggregate the bounded
+    // clusters × labels table (the t29 cBi→cCtx shape) — a per-rollup
+    // groupBy would scan the corpus and recompute every centroid dot
+    // product twice. scope-persisted because column pruning makes the
+    // two consumers' subplans differ, which defeats ReuseExchange
+    val cellLabel = scope.persistTracked(
+      cq.groupBy(col("cluster"), col(labelCol))
+        .agg(count(lit(1)).as("nl"), sum("cq").as("sql_")))
+    val byCluster = cellLabel.groupBy("cluster")
+      .agg(sum("nl").as("n_vecs"), sum("sql_").as("sq"))
     // exact-count argmax, ties to the LOWEST label (max struct of
     // (nl, -label) — the assignCells tie stance)
-    val top = byLabel.groupBy("cluster")
+    val top = cellLabel.groupBy("cluster")
       .agg(max(struct(col("nl"), (-col(labelCol)).as("neglabel")))
         .as("t"))
       .select(col("cluster"), (-col("t.neglabel")).as("top_label"),
