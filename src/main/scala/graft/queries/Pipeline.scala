@@ -2408,6 +2408,78 @@ object Pipeline {
              |    AS affinity
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // DSIR importance RESAMPLING — t21's affinity actually driving
+    // t10's weighted draw, the full select-by-target-domain loop:
+    // weight = 1 + ⌊8 · n_target_leaning / n_shingles⌋ ∈ [1, 9] in
+    // EXACT integer arithmetic (div, never the double affinity — the
+    // weight an engine computes must be bit-identical for the draw to
+    // replay), then best-of-w integer draws, global top-60. Docs with
+    // zero tokens carry no shingles and sit out the draw (no weight
+    // is the correct DSIR semantics for an empty doc). Scale shape:
+    // t21's count-table joins + ONE TakeOrdered — no new shuffle.
+    Q("t32_dsir_resample",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.where(col("doc_id") % 10 =!= 0)
+        val target = docs.where(col("doc_id") % 10 === 0)
+        val weighted = TextAnalysis.domainAffinity(
+            train, target, "doc_id", "text", shingleK = 3)
+          .select(col("id").as("doc_id"),
+            expr("1L + (n_target_leaning * 8L) div n_shingles").as("w"))
+        graft.operators.Sampling.weightedSample(
+            weighted, "doc_id", col("w"), k = 60)
+          .select(col("doc_id"), col("w"), col("sample_key"))
+          .orderBy("sample_key", "doc_id")
+      },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+'),
+             |    x -> x <> '') AS w
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(w) >= 3
+             |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
+             |                        for i in range(1, len(w) - 1)])
+             |    ELSE [array_to_string(w, ' ')] END AS s
+             |  FROM t
+             |), occ AS (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
+             |), ct AS (
+             |  SELECT g, COUNT(*) AS c FROM occ WHERE doc_id % 10 = 0 GROUP BY g
+             |), cs AS (
+             |  SELECT g, COUNT(*) AS c FROM occ WHERE doc_id % 10 <> 0 GROUP BY g
+             |), tot AS (
+             |  SELECT
+             |    (SELECT COUNT(*) FROM occ WHERE doc_id % 10 = 0) AS nt,
+             |    (SELECT COUNT(*) FROM occ WHERE doc_id % 10 <> 0) AS ns
+             |), lean AS (
+             |  SELECT coalesce(ct.g, cs.g) AS g,
+             |    CASE WHEN CAST(coalesce(ct.c, 0) AS HUGEINT) * ns
+             |            > CAST(coalesce(cs.c, 0) AS HUGEINT) * nt
+             |         THEN 1 ELSE 0 END AS lt
+             |  FROM ct FULL OUTER JOIN cs ON ct.g = cs.g, tot
+             |), m AS (
+             |  SELECT o.doc_id,
+             |    COUNT(*) AS n_shingles,
+             |    SUM(l.lt) AS n_target_leaning
+             |  FROM occ o JOIN lean l ON o.g = l.g
+             |  WHERE o.doc_id % 10 <> 0
+             |  GROUP BY o.doc_id
+             |), wgt AS (
+             |  SELECT doc_id,
+             |    CAST(1 + (n_target_leaning * 8) // n_shingles AS BIGINT)
+             |      AS w
+             |  FROM m
+             |), keyed AS (
+             |  SELECT doc_id, w,
+             |    list_min([((doc_id + r * 7919) % 2147483647)
+             |               * 2654435761 % 1000003
+             |              for r in range(1, w + 1)]) AS sample_key
+             |  FROM wgt
+             |)
+             |SELECT doc_id, w, sample_key FROM keyed
+             |ORDER BY sample_key, doc_id LIMIT 60""".stripMargin)),
+
     // PII redaction: the corpus itself is PII-free word soup, so each
     // doc gets deterministic synthetic PII appended (email, dotted
     // quad, 16-digit card, phone — all derived from doc_id), the
