@@ -195,4 +195,53 @@ object Sampling {
         Window.partitionBy(col("shard")).orderBy(col("_sh_ord"), id)))
       .drop("_sh_ord")
   }
+
+  /** Curriculum ordering: assign every row a PHASE from absolute
+    * quality bands (first bound met wins — phase 0 is the best band,
+    * the one a curriculum schedule trains on first), a shard, and a
+    * deterministic position within (phase, shard) — the layout a
+    * curriculum-learning run reads: phases in band order, shards in
+    * parallel, within-shard order decorrelated from both id order and
+    * shard choice (t18's second hash).
+    *
+    * No global sort, deliberately: a total corpus order IS a global
+    * sort, which is exactly the scale trap. Phases come from FIXED
+    * thresholds on the deterministic quality score (no window at
+    * all — the score is engine-reproducible, so the band assignment
+    * replays exactly); the only window partitions by (phase, shard),
+    * which is the per-shard-file sort a training-corpus writer pays
+    * anyway (t18's stance; real runs size nShards so each
+    * (phase, shard) fits a task).
+    *
+    * Output: input row + phase (int) + shard (int) + seq (position
+    * within (phase, shard), 1-based).
+    */
+  def curriculumOrder(
+      df: DataFrame, idCol: String, quality: Column, nShards: Int,
+      bounds: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(nShards > 0)
+    require(bounds.nonEmpty && bounds == bounds.sorted,
+      "curriculumOrder: bounds must be ascending and non-empty")
+    require(!df.columns.contains("phase") && !df.columns.contains("shard")
+        && !df.columns.contains("seq") && !df.columns.contains("_cu_ord"),
+      "curriculumOrder: input already has a phase/shard/seq/_cu_ord column")
+    val id = col(idCol)
+    val desc = bounds.sorted.reverse
+    val phase = desc.zipWithIndex.tail
+      .foldLeft(when(quality >= desc.head, 0)) {
+        case (acc, (b, i)) => acc.when(quality >= b, i)
+      }.otherwise(bounds.size)
+    val h1 = pmod(pmod(id, lit(2147483647L)) * lit(2654435761L),
+      lit(1000003L))
+    val h2 = pmod((pmod(id, lit(2147483647L)) + lit(9176L)) * lit(1540483477L),
+      lit(1000003L))
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("phase", phase.cast("int"))
+      .withColumn("shard", pmod(h1, lit(nShards.toLong)).cast("int"))
+      .withColumn("_cu_ord", h2)
+      .withColumn("seq", row_number().over(
+        Window.partitionBy(col("phase"), col("shard"))
+          .orderBy(col("_cu_ord"), id)))
+      .drop("_cu_ord")
+  }
 }

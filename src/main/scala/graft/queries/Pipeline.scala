@@ -2480,6 +2480,57 @@ object Pipeline {
              |SELECT doc_id, w, sample_key FROM keyed
              |ORDER BY sample_key, doc_id LIMIT 60""".stripMargin)),
 
+    // curriculum ordering: phase from FIXED bands on the
+    // engine-reproducible quality score (best band = phase 0, trained
+    // first; no window, no global sort), shard + within-(phase,shard)
+    // position from t18's decorrelated hashes — the layout a
+    // curriculum-learning run reads (phases in order, shards in
+    // parallel). Only window partitions by (phase, shard): the
+    // per-shard-file sort a corpus writer pays anyway.
+    Q("t33_curriculum_order",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        graft.operators.Sampling.curriculumOrder(
+            docs.select(col("doc_id"), col("text")), "doc_id",
+            TextAnalysis.qualityScore(col("text")), nShards = 4)
+          .select(col("doc_id"), col("phase"), col("shard"), col("seq"))
+          .orderBy("phase", "shard", "seq")
+      },
+      Some(s"""WITH f AS (
+             |  SELECT doc_id,
+             |    CAST(length(text) AS DOUBLE) AS n_chars,
+             |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+             |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
+             |    list_filter(regexp_split_to_array(trim(lower(text)),
+             |      '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id,
+             |    least(1.0, greatest(0.0,
+             |      0.25 * least(len(toks) / 20.0, 1.0) +
+             |      0.25 * (n_alpha / greatest(n_chars, 1.0)) +
+             |      0.25 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5.0, 1.0)) +
+             |      0.25 * least((len(list_intersect(list_distinct(toks),
+             |        ['the','a','of','and','to','in','is','that','it','for'])) / 10.0)
+             |        * 2.0, 1.0))) AS qual
+             |  FROM f
+             |), p AS (
+             |  SELECT doc_id,
+             |    CASE WHEN qual >= 0.75 THEN 0
+             |         WHEN qual >= 0.5 THEN 1
+             |         WHEN qual >= 0.25 THEN 2
+             |         ELSE 3 END AS phase,
+             |    CAST(((doc_id % 2147483647) * 2654435761) % 1000003 % 4
+             |      AS INT) AS shard,
+             |    ((doc_id % 2147483647) + 9176) * 1540483477 % 1000003
+             |      AS ord
+             |  FROM g
+             |)
+             |SELECT doc_id, phase, shard,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY phase, shard
+             |    ORDER BY ord, doc_id) AS INT) AS seq
+             |FROM p ORDER BY phase, shard, seq""".stripMargin)),
+
     // PII redaction: the corpus itself is PII-free word soup, so each
     // doc gets deterministic synthetic PII appended (email, dotted
     // quad, 16-digit card, phone — all derived from doc_id), the
