@@ -1365,6 +1365,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == text)
   }
 
+  test("curriculum order: band boundaries, dense positions, no global sort") {
+    import graft.operators.{Sampling, TextAnalysis}
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val out = Sampling.curriculumOrder(docs, "doc_id",
+      TextAnalysis.qualityScore(col("text")), nShards = 4).cache()
+    assert(out.count() == docs.count())
+    // phases honor the absolute band boundaries exactly
+    val mis = out
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .where((col("phase") === 0 && col("q") < 0.75) ||
+        (col("phase") === 1 && (col("q") < 0.5 || col("q") >= 0.75)) ||
+        (col("phase") === 2 && (col("q") < 0.25 || col("q") >= 0.5)) ||
+        (col("phase") === 3 && col("q") >= 0.25))
+    assert(mis.isEmpty, "phase disagrees with its quality band")
+    // positions within each (phase, shard) are dense 1..n
+    val bad = out.groupBy("phase", "shard")
+      .agg(max("seq").as("mx"), count(lit(1)).as("n"))
+      .where($"mx" =!= $"n")
+    assert(bad.isEmpty, "seq must be dense 1..n per (phase, shard)")
+    // scale pin: the only window partitions by (phase, shard) — never
+    // a single partition (a total corpus order IS a global sort)
+    val plan = Sampling.curriculumOrder(docs, "doc_id",
+        TextAnalysis.qualityScore(col("text")), nShards = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global window in curriculum order:\n$plan")
+    out.unpersist()
+  }
+
   test("shard assignment: dense per-shard positions, decorrelated from ids") {
     import graft.operators.Sampling
     val docs = Tables.load(spark, sfDir, "documents")
