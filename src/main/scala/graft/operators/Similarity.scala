@@ -1169,6 +1169,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch PQ top-k: many query vectors against the encoded corpus —
+    * the composition of [[knnBruteBatch]]'s one-scan shape with
+    * [[knnPq]]'s asymmetric-distance scoring (completing the batch
+    * family: s04 brute, s07 IVF, s11 PQ). Each query's
+    * (m·nCodes)-entry lookup table is computed DECLARATIVELY on the
+    * broadcast query side with the codebook as literals — the same
+    * sequential-dot fold as pqCoarse's driver table, so per-query
+    * scores are bit-identical to [[knnPq]]'s (spec-pinned). The
+    * corpus-sized coarse pass reads only the m-byte codes column;
+    * the shuffle into the bounded per-query heap carries ≤
+    * k·overfetch rows per (query, partition); the exact rerank joins
+    * only the candidate ids back to float vectors.
+    * Output: (query_id, id, cosine) — EXACT cosines, k rows per
+    * query, ties by id.
+    */
+  def knnPqBatch(queries: DataFrame, qIdCol: String, qVecCol: String,
+                 corpus: DataFrame, idCol: String, vecCol: String,
+                 k: Int, cb: PqCodebook, overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    requireIntegralId(corpus, idCol)
+    val encoded = pqEncode(corpus, idCol, vecCol, cb)
+    val qd = queries.select(col(qIdCol).as("query_id"),
+      col(qVecCol).as("qvf"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    val lutExpr = array((for { s <- 0 until cb.m; c <- 0 until cb.nCodes }
+      yield VectorOps.dot(
+        slice(col("qv"), lit(s * cb.subDim + 1), lit(cb.subDim)),
+        typedlit(cb.codebooks(s)(c).toSeq))): _*)
+    val q = broadcast(qd.select(col("query_id"), col("qvf"),
+      lutExpr.as("lut"),
+      sqrt(VectorOps.dot(col("qv"), col("qv"))).as("qnorm")))
+    val adc = (0 until cb.m).map(s =>
+      element_at(col("lut"),
+        lit(s * cb.nCodes) + element_at(col("codes"), s + 1) + 1))
+      .reduceLeft(_ + _)
+    val denom = col("qnorm") * col("norm")
+    val cand = encoded.crossJoin(q.select("query_id", "lut", "qnorm"))
+      .select(col("query_id"), col("id"),
+        when(denom === 0d, 0d).otherwise(adc / denom).as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("score"), col("id"),
+        k * overfetch).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"))
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(broadcast(cand), "id")
+      .join(broadcast(q.select("query_id", "qvf")), "query_id")
+      .select(col("query_id"), col("id"),
+        VectorOps.cosine(col("vec"), col("qvf")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cosine"), col("id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"),
+        col("e.ord").as("cosine"))
+  }
+
   /** Persist a PQ index: codes+norms parquet (the compressed scan
     * target) plus the codebook flattened to (s, c, cv) rows — same
     * store-the-build-artifacts contract as [[writeIvfIndex]], so a

@@ -1194,6 +1194,88 @@ object Pipeline {
              |SELECT id, ${r6sql("cos")} AS cosine
              |FROM exact ORDER BY cos DESC, id LIMIT 10""".stripMargin)),
 
+    // batch PQ ANN: many queries (vec_id % 200 = 0) against the
+    // encoded corpus — s10's asymmetric-distance scoring composed
+    // with s04's one-scan batch shape. The oracle is s10's replay
+    // with a query dimension: codes are query-independent, each
+    // query's LUT/ADC ranks per query (row_number ≤ k·overfetch),
+    // exact rerank per query. Per-query results are bit-identical to
+    // s10's machinery (parity spec-pinned in SimilaritySpec).
+    Q("s11_knn_pq_batch",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = Similarity.pqSeededCodebook(
+          emb, "vec_id", "embedding", m = 4, nCodes = 16)
+        val queries = emb.where(col("vec_id") % 200 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+        Similarity.knnPqBatch(queries, "query_id", "embedding",
+            emb, "vec_id", "embedding", k = 10, cb = cb, overfetch = 4)
+          .select(col("query_id"), col("id"),
+            r6(col("cosine")).as("cosine"))
+          .orderBy(col("query_id"), col("cosine").desc, col("id"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), q AS (
+             |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 200 = 0
+             |), cbsrc AS (
+             |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS c
+             |  FROM e ORDER BY vec_id LIMIT 16
+             |), cb AS (
+             |  SELECT c, s, v[s * 16 + 1 : s * 16 + 16] AS cv
+             |  FROM cbsrc, range(0, 4) t(s)
+             |), sub AS (
+             |  SELECT vec_id, s, v[s * 16 + 1 : s * 16 + 16] AS sv
+             |  FROM e, range(0, 4) t(s)
+             |), d AS (
+             |  SELECT vec_id, s, c,
+             |    list_reduce([(sv[j] - cv[j]) * (sv[j] - cv[j])
+             |                 for j in range(1, 17)],
+             |                (a, b) -> a + b) AS dist
+             |  FROM sub JOIN cb USING (s)
+             |), code AS (
+             |  SELECT vec_id, s, c FROM (
+             |    SELECT vec_id, s, c,
+             |      row_number() OVER (PARTITION BY vec_id, s
+             |                         ORDER BY dist, c) AS rn
+             |    FROM d) WHERE rn = 1
+             |), lut AS (
+             |  SELECT query_id, vec_id, s,
+             |    list_dot_product(qv[s * 16 + 1 : s * 16 + 16], cv) AS term
+             |  FROM code JOIN cb USING (s, c), q
+             |), adcv AS (
+             |  SELECT query_id, vec_id,
+             |    list_reduce(list(term ORDER BY s), (a, b) -> a + b) AS adc
+             |  FROM lut GROUP BY query_id, vec_id
+             |), approx AS (
+             |  SELECT a.query_id, a.vec_id,
+             |    CASE WHEN sqrt(list_dot_product(qv, qv))
+             |              * sqrt(list_dot_product(v, v)) = 0 THEN 0
+             |    ELSE adc / (sqrt(list_dot_product(qv, qv))
+             |                * sqrt(list_dot_product(v, v))) END AS score
+             |  FROM adcv a
+             |  JOIN e ON a.vec_id = e.vec_id
+             |  JOIN q ON a.query_id = q.query_id
+             |), cand AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY score DESC, vec_id ASC) AS rn
+             |    FROM approx) WHERE rn <= 40
+             |), exact AS (
+             |  SELECT c.query_id, e.vec_id AS id,
+             |    ${cosineSql("v", "qv")} AS cos
+             |  FROM e
+             |  JOIN cand c ON e.vec_id = c.vec_id
+             |  JOIN q ON c.query_id = q.query_id
+             |)
+             |SELECT query_id, id, ${r6sql("cos")} AS cosine FROM (
+             |  SELECT query_id, id, cos,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cos DESC, id ASC) AS rn
+             |  FROM exact) WHERE rn <= 10
+             |ORDER BY query_id, ${r6sql("cos")} DESC, id""".stripMargin)),
+
     // language ID heuristic. Oracle replicates the stopword-overlap
     // scores per profile; the CASE chain encodes greatest(struct)'s
     // tie-breaking (equal scores → later profile wins).

@@ -935,6 +935,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnPqBatch equals per-query knnPq, row for row") {
+    val cb = Similarity.pqSeededCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    val qIds = Seq(0L, 200L, 400L)
+    val queries = emb.where(col("vec_id").isin(qIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val batch = Similarity.knnPqBatch(queries, "query_id", "embedding",
+      emb, "vec_id", "embedding", k = 10, cb = cb, overfetch = 4)
+    for (qid <- qIds) {
+      val qv = emb.where(col("vec_id") === qid)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val single = Similarity.knnPq(emb, "vec_id", "embedding", qv,
+          k = 10, cb = cb, overfetch = 4)
+        .withColumn("query_id", lit(qid))
+        .select("query_id", "id", "cosine")
+      assertSameRows(batch.where(col("query_id") === qid), single)
+    }
+  }
+
   test("clusterProfile: partition-complete, driver-checked assignment, purity bounds") {
     val prof = Similarity.clusterProfile(emb, "vec_id", "embedding",
       "label", nClusters = 8).collect()

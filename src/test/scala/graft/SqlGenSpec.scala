@@ -38,7 +38,7 @@ class SqlGenSpec extends SparkSpec {
         // bpeSegment map
         "m01_multimodal_meta", "d12_image_phash_dedup", "s10_knn_pq",
         "t26_bpe_encode", "t27_mix_bpe", "p04_pack_bpe",
-        "d14_audio_sig_dedup", "t30_vocab_coverage",
+        "d14_audio_sig_dedup", "t30_vocab_coverage", "s11_knn_pq_batch",
       ).contains(q.name))
 
   for (q <- roundtrippable ++ pipelineRoundtrippable) {
