@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryMinu
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBandBuckets, MinHashSig, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
+import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBandBuckets, MinHashSig, PqEncodeCodes, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
 
 /** Session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql` users get the codegen'd
@@ -25,6 +25,7 @@ import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBand
   *   minhash_sig(hashes, k, seed)  — k-permutation MinHash signature
   *   minhash_band_buckets(sig, bands) — (band, bucket) pairs of a signature
   *   hyperplane_sigs(v, bands, bits, dim, seed) — sign-LSH band signatures
+  *   pq_encode(v, cb, m, nCodes)   — PQ subspace codes vs a flat codebook
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -111,6 +112,13 @@ object GraftExtensions {
         HyperplaneSigs(args(0),
           intArg(args(1), "hyperplane_sigs", 2), intArg(args(2), "hyperplane_sigs", 3),
           intArg(args(3), "hyperplane_sigs", 4), longArg(args(4), "hyperplane_sigs", 5))
+      }),
+    ("pq_encode",
+      new ExpressionInfo(classOf[PqEncodeCodes].getName, "pq_encode"),
+      (args: Seq[Expression]) => {
+        arity(args, 4, "pq_encode")
+        PqEncodeCodes(args(0), args(1),
+          intArg(args(2), "pq_encode", 3), intArg(args(3), "pq_encode", 4))
       }))
 
   /** Register on an already-built session (temp functions). */

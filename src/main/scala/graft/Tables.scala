@@ -48,7 +48,14 @@ object Tables {
           timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
+      case other =>
+        // The contract is "both known physical forms normalize to ONE
+        // logical schema"; a third generator vintage must fail HERE,
+        // at load, not obscurely downstream in a query.
+        throw new IllegalStateException(
+          s"events.ts has unsupported physical type $other — expected " +
+            "LongType (nanos-as-long) or TimestampNTZType; add an " +
+            "explicit normalization case for this generator vintage")
     }
   }
 

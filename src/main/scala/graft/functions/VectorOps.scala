@@ -224,6 +224,155 @@ object HyperplaneSigs {
   }
 }
 
+/** PQ-encode a vector against a product-quantization codebook in ONE
+  * codegen'd pass: for each of `m` subspaces, the code is the argmin
+  * over the subspace's `nCodes` centroids of sequential squared L2
+  * (ties → lowest code — the `Similarity.pqEncode` contract, term
+  * order left-to-right so a DuckDB `list_reduce` fold replays every
+  * rounding step).
+  *
+  * The codebook rides as a FOLDABLE `array<double>` child — flattened
+  * subspace-major (`cb[s·nCodes·subDim + c·subDim + j]`) — so the
+  * expression is structural (semanticEquals / subexpression
+  * elimination work) and `.sql` prints a replayable
+  * `pq_encode(vec, ARRAY(…), m, nCodes)` call: the reason the PQ
+  * queries round-trip through the SQL generator instead of hiding in
+  * a typed mapPartitions stage. Per-row cost is m·nCodes·subDim flops
+  * inside whole-stage codegen — the encode scan that dominates a
+  * 100 TB PQ index build.
+  */
+case class PqEncodeCodes(vec: Expression, codebook: Expression,
+                         m: Int, nCodes: Int)
+    extends BinaryExpression {
+
+  require(m >= 1 && nCodes >= 1, "pq_encode: m and nCodes must be >= 1")
+
+  override def left: Expression = vec
+  override def right: Expression = codebook
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (vec.dataType, codebook.dataType) match {
+      case (ArrayType(vt, _), ArrayType(ct, _))
+          if (vt == FloatType || vt == DoubleType) &&
+             (ct == DoubleType) =>
+        if (!codebook.foldable)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "pq_encode: codebook must be a literal array")
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"pq_encode expects (array<float|double>, array<double> literal), " +
+            s"got ${vec.dataType.simpleString} and ${codebook.dataType.simpleString}")
+    }
+  }
+
+  @transient private lazy val flatCb: Array[Double] = {
+    val arr = codebook.eval().asInstanceOf[ArrayData]
+    val out = new Array[Double](arr.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = arr.getDouble(i); i += 1 }
+    require(out.length % (m * nCodes) == 0,
+      s"pq_encode: codebook length ${out.length} not divisible by " +
+        s"m·nCodes = ${m * nCodes}")
+    out
+  }
+  @transient private lazy val subDim: Int = flatCb.length / (m * nCodes)
+
+  override def sql: String =
+    s"pq_encode(${vec.sql}, ${codebook.sql}, $m, $nCodes)"
+
+  private def vecIsFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, _cb: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector dim ${arr.numElements()} != ${m}·$subDim")
+    val vf = vecIsFloat
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val off = s * subDim
+      val cbase = s * nCodes * subDim
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < nCodes) {
+        val b2 = cbase + c * subDim
+        var acc = 0d
+        var j = 0
+        while (j < subDim) {
+          val x = if (vf) arr.getFloat(off + j).toDouble
+                  else arr.getDouble(off + j)
+          val d = x - flatCb(b2 + j)
+          acc += d * d
+          j += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("flatCb", flatCb, "double[]")
+    val get = if (vecIsFloat) "getFloat" else "getDouble"
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    val sd = subDim
+    nullSafeCodeGen(ctx, ev, (arr, _) => {
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val off = ctx.freshName("off")
+      val b2 = ctx.freshName("b2")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($arr.numElements() != ${m * sd}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: vector dim " + $arr.numElements() +
+         |    " != ${m}*$sd");
+         |}
+         |int[] $codes = new int[$m];
+         |for (int $s = 0; $s < $m; $s++) {
+         |  int $off = $s * $sd;
+         |  int $b2 = $s * ${nCodes * sd};
+         |  int $best = 0;
+         |  double $bestD = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $nCodes; $c++) {
+         |    double $acc = 0.0;
+         |    for (int $j = 0; $j < $sd; $j++) {
+         |      double $d = ((double) $arr.$get($off + $j))
+         |        - $cbRef[$b2 + $c * $sd + $j];
+         |      $acc += $d * $d;
+         |    }
+         |    if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |  }
+         |  $codes[$s] = $best;
+         |}
+         |${ev.value} = new $gad($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeCodes =
+    copy(vec = newLeft, codebook = newRight)
+
+  override def prettyName: String = "pq_encode"
+}
+
 object VectorOps {
   import org.apache.spark.sql.functions._
 
@@ -238,6 +387,14 @@ object VectorOps {
                      dim: Int, seed: Long): Column =
     GraftBridge.column(HyperplaneSigs(GraftBridge.expression(vec),
       bands, bitsPerBand, dim, seed))
+
+  /** Codegen'd PQ encode: `m` subspace codes against a flattened
+    * subspace-major codebook literal (ties → lowest code).
+    */
+  def pqEncodeCodes(vec: Column, flatCb: Array[Double],
+                    m: Int, nCodes: Int): Column =
+    GraftBridge.column(PqEncodeCodes(GraftBridge.expression(vec),
+      GraftBridge.expression(typedlit(flatCb.toSeq)), m, nCodes))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

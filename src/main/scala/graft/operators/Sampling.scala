@@ -220,8 +220,10 @@ object Sampling {
       df: DataFrame, idCol: String, quality: Column, nShards: Int,
       bounds: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
     require(nShards > 0)
-    require(bounds.nonEmpty && bounds == bounds.sorted,
-      "curriculumOrder: bounds must be ascending and non-empty")
+    require(bounds.nonEmpty &&
+        bounds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "curriculumOrder: bounds must be strictly increasing and " +
+        "non-empty (duplicate bounds would create unreachable phases)")
     require(!df.columns.contains("phase") && !df.columns.contains("shard")
         && !df.columns.contains("seq") && !df.columns.contains("_cu_ord"),
       "curriculumOrder: input already has a phase/shard/seq/_cu_ord column")

@@ -920,6 +920,10 @@ object Similarity {
       "PqCodebook: empty codebook")
     require(codebooks.forall(_.forall(_.length == subDim)),
       "PqCodebook: centroid dim != subDim")
+    /** Subspace-major flattening — the [[graft.functions.PqEncodeCodes]]
+      * layout: `flat(s·nCodes·subDim + c·subDim + j) = codebooks(s)(c)(j)`.
+      */
+    def flat: Array[Double] = codebooks.flatten.flatten
   }
 
   /** Sequential left-to-right dot — the SAME fold order as the
@@ -930,18 +934,6 @@ object Similarity {
   private def dotSeq(a: Array[Double], b: Array[Double], aOff: Int): Double = {
     var s = 0d; var j = 0
     while (j < b.length) { s += a(aOff + j) * b(j); j += 1 }
-    s
-  }
-
-  /** Sequential squared L2 between `v[off, off+subDim)` and a
-    * codebook centroid — term order pinned (left to right) so the
-    * DuckDB oracle's list_reduce fold reproduces every rounding step.
-    */
-  private def sqDistSeq(v: Array[Double], off: Int, c: Array[Double]): Double = {
-    var s = 0d; var j = 0
-    while (j < c.length) {
-      val d = v(off + j) - c(j); s += d * d; j += 1
-    }
     s
   }
 
@@ -1079,43 +1071,23 @@ object Similarity {
     * of sequential squared L2 (ties → lowest code); norm is the full
     * vector's L2, stored so the asymmetric-distance probe can rank an
     * approximate COSINE without touching float vectors. The per-row
-    * argmin loop is m·nCodes·subDim integer-indexed flops — genuine
-    * per-row imperative work (the Multimodal-decode stance), run
-    * inside mapPartitions with the codebook broadcast once; narrow,
-    * no shuffle, embarrassingly parallel at 100 TB.
+    * argmin loop is m·nCodes·subDim integer-indexed flops — the
+    * codegen'd [[graft.functions.PqEncodeCodes]] kernel (round 8:
+    * formerly a typed mapPartitions stage; as an Expression the
+    * encode pass stays inside whole-stage codegen AND the PQ queries
+    * render through the SQL generator). Narrow, no shuffle,
+    * embarrassingly parallel at 100 TB; arithmetic op-for-op the old
+    * typed path (sequential sqdist, strict <, argmin ties → lowest
+    * code), so oracle hashes are unchanged.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                cb: PqCodebook): DataFrame = {
     requireIntegralId(df, idCol)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(cb)
+    val v = col(vecCol)
     df.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { it =>
-        val k = bc.value
-        it.map { case (id, v) =>
-          require(v.length == k.m * k.subDim,
-            s"pqEncode: vector dim ${v.length} != ${k.m}·${k.subDim}")
-          val codes = new Array[Int](k.m)
-          var s = 0
-          while (s < k.m) {
-            val off = s * k.subDim
-            val book = k.codebooks(s)
-            var best = 0; var bestD = sqDistSeq(v, off, book(0)); var c = 1
-            while (c < book.length) {
-              val d = sqDistSeq(v, off, book(c))
-              if (d < bestD) { bestD = d; best = c }
-              c += 1
-            }
-            codes(s) = best
-            s += 1
-          }
-          (id, codes, math.sqrt(dotSeq(v, v, 0)))
-        }
-      }
-      .toDF("id", "codes", "norm")
+      graft.functions.VectorOps.pqEncodeCodes(
+        v, cb.flat, cb.m, cb.nCodes).as("codes"),
+      sqrt(graft.functions.VectorOps.dot(v, v)).as("norm"))
   }
 
   /** PQ probe over an encoded frame: asymmetric-distance scoring —
@@ -1181,6 +1153,17 @@ object Similarity {
     * the shuffle into the bounded per-query heap carries ≤
     * k·overfetch rows per (query, partition); the exact rerank joins
     * only the candidate ids back to float vectors.
+    *
+    * Practical query-count bound: the query side broadcasts its
+    * per-query LUT (m·nCodes doubles) and the candidate set
+    * (k·overfetch rows per query), so the batch must fit the
+    * broadcast threshold — roughly `nQueries · m · nCodes · 8 B`
+    * (e.g. 10 MB ≈ 80k queries at m=8, nCodes=16). For a larger
+    * batch, split it into broadcast-sized slices (each slice is one
+    * independent call — the corpus scan is re-paid per slice) or use
+    * the per-query [[knnPq]] path; an enforced guard would silently
+    * change the plan shape under the caller, so the bound is
+    * documented, not trapped.
     * Output: (query_id, id, cosine) — EXACT cosines, k rows per
     * query, ties by id.
     */
@@ -1269,6 +1252,114 @@ object Similarity {
     val cb = readPqCodebook(spark, path)
     val coarse = pqCoarse(spark.read.parquet(s"$path/codes"), cb,
       query, k * overfetch).select(col("id"))
+    val q = typedlit(query.toSeq)
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(broadcast(coarse), "id")
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** IVF-PQ ANN, in-memory: the standard 100 TB ANN layout — coarse
+    * cells for pruning (s03) COMPOSED with PQ compression inside the
+    * probed cells (s10). A probe (1) ranks the query against the cell
+    * centroids on the driver and keeps the `nProbe` best (knnIvf's
+    * contract, ties → lower cell), (2) asymmetric-distance-scores
+    * ONLY the probed cells' rows on their m-byte codes — the scan
+    * reads nProbe/nCells of the corpus AND never touches float
+    * vectors, the two savings multiplying — then (3) exact-reranks
+    * the k·overfetch survivors against full-precision vectors (the
+    * s08 contract: EXACT cosines, k rows, ties by id).
+    *
+    * Codes are query-independent, so encoding the pruned rows here
+    * equals filtering a pre-encoded corpus — which is what the
+    * persisted path ([[writeIvfPqIndex]]/[[knnIvfPqIndexed]]) stores:
+    * codes partitioned by cell. At nProbe=nCells the candidate set is
+    * exactly [[knnPq]]'s (parity spec-pinned).
+    */
+  def knnIvfPq(df: DataFrame, idCol: String, vecCol: String,
+               query: Array[Float], k: Int, cb: PqCodebook,
+               nCells: Int = 16, nProbe: Int = 4, overfetch: Int = 4,
+               strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
+    val qd = query.map(_.toDouble)
+    val probeCells = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2)
+    val pruned = assignCells(df, idCol, vecCol, cents)
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+    val coarse = pqCoarse(pqEncode(pruned, "id", "vec", cb), cb,
+      query, k * overfetch).select(col("id"))
+    val q = typedlit(query.toSeq)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(broadcast(coarse), "id")
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Persist an IVF-PQ index: PQ codes+norms partitioned by IVF cell
+    * (`path/cells/cell=N/…` holding (id, codes, norm) — NO float
+    * vectors: the index is nProbe-prunable AND 16-32× compressed),
+    * plus the centroids (`path/centroids`, [[writeIvfIndex]]'s
+    * contract) and the codebook (`path/codebook`, [[writePqIndex]]'s),
+    * so a probe replays the exact build-time geometry. ONE narrow
+    * pass over the corpus: cell assignment and PQ encoding are both
+    * per-row codegen'd expressions — no shuffle, no join; the only
+    * data movement is the partitioned write.
+    */
+  def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                      path: String, cb: PqCodebook, nCells: Int = 16,
+                      strategy: CentroidStrategy = SeededCentroids): Unit = {
+    requireIntegralId(df, idCol)
+    val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
+    assignCells(df, idCol, vecCol, cents)
+      .select(col("id").cast("long").as("id"),
+        graft.functions.VectorOps.pqEncodeCodes(
+          col("vec"), cb.flat, cb.m, cb.nCodes).as("codes"),
+        sqrt(graft.functions.VectorOps.dot(col("vec"), col("vec")))
+          .as("norm"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (c.toSeq, i) }.toDF("cv", "cell")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    (for { s <- cb.codebooks.indices; c <- cb.codebooks(s).indices }
+      yield (s, c, cb.codebooks(s)(c).toSeq)).toDF("s", "c", "cv")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Probe a persisted IVF-PQ index: rank the STORED centroids on the
+    * driver, statically prune to the `nProbe` best cells (a partition
+    * `isin` filter — the probe reads nProbe/nCells of the FILES, and
+    * those files hold m-byte codes, not vectors), ADC-score with the
+    * STORED codebook, exact-rerank the k·overfetch survivors against
+    * the caller's full-precision vector table. Probe ≡ in-memory
+    * [[knnIvfPq]] for the same build inputs (spec-pinned).
+    */
+  def knnIvfPqIndexed(spark: org.apache.spark.sql.SparkSession,
+                      path: String, vectors: DataFrame, idCol: String,
+                      vecCol: String, query: Array[Float], k: Int,
+                      nProbe: Int = 4, overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val cb = readPqCodebook(spark, path)
+    val qd = query.map(_.toDouble)
+    val probeCells = readCentroids(spark, path).zipWithIndex
+      .map { case (cv, cell) =>
+        (cv.zip(qd).map { case (a, b) => a * b }.sum, cell)
+      }
+      .sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2)
+    val pruned = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+    val coarse = pqCoarse(pruned, cb, query, k * overfetch)
+      .select(col("id"))
     val q = typedlit(query.toSeq)
     vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .join(broadcast(coarse), "id")

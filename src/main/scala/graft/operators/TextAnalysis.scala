@@ -949,7 +949,13 @@ object TextAnalysis {
     * per-source aggregate. The survivor window takes `min(doc_id)`
     * over METRIC-PASSING rows only (conditional min — null-skipping),
     * which equals c01's filter-then-window because duplicate groups
-    * share their text and therefore their metrics.
+    * share their text and therefore their metrics. The dup-group key
+    * is (xxhash64(text), length(text)), not the raw text — the d01
+    * stance: at 100 TB the exchange ships 16-byte keys, not
+    * documents, at the cost that two DIFFERENT texts colliding on
+    * BOTH the 64-bit hash and their length would merge groups and
+    * misattribute their drops (probability ~n²/2⁻⁶⁴ per equal-length
+    * stratum; partition by the raw text if that is unacceptable).
     *
     * Output: (srcCol, n_docs, n_quality_drop, n_repetition_drop,
     * n_dup_drop, n_kept, keep_rate) — keep_rate an exact long/long
@@ -966,7 +972,8 @@ object TextAnalysis {
         qual.as("_f_qual"), dwf.as("_f_dwf"))
       .withColumn("_f_surv",
         min(when(passes, col("_f_id")))
-          .over(Window.partitionBy(xxhash64(col(textCol)))))
+          .over(Window.partitionBy(
+            xxhash64(col(textCol)), length(col(textCol)))))
       .groupBy(srcCol)
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1015,11 +1022,13 @@ object TextAnalysis {
     * join, no aggregation state, so it runs in append mode with no
     * watermark and survives any micro-batch slicing (per-doc scores
     * don't cross rows). Exact-parity contract with the batch scorer:
-    * the same micro-nat quantization per token (`Math.round` IS the
-    * batch path's `floor(x + 0.5)`), the same long sum, the same
-    * exp/div sequence — StreamingSpec pins row-identical output on
-    * the real corpus. Works unchanged on batch frames (it's a plain
-    * DataFrame transform).
+    * the same micro-nat quantization per token — literally
+    * `Math.floor(x + 0.5).toLong`, the batch path's `floor(x + 0.5)`
+    * operation (NOT `Math.round`, which since JDK-8010430 differs
+    * from floor(x+0.5) for doubles one ulp below a half-integer) —
+    * the same long sum, the same exp/div sequence — StreamingSpec
+    * pins row-identical output on the real corpus. Works unchanged on
+    * batch frames (it's a plain DataFrame transform).
     */
   def streamingLmPerplexity(docs: DataFrame, lm: BigramLmLocal,
                             idCol: String, textCol: String): DataFrame = {
@@ -1043,8 +1052,12 @@ object TextAnalysis {
               val p = (cbi + 1L).toDouble / (cctx + m.v).toDouble
               // StrictMath, not scala.math: Spark's codegen for
               // log/exp calls java.lang.StrictMath (verified in the
-              // 4.1.2 bytecode), and the parity contract is bit-exact
-              sum += math.round(java.lang.StrictMath.log(p) * 1e6)
+              // 4.1.2 bytecode), and the parity contract is bit-exact.
+              // floor(x+0.5), not Math.round: they differ for doubles
+              // one ulp below a half-integer (JDK-8010430), and the
+              // batch expression is floor(log·1e6 + 0.5).
+              sum += Math.floor(
+                java.lang.StrictMath.log(p) * 1e6 + 0.5).toLong
               n += 1
               prev = cur
             }

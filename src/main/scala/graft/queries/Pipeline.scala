@@ -1276,6 +1276,90 @@ object Pipeline {
              |  FROM exact) WHERE rn <= 10
              |ORDER BY query_id, ${r6sql("cos")} DESC, id""".stripMargin)),
 
+    // IVF-PQ composed ANN (round 8): s03's seeded-centroid cell
+    // pruning stacked on s10's PQ asymmetric-distance scoring — the
+    // standard 100 TB ANN layout (codes stored inside cells; a probe
+    // reads nProbe/nCells of the data AND only m-byte codes), then
+    // the s08 exact rerank. Oracle = s03's centroid/assignment/probe
+    // CTEs feeding s10's codebook/code/ADC chain over the pruned
+    // rows only (codes are query-independent, so encoding after
+    // pruning equals filtering a pre-encoded corpus).
+    Q("s12_knn_ivfpq",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = Similarity.pqSeededCodebook(
+          emb, "vec_id", "embedding", m = 4, nCodes = 16)
+        Similarity.knnIvfPq(emb, "vec_id", "embedding", queryVec(s, dir),
+            k = 10, cb = cb, nCells = 16, nProbe = 4, overfetch = 4)
+          .select(col("id"), r6(col("cosine")).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      Some(s"""WITH cent AS (
+             |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+             |), q AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings ORDER BY vec_id LIMIT 1
+             |), e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), assigned AS (
+             |  SELECT vec_id, v, cell,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id
+             |      ORDER BY list_dot_product(v, cv) DESC, cell ASC) AS rn
+             |  FROM e CROSS JOIN cent
+             |), probe AS (
+             |  SELECT cell FROM cent, q
+             |  ORDER BY list_dot_product(cv, qv) DESC, cell ASC LIMIT 4
+             |), pruned AS (
+             |  SELECT vec_id, v FROM assigned
+             |  WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+             |), cbsrc AS (
+             |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS c
+             |  FROM e ORDER BY vec_id LIMIT 16
+             |), cb AS (
+             |  SELECT c, s, v[s * 16 + 1 : s * 16 + 16] AS cv
+             |  FROM cbsrc, range(0, 4) t(s)
+             |), sub AS (
+             |  SELECT vec_id, s, v[s * 16 + 1 : s * 16 + 16] AS sv
+             |  FROM pruned, range(0, 4) t(s)
+             |), d AS (
+             |  SELECT vec_id, s, c,
+             |    list_reduce([(sv[j] - cv[j]) * (sv[j] - cv[j])
+             |                 for j in range(1, 17)],
+             |                (a, b) -> a + b) AS dist
+             |  FROM sub JOIN cb USING (s)
+             |), code AS (
+             |  SELECT vec_id, s, c FROM (
+             |    SELECT vec_id, s, c,
+             |      row_number() OVER (PARTITION BY vec_id, s
+             |                         ORDER BY dist, c) AS rn
+             |    FROM d) WHERE rn = 1
+             |), lut AS (
+             |  SELECT vec_id, s,
+             |    list_dot_product(qv[s * 16 + 1 : s * 16 + 16], cv) AS term
+             |  FROM code JOIN cb USING (s, c), q
+             |), adcv AS (
+             |  SELECT vec_id,
+             |    list_reduce(list(term ORDER BY s), (a, b) -> a + b) AS adc
+             |  FROM lut GROUP BY vec_id
+             |), approx AS (
+             |  SELECT a.vec_id,
+             |    CASE WHEN sqrt(list_dot_product(qv, qv))
+             |              * sqrt(list_dot_product(p.v, p.v)) = 0 THEN 0
+             |    ELSE adc / (sqrt(list_dot_product(qv, qv))
+             |                * sqrt(list_dot_product(p.v, p.v))) END AS score
+             |  FROM adcv a JOIN pruned p ON a.vec_id = p.vec_id, q
+             |), cand AS (
+             |  SELECT vec_id FROM approx
+             |  ORDER BY score DESC, vec_id ASC LIMIT 40
+             |), exact AS (
+             |  SELECT e.vec_id AS id, ${cosineSql("v", "qv")} AS cos
+             |  FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+             |)
+             |SELECT id, ${r6sql("cos")} AS cosine
+             |FROM exact ORDER BY cos DESC, id LIMIT 10""".stripMargin)),
+
     // language ID heuristic. Oracle replicates the stopword-overlap
     // scores per profile; the CASE chain encodes greatest(struct)'s
     // tie-breaking (equal scores → later profile wins).

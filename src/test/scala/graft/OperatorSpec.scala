@@ -587,6 +587,45 @@ class SimilaritySpec extends SparkSpec {
     assert(idx == mem, s"indexed probe diverged:\n$idx\n$mem")
   }
 
+  test("knnIvfPq at nProbe=nCells equals knnPq (pruning off = pure PQ)") {
+    // with every cell probed the candidate set is exactly the
+    // whole-corpus PQ coarse ranking, so the composed path must
+    // reproduce knnPq row for row — the parity contract that pins the
+    // composition adds pruning and nothing else
+    val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16, sampleSize = 500, iters = 5, seed = 9)
+    val pq = Similarity.knnPq(emb, "vec_id", "embedding", qv,
+      k = 10, cb = cb, overfetch = 4)
+    val ivfpq = Similarity.knnIvfPq(emb, "vec_id", "embedding", qv,
+      k = 10, cb = cb, nCells = 8, nProbe = 8, overfetch = 4)
+    assertSameRows(ivfpq, pq)
+  }
+
+  test("persisted ivfpq index: probe equals in-memory, prunes cells, stores no vectors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16, sampleSize = 500, iters = 5, seed = 9)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir, cb,
+      nCells = 8)
+    val probe = Similarity.knnIvfPqIndexed(spark, dir, emb, "vec_id",
+      "embedding", qv, k = 10, nProbe = 3, overfetch = 4)
+    val mem = Similarity.knnIvfPq(emb, "vec_id", "embedding", qv,
+      k = 10, cb = cb, nCells = 8, nProbe = 3, overfetch = 4)
+    assertSameRows(probe, mem)
+    // the cells hold (id, codes, norm) ONLY — the 16-32× compression
+    // claim is false if float vectors leak into the index files
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.columns.sorted.toSeq == Seq("cell", "codes", "id", "norm"),
+      s"unexpected index columns: ${cells.columns.toSeq}")
+    // the probe must reach the scan as a partition filter (the s03
+    // pruning) — over the CODES files (the s10 compression): both
+    // savings in one plan
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("cell")), s"no partition filter on cell:\n$plan")
+  }
+
   test("lsh knn returns a subset of the corpus ranked consistently with brute") {
     val brute = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 50)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -1073,6 +1112,46 @@ class TopKSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("t32 dsir: exact weight formula on hand-counted shingles; null docs sit out; draw = weightedSample") {
+    import graft.operators.Sampling
+    // Shingle vocabulary (k=3): A = "a b c", B = "b c d".
+    //   train: doc1 {A}, doc2 {B}, doc3 {B}, doc4 {A,B}, doc5 null
+    //   target: two docs, both {A}
+    // Counts: c_s(A)=2, c_s(B)=3, n_s=5; c_t(A)=2, c_t(B)=0, n_t=2.
+    // Leaning (strict cross-multiply): A 2·5 > 2·2 → target-leaning;
+    // B 0·5 > 3·2 → not.
+    val train = Seq((1L, "a b c"), (2L, "b c d"), (3L, "b c d"),
+      (4L, "a b c d"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val target = Seq((101L, "a b c"), (102L, "a b c"))
+      .toDF("doc_id", "text")
+    val aff = TextAnalysis.domainAffinity(
+      train, target, "doc_id", "text", shingleK = 3)
+    val counts = aff.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc5 (null text → zero shingles) must SIT OUT, not appear at 0
+    assert(counts == Map(1L -> ((1L, 1L)), 2L -> ((1L, 0L)),
+      3L -> ((1L, 0L)), 4L -> ((2L, 1L))), s"affinity counts: $counts")
+    // w = 1 + ⌊8·leaning/shingles⌋ in EXACT integer arithmetic:
+    // doc1 1+8=9, doc2/doc3 1+0=1, doc4 1+⌊8/2⌋=5
+    val weighted = aff.select(col("id").as("doc_id"),
+      expr("1L + (n_target_leaning * 8L) div n_shingles").as("w"))
+    val w = weighted.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w == Map(1L -> 9L, 2L -> 1L, 3L -> 1L, 4L -> 5L),
+      s"weights: $w")
+    // the t32 draw IS weightedSample on the precomputed weights —
+    // same rows, same keys, same order
+    val drawn = Sampling.weightedSample(weighted, "doc_id", col("w"), k = 3)
+      .select("doc_id", "w", "sample_key")
+      .collect().map(_.toString).toSeq
+    val manual = Sampling.weightedSample(
+      Seq((1L, 9L), (2L, 1L), (3L, 1L), (4L, 5L)).toDF("doc_id", "w"),
+      "doc_id", col("w"), k = 3)
+      .select("doc_id", "w", "sample_key")
+      .collect().map(_.toString).toSeq
+    assert(drawn == manual, s"draw diverged:\n$drawn\n$manual")
+  }
+
   test("normalizeUrl lowers scheme+host only, strips utm/fragment/dangling ?") {
     import graft.operators.TextAnalysis
     val cases = Seq(
@@ -1411,6 +1490,13 @@ class TextAnalysisSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"global window in curriculum order:\n$plan")
+    // duplicate bounds would create unreachable phases — rejected up
+    // front, not silently skewed
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumOrder(docs, "doc_id",
+        TextAnalysis.qualityScore(col("text")), nShards = 4,
+        bounds = Seq(0.5, 0.5, 0.75))
+    }
     out.unpersist()
   }
 

@@ -22,8 +22,10 @@ class SqlGenSpec extends SparkSpec {
   // The pipeline suite round-trips too — LSH banding self-joins
   // (side-qualified conditions), lambda HOFs (arrow syntax), the
   // codegen kernels (registered SQL functions carrying their
-  // parameters), windows with IGNORE NULLS. The only exclusions are
-  // inherently non-relational plans: iterative localCheckpoint
+  // parameters — including pq_encode, whose codebook prints as an
+  // array literal, which is how the PQ family s10/s11/s12 round-trips
+  // since round 8), windows with IGNORE NULLS. The only exclusions
+  // are inherently non-relational plans: iterative localCheckpoint
   // (LogicalRDD barrier) and typed map/mapPartitions stages
   // (SerializeFromObject) — none have a SQL rendering. Every
   // excluded query still has a full DuckDB oracle (the driver gate),
@@ -33,12 +35,11 @@ class SqlGenSpec extends SparkSpec {
       Set(
         // d06/d08 ride duplicateClusters' localCheckpoint RDD barrier
         "d06_dup_clusters", "d08_quality_survivor",
-        // typed mapPartitions (multimodal decode, PQ encode, image
-        // dHash, audio fingerprint) or the typed vocabulary-sized
-        // bpeSegment map
-        "m01_multimodal_meta", "d12_image_phash_dedup", "s10_knn_pq",
+        // typed mapPartitions (multimodal decode, image dHash, audio
+        // fingerprint) or the typed vocabulary-sized bpeSegment map
+        "m01_multimodal_meta", "d12_image_phash_dedup",
         "t26_bpe_encode", "t27_mix_bpe", "p04_pack_bpe",
-        "d14_audio_sig_dedup", "t30_vocab_coverage", "s11_knn_pq_batch",
+        "d14_audio_sig_dedup", "t30_vocab_coverage",
       ).contains(q.name))
 
   for (q <- roundtrippable ++ pipelineRoundtrippable) {

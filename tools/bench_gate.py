@@ -10,13 +10,18 @@ Defaults: BENCH_QUERIES.json (written by `runMain graft.Bench`) vs
 BENCH_BASELINE_QUERIES.json (committed; refresh it from a quiet box in
 the same round that changes a query's plan), ratio gate 2.0.
 
-Rules:
+Rules (pure function `gate()`; unit-tested in tools/test_bench_gate.py):
  - a query present in both: FAIL if current > max_ratio * max(baseline,
    floor). The floor (0.25 s) keeps sub-second queries, where per-query
    constants dominate, from tripping the gate on scheduler noise.
  - a query only in current: reported as NEW (informational).
  - a query only in baseline: FAIL (a query silently disappeared from
    the bench — that is how coverage quietly rots).
+Ambient adjudication lives UPSTREAM of this gate: graft.Bench re-runs
+any query whose first pass exceeds the same budget and reports the min
+of its two passes (both visible under "retried" in the dump), so a
+one-off co-tenant burst never reaches this gate as a time, while a real
+plan regression — slow in both passes — still fails here.
 Exit code 1 on any FAIL.
 """
 import json
@@ -25,30 +30,48 @@ import sys
 FLOOR_SEC = 0.25
 
 
+def gate(cur, base, max_ratio=2.0, floor_sec=FLOOR_SEC):
+    """Apply the gate rules to two {query: seconds} dicts.
+
+    Returns (fails, news, lines): failing query names, new query names,
+    and the human-readable report lines — pure, no I/O.
+    """
+    fails, news, lines = [], [], []
+    for name in sorted(set(cur) | set(base)):
+        if name not in base:
+            news.append(name)
+            lines.append(f"NEW  {name:30s} {cur[name]:7.2f}s (no baseline)")
+            continue
+        if name not in cur:
+            fails.append(name)
+            lines.append(f"FAIL {name:30s} missing from current bench "
+                         f"(baseline {base[name]:.2f}s)")
+            continue
+        budget = max_ratio * max(base[name], floor_sec)
+        ratio = cur[name] / max(base[name], 1e-9)
+        if cur[name] > budget:
+            fails.append(name)
+            lines.append(f"FAIL {name:30s} {cur[name]:7.2f}s vs baseline "
+                         f"{base[name]:7.2f}s (ratio {ratio:.2f}, "
+                         f"budget {budget:.2f}s)")
+    return fails, news, lines
+
+
 def main() -> int:
     cur_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_QUERIES.json"
     base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE_QUERIES.json"
     max_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
-    cur = json.load(open(cur_path))["queries"]
+    cur_doc = json.load(open(cur_path))
+    cur = cur_doc["queries"]
     base = json.load(open(base_path))["queries"]
 
-    fails, news = [], []
-    for name in sorted(set(cur) | set(base)):
-        if name not in base:
-            news.append(name)
-            print(f"NEW  {name:30s} {cur[name]:7.2f}s (no baseline)")
-            continue
-        if name not in cur:
-            fails.append(name)
-            print(f"FAIL {name:30s} missing from current bench "
-                  f"(baseline {base[name]:.2f}s)")
-            continue
-        budget = max_ratio * max(base[name], FLOOR_SEC)
-        ratio = cur[name] / max(base[name], 1e-9)
-        if cur[name] > budget:
-            fails.append(name)
-            print(f"FAIL {name:30s} {cur[name]:7.2f}s vs baseline "
-                  f"{base[name]:7.2f}s (ratio {ratio:.2f}, budget {budget:.2f}s)")
+    fails, news, lines = gate(cur, base, max_ratio)
+    for line in lines:
+        print(line)
+    for name, passes in sorted(cur_doc.get("retried", {}).items()):
+        print(f"RETRY {name:29s} passes "
+              + "/".join(f"{p:.2f}s" for p in passes)
+              + " (min reported)")
     tot_c = sum(cur.values())
     tot_b = sum(v for k, v in base.items() if k in cur)
     print(f"\n{len(cur)} queries, total {tot_c:.1f}s "
