@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryMinu
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBandBuckets, MinHashSig, PqEncodeCodes, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
+import graft.functions.{BpeSegmentExpr, CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBandBuckets, MinHashSig, PqEncodeCodes, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
 
 /** Session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql` users get the codegen'd
@@ -26,6 +26,7 @@ import graft.functions.{CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBand
   *   minhash_band_buckets(sig, bands) — (band, bucket) pairs of a signature
   *   hyperplane_sigs(v, bands, bits, dim, seed) — sign-LSH band signatures
   *   pq_encode(v, cb, m, nCodes)   — PQ subspace codes vs a flat codebook
+  *   bpe_segment(word, merges)     — BPE pieces vs a "left right" merge list
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -119,6 +120,12 @@ object GraftExtensions {
         arity(args, 4, "pq_encode")
         PqEncodeCodes(args(0), args(1),
           intArg(args(2), "pq_encode", 3), intArg(args(3), "pq_encode", 4))
+      }),
+    ("bpe_segment",
+      new ExpressionInfo(classOf[BpeSegmentExpr].getName, "bpe_segment"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "bpe_segment")
+        BpeSegmentExpr(args(0), args(1))
       }))
 
   /** Register on an already-built session (temp functions). */

@@ -230,6 +230,49 @@ object ScaleProbeXL {
         f"build=$tBuild%.1fs probe=$tProbe%.1fs files=$probeFiles/$totalFiles")
     }
 
+    // ── duplicated-window spans (d13): the posexplode side is
+    // corpus × positions and the hash-count side is distinct windows —
+    // both linear in the corpus when duplicate DENSITY is fixed, which
+    // the salted families guarantee (every window inside a 20-copy
+    // family is duplicated; different families' windows contain
+    // different group tokens, so they never collide). Budget: time and
+    // span mass both ≤ linear in rep. ──
+    for (rep <- Seq(reps.min, reps.max)) {
+      val big = saltedDocs(rep)
+      val t0 = System.nanoTime()
+      val spans = operators.Dedup.duplicatedWindowSpans(
+        big, "doc_id", "text", k = 8, minCount = 2)
+      val agg = spans.agg(count(lit(1)),
+        coalesce(sum(col("span_end") - col("span_start")), lit(0L))).head()
+      val (nSpans, covTok) = (agg.getLong(0), agg.getLong(1))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe-xl] dup-windows rep=$rep%-4d docs=${d0 * rep}%-8d " +
+        f"spans=$nSpans%-9d cov_tokens=$covTok%-10d time=$sec%.1fs")
+    }
+
+    // ── batch PQ (s11): a FIXED 5-query batch against a 1× vs 10×
+    // corpus. The coarse ADC scan is linear in the corpus (it reads
+    // m-byte codes); the shuffle into the bounded heap carries ≤
+    // k·overfetch rows per (query, partition) at BOTH scales — the
+    // output row count is exactly k·|queries| at any corpus size, the
+    // candidates-flat contract. Budget: time ≤ linear in rep. ──
+    {
+      val cbp = operators.Similarity.pqSeededCodebook(
+        emb, "vec_id", "embedding", m = 4, nCodes = 16)
+      val queries5 = emb.orderBy("vec_id").limit(5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      for (rep <- Seq(reps.min, reps.max)) {
+        val big = saltedEmb(rep)
+        val t0 = System.nanoTime()
+        val n = operators.Similarity.knnPqBatch(
+          queries5, "query_id", "embedding", big, "vec_id", "embedding",
+          k = 10, cb = cbp, overfetch = 4).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[probe-xl] batch-pq rep=$rep%-4d vectors=${n0 * rep}%-8d " +
+          f"rows=$n%-5d time=$sec%.1fs")
+      }
+    }
+
     // ── bloom runtime filter at 10× the fact side: the surviving-row
     // RATIO is the scale quantity — it must hold as the probe side
     // grows, because it is what the exchange carries at 100 TB ──

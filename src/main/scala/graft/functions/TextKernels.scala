@@ -176,6 +176,17 @@ object TextKernels {
       distinctSorted(grams, grams.length)
     }
   }
+
+  /** [[BpeSegmentExpr]]'s evaluation entry (shared by interpreted eval
+    * and codegen): delegate to the canonical greedy merge loop in
+    * `TextAnalysis.bpeSegment`, wrap the pieces for Catalyst.
+    */
+  def bpeSegmentKernel(w: UTF8String,
+      rank: Map[(String, String), Int]): ArrayData = {
+    val pieces = graft.operators.TextAnalysis.bpeSegment(w.toString, rank)
+    new GenericArrayData(
+      pieces.map(p => UTF8String.fromString(p): Any).toArray)
+  }
 }
 
 /** Expression wrapper: distinct word-k-shingle hashes of a string. */
@@ -279,6 +290,80 @@ case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "char_ngram_hashes"
 }
 
+/** BPE-segment a word against a trained merge table: repeatedly merge
+  * the adjacent symbol pair with the best (lowest) merge priority until
+  * none applies — op-for-op `TextAnalysis.bpeSegment` (same greedy
+  * loop, same leftmost-occurrence [[graft.operators.TextAnalysis
+  * .mergeOnce]] rewrite), exposed as a native expression so the encode
+  * plan is fully declarative (the reason the BPE queries round-trip
+  * through the SQL generator instead of hiding in a typed map stage).
+  *
+  * The merge table rides as a FOLDABLE `array<string>` child — element
+  * i is `"left right"` with priority i (tokens are produced by
+  * whitespace splitting, so symbols never contain a space and the
+  * single-space join is unambiguous) — which keeps equality structural
+  * and `.sql` printable/replayable. Evaluation cost is the same
+  * per-WORD loop as before; callers still evaluate it over the
+  * DISTINCT-word vocabulary, never per token occurrence.
+  */
+case class BpeSegmentExpr(word: Expression, merges: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = word
+  override def right: Expression = merges
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (word.dataType, merges.dataType) match {
+      case (StringType, ArrayType(StringType, _)) =>
+        if (!merges.foldable)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "bpe_segment: merge table must be a literal array")
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_segment expects (string, array<string> literal), got " +
+            s"${word.dataType.simpleString} and ${merges.dataType.simpleString}")
+    }
+
+  @transient private[functions] lazy val rankMap: Map[(String, String), Int] = {
+    val arr = merges.eval().asInstanceOf[ArrayData]
+    val pairs = (0 until arr.numElements()).map { i =>
+      val s = arr.getUTF8String(i).toString
+      val sp = s.indexOf(' ')
+      require(sp > 0 && sp < s.length - 1 && s.indexOf(' ', sp + 1) < 0,
+        s"bpe_segment: malformed merge entry '$s' (want 'left right')")
+      ((s.substring(0, sp), s.substring(sp + 1)), i)
+    }
+    val m = pairs.toMap
+    require(m.size == pairs.size,
+      "bpe_segment: duplicate (left, right) pairs in merge table")
+    m
+  }
+
+  override def sql: String = s"bpe_segment(${word.sql}, ${merges.sql})"
+
+  override def nullSafeEval(w: Any, _m: Any): Any =
+    TextKernels.bpeSegmentKernel(w.asInstanceOf[UTF8String], rankMap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeRank", rankMap,
+      "scala.collection.immutable.Map")
+    val kern = TextKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev,
+      (w, _) => s"${ev.value} = $kern.bpeSegmentKernel($w, $ref);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BpeSegmentExpr =
+    copy(word = newLeft, merges = newRight)
+
+  override def prettyName: String = "bpe_segment"
+}
+
 object TextKernelOps {
   def tokenShingleHashes(text: Column, k: Int): Column =
     GraftBridge.column(TokenShingleHashes(GraftBridge.expression(text), k))
@@ -286,4 +371,14 @@ object TextKernelOps {
     GraftBridge.column(CharNgramHashes(GraftBridge.expression(text), n))
   def tokenWindowHashes(text: Column, k: Int): Column =
     GraftBridge.column(TokenWindowHashes(GraftBridge.expression(text), k))
+  /** Codegen'd BPE segmentation; the merge table (rank order) rides as
+    * an array-of-"left right" literal.
+    */
+  def bpeSegment(word: Column,
+      merges: Seq[graft.operators.TextAnalysis.BpeMerge]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    val entries = merges.sortBy(_.rank).map(m => s"${m.left} ${m.right}")
+    GraftBridge.column(BpeSegmentExpr(GraftBridge.expression(word),
+      GraftBridge.expression(typedlit(entries))))
+  }
 }

@@ -117,6 +117,92 @@ object Packing {
       }
   }
 
+  /** Input row shape for [[streamingCurriculumPack]]. */
+  final case class CurriculumPackInput(doc_id: Long, phase: Int,
+                                       shard: Int, ord: Long, n_tok: Long)
+
+  /** One curriculum packing assignment: the chunk this document's
+    * first token lands in within its (phase, shard) stream.
+    */
+  final case class CurriculumPackAssignment(doc_id: Long, phase: Int,
+      shard: Int, chunk_id: Long, start_tok: Long)
+
+  /** Batch curriculum packing: [[Sampling.curriculumOrder]]'s
+    * (phase, shard, seq) layout driving [[packSequences]]'s
+    * concat-and-chunk — each (phase, shard) is an independent pack
+    * stream, documents concatenated in the curriculum's decorrelated
+    * `seq` order, chunks cut every `seqLen` tokens. This is the
+    * curriculum-corpus writer's job: phase 0's shards hold the best
+    * band, already packed into model-ready sequences.
+    *
+    * Scale shape: the cumulative-sum window partitions by
+    * (phase, shard) and orders by `seq` — the SAME (exchange, sort)
+    * curriculumOrder's row_number already paid, so the composition
+    * adds zero shuffles (spec-pinned: one exchange, no
+    * SinglePartition). Output: one row per doc —
+    * (doc_id, phase, shard, chunk_id, start_tok).
+    */
+  def curriculumPack(df: DataFrame, idCol: String, quality: Column,
+      tokenCount: Column, seqLen: Int, nShards: Int,
+      bounds: Seq[Double] = Seq(0.25, 0.5, 0.75)): DataFrame = {
+    require(seqLen > 0)
+    val ordered = Sampling.curriculumOrder(
+      df.select(col(idCol), quality.as("_cp_q"), tokenCount.as("_cp_n")),
+      idCol, col("_cp_q"), nShards, bounds)
+    val w = Window.partitionBy("phase", "shard").orderBy("seq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered
+      .withColumn("_cp_cum", sum(col("_cp_n").cast("long")).over(w))
+      .select(col(idCol).cast("long").as("doc_id"),
+        col("phase"), col("shard"),
+        floor((col("_cp_cum") - col("_cp_n")) / lit(seqLen.toDouble))
+          .cast("long").as("chunk_id"),
+        (col("_cp_cum") - col("_cp_n")).cast("long").as("start_tok"))
+  }
+
+  /** Streaming curriculum packing: a live ingest emits
+    * curriculum-ordered packed shards — [[Sampling.curriculumPhase]]/
+    * [[Sampling.curriculumShard]] assign each arriving document its
+    * (phase, shard) stream statelessly (fixed quality bands, hash
+    * shard — no window, which is exactly why the curriculum layout
+    * streams), and one cumulative token counter per (phase, shard)
+    * packs it ([[streamingPackSequences]]'s O(#streams) state, here
+    * O(phases·nShards) longs). Within a micro-batch documents pack in
+    * the curriculum's decorrelated (ord, id) order; across batches
+    * arrival order is the semantic (the live-packer contract). Fed
+    * the whole corpus in one batch it reproduces [[curriculumPack]]
+    * exactly (spec-pinned), the same twin contract as
+    * streamingPackSequences vs packSequences.
+    */
+  def streamingCurriculumPack(docs: DataFrame, idCol: String,
+      quality: Column, tokenCount: Column, seqLen: Int, nShards: Int,
+      bounds: Seq[Double] = Seq(0.25, 0.5, 0.75))
+      (implicit spark: SparkSession): Dataset[CurriculumPackAssignment] = {
+    import spark.implicits._
+    require(seqLen > 0)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        Sampling.curriculumPhase(quality, bounds).as("phase"),
+        Sampling.curriculumShard(col(idCol), nShards).as("shard"),
+        Sampling.curriculumOrd(col(idCol)).cast("long").as("ord"),
+        tokenCount.cast("long").as("n_tok"))
+      .as[CurriculumPackInput]
+      .groupByKey(d => (d.phase, d.shard))
+      .flatMapGroupsWithState[PackState, CurriculumPackAssignment](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((phase, shard), it, state) =>
+          var cum = state.getOption.map(_.cumTok).getOrElse(0L)
+          val out = it.toSeq.sortBy(d => (d.ord, d.doc_id)).map { d =>
+            val start = cum
+            cum += d.n_tok
+            CurriculumPackAssignment(d.doc_id, phase, shard,
+              start / seqLen, start)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
   /** Sliding-window chunking: one row per (document, window) for
     * windows of `windowTokens` tokens advancing by `strideTokens`.
     * Start offsets are `{0, stride, 2·stride, …}` kept while the

@@ -228,22 +228,45 @@ object Sampling {
         && !df.columns.contains("seq") && !df.columns.contains("_cu_ord"),
       "curriculumOrder: input already has a phase/shard/seq/_cu_ord column")
     val id = col(idCol)
-    val desc = bounds.sorted.reverse
-    val phase = desc.zipWithIndex.tail
-      .foldLeft(when(quality >= desc.head, 0)) {
-        case (acc, (b, i)) => acc.when(quality >= b, i)
-      }.otherwise(bounds.size)
-    val h1 = pmod(pmod(id, lit(2147483647L)) * lit(2654435761L),
-      lit(1000003L))
-    val h2 = pmod((pmod(id, lit(2147483647L)) + lit(9176L)) * lit(1540483477L),
-      lit(1000003L))
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("phase", phase.cast("int"))
-      .withColumn("shard", pmod(h1, lit(nShards.toLong)).cast("int"))
-      .withColumn("_cu_ord", h2)
+    df.withColumn("phase", curriculumPhase(quality, bounds))
+      .withColumn("shard", curriculumShard(id, nShards))
+      .withColumn("_cu_ord", curriculumOrd(id))
       .withColumn("seq", row_number().over(
         Window.partitionBy(col("phase"), col("shard"))
           .orderBy(col("_cu_ord"), id)))
       .drop("_cu_ord")
   }
+
+  /** [[curriculumOrder]]'s phase assignment alone — FIXED descending
+    * thresholds on a deterministic quality score (first bound met
+    * wins; phase 0 is the best band). Stateless per row, which is
+    * what lets the streaming packer compose with it.
+    */
+  def curriculumPhase(quality: Column,
+      bounds: Seq[Double] = Seq(0.25, 0.5, 0.75)): Column = {
+    require(bounds.nonEmpty &&
+        bounds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "curriculumPhase: bounds must be strictly increasing and " +
+        "non-empty (duplicate bounds would create unreachable phases)")
+    val desc = bounds.sorted.reverse
+    desc.zipWithIndex.tail
+      .foldLeft(when(quality >= desc.head, 0)) {
+        case (acc, (b, i)) => acc.when(quality >= b, i)
+      }.otherwise(bounds.size).cast("int")
+  }
+
+  /** [[curriculumOrder]]'s shard hash alone (t18's first hash family,
+    * reduced mod nShards).
+    */
+  def curriculumShard(id: Column, nShards: Int): Column =
+    pmod(pmod(pmod(id, lit(2147483647L)) * lit(2654435761L),
+      lit(1000003L)), lit(nShards.toLong)).cast("int")
+
+  /** [[curriculumOrder]]'s within-shard ordering key alone (the
+    * second, decorrelated hash; ties broken by id downstream).
+    */
+  def curriculumOrd(id: Column): Column =
+    pmod((pmod(id, lit(2147483647L)) + lit(9176L)) * lit(1540483477L),
+      lit(1000003L))
 }

@@ -626,17 +626,19 @@ object TextAnalysis {
     * vocabulary piece counts instead of [[bpePieceCount]]'s regex
     * estimate.
     *
-    * Scale shape: the merge table rides a broadcast hashmap (even a
-    * 100k-merge table is a few MB); the imperative [[bpeSegment]] loop
-    * runs once per DISTINCT word (a VOCABULARY-sized typed map — the
-    * same "imperative only off the corpus path" stance as the
-    * trainer); the corpus-sized stages are all declarative: one
-    * posexplode of tokens, one hash join of token occurrences against
-    * the word→pieces table (vocabulary-sized build side — broadcast
-    * when it fits, shuffled hash join when a 100 TB corpus's long-tail
-    * vocabulary doesn't), and whatever aggregation the consumer adds.
-    * Nothing re-runs the merge loop per token occurrence: a word seen
-    * 10⁹ times is segmented once.
+    * Scale shape: the merge table rides inside the codegen'd
+    * [[graft.functions.BpeSegmentExpr]] expression (round 8: formerly
+    * a typed map — as an expression the plan is fully declarative and
+    * the BPE queries round-trip through SqlGen; even a 100k-merge
+    * table is a few MB of literal, the broadcast-hashmap scale class);
+    * the per-word greedy loop still runs once per DISTINCT word (a
+    * VOCABULARY-sized projection); the corpus-sized stages are all
+    * declarative: one posexplode of tokens, one hash join of token
+    * occurrences against the word→pieces table (vocabulary-sized
+    * build side — broadcast when it fits, shuffled hash join when a
+    * 100 TB corpus's long-tail vocabulary doesn't), and whatever
+    * aggregation the consumer adds. Nothing re-runs the merge loop per
+    * token occurrence: a word seen 10⁹ times is segmented once.
     *
     * Output: one row per token occurrence —
     * (idCol, pos, word, pieces Array[String], n_pieces). Zero-token
@@ -651,14 +653,15 @@ object TextAnalysis {
       "bpeEncode: duplicate (left, right) pairs in merge table")
     require(merges.map(_.rank).distinct.size == merges.size,
       "bpeEncode: duplicate ranks in merge table")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bc = spark.sparkContext.broadcast(rankMap)
     val toks = df.select(col(idCol),
       posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
-    val wordPieces = toks.select("word").distinct().as[String]
-      .map(w => (w, bpeSegment(w, bc.value).toArray))
-      .toDF("word", "pieces")
+    // rank order = literal position order inside the expression; the
+    // greedy loop compares priorities only, so sorting by rank
+    // preserves every merge decision of the original rank map
+    val wordPieces = toks.select("word").distinct()
+      .select(col("word"),
+        graft.functions.TextKernelOps.bpeSegment(col("word"), merges)
+          .as("pieces"))
     toks.join(wordPieces, "word")
       .select(col(idCol), col("pos"), col("word"), col("pieces"),
         size(col("pieces")).as("n_pieces"))

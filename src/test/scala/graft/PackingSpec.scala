@@ -109,6 +109,33 @@ class PackingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curriculumPack: curriculum layout and packing share ONE exchange") {
+    // the cum-sum window keys on the same (phase, shard) as
+    // curriculumOrder's row_number — a second exchange would mean the
+    // composition re-shuffles the corpus it just laid out
+    val d = Tables.load(spark, sfDir, "documents")
+    val packed = Packing.curriculumPack(d, "doc_id",
+      TextAnalysis.qualityScore(col("text")),
+      TextAnalysis.bpePieceCount(col("text")), seqLen = 2048, nShards = 8)
+    val plan = packed.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"global window in curriculum pack:\n$plan")
+    // tokens conserved: every doc's n_tok lands in exactly one chunk
+    val tok = TextAnalysis.bpePieceCount(col("text"))
+    val rawTotal = d.select(sum(tok.cast("long"))).head().getLong(0)
+    val joined = packed.join(
+      d.select(col("doc_id"), tok.cast("long").as("_n")), "doc_id")
+    assert(joined.agg(sum("_n")).head().getLong(0) == rawTotal)
+    // chunk ids advance with the cumulative count inside each stream
+    val bad = joined
+      .withColumn("_expect", floor(col("start_tok") / lit(2048.0)).cast("long"))
+      .where(col("chunk_id") =!= col("_expect"))
+    assert(bad.isEmpty, "chunk_id must be start_tok div seqLen")
+  }
+
   test("repetitionMetrics: degenerate text flags, clean prose does not") {
     val d = Seq(
       (1L, "spam spam spam spam spam spam spam spam spam spam"),

@@ -22,24 +22,24 @@ class SqlGenSpec extends SparkSpec {
   // The pipeline suite round-trips too — LSH banding self-joins
   // (side-qualified conditions), lambda HOFs (arrow syntax), the
   // codegen kernels (registered SQL functions carrying their
-  // parameters — including pq_encode, whose codebook prints as an
-  // array literal, which is how the PQ family s10/s11/s12 round-trips
-  // since round 8), windows with IGNORE NULLS. The only exclusions
-  // are inherently non-relational plans: iterative localCheckpoint
-  // (LogicalRDD barrier) and typed map/mapPartitions stages
-  // (SerializeFromObject) — none have a SQL rendering. Every
-  // excluded query still has a full DuckDB oracle (the driver gate),
-  // so exclusion here weakens nothing about correctness.
+  // parameters — including pq_encode and bpe_segment, whose
+  // codebook/merge-table children print as array literals, which is
+  // how the PQ family s10/s11/s12 and the BPE family t26/t27/p04/t30
+  // round-trip since round 8), windows with IGNORE NULLS. The only
+  // exclusions are inherently non-relational plans: iterative
+  // localCheckpoint (LogicalRDD barrier) and typed mapPartitions
+  // media-decode stages (SerializeFromObject) — none have a SQL
+  // rendering. Every excluded query still has a full DuckDB oracle
+  // (the driver gate), so exclusion here weakens nothing about
+  // correctness.
   private val pipelineRoundtrippable =
     graft.queries.Pipeline.all.filterNot(q =>
       Set(
         // d06/d08 ride duplicateClusters' localCheckpoint RDD barrier
         "d06_dup_clusters", "d08_quality_survivor",
-        // typed mapPartitions (multimodal decode, image dHash, audio
-        // fingerprint) or the typed vocabulary-sized bpeSegment map
+        // typed mapPartitions media decode (image/audio bytes)
         "m01_multimodal_meta", "d12_image_phash_dedup",
-        "t26_bpe_encode", "t27_mix_bpe", "p04_pack_bpe",
-        "d14_audio_sig_dedup", "t30_vocab_coverage",
+        "d14_audio_sig_dedup",
       ).contains(q.name))
 
   for (q <- roundtrippable ++ pipelineRoundtrippable) {

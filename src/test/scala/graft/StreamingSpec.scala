@@ -751,4 +751,59 @@ class StreamingSpec extends SparkSpec {
     assert(n == ev.count(), "every event lands in exactly one session")
     assert(sessions.where(col("session_end") < col("session_start")).isEmpty)
   }
+
+  test("streamingCurriculumPack: one-batch run reproduces curriculumPack exactly") {
+    import graft.operators.Packing
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // deterministic per-row quality (a function of the id, like the
+    // real score is a function of the text) spanning all four bands
+    val quality = pmod(col("doc_id"), lit(100L)).cast("double") / lit(100.0)
+    val rows = (0L until 200L).map(i => (i, (i * 37 % 500) + 1))
+    val mem = MemoryStream[(Long, Long)]
+    val q = Packing.streamingCurriculumPack(
+        mem.toDS().toDF("doc_id", "n_tok"), "doc_id", quality,
+        col("n_tok"), seqLen = 1000, nShards = 4)
+      .writeStream.format("memory").queryName("cur_pack_one")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("cur_pack_one")
+        .select("doc_id", "phase", "shard", "chunk_id", "start_tok")
+      val batch = Packing.curriculumPack(rows.toDF("doc_id", "n_tok"),
+        "doc_id", quality, col("n_tok"), seqLen = 1000, nShards = 4)
+      assertSameRows(streamed, batch)
+    } finally q.stop()
+  }
+
+  test("streamingCurriculumPack: per-(phase,shard) counters continue across batches") {
+    import graft.operators.Packing
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val mem = MemoryStream[(Long, Long)]
+    // fixed quality → one phase; nShards=1 → one stream, one counter
+    val q = Packing.streamingCurriculumPack(
+        mem.toDS().toDF("doc_id", "n_tok"), "doc_id", lit(0.9),
+        col("n_tok"), seqLen = 100, nShards = 1)
+      .writeStream.format("memory").queryName("cur_pack_cont")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, 60L), (20L, 70L)); q.processAllAvailable()
+      // batch 2: arrival order appends AFTER batch 1's 130 tokens,
+      // whatever its ord hash says — the live-packer contract
+      mem.addData((1L, 50L)); q.processAllAvailable()
+      val out = spark.table("cur_pack_cont")
+        .select("doc_id", "phase", "chunk_id", "start_tok")
+        .as[(Long, Int, Long, Long)].collect().toSeq.sortBy(_._4)
+      assert(out.map(_._2).forall(_ == 0), s"expected phase 0: $out")
+      assert(out.map(_._1).toSet == Set(1L, 10L, 20L))
+      // batch 1 packs 130 tokens (order within the batch by ord hash);
+      // doc 1 then starts at exactly 130 → chunk 1
+      assert(out.last == ((1L, 0, 1L, 130L)), s"got $out")
+      assert(out.head._4 == 0L)
+      val firstLen = if (out.head._1 == 10L) 60L else 70L
+      assert(out(1)._4 == firstLen,
+        s"second start must be the first doc's token count: $out")
+    } finally q.stop()
+  }
 }
