@@ -1342,6 +1342,11 @@ object Similarity {
     * STORED codebook, exact-rerank the k·overfetch survivors against
     * the caller's full-precision vector table. Probe ≡ in-memory
     * [[knnIvfPq]] for the same build inputs (spec-pinned).
+    *
+    * The candidate id set is `distinct`ed (bounded ≤ k·overfetch rows)
+    * so a crash-replayed [[ivfPqIngestBatch]] append — which can leave
+    * duplicate (id, codes, norm) rows — can never emit a duplicated
+    * result row; duplicated index rows only spend overfetch slots.
     */
   def knnIvfPqIndexed(spark: org.apache.spark.sql.SparkSession,
                       path: String, vectors: DataFrame, idCol: String,
@@ -1359,12 +1364,171 @@ object Similarity {
     val pruned = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(probeCells.toIndexedSeq: _*))
     val coarse = pqCoarse(pruned, cb, query, k * overfetch)
-      .select(col("id"))
+      .select(col("id")).distinct()
     val q = typedlit(query.toSeq)
     vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .join(broadcast(coarse), "id")
       .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** Incrementally append vectors to a persisted IVF-PQ index: new
+    * rows are assigned against the STORED centroids and encoded with
+    * the STORED codebook (identical tie-break contracts to the
+    * build), then appended to their cell partitions — the
+    * [[appendToIvfIndex]] ingest shape with the PQ compression kept:
+    * one narrow pass, no rebuild, no touch of existing files, and
+    * every probe picks the new rows up unchanged.
+    *
+    * Neither centroids nor codebook move (either would invalidate
+    * stored codes — a full rewrite); as the corpus drifts,
+    * [[cellStats]]/[[needsRebuild]] are the same monitoring contract
+    * (they read only centroids + cell row counts, so they work on an
+    * IVF-PQ index unchanged), and [[rebuildIvfPqIndex]] is the
+    * documented response.
+    */
+  def appendToIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                         path: String): Unit = {
+    requireIntegralId(df, idCol)
+    val spark = df.sparkSession
+    val cents = readCentroids(spark, path)
+    require(cents.nonEmpty, s"appendToIvfPqIndex: no centroids at $path")
+    val cb = readPqCodebook(spark, path)
+    assignCells(df, idCol, vecCol, cents)
+      .select(col("id").cast("long").as("id"),
+        graft.functions.VectorOps.pqEncodeCodes(
+          col("vec"), cb.flat, cb.m, cb.nCodes).as("codes"),
+        sqrt(graft.functions.VectorOps.dot(col("vec"), col("vec")))
+          .as("norm"),
+        col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Rebuild a drifted IVF-PQ index at a NEW path: the stored codes
+    * cannot be decoded back to vectors (PQ is lossy), so the rebuild
+    * takes the CURRENT full-precision corpus from the caller,
+    * retrains centroids and codebook over it, and writes fresh.
+    * New-path-only for the same reason as [[rebuildIvfIndex]]: probes
+    * against oldPath stay correct until the caller swaps pointers.
+    */
+  def rebuildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+      oldPath: String, newPath: String, nCells: Int, m: Int,
+      nCodes: Int,
+      strategy: CentroidStrategy = KMeansCentroids()): Unit = {
+    require(new org.apache.hadoop.fs.Path(oldPath) !=
+        new org.apache.hadoop.fs.Path(newPath),
+      "rebuildIvfPqIndex: newPath must differ from oldPath")
+    val cb = pqTrainCodebook(df, idCol, vecCol, m, nCodes)
+    writeIvfPqIndex(df, idCol, vecCol, newPath, cb, nCells, strategy)
+  }
+
+  /** Batch probe of a persisted IVF-PQ index — the serving shape for
+    * many queries: per query, the `nProbe` best STORED cells are
+    * picked declaratively ([[knnIvfBatchIndexed]]'s centroid-literal
+    * ranking), the probed-cell UNION prunes the code files with a
+    * static partition filter, each (query, cell)-matched code row is
+    * ADC-scored against the query's broadcast lookup table
+    * ([[knnPqBatch]]'s declarative LUT over the STORED codebook), the
+    * bounded heap keeps k·overfetch candidates per query, and the
+    * exact rerank joins only those ids back to the caller's
+    * full-precision vectors. Per-query results ≡ [[knnIvfPqIndexed]]
+    * (spec-pinned). Output: (query_id, id, cosine), k rows per query.
+    */
+  def knnIvfPqBatchIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      nProbe: Int = 4, overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val cb = readPqCodebook(spark, path)
+    val cents = readCentroids(spark, path)
+    val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
+             lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val lutExpr = array((for { s <- 0 until cb.m; c <- 0 until cb.nCodes }
+      yield VectorOps.dot(
+        slice(col("qvd"), lit(s * cb.subDim + 1), lit(cb.subDim)),
+        typedlit(cb.codebooks(s)(c).toSeq))): _*)
+    val q = broadcast(queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qvf"),
+        col(qVecCol).cast("array<double>").as("qvd"))
+      .withColumn("qv", col("qvd"))
+      .select(col("query_id"), col("qvf"),
+        explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
+          s => s.getField("cell"))).as("cell"),
+        lutExpr.as("lut"),
+        sqrt(VectorOps.dot(col("qvd"), col("qvd"))).as("qnorm")))
+    val probedCells = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probedCells.toIndexedSeq: _*))
+    val adc = (0 until cb.m).map(s =>
+      element_at(col("lut"),
+        lit(s * cb.nCodes) + element_at(col("codes"), s + 1) + 1))
+      .reduceLeft(_ + _)
+    val denom = col("qnorm") * col("norm")
+    val cand = cells.join(q.select("query_id", "cell", "lut", "qnorm"), "cell")
+      .select(col("query_id"), col("id"),
+        when(denom === 0d, 0d).otherwise(adc / denom).as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("score"), col("id"),
+        k * overfetch).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id")).distinct()
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(broadcast(cand), "id")
+      .join(broadcast(q.select("query_id", "qvf").distinct()), "query_id")
+      .select(col("query_id"), col("id"),
+        VectorOps.cosine(col("vec"), col("qvf")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cosine"), col("id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"),
+        col("e.ord").as("cosine"))
+  }
+
+  /** One micro-batch of the streaming IVF-PQ ingest loop — the
+    * foreachBatch body for a live embedding corpus feeding a
+    * persisted IVF-PQ index. Assignment and encoding are STATELESS
+    * per row (stored centroids + stored codebook), so the only state
+    * is the replay guard: `path/ingest_log` records appended batch
+    * ids, and a restarted stream re-offering a logged batch id is a
+    * no-op — appends are exactly-once per batch id.
+    *
+    * Crash window: a failure between the cells append and the log
+    * write replays the batch and duplicates its (id, codes, norm)
+    * rows — byte-identical facts, never wrong ones (same vector ⇒
+    * same cell/codes/norm). Probes stay duplicate-safe: candidate ids
+    * are distinct'ed before rerank ([[knnIvfPqIndexed]]), so
+    * duplicates can only spend overfetch slots, not corrupt results
+    * (spec-pinned: a replayed ingest leaves the probe identical).
+    *
+    * Wire it:
+    * {{{
+    * vecs.writeStream
+    *   .foreachBatch(Similarity.ivfPqIngestBatch("vec_id", "embedding", path) _)
+    *   .start()
+    * }}}
+    */
+  def ivfPqIngestBatch(idCol: String, vecCol: String, path: String)
+                      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$path/ingest_log"
+    val replayed =
+      try spark.read.parquet(logPath)
+        .where(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case scala.util.control.NonFatal(_) => false } // no log yet
+    if (replayed) return
+    // sever the batch plan from the index paths before the append
+    // mutates them (the lshIngestBatch stance; here the plan doesn't
+    // read the index, but a checkpoint keeps the count() below from
+    // re-running the source)
+    val admitted = batch.localCheckpoint()
+    appendToIvfPqIndex(admitted, idCol, vecCol, path)
+    Seq((batchId, admitted.count()))
+      .toDF("batch_id", "n_appended")
+      .repartition(1).write.mode("append").parquet(logPath)
   }
 }

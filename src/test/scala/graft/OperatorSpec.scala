@@ -626,6 +626,89 @@ class SimilaritySpec extends SparkSpec {
     assert(pf.exists(_.contains("cell")), s"no partition filter on cell:\n$plan")
   }
 
+  test("ivfpq append: probe equals a one-shot build; cellStats reads it unchanged") {
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-ivfpq-a").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfpq-b").toString
+    val cut = emb.agg(org.apache.spark.sql.functions.expr(
+      "percentile(vec_id, 0.5)")).head().getDouble(0)
+    val first = emb.where($"vec_id" < cut)
+    val second = emb.where($"vec_id" >= cut)
+    // seeded centroids (8 lowest ids) and seeded codebook (16 lowest)
+    // both live inside `first`, so the appended index and a one-shot
+    // union build share the exact geometry
+    val cb = Similarity.pqSeededCodebook(first, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    Similarity.writeIvfPqIndex(first, "vec_id", "embedding", dir1, cb,
+      nCells = 8)
+    Similarity.appendToIvfPqIndex(second, "vec_id", "embedding", dir1)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir2, cb,
+      nCells = 8)
+    val a = Similarity.knnIvfPqIndexed(spark, dir1, emb, "vec_id",
+      "embedding", qv, k = 10, nProbe = 3)
+    val b = Similarity.knnIvfPqIndexed(spark, dir2, emb, "vec_id",
+      "embedding", qv, k = 10, nProbe = 3)
+    assertSameRows(a, b)
+    // the IVF maintenance contract carries over: cellStats/needsRebuild
+    // read only centroids + per-cell counts, both present here
+    val stats = Similarity.cellStats(spark, dir1)
+    assert(stats.totalRows == emb.count() && stats.nCells == 8)
+  }
+
+  test("ivfpq batch probe equals the per-query indexed probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-bt").toString
+    val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16, sampleSize = 500, iters = 5, seed = 9)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir, cb,
+      nCells = 8)
+    val queries = emb.orderBy("vec_id").limit(3)
+    val batch = Similarity.knnIvfPqBatchIndexed(spark, dir, emb,
+        "vec_id", "embedding", queries, "vec_id", "embedding",
+        k = 10, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    queries.collect().foreach { row =>
+      val qid = row.getLong(0)
+      val q1 = row.getSeq[Float](1).toArray
+      val single = Similarity.knnIvfPqIndexed(spark, dir, emb, "vec_id",
+          "embedding", q1, k = 10, nProbe = 3)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid).toSeq.sortBy(t => (-t._3, t._2)) ==
+        single.sortBy(t => (-t._3, t._2)),
+        s"batch diverged for query $qid")
+    }
+  }
+
+  test("ivfpq streaming ingest: exactly-once per batch id, replay leaves the probe identical") {
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-ivfpq-i").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ivfpq-j").toString
+    val cut = emb.agg(org.apache.spark.sql.functions.expr(
+      "percentile(vec_id, 0.5)")).head().getDouble(0)
+    val first = emb.where($"vec_id" < cut)
+    val cut2 = emb.agg(org.apache.spark.sql.functions.expr(
+      "percentile(vec_id, 0.75)")).head().getDouble(0)
+    val batchA = emb.where($"vec_id" >= cut && $"vec_id" < cut2)
+    val batchB = emb.where($"vec_id" >= cut2)
+    val cb = Similarity.pqSeededCodebook(first, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    Similarity.writeIvfPqIndex(first, "vec_id", "embedding", dir1, cb,
+      nCells = 8)
+    val ingest = Similarity.ivfPqIngestBatch("vec_id", "embedding", dir1) _
+    ingest(batchA, 1L)
+    ingest(batchB, 2L)
+    ingest(batchA, 1L) // replayed batch id: must be a no-op
+    val logged = spark.read.parquet(s"$dir1/ingest_log")
+    assert(logged.count() == 2, "replay must not append or re-log")
+    assert(Similarity.cellStats(spark, dir1).totalRows == emb.count(),
+      "replayed batch must not duplicate rows")
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir2, cb,
+      nCells = 8)
+    val a = Similarity.knnIvfPqIndexed(spark, dir1, emb, "vec_id",
+      "embedding", qv, k = 10, nProbe = 3)
+    val b = Similarity.knnIvfPqIndexed(spark, dir2, emb, "vec_id",
+      "embedding", qv, k = 10, nProbe = 3)
+    assertSameRows(a, b)
+  }
+
   test("lsh knn returns a subset of the corpus ranked consistently with brute") {
     val brute = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 50)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
