@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryMinu
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BpeSegmentExpr, CharNgramHashes, DotProduct, HyperplaneSigs, MinHashBandBuckets, MinHashSig, PqEncodeCodes, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
+import graft.functions.{AudioEnergySig, BpeSegmentExpr, CharNgramHashes, DotProduct, HyperplaneSigs, ImageDHash, MediaFeaturesExpr, MinHashBandBuckets, MinHashSig, PqEncodeCodes, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
 
 /** Session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql` users get the codegen'd
@@ -27,6 +27,9 @@ import graft.functions.{BpeSegmentExpr, CharNgramHashes, DotProduct, HyperplaneS
   *   hyperplane_sigs(v, bands, bits, dim, seed) — sign-LSH band signatures
   *   pq_encode(v, cb, m, nCodes)   — PQ subspace codes vs a flat codebook
   *   bpe_segment(word, merges)     — BPE pieces vs a "left right" merge list
+  *   image_dhash(bytes)            — perceptual dHash (stub fallback)
+  *   audio_energy_sig(kind, bytes) — audio energy signature (stub fallback)
+  *   media_features(kind, bytes, w, h, dur, tw, th) — decode-features struct
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -126,6 +129,24 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity(args, 2, "bpe_segment")
         BpeSegmentExpr(args(0), args(1))
+      }),
+    ("image_dhash",
+      new ExpressionInfo(classOf[ImageDHash].getName, "image_dhash"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "image_dhash"); ImageDHash(args(0))
+      }),
+    ("audio_energy_sig",
+      new ExpressionInfo(classOf[AudioEnergySig].getName, "audio_energy_sig"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "audio_energy_sig"); AudioEnergySig(args(0), args(1))
+      }),
+    ("media_features",
+      new ExpressionInfo(classOf[MediaFeaturesExpr].getName, "media_features"),
+      (args: Seq[Expression]) => {
+        arity(args, 7, "media_features")
+        MediaFeaturesExpr(args(0), args(1), args(2), args(3), args(4),
+          intArg(args(5), "media_features", 6),
+          intArg(args(6), "media_features", 7))
       }))
 
   /** Register on an already-built session (temp functions). */

@@ -54,9 +54,9 @@ object Multimodal {
     * keep their deterministic fake features while a real PNG gets a
     * real decode. Runs inside mapPartitions: narrow, no shuffle.
     */
-  private def imageIoDecode(
-      m: MediaRecord, targetW: Int, targetH: Int): Option[MediaFeatures] = {
-    if (m.kind != "image") return None
+  private def imageCore(kind: String, bytes: Array[Byte],
+      targetW: Int, targetH: Int): Option[(Int, Long, Int, Int, Int)] = {
+    if (kind != "image") return None
     try {
       // an explicit memory-cached stream keeps the decode off ImageIO's
       // default disk-backed cache (pure contention at 32+ executor
@@ -64,7 +64,7 @@ object Multimodal {
       // for every other library in the JVM
       val img = javax.imageio.ImageIO.read(
         new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(m.bytes)))
+          new java.io.ByteArrayInputStream(bytes)))
       if (img == null) None
       else {
         val outW = math.min(img.getWidth, targetW)
@@ -80,8 +80,7 @@ object Multimodal {
           while (x < outW) { sum = sum * 31 + scaled.getRGB(x, y); x += 1 }
           y += 1
         }
-        Some(MediaFeatures(m.media_id, m.kind, m.bytes.length, sum,
-          outW, outH, 1))
+        Some((bytes.length, sum, outW, outH, 1))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -107,12 +106,23 @@ object Multimodal {
     * PCM — so arbitrarily long clips decode in constant memory inside
     * mapPartitions.
     */
-  private def javaSoundDecode(m: MediaRecord): Option[AudioFeatures] = {
-    if (m.kind != "audio") return None
+  private def javaSoundDecode(m: MediaRecord): Option[AudioFeatures] =
+    audioPcmCore(m.kind, m.bytes).map { case (rate, ch, frames, dur, sum) =>
+      AudioFeatures(m.media_id, rate, ch, frames, dur, sum)
+    }
+
+  /** (sample_rate, channels, pcm_frames, duration_ms, pcm_checksum)
+    * of a decodable audio payload — the per-row core shared by the
+    * typed [[decodeAudio]] stage and the [[graft.functions
+    * .MediaFeaturesExpr]] expression.
+    */
+  private[graft] def audioPcmCore(kind: String, bytes: Array[Byte])
+      : Option[(Int, Int, Long, Long, Long)] = {
+    if (kind != "audio") return None
     try {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
       val in = AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(m.bytes))
+        new java.io.ByteArrayInputStream(bytes))
       try {
         val pcmIn =
           if (in.getFormat.getEncoding == AudioFormat.Encoding.PCM_SIGNED) in
@@ -151,8 +161,7 @@ object Multimodal {
         val frames = total / math.max(fmt.getFrameSize, 1)
         val rate = math.round(fmt.getSampleRate)
         val durationMs = if (rate > 0) frames * 1000L / rate else 0L
-        Some(AudioFeatures(m.media_id, rate, fmt.getChannels, frames,
-          durationMs, sum))
+        Some((rate, fmt.getChannels, frames, durationMs, sum))
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }
@@ -173,39 +182,63 @@ object Multimodal {
   // images/audio. Deterministic in the payload so tests are stable,
   // and it touches every byte — same memory-access shape as a real
   // decode.
-  private def stubDecode(m: MediaRecord, targetW: Int, targetH: Int): MediaFeatures = {
+  private def stubCore(kind: String, bytes: Array[Byte], width: Int,
+      height: Int, durationMs: Long, targetW: Int,
+      targetH: Int): (Int, Long, Int, Int, Int) = {
     var sum = 1125899906842597L
     var i = 0
-    while (i < m.bytes.length) { sum = sum * 31 + (m.bytes(i) & 0xff); i += 1 }
-    val frames = m.kind match {
+    while (i < bytes.length) { sum = sum * 31 + (bytes(i) & 0xff); i += 1 }
+    val frames = kind match {
       case "image" => 1
       case "audio" => 0
-      case "video" => math.max(1, (m.duration_ms / 1000).toInt) // 1 fps sample
+      case "video" => math.max(1, (durationMs / 1000).toInt) // 1 fps sample
     }
-    MediaFeatures(m.media_id, m.kind, m.bytes.length, sum,
-      math.min(m.width, targetW), math.min(m.height, targetH), frames)
+    (bytes.length, sum,
+      math.min(width, targetW), math.min(height, targetH), frames)
   }
   // ──────────────────────────── /STUB ───────────────────────────
 
-  /** Decode + resize + frame-sample over partition-sized batches.
-    * Narrow transformation: inherits upstream partitioning, so at
-    * 100 TB this scales embarrassingly parallel; only the downstream
-    * per-kind aggregate shuffles.
+  /** The per-row decode core behind [[decodeFeatures]] and the
+    * `media_features` expression: real image decode, else real audio
+    * decode (checksum = DECODED-PCM checksum, n_frames = PCM frame
+    * count clamped to Int; width/height stay the metadata
+    * passthrough), else the deterministic stub. Returns
+    * (byte_len, checksum, out_width, out_height, n_frames).
+    */
+  private[graft] def featureCore(kind: String, bytes: Array[Byte],
+      width: Int, height: Int, durationMs: Long, targetW: Int,
+      targetH: Int): (Int, Long, Int, Int, Int) =
+    imageCore(kind, bytes, targetW, targetH)
+      .orElse(audioPcmCore(kind, bytes).map { case (_, _, frames, _, sum) =>
+        (bytes.length, sum,
+          math.min(width, targetW), math.min(height, targetH),
+          math.min(frames, Int.MaxValue.toLong).toInt)
+      })
+      .getOrElse(stubCore(kind, bytes, width, height, durationMs,
+        targetW, targetH))
+
+  /** Decode + resize + frame-sample. Since round 8 session 2 the
+    * per-row decode rides the codegen'd `media_features` expression
+    * (formerly a typed mapPartitions stage) — same narrow,
+    * embarrassingly-parallel shape, but the plan is fully declarative
+    * (m01 round-trips through SqlGen) and rows never pay the
+    * MediaRecord encoder round-trip. Only the downstream per-kind
+    * aggregate shuffles.
     */
   def decodeFeatures(media: DataFrame, targetW: Int = 256, targetH: Int = 256)
                     (implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    media.as[MediaRecord].mapPartitions(_.map { m =>
-      imageIoDecode(m, targetW, targetH)
-        .orElse(javaSoundDecode(m).map(a =>
-          // audio in the shared schema: checksum is the DECODED-PCM
-          // checksum, n_frames the PCM frame count (clamped to Int);
-          // width/height stay the metadata passthrough, as in the stub
-          MediaFeatures(m.media_id, m.kind, m.bytes.length, a.pcm_checksum,
-            math.min(m.width, targetW), math.min(m.height, targetH),
-            math.min(a.pcm_frames, Int.MaxValue.toLong).toInt)))
-        .getOrElse(stubDecode(m, targetW, targetH))
-    })
+    media.select(col("media_id"), col("kind"),
+        graft.functions.MediaKernelOps.mediaFeatures(
+          col("kind"), col("bytes"), col("width"), col("height"),
+          col("duration_ms"), targetW, targetH).as("f"))
+      .select(col("media_id"), col("kind"),
+        col("f.byte_len").as("byte_len"),
+        col("f.checksum").as("checksum"),
+        col("f.out_width").as("out_width"),
+        col("f.out_height").as("out_height"),
+        col("f.n_frames").as("n_frames"))
+      .as[MediaFeatures]
   }
 
   // dHash grid geometry: 9 columns × 8 rows of grayscale, 8 horizontal
@@ -276,27 +309,31 @@ object Multimodal {
     }
   }
 
-  /** Per-image 64-bit perceptual difference hash: REAL decode (same
-    * javax.imageio path as [[decodeFeatures]]) → 9×8 grayscale →
-    * [[dHashBits]]; undecodable payloads fall back to [[stubGrid]]'s
-    * deterministic fake pixels so the hash-join plumbing downstream is
-    * exercised (and oracle-replayable) on synthetic corpora. Narrow
-    * mapPartitions stage — embarrassingly parallel at 100 TB; only
-    * the downstream pair join shuffles.
+  /** Per-row dHash core: REAL decode (same javax.imageio path as
+    * [[decodeFeatures]]) → 9×8 grayscale → [[dHashBits]];
+    * undecodable payloads fall back to [[stubGrid]]'s deterministic
+    * fake pixels so the hash-join plumbing downstream is exercised
+    * (and oracle-replayable) on synthetic corpora.
     */
-  def imageDHash(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    media.as[MediaRecord].mapPartitions(_.map { m =>
-      val grid =
-        try {
-          val img = javax.imageio.ImageIO.read(
-            new javax.imageio.stream.MemoryCacheImageInputStream(
-              new java.io.ByteArrayInputStream(m.bytes)))
-          if (img == null) stubGrid(m.bytes) else grayGrid(img)
-        } catch { case scala.util.control.NonFatal(_) => stubGrid(m.bytes) }
-      (m.media_id, dHashBits(grid))
-    }).toDF("media_id", "phash")
+  private[graft] def dHashOf(bytes: Array[Byte]): Long = {
+    val grid =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes)))
+        if (img == null) stubGrid(bytes) else grayGrid(img)
+      } catch { case scala.util.control.NonFatal(_) => stubGrid(bytes) }
+    dHashBits(grid)
   }
+
+  /** Per-image 64-bit perceptual difference hash ([[dHashOf]] as the
+    * codegen'd `image_dhash` expression since round 8 session 2 —
+    * same narrow, embarrassingly-parallel shape, declarative plan;
+    * only the downstream pair join shuffles).
+    */
+  def imageDHash(media: DataFrame)(implicit spark: SparkSession): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.MediaKernelOps.imageDHash(col("bytes")).as("phash"))
 
   /** Image near-dup pairs within a hamming radius — the d02-equivalent
     * for the image side of a multimodal corpus: perceptual hashes via
@@ -324,12 +361,13 @@ object Multimodal {
     * non-audio kinds, undecodable payloads, and streams that don't
     * report a frame length (the window map needs the total).
     */
-  private def energySigFromAudio(m: MediaRecord): Option[Long] = {
-    if (m.kind != "audio") return None
+  private def energySigFromAudio(kind: String,
+      bytes: Array[Byte]): Option[Long] = {
+    if (kind != "audio") return None
     try {
       import javax.sound.sampled.{AudioFormat, AudioSystem}
       val in = AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(m.bytes))
+        new java.io.ByteArrayInputStream(bytes))
       try {
         val pcmIn =
           if (in.getFormat.getEncoding == AudioFormat.Encoding.PCM_SIGNED) in
@@ -409,18 +447,22 @@ object Multimodal {
     bits
   }
 
-  /** Per-clip 64-bit audio fingerprint: real decode where the JDK has
-    * a codec, [[stubAudioSig]]'s deterministic fake otherwise. Narrow
-    * mapPartitions stage — embarrassingly parallel at 100 TB; only
-    * the downstream pair join shuffles.
+  /** Per-row fingerprint core: real decode where the JDK has a codec,
+    * [[stubAudioSig]]'s deterministic fake otherwise.
+    */
+  private[graft] def audioSigOf(kind: String, bytes: Array[Byte]): Long =
+    energySigFromAudio(kind, bytes).getOrElse(stubAudioSig(bytes))
+
+  /** Per-clip 64-bit audio fingerprint ([[audioSigOf]] as the
+    * codegen'd `audio_energy_sig` expression since round 8 session
+    * 2 — same narrow, embarrassingly-parallel shape, declarative
+    * plan; only the downstream pair join shuffles).
     */
   def audioEnergySig(media: DataFrame)
-                    (implicit spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    media.as[MediaRecord].mapPartitions(_.map { m =>
-      (m.media_id, energySigFromAudio(m).getOrElse(stubAudioSig(m.bytes)))
-    }).toDF("media_id", "asig")
-  }
+                    (implicit spark: SparkSession): DataFrame =
+    media.select(col("media_id"),
+      graft.functions.MediaKernelOps.audioEnergySig(
+        col("kind"), col("bytes")).as("asig"))
 
   /** Audio near-dup pairs within a hamming radius — the d02-
     * equivalent for the audio side of a multimodal corpus, reusing

@@ -22,24 +22,21 @@ class SqlGenSpec extends SparkSpec {
   // The pipeline suite round-trips too — LSH banding self-joins
   // (side-qualified conditions), lambda HOFs (arrow syntax), the
   // codegen kernels (registered SQL functions carrying their
-  // parameters — including pq_encode and bpe_segment, whose
-  // codebook/merge-table children print as array literals, which is
-  // how the PQ family s10/s11/s12 and the BPE family t26/t27/p04/t30
-  // round-trip since round 8), windows with IGNORE NULLS. The only
-  // exclusions are inherently non-relational plans: iterative
-  // localCheckpoint (LogicalRDD barrier) and typed mapPartitions
-  // media-decode stages (SerializeFromObject) — none have a SQL
-  // rendering. Every excluded query still has a full DuckDB oracle
-  // (the driver gate), so exclusion here weakens nothing about
-  // correctness.
+  // parameters — pq_encode and bpe_segment print their codebook/
+  // merge-table children as array literals; image_dhash/
+  // audio_energy_sig/media_features made the multimodal queries
+  // declarative — all nine former typed-stage exclusions rejoined in
+  // round 8), windows with IGNORE NULLS. The only remaining
+  // exclusions are the two genuinely ITERATIVE plans (localCheckpoint
+  // severs lineage into a LogicalRDD barrier each round — no SQL
+  // rendering exists for a fixpoint loop). Both still have full
+  // DuckDB oracles (the driver gate), so exclusion here weakens
+  // nothing about correctness.
   private val pipelineRoundtrippable =
     graft.queries.Pipeline.all.filterNot(q =>
       Set(
         // d06/d08 ride duplicateClusters' localCheckpoint RDD barrier
         "d06_dup_clusters", "d08_quality_survivor",
-        // typed mapPartitions media decode (image/audio bytes)
-        "m01_multimodal_meta", "d12_image_phash_dedup",
-        "d14_audio_sig_dedup",
       ).contains(q.name))
 
   for (q <- roundtrippable ++ pipelineRoundtrippable) {
