@@ -493,14 +493,23 @@ object Dedup {
     * pair once.
     */
   def hammingPairs(sketched: DataFrame, idCol: String, sketchCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int,
+                   scope: CacheScope = batchScope): DataFrame = {
     val nChunks = maxHamming + 1
     require(nChunks <= 16, "radius > 15 would make chunks < 4 bits")
     // near-equal chunk widths summing to 64
     val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
-    val chunked = sketched
-      .select(col(idCol).as("id"), col(sketchCol).as("sim"))
+    // materialize the (id, sketch) projection ONCE: the sketch column
+    // (a simhash/dHash/audio-sig expression) is referenced by every
+    // chunk extraction on BOTH self-join sides — inlined, the
+    // optimizer duplicates the (expensive: decode/hash-set) producing
+    // expression up to 2·(nChunks+1) times per row (measured 12× in
+    // d12's optimized plan). The cache is two 8-byte columns per row —
+    // the hashed-projection persistTracked stance every banding
+    // operator here already takes.
+    val chunked = scope.persistTracked(
+        sketched.select(col(idCol).as("id"), col(sketchCol).as("sim")))
       .select(
         col("id"), col("sim"),
         explode(array((0 until nChunks).map { c =>

@@ -433,4 +433,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!phys.contains("SinglePartition"),
       s"unexpected global window/sort:\n$phys")
   }
+
+  test("hammingPairs materializes the sketch once (no per-chunk re-evaluation)") {
+    // the sketch expression (decode/hash — the expensive per-row work)
+    // is referenced by every chunk extraction on BOTH self-join
+    // sides; un-materialized, the optimizer inlines it up to
+    // 2·(nChunks+1) times per row (measured 12× for image_dhash
+    // before the round-8 fix — and the same duplication had been
+    // silently hitting simhash64 since round 4). The persistTracked
+    // projection must appear as an InMemoryRelation in the optimized
+    // plan, leaving the decode to run once per row at cache build.
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{Dedup, Multimodal}
+    val media = Multimodal.fromDocuments(
+        Tables.load(spark, sfDir, "documents").select("doc_id", "text"))
+      .where(col("kind") === "image")
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val plan = Multimodal.imageNearDup(media)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("InMemoryRelation"),
+      s"sketch projection not materialized before the chunk join:\n$plan")
+    Dedup.unpersistAll()
+  }
 }
