@@ -123,6 +123,44 @@ class SqlGenSpec extends SparkSpec {
       "AS _g2) AS _g3")
   }
 
+  test("golden text: round-8 kernels print their deriving parameters") {
+    import org.apache.spark.sql.functions._
+    Tables.register(spark, sfDir)
+    GraftExtensions.register(spark)
+    // pq_encode: the flattened codebook prints as an ARRAY literal
+    val pq = Tables.load(spark, sfDir, "embeddings").limit(4)
+      .select(graft.functions.VectorOps.pqEncodeCodes(
+        slice(col("embedding"), 1, 1), Array(0.5, -1.25),
+        m = 1, nCodes = 2).as("codes"))
+    val pqSql = SqlGen.toSql(pq)
+    assert(pqSql.contains("pq_encode(") && pqSql.contains("1, 2") &&
+      pqSql.toUpperCase.contains("ARRAY(0.5") , pqSql)
+    assertSameRows(pq, spark.sql(pqSql))
+    // bpe_segment: merge table prints as an array of "left right"
+    val merges = Seq(graft.operators.TextAnalysis.BpeMerge(1, "a", "b", 5L))
+    val bpe = Tables.load(spark, sfDir, "documents").limit(4)
+      .select(graft.functions.TextKernelOps.bpeSegment(
+        substring(col("text"), 1, 6), merges).as("pieces"))
+    val bpeSql = SqlGen.toSql(bpe)
+    assert(bpeSql.contains("bpe_segment(") && bpeSql.contains("a b"), bpeSql)
+    assertSameRows(bpe, spark.sql(bpeSql))
+    // media kernels: bare function names (no derived constants)
+    val media = graft.operators.Multimodal.fromDocuments(
+      Tables.load(spark, sfDir, "documents").select("doc_id", "text")).limit(4)
+    val md = media.select(
+      graft.functions.MediaKernelOps.imageDHash(col("bytes")).as("ph"),
+      graft.functions.MediaKernelOps.audioEnergySig(
+        col("kind"), col("bytes")).as("as_"),
+      graft.functions.MediaKernelOps.mediaFeatures(
+        col("kind"), col("bytes"), col("width"), col("height"),
+        col("duration_ms"), 256, 256).as("f"))
+    val mdSql = SqlGen.toSql(md)
+    assert(mdSql.contains("image_dhash(") &&
+      mdSql.contains("audio_energy_sig(") &&
+      mdSql.contains("media_features(") && mdSql.contains("256, 256"), mdSql)
+    assertSameRows(md, spark.sql(mdSql))
+  }
+
   test("golden text: CTE keeps its name and positional GROUP BY") {
     Tables.register(spark, sfDir)
     val df = spark.sql(
