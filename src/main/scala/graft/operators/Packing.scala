@@ -62,6 +62,58 @@ object Packing {
         sum(col("n_tok")).cast("long").as("n_tokens"))
   }
 
+  /** Length-bucketed batch manifest: group documents into token-length
+    * buckets, then cut each (bucket, shard) stream into fixed-count
+    * batches — the padding-minimizing layout for non-packed training
+    * and inference: a batch pads every member to its own max length,
+    * so batching SIMILAR lengths together is what turns O(maxlen)
+    * waste into O(bucket width). `pad_tokens` in the output is that
+    * waste, measured — the number a pipeline owner reads to size the
+    * bucket bounds.
+    *
+    * No global sort, deliberately (the [[Sampling.curriculumOrder]]
+    * stance): buckets come from FIXED bounds on the deterministic
+    * token count (first bound above wins — `bucket` = how many bounds
+    * the doc meets, so bucket 0 is the shortest band and
+    * `bounds.size` the overflow band); the only window partitions by
+    * (bucket, shard) with the decorrelated t18 second hash ordering,
+    * so batch composition is independent of both id order and shard
+    * choice, and every window stays corpus/(buckets·shards)-bounded.
+    *
+    * Output: one row per (bucket, shard, batch) — n_docs (≤
+    * `batchSize`; the stream's last batch may be partial),
+    * max_tokens, sum_tokens, pad_tokens = n_docs·max − sum.
+    */
+  def lengthBucketBatches(df: DataFrame, idCol: String,
+      tokenCount: Column, bounds: Seq[Int], batchSize: Int,
+      numShards: Int): DataFrame = {
+    require(batchSize > 0, "lengthBucketBatches: batchSize must be positive")
+    require(bounds.nonEmpty &&
+        bounds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "lengthBucketBatches: bounds must be strictly increasing and " +
+        "non-empty (duplicate bounds would create unreachable buckets)")
+    val nTok = col("n_tok")
+    val bucket = bounds.tail.zipWithIndex
+      .foldLeft(when(nTok < lit(bounds.head), 0)) {
+        case (acc, (b, i)) => acc.when(nTok < lit(b), i + 1)
+      }.otherwise(bounds.size).cast("int")
+    df.select(col(idCol).as("id"), tokenCount.as("n_tok"))
+      .withColumn("bucket", bucket)
+      .withColumn("shard", shardOf(col("id"), numShards).cast("int"))
+      .withColumn("_lb_ord", Sampling.curriculumOrd(col("id")))
+      .withColumn("batch",
+        floor((row_number().over(
+          Window.partitionBy("bucket", "shard")
+            .orderBy(col("_lb_ord"), col("id"))) - 1)
+          / lit(batchSize.toDouble)).cast("int"))
+      .groupBy("bucket", "shard", "batch")
+      .agg(count(lit(1)).as("n_docs"),
+        max(nTok).as("max_tokens"),
+        sum(nTok).cast("long").as("sum_tokens"))
+      .withColumn("pad_tokens",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
   /** Input row shape for [[streamingPackSequences]]. */
   final case class PackInput(doc_id: Long, shard: Int, n_tok: Long)
 

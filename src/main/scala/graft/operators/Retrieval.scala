@@ -78,6 +78,66 @@ object Retrieval {
     scoreTopK(matched, stats, qterms, k, k1, b)
   }
 
+  /** Positional exact-phrase search: rank documents by how many times
+    * the query phrase occurs as a CONSECUTIVE token run — the
+    * "quoted query" next to [[bm25]]'s bag-of-words ranking, and the
+    * sharper tool for targeted corpus slicing ("every doc containing
+    * this exact benchmark prompt").
+    *
+    * The position-alignment formulation: explode both sides WITH
+    * positions, join on term, and bucket every (doc pos, query pos)
+    * match by `anchor = pos − qpos`. An anchor holding matches for ALL
+    * qlen query positions is one complete occurrence starting there.
+    * One join + two aggregates for ANY phrase length — never the
+    * per-term self-join chain (a 6-word phrase would cost 5 postings
+    * joins, re-shuffling postings each step). Matched (anchor, qpos)
+    * pairs are unique by construction — pos = anchor + qpos pins the
+    * doc position — so a plain count IS the distinct-qpos count, and
+    * full coverage forces qpos = 0 to match, making anchors ≥ 0
+    * automatic. A phrase with a repeated term works for the same
+    * reason: each qpos needs its own aligned doc position.
+    *
+    * Scale shape: corpus tokenized once (the bm25 `scope` contract);
+    * the tiny phrase-term table broadcasts into the exploded tokens
+    * BEFORE any shuffle, so the only exchanges carry query-term
+    * positions — keyed (query, doc, anchor) then (query, doc), both
+    * map-side combined; top-k per query is the bounded TopK heap,
+    * never a window sort.
+    *
+    * Output: (query_id, rank, doc_id, n_occurrences), rank 1 = most
+    * occurrences, ties → smaller doc id; zero-match queries emit no
+    * rows. A single-term phrase degenerates to tf ranking.
+    */
+  def phraseSearch(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, queryIdCol: String, phraseCol: String,
+      k: Int, scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
+    require(k >= 1, "phraseSearch: k must be positive")
+    val toked = scope.persistTracked(docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("_ph_toks")))
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      posexplode(TextAnalysis.tokens(col(phraseCol)))
+        .as(Seq("qpos", "term")))
+    val qlen = qterms.groupBy("query_id").agg(count(lit(1)).as("qlen"))
+    val anchors = toked
+      .select(col("doc_id"), posexplode(col("_ph_toks")).as(Seq("pos", "term")))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"),
+        (col("pos") - col("qpos")).as("anchor"))
+      .agg(count(lit(1)).as("hits"))
+    val occ = anchors
+      .join(broadcast(qlen), Seq("query_id"))
+      .where(col("hits") === col("qlen"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+    occ.groupBy("query_id")
+      .agg(graft.functions.TopK.topkLong(
+        col("n_occurrences"), col("doc_id"), k).as("_t"))
+      .select(col("query_id"), posexplode(col("_t")).as(Seq("_p", "_w")))
+      .select(col("query_id"), (col("_p") + 1).cast("int").as("rank"),
+        col("_w.id").as("doc_id"), col("_w.ord").as("n_occurrences"))
+  }
+
   /** The query side: (query_id, term), per-query distinct. */
   private def queryTerms(
       queries: DataFrame, queryIdCol: String, queryTextCol: String): DataFrame =

@@ -393,6 +393,65 @@ object Similarity {
           .as("purity"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by clustering first, then pruning near-duplicate
+    * embeddings WITHIN each cluster only. A vector is pruned when its
+    * cosine against a LOWER-id cluster-mate meets `threshold`; the
+    * lowest id of each near-duplicate neighborhood survives — a
+    * deterministic stand-in for the paper's "keep one per group"
+    * (any tie-break works; id order is replayable cross-engine).
+    *
+    * Scale shape: the centroid assignment is the [[buildIvfIndex]]
+    * pass — bounded centroids broadcast into a codegen'd when-chain,
+    * NARROW, no shuffle. The pair step shuffles on `cell` and
+    * compares only within a cluster, so the quadratic blow-up of
+    * all-pairs cosine becomes Σ|cellᵢ|² — the whole point of the
+    * paper's design: pick `nClusters` ∝ corpus size so E|cell| stays
+    * bounded (10⁵ clusters at 10⁸ docs → ~10³-sized cells) and the
+    * pair join is linear-ish in the corpus. `maxClusterSize` is the
+    * skew guard for the degenerate cluster (boilerplate/all-zero
+    * rays): an oversized cell would contribute |cell|² pairs, so its
+    * members SKIP pairing and are all kept — conservative (never
+    * drops data), same direction as the d02/d09 flood caps. Norms are
+    * computed once per vector, not per pair (the d05 stance); the
+    * per-pair cosine re-derives from dot/(nrm·nrm) with the exact
+    * [[graft.functions.VectorOps.cosine]] op order so another engine
+    * replays it bit-identically.
+    *
+    * Output: one row per input vector — (id, cluster, kept).
+    */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      nClusters: Int, threshold: Double,
+      strategy: CentroidStrategy = SeededCentroids,
+      maxClusterSize: Long = Long.MaxValue): DataFrame = {
+    val cents = centroidVectors(df, idCol, vecCol, nClusters, strategy)
+    val assigned = assignCells(df, idCol, vecCol, cents)
+    val members =
+      if (maxClusterSize == Long.MaxValue) assigned
+      else {
+        val oversized = assigned.groupBy("cell")
+          .agg(count(lit(1)).as("n")).where(col("n") > maxClusterSize)
+          .select("cell")
+        // ≤ nClusters rows by construction — broadcast the exclusion
+        assigned.join(broadcast(oversized), Seq("cell"), "left_anti")
+      }
+    val withNorm = members.select(col("id"), col("cell"), col("vec"),
+      VectorOps.norm(col("vec")).as("nrm"))
+    val pruned = withNorm.as("a")
+      .join(withNorm.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") > col("b.id"))
+      .select(col("a.id").as("id"),
+        when(col("a.nrm") * col("b.nrm") === 0d, 0d)
+          .otherwise(VectorOps.dot(col("a.vec"), col("b.vec")) /
+                     (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .select("id").distinct()
+    assigned.select(col("id"), col("cell").as("cluster"))
+      .join(pruned.withColumn("isPruned", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cluster"), col("isPruned").isNull.as("kept"))
+  }
+
   /** IVF probe: rank the query against the same deterministic
     * centroids, brute-force only the `nProbe` best cells. At scale the
     * index is pre-built and partitioned by cell, so this reads

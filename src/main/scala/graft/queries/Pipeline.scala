@@ -860,6 +860,41 @@ object Pipeline {
       },
       Some(d05OracleSql)),
 
+    // SemDeDup: cluster by nearest deterministic centroid (the s03
+    // assignment — 16 lowest-id vectors, argmax dot, ties → lower
+    // cell), then prune any vector whose cosine against a LOWER-id
+    // cluster-mate meets the threshold. Oracle replays centroids,
+    // assignment, intra-cluster pairs and the NOT-EXISTS survivor
+    // rule with the mirrored cosine.
+    Q("d15_semdedup",
+      (s, dir) => {
+        Similarity.semDedup(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", nClusters = 16, threshold = 0.4)
+          .orderBy("id")
+      },
+      Some(s"""WITH cent AS (
+             |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+             |), e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), assigned AS (
+             |  SELECT vec_id, v, cell,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id
+             |      ORDER BY list_dot_product(v, cv) DESC, cell ASC) AS rn
+             |  FROM e CROSS JOIN cent
+             |), mem AS (
+             |  SELECT vec_id, v, cell FROM assigned WHERE rn = 1
+             |), pruned AS (
+             |  SELECT DISTINCT a.vec_id FROM mem a JOIN mem b
+             |    ON a.cell = b.cell AND a.vec_id > b.vec_id
+             |  WHERE ${cosineSql("a.v", "b.v")} >= 0.4
+             |)
+             |SELECT m.vec_id AS id, CAST(m.cell AS INT) AS cluster,
+             |  (p.vec_id IS NULL) AS kept
+             |FROM mem m LEFT JOIN pruned p ON m.vec_id = p.vec_id
+             |ORDER BY id""".stripMargin)),
+
     // semantic (embedding-space) cross-corpus decontamination: the
     // paraphrase-level twin of d07 — train vectors near-parallel to
     // any eval vector. Same deterministic hyperplanes on both sides;
@@ -2776,6 +2811,49 @@ object Pipeline {
              |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
              |FROM c GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin)),
 
+    // length-bucketed batch manifest: fixed token-count bounds
+    // (32/56/80 ≈ the corpus quartiles), t18-hash shard + decorrelated
+    // within-(bucket, shard) order, batches of 8, padding waste
+    // measured per batch. Oracle replays bounds, both hashes, the
+    // window and the rollup.
+    Q("p05_length_buckets",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Packing.lengthBucketBatches(docs, "doc_id",
+            TextAnalysis.wsTokenCount(col("text")),
+            bounds = Seq(32, 56, 80), batchSize = 8, numShards = 4)
+          .orderBy("bucket", "shard", "batch")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(text),
+             |      '[ \t\n\v\f\r]+'), x -> x <> '')) AS INT) AS n_tok,
+             |    CAST(((doc_id % 2147483647) * 2654435761) % 4 AS INT)
+             |      AS shard,
+             |    ((doc_id % 2147483647 + 9176) * 1540483477) % 1000003
+             |      AS ord
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id, n_tok, shard, ord,
+             |    CASE WHEN n_tok < 32 THEN 0 WHEN n_tok < 56 THEN 1
+             |         WHEN n_tok < 80 THEN 2 ELSE 3 END AS bucket
+             |  FROM t
+             |), r AS (
+             |  SELECT bucket, shard, n_tok,
+             |    CAST(FLOOR((ROW_NUMBER() OVER (
+             |      PARTITION BY bucket, shard ORDER BY ord, doc_id) - 1)
+             |      / 8.0) AS INT) AS batch
+             |  FROM b
+             |), g AS (
+             |  SELECT bucket, shard, batch, COUNT(*) AS n_docs,
+             |    MAX(n_tok) AS max_tokens,
+             |    CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+             |  FROM r GROUP BY bucket, shard, batch
+             |)
+             |SELECT bucket, shard, batch, n_docs, max_tokens, sum_tokens,
+             |  n_docs * max_tokens - sum_tokens AS pad_tokens
+             |FROM g ORDER BY bucket, shard, batch""".stripMargin)),
+
     // sliding-window chunking: 512-token windows, 384 stride (1/4
     // overlap = 128), start offsets {0, 384, …} < max(n_tok - 128, 1)
     // (a window adding no new tokens is dropped). Narrow explode, no
@@ -2868,6 +2946,67 @@ object Pipeline {
              |)
              |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
              |  score_i / 1000000.0 AS score
+             |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // positional exact-phrase search: anchor = pos - qpos alignment,
+    // full-coverage anchors are occurrences, rank by occurrence count.
+    // Oracle replays positional postings (the d13 struct-comprehension
+    // idiom), the alignment join and both aggregates.
+    Q("s13_phrase_search",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val probes = Seq(
+          (1, "table hash"),
+          (2, "stream table hash"),
+          (3, "vector small")).toDF("query_id", "phrase")
+        graft.operators.Retrieval.phraseSearch(docs, "doc_id", "text",
+            probes, "query_id", "phrase", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH q(query_id, qtext) AS (
+             |  VALUES (1, 'table hash'), (2, 'stream table hash'),
+             |         (3, 'vector small')
+             |), d AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \t\n\v\f\r]+'), x -> x <> '') AS w
+             |  FROM documents
+             |), p0 AS (
+             |  SELECT doc_id, unnest([{'pos': i, 'tok': w[i + 1]}
+             |                         for i in range(0, len(w))]) AS u
+             |  FROM d
+             |), postings AS (
+             |  SELECT doc_id, u.pos AS pos, u.tok AS term FROM p0
+             |), qa AS (
+             |  SELECT query_id, list_filter(regexp_split_to_array(
+             |    trim(lower(qtext)), '[ \t\n\v\f\r]+'), x -> x <> '') AS w
+             |  FROM q
+             |), q0 AS (
+             |  SELECT query_id, unnest([{'pos': i, 'tok': w[i + 1]}
+             |                           for i in range(0, len(w))]) AS u
+             |  FROM qa
+             |), qterms AS (
+             |  SELECT query_id, u.pos AS qpos, u.tok AS term FROM q0
+             |), qlen AS (
+             |  SELECT query_id, COUNT(*) AS qlen FROM qterms GROUP BY query_id
+             |), anchors AS (
+             |  SELECT qt.query_id, p.doc_id, p.pos - qt.qpos AS anchor,
+             |    COUNT(*) AS hits
+             |  FROM postings p JOIN qterms qt ON p.term = qt.term
+             |  GROUP BY qt.query_id, p.doc_id, p.pos - qt.qpos
+             |), occ AS (
+             |  SELECT a.query_id, a.doc_id, COUNT(*) AS n_occurrences
+             |  FROM anchors a JOIN qlen l
+             |    ON a.query_id = l.query_id AND a.hits = l.qlen
+             |  GROUP BY a.query_id, a.doc_id
+             |), r AS (
+             |  SELECT query_id, doc_id, n_occurrences,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY n_occurrences DESC, doc_id ASC) AS rnk
+             |  FROM occ
+             |)
+             |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
+             |  n_occurrences
              |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     // canonical-URL dedup curation: normalize crawl URLs (t19's

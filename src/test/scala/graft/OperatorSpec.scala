@@ -735,6 +735,59 @@ class SimilaritySpec extends SparkSpec {
     assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
   }
 
+  test("semDedup: lowest-id survives, pruning chains, clusters scope the pairs") {
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    // centroids (SeededCentroids, nClusters=2) = ids 0/1 → 0° and 90°.
+    // cell0 = {0@0°, 2@10°, 3@28°, 5@44°}, cell1 = {1@90°, 4@47°}.
+    // thr 0.95 ≈ cos(18.2°): 2 pruned by 0 (cos10°=.985); 3 pruned by
+    // 2 (cos18°=.951 — chains through an already-pruned doc); 5 pruned
+    // by 3 (cos16°=.961); 4 kept (vs 1: cos43°=.731) even though its
+    // nearest neighbor 5 sits at cos3°=.9986 — CROSS-cluster pairs are
+    // never compared (the SemDeDup recall/efficiency trade).
+    val df = Seq(
+      0L -> v(0), 1L -> v(90), 2L -> v(10),
+      3L -> v(28), 4L -> v(47), 5L -> v(44)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+        nClusters = 2, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L),
+      "one row per input vector")
+    assert(out.view.mapValues(_._1).toMap ==
+      Map(0L -> 0, 2L -> 0, 3L -> 0, 5L -> 0, 1L -> 1, 4L -> 1))
+    assert(out.view.mapValues(_._2).toMap ==
+      Map(0L -> true, 1L -> true, 4L -> true,
+          2L -> false, 3L -> false, 5L -> false))
+  }
+
+  test("semDedup maxClusterSize: oversized cluster skips pairing, all kept") {
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = Seq(
+      0L -> v(0), 1L -> v(90), 2L -> v(10),
+      3L -> v(28), 4L -> v(47), 5L -> v(44)
+    ).toDF("vec_id", "embedding")
+    // cell0 has 4 members > cap 3 → flood-guarded: no pairing, all
+    // kept (conservative). cell1 (2 ≤ 3) still dedups — 4 kept anyway.
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+        nClusters = 2, threshold = 0.95, maxClusterSize = 3L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.values.forall(identity), "guarded cluster keeps everything")
+    assert(out.size == 6)
+  }
+
+  test("semDedup pair join shuffles on cluster, never cartesian") {
+    val plan = Similarity.semDedup(emb, "vec_id", "embedding",
+        nClusters = 8, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"),
+      "intra-cluster pairs must come from an equi-join on cell")
+  }
+
   test("knn classification predicts the planted cluster label") {
     val df = Seq(
       (0L, Array(1f, 0f), 1), (1L, Array(0.9f, 0.1f), 1),

@@ -63,6 +63,50 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("lengthBucketBatches: bucket bounds, per-batch aggregates, pad waste") {
+    // batchSize 10 → one batch per bucket, so the aggregates are
+    // order-independent and hand-checkable
+    val d = docs(1L -> 3, 2L -> 4, 3L -> 7, 4L -> 12, 5L -> 20)
+    val out = Packing.lengthBucketBatches(d, "id", col("n"),
+        bounds = Seq(5, 10), batchSize = 10, numShards = 1)
+      .orderBy("bucket")
+      .select("bucket", "shard", "batch", "n_docs", "max_tokens",
+        "sum_tokens", "pad_tokens")
+      .as[(Int, Int, Int, Long, Int, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0, 0, 0, 2L, 4, 7L, 1L),    // 3,4 pad to 4 → 1 wasted
+      (1, 0, 0, 1L, 7, 7L, 0L),
+      (2, 0, 0, 2L, 20, 32L, 8L))) // 12,20 pad to 20 → 8 wasted
+  }
+
+  test("lengthBucketBatches: batches cut at batchSize, tokens conserved") {
+    val d = docs((1L to 5L).map(_ -> 4): _*)
+    val out = Packing.lengthBucketBatches(d, "id", col("n"),
+        bounds = Seq(10), batchSize = 2, numShards = 1)
+      .select("batch", "n_docs", "sum_tokens")
+      .as[(Int, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._2) == Seq(2L, 2L, 1L), "5 docs at batchSize 2")
+    assert(out.map(_._3).sum == 20L, "every token accounted for")
+  }
+
+  test("lengthBucketBatches: window partitions on (bucket, shard); bad args fail") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val plan = Packing.lengthBucketBatches(d, "doc_id",
+        TextAnalysis.wsTokenCount(col("text")),
+        bounds = Seq(32, 56, 80), batchSize = 8, numShards = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("windowspecdefinition(bucket"),
+      s"window must partition on (bucket, shard), never global:\n$plan")
+    intercept[IllegalArgumentException] {
+      Packing.lengthBucketBatches(d, "doc_id", lit(1),
+        bounds = Seq(5, 5), batchSize = 8, numShards = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.lengthBucketBatches(d, "doc_id", lit(1),
+        bounds = Seq(5), batchSize = 0, numShards = 4)
+    }
+  }
+
   test("streamingPackSequences: one-batch run reproduces the batch manifest") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val sp: org.apache.spark.sql.SparkSession = spark

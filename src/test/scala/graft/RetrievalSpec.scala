@@ -267,4 +267,59 @@ class RetrievalSpec extends SparkSpec {
         s"expected broadcast joins for the query-side tables:\n$plan")
     } finally scope.release()
   }
+
+  private lazy val phraseCorpus = Seq(
+    (1L, "a b c a b c a b"),
+    (2L, "a a a a"),
+    (3L, "b a"),
+    (4L, "a b a b a"),
+    (5L, "")) // token-less: can never match
+    .toDF("doc_id", "text")
+
+  private def phraseQueries(qs: (Int, String)*) =
+    qs.toSeq.toDF("query_id", "phrase")
+
+  private def runPhrase(qs: (Int, String)*): Map[Int, Seq[(Int, Long, Long)]] =
+    Retrieval.phraseSearch(phraseCorpus, "doc_id", "text",
+        phraseQueries(qs: _*), "query_id", "phrase", k = 10)
+      .select("query_id", "rank", "doc_id", "n_occurrences")
+      .as[(Int, Int, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(t => (t._2, t._3, t._4)).toSeq).toMap
+
+  test("phraseSearch counts consecutive-run occurrences, overlaps included") {
+    val out = runPhrase(1 -> "a b", 2 -> "a a", 3 -> "a b a")
+    // "a b": doc1 at anchors 0/3/6, doc4 at 0/2; doc3 is "b a" — no
+    assert(out(1) == Seq((1, 1L, 3L), (2, 4L, 2L)))
+    // "a a": doc2's run of four = THREE overlapping occurrences
+    assert(out(2) == Seq((1, 2L, 3L)))
+    // repeated-term phrase: each qpos needs its own aligned position
+    assert(out(3) == Seq((1, 4L, 2L)))
+  }
+
+  test("phraseSearch: single term degenerates to tf, ties rank by doc id") {
+    val out = runPhrase(1 -> "a")
+    // tf(a): doc2=4, doc1=3, doc4=3 (tie → smaller id first), doc3=1
+    assert(out(1) == Seq((1, 2L, 4L), (2, 1L, 3L), (3, 4L, 3L), (4, 3L, 1L)))
+  }
+
+  test("phraseSearch: zero-match and token-less queries emit no rows") {
+    assert(runPhrase(1 -> "z q", 2 -> "  ").isEmpty)
+  }
+
+  test("phraseSearch plan: one alignment join, heap top-k, no window") {
+    val scope = new Dedup.CacheScope
+    try {
+      val plan = Retrieval.phraseSearch(phraseCorpus, "doc_id", "text",
+          phraseQueries(1 -> "a b"), "query_id", "phrase", k = 3,
+          scope = scope)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("topk_rows"),
+        s"expected the bounded topk_rows heap:\n$plan")
+      assert(!plan.contains("Window"),
+        s"no window sort should appear in the phrase plan:\n$plan")
+      assert(plan.linesIterator.count(_.contains("BroadcastExchange")) >= 2,
+        s"query terms and lengths must broadcast:\n$plan")
+    } finally scope.release()
+  }
 }
