@@ -43,6 +43,12 @@ object ScaleProbeXL {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val reps: Seq[Int] =
       if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(20, 60, 200)
+    // local-iteration family filter (comma-separated probe names as
+    // printed in the [probe-xl] lines); empty/unset = run everything
+    val families: Set[String] = sys.env.get("SPARK_GRAFT_PROBE_FAMILIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+    def fam(n: String): Boolean = families.isEmpty || families(n)
     // heap comes from build.sbt's fork JVM opts — spark.driver.memory
     // set at builder time is a no-op for an already-started local JVM
     val spark = SparkSession.builder()
@@ -89,7 +95,7 @@ object ScaleProbeXL {
       }.reduce(_ unionByName _)
 
     // ── dedup LSH: pairs must scale with families (rep/20), not corpus² ──
-    for (rep <- reps) {
+    if (fam("minhash")) for (rep <- reps) {
       val big = saltedDocs(rep)
       val t0 = System.nanoTime()
       val nPairs = operators.Dedup.minhashDuplicates(
@@ -102,7 +108,7 @@ object ScaleProbeXL {
     }
 
     // ── embedding LSH: bitsPerBand=16 per the log2(corpus) rule ──
-    for (rep <- reps) {
+    if (fam("cosine")) for (rep <- reps) {
       val big = saltedEmb(rep)
       val t0 = System.nanoTime()
       val nPairs = operators.Similarity.cosineDuplicates(
@@ -118,7 +124,7 @@ object ScaleProbeXL {
     // growth is linear in rep by construction) ──
     val evalSplit = docs.where(col("doc_id") % 10 === 0)
     val train1 = docs.where(col("doc_id") % 10 =!= 0)
-    for (rep <- reps) {
+    if (fam("decontaminate")) for (rep <- reps) {
       val train = (0 until rep).map { i =>
         train1.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
           col("text"))
@@ -134,7 +140,7 @@ object ScaleProbeXL {
 
     // ── batch-ANN over a persisted IVF index at 400k vectors: the
     // carrying metric is files read / total files ──
-    {
+    if (fam("batch-ann")) {
       val rep = reps.max
       val big = saltedEmb(rep)
       val queries5 = emb.orderBy("vec_id").limit(5)
@@ -163,7 +169,7 @@ object ScaleProbeXL {
     // fixed by construction); index growth contributes only the
     // columnar (band, bucket) scan. Build time may grow linearly —
     // that is the once-per-corpus cost the index exists to amortize. ──
-    for (rep <- Seq(reps.min, reps.max)) {
+    if (fam("lsh-index")) for (rep <- Seq(reps.min, reps.max)) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-xl-lsh$rep").toString
       val big = saltedDocs(rep)
@@ -189,7 +195,7 @@ object ScaleProbeXL {
     // ≈ |probed buckets|/numBuckets at both scales, and probe time
     // grows with the probed buckets' bytes (corpus/numBuckets), never
     // with a corpus-wide postings scan or a vocabulary aggregate. ──
-    for (rep <- Seq(reps.min, reps.max)) {
+    if (fam("bm25-index")) for (rep <- Seq(reps.min, reps.max)) {
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-xl-bm25-$rep").toString
       val big = saltedDocs(rep)
@@ -237,7 +243,7 @@ object ScaleProbeXL {
     // family is duplicated; different families' windows contain
     // different group tokens, so they never collide). Budget: time and
     // span mass both ≤ linear in rep. ──
-    for (rep <- Seq(reps.min, reps.max)) {
+    if (fam("dup-windows")) for (rep <- Seq(reps.min, reps.max)) {
       val big = saltedDocs(rep)
       val t0 = System.nanoTime()
       val spans = operators.Dedup.duplicatedWindowSpans(
@@ -256,7 +262,7 @@ object ScaleProbeXL {
     // k·overfetch rows per (query, partition) at BOTH scales — the
     // output row count is exactly k·|queries| at any corpus size, the
     // candidates-flat contract. Budget: time ≤ linear in rep. ──
-    {
+    if (fam("batch-pq")) {
       val cbp = operators.Similarity.pqSeededCodebook(
         emb, "vec_id", "embedding", m = 4, nCodes = 16)
       val queries5 = emb.orderBy("vec_id").limit(5)
@@ -273,12 +279,35 @@ object ScaleProbeXL {
       }
     }
 
+    // ── SemDeDup (d15): corpus AND nClusters grow 10× TOGETHER — the
+    // paper's scale stance, viable only with the nearest_centroid
+    // kernel (a greatest-chain assignment would be 640 expression
+    // nodes at rep=40). With k ∝ n the intra-cluster pair mass
+    // Σ|cell|² ≈ n²/k grows linearly, and the true twins (20-copy
+    // families) grow exactly 10×. Budget: time ≤ linear in rep. ──
+    if (fam("semdedup")) for (rep <- Seq(4, 40)) {
+      val big = saltedEmb(rep)
+      val nClusters = 16 * rep
+      val t0 = System.nanoTime()
+      val out = operators.Similarity.semDedup(
+        big, "vec_id", "embedding", nClusters, threshold = 0.4,
+        strategy = operators.Similarity.KMeansCentroids(
+          sampleSize = 4096, iters = 10, seed = 42L))
+      val agg = out.agg(count(lit(1)),
+        sum(when(col("kept"), 0L).otherwise(1L))).head()
+      val (nRows, nPruned) = (agg.getLong(0), agg.getLong(1))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe-xl] semdedup rep=$rep%-4d vectors=${n0 * rep}%-8d " +
+        f"clusters=$nClusters%-5d pruned=$nPruned%-8d rows=$nRows%-8d " +
+        f"time=$sec%.1fs")
+    }
+
     // ── bloom runtime filter at 10× the fact side: the surviving-row
     // RATIO is the scale quantity — it must hold as the probe side
     // grows, because it is what the exchange carries at 100 TB ──
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
+    try if (fam("bloom")) {
       val li1 = Tables.load(spark, sfDir, "lineitem")
       val sel = Tables.load(spark, sfDir, "orders")
         .where(col("o_orderpriority") === "1-URGENT" &&

@@ -373,6 +373,132 @@ case class PqEncodeCodes(vec: Expression, codebook: Expression,
   override def prettyName: String = "pq_encode"
 }
 
+/** Nearest-centroid cell assignment in ONE codegen'd pass: argmax
+  * over `nCells` centroids of the sequential dot product (ties →
+  * LOWEST cell — the `Similarity.assignCells` contract, scan order
+  * ascending with a strict improve test). The centroid table rides as
+  * a FOLDABLE `array<double>` child flattened cell-major
+  * (`cents[c·dim + j]`), so the expression is structural and `.sql`
+  * prints a replayable `nearest_centroid(vec, ARRAY(…), dim)` call —
+  * the same kernel-family stance as [[PqEncodeCodes]].
+  *
+  * Why a kernel and not a `greatest(struct…)` chain: the chain costs
+  * O(nCells) EXPRESSION NODES — fine at 16 cells, a codegen explosion
+  * at the k ∝ corpus sizes SemDeDup/IVF need (10⁵ clusters at 10⁸
+  * docs). Here nCells lives in a data array: per-row cost is
+  * nCells·dim flops inside whole-stage codegen with TWO nodes total,
+  * at any k. The dot accumulates in the exact [[DotProduct]] order
+  * (ascending j, x cast to double first), so swapping the chain for
+  * the kernel changes no oracle hash.
+  */
+case class NearestCentroid(vec: Expression, centroids: Expression,
+                           dim: Int)
+    extends BinaryExpression {
+
+  require(dim >= 1, "nearest_centroid: dim must be >= 1")
+
+  override def left: Expression = vec
+  override def right: Expression = centroids
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (vec.dataType, centroids.dataType) match {
+      case (ArrayType(vt, _), ArrayType(ct, _))
+          if (vt == FloatType || vt == DoubleType) && ct == DoubleType =>
+        if (!centroids.foldable)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "nearest_centroid: centroids must be a literal array")
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects (array<float|double>, array<double> " +
+            s"literal), got ${vec.dataType.simpleString} and " +
+            s"${centroids.dataType.simpleString}")
+    }
+  }
+
+  @transient private lazy val flatCents: Array[Double] = {
+    val arr = centroids.eval().asInstanceOf[ArrayData]
+    val out = new Array[Double](arr.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = arr.getDouble(i); i += 1 }
+    require(out.length >= dim && out.length % dim == 0,
+      s"nearest_centroid: centroid array length ${out.length} not a " +
+        s"positive multiple of dim = $dim")
+    out
+  }
+  @transient private lazy val nCells: Int = flatCents.length / dim
+
+  override def sql: String =
+    s"nearest_centroid(${vec.sql}, ${centroids.sql}, $dim)"
+
+  private def vecIsFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any, _c: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearest_centroid: vector dim ${arr.numElements()} != $dim")
+    val vf = vecIsFloat
+    var best = 0
+    var bestD = Double.NegativeInfinity
+    var c = 0
+    while (c < nCells) {
+      val base = c * dim
+      var acc = 0d
+      var j = 0
+      while (j < dim) {
+        val x = if (vf) arr.getFloat(j).toDouble else arr.getDouble(j)
+        acc += x * flatCents(base + j)
+        j += 1
+      }
+      if (acc > bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("flatCents", flatCents, "double[]")
+    val get = if (vecIsFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (arr, _) => {
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val base = ctx.freshName("base")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($arr.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_centroid: vector dim " + $arr.numElements() +
+         |    " != $dim");
+         |}
+         |int $best = 0;
+         |double $bestD = Double.NEGATIVE_INFINITY;
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  int $base = $c * $dim;
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    $acc += ((double) $arr.$get($j)) * $centsRef[$base + $j];
+         |  }
+         |  if ($acc > $bestD) { $bestD = $acc; $best = $c; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(vec = newLeft, centroids = newRight)
+
+  override def prettyName: String = "nearest_centroid"
+}
+
 object VectorOps {
   import org.apache.spark.sql.functions._
 
@@ -395,6 +521,14 @@ object VectorOps {
                     m: Int, nCodes: Int): Column =
     GraftBridge.column(PqEncodeCodes(GraftBridge.expression(vec),
       GraftBridge.expression(typedlit(flatCb.toSeq)), m, nCodes))
+
+  /** Codegen'd nearest-centroid assignment: argmax-dot cell over a
+    * flattened cell-major centroid literal (ties → lowest cell).
+    */
+  def nearestCentroid(vec: Column, flatCents: Array[Double],
+                      dim: Int): Column =
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(vec),
+      GraftBridge.expression(typedlit(flatCents.toSeq)), dim))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

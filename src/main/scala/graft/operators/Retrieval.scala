@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Sparse-lexical retrieval over a document corpus — the BM25
@@ -136,6 +136,57 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("_t")).as(Seq("_p", "_w")))
       .select(col("query_id"), (col("_p") + 1).cast("int").as("rank"),
         col("_w.id").as("doc_id"), col("_w.ord").as("n_occurrences"))
+  }
+
+  /** [[phraseSearch]]'s occurrence count as a PURE per-row array
+    * expression: anchors are `sequence(0, |w| − m)`, each sliced
+    * window compared whole against the phrase literal. No join, no
+    * aggregate, no state — which is what makes [[phraseFlag]] run on
+    * a stream unchanged. O(|w|·m) per row vs the alignment join's
+    * shuffle: the right trade exactly when the phrase set is fixed
+    * and small (ingest-time flagging), while phraseSearch's join form
+    * wins for ranked retrieval over a persisted corpus.
+    */
+  def phraseCountCol(text: Column, phraseTerms: Seq[String]): Column = {
+    require(phraseTerms.nonEmpty && phraseTerms.forall(_.nonEmpty),
+      "phraseCountCol: phrase terms must be non-empty")
+    val w = TextAnalysis.tokens(text)
+    val m = phraseTerms.length
+    val p = typedlit(phraseTerms)
+    when(size(w) < m, lit(0)).otherwise(
+      size(filter(transform(sequence(lit(0), size(w) - lit(m)),
+        i => slice(w, i + lit(1), lit(m))), s => s === p)))
+  }
+
+  /** Ingest-time exact-phrase flagging: every (doc, query) pair where
+    * the phrase occurs at least once, with its occurrence count —
+    * the quoted-query twin of [[bm25FlagAgainstIndex]], and the
+    * streaming companion to [[phraseSearch]] (same tokenization, same
+    * occurrence semantics; the spec pins per-pair count equality).
+    * The phrase set is a bounded driver-side literal — per row the
+    * counts compute in one narrow projection (one explode over
+    * |queries| structs), stateless, so the SAME code runs on a batch
+    * frame or a readStream.
+    *
+    * Output: (query_id, doc_id, n_occurrences > 0 rows only).
+    */
+  def phraseFlag(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: Seq[(Int, String)]): DataFrame = {
+    require(queries.nonEmpty, "phraseFlag: empty query set")
+    val parsed = queries.map { case (qid, phrase) =>
+      qid -> phrase.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    }
+    require(parsed.forall(_._2.nonEmpty),
+      "phraseFlag: every phrase needs at least one token")
+    val counts = array(parsed.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        phraseCountCol(col(textCol), terms).cast("long")
+          .as("n_occurrences"))
+    }: _*)
+    docs.select(col(idCol).as("doc_id"), explode(counts).as("_q"))
+      .select(col("_q.query_id"), col("doc_id"), col("_q.n_occurrences"))
+      .where(col("n_occurrences") > 0)
   }
 
   /** The query side: (query_id, term), per-query distinct. */

@@ -309,14 +309,18 @@ object Similarity {
       extraCols: Seq[String] = Nil): DataFrame = {
     // ties (duplicate centroids) break toward the LOWEST cell index —
     // the same direction both probe paths rank, so a probe never scans
-    // an empty twin cell while the populated one goes unprobed.
-    // greatest() prefers the LARGEST struct, so carry -cell and negate.
-    val cellOf = cents.zipWithIndex.map { case (c, i) =>
-      struct(VectorOps.dot(col(vecCol), typedlit(c.toSeq)).as("score"),
-             lit(-i).as("negcell"))
-    }
+    // an empty twin cell while the populated one goes unprobed. The
+    // argmax runs inside ONE codegen'd kernel (the rounds-1..7
+    // `greatest(struct(dot, -cell))` chain cost O(nCells) expression
+    // nodes — a codegen explosion at SemDeDup's k ∝ corpus sizes; the
+    // kernel accumulates each dot in the identical order, so every
+    // assignment, and therefore every oracle hash, is unchanged).
+    val dim = cents.head.length
+    require(cents.forall(_.length == dim),
+      "assignCells: ragged centroid table")
     df.select(Seq(col(idCol).as("id"), col(vecCol).as("vec"),
-      (-greatest(cellOf.toIndexedSeq: _*).getField("negcell")).as("cell"))
+      VectorOps.nearestCentroid(col(vecCol), cents.flatten, dim)
+        .as("cell"))
       ++ extraCols.map(col): _*)
   }
 
@@ -450,6 +454,142 @@ object Similarity {
     assigned.select(col("id"), col("cell").as("cluster"))
       .join(pruned.withColumn("isPruned", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cluster"), col("isPruned").isNull.as("kept"))
+  }
+
+  /** Streaming SemDeDup admission: flag arriving vectors whose cosine
+    * against a SAME-CLUSTER member of a static reference corpus meets
+    * `threshold` — the ingest-time twin of [[semDedup]], built from
+    * stateless pieces only (the streamingCosineDecontaminate stance):
+    * the arriving vector's cell assignment is a per-row when-chain
+    * over the broadcast centroids, the static side's assignment and
+    * norms persist ONCE in the streaming cache scope, and the join is
+    * stream-static keyed by cell — no watermark, no state. An
+    * oversized static cell (> `maxClusterSize`) is excluded whole, so
+    * a vector landing in a flooded cell is admitted unflagged — the
+    * same conservative direction as the batch guard.
+    *
+    * Output: (id, corpus_id, cluster, cosine) for flagged arrivals;
+    * an admission pipeline anti-joins its batch on `id`.
+    */
+  def semDedupFlagStream(
+      stream: DataFrame, idCol: String, vecCol: String,
+      corpus: DataFrame, corpusIdCol: String, corpusVecCol: String,
+      nClusters: Int, threshold: Double,
+      strategy: CentroidStrategy = SeededCentroids,
+      maxClusterSize: Long = Long.MaxValue,
+      scope: Dedup.CacheScope = Dedup.streamingScope): DataFrame = {
+    val cents =
+      centroidVectors(corpus, corpusIdCol, corpusVecCol, nClusters, strategy)
+    val assigned0 = assignCells(corpus, corpusIdCol, corpusVecCol, cents)
+    val assigned =
+      if (maxClusterSize == Long.MaxValue) assigned0
+      else assigned0.join(broadcast(
+        assigned0.groupBy("cell").agg(count(lit(1)).as("n"))
+          .where(col("n") > maxClusterSize).select("cell")),
+        Seq("cell"), "left_anti")
+    val staticSide = scope.persistTracked(assigned.select(
+      col("id").as("corpus_id"), col("cell"), col("vec").as("vec_r"),
+      VectorOps.norm(col("vec")).as("nrm_r")))
+    val streamSide = assignCells(stream, idCol, vecCol, cents)
+      .select(col("id"), col("cell"), col("vec").as("vec_l"),
+        VectorOps.norm(col("vec")).as("nrm_l"))
+    streamSide.join(staticSide, Seq("cell"))
+      .select(col("id"), col("corpus_id"), col("cell").as("cluster"),
+        when(col("nrm_l") * col("nrm_r") === 0d, 0d)
+          .otherwise(VectorOps.dot(col("vec_l"), col("vec_r")) /
+                     (col("nrm_l") * col("nrm_r"))).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998): diversified top-k — greedily pick the candidate
+    * maximizing `λ·cos(q,c) − (1−λ)·max_{s∈picked} cos(c,s)`, so a
+    * near-duplicate of an already-picked result is penalized by its
+    * redundancy. λ=1 is plain relevance ranking (spec-pinned ≡ brute
+    * top-k); λ→0 maximizes diversity. The serving-side complement to
+    * d15: semDedup prunes the CORPUS offline, MMR diversifies one
+    * RESULT LIST online without touching the corpus.
+    *
+    * Scale shape: the corpus-side work is exactly a kNN probe
+    * (narrow scored scan + bounded TakeOrdered of k·overfetch rows);
+    * the greedy loop is inherently sequential (each pick changes the
+    * next pick's penalty) and runs on the DRIVER over the collected
+    * candidates — a bounded artifact (k·overfetch ≤ thousands), the
+    * kmeansOnSample stance, never a corpus collect. O(k²·overfetch)
+    * candidate cosines, computed once each (cached max-sim per
+    * candidate, updated per pick). Compose with any retrieval front
+    * end by overfetching there first (e.g. knnIvfPqIndexed → rerank
+    * → diversify).
+    *
+    * Ties break to the lower id at every step (candidate sort AND
+    * greedy argmax), so the output is fully deterministic.
+    *
+    * Output: (rank, id, cosine, mmr) — `cosine` the relevance,
+    * `mmr` the score at pick time (rank 1's mmr = λ·cosine).
+    */
+  def diversifyTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int, lambdaRel: Double = 0.7,
+      overfetch: Int = 4): DataFrame = {
+    require(k >= 1 && overfetch >= 1,
+      "diversifyTopK: k and overfetch must be positive")
+    require(lambdaRel >= 0d && lambdaRel <= 1d,
+      "diversifyTopK: lambdaRel must be in [0, 1]")
+    val q = typedlit(query.toSeq)
+    val cands = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("vec"),
+        VectorOps.cosine(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k * overfetch)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getDouble(2)))
+    def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+      var dab = 0d; var daa = 0d; var dbb = 0d; var i = 0
+      while (i < a.length) {
+        dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i)
+        i += 1
+      }
+      val n = math.sqrt(daa) * math.sqrt(dbb)
+      if (n == 0d) 0d else dab / n
+    }
+    val n = cands.length
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val used = new Array[Boolean](n)
+    // max cos vs the picked set so far; -inf (not 0) so an
+    // anti-parallel sole neighbor still counts as the true max
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    while (picked.length < math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!used(i)) {
+          val s =
+            if (picked.isEmpty) lambdaRel * cands(i)._3
+            else lambdaRel * cands(i)._3 - (1d - lambdaRel) * maxSim(i)
+          // strict > over the relevance-sorted, id-tie-broken order
+          // keeps the LOWEST id on score ties
+          if (s > bestScore) { bestScore = s; best = i }
+        }
+        i += 1
+      }
+      used(best) = true
+      picked += ((cands(best)._1, cands(best)._3, bestScore))
+      var j = 0
+      while (j < n) {
+        if (!used(j)) {
+          val c = cosLocal(cands(j)._2, cands(best)._2)
+          if (c > maxSim(j)) maxSim(j) = c
+        }
+        j += 1
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case ((id, cos, mmr), i) => (i + 1, id, cos, mmr) }
+      .toDF("rank", "id", "cosine", "mmr")
   }
 
   /** IVF probe: rank the query against the same deterministic

@@ -964,6 +964,51 @@ object TextAnalysis {
     * n_dup_drop, n_kept, keep_rate) — keep_rate an exact long/long
     * division.
     */
+  /** Corpus composition report: one row per source with doc/token
+    * counts, corpus shares and the dominant language — the first
+    * table a pipeline owner reads when sizing a training mix (t15's
+    * allocation wants exactly these shares as input).
+    *
+    * Scale shape: ONE corpus scan into a (source, lang)-keyed
+    * map-side-combined aggregate; everything after operates on that
+    * bounded |sources|·|langs| table — the c05 two-level rollup
+    * stance (the window for the dominant language partitions the
+    * BOUNDED table, not the corpus; totals are a 1-row aggregate of
+    * it, broadcast back). Shares are single divisions of exact longs
+    * (CAST then divide — the same IEEE op in any engine); dominant
+    * language is an exact count argmax, ties → lexicographically
+    * lowest lang.
+    *
+    * Output: (source, n_docs, n_tokens, doc_share, token_share,
+    * top_lang, top_lang_n), one row per source.
+    */
+  def sourceMix(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(sourceCol).as("source"),
+      col(langCol).as("lang"),
+      wsTokenCount(col(textCol)).cast("long").as("n_tok"))
+    val sl = base.groupBy("source", "lang")
+      .agg(count(lit(1)).as("nd"), sum("n_tok").as("nt"))
+    val bySource = sl.groupBy("source")
+      .agg(sum("nd").as("n_docs"), sum("nt").as("n_tokens"))
+    val totals = bySource.agg(sum("n_docs").as("td"),
+      sum("n_tokens").as("tt"))
+    val top = sl.withColumn("_sm_rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("nd").desc, col("lang").asc)))
+      .where(col("_sm_rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("nd").as("top_lang_n"))
+    bySource.join(top, "source").crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("td").cast("double"))
+          .as("doc_share"),
+        (col("n_tokens").cast("double") / col("tt").cast("double"))
+          .as("token_share"),
+        col("top_lang"), col("top_lang_n"))
+  }
+
   def curationFunnel(df: DataFrame, idCol: String, textCol: String,
       srcCol: String, qualityMin: Double = 0.75,
       dupWordMax: Double = 0.7): DataFrame = {

@@ -2059,6 +2059,45 @@ object Pipeline {
     // because duplicate groups share their text. Oracle replays the
     // same stages over raw text (the d01 collision stance on the
     // window key).
+    // corpus composition: per-source doc/token counts, corpus shares
+    // (exact-long divisions) and dominant language (count argmax,
+    // ties → lowest lang). Oracle replays the two-level rollup.
+    Q("c07_source_mix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        TextAnalysis.sourceMix(docs, "doc_id", "text", "lang", "source")
+          .orderBy("source")
+      },
+      Some("""WITH b AS (
+             |  SELECT source, lang,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(text),
+             |      '[ \t\n\v\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tok
+             |  FROM documents
+             |), sl AS (
+             |  SELECT source, lang, COUNT(*) AS nd,
+             |    CAST(SUM(n_tok) AS BIGINT) AS nt
+             |  FROM b GROUP BY source, lang
+             |), s AS (
+             |  SELECT source, CAST(SUM(nd) AS BIGINT) AS n_docs,
+             |    CAST(SUM(nt) AS BIGINT) AS n_tokens
+             |  FROM sl GROUP BY source
+             |), tot AS (
+             |  SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+             |    CAST(SUM(n_tokens) AS BIGINT) AS tt
+             |  FROM s
+             |), top AS (
+             |  SELECT source, lang AS top_lang, nd AS top_lang_n FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY nd DESC, lang ASC) AS rn FROM sl)
+             |  WHERE rn = 1
+             |)
+             |SELECT s.source, n_docs, n_tokens,
+             |  CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE) AS doc_share,
+             |  CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS token_share,
+             |  top_lang, top_lang_n
+             |FROM s JOIN top USING (source), tot
+             |ORDER BY source""".stripMargin)),
+
     Q("c06_curation_funnel",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")

@@ -780,12 +780,76 @@ class SimilaritySpec extends SparkSpec {
     assert(out.size == 6)
   }
 
+  test("semDedupFlagStream flags same-cluster near-dups, batch twin equal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val corpus = Seq(
+      0L -> v(0), 1L -> v(90), 2L -> v(10),
+      3L -> v(28), 4L -> v(47), 5L -> v(44)
+    ).toDF("vec_id", "embedding")
+    val scope = new graft.operators.Dedup.CacheScope
+    val mem = MemoryStream[(Long, Array[Float])]
+    val flagged = Similarity.semDedupFlagStream(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      corpus, "vec_id", "embedding",
+      nClusters = 2, threshold = 0.95, scope = scope)
+    assert(flagged.isStreaming)
+    val q = flagged.writeStream.format("memory").queryName("semdedup_flags")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 100@5°: cell 0, within cos⁻¹(.95)≈18° of members 0@0° and
+      // 2@10° only. 101@70°: cell 1, ≥20° from both cell-1 members —
+      // admitted unflagged (44° sits at cos26°=.899 but in cell 0).
+      mem.addData(100L -> v(5), 101L -> v(70))
+      q.processAllAvailable()
+      val rows = spark.table("semdedup_flags")
+        .select("id", "corpus_id", "cluster")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(rows == Set((100L, 0L, 0), (100L, 2L, 0)), rows.toString)
+      val batch = Similarity.semDedupFlagStream(
+          Seq(100L -> v(5), 101L -> v(70)).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", corpus, "vec_id", "embedding",
+          nClusters = 2, threshold = 0.95, scope = scope)
+        .select("id", "corpus_id", "cluster")
+        .as[(Long, Long, Int)].collect().toSet
+      assert(batch == rows)
+    } finally { q.stop(); scope.release() }
+  }
+
   test("semDedup pair join shuffles on cluster, never cartesian") {
     val plan = Similarity.semDedup(emb, "vec_id", "embedding",
         nClusters = 8, threshold = 0.4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Cartesian"),
       "intra-cluster pairs must come from an equi-join on cell")
+  }
+
+  test("diversifyTopK: λ=1 is relevance order; low λ swaps a duplicate for diversity") {
+    def v(deg: Double) = Array(
+      math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = Seq(1L -> v(0), 2L -> v(0), 3L -> v(30), 4L -> v(80))
+      .toDF("vec_id", "embedding")
+    val qv = Array(1f, 0f)
+    val rel = Similarity.diversifyTopK(df, "vec_id", "embedding", qv,
+        k = 3, lambdaRel = 1.0, overfetch = 4)
+      .select("rank", "id").as[(Int, Long)].collect().toSeq
+    assert(rel == Seq((1, 1L), (2, 2L), (3, 3L)),
+      "λ=1: pure relevance, score ties → lower id")
+    // λ=0.3: the exact duplicate (id 2) scores .3·1 − .7·1 = −.4;
+    // the orthogonal-ish id 4 scores .3·.174 − .7·.174 ≈ −.07 → wins
+    // rank 2; id 3 (maxSim .866 vs id 1) beats id 2 for rank 3
+    val div = Similarity.diversifyTopK(df, "vec_id", "embedding", qv,
+        k = 3, lambdaRel = 0.3, overfetch = 4)
+      .select("rank", "id", "mmr").as[(Int, Long, Double)].collect().toSeq
+    assert(div.map(t => (t._1, t._2)) ==
+      Seq((1, 1L), (2, 4L), (3, 3L)), div.toString)
+    assert(math.abs(div.head._3 - 0.3) < 1e-9,
+      "rank 1's mmr is λ·cosine with no penalty")
   }
 
   test("knn classification predicts the planted cluster label") {
@@ -801,6 +865,47 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
     assert(out(0L) == ((1, 2L)), "query 0 sits in the label-1 cluster")
     assert(out(3L) == ((2, 2L)), "query 3 sits in the label-2 cluster")
+  }
+
+  test("nearest_centroid kernel equals the greatest(struct) chain, ties to lowest cell") {
+    val cents = emb.orderBy("vec_id").limit(16)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // the pre-round-8 assignment formulation, replayed verbatim
+    val chainCell = {
+      val cellOf = cents.zipWithIndex.map { case (c, i) =>
+        struct(VectorOps.dot($"embedding", typedlit(c.toSeq)).as("score"),
+               lit(-i).as("negcell"))
+      }
+      -greatest(cellOf.toIndexedSeq: _*).getField("negcell")
+    }
+    val both = emb.select($"vec_id",
+        VectorOps.nearestCentroid($"embedding", cents.flatten, 64).as("k"),
+        chainCell.as("c"))
+      .where($"k" =!= $"c")
+    assert(both.count() == 0, "kernel and chain must assign identically")
+    // duplicate centroids: tie breaks to the LOWEST cell both ways
+    val dup = Array(cents(3), cents(3), cents(7))
+    val tied = emb.limit(50).select(
+        VectorOps.nearestCentroid($"embedding", dup.flatten, 64).as("k"))
+      .where($"k" === 1)
+    assert(tied.count() == 0, "a duplicate twin cell must never win")
+  }
+
+  test("nearest_centroid survives whole-stage codegen and rejects bad dims") {
+    // fallback=false makes a Janino failure a test failure, not a
+    // silent drop to the interpreted path
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = emb.select(VectorOps.nearestCentroid(
+          $"embedding", Array.fill(128)(0.5), 64).as("c"))
+        .where($"c" === 0).count()
+      assert(n == emb.count(), "identical centroids: every row ties to cell 0")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    intercept[Exception] {
+      emb.select(VectorOps.nearestCentroid(
+        $"embedding", Array.fill(96)(0.5), 48).as("c")).collect()
+    }
   }
 
   test("hyperplane_sigs kernel equals the composed per-band signatures") {

@@ -307,6 +307,51 @@ class RetrievalSpec extends SparkSpec {
     assert(runPhrase(1 -> "z q", 2 -> "  ").isEmpty)
   }
 
+  test("phraseFlag counts equal phraseSearch occurrences pair-for-pair") {
+    val qs = Seq(1 -> "a b", 2 -> "a a", 3 -> "a b a", 4 -> "a")
+    val flag = Retrieval.phraseFlag(phraseCorpus, "doc_id", "text", qs)
+      .select("query_id", "doc_id", "n_occurrences")
+      .as[(Int, Long, Long)].collect().toSet
+    val search = Retrieval.phraseSearch(phraseCorpus, "doc_id", "text",
+        phraseQueries(qs: _*), "query_id", "phrase", k = 100)
+      .select("query_id", "doc_id", "n_occurrences")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(flag == search,
+      s"flag=$flag\nsearch=$search")
+  }
+
+  test("phraseFlag is stateless and runs on a stream unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val qs = Seq(1 -> "hash join", 2 -> "scan")
+    val flagged = Retrieval.phraseFlag(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", qs)
+    assert(flagged.isStreaming)
+    val q = flagged.writeStream.format("memory").queryName("phrase_flags")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(100L -> "the hash join path", 101L -> "join hash only")
+      q.processAllAvailable()
+      mem.addData(102L -> "scan scan scan")
+      q.processAllAvailable()
+      val rows = spark.table("phrase_flags")
+        .select("doc_id", "query_id", "n_occurrences")
+        .as[(Long, Int, Long)].collect().toSet
+      // 100 contains "hash join" once; 101 has both words, wrong order;
+      // 102 has three "scan" occurrences
+      assert(rows == Set((100L, 1, 1L), (102L, 2, 3L)), rows.toString)
+      val batchRows = Retrieval.phraseFlag(
+          Seq(100L -> "the hash join path", 101L -> "join hash only",
+            102L -> "scan scan scan").toDF("doc_id", "text"),
+          "doc_id", "text", qs)
+        .select("doc_id", "query_id", "n_occurrences")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(batchRows == rows)
+    } finally q.stop()
+  }
+
   test("phraseSearch plan: one alignment join, heap top-k, no window") {
     val scope = new Dedup.CacheScope
     try {
