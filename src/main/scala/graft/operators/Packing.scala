@@ -84,6 +84,23 @@ object Packing {
     * `batchSize`; the stream's last batch may be partial),
     * max_tokens, sum_tokens, pad_tokens = n_docs·max − sum.
     */
+  /** [[lengthBucketBatches]]' bucket assignment alone — `bucket` =
+    * how many (strictly increasing) bounds the token count meets, so
+    * bucket 0 is the shortest band and `bounds.size` the overflow
+    * band. Stateless per row, which is what lets the streaming twin
+    * compose with it (the curriculumPhase stance).
+    */
+  def bucketOf(nTok: Column, bounds: Seq[Int]): Column = {
+    require(bounds.nonEmpty &&
+        bounds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+      "bucketOf: bounds must be strictly increasing and non-empty " +
+        "(duplicate bounds would create unreachable buckets)")
+    bounds.tail.zipWithIndex
+      .foldLeft(when(nTok < lit(bounds.head), 0)) {
+        case (acc, (b, i)) => acc.when(nTok < lit(b), i + 1)
+      }.otherwise(bounds.size).cast("int")
+  }
+
   def lengthBucketBatches(df: DataFrame, idCol: String,
       tokenCount: Column, bounds: Seq[Int], batchSize: Int,
       numShards: Int): DataFrame = {
@@ -92,13 +109,8 @@ object Packing {
         bounds.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
       "lengthBucketBatches: bounds must be strictly increasing and " +
         "non-empty (duplicate bounds would create unreachable buckets)")
-    val nTok = col("n_tok")
-    val bucket = bounds.tail.zipWithIndex
-      .foldLeft(when(nTok < lit(bounds.head), 0)) {
-        case (acc, (b, i)) => acc.when(nTok < lit(b), i + 1)
-      }.otherwise(bounds.size).cast("int")
     df.select(col(idCol).as("id"), tokenCount.as("n_tok"))
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", bucketOf(col("n_tok"), bounds))
       .withColumn("shard", shardOf(col("id"), numShards).cast("int"))
       .withColumn("_lb_ord", Sampling.curriculumOrd(col("id")))
       .withColumn("batch",
@@ -108,8 +120,8 @@ object Packing {
           / lit(batchSize.toDouble)).cast("int"))
       .groupBy("bucket", "shard", "batch")
       .agg(count(lit(1)).as("n_docs"),
-        max(nTok).as("max_tokens"),
-        sum(nTok).cast("long").as("sum_tokens"))
+        max(col("n_tok")).as("max_tokens"),
+        sum(col("n_tok")).cast("long").as("sum_tokens"))
       .withColumn("pad_tokens",
         col("n_docs") * col("max_tokens") - col("sum_tokens"))
   }
@@ -251,6 +263,63 @@ object Packing {
               start / seqLen, start)
           }
           state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
+  /** Input row shape for [[streamingLengthBucketBatches]]. */
+  final case class LbInput(doc_id: Long, bucket: Int, shard: Int,
+                           n_tok: Int, ord: Long)
+
+  /** One length-bucket batching assignment: the (bucket, shard)
+    * stream's batch this document joins and its slot within it.
+    */
+  final case class LbAssignment(doc_id: Long, bucket: Int, shard: Int,
+                                batch: Int, slot: Int, n_tok: Int)
+
+  /** Per-(bucket, shard) state: documents assigned so far. One long
+    * per group — O(buckets·numShards) state forever.
+    */
+  final case class LbState(nSeen: Long)
+
+  /** Streaming length-bucketed batching: the ingest-time twin of
+    * [[lengthBucketBatches]]. Bucket and shard assign STATELESSLY per
+    * row (fixed bounds + the t18 hash — the property that makes the
+    * layout streamable); the only state is one doc counter per
+    * (bucket, shard), so batch = counter ÷ batchSize and slot =
+    * counter mod batchSize at arrival, append-only, never retracted —
+    * the writer contract: each arriving doc learns its batch file and
+    * slot immediately. Within a micro-batch docs assign in the batch
+    * twin's decorrelated (ord, id) order, so a one-batch run
+    * reproduces [[lengthBucketBatches]]' batch membership exactly
+    * (spec-pinned via the aggregated manifest).
+    */
+  def streamingLengthBucketBatches(docs: DataFrame, idCol: String,
+      tokenCount: Column, bounds: Seq[Int], batchSize: Int,
+      numShards: Int)
+      (implicit spark: SparkSession): Dataset[LbAssignment] = {
+    import spark.implicits._
+    require(batchSize > 0,
+      "streamingLengthBucketBatches: batchSize must be positive")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        bucketOf(tokenCount, bounds).as("bucket"),
+        shardOf(col(idCol), numShards).cast("int").as("shard"),
+        tokenCount.cast("int").as("n_tok"),
+        Sampling.curriculumOrd(col(idCol)).cast("long").as("ord"))
+      .as[LbInput]
+      .groupByKey(d => (d.bucket, d.shard))
+      .flatMapGroupsWithState[LbState, LbAssignment](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((bucket, shard), it, state) =>
+          var n = state.getOption.map(_.nSeen).getOrElse(0L)
+          val out = it.toSeq.sortBy(d => (d.ord, d.doc_id)).map { d =>
+            val a = LbAssignment(d.doc_id, bucket, shard,
+              (n / batchSize).toInt, (n % batchSize).toInt, d.n_tok)
+            n += 1
+            a
+          }
+          state.update(LbState(n))
           out.iterator
       }
   }

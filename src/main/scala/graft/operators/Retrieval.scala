@@ -263,52 +263,61 @@ object Retrieval {
       coalesce(sum(size(col("_bm_toks"))), lit(0)).cast("long")
         .as("n_tokens"))
 
-  /** The committed generation number: `$path/CURRENT` holds the int g
-    * such that postings generations 0..g and the cumulative stats row
-    * at gen g are the index's visible state. The pointer is the COMMIT
-    * — everything else is written first, to generation-private
+  /** The committed index state: `$path/CURRENT` holds "g" or "g b" —
+    * postings generations b..g (b defaults to 0 when absent, the
+    * pre-compaction format) and the cumulative stats row at gen g are
+    * the index's visible state. The pointer is the COMMIT —
+    * everything else is written first, to generation-private
     * directories old readers never look at, and becomes visible only
-    * when the rename below lands.
+    * when the rename below lands. `base` moves only at
+    * [[compactBm25Index]] time; both numbers ride ONE file so they
+    * commit in ONE atomic rename.
     */
   private def readCurrentGen(
-      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
     val in = fs.open(p)
     try in.readFully(0, buf) finally in.close()
-    new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    val parts = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+      .trim.split("\\s+")
+    (parts(0).toInt, if (parts.length > 1) parts(1).toInt else 0)
   }
 
-  /** Atomically (re)point CURRENT at `gen`: write CURRENT.tmp, then
-    * rename with OVERWRITE via FileContext — the one metadata op HDFS
-    * and POSIX both make atomic. A crash before the rename leaves the
-    * old pointer (and thus the old index state) fully intact.
+  /** Atomically (re)point CURRENT at (`gen`, `base`): write
+    * CURRENT.tmp, then rename with OVERWRITE via FileContext — the
+    * one metadata op HDFS and POSIX both make atomic. A crash before
+    * the rename leaves the old pointer (and thus the old index state)
+    * fully intact. base=0 writes the bare-int legacy format so a
+    * never-compacted index stays readable by pre-compaction code.
     */
   private def commitCurrentGen(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      gen: Int): Unit = {
+      gen: Int, base: Int = 0): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/CURRENT.tmp")
     val fs = dst.getFileSystem(conf)
     val out = fs.create(tmp, true)
-    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val text = if (base == 0) gen.toString else s"$gen $base"
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
       .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Committed postings scan: only generations ≤ CURRENT are listed
-    * (explicit per-generation paths + basePath, so a crashed append's
-    * orphan directory is never even read for footers), with `gen` and
-    * `tbucket` both available as partition columns for pruning.
+  /** Committed postings scan: only generations base..CURRENT are
+    * listed (explicit per-generation paths + basePath, so a crashed
+    * append's orphan directory — or a vacuumed pre-compaction one —
+    * is never even read for footers), with `gen` and `tbucket` both
+    * available as partition columns for pruning.
     */
   private def committedPostings(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      gen: Int): DataFrame =
+      gen: Int, base: Int = 0): DataFrame =
     spark.read.option("basePath", s"$path/postings")
-      .parquet((0 to gen).map(i => s"$path/postings/gen=$i"): _*)
+      .parquet((base to gen).map(i => s"$path/postings/gen=$i"): _*)
 
   private def committedStats(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -377,7 +386,7 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
     val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val gen = readCurrentGen(spark, path)
+    val (gen, base) = readCurrentGen(spark, path)
     val old = committedStats(spark, path, gen).head()
     val (oldDocs, oldToks) = (old.getLong(0), old.getLong(1))
     val toked = docs
@@ -396,7 +405,59 @@ object Retrieval {
         .repartition(1).write.mode("overwrite")
         .parquet(s"$path/stats/gen=${gen + 1}")
     } finally toked.unpersist(false)
-    commitCurrentGen(spark, path, gen + 1)
+    commitCurrentGen(spark, path, gen + 1, base)
+  }
+
+  /** Compact a persisted BM25 index, FAILURE-ATOMICALLY: rewrite the
+    * committed generations base..g into ONE fresh generation g+1 and
+    * re-point CURRENT at "(g+1, base=g+1)" in a single atomic rename.
+    * The maintenance leg every appended index eventually needs: each
+    * [[appendToBm25Index]] adds a generation directory, so a probe of
+    * a long-lived index reads its query buckets across N generations'
+    * files — compaction collapses that back to one well-sized file
+    * set per bucket (the Layout.compact story, index-shaped). LSM
+    * semantics without the tree: appends are level-0 pushes,
+    * compaction is the full merge.
+    *
+    * Merging is a pure file rewrite — no re-tokenization, no
+    * re-aggregation: (doc_id, term) rows are disjoint across
+    * generations (append requires fresh doc ids), so the union IS the
+    * merged posting list, and the cumulative stats row at g carries
+    * over unchanged.
+    *
+    * Crash safety is the append protocol's: everything lands in
+    * generation-private directories first (overwrite mode makes a
+    * retry idempotent over a half-written orphan); a crash before the
+    * CURRENT rename leaves readers on (g, base) with every old
+    * generation intact. Old generation directories below the new base
+    * become garbage only AFTER the commit; `vacuum = true` (default)
+    * deletes them post-commit — safe because no reader of the new
+    * CURRENT ever lists them, and a crash mid-vacuum just leaves
+    * unreferenced directories for the next compaction's vacuum.
+    * A never-compacted index (legacy bare-int CURRENT) reads as
+    * base 0 and compacts fine.
+    */
+  def compactBm25Index(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vacuum: Boolean = true): Unit = {
+    val (gen, base) = readCurrentGen(spark, path)
+    committedPostings(spark, path, gen, base)
+      .select("doc_id", "term", "dl", "tf", "tbucket")
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$path/postings/gen=${gen + 1}")
+    committedStats(spark, path, gen)
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$path/stats/gen=${gen + 1}")
+    commitCurrentGen(spark, path, gen + 1, gen + 1)
+    if (vacuum) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      (base to gen).foreach { g =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/postings/gen=$g")
+        p.getFileSystem(conf).delete(p, true)
+        val sp = new org.apache.hadoop.fs.Path(s"$path/stats/gen=$g")
+        sp.getFileSystem(conf).delete(sp, true)
+      }
+    }
   }
 
   /** BM25 probe of a persisted index — identical results to [[bm25]]
@@ -414,7 +475,7 @@ object Retrieval {
       scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
     val spark = queries.sparkSession
     val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val gen = readCurrentGen(spark, path)
+    val (gen, base) = readCurrentGen(spark, path)
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     // bounded collect: ≤ |query vocab| bucket ids
     val buckets = qterms
@@ -422,7 +483,7 @@ object Retrieval {
         .cast("int").as("tb"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val matched = scope.persistTracked(
-      committedPostings(spark, path, gen)
+      committedPostings(spark, path, gen, base)
         .where(col("tbucket").isin(buckets: _*))
         .join(broadcast(qterms.select("term").distinct()), Seq("term"))
         .select("doc_id", "term", "dl", "tf"))
@@ -463,7 +524,7 @@ object Retrieval {
     require(queries.nonEmpty, "bm25FlagAgainstIndex: empty query set")
     require(k1 > 0 && b >= 0 && b <= 1, s"bm25: need k1 > 0, b in [0,1]")
     val spark = docs.sparkSession
-    val curGen = readCurrentGen(spark, path)
+    val (curGen, curBase) = readCurrentGen(spark, path)
     val stats = committedStats(spark, path, curGen).head()
     val (nDocs, nTokens) = (stats.getLong(0), stats.getLong(1))
     require(nDocs > 0, s"bm25FlagAgainstIndex: empty index at $path")
@@ -487,7 +548,7 @@ object Retrieval {
         .withColumn("tb",
           pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
       val tbs = vdf.select("tb").distinct().collect().map(_.getInt(0)).toSeq
-      committedPostings(spark, path, curGen)
+      committedPostings(spark, path, curGen, curBase)
         .where(col("tbucket").isin(tbs: _*))
         .join(broadcast(vdf.select("term")), Seq("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))

@@ -230,6 +230,50 @@ class EdgeCaseSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("phraseSearch: empty corpus and empty query frame are empty") {
+    import graft.operators.{Dedup, Retrieval}
+    val scope = new Dedup.CacheScope
+    try {
+      val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+      val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      assert(Retrieval.phraseSearch(none, "doc_id", "text",
+        Seq((1, "a b")).toDF("query_id", "phrase"),
+        "query_id", "phrase", k = 3, scope = scope).isEmpty)
+      assert(Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq.empty[(Int, String)].toDF("query_id", "phrase"),
+        "query_id", "phrase", k = 3, scope = scope).isEmpty)
+      // a phrase longer than every document can never match
+      assert(Retrieval.phraseSearch(docs, "doc_id", "text",
+        Seq((1, "a b c d e")).toDF("query_id", "phrase"),
+        "query_id", "phrase", k = 3, scope = scope).isEmpty)
+    } finally scope.release()
+  }
+
+  test("semDedup: empty input is empty; single vector is kept") {
+    val none = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    // centroids need at least one vector — empty corpus fails fast in
+    // centroidVectors, so the guard is the single-row case
+    val one = Seq(1L -> Array(1f, 0f)).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(one, "vec_id", "embedding",
+      nClusters = 2, threshold = 0.5)
+    val rows = out.collect()
+    assert(rows.length == 1 && rows.head.getBoolean(2), rows.mkString)
+    intercept[Exception] {
+      Similarity.semDedup(none, "vec_id", "embedding",
+        nClusters = 2, threshold = 0.5).collect()
+    }
+  }
+
+  test("lengthBucketBatches and diversifyTopK are empty-safe") {
+    import graft.operators.Packing
+    val none = Seq.empty[(Long, Int)].toDF("id", "n")
+    assert(Packing.lengthBucketBatches(none, "id", col("n"),
+      bounds = Seq(5), batchSize = 2, numShards = 2).isEmpty)
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.diversifyTopK(noVecs, "vec_id", "embedding",
+      Array(1f, 0f), k = 3).isEmpty)
+  }
+
   test("bm25: empty corpus, all-miss query set, and empty query frame are empty") {
     import graft.operators.{Dedup, Retrieval}
     val scope = new Dedup.CacheScope

@@ -109,6 +109,46 @@ class RetrievalSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("bm25 index compaction: probe identical, gens collapse, appends continue") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25compact").toString
+    Retrieval.writeBm25Index(corpus.where(col("doc_id") <= 2),
+      "doc_id", "text", dir, numBuckets = 8)
+    Retrieval.appendToBm25Index(corpus.where(col("doc_id") === 3),
+      "doc_id", "text", dir)
+    Retrieval.appendToBm25Index(corpus.where(col("doc_id") > 3),
+      "doc_id", "text", dir)
+    val probes = queries(1 -> "spark join", 2 -> "window")
+    val scope = new Dedup.CacheScope
+    try {
+      val before = Retrieval.bm25AgainstIndex(probes, "query_id",
+        "query_text", dir, k = 10)
+      val beforeRows = before.collect().toSet
+      Retrieval.compactBm25Index(spark, dir)
+      // probe result is score-exact after compaction
+      val after = Retrieval.bm25AgainstIndex(probes, "query_id",
+        "query_text", dir, k = 10)
+      assert(after.collect().toSet == beforeRows)
+      // vacuum removed generations 0..2; gen 3 is the only survivor
+      val gens = new java.io.File(s"$dir/postings").listFiles()
+        .map(_.getName).filter(_.startsWith("gen=")).sorted.toSeq
+      assert(gens == Seq("gen=3"), gens.toString)
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "CURRENT")).trim == "3 3")
+      // an append AFTER compaction preserves the base pointer: the
+      // probe reads gens 3..4 only and equals the full in-memory path
+      Retrieval.appendToBm25Index(
+        Seq((9L, "spark window spark")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+      val full = corpus.unionByName(
+        Seq((9L, "spark window spark")).toDF("doc_id", "text"))
+      assertSameRows(
+        Retrieval.bm25AgainstIndex(probes, "query_id", "query_text", dir,
+          k = 10),
+        Retrieval.bm25(full, "doc_id", "text", probes, "query_id",
+          "query_text", k = 10, scope = scope))
+    } finally scope.release()
+  }
+
   test("append crash window is invisible; the retry lands exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("bm25crash").toString
     val base = corpus.where(col("doc_id") <= 3)

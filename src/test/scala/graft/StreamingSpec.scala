@@ -776,6 +776,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingLengthBucketBatches: one-batch run reproduces the batch manifest") {
+    import graft.operators.Packing
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val rows = (0L until 200L).map(i => (i, ((i * 37 % 90) + 5).toInt))
+    val mem = MemoryStream[(Long, Int)]
+    val q = Packing.streamingLengthBucketBatches(
+        mem.toDS().toDF("doc_id", "n_tok"), "doc_id", col("n_tok"),
+        bounds = Seq(30, 60), batchSize = 8, numShards = 4)
+      .writeStream.format("memory").queryName("lb_one")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
+      val streamedManifest = spark.table("lb_one")
+        .groupBy("bucket", "shard", "batch")
+        .agg(count(lit(1)).as("n_docs"), max("n_tok").as("max_tokens"),
+          sum("n_tok").cast("long").as("sum_tokens"))
+        .withColumn("pad_tokens",
+          col("n_docs") * col("max_tokens") - col("sum_tokens"))
+      val batch = Packing.lengthBucketBatches(rows.toDF("doc_id", "n_tok"),
+        "doc_id", col("n_tok"), bounds = Seq(30, 60), batchSize = 8,
+        numShards = 4)
+      assertSameRows(streamedManifest, batch)
+      // every slot within a batch is used exactly once
+      val slots = spark.table("lb_one")
+        .groupBy("bucket", "shard", "batch", "slot")
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > 1)
+      assert(slots.isEmpty, "a (batch, slot) must be assigned once")
+    } finally q.stop()
+  }
+
+  test("streamingLengthBucketBatches: counters continue across micro-batches") {
+    import graft.operators.Packing
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val mem = MemoryStream[(Long, Int)]
+    // one bucket (all counts < 30), one shard → one counter
+    val q = Packing.streamingLengthBucketBatches(
+        mem.toDS().toDF("doc_id", "n_tok"), "doc_id", col("n_tok"),
+        bounds = Seq(30), batchSize = 2, numShards = 1)
+      .writeStream.format("memory").queryName("lb_cont")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, 5), (20L, 6), (30L, 7)); q.processAllAvailable()
+      mem.addData((1L, 8)); q.processAllAvailable()
+      val out = spark.table("lb_cont")
+        .select("doc_id", "batch", "slot")
+        .as[(Long, Int, Int)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      // micro-batch 1 fills batch 0 fully + batch 1 slot 0 (by ord
+      // order); doc 1 arrives later and takes batch 1 slot 1 — the
+      // counter continued, whatever doc 1's ord hash says
+      assert(out(1L) == ((1, 1)), out.toString)
+      assert(out.values.toSeq.sorted == Seq((0, 0), (0, 1), (1, 0), (1, 1)))
+    } finally q.stop()
+  }
+
   test("streamingCurriculumPack: per-(phase,shard) counters continue across batches") {
     import graft.operators.Packing
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
