@@ -428,10 +428,20 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       nClusters: Int, threshold: Double,
       strategy: CentroidStrategy = SeededCentroids,
-      maxClusterSize: Long = Long.MaxValue): DataFrame = {
+      maxClusterSize: Long = Long.MaxValue,
+      scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
     val cents = centroidVectors(df, idCol, vecCol, nClusters, strategy)
-    val assigned = assignCells(df, idCol, vecCol, cents)
-    val members =
+    // ONE corpus scan + kernel pass: the assignment projection feeds
+    // BOTH sides of the pair self-join plus the final keep/prune join
+    // — without the cache each consumer would re-read the source and
+    // re-run the nCells·dim assignment (the hammingPairs lesson; here
+    // the cached row carries the vector too, because the verify pass
+    // needs it — at 100 TB size the cache accordingly or let it spill)
+    val assigned = scope.persistTracked(
+      assignCells(df, idCol, vecCol, cents)
+        .select(col("id"), col("cell"), col("vec"),
+          VectorOps.norm(col("vec")).as("nrm")))
+    val withNorm =
       if (maxClusterSize == Long.MaxValue) assigned
       else {
         val oversized = assigned.groupBy("cell")
@@ -440,8 +450,6 @@ object Similarity {
         // ≤ nClusters rows by construction — broadcast the exclusion
         assigned.join(broadcast(oversized), Seq("cell"), "left_anti")
       }
-    val withNorm = members.select(col("id"), col("cell"), col("vec"),
-      VectorOps.norm(col("vec")).as("nrm"))
     val pruned = withNorm.as("a")
       .join(withNorm.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") > col("b.id"))

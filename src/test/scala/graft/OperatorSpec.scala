@@ -820,12 +820,32 @@ class SimilaritySpec extends SparkSpec {
     } finally { q.stop(); scope.release() }
   }
 
-  test("semDedup pair join shuffles on cluster, never cartesian") {
-    val plan = Similarity.semDedup(emb, "vec_id", "embedding",
-        nClusters = 8, threshold = 0.4)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Cartesian"),
-      "intra-cluster pairs must come from an equi-join on cell")
+  test("semDedup pair join shuffles on cluster, never cartesian; one assignment pass") {
+    val scope = new graft.operators.Dedup.CacheScope
+    try {
+      // fresh (uncached) load: the fixture's .cache() would add its own
+      // InMemoryRelations and break the kernels == cached equality below
+      val raw = Tables.load(spark, sfDir, "embeddings")
+      val plan = Similarity.semDedup(raw, "vec_id", "embedding",
+          nClusters = 8, threshold = 0.4, scope = scope)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Cartesian"),
+        "intra-cluster pairs must come from an equi-join on cell")
+      // the assignment projection is cached: all three consumers (both
+      // self-join sides + the keep/prune join) read the cache, so the
+      // kernel runs once per row at cache build. Each InMemoryTableScan
+      // prints its cached build plan (containing the kernel), so kernel
+      // mentions must equal InMemoryRelation mentions — a live kernel
+      // evaluation breaks the equality (the d02/d07 plan-audit stance)
+      val kernels = "nearest_centroid".r.findAllIn(plan).size
+      // count only the ASSIGNMENT relation (schema leads with id, cell,
+      // vec, nrm) — the underlying table may carry its own cache
+      val cached = "InMemoryRelation \\[id#".r.findAllIn(plan).size
+      assert(cached > 0, s"assignment projection not cached:\n$plan")
+      assert(kernels == cached,
+        s"assignment kernel evaluated outside the cache " +
+          s"($kernels kernels vs $cached cached relations):\n$plan")
+    } finally scope.release()
   }
 
   test("diversifyTopK: λ=1 is relevance order; low λ swaps a duplicate for diversity") {
