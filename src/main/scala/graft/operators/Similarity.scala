@@ -1738,4 +1738,61 @@ object Similarity {
       .toDF("batch_id", "n_appended")
       .repartition(1).write.mode("append").parquet(logPath)
   }
+
+  /** One micro-batch of the streaming ANN SERVING loop — the
+    * foreachBatch body for a live stream of query vectors probing a
+    * persisted IVF-PQ index: the online counterpart to
+    * [[ivfPqIngestBatch]] (that one feeds the index, this one asks
+    * it).
+    *
+    * Why foreachBatch and not a stream-static join: per-query cell
+    * pruning is the entire economics of the index, and the pruned
+    * cell SET is only known per batch — a static join on `cell`
+    * would re-scan every cell's files each micro-batch. The batch
+    * body reuses [[knnIvfPqBatchIndexed]] wholesale, so each trigger
+    * reads only the batch's ∪(probe cells) partitions (driver
+    * collects the bounded cell set, the batch-probe contract), runs
+    * ADC over m-byte codes, and exact-reranks against the float
+    * corpus. Results land in `outPath` with the batch id.
+    *
+    * Exactly-once per batch id via `outPath/serve_log` — a restarted
+    * stream re-offering a served batch id is a no-op, so a crash
+    * between the result append and the log write can duplicate one
+    * batch's RESULT rows at most once (byte-identical rows; readers
+    * that care dedupe on (batch_id, query_id, id), the ingest-loop
+    * crash-window stance).
+    *
+    * Wire it:
+    * {{{
+    * queries.writeStream
+    *   .foreachBatch(Similarity.ivfPqServeBatch(indexPath, corpus,
+    *     "vec_id", "embedding", "query_id", "qvec", outPath, k = 10) _)
+    *   .start()
+    * }}}
+    */
+  def ivfPqServeBatch(path: String, vectors: DataFrame, idCol: String,
+      vecCol: String, qIdCol: String, qVecCol: String, outPath: String,
+      k: Int, nProbe: Int = 4, overfetch: Int = 4)
+      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$outPath/serve_log"
+    val replayed =
+      try spark.read.parquet(logPath)
+        .where(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case scala.util.control.NonFatal(_) => false } // no log yet
+    if (replayed) return
+    // pin the batch: the probe collects its cell set AND joins it
+    // twice — without the checkpoint each action re-runs the source
+    val queries = batch.localCheckpoint()
+    if (!queries.isEmpty) {
+      knnIvfPqBatchIndexed(spark, path, vectors, idCol, vecCol,
+          queries, qIdCol, qVecCol, k, nProbe, overfetch)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$outPath/results")
+    }
+    Seq((batchId, queries.count()))
+      .toDF("batch_id", "n_queries")
+      .repartition(1).write.mode("append").parquet(logPath)
+  }
 }

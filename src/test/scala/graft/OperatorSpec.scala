@@ -709,6 +709,44 @@ class SimilaritySpec extends SparkSpec {
     assertSameRows(a, b)
   }
 
+  test("ivfpq serving loop: streamed queries equal the direct batch probe, replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-s").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfpq-o").toString
+    val cb = Similarity.pqSeededCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir, cb,
+      nCells = 8)
+    val qset = emb.orderBy("vec_id").limit(4)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      .as[(Long, Array[Float])].collect()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("query_id", "qvec").writeStream
+      .foreachBatch(Similarity.ivfPqServeBatch(dir, emb, "vec_id",
+        "embedding", "query_id", "qvec", out, k = 10, nProbe = 3) _)
+      .start()
+    try {
+      mem.addData(qset(0), qset(1)); q.processAllAvailable()
+      mem.addData(qset(2), qset(3)); q.processAllAvailable()
+    } finally q.stop()
+    val served = spark.read.parquet(s"$out/results")
+      .select("query_id", "id", "cosine")
+    val direct = Similarity.knnIvfPqBatchIndexed(spark, dir, emb,
+      "vec_id", "embedding",
+      qset.toSeq.toDF("query_id", "qvec"), "query_id", "qvec",
+      k = 10, nProbe = 3)
+    assertSameRows(served, direct)
+    // replaying a served batch id appends nothing
+    val before = spark.read.parquet(s"$out/results").count()
+    Similarity.ivfPqServeBatch(dir, emb, "vec_id", "embedding",
+      "query_id", "qvec", out, k = 10, nProbe = 3)(
+      Seq(qset(0)).toDF("query_id", "qvec"), 0L)
+    assert(spark.read.parquet(s"$out/results").count() == before,
+      "replayed batch id must not re-serve")
+    assert(spark.read.parquet(s"$out/serve_log").count() == 2)
+  }
+
   test("lsh knn returns a subset of the corpus ranked consistently with brute") {
     val brute = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 50)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
