@@ -298,6 +298,42 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s13/p05/c07/d15: session-3 scans prune to exactly the used columns") {
+    // s13/p05 read (doc_id, text) or less; lang/source/n_chars would
+    // be wasted bytes at 100 TB
+    for (q <- Seq("s13_phrase_search", "p05_length_buckets")) {
+      val plan = explain(build(q))
+      val schemas = plan.linesIterator
+        .filter(_.contains("ReadSchema")).toList
+      assert(schemas.nonEmpty, s"$q: no scans found")
+      assert(schemas.forall(s =>
+        !s.contains("lang") && !s.contains("source") &&
+          !s.contains("n_chars")),
+        s"$q column pruning failed: $schemas")
+    }
+    // c07 reads (text, lang, source) — never n_chars or doc_id
+    val c07 = explain(build("c07_source_mix")).linesIterator
+      .filter(_.contains("ReadSchema")).toList
+    assert(c07.nonEmpty && c07.forall(s =>
+      !s.contains("n_chars") && !s.contains("doc_id")), c07.toString)
+    // d15 reads (vec_id, embedding) — never the label column
+    val d15 = explain(build("d15_semdedup")).linesIterator
+      .filter(_.contains("ReadSchema")).toList
+    assert(d15.nonEmpty && d15.forall(s => !s.contains("label")),
+      d15.toString)
+  }
+
+  test("s13: anchors and occurrences aggregate map-side, heap partial") {
+    // the alignment join's aggregates must emit partials below their
+    // exchanges — the shuffle carries per-partition partial counts,
+    // never raw (doc, query, position) match rows
+    val plan = explain(build("s13_phrase_search"))
+    assert(plan.contains("partial_count"),
+      s"anchor counting not map-side combined:\n$plan")
+    assert(plan.contains("partial_topk_rows"),
+      s"topk must aggregate map-side:\n$plan")
+  }
+
   test("e04: the lead window and its filter ride ONE user_id exchange") {
     val plan = build("e04_transitions")
       .queryExecution.executedPlan.toString
