@@ -657,6 +657,40 @@ object Dedup {
       .where(col("char_jaccard") >= threshold)
   }
 
+  /** Cross-source near-duplicate overlap matrix: the d02/d04 chain
+    * (MinHash-LSH candidates → char-n-gram Jaccard verify) attributed
+    * to source pairs — per unordered (source_a ≤ source_b) pair, how
+    * many verified near-dup document pairs straddle it. The report
+    * that tells a corpus owner WHICH feeds are mirroring each other
+    * before any row is dropped.
+    *
+    * Scale shape: pair volume is the candidates-linear LSH output
+    * (never |corpus|²); attaching sources is two hash joins of that
+    * pair set against an (id, source) two-column projection of the
+    * corpus; the final aggregate is at most |sources|² rows. Adds no
+    * new shuffle shape beyond d04 itself.
+    */
+  def crossSourceDupMatrix(
+      df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      shingleK: Int = 3, ngramN: Int = 3, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 16,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val verified = charJaccardVerify(
+      minhashCandidates(df, idCol, textCol, shingleK, numHashes, bands,
+        maxBucketSize),
+      df, idCol, textCol, ngramN, threshold)
+    val srcs = df.select(col(idCol).as("_cs_id"), col(sourceCol).as("_cs_src"))
+    verified
+      .join(srcs.withColumnsRenamed(
+        Map("_cs_id" -> "id_a", "_cs_src" -> "_cs_sa")), "id_a")
+      .join(srcs.withColumnsRenamed(
+        Map("_cs_id" -> "id_b", "_cs_src" -> "_cs_sb")), "id_b")
+      .select(least(col("_cs_sa"), col("_cs_sb")).as("source_a"),
+              greatest(col("_cs_sa"), col("_cs_sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   // ——— Persisted LSH dedup index ———————————————————————————————————
   //
   // The incremental-dedup shape a living 100 TB corpus actually runs:

@@ -120,6 +120,47 @@ object EventsAnalytics {
           .cast("double").as("total_value"))
   }
 
+  /** Rolling active users: for every calendar day in the observed
+    * span, the distinct users active that day (`dau`) and within the
+    * trailing `windowDays` days ending that day (`rolling_users` —
+    * WAU at 7, MAU at 30). Days with no activity appear with 0s.
+    *
+    * Scale shape: ONE distinct collapses the raw event volume to at
+    * most |users|·|days| (user, day) rows; the trailing window is
+    * then a fixed ×windowDays forward explode (each active day
+    * contributes to exactly the windowDays target days it is visible
+    * from) feeding an exact COUNT(DISTINCT user) per target day — no
+    * range join and no per-day rescan of the events table, so the
+    * whole report is two aggregate exchanges regardless of corpus
+    * size. The explode fanout is the window length, a small constant
+    * (7/28/30-class); the calendar spine is a one-row min/max
+    * aggregate exploded into the span, never a driver collect.
+    * Days past the observed max are clipped by the spine join.
+    */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "rollingActive: windowDays must be >= 1")
+    val daily = events
+      .select(col(userCol).as("_ra_u"), to_date(col(tsCol)).as("_ra_day"))
+      .distinct()
+    val cal = daily
+      .agg(min("_ra_day").as("_ra_lo"), max("_ra_day").as("_ra_hi"))
+      .select(explode(sequence(col("_ra_lo"), col("_ra_hi"))).as("_ra_cd"))
+    val dau = daily.groupBy(col("_ra_day").as("_ra_dd"))
+      .agg(countDistinct("_ra_u").as("_ra_dau"))
+    val rolling = daily
+      .select(col("_ra_u"), explode(sequence(col("_ra_day"),
+        date_add(col("_ra_day"), windowDays - 1))).as("_ra_td"))
+      .groupBy("_ra_td")
+      .agg(countDistinct("_ra_u").as("_ra_roll"))
+    cal
+      .join(dau, col("_ra_cd") === col("_ra_dd"), "left")
+      .join(rolling, col("_ra_cd") === col("_ra_td"), "left")
+      .select(date_format(col("_ra_cd"), "yyyy-MM-dd").as("day"),
+        coalesce(col("_ra_dau"), lit(0L)).as("dau"),
+        coalesce(col("_ra_roll"), lit(0L)).as("rolling_users"))
+  }
+
   /** Cohort retention: users cohort by their first-activity date; the
     * output counts, per (cohort_day, day_offset), the users active
     * `day_offset` days after their cohort date. One exchange for the

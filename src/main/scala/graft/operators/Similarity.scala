@@ -864,6 +864,39 @@ object Similarity {
       .select(col("query_id"), col("e.id").as("id"), col("e.ord").as("cosine"))
   }
 
+  /** ANN quality report: recall@k of the IVF probe against the exact
+    * brute-force top-k, per query — the eval that decides
+    * nCells/nProbe BEFORE committing a 100 TB index layout. Runs both
+    * paths over the corpus (one scan each), joins the two
+    * k-row-per-query result sets on (query_id, id), and reports the
+    * hit count and recall fraction per query; queries whose probed
+    * cells miss every true neighbor still appear, with 0s.
+    *
+    * Cost is the sum of the two scans it composes (the exact side is
+    * the price of ground truth — this runs on an eval SAMPLE of
+    * queries, not the serving path); the join and aggregate touch
+    * only k·|queries| rows. recall is n_hit/k: one small-int/double
+    * IEEE division, bit-stable cross-engine.
+    */
+  def ivfRecall(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val approx = knnIvfBatch(queries, qIdCol, qVecCol, corpus, idCol,
+      vecCol, k, nCells, nProbe)
+    val exact = knnBruteBatch(queries, qIdCol, qVecCol, corpus, idCol,
+      vecCol, k)
+    val hits = approx.select("query_id", "id")
+      .join(exact.select("query_id", "id"), Seq("query_id", "id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    queries.select(col(qIdCol).as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k.toDouble))
+          .as("recall"))
+  }
+
   /** Batch probe of a PERSISTED IVF index ([[writeIvfIndex]]) — the
     * production shape: the index is built once (the expensive
     * assignment pass over 100 TB), then every query batch reads only

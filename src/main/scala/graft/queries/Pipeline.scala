@@ -1068,6 +1068,71 @@ object Pipeline {
              |SELECT query_id, id, ${r6sql("cos")} AS cosine
              |FROM ranked WHERE rk <= 10 ORDER BY query_id, id""".stripMargin)),
 
+    // IVF recall@k eval: the s07 approximate results scored against
+    // the s04 exact ground truth, per query — the report that picks
+    // nCells/nProbe before an index layout is committed. Oracle
+    // replays BOTH paths (s07's probe chain + s04's brute window) and
+    // joins them; recall is one small-int/double division, bit-stable.
+    Q("s14_ann_recall",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.orderBy("vec_id").limit(3)
+        Similarity.ivfRecall(queries, "vec_id", "embedding",
+            emb, "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4)
+          .orderBy("query_id")
+      },
+      Some(s"""WITH cent AS (
+             |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+             |), q AS (
+             |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings ORDER BY vec_id LIMIT 3
+             |), e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), assigned AS (
+             |  SELECT vec_id, v, cell,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id
+             |      ORDER BY list_dot_product(v, cv) DESC, cell ASC) AS rn
+             |  FROM e CROSS JOIN cent
+             |), probe AS (
+             |  SELECT query_id, cell FROM (
+             |    SELECT query_id, cell, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY list_dot_product(cv, qv) DESC, cell ASC) AS pk
+             |    FROM cent CROSS JOIN q)
+             |  WHERE pk <= 4
+             |), iscored AS (
+             |  SELECT q.query_id, a.vec_id AS id,
+             |    ${cosineSql("a.v", "q.qv")} AS cos
+             |  FROM assigned a
+             |  JOIN probe p ON a.cell = p.cell AND a.rn = 1
+             |  JOIN q ON q.query_id = p.query_id
+             |), ivf AS (
+             |  SELECT query_id, id FROM (
+             |    SELECT query_id, id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rk
+             |    FROM iscored)
+             |  WHERE rk <= 10
+             |), bscored AS (
+             |  SELECT q.query_id, e.vec_id AS id,
+             |    ${cosineSql("e.v", "q.qv")} AS cos
+             |  FROM e CROSS JOIN q
+             |), exact AS (
+             |  SELECT query_id, id FROM (
+             |    SELECT query_id, id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rk
+             |    FROM bscored)
+             |  WHERE rk <= 10
+             |), h AS (
+             |  SELECT ivf.query_id, COUNT(*) AS c
+             |  FROM ivf JOIN exact USING (query_id, id) GROUP BY 1
+             |)
+             |SELECT q.query_id, COALESCE(c, 0) AS n_hit,
+             |  COALESCE(c, 0) / 10.0 AS recall
+             |FROM q LEFT JOIN h USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
     // kNN classification: majority label of the 10 nearest neighbors
     // for the 5 lowest-id vectors (self excluded). Oracle replays the
     // rank + vote chain with the mirrored cosine.
@@ -2097,6 +2162,33 @@ object Pipeline {
              |  top_lang, top_lang_n
              |FROM s JOIN top USING (source), tot
              |ORDER BY source""".stripMargin)),
+
+    // cross-source near-dup overlap matrix: the d04 verify chain
+    // aggregated to (source_a, source_b) — which feeds mirror each
+    // other. Oracle is the brute-force all-pairs truth (the d02/d04
+    // separation argument: LSH candidates ⊇ every pair ≥ threshold on
+    // this corpus) joined to sources and counted.
+    Q("c08_dup_matrix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.crossSourceDupMatrix(docs, "doc_id", "text", "source")
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT doc_id, source, CASE WHEN length(text) >= 3
+             |    THEN list_distinct([text[i:i+2]
+             |                        for i in range(1, length(text) - 1)])
+             |    ELSE [text] END AS s
+             |  FROM documents
+             |), p AS (
+             |  SELECT a.source AS sa, b.source AS sb
+             |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |    / len(list_distinct(a.s || b.s)) >= 0.8
+             |)
+             |SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+             |  COUNT(*) AS n_pairs
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Q("c06_curation_funnel",
       (s, dir) => {

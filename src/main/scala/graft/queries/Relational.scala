@@ -1373,6 +1373,44 @@ object Relational {
              |SELECT path, COUNT(*) AS n FROM p
              |GROUP BY path ORDER BY n DESC, path ASC LIMIT 25""".stripMargin)),
 
+    // ───────────────────────── rolling active users ─────────────────────────
+    // DAU + trailing-7-day distinct actives for every calendar day in
+    // the span (gap days emit 0s). The trailing window is a fixed ×7
+    // forward explode of the (user, day) distinct — never a range
+    // join — so the report is two aggregate exchanges at any corpus
+    // size. Oracle computes the same window as a calendar×daily range
+    // join (exact COUNT(DISTINCT) both sides); days emit as strings
+    // (the e03 cross-engine date stance).
+    Q("e07_rolling_active",
+      (s, dir) => {
+        graft.operators.EventsAnalytics.rollingActive(
+            Tables.events(s, dir), "user_id", "ts", windowDays = 7)
+          .orderBy("day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT DISTINCT user_id AS u,
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+             |  FROM events
+             |), b AS (
+             |  SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily
+             |), cal AS (
+             |  SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+             |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS cd
+             |  FROM b
+             |), dau AS (
+             |  SELECT d, COUNT(DISTINCT u) AS dau FROM daily GROUP BY 1
+             |), roll AS (
+             |  SELECT cal.cd AS td, COUNT(DISTINCT u) AS roll
+             |  FROM cal JOIN daily ON daily.d BETWEEN cal.cd - 6 AND cal.cd
+             |  GROUP BY 1
+             |)
+             |SELECT strftime(cd, '%Y-%m-%d') AS day,
+             |  COALESCE(dau.dau, 0) AS dau,
+             |  COALESCE(roll.roll, 0) AS rolling_users
+             |FROM cal LEFT JOIN dau ON dau.d = cal.cd
+             |LEFT JOIN roll ON roll.td = cal.cd
+             |ORDER BY day""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

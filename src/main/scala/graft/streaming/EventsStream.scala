@@ -40,6 +40,41 @@ object EventsStream {
               col("n"), col("total_value"))
   }
 
+  /** Streaming twin of [[graft.operators.EventsAnalytics.rollingActive]]:
+    * distinct users over a trailing `windowDays`-day window sliding by
+    * one day, computed live. Each event lands in its `windowDays`
+    * overlapping sliding windows; a stateful per-(window, user) dedup
+    * feeds a windowed count — the Spark-4 chained-stateful shape
+    * (dedup state and window state both evicted once the watermark
+    * closes the window, so state is |active users|·windowDays, never
+    * history-sized). Exact COUNT(DISTINCT) without a distinct
+    * aggregate, which streaming does not support.
+    *
+    * Emits (day, rolling_users) where `day` is the LAST day covered
+    * by the window (the batch report's labeling). Contract vs the
+    * batch twin: windows with zero actives are simply absent here
+    * (the batch report emits 0 rows for them), and trailing windows
+    * labeled past the final observed day are emitted (a live stream
+    * has no "max day"); on any prefix of days ≤ the batch span's max,
+    * rows match the batch report's non-zero rows exactly
+    * (StreamingSpec pins this).
+    */
+  def rollingActiveStream(events: DataFrame, windowDays: Int = 7,
+      watermark: String = "0 seconds"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .select(window(col("ts"), s"$windowDays days", "1 day").as("w"),
+        col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("rolling_users"))
+      .select(
+        date_format(col("w.end") - expr("INTERVAL 1 DAY"), "yyyy-MM-dd")
+          .as("day"),
+        col("rolling_users"))
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

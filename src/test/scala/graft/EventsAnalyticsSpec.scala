@@ -181,6 +181,34 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(tp == List(("x>y", 1L)), tp.toString)
   }
 
+  test("rollingActive: hand-computed dau and trailing window, gap days emit 0s") {
+    val log = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 11:00:00"), "click"), // same user+day dedups
+      (2L, ts("2024-01-01 09:00:00"), "view"),
+      (1L, ts("2024-01-03 10:00:00"), "view"),
+      (3L, ts("2024-01-05 10:00:00"), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val out = EventsAnalytics.rollingActive(log, "user_id", "ts",
+        windowDays = 3)
+      .orderBy("day").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // day, dau, distinct users over the trailing 3 days
+      ("2024-01-01", 2L, 2L),
+      ("2024-01-02", 0L, 2L), // gap day still inside user 1+2's window
+      ("2024-01-03", 1L, 2L),
+      ("2024-01-04", 0L, 1L), // only user 1's day-3 activity remains
+      ("2024-01-05", 1L, 2L)), out.toString)
+  }
+
+  test("rollingActive plan: equality joins only — the trailing window rides the explode") {
+    val plan = EventsAnalytics.rollingActive(
+        Tables.events(spark, sfDir), "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("transitionMatrix breaks timestamp ties by the tie column") {
     // two same-instant events: order must follow event_id, not arrival
     val events = Seq(

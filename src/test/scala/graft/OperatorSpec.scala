@@ -155,6 +155,25 @@ class DedupSpec extends SparkSpec {
       s"missed=${truePairs -- got} extra=${got -- truePairs}")
   }
 
+  test("crossSourceDupMatrix equals the brute-force source-pair rollup") {
+    val rows = docs.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Set[String] =
+      if (t.length >= 3) t.sliding(3).toSet else Set(t)
+    val want = (for {
+      (i, ta, sa) <- rows; (j, tb, sb) <- rows if i < j
+      ga = grams(ta); gb = grams(tb)
+      jac = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      if jac >= 0.8
+    } yield (Seq(sa, sb).min, Seq(sa, sb).max))
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSet
+    assert(want.nonEmpty, "corpus should contain near-dup source pairs")
+    val got = Dedup.crossSourceDupMatrix(docs, "doc_id", "text", "source")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+  }
+
   test("decontamination finds exactly the cross-split near-dup pairs") {
     val train = docs.where($"doc_id" % 10 =!= 0)
     val eval = docs.where($"doc_id" % 10 === 0)
@@ -675,6 +694,36 @@ class SimilaritySpec extends SparkSpec {
       assert(batch(qid).toSeq.sortBy(t => (-t._3, t._2)) ==
         single.sortBy(t => (-t._3, t._2)),
         s"batch diverged for query $qid")
+    }
+  }
+
+  test("ivfRecall: full probe is recall 1.0; partial probe is bounded, complete, consistent") {
+    val queries = emb.orderBy("vec_id").limit(4)
+    // nProbe = nCells scores every cell → identical to brute force
+    val full = Similarity.ivfRecall(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 8)
+      .as[(Long, Long, Double)].collect()
+    assert(full.length == 4)
+    assert(full.forall { case (_, h, r) => h == 5L && r == 1.0 },
+      full.mkString(", "))
+    // partial probe: one row per query, 0 ≤ n_hit ≤ k, recall = n_hit/k,
+    // and the counts equal a direct join of the two paths it composes
+    val part = Similarity.ivfRecall(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(part.length == 4)
+    assert(part.forall { case (_, h, r) => h >= 0L && h <= 5L && r == h / 5.0 },
+      part.mkString(", "))
+    val approx = Similarity.knnIvfBatch(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5, nCells = 8, nProbe = 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.knnBruteBatch(queries, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val wantHits = approx.intersect(exact).groupBy(_._1)
+      .map { case (q, s) => q -> s.size.toLong }
+    part.foreach { case (q, h, _) =>
+      assert(h == wantHits.getOrElse(q, 0L), s"query $q hit count")
     }
   }
 

@@ -42,6 +42,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming rolling actives: finalized windows match the batch report's non-zero rows") {
+    implicit val sqlCtx = spark.sqlContext
+    def dts(day: Int, h: Int) =
+      Timestamp.valueOf(f"2024-01-$day%02d $h%02d:00:00")
+    val main = Seq(
+      Event(1, dts(1, 10), 1, "view", 1.0),
+      Event(2, dts(1, 11), 1, "click", 1.0), // same user+day dedups
+      Event(3, dts(1, 9), 2, "view", 1.0),
+      Event(4, dts(3, 10), 1, "view", 1.0),
+      Event(5, dts(5, 10), 3, "view", 1.0))
+    // far-future fencepost advances the watermark so every window over
+    // the main data finalizes in append mode; its own windows (days
+    // 20+) stay open and unemitted
+    val fence = Event(6, dts(20, 0), 99, "view", 1.0)
+    val mem = MemoryStream[Event]
+    val q = EventsStream.rollingActiveStream(mem.toDF(), windowDays = 3)
+      .writeStream.format("memory").queryName("rollact")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(main: _*)
+      q.processAllAvailable()
+      mem.addData(fence)
+      q.processAllAvailable()
+      val batch = graft.operators.EventsAnalytics.rollingActive(
+          main.toDF(), "user_id", "ts", windowDays = 3)
+        .where($"rolling_users" > 0)
+        .select("day", "rolling_users")
+        .as[(String, Long)].collect().toMap
+      val maxDay = batch.keys.max
+      val streamed = spark.table("rollact")
+        .as[(String, Long)].collect().toMap
+      assert(streamed.view.filterKeys(_ <= maxDay).toMap == batch,
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("watermark drops state for closed windows (append mode emits finalized rows)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
