@@ -143,22 +143,48 @@ object EventsAnalytics {
     val daily = events
       .select(col(userCol).as("_ra_u"), to_date(col(tsCol)).as("_ra_day"))
       .distinct()
-    val cal = daily
-      .agg(min("_ra_day").as("_ra_lo"), max("_ra_day").as("_ra_hi"))
-      .select(explode(sequence(col("_ra_lo"), col("_ra_hi"))).as("_ra_cd"))
-    val dau = daily.groupBy(col("_ra_day").as("_ra_dd"))
-      .agg(countDistinct("_ra_u").as("_ra_dau"))
-    val rolling = daily
-      .select(col("_ra_u"), explode(sequence(col("_ra_day"),
-        date_add(col("_ra_day"), windowDays - 1))).as("_ra_td"))
-      .groupBy("_ra_td")
-      .agg(countDistinct("_ra_u").as("_ra_roll"))
-    cal
-      .join(dau, col("_ra_cd") === col("_ra_dd"), "left")
-      .join(rolling, col("_ra_cd") === col("_ra_td"), "left")
+    // every (user, day) contributes to windowDays target days; the
+    // contribution's offset marks whether the user was active ON the
+    // target day itself (off = 0), so ONE exploded pass feeds both
+    // counts — dau is not a second scan, and neither count is a
+    // DISTINCT aggregate (the (target, user) dedup below already
+    // collapsed duplicates, so both counts take map-side partials)
+    val marked = daily
+      .select(col("_ra_u"), col("_ra_day"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("_ra_off"))
+      .select(col("_ra_u"),
+        date_add(col("_ra_day"), col("_ra_off")).as("_ra_td"),
+        col("_ra_off"))
+    val pairs = marked.groupBy(col("_ra_td"), col("_ra_u"))
+      .agg(min(col("_ra_off")).as("_ra_moff"))
+    val perday = pairs.groupBy(col("_ra_td"))
+      .agg(count(lit(1)).as("_ra_roll"),
+        count(when(col("_ra_moff") === 0, 1)).as("_ra_dau"))
+    // Calendar spine and gap days come from the aggregate itself, not
+    // a second events pass (a separate min/max branch gets its columns
+    // pruned differently and defeats exchange reuse — measured as a
+    // duplicate FileScan): clip the trailing-window overhang past the
+    // last ACTIVE day with a global-max window, then let each row emit
+    // the gap days since its predecessor (lag + explode) with 0s. Both
+    // windows are SinglePartition by construction but run over the
+    // |days|-sized aggregate — bounded, never corpus-sized. Plan spec
+    // pins the single events scan.
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy("_ra_td")
+    perday
+      .withColumn("_ra_hi",
+        max(when(col("_ra_dau") > 0, col("_ra_td"))).over(wAll))
+      .where(col("_ra_td") <= col("_ra_hi"))
+      .withColumn("_ra_prev", lag("_ra_td", 1).over(wOrd))
+      .select(col("_ra_td"), col("_ra_roll"), col("_ra_dau"),
+        explode(sequence(
+          coalesce(date_add(col("_ra_prev"), 1), col("_ra_td")),
+          col("_ra_td"))).as("_ra_cd"))
       .select(date_format(col("_ra_cd"), "yyyy-MM-dd").as("day"),
-        coalesce(col("_ra_dau"), lit(0L)).as("dau"),
-        coalesce(col("_ra_roll"), lit(0L)).as("rolling_users"))
+        when(col("_ra_cd") === col("_ra_td"), col("_ra_dau"))
+          .otherwise(lit(0L)).as("dau"),
+        when(col("_ra_cd") === col("_ra_td"), col("_ra_roll"))
+          .otherwise(lit(0L)).as("rolling_users"))
   }
 
   /** Cohort retention: users cohort by their first-activity date; the

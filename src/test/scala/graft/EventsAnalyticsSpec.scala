@@ -201,12 +201,17 @@ class EventsAnalyticsSpec extends SparkSpec {
       ("2024-01-05", 1L, 2L)), out.toString)
   }
 
-  test("rollingActive plan: equality joins only — the trailing window rides the explode") {
+  test("rollingActive plan: ONE events scan, equality-free of range joins") {
     val plan = EventsAnalytics.rollingActive(
         Tables.events(spark, sfDir), "user_id", "ts")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // dau, rolling, calendar spine and gap fill all ride one pass —
+    // a second scan here is the 3x-events-reads regression this plan
+    // was rewritten to kill
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected ONE events scan, got $scans:\n$plan")
   }
 
   test("transitionMatrix breaks timestamp ties by the tie column") {
