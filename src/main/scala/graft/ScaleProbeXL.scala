@@ -302,6 +302,33 @@ object ScaleProbeXL {
         f"time=$sec%.1fs")
     }
 
+    // ── rolling actives (e07): events replicated rep× with a per-copy
+    // user shift — the (user, day) distinct mass grows rep× while the
+    // day span stays FIXED, so every stage (distinct, ×windowDays
+    // explode, per-day aggregate) is corpus-linear, and the gap-fill
+    // windows run on the same fixed |days|-sized aggregate at every
+    // rep. roll_mass (Σ rolling_users) must grow exactly rep× —
+    // disjoint users per copy — which pins the semantics of the
+    // replication itself. Budget: time ≤ linear in rep. ──
+    if (fam("rolling")) {
+      val ev = Tables.events(spark, sfDir).select("user_id", "ts")
+      val e0 = ev.count()
+      for (rep <- Seq(1, math.max(reps.min / 2, 10))) {
+        val big = ev.select(col("user_id"), col("ts"),
+            explode(sequence(lit(0), lit(rep - 1))).as("cp"))
+          .select((col("user_id") + col("cp") * lit(1000000000L))
+            .as("user_id"), col("ts"))
+        val t0 = System.nanoTime()
+        val agg = operators.EventsAnalytics
+          .rollingActive(big, "user_id", "ts")
+          .agg(count(lit(1)), sum("rolling_users")).head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[probe-xl] rolling rep=$rep%-4d events=${e0 * rep}%-9d " +
+          f"days=${agg.getLong(0)}%-4d roll_mass=${agg.getLong(1)}%-12d " +
+          f"time=$sec%.1fs")
+      }
+    }
+
     // ── bloom runtime filter at 10× the fact side: the surviving-row
     // RATIO is the scale quantity — it must hold as the probe side
     // grows, because it is what the exchange carries at 100 TB ──
