@@ -885,6 +885,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental cross-source dup matrix: [[crossSourceDupMatrix]]'s
+    * report for an INGEST BATCH probed against a persisted LSH index —
+    * which sources does today's delivery mirror, without re-hashing
+    * (or even having) the indexed corpus text. Pairs come from
+    * [[dedupAgainstLshIndex]] (cost linear in the batch and its
+    * cross-collisions, never in the index); the indexed side's
+    * sources arrive as a caller-supplied (idCol, sourceCol) frame —
+    * catalog metadata the index deliberately does not store (it
+    * holds bandings and hash sets, never attributes). Attaching
+    * sources is two id-keyed joins on the pair set; the rollup is
+    * ≤|sources|² rows.
+    *
+    * Output: (source_a ≤ source_b lexicographically, n_pairs) — the
+    * same contract as the batch matrix, so dashboards can union the
+    * two.
+    */
+  def dupMatrixAgainstLshIndex(
+      batch: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      path: String, indexSources: DataFrame,
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val pairs = dedupAgainstLshIndex(batch, idCol, textCol, path,
+      threshold, maxBucketSize)
+    val bSrc = batch.select(col(idCol).as("id_right"),
+      col(sourceCol).as("_dm_sb"))
+    val iSrc = indexSources.select(col(idCol).as("id_left"),
+      col(sourceCol).as("_dm_sa"))
+    pairs.join(iSrc, "id_left").join(bSrc, "id_right")
+      .select(least(col("_dm_sa"), col("_dm_sb")).as("source_a"),
+              greatest(col("_dm_sa"), col("_dm_sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Within-corpus near-dup pairs straight from a persisted LSH index
     * — [[minhashDuplicates]] semantics without touching (or even
     * having) the corpus text: candidates from the stored banding

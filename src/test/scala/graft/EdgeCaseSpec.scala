@@ -373,4 +373,48 @@ class EdgeCaseSpec extends SparkSpec {
     val q = df.select(TextAnalysis.qualityScore(col("text"))).head()
     assert(!q.isNullAt(0) && q.getDouble(0) == 0.0)
   }
+
+  test("rollingActive: empty events empty; one event spans one day with count 1") {
+    import graft.operators.EventsAnalytics
+    val empty = Seq.empty[(Long, java.sql.Timestamp)].toDF("user_id", "ts")
+    assert(EventsAnalytics.rollingActive(empty, "user_id", "ts").isEmpty)
+    val one = Seq((7L, java.sql.Timestamp.valueOf("2024-03-05 10:00:00")))
+      .toDF("user_id", "ts")
+    val got = EventsAnalytics.rollingActive(one, "user_id", "ts")
+      .as[(String, Long, Long)].collect().toList
+    // span is exactly the single active day — no trailing-window
+    // overhang rows past the last active day
+    assert(got == List(("2024-03-05", 1L, 1L)), got.toString)
+  }
+
+  test("crossSourceDupMatrix: corpus with no near-dups yields an empty matrix") {
+    val distinctDocs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "s1"),
+      (2L, "zeta eta theta iota kappa", "s2"),
+      (3L, "lambda mu nu xi omicron", "s1"))
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.crossSourceDupMatrix(
+      distinctDocs, "doc_id", "text", "source").isEmpty)
+    val empty = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "source")
+    assert(Dedup.crossSourceDupMatrix(
+      empty, "doc_id", "text", "source").isEmpty)
+  }
+
+  test("ivfRecall: empty query frame is empty; k past corpus size caps recall at 1.0") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val noQueries = emb.where(lit(false))
+    assert(Similarity.ivfRecall(noQueries, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, nCells = 4, nProbe = 4).isEmpty)
+    // k > corpus: both paths return the whole corpus per query, so
+    // n_hit = |corpus| and recall = |corpus|/k < 1 — the report stays
+    // well-defined instead of dividing by a phantom k matches
+    val n = emb.count()
+    val one = emb.orderBy("vec_id").limit(1)
+    val r = Similarity.ivfRecall(one, "vec_id", "embedding",
+        emb, "vec_id", "embedding", k = n.toInt + 10,
+        nCells = 4, nProbe = 4)
+      .as[(Long, Long, Double)].head()
+    assert(r._2 == n && r._3 == n.toDouble / (n + 10))
+  }
 }

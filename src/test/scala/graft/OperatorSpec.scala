@@ -242,6 +242,30 @@ class DedupSpec extends SparkSpec {
     assert(a == b, s"cap=8 altered real-corpus results: ${a.diff(b)} ${b.diff(a)}")
   }
 
+  test("dupMatrixAgainstLshIndex equals the rollup of the in-memory probe pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshm").toString
+    val corpus = docs.where($"doc_id" % 10 =!= 0)
+    val batch = docs.where($"doc_id" % 10 === 0)
+    Dedup.writeLshIndex(corpus, "doc_id", "text", dir)
+    val got = Dedup.dupMatrixAgainstLshIndex(batch, "doc_id", "text",
+        "source", dir, corpus.select("doc_id", "source"))
+      .as[(String, String, Long)].collect().toSet
+    // ground truth: the in-memory cross-corpus pairs joined to sources
+    // driver-side and rolled up the same way
+    val srcOf = docs.select("doc_id", "source").as[(Long, String)]
+      .collect().toMap
+    val want = Dedup.decontaminate(corpus, batch, "doc_id", "text")
+      .select("id_left", "id_right").as[(Long, Long)].collect()
+      .map { case (l, r) =>
+        val (a, b) = (srcOf(l), srcOf(r))
+        (Seq(a, b).min, Seq(a, b).max)
+      }
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSet
+    assert(want.nonEmpty, "cross-split planted dups should span sources")
+    assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+  }
+
   test("standalone cross-corpus candidates agree with the fused decontaminate path") {
     val train = docs.where($"doc_id" % 10 =!= 0)
     val eval = docs.where($"doc_id" % 10 === 0)
