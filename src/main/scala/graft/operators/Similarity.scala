@@ -623,6 +623,39 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-filtered IVF ANN: top-k among probed-cell vectors that
+    * satisfy `predicate` — the filtered-vector-search serving shape
+    * ("nearest docs WHERE lang = 'en'"). The predicate applies INSIDE
+    * the probed-cell scan, BEFORE any cosine is computed or any heap
+    * row admitted: with attributes stored next to the vectors this is
+    * exact pre-filtering at any selectivity, never overfetch-and-hope
+    * (overfetch is only forced when the index layout cannot see the
+    * attribute, e.g. bare PQ codes). Centroids and the probe ranking
+    * deliberately come from the FULL corpus — the index is built
+    * before any predicate exists — so the approximation is unchanged
+    * from [[knnIvf]]: only probed cells are seen, and a
+    * vanishing-selectivity predicate wants nProbe raised (measured by
+    * the [[ivfRecall]]-style eval). Filtering before assignment also
+    * skips the nearest-centroid kernel on dropped rows.
+    */
+  def knnIvfFiltered(
+      df: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, query: Array[Float], k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+    val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
+    val indexed = assignCells(df.where(predicate), idCol, vecCol, cents)
+    val qd = query.map(_.toDouble)
+    val probeCells = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
+      .sortBy(-_._1).take(nProbe).map(_._2)
+    val q = typedlit(query.toSeq)
+    indexed.where(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Persist the IVF index partitioned by cell: `path/cells/cell=N/…`
     * plus the centroids under `path/centroids`. At 100 TB this is the
     * one-pass indexing job whose output makes every probe a

@@ -1133,6 +1133,47 @@ object Pipeline {
              |FROM q LEFT JOIN h USING (query_id)
              |ORDER BY query_id""".stripMargin)),
 
+    // metadata-filtered IVF ANN: top-k among probed-cell vectors
+    // satisfying a label predicate, applied INSIDE the probed scan
+    // (exact pre-filtering — never overfetch). Centroids and probe
+    // ranking come from the FULL corpus (the index predates the
+    // predicate); oracle is s03's chain with the predicate on the
+    // corpus CTE.
+    Q("s15_knn_filtered",
+      (s, dir) => {
+        Similarity.knnIvfFiltered(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", col("label") % 2 === 0,
+            queryVec(s, dir), k = 20, nCells = 16, nProbe = 4)
+          .select(col("id"), r6(col("cosine")).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      Some(s"""WITH cent AS (
+             |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+             |), q AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings ORDER BY vec_id LIMIT 1
+             |), e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE label % 2 = 0
+             |), assigned AS (
+             |  SELECT vec_id, v, cell,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id
+             |      ORDER BY list_dot_product(v, cv) DESC, cell ASC) AS rn
+             |  FROM e CROSS JOIN cent
+             |), probe AS (
+             |  SELECT cell FROM cent, q
+             |  ORDER BY list_dot_product(cv, qv) DESC, cell ASC LIMIT 4
+             |), scored AS (
+             |  SELECT vec_id AS id,
+             |    ${cosineSql("v", "qv")} AS cos
+             |  FROM assigned, q
+             |  WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+             |)
+             |SELECT id, ${r6sql("cos")} AS cosine
+             |FROM scored ORDER BY cos DESC, id LIMIT 20""".stripMargin)),
+
     // kNN classification: majority label of the 10 nearest neighbors
     // for the 5 lowest-id vectors (self excluded). Oracle replays the
     // rank + vote chain with the mirrored cosine.

@@ -721,6 +721,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnIvfFiltered: full probe equals brute over the filtered corpus; false predicate is empty") {
+    val pred = $"label" % 2 === 0
+    // nProbe = nCells sees every cell → exact filtered kNN
+    val full = Similarity.knnIvfFiltered(emb, "vec_id", "embedding",
+      pred, qv, k = 10, nCells = 8, nProbe = 8)
+    val brute = Similarity.knnBrute(emb.where(pred), "vec_id",
+      "embedding", qv, k = 10)
+    assertSameRows(full, brute)
+    // partial probe: results are a subset of the filtered corpus and
+    // never contain a predicate-violating id
+    val part = Similarity.knnIvfFiltered(emb, "vec_id", "embedding",
+        pred, qv, k = 10, nCells = 8, nProbe = 2)
+      .select("id").as[Long].collect().toSet
+    val evens = emb.where(pred).select("vec_id").as[Long].collect().toSet
+    assert(part.subsetOf(evens), s"filtered probe leaked ids: ${part -- evens}")
+    assert(Similarity.knnIvfFiltered(emb, "vec_id", "embedding",
+      lit(false), qv, k = 10, nCells = 8, nProbe = 8).isEmpty)
+  }
+
   test("ivfRecall: full probe is recall 1.0; partial probe is bounded, complete, consistent") {
     val queries = emb.orderBy("vec_id").limit(4)
     // nProbe = nCells scores every cell → identical to brute force
