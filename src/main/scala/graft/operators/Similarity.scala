@@ -666,9 +666,13 @@ object Similarity {
   def writeIvfIndex(
       df: DataFrame, idCol: String, vecCol: String, path: String,
       nCells: Int = 16,
-      strategy: CentroidStrategy = SeededCentroids): Unit = {
+      strategy: CentroidStrategy = SeededCentroids,
+      attrCols: Seq[String] = Nil): Unit = {
     val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
-    assignCells(df, idCol, vecCol, cents)
+    // attrCols store filterable metadata NEXT TO the vectors — the
+    // layout that turns a metadata-filtered probe into a parquet
+    // predicate-pushdown read of the probed cells (knnIvfIndexedFiltered)
+    assignCells(df, idCol, vecCol, cents, extraCols = attrCols)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     // centroids are already on the driver (bounded nCells rows) — write
     // them as-is so the stored index replays the exact build centroids
@@ -701,7 +705,17 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val cents = readCentroids(df.sparkSession, path)
     require(cents.nonEmpty, s"appendToIvfIndex: no centroids at $path")
-    assignCells(df, idCol, vecCol, cents)
+    // the stored schema dictates the attribute columns — an index
+    // built with attrCols keeps them through appends (a frame missing
+    // one would silently schema-drift the cell files), and the append
+    // frame must carry them under the STORED names
+    val stored = df.sparkSession.read.parquet(s"$path/cells").schema
+    val attrs = stored.fieldNames.toSeq.filterNot(Set("id", "vec", "cell"))
+    val missing = attrs.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"appendToIvfIndex: index at $path stores attribute columns " +
+        s"${attrs.mkString(", ")}; append frame is missing ${missing.mkString(", ")}")
+    assignCells(df, idCol, vecCol, cents, extraCols = attrs)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -810,6 +824,37 @@ object Similarity {
     val q = typedlit(query.toSeq)
     spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Metadata-filtered probe of a PERSISTED IVF index: the 100 TB
+    * form of [[knnIvfFiltered]]. The index stores attribute columns
+    * next to the vectors (writeIvfIndex's `attrCols`), so the
+    * predicate reaches the parquet scan of the probed cells as a
+    * pushed filter — the scan skips row groups whose attr statistics
+    * exclude the predicate BEFORE any vector bytes are read, stacked
+    * on top of the cell partition pruning (two multiplicative prunes:
+    * nProbe/nCells of the files, then only the predicate-passing row
+    * groups within them). Spec pins both filters in the plan and
+    * parity with the in-memory filtered probe.
+    */
+  def knnIvfIndexedFiltered(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      predicate: Column, query: Array[Float], k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val qd = query.map(_.toDouble)
+    val probeCells = readCentroids(spark, path).zipWithIndex
+      .map { case (cv, cell) =>
+        (cv.zip(qd).map { case (a, b) => a * b }.sum, cell)
+      }
+      .sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2)
+    val q = typedlit(query.toSeq)
+    spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .where(predicate)
       .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)

@@ -1084,6 +1084,37 @@ class SimilaritySpec extends SparkSpec {
     assert(pf.exists(_.contains("cell")), s"no partition filter on cell:\n$plan")
   }
 
+  test("attr-carrying ivf index: filtered probe equals in-memory, pushes BOTH prunes, survives append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-attr").toString
+    val cut = emb.agg(org.apache.spark.sql.functions.expr(
+      "percentile(vec_id, 0.5)")).head().getDouble(0)
+    val first = emb.where($"vec_id" < cut)
+    val second = emb.where($"vec_id" >= cut)
+    Similarity.writeIvfIndex(first, "vec_id", "embedding", dir,
+      nCells = 8, attrCols = Seq("label"))
+    Similarity.appendToIvfIndex(second, "vec_id", "embedding", dir)
+    val pred = $"label" % 2 === 0
+    val probe = Similarity.knnIvfIndexedFiltered(spark, dir, pred, qv,
+      k = 10, nProbe = 3)
+    val mem = Similarity.knnIvfFiltered(emb, "vec_id", "embedding",
+      pred, qv, k = 10, nCells = 8, nProbe = 3)
+    assertSameRows(probe, mem)
+    // both prunes must reach the scan: cell partition pruning AND the
+    // attribute predicate as a pushed row-group filter
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.linesIterator.find(_.contains("PartitionFilters"))
+      .exists(_.contains("cell")), s"no partition filter on cell:\n$plan")
+    assert(plan.linesIterator.find(_.contains("PushedFilters"))
+      .exists(_.contains("label")), s"label predicate not pushed:\n$plan")
+    // an append frame missing the stored attribute fails fast
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfIndex(
+        second.drop("label"), "vec_id", "embedding", dir)
+    }
+    assert(err.getMessage.contains("label"))
+  }
+
   test("ivf index append: probe equals the in-memory path over the union") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString
     val cut = emb.agg(org.apache.spark.sql.functions.expr(
