@@ -187,6 +187,47 @@ object EventsAnalytics {
           .otherwise(lit(0L)).as("rolling_users"))
   }
 
+  /** Time-decayed engagement score per user: Σ over active days of
+    * (that day's value sum) · 2^-⌊Δ/halvingDays⌋, where Δ is the age
+    * in days against the corpus' last active day — recency-weighted
+    * activity, the feature a ranking/retention model consumes.
+    *
+    * Every arithmetic step is cross-engine exact, the t29 stance:
+    * daily sums ride the decimal-cast policy (order-free exact
+    * additions); the weight is 1/2^k — power(2,k) is exactly
+    * representable and the division is an exponent shift, so the
+    * per-(user, day) term is ONE deterministic IEEE multiply; terms
+    * quantize to micro-unit longs (floor(x·1e6 + 0.5)) whose sum is
+    * exact and partition-order-free; the final /1e6 is a single
+    * shared division. A raw double sum here would flake the oracle
+    * hash on partition order.
+    *
+    * Scale shape: one (user, day) aggregate exchange, a broadcast
+    * one-row max-day, one user-keyed aggregate. ⌊Δ/halvingDays⌋ is a
+    * staircase half-life — the exact-arithmetic generalization
+    * (fractional exponents would need transcendental pow, which is
+    * not bit-portable).
+    */
+  def decayedEngagement(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, halvingDays: Int = 1): DataFrame = {
+    require(halvingDays >= 1, "decayedEngagement: halvingDays must be >= 1")
+    val daily = events
+      .select(col(userCol).as("_de_u"), to_date(col(tsCol)).as("_de_d"),
+        col(valueCol).cast("decimal(18,2)").as("_de_v"))
+      .groupBy("_de_u", "_de_d")
+      .agg(sum("_de_v").cast("double").as("_de_dv"))
+    val mx = daily.agg(max("_de_d").as("_de_dmax"))
+    daily.crossJoin(broadcast(mx))
+      .select(col("_de_u"),
+        floor((col("_de_dv") *
+          (lit(1.0) / pow(lit(2.0),
+            floor(datediff(col("_de_dmax"), col("_de_d")) /
+              lit(halvingDays))))) * lit(1e6) + lit(0.5)).as("_de_m"))
+      .groupBy(col("_de_u"))
+      .agg((sum("_de_m").cast("double") / lit(1e6)).as("score"))
+      .select(col("_de_u").as(userCol), col("score"))
+  }
+
   /** Cohort retention: users cohort by their first-activity date; the
     * output counts, per (cohort_day, day_offset), the users active
     * `day_offset` days after their cohort date. One exchange for the

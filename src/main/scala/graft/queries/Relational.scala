@@ -1411,6 +1411,38 @@ object Relational {
              |LEFT JOIN roll ON roll.td = cal.cd
              |ORDER BY day""".stripMargin)),
 
+    // ───────────────────────── decayed engagement ─────────────────────────
+    // Recency-weighted per-user activity: each active day's value sum
+    // weighted by 2^-(age/2 halvings). Exactness chain (t29 stance):
+    // decimal daily sums, power-of-two weights (one deterministic IEEE
+    // multiply per term), micro-unit long quantization (order-free
+    // exact sum), one shared final division.
+    Q("e08_decayed_engagement",
+      (s, dir) => {
+        graft.operators.EventsAnalytics.decayedEngagement(
+            Tables.events(s, dir), "user_id", "ts", "value",
+            halvingDays = 2)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             |    CAST(value AS DECIMAL(18,2)) AS v
+             |  FROM events
+             |), daily AS (
+             |  SELECT user_id, d, CAST(SUM(v) AS DOUBLE) AS dv
+             |  FROM e GROUP BY 1, 2
+             |), mx AS (
+             |  SELECT MAX(d) AS dmax FROM daily
+             |), t AS (
+             |  SELECT user_id,
+             |    FLOOR((dv * (1.0 / power(2.0, (dmax - d) // 2)))
+             |      * 1000000 + 0.5) AS m
+             |  FROM daily, mx
+             |)
+             |SELECT user_id,
+             |  CAST(SUM(m) AS DOUBLE) / 1000000 AS score
+             |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

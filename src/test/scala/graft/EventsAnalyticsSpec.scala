@@ -214,6 +214,25 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(scans == 1, s"expected ONE events scan, got $scans:\n$plan")
   }
 
+  test("decayedEngagement: hand-computed staircase weights; halvingDays changes the step") {
+    val log = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-03 10:00:00"), 20.0),
+      (2L, ts("2024-01-02 10:00:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    // halvingDays=2: ages vs max day (Jan 3) are 2,0,1 → weights
+    // 2^-1, 2^0, 2^0
+    val h2 = EventsAnalytics.decayedEngagement(log, "user_id", "ts",
+        "value", halvingDays = 2)
+      .orderBy("user_id").as[(Long, Double)].collect().toList
+    assert(h2 == List((1L, 25.0), (2L, 5.0)), h2.toString)
+    // halvingDays=1: weights 2^-2, 2^0, 2^-1
+    val h1 = EventsAnalytics.decayedEngagement(log, "user_id", "ts",
+        "value", halvingDays = 1)
+      .orderBy("user_id").as[(Long, Double)].collect().toList
+    assert(h1 == List((1L, 22.5), (2L, 2.5)), h1.toString)
+  }
+
   test("transitionMatrix breaks timestamp ties by the tie column") {
     // two same-instant events: order must follow event_id, not arrival
     val events = Seq(
