@@ -210,12 +210,20 @@ object EventsAnalytics {
     */
   def decayedEngagement(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String, halvingDays: Int = 1): DataFrame = {
-    require(halvingDays >= 1, "decayedEngagement: halvingDays must be >= 1")
     val daily = events
       .select(col(userCol).as("_de_u"), to_date(col(tsCol)).as("_de_d"),
         col(valueCol).cast("decimal(18,2)").as("_de_v"))
       .groupBy("_de_u", "_de_d")
       .agg(sum("_de_v").cast("double").as("_de_dv"))
+    decayChain(daily, halvingDays).withColumnRenamed("_de_u", userCol)
+  }
+
+  /** The decay-and-sum tail shared by the batch scorer and the ledger
+    * server: (_de_u, _de_d, _de_dv double) → (_de_u, score). Kept as
+    * ONE code path so the incremental and batch forms cannot drift.
+    */
+  private def decayChain(daily: DataFrame, halvingDays: Int): DataFrame = {
+    require(halvingDays >= 1, "decayedEngagement: halvingDays must be >= 1")
     val mx = daily.agg(max("_de_d").as("_de_dmax"))
     daily.crossJoin(broadcast(mx))
       .select(col("_de_u"),
@@ -225,7 +233,54 @@ object EventsAnalytics {
               lit(halvingDays))))) * lit(1e6) + lit(0.5)).as("_de_m"))
       .groupBy(col("_de_u"))
       .agg((sum("_de_m").cast("double") / lit(1e6)).as("score"))
-      .select(col("_de_u").as(userCol), col("score"))
+  }
+
+  /** One micro-batch of the engagement-ledger ingest loop — the
+    * incremental-view-maintenance form of [[decayedEngagement]]'s
+    * first stage. Appends the batch's per-(user, day) decimal partial
+    * sums under the batch id; exactly-once per batch id via the
+    * ingest_log replay guard, and the crash window between the data
+    * append and the log write is absorbed at read time
+    * ([[serveDecayedEngagement]] drops duplicate (batch_id, user,
+    * day) rows, which a replayed half-visible append can only
+    * duplicate byte-identically — decimal partials are deterministic
+    * per batch). Use from foreachBatch.
+    */
+  def engagementLedgerIngest(userCol: String, tsCol: String,
+      valueCol: String, path: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$path/ingest_log"
+    val replayed =
+      try spark.read.parquet(logPath)
+        .where(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case scala.util.control.NonFatal(_) => false } // no log yet
+    if (replayed) return
+    batch
+      .select(col(userCol).as("user"), to_date(col(tsCol)).as("day"),
+        col(valueCol).cast("decimal(18,2)").as("v"))
+      .groupBy("user", "day").agg(sum("v").as("v"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(s"$path/daily")
+    Seq(batchId).toDF("batch_id").repartition(1)
+      .write.mode("append").parquet(logPath)
+  }
+
+  /** Decayed scores from the persisted ledger, anchored at the
+    * ledger's latest active day — the serving half of the
+    * feature-store pair. Re-aggregating decimal partials is exact
+    * (decimal addition is associative), so a served score equals
+    * [[decayedEngagement]] over the union of all ingested batches,
+    * bit for bit — the spec's contract. Output: (user, score).
+    */
+  def serveDecayedEngagement(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      halvingDays: Int = 1): DataFrame = {
+    val daily = spark.read.parquet(s"$path/daily")
+      .dropDuplicates("batch_id", "user", "day")
+      .groupBy(col("user").as("_de_u"), col("day").as("_de_d"))
+      .agg(sum("v").cast("double").as("_de_dv"))
+    decayChain(daily, halvingDays).withColumnRenamed("_de_u", "user")
   }
 
   /** Cohort retention: users cohort by their first-activity date; the

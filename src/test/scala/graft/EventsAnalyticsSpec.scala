@@ -233,6 +233,28 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(h1 == List((1L, 22.5), (2L, 2.5)), h1.toString)
   }
 
+  test("engagement ledger: exactly-once ingest; served scores equal the batch scorer") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-eng").toString
+    val all = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "ts", "value")
+    // split by EVENT id so the same (user, day) spans both batches —
+    // serving must merge cross-batch decimal partials exactly
+    val b1 = all.where($"event_id" % 2 === 0)
+    val b2 = all.where($"event_id" % 2 =!= 0)
+    val ingest = EventsAnalytics.engagementLedgerIngest(
+      "user_id", "ts", "value", dir) _
+    ingest(b1, 1L)
+    ingest(b2, 2L)
+    ingest(b1, 1L) // replayed batch id: must be a no-op
+    assert(spark.read.parquet(s"$dir/ingest_log").count() == 2)
+    val served = EventsAnalytics.serveDecayedEngagement(spark, dir,
+      halvingDays = 2)
+    val batch = EventsAnalytics.decayedEngagement(all, "user_id", "ts",
+        "value", halvingDays = 2)
+      .withColumnRenamed("user_id", "user")
+    assertSameRows(served, batch)
+  }
+
   test("transitionMatrix breaks timestamp ties by the tie column") {
     // two same-instant events: order must follow event_id, not arrival
     val events = Seq(
