@@ -97,6 +97,28 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write with parquet bloom filters on the named columns — the
+    * point-lookup complement to range sorting and Z-order: min/max
+    * row-group stats skip RANGES (writeRangeSorted), bloom filters
+    * skip row groups on EQUALITY probes over high-cardinality keys
+    * that are NOT sorted (an id probe of a dedup ledger, a doc_id
+    * fetch from a shard) — on unsorted data every row group's min/max
+    * spans the domain and stats prune nothing, while a bloom filter
+    * still rejects absent keys with no false negatives. `ndv` sizes
+    * each filter (parquet derives the bitset from it; undersizing
+    * raises the false-positive rate, which costs wasted reads, never
+    * wrong results). Spark's vectorized reader consults the filters
+    * automatically on `col = literal` scans.
+    */
+  def writeWithBloomFilters(df: DataFrame, path: String,
+      bloomCols: Seq[String], ndv: Long = 1000000L): Unit = {
+    require(bloomCols.nonEmpty, "writeWithBloomFilters: no columns")
+    bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+  }
+
   /** Morton bit-spread: place the low 16 bits of `c` at even bit
     * positions (the standard mask-shift cascade, composed from
     * codegen'd bitwise builtins — no UDF).

@@ -168,6 +168,38 @@ class LayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("staging"))
   }
 
+  test("writeWithBloomFilters: filters land in the footer for the named column only, answer membership") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-bloom").toString
+    val docs = Tables.load(spark, sfDir, "documents")
+    Layout.writeWithBloomFilters(docs, s"$dir/b", Seq("doc_id"), ndv = 1000L)
+    val part = new java.io.File(s"$dir/b").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(part.getAbsolutePath),
+        spark.sessionState.newHadoopConf()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val rg = reader.getFooter.getBlocks.get(0)
+      val byName = rg.getColumns.asScala
+        .map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("doc_id").getBloomFilterOffset >= 0,
+        "doc_id bloom filter missing from the footer")
+      assert(byName("text").getBloomFilterOffset < 0,
+        "text must NOT carry a bloom filter (only named columns pay)")
+      // no false negatives: every present id must be found
+      val bf = reader.getBloomFilterDataReader(rg)
+        .readBloomFilter(byName("doc_id"))
+      assert(bf != null, "stored filter must be loadable")
+      val someId = spark.read.parquet(s"$dir/b")
+        .select("doc_id").head().getLong(0)
+      assert(bf.findHash(bf.hash(someId)),
+        s"present id $someId must hit the filter")
+    } finally reader.close()
+    // and the data itself is untouched
+    assertSameRows(spark.read.parquet(s"$dir/b"), docs)
+  }
+
   test("compact refuses in-place overwrite (would truncate its own input)") {
     val dir = java.nio.file.Files.createTempDirectory("layout-inplace").toString
     Tables.load(spark, sfDir, "region").write.mode("overwrite")
