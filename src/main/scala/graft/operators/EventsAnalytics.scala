@@ -224,6 +224,12 @@ object EventsAnalytics {
     */
   private def decayChain(daily: DataFrame, halvingDays: Int): DataFrame = {
     require(halvingDays >= 1, "decayedEngagement: halvingDays must be >= 1")
+    // the global-max branch deliberately stays a separate aggregate:
+    // column pruning collapses it to a ts-only scan (one narrow
+    // column re-read — pinned in PlanAuditSpec), which beats the e07
+    // alternative of a global window here because daily is
+    // |users|·|days|-sized — corpus-scale, not |days|-scale — and a
+    // SinglePartition window over it would serialize the corpus
     val mx = daily.agg(max("_de_d").as("_de_dmax"))
     daily.crossJoin(broadcast(mx))
       .select(col("_de_u"),

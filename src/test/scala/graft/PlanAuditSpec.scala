@@ -470,6 +470,37 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected global window/sort:\n$phys")
   }
 
+  test("e08: both aggregates combine map-side; the max-day branch scans ONLY ts") {
+    val phys = build("e08_decayed_engagement")
+      .queryExecution.executedPlan.toString
+    assert(phys.linesIterator.count(_.contains("partial_sum")) >= 2,
+      s"daily decimal sum and micro-long sum must both combine map-side:\n$phys")
+    // the global-max branch is a second scan BY DESIGN — but pruned to
+    // the one ts column (cheaper at 100 TB than a corpus-sized global
+    // window over the |users|·|days| daily aggregate)
+    val schemas = phys.linesIterator
+      .filter(_.contains("ReadSchema")).toList
+    assert(schemas.exists(_.contains("struct<ts:")),
+      s"max-day branch should prune to a ts-only scan:\n$phys")
+  }
+
+  test("c08: banding scans read only (doc_id, text); source joins read only (doc_id, source)") {
+    val phys = build("c08_dup_matrix").queryExecution.executedPlan.toString
+    // no scan of documents may read n_chars or lang — the matrix
+    // touches text (hashing) and source (attribution) only
+    assert(!phys.contains("n_chars") && !phys.contains("lang"),
+      s"unpruned documents scan:\n$phys")
+  }
+
+  test("s14: both ANN paths broadcast the query side; corpus scans never read label") {
+    val phys = build("s14_ann_recall").queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastExchange"),
+      s"query side should broadcast in both paths:\n$phys")
+    val schemas = phys.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(schemas.forall(!_.contains("label")),
+      s"recall eval must not read the label column:\n${schemas.mkString("\n")}")
+  }
+
   test("hammingPairs materializes the sketch once (no per-chunk re-evaluation)") {
     // the sketch expression (decode/hash — the expensive per-row work)
     // is referenced by every chunk extraction on BOTH self-join
