@@ -657,6 +657,46 @@ object Dedup {
       .where(col("char_jaccard") >= threshold)
   }
 
+  /** LSH candidate-stage quality report — the dedup-side analog of
+    * `Similarity.ivfRecall`: on an EVAL SAMPLE of the corpus, compare
+    * the banding's candidate pairs against the brute-force truth
+    * (all-pairs shingle Jaccard ≥ threshold) and report one row of
+    * (n_true, n_candidates, n_hit, precision, recall). recall < 1
+    * means the (bands, rowsPerBand) point misses true duplicates —
+    * raise bands before committing an index build; precision is the
+    * verify-stage cost multiplier (how many candidate Jaccards are
+    * computed per kept pair). The truth side is a deliberate
+    * |sample|² join — ground truth is the price of the eval, which
+    * is why this runs on a sample, never the corpus (the same
+    * stance as ivfRecall's exact side). One text-hash pass feeds
+    * banding AND both truth sides.
+    */
+  def lshCandidateEval(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue,
+      scope: CacheScope = batchScope): DataFrame = {
+    val sh = scope.persistTracked(hashedCorpus(df, idCol, textCol, shingleK))
+    val cands = candidatesFromHashes(sh, numHashes, bands, maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+    val truth = sh.toDF("id_a", "sh_a")
+      .join(sh.toDF("id_b", "sh_b"), col("id_a") < col("id_b"))
+      .where((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b")))) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val hit = cands.join(truth, Seq("id_a", "id_b"))
+    val agg = truth.agg(count(lit(1))).crossJoin(cands.agg(count(lit(1))))
+      .crossJoin(hit.agg(count(lit(1))))
+      .toDF("n_true", "n_candidates", "n_hit")
+    agg.select(col("n_true"), col("n_candidates"), col("n_hit"),
+      when(col("n_candidates") > 0,
+        col("n_hit").cast("double") / col("n_candidates"))
+        .otherwise(lit(1.0)).as("precision"),
+      when(col("n_true") > 0,
+        col("n_hit").cast("double") / col("n_true"))
+        .otherwise(lit(1.0)).as("recall"))
+  }
+
   /** Cross-source near-duplicate overlap matrix: the d02/d04 chain
     * (MinHash-LSH candidates → char-n-gram Jaccard verify) attributed
     * to source pairs — per unordered (source_a ≤ source_b) pair, how

@@ -242,6 +242,26 @@ class DedupSpec extends SparkSpec {
     assert(a == b, s"cap=8 altered real-corpus results: ${a.diff(b)} ${b.diff(a)}")
   }
 
+  test("lshCandidateEval: recall 1.0 at the oracle banding; a starved banding loses recall") {
+    val r = Dedup.lshCandidateEval(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 16, threshold = 0.5)
+      .as[(Long, Long, Long, Double, Double)].head()
+    val (nTrue, nCand, nHit, prec, rec) = r
+    assert(nTrue == truePairs.size.toLong,
+      s"truth side must equal the driver-computed pair set: $r")
+    assert(rec == 1.0, s"separation holds on this corpus: $r")
+    assert(nHit <= nCand && nHit <= nTrue, r.toString)
+    assert(prec == nHit.toDouble / nCand, r.toString)
+    // one band of all 128 hashes only collides near-exact docs — the
+    // planted pairs are NEAR-dups, so recall must drop, which is
+    // exactly the tuning signal this report exists to surface
+    val starved = Dedup.lshCandidateEval(docs, "doc_id", "text",
+        shingleK = 3, numHashes = 128, bands = 1, threshold = 0.5)
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(starved._5 < 1.0, s"1-band banding should miss near-dups: $starved")
+    Dedup.unpersistAll()
+  }
+
   test("dupMatrixAgainstLshIndex equals the rollup of the in-memory probe pairs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lshm").toString
     val corpus = docs.where($"doc_id" % 10 =!= 0)
