@@ -338,4 +338,40 @@ class SqlGenFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("20 seeded events-analytics parameter pipelines roundtrip through SqlGen") {
+    // the session-4 report operators under random parameters and
+    // upstream filters — windowDays/halvingDays sweep the
+    // explode-sequence and power-of-two-decay shapes the hand-picked
+    // e07/e08 roundtrips pin at one setting each
+    Tables.register(spark, sfDir)
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(20260814L)
+    val ev = Tables.events(spark, sfDir)
+    import graft.operators.EventsAnalytics
+    for (i <- 0 until 20) {
+      val base = rnd.nextInt(3) match {
+        case 0 => ev
+        case 1 => ev.where(col("event_type") ===
+          Seq("view", "click", "purchase")(rnd.nextInt(3)))
+        case 2 => ev.where(col("user_id") % lit(rnd.nextInt(5) + 2) === 0)
+      }
+      val df = rnd.nextInt(3) match {
+        case 0 => EventsAnalytics.rollingActive(base, "user_id", "ts",
+          windowDays = rnd.nextInt(9) + 1)
+        case 1 => EventsAnalytics.decayedEngagement(base, "user_id", "ts",
+          "value", halvingDays = rnd.nextInt(4) + 1)
+        case 2 => EventsAnalytics.resampleDaily(base, "user_id", "ts",
+          "value").where(col("total_value") > lit(rnd.nextInt(50)))
+      }
+      val sql = SqlGen.toSql(df)
+      try assertSameRows(df, spark.sql(sql))
+      catch {
+        case e: org.scalatest.exceptions.TestFailedException =>
+          fail(s"case $i roundtrip mismatch; sql=$sql\n${e.getMessage}")
+        case e: Throwable =>
+          fail(s"case $i re-parse failed; sql=$sql\n${e.getMessage}")
+      }
+    }
+  }
 }
