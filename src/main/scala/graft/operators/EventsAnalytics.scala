@@ -272,6 +272,34 @@ object EventsAnalytics {
       .write.mode("append").parquet(logPath)
   }
 
+  /** Compact the engagement ledger into a FRESH path: per-batch
+    * partials merge to one row per (user, day) — the ledger grows one
+    * row-set per ingested batch, and serving re-aggregates all of
+    * them, so periodic compaction keeps the serve cost proportional
+    * to |users|·|days| instead of batches-since-birth. Decimal
+    * addition is associative, so compaction is exact. The ingest_log
+    * is carried over verbatim: already-applied batch ids stay
+    * guarded after the swap (a replay against the compacted ledger
+    * must still no-op), and the compacted rows take a sentinel batch
+    * id outside the log's domain. New-path-only, the
+    * writeLshIndex/rebuild stance: the old ledger stays servable
+    * until the caller swaps pointers.
+    */
+  def compactEngagementLedger(
+      spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String): Unit = {
+    require(inPath != outPath,
+      "compactEngagementLedger: compact to a FRESH path (in-place would " +
+        "truncate its own input); swap pointers after")
+    spark.read.parquet(s"$inPath/daily")
+      .dropDuplicates("batch_id", "user", "day")
+      .groupBy("user", "day").agg(sum("v").as("v"))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").parquet(s"$outPath/daily")
+    spark.read.parquet(s"$inPath/ingest_log")
+      .write.mode("overwrite").parquet(s"$outPath/ingest_log")
+  }
+
   /** Decayed scores from the persisted ledger, anchored at the
     * ledger's latest active day — the serving half of the
     * feature-store pair. Re-aggregating decimal partials is exact

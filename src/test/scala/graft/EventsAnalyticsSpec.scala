@@ -253,7 +253,31 @@ class EventsAnalyticsSpec extends SparkSpec {
         "value", halvingDays = 2)
       .withColumnRenamed("user_id", "user")
     assertSameRows(served, batch)
+
+    // compaction: one row per (user, day), serve unchanged, replay
+    // guard preserved, further ingest continues on the compacted path
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-eng2").toString
+    EventsAnalytics.compactEngagementLedger(spark, dir, dir2)
+    assertSameRows(
+      EventsAnalytics.serveDecayedEngagement(spark, dir2, halvingDays = 2),
+      served)
+    val rows = spark.read.parquet(s"$dir2/daily")
+    assert(rows.count() ==
+      rows.select("user", "day").distinct().count(),
+      "compacted ledger must hold one row per (user, day)")
+    ingest2(dir2)(b1, 1L) // replayed old batch id: still a no-op
+    assert(spark.read.parquet(s"$dir2/ingest_log").count() == 2)
+    assertSameRows(
+      EventsAnalytics.serveDecayedEngagement(spark, dir2, halvingDays = 2),
+      served)
+    // in-place compaction refused
+    val e = intercept[IllegalArgumentException](
+      EventsAnalytics.compactEngagementLedger(spark, dir2, dir2))
+    assert(e.getMessage.contains("FRESH"))
   }
+
+  private def ingest2(path: String) =
+    EventsAnalytics.engagementLedgerIngest("user_id", "ts", "value", path) _
 
   test("transitionMatrix breaks timestamp ties by the tie column") {
     // two same-instant events: order must follow event_id, not arrival
