@@ -975,6 +975,42 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Batch form of [[knnIvfFiltered]]: many queries, one
+    * predicate-filtered corpus pass — the filtered-serving shape for
+    * query batches. The predicate applies before cell assignment
+    * (skipping the nearest-centroid kernel on dropped rows, exactly
+    * like the single-query form); per-query cell probing, the
+    * broadcast (query, cell) join, and the bounded-heap top-k are
+    * [[knnIvfBatch]] unchanged. Same output contract: (query_id, id,
+    * cosine), k rows per query (fewer when the filtered probed cells
+    * hold fewer than k rows), ties by id.
+    */
+  def knnIvfBatchFiltered(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    val cents = centroidVectors(corpus, idCol, vecCol, nCells, strategy)
+    val indexed = assignCells(corpus.where(predicate), idCol, vecCol, cents)
+    val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
+             lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val probes = broadcast(
+      queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qv"))
+        .select(col("query_id"), col("qv"),
+          explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
+            s => s.getField("cell"))).as("cell")))
+    indexed.join(probes, "cell")
+      .select(col("query_id"), col("id"),
+              VectorOps.cosine(col("vec"), col("qv")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cosine"), col("id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"), col("e.ord").as("cosine"))
+  }
+
   /** Batch probe of a PERSISTED IVF index ([[writeIvfIndex]]) — the
     * production shape: the index is built once (the expensive
     * assignment pass over 100 TB), then every query batch reads only

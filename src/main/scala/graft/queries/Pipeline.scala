@@ -1174,6 +1174,56 @@ object Pipeline {
              |SELECT id, ${r6sql("cos")} AS cosine
              |FROM scored ORDER BY cos DESC, id LIMIT 20""".stripMargin)),
 
+    // batch filtered ANN: 3 queries against the predicate-filtered
+    // corpus in one pass — s07's probe/join/heap chain over s15's
+    // pre-filtered cell assignment. Oracle = s07's CTEs with the
+    // predicate on the corpus CTE.
+    Q("s16_knn_filtered_batch",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.orderBy("vec_id").limit(3)
+        Similarity.knnIvfBatchFiltered(queries, "vec_id", "embedding",
+            emb, "vec_id", "embedding", col("label") % 2 === 0,
+            k = 10, nCells = 16, nProbe = 4)
+          .select(col("query_id"), col("id"), r6(col("cosine")).as("cosine"))
+          .orderBy("query_id", "id")
+      },
+      Some(s"""WITH cent AS (
+             |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+             |), q AS (
+             |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings ORDER BY vec_id LIMIT 3
+             |), e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE label % 2 = 0
+             |), assigned AS (
+             |  SELECT vec_id, v, cell,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id
+             |      ORDER BY list_dot_product(v, cv) DESC, cell ASC) AS rn
+             |  FROM e CROSS JOIN cent
+             |), probe AS (
+             |  SELECT query_id, cell FROM (
+             |    SELECT query_id, cell, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY list_dot_product(cv, qv) DESC, cell ASC) AS pk
+             |    FROM cent CROSS JOIN q)
+             |  WHERE pk <= 4
+             |), scored AS (
+             |  SELECT q.query_id, a.vec_id AS id,
+             |    ${cosineSql("a.v", "q.qv")} AS cos
+             |  FROM assigned a
+             |  JOIN probe p ON a.cell = p.cell AND a.rn = 1
+             |  JOIN q ON q.query_id = p.query_id
+             |), ranked AS (
+             |  SELECT query_id, id, cos, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rk
+             |  FROM scored
+             |)
+             |SELECT query_id, id, ${r6sql("cos")} AS cosine
+             |FROM ranked WHERE rk <= 10 ORDER BY query_id, id""".stripMargin)),
+
     // kNN classification: majority label of the 10 nearest neighbors
     // for the 5 lowest-id vectors (self excluded). Oracle replays the
     // rank + vote chain with the mirrored cosine.

@@ -760,6 +760,32 @@ class SimilaritySpec extends SparkSpec {
       lit(false), qv, k = 10, nCells = 8, nProbe = 8).isEmpty)
   }
 
+  test("knnIvfBatchFiltered: full probe equals brute-filtered per query; consistent with the single-query form") {
+    val pred = $"label" % 2 === 0
+    val queries = emb.orderBy("vec_id").limit(3)
+    val full = Similarity.knnIvfBatchFiltered(queries, "vec_id",
+      "embedding", emb, "vec_id", "embedding", pred, k = 5,
+      nCells = 8, nProbe = 8)
+    val brute = Similarity.knnBruteBatch(queries, "vec_id", "embedding",
+      emb.where(pred), "vec_id", "embedding", k = 5)
+    assertSameRows(full, brute)
+    // partial probe agrees with the single-query filtered form,
+    // query by query
+    val part = Similarity.knnIvfBatchFiltered(queries, "vec_id",
+        "embedding", emb, "vec_id", "embedding", pred, k = 5,
+        nCells = 8, nProbe = 2)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    queries.select("vec_id", "embedding").collect().foreach { r =>
+      val q = r.getSeq[Float](1).toArray
+      val single = Similarity.knnIvfFiltered(emb, "vec_id", "embedding",
+          pred, q, k = 5, nCells = 8, nProbe = 2)
+        .select("id").as[Long].collect().toSet
+      assert(part.getOrElse(r.getLong(0), Set.empty) == single,
+        s"query ${r.getLong(0)} disagrees with the single-query form")
+    }
+  }
+
   test("ivfRecall: full probe is recall 1.0; partial probe is bounded, complete, consistent") {
     val queries = emb.orderBy("vec_id").limit(4)
     // nProbe = nCells scores every cell → identical to brute force
