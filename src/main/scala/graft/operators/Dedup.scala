@@ -940,6 +940,12 @@ object Dedup {
     * Output: (source_a ≤ source_b lexicographically, n_pairs) — the
     * same contract as the batch matrix, so dashboards can union the
     * two.
+    *
+    * The catalog frame must cover every indexed id: the source join
+    * is inner, so a pair whose indexed id is missing from
+    * `indexSources` silently leaves the matrix (the probe pair list
+    * from [[dedupAgainstLshIndex]] is the complete record; diff the
+    * two if catalog completeness is in doubt).
     */
   def dupMatrixAgainstLshIndex(
       batch: DataFrame, idCol: String, textCol: String, sourceCol: String,

@@ -280,10 +280,12 @@ object EventsAnalytics {
     * addition is associative, so compaction is exact. The ingest_log
     * is carried over verbatim: already-applied batch ids stay
     * guarded after the swap (a replay against the compacted ledger
-    * must still no-op), and the compacted rows take a sentinel batch
-    * id outside the log's domain. New-path-only, the
-    * writeLshIndex/rebuild stance: the old ledger stays servable
-    * until the caller swaps pointers.
+    * must still no-op), and the compacted rows take the sentinel
+    * batch id -1 — foreachBatch ids are non-negative, so the
+    * sentinel cannot collide; a DIRECT caller of
+    * [[engagementLedgerIngest]] must not pass negative batch ids.
+    * New-path-only, the writeLshIndex/rebuild stance: the old ledger
+    * stays servable until the caller swaps pointers.
     */
   def compactEngagementLedger(
       spark: org.apache.spark.sql.SparkSession,
