@@ -286,6 +286,30 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"missed=${want -- got} extra=${got -- want}")
   }
 
+  test("dupMatrixAgainstLshIndex over an append-grown index equals the one-shot build") {
+    // NB: growth here is appendToLshIndex (plain append). The
+    // lshIngestBatch loop would NOT reproduce a one-shot build — it
+    // ADMITS (drops near-dups against the existing index before
+    // appending), so an ingest-grown index deliberately holds fewer
+    // docs; that admission behavior has its own spec.
+    val grown = java.nio.file.Files.createTempDirectory("graft-lshg").toString
+    val oneShot = java.nio.file.Files.createTempDirectory("graft-lsho").toString
+    val corpus = docs.where($"doc_id" % 10 =!= 0)
+    val probe = docs.where($"doc_id" % 10 === 0)
+    val half = corpus.where($"doc_id" % 20 < 10)
+    val rest = corpus.where($"doc_id" % 20 >= 10)
+    Dedup.writeLshIndex(half, "doc_id", "text", grown)
+    Dedup.appendToLshIndex(rest, "doc_id", "text", grown)
+    Dedup.writeLshIndex(corpus, "doc_id", "text", oneShot)
+    val srcs = corpus.select("doc_id", "source")
+    val a = Dedup.dupMatrixAgainstLshIndex(probe, "doc_id", "text",
+      "source", grown, srcs)
+    val b = Dedup.dupMatrixAgainstLshIndex(probe, "doc_id", "text",
+      "source", oneShot, srcs)
+    assert(a.count() > 0, "probe should find cross-split dup pairs")
+    assertSameRows(a, b)
+  }
+
   test("standalone cross-corpus candidates agree with the fused decontaminate path") {
     val train = docs.where($"doc_id" % 10 =!= 0)
     val eval = docs.where($"doc_id" % 10 === 0)
