@@ -964,6 +964,54 @@ object Similarity {
       vecCol, k, nCells, nProbe)
     val exact = knnBruteBatch(queries, qIdCol, qVecCol, corpus, idCol,
       vecCol, k)
+    recallReport(queries, qIdCol, approx, exact, k)
+  }
+
+  /** Recall@k of the PQ asymmetric-distance probe against the exact
+    * brute-force top-k — [[ivfRecall]]'s report for the COMPRESSED
+    * layouts (s10/s11 and the persisted code stores), which is what a
+    * 100 TB deployment actually ships: without it, m/nCodes/overfetch
+    * tuning for the code layout is blind. Approx side =
+    * [[knnPqBatch]] (ADC coarse + exact rerank, so a miss means the
+    * true neighbor never entered the candidate set); exact side =
+    * [[knnBruteBatch]]. Same output contract as ivfRecall:
+    * (query_id, n_hit, recall), every query present, recall = n_hit/k.
+    */
+  def pqRecall(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, cb: PqCodebook, overfetch: Int = 4): DataFrame = {
+    val approx = knnPqBatch(queries, qIdCol, qVecCol, corpus, idCol,
+      vecCol, k, cb, overfetch)
+    val exact = knnBruteBatch(queries, qIdCol, qVecCol, corpus, idCol,
+      vecCol, k)
+    recallReport(queries, qIdCol, approx, exact, k)
+  }
+
+  /** Recall@k of a PERSISTED IVF-PQ index's batch probe against the
+    * exact brute-force top-k over the caller's full-precision
+    * vectors — the pre-commit eval for the full composed layout
+    * (cell pruning × code compression): sweep nProbe/overfetch here
+    * BEFORE pointing the serving loop at the index.
+    */
+  def ivfPqRecallIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4, overfetch: Int = 4): DataFrame = {
+    val approx = knnIvfPqBatchIndexed(spark, path, vectors, idCol,
+      vecCol, queries, qIdCol, qVecCol, k, nProbe, overfetch)
+    val exact = knnBruteBatch(queries, qIdCol, qVecCol, vectors, idCol,
+      vecCol, k)
+    recallReport(queries, qIdCol, approx, exact, k)
+  }
+
+  /** Shared hit-join + per-query report of the recall evals: count
+    * (query_id, id) agreements, restore zero-hit queries via the
+    * query spine. Touches only k·|queries| rows per side.
+    */
+  private def recallReport(queries: DataFrame, qIdCol: String,
+      approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     val hits = approx.select("query_id", "id")
       .join(exact.select("query_id", "id"), Seq("query_id", "id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
@@ -1654,6 +1702,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-filtered IVF-PQ ANN, in-memory: [[knnIvfFiltered]]'s
+    * exact pre-filtering stance composed with the compressed layout —
+    * without this, a filtered query against the 100 TB IVF-PQ layout
+    * must either decompress (full-precision s15) or overfetch-and-hope.
+    * The predicate applies BEFORE cell assignment (assignment is
+    * per-row, so filter-then-assign ≡ assign-then-filter — which is
+    * exactly what lets the persisted form push the same predicate
+    * into the stored-code scan); centroids, codebook and the probe
+    * ranking come from the FULL corpus (the index predates any
+    * predicate), so the approximation is [[knnIvfPq]] unchanged.
+    * ADC scores only the predicate-passing rows of the probed cells;
+    * the exact rerank joins the k·overfetch survivors (all of which
+    * satisfy the predicate) back to full-precision vectors.
+    */
+  def knnIvfPqFiltered(df: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, query: Array[Float], k: Int, cb: PqCodebook,
+      nCells: Int = 16, nProbe: Int = 4, overfetch: Int = 4,
+      strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
+    val qd = query.map(_.toDouble)
+    val probeCells = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2)
+    val pruned = assignCells(df.where(predicate), idCol, vecCol, cents)
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+    val coarse = pqCoarse(pqEncode(pruned, "id", "vec", cb), cb,
+      query, k * overfetch).select(col("id"))
+    val q = typedlit(query.toSeq)
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(broadcast(coarse), "id")
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Persist an IVF-PQ index: PQ codes+norms partitioned by IVF cell
     * (`path/cells/cell=N/…` holding (id, codes, norm) — NO float
     * vectors: the index is nProbe-prunable AND 16-32× compressed),
@@ -1666,16 +1751,21 @@ object Similarity {
     */
   def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                       path: String, cb: PqCodebook, nCells: Int = 16,
-                      strategy: CentroidStrategy = SeededCentroids): Unit = {
+                      strategy: CentroidStrategy = SeededCentroids,
+                      attrCols: Seq[String] = Nil): Unit = {
     requireIntegralId(df, idCol)
     val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
-    assignCells(df, idCol, vecCol, cents)
-      .select(col("id").cast("long").as("id"),
+    // attrCols store filterable metadata NEXT TO the codes — the
+    // [[writeIvfIndex]] stance kept under compression, so a filtered
+    // probe ([[knnIvfPqIndexedFiltered]]) pushes its predicate into
+    // the probed-cell code scan instead of decompressing or
+    // overfetching
+    assignCells(df, idCol, vecCol, cents, extraCols = attrCols)
+      .select(Seq(col("id").cast("long").as("id"),
         graft.functions.VectorOps.pqEncodeCodes(
           col("vec"), cb.flat, cb.m, cb.nCodes).as("codes"),
         sqrt(graft.functions.VectorOps.dot(col("vec"), col("vec")))
-          .as("norm"),
-        col("cell"))
+          .as("norm")) ++ attrCols.map(col) :+ col("cell"): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     val spark = df.sparkSession
     import spark.implicits._
@@ -1727,6 +1817,105 @@ object Similarity {
       .limit(k)
   }
 
+  /** Metadata-filtered probe of a PERSISTED IVF-PQ index: the 100 TB
+    * serving shape for "nearest docs WHERE lang = 'en'" against the
+    * compressed layout. The index stores attribute columns next to
+    * the m-byte codes ([[writeIvfPqIndex]]'s `attrCols`), so THREE
+    * multiplicative prunes stack on one scan: the static cell `isin`
+    * reads nProbe/nCells of the files, the predicate reaches those
+    * files as a pushed parquet filter skipping row groups whose attr
+    * statistics exclude it, and the surviving rows are ADC-scored on
+    * codes — float vectors are touched only by the k·overfetch exact
+    * rerank. Probe ≡ in-memory [[knnIvfPqFiltered]] for the same
+    * build inputs (spec-pinned, both filters pinned in the plan).
+    */
+  def knnIvfPqIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
+      path: String, vectors: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, query: Array[Float], k: Int,
+      nProbe: Int = 4, overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val cb = readPqCodebook(spark, path)
+    val qd = query.map(_.toDouble)
+    val probeCells = readCentroids(spark, path).zipWithIndex
+      .map { case (cv, cell) =>
+        (cv.zip(qd).map { case (a, b) => a * b }.sum, cell)
+      }
+      .sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2)
+    val pruned = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .where(predicate)
+    val coarse = pqCoarse(pruned, cb, query, k * overfetch)
+      .select(col("id")).distinct()
+    val q = typedlit(query.toSeq)
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(broadcast(coarse), "id")
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Batch form of [[knnIvfPqIndexedFiltered]]: many queries, one
+    * predicate — [[knnIvfPqBatchIndexed]]'s probe/LUT/heap chain with
+    * the predicate pushed into the probed-cell code scan. Per-query
+    * results ≡ the single-query filtered probe (spec-pinned).
+    */
+  def knnIvfPqBatchIndexedFiltered(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      predicate: Column, k: Int,
+      nProbe: Int = 4, overfetch: Int = 4): DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val cb = readPqCodebook(spark, path)
+    val cents = readCentroids(spark, path)
+    val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
+             lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val lutExpr = array((for { s <- 0 until cb.m; c <- 0 until cb.nCodes }
+      yield VectorOps.dot(
+        slice(col("qvd"), lit(s * cb.subDim + 1), lit(cb.subDim)),
+        typedlit(cb.codebooks(s)(c).toSeq))): _*)
+    val q = broadcast(queries
+      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qvf"),
+        col(qVecCol).cast("array<double>").as("qvd"))
+      .withColumn("qv", col("qvd"))
+      .select(col("query_id"), col("qvf"),
+        explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
+          s => s.getField("cell"))).as("cell"),
+        lutExpr.as("lut"),
+        sqrt(VectorOps.dot(col("qvd"), col("qvd"))).as("qnorm")))
+    val probedCells = q.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cells = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .where(predicate)
+    val adc = (0 until cb.m).map(s =>
+      element_at(col("lut"),
+        lit(s * cb.nCodes) + element_at(col("codes"), s + 1) + 1))
+      .reduceLeft(_ + _)
+    val denom = col("qnorm") * col("norm")
+    val cand = cells.join(q.select("query_id", "cell", "lut", "qnorm"), "cell")
+      .select(col("query_id"), col("id"),
+        when(denom === 0d, 0d).otherwise(adc / denom).as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("score"), col("id"),
+        k * overfetch).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id")).distinct()
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .join(broadcast(cand), "id")
+      .join(broadcast(q.select("query_id", "qvf").distinct()), "query_id")
+      .select(col("query_id"), col("id"),
+        VectorOps.cosine(col("vec"), col("qvf")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cosine"), col("id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"),
+        col("e.ord").as("cosine"))
+  }
+
   /** Incrementally append vectors to a persisted IVF-PQ index: new
     * rows are assigned against the STORED centroids and encoded with
     * the STORED codebook (identical tie-break contracts to the
@@ -1749,13 +1938,25 @@ object Similarity {
     val cents = readCentroids(spark, path)
     require(cents.nonEmpty, s"appendToIvfPqIndex: no centroids at $path")
     val cb = readPqCodebook(spark, path)
-    assignCells(df, idCol, vecCol, cents)
-      .select(col("id").cast("long").as("id"),
+    // the stored schema dictates the attribute columns (the
+    // appendToIvfIndex contract): an index built with attrCols keeps
+    // them through appends, and the append frame must carry them
+    // under the STORED names — a missing one would silently
+    // schema-drift the cell files out from under the filtered probe
+    val stored = spark.read.parquet(s"$path/cells").schema
+    val attrs = stored.fieldNames.toSeq
+      .filterNot(Set("id", "codes", "norm", "cell"))
+    val missing = attrs.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"appendToIvfPqIndex: index at $path stores attribute columns " +
+        s"${attrs.mkString(", ")}; append frame is missing " +
+        missing.mkString(", "))
+    assignCells(df, idCol, vecCol, cents, extraCols = attrs)
+      .select(Seq(col("id").cast("long").as("id"),
         graft.functions.VectorOps.pqEncodeCodes(
           col("vec"), cb.flat, cb.m, cb.nCodes).as("codes"),
         sqrt(graft.functions.VectorOps.dot(col("vec"), col("vec")))
-          .as("norm"),
-        col("cell"))
+          .as("norm")) ++ attrs.map(col) :+ col("cell"): _*)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 

@@ -1551,6 +1551,188 @@ object Pipeline {
              |SELECT id, ${r6sql("cos")} AS cosine
              |FROM exact ORDER BY cos DESC, id LIMIT 10""".stripMargin)),
 
+    // metadata-filtered IVF-PQ ANN (round 9): s15's exact
+    // pre-filtering stance composed with s12's compressed layout —
+    // the filtered query against the 100 TB code-partitioned index,
+    // no decompression, no overfetch-and-hope. Centroids, codebook
+    // and probe ranking come from the FULL corpus (the index predates
+    // the predicate); assignment/ADC run over the predicate-passing
+    // rows only. Oracle = s12's CTE chain with the predicate on the
+    // assignment-corpus CTE (codebook CTE stays unfiltered).
+    Q("s17_knn_ivfpq_filtered",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = Similarity.pqSeededCodebook(
+          emb, "vec_id", "embedding", m = 4, nCodes = 16)
+        Similarity.knnIvfPqFiltered(emb, "vec_id", "embedding",
+            col("label") % 2 === 0, queryVec(s, dir),
+            k = 10, cb = cb, nCells = 16, nProbe = 4, overfetch = 4)
+          .select(col("id"), r6(col("cosine")).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      Some(s"""WITH cent AS (
+             |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell,
+             |         CAST(embedding AS DOUBLE[]) AS cv
+             |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+             |), q AS (
+             |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings ORDER BY vec_id LIMIT 1
+             |), e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), ef AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings WHERE label % 2 = 0
+             |), assigned AS (
+             |  SELECT vec_id, v, cell,
+             |    ROW_NUMBER() OVER (PARTITION BY vec_id
+             |      ORDER BY list_dot_product(v, cv) DESC, cell ASC) AS rn
+             |  FROM ef CROSS JOIN cent
+             |), probe AS (
+             |  SELECT cell FROM cent, q
+             |  ORDER BY list_dot_product(cv, qv) DESC, cell ASC LIMIT 4
+             |), pruned AS (
+             |  SELECT vec_id, v FROM assigned
+             |  WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+             |), cbsrc AS (
+             |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS c
+             |  FROM e ORDER BY vec_id LIMIT 16
+             |), cb AS (
+             |  SELECT c, s, v[s * 16 + 1 : s * 16 + 16] AS cv
+             |  FROM cbsrc, range(0, 4) t(s)
+             |), sub AS (
+             |  SELECT vec_id, s, v[s * 16 + 1 : s * 16 + 16] AS sv
+             |  FROM pruned, range(0, 4) t(s)
+             |), d AS (
+             |  SELECT vec_id, s, c,
+             |    list_reduce([(sv[j] - cv[j]) * (sv[j] - cv[j])
+             |                 for j in range(1, 17)],
+             |                (a, b) -> a + b) AS dist
+             |  FROM sub JOIN cb USING (s)
+             |), code AS (
+             |  SELECT vec_id, s, c FROM (
+             |    SELECT vec_id, s, c,
+             |      row_number() OVER (PARTITION BY vec_id, s
+             |                         ORDER BY dist, c) AS rn
+             |    FROM d) WHERE rn = 1
+             |), lut AS (
+             |  SELECT vec_id, s,
+             |    list_dot_product(qv[s * 16 + 1 : s * 16 + 16], cv) AS term
+             |  FROM code JOIN cb USING (s, c), q
+             |), adcv AS (
+             |  SELECT vec_id,
+             |    list_reduce(list(term ORDER BY s), (a, b) -> a + b) AS adc
+             |  FROM lut GROUP BY vec_id
+             |), approx AS (
+             |  SELECT a.vec_id,
+             |    CASE WHEN sqrt(list_dot_product(qv, qv))
+             |              * sqrt(list_dot_product(p.v, p.v)) = 0 THEN 0
+             |    ELSE adc / (sqrt(list_dot_product(qv, qv))
+             |                * sqrt(list_dot_product(p.v, p.v))) END AS score
+             |  FROM adcv a JOIN pruned p ON a.vec_id = p.vec_id, q
+             |), cand AS (
+             |  SELECT vec_id FROM approx
+             |  ORDER BY score DESC, vec_id ASC LIMIT 40
+             |), exact AS (
+             |  SELECT e.vec_id AS id, ${cosineSql("v", "qv")} AS cos
+             |  FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+             |)
+             |SELECT id, ${r6sql("cos")} AS cosine
+             |FROM exact ORDER BY cos DESC, id LIMIT 10""".stripMargin)),
+
+    // PQ recall eval (round 9): recall@10 of the ADC probe (s11's
+    // chain at overfetch=2 — small on purpose, so the candidate set
+    // can actually miss) against the exact brute top-10 — s14's
+    // report for the COMPRESSED layout, closing the m/nCodes/
+    // overfetch tuning loop the 100 TB code store needs. Oracle =
+    // s11's codebook/code/LUT/ADC/rerank CTEs + the brute window +
+    // the hit join on (query_id, id).
+    Q("s18_pq_recall",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val cb = Similarity.pqSeededCodebook(
+          emb, "vec_id", "embedding", m = 4, nCodes = 16)
+        val queries = emb.orderBy("vec_id").limit(3)
+        Similarity.pqRecall(queries, "vec_id", "embedding",
+            emb, "vec_id", "embedding", k = 10, cb = cb, overfetch = 2)
+          .orderBy("query_id")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), q AS (
+             |  SELECT vec_id AS query_id, v AS qv
+             |  FROM e ORDER BY vec_id LIMIT 3
+             |), cbsrc AS (
+             |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS c
+             |  FROM e ORDER BY vec_id LIMIT 16
+             |), cb AS (
+             |  SELECT c, s, v[s * 16 + 1 : s * 16 + 16] AS cv
+             |  FROM cbsrc, range(0, 4) t(s)
+             |), sub AS (
+             |  SELECT vec_id, s, v[s * 16 + 1 : s * 16 + 16] AS sv
+             |  FROM e, range(0, 4) t(s)
+             |), d AS (
+             |  SELECT vec_id, s, c,
+             |    list_reduce([(sv[j] - cv[j]) * (sv[j] - cv[j])
+             |                 for j in range(1, 17)],
+             |                (a, b) -> a + b) AS dist
+             |  FROM sub JOIN cb USING (s)
+             |), code AS (
+             |  SELECT vec_id, s, c FROM (
+             |    SELECT vec_id, s, c,
+             |      row_number() OVER (PARTITION BY vec_id, s
+             |                         ORDER BY dist, c) AS rn
+             |    FROM d) WHERE rn = 1
+             |), lut AS (
+             |  SELECT query_id, vec_id, s,
+             |    list_dot_product(qv[s * 16 + 1 : s * 16 + 16], cv) AS term
+             |  FROM code JOIN cb USING (s, c), q
+             |), adcv AS (
+             |  SELECT query_id, vec_id,
+             |    list_reduce(list(term ORDER BY s), (a, b) -> a + b) AS adc
+             |  FROM lut GROUP BY query_id, vec_id
+             |), approx AS (
+             |  SELECT a.query_id, a.vec_id,
+             |    CASE WHEN sqrt(list_dot_product(qv, qv))
+             |              * sqrt(list_dot_product(v, v)) = 0 THEN 0
+             |    ELSE adc / (sqrt(list_dot_product(qv, qv))
+             |                * sqrt(list_dot_product(v, v))) END AS score
+             |  FROM adcv a
+             |  JOIN e ON a.vec_id = e.vec_id
+             |  JOIN q ON a.query_id = q.query_id
+             |), cand AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id
+             |        ORDER BY score DESC, vec_id ASC) AS rn
+             |    FROM approx) WHERE rn <= 20
+             |), pq AS (
+             |  SELECT query_id, id FROM (
+             |    SELECT c.query_id, e.vec_id AS id,
+             |      row_number() OVER (PARTITION BY c.query_id
+             |        ORDER BY ${cosineSql("v", "qv")} DESC, e.vec_id ASC)
+             |        AS rk
+             |    FROM e
+             |    JOIN cand c ON e.vec_id = c.vec_id
+             |    JOIN q ON c.query_id = q.query_id) WHERE rk <= 10
+             |), bscored AS (
+             |  SELECT q.query_id, e.vec_id AS id,
+             |    ${cosineSql("e.v", "q.qv")} AS cos
+             |  FROM e CROSS JOIN q
+             |), exact AS (
+             |  SELECT query_id, id FROM (
+             |    SELECT query_id, id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rk
+             |    FROM bscored)
+             |  WHERE rk <= 10
+             |), h AS (
+             |  SELECT pq.query_id, COUNT(*) AS c
+             |  FROM pq JOIN exact USING (query_id, id) GROUP BY 1
+             |)
+             |SELECT q.query_id, COALESCE(c, 0) AS n_hit,
+             |  COALESCE(c, 0) / 10.0 AS recall
+             |FROM q LEFT JOIN h USING (query_id)
+             |ORDER BY query_id""".stripMargin)),
+
     // language ID heuristic. Oracle replicates the stopword-overlap
     // scores per profile; the CASE chain encodes greatest(struct)'s
     // tie-breaking (equal scores → later profile wins).

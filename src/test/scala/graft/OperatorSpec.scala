@@ -765,6 +765,135 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnIvfPqFiltered: nProbe=nCells equals knnPq over the pre-filtered corpus; wide overfetch equals exact filtered kNN") {
+    val pred = $"label" % 2 === 0
+    val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16, sampleSize = 500, iters = 5, seed = 9)
+    // pruning off: the candidate set is exactly the filtered corpus's
+    // PQ coarse ranking — the composition adds pruning and nothing else
+    val full = Similarity.knnIvfPqFiltered(emb, "vec_id", "embedding",
+      pred, qv, k = 10, cb = cb, nCells = 8, nProbe = 8, overfetch = 4)
+    val pq = Similarity.knnPq(emb.where(pred), "vec_id", "embedding",
+      qv, k = 10, cb = cb, overfetch = 4)
+    assertSameRows(full, pq)
+    // pruning off AND overfetch covering the corpus: the s15 parity —
+    // exact filtered kNN (knnIvfFiltered at nProbe=nCells)
+    val of = (emb.count() / 10 + 1).toInt
+    val wide = Similarity.knnIvfPqFiltered(emb, "vec_id", "embedding",
+      pred, qv, k = 10, cb = cb, nCells = 8, nProbe = 8, overfetch = of)
+    val exact = Similarity.knnIvfFiltered(emb, "vec_id", "embedding",
+      pred, qv, k = 10, nCells = 8, nProbe = 8)
+    assertSameRows(wide, exact)
+    // partial probe: results never violate the predicate
+    val part = Similarity.knnIvfPqFiltered(emb, "vec_id", "embedding",
+        pred, qv, k = 10, cb = cb, nCells = 8, nProbe = 2, overfetch = 4)
+      .select("id").as[Long].collect().toSet
+    val legal = emb.where(pred).select($"vec_id".cast("long"))
+      .as[Long].collect().toSet
+    assert(part.subsetOf(legal), "filtered IVF-PQ leaked a filtered-out id")
+  }
+
+  test("attr-carrying ivfpq index: filtered probe equals in-memory, pushes BOTH prunes under compression, survives append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-f").toString
+    val cut = emb.agg(org.apache.spark.sql.functions.expr(
+      "percentile(vec_id, 0.5)")).head().getDouble(0)
+    val first = emb.where($"vec_id" < cut)
+    val second = emb.where($"vec_id" >= cut)
+    // seeded centroids/codebook live inside `first` (lowest ids), so
+    // the appended index and the in-memory full-corpus form share
+    // exact geometry — the ivf-attr spec's trick under compression
+    val cb = Similarity.pqSeededCodebook(first, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    Similarity.writeIvfPqIndex(first, "vec_id", "embedding", dir, cb,
+      nCells = 8, attrCols = Seq("label"))
+    Similarity.appendToIvfPqIndex(second, "vec_id", "embedding", dir)
+    val pred = $"label" % 2 === 0
+    val probe = Similarity.knnIvfPqIndexedFiltered(spark, dir, emb,
+      "vec_id", "embedding", pred, qv, k = 10, nProbe = 3, overfetch = 4)
+    val mem = Similarity.knnIvfPqFiltered(emb, "vec_id", "embedding",
+      pred, qv, k = 10, cb = cb, nCells = 8, nProbe = 3, overfetch = 4)
+    assertSameRows(probe, mem)
+    // the index still stores no float vectors — attrs ride beside the
+    // m-byte codes, they don't reinflate the layout
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.columns.sorted.toSeq ==
+      Seq("cell", "codes", "id", "label", "norm"),
+      s"unexpected index columns: ${cells.columns.toSeq}")
+    // THREE prunes in one scan: cell partition filter, pushed attr
+    // predicate, and the scan target is codes (not vectors)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.linesIterator.find(_.contains("PartitionFilters"))
+      .exists(_.contains("cell")), s"no partition filter on cell:\n$plan")
+    assert(plan.linesIterator.find(_.contains("PushedFilters"))
+      .exists(_.contains("label")), s"label predicate not pushed:\n$plan")
+    // an append frame missing the stored attribute fails fast
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(
+        second.drop("label"), "vec_id", "embedding", dir)
+    }
+    assert(err.getMessage.contains("label"))
+  }
+
+  test("ivfpq filtered batch probe equals the per-query filtered probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-fb").toString
+    val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16, sampleSize = 500, iters = 5, seed = 9)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir, cb,
+      nCells = 8, attrCols = Seq("label"))
+    val pred = $"label" % 2 === 0
+    val queries = emb.orderBy("vec_id").limit(3)
+    val batch = Similarity.knnIvfPqBatchIndexedFiltered(spark, dir, emb,
+        "vec_id", "embedding", queries, "vec_id", "embedding", pred,
+        k = 10, nProbe = 3, overfetch = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+    queries.collect().foreach { row =>
+      val qid = row.getLong(0)
+      val q1 = row.getSeq[Float](1).toArray
+      val single = Similarity.knnIvfPqIndexedFiltered(spark, dir, emb,
+          "vec_id", "embedding", pred, q1, k = 10, nProbe = 3,
+          overfetch = 4)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid).toSeq.sortBy(t => (-t._3, t._2)) ==
+        single.sortBy(t => (-t._3, t._2)),
+        s"filtered batch diverged for query $qid")
+    }
+  }
+
+  test("pqRecall: monotone in overfetch, 1.0 at corpus-covering overfetch; indexed ivfpq recall 1.0 with pruning off") {
+    val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16, sampleSize = 500, iters = 5, seed = 9)
+    val queries = emb.orderBy("vec_id").limit(3)
+    def recalls(of: Int): Map[Long, Double] =
+      Similarity.pqRecall(queries, "vec_id", "embedding", emb,
+          "vec_id", "embedding", k = 10, cb = cb, overfetch = of)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> r._3).toMap
+    // candidate sets nest as overfetch grows (top-10·of ⊆ top-10·of'),
+    // so per-query recall is monotone non-decreasing — the sweep that
+    // tunes overfetch for the committed code layout
+    val sweep = Seq(1, 4, 16).map(recalls)
+    sweep.sliding(2).foreach { case Seq(lo, hi) =>
+      lo.keys.foreach(q => assert(lo(q) <= hi(q),
+        s"recall not monotone for query $q: ${lo(q)} > ${hi(q)}"))
+    }
+    // overfetch covering the corpus: every true neighbor is a
+    // candidate, the exact rerank restores brute → recall 1.0
+    val full = recalls((emb.count() / 10 + 1).toInt)
+    assert(full.values.forall(_ == 1.0), s"full-overfetch recall: $full")
+    // the composed persisted layout reports through the same eval:
+    // pruning off + covering overfetch → 1.0
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-rc").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir, cb,
+      nCells = 8)
+    val idx = Similarity.ivfPqRecallIndexed(spark, dir, queries,
+        "vec_id", "embedding", emb, "vec_id", "embedding", k = 10,
+        nProbe = 8, overfetch = (emb.count() / 10 + 1).toInt)
+      .as[(Long, Long, Double)].collect()
+    assert(idx.forall(_._3 == 1.0), s"indexed recall: ${idx.toSeq}")
+  }
+
   test("knnIvfFiltered: full probe equals brute over the filtered corpus; false predicate is empty") {
     val pred = $"label" % 2 === 0
     // nProbe = nCells sees every cell → exact filtered kNN
