@@ -1556,24 +1556,44 @@ object Similarity {
     * k·overfetch rows per (query, partition); the exact rerank joins
     * only the candidate ids back to float vectors.
     *
-    * Practical query-count bound: the query side broadcasts its
+    * Query-count scaling (round 9): the query side carries its
     * per-query LUT (m·nCodes doubles) and the candidate set
-    * (k·overfetch rows per query), so the batch must fit the
-    * broadcast threshold — roughly `nQueries · m · nCodes · 8 B`
-    * (e.g. 10 MB ≈ 80k queries at m=8, nCodes=16). For a larger
-    * batch, split it into broadcast-sized slices (each slice is one
-    * independent call — the corpus scan is re-paid per slice) or use
-    * the per-query [[knnPq]] path; an enforced guard would silently
-    * change the plan shape under the caller, so the bound is
-    * documented, not trapped.
+    * (k·overfetch rows per query). Small batches broadcast both —
+    * the cheapest plan. Past the broadcast threshold, a SIZE GUARD
+    * (estimated `nQueries · (LUT + query-vector) bytes` vs
+    * `spark.sql.autoBroadcastJoinThreshold`) drops every broadcast
+    * hint: the coarse pass becomes a partition-partition cross join
+    * and the rerank a shuffle join on candidate ids / query ids —
+    * unbounded in the batch size, row-for-row identical output
+    * (spec-pinned). `shuffleRerank` overrides the guard
+    * (Some(true)/Some(false)); None = auto, which pays one
+    * `queries.count()` job only when a threshold is set.
     * Output: (query_id, id, cosine) — EXACT cosines, k rows per
     * query, ties by id.
     */
   def knnPqBatch(queries: DataFrame, qIdCol: String, qVecCol: String,
                  corpus: DataFrame, idCol: String, vecCol: String,
-                 k: Int, cb: PqCodebook, overfetch: Int = 4): DataFrame = {
+                 k: Int, cb: PqCodebook, overfetch: Int = 4,
+                 shuffleRerank: Option[Boolean] = None): DataFrame = {
     require(overfetch >= 1, "overfetch must be >= 1")
     requireIntegralId(corpus, idCol)
+    val useShuffle = shuffleRerank.getOrElse {
+      val thresh = org.apache.spark.sql.internal.SQLConf.get
+        .autoBroadcastJoinThreshold
+      // threshold -1 = the user disabled auto-broadcast; respect it
+      // rather than forcing hints past their memory policy
+      thresh < 0 || {
+        val dim = cb.m.toLong * cb.subDim
+        // LUT doubles + float query vector + id/norm slack, per query
+        val perQueryBytes = cb.m.toLong * cb.nCodes * 8L + dim * 4L + 16L
+        queries.count() * perQueryBytes > thresh
+      }
+    }
+    // `side` is the guard's whole effect: identical logical shape,
+    // broadcast hints present (small batch) or absent (the planner
+    // falls back to cartesian + shuffle joins — no driver-memory
+    // cliff at any batch size)
+    def side(df: DataFrame): DataFrame = if (useShuffle) df else broadcast(df)
     val encoded = pqEncode(corpus, idCol, vecCol, cb)
     val qd = queries.select(col(qIdCol).as("query_id"),
       col(qVecCol).as("qvf"),
@@ -1582,7 +1602,7 @@ object Similarity {
       yield VectorOps.dot(
         slice(col("qv"), lit(s * cb.subDim + 1), lit(cb.subDim)),
         typedlit(cb.codebooks(s)(c).toSeq))): _*)
-    val q = broadcast(qd.select(col("query_id"), col("qvf"),
+    val q = side(qd.select(col("query_id"), col("qvf"),
       lutExpr.as("lut"),
       sqrt(VectorOps.dot(col("qv"), col("qv"))).as("qnorm")))
     val adc = (0 until cb.m).map(s =>
@@ -1599,8 +1619,8 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e.id").as("id"))
     corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .join(broadcast(cand), "id")
-      .join(broadcast(q.select("query_id", "qvf")), "query_id")
+      .join(side(cand), "id")
+      .join(side(q.select("query_id", "qvf")), "query_id")
       .select(col("query_id"), col("id"),
         VectorOps.cosine(col("vec"), col("qvf")).as("cosine"))
       .groupBy(col("query_id"))
@@ -1865,9 +1885,20 @@ object Similarity {
       path: String, vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       predicate: Column, k: Int,
-      nProbe: Int = 4, overfetch: Int = 4): DataFrame = {
+      nProbe: Int = 4, overfetch: Int = 4,
+      shuffleRerank: Option[Boolean] = None): DataFrame = {
     require(overfetch >= 1, "overfetch must be >= 1")
     val cb = readPqCodebook(spark, path)
+    val useShuffle = shuffleRerank.getOrElse {
+      val thresh = org.apache.spark.sql.internal.SQLConf.get
+        .autoBroadcastJoinThreshold
+      thresh < 0 || {
+        val dim = cb.m.toLong * cb.subDim
+        val perQueryBytes = cb.m.toLong * cb.nCodes * 8L + dim * 4L + 16L
+        queries.count() * perQueryBytes > thresh
+      }
+    }
+    def side(df: DataFrame): DataFrame = if (useShuffle) df else broadcast(df)
     val cents = readCentroids(spark, path)
     val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
       struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
@@ -1877,7 +1908,7 @@ object Similarity {
       yield VectorOps.dot(
         slice(col("qvd"), lit(s * cb.subDim + 1), lit(cb.subDim)),
         typedlit(cb.codebooks(s)(c).toSeq))): _*)
-    val q = broadcast(queries
+    val q = side(queries
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("qvf"),
         col(qVecCol).cast("array<double>").as("qvd"))
       .withColumn("qv", col("qvd"))
@@ -1905,8 +1936,8 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e.id").as("id")).distinct()
     vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .join(broadcast(cand), "id")
-      .join(broadcast(q.select("query_id", "qvf").distinct()), "query_id")
+      .join(side(cand), "id")
+      .join(side(q.select("query_id", "qvf").distinct()), "query_id")
       .select(col("query_id"), col("id"),
         VectorOps.cosine(col("vec"), col("qvf")).as("cosine"))
       .groupBy(col("query_id"))
@@ -1993,9 +2024,24 @@ object Similarity {
   def knnIvfPqBatchIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
-      nProbe: Int = 4, overfetch: Int = 4): DataFrame = {
+      nProbe: Int = 4, overfetch: Int = 4,
+      shuffleRerank: Option[Boolean] = None): DataFrame = {
     require(overfetch >= 1, "overfetch must be >= 1")
     val cb = readPqCodebook(spark, path)
+    // the knnPqBatch size guard: past the broadcast threshold the
+    // query/candidate sides lose their hints and the (cell) match +
+    // rerank become shuffle joins — no driver-memory cliff on large
+    // serving batches
+    val useShuffle = shuffleRerank.getOrElse {
+      val thresh = org.apache.spark.sql.internal.SQLConf.get
+        .autoBroadcastJoinThreshold
+      thresh < 0 || {
+        val dim = cb.m.toLong * cb.subDim
+        val perQueryBytes = cb.m.toLong * cb.nCodes * 8L + dim * 4L + 16L
+        queries.count() * perQueryBytes > thresh
+      }
+    }
+    def side(df: DataFrame): DataFrame = if (useShuffle) df else broadcast(df)
     val cents = readCentroids(spark, path)
     val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
       struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
@@ -2005,7 +2051,7 @@ object Similarity {
       yield VectorOps.dot(
         slice(col("qvd"), lit(s * cb.subDim + 1), lit(cb.subDim)),
         typedlit(cb.codebooks(s)(c).toSeq))): _*)
-    val q = broadcast(queries
+    val q = side(queries
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("qvf"),
         col(qVecCol).cast("array<double>").as("qvd"))
       .withColumn("qv", col("qvd"))
@@ -2032,8 +2078,8 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e.id").as("id")).distinct()
     vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .join(broadcast(cand), "id")
-      .join(broadcast(q.select("query_id", "qvf").distinct()), "query_id")
+      .join(side(cand), "id")
+      .join(side(q.select("query_id", "qvf").distinct()), "query_id")
       .select(col("query_id"), col("id"),
         VectorOps.cosine(col("vec"), col("qvf")).as("cosine"))
       .groupBy(col("query_id"))

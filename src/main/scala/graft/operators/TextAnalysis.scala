@@ -522,9 +522,29 @@ object TextAnalysis {
     out.result()
   }
 
+  /** Train a BPE merge table over the corpus vocabulary.
+    *
+    * `batchSize` (round 9) is the scalable-BPE batched-merge knob: at
+    * 1 (the default — the t20/t26 oracle contract, byte-identical to
+    * the classic one-merge-per-round trainer), each count/apply cycle
+    * selects the single argmax pair; at N, each cycle selects up to N
+    * MUTUALLY NON-ADJACENT pairs greedily by (count desc, pair asc) —
+    * a candidate is skipped while any of its symbols, or its
+    * concatenation, collides with an already-selected pair's symbols
+    * or concatenation. Disjoint merges cannot create, destroy or
+    * re-count each other's occurrences, so applying the batch
+    * sequentially inside ONE Spark stage is order-independent and
+    * every recorded count is the true pre-batch count. A production
+    * 32k-merge train is ~32k/N driver round-trips instead of 32k
+    * (the sequential trainer's one-job-per-merge ceiling, round-8
+    * verdict); the selection is the standard batched-BPE
+    * approximation — batch > 1 may order merges differently than the
+    * strict argmax sequence, which re-counts between every merge.
+    */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-               minPairCount: Long = 2): DataFrame = {
+               minPairCount: Long = 2, batchSize: Int = 1): DataFrame = {
     require(numMerges >= 1, "bpeTrain: numMerges must be positive")
+    require(batchSize >= 1, "bpeTrain: batchSize must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     // the ONLY corpus-sized stage: word frequencies
@@ -537,9 +557,15 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var done = false
+    var rank = 1
     var round = 1
-    while (!done && round <= numMerges) {
-      val top = vocab
+    while (!done && rank <= numMerges) {
+      val want = math.min(batchSize, numMerges - rank + 1)
+      // overfetch the candidate list so the greedy disjoint filter
+      // has room to skip symbol-sharing pairs; a too-short list only
+      // costs an extra round, never a wrong merge. batchSize=1 keeps
+      // the exact classic shape: the top-1 pair is always selected.
+      val cands = vocab
         .flatMap { case (syms, n) =>
           if (syms.size < 2) Iterator.empty
           else syms.iterator.zip(syms.iterator.drop(1))
@@ -547,28 +573,47 @@ object TextAnalysis {
         }
         .toDF("pair", "n")
         .groupBy("pair").agg(sum("n").as("n"))
+        .where(col("n") >= minPairCount)
         .orderBy(col("n").desc, col("pair").asc)
-        .limit(1)
+        .limit(want * 4 + 4)
         .as[(String, Long)].collect()
-      top.headOption.filter(_._2 >= minPairCount) match {
-        case None => done = true
-        case Some((pair, n)) =>
+      if (cands.isEmpty) done = true
+      else {
+        // greedy disjoint selection: block each picked pair's symbols
+        // AND its concatenation (a later candidate touching either
+        // would see different counts after this batch applies)
+        val blocked = scala.collection.mutable.Set.empty[String]
+        val picked =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val it = cands.iterator
+        while (picked.length < want && it.hasNext) {
+          val (pair, n) = it.next()
           val Array(l, r) = pair.split(" ", 2)
-          merges += BpeMerge(round, l, r, n)
-          val mapped = vocab.map { case (syms, c) => (mergeOnce(syms, l, r), c) }
-          // truncate the typed-map lineage every 8 rounds (eager
-          // localCheckpoint returns a plan-free Dataset — d06's
-          // discipline); other rounds just materialize the cache
-          val next =
-            if (round % 8 == 0) mapped.localCheckpoint()
-            else {
-              val p = mapped.persist(
-                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              p.count()
-              p
-            }
-          vocab.unpersist(false)
-          vocab = next
+          if (!blocked(l) && !blocked(r) && !blocked(l + r)) {
+            blocked += l; blocked += r; blocked += (l + r)
+            picked += ((l, r, n))
+          }
+        }
+        picked.foreach { case (l, r, n) =>
+          merges += BpeMerge(rank, l, r, n); rank += 1
+        }
+        val sel = picked.toList
+        val mapped = vocab.map { case (syms, c) =>
+          (sel.foldLeft(syms) { case (s, (l, r, _)) => mergeOnce(s, l, r) }, c)
+        }
+        // truncate the typed-map lineage every 8 rounds (eager
+        // localCheckpoint returns a plan-free Dataset — d06's
+        // discipline); other rounds just materialize the cache
+        val next =
+          if (round % 8 == 0) mapped.localCheckpoint()
+          else {
+            val p = mapped.persist(
+              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            p.count()
+            p
+          }
+        vocab.unpersist(false)
+        vocab = next
       }
       round += 1
     }

@@ -861,6 +861,43 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnPqBatch shuffle-rerank fallback: forced fallback equals the broadcast path; auto guard trips past the threshold") {
+    val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16, sampleSize = 500, iters = 5, seed = 9)
+    val queries = emb.where($"vec_id" % 20 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def run(mode: Option[Boolean]) =
+      Similarity.knnPqBatch(queries, "query_id", "embedding", emb,
+        "vec_id", "embedding", k = 10, cb = cb, overfetch = 4,
+        shuffleRerank = mode)
+    // row-for-row parity: the guard changes join strategy, never data
+    assertSameRows(run(Some(true)), run(Some(false)))
+    // auto guard: with a tiny threshold the batch's estimated
+    // LUT+vector bytes exceed it, so the auto plan must carry NO
+    // broadcast exchange while the forced-broadcast plan does
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+      val auto = run(None).queryExecution.executedPlan.toString
+      val forced = run(Some(false)).queryExecution.executedPlan.toString
+      assert(!auto.contains("Broadcast"),
+        s"auto guard kept a broadcast past the threshold:\n$auto")
+      assert(forced.contains("Broadcast"),
+        s"forced-broadcast plan lost its hints:\n$forced")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    // the persisted composed layout honors the same override
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-sh").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir, cb,
+      nCells = 8)
+    val bc = Similarity.knnIvfPqBatchIndexed(spark, dir, emb, "vec_id",
+      "embedding", queries, "query_id", "embedding", k = 10,
+      nProbe = 3, overfetch = 4, shuffleRerank = Some(false))
+    val sh = Similarity.knnIvfPqBatchIndexed(spark, dir, emb, "vec_id",
+      "embedding", queries, "query_id", "embedding", k = 10,
+      nProbe = 3, overfetch = 4, shuffleRerank = Some(true))
+    assertSameRows(bc, sh)
+  }
+
   test("pqRecall: monotone in overfetch, 1.0 at corpus-covering overfetch; indexed ivfpq recall 1.0 with pruning off") {
     val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
       m = 4, nCodes = 16, sampleSize = 500, iters = 5, seed = 9)
@@ -1887,6 +1924,80 @@ class TextAnalysisSpec extends SparkSpec {
     // r3: best remaining is (b,b)=1 < minPairCount → stop
     assert(merges == List(
       (1, "a", "a", 6L), (2, "aa", "a", 3L)), merges.toString)
+  }
+
+  test("bpeTrain batchSize: disjoint-top corpus equals the sequential table; driver round-trips drop with batch") {
+    import graft.operators.TextAnalysis
+    // 12 symbol-disjoint pairs at strictly decreasing counts: the
+    // batched greedy selection (count desc, pair asc, skip colliding
+    // symbols) picks exactly the sequential argmax sequence, so the
+    // two tables must be identical — batching changes job structure,
+    // not the learned merges, whenever the top pairs don't interact
+    val pairsWords = "ab cd ef gh ij kl mn op qr st uv wx".split(" ")
+    val doc = pairsWords.zipWithIndex
+      .map { case (w, i) => Seq.fill(24 - i)(w).mkString(" ") }
+      .mkString(" ")
+    val df = Seq(doc).toDF("text")
+    def train(b: Int) =
+      TextAnalysis.bpeTrain(df, "text", numMerges = 12, batchSize = b)
+        .as[(Int, String, String, Long)].collect().toList
+    def jobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try body finally {
+        // job-start events post asynchronously; give the bus a beat
+        Thread.sleep(1500)
+        spark.sparkContext.removeSparkListener(l)
+      }
+      n.get()
+    }
+    var seqTable: List[(Int, String, String, Long)] = Nil
+    var batTable: List[(Int, String, String, Long)] = Nil
+    val jSeq = jobs { seqTable = train(1) }
+    val jBat = jobs { batTable = train(6) }
+    assert(seqTable.length == 12 && seqTable == batTable,
+      s"batched table diverged:\nseq=$seqTable\nbat=$batTable")
+    // the scalable-BPE point: merges/batch driver round-trips, so the
+    // batched train must run well under half the sequential job count
+    assert(jBat * 2 <= jSeq,
+      s"batched trainer did not reduce driver round-trips: " +
+        s"sequential=$jSeq batched=$jBat")
+    info(s"12 merges: sequential=$jSeq jobs, batchSize=6=$jBat jobs")
+  }
+
+  test("bpeTrain batchSize on an INTERACTING corpus: valid ranks, true pre-batch counts, encode still terminates") {
+    import graft.operators.TextAnalysis
+    // the subword-nmt corpus: (e,s) feeds (es,t), so batch selection
+    // must SKIP (es,t)-style dependents within a round (their symbols
+    // collide with a picked pair's concatenation) rather than record
+    // a stale count for them
+    val docs = Seq(
+      Seq.fill(5)("low"), Seq.fill(2)("lower"),
+      Seq.fill(6)("newest"), Seq.fill(3)("widest"))
+      .flatten.mkString(" ")
+    val merges = TextAnalysis.bpeTrain(
+        Seq(docs).toDF("text"), "text", numMerges = 6, batchSize = 3)
+      .as[(Int, String, String, Long)].collect().toList
+    assert(merges.map(_._1) == (1 to merges.length).toList,
+      s"ranks not dense: $merges")
+    assert(merges.map(m => (m._2, m._3)).distinct.length == merges.length,
+      s"duplicate pair learned: $merges")
+    // every recorded count is a TRUE pair count at its batch's start:
+    // (e,s) must still report 9 even when batched with (l,o)=7
+    val es = merges.find(m => m._2 == "e" && m._3 == "s")
+    assert(es.exists(_._4 == 9L), s"(e,s) count drifted: $merges")
+    // the learned table still drives the encoder to a fixpoint
+    val enc = TextAnalysis.bpeEncode(
+      Seq((1L, docs)).toDF("doc_id", "text"), "doc_id", "text",
+      merges.map { case (rk, l, r, n) => TextAnalysis.BpeMerge(rk, l, r, n) })
+    assert(enc.agg(org.apache.spark.sql.functions.sum("n_pieces"))
+      .head().getLong(0) > 0)
   }
 
   test("bpeEncode segments with a trained table: hand-computed pieces") {
