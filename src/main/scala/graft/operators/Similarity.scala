@@ -1314,14 +1314,28 @@ object Similarity {
     * (m bytes as int8 on disk) + one stored norm — 16-32× smaller
     * than float32, vs int8 scalar quantization's 4×.
     */
+  /** `rotation` (round 9, OPQ — Ge et al., "Optimized Product
+    * Quantization", CVPR 2013): an optional learned d×d orthonormal
+    * matrix applied to every vector BEFORE the subspace split
+    * (row-major: `y = R·x`, `y(j) = R(j)·x`). Rotation preserves
+    * norms and pairwise dots, so the ADC chain is unchanged except
+    * that codes come from rotated vectors and the query is rotated
+    * before its lookup table — the exact rerank still runs on the
+    * original float vectors. None = plain PQ (every oracle-gated
+    * query's contract).
+    */
   final case class PqCodebook(
-      subDim: Int, codebooks: Array[Array[Array[Double]]]) {
+      subDim: Int, codebooks: Array[Array[Array[Double]]],
+      rotation: Option[Array[Array[Double]]] = None) {
     def m: Int = codebooks.length
     def nCodes: Int = codebooks.head.length
     require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
       "PqCodebook: empty codebook")
     require(codebooks.forall(_.forall(_.length == subDim)),
       "PqCodebook: centroid dim != subDim")
+    require(rotation.forall(r => r.length == m * subDim &&
+        r.forall(_.length == m * subDim)),
+      "PqCodebook: rotation must be square d×d with d = m·subDim")
     /** Subspace-major flattening — the [[graft.functions.PqEncodeCodes]]
       * layout: `flat(s·nCodes·subDim + c·subDim + j) = codebooks(s)(c)(j)`.
       */
@@ -1448,10 +1462,25 @@ object Similarity {
   /** Trained codebook: ONE bounded hash-ordered sample collect (the
     * KMeansCentroids stance), then `m` independent Euclidean k-means
     * runs — one per subspace, each over the sample's slices.
+    *
+    * `opq = true` (round 9) learns an OPQ rotation first (Ge et al.
+    * 2013, the non-parametric alternating solver, all driver-side on
+    * the bounded sample): repeat `opqIters` times — (1) rotate the
+    * sample, (2) train subspace codebooks on it, (3) quantize-
+    * reconstruct, (4) solve the orthogonal Procrustes problem
+    * `min_R ‖X·Rᵀ − X̂‖_F` via one d×d SVD (`R = V·Uᵀ` of
+    * `Xᵀ·X̂ = U·S·Vᵀ`) for the next rotation. On anisotropic
+    * embeddings (variance directions spanning subspace boundaries —
+    * real text/image embeddings, not isotropic noise) the rotation
+    * decorrelates the subspaces and buys recall at IDENTICAL code
+    * size (spec-pinned ≥ plain PQ on a correlated synthetic set).
+    * opq = false is byte-identical to the classic trainer (the
+    * oracle contract).
     */
   def pqTrainCodebook(df: DataFrame, idCol: String, vecCol: String,
                       m: Int, nCodes: Int, sampleSize: Int = 4096,
-                      iters: Int = 10, seed: Long = 42L): PqCodebook = {
+                      iters: Int = 10, seed: Long = 42L,
+                      opq: Boolean = false, opqIters: Int = 8): PqCodebook = {
     val sample = df
       .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .orderBy(xxhash64(col("id")), col("id")).limit(sampleSize)
@@ -1461,11 +1490,65 @@ object Similarity {
     val dim = sample(0).length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val subDim = dim / m
-    PqCodebook(subDim, Array.tabulate(m) { s =>
-      kmeansEuclidean(
-        sample.map(_.slice(s * subDim, (s + 1) * subDim)),
-        nCodes, iters, seed + s)
-    })
+    def trainSubspaces(xs: Array[Array[Double]]): Array[Array[Array[Double]]] =
+      Array.tabulate(m) { s =>
+        kmeansEuclidean(
+          xs.map(_.slice(s * subDim, (s + 1) * subDim)),
+          nCodes, iters, seed + s)
+      }
+    if (!opq) PqCodebook(subDim, trainSubspaces(sample))
+    else {
+      var r = Array.tabulate(dim, dim)((i, j) => if (i == j) 1d else 0d)
+      def rotate(x: Array[Double]): Array[Double] =
+        Array.tabulate(dim)(j => dotSeq(r(j), x, 0))
+      def reconstruct(cb: Array[Array[Array[Double]]],
+                      y: Array[Double]): Array[Double] = {
+        val out = new Array[Double](dim)
+        var s = 0
+        while (s < m) {
+          // sequential sqdist, strict <, ties → lowest code — the
+          // PqEncodeCodes contract, so the solver optimizes the
+          // EXACT quantizer the probe will run
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < nCodes) {
+            var dsum = 0d; var j = 0
+            while (j < subDim) {
+              val d0 = y(s * subDim + j) - cb(s)(c)(j); dsum += d0 * d0
+              j += 1
+            }
+            if (dsum < bestD) { bestD = dsum; best = c }
+            c += 1
+          }
+          System.arraycopy(cb(s)(best), 0, out, s * subDim, subDim)
+          s += 1
+        }
+        out
+      }
+      var it = 0
+      while (it < opqIters) {
+        val y = sample.map(rotate)
+        val cb = trainSubspaces(y)
+        val yhat = y.map(reconstruct(cb, _))
+        // Procrustes: maximize tr(R·M) with M = Xᵀ·X̂ = U·S·Vᵀ → R = V·Uᵀ
+        val mMat = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+        var i = 0
+        while (i < sample.length) {
+          val x = sample(i); val xh = yhat(i)
+          var a = 0
+          while (a < dim) {
+            val xa = x(a); var b = 0
+            while (b < dim) { mMat(a, b) += xa * xh(b); b += 1 }
+            a += 1
+          }
+          i += 1
+        }
+        val breeze.linalg.svd.SVD(u, _, vt) = breeze.linalg.svd(mMat)
+        val rNew = vt.t * u.t
+        r = Array.tabulate(dim, dim)((i2, j2) => rNew(i2, j2))
+        it += 1
+      }
+      PqCodebook(subDim, trainSubspaces(sample.map(rotate)), Some(r))
+    }
   }
 
   /** PQ-encode the corpus: (id, codes array<int>, norm double), one
@@ -1486,11 +1569,21 @@ object Similarity {
                cb: PqCodebook): DataFrame = {
     requireIntegralId(df, idCol)
     val v = col(vecCol)
+    // OPQ: codes come from the ROTATED vector; the stored norm stays
+    // the original's (rotation preserves it — one fewer recompute)
+    val enc = cb.rotation.map(rotateExpr(v, _)).getOrElse(v)
     df.select(col(idCol).cast("long").as("id"),
       graft.functions.VectorOps.pqEncodeCodes(
-        v, cb.flat, cb.m, cb.nCodes).as("codes"),
+        enc, cb.flat, cb.m, cb.nCodes).as("codes"),
       sqrt(graft.functions.VectorOps.dot(v, v)).as("norm"))
   }
+
+  /** Declarative `y = R·x`: one codegen'd dot kernel per output
+    * dimension — d expression nodes, all inside whole-stage codegen,
+    * no UDF. Used by every OPQ encode/probe path.
+    */
+  private def rotateExpr(v: Column, r: Array[Array[Double]]): Column =
+    array(r.toIndexedSeq.map(row => VectorOps.dot(v, typedlit(row.toSeq))): _*)
 
   /** PQ probe over an encoded frame: asymmetric-distance scoring —
     * the query stays full-precision; per-vector work is `m` lookups
@@ -1501,9 +1594,13 @@ object Similarity {
     */
   private def pqCoarse(encoded: DataFrame, cb: PqCodebook,
                        query: Array[Float], nCand: Int): DataFrame = {
-    val qd = query.map(_.toDouble)
-    require(qd.length == cb.m * cb.subDim,
-      s"query dim ${qd.length} != ${cb.m}·${cb.subDim}")
+    val qd0 = query.map(_.toDouble)
+    require(qd0.length == cb.m * cb.subDim,
+      s"query dim ${qd0.length} != ${cb.m}·${cb.subDim}")
+    // OPQ: the query rotates into the codes' frame; dot(Rx, Rq) =
+    // dot(x, q), so ADC still approximates the original cosine
+    val qd = cb.rotation.map(r =>
+      Array.tabulate(qd0.length)(j => dotSeq(r(j), qd0, 0))).getOrElse(qd0)
     val qnorm = math.sqrt(dotSeq(qd, qd, 0))
     val lut = Array.tabulate(cb.m, cb.nCodes)((s, c) =>
       dotSeq(qd, cb.codebooks(s)(c), s * cb.subDim)).flatten
@@ -1595,9 +1692,14 @@ object Similarity {
     // cliff at any batch size)
     def side(df: DataFrame): DataFrame = if (useShuffle) df else broadcast(df)
     val encoded = pqEncode(corpus, idCol, vecCol, cb)
+    // OPQ: the declarative query side rotates into the codes' frame
+    // before slicing its LUT (identical contract to pqCoarse)
+    val qRot = cb.rotation
+      .map(r => rotateExpr(col(qVecCol).cast("array<double>"), r))
+      .getOrElse(col(qVecCol).cast("array<double>"))
     val qd = queries.select(col(qIdCol).as("query_id"),
       col(qVecCol).as("qvf"),
-      col(qVecCol).cast("array<double>").as("qv"))
+      qRot.as("qv"))
     val lutExpr = array((for { s <- 0 until cb.m; c <- 0 until cb.nCodes }
       yield VectorOps.dot(
         slice(col("qv"), lit(s * cb.subDim + 1), lit(cb.subDim)),
@@ -1639,25 +1741,42 @@ object Similarity {
                    path: String, cb: PqCodebook): Unit = {
     pqEncode(df, idCol, vecCol, cb)
       .write.mode("overwrite").parquet(s"$path/codes")
-    val spark = df.sparkSession
+    dumpCodebook(df.sparkSession, cb, path)
+  }
+
+  /** The stored (s, c, cv) codebook rows, with an OPQ rotation (when
+    * present) riding as sentinel rows `s = -1, c = row index, cv =
+    * rotation row` — subspace indices are non-negative, so the
+    * sentinel cannot collide, and a pre-round-9 index (no -1 rows)
+    * reads back as rotation = None unchanged.
+    */
+  private def dumpCodebook(spark: org.apache.spark.sql.SparkSession,
+                           cb: PqCodebook, path: String): Unit = {
     import spark.implicits._
-    (for { s <- cb.codebooks.indices; c <- cb.codebooks(s).indices }
-      yield (s, c, cb.codebooks(s)(c).toSeq)).toDF("s", "c", "cv")
+    val cbRows = for {
+      s <- cb.codebooks.indices; c <- cb.codebooks(s).indices
+    } yield (s, c, cb.codebooks(s)(c).toSeq)
+    val rotRows = cb.rotation.toSeq.flatMap(r =>
+      r.indices.map(i => (-1, i, r(i).toSeq)))
+    (cbRows ++ rotRows).toDF("s", "c", "cv")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/codebook")
   }
 
-  /** Stored codebook, reassembled in (s, c) order. */
+  /** Stored codebook, reassembled in (s, c) order; sentinel `s = -1`
+    * rows reassemble the OPQ rotation. */
   def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
                      path: String): PqCodebook = {
-    val rows = spark.read.parquet(s"$path/codebook").collect()
+    val all = spark.read.parquet(s"$path/codebook").collect()
       .map(r => (r.getInt(r.fieldIndex("s")), r.getInt(r.fieldIndex("c")),
         r.getSeq[Double](r.fieldIndex("cv")).toArray))
       .sortBy(t => (t._1, t._2))
+    val (rotRows, rows) = all.partition(_._1 == -1)
     require(rows.nonEmpty, s"readPqCodebook: no codebook at $path")
     val m = rows.map(_._1).max + 1
     PqCodebook(rows.head._3.length,
-      Array.tabulate(m)(s => rows.filter(_._1 == s).map(_._3)))
+      Array.tabulate(m)(s => rows.filter(_._1 == s).map(_._3)),
+      if (rotRows.isEmpty) None else Some(rotRows.map(_._3)))
   }
 
   /** Probe a persisted PQ index: coarse-rank the stored codes with
@@ -1780,10 +1899,14 @@ object Similarity {
     // probe ([[knnIvfPqIndexedFiltered]]) pushes its predicate into
     // the probed-cell code scan instead of decompressing or
     // overfetching
+    // OPQ: cells assign on the ORIGINAL vectors (the IVF geometry is
+    // independent of the code frame); only the encode input rotates
+    val encIn = cb.rotation.map(rotateExpr(col("vec"), _))
+      .getOrElse(col("vec"))
     assignCells(df, idCol, vecCol, cents, extraCols = attrCols)
       .select(Seq(col("id").cast("long").as("id"),
         graft.functions.VectorOps.pqEncodeCodes(
-          col("vec"), cb.flat, cb.m, cb.nCodes).as("codes"),
+          encIn, cb.flat, cb.m, cb.nCodes).as("codes"),
         sqrt(graft.functions.VectorOps.dot(col("vec"), col("vec")))
           .as("norm")) ++ attrCols.map(col) :+ col("cell"): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -1793,10 +1916,7 @@ object Similarity {
       .map { case (c, i) => (c.toSeq, i) }.toDF("cv", "cell")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    (for { s <- cb.codebooks.indices; c <- cb.codebooks(s).indices }
-      yield (s, c, cb.codebooks(s)(c).toSeq)).toDF("s", "c", "cv")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/codebook")
+    dumpCodebook(spark, cb, path)
   }
 
   /** Probe a persisted IVF-PQ index: rank the STORED centroids on the
@@ -1904,19 +2024,24 @@ object Similarity {
       struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
              lit(i).as("cell"))
     }.toIndexedSeq: _*)
+    // OPQ: the LUT (and its norm) read the ROTATED query column qvr;
+    // centroid ranking stays on the original qv (the IVF geometry is
+    // independent of the code frame). qvr = qvd when no rotation.
     val lutExpr = array((for { s <- 0 until cb.m; c <- 0 until cb.nCodes }
       yield VectorOps.dot(
-        slice(col("qvd"), lit(s * cb.subDim + 1), lit(cb.subDim)),
+        slice(col("qvr"), lit(s * cb.subDim + 1), lit(cb.subDim)),
         typedlit(cb.codebooks(s)(c).toSeq))): _*)
     val q = side(queries
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("qvf"),
         col(qVecCol).cast("array<double>").as("qvd"))
       .withColumn("qv", col("qvd"))
+      .withColumn("qvr", cb.rotation.map(rotateExpr(col("qvd"), _))
+        .getOrElse(col("qvd")))
       .select(col("query_id"), col("qvf"),
         explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
           s => s.getField("cell"))).as("cell"),
         lutExpr.as("lut"),
-        sqrt(VectorOps.dot(col("qvd"), col("qvd"))).as("qnorm")))
+        sqrt(VectorOps.dot(col("qvr"), col("qvr"))).as("qnorm")))
     val probedCells = q.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     val cells = spark.read.parquet(s"$path/cells")
@@ -1982,10 +2107,12 @@ object Similarity {
       s"appendToIvfPqIndex: index at $path stores attribute columns " +
         s"${attrs.mkString(", ")}; append frame is missing " +
         missing.mkString(", "))
+    val encIn = cb.rotation.map(rotateExpr(col("vec"), _))
+      .getOrElse(col("vec"))
     assignCells(df, idCol, vecCol, cents, extraCols = attrs)
       .select(Seq(col("id").cast("long").as("id"),
         graft.functions.VectorOps.pqEncodeCodes(
-          col("vec"), cb.flat, cb.m, cb.nCodes).as("codes"),
+          encIn, cb.flat, cb.m, cb.nCodes).as("codes"),
         sqrt(graft.functions.VectorOps.dot(col("vec"), col("vec")))
           .as("norm")) ++ attrs.map(col) :+ col("cell"): _*)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
@@ -2047,19 +2174,24 @@ object Similarity {
       struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
              lit(i).as("cell"))
     }.toIndexedSeq: _*)
+    // OPQ: the LUT (and its norm) read the ROTATED query column qvr;
+    // centroid ranking stays on the original qv (the IVF geometry is
+    // independent of the code frame). qvr = qvd when no rotation.
     val lutExpr = array((for { s <- 0 until cb.m; c <- 0 until cb.nCodes }
       yield VectorOps.dot(
-        slice(col("qvd"), lit(s * cb.subDim + 1), lit(cb.subDim)),
+        slice(col("qvr"), lit(s * cb.subDim + 1), lit(cb.subDim)),
         typedlit(cb.codebooks(s)(c).toSeq))): _*)
     val q = side(queries
       .select(col(qIdCol).as("query_id"), col(qVecCol).as("qvf"),
         col(qVecCol).cast("array<double>").as("qvd"))
       .withColumn("qv", col("qvd"))
+      .withColumn("qvr", cb.rotation.map(rotateExpr(col("qvd"), _))
+        .getOrElse(col("qvd")))
       .select(col("query_id"), col("qvf"),
         explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
           s => s.getField("cell"))).as("cell"),
         lutExpr.as("lut"),
-        sqrt(VectorOps.dot(col("qvd"), col("qvd"))).as("qnorm")))
+        sqrt(VectorOps.dot(col("qvr"), col("qvr"))).as("qnorm")))
     val probedCells = q.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
     val cells = spark.read.parquet(s"$path/cells")
