@@ -111,11 +111,16 @@ object Layout {
     * automatically on `col = literal` scans.
     */
   def writeWithBloomFilters(df: DataFrame, path: String,
-      bloomCols: Seq[String], ndv: Long = 1000000L): Unit = {
+      bloomCols: Seq[String], ndv: Long = 1000000L,
+      extraOptions: Map[String, String] = Map.empty): Unit = {
     require(bloomCols.nonEmpty, "writeWithBloomFilters: no columns")
-    bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
-      w.option(s"parquet.bloom.filter.enabled#$c", "true")
-        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    // extraOptions passes writer knobs through (e.g. parquet.block.size
+    // to bound row-group size — the §4 read-path probe shrinks it so a
+    // small corpus still exercises many-row-group skipping)
+    bloomCols.foldLeft(df.write.mode("overwrite").options(extraOptions)) {
+      (w, c) =>
+        w.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
     }.parquet(path)
   }
 

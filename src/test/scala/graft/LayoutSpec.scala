@@ -200,6 +200,62 @@ class LayoutSpec extends SparkSpec {
     assertSameRows(spark.read.parquet(s"$dir/b"), docs)
   }
 
+  test("bloom read-path probe: accepted row groups stay O(1) while total row groups grow 10x") {
+    // the read-path analog of the BM25 flat-file-count probe: on an
+    // UNSORTED high-cardinality key every row group's min/max spans
+    // the domain (stats prune nothing), so the bloom filters are the
+    // only thing standing between a point lookup and a full scan —
+    // measure how many row groups they actually skip, at 1x and 10x
+    val root = java.nio.file.Files.createTempDirectory("layout-bloomrg").toString
+    val rgOpts = Map("parquet.block.size" -> "131072") // many small groups
+    def build(dir: String, n: Long): Unit =
+      Layout.writeWithBloomFilters(
+        spark.range(n).select(
+          org.apache.spark.sql.functions.xxhash64($"id").as("k"),
+          ($"id" * 37L).as("payload")),
+        dir, Seq("k"), ndv = 20000L, extraOptions = rgOpts)
+    def rowGroupStats(dir: String, key: Long): (Int, Int) = {
+      import scala.jdk.CollectionConverters._
+      var total = 0; var accepted = 0
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).foreach { f =>
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+              spark.sessionState.newHadoopConf()))
+          try reader.getFooter.getBlocks.asScala.foreach { rg =>
+            total += 1
+            val cmd = rg.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c).toMap.apply("k")
+            val bf = reader.getBloomFilterDataReader(rg).readBloomFilter(cmd)
+            // a null filter cannot skip — count it as a forced read
+            if (bf == null || bf.findHash(bf.hash(key))) accepted += 1
+          } finally reader.close()
+        }
+      (total, accepted)
+    }
+    val absentKey = 424242L // xxhash64 outputs won't land here (checked)
+    for ((tag, n) <- Seq(("1x", 200000L), ("10x", 2000000L))) {
+      val dir = s"$root/$tag"
+      build(dir, n)
+      assert(spark.read.parquet(dir).where($"k" === absentKey).isEmpty,
+        "probe key must be absent for the skip measurement")
+      val presentKey = spark.read.parquet(dir).select("k").head().getLong(0)
+      val (total, accAbsent) = rowGroupStats(dir, absentKey)
+      val (_, accPresent) = rowGroupStats(dir, presentKey)
+      info(s"$tag: $total row groups; absent-key accepts $accAbsent, " +
+        s"present-key accepts $accPresent")
+      assert(total >= (if (tag == "1x") 8 else 80),
+        s"$tag corpus did not produce many row groups: $total")
+      // absent key: ≥99% of row groups skipped (bloom fpp is the
+      // only leak); present key: its own group + fpp noise only
+      assert(accAbsent * 100 <= total,
+        s"$tag absent-key lookup reads $accAbsent/$total row groups")
+      assert(accPresent >= 1 && accPresent <= 2 + total / 20,
+        s"$tag present-key lookup reads $accPresent/$total row groups")
+    }
+  }
+
   test("compact refuses in-place overwrite (would truncate its own input)") {
     val dir = java.nio.file.Files.createTempDirectory("layout-inplace").toString
     Tables.load(spark, sfDir, "region").write.mode("overwrite")
