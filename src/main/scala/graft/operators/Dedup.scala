@@ -941,11 +941,15 @@ object Dedup {
     * same contract as the batch matrix, so dashboards can union the
     * two.
     *
-    * The catalog frame must cover every indexed id: the source join
-    * is inner, so a pair whose indexed id is missing from
-    * `indexSources` silently leaves the matrix (the probe pair list
-    * from [[dedupAgainstLshIndex]] is the complete record; diff the
-    * two if catalog completeness is in doubt).
+    * Catalog completeness (round 9): the indexed-side source join is
+    * LEFT — a pair whose indexed id is missing from `indexSources`
+    * lands under the sentinel source `"unknown"` instead of silently
+    * leaving the matrix, so a catalog gap is VISIBLE in the output
+    * (an `unknown` row means "fix the catalog", and the matrix's
+    * pair total always equals [[dedupAgainstLshIndex]]'s pair
+    * count). The batch side needs no sentinel: its sources come from
+    * the probed frame itself, which by construction has one row per
+    * probed id.
     */
   def dupMatrixAgainstLshIndex(
       batch: DataFrame, idCol: String, textCol: String, sourceCol: String,
@@ -957,7 +961,9 @@ object Dedup {
       col(sourceCol).as("_dm_sb"))
     val iSrc = indexSources.select(col(idCol).as("id_left"),
       col(sourceCol).as("_dm_sa"))
-    pairs.join(iSrc, "id_left").join(bSrc, "id_right")
+    pairs.join(iSrc, Seq("id_left"), "left").join(bSrc, "id_right")
+      .select(coalesce(col("_dm_sa"), lit("unknown")).as("_dm_sa"),
+              col("_dm_sb"))
       .select(least(col("_dm_sa"), col("_dm_sb")).as("source_a"),
               greatest(col("_dm_sa"), col("_dm_sb")).as("source_b"))
       .groupBy("source_a", "source_b")

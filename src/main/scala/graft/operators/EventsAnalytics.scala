@@ -251,6 +251,20 @@ object EventsAnalytics {
     * day) rows, which a replayed half-visible append can only
     * duplicate byte-identically — decimal partials are deterministic
     * per batch). Use from foreachBatch.
+    *
+    * SINGLE-WRITER assumption (round-8 advice, now explicit): the
+    * replay guard is check-then-append with no atomicity, which is
+    * exactly the guarantee Structured Streaming's foreachBatch
+    * provides — micro-batches of one query execute SEQUENTIALLY, so
+    * at most one ingest runs at a time. Two CONCURRENT writers on
+    * the same ledger path (two streams, or a manual caller racing a
+    * stream) can both pass the guard for the same batch id and
+    * double-append; the duplicates are byte-identical (same batch ⇒
+    * same decimal partials) and serve-side dropDuplicates absorbs
+    * them, but the ingest_log itself may then hold duplicate rows —
+    * harmless to the guard (`limit(1)` existence check) and to
+    * serving, yet a sign the deployment is violating the one-writer
+    * contract. Run one ingest stream per ledger path.
     */
   def engagementLedgerIngest(userCol: String, tsCol: String,
       valueCol: String, path: String)(batch: DataFrame, batchId: Long): Unit = {

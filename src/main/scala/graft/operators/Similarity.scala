@@ -615,7 +615,8 @@ object Similarity {
     val qd = query.map(_.toDouble)
     val probeCells = cents.zipWithIndex
       .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
-      .sortBy(-_._1).take(nProbe).map(_._2)
+      .sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2)
     val q = typedlit(query.toSeq)
     indexed.where(col("cell").isin(probeCells.toIndexedSeq: _*))
       .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
@@ -648,7 +649,8 @@ object Similarity {
     val qd = query.map(_.toDouble)
     val probeCells = cents.zipWithIndex
       .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
-      .sortBy(-_._1).take(nProbe).map(_._2)
+      .sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2)
     val q = typedlit(query.toSeq)
     indexed.where(col("cell").isin(probeCells.toIndexedSeq: _*))
       .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))

@@ -401,7 +401,7 @@ class EdgeCaseSpec extends SparkSpec {
       empty, "doc_id", "text", "source").isEmpty)
   }
 
-  test("ivfRecall: empty query frame is empty; k past corpus size caps recall at 1.0") {
+  test("ivfRecall: empty query frame is empty; k past corpus size keeps recall = n_hit/k well-defined (< 1.0)") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val noQueries = emb.where(lit(false))
     assert(Similarity.ivfRecall(noQueries, "vec_id", "embedding",

@@ -284,6 +284,16 @@ class DedupSpec extends SparkSpec {
       .toSet
     assert(want.nonEmpty, "cross-split planted dups should span sources")
     assert(got == want, s"missed=${want -- got} extra=${got -- want}")
+    // catalog-gap visibility (round 9): an indexed id missing from
+    // the catalog surfaces under the 'unknown' sentinel instead of
+    // silently leaving the matrix — pair mass is conserved
+    val gappy = Dedup.dupMatrixAgainstLshIndex(batch, "doc_id", "text",
+        "source", dir, corpus.select("doc_id", "source").limit(0))
+      .as[(String, String, Long)].collect().toSet
+    assert(gappy.forall(t => t._1 == "unknown" || t._2 == "unknown"),
+      s"empty catalog must route every pair to the sentinel: $gappy")
+    assert(gappy.toSeq.map(_._3).sum == want.toSeq.map(_._3).sum,
+      "sentinel rollup must conserve the probe's pair count")
   }
 
   test("dupMatrixAgainstLshIndex over an append-grown index equals the one-shot build") {
