@@ -604,6 +604,43 @@ object Dedup {
     * pairs are implicitly their own singleton cluster (left to the
     * caller to union in, so the operator stays linear in |pairs|).
     */
+  /** `WITH RECURSIVE` twin of [[duplicateClusters]] over a pair
+    * subquery (round 9): the same min-label-of-component result as a
+    * single SQL text — `pairsSql` must yield columns (idA, idB).
+    * Spark's recursive CTEs are UNION ALL-only, so the closure is a
+    * level-bounded BFS with a per-step DISTINCT: the working table at
+    * level k holds the distinct pairs reachable in k+1 hops (≤ n² per
+    * level — DISTINCT is what keeps a near-clique from exploding into
+    * path enumeration), and `lvl < maxIters` terminates it on cycles,
+    * mirroring the operator's own bounded-iteration contract (equal
+    * results whenever the component diameter fits the bound — the
+    * operator's convergence condition). This text is what
+    * [[duplicateClusters]] registers with
+    * [[graft.sqlgen.SqlGen.registerIterative]], closing the last two
+    * plan→SQL carve-outs (d06/d08).
+    */
+  def duplicateClustersSql(pairsSql: String, idA: String = "id_a",
+      idB: String = "id_b", maxIters: Int = 25): String =
+    closureCoreSql(pairsSql, idA, idB, maxIters) +
+      "\nSELECT src AS id, least(src, min(dst)) AS cluster" +
+      "\nFROM _dc_reach GROUP BY src"
+
+  private def closureCoreSql(pairsSql: String, idA: String, idB: String,
+      maxIters: Int): String =
+    s"""WITH RECURSIVE _dc_p AS (
+       |$pairsSql
+       |), _dc_e (src, dst) AS (
+       |  SELECT `$idA`, `$idB` FROM _dc_p
+       |  UNION
+       |  SELECT `$idB`, `$idA` FROM _dc_p
+       |), _dc_reach (src, dst, lvl) AS (
+       |  SELECT src, dst, 0 FROM _dc_e
+       |  UNION ALL
+       |  SELECT DISTINCT r.src, e2.dst, r.lvl + 1
+       |  FROM _dc_reach r JOIN _dc_e e2 ON r.dst = e2.src
+       |  WHERE r.lvl < $maxIters
+       |)""".stripMargin
+
   def duplicateClusters(
       pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIters: Int = 25): DataFrame = {
@@ -633,7 +670,24 @@ object Dedup {
       labels = updated.select(col("id"), col("new_label").as("label"))
       iters += 1
     }
-    labels.select(col("id"), col("label").as("cluster"))
+    val out = labels.select(col("id"), col("label").as("cluster"))
+    // plan→SQL provenance: when the PAIRS plan itself renders, attach
+    // the WITH RECURSIVE twin to this result's checkpoint barrier so
+    // SqlGen can print the whole query (the result's leaf is the last
+    // loop round's (id, label, new_label) frame — at convergence the
+    // two label columns are equal, which is what the twin emits). A
+    // non-renderable pairs source (arbitrary caller data) just skips
+    // registration — execution is unaffected.
+    try {
+      val pairsSql = graft.sqlgen.SqlGen.toSql(
+        pairs.select(col(idA), col(idB)))
+      val lab = "least(src, min(dst))"
+      graft.sqlgen.SqlGen.registerIterative(out,
+        closureCoreSql(pairsSql, idA, idB, maxIters) +
+          s"\nSELECT src AS id, $lab AS label, $lab AS new_label" +
+          "\nFROM _dc_reach GROUP BY src")
+    } catch { case scala.util.control.NonFatal(_) => () }
+    out
   }
 
   /** Character n-gram Jaccard verify over candidate pairs (the

@@ -77,6 +77,40 @@ object SqlGen {
   private def registeredName(p: LogicalPlan): Option[String] =
     leafKey(p).flatMap(k => Option(registry.get(k)))
 
+  /** Iterative-plan provenance (round 9): a driver-side fixpoint
+    * operator (duplicateClusters' min-label loop) returns a plan
+    * whose leaf is a LogicalRDD barrier — no structural SQL rendering
+    * exists for it. But the OPERATOR knows its own fixpoint: it
+    * registers an equivalent `WITH RECURSIVE` text here, keyed by the
+    * barrier's RDD id (stable across analyzer copies of the node —
+    * the rdd reference survives where node identity may not), and the
+    * generator splices that text wherever the barrier appears. This
+    * closes the last plan→SQL carve-outs: every pipeline query
+    * round-trips, including the two genuinely iterative ones.
+    * Bounded: the map clears past 512 entries (each loop execution
+    * registers one barrier; entries are ~KB strings).
+    */
+  private val iterativeSqlById =
+    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+
+  /** Associate every LogicalRDD leaf of `df` with `sql` — the text a
+    * re-execution can run in place of the barrier. The SQL's output
+    * column names must match the leaf's output exactly.
+    */
+  def registerIterative(df: DataFrame, sql: String): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case lrdd: org.apache.spark.sql.execution.LogicalRDD =>
+        if (iterativeSqlById.size > 512) iterativeSqlById.clear()
+        iterativeSqlById.put(lrdd.rdd.id, sql)
+      case _ => ()
+    }
+
+  private def iterativeSqlOf(p: LogicalPlan): Option[String] = p match {
+    case lrdd: org.apache.spark.sql.execution.LogicalRDD =>
+      Option(iterativeSqlById.get(lrdd.rdd.id))
+    case _ => None
+  }
+
   /** Carrier for SQL text produced by our own renderer, spliced into a
     * subtree before delegating to Catalyst's `Expression.sql` — lets
     * the generic printer handle a node whose *children* need custom
@@ -652,6 +686,11 @@ object SqlGen {
       case r: Range =>
         s"SELECT id FROM range(${r.start}, ${r.end}, ${r.step})"
       case _: OneRowRelation => "SELECT 1"
+
+      // iterative-operator barrier with registered WITH RECURSIVE
+      // provenance: splice the operator-emitted text
+      case p if SqlGen.iterativeSqlOf(p).isDefined =>
+        SqlGen.iterativeSqlOf(p).get
 
       case other =>
         throw new IllegalArgumentException(

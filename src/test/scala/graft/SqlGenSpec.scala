@@ -19,25 +19,19 @@ class SqlGenSpec extends SparkSpec {
   // function (GraftExtensions).
   private val roundtrippable = Relational.all
 
-  // The pipeline suite round-trips too — LSH banding self-joins
+  // The WHOLE pipeline suite round-trips — LSH banding self-joins
   // (side-qualified conditions), lambda HOFs (arrow syntax), the
   // codegen kernels (registered SQL functions carrying their
   // parameters — pq_encode and bpe_segment print their codebook/
   // merge-table children as array literals; image_dhash/
   // audio_energy_sig/media_features made the multimodal queries
   // declarative — all nine former typed-stage exclusions rejoined in
-  // round 8), windows with IGNORE NULLS. The only remaining
-  // exclusions are the two genuinely ITERATIVE plans (localCheckpoint
-  // severs lineage into a LogicalRDD barrier each round — no SQL
-  // rendering exists for a fixpoint loop). Both still have full
-  // DuckDB oracles (the driver gate), so exclusion here weakens
-  // nothing about correctness.
-  private val pipelineRoundtrippable =
-    graft.queries.Pipeline.all.filterNot(q =>
-      Set(
-        // d06/d08 ride duplicateClusters' localCheckpoint RDD barrier
-        "d06_dup_clusters", "d08_quality_survivor",
-      ).contains(q.name))
+  // round 8), windows with IGNORE NULLS, and (round 9) the two
+  // formerly-excluded ITERATIVE plans: duplicateClusters registers a
+  // WITH RECURSIVE twin for its localCheckpoint barrier
+  // (SqlGen.registerIterative), so d06/d08 print and re-execute like
+  // everything else. Zero carve-outs.
+  private val pipelineRoundtrippable = graft.queries.Pipeline.all
 
   for (q <- roundtrippable ++ pipelineRoundtrippable) {
     test(s"roundtrip ${q.name}") {
@@ -48,6 +42,25 @@ class SqlGenSpec extends SparkSpec {
       val re = spark.sql(sql)
       assertSameRows(df, re)
     }
+  }
+
+  test("duplicateClustersSql: the WITH RECURSIVE twin equals the iterative operator on a cyclic chained graph") {
+    import spark.implicits._
+    // chained duplicates (A~B, B~C, no A~C) across two components,
+    // plus a triangle — cycles are exactly what the level-bounded
+    // UNION ALL closure must survive
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 9L))
+      .toDF("id_a", "id_b")
+    pairs.createOrReplaceTempView("_dcs_pairs")
+    val op = graft.operators.Dedup.duplicateClusters(pairs)
+      .orderBy("id")
+    val sql = graft.operators.Dedup.duplicateClustersSql(
+      "SELECT id_a, id_b FROM _dcs_pairs")
+    assertSameRows(op, spark.sql(sql).orderBy("id"))
+    // and the operator's own registration lets toSql print a plan
+    // that ENDS in the barrier (not just d06's wrapped forms)
+    val re = spark.sql(SqlGen.toSql(op))
+    assertSameRows(op, re.orderBy("id"))
   }
 
   test("roundtrip LEFT JOIN LATERAL (outer lateral prints ON TRUE)") {
