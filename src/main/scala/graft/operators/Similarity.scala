@@ -2130,11 +2130,15 @@ object Similarity {
   def rebuildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
       oldPath: String, newPath: String, nCells: Int, m: Int,
       nCodes: Int,
-      strategy: CentroidStrategy = KMeansCentroids()): Unit = {
+      strategy: CentroidStrategy = KMeansCentroids(),
+      opq: Boolean = false): Unit = {
     require(new org.apache.hadoop.fs.Path(oldPath) !=
         new org.apache.hadoop.fs.Path(newPath),
       "rebuildIvfPqIndex: newPath must differ from oldPath")
-    val cb = pqTrainCodebook(df, idCol, vecCol, m, nCodes)
+    // opq=true retrains the rotation with the codebook — the rebuild
+    // is the natural OPQ upgrade point for a drifted (or pre-OPQ)
+    // index, since stored codes can't be re-rotated in place
+    val cb = pqTrainCodebook(df, idCol, vecCol, m, nCodes, opq = opq)
     writeIvfPqIndex(df, idCol, vecCol, newPath, cb, nCells, strategy)
   }
 

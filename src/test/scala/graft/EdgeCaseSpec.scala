@@ -401,6 +401,23 @@ class EdgeCaseSpec extends SparkSpec {
       empty, "doc_id", "text", "source").isEmpty)
   }
 
+  test("filtered IVF-PQ and pqRecall degenerate inputs: false predicate and empty query frame are empty, no crash") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cb = Similarity.pqSeededCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    val qv = emb.orderBy("vec_id").select("embedding").head()
+      .getSeq[Float](0).toArray
+    // a predicate matching nothing: the probed cells hold zero
+    // surviving rows, the coarse set is empty, the rerank joins
+    // nothing — k rows wanted, zero delivered, no error
+    assert(Similarity.knnIvfPqFiltered(emb, "vec_id", "embedding",
+      lit(false), qv, k = 10, cb = cb, nCells = 4, nProbe = 2).isEmpty)
+    // empty query frame: the recall report has no spine rows
+    val none = emb.where(lit(false))
+    assert(Similarity.pqRecall(none, "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 5, cb = cb).isEmpty)
+  }
+
   test("ivfRecall: empty query frame is empty; k past corpus size keeps recall = n_hit/k well-defined (< 1.0)") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     val noQueries = emb.where(lit(false))

@@ -932,6 +932,28 @@ class SimilaritySpec extends SparkSpec {
         cb = opq, overfetch = 4))
   }
 
+  test("rebuildIvfPqIndex(opq=true): rebuilt index carries a rotation; pruning-off covering-overfetch probe is exact") {
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-opq-r1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-opq-r2").toString
+    val cb = Similarity.pqSeededCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir1, cb,
+      nCells = 8)
+    // the rebuild is the OPQ upgrade point: stored codes can't be
+    // re-rotated, so a pre-OPQ index upgrades by full retrain
+    Similarity.rebuildIvfPqIndex(emb, "vec_id", "embedding", dir1, dir2,
+      nCells = 8, m = 4, nCodes = 16, opq = true)
+    val cb2 = Similarity.readPqCodebook(spark, dir2)
+    assert(cb2.rotation.isDefined, "rebuilt index lost the rotation")
+    // end-to-end through the ROTATED persisted path: every cell
+    // probed + covering overfetch ⇒ the exact rerank restores brute
+    val of = (emb.count() / 10 + 1).toInt
+    assertSameRows(
+      Similarity.knnIvfPqIndexed(spark, dir2, emb, "vec_id", "embedding",
+        qv, k = 10, nProbe = 8, overfetch = of),
+      Similarity.knnBrute(emb, "vec_id", "embedding", qv, 10))
+  }
+
   test("knnPqBatch shuffle-rerank fallback: forced fallback equals the broadcast path; auto guard trips past the threshold") {
     val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
       m = 4, nCodes = 16, sampleSize = 500, iters = 5, seed = 9)
