@@ -2304,7 +2304,8 @@ object Similarity {
     */
   def ivfPqServeBatch(path: String, vectors: DataFrame, idCol: String,
       vecCol: String, qIdCol: String, qVecCol: String, outPath: String,
-      k: Int, nProbe: Int = 4, overfetch: Int = 4)
+      k: Int, nProbe: Int = 4, overfetch: Int = 4,
+      predicate: Option[Column] = None)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -2318,9 +2319,17 @@ object Similarity {
     // twice — without the checkpoint each action re-runs the source
     val queries = batch.localCheckpoint()
     if (!queries.isEmpty) {
-      knnIvfPqBatchIndexed(spark, path, vectors, idCol, vecCol,
-          queries, qIdCol, qVecCol, k, nProbe, overfetch)
-        .withColumn("batch_id", lit(batchId))
+      // predicate (round 9): filtered streaming serving — the same
+      // loop against an attr-carrying index pushes the predicate into
+      // every trigger's pruned code scan (knnIvfPqBatchIndexedFiltered)
+      val res = predicate match {
+        case Some(p) => knnIvfPqBatchIndexedFiltered(spark, path,
+          vectors, idCol, vecCol, queries, qIdCol, qVecCol, p,
+          k, nProbe, overfetch)
+        case None => knnIvfPqBatchIndexed(spark, path, vectors, idCol,
+          vecCol, queries, qIdCol, qVecCol, k, nProbe, overfetch)
+      }
+      res.withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(s"$outPath/results")
     }
     Seq((batchId, queries.count()))

@@ -1168,6 +1168,43 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/serve_log").count() == 2)
   }
 
+  test("filtered ivfpq serving loop: streamed predicate queries equal the direct filtered batch probe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-fs").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfpq-fo").toString
+    val cb = Similarity.pqSeededCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir, cb,
+      nCells = 8, attrCols = Seq("label"))
+    val pred = $"label" % 2 === 0
+    val qset = emb.orderBy("vec_id").limit(4)
+      .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      .as[(Long, Array[Float])].collect()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("query_id", "qvec").writeStream
+      .foreachBatch(Similarity.ivfPqServeBatch(dir, emb, "vec_id",
+        "embedding", "query_id", "qvec", out, k = 10, nProbe = 3,
+        predicate = Some(pred)) _)
+      .start()
+    try {
+      mem.addData(qset(0), qset(1)); q.processAllAvailable()
+      mem.addData(qset(2), qset(3)); q.processAllAvailable()
+    } finally q.stop()
+    val served = spark.read.parquet(s"$out/results")
+      .select("query_id", "id", "cosine")
+    val direct = Similarity.knnIvfPqBatchIndexedFiltered(spark, dir, emb,
+      "vec_id", "embedding",
+      qset.toSeq.toDF("query_id", "qvec"), "query_id", "qvec", pred,
+      k = 10, nProbe = 3)
+    assertSameRows(served, direct)
+    // served neighbors never violate the predicate
+    val legal = emb.where(pred).select($"vec_id".cast("long"))
+      .as[Long].collect().toSet
+    val servedIds = served.select("id").as[Long].collect().toSet
+    assert(servedIds.subsetOf(legal), "filtered serving leaked an id")
+  }
+
   test("lsh knn returns a subset of the corpus ranked consistently with brute") {
     val brute = Similarity.knnBrute(emb, "vec_id", "embedding", qv, 50)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

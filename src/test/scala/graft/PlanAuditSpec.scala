@@ -501,6 +501,44 @@ class PlanAuditSpec extends SparkSpec {
       s"recall eval must not read the label column:\n${schemas.mkString("\n")}")
   }
 
+  test("s17: label + cell predicates fuse into one filter below pq_encode; rerank broadcasts; rerank scan skips label") {
+    val phys = build("s17_knn_ivfpq_filtered")
+      .queryExecution.executedPlan.toString
+    val lines = phys.linesIterator.toList
+    // single-pass pruning: the optimizer collapses the label
+    // predicate and the cell-membership test into ONE Filter (the
+    // nearest_centroid kernel rides inside it), and the pq_encode
+    // projection sits ABOVE it (parent-first printing ⇒ earlier
+    // line) — a dropped row pays one fused predicate, never the
+    // encode kernel
+    val fi = lines.indexWhere(l => l.contains("Filter") &&
+      l.contains("% 2") && l.contains("nearest_centroid"))
+    val ei = lines.indexWhere(_.contains("pq_encode"))
+    assert(fi >= 0,
+      s"label + cell predicates should fuse into one filter:\n$phys")
+    assert(ei >= 0 && ei < fi,
+      s"pq_encode must evaluate only above the fused filter:\n$phys")
+    // bounded candidate set broadcasts into the exact rerank
+    assert(phys.contains("BroadcastExchange"),
+      s"rerank candidates should broadcast:\n$phys")
+    // the rerank-side scan reads (vec_id, embedding) only — label is
+    // a coarse-side concern
+    val schemas = lines.filter(_.contains("ReadSchema"))
+    assert(schemas.exists(!_.contains("label")),
+      s"rerank scan should not read label:\n${schemas.mkString("\n")}")
+  }
+
+  test("s18: both recall paths broadcast the query side, heap map-side, and never read label") {
+    val phys = build("s18_pq_recall").queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastExchange"),
+      s"query side should broadcast in both paths:\n$phys")
+    assert(phys.contains("partial_topk"),
+      s"top-k heaps must aggregate map-side:\n$phys")
+    val schemas = phys.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(schemas.forall(!_.contains("label")),
+      s"recall eval must not read the label column:\n${schemas.mkString("\n")}")
+  }
+
   test("hammingPairs materializes the sketch once (no per-chunk re-evaluation)") {
     // the sketch expression (decode/hash — the expensive per-row work)
     // is referenced by every chunk extraction on BOTH self-join

@@ -15,6 +15,34 @@ import graft.sqlgen.SqlGen
   */
 class SqlGenFuzzSpec extends SparkSpec {
 
+  test("20 seeded random graphs: duplicateClusters ≡ its WITH RECURSIVE twin") {
+    // property fuzz for the round-9 iterative-plan provenance: random
+    // undirected graphs (cycles, chains, self-contained cliques,
+    // singletons-by-omission) must produce identical (id, cluster)
+    // labelings from the operator's min-label loop and the emitted
+    // level-bounded recursive CTE — the equality the d06/d08
+    // roundtrips rest on, hunted beyond the hand-picked shapes
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (case_ <- 1 to 20) {
+      val n = 4 + rnd.nextInt(12)           // node universe 4..15
+      val m = 1 + rnd.nextInt(2 * n)        // edge count 1..2n
+      val pairs = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong
+        val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b) + (if (a == b) 1 else 0))
+      }.distinct.toDF("id_a", "id_b")
+      pairs.createOrReplaceTempView("_fz_pairs")
+      val op = graft.operators.Dedup.duplicateClusters(pairs)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val viaSql = spark.sql(graft.operators.Dedup.duplicateClustersSql(
+          "SELECT id_a, id_b FROM _fz_pairs"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(op == viaSql,
+        s"case $case_ (n=$n m=$m): operator $op != recursive SQL $viaSql")
+    }
+  }
+
   test("60 seeded random plan pipelines roundtrip through SqlGen") {
     Tables.register(spark, sfDir)
     GraftExtensions.register(spark)
