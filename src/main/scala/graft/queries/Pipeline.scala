@@ -1639,6 +1639,85 @@ object Pipeline {
              |SELECT id, ${r6sql("cos")} AS cosine
              |FROM exact ORDER BY cos DESC, id LIMIT 10""".stripMargin)),
 
+    // rotated-PQ ANN (round 9): the OPQ rotation PLUMBING — rotated
+    // encode, rotated query LUT, ADC over rotated codes, exact rerank
+    // on originals — oracle-gated with a FIXED orthonormal rotation
+    // (the dimension-reversal permutation, which DuckDB replays as
+    // list_reverse). The learned-rotation SOLVER (SVD) stays
+    // spec-gated (driver k-means class); this entry pins that every
+    // declarative step the solver's output rides is cross-engine
+    // exact. Codebook = the 16 lowest-id vectors' ROTATED subvectors
+    // (what an OPQ build stores); oracle = s10's chain over
+    // list_reverse'd vectors with original-order corpus norms.
+    Q("s19_knn_pq_rotated",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val dim = 64
+        val perm = Array.tabulate(dim, dim)((i, j) =>
+          if (j == dim - 1 - i) 1.0 else 0.0)
+        val seeds = emb.orderBy("vec_id").limit(16)
+          .select("embedding").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray.reverse)
+        val cb = Similarity.PqCodebook(16,
+          Array.tabulate(4)(s0 => seeds.map(_.slice(s0 * 16, s0 * 16 + 16))),
+          Some(perm))
+        Similarity.knnPq(emb, "vec_id", "embedding", queryVec(s, dir),
+            k = 10, cb = cb, overfetch = 4)
+          .select(col("id"), r6(col("cosine")).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |         list_reverse(CAST(embedding AS DOUBLE[])) AS vr
+             |  FROM embeddings
+             |), q AS (
+             |  SELECT v AS qv, vr AS qvr FROM e ORDER BY vec_id LIMIT 1
+             |), cbsrc AS (
+             |  SELECT vr, row_number() OVER (ORDER BY vec_id) - 1 AS c
+             |  FROM e ORDER BY vec_id LIMIT 16
+             |), cb AS (
+             |  SELECT c, s, vr[s * 16 + 1 : s * 16 + 16] AS cv
+             |  FROM cbsrc, range(0, 4) t(s)
+             |), sub AS (
+             |  SELECT vec_id, s, vr[s * 16 + 1 : s * 16 + 16] AS sv
+             |  FROM e, range(0, 4) t(s)
+             |), d AS (
+             |  SELECT vec_id, s, c,
+             |    list_reduce([(sv[j] - cv[j]) * (sv[j] - cv[j])
+             |                 for j in range(1, 17)],
+             |                (a, b) -> a + b) AS dist
+             |  FROM sub JOIN cb USING (s)
+             |), code AS (
+             |  SELECT vec_id, s, c FROM (
+             |    SELECT vec_id, s, c,
+             |      row_number() OVER (PARTITION BY vec_id, s
+             |                         ORDER BY dist, c) AS rn
+             |    FROM d) WHERE rn = 1
+             |), lut AS (
+             |  SELECT vec_id, s,
+             |    list_dot_product(qvr[s * 16 + 1 : s * 16 + 16], cv) AS term
+             |  FROM code JOIN cb USING (s, c), q
+             |), adcv AS (
+             |  SELECT vec_id,
+             |    list_reduce(list(term ORDER BY s), (a, b) -> a + b) AS adc
+             |  FROM lut GROUP BY vec_id
+             |), approx AS (
+             |  SELECT a.vec_id,
+             |    CASE WHEN sqrt(list_dot_product(qvr, qvr))
+             |              * sqrt(list_dot_product(v, v)) = 0 THEN 0
+             |    ELSE adc / (sqrt(list_dot_product(qvr, qvr))
+             |                * sqrt(list_dot_product(v, v))) END AS score
+             |  FROM adcv a JOIN e ON a.vec_id = e.vec_id, q
+             |), cand AS (
+             |  SELECT vec_id FROM approx
+             |  ORDER BY score DESC, vec_id ASC LIMIT 40
+             |), exact AS (
+             |  SELECT e.vec_id AS id, ${cosineSql("v", "qv")} AS cos
+             |  FROM e JOIN cand ON e.vec_id = cand.vec_id, q
+             |)
+             |SELECT id, ${r6sql("cos")} AS cosine
+             |FROM exact ORDER BY cos DESC, id LIMIT 10""".stripMargin)),
+
     // PQ recall eval (round 9): recall@10 of the ADC probe (s11's
     // chain at overfetch=2 — small on purpose, so the candidate set
     // can actually miss) against the exact brute top-10 — s14's
