@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryMinu
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioEnergySig, BpeSegmentExpr, CharNgramHashes, DotProduct, HyperplaneSigs, ImageDHash, MediaFeaturesExpr, MinHashBandBuckets, MinHashSig, NearestCentroid, PqEncodeCodes, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
+import graft.functions.{AudioEnergySig, BpeSegmentExpr, CharNgramHashes, DotProduct, HyperplaneSigs, ImageDHash, MatVec, MediaFeaturesExpr, MinHashBandBuckets, MinHashSig, NearestCentroid, PqEncodeCodes, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
 
 /** Session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql` users get the codegen'd
@@ -27,6 +27,7 @@ import graft.functions.{AudioEnergySig, BpeSegmentExpr, CharNgramHashes, DotProd
   *   hyperplane_sigs(v, bands, bits, dim, seed) — sign-LSH band signatures
   *   pq_encode(v, cb, m, nCodes)   — PQ subspace codes vs a flat codebook
   *   nearest_centroid(v, cents, dim) — argmax-dot cell vs a flat centroid list
+  *   mat_vec(v, flat, rows)        — dense y = R·x over a flat row-major matrix
   *   bpe_segment(word, merges)     — BPE pieces vs a "left right" merge list
   *   image_dhash(bytes)            — perceptual dHash (stub fallback)
   *   audio_energy_sig(kind, bytes) — audio energy signature (stub fallback)
@@ -131,6 +132,12 @@ object GraftExtensions {
         arity(args, 3, "nearest_centroid")
         NearestCentroid(args(0), args(1),
           intArg(args(2), "nearest_centroid", 3))
+      }),
+    ("mat_vec",
+      new ExpressionInfo(classOf[MatVec].getName, "mat_vec"),
+      (args: Seq[Expression]) => {
+        arity(args, 3, "mat_vec")
+        MatVec(args(0), args(1), intArg(args(2), "mat_vec", 3))
       }),
     ("bpe_segment",
       new ExpressionInfo(classOf[BpeSegmentExpr].getName, "bpe_segment"),

@@ -499,6 +499,122 @@ case class NearestCentroid(vec: Expression, centroids: Expression,
   override def prettyName: String = "nearest_centroid"
 }
 
+/** Codegen'd dense mat-vec `y = R·x` over a flattened ROW-MAJOR
+  * matrix literal: `y(j) = Σ_i flat(j·n + i)·x(i)`, accumulated
+  * left-to-right — the identical IEEE op order as one [[DotProduct]]
+  * per output row, so swapping an array-of-dots projection for this
+  * kernel changes the expression count (rows kernel nodes → one),
+  * never a value (spec-pinned). Built for the OPQ rotation
+  * (`Similarity.rotateExpr`): at d=64 the array-of-dots form is 64
+  * kernel nodes each carrying its own 64-double row literal; this is
+  * one node over one flat array reference, and the whole rotation
+  * stays inside whole-stage codegen.
+  */
+case class MatVec(vec: Expression, mat: Expression, rows: Int)
+    extends BinaryExpression {
+
+  require(rows >= 1, "mat_vec: rows must be >= 1")
+
+  override def left: Expression = vec
+  override def right: Expression = mat
+
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (vec.dataType, mat.dataType) match {
+      case (ArrayType(vt, _), ArrayType(DoubleType, _))
+          if vt == FloatType || vt == DoubleType =>
+        if (!mat.foldable)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "mat_vec: matrix must be a literal array")
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mat_vec expects (array<float|double>, array<double> literal), " +
+            s"got ${vec.dataType.simpleString} and ${mat.dataType.simpleString}")
+    }
+  }
+
+  @transient private lazy val flat: Array[Double] = {
+    val arr = mat.eval().asInstanceOf[ArrayData]
+    val out = new Array[Double](arr.numElements())
+    var i = 0
+    while (i < out.length) { out(i) = arr.getDouble(i); i += 1 }
+    require(out.length % rows == 0,
+      s"mat_vec: matrix length ${out.length} not divisible by rows=$rows")
+    out
+  }
+
+  private def vecIsFloat: Boolean =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def sql: String = s"mat_vec(${vec.sql}, ${mat.sql}, $rows)"
+
+  override def nullSafeEval(v: Any, _m: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (flat.length != rows * n)
+      throw new IllegalArgumentException(
+        s"mat_vec: matrix ${flat.length} != rows*dim = $rows*$n")
+    val vf = vecIsFloat
+    val out = new Array[Double](rows)
+    var j = 0
+    while (j < rows) {
+      val base = j * n
+      var acc = 0d
+      var i = 0
+      while (i < n) {
+        val x = if (vf) arr.getFloat(i).toDouble else arr.getDouble(i)
+        acc += flat(base + i) * x
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("matVecFlat", flat, "double[]")
+    val get = if (vecIsFloat) "getFloat" else "getDouble"
+    val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, (arr, _) => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      s"""
+         |int $n = $arr.numElements();
+         |if ($mRef.length != $rows * $n) {
+         |  throw new IllegalArgumentException(
+         |    "mat_vec: matrix " + $mRef.length + " != rows*dim = " +
+         |    "$rows*" + $n);
+         |}
+         |double[] $out = new double[$rows];
+         |for (int $j = 0; $j < $rows; $j++) {
+         |  int $base = $j * $n;
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $mRef[$base + $i] * ((double) $arr.$get($i));
+         |  }
+         |  $out[$j] = $acc;
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MatVec =
+    copy(vec = newLeft, mat = newRight)
+
+  override def prettyName: String = "mat_vec"
+}
+
 object VectorOps {
   import org.apache.spark.sql.functions._
 
@@ -529,6 +645,13 @@ object VectorOps {
                       dim: Int): Column =
     GraftBridge.column(NearestCentroid(GraftBridge.expression(vec),
       GraftBridge.expression(typedlit(flatCents.toSeq)), dim))
+
+  /** Codegen'd `y = R·x` over a flattened row-major matrix literal
+    * (the OPQ rotation kernel).
+    */
+  def matVec(vec: Column, flat: Array[Double], rows: Int): Column =
+    GraftBridge.column(MatVec(GraftBridge.expression(vec),
+      GraftBridge.expression(typedlit(flat.toSeq)), rows))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))

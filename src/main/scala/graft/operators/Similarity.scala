@@ -1580,12 +1580,15 @@ object Similarity {
       sqrt(graft.functions.VectorOps.dot(v, v)).as("norm"))
   }
 
-  /** Declarative `y = R·x`: one codegen'd dot kernel per output
-    * dimension — d expression nodes, all inside whole-stage codegen,
-    * no UDF. Used by every OPQ encode/probe path.
+  /** Declarative `y = R·x` via the codegen'd
+    * [[graft.functions.MatVec]] kernel — ONE expression node over a
+    * flat row-major matrix reference (the array-of-64-dots form cost
+    * d kernel nodes each carrying its own row literal; the kernel
+    * accumulates each row in the identical IEEE order, so the swap is
+    * value-exact — spec-pinned). Used by every OPQ encode/probe path.
     */
   private def rotateExpr(v: Column, r: Array[Array[Double]]): Column =
-    array(r.toIndexedSeq.map(row => VectorOps.dot(v, typedlit(row.toSeq))): _*)
+    graft.functions.VectorOps.matVec(v, r.flatten, r.length)
 
   /** PQ probe over an encoded frame: asymmetric-distance scoring —
     * the query stays full-precision; per-vector work is `m` lookups

@@ -40,6 +40,35 @@ class KernelPropertySpec extends SparkSpec with TableDrivenPropertyChecks {
       .cache()
   }
 
+  test("mat_vec kernel equals the per-row dot composition bit-for-bit and survives codegen") {
+    import graft.functions.VectorOps
+    // random rectangular matrices over random float vectors: the
+    // kernel must reproduce the array-of-DotProducts form EXACTLY
+    // (identical left-to-right accumulation), which is what makes the
+    // rotateExpr swap hash-invisible to the s19 oracle
+    val rnd = new scala.util.Random(11L)
+    val dim = 24; val rows = 16
+    val mat = Array.fill(rows, dim)(rnd.nextGaussian())
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.fill(dim)(rnd.nextGaussian().toFloat))).toDF("id", "v")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val a = vecs.select($"id",
+        VectorOps.matVec($"v", mat.flatten, rows).as("y"))
+      val b = vecs.select($"id", org.apache.spark.sql.functions.array(
+        mat.toIndexedSeq.map(row =>
+          VectorOps.dot($"v", org.apache.spark.sql.functions.typedlit(
+            row.toSeq))): _*).as("y"))
+      val ga = a.as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      val gb = b.as[(Long, Seq[Double])].collect().sortBy(_._1).toSeq
+      assert(ga == gb, "mat_vec diverged from the per-row dot oracle")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+    // dimension mismatch fails fast, never truncates
+    intercept[Exception] {
+      vecs.select(VectorOps.matVec($"v", mat.flatten, rows + 1)).collect()
+    }
+  }
+
   test("minhash kernel equals the composed-builtin family on generated texts") {
     val base = docs.select($"doc_id", Dedup.shingleHashes($"text", 3).as("sh"))
     val a = base.select($"doc_id",
