@@ -1008,6 +1008,45 @@ object Similarity {
     recallReport(queries, qIdCol, approx, exact, k)
   }
 
+  /** Recall@k of the metadata-FILTERED probes against the exact
+    * brute top-k over the predicate-passing corpus — the eval the
+    * filtered family's own contract points at: a vanishing-
+    * selectivity predicate starves probed cells (the filtered rows
+    * may live in cells the unfiltered centroid ranking never probes),
+    * and this report is how nProbe gets raised BEFORE a filtered
+    * serving path ships. In-memory form over [[knnIvfBatchFiltered]];
+    * ground truth = [[knnBruteBatch]] over `corpus.where(predicate)`.
+    */
+  def filteredIvfRecall(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, k: Int, nCells: Int = 16, nProbe: Int = 4,
+      strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+    val approx = knnIvfBatchFiltered(queries, qIdCol, qVecCol, corpus,
+      idCol, vecCol, predicate, k, nCells, nProbe, strategy)
+    val exact = knnBruteBatch(queries, qIdCol, qVecCol,
+      corpus.where(predicate), idCol, vecCol, k)
+    recallReport(queries, qIdCol, approx, exact, k)
+  }
+
+  /** [[filteredIvfRecall]] for a persisted attr-carrying IVF-PQ
+    * index ([[knnIvfPqBatchIndexedFiltered]]) — the pre-commit eval
+    * for the filtered COMPRESSED serving path (s17's layout).
+    */
+  def filteredIvfPqRecallIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      predicate: Column, k: Int, nProbe: Int = 4,
+      overfetch: Int = 4): DataFrame = {
+    val approx = knnIvfPqBatchIndexedFiltered(spark, path, vectors,
+      idCol, vecCol, queries, qIdCol, qVecCol, predicate, k, nProbe,
+      overfetch)
+    val exact = knnBruteBatch(queries, qIdCol, qVecCol,
+      vectors.where(predicate), idCol, vecCol, k)
+    recallReport(queries, qIdCol, approx, exact, k)
+  }
+
   /** Shared hit-join + per-query report of the recall evals: count
     * (query_id, id) agreements, restore zero-hit queries via the
     * query spine. Touches only k·|queries| rows per side.

@@ -1024,6 +1024,36 @@ class SimilaritySpec extends SparkSpec {
     assert(idx.forall(_._3 == 1.0), s"indexed recall: ${idx.toSeq}")
   }
 
+  test("filtered recall evals: full probe reports 1.0, starved nProbe is per-query monotone below it; persisted compressed form agrees") {
+    val pred = $"label" % 2 === 0
+    val queries = emb.orderBy("vec_id").limit(3)
+    def mem(nProbe: Int): Map[Long, Long] =
+      Similarity.filteredIvfRecall(queries, "vec_id", "embedding",
+          emb, "vec_id", "embedding", pred, k = 10, nCells = 8,
+          nProbe = nProbe)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    val full = mem(8)
+    assert(full.values.forall(_ == 10L),
+      s"nProbe=nCells filtered probe must be exact: $full")
+    // starved probe: probed cells nest, so hits are per-query monotone
+    val starved = mem(1)
+    starved.foreach { case (q, h) =>
+      assert(h <= full(q), s"query $q: starved hits $h above full")
+    }
+    // persisted compressed form: pruning off + covering overfetch ⇒ 1.0
+    val dir = java.nio.file.Files.createTempDirectory("graft-frec").toString
+    val cb = Similarity.pqSeededCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir, cb,
+      nCells = 8, attrCols = Seq("label"))
+    val idx = Similarity.filteredIvfPqRecallIndexed(spark, dir, queries,
+        "vec_id", "embedding", emb, "vec_id", "embedding", pred,
+        k = 10, nProbe = 8, overfetch = (emb.count() / 10 + 1).toInt)
+      .as[(Long, Long, Double)].collect()
+    assert(idx.forall(_._3 == 1.0),
+      s"filtered compressed recall should reach 1.0: ${idx.toSeq}")
+  }
+
   test("knnIvfFiltered: full probe equals brute over the filtered corpus; false predicate is empty") {
     val pred = $"label" % 2 === 0
     // nProbe = nCells sees every cell → exact filtered kNN
