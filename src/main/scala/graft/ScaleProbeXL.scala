@@ -162,6 +162,57 @@ object ScaleProbeXL {
         f"files=$probeFiles/$totalFiles skew=${stats.skew}%.2f")
     }
 
+    // ── filtered IVF-PQ (round 9): fixed 5-query filtered probe
+    // against a 1× vs 10× attr-carrying compressed index. Carrying
+    // claims: the probed-cell file FRACTION stays ≈ |∪ probed cells| /
+    // nCells at both scales (static-isin partition pruning is
+    // scale-independent), and probe time grows with the probed cells'
+    // code bytes — never a full-index or full-float scan. ──
+    if (fam("filtered-ivfpq")) for (rep <- Seq(reps.min, reps.max)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-xl-fpq$rep").toString
+      val big = saltedEmb(rep).withColumn("label", col("vec_id") % 10)
+        .localCheckpoint()
+      val queries5 = emb.orderBy("vec_id").limit(5)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val cb = operators.Similarity.pqSeededCodebook(
+        big, "vec_id", "embedding", m = 8, nCodes = 16)
+      val tb = System.nanoTime()
+      operators.Similarity.writeIvfPqIndex(big, "vec_id", "embedding",
+        dir, cb, nCells = 64, attrCols = Seq("label"))
+      val tBuild = (System.nanoTime() - tb) / 1e9
+      val tp = System.nanoTime()
+      val n = operators.Similarity.knnIvfPqBatchIndexedFiltered(
+        spark, dir, big, "vec_id", "embedding", queries5, "query_id",
+        "embedding", col("label") % 2 === 0, k = 10, nProbe = 4).count()
+      val tProbe = (System.nanoTime() - tp) / 1e9
+      // probed-cell union recomputed driver-side (the probe's own
+      // ranking math) → file counts by directory
+      val cents = spark.read.parquet(s"$dir/centroids").collect()
+        .map(r => (r.getInt(r.fieldIndex("cell")),
+          r.getSeq[Double](r.fieldIndex("cv")).toArray))
+        .sortBy(_._1).map(_._2)
+      val probed = queries5.collect().flatMap { row =>
+        val q = row.getSeq[Float](1).map(_.toDouble).toArray
+        cents.zipWithIndex
+          .map { case (c, i) => (c.zip(q).map(t => t._1 * t._2).sum, i) }
+          .sortBy { case (s, cIdx) => (-s, cIdx) }.take(4).map(_._2)
+      }.toSet
+      def filesIn(p: java.io.File): Int =
+        if (!p.isDirectory) 0
+        else p.listFiles().map(f =>
+          if (f.isDirectory) filesIn(f)
+          else if (f.getName.endsWith(".parquet")) 1 else 0).sum
+      val cellRoot = new java.io.File(s"$dir/cells")
+      val totalFiles = filesIn(cellRoot)
+      val probedFiles = probed.toSeq.map(c =>
+        filesIn(new java.io.File(s"$dir/cells/cell=$c"))).sum
+      println(f"[probe-xl] filtered-ivfpq rep=$rep%-4d " +
+        f"vectors=${n0 * rep}%-8d build=$tBuild%.1fs probe=$tProbe%.1fs " +
+        f"rows=$n%-3d files=$probedFiles/$totalFiles " +
+        f"cells=${probed.size}/64")
+    }
+
     // ── persisted LSH index: probe a FIXED ingest batch against a 1×
     // vs 10× index. The incremental-dedup claim that carries to
     // 100 TB is that probe cost tracks the BATCH and its candidates
