@@ -1823,26 +1823,55 @@ object Similarity {
       if (rotRows.isEmpty) None else Some(rotRows.map(_._3)))
   }
 
+  /** Exact rerank over a DRIVER-COLLECTED candidate id set: the
+    * bounded (≤ k·overfetch) ids push into the vectors scan as a
+    * static `In` filter, so parquet prunes row groups by id
+    * statistics — and, on a bloom-filtered or range-sorted vectors
+    * layout (graft.sources.Layout), skips nearly every row group —
+    * WITHOUT depending on runtime-filter injection kicking in. Same
+    * stance as the probed-cells static `isin`: at 100 TB the rerank
+    * is a handful of point reads, never a full float-column scan
+    * feeding a broadcast join. The collect is one bounded action
+    * (the persisted probes already collect centroids + codebook).
+    */
+  private def exactRerankIsin(vectors: DataFrame, idCol: String,
+      vecCol: String, candIds: Array[Long], query: Array[Float],
+      k: Int): DataFrame = {
+    val q = typedlit(query.toSeq)
+    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .where(col("id").isin(candIds.toIndexedSeq: _*))
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Probe a persisted PQ index: coarse-rank the stored codes with
     * the stored codebook, then exact-rerank against the caller's
     * full-precision vector table (the float vectors stay wherever
-    * they live — the index holds only codes). Probe ≡ in-memory
-    * [[knnPq]] for the same build inputs (spec-pinned).
+    * they live — the index holds only codes) via the static-In
+    * point-read rerank ([[exactRerankIsin]], round 9). Probe ≡
+    * in-memory [[knnPq]] for the same build inputs (spec-pinned).
     */
   def knnPqIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                    vectors: DataFrame, idCol: String, vecCol: String,
                    query: Array[Float], k: Int,
                    overfetch: Int = 4): DataFrame = {
     require(overfetch >= 1, "overfetch must be >= 1")
+    val candIds = pqCoarseCandidates(spark, path, query, k, overfetch)
+      .collect().map(_.getLong(0)).sorted
+    exactRerankIsin(vectors, idCol, vecCol, candIds, query, k)
+  }
+
+  /** The coarse-candidate frame [[knnPqIndexed]] executes — exposed
+    * package-private so plan audits pin the EXACT df the probe runs
+    * (the probe collects its bounded output before the rerank).
+    */
+  private[graft] def pqCoarseCandidates(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Float], k: Int, overfetch: Int): DataFrame = {
     val cb = readPqCodebook(spark, path)
-    val coarse = pqCoarse(spark.read.parquet(s"$path/codes"), cb,
-      query, k * overfetch).select(col("id"))
-    val q = typedlit(query.toSeq)
-    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .join(broadcast(coarse), "id")
-      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
-      .orderBy(col("cosine").desc, col("id").asc)
-      .limit(k)
+    pqCoarse(spark.read.parquet(s"$path/codes"), cb,
+      query, k * overfetch).select(col("id")).distinct()
   }
 
   /** IVF-PQ ANN, in-memory: the standard 100 TB ANN layout — coarse
@@ -1975,12 +2004,31 @@ object Similarity {
     * so a crash-replayed [[ivfPqIngestBatch]] append — which can leave
     * duplicate (id, codes, norm) rows — can never emit a duplicated
     * result row; duplicated index rows only spend overfetch slots.
+    * Round 9: the candidates collect to the driver (bounded; the
+    * probe already collects centroids + codebook) and the rerank is
+    * a static-In point read ([[exactRerankIsin]]) instead of a
+    * full-float-scan broadcast join.
     */
   def knnIvfPqIndexed(spark: org.apache.spark.sql.SparkSession,
                       path: String, vectors: DataFrame, idCol: String,
                       vecCol: String, query: Array[Float], k: Int,
                       nProbe: Int = 4, overfetch: Int = 4): DataFrame = {
     require(overfetch >= 1, "overfetch must be >= 1")
+    val candIds = ivfPqCoarseCandidates(spark, path, query, k, nProbe,
+        overfetch, None)
+      .collect().map(_.getLong(0)).sorted
+    exactRerankIsin(vectors, idCol, vecCol, candIds, query, k)
+  }
+
+  /** The coarse-candidate frame the persisted IVF-PQ probes execute
+    * (cell partition pruning + optional pushed predicate + ADC +
+    * bounded distinct) — package-private so plan audits pin the
+    * EXACT df the probes run.
+    */
+  private[graft] def ivfPqCoarseCandidates(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Float], k: Int, nProbe: Int, overfetch: Int,
+      predicate: Option[Column]): DataFrame = {
     val cb = readPqCodebook(spark, path)
     val qd = query.map(_.toDouble)
     val probeCells = readCentroids(spark, path).zipWithIndex
@@ -1989,16 +2037,11 @@ object Similarity {
       }
       .sortBy { case (score, cell) => (-score, cell) }
       .take(nProbe).map(_._2)
-    val pruned = spark.read.parquet(s"$path/cells")
+    val pruned0 = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(probeCells.toIndexedSeq: _*))
-    val coarse = pqCoarse(pruned, cb, query, k * overfetch)
+    val pruned = predicate.map(pruned0.where).getOrElse(pruned0)
+    pqCoarse(pruned, cb, query, k * overfetch)
       .select(col("id")).distinct()
-    val q = typedlit(query.toSeq)
-    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .join(broadcast(coarse), "id")
-      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
-      .orderBy(col("cosine").desc, col("id").asc)
-      .limit(k)
   }
 
   /** Metadata-filtered probe of a PERSISTED IVF-PQ index: the 100 TB
@@ -2010,33 +2053,19 @@ object Similarity {
     * files as a pushed parquet filter skipping row groups whose attr
     * statistics exclude it, and the surviving rows are ADC-scored on
     * codes — float vectors are touched only by the k·overfetch exact
-    * rerank. Probe ≡ in-memory [[knnIvfPqFiltered]] for the same
-    * build inputs (spec-pinned, both filters pinned in the plan).
+    * rerank ([[exactRerankIsin]]'s static-In point reads). Probe ≡
+    * in-memory [[knnIvfPqFiltered]] for the same build inputs
+    * (spec-pinned; both coarse filters pinned on the coarse frame).
     */
   def knnIvfPqIndexedFiltered(spark: org.apache.spark.sql.SparkSession,
       path: String, vectors: DataFrame, idCol: String, vecCol: String,
       predicate: Column, query: Array[Float], k: Int,
       nProbe: Int = 4, overfetch: Int = 4): DataFrame = {
     require(overfetch >= 1, "overfetch must be >= 1")
-    val cb = readPqCodebook(spark, path)
-    val qd = query.map(_.toDouble)
-    val probeCells = readCentroids(spark, path).zipWithIndex
-      .map { case (cv, cell) =>
-        (cv.zip(qd).map { case (a, b) => a * b }.sum, cell)
-      }
-      .sortBy { case (score, cell) => (-score, cell) }
-      .take(nProbe).map(_._2)
-    val pruned = spark.read.parquet(s"$path/cells")
-      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
-      .where(predicate)
-    val coarse = pqCoarse(pruned, cb, query, k * overfetch)
-      .select(col("id")).distinct()
-    val q = typedlit(query.toSeq)
-    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .join(broadcast(coarse), "id")
-      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
-      .orderBy(col("cosine").desc, col("id").asc)
-      .limit(k)
+    val candIds = ivfPqCoarseCandidates(spark, path, query, k, nProbe,
+        overfetch, Some(predicate))
+      .collect().map(_.getLong(0)).sorted
+    exactRerankIsin(vectors, idCol, vecCol, candIds, query, k)
   }
 
   /** Batch form of [[knnIvfPqIndexedFiltered]]: many queries, one

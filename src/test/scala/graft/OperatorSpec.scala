@@ -716,11 +716,27 @@ class SimilaritySpec extends SparkSpec {
       s"unexpected index columns: ${cells.columns.toSeq}")
     // the probe must reach the scan as a partition filter (the s03
     // pruning) — over the CODES files (the s10 compression): both
-    // savings in one plan
-    val plan = probe.queryExecution.explainString(
+    // savings in the coarse frame the probe executes
+    val coarse = Similarity.ivfPqCoarseCandidates(spark, dir, qv,
+      k = 10, nProbe = 3, overfetch = 4, predicate = None)
+    val plan = coarse.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
     assert(pf.exists(_.contains("cell")), s"no partition filter on cell:\n$plan")
+    // round 9: the exact rerank pushes the collected candidate ids
+    // into the vectors scan as a static In filter — point reads
+    // against a stats/bloom-prunable layout, never a full float scan
+    val vdir = java.nio.file.Files.createTempDirectory("graft-ivfpq-v").toString
+    emb.write.mode("overwrite").parquet(vdir)
+    val fileProbe = Similarity.knnIvfPqIndexed(spark, dir,
+      spark.read.parquet(vdir), "vec_id", "embedding", qv, k = 10,
+      nProbe = 3, overfetch = 4)
+    val rplan = fileProbe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(rplan.linesIterator.find(_.contains("PushedFilters"))
+      .exists(_.contains("In(vec_id")),
+      s"candidate ids not pushed into the rerank scan:\n$rplan")
+    assertSameRows(fileProbe, mem)
   }
 
   test("ivfpq append: probe equals a one-shot build; cellStats reads it unchanged") {
@@ -830,8 +846,11 @@ class SimilaritySpec extends SparkSpec {
       Seq("cell", "codes", "id", "label", "norm"),
       s"unexpected index columns: ${cells.columns.toSeq}")
     // THREE prunes in one scan: cell partition filter, pushed attr
-    // predicate, and the scan target is codes (not vectors)
-    val plan = probe.queryExecution.explainString(
+    // predicate, and the scan target is codes (not vectors) — pinned
+    // on the coarse frame the probe executes
+    val coarse = Similarity.ivfPqCoarseCandidates(spark, dir, qv,
+      k = 10, nProbe = 3, overfetch = 4, predicate = Some(pred))
+    val plan = coarse.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.linesIterator.find(_.contains("PartitionFilters"))
       .exists(_.contains("cell")), s"no partition filter on cell:\n$plan")
