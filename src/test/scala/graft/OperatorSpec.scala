@@ -1217,6 +1217,66 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/serve_log").count() == 2)
   }
 
+  test("rerank + bloom layout compose: the point-read rerank accepts O(1) row groups of the float corpus") {
+    import scala.jdk.CollectionConverters._
+    // the full 100 TB serving story in one spec: compressed probe
+    // (cell-pruned codes) → bounded candidate ids → static-In rerank
+    // against a BLOOM-FILTERED float layout — the rerank's accepted
+    // row-group set must be tiny while the corpus layout holds many
+    val dir = java.nio.file.Files.createTempDirectory("graft-rrb-i").toString
+    val vdir = java.nio.file.Files.createTempDirectory("graft-rrb-v").toString
+    // 200x-replicated corpus (shifted ids): enough float bytes that
+    // the 64 KB-row-group layout holds hundreds of groups, so the
+    // candidate count visibly bounds the accepted set
+    val big = (0 until 200).map(i =>
+        emb.select(($"vec_id" + lit(i.toLong * 1000000L)).as("vec_id"),
+          $"embedding"))
+      .reduce(_ unionByName _).localCheckpoint()
+    val cb = Similarity.pqSeededCodebook(big, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    Similarity.writeIvfPqIndex(big, "vec_id", "embedding", dir, cb,
+      nCells = 8)
+    graft.sources.Layout.writeWithBloomFilters(
+      big.repartition(1).sortWithinPartitions("vec_id"),
+      vdir, Seq("vec_id"), ndv = 20000L,
+      extraOptions = Map("parquet.block.size" -> "65536"))
+    val vectors = spark.read.parquet(vdir)
+    val probe = Similarity.knnIvfPqIndexed(spark, dir, vectors,
+      "vec_id", "embedding", qv, k = 10, nProbe = 3, overfetch = 4)
+    assertSameRows(probe,
+      Similarity.knnIvfPqIndexed(spark, dir, big, "vec_id", "embedding",
+        qv, k = 10, nProbe = 3, overfetch = 4))
+    // measure what the pushed In filter lets the layout skip: row
+    // groups whose id-range excludes every candidate (range-sorted ⇒
+    // stats prune; the bloom filters back absent-key point probes)
+    val candIds = Similarity.ivfPqCoarseCandidates(spark, dir, qv,
+        k = 10, nProbe = 3, overfetch = 4, predicate = None)
+      .collect().map(_.getLong(0)).toSet
+    var total = 0; var accepted = 0
+    new java.io.File(vdir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            spark.sessionState.newHadoopConf()))
+        try reader.getFooter.getBlocks.asScala.foreach { rg =>
+          total += 1
+          val cmd = rg.getColumns.asScala
+            .map(c => c.getPath.toDotString -> c).toMap.apply("vec_id")
+          val stats = cmd.getStatistics
+          val lo = stats.genericGetMin.asInstanceOf[Long]
+          val hi = stats.genericGetMax.asInstanceOf[Long]
+          if (candIds.exists(id => id >= lo && id <= hi)) accepted += 1
+        } finally reader.close()
+      }
+    info(s"rerank accepts $accepted/$total row groups for " +
+      s"${candIds.size} candidates")
+    assert(total >= 100, s"layout did not produce many row groups: $total")
+    assert(accepted <= math.max(5, total / 10),
+      s"rerank should touch a small fraction of row groups: " +
+        s"$accepted/$total")
+  }
+
   test("filtered ivfpq serving loop: streamed predicate queries equal the direct filtered batch probe") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
