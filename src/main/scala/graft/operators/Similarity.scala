@@ -2133,8 +2133,31 @@ object Similarity {
         k * overfetch).as("top"))
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e.id").as("id")).distinct()
-    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .join(side(cand), "id")
+    // Broadcast mode (the serving-batch shape): the candidate set is
+    // bounded (≤ |Q|·k·overfetch pairs), so collect it and POINT-READ
+    // the float corpus — the static-In rerank ([[exactRerankIsin]]'s
+    // stance) turns each trigger's rerank from a full float-column
+    // scan into ≤ |∪ candidate ids| row-group reads on a
+    // stats/bloom-prunable layout. Shuffle mode (a batch past the
+    // broadcast threshold) keeps the join-based rerank: collecting an
+    // unbounded candidate set would rebuild the driver-memory cliff
+    // the guard exists to remove.
+    val rerankBase =
+      if (useShuffle)
+        vectors.select(col(idCol).cast("long").as("id"),
+            col(vecCol).as("vec"))
+          .join(cand, "id")
+      else {
+        val candRows = cand.collect()
+        val candIds = candRows.map(_.getLong(1)).distinct.sorted
+        val candDf = spark.createDataFrame(
+          java.util.Arrays.asList(candRows: _*), cand.schema)
+        vectors.select(col(idCol).cast("long").as("id"),
+            col(vecCol).as("vec"))
+          .where(col("id").isin(candIds.toIndexedSeq: _*))
+          .join(broadcast(candDf), "id")
+      }
+    rerankBase
       .join(side(q.select("query_id", "qvf").distinct()), "query_id")
       .select(col("query_id"), col("id"),
         VectorOps.cosine(col("vec"), col("qvf")).as("cosine"))
@@ -2286,8 +2309,31 @@ object Similarity {
         k * overfetch).as("top"))
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e.id").as("id")).distinct()
-    vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .join(side(cand), "id")
+    // Broadcast mode (the serving-batch shape): the candidate set is
+    // bounded (≤ |Q|·k·overfetch pairs), so collect it and POINT-READ
+    // the float corpus — the static-In rerank ([[exactRerankIsin]]'s
+    // stance) turns each trigger's rerank from a full float-column
+    // scan into ≤ |∪ candidate ids| row-group reads on a
+    // stats/bloom-prunable layout. Shuffle mode (a batch past the
+    // broadcast threshold) keeps the join-based rerank: collecting an
+    // unbounded candidate set would rebuild the driver-memory cliff
+    // the guard exists to remove.
+    val rerankBase =
+      if (useShuffle)
+        vectors.select(col(idCol).cast("long").as("id"),
+            col(vecCol).as("vec"))
+          .join(cand, "id")
+      else {
+        val candRows = cand.collect()
+        val candIds = candRows.map(_.getLong(1)).distinct.sorted
+        val candDf = spark.createDataFrame(
+          java.util.Arrays.asList(candRows: _*), cand.schema)
+        vectors.select(col(idCol).cast("long").as("id"),
+            col(vecCol).as("vec"))
+          .where(col("id").isin(candIds.toIndexedSeq: _*))
+          .join(broadcast(candDf), "id")
+      }
+    rerankBase
       .join(side(q.select("query_id", "qvf").distinct()), "query_id")
       .select(col("query_id"), col("id"),
         VectorOps.cosine(col("vec"), col("qvf")).as("cosine"))
