@@ -416,6 +416,14 @@ class EdgeCaseSpec extends SparkSpec {
     val none = emb.where(lit(false))
     assert(Similarity.pqRecall(none, "vec_id", "embedding",
       emb, "vec_id", "embedding", k = 5, cb = cb).isEmpty)
+    // persisted filtered probe with a false predicate: the coarse
+    // candidate set collects EMPTY and the static-In rerank must
+    // yield an empty frame (isin over zero ids), not an error
+    val dir = java.nio.file.Files.createTempDirectory("graft-edge-fpq").toString
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir, cb,
+      nCells = 4, attrCols = Seq("label"))
+    assert(Similarity.knnIvfPqIndexedFiltered(spark, dir, emb,
+      "vec_id", "embedding", lit(false), qv, k = 5, nProbe = 2).isEmpty)
   }
 
   test("ivfRecall: empty query frame is empty; k past corpus size keeps recall = n_hit/k well-defined (< 1.0)") {
