@@ -343,6 +343,13 @@ object Dedup {
     jaccardVerifyHashed(candidates,
       hashedCorpus(df, idCol, textCol, shingleK), threshold)
 
+  /** Largest candidate-id set the index probes will collect for a
+    * static-In pushdown (the verify-side point-read guard); past it,
+    * the join-based verify stands. 32k ids is well inside InSet's
+    * comfortable range and parquet's filter evaluation.
+    */
+  private val maxIsinIds = 32768
+
   /** Verify pass over a pre-hashed (id, sh) corpus. */
   private def jaccardVerifyHashed(
       candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
@@ -836,7 +843,16 @@ object Dedup {
     try {
       bandedFromHashes(sh, "id", numHashes, bands)
         .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
-      sh.write.mode("overwrite").parquet(s"$path/hashes")
+      // hashes land RANGE-SORTED by id with an id bloom filter: the
+      // point-read verify (dedupAgainstLshIndex's static-In guard)
+      // then skips row groups by id stats/bloom instead of reading
+      // every stored hash set. One extra exchange, paid once per
+      // build — the cost the index amortizes.
+      sh.repartitionByRange(col("id")).sortWithinPartitions("id")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.expected.ndv#id", "1000000")
+        .parquet(s"$path/hashes")
     } finally sh.unpersist(false)
   }
 
@@ -855,7 +871,14 @@ object Dedup {
     try {
       bandedFromHashes(sh, "id", numHashes, bands)
         .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
-      sh.write.mode("append").parquet(s"$path/hashes")
+      // appended hashes keep the sorted-by-id file layout (narrow id
+      // ranges per appended file + bloom), so point-read verifies
+      // stay prunable across appends
+      sh.repartitionByRange(col("id")).sortWithinPartitions("id")
+        .write.mode("append")
+        .option("parquet.bloom.filter.enabled#id", "true")
+        .option("parquet.bloom.filter.expected.ndv#id", "1000000")
+        .parquet(s"$path/hashes")
     } finally sh.unpersist(false)
   }
 
@@ -959,10 +982,31 @@ object Dedup {
     val shB = scope.persistTracked(hashedCorpus(batch, idCol, textCol, shingleK))
     val bIdx = spark.read.parquet(s"$path/buckets")
       .select(col("id").as("id_left"), col("band"), col("bucket"))
-    val cands = crossCandidatesFromBanded(
+    val cands = scope.persistTracked(crossCandidatesFromBanded(
       bIdx, bandedFromHashes(shB, "id_right", numHashes, bands),
-      maxBucketSize)
-    val shIdx = spark.read.parquet(s"$path/hashes")
+      maxBucketSize))
+    val shIdx0 = spark.read.parquet(s"$path/hashes")
+    // Guarded point-read of the indexed hash sets (round 9, the ANN
+    // rerank's static-In stance): the verify join's indexed side used
+    // to SCAN every stored hash set — an index-sized read per probe.
+    // The candidate id set is batch-bounded (capped banding), so when
+    // it fits an In filter it collects (off the cached candidate
+    // frame — two cheap actions, count then collect) and pushes into
+    // the hashes scan: with the range-sorted bloom-filtered layout
+    // [[writeLshIndex]] writes, that is ≤ |candidate ids| row-group
+    // reads instead of the whole tree. A flood-scale candidate set
+    // (> maxIsinIds) keeps the join — collecting it would trade a
+    // scan for a driver cliff.
+    val shIdx = {
+      // one guarded action: collect at most maxIsinIds+1 distinct ids
+      // (materializing the candidate cache the verify join reuses);
+      // an overflowing set falls back to the join-based verify
+      val ids = cands.select("id_left").distinct()
+        .limit(maxIsinIds + 1).collect().map(_.get(0))
+      if (ids.length <= maxIsinIds)
+        shIdx0.where(col("id").isin(ids.toIndexedSeq: _*))
+      else shIdx0
+    }
     cands
       .join(shIdx.withColumnsRenamed(Map("id" -> "id_left", "sh" -> "sh_l")), "id_left")
       .join(shB.withColumnsRenamed(Map("id" -> "id_right", "sh" -> "sh_r")), "id_right")

@@ -346,6 +346,16 @@ class DedupSpec extends SparkSpec {
     val mem = Dedup.decontaminate(corpus, batch, "doc_id", "text")
     assertSameRows(probe, mem)
     assert(probe.count() > 0, "planted cross-split dups should match")
+    // round 9: the verify's indexed side point-reads the stored hash
+    // sets — the batch-bounded candidate ids reach the hashes scan as
+    // a pushed In filter (with the sorted/bloom layout that is
+    // ≤ |candidate ids| row-group reads, never an index-sized scan)
+    val plan = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(id")),
+      s"candidate ids not pushed into the hashes scan:\n$plan")
+    Dedup.unpersistAll()
   }
 
   test("lsh index append: probe catches dups against build AND appended docs") {
