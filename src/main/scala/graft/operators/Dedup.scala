@@ -678,22 +678,23 @@ object Dedup {
       iters += 1
     }
     val out = labels.select(col("id"), col("label").as("cluster"))
-    // plan→SQL provenance: when the PAIRS plan itself renders, attach
-    // the WITH RECURSIVE twin to this result's checkpoint barrier so
-    // SqlGen can print the whole query (the result's leaf is the last
-    // loop round's (id, label, new_label) frame — at convergence the
-    // two label columns are equal, which is what the twin emits). A
-    // non-renderable pairs source (arbitrary caller data) just skips
-    // registration — execution is unaffected.
-    try {
-      val pairsSql = graft.sqlgen.SqlGen.toSql(
-        pairs.select(col(idA), col(idB)))
+    // plan→SQL provenance: attach the WITH RECURSIVE twin to this
+    // result's checkpoint barrier so SqlGen can print the whole query
+    // (the result's leaf is the last loop round's
+    // (id, label, new_label) frame — at convergence the two label
+    // columns are equal, which is what the twin emits). Registered as
+    // a THUNK: the pairs plan renders only if a toSql call actually
+    // reaches the barrier — execution-only callers pay nothing, and a
+    // non-renderable pairs source fails AT toSql with SqlGen's own
+    // error instead of silently skipping registration here.
+    val pairsPlan = pairs.select(col(idA), col(idB))
+    graft.sqlgen.SqlGen.registerIterative(out, () => {
       val lab = "least(src, min(dst))"
-      graft.sqlgen.SqlGen.registerIterative(out,
-        closureCoreSql(pairsSql, idA, idB, maxIters) +
-          s"\nSELECT src AS id, $lab AS label, $lab AS new_label" +
-          "\nFROM _dc_reach GROUP BY src")
-    } catch { case scala.util.control.NonFatal(_) => () }
+      closureCoreSql(graft.sqlgen.SqlGen.toSql(pairsPlan),
+        idA, idB, maxIters) +
+        s"\nSELECT src AS id, $lab AS label, $lab AS new_label" +
+        "\nFROM _dc_reach GROUP BY src"
+    })
     out
   }
 
@@ -826,6 +827,18 @@ object Dedup {
     * fresh path and the old index stays probe-able until the caller
     * swaps pointers.
     */
+  /** The hashes tree's layout policy, in ONE place: range-sorted by
+    * id with an id bloom filter — what makes the point-read verify's
+    * static-In pushdown a row-group-pruned read.
+    */
+  private def writeSortedHashes(sh: DataFrame, mode: String,
+                                path: String): Unit =
+    sh.repartitionByRange(col("id")).sortWithinPartitions("id")
+      .write.mode(mode)
+      .option("parquet.bloom.filter.enabled#id", "true")
+      .option("parquet.bloom.filter.expected.ndv#id", "1000000")
+      .parquet(path)
+
   def writeLshIndex(
       df: DataFrame, idCol: String, textCol: String, path: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): Unit = {
@@ -848,11 +861,7 @@ object Dedup {
       // then skips row groups by id stats/bloom instead of reading
       // every stored hash set. One extra exchange, paid once per
       // build — the cost the index amortizes.
-      sh.repartitionByRange(col("id")).sortWithinPartitions("id")
-        .write.mode("overwrite")
-        .option("parquet.bloom.filter.enabled#id", "true")
-        .option("parquet.bloom.filter.expected.ndv#id", "1000000")
-        .parquet(s"$path/hashes")
+      writeSortedHashes(sh, "overwrite", s"$path/hashes")
     } finally sh.unpersist(false)
   }
 
@@ -874,11 +883,7 @@ object Dedup {
       // appended hashes keep the sorted-by-id file layout (narrow id
       // ranges per appended file + bloom), so point-read verifies
       // stay prunable across appends
-      sh.repartitionByRange(col("id")).sortWithinPartitions("id")
-        .write.mode("append")
-        .option("parquet.bloom.filter.enabled#id", "true")
-        .option("parquet.bloom.filter.expected.ndv#id", "1000000")
-        .parquet(s"$path/hashes")
+      writeSortedHashes(sh, "append", s"$path/hashes")
     } finally sh.unpersist(false)
   }
 

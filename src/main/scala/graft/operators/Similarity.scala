@@ -717,6 +717,13 @@ object Similarity {
     require(missing.isEmpty,
       s"appendToIvfIndex: index at $path stores attribute columns " +
         s"${attrs.mkString(", ")}; append frame is missing ${missing.mkString(", ")}")
+    val drift = attrs.filter(a =>
+      df.schema(a).dataType != stored(a).dataType)
+    require(drift.isEmpty,
+      s"appendToIvfIndex: attribute type drift on " +
+        drift.map(a => s"$a (index ${stored(a).dataType.simpleString} " +
+          s"vs frame ${df.schema(a).dataType.simpleString})")
+          .mkString(", "))
     assignCells(df, idCol, vecCol, cents, extraCols = attrs)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
@@ -2079,94 +2086,10 @@ object Similarity {
       queries: DataFrame, qIdCol: String, qVecCol: String,
       predicate: Column, k: Int,
       nProbe: Int = 4, overfetch: Int = 4,
-      shuffleRerank: Option[Boolean] = None): DataFrame = {
-    require(overfetch >= 1, "overfetch must be >= 1")
-    val cb = readPqCodebook(spark, path)
-    val useShuffle = shuffleRerank.getOrElse {
-      val thresh = org.apache.spark.sql.internal.SQLConf.get
-        .autoBroadcastJoinThreshold
-      thresh < 0 || {
-        val dim = cb.m.toLong * cb.subDim
-        val perQueryBytes = cb.m.toLong * cb.nCodes * 8L + dim * 4L + 16L
-        queries.count() * perQueryBytes > thresh
-      }
-    }
-    def side(df: DataFrame): DataFrame = if (useShuffle) df else broadcast(df)
-    val cents = readCentroids(spark, path)
-    val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
-      struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
-             lit(i).as("cell"))
-    }.toIndexedSeq: _*)
-    // OPQ: the LUT (and its norm) read the ROTATED query column qvr;
-    // centroid ranking stays on the original qv (the IVF geometry is
-    // independent of the code frame). qvr = qvd when no rotation.
-    val lutExpr = array((for { s <- 0 until cb.m; c <- 0 until cb.nCodes }
-      yield VectorOps.dot(
-        slice(col("qvr"), lit(s * cb.subDim + 1), lit(cb.subDim)),
-        typedlit(cb.codebooks(s)(c).toSeq))): _*)
-    val q = side(queries
-      .select(col(qIdCol).as("query_id"), col(qVecCol).as("qvf"),
-        col(qVecCol).cast("array<double>").as("qvd"))
-      .withColumn("qv", col("qvd"))
-      .withColumn("qvr", cb.rotation.map(rotateExpr(col("qvd"), _))
-        .getOrElse(col("qvd")))
-      .select(col("query_id"), col("qvf"),
-        explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
-          s => s.getField("cell"))).as("cell"),
-        lutExpr.as("lut"),
-        sqrt(VectorOps.dot(col("qvr"), col("qvr"))).as("qnorm")))
-    val probedCells = q.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(s"$path/cells")
-      .where(col("cell").isin(probedCells.toIndexedSeq: _*))
-      .where(predicate)
-    val adc = (0 until cb.m).map(s =>
-      element_at(col("lut"),
-        lit(s * cb.nCodes) + element_at(col("codes"), s + 1) + 1))
-      .reduceLeft(_ + _)
-    val denom = col("qnorm") * col("norm")
-    val cand = cells.join(q.select("query_id", "cell", "lut", "qnorm"), "cell")
-      .select(col("query_id"), col("id"),
-        when(denom === 0d, 0d).otherwise(adc / denom).as("score"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopK.topk(col("score"), col("id"),
-        k * overfetch).as("top"))
-      .select(col("query_id"), explode(col("top")).as("e"))
-      .select(col("query_id"), col("e.id").as("id")).distinct()
-    // Broadcast mode (the serving-batch shape): the candidate set is
-    // bounded (≤ |Q|·k·overfetch pairs), so collect it and POINT-READ
-    // the float corpus — the static-In rerank ([[exactRerankIsin]]'s
-    // stance) turns each trigger's rerank from a full float-column
-    // scan into ≤ |∪ candidate ids| row-group reads on a
-    // stats/bloom-prunable layout. Shuffle mode (a batch past the
-    // broadcast threshold) keeps the join-based rerank: collecting an
-    // unbounded candidate set would rebuild the driver-memory cliff
-    // the guard exists to remove.
-    val rerankBase =
-      if (useShuffle)
-        vectors.select(col(idCol).cast("long").as("id"),
-            col(vecCol).as("vec"))
-          .join(cand, "id")
-      else {
-        val candRows = cand.collect()
-        val candIds = candRows.map(_.getLong(1)).distinct.sorted
-        val candDf = spark.createDataFrame(
-          java.util.Arrays.asList(candRows: _*), cand.schema)
-        vectors.select(col(idCol).cast("long").as("id"),
-            col(vecCol).as("vec"))
-          .where(col("id").isin(candIds.toIndexedSeq: _*))
-          .join(broadcast(candDf), "id")
-      }
-    rerankBase
-      .join(side(q.select("query_id", "qvf").distinct()), "query_id")
-      .select(col("query_id"), col("id"),
-        VectorOps.cosine(col("vec"), col("qvf")).as("cosine"))
-      .groupBy(col("query_id"))
-      .agg(graft.functions.TopK.topk(col("cosine"), col("id"), k).as("top"))
-      .select(col("query_id"), explode(col("top")).as("e"))
-      .select(col("query_id"), col("e.id").as("id"),
-        col("e.ord").as("cosine"))
-  }
+      shuffleRerank: Option[Boolean] = None): DataFrame =
+    ivfPqBatchIndexedImpl(spark, path, vectors, idCol, vecCol,
+      queries, qIdCol, qVecCol, Some(predicate), k, nProbe, overfetch,
+      shuffleRerank)
 
   /** Incrementally append vectors to a persisted IVF-PQ index: new
     * rows are assigned against the STORED centroids and encoded with
@@ -2203,6 +2126,16 @@ object Similarity {
       s"appendToIvfPqIndex: index at $path stores attribute columns " +
         s"${attrs.mkString(", ")}; append frame is missing " +
         missing.mkString(", "))
+    // name AND type: a same-named column of a different type would
+    // append files whose schema conflicts with the stored cells —
+    // exactly the silent drift this guard exists to stop
+    val drift = attrs.filter(a =>
+      df.schema(a).dataType != stored(a).dataType)
+    require(drift.isEmpty,
+      s"appendToIvfPqIndex: attribute type drift on " +
+        drift.map(a => s"$a (index ${stored(a).dataType.simpleString} " +
+          s"vs frame ${df.schema(a).dataType.simpleString})")
+          .mkString(", "))
     val encIn = cb.rotation.map(rotateExpr(col("vec"), _))
       .getOrElse(col("vec"))
     assignCells(df, idCol, vecCol, cents, extraCols = attrs)
@@ -2252,7 +2185,29 @@ object Similarity {
       path: String, vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
       nProbe: Int = 4, overfetch: Int = 4,
-      shuffleRerank: Option[Boolean] = None): DataFrame = {
+      shuffleRerank: Option[Boolean] = None): DataFrame =
+    ivfPqBatchIndexedImpl(spark, path, vectors, idCol, vecCol,
+      queries, qIdCol, qVecCol, None, k, nProbe, overfetch, shuffleRerank)
+
+  /** Largest collected candidate set the broadcast-mode point-read
+    * rerank will hold (rows = (query_id, id) pairs ≤ |Q|·k·overfetch);
+    * past it — e.g. a recall sweep at corpus-covering overfetch — the
+    * join-based rerank stands, so no parameter combination can build
+    * a driver cliff or a pathological million-literal In.
+    */
+  private val maxRerankRows = 65536
+
+  /** Shared body of the two batch indexed probes — they differ ONLY
+    * by the optional predicate pushed into the probed-cell code scan,
+    * and parity between them is a consequence of this delegation, not
+    * hand-maintained duplication.
+    */
+  private def ivfPqBatchIndexedImpl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      predicate: Option[Column], k: Int, nProbe: Int, overfetch: Int,
+      shuffleRerank: Option[Boolean]): DataFrame = {
     require(overfetch >= 1, "overfetch must be >= 1")
     val cb = readPqCodebook(spark, path)
     // the knnPqBatch size guard: past the broadcast threshold the
@@ -2294,8 +2249,9 @@ object Similarity {
         sqrt(VectorOps.dot(col("qvr"), col("qvr"))).as("qnorm")))
     val probedCells = q.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells0 = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(probedCells.toIndexedSeq: _*))
+    val cells = predicate.map(cells0.where).getOrElse(cells0)
     val adc = (0 until cb.m).map(s =>
       element_at(col("lut"),
         lit(s * cb.nCodes) + element_at(col("codes"), s + 1) + 1))
@@ -2314,25 +2270,31 @@ object Similarity {
     // the float corpus — the static-In rerank ([[exactRerankIsin]]'s
     // stance) turns each trigger's rerank from a full float-column
     // scan into ≤ |∪ candidate ids| row-group reads on a
-    // stats/bloom-prunable layout. Shuffle mode (a batch past the
-    // broadcast threshold) keeps the join-based rerank: collecting an
-    // unbounded candidate set would rebuild the driver-memory cliff
-    // the guard exists to remove.
-    val rerankBase =
-      if (useShuffle)
-        vectors.select(col(idCol).cast("long").as("id"),
-            col(vecCol).as("vec"))
-          .join(cand, "id")
+    // stats/bloom-prunable layout. The collect is CAPPED at
+    // maxRerankRows (one guarded limit-collect, the dedup-probe
+    // pattern): a small batch at huge overfetch — the recall sweep
+    // shape — overflows the cap and falls back to the join rerank,
+    // as does shuffle mode, so no input builds a driver cliff.
+    val pointRead: Option[(Array[org.apache.spark.sql.Row], Array[Long])] =
+      if (useShuffle) None
       else {
-        val candRows = cand.collect()
-        val candIds = candRows.map(_.getLong(1)).distinct.sorted
+        val rows = cand.limit(maxRerankRows + 1).collect()
+        if (rows.length > maxRerankRows) None
+        else Some((rows, rows.map(_.getLong(1)).distinct.sorted))
+      }
+    val rerankBase = pointRead match {
+      case Some((candRows, candIds)) =>
         val candDf = spark.createDataFrame(
           java.util.Arrays.asList(candRows: _*), cand.schema)
         vectors.select(col(idCol).cast("long").as("id"),
             col(vecCol).as("vec"))
           .where(col("id").isin(candIds.toIndexedSeq: _*))
           .join(broadcast(candDf), "id")
-      }
+      case None =>
+        vectors.select(col(idCol).cast("long").as("id"),
+            col(vecCol).as("vec"))
+          .join(side(cand), "id")
+    }
     rerankBase
       .join(side(q.select("query_id", "qvf").distinct()), "query_id")
       .select(col("query_id"), col("id"),

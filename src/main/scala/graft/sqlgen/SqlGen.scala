@@ -81,35 +81,58 @@ object SqlGen {
     * operator (duplicateClusters' min-label loop) returns a plan
     * whose leaf is a LogicalRDD barrier — no structural SQL rendering
     * exists for it. But the OPERATOR knows its own fixpoint: it
-    * registers an equivalent `WITH RECURSIVE` text here, keyed by the
-    * barrier's RDD id (stable across analyzer copies of the node —
-    * the rdd reference survives where node identity may not), and the
-    * generator splices that text wherever the barrier appears. This
-    * closes the last plan→SQL carve-outs: every pipeline query
-    * round-trips, including the two genuinely iterative ones.
-    * Bounded: the map clears past 512 entries (each loop execution
-    * registers one barrier; entries are ~KB strings).
+    * registers an equivalent `WITH RECURSIVE` text here, keyed by
+    * (applicationId, rdd id) — the rdd reference is stable across
+    * analyzer copies where node identity is not, and the application
+    * id disambiguates recycled rdd ids across SparkContext restarts
+    * in one JVM (sbt suites, notebook restarts), so a stale entry
+    * can never splice another context's SQL. The generator splices
+    * the text wherever the barrier appears, closing the last
+    * plan→SQL carve-outs. The SQL is registered as a MEMOIZED THUNK:
+    * rendering (a full plan walk of the pairs frame) happens only if
+    * a toSql call actually reaches the barrier, so execution-only
+    * callers pay nothing, and a render failure surfaces AT toSql
+    * with a clear message instead of being swallowed at operator
+    * time. Bounded: an access-order LRU capped at 512 entries evicts
+    * oldest-first (each loop execution registers one barrier;
+    * entries are ~KB once rendered).
     */
-  private val iterativeSqlById =
-    new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+  private val iterativeSqlById: java.util.Map[(String, Int), () => String] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Int), () => String](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int), () => String]): Boolean =
+          size() > 512
+      })
 
-  /** Associate every LogicalRDD leaf of `df` with `sql` — the text a
-    * re-execution can run in place of the barrier. The SQL's output
-    * column names must match the leaf's output exactly.
+  /** Associate every LogicalRDD leaf of `df` with `sql` — a thunk
+    * producing the text a re-execution can run in place of the
+    * barrier. The SQL's output column names must match the leaf's
+    * output exactly.
     */
-  def registerIterative(df: DataFrame, sql: String): Unit =
+  def registerIterative(df: DataFrame, sql: () => String): Unit = {
+    val appId = df.sparkSession.sparkContext.applicationId
+    val memo: () => String = {
+      lazy val rendered = sql()
+      () => rendered
+    }
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lrdd: org.apache.spark.sql.execution.LogicalRDD =>
-        if (iterativeSqlById.size > 512) iterativeSqlById.clear()
-        iterativeSqlById.put(lrdd.rdd.id, sql)
+        iterativeSqlById.put((appId, lrdd.rdd.id), memo)
       case _ => ()
     }
-
-  private def iterativeSqlOf(p: LogicalPlan): Option[String] = p match {
-    case lrdd: org.apache.spark.sql.execution.LogicalRDD =>
-      Option(iterativeSqlById.get(lrdd.rdd.id))
-    case _ => None
   }
+
+  private def iterativeSqlOf(p: LogicalPlan): Option[() => String] =
+    p match {
+      case lrdd: org.apache.spark.sql.execution.LogicalRDD =>
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+          .flatMap(s => Option(iterativeSqlById.get(
+            (s.sparkContext.applicationId, lrdd.rdd.id))))
+      case _ => None
+    }
 
   /** Carrier for SQL text produced by our own renderer, spliced into a
     * subtree before delegating to Catalyst's `Expression.sql` — lets
@@ -688,9 +711,11 @@ object SqlGen {
       case _: OneRowRelation => "SELECT 1"
 
       // iterative-operator barrier with registered WITH RECURSIVE
-      // provenance: splice the operator-emitted text
+      // provenance: splice the operator-emitted text (rendered lazily
+      // here — a failure surfaces as a toSql error, not a silent
+      // registration skip)
       case p if SqlGen.iterativeSqlOf(p).isDefined =>
-        SqlGen.iterativeSqlOf(p).get
+        SqlGen.iterativeSqlOf(p).get.apply()
 
       case other =>
         throw new IllegalArgumentException(

@@ -872,6 +872,39 @@ class SimilaritySpec extends SparkSpec {
         second.drop("label"), "vec_id", "embedding", dir)
     }
     assert(err.getMessage.contains("label"))
+    // ...and so does a same-named attribute of a DIFFERENT type — a
+    // name-only check would let the append write schema-conflicting
+    // cell files under the filtered probe (round-9 review fix)
+    val err2 = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(
+        second.withColumn("label", $"label".cast("string")),
+        "vec_id", "embedding", dir)
+    }
+    assert(err2.getMessage.contains("type drift"), err2.getMessage)
+  }
+
+  test("batch indexed probe candidate cap: an over-cap recall-sweep batch falls back to the join rerank with identical results") {
+    // 150 queries at corpus-covering overfetch: |Q|·min(corpus,
+    // k·overfetch) ≈ 90k candidate pairs > maxRerankRows, so the
+    // broadcast-mode point-read declines the collect and the join
+    // rerank serves — same rows as the forced-shuffle path (which is
+    // the same join), and crucially same rows as a SMALL batch run
+    // per query, so the cap changes strategy, never results
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-cap").toString
+    val cb = Similarity.pqSeededCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", dir, cb,
+      nCells = 8)
+    val queries = emb.orderBy("vec_id").limit(150)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val of = (emb.count() / 10 + 1).toInt
+    val capped = Similarity.knnIvfPqBatchIndexed(spark, dir, emb,
+      "vec_id", "embedding", queries, "query_id", "embedding",
+      k = 10, nProbe = 8, overfetch = of, shuffleRerank = Some(false))
+    val joined = Similarity.knnIvfPqBatchIndexed(spark, dir, emb,
+      "vec_id", "embedding", queries, "query_id", "embedding",
+      k = 10, nProbe = 8, overfetch = of, shuffleRerank = Some(true))
+    assertSameRows(capped, joined)
   }
 
   test("ivfpq filtered batch probe equals the per-query filtered probe") {
