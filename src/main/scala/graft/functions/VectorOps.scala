@@ -538,7 +538,11 @@ case class MatVec(vec: Expression, mat: Expression, rows: Int)
   }
 
   @transient private lazy val flat: Array[Double] = {
-    val arr = mat.eval().asInstanceOf[ArrayData]
+    val evaluated = mat.eval()
+    if (evaluated == null)
+      throw new IllegalArgumentException(
+        "mat_vec: matrix literal evaluated to null (e.g. CAST(NULL AS ARRAY<DOUBLE>))")
+    val arr = evaluated.asInstanceOf[ArrayData]
     val out = new Array[Double](arr.numElements())
     var i = 0
     while (i < out.length) { out(i) = arr.getDouble(i); i += 1 }

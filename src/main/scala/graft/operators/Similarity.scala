@@ -1714,8 +1714,9 @@ object Similarity {
     * and the rerank a shuffle join on candidate ids / query ids —
     * unbounded in the batch size, row-for-row identical output
     * (spec-pinned). `shuffleRerank` overrides the guard
-    * (Some(true)/Some(false)); None = auto, which pays one
-    * `queries.count()` job only when a threshold is set.
+    * (Some(true)/Some(false)); None = auto, which reads the row count
+    * from optimizer stats / a literal frame's length and pays a
+    * `queries.count()` job only when neither is available.
     * Output: (query_id, id, cosine) — EXACT cosines, k rows per
     * query, ties by id.
     */
@@ -1725,18 +1726,7 @@ object Similarity {
                  shuffleRerank: Option[Boolean] = None): DataFrame = {
     require(overfetch >= 1, "overfetch must be >= 1")
     requireIntegralId(corpus, idCol)
-    val useShuffle = shuffleRerank.getOrElse {
-      val thresh = org.apache.spark.sql.internal.SQLConf.get
-        .autoBroadcastJoinThreshold
-      // threshold -1 = the user disabled auto-broadcast; respect it
-      // rather than forcing hints past their memory policy
-      thresh < 0 || {
-        val dim = cb.m.toLong * cb.subDim
-        // LUT doubles + float query vector + id/norm slack, per query
-        val perQueryBytes = cb.m.toLong * cb.nCodes * 8L + dim * 4L + 16L
-        queries.count() * perQueryBytes > thresh
-      }
-    }
+    val useShuffle = shuffleRerank.getOrElse(autoShuffleRerank(queries, cb))
     // `side` is the guard's whole effect: identical logical shape,
     // broadcast hints present (small batch) or absent (the planner
     // falls back to cartesian + shuffle joins — no driver-memory
@@ -2197,6 +2187,43 @@ object Similarity {
     */
   private val maxRerankRows = 65536
 
+  /** Row count of a batch-query frame WITHOUT a count() job when the
+    * optimizer already knows it: CBO row-count stats when present,
+    * then a LocalRelation's in-memory length (the literal-frame
+    * serving shape — ConvertToLocalRelation collapses
+    * project/filter-over-literals to one), and only then a count().
+    */
+  private def cheapRowCount(df: DataFrame): Long = {
+    val plan = df.queryExecution.optimizedPlan
+    plan.stats.rowCount.map(_.toLong).getOrElse(plan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.length.toLong
+      case _ => df.count()
+    })
+  }
+
+  /** The auto size guard shared by every batch PQ probe (knnPqBatch /
+    * ivfPqBatchIndexedImpl): broadcast the query side only while
+    * `nQueries · (LUT + query-vector) bytes` fits under
+    * `spark.sql.autoBroadcastJoinThreshold`; threshold -1 (the user
+    * disabled auto-broadcast) always selects shuffle mode rather than
+    * forcing hints past their memory policy. NOTE for auto-mode
+    * callers: materialize (cache/localCheckpoint) a non-trivial query
+    * frame first — this guard's row count plus the probe's own
+    * actions re-evaluate its lineage otherwise (literal frames are
+    * free: [[cheapRowCount]] reads their length without a job).
+    */
+  private def autoShuffleRerank(queries: DataFrame, cb: PqCodebook): Boolean = {
+    val thresh = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    thresh < 0 || {
+      val dim = cb.m.toLong * cb.subDim
+      // LUT doubles + float query vector + id/norm slack, per query
+      val perQueryBytes = cb.m.toLong * cb.nCodes * 8L + dim * 4L + 16L
+      cheapRowCount(queries) * perQueryBytes > thresh
+    }
+  }
+
   /** Shared body of the two batch indexed probes — they differ ONLY
     * by the optional predicate pushed into the probed-cell code scan,
     * and parity between them is a consequence of this delegation, not
@@ -2214,15 +2241,7 @@ object Similarity {
     // query/candidate sides lose their hints and the (cell) match +
     // rerank become shuffle joins — no driver-memory cliff on large
     // serving batches
-    val useShuffle = shuffleRerank.getOrElse {
-      val thresh = org.apache.spark.sql.internal.SQLConf.get
-        .autoBroadcastJoinThreshold
-      thresh < 0 || {
-        val dim = cb.m.toLong * cb.subDim
-        val perQueryBytes = cb.m.toLong * cb.nCodes * 8L + dim * 4L + 16L
-        queries.count() * perQueryBytes > thresh
-      }
-    }
+    val useShuffle = shuffleRerank.getOrElse(autoShuffleRerank(queries, cb))
     def side(df: DataFrame): DataFrame = if (useShuffle) df else broadcast(df)
     val cents = readCentroids(spark, path)
     val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>

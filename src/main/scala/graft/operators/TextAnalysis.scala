@@ -464,21 +464,27 @@ object TextAnalysis {
     * iterative loop [[bigramMerges]] counts ONE round of, at the
     * character level where real tokenizer induction runs.
     *
-    * Shape (the sentencepiece/subword-nmt trainer shape, distributed):
-    * the corpus is touched ONCE, to build the word-frequency table;
-    * every merge round then runs on that VOCABULARY-sized table —
-    * explode weighted adjacent symbol pairs → map-side-combined sum →
-    * collect the single argmax row (bounded: 1 row, total (n desc,
-    * pair asc) order so ties are deterministic) → rewrite the symbol
-    * arrays with leftmost-first non-overlapping greedy replacement
-    * (the classic BPE merge rule). numMerges rounds = numMerges
-    * vocabulary-scale jobs, never corpus-scale; lineage is truncated
-    * by re-persisting the working table each round and checkpointing
-    * every 8 rounds (d06's iterative-loop discipline — without it the
-    * plan tree grows linearly in rounds). The per-row merge rewrite is
-    * a typed map over the small vocab table (the one place imperative
-    * per-row logic is the honest tool; the corpus-sized stage stays
-    * declarative).
+    * Shape (the sentencepiece/subword-nmt trainer shape, distributed,
+    * with INCREMENTAL pair counting since round 10): the corpus is
+    * touched ONCE, to build the word-frequency table, and the full
+    * weighted pair explode+sum runs ONCE, to seed a persisted
+    * (pair, n) table. Every merge round then (a) TakeOrders the top
+    * candidates off that cached table — total (n desc, pair asc)
+    * order so ties are deterministic, no per-round shuffle of the
+    * pair or symbol mass — and (b) rewrites ONLY the affected words
+    * (leftmost-first non-overlapping greedy replacement, the classic
+    * BPE merge rule), emitting each one's exact pair-count deltas in
+    * the same pass; only pairs adjacent to an applied merge change
+    * counts, so the table update is a broadcast join of the (capped,
+    * driver-collected) delta set against the cached table, with a
+    * full union+re-aggregate fallback past `deltaCap` (a merge
+    * touching most of the vocabulary) — exact either way. Lineage is
+    * truncated by re-persisting both working tables each round and
+    * checkpointing every 8 rounds (d06's iterative-loop discipline —
+    * without it the plan tree grows linearly in rounds). The per-row
+    * merge rewrite is a typed map over the small vocab table (the one
+    * place imperative per-row logic is the honest tool; the
+    * corpus-sized stage stays declarative).
     *
     * Training stops early when no pair reaches `minPairCount`
     * (degenerate merges of hapax junk are worse than a shorter table).
@@ -522,6 +528,41 @@ object TextAnalysis {
     out.result()
   }
 
+  /** True iff `l r` occur adjacent somewhere in `syms` — the cheap
+    * affected-word test the incremental trainer runs before paying a
+    * rewrite + delta pass for a word.
+    */
+  private[operators] def containsAdjacent(
+      syms: List[String], l: String, r: String): Boolean = {
+    var rest = syms
+    while (rest.nonEmpty && rest.tail.nonEmpty) {
+      if (rest.head == l && rest.tail.head == r) return true
+      rest = rest.tail
+    }
+    false
+  }
+
+  /** Exact pair-count deltas of rewriting one word: (pair key, ±c) for
+    * every adjacent pair whose multiplicity changed between the old
+    * and new symbol lists, weighted by the word's corpus count `c`.
+    * Only pairs AROUND merge points change, but computing the full
+    * old/new multiset diff per affected word is exact and O(|word|).
+    */
+  private[operators] def pairDeltas(
+      oldS: List[String], newS: List[String], c: Long): List[(String, Long)] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def acc(s: List[String], sign: Long): Unit = {
+      var rest = s
+      while (rest.nonEmpty && rest.tail.nonEmpty) {
+        val k = rest.head + " " + rest.tail.head
+        m.update(k, m.getOrElse(k, 0L) + sign)
+        rest = rest.tail
+      }
+    }
+    acc(newS, c); acc(oldS, -c)
+    m.iterator.filter(_._2 != 0L).toList
+  }
+
   /** Train a BPE merge table over the corpus vocabulary.
     *
     * `batchSize` (round 9) is the scalable-BPE batched-merge knob: at
@@ -542,19 +583,49 @@ object TextAnalysis {
     * strict argmax sequence, which re-counts between every merge.
     */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
-               minPairCount: Long = 2, batchSize: Int = 1): DataFrame = {
+               minPairCount: Long = 2, batchSize: Int = 1,
+               deltaCap: Int = 65536): DataFrame = {
     require(numMerges >= 1, "bpeTrain: numMerges must be positive")
     require(batchSize >= 1, "bpeTrain: batchSize must be positive")
+    require(deltaCap >= 1, "bpeTrain: deltaCap must be positive")
     val spark = df.sparkSession
     import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // the ONLY corpus-sized stage: word frequencies
     val words = df.select(explode(tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .as[(String, Long)]
 
-    var vocab = words
+    val vocab0 = words
       .map { case (w, n) => (codepointSyms(w), n) }
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(mem)
+    var vocab: org.apache.spark.sql.Dataset[(List[String], Long)] = vocab0
+    // the handle actually holding vocab's cached data (vocab itself
+    // becomes a cheap map VIEW over the rewrite cache after round 1,
+    // and unpersisting a view is a no-op)
+    var vocabStore: org.apache.spark.sql.Dataset[_] = vocab0
+    // Pair-delta counting (round 10): the FULL pair explode+sum runs
+    // ONCE, here; every later round maintains this persisted
+    // (pair, n) table incrementally — only pairs adjacent to an
+    // applied merge change counts, so each cycle's work is the delta
+    // mass of the AFFECTED words, never a re-count of the whole
+    // symbol mass (classic incremental BPE, distributed). Candidate
+    // selection becomes a TakeOrdered over the cached table: no
+    // per-cycle corpus- or vocab-mass shuffle (§4-probed: total
+    // shuffle records ~flat in numMerges).
+    var pairCounts: DataFrame = vocab
+      .flatMap { case (syms, n) =>
+        if (syms.size < 2) Iterator.empty
+        else syms.iterator.zip(syms.iterator.drop(1))
+          .map { case (a, b) => (a + " " + b, n) }
+      }
+      .toDF("pair", "n")
+      .groupBy("pair").agg(sum("n").as("n"))
+      .persist(mem)
+    // the previous generation stays persisted until the collect that
+    // materializes its successor has run (the successor's plan reads
+    // it); unpersisting earlier would force a full lineage recompute
+    var prevPairCounts: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var done = false
     var rank = 1
@@ -565,18 +636,14 @@ object TextAnalysis {
       // has room to skip symbol-sharing pairs; a too-short list only
       // costs an extra round, never a wrong merge. batchSize=1 keeps
       // the exact classic shape: the top-1 pair is always selected.
-      val cands = vocab
-        .flatMap { case (syms, n) =>
-          if (syms.size < 2) Iterator.empty
-          else syms.iterator.zip(syms.iterator.drop(1))
-            .map { case (a, b) => (a + " " + b, n) }
-        }
-        .toDF("pair", "n")
-        .groupBy("pair").agg(sum("n").as("n"))
+      val cands = pairCounts
         .where(col("n") >= minPairCount)
         .orderBy(col("n").desc, col("pair").asc)
         .limit(want * 4 + 4)
         .as[(String, Long)].collect()
+      // that collect materialized the current generation; the one it
+      // was derived from is now safe to drop
+      prevPairCounts.foreach(_.unpersist(false)); prevPairCounts = None
       if (cands.isEmpty) done = true
       else {
         // greedy disjoint selection: block each picked pair's symbols
@@ -597,27 +664,87 @@ object TextAnalysis {
         picked.foreach { case (l, r, n) =>
           merges += BpeMerge(rank, l, r, n); rank += 1
         }
-        val sel = picked.toList
-        val mapped = vocab.map { case (syms, c) =>
-          (sel.foldLeft(syms) { case (s, (l, r, _)) => mergeOnce(s, l, r) }, c)
-        }
-        // truncate the typed-map lineage every 8 rounds (eager
-        // localCheckpoint returns a plan-free Dataset — d06's
-        // discipline); other rounds just materialize the cache
-        val next =
-          if (round % 8 == 0) mapped.localCheckpoint()
-          else {
-            val p = mapped.persist(
-              org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            p.count()
-            p
+        // the table is complete → skip the rewrite and delta pass
+        // entirely (nothing consumes them)
+        if (rank <= numMerges) {
+          val sel = picked.toList
+          // one vocab pass: rewrite AFFECTED words (the adjacency test
+          // is O(|word|·batch)) and emit their exact pair-count deltas;
+          // untouched words pass through with no delta
+          val mapped = vocab.map { case (syms, c) =>
+            if (!sel.exists { case (l, r, _) => containsAdjacent(syms, l, r) })
+              (syms, c, List.empty[(String, Long)])
+            else {
+              val ns = sel.foldLeft(syms) {
+                case (s, (l, r, _)) => mergeOnce(s, l, r)
+              }
+              (ns, c, pairDeltas(syms, ns, c))
+            }
           }
-        vocab.unpersist(false)
-        vocab = next
+          // truncate the typed-map lineage every 8 rounds (eager
+          // localCheckpoint returns a plan-free Dataset — d06's
+          // discipline); other rounds the delta collect below
+          // materializes the cache (no separate count() job)
+          val next =
+            if (round % 8 == 0) mapped.localCheckpoint()
+            else mapped.persist(mem)
+          val deltas = next.flatMap(_._3)
+            .toDF("pair", "dn")
+            .groupBy("pair").agg(sum("dn").as("dn"))
+          // bounded-driver pattern: collect the per-round delta set
+          // under a cap so the table update is broadcast-join-only
+          // (no pair-table shuffle); a pathological round (a merge
+          // touching most of the vocabulary) overflows the cap and
+          // falls back to the full union+re-aggregate — exact either
+          // way, never a driver cliff
+          val deltaRows = deltas.limit(deltaCap + 1).collect()
+          val updated = if (deltaRows.length <= deltaCap) {
+            val deltaDf = spark.createDataFrame(
+              java.util.Arrays.asList(deltaRows: _*), deltas.schema)
+            // membership probe: which delta pairs already exist in the
+            // table (broadcast semi join — output ≤ |deltas| ≤ cap);
+            // the rest are NEW pairs created by this round's merges
+            val matched = pairCounts
+              .join(broadcast(deltaDf), Seq("pair"), "left_semi")
+              .select("pair").collect().map(_.getString(0)).toSet
+            val newPairs = deltaRows.iterator
+              .filter(r => !matched(r.getString(0)) && r.getLong(1) > 0)
+              .map(r => (r.getString(0), r.getLong(1))).toSeq
+            val updatedBase = pairCounts
+              .join(broadcast(deltaDf), Seq("pair"), "left")
+              .select(col("pair"),
+                (col("n") + coalesce(col("dn"), lit(0L))).as("n"))
+              .where(col("n") > 0)
+            if (newPairs.isEmpty) updatedBase
+            else updatedBase.union(newPairs.toDF("pair", "n"))
+          } else {
+            pairCounts
+              .union(deltas.select(col("pair"), col("dn").as("n")))
+              .groupBy("pair").agg(sum("n").as("n"))
+              .where(col("n") > 0)
+          }
+          val oldGen = pairCounts
+          if (round % 8 == 0) {
+            // eager + plan-free: the checkpointed generation no longer
+            // references its parent, which can drop immediately
+            pairCounts = updated.localCheckpoint()
+            oldGen.unpersist(false)
+          } else {
+            // lazy: materializes at the NEXT round's candidate
+            // collect, whose plan still reads oldGen's cache
+            pairCounts = updated.persist(mem)
+            prevPairCounts = Some(oldGen)
+          }
+          vocabStore.unpersist(false)
+          vocabStore = next
+          vocab = next.map(t => (t._1, t._2))
+        }
       }
       round += 1
     }
-    vocab.unpersist(false)
+    vocabStore.unpersist(false)
+    prevPairCounts.foreach(_.unpersist(false))
+    pairCounts.unpersist(false)
     merges.toSeq.toDF("rank", "left", "right", "n")
   }
 

@@ -113,9 +113,20 @@ object SqlGen {
     */
   def registerIterative(df: DataFrame, sql: () => String): Unit = {
     val appId = df.sparkSession.sparkContext.applicationId
-    val memo: () => String = {
-      lazy val rendered = sql()
-      () => rendered
+    // Memoize AND release: the caller's thunk closes over the pairs
+    // DataFrame (a full analyzed plan + session reference); once the
+    // text is rendered the thunk reference is nulled so the registry
+    // holds only the ~KB string, never up to 512 retained plans in a
+    // long-lived session.
+    val memo: () => String = new (() => String) {
+      @volatile private var thunk: () => String = sql
+      @volatile private var rendered: String = null
+      def apply(): String = {
+        if (rendered == null) synchronized {
+          if (rendered == null) { rendered = thunk(); thunk = null }
+        }
+        rendered
+      }
     }
     df.queryExecution.analyzed.collectLeaves().foreach {
       case lrdd: org.apache.spark.sql.execution.LogicalRDD =>

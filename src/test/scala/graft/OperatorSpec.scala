@@ -1053,6 +1053,49 @@ class SimilaritySpec extends SparkSpec {
     assertSameRows(bc, sh)
   }
 
+  test("knnPqBatch auto guard: a literal query frame pays ZERO jobs before the probe (row count from the plan, not count())") {
+    val cb = Similarity.pqSeededCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    // materialize three queries OUTSIDE the counting window, then hand
+    // the probe a literal (LocalRelation) frame — the serving shape
+    val qRows = emb.orderBy("vec_id").limit(3)
+      .select($"vec_id".as("query_id"), $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val queries = qRows.toDF("query_id", "embedding")
+    def jobs(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try body finally {
+        // job-start events post asynchronously; give the bus a beat
+        Thread.sleep(1500)
+        spark.sparkContext.removeSparkListener(l)
+      }
+      n.get()
+    }
+    // auto mode (shuffleRerank = None): the size guard must read the
+    // literal frame's length from the optimized plan — building the
+    // (lazy) result DataFrame fires no Spark job at all
+    var result: org.apache.spark.sql.DataFrame = null
+    val planningJobs = jobs {
+      result = Similarity.knnPqBatch(queries, "query_id", "embedding",
+        emb, "vec_id", "embedding", k = 10, cb = cb, overfetch = 4,
+        shuffleRerank = None)
+    }
+    assert(planningJobs == 0,
+      s"auto guard paid $planningJobs job(s) planning a literal-frame batch")
+    // and the auto plan still returns the forced-broadcast rows
+    assertSameRows(result,
+      Similarity.knnPqBatch(queries, "query_id", "embedding", emb,
+        "vec_id", "embedding", k = 10, cb = cb, overfetch = 4,
+        shuffleRerank = Some(false)))
+  }
+
   test("pqRecall: monotone in overfetch, 1.0 at corpus-covering overfetch; indexed ivfpq recall 1.0 with pruning off") {
     val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
       m = 4, nCodes = 16, sampleSize = 500, iters = 5, seed = 9)
@@ -2280,6 +2323,72 @@ class TextAnalysisSpec extends SparkSpec {
       merges.map { case (rk, l, r, n) => TextAnalysis.BpeMerge(rk, l, r, n) })
     assert(enc.agg(org.apache.spark.sql.functions.sum("n_pieces"))
       .head().getLong(0) > 0)
+  }
+
+  test("bpeTrain deltaCap fallback: forcing the union+re-aggregate path learns the identical table") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      Seq.fill(5)("low"), Seq.fill(2)("lower"),
+      Seq.fill(6)("newest"), Seq.fill(3)("widest"))
+      .flatten.mkString(" ")
+    def train(cap: Int) =
+      TextAnalysis.bpeTrain(Seq(docs).toDF("text"), "text",
+        numMerges = 6, batchSize = 2, deltaCap = cap)
+        .as[(Int, String, String, Long)].collect().toList
+    // cap=1 overflows on every round → the shuffle fallback maintains
+    // the pair table; counts and merge order must not move
+    assert(train(1) == train(65536),
+      "deltaCap fallback diverged from the broadcast-delta path")
+  }
+
+  test("bpeTrain incremental pair counting: total shuffle records ~flat in numMerges (SURVEY §4 probe)") {
+    import graft.operators.TextAnalysis
+    // 200 filler words over globally-unique CJK codepoints: each
+    // contributes 29 pair occurrences at count 1 (below minPairCount,
+    // never merged, never affected) — the pair MASS a re-counting
+    // trainer would re-explode and re-shuffle every round. The driver
+    // word "abcdef" ×50 yields 5+ chain merges.
+    val fillers = (0 until 200).map { w =>
+      (0 until 30).map(i => (0x4E00 + w * 30 + i).toChar).mkString
+    }
+    val doc = (Seq.fill(50)("abcdef") ++ fillers).mkString(" ")
+    val df = Seq(doc).toDF("text")
+    def shuffleRecords(body: => Unit): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          n.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try body finally {
+        Thread.sleep(1500)
+        spark.sparkContext.removeSparkListener(l)
+      }
+      n.get()
+    }
+    var t1: List[(Int, String, String, Long)] = Nil
+    var t5: List[(Int, String, String, Long)] = Nil
+    val s1 = shuffleRecords {
+      t1 = TextAnalysis.bpeTrain(df, "text", numMerges = 1)
+        .as[(Int, String, String, Long)].collect().toList
+    }
+    val s5 = shuffleRecords {
+      t5 = TextAnalysis.bpeTrain(df, "text", numMerges = 5)
+        .as[(Int, String, String, Long)].collect().toList
+    }
+    assert(t1.length == 1 && t5.length == 5 && t5.head == t1.head,
+      s"unexpected merge tables: $t1 / $t5")
+    // a per-round re-count would shuffle the ~5.8k filler pairs every
+    // round (5 merges ≈ 5× the 1-merge shuffle). Incremental counting
+    // pays the full pair mass ONCE; rounds 2-5 move only delta pairs
+    // and TakeOrdered tops, so the 5-merge total must stay well under
+    // 2× the 1-merge total.
+    assert(s5 < 2 * s1,
+      s"per-cycle pair re-shuffle detected: 1 merge=$s1 records, 5 merges=$s5")
+    info(s"shuffle records: 1 merge=$s1, 5 merges=$s5")
   }
 
   test("bpeEncode segments with a trained table: hand-computed pieces") {
