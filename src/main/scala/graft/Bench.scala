@@ -106,8 +106,25 @@ object Bench {
       s"\"" + k + "\":[" + a + "," + b + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Bench-gate headroom (round 10): the gate is per-query 2x of
+    // max(baseline, floor); these summary ratios make drift visible in
+    // the artifact itself long before any query threatens the gate —
+    // "max" is directly comparable to the 2.0 budget.
+    val ratios = results.collect {
+      case (name, t, None) if baseline.contains(name) =>
+        (name, t / math.max(baseline(name), gateFloorSec))
+    }.sortBy(_._2)
+    val headroom =
+      if (ratios.isEmpty) "{}"
+      else {
+        def pct(p: Double): Double =
+          ratios(math.min(ratios.size - 1, (p * ratios.size).toInt))._2
+        val (worstName, worst) = ratios.last
+        s"""{"p50":${pct(0.5)},"p90":${pct(0.9)},"max":$worst,""" +
+          s""""max_query":${jstr(worstName)},"n":${ratios.size}}"""
+      }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retries,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retries,"headroom":$headroom,"sf":"$sfDir"}"""
     println(full)
     // Truncation-proofing, twice over: bounded stdout captures have
     // lost the head (round 3) and the per-query tail (round 4) of the
@@ -133,7 +150,7 @@ object Bench {
         None
       }
     val outField = written.map(p => s""","out":${jstr(p)}""").getOrElse("")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"errors":$errs$outField,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":${results.size},"errors":$errs,"headroom":$headroom$outField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

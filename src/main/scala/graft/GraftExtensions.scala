@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryMinu
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioEnergySig, BpeSegmentExpr, CharNgramHashes, DotProduct, HyperplaneSigs, ImageDHash, MatVec, MediaFeaturesExpr, MinHashBandBuckets, MinHashSig, NearestCentroid, PqEncodeCodes, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
+import graft.functions.{AudioEnergySig, BpeSegmentExpr, UnigramSegmentExpr, CharNgramHashes, DotProduct, HyperplaneSigs, ImageDHash, MatVec, MediaFeaturesExpr, MinHashBandBuckets, MinHashSig, NearestCentroid, PqEncodeCodes, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
 
 /** Session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql` users get the codegen'd
@@ -29,6 +29,7 @@ import graft.functions.{AudioEnergySig, BpeSegmentExpr, CharNgramHashes, DotProd
   *   nearest_centroid(v, cents, dim) — argmax-dot cell vs a flat centroid list
   *   mat_vec(v, flat, rows)        — dense y = R·x over a flat row-major matrix
   *   bpe_segment(word, merges)     — BPE pieces vs a "left right" merge list
+  *   unigram_segment(word, pieces) — Viterbi pieces vs a "piece logprob" table
   *   image_dhash(bytes)            — perceptual dHash (stub fallback)
   *   audio_energy_sig(kind, bytes) — audio energy signature (stub fallback)
   *   media_features(kind, bytes, w, h, dur, tw, th) — decode-features struct
@@ -144,6 +145,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity(args, 2, "bpe_segment")
         BpeSegmentExpr(args(0), args(1))
+      }),
+    ("unigram_segment",
+      new ExpressionInfo(classOf[UnigramSegmentExpr].getName, "unigram_segment"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "unigram_segment")
+        UnigramSegmentExpr(args(0), args(1))
       }),
     ("image_dhash",
       new ExpressionInfo(classOf[ImageDHash].getName, "image_dhash"),

@@ -187,6 +187,18 @@ object TextKernels {
     new GenericArrayData(
       pieces.map(p => UTF8String.fromString(p): Any).toArray)
   }
+
+  /** [[UnigramSegmentExpr]]'s evaluation entry (shared by interpreted
+    * eval and codegen): delegate to the canonical Viterbi loop in
+    * `TextAnalysis.unigramViterbi`, wrap the pieces for Catalyst.
+    */
+  def unigramSegmentKernel(w: UTF8String,
+      logp: Map[String, Double], maxPieceLen: Int): ArrayData = {
+    val pieces = graft.operators.TextAnalysis
+      .unigramViterbi(w.toString, logp, maxPieceLen)
+    new GenericArrayData(
+      pieces.map(p => UTF8String.fromString(p): Any).toArray)
+  }
 }
 
 /** Expression wrapper: distinct word-k-shingle hashes of a string. */
@@ -364,6 +376,92 @@ case class BpeSegmentExpr(word: Expression, merges: Expression)
   override def prettyName: String = "bpe_segment"
 }
 
+/** Viterbi-segment a word against a trained unigram-LM piece table:
+  * maximize the sum of piece logprobs over all tilings of the word
+  * (exact ties prefer the longer last piece; unknown single codepoints
+  * score `TextAnalysis.UnigramUnkLogp`) — op-for-op
+  * `TextAnalysis.unigramViterbi`, exposed as a native expression so
+  * the encode plan is fully declarative (the [[BpeSegmentExpr]]
+  * stance: the unigram queries round-trip through the SQL generator
+  * instead of hiding in a typed map stage).
+  *
+  * The piece table rides as a FOLDABLE `array<string>` child — each
+  * element is `"piece logprob"` (pieces come from whitespace-split
+  * tokens so never contain a space; the logprob prints via
+  * `java.lang.Double.toString`, which round-trips bit-exactly through
+  * `parseDouble`) — keeping equality structural and `.sql`
+  * printable/replayable. Callers evaluate it over the DISTINCT-word
+  * vocabulary, never per token occurrence.
+  */
+case class UnigramSegmentExpr(word: Expression, pieces: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = word
+  override def right: Expression = pieces
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (word.dataType, pieces.dataType) match {
+      case (StringType, ArrayType(StringType, _)) =>
+        if (!pieces.foldable)
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "unigram_segment: piece table must be a literal array")
+        else
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"unigram_segment expects (string, array<string> literal), got " +
+            s"${word.dataType.simpleString} and ${pieces.dataType.simpleString}")
+    }
+
+  @transient private[functions] lazy val logpMap: Map[String, Double] = {
+    val arr = pieces.eval().asInstanceOf[ArrayData]
+    require(arr != null, "unigram_segment: piece table evaluated to null")
+    val entries = (0 until arr.numElements()).map { i =>
+      val s = arr.getUTF8String(i).toString
+      val sp = s.indexOf(' ')
+      require(sp > 0 && sp < s.length - 1,
+        s"unigram_segment: malformed entry '$s' (want 'piece logprob')")
+      val lp = try java.lang.Double.parseDouble(s.substring(sp + 1))
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"unigram_segment: unparseable logprob in entry '$s'")
+      }
+      (s.substring(0, sp), lp)
+    }
+    val m = entries.toMap
+    require(m.size == entries.size,
+      "unigram_segment: duplicate pieces in table")
+    m
+  }
+
+  @transient private[functions] lazy val maxPieceLen: Int =
+    if (logpMap.isEmpty) 1
+    else logpMap.keysIterator.map(p => p.codePointCount(0, p.length)).max
+
+  override def sql: String = s"unigram_segment(${word.sql}, ${pieces.sql})"
+
+  override def nullSafeEval(w: Any, _p: Any): Any =
+    TextKernels.unigramSegmentKernel(
+      w.asInstanceOf[UTF8String], logpMap, maxPieceLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramLogp", logpMap,
+      "scala.collection.immutable.Map")
+    val kern = TextKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev,
+      (w, _) => s"${ev.value} = $kern.unigramSegmentKernel($w, $ref, $maxPieceLen);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UnigramSegmentExpr =
+    copy(word = newLeft, pieces = newRight)
+
+  override def prettyName: String = "unigram_segment"
+}
+
 object TextKernelOps {
   def tokenShingleHashes(text: Column, k: Int): Column =
     GraftBridge.column(TokenShingleHashes(GraftBridge.expression(text), k))
@@ -379,6 +477,18 @@ object TextKernelOps {
     import org.apache.spark.sql.functions.typedlit
     val entries = merges.sortBy(_.rank).map(m => s"${m.left} ${m.right}")
     GraftBridge.column(BpeSegmentExpr(GraftBridge.expression(word),
+      GraftBridge.expression(typedlit(entries))))
+  }
+  /** Codegen'd unigram-LM Viterbi segmentation; the piece table rides
+    * as an array-of-"piece logprob" literal (sorted by piece for a
+    * canonical, structurally-comparable literal).
+    */
+  def unigramSegment(word: Column,
+      table: Seq[graft.operators.TextAnalysis.UnigramPiece]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    val entries = table.sortBy(_.piece)
+      .map(p => s"${p.piece} ${java.lang.Double.toString(p.logprob)}")
+    GraftBridge.column(UnigramSegmentExpr(GraftBridge.expression(word),
       GraftBridge.expression(typedlit(entries))))
   }
 }

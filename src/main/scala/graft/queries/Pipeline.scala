@@ -57,6 +57,22 @@ object Pipeline {
     (13, "o", "u"), (14, "i", "t"), (15, "i", "s"), (16, "t", "o")
   ).map { case (rk, l, r) => TextAnalysis.BpeMerge(rk, l, r, 0L) }
 
+  /** Fixed unigram-LM piece table for t34 and its oracle: the multi
+    * pieces are chosen so no occurrence of any piece can overlap
+    * another (q≠u, t≠h, e≠r rule out self-overlap; no piece's suffix
+    * is another's prefix) and each dominates every alternative tiling
+    * of its span (-1 vs ≥ two singles at -6 / UNK at -1000), so
+    * Viterbi provably takes every occurrence — the property that makes
+    * the piece count SQL-replayable.
+    */
+  private val unigramFixedTable: Seq[TextAnalysis.UnigramPiece] = Seq(
+    TextAnalysis.UnigramPiece("qu", -1.0),
+    TextAnalysis.UnigramPiece("th", -1.0),
+    TextAnalysis.UnigramPiece("er", -1.0),
+    TextAnalysis.UnigramPiece("e", -6.0),
+    TextAnalysis.UnigramPiece("t", -6.0),
+    TextAnalysis.UnigramPiece("a", -6.0))
+
   /** Separator for the oracle's flat-string symbol encoding: U+001F
     * (unit separator), a control char that never appears in the test
     * corpora (and cannot survive `tokens`' whitespace-split as part
@@ -3214,6 +3230,48 @@ object Pipeline {
              |  CAST(ROW_NUMBER() OVER (PARTITION BY phase, shard
              |    ORDER BY ord, doc_id) AS INT) AS seq
              |FROM p ORDER BY phase, shard, seq""".stripMargin)),
+
+    // Unigram-LM (SentencePiece) encode with a FIXED dominance table:
+    // multi pieces {qu, th, er} can never overlap an occurrence of any
+    // table piece (no suffix of one is a prefix of another, incl.
+    // themselves), and each scores -1 vs ≥ -12 for any single-piece
+    // tiling of its span, so the Viterbi optimum is exactly "every
+    // multi-piece occurrence + singles elsewhere" — which reduces the
+    // piece count to codepoint arithmetic DuckDB replays with
+    // length/replace (the s19 stance: a fixed artifact oracle-gates
+    // the plumbing — posexplode, distinct-word Viterbi kernel, join
+    // back, empty-doc restore — while the trainer itself is spec-gated
+    // because EM logprobs are transcendental, SURVEY §5). Unknown
+    // codepoints cost the UNK penalty but still count 1 piece each, so
+    // the arithmetic needs no alphabet assumption. Scale shape: one
+    // posexplode + vocabulary-sized segmentation + hash join — the
+    // t26/bpeEncode class.
+    Q("t34_unigram_encode",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        TextAnalysis.unigramDocPieceCount(
+            docs.select(col("doc_id"), col("text")), "doc_id", "text",
+            unigramFixedTable)
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+             |      '[ \t\n\v\f\r]+'), x -> x <> '')) AS w
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id,
+             |    sum(length(w)
+             |      - (length(w) - length(replace(w, 'qu', ''))) // 2
+             |      - (length(w) - length(replace(w, 'th', ''))) // 2
+             |      - (length(w) - length(replace(w, 'er', ''))) // 2
+             |    ) AS n
+             |  FROM w GROUP BY doc_id
+             |)
+             |SELECT d.doc_id,
+             |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_unigram_pieces
+             |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
 
     // PII redaction: the corpus itself is PII-free word soup, so each
     // doc gets deterministic synthetic PII appended (email, dotted

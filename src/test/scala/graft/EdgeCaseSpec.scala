@@ -345,6 +345,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextAnalysis.bpeTrain(chars, "text", numMerges = 3).isEmpty)
   }
 
+  test("unigramTrain: empty corpus learns nothing; vocabSize below the alphabet stalls gracefully") {
+    import graft.operators.TextAnalysis
+    val empty = Seq.empty[String].toDF("text")
+    assert(TextAnalysis.unigramTrain(empty, "text", vocabSize = 4).isEmpty)
+    // 4 distinct codepoints but vocabSize=2: singles are never pruned,
+    // so the shrink loop must stop on no-progress, not spin
+    val out = TextAnalysis.unigramTrain(
+      Seq("ab cd ab cd").toDF("text"), "text", vocabSize = 2,
+      emIters = 1, seedSize = 8, maxPieceLen = 2, minSubstrCount = 1)
+      .as[(String, Double)].collect()
+    assert(Set("a", "b", "c", "d").subsetOf(out.map(_._1).toSet),
+      out.toList.toString)
+  }
+
   test("N-column z-order on an empty frame writes an empty directory, no crash") {
     import graft.sources.Layout
     val dir = java.nio.file.Files.createTempDirectory("edge-z3").toString

@@ -1016,6 +1016,87 @@ class SimilaritySpec extends SparkSpec {
       Similarity.knnBrute(emb, "vec_id", "embedding", qv, 10))
   }
 
+  test("OPQ recall at the composed operating point: persisted attr-carrying rotated index, nProbe x overfetch sweep monotone, >= plain PQ, filtered exact at covering settings") {
+    // the round-9 OPQ spec pinned the rotation's recall win in-memory;
+    // this is the deployment-shaped eval: BOTH codebooks committed to
+    // persisted attr-carrying IVF-PQ layouts (identical seeded cell
+    // geometry — rotation changes only the code frame), then the
+    // (nProbe, overfetch) tuning table read off ivfPqRecallIndexed —
+    // the numbers a real rollout sweeps BEFORE pointing serving at
+    // the index
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val dirs4 = Array.fill(4)(Array.fill(dim)(rnd.nextGaussian()))
+    val scales = Array(10.0, 6.0, 3.0, 1.5)
+    val corpus = (0L until 500L).map { i =>
+      val zs = scales.map(_ * rnd.nextGaussian())
+      val x = Array.tabulate(dim)(j =>
+        (zs.indices.map(k => zs(k) * dirs4(k)(j)).sum +
+          rnd.nextGaussian() * 0.05).toFloat)
+      (i, x, (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val queries = corpus.where($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val plain = Similarity.pqTrainCodebook(corpus, "vec_id", "embedding",
+      m = 2, nCodes = 8, sampleSize = 500, iters = 10, seed = 42)
+    val opq = Similarity.pqTrainCodebook(corpus, "vec_id", "embedding",
+      m = 2, nCodes = 8, sampleSize = 500, iters = 10, seed = 42,
+      opq = true)
+    val dirP = java.nio.file.Files.createTempDirectory("graft-opq-cp").toString
+    val dirO = java.nio.file.Files.createTempDirectory("graft-opq-co").toString
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", dirP, plain,
+      nCells = 8, attrCols = Seq("label"))
+    Similarity.writeIvfPqIndex(corpus, "vec_id", "embedding", dirO, opq,
+      nCells = 8, attrCols = Seq("label"))
+    assert(Similarity.readPqCodebook(spark, dirO).rotation.isDefined,
+      "persisted composed index lost the OPQ rotation")
+    def recalls(dir: String, nProbe: Int, of: Int): Map[Long, Double] =
+      Similarity.ivfPqRecallIndexed(spark, dir, queries, "query_id",
+          "embedding", corpus, "vec_id", "embedding", k = 10,
+          nProbe = nProbe, overfetch = of)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // the tuning table's real contracts: recall is per-query monotone
+    // in overfetch at fixed nProbe (same candidate pool, the ADC
+    // top-(k·of) heaps nest) and in nProbe at NON-TRUNCATING overfetch
+    // (pools nest and the heap keeps everything). It is deliberately
+    // NOT pinned monotone in nProbe at small overfetch: extra probed
+    // cells add ADC-ranked imposters that can displace true neighbors
+    // from the bounded heap (measured here: q0 recall 0.7@nProbe=1 →
+    // 0.3@nProbe=4 at overfetch=4) — exactly the interaction this
+    // pre-commit eval exists to surface.
+    val ofSweep = Seq(1, 4, 16).map(of => recalls(dirO, 4, of))
+    ofSweep.sliding(2).foreach { case Seq(lo, hi) =>
+      lo.keys.foreach(q => assert(lo(q) <= hi(q),
+        s"recall not monotone in overfetch for query $q"))
+    }
+    val npSweep = Seq(1, 4, 8).map(np => recalls(dirO, np, 50))
+    npSweep.sliding(2).foreach { case Seq(lo, hi) =>
+      lo.keys.foreach(q => assert(lo(q) <= hi(q),
+        s"recall not monotone in nProbe at covering overfetch for query $q"))
+    }
+    // all cells + covering overfetch: the exact rerank restores brute
+    assert(npSweep.last.values.forall(_ == 1.0),
+      s"covering probe not exact: ${npSweep.last}")
+    // OPQ >= plain through the composed layout (identical cells, so
+    // the gap is purely the rotated code frame); strict at the seeded
+    // tight points
+    for ((np, of) <- Seq((4, 1), (8, 1), (8, 4))) {
+      val (pr, or) = (recalls(dirP, np, of), recalls(dirO, np, of))
+      val (pm, om) = (pr.values.sum / pr.size, or.values.sum / or.size)
+      info(s"composed recall@10 nProbe=$np overfetch=$of: plain=$pm opq=$om")
+      assert(om > pm,
+        s"composed OPQ recall $om not above plain $pm at ($np, $of)")
+    }
+    // filtered composed point: all cells probed + covering overfetch
+    // => the exact rerank restores filtered brute, recall exactly 1.0
+    val fr = Similarity.filteredIvfPqRecallIndexed(spark, dirO, queries,
+        "query_id", "embedding", corpus, "vec_id", "embedding",
+        $"label" === 0, k = 10, nProbe = 8, overfetch = 50)
+      .as[(Long, Long, Double)].collect()
+    assert(fr.nonEmpty && fr.forall(_._3 == 1.0),
+      s"filtered covering probe not exact: ${fr.toList}")
+  }
+
   test("knnPqBatch shuffle-rerank fallback: forced fallback equals the broadcast path; auto guard trips past the threshold") {
     val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
       m = 4, nCodes = 16, sampleSize = 500, iters = 5, seed = 9)
@@ -2389,6 +2470,79 @@ class TextAnalysisSpec extends SparkSpec {
     assert(s5 < 2 * s1,
       s"per-cycle pair re-shuffle detected: 1 merge=$s1 records, 5 merges=$s5")
     info(s"shuffle records: 1 merge=$s1, 5 merges=$s5")
+  }
+
+  test("unigramViterbi golden pins: best tiling, longer-piece ties, unknown codepoints as singles") {
+    import graft.operators.TextAnalysis
+    val lp = Map("ab" -> StrictMath.log(0.5),
+      "a" -> StrictMath.log(0.2), "b" -> StrictMath.log(0.2))
+    // best tiling: two 'ab' pieces beat four singles
+    assert(TextAnalysis.unigramViterbi("abab", lp, 2) == List("ab", "ab"))
+    // unknown codepoint: falls out as a single with the UNK penalty
+    assert(TextAnalysis.unigramViterbi("abc", lp, 2) == List("ab", "c"))
+    // astral unknown stays one codepoint, never a split surrogate pair
+    assert(TextAnalysis.unigramViterbi("a🎉b", lp, 2) ==
+      List("a", "🎉", "b"))
+    // exact score tie (logp(xy) = logp(x)+logp(y)): longer piece wins
+    val tie = Map("xy" -> -2.0, "x" -> -1.0, "y" -> -1.0)
+    assert(TextAnalysis.unigramViterbi("xy", tie, 2) == List("xy"))
+    // empty word
+    assert(TextAnalysis.unigramViterbi("", lp, 2) == Nil)
+  }
+
+  test("unigramTrain: hand-computed 2-round EM on a toy corpus") {
+    import graft.operators.TextAnalysis
+    // corpus = "ab" x4. Seed: a(4), b(4), ab(4) -> p = 1/3 each.
+    // EM round 1: segmentations of "ab": [ab] w=1/3, [a,b] w=1/9;
+    //   Z = 4/9; posterior(ab) = 3/4, posterior(a)=posterior(b) = 1/4;
+    //   expected counts x4 words: ab=3, a=1, b=1 -> p(ab)=3/5, rest 1/5.
+    // EM round 2: [ab] w=3/5, [a,b] w=1/25; Z=16/25; posterior(ab)=15/16;
+    //   counts: ab=3.75, a=b=0.25 -> p(ab)=15/17, p(a)=p(b)=1/17.
+    // (all posteriors dyadic, so micro-quantization is exact)
+    val df = Seq("ab ab ab ab").toDF("text")
+    val out = TextAnalysis.unigramTrain(df, "text", vocabSize = 3,
+      emIters = 2, seedSize = 10, maxPieceLen = 2, minSubstrCount = 1)
+      .as[(String, Double)].collect().toMap
+    assert(out.keySet == Set("a", "b", "ab"), out.toString)
+    assert(math.abs(out("ab") - StrictMath.log(15.0 / 17)) < 1e-9, out.toString)
+    assert(math.abs(out("a") - StrictMath.log(1.0 / 17)) < 1e-9, out.toString)
+    assert(math.abs(out("b") - StrictMath.log(1.0 / 17)) < 1e-9, out.toString)
+  }
+
+  test("unigramTrain prunes toward vocabSize, keeps every single codepoint, and is bit-deterministic") {
+    import graft.operators.TextAnalysis
+    val df = Seq("abc abc abc abd abd abd").toDF("text")
+    def train() = TextAnalysis.unigramTrain(df, "text", vocabSize = 5,
+      emIters = 2, seedSize = 16, maxPieceLen = 3, shrink = 0.6,
+      minSubstrCount = 2).as[(String, Double)].collect().toList
+    val t = train()
+    val m = t.toMap
+    // alphabet survives every prune
+    assert(Set("a", "b", "c", "d").subsetOf(m.keySet), t.toString)
+    assert(t.size == 5, s"prune missed the target: $t")
+    // quantized E-steps + total-ordered tie-breaks: two trains agree
+    // bit for bit
+    assert(t == train(), "unigram training is not deterministic")
+    // probabilities normalize (within float addition slack)
+    assert(math.abs(t.map(p => StrictMath.exp(p._2)).sum - 1.0) < 1e-6)
+  }
+
+  test("unigramEncode: Viterbi once per distinct word, declarative plan, doc counts restore empty docs") {
+    import graft.operators.TextAnalysis
+    val table = Seq(
+      TextAnalysis.UnigramPiece("ab", StrictMath.log(0.5)),
+      TextAnalysis.UnigramPiece("a", StrictMath.log(0.2)),
+      TextAnalysis.UnigramPiece("b", StrictMath.log(0.2)))
+    val df = Seq((1L, "abab ab"), (2L, "abc"), (3L, "")).toDF("doc_id", "text")
+    val enc = TextAnalysis.unigramEncode(df, "doc_id", "text", table)
+    val got = enc.as[(Long, Int, String, Seq[String], Int)].collect()
+      .map(r => (r._1, r._2, r._4.toList)).sortBy(t => (t._1, t._2)).toList
+    assert(got == List(
+      (1L, 0, List("ab", "ab")), (1L, 1, List("ab")),
+      (2L, 0, List("ab", "c"))), got.toString)
+    val counts = TextAnalysis.unigramDocPieceCount(df, "doc_id", "text", table)
+      .as[(Long, Long)].collect().toMap
+    assert(counts == Map(1L -> 3L, 2L -> 2L, 3L -> 0L), counts.toString)
   }
 
   test("bpeEncode segments with a trained table: hand-computed pieces") {

@@ -63,6 +63,43 @@ class SqlGenSpec extends SparkSpec {
     assertSameRows(op, re.orderBy("id"))
   }
 
+  test("golden text: WITH RECURSIVE closure twin is byte-exact on a fixed pairs frame") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    pairs.createOrReplaceTempView("_dcg_pairs")
+    // the reference asserts byte-identical SQL text (select.rs:57-104);
+    // this pins the recursive closure's emitted text the same way —
+    // formatting drift (CTE naming, level bound, DISTINCT placement)
+    // fails here even while result-equality still passes
+    val txt = graft.operators.Dedup.duplicateClustersSql(
+      "SELECT id_a, id_b FROM _dcg_pairs", maxIters = 3)
+    assert(txt ==
+      """WITH RECURSIVE _dc_p AS (
+        |SELECT id_a, id_b FROM _dcg_pairs
+        |), _dc_e (src, dst) AS (
+        |  SELECT `id_a`, `id_b` FROM _dc_p
+        |  UNION
+        |  SELECT `id_b`, `id_a` FROM _dc_p
+        |), _dc_reach (src, dst, lvl) AS (
+        |  SELECT src, dst, 0 FROM _dc_e
+        |  UNION ALL
+        |  SELECT DISTINCT r.src, e2.dst, r.lvl + 1
+        |  FROM _dc_reach r JOIN _dc_e e2 ON r.dst = e2.src
+        |  WHERE r.lvl < 3
+        |)
+        |SELECT src AS id, least(src, min(dst)) AS cluster
+        |FROM _dc_reach GROUP BY src""".stripMargin, txt)
+    // and the text the OPERATOR registers for its barrier (spliced by
+    // toSql) is the same closure with the convergence-frame columns
+    val op = graft.operators.Dedup.duplicateClusters(pairs)
+    val spliced = SqlGen.toSql(op)
+    assert(spliced.contains("WITH RECURSIVE _dc_p AS (") &&
+      spliced.contains("SELECT src AS id, least(src, min(dst)) AS label, " +
+        "least(src, min(dst)) AS new_label") &&
+      spliced.contains("WHERE r.lvl < 25"), spliced)
+    assertSameRows(op.orderBy("id"), spark.sql(spliced).orderBy("id"))
+  }
+
   test("roundtrip LEFT JOIN LATERAL (outer lateral prints ON TRUE)") {
     Tables.register(spark, sfDir)
     val df = spark.sql(
@@ -157,6 +194,18 @@ class SqlGenSpec extends SparkSpec {
     val bpeSql = SqlGen.toSql(bpe)
     assert(bpeSql.contains("bpe_segment(") && bpeSql.contains("a b"), bpeSql)
     assertSameRows(bpe, spark.sql(bpeSql))
+    // unigram_segment: piece table prints as an array of "piece logprob"
+    // (Double.toString round-trips bit-exactly through the SQL parser)
+    val table = Seq(
+      graft.operators.TextAnalysis.UnigramPiece("th", -1.5),
+      graft.operators.TextAnalysis.UnigramPiece("e", -2.25))
+    val ug = Tables.load(spark, sfDir, "documents").limit(4)
+      .select(graft.functions.TextKernelOps.unigramSegment(
+        substring(col("text"), 1, 6), table).as("pieces"))
+    val ugSql = SqlGen.toSql(ug)
+    assert(ugSql.contains("unigram_segment(") && ugSql.contains("th -1.5"),
+      ugSql)
+    assertSameRows(ug, spark.sql(ugSql))
     // media kernels: bare function names (no derived constants)
     val media = graft.operators.Multimodal.fromDocuments(
       Tables.load(spark, sfDir, "documents").select("doc_id", "text")).limit(4)
