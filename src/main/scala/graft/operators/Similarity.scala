@@ -2188,18 +2188,25 @@ object Similarity {
   private val maxRerankRows = 65536
 
   /** Row count of a batch-query frame WITHOUT a count() job when the
-    * optimizer already knows it: CBO row-count stats when present,
-    * then a LocalRelation's in-memory length (the literal-frame
-    * serving shape — ConvertToLocalRelation collapses
-    * project/filter-over-literals to one), and only then a count().
+    * plan states it EXACTLY: a LocalRelation's in-memory length (the
+    * literal-frame serving shape — ConvertToLocalRelation collapses
+    * project/filter-over-literals to one) or a Range's element count.
+    * Anything else pays a count(). `plan.stats.rowCount` is
+    * deliberately NOT consulted: under spark.sql.cbo.enabled it is a
+    * selectivity estimate on filtered/joined frames, and an
+    * undercount would steer the size guard into broadcasting a batch
+    * far past the autoBroadcastJoinThreshold budget — the memory
+    * cliff the guard exists to prevent.
     */
   private def cheapRowCount(df: DataFrame): Long = {
     val plan = df.queryExecution.optimizedPlan
-    plan.stats.rowCount.map(_.toLong).getOrElse(plan match {
+    plan match {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         l.data.length.toLong
+      case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
+        r.numElements.toLong
       case _ => df.count()
-    })
+    }
   }
 
   /** The auto size guard shared by every batch PQ probe (knnPqBatch /

@@ -622,10 +622,14 @@ object TextAnalysis {
       .toDF("pair", "n")
       .groupBy("pair").agg(sum("n").as("n"))
       .persist(mem)
-    // the previous generation stays persisted until the collect that
-    // materializes its successor has run (the successor's plan reads
-    // it); unpersisting earlier would force a full lineage recompute
-    var prevPairCounts: Option[DataFrame] = None
+    // the handle actually holding the pair table's cached data
+    // (pairCounts becomes a cheap filter VIEW over the join cache in
+    // broadcast-delta rounds, and unpersisting a view is a no-op)
+    var pairStore: DataFrame = pairCounts
+    // caches a successor plan still reads: they stay persisted until
+    // the collect that materializes that successor has run;
+    // unpersisting earlier would force a full lineage recompute
+    var prevGen: List[DataFrame] = Nil
     val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
     var done = false
     var rank = 1
@@ -641,9 +645,9 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair").asc)
         .limit(want * 4 + 4)
         .as[(String, Long)].collect()
-      // that collect materialized the current generation; the one it
-      // was derived from is now safe to drop
-      prevPairCounts.foreach(_.unpersist(false)); prevPairCounts = None
+      // that collect materialized the current generation; the caches
+      // its plan was derived from are now safe to drop
+      prevGen.foreach(_.unpersist(false)); prevGen = Nil
       if (cands.isEmpty) done = true
       else {
         // greedy disjoint selection: block each picked pair's symbols
@@ -688,9 +692,12 @@ object TextAnalysis {
           val next =
             if (round % 8 == 0) mapped.localCheckpoint()
             else mapped.persist(mem)
+          // cached so the cap-overflow fallback's union plan reuses
+          // this aggregation instead of re-running it (r11, advice)
           val deltas = next.flatMap(_._3)
             .toDF("pair", "dn")
             .groupBy("pair").agg(sum("dn").as("dn"))
+            .persist(mem)
           // bounded-driver pattern: collect the per-round delta set
           // under a cap so the table update is broadcast-join-only
           // (no pair-table shuffle); a pathological round (a merge
@@ -698,42 +705,66 @@ object TextAnalysis {
           // falls back to the full union+re-aggregate — exact either
           // way, never a driver cliff
           val deltaRows = deltas.limit(deltaCap + 1).collect()
-          val updated = if (deltaRows.length <= deltaCap) {
+          val oldStore = pairStore
+          if (deltaRows.length <= deltaCap) {
+            deltas.unpersist(false) // broadcast path reads only deltaRows
             val deltaDf = spark.createDataFrame(
               java.util.Arrays.asList(deltaRows: _*), deltas.schema)
-            // membership probe: which delta pairs already exist in the
-            // table (broadcast semi join — output ≤ |deltas| ≤ cap);
-            // the rest are NEW pairs created by this round's merges
-            val matched = pairCounts
-              .join(broadcast(deltaDf), Seq("pair"), "left_semi")
+            // ONE pair-table scan (r11, advice — was a semi-join probe
+            // PLUS a separate update join): the broadcast left join
+            // updates existing pairs and flags which delta pairs it
+            // matched; the collect below materializes the new
+            // generation's cache and returns the matched set in the
+            // same job (output ≤ |deltas| ≤ cap). Unmatched positive
+            // deltas are NEW pairs created by this round's merges.
+            val joined = pairCounts
+              .join(broadcast(deltaDf), Seq("pair"), "left")
+              .select(col("pair"),
+                (col("n") + coalesce(col("dn"), lit(0L))).as("n"),
+                col("dn").isNotNull.as("touched"))
+              .persist(mem)
+            val matched = joined.where(col("touched"))
               .select("pair").collect().map(_.getString(0)).toSet
             val newPairs = deltaRows.iterator
               .filter(r => !matched(r.getString(0)) && r.getLong(1) > 0)
               .map(r => (r.getString(0), r.getLong(1))).toSeq
-            val updatedBase = pairCounts
-              .join(broadcast(deltaDf), Seq("pair"), "left")
-              .select(col("pair"),
-                (col("n") + coalesce(col("dn"), lit(0L))).as("n"))
-              .where(col("n") > 0)
-            if (newPairs.isEmpty) updatedBase
-            else updatedBase.union(newPairs.toDF("pair", "n"))
+            val updatedBase = joined.where(col("n") > 0)
+              .select(col("pair"), col("n"))
+            val updated =
+              if (newPairs.isEmpty) updatedBase
+              else updatedBase.union(newPairs.toDF("pair", "n"))
+            if (round % 8 == 0) {
+              // eager + plan-free: the checkpointed generation no
+              // longer references any parent cache
+              pairCounts = updated.localCheckpoint()
+              pairStore = pairCounts
+              joined.unpersist(false)
+            } else {
+              // the matched collect already materialized `joined`, so
+              // the new generation is live as a cheap VIEW over it
+              pairCounts = updated
+              pairStore = joined
+            }
+            // new generation materialized → old cache drops NOW (no
+            // deferred-unpersist round trip on the broadcast path)
+            oldStore.unpersist(false)
           } else {
-            pairCounts
+            val updated = pairCounts
               .union(deltas.select(col("pair"), col("dn").as("n")))
               .groupBy("pair").agg(sum("n").as("n"))
               .where(col("n") > 0)
-          }
-          val oldGen = pairCounts
-          if (round % 8 == 0) {
-            // eager + plan-free: the checkpointed generation no longer
-            // references its parent, which can drop immediately
-            pairCounts = updated.localCheckpoint()
-            oldGen.unpersist(false)
-          } else {
-            // lazy: materializes at the NEXT round's candidate
-            // collect, whose plan still reads oldGen's cache
-            pairCounts = updated.persist(mem)
-            prevPairCounts = Some(oldGen)
+            if (round % 8 == 0) {
+              pairCounts = updated.localCheckpoint()
+              pairStore = pairCounts
+              deltas.unpersist(false)
+              oldStore.unpersist(false)
+            } else {
+              // lazy: materializes at the NEXT round's candidate
+              // collect, whose plan still reads oldStore + deltas
+              pairCounts = updated.persist(mem)
+              pairStore = pairCounts
+              prevGen = List(oldStore, deltas)
+            }
           }
           vocabStore.unpersist(false)
           vocabStore = next
@@ -743,8 +774,8 @@ object TextAnalysis {
       round += 1
     }
     vocabStore.unpersist(false)
-    prevPairCounts.foreach(_.unpersist(false))
-    pairCounts.unpersist(false)
+    prevGen.foreach(_.unpersist(false))
+    pairStore.unpersist(false)
     merges.toSeq.toDF("rank", "left", "right", "n")
   }
 

@@ -1153,8 +1153,9 @@ class SimilaritySpec extends SparkSpec {
       }
       spark.sparkContext.addSparkListener(l)
       try body finally {
-        // job-start events post asynchronously; give the bus a beat
-        Thread.sleep(1500)
+        // job-start events post asynchronously; drain the bus
+        org.apache.spark.graft.ListenerBusAccess
+          .waitUntilEmpty(spark.sparkContext)
         spark.sparkContext.removeSparkListener(l)
       }
       n.get()
@@ -2357,8 +2358,9 @@ class TextAnalysisSpec extends SparkSpec {
       }
       spark.sparkContext.addSparkListener(l)
       try body finally {
-        // job-start events post asynchronously; give the bus a beat
-        Thread.sleep(1500)
+        // job-start events post asynchronously; drain the bus
+        org.apache.spark.graft.ListenerBusAccess
+          .waitUntilEmpty(spark.sparkContext)
         spark.sparkContext.removeSparkListener(l)
       }
       n.get()
@@ -2445,7 +2447,8 @@ class TextAnalysisSpec extends SparkSpec {
       }
       spark.sparkContext.addSparkListener(l)
       try body finally {
-        Thread.sleep(1500)
+        org.apache.spark.graft.ListenerBusAccess
+          .waitUntilEmpty(spark.sparkContext)
         spark.sparkContext.removeSparkListener(l)
       }
       n.get()
