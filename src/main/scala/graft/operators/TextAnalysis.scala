@@ -1084,82 +1084,89 @@ object TextAnalysis {
       .as[(String, Long)]
       .map { case (w, n) => (codepointSyms(w).toArray, n) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // resource hygiene (round 11): `words` lives for the whole train —
+    // EVERY exit (empty-corpus return, normal completion, a failed EM
+    // job) must release it, so the body runs under one try/finally
+    // rather than per-path unpersist calls. Same stance for the
+    // seed-scoped `subs` cache and each EM round's broadcast below;
+    // pinned by the leaked-cache spec.
+    try {
+      // seed: one substring aggregate, two bounded collects
+      val subs = words.flatMap { case (cps, n) =>
+        val L = cps.length
+        for {
+          i <- (0 until L).iterator
+          l <- (1 to math.min(maxPieceLen, L - i)).iterator
+        } yield (cps.slice(i, i + l).mkString, n)
+      }.toDF("piece", "n").groupBy("piece").agg(sum("n").as("n"))
+        .as[(String, Long)]
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (singles, multi) =
+        try {
+          (subs.filter(t => cpLen(t._1) == 1).collect(), // ≤ |alphabet|
+           subs.filter(t => cpLen(t._1) > 1 && t._2 >= minSubstrCount)
+             .orderBy(col("n").desc, col("piece").asc)
+             .limit(seedSize).as[(String, Long)].collect())
+        } finally subs.unpersist(false)
+      if (singles.isEmpty) // empty corpus: nothing to learn
+        return Seq.empty[(String, Double)].toDF("piece", "logprob")
+      val seed = singles ++ multi
+      val seedTotal = seed.iterator.map(t => BigInt(t._2)).sum
+      val logTotal = StrictMath.log(seedTotal.toDouble)
+      var pieces: Map[String, Double] = seed.iterator
+        .map { case (p, n) => (p, StrictMath.log(n.toDouble) - logTotal) }
+        .toMap
+      var q: Map[String, Long] = Map.empty
 
-    // seed: one substring aggregate, two bounded collects
-    val subs = words.flatMap { case (cps, n) =>
-      val L = cps.length
-      for {
-        i <- (0 until L).iterator
-        l <- (1 to math.min(maxPieceLen, L - i)).iterator
-      } yield (cps.slice(i, i + l).mkString, n)
-    }.toDF("piece", "n").groupBy("piece").agg(sum("n").as("n"))
-      .as[(String, Long)]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val singles = subs.filter(t => cpLen(t._1) == 1).collect() // ≤ |alphabet|
-    val multi = subs.filter(t => cpLen(t._1) > 1 && t._2 >= minSubstrCount)
-      .orderBy(col("n").desc, col("piece").asc)
-      .limit(seedSize).as[(String, Long)].collect()
-    subs.unpersist(false)
-    if (singles.isEmpty) { // empty corpus: nothing to learn
-      words.unpersist(false)
-      return Seq.empty[(String, Double)].toDF("piece", "logprob")
-    }
-    val seed = singles ++ multi
-    val seedTotal = seed.iterator.map(t => BigInt(t._2)).sum
-    val logTotal = StrictMath.log(seedTotal.toDouble)
-    var pieces: Map[String, Double] = seed.iterator
-      .map { case (p, n) => (p, StrictMath.log(n.toDouble) - logTotal) }
-      .toMap
-    var q: Map[String, Long] = Map.empty
-
-    def emStep(): Unit = {
-      val bc = spark.sparkContext.broadcast((pieces, maxPieceLen))
-      val rows = words.flatMap { case (cps, n) =>
-        unigramExpectedCounts(cps, n, bc.value._1, bc.value._2)
-      }.toDF("piece", "q").groupBy("piece").agg(sum("q").as("q"))
-        .as[(String, Long)].collect() // bounded by |pieces|
-      bc.unpersist()
-      q = rows.toMap
-      val adjusted = pieces.keysIterator.map { p =>
-        val raw = q.getOrElse(p, 0L)
-        (p, if (cpLen(p) == 1) math.max(raw, 1L) else raw)
-      }.filter(_._2 > 0L).toSeq
-      val total = adjusted.iterator.map(t => BigInt(t._2)).sum
-      val lt = StrictMath.log(total.toDouble)
-      pieces = adjusted.iterator
-        .map { case (p, micro) =>
-          (p, StrictMath.log(micro.toDouble) - lt)
-        }.toMap
-    }
-
-    def prune(target: Int): Unit = {
-      val (sgl, mlt) = pieces.partition(t => cpLen(t._1) == 1)
-      val keepMulti = target - sgl.size
-      if (keepMulti >= mlt.size) return
-      // SentencePiece's prune loss: expected count × (own logprob −
-      // best alternative segmentation's score without the piece)
-      val scored = mlt.toSeq.map { case (p, lp) =>
-        val alt = unigramViterbiScore(p, pieces - p, maxPieceLen)
-        val freq = q.getOrElse(p, 0L).toDouble / 1e6
-        (p, lp, freq * (lp - alt))
+      def emStep(): Unit = {
+        val bc = spark.sparkContext.broadcast((pieces, maxPieceLen))
+        val rows =
+          try words.flatMap { case (cps, n) =>
+            unigramExpectedCounts(cps, n, bc.value._1, bc.value._2)
+          }.toDF("piece", "q").groupBy("piece").agg(sum("q").as("q"))
+            .as[(String, Long)].collect() // bounded by |pieces|
+          finally bc.unpersist()
+        q = rows.toMap
+        val adjusted = pieces.keysIterator.map { p =>
+          val raw = q.getOrElse(p, 0L)
+          (p, if (cpLen(p) == 1) math.max(raw, 1L) else raw)
+        }.filter(_._2 > 0L).toSeq
+        val total = adjusted.iterator.map(t => BigInt(t._2)).sum
+        val lt = StrictMath.log(total.toDouble)
+        pieces = adjusted.iterator
+          .map { case (p, micro) =>
+            (p, StrictMath.log(micro.toDouble) - lt)
+          }.toMap
       }
-      val kept = scored.sortBy(t => (-t._3, t._1))
-        .take(math.max(keepMulti, 0))
-      pieces = sgl ++ kept.iterator.map(t => (t._1, t._2))
-    }
 
-    var making = true
-    while (pieces.size > vocabSize && making) {
+      def prune(target: Int): Unit = {
+        val (sgl, mlt) = pieces.partition(t => cpLen(t._1) == 1)
+        val keepMulti = target - sgl.size
+        if (keepMulti >= mlt.size) return
+        // SentencePiece's prune loss: expected count × (own logprob −
+        // best alternative segmentation's score without the piece)
+        val scored = mlt.toSeq.map { case (p, lp) =>
+          val alt = unigramViterbiScore(p, pieces - p, maxPieceLen)
+          val freq = q.getOrElse(p, 0L).toDouble / 1e6
+          (p, lp, freq * (lp - alt))
+        }
+        val kept = scored.sortBy(t => (-t._3, t._1))
+          .take(math.max(keepMulti, 0))
+        pieces = sgl ++ kept.iterator.map(t => (t._1, t._2))
+      }
+
+      var making = true
+      while (pieces.size > vocabSize && making) {
+        (1 to emIters).foreach(_ => emStep())
+        val before = pieces.size
+        if (pieces.size > vocabSize)
+          prune(math.max(vocabSize,
+            math.ceil(pieces.size * shrink).toInt))
+        making = pieces.size < before
+      }
       (1 to emIters).foreach(_ => emStep())
-      val before = pieces.size
-      if (pieces.size > vocabSize)
-        prune(math.max(vocabSize,
-          math.ceil(pieces.size * shrink).toInt))
-      making = pieces.size < before
-    }
-    (1 to emIters).foreach(_ => emStep())
-    words.unpersist(false)
-    pieces.toSeq.sortBy(_._1).toDF("piece", "logprob")
+      pieces.toSeq.sortBy(_._1).toDF("piece", "logprob")
+    } finally words.unpersist(false)
   }
 
   /** Segment one word with a trained unigram table (driver form of

@@ -3273,6 +3273,115 @@ object Pipeline {
              |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
              |ORDER BY d.doc_id""".stripMargin)),
 
+    // t15's mix-allocation planning step on UNIGRAM piece counts —
+    // t27's twin for the SentencePiece family (round 11): same
+    // single map-side-combined aggregation over t34's oracle-gated
+    // per-doc counts; the rate column is what a sampling run budgets
+    // with when the tokenizer is unigram-LM rather than BPE.
+    Q("t35_mix_unigram",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val counts = TextAnalysis.unigramDocPieceCount(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text",
+          unigramFixedTable)
+        docs.select(col("doc_id"), col("source"))
+          .join(counts, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_unigram_pieces").as("n_tokens"))
+          .withColumn("rate", r6(least(lit(1.0),
+            lit(100000.0) / count(lit(1)).over(Window.partitionBy()) /
+              col("n_tokens"))))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("rate"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+             |      '[ \t\n\v\f\r]+'), x -> x <> '')) AS w
+             |  FROM documents
+             |), c AS (
+             |  SELECT doc_id,
+             |    sum(length(w)
+             |      - (length(w) - length(replace(w, 'qu', ''))) // 2
+             |      - (length(w) - length(replace(w, 'th', ''))) // 2
+             |      - (length(w) - length(replace(w, 'er', ''))) // 2
+             |    ) AS n
+             |  FROM w GROUP BY doc_id
+             |), t AS (
+             |  SELECT d.source, COUNT(*) AS n_docs,
+             |    CAST(SUM(COALESCE(c.n, 0)) AS BIGINT) AS n_tokens
+             |  FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+             |  GROUP BY d.source
+             |)
+             |SELECT source, n_docs, n_tokens,
+             |  FLOOR((LEAST(1.0, 100000.0 / (SELECT COUNT(*) FROM t)
+             |    / n_tokens)) * 1000000 + 0.5) / 1000000 AS rate
+             |FROM t ORDER BY source""".stripMargin)),
+
+    // t30's vocabulary-health report on the UNIGRAM encoder — the
+    // fertility / whole-word-rate / chars-per-piece table a tokenizer
+    // owner reads before committing a SentencePiece vocab (round 11).
+    // One posexplode + per-DISTINCT-word Viterbi + hash join, then a
+    // sources-sized rollup; the oracle replays the t34 dominance
+    // count per word instead of per document.
+    Q("t36_unigram_coverage",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val enc = TextAnalysis.unigramEncode(
+          docs.select(col("doc_id"), col("text")), "doc_id", "text",
+          unigramFixedTable)
+        docs.select(col("doc_id"), col("source"))
+          .join(enc, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_words"),
+            sum("n_pieces").as("n_pieces"),
+            sum(when(col("n_pieces") === 1, 1L).otherwise(0L))
+              .as("n_whole"),
+            sum(length(col("word")).cast("long")).as("n_chars"))
+          .select(col("source"), col("n_words"), col("n_pieces"),
+            col("n_whole"),
+            (col("n_pieces").cast("double") / col("n_words").cast("double"))
+              .as("fertility"),
+            (col("n_whole").cast("double") / col("n_words").cast("double"))
+              .as("whole_word_rate"),
+            (col("n_chars").cast("double") / col("n_pieces").cast("double"))
+              .as("chars_per_piece"))
+          .orderBy("source")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |    unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+             |      '[ \t\n\v\f\r]+'), x -> x <> '')) AS w
+             |  FROM documents
+             |), p AS (
+             |  SELECT doc_id, w,
+             |    length(w)
+             |      - (length(w) - length(replace(w, 'qu', ''))) // 2
+             |      - (length(w) - length(replace(w, 'th', ''))) // 2
+             |      - (length(w) - length(replace(w, 'er', ''))) // 2
+             |    AS np
+             |  FROM toks
+             |), g AS (
+             |  SELECT d.source, COUNT(*) AS n_words,
+             |    CAST(SUM(np) AS BIGINT) AS n_pieces,
+             |    CAST(SUM(CASE WHEN np = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_whole,
+             |    CAST(SUM(length(w)) AS BIGINT) AS n_chars
+             |  FROM p JOIN documents d USING (doc_id)
+             |  GROUP BY d.source
+             |)
+             |SELECT source, n_words, n_pieces, n_whole,
+             |  CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)
+             |    AS fertility,
+             |  CAST(n_whole AS DOUBLE) / CAST(n_words AS DOUBLE)
+             |    AS whole_word_rate,
+             |  CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)
+             |    AS chars_per_piece
+             |FROM g ORDER BY source""".stripMargin)),
+
     // PII redaction: the corpus itself is PII-free word soup, so each
     // doc gets deterministic synthetic PII appended (email, dotted
     // quad, 16-digit card, phone — all derived from doc_id), the

@@ -2530,6 +2530,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(t.map(p => StrictMath.exp(p._2)).sum - 1.0) < 1e-6)
   }
 
+  test("unigramTrain leaks no cached RDDs: word and substring caches release on every exit path") {
+    import graft.operators.TextAnalysis
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    // normal completion (EM + prune loop): words persists for the
+    // whole train, subs for the seed collects — both must be gone
+    val t = TextAnalysis.unigramTrain(
+      Seq("abc abc abd ab ab").toDF("text"), "text", vocabSize = 5,
+      emIters = 2, seedSize = 16, maxPieceLen = 3, minSubstrCount = 1)
+      .collect()
+    assert(t.nonEmpty)
+    org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(sc)
+    val leakedNormal = sc.getPersistentRDDs.keySet -- before
+    assert(leakedNormal.isEmpty,
+      s"unigramTrain leaked cached RDDs on the normal path: $leakedNormal")
+    // empty-corpus early return: the words cache must release too
+    assert(TextAnalysis.unigramTrain(
+      Seq.empty[String].toDF("text"), "text", vocabSize = 4).isEmpty)
+    org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(sc)
+    val leakedEmpty = sc.getPersistentRDDs.keySet -- before
+    assert(leakedEmpty.isEmpty,
+      s"unigramTrain leaked cached RDDs on the empty-corpus path: $leakedEmpty")
+  }
+
   test("unigramEncode: Viterbi once per distinct word, declarative plan, doc counts restore empty docs") {
     import graft.operators.TextAnalysis
     val table = Seq(
