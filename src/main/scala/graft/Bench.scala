@@ -50,15 +50,20 @@ object Bench {
       val (t, err) = timeOne(name, fn)
       (name, t, err)
     }
-    // Ambient-burst self-retry: a query over the gate budget
-    // (tools/bench_gate.py's rule — 2x max(baseline, 0.25s floor))
-    // re-runs ONCE after the sweep and reports the min of the two
-    // passes. A plan regression is slow in both passes; a co-tenant
-    // burst (round 7: six consecutive queries at 2.4-9.3x that
-    // re-measured at ~1x) never survives two passes separated by the
-    // rest of the sweep. Baseline missing/unparsable => no retries
-    // (first pass stands), so the bench never depends on the file.
-    val gateRatio = 2.0
+    // Ambient-burst self-retry: a query whose first pass exceeds
+    // 1.5x of max(baseline, 0.25s floor) re-runs ONCE after the
+    // sweep and reports the min of the two passes. The retry
+    // threshold sits BELOW the 2x gate (tools/bench_gate.py's rule)
+    // on purpose — round 10 retried only the block that crossed 2x
+    // while q03 kept a noisy 1.94x single run, leaving the gate one
+    // bad window from red; anything already eating >50% of its gate
+    // headroom deserves the second look (round-10 verdict task 1).
+    // A plan regression is slow in both passes; a co-tenant burst
+    // (round 7: six consecutive queries at 2.4-9.3x that re-measured
+    // at ~1x) never survives two passes separated by the rest of the
+    // sweep. Baseline missing/unparsable => no retries (first pass
+    // stands), so the bench never depends on the file.
+    val retryRatio = 1.5
     val gateFloorSec = 0.25
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "BENCH_BASELINE_QUERIES.json")
@@ -83,7 +88,7 @@ object Bench {
     val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = firstPass.map { case (name, t1, err1) =>
       val overBudget = err1.isEmpty && baseline.get(name)
-        .exists(b => t1 > gateRatio * math.max(b, gateFloorSec))
+        .exists(b => t1 > retryRatio * math.max(b, gateFloorSec))
       if (!overBudget) (name, t1, err1)
       else {
         System.err.println(f"[bench] $name%s first pass $t1%.2fs over " +
