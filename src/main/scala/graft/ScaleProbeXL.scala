@@ -68,31 +68,47 @@ object ScaleProbeXL {
       * gets shifted ids and the group token `zq<g>` interleaved
       * between words — same shingle set within a family, disjoint
       * shingle sets across families.
+      *
+      * Round 11: built with ONE explode(sequence) over the base scan
+      * instead of a rep-way unionByName — identical rows, but the
+      * plan stays O(1) in rep, which is what lets the 100× point
+      * (rep 2000) plan and codegen in milliseconds rather than
+      * minutes. The explode keeps the base file's partition count, so
+      * a repartition restores the parallelism the per-copy scans used
+      * to provide.
       */
-    def saltedDocs(rep: Int): DataFrame =
-      (0 until rep).map { i =>
-        val g = i / GroupSize
-        docs.select(
-          (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
-          regexp_replace(col("text"), " ", s" zq$g ").as("text"))
-      }.reduce(_ unionByName _)
+    def saltedDocs(rep: Int): DataFrame = {
+      val g = (col("i") / lit(GroupSize)).cast("int")
+      docs.select(explode(sequence(lit(0), lit(rep - 1))).as("i"),
+          col("doc_id"), col("text"))
+        .repartition(math.min(512, math.max(32, rep)))
+        .select(
+          (col("doc_id") + col("i").cast("long") * lit(10000000L)).as("doc_id"),
+          regexp_replace(col("text"), lit(" "),
+            concat(lit(" zq"), g.cast("string"), lit(" "))).as("text"))
+    }
 
     /** embeddings replicated rep× in GroupSize-copy families: copy i
       * circular-shifts the vector by its group index — norm-preserving
       * and (for these pseudo-random vectors) decorrelated across
       * families, exact twins within one.
       */
-    def saltedEmb(rep: Int): DataFrame =
-      (0 until rep).map { i =>
-        val g = i / GroupSize
-        val vec =
-          if (g == 0) col("embedding")
-          else concat(slice(col("embedding"), g + 1, dim - g),
-            slice(col("embedding"), 1, g))
-        emb.select(
-          (col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
-          vec.as("embedding"))
-      }.reduce(_ unionByName _)
+    def saltedEmb(rep: Int): DataFrame = {
+      // same explode(sequence) shape as saltedDocs; the shift is
+      // g mod dim so the expression stays valid past rep = 20·dim
+      // (the pair families that NEED cross-family decorrelation run
+      // at rep ≤ 200, far below the wrap)
+      val g = (col("i") / lit(GroupSize)).cast("int") % lit(dim)
+      emb.select(explode(sequence(lit(0), lit(rep - 1))).as("i"),
+          col("vec_id"), col("embedding"))
+        .repartition(math.min(512, math.max(32, rep)))
+        .select(
+          (col("vec_id") + col("i").cast("long") * lit(10000000L)).as("vec_id"),
+          when(g === 0, col("embedding"))
+            .otherwise(concat(
+              slice(col("embedding"), g + lit(1), lit(dim) - g),
+              slice(col("embedding"), lit(1), g))).as("embedding"))
+    }
 
     // ── dedup LSH: pairs must scale with families (rep/20), not corpus² ──
     if (fam("minhash")) for (rep <- reps) {
@@ -238,6 +254,23 @@ object ScaleProbeXL {
       val tProbe = (System.nanoTime() - tp0) / 1e9
       println(f"[probe-xl] lsh-index rep=$rep%-4d indexed=${d0 * rep}%-8d " +
         f"build=$tBuild%.1fs probe=$tProbe%.1fs pairs=$nPairs%-7d")
+    }
+
+    // ── incremental BPE trainer (round 11): the corpus is touched
+    // ONCE (the word-frequency groupBy); every merge round rides the
+    // persisted pair-delta table, whose size tracks word TYPES (the
+    // base vocabulary plus one zq<g> token per group), not corpus
+    // mass. Growing the corpus 100× must grow the train ~linearly in
+    // that single corpus stage with the per-round cost flat — a
+    // re-counting trainer would pay the corpus mass once per merge. ──
+    if (fam("bpe-train")) for (rep <- Seq(reps.min, reps.max)) {
+      val big = saltedDocs(rep)
+      val t0 = System.nanoTime()
+      val merges = operators.TextAnalysis
+        .bpeTrain(big, "text", numMerges = 5).collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe-xl] bpe-train rep=$rep%-4d docs=${d0 * rep}%-9d " +
+        f"merges=${merges.length} time=$sec%.1fs")
     }
 
     // ── persisted BM25 inverted index: fixed 3-query probe against a
