@@ -839,6 +839,24 @@ object Dedup {
       .option("parquet.bloom.filter.expected.ndv#id", "1000000")
       .parquet(path)
 
+  /** The buckets tree's layout policy, in ONE place (round 11):
+    * partitioned by band, range-sorted by (band, bucket) with a
+    * bucket bloom filter — what makes the probe's guarded bucket-set
+    * pushdown a row-group-pruned read. The 100× probe measured the
+    * old full (band, bucket) scan as the probe's only index-sized
+    * term (~1.8 s / 10⁶ indexed docs); narrow per-file bucket ranges
+    * + bloom turn it into ≤ |batch buckets| row-group reads, the
+    * same treatment the hashes tree's id point-reads already get.
+    */
+  private def writeSortedBuckets(banded: DataFrame, mode: String,
+                                 path: String): Unit =
+    banded.repartitionByRange(col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket")
+      .write.mode(mode).partitionBy("band")
+      .option("parquet.bloom.filter.enabled#bucket", "true")
+      .option("parquet.bloom.filter.expected.ndv#bucket", "1000000")
+      .parquet(path)
+
   def writeLshIndex(
       df: DataFrame, idCol: String, textCol: String, path: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): Unit = {
@@ -854,8 +872,8 @@ object Dedup {
     val sh = hashedCorpus(df, idCol, textCol, shingleK)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      bandedFromHashes(sh, "id", numHashes, bands)
-        .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
+      writeSortedBuckets(bandedFromHashes(sh, "id", numHashes, bands),
+        "overwrite", s"$path/buckets")
       // hashes land RANGE-SORTED by id with an id bloom filter: the
       // point-read verify (dedupAgainstLshIndex's static-In guard)
       // then skips row groups by id stats/bloom instead of reading
@@ -878,8 +896,11 @@ object Dedup {
     val sh = hashedCorpus(df, idCol, textCol, shingleK)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      bandedFromHashes(sh, "id", numHashes, bands)
-        .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
+      // appended buckets keep the sorted-by-bucket file layout (narrow
+      // bucket ranges per appended file + bloom), so bucket-set
+      // pushdown stays prunable across appends
+      writeSortedBuckets(bandedFromHashes(sh, "id", numHashes, bands),
+        "append", s"$path/buckets")
       // appended hashes keep the sorted-by-id file layout (narrow id
       // ranges per appended file + bloom), so point-read verifies
       // stay prunable across appends
@@ -985,11 +1006,36 @@ object Dedup {
     val spark = batch.sparkSession
     val (shingleK, numHashes, bands) = lshMetaOf(spark, path)
     val shB = scope.persistTracked(hashedCorpus(batch, idCol, textCol, shingleK))
-    val bIdx = spark.read.parquet(s"$path/buckets")
+    val bandedB = scope.persistTracked(
+      bandedFromHashes(shB, "id_right", numHashes, bands))
+    val bIdx0 = spark.read.parquet(s"$path/buckets")
       .select(col("id").as("id_left"), col("band"), col("bucket"))
+    // Guarded bucket-set pushdown (round 11 — the 100× probe's
+    // measured linear term): the candidate join can only ever match
+    // index rows whose BUCKET value appears in the batch's banding,
+    // and that set is batch-bounded (≤ |batch|·bands 64-bit hashes).
+    // When it fits the In cap it collects (off the cached batch
+    // banding — one cheap bounded job) and pushes into the buckets
+    // scan: with [[writeSortedBuckets]]'s range-sorted bloom-filtered
+    // layout the index-sized (band, bucket) scan becomes a row-group-
+    // pruned read. Band is deliberately NOT in the predicate — a
+    // partition column inside a mixed disjunction would block parquet
+    // pushdown, and cross-band bucket collisions are ~2⁻⁶⁴ noise that
+    // the join's exact (band, bucket) match removes anyway. A
+    // flood-scale batch (> maxIsinIds distinct buckets) keeps the
+    // full scan — the join stays exact either way, and the skew
+    // guard's per-(band, bucket) counts are complete for every group
+    // the filter retains (the predicate keeps or drops whole bucket
+    // VALUES, never part of a group).
+    val bIdx = {
+      val bs = bandedB.select("bucket").distinct()
+        .limit(maxIsinIds + 1).collect().map(_.get(0))
+      if (bs.length <= maxIsinIds)
+        bIdx0.where(col("bucket").isin(bs.toIndexedSeq: _*))
+      else bIdx0
+    }
     val cands = scope.persistTracked(crossCandidatesFromBanded(
-      bIdx, bandedFromHashes(shB, "id_right", numHashes, bands),
-      maxBucketSize))
+      bIdx, bandedB, maxBucketSize))
     val shIdx0 = spark.read.parquet(s"$path/hashes")
     // Guarded point-read of the indexed hash sets (round 9, the ANN
     // rerank's static-In stance): the verify join's indexed side used

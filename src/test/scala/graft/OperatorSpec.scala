@@ -355,6 +355,15 @@ class DedupSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l =>
       l.contains("PushedFilters") && l.contains("In(id")),
       s"candidate ids not pushed into the hashes scan:\n$plan")
+    // round 11: the candidate join's other index-sized read — the
+    // (band, bucket) scan — gets the same treatment: the batch's
+    // bounded bucket set reaches the buckets scan as a pushed In
+    // filter (with writeSortedBuckets' range-sorted bloom layout,
+    // row-group-pruned instead of index-sized — the 100× probe's
+    // measured linear term)
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(bucket")),
+      s"batch buckets not pushed into the buckets scan:\n$plan")
     Dedup.unpersistAll()
   }
 
