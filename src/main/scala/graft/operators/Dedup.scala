@@ -908,6 +908,55 @@ object Dedup {
     } finally sh.unpersist(false)
   }
 
+  /** Compact a persisted LSH index into a fresh tree (round 11 —
+    * the BM25 index's LSM compaction applied to the LSH lifecycle).
+    * The index is self-contained: the banding re-derives from the
+    * STORED hash sets under the stored meta parameters, so
+    * compaction never needs (or reads) corpus text. What it
+    * restores:
+    *
+    *  - the layout policy's pruning properties, which append streams
+    *    erode — every append adds files spanning its own full
+    *    id/bucket range, so after many appends a point-read or
+    *    bucket-set probe stops skipping row groups; the rewrite
+    *    re-sorts both trees globally.
+    *  - file count: one consolidated set of range-partitioned files
+    *    instead of per-append fragments.
+    *  - row dedup: [[lshIngestBatch]]'s crash-window replays leave
+    *    byte-identical duplicate rows (harmless to probes, which
+    *    distinct their output, but paid on every scan); the
+    *    hash-set distinct collapses them and the banding regenerates
+    *    once per surviving id.
+    *
+    * Same rebuild stance as [[writeLshIndex]]: targets a fresh path,
+    * the source index stays probe-able throughout, the caller swaps
+    * pointers when the write completes. The ingest log (if present)
+    * is carried forward so a streaming ingest resuming against the
+    * compacted path keeps its replay guard.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+                      srcPath: String, dstPath: String): Unit = {
+    val (shingleK, numHashes, bands) = lshMetaOf(spark, srcPath)
+    import spark.implicits._
+    Seq((shingleK, numHashes, bands))
+      .toDF("shingle_k", "num_hashes", "bands")
+      .repartition(1).write.mode("overwrite").parquet(s"$dstPath/meta")
+    val sh = spark.read.parquet(s"$srcPath/hashes").select("id", "sh")
+      .distinct() // replay duplicates are byte-identical rows
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeSortedBuckets(bandedFromHashes(sh, "id", numHashes, bands),
+        "overwrite", s"$dstPath/buckets")
+      writeSortedHashes(sh, "overwrite", s"$dstPath/hashes")
+    } finally sh.unpersist(false)
+    val srcLog = new org.apache.hadoop.fs.Path(s"$srcPath/ingest_log")
+    val fs = srcLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(srcLog))
+      spark.read.parquet(s"$srcPath/ingest_log")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$dstPath/ingest_log")
+  }
+
   /** One micro-batch of the streaming LSH ingest loop — the
     * foreachBatch body that closes the live-corpus cycle
     * admit → dedup → index on a persisted LSH index:

@@ -384,6 +384,48 @@ class DedupSpec extends SparkSpec {
       s"probe matched only one index generation: $leftIds")
   }
 
+  test("lsh index compaction: probe-identical, consolidates append fragments, collapses replay duplicates") {
+    val src = java.nio.file.Files.createTempDirectory("graft-lsh-csrc").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-lsh-cdst").toString
+    val first = docs.where($"doc_id" % 3 === 0)
+    val second = docs.where($"doc_id" % 3 === 1)
+    val batch = docs.where($"doc_id" % 3 === 2)
+    Dedup.writeLshIndex(first, "doc_id", "text", src)
+    Dedup.appendToLshIndex(second, "doc_id", "text", src)
+    // crash-window replay: the same append lands twice — byte-identical
+    // duplicate rows the probes tolerate but every scan pays for
+    Dedup.appendToLshIndex(second, "doc_id", "text", src)
+    val before = Dedup.dedupAgainstLshIndex(batch, "doc_id", "text", src)
+      .localCheckpoint() // sever from src so later reads can't shift
+    Dedup.unpersistAll()
+    Dedup.compactLshIndex(spark, src, dst)
+    // 1) probe-identical: same pairs, same jaccard values
+    assertSameRows(Dedup.dedupAgainstLshIndex(batch, "doc_id", "text", dst),
+      before)
+    Dedup.unpersistAll()
+    // 2) the duplicate hash rows are gone: one row per indexed id
+    val nSrc = spark.read.parquet(s"$src/hashes").count()
+    val nDst = spark.read.parquet(s"$dst/hashes").count()
+    val nIds = spark.read.parquet(s"$src/hashes").select("id")
+      .distinct().count()
+    assert(nSrc > nIds, "test setup: replay should have duplicated rows")
+    assert(nDst == nIds, s"compaction kept duplicates: $nDst != $nIds")
+    // 3) append fragments consolidate: fewer data files in both trees
+    def dataFiles(p: String): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(p))
+    }
+    assert(dataFiles(s"$dst/hashes") < dataFiles(s"$src/hashes"),
+      "compaction did not consolidate the hashes tree")
+    assert(dataFiles(s"$dst/buckets") < dataFiles(s"$src/buckets"),
+      "compaction did not consolidate the buckets tree")
+    // 4) meta carried: a probe of dst needs no parameters from src
+    assert(spark.read.parquet(s"$dst/meta").head() ==
+      spark.read.parquet(s"$src/meta").head())
+  }
+
   test("lsh index self-dedup equals minhashDuplicates without re-hashing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-self").toString
     Dedup.writeLshIndex(docs, "doc_id", "text", dir)
