@@ -32,7 +32,10 @@ object OpqSweepProbe {
 
     val emb = Tables.load(spark, sfDir, "embeddings")
       .select("vec_id", "embedding")
-    val queries = emb.where($"vec_id" % 100 === 0)
+    // materialized once: the batch probes' auto size guard plus each
+    // recall run re-evaluate the query frame's lineage otherwise
+    // (autoShuffleRerank's documented caller contract)
+    val queries = emb.where($"vec_id" % 100 === 0).localCheckpoint()
 
     def meanRecall(cb: Similarity.PqCodebook, of: Int): Double = {
       val r = Similarity.pqRecall(queries, "vec_id", "embedding",

@@ -79,9 +79,13 @@ object ScaleProbeXL {
       */
     def saltedDocs(rep: Int): DataFrame = {
       val g = (col("i") / lit(GroupSize)).cast("int")
-      docs.select(explode(sequence(lit(0), lit(rep - 1))).as("i"),
+      // repartition the BASE scan, then explode locally inside each
+      // task: same downstream parallelism as shuffling the exploded
+      // frame, at 1/rep the exchange bytes (at rep 2000 the other
+      // order would shuffle 2000× the corpus mass)
+      docs.repartition(math.min(512, math.max(32, rep)))
+        .select(explode(sequence(lit(0), lit(rep - 1))).as("i"),
           col("doc_id"), col("text"))
-        .repartition(math.min(512, math.max(32, rep)))
         .select(
           (col("doc_id") + col("i").cast("long") * lit(10000000L)).as("doc_id"),
           regexp_replace(col("text"), lit(" "),
@@ -99,9 +103,9 @@ object ScaleProbeXL {
       // (the pair families that NEED cross-family decorrelation run
       // at rep ≤ 200, far below the wrap)
       val g = (col("i") / lit(GroupSize)).cast("int") % lit(dim)
-      emb.select(explode(sequence(lit(0), lit(rep - 1))).as("i"),
+      emb.repartition(math.min(512, math.max(32, rep)))
+        .select(explode(sequence(lit(0), lit(rep - 1))).as("i"),
           col("vec_id"), col("embedding"))
-        .repartition(math.min(512, math.max(32, rep)))
         .select(
           (col("vec_id") + col("i").cast("long") * lit(10000000L)).as("vec_id"),
           when(g === 0, col("embedding"))

@@ -73,9 +73,13 @@ object UnigramScaleProbe {
     val cRatio = tcN / math.max(tc1, 1e-9)
     println(f"[probe-unigram] corpus 1x:  $tc1%6.2f s ($n1 pieces)")
     println(f"[probe-unigram] corpus ${cFactor}x: $tcN%6.2f s ($nN pieces)")
+    // the corpus-axis CONTRACT is ~flat (the EM loop must not touch
+    // the corpus at all), so the budget is a small constant over the
+    // base — NOT linear-times-headroom, which would wave through the
+    // exact corpus-mass leak this axis exists to catch
     println(f"[probe-unigram] corpus-axis ratio $cRatio%.2f " +
-      s"(linear budget $cFactor.0); verdict: " +
-      (if (tcN <= 1.5 * cFactor * math.max(tc1, 1.0)) "SUBLINEAR-OK"
+      s"(flat budget 3.0); verdict: " +
+      (if (tcN <= 3.0 * math.max(tc1, 1.0)) "FLAT-OK"
        else "OVER-BUDGET"))
 
     // ---- vocab axis: constant corpus, word types ×vFactor. The

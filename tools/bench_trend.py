@@ -27,12 +27,18 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def extract_pairs(text, known):
     """Every complete "name":number pair in the text whose name is a
-    baseline query (the tail may cut a pair mid-token; incomplete
-    fragments simply don't match)."""
+    baseline query. A pair only counts when the number is followed by
+    the JSON delimiter (, or }) — a tail cut mid-number would
+    otherwise match with a truncated (wrong) value; the float() guard
+    covers the residual 'cut right after an e' shape."""
     out = {}
-    for m in re.finditer(r'"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)', text):
+    for m in re.finditer(
+            r'"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)\s*[,}]', text):
         if m.group(1) in known:
-            out[m.group(1)] = float(m.group(2))
+            try:
+                out[m.group(1)] = float(m.group(2))
+            except ValueError:
+                pass
     return out
 
 
