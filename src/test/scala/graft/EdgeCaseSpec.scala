@@ -345,6 +345,32 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextAnalysis.bpeTrain(chars, "text", numMerges = 3).isEmpty)
   }
 
+  test("compactLshIndex edges: fresh never-appended index compacts probe-identically; no ingest_log means none is invented") {
+    import graft.operators.Dedup
+    val src = java.nio.file.Files.createTempDirectory("graft-clsh-s").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-clsh-d").toString
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "totally different words here now ok")).toDF("doc_id", "text")
+    Dedup.writeLshIndex(corpus, "doc_id", "text", src)
+    Dedup.compactLshIndex(spark, src, dst)
+    // a fresh single-generation index is already canonical: the
+    // compacted tree must carry the same rows and probe identically
+    assert(spark.read.parquet(s"$dst/hashes").count() == 3)
+    val batch = Seq((9L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    assertSameRows(
+      Dedup.dedupAgainstLshIndex(batch, "doc_id", "text", dst),
+      Dedup.dedupAgainstLshIndex(batch, "doc_id", "text", src))
+    Dedup.unpersistAll()
+    // a batch-built index has no ingest_log; compaction must not
+    // invent one (a phantom empty log would satisfy — and so mask —
+    // the replay guard's existence check)
+    assert(!new java.io.File(s"$dst/ingest_log").exists(),
+      "compaction invented an ingest_log the source never had")
+  }
+
   test("unigramTrain: empty corpus learns nothing; vocabSize below the alphabet stalls gracefully") {
     import graft.operators.TextAnalysis
     val empty = Seq.empty[String].toDF("text")
