@@ -1,6 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Retry trigger ratio — deliberately BELOW tools/bench_gate.py's
+    * 2.0× gate, so anything eating more than half its gate headroom
+    * gets re-measured before it can threaten the gate (round 11).
+    */
+  private[graft] val retryRatio = 1.5
+
+  /** Same floor as the gate: sub-second queries, where per-query
+    * constants dominate, don't trip retries on scheduler noise.
+    */
+  private[graft] val gateFloorSec = 0.25
+
+  /** Pure retry-trigger rule (spec-pinned): only a SUCCESSFUL first
+    * pass with a usable baseline entry can trip a retry.
+    */
+  private[graft] def needsRetry(t1: Double, err1: Option[String],
+                                baseline: Option[Double]): Boolean =
+    err1.isEmpty && baseline.exists(b =>
+      t1 > retryRatio * math.max(b, gateFloorSec))
+
+  /** Pure retry adjudication (spec-pinned): an ERRORED retry never
+    * replaces the successful first pass it was meant to confirm —
+    * the first measurement is valid, and the retry's fast-fail time
+    * would otherwise enter the artifact as a fabricated sub-budget
+    * result carrying an error for a query that ran. A successful
+    * retry reports the min of the two passes.
+    */
+  private[graft] def adjudicateRetry(t1: Double, t2: Double,
+      err2: Option[String]): (Double, Option[String]) =
+    if (err2.isDefined) (t1, None) else (math.min(t1, t2), None)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -62,9 +92,9 @@ object Bench {
     // (round 7: six consecutive queries at 2.4-9.3x that re-measured
     // at ~1x) never survives two passes separated by the rest of the
     // sweep. Baseline missing/unparsable => no retries (first pass
-    // stands), so the bench never depends on the file.
-    val retryRatio = 1.5
-    val gateFloorSec = 0.25
+    // stands), so the bench never depends on the file. The rule
+    // itself lives in Bench.needsRetry/adjudicateRetry (pure,
+    // spec-pinned).
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
       "BENCH_BASELINE_QUERIES.json")
     val baseline: Map[String, Double] =
@@ -87,20 +117,14 @@ object Bench {
       }
     val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = firstPass.map { case (name, t1, err1) =>
-      val overBudget = err1.isEmpty && baseline.get(name)
-        .exists(b => t1 > retryRatio * math.max(b, gateFloorSec))
-      if (!overBudget) (name, t1, err1)
+      if (!Bench.needsRetry(t1, err1, baseline.get(name))) (name, t1, err1)
       else {
         System.err.println(f"[bench] $name%s first pass $t1%.2fs over " +
           f"the ${retryRatio}%.1fx retry threshold — retrying once")
         val (t2, err2) = timeOne(name, selected(name))
         retried(name) = (t1, t2)
-        // an ERRORED retry never replaces a SUCCESSFUL first pass:
-        // the first measurement is valid, and the retry's fast-fail
-        // time would otherwise enter the artifact as a fabricated
-        // sub-budget result carrying an error for a query that ran
-        if (err2.isDefined) (name, t1, err1)
-        else (name, math.min(t1, t2), None)
+        val (t, err) = Bench.adjudicateRetry(t1, t2, err2)
+        (name, t, err)
       }
     }
     def jstr(s: String): String = SparkEntry.jsonStr(s)

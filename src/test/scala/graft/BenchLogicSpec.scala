@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-logic pins for the bench's self-retry adjudication — no
+  * SparkSession needed. The rule these pin caused a real round-11
+  * review finding: an errored retry must never replace a successful
+  * first pass with its fast-fail time.
+  */
+class BenchLogicSpec extends AnyFunSuite {
+
+  test("needsRetry trips only past 1.5x of max(baseline, floor), on success, with a baseline") {
+    // over threshold: 1.0s baseline → trigger at 1.5s
+    assert(Bench.needsRetry(1.51, None, Some(1.0)))
+    assert(!Bench.needsRetry(1.49, None, Some(1.0)))
+    // sub-floor baselines use the 0.25s floor: trigger at 0.375s
+    assert(Bench.needsRetry(0.40, None, Some(0.01)))
+    assert(!Bench.needsRetry(0.35, None, Some(0.01)))
+    // an errored first pass is not retried (its time is meaningless)
+    assert(!Bench.needsRetry(99.0, Some("boom"), Some(1.0)))
+    // no baseline entry → no retry (the bench never depends on the file)
+    assert(!Bench.needsRetry(99.0, None, None))
+  }
+
+  test("adjudicateRetry: errored retry keeps the valid first pass; successful retry reports the min") {
+    // the round-11 review finding: first pass 1.6s valid, retry
+    // fast-fails at 0.1s — the result must be (1.6, no error), never
+    // (0.1, error)
+    assert(Bench.adjudicateRetry(1.6, 0.1, Some("transient")) == (1.6, None))
+    // successful retry: min of the two passes, whichever side it is
+    assert(Bench.adjudicateRetry(1.6, 0.9, None) == (0.9, None))
+    assert(Bench.adjudicateRetry(0.8, 1.2, None) == (0.8, None))
+  }
+}

@@ -2581,6 +2581,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(t.map(p => StrictMath.exp(p._2)).sum - 1.0) < 1e-6)
   }
 
+  test("unigram train→encode integration: the learned table fully segments its own corpus; doc counts reconcile") {
+    import graft.operators.TextAnalysis
+    // the composition a user actually runs — trainer and encoder are
+    // pinned separately, this pins the HANDOFF: learned pieces
+    // survive the DataFrame roundtrip, every corpus word (plus a
+    // novel one) stays segmentable, and the per-doc counts are the
+    // per-occurrence counts summed
+    val df = Seq((1L, "abab cd abab"), (2L, "cd cd ab"), (3L, ""))
+      .toDF("doc_id", "text")
+    val table = TextAnalysis.unigramTrain(df, "text", vocabSize = 6,
+      emIters = 2, seedSize = 16, maxPieceLen = 4, minSubstrCount = 1)
+      .as[(String, Double)].collect()
+      .map { case (p, lp) => TextAnalysis.UnigramPiece(p, lp) }.toSeq
+    assert(table.nonEmpty)
+    val enc = TextAnalysis.unigramEncode(df, "doc_id", "text", table)
+      .select($"doc_id", $"word", $"pieces", $"n_pieces")
+      .as[(Long, String, Seq[String], Int)].collect()
+    assert(enc.nonEmpty)
+    enc.foreach { case (_, w, ps, n) =>
+      assert(ps.mkString == w, s"pieces $ps do not concatenate to '$w'")
+      assert(n == ps.size)
+    }
+    val perDoc = enc.groupBy(_._1).view.mapValues(_.map(_._4.toLong).sum)
+    val counts = TextAnalysis.unigramDocPieceCount(df, "doc_id", "text", table)
+      .as[(Long, Long)].collect().toMap
+    assert(counts.keySet == Set(1L, 2L, 3L), counts.toString)
+    assert(counts(3L) == 0L, "empty doc must be restored at 0")
+    perDoc.foreach { case (id, n) =>
+      assert(counts(id) == n, s"doc $id: count ${counts(id)} != encode sum $n")
+    }
+    // a word the trainer never saw still segments (UNK singles)
+    assert(TextAnalysis.unigramSegment("zq", table).mkString == "zq")
+  }
+
   test("unigramTrain leaks no cached RDDs: word and substring caches release on every exit path") {
     import graft.operators.TextAnalysis
     val sc = spark.sparkContext

@@ -275,6 +275,28 @@ class PlanAuditSpec extends SparkSpec {
       s"t15 aggregation not partial:\n$physical")
   }
 
+  test("t35/t36: unigram-family scans prune to used columns; corpus aggregates combine map-side") {
+    for (q <- Seq("t35_mix_unigram", "t36_unigram_coverage")) {
+      val df = build(q)
+      val plan = explain(df)
+      // the encode reads (doc_id, text), the rollup adds source — a
+      // scan of lang/n_chars would be 100 TB of wasted bytes
+      val schemas = plan.linesIterator
+        .filter(_.contains("ReadSchema")).toList
+      assert(schemas.nonEmpty, s"$q: no scans found")
+      assert(schemas.forall(s =>
+        !s.contains("lang") && !s.contains("n_chars")),
+        s"$q column pruning failed: $schemas")
+      // the corpus-touching aggregation combines map-side; t35's
+      // global rate window only ever sees the per-source frame
+      // (t15's stance — the t27/t30 twins inherit it)
+      val physical = df.queryExecution.executedPlan.toString
+      assert(physical.contains("partial_count") ||
+        physical.contains("partial_sum"),
+        s"$q aggregation not partial:\n$physical")
+    }
+  }
+
   test("s09/t22/t23/c02: documents scans prune to exactly the used columns") {
     // every session-4 text query reads (doc_id, text) or less — a scan
     // of lang/source/n_chars would be 100 TB of wasted bytes
