@@ -1263,10 +1263,27 @@ object Dedup {
     * DISTINCT xxhash64(text) set (8 bytes/doc — a 10¹²-doc corpus is
     * an 8 TB ledger, scannable; same collision stance as [[exact]]).
     */
+  /** The ledger tree's layout policy, in ONE place (round 11):
+    * range-sorted by content_hash with a hash bloom filter — what
+    * makes admission's guarded hash-set pushdown a row-group-pruned
+    * read (≤ |batch| row groups of an arbitrarily large ledger
+    * instead of a full-column anti-join scan; an 8 TB ledger at
+    * 10¹² docs stops being an 8 TB read per ingest batch).
+    */
+  private def writeLedgerHashes(h: DataFrame, mode: String,
+                                path: String): Unit =
+    h.repartitionByRange(col("content_hash"))
+      .sortWithinPartitions("content_hash")
+      .write.mode(mode)
+      .option("parquet.bloom.filter.enabled#content_hash", "true")
+      .option("parquet.bloom.filter.expected.ndv#content_hash", "1000000")
+      .parquet(path)
+
   def writeExactLedger(
       df: DataFrame, textCol: String, path: String): Unit =
-    df.select(xxhash64(col(textCol)).as("content_hash")).distinct()
-      .write.mode("overwrite").parquet(s"$path/hashes")
+    writeLedgerHashes(
+      df.select(xxhash64(col(textCol)).as("content_hash")).distinct(),
+      "overwrite", s"$path/hashes")
 
   /** Record a batch's content hashes in the ledger (append-only;
     * cross-generation duplicate hashes are harmless — admission is an
@@ -1275,8 +1292,27 @@ object Dedup {
     */
   def appendToExactLedger(
       df: DataFrame, textCol: String, path: String): Unit =
-    df.select(xxhash64(col(textCol)).as("content_hash")).distinct()
-      .write.mode("append").parquet(s"$path/hashes")
+    // appended hashes keep the sorted layout (narrow ranges per
+    // appended file + bloom), so admission pruning survives appends
+    writeLedgerHashes(
+      df.select(xxhash64(col(textCol)).as("content_hash")).distinct(),
+      "append", s"$path/hashes")
+
+  /** Compact a persisted exact-dedup ledger into a fresh tree
+    * (round 11 — the LSH/BM25 compaction stance for the simplest
+    * index): one distinct over the stored 8-byte column collapses
+    * cross-generation duplicate hashes, and the rewrite restores the
+    * globally-sorted layout append streams erode (each append's
+    * files span their own full hash range, so after many ingest
+    * cycles admission pruning degrades toward a full scan). Same
+    * rebuild stance as [[writeLshIndex]]: fresh path, source stays
+    * admissible throughout, caller swaps pointers.
+    */
+  def compactExactLedger(spark: org.apache.spark.sql.SparkSession,
+                         srcPath: String, dstPath: String): Unit =
+    writeLedgerHashes(
+      spark.read.parquet(s"$srcPath/hashes").distinct(),
+      "overwrite", s"$dstPath/hashes")
 
   /** Streaming admission against a persisted exact ledger: the
     * ingest-time twin of [[admitAgainstExactLedger]] — drop stream
@@ -1312,11 +1348,29 @@ object Dedup {
     */
   def admitAgainstExactLedger(
       batch: DataFrame, idCol: String, textCol: String,
-      path: String): DataFrame = {
+      path: String, scope: CacheScope = batchScope): DataFrame = {
     require(idCol != "survivor_id",
       "admitAgainstExactLedger: idCol must not be named survivor_id")
-    val led = batch.sparkSession.read.parquet(s"$path/hashes")
-    exact(batch, idCol, textCol)
+    val surv = scope.persistTracked(exact(batch, idCol, textCol))
+    val led0 = batch.sparkSession.read.parquet(s"$path/hashes")
+    // Guarded hash-set pushdown (round 11, the LSH probe's bucket
+    // stance): the anti-join can only ever MATCH ledger rows whose
+    // hash appears among the batch's survivors — a batch-bounded set.
+    // When it fits the In cap it collects (off the cached survivor
+    // frame) and pushes into the ledger scan: with
+    // [[writeLedgerHashes]]' sorted bloom layout that is ≤ |batch|
+    // row-group reads instead of a full-ledger scan. Dropping
+    // non-matching rows cannot change the anti-join's output (rows
+    // absent from the batch's hash set never matched anything), and
+    // a flood-scale batch keeps the full scan.
+    val led = {
+      val hs = surv.select("content_hash").distinct()
+        .limit(maxIsinIds + 1).collect().map(_.get(0))
+      if (hs.length <= maxIsinIds)
+        led0.where(col("content_hash").isin(hs.toIndexedSeq: _*))
+      else led0
+    }
+    surv
       .join(led, Seq("content_hash"), "left_anti")
       .join(batch, col("survivor_id") === col(idCol))
       .drop("survivor_id")

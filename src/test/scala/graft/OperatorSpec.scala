@@ -2815,6 +2815,48 @@ class TextAnalysisSpec extends SparkSpec {
     Dedup.appendToExactLedger(
       Seq("fresh alpha", "fresh beta").toDF("text"), "text", dir)
     assert(Dedup.admitAgainstExactLedger(batch, "doc_id", "text", dir).isEmpty)
+    Dedup.unpersistAll()
+    // round 11: the batch's bounded survivor-hash set reaches the
+    // ledger scan as a pushed In filter (with the sorted/bloom layout
+    // that is ≤ |batch| row-group reads, never a full-ledger scan)
+    val plan = Dedup.admitAgainstExactLedger(batch, "doc_id", "text", dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("In(content_hash")),
+      s"batch hashes not pushed into the ledger scan:\n$plan")
+    Dedup.unpersistAll()
+  }
+
+  test("exact ledger compaction: admission-identical, collapses cross-generation duplicates, consolidates files") {
+    import graft.operators.Dedup
+    val src = java.nio.file.Files.createTempDirectory("graft-led-c1").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-led-c2").toString
+    Dedup.writeExactLedger(
+      Seq("seen one", "seen two").toDF("text"), "text", src)
+    // direct appends (no admit) create cross-generation duplicate
+    // hashes — documented as harmless to admission, but paid by scans
+    Dedup.appendToExactLedger(
+      Seq("seen two", "seen three").toDF("text"), "text", src)
+    Dedup.appendToExactLedger(
+      Seq("seen three", "seen four").toDF("text"), "text", src)
+    Dedup.compactExactLedger(spark, src, dst)
+    val batch = Seq((1L, "seen four"), (2L, "brand new")).toDF("doc_id", "text")
+    val a = Dedup.admitAgainstExactLedger(batch, "doc_id", "text", src)
+      .select("doc_id").as[Long].collect().toSet
+    Dedup.unpersistAll()
+    val b = Dedup.admitAgainstExactLedger(batch, "doc_id", "text", dst)
+      .select("doc_id").as[Long].collect().toSet
+    Dedup.unpersistAll()
+    assert(a == Set(2L) && b == a, s"admission diverged: $a vs $b")
+    // duplicates collapse: 6 appended rows hold 4 distinct hashes
+    assert(spark.read.parquet(s"$src/hashes").count() == 6)
+    assert(spark.read.parquet(s"$dst/hashes").count() == 4)
+    // three write generations consolidate into fewer data files
+    def files(p: String): Int = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(s"$dst/hashes") < files(s"$src/hashes"),
+      "compaction did not consolidate the ledger files")
   }
 
   test("corpus line dedup drops corpus-common lines, keeps unique and blanks") {
