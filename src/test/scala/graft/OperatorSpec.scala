@@ -2828,6 +2828,55 @@ class TextAnalysisSpec extends SparkSpec {
     Dedup.unpersistAll()
   }
 
+  test("exact ledger layout: a bounded batch accepts O(|batch|) of many row groups by hash-range stats") {
+    import graft.operators.Dedup
+    import scala.jdk.CollectionConverters._
+    // the quantified form of the In(content_hash) pushdown claim: on
+    // the range-sorted layout, each batch hash can land in only the
+    // row group(s) whose [min,max] straddle it, so admission reads
+    // O(|batch|) groups of an arbitrarily large ledger. Small row
+    // groups make the property measurable at test scale.
+    val dir = java.nio.file.Files.createTempDirectory("graft-led-rg").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val old = Option(hconf.get("parquet.block.size"))
+    hconf.set("parquet.block.size", "131072")
+    try {
+      val corpus = spark.range(1000000L).select($"id".as("doc_id"),
+        concat(lit("doc text payload "), $"id").as("text"))
+      Dedup.writeExactLedger(corpus, "text", dir)
+    } finally old match {
+      case Some(v) => hconf.set("parquet.block.size", v)
+      case None => hconf.unset("parquet.block.size")
+    }
+    val batchHashes = spark.range(8)
+      .select(xxhash64(concat(lit("doc text payload "), $"id")))
+      .as[Long].collect().toSet
+    var total = 0; var accepted = 0
+    new java.io.File(s"$dir/hashes").listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            spark.sessionState.newHadoopConf()))
+        try reader.getFooter.getBlocks.asScala.foreach { rg =>
+          total += 1
+          val st = rg.getColumns.asScala
+            .map(c => c.getPath.toDotString -> c).toMap
+            .apply("content_hash").getStatistics
+          val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+          val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+          if (batchHashes.exists(h => h >= mn && h <= mx)) accepted += 1
+        } finally reader.close()
+      }
+    info(s"ledger: $total row groups, 8-hash batch accepts $accepted")
+    assert(total >= 40,
+      s"ledger did not produce enough row groups to measure: $total")
+    // each of the 8 hashes straddles at most a couple of groups —
+    // far from the full-scan the unsorted layout would force
+    assert(accepted <= 16,
+      s"batch accepted $accepted/$total row groups — layout not pruning")
+  }
+
   test("exact ledger compaction: admission-identical, collapses cross-generation duplicates, consolidates files") {
     import graft.operators.Dedup
     val src = java.nio.file.Files.createTempDirectory("graft-led-c1").toString
