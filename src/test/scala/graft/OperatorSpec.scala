@@ -426,6 +426,78 @@ class DedupSpec extends SparkSpec {
       spark.read.parquet(s"$src/meta").head())
   }
 
+  test("lsh buckets layout: a small batch's bucket set accepts a fraction of many row groups by range stats") {
+    import scala.jdk.CollectionConverters._
+    // the quantified form of the In(bucket) pushdown claim, the
+    // ledger measurement's twin: on the (band, bucket) range-sorted
+    // layout a SMALL batch's bucket set straddles few row groups.
+    // (Large batches saturate — ~|batch| buckets per band vs ~row
+    // groups per band — which is why the §4 text scopes file-level
+    // pruning to small batches; this pins the small-batch regime.)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-rg").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val old = Option(hconf.get("parquet.block.size"))
+    hconf.set("parquet.block.size", "131072")
+    try {
+      val corpus = spark.range(60000L).select($"id".as("doc_id"),
+        concat_ws(" ", (0 until 12).map(j =>
+          concat(lit(s"w$j"), ($"id" * 31 + j) % 9973)): _*).as("text"))
+      Dedup.writeLshIndex(corpus, "doc_id", "text", dir)
+    } finally old match {
+      case Some(v) => hconf.set("parquet.block.size", v)
+      case None => hconf.unset("parquet.block.size")
+    }
+    Dedup.unpersistAll()
+    // a 2-doc batch: ≤ 2 buckets per band in each band-local In set
+    val batch = spark.range(2).select(($"id" + 900000L).as("doc_id"),
+      concat_ws(" ", (0 until 12).map(j =>
+        concat(lit(s"w$j"), ($"id" * 31 + j) % 9973)): _*).as("text"))
+    Dedup.dedupAgainstLshIndex(batch, "doc_id", "text", dir).count()
+    Dedup.unpersistAll()
+    // the pushed per-band bucket sets, re-derived for the stats walk
+    // (the build defaults: 128 hashes, 16 bands, 3-shingles). Sets
+    // are band-LOCAL — exactly what each per-band scan pushes; a
+    // global union would leak every band's values into every band's
+    // files and prune nothing (the shape the probe deliberately
+    // avoids).
+    val byBand: Map[Int, Set[Long]] = batch.select(
+        posexplode(graft.functions.SketchOps.minhashBandBuckets(
+          graft.functions.SketchOps.minhashSig(
+            Dedup.shingleHashes(col("text"), 3), 128), 16))
+        .as(Seq("band", "bucket")))
+      .as[(Int, Long)].collect().groupBy(_._1)
+      .map { case (b, rs) => b -> rs.map(_._2).toSet }
+    var total = 0; var accepted = 0
+    def walk(f: java.io.File, bandBuckets: Set[Long]): Unit =
+      if (f.isDirectory) f.listFiles().foreach(walk(_, bandBuckets))
+      else if (f.getName.endsWith(".parquet")) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            spark.sessionState.newHadoopConf()))
+        try reader.getFooter.getBlocks.asScala.foreach { rg =>
+          total += 1
+          val st = rg.getColumns.asScala
+            .map(c => c.getPath.toDotString -> c).toMap
+            .apply("bucket").getStatistics
+          val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue
+          val mx = st.genericGetMax.asInstanceOf[java.lang.Long].longValue
+          if (bandBuckets.exists(b => b >= mn && b <= mx)) accepted += 1
+        } finally reader.close()
+      }
+    new java.io.File(s"$dir/buckets").listFiles()
+      .filter(_.getName.startsWith("band=")).foreach { bandDir =>
+        val band = bandDir.getName.stripPrefix("band=").toInt
+        walk(bandDir, byBand.getOrElse(band, Set.empty))
+      }
+    info(s"buckets: $total row groups; 2-doc batch accepts $accepted " +
+      s"with band-local sets")
+    assert(total >= 40,
+      s"buckets tree did not produce enough row groups: $total")
+    assert(accepted * 3 <= total,
+      s"small batch accepted $accepted/$total row groups — not pruning")
+  }
+
   test("lsh index self-dedup equals minhashDuplicates without re-hashing") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lsh-self").toString
     Dedup.writeLshIndex(docs, "doc_id", "text", dir)
