@@ -20,6 +20,19 @@ object Bench {
     err1.isEmpty && baseline.exists(b =>
       t1 > retryRatio * math.max(b, gateFloorSec))
 
+  /** Pure retried-artifact entry (spec-pinned, round 13 — ADVICE):
+    * both passes stay auditable, and an ERRORED retry's fast-fail
+    * time carries its error string as a third array element so it
+    * can never read as a legitimate sub-budget measurement.
+    */
+  private[graft] def retryArtifactValue(
+      t1: Double, t2: Double, err2: Option[String]): String = {
+    val tail = err2
+      .map(m => "," + SparkEntry.jsonStr("retry_error: " + m.take(200)))
+      .getOrElse("")
+    "[" + t1 + "," + t2 + tail + "]"
+  }
+
   /** Pure retry adjudication (spec-pinned): an ERRORED retry never
     * replaces the successful first pass it was meant to confirm —
     * the first measurement is valid, and the retry's fast-fail time
@@ -115,14 +128,15 @@ object Bench {
           s"(${e.getClass.getSimpleName}) — skipping self-retry")
         Map.empty
       }
-    val retried = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val retried =
+      scala.collection.mutable.LinkedHashMap[String, (Double, Double, Option[String])]()
     val results = firstPass.map { case (name, t1, err1) =>
       if (!Bench.needsRetry(t1, err1, baseline.get(name))) (name, t1, err1)
       else {
         System.err.println(f"[bench] $name%s first pass $t1%.2fs over " +
           f"the ${retryRatio}%.1fx retry threshold — retrying once")
         val (t2, err2) = timeOne(name, selected(name))
-        retried(name) = (t1, t2)
+        retried(name) = (t1, t2, err2)
         val (t, err) = Bench.adjudicateRetry(t1, t2, err2)
         (name, t, err)
       }
@@ -135,9 +149,10 @@ object Bench {
       s"${jstr(k)}:${jstr(m.take(300))}"
     }.mkString("{", ",", "}")
     // both passes of every retried query stay visible, so a reader can
-    // audit the adjudication instead of trusting the min
-    val retries = retried.map { case (k, (a, b)) =>
-      s"\"" + k + "\":[" + a + "," + b + "]"
+    // audit the adjudication instead of trusting the min; errored
+    // retries are marked — see [[retryArtifactValue]]
+    val retries = retried.map { case (k, (a, b, e2)) =>
+      s"\"" + k + "\":" + Bench.retryArtifactValue(a, b, e2)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Bench-gate headroom (round 10): the gate is per-query 2x of

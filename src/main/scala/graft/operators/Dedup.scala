@@ -941,9 +941,52 @@ object Dedup {
     * pointers when the write completes. The ingest log (if present)
     * is carried forward so a streaming ingest resuming against the
     * compacted path keeps its replay guard.
+    *
+    * ORDER MATTERS (round 13): the log copies FIRST, the data trees
+    * snapshot AFTER. [[lshIngestBatch]] writes data-then-log, so any
+    * batch present in the log at copy time has its rows fully landed
+    * before the later hashes listing — the compacted tree can never
+    * claim a batch it doesn't hold. A concurrent append landing
+    * AFTER the log copy is at worst data-without-log: the resumed
+    * stream replays it, which is a no-op re-append of idempotent
+    * rows (probe-identical by the crash-window contract). The
+    * REVERSE ordering (log last) had a data-loss window — an append
+    * landing between the hashes snapshot and the log copy produced a
+    * logged-but-absent batch the resumed stream silently skipped.
+    * Quiesce contract: concurrent appends during compaction are
+    * SAFE (replayed, never lost) but waste work re-ingesting; pause
+    * the ingest stream across the compact-and-swap for efficiency,
+    * not for correctness.
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
                       srcPath: String, dstPath: String): Unit = {
+    copyLshIngestLog(spark, srcPath, dstPath)
+    compactLshData(spark, srcPath, dstPath)
+  }
+
+  /** Log-copy leg of [[compactLshIndex]] — exposed at package scope
+    * only so the crash-window spec can interleave an append between
+    * the log copy and the data snapshot.
+    */
+  private[graft] def copyLshIngestLog(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
+    val srcLog = new org.apache.hadoop.fs.Path(s"$srcPath/ingest_log")
+    val fs = srcLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(srcLog))
+      spark.read.parquet(s"$srcPath/ingest_log")
+        .repartition(1).write.mode("overwrite")
+        .parquet(s"$dstPath/ingest_log")
+  }
+
+  /** Data-snapshot leg of [[compactLshIndex]]: meta + re-banded
+    * buckets + distinct'd hashes, all re-derived from the stored
+    * hash sets. Must run AFTER [[copyLshIngestLog]] — see the
+    * ordering contract there.
+    */
+  private[graft] def compactLshData(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, dstPath: String): Unit = {
     val (shingleK, numHashes, bands) = lshMetaOf(spark, srcPath)
     import spark.implicits._
     Seq((shingleK, numHashes, bands))
@@ -957,12 +1000,6 @@ object Dedup {
         "overwrite", s"$dstPath/buckets")
       writeSortedHashes(sh, "overwrite", s"$dstPath/hashes")
     } finally sh.unpersist(false)
-    val srcLog = new org.apache.hadoop.fs.Path(s"$srcPath/ingest_log")
-    val fs = srcLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(srcLog))
-      spark.read.parquet(s"$srcPath/ingest_log")
-        .repartition(1).write.mode("overwrite")
-        .parquet(s"$dstPath/ingest_log")
   }
 
   /** One micro-batch of the streaming LSH ingest loop — the
@@ -1337,6 +1374,17 @@ object Dedup {
     * cycles admission pruning degrades toward a full scan). Same
     * rebuild stance as [[writeLshIndex]]: fresh path, source stays
     * admissible throughout, caller swaps pointers.
+    *
+    * Quiesce contract (round-13 audit, alongside the
+    * [[compactLshIndex]] ordering fix): the ledger has no ingest log
+    * — appends are idempotent and admission is an anti-join — so
+    * there is no logged-but-absent data-loss window here. A
+    * concurrent [[appendToExactLedger]] landing after the distinct's
+    * file listing is simply missing from the compacted tree: its
+    * content can be admitted once more (a dedup MISS, never a lost
+    * document). Callers that cannot tolerate the miss should pause
+    * appends across the compact-and-swap, or re-append the racing
+    * batch's hashes to the new path (idempotent by design).
     */
   def compactExactLedger(spark: org.apache.spark.sql.SparkSession,
                          srcPath: String, dstPath: String): Unit =
@@ -1375,6 +1423,18 @@ object Dedup {
     * shuffles zero times beyond the survivor groupBy, and the ledger
     * is never read as text because it has none. Output: the admitted
     * batch rows + (content_hash, n_copies = within-batch multiplicity).
+    *
+    * Cache release contract (round 13): the RETURNED frame's plan
+    * references the scope-persisted survivor projection, so the
+    * cache must outlive consumption of the result — which is why
+    * this method cannot release it. One-shot callers on the default
+    * scope call [[unpersistAll]] after consuming. Long-lived ingest
+    * loops (one admission per arriving batch) MUST NOT accumulate on
+    * the shared [[batchScope]]: pass a per-batch `new CacheScope`,
+    * consume (write/append) the admitted rows eagerly, and
+    * `scope.release()` in a finally — the [[lshIngestBatch]]
+    * pattern. A frame consumed after release recomputes correctly;
+    * only the hash-once economy is lost.
     */
   def admitAgainstExactLedger(
       batch: DataFrame, idCol: String, textCol: String,

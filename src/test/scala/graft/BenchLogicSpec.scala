@@ -31,4 +31,18 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.adjudicateRetry(1.6, 0.9, None) == (0.9, None))
     assert(Bench.adjudicateRetry(0.8, 1.2, None) == (0.8, None))
   }
+
+  test("retryArtifactValue: errored retry's fast-fail time is marked, never a bare measurement") {
+    // clean retry: plain two-element array, both passes auditable
+    assert(Bench.retryArtifactValue(1.6, 0.9, None) == "[1.6,0.9]")
+    // errored retry (the round-12 ADVICE item): the fast-fail 0.1s
+    // carries its error string so no reader mistakes it for a pass
+    val marked = Bench.retryArtifactValue(1.6, 0.1, Some("boom: stage 3"))
+    assert(marked == "[1.6,0.1,\"retry_error: boom: stage 3\"]", marked)
+    // error strings are bounded and JSON-escaped
+    val long = Bench.retryArtifactValue(1.0, 0.1, Some("x" * 999))
+    assert(long.length < 300 && long.endsWith("\"]"), long)
+    val quoted = Bench.retryArtifactValue(1.0, 0.1, Some("a\"b"))
+    assert(quoted.contains("a\\\"b"), quoted)
+  }
 }

@@ -670,6 +670,63 @@ class StreamingSpec extends SparkSpec {
     Dedup.unpersistAll()
   }
 
+  test("lsh compaction crash window: append interleaved between log copy and data snapshot loses zero documents on stream resume") {
+    import graft.operators.Dedup
+    val src = java.nio.file.Files.createTempDirectory("graft-lshcw-s").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-lshcw-d").toString
+    val d1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val a = "red orange yellow green blue indigo violet ultraviolet"
+    val b = "one two three four five six seven eight"
+    Dedup.writeLshIndex(
+      Seq((1L, d1)).toDF("doc_id", "text"), "doc_id", "text", src)
+    // batch 0 ingested + logged through the streaming loop
+    Dedup.lshIngestBatch("doc_id", "text", src)(
+      Seq((10L, a)).toDF("doc_id", "text"), 0L)
+    Dedup.unpersistAll()
+    // compaction leg 1: the ingest log copies FIRST (round-13 order) …
+    Dedup.copyLshIngestLog(spark, src, dst)
+    // … the adversarial interleave: batch 1 lands on src INSIDE the
+    // compaction window (under the old log-last ordering this window,
+    // mirrored, produced a logged-but-absent batch that a resumed
+    // stream silently skipped — data loss) …
+    Dedup.lshIngestBatch("doc_id", "text", src)(
+      Seq((20L, b)).toDF("doc_id", "text"), 1L)
+    Dedup.unpersistAll()
+    // … compaction leg 2: the data snapshot
+    Dedup.compactLshData(spark, src, dst)
+    // invariant the ordering buys: log ⊆ data. dst's log must NOT
+    // claim batch 1 (its rows may or may not have made the snapshot —
+    // either is safe, because the resume below replays it)
+    val loggedBefore = spark.read.parquet(s"$dst/ingest_log")
+      .select("batch_id").as[Long].collect().toSet
+    assert(loggedBefore == Set(0L),
+      s"compacted log claims an in-window batch: $loggedBefore")
+    // stream resume against the compacted path re-offers batch 1:
+    // either a fresh append (rows missed the snapshot) or an
+    // all-rejected self-collision (rows made it) — both end with the
+    // batch present and logged
+    Dedup.lshIngestBatch("doc_id", "text", dst)(
+      Seq((20L, b)).toDF("doc_id", "text"), 1L)
+    Dedup.unpersistAll()
+    val srcIds = spark.read.parquet(s"$src/hashes")
+      .select("id").distinct().as[Long].collect().toSet
+    val dstIds = spark.read.parquet(s"$dst/hashes")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(dstIds == srcIds && dstIds == Set(1L, 10L, 20L),
+      s"documents lost across compaction + resume: src=$srcIds dst=$dstIds")
+    val loggedAfter = spark.read.parquet(s"$dst/ingest_log")
+      .select("batch_id").as[Long].collect().toSet
+    assert(loggedAfter == Set(0L, 1L), loggedAfter.toString)
+    // and the resumed index is probe-identical to the source
+    val probe = Seq((90L, "one two three four five six seven nine"))
+      .toDF("doc_id", "text")
+    def rows(p: String) =
+      Dedup.dedupAgainstLshIndex(probe, "doc_id", "text", p)
+        .collect().map(_.toString).sorted.toSeq
+    assert(rows(dst) == rows(src))
+    Dedup.unpersistAll()
+  }
+
   test("streaming semantic decontamination flags near-parallel vectors, statelessly") {
     import graft.operators.{Dedup, Similarity}
     implicit val sqlCtx = spark.sqlContext
