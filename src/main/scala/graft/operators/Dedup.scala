@@ -992,7 +992,12 @@ object Dedup {
     Seq((shingleK, numHashes, bands))
       .toDF("shingle_k", "num_hashes", "bands")
       .repartition(1).write.mode("overwrite").parquet(s"$dstPath/meta")
-    val sh = spark.read.parquet(s"$srcPath/hashes").select("id", "sh")
+    // takedown fold: tombstoned docs are physically absent from the
+    // rewrite, and the tombstones themselves are NOT carried — the
+    // compacted tree starts clean ([[deleteFromLshIndex]]'s lifecycle)
+    val sh = minusTombstones(
+        spark.read.parquet(s"$srcPath/hashes").select("id", "sh"),
+        lshTombstones(spark, srcPath), "id")
       .distinct() // replay duplicates are byte-identical rows
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
@@ -1001,6 +1006,55 @@ object Dedup {
       writeSortedHashes(sh, "overwrite", s"$dstPath/hashes")
     } finally sh.unpersist(false)
   }
+
+  /** Takedown/delete for a persisted LSH index (round 13): append the
+    * doc ids to `path/tombstones`. Every probe path anti-joins the
+    * tombstone set (bounded: takedowns are human-scale events, so the
+    * set broadcasts), making deleted docs PROBE-INVISIBLE immediately
+    * — no rebuild, no file rewrite. Physical removal happens at the
+    * next [[compactLshIndex]], which folds the tombstones into the
+    * rewrite and does not carry them to the compacted tree.
+    *
+    * Semantics are "as if never indexed": a future batch near-dup of
+    * a deleted doc is ADMITTED (the takedown point — the content must
+    * stop influencing curation), and a replayed ingest batch cannot
+    * resurrect a deleted doc because the ingest log retains the batch
+    * id (the replay is a no-op; spec-pinned). Deleting an id not in
+    * the index is a harmless no-op row. Idempotent: re-deletes
+    * collapse in the distinct'd read.
+    *
+    * Quiesce contract: a delete racing a running compaction may miss
+    * the rewrite (the compaction snapshots tombstones when it reads) —
+    * re-issue such deletes against the compacted path (idempotent)
+    * or pause deletes across compact-and-swap.
+    */
+  def deleteFromLshIndex(
+      ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .repartition(1).write.mode("append").parquet(s"$path/tombstones")
+
+  /** The distinct'd tombstone id set, if any — None on an index with
+    * no deletes (the common case pays one existence check, no read).
+    */
+  private def lshTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$path/tombstones").select("id").distinct())
+    else None
+  }
+
+  /** Anti-join `df` against a tombstone set on `key` (broadcast — the
+    * takedown set is bounded by definition; a corpus-scale delete is
+    * a rebuild, not a tombstone).
+    */
+  private def minusTombstones(
+      df: DataFrame, ts: Option[DataFrame], key: String): DataFrame =
+    ts.map(t => df.join(
+        broadcast(t.withColumnRenamed("id", key)), Seq(key), "left_anti"))
+      .getOrElse(df)
 
   /** One micro-batch of the streaming LSH ingest loop — the
     * foreachBatch body that closes the live-corpus cycle
@@ -1102,8 +1156,12 @@ object Dedup {
     val shB = scope.persistTracked(hashedCorpus(batch, idCol, textCol, shingleK))
     val bandedB = scope.persistTracked(
       bandedFromHashes(shB, "id_right", numHashes, bands))
-    val bIdx0 = spark.read.parquet(s"$path/buckets")
-      .select(col("id").as("id_left"), col("band"), col("bucket"))
+    // takedown filter first: tombstoned docs leave the candidate
+    // space before any pushdown regime or skew count sees them
+    val bIdx0 = minusTombstones(
+      spark.read.parquet(s"$path/buckets")
+        .select(col("id").as("id_left"), col("band"), col("bucket")),
+      lshTombstones(spark, path), "id_left")
     // Guarded bucket-set pushdown (round 11 — the 100× probe's
     // measured linear term): the candidate join can only ever match
     // index rows whose (band, bucket) appears in the batch's banding,
@@ -1247,8 +1305,10 @@ object Dedup {
   def selfDedupFromLshIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       threshold: Double = 0.5, maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val banded = spark.read.parquet(s"$path/buckets")
-      .select(col("id"), col("band"), col("bucket"))
+    val banded = minusTombstones(
+      spark.read.parquet(s"$path/buckets")
+        .select(col("id"), col("band"), col("bucket")),
+      lshTombstones(spark, path), "id")
     jaccardVerifyHashed(
       selfCandidatesFromBanded(banded, maxBucketSize),
       spark.read.parquet(s"$path/hashes"), threshold)
@@ -1388,9 +1448,45 @@ object Dedup {
     */
   def compactExactLedger(spark: org.apache.spark.sql.SparkSession,
                          srcPath: String, dstPath: String): Unit =
+    // takedown fold: tombstoned hashes leave the rewrite physically;
+    // tombstones are not carried (deleteFromExactLedger's lifecycle)
     writeLedgerHashes(
-      spark.read.parquet(s"$srcPath/hashes").distinct(),
+      ledgerMinusTombstones(
+        spark.read.parquet(s"$srcPath/hashes").distinct(),
+        ledgerTombstones(spark, srcPath)),
       "overwrite", s"$dstPath/hashes")
+
+  /** Takedown/delete for the exact-dedup ledger (round 13): append the
+    * docs' content hashes to `path/tombstones`. Admission anti-joins
+    * the tombstone set immediately, so deleted content becomes
+    * ADMITTABLE again — the post-hoc decontamination shape ("we
+    * ledgered benchmark text by mistake; let the clean recrawl back
+    * in") and the takedown shape (the hash itself is derived data the
+    * policy may require dropping). Physical removal at the next
+    * [[compactExactLedger]], which folds tombstones and does not
+    * carry them. Idempotent; unknown hashes are harmless.
+    */
+  def deleteFromExactLedger(
+      docs: DataFrame, textCol: String, path: String): Unit =
+    docs.select(xxhash64(col(textCol)).as("content_hash")).distinct()
+      .repartition(1).write.mode("append").parquet(s"$path/tombstones")
+
+  private def ledgerTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$path/tombstones")
+        .select("content_hash").distinct())
+    else None
+  }
+
+  private def ledgerMinusTombstones(
+      led: DataFrame,
+      ts: Option[DataFrame]): DataFrame =
+    ts.map(t => led.join(broadcast(t), Seq("content_hash"), "left_anti"))
+      .getOrElse(led)
 
   /** Streaming admission against a persisted exact ledger: the
     * ingest-time twin of [[admitAgainstExactLedger]] — drop stream
@@ -1408,8 +1504,9 @@ object Dedup {
   def streamingAdmitAgainstExactLedger(
       docs: DataFrame, textCol: String, tsCol: String, watermark: String,
       path: String, scope: CacheScope = streamingScope): DataFrame = {
-    val led = scope.persistTracked(
-      docs.sparkSession.read.parquet(s"$path/hashes"))
+    val led = scope.persistTracked(ledgerMinusTombstones(
+      docs.sparkSession.read.parquet(s"$path/hashes"),
+      ledgerTombstones(docs.sparkSession, path)))
     docs.withColumn("content_hash", xxhash64(col(textCol)))
       .join(led, Seq("content_hash"), "left_anti")
       .withWatermark(tsCol, watermark)
@@ -1453,13 +1550,13 @@ object Dedup {
     // non-matching rows cannot change the anti-join's output (rows
     // absent from the batch's hash set never matched anything), and
     // a flood-scale batch keeps the full scan.
-    val led = {
+    val led = ledgerMinusTombstones({
       val hs = surv.select("content_hash").distinct()
         .limit(maxIsinIds + 1).collect().map(_.get(0))
       if (hs.length <= maxIsinIds)
         led0.where(col("content_hash").isin(hs.toIndexedSeq: _*))
       else led0
-    }
+    }, ledgerTombstones(batch.sparkSession, path))
     surv
       .join(led, Seq("content_hash"), "left_anti")
       .join(batch, col("survivor_id") === col(idCol))

@@ -441,11 +441,21 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession, path: String,
       vacuum: Boolean = true): Unit = {
     val (gen, base) = readCurrentGen(spark, path)
-    committedPostings(spark, path, gen, base)
+    // takedown fold (round 13): applicable tombstones leave the
+    // rewrite physically, and the new cumulative stats row is the
+    // corrected one — from the new base onward the tombstones are
+    // below base and thus ignored by every probe, so a crash between
+    // the commit and the vacuum below cannot double-subtract
+    val ts = bm25Tombstones(spark, path, base)
+    val (tsDocs, tsToks) = tombstoneStatsAdjust(ts)
+    postingsMinusTombstones(
+      committedPostings(spark, path, gen, base), ts)
       .select("doc_id", "term", "dl", "tf", "tbucket")
       .write.mode("overwrite").partitionBy("tbucket")
       .parquet(s"$path/postings/gen=${gen + 1}")
     committedStats(spark, path, gen)
+      .select((col("n_docs") - tsDocs).as("n_docs"),
+        (col("n_tokens") - tsToks).as("n_tokens"))
       .repartition(1).write.mode("overwrite")
       .parquet(s"$path/stats/gen=${gen + 1}")
     commitCurrentGen(spark, path, gen + 1, gen + 1)
@@ -457,8 +467,77 @@ object Retrieval {
         val sp = new org.apache.hadoop.fs.Path(s"$path/stats/gen=$g")
         sp.getFileSystem(conf).delete(sp, true)
       }
+      // folded tombstones are dead weight (below the new base);
+      // dropping the tree is safe even mid-crash — leftovers are
+      // ignored by the base guard until the next vacuum
+      val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      tp.getFileSystem(conf).delete(tp, true)
     }
   }
+
+  /** Takedown/delete for a persisted BM25 index (round 13): record
+    * (doc_id, dl, gen_seen) tombstones under `path/tombstones`. Every
+    * probe anti-joins the tombstone set out of its postings read AND
+    * corrects the cumulative stats row (n_docs − |tombstones|,
+    * n_tokens − Σdl), so a deleted doc is probe-invisible with EXACT
+    * score parity to an index that never held it — df, idf and avgdl
+    * all match (spec-pinned). `dl` rides the tombstone so the stats
+    * correction never rescans postings at probe time.
+    *
+    * `gen_seen` (the committed generation at delete time) is the
+    * fold marker: a tombstone applies only while `gen_seen >= base`.
+    * [[compactBm25Index]] folds applicable tombstones into its
+    * rewrite and moves base past them, so a tombstone left behind by
+    * a crash between the compaction commit and its vacuum is
+    * IGNORED, never double-subtracted from the already-corrected
+    * stats. Deletes are idempotent (duplicate rows collapse in the
+    * distinct'd read); deleting an id the index doesn't hold writes
+    * nothing. A delete racing a running compaction may land a
+    * tombstone the rewrite no longer honors — re-issue it against
+    * the compacted index (same quiesce contract as the LSH lifecycle).
+    */
+  def deleteFromBm25Index(
+      spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, idCol: String, path: String): Unit = {
+    val (gen, base) = readCurrentGen(spark, path)
+    committedPostings(spark, path, gen, base)
+      .join(broadcast(ids.select(col(idCol).as("doc_id")).distinct()),
+        Seq("doc_id"))
+      .groupBy("doc_id").agg(max("dl").as("dl"))
+      .withColumn("gen_seen", lit(gen))
+      .repartition(1).write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Applicable tombstones at `base` — None when the index has no
+    * tombstone tree (the common case pays one existence check).
+    */
+  private def bm25Tombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      base: Int): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$path/tombstones")
+        .where(col("gen_seen") >= base)
+        .select("doc_id", "dl").distinct())
+    else None
+  }
+
+  private def postingsMinusTombstones(
+      postings: DataFrame, ts: Option[DataFrame]): DataFrame =
+    ts.map(t => postings.join(
+        broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+      .getOrElse(postings)
+
+  /** The 1-row (n_docs_deleted, n_tokens_deleted) correction — zero
+    * row-free when no tombstones apply.
+    */
+  private def tombstoneStatsAdjust(ts: Option[DataFrame]): (Long, Long) =
+    ts.map { t =>
+      val r = t.agg(count(lit(1)).as("nd"),
+        coalesce(sum("dl"), lit(0L)).cast("long").as("nt")).head()
+      (r.getLong(0), r.getLong(1))
+    }.getOrElse((0L, 0L))
 
   /** BM25 probe of a persisted index — identical results to [[bm25]]
     * on the indexed corpus (spec-pinned), without re-reading any
@@ -482,13 +561,23 @@ object Retrieval {
       .select(pmod(xxhash64(col("term")), lit(numBuckets.toLong))
         .cast("int").as("tb"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val matched = scope.persistTracked(
+    // takedown: tombstoned docs leave the postings read (so df counts
+    // exclude them too — dfreq derives from `matched`) and the stats
+    // row is corrected, giving exact parity with an index that never
+    // held them
+    val ts = bm25Tombstones(spark, path, base)
+    val matched = scope.persistTracked(postingsMinusTombstones(
       committedPostings(spark, path, gen, base)
         .where(col("tbucket").isin(buckets: _*))
         .join(broadcast(qterms.select("term").distinct()), Seq("term"))
-        .select("doc_id", "term", "dl", "tf"))
-    scoreTopK(matched, committedStats(spark, path, gen),
-      qterms, k, k1, b)
+        .select("doc_id", "term", "dl", "tf"), ts))
+    val (tsDocs, tsToks) = tombstoneStatsAdjust(ts)
+    val stats =
+      if (tsDocs == 0L) committedStats(spark, path, gen)
+      else committedStats(spark, path, gen)
+        .select((col("n_docs") - tsDocs).as("n_docs"),
+          (col("n_tokens") - tsToks).as("n_tokens"))
+    scoreTopK(matched, stats, qterms, k, k1, b)
   }
 
   /** Ingest-time BM25 flagging: score ARRIVING documents against a
@@ -525,8 +614,11 @@ object Retrieval {
     require(k1 > 0 && b >= 0 && b <= 1, s"bm25: need k1 > 0, b in [0,1]")
     val spark = docs.sparkSession
     val (curGen, curBase) = readCurrentGen(spark, path)
+    val ts = bm25Tombstones(spark, path, curBase)
+    val (tsDocs, tsToks) = tombstoneStatsAdjust(ts)
     val stats = committedStats(spark, path, curGen).head()
-    val (nDocs, nTokens) = (stats.getLong(0), stats.getLong(1))
+    val (nDocs, nTokens) = (stats.getLong(0) - tsDocs,
+      stats.getLong(1) - tsToks)
     require(nDocs > 0, s"bm25FlagAgainstIndex: empty index at $path")
     val avgdl = nTokens.toDouble / nDocs
 
@@ -548,8 +640,9 @@ object Retrieval {
         .withColumn("tb",
           pmod(xxhash64(col("term")), lit(numBuckets.toLong)).cast("int"))
       val tbs = vdf.select("tb").distinct().collect().map(_.getInt(0)).toSeq
-      committedPostings(spark, path, curGen, curBase)
-        .where(col("tbucket").isin(tbs: _*))
+      postingsMinusTombstones(
+        committedPostings(spark, path, curGen, curBase)
+          .where(col("tbucket").isin(tbs: _*)), ts)
         .join(broadcast(vdf.select("term")), Seq("term"))
         .groupBy("term").agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

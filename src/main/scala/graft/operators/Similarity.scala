@@ -687,6 +687,44 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Takedown/delete for a persisted IVF or IVF-PQ index (round 13 —
+    * both share the `cells` layout keyed by `id`): append the vector
+    * ids to `path/tombstones`. Every probe path anti-joins the
+    * tombstone set out of its pruned-cell scan BEFORE scoring/top-k,
+    * so a deleted vector is probe-invisible immediately and cannot
+    * crowd surviving vectors out of k or overfetch slots. Physical
+    * removal at the next rebuild ([[rebuildIvfIndex]] /
+    * [[rebuildIvfPqIndex]] fold tombstones and write a clean tree).
+    * Idempotent; unknown ids are harmless no-op rows. Replay safety:
+    * a replayed [[ivfPqIngestBatch]] is a no-op against its ingest
+    * log, so it cannot resurrect a deleted vector. Same quiesce
+    * contract as the LSH lifecycle: a delete racing a rebuild must
+    * be re-issued against the new path.
+    */
+  def deleteFromIvfIndex(
+      ids: DataFrame, idCol: String, path: String): Unit =
+    ids.select(col(idCol).as("id")).distinct()
+      .repartition(1).write.mode("append").parquet(s"$path/tombstones")
+
+  private def ivfTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.parquet(s"$path/tombstones").select("id").distinct())
+    else None
+  }
+
+  /** Anti-join the pruned-cell scan against the tombstone set
+    * (broadcast — takedowns are human-scale; a corpus-scale delete
+    * is a rebuild).
+    */
+  private def cellsMinusTombstones(
+      cells: DataFrame, ts: Option[DataFrame]): DataFrame =
+    ts.map(t => cells.join(broadcast(t), Seq("id"), "left_anti"))
+      .getOrElse(cells)
+
   /** Incrementally append vectors to a persisted IVF index: new rows
     * are assigned against the STORED centroids (identical tie-break
     * contract to the build's assignCells, any centroid strategy) and
@@ -792,7 +830,11 @@ object Similarity {
       "rebuildIvfIndex: newPath must differ from oldPath (overwrite " +
         "truncates the output before the read runs; swap pointers " +
         "after the rebuild lands)")
-    val stored = spark.read.parquet(s"$oldPath/cells").select("id", "vec")
+    // takedown fold: tombstoned vectors leave the rebuild physically
+    // and the tombstones are not carried — the new tree starts clean
+    val stored = cellsMinusTombstones(
+      spark.read.parquet(s"$oldPath/cells").select("id", "vec"),
+      ivfTombstones(spark, oldPath))
     writeIvfIndex(stored, "id", "vec", newPath, nCells, strategy)
   }
 
@@ -831,8 +873,10 @@ object Similarity {
       .sortBy { case (score, cell) => (-score, cell) }
       .take(nProbe).map(_._2)
     val q = typedlit(query.toSeq)
-    spark.read.parquet(s"$path/cells")
-      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+    cellsMinusTombstones(
+      spark.read.parquet(s"$path/cells")
+        .where(col("cell").isin(probeCells.toIndexedSeq: _*)),
+      ivfTombstones(spark, path))
       .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
@@ -861,9 +905,11 @@ object Similarity {
       .sortBy { case (score, cell) => (-score, cell) }
       .take(nProbe).map(_._2)
     val q = typedlit(query.toSeq)
-    spark.read.parquet(s"$path/cells")
-      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
-      .where(predicate)
+    cellsMinusTombstones(
+      spark.read.parquet(s"$path/cells")
+        .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+        .where(predicate),
+      ivfTombstones(spark, path))
       .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
@@ -1142,8 +1188,9 @@ object Similarity {
       .collect().map(_.getInt(0)).sorted
     val cells = spark.read.parquet(s"$path/cells")
     requireIntegralId(cells, "id")
-    cells
-      .where(col("cell").isin(probedCells.toIndexedSeq: _*))
+    cellsMinusTombstones(
+      cells.where(col("cell").isin(probedCells.toIndexedSeq: _*)),
+      ivfTombstones(spark, path))
       .join(broadcast(probes0), "cell")
       .select(col("query_id"), col("id"),
               VectorOps.cosine(col("vec"), col("qv")).as("cosine"))
@@ -2036,7 +2083,9 @@ object Similarity {
       .take(nProbe).map(_._2)
     val pruned0 = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(probeCells.toIndexedSeq: _*))
-    val pruned = predicate.map(pruned0.where).getOrElse(pruned0)
+    val pruned = cellsMinusTombstones(
+      predicate.map(pruned0.where).getOrElse(pruned0),
+      ivfTombstones(spark, path))
     pqCoarse(pruned, cb, query, k * overfetch)
       .select(col("id")).distinct()
   }
@@ -2152,11 +2201,18 @@ object Similarity {
     require(new org.apache.hadoop.fs.Path(oldPath) !=
         new org.apache.hadoop.fs.Path(newPath),
       "rebuildIvfPqIndex: newPath must differ from oldPath")
+    // takedown fold: the caller's current corpus may still carry
+    // vectors tombstoned on the old index — drop them before training
+    // so deleted content influences neither codebook nor centroids
+    val src = ivfTombstones(df.sparkSession, oldPath)
+      .map(t => df.join(
+        broadcast(t.withColumnRenamed("id", idCol)), Seq(idCol), "left_anti"))
+      .getOrElse(df)
     // opq=true retrains the rotation with the codebook — the rebuild
     // is the natural OPQ upgrade point for a drifted (or pre-OPQ)
     // index, since stored codes can't be re-rotated in place
-    val cb = pqTrainCodebook(df, idCol, vecCol, m, nCodes, opq = opq)
-    writeIvfPqIndex(df, idCol, vecCol, newPath, cb, nCells, strategy)
+    val cb = pqTrainCodebook(src, idCol, vecCol, m, nCodes, opq = opq)
+    writeIvfPqIndex(src, idCol, vecCol, newPath, cb, nCells, strategy)
   }
 
   /** Batch probe of a persisted IVF-PQ index — the serving shape for
@@ -2277,7 +2333,9 @@ object Similarity {
       .collect().map(_.getInt(0)).sorted
     val cells0 = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(probedCells.toIndexedSeq: _*))
-    val cells = predicate.map(cells0.where).getOrElse(cells0)
+    val cells = cellsMinusTombstones(
+      predicate.map(cells0.where).getOrElse(cells0),
+      ivfTombstones(spark, path))
     val adc = (0 until cb.m).map(s =>
       element_at(col("lut"),
         lit(s * cb.nCodes) + element_at(col("codes"), s + 1) + 1))

@@ -426,6 +426,62 @@ class DedupSpec extends SparkSpec {
       spark.read.parquet(s"$src/meta").head())
   }
 
+  test("lsh index takedown: deleted docs probe-invisible immediately, physically gone + tombstone-free after compaction, replay cannot resurrect") {
+    val src = java.nio.file.Files.createTempDirectory("graft-lsh-td1").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-lsh-td2").toString
+    // an 8-word family: d3 edits the LAST word of d2 (jaccard 5/7),
+    // twin edits the FIRST (jaccard vs d2 = 5/7, vs d3 = 4/8 = 0.5 —
+    // below the 0.6 probe threshold, so twin matches ONLY d2)
+    val d1 = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val d2 = "red orange yellow green blue indigo violet ultraviolet"
+    val d3 = "red orange yellow green blue indigo violet infrared"
+    val twin = "crimson orange yellow green blue indigo violet ultraviolet"
+    // 32 bands of 4 hashes: collision probability ≈ 1 at jaccard
+    // 0.714, so the 0.6-threshold verify decides matches, not banding
+    // luck (the verify filters the 0.5-jaccard twin/d3 pair out)
+    Dedup.writeLshIndex(
+      Seq((1L, d1), (3L, d3)).toDF("doc_id", "text"), "doc_id", "text", src,
+      numHashes = 128, bands = 32)
+    // d2 arrives through the streaming loop (logged batch 0; ingest
+    // threshold 0.8 admits it past its 0.714 twin d3)
+    Dedup.lshIngestBatch("doc_id", "text", src, threshold = 0.8)(
+      Seq((2L, d2)).toDF("doc_id", "text"), 0L)
+    Dedup.unpersistAll()
+    val probe = Seq((90L, twin)).toDF("doc_id", "text")
+    def probeIds(p: String) =
+      Dedup.dedupAgainstLshIndex(probe, "doc_id", "text", p, threshold = 0.6)
+        .select("id_left").as[Long].collect().toSet
+    def selfPairs(p: String) =
+      Dedup.selfDedupFromLshIndex(spark, p, threshold = 0.6)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(probeIds(src) == Set(2L), "setup: twin should match doc 2")
+    assert(selfPairs(src) == Set((2L, 3L)), "setup: (2,3) are near-dups")
+    Dedup.unpersistAll()
+    // takedown: doc 2 leaves every probe path immediately
+    Dedup.deleteFromLshIndex(Seq(2L).toDF("doc_id"), "doc_id", src)
+    assert(probeIds(src).isEmpty, "deleted doc still probe-visible")
+    assert(selfPairs(src).isEmpty, "deleted doc still in self-dedup")
+    Dedup.unpersistAll()
+    // compaction folds: physically absent, tombstones not carried,
+    // probes identical to the live (tombstone-filtered) source
+    Dedup.compactLshIndex(spark, src, dst)
+    val dstIds = spark.read.parquet(s"$dst/hashes")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(dstIds == Set(1L, 3L), s"compacted tree kept deleted rows: $dstIds")
+    assert(!new java.io.File(s"$dst/tombstones").exists(),
+      "compaction carried tombstones to the clean tree")
+    assert(probeIds(dst).isEmpty && selfPairs(dst).isEmpty)
+    Dedup.unpersistAll()
+    // replay safety: the ingest log carried batch 0, so a resumed
+    // stream re-offering it is a no-op — the deleted doc stays gone
+    Dedup.lshIngestBatch("doc_id", "text", dst, threshold = 0.8)(
+      Seq((2L, d2)).toDF("doc_id", "text"), 0L)
+    assert(spark.read.parquet(s"$dst/hashes")
+      .select("id").distinct().as[Long].collect().toSet == Set(1L, 3L),
+      "replayed batch resurrected a deleted doc")
+    Dedup.unpersistAll()
+  }
+
   test("lsh buckets layout: a small batch's bucket set accepts a fraction of many row groups by range stats") {
     import scala.jdk.CollectionConverters._
     // the quantified form of the In(bucket) pushdown claim, the
@@ -898,6 +954,101 @@ class SimilaritySpec extends SparkSpec {
     // read only centroids + per-cell counts, both present here
     val stats = Similarity.cellStats(spark, dir1)
     assert(stats.totalRows == emb.count() && stats.nCells == 8)
+  }
+
+  test("ivf takedown: deleted vectors probe-invisible on every probe path; rebuild removes physically and drops tombstones") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivf-tda").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivf-tdb").toString
+    val dirC = java.nio.file.Files.createTempDirectory("graft-ivf-tdc").toString
+    val cut = 400L
+    val first = emb.where($"vec_id" < cut)
+    val second = emb.where($"vec_id" >= cut)
+    // seeded centroids live in `first`, so A (never held `second`) and
+    // B (held-then-deleted) share exact geometry — probe parity is
+    // then the takedown contract "as if never appended", score-exact
+    Similarity.writeIvfIndex(first, "vec_id", "embedding", dirA, nCells = 8)
+    Similarity.writeIvfIndex(first, "vec_id", "embedding", dirB, nCells = 8)
+    Similarity.appendToIvfIndex(second, "vec_id", "embedding", dirB)
+    // pre-delete sanity: the appended vectors ARE probe-visible
+    val qv2 = second.orderBy("vec_id").select("embedding")
+      .head().getSeq[Float](0).toArray
+    assert(Similarity.knnIvfIndexed(spark, dirB, qv2, k = 3, nProbe = 8)
+      .collect().exists(_.getLong(0) >= cut),
+      "setup: appended vectors should be probe-visible before delete")
+    Similarity.deleteFromIvfIndex(
+      second.select("vec_id"), "vec_id", dirB)
+    // single probe, filtered probe, batch probe: all identical to the
+    // never-held index (deleted vectors can't crowd out k slots)
+    assertSameRows(
+      Similarity.knnIvfIndexed(spark, dirA, qv2, k = 10, nProbe = 3),
+      Similarity.knnIvfIndexed(spark, dirB, qv2, k = 10, nProbe = 3))
+    assertSameRows(
+      Similarity.knnIvfIndexedFiltered(spark, dirA, $"id" % 2 === 0,
+        qv2, k = 10, nProbe = 3),
+      Similarity.knnIvfIndexedFiltered(spark, dirB, $"id" % 2 === 0,
+        qv2, k = 10, nProbe = 3))
+    val qbatch = emb.orderBy("vec_id").limit(3)
+      .select("vec_id", "embedding")
+    assertSameRows(
+      Similarity.knnIvfBatchIndexed(spark, dirA, qbatch,
+        "vec_id", "embedding", k = 10, nProbe = 3),
+      Similarity.knnIvfBatchIndexed(spark, dirB, qbatch,
+        "vec_id", "embedding", k = 10, nProbe = 3))
+    // rebuild folds: physically absent, tombstones not carried, and
+    // (seeded off the surviving rows = `first`) probe-identical to A
+    Similarity.rebuildIvfIndex(spark, dirB, dirC, nCells = 8,
+      strategy = Similarity.SeededCentroids)
+    assert(spark.read.parquet(s"$dirC/cells")
+      .where($"id" >= cut).count() == 0,
+      "rebuild kept deleted vectors")
+    assert(!new java.io.File(s"$dirC/tombstones").exists(),
+      "rebuild carried tombstones to the clean tree")
+    assertSameRows(
+      Similarity.knnIvfIndexed(spark, dirA, qv2, k = 10, nProbe = 3),
+      Similarity.knnIvfIndexed(spark, dirC, qv2, k = 10, nProbe = 3))
+  }
+
+  test("ivfpq takedown: deleted vectors probe-invisible (single, filtered, batch) — exact parity with a never-held index") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-pq-tda").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-pq-tdb").toString
+    val cut = 400L
+    val first = emb.where($"vec_id" < cut)
+    val second = emb.where($"vec_id" >= cut)
+    // seeded centroids AND codebook from `first`: identical geometry
+    val cb = Similarity.pqSeededCodebook(first, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    Similarity.writeIvfPqIndex(first, "vec_id", "embedding", dirA, cb,
+      nCells = 8)
+    Similarity.writeIvfPqIndex(first, "vec_id", "embedding", dirB, cb,
+      nCells = 8)
+    Similarity.appendToIvfPqIndex(second, "vec_id", "embedding", dirB)
+    val qv2 = second.orderBy("vec_id").select("embedding")
+      .head().getSeq[Float](0).toArray
+    assert(Similarity.knnIvfPqIndexed(spark, dirB, emb, "vec_id",
+        "embedding", qv2, k = 3, nProbe = 8)
+      .collect().exists(_.getLong(0) >= cut),
+      "setup: appended vectors should be probe-visible before delete")
+    Similarity.deleteFromIvfIndex(
+      second.select("vec_id"), "vec_id", dirB)
+    // rerank corpus is the FULL emb on both sides: candidates must
+    // exclude deleted ids upstream, or B would resurface them here
+    assertSameRows(
+      Similarity.knnIvfPqIndexed(spark, dirA, emb, "vec_id", "embedding",
+        qv2, k = 10, nProbe = 3),
+      Similarity.knnIvfPqIndexed(spark, dirB, emb, "vec_id", "embedding",
+        qv2, k = 10, nProbe = 3))
+    assertSameRows(
+      Similarity.knnIvfPqIndexedFiltered(spark, dirA, emb, "vec_id",
+        "embedding", $"id" % 2 === 0, qv2, k = 10, nProbe = 3),
+      Similarity.knnIvfPqIndexedFiltered(spark, dirB, emb, "vec_id",
+        "embedding", $"id" % 2 === 0, qv2, k = 10, nProbe = 3))
+    val qbatch = emb.orderBy("vec_id").limit(3)
+      .select("vec_id", "embedding")
+    assertSameRows(
+      Similarity.knnIvfPqBatchIndexed(spark, dirA, emb, "vec_id",
+        "embedding", qbatch, "vec_id", "embedding", k = 10, nProbe = 3),
+      Similarity.knnIvfPqBatchIndexed(spark, dirB, emb, "vec_id",
+        "embedding", qbatch, "vec_id", "embedding", k = 10, nProbe = 3))
   }
 
   test("ivfpq batch probe equals the per-query indexed probe") {
@@ -2978,6 +3129,37 @@ class TextAnalysisSpec extends SparkSpec {
       .count(_.getName.endsWith(".parquet"))
     assert(files(s"$dst/hashes") < files(s"$src/hashes"),
       "compaction did not consolidate the ledger files")
+  }
+
+  test("exact ledger takedown: deleted content re-admits immediately, physically gone + tombstone-free after compaction") {
+    import graft.operators.Dedup
+    val src = java.nio.file.Files.createTempDirectory("graft-led-td1").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-led-td2").toString
+    Dedup.writeExactLedger(
+      Seq("seen one", "seen two").toDF("text"), "text", src)
+    val batch = Seq((1L, "seen one"), (2L, "brand new")).toDF("doc_id", "text")
+    def admitted(p: String): Set[Long] = {
+      val got = Dedup.admitAgainstExactLedger(batch, "doc_id", "text", p)
+        .select("doc_id").as[Long].collect().toSet
+      Dedup.unpersistAll()
+      got
+    }
+    assert(admitted(src) == Set(2L), "setup: ledgered content admitted")
+    // takedown: the hash leaves admission immediately — the post-hoc
+    // decontamination shape ("let the clean recrawl back in")
+    Dedup.deleteFromExactLedger(
+      Seq("seen one").toDF("text"), "text", src)
+    assert(admitted(src) == Set(1L, 2L),
+      "deleted ledger hash still blocks admission")
+    // (the streaming-admission twin of this subtraction is pinned in
+    // StreamingSpec — dropDuplicatesWithinWatermark rejects batch frames)
+    // compaction folds: one surviving hash, tombstones not carried
+    Dedup.compactExactLedger(spark, src, dst)
+    assert(spark.read.parquet(s"$dst/hashes").count() == 1,
+      "compaction kept the deleted hash")
+    assert(!new java.io.File(s"$dst/tombstones").exists(),
+      "compaction carried tombstones to the clean tree")
+    assert(admitted(dst) == Set(1L, 2L))
   }
 
   test("corpus line dedup drops corpus-common lines, keeps unique and blanks") {

@@ -149,6 +149,60 @@ class RetrievalSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("bm25 index takedown: exact parity with an index never holding the doc; compaction removes physically and drops tombstones") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25del-a").toString
+    val fresh = java.nio.file.Files.createTempDirectory("bm25del-b").toString
+    Retrieval.writeBm25Index(corpus, "doc_id", "text", dir, numBuckets = 8)
+    Retrieval.writeBm25Index(corpus.where(col("doc_id") =!= 2),
+      "doc_id", "text", fresh, numBuckets = 8)
+    val probes = queries(1 -> "spark join", 2 -> "spark streaming")
+    val scope = new Dedup.CacheScope
+    try {
+      // doc 2 dominates "spark" pre-delete; the takedown must remove
+      // it AND shift every other doc's score to the never-held stats
+      // (N, avgdl, df all change) — score-exact, not just row-set
+      Retrieval.deleteFromBm25Index(spark,
+        Seq(2L).toDF("id"), "id", dir)
+      assertSameRows(
+        Retrieval.bm25AgainstIndex(probes, "query_id", "query_text", dir,
+          k = 10, scope = scope),
+        Retrieval.bm25AgainstIndex(probes, "query_id", "query_text", fresh,
+          k = 10, scope = scope))
+      // ingest-time flagging sees the corrected stats + df too
+      val flagDocs = Seq((90L, "spark spark join")).toDF("doc_id", "text")
+      assert(
+        Retrieval.bm25FlagAgainstIndex(flagDocs, "doc_id", "text",
+          Seq(1 -> "spark join"), dir).collect().toSeq ==
+        Retrieval.bm25FlagAgainstIndex(flagDocs, "doc_id", "text",
+          Seq(1 -> "spark join"), fresh).collect().toSeq)
+      // compaction folds: postings physically clean, tombstones gone,
+      // stats row corrected — and the probe still matches fresh
+      Retrieval.compactBm25Index(spark, dir)
+      assert(!new java.io.File(s"$dir/tombstones").exists(),
+        "compaction did not drop the folded tombstones")
+      assert(spark.read.parquet(s"$dir/postings")
+        .where(col("doc_id") === 2).count() == 0,
+        "compaction left the deleted doc's postings")
+      assert(
+        spark.read.parquet(s"$dir/stats/gen=1").collect().toSeq ==
+        spark.read.parquet(s"$fresh/stats/gen=0").collect().toSeq,
+        "compacted stats diverged from the never-held index")
+      assertSameRows(
+        Retrieval.bm25AgainstIndex(probes, "query_id", "query_text", dir,
+          k = 10, scope = scope),
+        Retrieval.bm25AgainstIndex(probes, "query_id", "query_text", fresh,
+          k = 10, scope = scope))
+      // re-deleting the already-folded id is a harmless no-op
+      Retrieval.deleteFromBm25Index(spark,
+        Seq(2L).toDF("id"), "id", dir)
+      assertSameRows(
+        Retrieval.bm25AgainstIndex(probes, "query_id", "query_text", dir,
+          k = 10, scope = scope),
+        Retrieval.bm25AgainstIndex(probes, "query_id", "query_text", fresh,
+          k = 10, scope = scope))
+    } finally scope.release()
+  }
+
   test("append crash window is invisible; the retry lands exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("bm25crash").toString
     val base = corpus.where(col("doc_id") <= 3)

@@ -577,6 +577,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ledger admission honors takedown tombstones: deleted content admits") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sledtd").toString
+    Dedup.writeExactLedger(
+      Seq((1L, "ledger alpha"), (2L, "ledger beta")).toDF("doc_id", "text"),
+      "text", dir)
+    // takedown before the stream starts: the snapshot the query binds
+    // must already exclude the tombstoned hash
+    Dedup.deleteFromExactLedger(
+      Seq("ledger alpha").toDF("text"), "text", dir)
+    val mem = MemoryStream[StreamDoc]
+    val scope = new Dedup.CacheScope
+    val admitted = Dedup.streamingAdmitAgainstExactLedger(
+      mem.toDF(), "text", "ts", "1 hour", dir, scope)
+    val q = admitted.writeStream.format("memory").queryName("sledtd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        StreamDoc(10L, ts(0), "ledger alpha"),  // tombstoned → admitted
+        StreamDoc(11L, ts(1), "ledger beta"))   // still ledgered → rejected
+      q.processAllAvailable()
+      val got = spark.table("sledtd").select("doc_id").as[Long]
+        .collect().toSet
+      assert(got == Set(10L),
+        s"takedown not honored by streaming admission: $got")
+    } finally {
+      q.stop()
+      scope.release()
+    }
+  }
+
   test("streaming LSH ingest: admit → dedup → index, probe-identical to a batch rebuild") {
     import graft.operators.Dedup
     implicit val sqlCtx = spark.sqlContext
