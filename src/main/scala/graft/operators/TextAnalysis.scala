@@ -884,6 +884,52 @@ object TextAnalysis {
         coalesce(col("_bpe_n"), lit(0L)).as("n_bpe_pieces"))
   }
 
+  /** Streaming twin of [[bpeEncode]] (round 13): a stateless mapper —
+    * posexplode + the codegen'd segment kernel applied PER TOKEN
+    * OCCURRENCE, no distinct-word table, no join, no aggregation
+    * state — so it runs in append mode with no watermark and its
+    * output is row-identical to the batch encoder under any
+    * micro-batch slicing (spec-pinned). The merge table rides inside
+    * the expression literal (the [[streamingLmPerplexity]] broadcast-
+    * model stance). The statelessness trades the batch path's
+    * vocabulary-sized segment-once economy for per-occurrence
+    * segmentation — the right trade at ingest, where a micro-batch's
+    * occurrence count is near its vocabulary size anyway; re-encode
+    * the archived corpus with [[bpeEncode]] when amortization
+    * matters. Works unchanged on batch frames.
+    */
+  def streamingBpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                         merges: Seq[BpeMerge]): DataFrame = {
+    require(merges.nonEmpty, "streamingBpeEncode: empty merge table")
+    docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+      .select(col(idCol), col("pos"), col("word"),
+        graft.functions.TextKernelOps.bpeSegment(col("word"), merges)
+          .as("pieces"))
+      .select(col(idCol), col("pos"), col("word"), col("pieces"),
+        size(col("pieces")).as("n_pieces"))
+  }
+
+  /** Streaming twin of [[bpeDocPieceCount]]: ONE row per document,
+    * stateless — the per-token piece counts fold inside a single
+    * aggregate-over-transform expression on the bound token array, so
+    * zero-token documents emit 0 without the batch path's restore
+    * join. This is the budget row t27's mix-allocation planning
+    * consumes, producible at ingest time (spec-pinned row-identical
+    * to the batch path across micro-batch splits).
+    */
+  def streamingBpeDocPieceCount(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[BpeMerge]): DataFrame = {
+    require(merges.nonEmpty, "streamingBpeDocPieceCount: empty merge table")
+    docs.select(col(idCol),
+      aggregate(
+        transform(tokens(col(textCol)),
+          w => size(graft.functions.TextKernelOps.bpeSegment(w, merges))
+            .cast("long")),
+        lit(0L), (acc, x) => acc + x).as("n_bpe_pieces"))
+  }
+
   // ---- Unigram-LM (SentencePiece-style) tokenizer (round 10) ----
   // Public knowledge: Kudo 2018, "Subword Regularization: Improving
   // Neural Network Translation Models with Multiple Subword
@@ -1212,6 +1258,42 @@ object TextAnalysis {
     df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("_ug_n"), lit(0L)).as("n_unigram_pieces"))
+  }
+
+  /** Streaming twin of [[unigramEncode]] — [[streamingBpeEncode]]'s
+    * stateless-mapper contract with Viterbi segmentation: per-token-
+    * occurrence kernel, no distinct-word join, no state; append mode,
+    * row-identical to the batch encoder under any micro-batch
+    * slicing (spec-pinned). Works unchanged on batch frames.
+    */
+  def streamingUnigramEncode(
+      docs: DataFrame, idCol: String, textCol: String,
+      table: Seq[UnigramPiece]): DataFrame = {
+    require(table.nonEmpty, "streamingUnigramEncode: empty piece table")
+    docs.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "word")))
+      .select(col(idCol), col("pos"), col("word"),
+        graft.functions.TextKernelOps.unigramSegment(col("word"), table)
+          .as("pieces"))
+      .select(col(idCol), col("pos"), col("word"), col("pieces"),
+        size(col("pieces")).as("n_pieces"))
+  }
+
+  /** Streaming twin of [[unigramDocPieceCount]] —
+    * [[streamingBpeDocPieceCount]]'s one-row-per-document stateless
+    * fold, feeding t35's unigram mix budgets at ingest time.
+    */
+  def streamingUnigramDocPieceCount(
+      docs: DataFrame, idCol: String, textCol: String,
+      table: Seq[UnigramPiece]): DataFrame = {
+    require(table.nonEmpty,
+      "streamingUnigramDocPieceCount: empty piece table")
+    docs.select(col(idCol),
+      aggregate(
+        transform(tokens(col(textCol)),
+          w => size(graft.functions.TextKernelOps.unigramSegment(w, table))
+            .cast("long")),
+        lit(0L), (acc, x) => acc + x).as("n_unigram_pieces"))
   }
 
   /** Domain-affinity scoring for data selection (the DSIR/importance-

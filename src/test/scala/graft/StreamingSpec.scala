@@ -577,6 +577,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming BPE/unigram encode twins: row-identical to the batch encoders across micro-batch splits") {
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val merges = Seq(
+      TextAnalysis.BpeMerge(0, "t", "h", 9L),
+      TextAnalysis.BpeMerge(1, "th", "e", 9L),
+      TextAnalysis.BpeMerge(2, "e", "r", 7L),
+      TextAnalysis.BpeMerge(3, "o", "n", 7L),
+      TextAnalysis.BpeMerge(4, "a", "n", 6L))
+    val pieces = Seq(
+      TextAnalysis.UnigramPiece("the", -1.5),
+      TextAnalysis.UnigramPiece("th", -2.5),
+      TextAnalysis.UnigramPiece("er", -2.0),
+      TextAnalysis.UnigramPiece("an", -2.2),
+      TextAnalysis.UnigramPiece("e", -3.0),
+      TextAnalysis.UnigramPiece("a", -3.1))
+    // real corpus text, split across micro-batches mid-stream — the
+    // stateless twins must not care where the batch boundary falls
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).take(120)
+      .map { case (id, text) => StreamDoc(id, ts((id % 300).toInt), text) }
+    val batchDf = rows.toSeq.toDF()
+    def run(name: String)(mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Seq[String] = {
+      val mem = MemoryStream[StreamDoc]
+      val q = mk(mem.toDF()).writeStream.format("memory")
+        .queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        val (a, b) = rows.splitAt(rows.length / 2)
+        mem.addData(a.toIndexedSeq: _*)
+        q.processAllAvailable()
+        mem.addData(b.toIndexedSeq: _*)
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.toString).sorted.toSeq
+      } finally q.stop()
+    }
+    def want(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(run("sbpenc")(s =>
+        TextAnalysis.streamingBpeEncode(s, "doc_id", "text", merges)) ==
+      want(TextAnalysis.bpeEncode(batchDf, "doc_id", "text", merges)),
+      "streaming BPE encode diverged from batch")
+    assert(run("sbpdoc")(s =>
+        TextAnalysis.streamingBpeDocPieceCount(s, "doc_id", "text", merges)) ==
+      want(TextAnalysis.bpeDocPieceCount(batchDf, "doc_id", "text", merges)),
+      "streaming BPE doc piece count diverged from batch")
+    assert(run("sugenc")(s =>
+        TextAnalysis.streamingUnigramEncode(s, "doc_id", "text", pieces)) ==
+      want(TextAnalysis.unigramEncode(batchDf, "doc_id", "text", pieces)),
+      "streaming unigram encode diverged from batch")
+    assert(run("sugdoc")(s =>
+        TextAnalysis.streamingUnigramDocPieceCount(
+          s, "doc_id", "text", pieces)) ==
+      want(TextAnalysis.unigramDocPieceCount(batchDf, "doc_id", "text", pieces)),
+      "streaming unigram doc piece count diverged from batch")
+  }
+
   test("streaming ledger admission honors takedown tombstones: deleted content admits") {
     import graft.operators.Dedup
     implicit val sqlCtx = spark.sqlContext
