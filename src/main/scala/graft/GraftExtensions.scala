@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryMinu
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioEnergySig, BpeSegmentExpr, UnigramSegmentExpr, CharNgramHashes, DotProduct, HyperplaneSigs, ImageDHash, MatVec, MediaFeaturesExpr, MinHashBandBuckets, MinHashSig, NearestCentroid, PqEncodeCodes, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
+import graft.functions.{AudioEnergySig, BpeSegmentExpr, UnigramSegmentExpr, CharNgramHashes, DotProduct, FnvHash64, HyperplaneSigs, ImageDHash, MatVec, MediaFeaturesExpr, MinHashBandBuckets, MinHashSig, NearestCentroid, PqEncodeCodes, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
 
 /** Session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql` users get the codegen'd
@@ -20,6 +20,7 @@ import graft.functions.{AudioEnergySig, BpeSegmentExpr, UnigramSegmentExpr, Char
   *   simhash64(hashes)             — 64-bit simhash of array<bigint>
   *   token_shingle_hashes(s, k)    — distinct word-k-shingle hashes
   *   char_ngram_hashes(s, n)       — distinct char-n-gram hashes
+  *   fnv_hash64(s)                 — FNV-1a codepoint hash of a string
   *   token_window_hashes(s, k)     — positional word-k-window hashes
   *   topk_rows(struct(ord,id), k)  — bounded-heap top-k aggregate
   *   minhash_sig(hashes, k, seed)  — k-permutation MinHash signature
@@ -87,6 +88,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity(args, 2, "char_ngram_hashes")
         CharNgramHashes(args(0), intArg(args(1), "char_ngram_hashes", 2))
+      }),
+    ("fnv_hash64",
+      new ExpressionInfo(classOf[FnvHash64].getName, "fnv_hash64"),
+      (args: Seq[Expression]) => {
+        arity(args, 1, "fnv_hash64"); FnvHash64(args(0))
       }),
     ("token_window_hashes",
       new ExpressionInfo(classOf[TokenWindowHashes].getName, "token_window_hashes"),

@@ -181,6 +181,17 @@ object TextKernels {
     * and codegen): delegate to the canonical greedy merge loop in
     * `TextAnalysis.bpeSegment`, wrap the pieces for Catalyst.
     */
+  /** FNV-1a of a whole string, folding codepoints — the single-word
+    * form of the shingle/window hashes above, exposed for feature
+    * hashing ([[graft.operators.Featurize]]) so the bucket hash is
+    * DuckDB-replayable with the d03 HUGEINT idiom (`unicode(ch)` fold
+    * with mod-2⁶⁴ wraparound), unlike xxhash64.
+    */
+  def fnvHash64Kernel(s: UTF8String): Long = {
+    val str = s.toString
+    fnvRange(str, 0, str.length)
+  }
+
   def bpeSegmentKernel(w: UTF8String,
       rank: Map[(String, String), Int]): ArrayData = {
     val pieces = graft.operators.TextAnalysis.bpeSegment(w.toString, rank)
@@ -199,6 +210,37 @@ object TextKernels {
     new GenericArrayData(
       pieces.map(p => UTF8String.fromString(p): Any).toArray)
   }
+}
+
+/** Expression wrapper: FNV-1a codepoint hash of a string (see
+  * [[TextKernels.fnvHash64Kernel]]).
+  */
+case class FnvHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"fnv_hash64 expects string, got ${other.simpleString}")
+    }
+
+  override def sql: String = s"fnv_hash64(${child.sql})"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.fnvHash64Kernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kern = TextKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev,
+      in => s"${ev.value} = $kern.fnvHash64Kernel($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FnvHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "fnv_hash64"
 }
 
 /** Expression wrapper: distinct word-k-shingle hashes of a string. */
@@ -463,6 +505,8 @@ case class UnigramSegmentExpr(word: Expression, pieces: Expression)
 }
 
 object TextKernelOps {
+  def fnvHash64(text: Column): Column =
+    GraftBridge.column(FnvHash64(GraftBridge.expression(text)))
   def tokenShingleHashes(text: Column, k: Int): Column =
     GraftBridge.column(TokenShingleHashes(GraftBridge.expression(text), k))
   def charNgramHashes(text: Column, n: Int): Column =

@@ -57,7 +57,12 @@ object Featurize {
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = df.agg(count(lit(1)).as("n_docs"))
 
-    val h = xxhash64(col("term"))
+    // FNV-1a codepoint hash (round 13, was xxhash64): same collision
+    // class for the hashing trick, but DuckDB-replayable with the d03
+    // HUGEINT idiom — what lets QualityModel.score be oracle-GATED
+    // (c09). With a power-of-two dim, unsigned-mod in the oracle
+    // equals Spark's signed pmod (2⁶⁴ ≡ 0 mod 2ᵏ).
+    val h = graft.functions.TextKernelOps.fnvHash64(col("term"))
     val bucket = pmod(h, lit(dim.toLong)).cast("int")
     // an independent bit of the same hash (bit 32 — above the bucket
     // bits for any sane dim): ±1 sign, exact long bit ops

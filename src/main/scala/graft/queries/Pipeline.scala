@@ -73,6 +73,23 @@ object Pipeline {
     TextAnalysis.UnigramPiece("t", -6.0),
     TextAnalysis.UnigramPiece("a", -6.0))
 
+  /** Fixed literal quality-model weights for c09 and its oracle (the
+    * s19/t34 fixed-artifact stance: training is driver-side and
+    * deterministic but not SQL-replayable, so the ORACLE-gated entry
+    * scores with a pinned model — the corpus-scale half is what runs
+    * at 100 TB and what the oracle must replay). Weights are a simple
+    * deterministic ramp over the residues mod 101, quantization-safe:
+    * floor(k/100·1e6 + 0.5) = k·10⁴ exactly for |k| ≤ 50.
+    */
+  private val qmFixedDim = 256
+  private val qmFixedBias = -0.25
+  private val qmFixedModel = graft.operators.QualityModel.LinearModel(
+    qmFixedDim, qmFixedBias,
+    Array.tabulate(qmFixedDim)(j => ((j * 37) % 101 - 50) / 100.0))
+  private val qmFixedWeightsQ: IndexedSeq[Long] =
+    qmFixedModel.weights.toIndexedSeq
+      .map(w => math.floor(w * 1e6 + 0.5).toLong)
+
   /** Separator for the oracle's flat-string symbol encoding: U+001F
     * (unit separator), a control char that never appears in the test
     * corpora (and cannot survive `tokens`' whitespace-split as part
@@ -4271,6 +4288,71 @@ object Pipeline {
              |  top_label, top_label_n,
              |  CAST(top_label_n AS DOUBLE) / CAST(n_vecs AS DOUBLE)
              |    AS purity
-             |FROM g JOIN top ON g.c = top.c ORDER BY cluster""".stripMargin))
+             |FROM g JOIN top ON g.c = top.c ORDER BY cluster""".stripMargin)),
+
+    // Learned quality classifier SCORING with a fixed literal model
+    // (round 13): the corpus-scale half of QualityModel — hashed
+    // tf·idf features (FNV-1a bucket hash, sign bit 32), 6-decimal
+    // scaled-long features × quantized weights accumulated in
+    // decimal(38,0), margin = bias + Σ/1e12. The oracle replays the
+    // ENTIRE feature pipeline: FNV in HUGEINT with mod-2⁶⁴ wraparound
+    // (the d03 idiom; dim=256 is a power of two, so unsigned mod
+    // equals Spark's signed pmod), the same IEEE weight sequence, the
+    // same integer accumulation, the 256 quantized weights inlined as
+    // a VALUES table. quality_prob is r6-rounded on both sides (the
+    // t29 exp stance).
+    Q("c09_quality_score",
+      (s, dir) => {
+        graft.operators.QualityModel.score(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            qmFixedModel)
+          .select(col("doc_id"), col("margin"),
+            r6(col("quality_prob")).as("quality_prob"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf
+             |  FROM toks GROUP BY doc_id, term
+             |), dfreq AS (
+             |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+             |), nd AS (
+             |  SELECT COUNT(*) AS n_docs FROM documents
+             |), h AS (
+             |  SELECT doc_id, tf, df,
+             |    list_reduce([CAST(14695981039346656037 AS HUGEINT)] ||
+             |      [CAST(unicode(ch) AS HUGEINT) for ch in string_split(tf.term, '')],
+             |      (hh, c2) -> (xor(hh, c2) * 1099511628211) % 18446744073709551616) AS hh
+             |  FROM tf JOIN dfreq USING (term)
+             |), b AS (
+             |  SELECT doc_id, CAST(hh % $qmFixedDim AS INT) AS bucket,
+             |    CAST(FLOOR(CAST(tf AS DOUBLE)
+             |      * ((n_docs + 1) / (df + 1))
+             |      * (CASE WHEN (hh // 4294967296) % 2 = 0
+             |         THEN 1.0 ELSE -1.0 END)
+             |      * 1000000 + 0.5) AS BIGINT) AS v6
+             |  FROM h, nd
+             |), bk AS (
+             |  SELECT doc_id, bucket, SUM(v6) AS v6
+             |  FROM b GROUP BY doc_id, bucket
+             |), wq(bucket, w6) AS (
+             |  VALUES ${(0 until qmFixedDim)
+                   .map(j => s"($j, ${qmFixedWeightsQ(j)})").mkString(", ")}
+             |), m AS (
+             |  SELECT doc_id,
+             |    SUM(CAST(w6 AS HUGEINT) * CAST(v6 AS HUGEINT)) AS s
+             |  FROM bk JOIN wq USING (bucket) GROUP BY doc_id
+             |), sc AS (
+             |  SELECT d.doc_id,
+             |    ($qmFixedBias) + CAST(coalesce(s, 0) AS DOUBLE)
+             |      / 1000000000000.0 AS margin
+             |  FROM documents d LEFT JOIN m USING (doc_id)
+             |)
+             |SELECT doc_id, margin,
+             |  ${r6sql("1.0 / (1.0 + exp(-margin))")} AS quality_prob
+             |FROM sc ORDER BY doc_id""".stripMargin))
   )
 }
