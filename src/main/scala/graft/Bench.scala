@@ -89,7 +89,22 @@ object Bench {
           graft.operators.Dedup.unpersistAll()
       ((System.nanoTime() - t0) / 1e9, err)
     }
-    val firstPass = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Sweep order (round 13 — context-sensitivity instrumentation):
+    // the default name-order is what every recorded sweep ran; an
+    // order-randomized sweep (SPARK_GRAFT_BENCH_ORDER=shuffled:<seed>)
+    // isolates which queries' in-sweep cost depends on WHAT RAN
+    // BEFORE THEM (cache/JIT/GC context) rather than on their own
+    // plan — the §4 context-sensitivity protocol. Seeded so a sweep
+    // is reproducible; the order string lands in the artifact.
+    val orderSpec = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "name")
+    val ordered = {
+      val base = selected.toSeq.sortBy(_._1)
+      if (orderSpec.startsWith("shuffled")) {
+        val seed = orderSpec.split(":").lift(1).map(_.toLong).getOrElse(13L)
+        new scala.util.Random(seed).shuffle(base)
+      } else base
+    }
+    val firstPass = ordered.map { case (name, fn) =>
       val (t, err) = timeOne(name, fn)
       (name, t, err)
     }
@@ -173,7 +188,7 @@ object Bench {
           s""""max_query":${jstr(worstName)},"n":${ratios.size}}"""
       }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retries,"headroom":$headroom,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retries,"headroom":$headroom,"order":${jstr(orderSpec)},"sf":"$sfDir"}"""
     println(full)
     // Truncation-proofing, twice over: bounded stdout captures have
     // lost the head (round 3) and the per-query tail (round 4) of the

@@ -24,6 +24,21 @@ import sys
 FLOOR_SEC = 0.25
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Queries whose in-sweep cost measurably depends on what ran before
+# them (SURVEY.md §4 "Context-sensitive queries": order-randomized
+# sweep score >= 0.5, plus the two historical same-tree swing cases).
+# The trend table marks a round's max-headroom query with "~" when it
+# is in this set: a spike there reads as sweep context, not plan
+# regression (the bench's 1.5x retry rule adjudicates it upstream).
+CONTEXT_SENSITIVE = {
+    "s02_knn_lsh", "q19_union", "t24_quality_quantiles",
+    "d09_semantic_decontaminate", "c01_curate", "q42_cube",
+    "s10_knn_pq", "t21_domain_affinity", "s15_knn_filtered",
+    "t23_freq_spectrum", "q41_stats_moments", "s19_knn_pq_rotated",
+    "t27_mix_bpe", "t15_mix_allocation", "q15_join_inner",
+    "t26_bpe_encode", "c05_topic_clusters", "c09_quality_score",
+}
+
 
 def extract_pairs(text, known):
     """Every complete "name":number pair in the text whose name is a
@@ -87,14 +102,15 @@ def main():
                   if md else f"{label:<10} {0:>4}  (no parsable tail)")
             continue
         s = row_stats(pairs, base)
+        ctx = "~" if s["max_q"] in CONTEXT_SENSITIVE else ""
         if md:
             print(f"| {label} | {s['n']} | {s['sum_s']:.1f} | "
                   f"{s['set_ratio']:.2f}× | {s['p50']:.2f} | {s['p90']:.2f} | "
-                  f"{s['max']:.2f} ({s['max_q']}) |")
+                  f"{s['max']:.2f} ({ctx}{s['max_q']}) |")
         else:
             print(f"{label:<10} {s['n']:>4} {s['sum_s']:>8.1f} "
                   f"{s['set_ratio']:>6.2f} {s['p50']:>5.2f} {s['p90']:>5.2f} "
-                  f"{s['max']:>5.2f}  {s['max_q']}")
+                  f"{s['max']:>5.2f}  {ctx}{s['max_q']}")
 
 
 if __name__ == "__main__":
