@@ -821,7 +821,7 @@ object Dedup {
   //   buckets/  (id, bucket) partitioned by band — the join target
   //   hashes/   (id, sh) — the verify side, joined only for candidates
 
-  private def lshMetaOf(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def lshMetaOf(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int, Int) = {
     val r = spark.read.parquet(s"$path/meta").head()
     (r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"),

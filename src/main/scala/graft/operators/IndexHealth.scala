@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Unified health reporting across the four persisted index kinds
+  * (round 13 — verdict task: "one report, uniform fields"). Each
+  * index family grew its own monitor organically —
+  * [[Similarity.cellStats]]/[[Similarity.needsRebuild]] for IVF,
+  * [[Dedup.lshBucketStats]] for LSH banding, the BM25 generation
+  * pointer — with different shapes, so a maintenance loop over a
+  * catalog of indexes had to special-case every kind. This module
+  * emits ONE row shape, with kind detected from the on-disk layout,
+  * so "walk the catalog, compact what needsCompact, rebuild what
+  * needsRebuild" is a ten-line loop.
+  *
+  * Everything here is metadata-scale: partition-load aggregates are
+  * columnar scans of key columns (never text/vectors), file counts
+  * are filesystem listings, and every collect is bounded by the
+  * partition count (cells, term buckets, band buckets, files).
+  *
+  * Thresholds are policy, not physics — all exposed as parameters
+  * with the documented defaults.
+  */
+object IndexHealth {
+
+  /** One health row, uniform across index kinds.
+    *
+    *  - `kind`: "lsh" | "exact_ledger" | "bm25" | "ivf" (IVF-PQ
+    *    reports as "ivf" — same cells layout, same maintenance).
+    *  - `totalRows` / `nPartitions` / `maxPartition` / `skew` /
+    *    `emptyPartitions`: occupancy of the index's pruning unit
+    *    (band buckets, ledger files, term buckets, cells). `skew` is
+    *    max/mean — the worst-case probe-latency multiplier.
+    *  - `dataFiles`: physical fragment count (what append streams
+    *    grow and compaction restores).
+    *  - `generations`: committed append generations (BM25's pointer;
+    *    1 for the single-tree kinds).
+    *  - `tombstones`: pending takedown rows awaiting physical
+    *    removal (round-13 delete lifecycle).
+    *  - `needsCompact`: fragments/duplicates/generations/tombstones
+    *    say a rewrite would help; the fix is the index's compaction
+    *    (or rebuild for IVF, whose rebuild IS its compaction).
+    *  - `needsRebuild`: the index's GEOMETRY has degraded (IVF cell
+    *    skew/emptiness, LSH bucket saturation) — compaction alone
+    *    won't fix it.
+    */
+  final case class Health(
+      kind: String,
+      totalRows: Long,
+      nPartitions: Long,
+      maxPartition: Long,
+      skew: Double,
+      emptyPartitions: Long,
+      dataFiles: Long,
+      generations: Int,
+      tombstones: Long,
+      needsCompact: Boolean,
+      needsRebuild: Boolean)
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Recursive .parquet data-file count under a tree (0 if absent). */
+  private def dataFileCount(spark: SparkSession, path: String): Long = {
+    val f = fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(root)) return 0L
+    val it = f.listFiles(root, true)
+    var n = 0L
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  private def tombstoneCount(spark: SparkSession, path: String): Long =
+    if (exists(spark, s"$path/tombstones"))
+      spark.read.parquet(s"$path/tombstones").count()
+    else 0L
+
+  /** Detect the index kind from the layout and dispatch. Fails fast
+    * on a path that matches no known layout.
+    */
+  def report(spark: SparkSession, path: String): Health =
+    if (exists(spark, s"$path/CURRENT")) reportBm25(spark, path)
+    else if (exists(spark, s"$path/centroids")) reportIvf(spark, path)
+    else if (exists(spark, s"$path/buckets") &&
+             exists(spark, s"$path/meta")) reportLsh(spark, path)
+    else if (exists(spark, s"$path/hashes")) reportExactLedger(spark, path)
+    else throw new IllegalArgumentException(
+      s"IndexHealth.report: no known index layout at $path")
+
+  /** LSH dedup index: partition unit = (band, bucket). needsRebuild
+    * when `saturatedRowFrac` (rows in buckets past the probe-time
+    * cap, whose candidate pairs flood control will DROP) exceeds
+    * `maxSaturatedFrac` — [[Dedup.lshBucketStats]]' documented
+    * rebuild trigger. needsCompact on fragment growth, duplicate
+    * rows (crash-replay leftovers), or pending tombstones.
+    */
+  def reportLsh(spark: SparkSession, path: String,
+                capForStats: Int = 1000,
+                maxDataFiles: Long = 64,
+                maxDupFrac: Double = 0.10,
+                maxSaturatedFrac: Double = 0.05): Health = {
+    val s = Dedup.lshBucketStats(spark, path, capForStats)
+    val hashes = spark.read.parquet(s"$path/hashes")
+    val r = hashes.agg(count(lit(1)).as("n"),
+      count_distinct(col("id")).as("d")).head()
+    val (rows, distinctIds) = (r.getLong(0), r.getLong(1))
+    val dupFrac =
+      if (rows == 0) 0.0 else (rows - distinctIds).toDouble / rows
+    val files = dataFileCount(spark, s"$path/buckets") +
+      dataFileCount(spark, s"$path/hashes")
+    val ts = tombstoneCount(spark, path)
+    Health(
+      kind = "lsh",
+      totalRows = distinctIds,
+      nPartitions = s.nBuckets,
+      maxPartition = s.maxBucket,
+      skew = if (s.nBuckets > 0 && s.totalRows > 0)
+        s.maxBucket / (s.totalRows.toDouble / s.nBuckets) else 0.0,
+      emptyPartitions = 0L, // banding buckets are a sparse hash space
+      dataFiles = files,
+      generations = 1,
+      tombstones = ts,
+      needsCompact = files > maxDataFiles || dupFrac > maxDupFrac ||
+        ts > 0,
+      needsRebuild = s.saturatedRowFrac > maxSaturatedFrac)
+  }
+
+  /** Exact-dedup ledger: partition unit = data file (the range-sorted
+    * layout's pruning unit). No geometry to degrade → never
+    * needsRebuild; needsCompact on fragments, cross-generation
+    * duplicate hashes, or pending tombstones.
+    */
+  def reportExactLedger(spark: SparkSession, path: String,
+                        maxDataFiles: Long = 64,
+                        maxDupFrac: Double = 0.10): Health = {
+    val led = spark.read.parquet(s"$path/hashes")
+    val perFile = led.groupBy(input_file_name().as("_f"))
+      .agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum("n"), lit(0L)).as("rows"),
+        count(lit(1)).as("files"),
+        coalesce(max("n"), lit(0L)).as("mx")).head()
+    val (rows, files, mx) =
+      (perFile.getLong(0), perFile.getLong(1), perFile.getLong(2))
+    val distinctHashes = led.select("content_hash").distinct().count()
+    val dupFrac =
+      if (rows == 0) 0.0 else (rows - distinctHashes).toDouble / rows
+    val ts = tombstoneCount(spark, path)
+    Health(
+      kind = "exact_ledger",
+      totalRows = distinctHashes,
+      nPartitions = files,
+      maxPartition = mx,
+      skew = if (files > 0 && rows > 0)
+        mx / (rows.toDouble / files) else 0.0,
+      emptyPartitions = 0L,
+      dataFiles = files,
+      generations = 1,
+      tombstones = ts,
+      needsCompact = files > maxDataFiles || dupFrac > maxDupFrac ||
+        ts > 0,
+      needsRebuild = false)
+  }
+
+  /** BM25 inverted index: partition unit = term bucket; generations
+    * from the committed pointer. needsCompact when append
+    * generations pile up (a probe reads its term buckets across all
+    * of them) or tombstones await folding.
+    */
+  def reportBm25(spark: SparkSession, path: String,
+                 maxGenerations: Int = 4,
+                 maxDataFiles: Long = 256): Health = {
+    val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val (gen, base) = Retrieval.readCurrentGen(spark, path)
+    val counts = Retrieval.committedPostings(spark, path, gen, base)
+      .groupBy("tbucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val perBucket = (0 until numBuckets).map(b => counts.getOrElse(b, 0L))
+    val rows = perBucket.sum
+    val mean = rows.toDouble / numBuckets
+    val files = dataFileCount(spark, s"$path/postings")
+    val ts = tombstoneCount(spark, path)
+    val gens = gen - base + 1
+    Health(
+      kind = "bm25",
+      totalRows = rows,
+      nPartitions = numBuckets.toLong,
+      maxPartition = if (perBucket.isEmpty) 0L else perBucket.max,
+      skew = if (mean > 0) perBucket.max / mean else 0.0,
+      emptyPartitions = perBucket.count(_ == 0L).toLong,
+      dataFiles = files,
+      generations = gens,
+      tombstones = ts,
+      needsCompact = gens > maxGenerations || files > maxDataFiles ||
+        ts > 0,
+      needsRebuild = false)
+  }
+
+  /** IVF / IVF-PQ index: partition unit = cell;
+    * [[Similarity.cellStats]] + [[Similarity.needsRebuild]] verbatim
+    * (skew > maxSkew or over half the cells empty = the corpus has
+    * drifted off the build centroids). The rebuild IS this index's
+    * compaction, so pending tombstones set needsCompact — and the
+    * rebuild folds them.
+    */
+  def reportIvf(spark: SparkSession, path: String,
+                maxSkew: Double = 4.0,
+                maxEmptyFrac: Double = 0.5,
+                maxDataFiles: Long = 256): Health = {
+    val s = Similarity.cellStats(spark, path)
+    val files = dataFileCount(spark, s"$path/cells")
+    val ts = tombstoneCount(spark, path)
+    Health(
+      kind = "ivf",
+      totalRows = s.totalRows,
+      nPartitions = s.nCells.toLong,
+      maxPartition = s.maxCell,
+      skew = s.skew,
+      emptyPartitions = s.emptyCells.toLong,
+      dataFiles = files,
+      generations = 1,
+      tombstones = ts,
+      needsCompact = ts > 0 || files > maxDataFiles,
+      needsRebuild = Similarity.needsRebuild(s, maxSkew, maxEmptyFrac))
+  }
+}

@@ -273,7 +273,7 @@ object Retrieval {
     * [[compactBm25Index]] time; both numbers ride ONE file so they
     * commit in ONE atomic rename.
     */
-  private def readCurrentGen(
+  private[operators] def readCurrentGen(
       spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -313,13 +313,13 @@ object Retrieval {
     * is never even read for footers), with `gen` and `tbucket` both
     * available as partition columns for pruning.
     */
-  private def committedPostings(
+  private[operators] def committedPostings(
       spark: org.apache.spark.sql.SparkSession, path: String,
       gen: Int, base: Int = 0): DataFrame =
     spark.read.option("basePath", s"$path/postings")
       .parquet((base to gen).map(i => s"$path/postings/gen=$i"): _*)
 
-  private def committedStats(
+  private[operators] def committedStats(
       spark: org.apache.spark.sql.SparkSession, path: String,
       gen: Int): DataFrame =
     spark.read.parquet(s"$path/stats/gen=$gen").select("n_docs", "n_tokens")
