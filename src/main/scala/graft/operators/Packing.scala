@@ -324,6 +324,176 @@ object Packing {
       }
   }
 
+  /** Input row for the doc-carrying curriculum packer. */
+  final case class CurriculumDocInput(doc_id: Long, phase: Int,
+      shard: Int, ord: Long, n_tok: Long, text: String)
+
+  /** One PACKED document: the curriculum assignment plus the payload
+    * — what a training reader consumes directly off disk.
+    */
+  final case class CurriculumPackedDoc(doc_id: Long, phase: Int,
+      shard: Int, chunk_id: Long, start_tok: Long, n_tok: Long,
+      text: String)
+
+  /** [[streamingCurriculumPack]] with the document payload carried
+    * through the packer state, so the assignment can land ON DISK
+    * next to its text — the missing leg between "a live corpus can
+    * be curriculum-packed" and "a live corpus lands training-ready"
+    * (round 13). Same O(phases·nShards) state, same one-batch-equals-
+    * [[curriculumPack]] twin contract (spec-pinned through the
+    * writer).
+    */
+  def streamingCurriculumPackDocs(docs: DataFrame, idCol: String,
+      quality: Column, tokenCount: Column, textCol: String,
+      seqLen: Int, nShards: Int,
+      bounds: Seq[Double] = Seq(0.25, 0.5, 0.75))
+      (implicit spark: SparkSession): Dataset[CurriculumPackedDoc] = {
+    import spark.implicits._
+    require(seqLen > 0)
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        Sampling.curriculumPhase(quality, bounds).as("phase"),
+        Sampling.curriculumShard(col(idCol), nShards).as("shard"),
+        Sampling.curriculumOrd(col(idCol)).cast("long").as("ord"),
+        tokenCount.cast("long").as("n_tok"),
+        col(textCol).as("text"))
+      .as[CurriculumDocInput]
+      .groupByKey(d => (d.phase, d.shard))
+      .flatMapGroupsWithState[PackState, CurriculumPackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((phase, shard), it, state) =>
+          var cum = state.getOption.map(_.cumTok).getOrElse(0L)
+          val out = it.toSeq.sortBy(d => (d.ord, d.doc_id)).map { d =>
+            val start = cum
+            cum += d.n_tok
+            CurriculumPackedDoc(d.doc_id, phase, shard,
+              start / seqLen, start, d.n_tok, d.text)
+          }
+          state.update(PackState(cum))
+          out.iterator
+      }
+  }
+
+  /** Land a live corpus curriculum-packed and training-ready: the
+    * doc-carrying packer into Spark's transactional parquet file
+    * sink, partitioned by (phase, shard) so each training stream is
+    * one directory of chunk-ordered files. Exactly-once across
+    * restarts is the FILE-SINK CHECKPOINT stance (the
+    * streaming-core recovery contract, spec-pinned): offsets AND the
+    * packer's per-(phase, shard) cumulative-token state live in
+    * `checkpointPath`, and the sink's `_spark_metadata` commit log
+    * means `spark.read.parquet(outPath)` sees only committed files —
+    * a crash mid-batch replays into the same assignments (the state
+    * rewinds with the offsets) and the half-written files are never
+    * visible. Returns the started query; the caller owns its
+    * lifecycle.
+    */
+  def writeCurriculumCorpus(docs: DataFrame, idCol: String,
+      quality: Column, tokenCount: Column, textCol: String,
+      seqLen: Int, nShards: Int, outPath: String, checkpointPath: String,
+      bounds: Seq[Double] = Seq(0.25, 0.5, 0.75))
+      (implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    streamingCurriculumPackDocs(docs, idCol, quality, tokenCount,
+        textCol, seqLen, nShards, bounds)
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .partitionBy("phase", "shard")
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Manifest of a landed curriculum corpus: one row per training
+    * chunk — (phase, shard, chunk_id, n_docs, n_tokens, start_tok,
+    * complete), where `complete` marks chunks whose token span
+    * reached `seqLen` (the trailing partial chunk of each stream is
+    * the only expected incomplete one while ingest is live). Derived
+    * from the committed files, so it is always consistent with what
+    * a reader will actually see.
+    */
+  def curriculumCorpusManifest(spark: SparkSession, path: String,
+                               seqLen: Int): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("phase", "shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        min("start_tok").as("start_tok"),
+        ((max(col("start_tok") + col("n_tok")) -
+          col("chunk_id") * seqLen) >= seqLen).as("complete"))
+
+  /** One length-bucketed document with payload — [[LbAssignment]]
+    * plus text, the on-disk row of [[writeLengthBucketCorpus]].
+    */
+  final case class LbDocInput(doc_id: Long, bucket: Int, shard: Int,
+                              n_tok: Int, ord: Long, text: String)
+  final case class LbPackedDoc(doc_id: Long, bucket: Int, shard: Int,
+      batch: Int, slot: Int, n_tok: Int, text: String)
+
+  /** [[streamingLengthBucketBatches]] with the payload carried — the
+    * doc-carrying twin for the fixed-shape-batch training layout.
+    */
+  def streamingLengthBucketDocs(docs: DataFrame, idCol: String,
+      tokenCount: Column, textCol: String, bounds: Seq[Int],
+      batchSize: Int, numShards: Int)
+      (implicit spark: SparkSession): Dataset[LbPackedDoc] = {
+    import spark.implicits._
+    require(batchSize > 0,
+      "streamingLengthBucketDocs: batchSize must be positive")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        bucketOf(tokenCount, bounds).as("bucket"),
+        shardOf(col(idCol), numShards).cast("int").as("shard"),
+        tokenCount.cast("int").as("n_tok"),
+        Sampling.curriculumOrd(col(idCol)).cast("long").as("ord"),
+        col(textCol).as("text"))
+      .as[LbDocInput]
+      .groupByKey(d => (d.bucket, d.shard))
+      .flatMapGroupsWithState[LbState, LbPackedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((bucket, shard), it, state) =>
+          var n = state.getOption.map(_.nSeen).getOrElse(0L)
+          val out = it.toSeq.sortBy(d => (d.ord, d.doc_id)).map { d =>
+            val a = LbPackedDoc(d.doc_id, bucket, shard,
+              (n / batchSize).toInt, (n % batchSize).toInt, d.n_tok, d.text)
+            n += 1
+            a
+          }
+          state.update(LbState(n))
+          out.iterator
+      }
+  }
+
+  /** Land a live corpus length-bucket-batched and training-ready —
+    * [[writeCurriculumCorpus]]'s file-sink checkpoint contract,
+    * partitioned by (bucket, shard).
+    */
+  def writeLengthBucketCorpus(docs: DataFrame, idCol: String,
+      tokenCount: Column, textCol: String, bounds: Seq[Int],
+      batchSize: Int, numShards: Int, outPath: String,
+      checkpointPath: String)
+      (implicit spark: SparkSession): org.apache.spark.sql.streaming.StreamingQuery =
+    streamingLengthBucketDocs(docs, idCol, tokenCount, textCol,
+        bounds, batchSize, numShards)
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpointPath)
+      .partitionBy("bucket", "shard")
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Manifest of a landed length-bucketed corpus: one row per
+    * training batch — (bucket, shard, batch, n_docs, n_tokens,
+    * full). Only `full` batches (n_docs == batchSize) are servable
+    * with a fixed shape; each live (bucket, shard) stream has at
+    * most one trailing partial batch.
+    */
+  def lengthBucketManifest(spark: SparkSession, path: String,
+                           batchSize: Int): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("bucket", "shard", "batch")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        (count(lit(1)) === batchSize).as("full"))
+
   /** Sliding-window chunking: one row per (document, window) for
     * windows of `windowTokens` tokens advancing by `strideTokens`.
     * Start offsets are `{0, stride, 2·stride, …}` kept while the

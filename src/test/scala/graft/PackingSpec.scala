@@ -153,6 +153,112 @@ class PackingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("writeCurriculumCorpus: training-ready files survive stop-and-restart — no loss, no dups, packer state recovered") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccw").toString
+    val seqLen = 200
+    // (doc_id, quality, n_tok, text): quality spreads over the bands
+    val rows = (0L until 80L).map(i =>
+      (i, (i % 10) / 10.0, (i * 37 % 150) + 10, s"doc-$i"))
+    val mem = MemoryStream[(Long, Double, Long, String)]
+    def start() = Packing.writeCurriculumCorpus(
+      mem.toDS().toDF("doc_id", "q", "n_tok", "text"),
+      "doc_id", col("q"), col("n_tok"), "text",
+      seqLen = seqLen, nShards = 2,
+      outPath = s"$dir/out", checkpointPath = s"$dir/ckpt")
+    val (a, b) = rows.splitAt(40)
+    val q1 = start()
+    try { mem.addData(a: _*); q1.processAllAvailable() } finally q1.stop()
+    // data arriving while the writer is DOWN must land exactly once
+    // after the restart (the file-sink checkpoint stance)
+    mem.addData(b: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val landed = spark.read.parquet(s"$dir/out")
+    // 1) no loss, no dups — across the restart boundary
+    val ids = landed.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 80L).toSeq,
+      s"lost or duplicated docs across restart: ${ids.size} rows")
+    // 2) packer state recovered: per (phase, shard) the start_tok
+    // chain is one unbroken cumulative sum in landing order — a
+    // state loss would restart the counter at 0 mid-stream
+    val chains = landed
+      .select("phase", "shard", "start_tok", "n_tok")
+      .as[(Int, Int, Long, Long)].collect()
+      .groupBy(t => (t._1, t._2))
+    chains.foreach { case ((p, s), rs) =>
+      val sorted = rs.sortBy(_._3)
+      var cum = 0L
+      sorted.foreach { case (_, _, start, n) =>
+        assert(start == cum,
+          s"($p,$s): start_tok chain broken at $start (expected $cum)")
+        cum += n
+      }
+    }
+    // 3) the manifest reads the committed files: tokens conserve and
+    // only trailing chunks may be incomplete
+    val man = Packing.curriculumCorpusManifest(spark, s"$dir/out", seqLen)
+    assert(man.agg(sum("n_tokens")).head().getLong(0) ==
+      rows.map(_._3).sum)
+    val incomplete = man.where(!col("complete"))
+      .select("phase", "shard", "chunk_id")
+      .as[(Int, Int, Long)].collect()
+    val lastChunk = man.groupBy("phase", "shard")
+      .agg(max("chunk_id").as("mx"))
+      .as[(Int, Int, Long)].collect()
+      .map { case (p, s, m) => (p, s) -> m }.toMap
+    incomplete.foreach { case (p, s, c) =>
+      assert(c == lastChunk((p, s)),
+        s"non-trailing chunk ($p,$s,$c) incomplete")
+    }
+  }
+
+  test("writeLengthBucketCorpus: restart keeps batch slots contiguous; manifest marks full batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-lbw").toString
+    val rows = (0L until 60L).map(i =>
+      (i, (i * 31 % 900) + 1, s"doc-$i"))
+    val mem = MemoryStream[(Long, Long, String)]
+    def start() = Packing.writeLengthBucketCorpus(
+      mem.toDS().toDF("doc_id", "n_tok", "text"),
+      "doc_id", col("n_tok"), "text",
+      bounds = Seq(256, 512), batchSize = 4, numShards = 2,
+      outPath = s"$dir/out", checkpointPath = s"$dir/ckpt")
+    val (a, b) = rows.splitAt(30)
+    val q1 = start()
+    try { mem.addData(a: _*); q1.processAllAvailable() } finally q1.stop()
+    mem.addData(b: _*)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val landed = spark.read.parquet(s"$dir/out")
+    val ids = landed.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 60L).toSeq, s"loss/dup: ${ids.size} rows")
+    // counter state recovered: per (bucket, shard), (batch, slot)
+    // positions are exactly 0..n-1 in batch-major order
+    landed.select("bucket", "shard", "batch", "slot")
+      .as[(Int, Int, Int, Int)].collect()
+      .groupBy(t => (t._1, t._2))
+      .foreach { case ((bk, sh), rs) =>
+        val pos = rs.map(t => t._3 * 4 + t._4).sorted.toSeq
+        assert(pos == (0 until rs.length).toSeq,
+          s"($bk,$sh): slot sequence broken across restart: $pos")
+      }
+    val man = Packing.lengthBucketManifest(spark, s"$dir/out", batchSize = 4)
+    val full = man.where(col("full")).select("n_docs")
+      .as[Long].collect()
+    assert(full.forall(_ == 4L))
+    // at most one partial batch per (bucket, shard), and it is the last
+    man.where(!col("full")).select("bucket", "shard", "batch", "n_docs")
+      .as[(Int, Int, Int, Long)].collect()
+      .groupBy(t => (t._1, t._2)).foreach { case (_, rs) =>
+        assert(rs.length == 1 && rs.head._4 < 4)
+      }
+  }
+
   test("curriculumPack: curriculum layout and packing share ONE exchange") {
     // the cum-sum window keys on the same (phase, shard) as
     // curriculumOrder's row_number — a second exchange would mean the
