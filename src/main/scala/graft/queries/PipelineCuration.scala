@@ -1,0 +1,930 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.queries.Relational.Q
+
+/** SparkEntry wiring for the training-data pipeline operators
+  * (SURVEY.md §2: dedup, similarity, text analysis, multimodal).
+  * Entries without a DuckDB-expressible oracle are rows-only checks;
+  * each is still fully deterministic (fixed seeds, total ordering).
+  */
+/** Curation, packing, multimodal and as-of entries (c*, p*, m*, st*). Split out of Pipeline.scala (round 13 — mechanical,
+  * no behavior change); shared fixtures/oracle fragments live in
+  * [[PipelineShared]].
+  */
+private[queries] object PipelineCuration {
+  import PipelineShared._
+
+  val all: Seq[Q] = Seq(
+
+    // per-domain document cap: keep the top-100 docs per domain by
+    // quality (ties → lowest id) — the crawl-curation step that stops
+    // one boilerplate-heavy domain from flooding the corpus (every
+    // CommonCrawl pipeline caps per-registered-domain). Scale shape:
+    // the winners ride the bounded topk_rows heap per domain
+    // (map-side partial heaps, ≤cap rows per (domain, input
+    // partition) on the exchange — t12's shape, NEVER a corpus-wide
+    // row_number window); quality is t02's engine-reproducible
+    // formula, so the oracle's ROW_NUMBER ranking lands identically.
+    Q("c04_domain_cap",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val host = when(col("doc_id") % 3 === 0, lit("www.example.com"))
+          .when(col("doc_id") % 3 === 1, lit("blog.example.com"))
+          .otherwise(lit("news.site.org"))
+        docs.select(col("doc_id"), host.as("domain"),
+            TextAnalysis.qualityScore(col("text")).as("qual"))
+          .groupBy("domain")
+          .agg(graft.functions.TopK.topk(
+            col("qual"), col("doc_id"), 100).as("_t"))
+          .select(col("domain"), posexplode(col("_t")).as(Seq("rk0", "w")))
+          .select(col("w.id").as("doc_id"), col("domain"),
+            r6(col("w.ord")).as("qual"),
+            (col("rk0") + 1).as("rk"))
+          .orderBy("domain", "rk")
+      },
+      Some(s"""WITH $qualityCtesSql, dom AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 3 = 0 THEN 'www.example.com'
+             |         WHEN doc_id % 3 = 1 THEN 'blog.example.com'
+             |         ELSE 'news.site.org' END AS domain, qual
+             |  FROM q
+             |), rk AS (
+             |  SELECT doc_id, domain, qual, ROW_NUMBER() OVER (
+             |    PARTITION BY domain ORDER BY qual DESC, doc_id ASC) AS rk
+             |  FROM dom
+             |)
+             |SELECT doc_id, domain, ${r6sql("qual")} AS qual,
+             |  CAST(rk AS INT) AS rk
+             |FROM rk WHERE rk <= 100
+             |ORDER BY domain, rk""".stripMargin)),
+
+
+    // gap-based sessionization, batch twin of the streaming operator
+    // (graft.streaming.EventsStream.sessionize). Timestamps formatted
+    // at second precision: the raw column is ns in parquet, µs in
+    // Spark — second-level truncation is the engine-agnostic contract.
+    Q("st01_sessionize",
+      (s, dir) => {
+        graft.streaming.EventsStream
+          .sessionizeBatch(Tables.load(s, dir, "events"), 30 * 60 * 1000L)
+          .select(col("user_id"),
+            date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("start_s"),
+            date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("end_s"),
+            col("n_events"), col("total_value"))
+          .orderBy("user_id", "start_s")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN epoch_us(ts) -
+             |      LAG(epoch_us(ts)) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+             |    THEN 1 ELSE 0 END AS new_session
+             |  FROM events
+             |), s AS (
+             |  SELECT user_id, ts, value,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM g
+             |)
+             |SELECT user_id,
+             |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS start_s,
+             |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS end_s,
+             |  COUNT(*) AS n_events,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, start_s""".stripMargin)),
+
+
+    // as-of (backward) join: each purchase gets the user's most recent
+    // signup at-or-before it. Implemented union+window (one shuffle) —
+    // see graft.operators.AsOfJoin.
+    Q("st02_asof_join",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        val purchases = events.where(col("event_type") === "purchase")
+        val signups = events.where(col("event_type") === "signup")
+          .select("user_id", "ts", "event_id", "value")
+        graft.operators.AsOfJoin.backward(
+            purchases, signups,
+            keyCols = Seq("user_id"),
+            leftTs = "ts", rightTs = "ts",
+            leftTiebreak = "event_id", rightTiebreak = "event_id",
+            rightValueCols = Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts_s"),
+            col("asof_value").as("signup_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    CASE WHEN event_type = 'signup' THEN ts END AS sig_ts,
+             |    CASE WHEN event_type = 'signup' THEN value END AS sig_val
+             |  FROM events WHERE event_type IN ('purchase', 'signup')
+             |), c AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    LAST_VALUE(sig_ts IGNORE NULLS) OVER w AS m_ts,
+             |    LAST_VALUE(sig_val IGNORE NULLS) OVER w AS m_val
+             |  FROM o
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY epoch_us(ts),
+             |      CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT event_id, user_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |  strftime(m_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts_s,
+             |  m_val AS signup_value
+             |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+
+    // forward as-of join: each purchase gets the user's NEXT signup
+    // at-or-after it (same union+window shape, scan reversed)
+    Q("st03_asof_forward",
+      (s, dir) => {
+        val events = Tables.load(s, dir, "events")
+        val purchases = events.where(col("event_type") === "purchase")
+        val signups = events.where(col("event_type") === "signup")
+          .select("user_id", "ts", "event_id", "value")
+        graft.operators.AsOfJoin.forward(
+            purchases, signups,
+            keyCols = Seq("user_id"),
+            leftTs = "ts", rightTs = "ts",
+            leftTiebreak = "event_id", rightTiebreak = "event_id",
+            rightValueCols = Seq("value"))
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts_s"),
+            col("asof_value").as("signup_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH o AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    CASE WHEN event_type = 'signup' THEN ts END AS sig_ts,
+             |    CASE WHEN event_type = 'signup' THEN value END AS sig_val
+             |  FROM events WHERE event_type IN ('purchase', 'signup')
+             |), c AS (
+             |  SELECT event_id, user_id, ts, event_type,
+             |    LAST_VALUE(sig_ts IGNORE NULLS) OVER w AS m_ts,
+             |    LAST_VALUE(sig_val IGNORE NULLS) OVER w AS m_val
+             |  FROM o
+             |  WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY epoch_us(ts) DESC,
+             |      CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END ASC,
+             |      event_id DESC
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |)
+             |SELECT event_id, user_id,
+             |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             |  strftime(m_ts, '%Y-%m-%d %H:%M:%S') AS signup_ts_s,
+             |  m_val AS signup_value
+             |FROM c WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)),
+
+
+    // bucketed point-in-interval range join (equi-join on quantized
+    // buckets + residual BETWEEN — no nested-loop; see RangeJoin)
+    Q("q30_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val bands = Seq(
+          ("low", 0.0, 2500.0), ("mid", 2500.0, 7000.0),
+          ("high", 7000.0, 100000.0), ("neg", -100000.0, 0.0))
+          .toDF("band", "lo", "hi")
+        graft.operators.RangeJoin.pointInInterval(
+            Tables.load(s, dir, "customer").select(col("c_custkey"), col("c_acctbal")),
+            bands, "c_acctbal", "lo", "hi", bucket = 2500.0)
+          .select(col("c_custkey"), col("band"), col("c_acctbal"))
+          .orderBy("c_custkey", "band")
+      },
+      Some("""SELECT c_custkey, band, c_acctbal
+             |FROM customer JOIN (VALUES
+             |  ('low', 0.0, 2500.0), ('mid', 2500.0, 7000.0),
+             |  ('high', 7000.0, 100000.0), ('neg', -100000.0, 0.0))
+             |  AS t(band, lo, hi)
+             |ON c_acctbal >= lo AND c_acctbal <= hi
+             |ORDER BY c_custkey, band""".stripMargin)),
+
+
+    // multimodal: binary columns → stub decode → per-kind rollup.
+    // The rollup's inputs are all deterministic functions of doc_id +
+    // the UTF-8 byte length of text (the checksum, which is not SQL-
+    // reproducible, is not in the output), so the whole mapPartitions
+    // pipeline is oracle-checkable end to end.
+    Q("m01_multimodal_meta",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val media = Multimodal.fromDocuments(Tables.load(s, dir, "documents"))
+        Multimodal.featureSummary(Multimodal.decodeFeatures(media))
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+             |    strlen(text) AS byte_len,
+             |    CASE WHEN doc_id % 3 = 0 THEN 1
+             |         WHEN doc_id % 3 = 1 THEN 0
+             |         ELSE greatest(1, (doc_id * 40 % 60000) // 1000) END AS n_frames,
+             |    least(doc_id % 640 + 16, 256) AS out_w,
+             |    least(doc_id % 480 + 16, 256) AS out_h
+             |  FROM documents
+             |)
+             |SELECT kind, COUNT(*) AS n_media,
+             |  CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+             |  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+             |  CAST(MAX(out_w) AS INT) AS max_w,
+             |  CAST(MAX(out_h) AS INT) AS max_h
+             |FROM m GROUP BY kind ORDER BY kind""".stripMargin)),
+
+
+    // end-to-end curation pipeline in ONE scan: exact-dedup survivor
+    // (min doc_id per text-hash, window — no self-join), quality score
+    // and repetition fraction as inline column expressions (the Column
+    // forms of t02/t11), then a per-(source, lang) keep count. The
+    // single-pass shape is the point: a 100 TB curation run pays one
+    // read + one content-hash window + one small aggregate, not three
+    // materialized frames joined back together. Two scale choices:
+    // (1) the window partitions on xxhash64(text) — d01's collision
+    // stance — so the exchange and in-partition sort compare 8-byte
+    // keys, never KB-MB documents; (2) the metric filters run BEFORE
+    // the window — legal because every duplicate shares the text, so a
+    // group passes or fails as a unit and min(doc_id) over the
+    // survivors equals min over the originals; with the hash key
+    // Catalyst could no longer prove that for us (the text-keyed form
+    // relied on filter-below-window pushdown), so the plan states it.
+    // Thresholds are corpus-calibrated (the synthetic word-soup runs
+    // dup-word-heavy).
+    Q("c01_curate",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        docs
+          .where(TextAnalysis.qualityScore(col("text")) >= 0.75 &&
+            TextAnalysis.dupWordFrac(col("text")) <= 0.7)
+          .withColumn("_c_surv",
+            min("doc_id").over(Window.partitionBy(xxhash64(col("text")))))
+          .where(col("doc_id") === col("_c_surv"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy("source", "lang")
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id, source, lang, text,
+              |    CAST(length(text) AS DOUBLE) AS n_chars,
+              |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+              |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
+              |    list_filter(regexp_split_to_array(trim(lower(text)),
+              |      '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks
+              |  FROM documents
+              |), g AS (
+              |  SELECT doc_id, source, lang, text,
+              |    least(1.0, greatest(0.0,
+              |      0.25 * least(len(toks) / 20.0, 1.0) +
+              |      0.25 * (n_alpha / greatest(n_chars, 1.0)) +
+              |      0.25 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5.0, 1.0)) +
+              |      0.25 * least((len(list_intersect(list_distinct(toks),
+              |        ['the','a','of','and','to','in','is','that','it','for'])) / 10.0)
+              |        * 2.0, 1.0))) AS qual,
+              |    CASE WHEN len(toks) = 0 THEN 0.0
+              |         ELSE (len(toks) - len(list_distinct(toks)))
+              |              / CAST(len(toks) AS DOUBLE) END AS dwf,
+              |    MIN(doc_id) OVER (PARTITION BY text) AS surv
+              |  FROM f
+              |)
+              |SELECT source, lang, COUNT(*) AS n_kept
+              |FROM g
+              |WHERE doc_id = surv AND qual >= 0.75 AND dwf <= 0.7
+              |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin)),
+
+
+    // curation funnel: per-source drop accounting for c01's stages,
+    // mutually exclusive in stage order (quality → repetition →
+    // dedup → kept) — the report a curation run hands its owner.
+    // Same plan class as c01 (one scan, one 8-byte-hash window, one
+    // bounded aggregate); the survivor window is a conditional min
+    // over metric-passing rows, equal to c01's filter-then-window
+    // because duplicate groups share their text. Oracle replays the
+    // same stages over raw text (the d01 collision stance on the
+    // window key).
+    // corpus composition: per-source doc/token counts, corpus shares
+    // (exact-long divisions) and dominant language (count argmax,
+    // ties → lowest lang). Oracle replays the two-level rollup.
+    Q("c07_source_mix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        TextAnalysis.sourceMix(docs, "doc_id", "text", "lang", "source")
+          .orderBy("source")
+      },
+      Some("""WITH b AS (
+             |  SELECT source, lang,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(text),
+             |      '[ \t\n\v\f\r]+'), x -> x <> '')) AS BIGINT) AS n_tok
+             |  FROM documents
+             |), sl AS (
+             |  SELECT source, lang, COUNT(*) AS nd,
+             |    CAST(SUM(n_tok) AS BIGINT) AS nt
+             |  FROM b GROUP BY source, lang
+             |), s AS (
+             |  SELECT source, CAST(SUM(nd) AS BIGINT) AS n_docs,
+             |    CAST(SUM(nt) AS BIGINT) AS n_tokens
+             |  FROM sl GROUP BY source
+             |), tot AS (
+             |  SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+             |    CAST(SUM(n_tokens) AS BIGINT) AS tt
+             |  FROM s
+             |), top AS (
+             |  SELECT source, lang AS top_lang, nd AS top_lang_n FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY nd DESC, lang ASC) AS rn FROM sl)
+             |  WHERE rn = 1
+             |)
+             |SELECT s.source, n_docs, n_tokens,
+             |  CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE) AS doc_share,
+             |  CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS token_share,
+             |  top_lang, top_lang_n
+             |FROM s JOIN top USING (source), tot
+             |ORDER BY source""".stripMargin)),
+
+
+    // cross-source near-dup overlap matrix: the d04 verify chain
+    // aggregated to (source_a, source_b) — which feeds mirror each
+    // other. Oracle is the brute-force all-pairs truth (the d02/d04
+    // separation argument: LSH candidates ⊇ every pair ≥ threshold on
+    // this corpus) joined to sources and counted.
+    Q("c08_dup_matrix",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Dedup.crossSourceDupMatrix(docs, "doc_id", "text", "source")
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH g AS (
+             |  SELECT doc_id, source, CASE WHEN length(text) >= 3
+             |    THEN list_distinct([text[i:i+2]
+             |                        for i in range(1, length(text) - 1)])
+             |    ELSE [text] END AS s
+             |  FROM documents
+             |), p AS (
+             |  SELECT a.source AS sa, b.source AS sb
+             |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             |    / len(list_distinct(a.s || b.s)) >= 0.8
+             |)
+             |SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+             |  COUNT(*) AS n_pairs
+             |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+
+    Q("c06_curation_funnel",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        TextAnalysis.curationFunnel(docs, "doc_id", "text", "source")
+          .orderBy("source")
+      },
+      Some(s"""WITH f AS (
+              |  SELECT doc_id, source, text,
+              |    CAST(length(text) AS DOUBLE) AS n_chars,
+              |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+              |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
+              |    list_filter(regexp_split_to_array(trim(lower(text)),
+              |      '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks
+              |  FROM documents
+              |), g AS (
+              |  SELECT doc_id, source, text,
+              |    least(1.0, greatest(0.0,
+              |      0.25 * least(len(toks) / 20.0, 1.0) +
+              |      0.25 * (n_alpha / greatest(n_chars, 1.0)) +
+              |      0.25 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5.0, 1.0)) +
+              |      0.25 * least((len(list_intersect(list_distinct(toks),
+              |        ['the','a','of','and','to','in','is','that','it','for'])) / 10.0)
+              |        * 2.0, 1.0))) AS qual,
+              |    CASE WHEN len(toks) = 0 THEN 0.0
+              |         ELSE (len(toks) - len(list_distinct(toks)))
+              |              / CAST(len(toks) AS DOUBLE) END AS dwf
+              |  FROM f
+              |), h AS (
+              |  SELECT *,
+              |    MIN(CASE WHEN qual >= 0.75 AND dwf <= 0.7
+              |        THEN doc_id END) OVER (PARTITION BY text) AS surv
+              |  FROM g
+              |)
+              |SELECT source, COUNT(*) AS n_docs,
+              |  CAST(SUM(CASE WHEN qual < 0.75 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_quality_drop,
+              |  CAST(SUM(CASE WHEN qual >= 0.75 AND dwf > 0.7
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_repetition_drop,
+              |  CAST(SUM(CASE WHEN qual >= 0.75 AND dwf <= 0.7
+              |    AND doc_id <> surv THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_dup_drop,
+              |  CAST(SUM(CASE WHEN qual >= 0.75 AND dwf <= 0.7
+              |    AND doc_id = surv THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_kept,
+              |  CAST(SUM(CASE WHEN qual >= 0.75 AND dwf <= 0.7
+              |    AND doc_id = surv THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(COUNT(*) AS DOUBLE) AS keep_rate
+              |FROM h GROUP BY source ORDER BY source""".stripMargin)),
+
+
+    // p01's sharded concat-and-chunk manifest re-run on trained-
+    // vocabulary piece counts. Zero-token documents still occupy a
+    // manifest row (COALESCE 0 via bpeDocPieceCount's left join) —
+    // a packer that silently dropped them would desync doc ordering.
+    Q("p04_pack_bpe",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val counts = TextAnalysis.bpeDocPieceCount(
+          docs, "doc_id", "text", bpeFixedMerges)
+        Packing.packSequences(counts, "doc_id", col("n_bpe_pieces"),
+            seqLen = 2048, numShards = 8)
+          .orderBy("shard", "chunk_id")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'),
+             |    x -> x <> '')) AS w
+             |  FROM documents
+             |), enc AS (
+             |  SELECT doc_id, ${bpeOracleEncode("w")} AS e FROM toks
+             |), cnt AS (
+             |  SELECT doc_id, SUM(len(list_filter(
+             |    string_split(e, '$bpeSep$bpeSep'), x -> x <> ''))) AS n
+             |  FROM enc GROUP BY doc_id
+             |), t AS (
+             |  SELECT d.doc_id,
+             |    ((d.doc_id % 2147483647) * 2654435761) % 8 AS shard,
+             |    COALESCE(c.n, 0) AS n_tok
+             |  FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+             |), cc AS (
+             |  SELECT shard, doc_id, n_tok,
+             |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+             |  FROM t
+             |)
+             |SELECT shard,
+             |  CAST(FLOOR((cum_tok - n_tok) / 2048.0) AS BIGINT) AS chunk_id,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+             |FROM cc GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin)),
+
+
+    // sharded concat-and-chunk packing manifest: chunk = the fixed
+    // 2048-token sequence a doc's first token lands in when its shard
+    // concatenates docs in id order. Window is partitioned on the
+    // shard (never global) — the scale contract; oracle replays the
+    // identical integer shard hash and windowed cumulative sum.
+    Q("p01_pack_sequences",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Packing.packSequences(docs, "doc_id",
+            TextAnalysis.bpePieceCount(col("text")),
+            seqLen = 2048, numShards = 8)
+          .orderBy("shard", "chunk_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2147483647) * 2654435761) % 8 AS shard,
+             |    len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+             |  FROM documents
+             |), c AS (
+             |  SELECT shard, doc_id, n_tok,
+             |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+             |  FROM t
+             |)
+             |SELECT shard,
+             |  CAST(FLOOR((cum_tok - n_tok) / 2048.0) AS BIGINT) AS chunk_id,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin)),
+
+
+    // length-bucketed batch manifest: fixed token-count bounds
+    // (32/56/80 ≈ the corpus quartiles), t18-hash shard + decorrelated
+    // within-(bucket, shard) order, batches of 8, padding waste
+    // measured per batch. Oracle replays bounds, both hashes, the
+    // window and the rollup.
+    Q("p05_length_buckets",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Packing.lengthBucketBatches(docs, "doc_id",
+            TextAnalysis.wsTokenCount(col("text")),
+            bounds = Seq(32, 56, 80), batchSize = 8, numShards = 4)
+          .orderBy("bucket", "shard", "batch")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    CAST(len(list_filter(regexp_split_to_array(trim(text),
+             |      '[ \t\n\v\f\r]+'), x -> x <> '')) AS INT) AS n_tok,
+             |    CAST(((doc_id % 2147483647) * 2654435761) % 4 AS INT)
+             |      AS shard,
+             |    ((doc_id % 2147483647 + 9176) * 1540483477) % 1000003
+             |      AS ord
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id, n_tok, shard, ord,
+             |    CASE WHEN n_tok < 32 THEN 0 WHEN n_tok < 56 THEN 1
+             |         WHEN n_tok < 80 THEN 2 ELSE 3 END AS bucket
+             |  FROM t
+             |), r AS (
+             |  SELECT bucket, shard, n_tok,
+             |    CAST(FLOOR((ROW_NUMBER() OVER (
+             |      PARTITION BY bucket, shard ORDER BY ord, doc_id) - 1)
+             |      / 8.0) AS INT) AS batch
+             |  FROM b
+             |), g AS (
+             |  SELECT bucket, shard, batch, COUNT(*) AS n_docs,
+             |    MAX(n_tok) AS max_tokens,
+             |    CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+             |  FROM r GROUP BY bucket, shard, batch
+             |)
+             |SELECT bucket, shard, batch, n_docs, max_tokens, sum_tokens,
+             |  n_docs * max_tokens - sum_tokens AS pad_tokens
+             |FROM g ORDER BY bucket, shard, batch""".stripMargin)),
+
+
+    // sliding-window chunking: 512-token windows, 384 stride (1/4
+    // overlap = 128), start offsets {0, 384, …} < max(n_tok - 128, 1)
+    // (a window adding no new tokens is dropped). Narrow explode, no
+    // shuffle; oracle replays with range()+unnest.
+    Q("p02_chunk_windows",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        Packing.chunkWindows(docs, "doc_id",
+            TextAnalysis.bpePieceCount(col("text")),
+            windowTokens = 512, strideTokens = 384)
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, len(regexp_extract_all(text,
+             |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+             |  FROM documents
+             |), s AS (
+             |  SELECT doc_id, n_tok,
+             |    unnest(range(0, greatest(n_tok - 128, 1), 384)) AS start_tok
+             |  FROM t
+             |)
+             |SELECT doc_id, CAST(start_tok // 384 AS BIGINT) AS chunk_idx,
+             |  CAST(start_tok AS BIGINT) AS start_tok,
+             |  CAST(least(start_tok + 512, n_tok) AS BIGINT) AS end_tok
+             |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+
+    // canonical-URL dedup curation: normalize crawl URLs (t19's
+    // chain), then first-crawl-wins survivor per canonical URL — the
+    // URL-level dedup every crawl pipeline runs BEFORE content dedup
+    // (same page re-crawled under rotating tracking params). The
+    // synthetic URLs collide on purpose: path = doc_id % 50, so
+    // distinct raw URLs (different utm_ payloads) canonicalize
+    // together. Window keys on xxhash64(norm_url) — c01's stance: the
+    // exchange compares 8-byte hashes, never URL strings; the string-
+    // keyed DuckDB twin would catch a collision.
+    Q("c02_url_dedup",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val host0 = when(col("doc_id") % 3 === 0, "WWW.Example.COM")
+          .when(col("doc_id") % 3 === 1, "blog.Example.com")
+          .otherwise("news.site.org")
+        val url = concat(lit("HTTPS://"), host0,
+          lit("/page/"), (col("doc_id") % 50).cast("string"),
+          lit("?utm_source=s"), (col("doc_id") % 7).cast("string"),
+          lit("&ref=r"), (col("doc_id") % 4).cast("string"),
+          lit("&utm_campaign=c"), col("doc_id").cast("string"))
+        val (norm, host) = TextAnalysis.normalizeUrl(url)
+        val w = Window.partitionBy(xxhash64(col("norm_url")))
+        docs.select(col("doc_id"), norm.as("norm_url"), host.as("host"))
+          .withColumn("survivor_id", min("doc_id").over(w))
+          .withColumn("n_dups", count(lit(1)).over(w))
+          .withColumn("is_survivor", col("doc_id") === col("survivor_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    'HTTPS://' ||
+             |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM'
+             |         WHEN doc_id % 3 = 1 THEN 'blog.Example.com'
+             |         ELSE 'news.site.org' END ||
+             |    '/page/' || CAST(doc_id % 50 AS VARCHAR) ||
+             |    '?utm_source=s' || CAST(doc_id % 7 AS VARCHAR) ||
+             |    '&ref=r' || CAST(doc_id % 4 AS VARCHAR) ||
+             |    '&utm_campaign=c' || CAST(doc_id AS VARCHAR) AS url
+             |  FROM documents
+             |), p AS (
+             |  SELECT doc_id, url,
+             |    regexp_extract(url,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS rawp
+             |  FROM u
+             |), r AS (
+             |  SELECT doc_id, lower(rawp) AS prefix,
+             |    regexp_replace(substr(url, length(rawp) + 1),
+             |      '#.*', '', 'g') AS nofrag
+             |  FROM p
+             |), sq AS (
+             |  SELECT doc_id, prefix,
+             |    regexp_extract(nofrag, '^[^?]*', 0) AS path,
+             |    substr(nofrag,
+             |      length(regexp_extract(nofrag, '^[^?]*', 0)) + 1) AS q
+             |  FROM r
+             |), c AS (
+             |  SELECT doc_id, prefix, path,
+             |    regexp_replace(
+             |      regexp_replace(
+             |        regexp_replace(q, '&utm_[^&]*', '', 'g'),
+             |        '^\?utm_[^&]*&', '?', 'g'),
+             |      '^\?utm_[^&]*', '', 'g') AS qq
+             |  FROM sq
+             |), n AS (
+             |  SELECT doc_id,
+             |    prefix || path ||
+             |      (CASE WHEN qq = '?' THEN '' ELSE qq END) AS norm_url,
+             |    regexp_extract(prefix, '://(.*)', 1) AS host
+             |  FROM c
+             |)
+             |SELECT doc_id, norm_url, host,
+             |  MIN(doc_id) OVER (PARTITION BY norm_url) AS survivor_id,
+             |  COUNT(*) OVER (PARTITION BY norm_url) AS n_dups,
+             |  doc_id = MIN(doc_id) OVER (PARTITION BY norm_url) AS is_survivor
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
+
+    // multi-signal contamination audit: the report a curation run
+    // hands a human — per train doc, BOTH the d10 n-gram containment
+    // evidence AND the s09 retrieval evidence (how many bench probes
+    // retrieve it in their top-5, and at what best rank). One signal
+    // alone misses: containment is blind to paraphrase-scale overlap
+    // below the shingle width, retrieval is blind to verbatim spans of
+    // globally-common terms; an auditor wants the join. Bench probes
+    // are the % 1000 sample of the bench split (bench texts as
+    // queries). Probe-count note: the synthetic corpus has a 31-word
+    // TOTAL vocabulary, so any full-document probe covers it, every
+    // doc matches every probe, and scoring is probe-count-independent
+    // (measured 25/10/5 probes: 6.0/5.8/6.1 s at sf0.1 — the vocab
+    // semi-filter has nothing to prune). On a Zipf-sparse real
+    // vocabulary (t23 measures the spectrum) the semi-filter prunes
+    // postings to the probed terms and this side scales like s09.
+    // Each signal reuses its parent query's exact shape.
+    Q("c03_contamination_report",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val train = docs.where(col("doc_id") % 10 =!= 0)
+        val probes = docs.where(col("doc_id") % 1000 === 0)
+          .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+        val overlap = Dedup.ngramOverlapScore(
+            train, docs.where(col("doc_id") % 10 === 0),
+            "doc_id", "text", shingleK = 3)
+          .select(col("id").as("doc_id"), col("n_contaminated"),
+            r6(col("overlap_frac")).as("overlap_frac"))
+        val hits = graft.operators.Retrieval.bm25(train, "doc_id", "text",
+            probes, "query_id", "query_text", k = 5)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bench_hits"),
+            min("rank").as("best_rank"))
+        overlap.join(hits, Seq("doc_id"), "left")
+          .where(col("n_contaminated") > 0 || col("n_bench_hits").isNotNull)
+          .select(col("doc_id"), col("n_contaminated"), col("overlap_frac"),
+            coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+            coalesce(col("best_rank"), lit(0)).as("best_rank"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'), x -> x <> ''))
+             |    AS term
+             |  FROM documents WHERE doc_id % 10 <> 0
+             |), postings AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf
+             |  FROM toks GROUP BY doc_id, term
+             |), dl AS (
+             |  SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY doc_id
+             |), stats AS (
+             |  SELECT (SELECT COUNT(*) FROM documents
+             |          WHERE doc_id % 10 <> 0) AS n_docs,
+             |         (SELECT coalesce(SUM(dl), 0) FROM dl) AS n_tokens
+             |), qterms AS (
+             |  SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
+             |    regexp_split_to_array(trim(lower(text)),
+             |    '[ \\t\\n\\v\\f\\r]+'), x -> x <> ''))) AS term
+             |  FROM documents WHERE doc_id % 1000 = 0
+             |), matched AS (
+             |  SELECT p.* FROM postings p
+             |  WHERE term IN (SELECT term FROM qterms)
+             |), dfreq AS (
+             |  SELECT term, COUNT(*) AS doc_freq FROM matched GROUP BY term
+             |), contrib AS (
+             |  SELECT qt.query_id, m.doc_id,
+             |    CAST(FLOOR(
+             |      ((n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+             |      * (CAST(m.tf AS DOUBLE) * (1.2 + 1.0))
+             |      / (CAST(m.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+             |         + 0.75 * (CAST(d.dl AS DOUBLE)
+             |                   / (CAST(n_tokens AS DOUBLE) / n_docs))))
+             |      * 1000000 + 0.5) AS BIGINT) AS ci
+             |  FROM matched m
+             |  JOIN qterms qt USING (term)
+             |  JOIN dfreq USING (term)
+             |  JOIN dl d ON m.doc_id = d.doc_id, stats
+             |), sc AS (
+             |  SELECT query_id, doc_id, SUM(ci) AS score_i
+             |  FROM contrib GROUP BY query_id, doc_id
+             |), rk AS (
+             |  SELECT query_id, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY score_i DESC, doc_id ASC) AS rnk
+             |  FROM sc
+             |), hits AS (
+             |  SELECT doc_id, COUNT(*) AS n_bench_hits, MIN(rnk) AS best_rank
+             |  FROM rk WHERE rnk <= 5 GROUP BY doc_id
+             |), tt AS (
+             |  SELECT doc_id, list_filter(
+             |    regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+'),
+             |    x -> x <> '') AS w
+             |  FROM documents
+             |), sh AS (
+             |  SELECT doc_id, CASE WHEN len(w) >= 3
+             |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
+             |                        for i in range(1, len(w) - 1)])
+             |    ELSE [array_to_string(w, ' ')] END AS s
+             |  FROM tt
+             |), bench AS (
+             |  SELECT DISTINCT unnest(s) AS bs FROM sh WHERE doc_id % 10 = 0
+             |), tr AS (
+             |  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0
+             |), m AS (
+             |  SELECT tr.doc_id,
+             |    COUNT(*) AS n_shingles,
+             |    SUM(CASE WHEN b.bs IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS n_contaminated
+             |  FROM tr LEFT JOIN bench b ON tr.g = b.bs
+             |  GROUP BY tr.doc_id
+             |)
+             |SELECT m.doc_id,
+             |  CAST(n_contaminated AS BIGINT) AS n_contaminated,
+             |  ${r6sql("CAST(n_contaminated AS DOUBLE) / n_shingles")}
+             |    AS overlap_frac,
+             |  CAST(coalesce(n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+             |  CAST(coalesce(best_rank, 0) AS INT) AS best_rank
+             |FROM m LEFT JOIN hits ON m.doc_id = hits.doc_id
+             |WHERE n_contaminated > 0 OR n_bench_hits IS NOT NULL
+             |ORDER BY m.doc_id""".stripMargin)),
+
+
+    // shard manifest: the provenance "data card" a training job reads
+    // before consuming a sharded corpus — per shard (t18's assignment):
+    // doc count, token/char budgets, id range. All exact integers, one
+    // map-side-combined aggregate over the shard hash; no window (t18's
+    // in-shard positions aren't needed for budget accounting).
+    Q("p03_shard_manifest",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        docs
+          .withColumn("shard",
+            pmod(pmod(pmod(col("doc_id"), lit(2147483647L)) *
+              lit(2654435761L), lit(1000003L)), lit(8L)).cast("int"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+              .as("total_tokens"),
+            sum(length(col("text")).cast("long")).as("total_chars"),
+            min("doc_id").as("min_doc_id"),
+            max("doc_id").as("max_doc_id"))
+          .orderBy("shard")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id, text,
+             |    CAST(((doc_id % 2147483647) * 2654435761) % 1000003 % 8
+             |      AS INT) AS shard
+             |  FROM documents
+             |)
+             |SELECT shard, COUNT(*) AS n_docs,
+             |  CAST(SUM(len(list_filter(regexp_split_to_array(
+             |    trim(lower(text)),
+             |    '[ \t\n\v\f\r]+'), x -> x <> ''))) AS BIGINT)
+             |    AS total_tokens,
+             |  CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+             |  MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+             |FROM h GROUP BY shard ORDER BY shard""".stripMargin)),
+
+
+    // topic-cluster corpus profile: every embedding assigned to its
+    // nearest seeded centroid (the IVF assignment — argmax dot, ties
+    // to the lowest cluster), rolled up into the composition report a
+    // curation run reads: cluster size, mean cosine to centroid
+    // (micro-quantized per row before the sum — t29's exactness
+    // stance, though here even the raw cosine is bit-identical
+    // cross-engine), dominant label and purity (exact-count argmax,
+    // ties to the lowest label). The assignment pass is narrow; both
+    // rollups are bounded by clusters × labels.
+    Q("c05_topic_clusters",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        Similarity.clusterProfile(emb, "vec_id", "embedding", "label",
+            nClusters = 8)
+          .orderBy("cluster")
+      },
+      Some(s"""WITH e AS (
+             |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings
+             |), cb AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v AS cv
+             |  FROM e ORDER BY vec_id LIMIT 8
+             |), d AS (
+             |  SELECT vec_id, label, v, c, cv,
+             |    list_dot_product(v, cv) AS s
+             |  FROM e, cb
+             |), a AS (
+             |  SELECT vec_id, label, v, c, cv FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY s DESC, c ASC) AS rn FROM d)
+             |  WHERE rn = 1
+             |), q AS (
+             |  SELECT c, label,
+             |    CAST(floor((${cosineSql("v", "cv")}) * 1000000 + 0.5)
+             |      AS BIGINT) AS cq
+             |  FROM a
+             |), g AS (
+             |  SELECT c, COUNT(*) AS n_vecs, CAST(SUM(cq) AS BIGINT) AS sq
+             |  FROM q GROUP BY c
+             |), l AS (
+             |  SELECT c, label, COUNT(*) AS nl FROM q GROUP BY c, label
+             |), top AS (
+             |  SELECT c, label AS top_label, nl AS top_label_n FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY c
+             |      ORDER BY nl DESC, label ASC) AS rn FROM l)
+             |  WHERE rn = 1
+             |)
+             |SELECT CAST(g.c AS INT) AS cluster, n_vecs,
+             |  CAST(sq AS DOUBLE) / 1000000 / CAST(n_vecs AS DOUBLE)
+             |    AS mean_cos,
+             |  top_label, top_label_n,
+             |  CAST(top_label_n AS DOUBLE) / CAST(n_vecs AS DOUBLE)
+             |    AS purity
+             |FROM g JOIN top ON g.c = top.c ORDER BY cluster""".stripMargin)),
+
+
+    // Learned quality classifier SCORING with a fixed literal model
+    // (round 13): the corpus-scale half of QualityModel — hashed
+    // tf·idf features (FNV-1a bucket hash, sign bit 32), 6-decimal
+    // scaled-long features × quantized weights accumulated in
+    // decimal(38,0), margin = bias + Σ/1e12. The oracle replays the
+    // ENTIRE feature pipeline: FNV in HUGEINT with mod-2⁶⁴ wraparound
+    // (the d03 idiom; dim=256 is a power of two, so unsigned mod
+    // equals Spark's signed pmod), the same IEEE weight sequence, the
+    // same integer accumulation, the 256 quantized weights inlined as
+    // a VALUES table. quality_prob is r6-rounded on both sides (the
+    // t29 exp stance).
+    Q("c09_quality_score",
+      (s, dir) => {
+        graft.operators.QualityModel.score(
+            Tables.load(s, dir, "documents"), "doc_id", "text",
+            qmFixedModel)
+          .select(col("doc_id"), col("margin"),
+            r6(col("quality_prob")).as("quality_prob"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '')) AS term
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf
+             |  FROM toks GROUP BY doc_id, term
+             |), dfreq AS (
+             |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+             |), nd AS (
+             |  SELECT COUNT(*) AS n_docs FROM documents
+             |), h AS (
+             |  SELECT doc_id, tf, df,
+             |    list_reduce([CAST(14695981039346656037 AS HUGEINT)] ||
+             |      [CAST(unicode(ch) AS HUGEINT) for ch in string_split(tf.term, '')],
+             |      (hh, c2) -> (xor(hh, c2) * 1099511628211) % 18446744073709551616) AS hh
+             |  FROM tf JOIN dfreq USING (term)
+             |), b AS (
+             |  SELECT doc_id, CAST(hh % $qmFixedDim AS INT) AS bucket,
+             |    CAST(FLOOR(CAST(tf AS DOUBLE)
+             |      * ((n_docs + 1) / (df + 1))
+             |      * (CASE WHEN (hh // 4294967296) % 2 = 0
+             |         THEN 1.0 ELSE -1.0 END)
+             |      * 1000000 + 0.5) AS BIGINT) AS v6
+             |  FROM h, nd
+             |), bk AS (
+             |  SELECT doc_id, bucket, SUM(v6) AS v6
+             |  FROM b GROUP BY doc_id, bucket
+             |), wq(bucket, w6) AS (
+             |  VALUES ${(0 until qmFixedDim)
+                   .map(j => s"($j, ${qmFixedWeightsQ(j)})").mkString(", ")}
+             |), m AS (
+             |  SELECT doc_id,
+             |    SUM(CAST(w6 AS HUGEINT) * CAST(v6 AS HUGEINT)) AS s
+             |  FROM bk JOIN wq USING (bucket) GROUP BY doc_id
+             |), sc AS (
+             |  SELECT d.doc_id,
+             |    ($qmFixedBias) + CAST(coalesce(s, 0) AS DOUBLE)
+             |      / 1000000000000.0 AS margin
+             |  FROM documents d LEFT JOIN m USING (doc_id)
+             |)
+             |SELECT doc_id, margin,
+             |  ${r6sql("1.0 / (1.0 + exp(-margin))")} AS quality_prob
+             |FROM sc ORDER BY doc_id""".stripMargin)),
+  )
+}
