@@ -164,6 +164,101 @@ object QualityModel {
     * sparse-frame aggregation; zero-token docs score at the bias.
     * Output: (idCol, margin, quality_prob = σ(margin)).
     */
+  /** Frozen tf·idf reference statistics for ingest-time scoring:
+    * the corpus-level inputs [[score]] derives from the scored frame
+    * itself (document count + per-term document frequency), captured
+    * once from a REFERENCE corpus so a stream can score statelessly
+    * — the bm25FlagAgainstIndex frozen-statistics stance. `df` holds
+    * only terms present in the reference; absent terms score with
+    * df = 0 (maximal idf), the same value the batch path would give
+    * a term its corpus never contained.
+    */
+  final case class TfIdfStats(nDocs: Long, df: Map[String, Long])
+
+  /** Capture [[TfIdfStats]] from a reference corpus. The collect is
+    * vocabulary-sized — bounded by `maxVocab` with a fail-fast, the
+    * driver-artifact stance of the codebooks/centroids: a frozen
+    * vocabulary table is a MODEL artifact (fastText ships exactly
+    * this), not corpus data. Terms beyond the cap would make the
+    * broadcast a memory hazard; real quality-filter vocabularies are
+    * ≤ a few million terms.
+    */
+  def collectTfIdfStats(ref: DataFrame, idCol: String, textCol: String,
+                        maxVocab: Int = 5000000): TfIdfStats = {
+    val tf = ref.select(col(idCol).as("_qs_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy("_qs_id", "term").agg(count(lit(1)).as("tf"))
+    val rows = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"collectTfIdfStats: reference vocabulary exceeds maxVocab=$maxVocab")
+    TfIdfStats(ref.count(),
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap)
+  }
+
+  /** Stateless streaming twin of [[score]] against FROZEN reference
+    * statistics: one narrow map per document over the broadcast
+    * (model, stats) pair — no explode, no join, no aggregation
+    * state, so it runs in append mode with no watermark and is the
+    * ingest-time quality gate next to the streaming dedup admission
+    * operators. Exact-parity contract (spec-pinned, the
+    * streamingLmPerplexity stance): when `stats` is captured from
+    * the same frame the batch path scores, output is row-identical —
+    * same FNV bucket/sign bits, the same IEEE weight sequence
+    * (tf·((N+1)/(df+1))·sign as double ops in that order), the same
+    * floor(x·1e6+0.5) quantization, per-bucket long sums, the exact
+    * integer weight×feature accumulation (BigInt — decimal(38,0)'s
+    * range), margin = bias + Σ/1e12, and StrictMath.exp for the
+    * sigmoid (Spark's codegen calls StrictMath). Works unchanged on
+    * batch frames.
+    */
+  def streamingQualityScore(docs: DataFrame, idCol: String,
+      textCol: String, model: LinearModel, stats: TfIdfStats): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wq = model.weights.map(w => math.floor(w * 1e6 + 0.5).toLong)
+    val bc = spark.sparkContext.broadcast((stats, wq))
+    val dim = model.dim
+    val bias = model.bias
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val (st, w6) = bc.value
+        it.map { case (id, text) =>
+          val toks = TextAnalysis.tokensLocal(text)
+          val margin =
+            if (toks.isEmpty) bias
+            else {
+              val tf = new java.util.HashMap[String, Long]()
+              toks.foreach(t => tf.merge(t, 1L, _ + _))
+              val v6 = new Array[Long](dim)
+              val nd = st.nDocs
+              tf.forEach { (term, n) =>
+                val h = graft.functions.TextKernels.fnvHash64Kernel(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(term))
+                val bucket = java.lang.Math.floorMod(h, dim.toLong).toInt
+                val sign =
+                  if (java.lang.Math.floorMod(h >> 32, 2L) == 0L) 1.0
+                  else -1.0
+                val dfT = st.df.getOrElse(term, 0L)
+                val weight = n.toDouble *
+                  ((nd + 1L).toDouble / (dfT + 1L).toDouble) * sign
+                v6(bucket) += math.floor(weight * 1e6 + 0.5).toLong
+              }
+              var s = BigInt(0)
+              var b = 0
+              while (b < dim) {
+                if (v6(b) != 0L) s += BigInt(w6(b)) * BigInt(v6(b))
+                b += 1
+              }
+              bias + s.toDouble / 1e12
+            }
+          (id, margin,
+            1.0 / (1.0 + java.lang.StrictMath.exp(-margin)))
+        }
+      }.toDF(idCol, "margin", "quality_prob")
+  }
+
   def score(df: DataFrame, idCol: String, textCol: String,
             model: LinearModel,
             scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {

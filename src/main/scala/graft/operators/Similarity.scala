@@ -1914,8 +1914,13 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       query: Array[Float], k: Int, overfetch: Int): DataFrame = {
     val cb = readPqCodebook(spark, path)
-    pqCoarse(spark.read.parquet(s"$path/codes"), cb,
-      query, k * overfetch).select(col("id")).distinct()
+    // takedown (round 13): [[deleteFromIvfIndex]] works on the plain
+    // PQ layout too (same id-keyed rows, tombstones beside codes);
+    // deleted vectors leave the coarse ranking before any slot is
+    // spent on them
+    pqCoarse(cellsMinusTombstones(
+        spark.read.parquet(s"$path/codes"), ivfTombstones(spark, path)),
+      cb, query, k * overfetch).select(col("id")).distinct()
   }
 
   /** IVF-PQ ANN, in-memory: the standard 100 TB ANN layout — coarse

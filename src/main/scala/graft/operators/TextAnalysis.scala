@@ -1676,7 +1676,7 @@ object TextAnalysis {
     * also strip control chars, String.toLowerCase can diverge on
     * locale-sensitive codepoints), regex split, drop empties.
     */
-  private def tokensLocal(text: String): Array[String] =
+  private[operators] def tokensLocal(text: String): Array[String] =
     org.apache.spark.unsafe.types.UTF8String.fromString(text)
       .toLowerCase.trim().toString.split("\\s+").filter(_.nonEmpty)
 

@@ -480,6 +480,25 @@ class DedupSpec extends SparkSpec {
       .select("id").distinct().as[Long].collect().toSet == Set(1L, 3L),
       "replayed batch resurrected a deleted doc")
     Dedup.unpersistAll()
+    // scale guard: the tombstone anti-join must not strip the probe's
+    // scan pushdowns — the bucket-set and candidate-id In filters
+    // still reach the scans THROUGH the left-anti join (Catalyst
+    // pushes left-side-only predicates below it); losing either would
+    // turn every probe of a tombstoned index into an index-sized read
+    val planned = Dedup.dedupAgainstLshIndex(
+      probe, "doc_id", "text", src, threshold = 0.6)
+    val plan = planned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // (a 1-doc probe's per-band sets are singletons, so Catalyst
+    // prints EqualTo where a bigger batch would print In — either
+    // form is the pushdown)
+    assert(plan.linesIterator.exists(l => l.contains("PushedFilters") &&
+        (l.contains("In(bucket") || l.contains("EqualTo(bucket"))),
+      s"bucket pushdown lost under tombstone anti-join:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("PushedFilters") &&
+        (l.contains("In(id") || l.contains("EqualTo(id"))),
+      s"candidate-id pushdown lost under tombstone anti-join:\n$plan")
+    Dedup.unpersistAll()
   }
 
   test("lsh buckets layout: a small batch's bucket set accepts a fraction of many row groups by range stats") {
@@ -994,6 +1013,17 @@ class SimilaritySpec extends SparkSpec {
         "vec_id", "embedding", k = 10, nProbe = 3),
       Similarity.knnIvfBatchIndexed(spark, dirB, qbatch,
         "vec_id", "embedding", k = 10, nProbe = 3))
+    // scale guard: the tombstone anti-join must not strip the cell
+    // partition pruning — nProbe/nCells file reads is the index's
+    // entire economics, and the In(cell) filter must reach the scan
+    // through the left-anti join
+    val planned = Similarity.knnIvfIndexed(spark, dirB, qv2, k = 10,
+      nProbe = 3)
+    val tplan = planned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(tplan.linesIterator.find(_.contains("PartitionFilters"))
+      .exists(_.contains("cell")),
+      s"cell pruning lost under tombstone anti-join:\n$tplan")
     // rebuild folds: physically absent, tombstones not carried, and
     // (seeded off the surviving rows = `first`) probe-identical to A
     Similarity.rebuildIvfIndex(spark, dirB, dirC, nCells = 8,
@@ -1049,6 +1079,30 @@ class SimilaritySpec extends SparkSpec {
         "embedding", qbatch, "vec_id", "embedding", k = 10, nProbe = 3),
       Similarity.knnIvfPqBatchIndexed(spark, dirB, emb, "vec_id",
         "embedding", qbatch, "vec_id", "embedding", k = 10, nProbe = 3))
+  }
+
+  test("plain pq index takedown: deleted vectors leave the coarse candidates — parity with a never-held index") {
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ppq-a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ppq-b").toString
+    val cut = 400L
+    val first = emb.where($"vec_id" < cut)
+    val second = emb.where($"vec_id" >= cut)
+    val cb = Similarity.pqSeededCodebook(first, "vec_id", "embedding",
+      m = 4, nCodes = 16)
+    Similarity.writePqIndex(first, "vec_id", "embedding", dirA, cb)
+    Similarity.writePqIndex(emb, "vec_id", "embedding", dirB, cb)
+    val qv2 = second.orderBy("vec_id").select("embedding")
+      .head().getSeq[Float](0).toArray
+    assert(Similarity.knnPqIndexed(spark, dirB, emb, "vec_id",
+        "embedding", qv2, k = 3)
+      .collect().exists(_.getLong(0) >= cut),
+      "setup: indexed vectors should be probe-visible before delete")
+    Similarity.deleteFromIvfIndex(second.select("vec_id"), "vec_id", dirB)
+    assertSameRows(
+      Similarity.knnPqIndexed(spark, dirA, emb, "vec_id", "embedding",
+        qv2, k = 10),
+      Similarity.knnPqIndexed(spark, dirB, emb, "vec_id", "embedding",
+        qv2, k = 10))
   }
 
   test("ivfpq batch probe equals the per-query indexed probe") {

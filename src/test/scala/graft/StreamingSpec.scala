@@ -634,6 +634,46 @@ class StreamingSpec extends SparkSpec {
       "streaming unigram doc piece count diverged from batch")
   }
 
+  test("streaming quality score: row-identical to the batch scorer under frozen reference stats, across micro-batch splits") {
+    import graft.operators.{Dedup, QualityModel}
+    implicit val sqlCtx = spark.sqlContext
+    // fixed literal model (the c09 stance); dim deliberately NOT a
+    // power of two — the streaming twin's floorMod must match pmod
+    // for any dim, unlike the oracle's unsigned-mod shortcut
+    val model = QualityModel.LinearModel(60, -0.1,
+      Array.tabulate(60)(j => ((j * 29) % 41 - 20) / 50.0))
+    val rows = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().sortBy(_._1).take(100)
+      .map { case (id, text) => StreamDoc(id, ts((id % 300).toInt), text) }
+    val batchDf = rows.toSeq.toDF()
+    // frozen stats captured from the SAME frame the batch path
+    // scores — the exact-parity configuration
+    val stats = QualityModel.collectTfIdfStats(batchDf, "doc_id", "text")
+    val mem = MemoryStream[StreamDoc]
+    val q = QualityModel.streamingQualityScore(
+        mem.toDF(), "doc_id", "text", model, stats)
+      .writeStream.format("memory").queryName("squal")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      mem.addData(a.toIndexedSeq: _*)
+      q.processAllAvailable()
+      mem.addData(b.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("squal")
+        .collect().map(_.toString).sorted.toSeq
+      val batch = QualityModel.score(batchDf, "doc_id", "text", model)
+        .collect().map(_.toString).sorted.toSeq
+      assert(streamed == batch,
+        s"streaming quality score diverged from batch:\n" +
+          streamed.zip(batch).filter(t => t._1 != t._2).take(3))
+    } finally {
+      q.stop()
+      Dedup.unpersistAll()
+    }
+  }
+
   test("streaming ledger admission honors takedown tombstones: deleted content admits") {
     import graft.operators.Dedup
     implicit val sqlCtx = spark.sqlContext
