@@ -46,7 +46,16 @@ object Featurize {
     * Zero-token docs have no rows here; dense/scoring consumers
     * restore them. Output: (_fh_id, _fh_b, _fh_v6).
     */
-  def hashedTfIdfSparse(
+  /** Per-TERM quantized weights: one row per (doc, term occurrence
+    * group) — (_fh_id, _fh_b, _fh_q6) BEFORE the per-bucket
+    * collision sum. This is the shuffle-minimal surface for linear
+    * consumers: [[QualityModel.score]]'s margin distributes over the
+    * bucket sum exactly (integer products of scaled longs), so it
+    * aggregates these rows straight to the doc key — one exchange
+    * fewer than going through [[hashedTfIdfSparse]] (round-13 c09
+    * plan audit; the dense builder still needs the bucket grouping).
+    */
+  private[operators] def hashedTfIdfTermWeights(
       df: DataFrame, idCol: String, textCol: String, dim: Int,
       scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
     require(dim >= 2, "hashedTfIdf: dim must be >= 2")
@@ -74,13 +83,18 @@ object Featurize {
     tf
       .join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
-      .groupBy(col("_fh_id"), bucket.as("_fh_b"))
-      // 6-decimal-scaled LONG sum (the s09 trick): a double sum's
-      // value depends on partition arrival order; collision sums must
-      // be retry-deterministic like every aggregate in this library
-      .agg(sum(floor(weight * lit(1e6) + lit(0.5)).cast("long"))
-        .as("_fh_v6"))
+      .select(col("_fh_id"), bucket.as("_fh_b"),
+        // 6-decimal-scaled LONG (the s09 trick): all downstream sums
+        // are exact integer arithmetic, retry/partition-deterministic
+        floor(weight * lit(1e6) + lit(0.5)).cast("long").as("_fh_q6"))
   }
+
+  def hashedTfIdfSparse(
+      df: DataFrame, idCol: String, textCol: String, dim: Int,
+      scope: Dedup.CacheScope = Dedup.batchScope): DataFrame =
+    hashedTfIdfTermWeights(df, idCol, textCol, dim, scope)
+      .groupBy("_fh_id", "_fh_b")
+      .agg(sum("_fh_q6").as("_fh_v6"))
 
   def hashedTfIdf(
       df: DataFrame, idCol: String, textCol: String, dim: Int = 256,

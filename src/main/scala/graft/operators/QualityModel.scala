@@ -265,11 +265,15 @@ object QualityModel {
     val wq = model.weights.map(w => math.floor(w * 1e6 + 0.5).toLong)
     val wLit = typedlit(wq.toSeq)
     val dec = DecimalType(38, 0)
+    // per-TERM weights, not per-bucket: the margin distributes over
+    // the bucket collision sum exactly (integer products), so the
+    // (doc, bucket) exchange is pure cost — one shuffle fewer on the
+    // corpus-sized feature table (round-13 plan audit)
     val margins = Featurize
-      .hashedTfIdfSparse(df, idCol, textCol, model.dim, scope)
+      .hashedTfIdfTermWeights(df, idCol, textCol, model.dim, scope)
       .select(col("_fh_id"),
         (element_at(wLit, col("_fh_b") + 1).cast(dec) *
-          col("_fh_v6").cast(dec)).as("_qm_p"))
+          col("_fh_q6").cast(dec)).as("_qm_p"))
       .groupBy("_fh_id")
       .agg(sum(col("_qm_p")).as("_qm_s"))
       .select(col("_fh_id").as(idCol),
