@@ -258,6 +258,19 @@ object ScaleProbeXL {
       val tProbe = (System.nanoTime() - tp0) / 1e9
       println(f"[probe-xl] lsh-index rep=$rep%-4d indexed=${d0 * rep}%-8d " +
         f"build=$tBuild%.1fs probe=$tProbe%.1fs pairs=$nPairs%-7d")
+      // ── takedown overhead (round 13): a human-scale tombstone set
+      // (1000 ids) must cost a broadcast anti-join, NOT an index-
+      // sized rescan — probe time with tombstones should track the
+      // clean probe at every index scale (the §4 takedown claim).
+      operators.Dedup.deleteFromLshIndex(
+        big.select("doc_id").limit(1000), "doc_id", dir)
+      val tt0 = System.nanoTime()
+      val nPairsTd = operators.Dedup.dedupAgainstLshIndex(
+        batch, "doc_id", "text", dir).count()
+      operators.Dedup.unpersistAll()
+      val tTd = (System.nanoTime() - tt0) / 1e9
+      println(f"[probe-xl] lsh-takedown rep=$rep%-4d tombstones=1000 " +
+        f"probe=$tTd%.1fs (clean $tProbe%.1fs) pairs=$nPairsTd%-7d")
     }
 
     // ── incremental BPE trainer (round 11): the corpus is touched
