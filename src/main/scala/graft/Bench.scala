@@ -99,10 +99,23 @@ object Bench {
     val orderSpec = sys.env.getOrElse("SPARK_GRAFT_BENCH_ORDER", "name")
     val ordered = {
       val base = selected.toSeq.sortBy(_._1)
-      if (orderSpec.startsWith("shuffled")) {
-        val seed = orderSpec.split(":").lift(1).map(_.toLong).getOrElse(13L)
-        new scala.util.Random(seed).shuffle(base)
-      } else base
+      orderSpec.split(":", 2) match {
+        case Array("name") => base
+        case Array("shuffled") => new scala.util.Random(13L).shuffle(base)
+        case Array("shuffled", s) =>
+          // a malformed seed must not kill the sweep — fall back loudly
+          val seed = s.toLongOption.getOrElse {
+            System.err.println(
+              s"[bench] unparsable shuffle seed '$s' — using 13")
+            13L
+          }
+          new scala.util.Random(seed).shuffle(base)
+        case _ =>
+          System.err.println(
+            s"[bench] unknown SPARK_GRAFT_BENCH_ORDER '$orderSpec' — " +
+              "using name order")
+          base
+      }
     }
     val firstPass = ordered.map { case (name, fn) =>
       val (t, err) = timeOne(name, fn)

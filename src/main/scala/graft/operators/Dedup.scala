@@ -1027,6 +1027,14 @@ object Dedup {
     * the rewrite (the compaction snapshots tombstones when it reads) —
     * re-issue such deletes against the compacted path (idempotent)
     * or pause deletes across compact-and-swap.
+    *
+    * Id lifecycle: a tombstoned ID stays dead until the next
+    * compaction folds it — rows appended under that id before the
+    * fold are masked, and the fold removes them. Re-ingested content
+    * therefore lands under FRESH ids (the normal crawl flow; ids are
+    * the caller's contract), never by resurrecting a taken-down one.
+    * The content-keyed exact ledger differs: its append
+    * re-establishes content by clearing the covering tombstone.
     */
   def deleteFromLshIndex(
       ids: DataFrame, idCol: String, path: String): Unit =
@@ -1036,7 +1044,7 @@ object Dedup {
   /** The distinct'd tombstone id set, if any — None on an index with
     * no deletes (the common case pays one existence check, no read).
     */
-  private def lshTombstones(
+  private[operators] def lshTombstones(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -1050,7 +1058,7 @@ object Dedup {
     * takedown set is bounded by definition; a corpus-scale delete is
     * a rebuild, not a tombstone).
     */
-  private def minusTombstones(
+  private[operators] def minusTombstones(
       df: DataFrame, ts: Option[DataFrame], key: String): DataFrame =
     ts.map(t => df.join(
         broadcast(t.withColumnRenamed("id", key)), Seq(key), "left_anti"))
@@ -1418,12 +1426,45 @@ object Dedup {
     * ingest, making admit-then-append exactly-once per content.
     */
   def appendToExactLedger(
-      df: DataFrame, textCol: String, path: String): Unit =
+      df: DataFrame, textCol: String, path: String): Unit = {
+    val hashes = df.select(xxhash64(col(textCol)).as("content_hash"))
+      .distinct()
     // appended hashes keep the sorted layout (narrow ranges per
     // appended file + bloom), so admission pruning survives appends
-    writeLedgerHashes(
-      df.select(xxhash64(col(textCol)).as("content_hash")).distinct(),
-      "append", s"$path/hashes")
+    writeLedgerHashes(hashes, "append", s"$path/hashes")
+    // Takedown lifecycle (round-13 review fix): an append
+    // RE-ESTABLISHES its content — clear any tombstone covering an
+    // appended hash, or the tombstone would mask the new ledger row
+    // forever (unbounded re-admission of the same content) and the
+    // next compaction would destroy the legitimately re-appended
+    // hash. Order matters: data first, clear second — a crash
+    // between the two leaves the tombstone masking a present row,
+    // which only re-admits the content once more before the retry's
+    // clear converges (the log-before-data stance inverted for the
+    // same reason: the safe failure mode is a transient duplicate,
+    // never a loss). Quiesce: a delete racing this clear may be
+    // dropped — re-issue it (idempotent).
+    clearLedgerTombstones(df.sparkSession, path, hashes)
+  }
+
+  /** Remove tombstones covered by `hashes` (eagerly materialized
+    * before the overwrite — the Layout.compact in-place stance:
+    * overwrite truncates before a lazy read would run).
+    */
+  private def clearLedgerTombstones(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      hashes: DataFrame): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tp)) {
+      val remaining = spark.read.parquet(s"$path/tombstones")
+        .select("content_hash").distinct()
+        .join(hashes, Seq("content_hash"), "left_anti")
+        .localCheckpoint() // eager: sever from the path before overwrite
+      remaining.repartition(1).write.mode("overwrite")
+        .parquet(s"$path/tombstones")
+    }
+  }
 
   /** Compact a persisted exact-dedup ledger into a fresh tree
     * (round 11 — the LSH/BM25 compaction stance for the simplest
@@ -1465,6 +1506,12 @@ object Dedup {
     * policy may require dropping). Physical removal at the next
     * [[compactExactLedger]], which folds tombstones and does not
     * carry them. Idempotent; unknown hashes are harmless.
+    *
+    * Lifecycle (round-13 review fix): a later
+    * [[appendToExactLedger]] of the same content RE-ESTABLISHES it —
+    * the append clears the covering tombstone, so the admit→append
+    * loop naturally restores dedup for re-admitted content instead
+    * of masking the new ledger row forever.
     */
   def deleteFromExactLedger(
       docs: DataFrame, textCol: String, path: String): Unit =

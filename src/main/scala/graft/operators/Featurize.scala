@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions._
   * documents feed [[Similarity]]'s kNN/IVF/quantization machinery
   * unchanged (near-dup mining, clustering, diversity sampling) on
   * corpora that have no learned embeddings yet.
+  *
+  * FEATURE-HASH VERSION: round 13 moved the bucket hash from
+  * xxhash64 to FNV-1a (`fnv_hash64`) so the quality scorer could be
+  * oracle-gated. The hash IS the feature space: vectors materialized
+  * to disk or [[QualityModel.LinearModel]] weights trained before
+  * the switch are incompatible with post-switch scoring — recompute
+  * vectors and retrain models together (nothing in this repo
+  * persists either, but external checkpoints must not be mixed
+  * across the boundary).
   */
 object Featurize {
 

@@ -107,10 +107,28 @@ object IndexHealth {
                 maxDataFiles: Long = 64,
                 maxDupFrac: Double = 0.10,
                 maxSaturatedFrac: Double = 0.05): Health = {
-    val s = Dedup.lshBucketStats(spark, path, capForStats)
+    // occupancy/saturation on LIVE rows (tombstones filtered — the
+    // round-13 review fix: dead rows' saturation would otherwise
+    // trigger an expensive geometry rebuild that the compaction the
+    // pending tombstones already request would eliminate); duplicate
+    // detection stays PHYSICAL (crash-replay rows are a compaction
+    // trigger regardless of takedown state)
+    val lshTs = Dedup.lshTombstones(spark, path)
+    val per = Dedup.minusTombstones(
+        spark.read.parquet(s"$path/buckets")
+          .select("id", "band", "bucket"), lshTs, "id")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum("n"), lit(0L)).as("total"),
+        count(lit(1)).as("nb"),
+        coalesce(max("n"), lit(0L)).as("mx"),
+        coalesce(sum(when(col("n") > capForStats, col("n"))
+          .otherwise(0L)), lit(0L)).as("satRows")).head()
+    val (bandTotal, nb, mx, satRows) =
+      (per.getLong(0), per.getLong(1), per.getLong(2), per.getLong(3))
     val hashes = spark.read.parquet(s"$path/hashes")
-    val r = hashes.agg(count(lit(1)).as("n"),
-      count_distinct(col("id")).as("d")).head()
+    val r = Dedup.minusTombstones(hashes.select("id"), lshTs, "id")
+      .agg(count(lit(1)).as("n"), count_distinct(col("id")).as("d"))
+      .head()
     val (rows, distinctIds) = (r.getLong(0), r.getLong(1))
     val dupFrac =
       if (rows == 0) 0.0 else (rows - distinctIds).toDouble / rows
@@ -120,17 +138,18 @@ object IndexHealth {
     Health(
       kind = "lsh",
       totalRows = distinctIds,
-      nPartitions = s.nBuckets,
-      maxPartition = s.maxBucket,
-      skew = if (s.nBuckets > 0 && s.totalRows > 0)
-        s.maxBucket / (s.totalRows.toDouble / s.nBuckets) else 0.0,
+      nPartitions = nb,
+      maxPartition = mx,
+      skew = if (nb > 0 && bandTotal > 0)
+        mx / (bandTotal.toDouble / nb) else 0.0,
       emptyPartitions = 0L, // banding buckets are a sparse hash space
       dataFiles = files,
       generations = 1,
       tombstones = ts,
       needsCompact = files > maxDataFiles || dupFrac > maxDupFrac ||
         ts > 0,
-      needsRebuild = s.saturatedRowFrac > maxSaturatedFrac)
+      needsRebuild = bandTotal > 0 &&
+        satRows.toDouble / bandTotal > maxSaturatedFrac)
   }
 
   /** Exact-dedup ledger: partition unit = data file (the range-sorted
@@ -214,7 +233,23 @@ object IndexHealth {
                 maxSkew: Double = 4.0,
                 maxEmptyFrac: Double = 0.5,
                 maxDataFiles: Long = 256): Health = {
-    val s = Similarity.cellStats(spark, path)
+    // live-row cell occupancy (tombstones filtered — the reportLsh
+    // stance: dead rows must not steer the rebuild trigger)
+    val nCells = spark.read.parquet(s"$path/centroids").count().toInt
+    require(nCells > 0, s"reportIvf: no centroids at $path")
+    val counts = Similarity.cellsMinusTombstones(
+        spark.read.parquet(s"$path/cells").select("id", "cell"),
+        Similarity.ivfTombstones(spark, path))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val perCell = (0 until nCells).map(c => counts.getOrElse(c, 0L))
+    val total = perCell.sum
+    val mean = total.toDouble / nCells
+    val s = Similarity.IvfCellStats(
+      nCells = nCells, totalRows = total,
+      minCell = perCell.min, maxCell = perCell.max, meanCell = mean,
+      skew = if (mean > 0) perCell.max / mean else 0.0,
+      emptyCells = perCell.count(_ == 0L))
     val files = dataFileCount(spark, s"$path/cells")
     val ts = tombstoneCount(spark, path)
     Health(

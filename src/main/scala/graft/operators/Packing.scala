@@ -181,10 +181,6 @@ object Packing {
       }
   }
 
-  /** Input row shape for [[streamingCurriculumPack]]. */
-  final case class CurriculumPackInput(doc_id: Long, phase: Int,
-                                       shard: Int, ord: Long, n_tok: Long)
-
   /** One curriculum packing assignment: the chunk this document's
     * first token lands in within its (phase, shard) stream.
     */
@@ -243,33 +239,15 @@ object Packing {
       bounds: Seq[Double] = Seq(0.25, 0.5, 0.75))
       (implicit spark: SparkSession): Dataset[CurriculumPackAssignment] = {
     import spark.implicits._
-    require(seqLen > 0)
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        Sampling.curriculumPhase(quality, bounds).as("phase"),
-        Sampling.curriculumShard(col(idCol), nShards).as("shard"),
-        Sampling.curriculumOrd(col(idCol)).cast("long").as("ord"),
-        tokenCount.cast("long").as("n_tok"))
-      .as[CurriculumPackInput]
-      .groupByKey(d => (d.phase, d.shard))
-      .flatMapGroupsWithState[PackState, CurriculumPackAssignment](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case ((phase, shard), it, state) =>
-          var cum = state.getOption.map(_.cumTok).getOrElse(0L)
-          val out = it.toSeq.sortBy(d => (d.ord, d.doc_id)).map { d =>
-            val start = cum
-            cum += d.n_tok
-            CurriculumPackAssignment(d.doc_id, phase, shard,
-              start / seqLen, start)
-          }
-          state.update(PackState(cum))
-          out.iterator
-      }
+    // one stateful core (round-13 review): the assignment-only form
+    // rides the doc-carrying packer with an empty payload, so the
+    // grouping/ordering/counter-state logic exists exactly once
+    streamingCurriculumPackDocs(
+        docs.withColumn("_scp_payload", lit("")), idCol, quality,
+        tokenCount, "_scp_payload", seqLen, nShards, bounds)
+      .map(p => CurriculumPackAssignment(
+        p.doc_id, p.phase, p.shard, p.chunk_id, p.start_tok))
   }
-
-  /** Input row shape for [[streamingLengthBucketBatches]]. */
-  final case class LbInput(doc_id: Long, bucket: Int, shard: Int,
-                           n_tok: Int, ord: Long)
 
   /** One length-bucket batching assignment: the (bucket, shard)
     * stream's batch this document joins and its slot within it.
@@ -299,29 +277,14 @@ object Packing {
       numShards: Int)
       (implicit spark: SparkSession): Dataset[LbAssignment] = {
     import spark.implicits._
-    require(batchSize > 0,
-      "streamingLengthBucketBatches: batchSize must be positive")
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        bucketOf(tokenCount, bounds).as("bucket"),
-        shardOf(col(idCol), numShards).cast("int").as("shard"),
-        tokenCount.cast("int").as("n_tok"),
-        Sampling.curriculumOrd(col(idCol)).cast("long").as("ord"))
-      .as[LbInput]
-      .groupByKey(d => (d.bucket, d.shard))
-      .flatMapGroupsWithState[LbState, LbAssignment](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case ((bucket, shard), it, state) =>
-          var n = state.getOption.map(_.nSeen).getOrElse(0L)
-          val out = it.toSeq.sortBy(d => (d.ord, d.doc_id)).map { d =>
-            val a = LbAssignment(d.doc_id, bucket, shard,
-              (n / batchSize).toInt, (n % batchSize).toInt, d.n_tok)
-            n += 1
-            a
-          }
-          state.update(LbState(n))
-          out.iterator
-      }
+    // one stateful core (round-13 review): the streamingCurriculumPack
+    // delegation stance — empty payload through the doc-carrying
+    // packer, counter logic in exactly one place
+    streamingLengthBucketDocs(
+        docs.withColumn("_slb_payload", lit("")), idCol, tokenCount,
+        "_slb_payload", bounds, batchSize, numShards)
+      .map(p => LbAssignment(
+        p.doc_id, p.bucket, p.shard, p.batch, p.slot, p.n_tok))
   }
 
   /** Input row for the doc-carrying curriculum packer. */
@@ -403,22 +366,26 @@ object Packing {
       .start()
 
   /** Manifest of a landed curriculum corpus: one row per training
-    * chunk — (phase, shard, chunk_id, n_docs, n_tokens, start_tok,
-    * complete), where `complete` marks chunks whose token span
-    * reached `seqLen` (the trailing partial chunk of each stream is
-    * the only expected incomplete one while ingest is live). Derived
-    * from the committed files, so it is always consistent with what
-    * a reader will actually see.
+    * STREAM — (phase, shard, n_docs, n_tokens, n_complete_chunks,
+    * tail_tokens). Stream-level on purpose (round-13 review fix): a
+    * document longer than `seqLen` spans chunks no document STARTS
+    * in, so a per-chunk grouping of doc rows has gaps exactly where
+    * the corpus is densest; the token total per stream defines the
+    * complete-chunk count with no gaps — chunks `0 until
+    * n_complete_chunks` are full, `tail_tokens` sit in the one
+    * trailing partial chunk a live stream always has. Derived from
+    * the committed files, so always consistent with what a reader
+    * sees.
     */
   def curriculumCorpusManifest(spark: SparkSession, path: String,
                                seqLen: Int): DataFrame =
     spark.read.parquet(path)
-      .groupBy("phase", "shard", "chunk_id")
+      .groupBy("phase", "shard")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tok").as("n_tokens"),
-        min("start_tok").as("start_tok"),
-        ((max(col("start_tok") + col("n_tok")) -
-          col("chunk_id") * seqLen) >= seqLen).as("complete"))
+        floor(sum("n_tok") / lit(seqLen.toLong)).cast("long")
+          .as("n_complete_chunks"),
+        (sum("n_tok") % lit(seqLen.toLong)).as("tail_tokens"))
 
   /** One length-bucketed document with payload — [[LbAssignment]]
     * plus text, the on-disk row of [[writeLengthBucketCorpus]].

@@ -220,7 +220,12 @@ object QualityModel {
     val bc = spark.sparkContext.broadcast((stats, wq))
     val dim = model.dim
     val bias = model.bias
-    docs.select(col(idCol).cast("long"), col(textCol))
+    // null text behaves like the batch path's restored row: no
+    // tokens, margin = bias (explode drops it there; the coalesce
+    // keeps the twin from NPEing here). Ids must be integral and
+    // non-null — the knnBruteBatch stance.
+    docs.select(col(idCol).cast("long"),
+        coalesce(col(textCol), lit("")))
       .as[(Long, String)]
       .mapPartitions { it =>
         val (st, w6) = bc.value

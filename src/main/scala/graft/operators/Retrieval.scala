@@ -495,6 +495,13 @@ object Retrieval {
     * nothing. A delete racing a running compaction may land a
     * tombstone the rewrite no longer honors — re-issue it against
     * the compacted index (same quiesce contract as the LSH lifecycle).
+    *
+    * Id lifecycle: [[appendToBm25Index]] already requires fresh doc
+    * ids versus the committed tree, so a taken-down id cannot be
+    * re-appended while its postings are physically present; after
+    * the compaction folds it, the id is genuinely free and its
+    * below-base tombstone no longer applies — reuse is then safe by
+    * construction.
     */
   def deleteFromBm25Index(
       spark: org.apache.spark.sql.SparkSession,

@@ -699,14 +699,17 @@ object Similarity {
     * a replayed [[ivfPqIngestBatch]] is a no-op against its ingest
     * log, so it cannot resurrect a deleted vector. Same quiesce
     * contract as the LSH lifecycle: a delete racing a rebuild must
-    * be re-issued against the new path.
+    * be re-issued against the new path. Id lifecycle (the LSH
+    * stance): a tombstoned id stays dead until the next rebuild
+    * folds it — rows appended under it before the fold are masked
+    * and then removed; re-ingested vectors land under fresh ids.
     */
   def deleteFromIvfIndex(
       ids: DataFrame, idCol: String, path: String): Unit =
     ids.select(col(idCol).as("id")).distinct()
       .repartition(1).write.mode("append").parquet(s"$path/tombstones")
 
-  private def ivfTombstones(
+  private[operators] def ivfTombstones(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -720,7 +723,7 @@ object Similarity {
     * (broadcast — takedowns are human-scale; a corpus-scale delete
     * is a rebuild).
     */
-  private def cellsMinusTombstones(
+  private[operators] def cellsMinusTombstones(
       cells: DataFrame, ts: Option[DataFrame]): DataFrame =
     ts.map(t => cells.join(broadcast(t), Seq("id"), "left_anti"))
       .getOrElse(cells)

@@ -922,12 +922,14 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String,
       merges: Seq[BpeMerge]): DataFrame = {
     require(merges.nonEmpty, "streamingBpeDocPieceCount: empty merge table")
+    // coalesce: null text must count 0 like the batch twin's restored
+    // row, not propagate null into the budget sums
     docs.select(col(idCol),
-      aggregate(
+      coalesce(aggregate(
         transform(tokens(col(textCol)),
           w => size(graft.functions.TextKernelOps.bpeSegment(w, merges))
             .cast("long")),
-        lit(0L), (acc, x) => acc + x).as("n_bpe_pieces"))
+        lit(0L), (acc, x) => acc + x), lit(0L)).as("n_bpe_pieces"))
   }
 
   // ---- Unigram-LM (SentencePiece-style) tokenizer (round 10) ----
@@ -1289,11 +1291,11 @@ object TextAnalysis {
     require(table.nonEmpty,
       "streamingUnigramDocPieceCount: empty piece table")
     docs.select(col(idCol),
-      aggregate(
+      coalesce(aggregate(
         transform(tokens(col(textCol)),
           w => size(graft.functions.TextKernelOps.unigramSegment(w, table))
             .cast("long")),
-        lit(0L), (acc, x) => acc + x).as("n_unigram_pieces"))
+        lit(0L), (acc, x) => acc + x), lit(0L)).as("n_unigram_pieces"))
   }
 
   /** Domain-affinity scoring for data selection (the DSIR/importance-

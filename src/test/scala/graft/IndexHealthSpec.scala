@@ -32,10 +32,12 @@ class IndexHealthSpec extends SparkSpec {
     Dedup.appendToLshIndex(docs, "doc_id", "text", src)
     val dup = IndexHealth.report(spark, src)
     assert(dup.needsCompact, s"duplicate rows not flagged: $dup")
-    // takedown pending → needsCompact regardless of duplicates
+    // takedown pending → needsCompact regardless of duplicates, and
+    // occupancy counts LIVE rows only (the review fix)
     Dedup.deleteFromLshIndex(Seq(2L).toDF("doc_id"), "doc_id", src)
     val td = IndexHealth.report(spark, src)
     assert(td.tombstones == 1 && td.needsCompact, td.toString)
+    assert(td.totalRows == 2, s"tombstoned rows counted as live: $td")
     // compaction folds both: clean report on the fresh tree
     Dedup.compactLshIndex(spark, src, dst)
     val after = IndexHealth.report(spark, dst)
@@ -115,8 +117,14 @@ class IndexHealthSpec extends SparkSpec {
     assert(skewed.needsRebuild, s"drift not flagged: $skewed")
     Similarity.deleteFromIvfIndex(
       drifted.select("vec_id"), "vec_id", dir)
-    assert(IndexHealth.report(spark, dir).needsCompact,
-      "pending tombstones not flagged")
+    val afterDel = IndexHealth.report(spark, dir)
+    assert(afterDel.needsCompact, "pending tombstones not flagged")
+    // live-row stats (the review fix): with the drifted rows
+    // tombstoned, the LIVE geometry is balanced again — the flag must
+    // not demand a rebuild that the pending compaction makes moot
+    assert(!afterDel.needsRebuild,
+      s"dead rows still steering the rebuild trigger: $afterDel")
+    assert(afterDel.totalRows == emb.count(), afterDel.toString)
     // rebuild folds tombstones and recenters: both flags clear
     Similarity.rebuildIvfIndex(spark, dir, dir2, nCells = 8,
       strategy = Similarity.SeededCentroids)

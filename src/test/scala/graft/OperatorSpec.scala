@@ -3216,6 +3216,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(admitted(dst) == Set(1L, 2L))
   }
 
+  test("exact ledger takedown lifecycle: re-appending admitted content clears its tombstone — dedup recovers, compaction keeps the row") {
+    import graft.operators.Dedup
+    val src = java.nio.file.Files.createTempDirectory("graft-led-rl1").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-led-rl2").toString
+    Dedup.writeExactLedger(
+      Seq("seen one", "seen two").toDF("text"), "text", src)
+    Dedup.deleteFromExactLedger(Seq("seen one").toDF("text"), "text", src)
+    val batch = Seq((1L, "seen one")).toDF("doc_id", "text")
+    def admitted(): Set[Long] = {
+      val got = Dedup.admitAgainstExactLedger(batch, "doc_id", "text", src)
+        .select("doc_id").as[Long].collect().toSet
+      Dedup.unpersistAll()
+      got
+    }
+    // takedown: the recrawl is admitted once (intended) …
+    assert(admitted() == Set(1L))
+    // … and the admit→append loop RE-ESTABLISHES the content: the
+    // append clears the covering tombstone (the round-13 review
+    // finding — without the clear, the masked new ledger row meant
+    // unbounded re-admissions and compaction destroyed it)
+    Dedup.appendToExactLedger(batch, "text", src)
+    assert(admitted().isEmpty,
+      "re-appended content still admitted: tombstone not cleared")
+    assert(spark.read.parquet(s"$src/tombstones").count() == 0,
+      "append did not clear the covering tombstone")
+    // compaction preserves the re-established hash
+    Dedup.compactExactLedger(spark, src, dst)
+    assert(spark.read.parquet(s"$dst/hashes").count() == 2,
+      "compaction destroyed the re-established hash")
+    // an unrelated tombstone survives the clear (only covered hashes go)
+    Dedup.deleteFromExactLedger(Seq("seen two").toDF("text"), "text", src)
+    Dedup.appendToExactLedger(Seq("other").toDF("text"), "text", src)
+    assert(spark.read.parquet(s"$src/tombstones").count() == 1,
+      "append cleared a tombstone it does not cover")
+  }
+
   test("corpus line dedup drops corpus-common lines, keeps unique and blanks") {
     import graft.operators.TextAnalysis
     val df = Seq(

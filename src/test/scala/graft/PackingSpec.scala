@@ -197,22 +197,18 @@ class PackingSpec extends SparkSpec {
         cum += n
       }
     }
-    // 3) the manifest reads the committed files: tokens conserve and
-    // only trailing chunks may be incomplete
+    // 3) the manifest reads the committed files: tokens conserve,
+    // and per stream the complete-chunk arithmetic closes exactly
+    // (n_complete_chunks·seqLen + tail_tokens == n_tokens — gap-free
+    // even for docs longer than seqLen, the review fix)
     val man = Packing.curriculumCorpusManifest(spark, s"$dir/out", seqLen)
     assert(man.agg(sum("n_tokens")).head().getLong(0) ==
       rows.map(_._3).sum)
-    val incomplete = man.where(!col("complete"))
-      .select("phase", "shard", "chunk_id")
-      .as[(Int, Int, Long)].collect()
-    val lastChunk = man.groupBy("phase", "shard")
-      .agg(max("chunk_id").as("mx"))
-      .as[(Int, Int, Long)].collect()
-      .map { case (p, s, m) => (p, s) -> m }.toMap
-    incomplete.foreach { case (p, s, c) =>
-      assert(c == lastChunk((p, s)),
-        s"non-trailing chunk ($p,$s,$c) incomplete")
-    }
+    man.select("n_tokens", "n_complete_chunks", "tail_tokens")
+      .as[(Long, Long, Long)].collect().foreach { case (nt, nc, tail) =>
+        assert(nc * seqLen + tail == nt && tail < seqLen,
+          s"manifest arithmetic broken: $nt != $nc*$seqLen+$tail")
+      }
   }
 
   test("writeLengthBucketCorpus: restart keeps batch slots contiguous; manifest marks full batches") {
