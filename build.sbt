@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout through UNPREFIXED: the default
+// LoggedOutput strategy prepends "[info] " to every line, which
+// defeats any line-wise JSON parse of Bench/Verify output (13 rounds
+// of BENCH_r*.json carried "parsed": null because the final summary
+// line arrived as `[info] {...}`). StdoutOutput writes the raw bytes.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and drop the trailing "[success] Total time:" line, so the
+// bench's compact JSON summary is the LAST stdout line a bounded
+// tail capture sees.
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(
+  run / outputStrategy, Compile / run / outputStrategy, showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
