@@ -1037,9 +1037,52 @@ object Dedup {
     * re-establishes content by clearing the covering tombstone.
     */
   def deleteFromLshIndex(
-      ids: DataFrame, idCol: String, path: String): Unit =
-    ids.select(col(idCol).as("id")).distinct()
-      .repartition(1).write.mode("append").parquet(s"$path/tombstones")
+      ids: DataFrame, idCol: String, path: String,
+      maxTombstones: Long = defaultMaxTombstones): Unit = {
+    val ts = ids.select(col(idCol).as("id")).distinct()
+    guardTombstoneScale("deleteFromLshIndex", path, ts.count(),
+      pendingTombstoneCount(ids.sparkSession, path), maxTombstones)
+    ts.repartition(1).write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** Ceiling on a persisted index's PENDING tombstone set (requested
+    * delete + already-pending rows), shared by every takedown path.
+    * The tombstone design assumes a broadcast-scale set — every probe
+    * anti-joins it, so past broadcast scale each probe silently pays a
+    * giant broadcast instead of the rebuild the situation calls for.
+    * 1M ids ≈ 8 MB of key bytes (tens of MB as a hashed relation) —
+    * still cheap to broadcast and probe; past it, fail fast toward
+    * "rebuild without the deleted rows". §4 carries the measured
+    * crossover. Policy, not physics: every deleteFrom* exposes it.
+    */
+  val defaultMaxTombstones: Long = 1000000L
+
+  /** The fail-fast itself — a corpus-scale delete is a rebuild, not a
+    * tombstone (shared by LSH / exact-ledger / BM25 / IVF / PQ
+    * takedowns; both counts are one aggregate job each, no driver
+    * data).
+    */
+  private[operators] def guardTombstoneScale(
+      op: String, path: String, incoming: Long, existing: Long,
+      maxTombstones: Long): Unit =
+    require(incoming + existing <= maxTombstones,
+      s"$op: this delete would leave ${incoming + existing} pending " +
+        s"tombstone rows at $path (> maxTombstones = $maxTombstones). " +
+        "Tombstones are probe-time broadcast anti-joins, sized for " +
+        "human-scale takedowns; a corpus-scale delete is a REBUILD — " +
+        "compact/rebuild the index without the deleted rows instead, " +
+        "or raise maxTombstones if your cluster can broadcast the set.")
+
+  /** Pending (already written) tombstone row count at an index path —
+    * 0 when the tree doesn't exist (one existence check).
+    */
+  private[operators] def pendingTombstoneCount(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/tombstones").count()
+    else 0L
+  }
 
   /** The distinct'd tombstone id set, if any — None on an index with
     * no deletes (the common case pays one existence check, no read).
@@ -1514,9 +1557,14 @@ object Dedup {
     * of masking the new ledger row forever.
     */
   def deleteFromExactLedger(
-      docs: DataFrame, textCol: String, path: String): Unit =
-    docs.select(xxhash64(col(textCol)).as("content_hash")).distinct()
-      .repartition(1).write.mode("append").parquet(s"$path/tombstones")
+      docs: DataFrame, textCol: String, path: String,
+      maxTombstones: Long = defaultMaxTombstones): Unit = {
+    val ts = docs.select(xxhash64(col(textCol)).as("content_hash"))
+      .distinct()
+    guardTombstoneScale("deleteFromExactLedger", path, ts.count(),
+      pendingTombstoneCount(docs.sparkSession, path), maxTombstones)
+    ts.repartition(1).write.mode("append").parquet(s"$path/tombstones")
+  }
 
   private def ledgerTombstones(
       spark: org.apache.spark.sql.SparkSession,

@@ -265,4 +265,86 @@ object IndexHealth {
       needsCompact = ts > 0 || files > maxDataFiles,
       needsRebuild = Similarity.needsRebuild(s, maxSkew, maxEmptyFrac))
   }
+
+  /** What one [[maintain]] pass did: the health row that triggered it,
+    * the action taken ("none" | "compacted" | "rebuilt"), the path now
+    * holding the maintained index (== the input path for in-place BM25
+    * compaction and for no-op passes; `dstPath` otherwise — the caller
+    * owns the pointer swap, every compaction's contract), and the
+    * fresh health row at that path.
+    */
+  final case class MaintainResult(
+      before: Health, action: String, activePath: String, after: Health)
+
+  /** ONE maintenance pass over a persisted index of ANY kind — the
+    * "walk the catalog, compact what needsCompact, rebuild what
+    * needsRebuild" loop body this module exists for (round 14; the
+    * per-kind pieces all predate it, and round 13's ledger-tombstone
+    * bug showed composition is where the bugs live — the
+    * MaintenanceLoopSpec pins this composition end to end on all four
+    * kinds: ingest → takedown → flags flip → maintain → probes
+    * row-identical, flags clear).
+    *
+    * Dispatch, per [[report]]'s kind detection:
+    *  - `bm25`: [[Retrieval.compactBm25Index]] IN PLACE (its commit is
+    *    the atomic CURRENT rename, so no fresh path is needed);
+    *    `dstPath` is ignored.
+    *  - `exact_ledger` / `lsh`: the kind's compaction into `dstPath`
+    *    (fresh-tree stance — the source stays probe-able until the
+    *    caller swaps pointers).
+    *  - `ivf` (incl. IVF-PQ, same layout): needsCompact OR needsRebuild
+    *    both route to the rebuild — the rebuild IS this kind's
+    *    compaction. A plain IVF index rebuilds from its own stored
+    *    vectors ([[Similarity.rebuildIvfIndex]], keeping the stored
+    *    cell count, k-means retrain). An IVF-PQ index CANNOT — PQ codes
+    *    are lossy — so it requires the caller's `ivfRebuild` leg
+    *    (typically `Similarity.rebuildIvfPqIndex` closed over the
+    *    current full-precision corpus); maintain fails fast rather
+    *    than guessing.
+    *
+    * LSH `needsRebuild` (bucket saturation) is NOT auto-fixed: new
+    * banding geometry is a build-parameter decision the caller owns.
+    * The compaction still runs (folding tombstones/duplicates), and
+    * the returned `after.needsRebuild` surfaces the remaining
+    * saturation.
+    */
+  def maintain(spark: SparkSession, path: String, dstPath: String,
+               ivfRebuild: Option[(String, String) => Unit] = None)
+      : MaintainResult = {
+    val before = report(spark, path)
+    val (action, active) = before.kind match {
+      case "bm25" =>
+        if (before.needsCompact) {
+          Retrieval.compactBm25Index(spark, path); ("compacted", path)
+        } else ("none", path)
+      case "exact_ledger" =>
+        if (before.needsCompact) {
+          Dedup.compactExactLedger(spark, path, dstPath)
+          ("compacted", dstPath)
+        } else ("none", path)
+      case "lsh" =>
+        if (before.needsCompact || before.needsRebuild) {
+          Dedup.compactLshIndex(spark, path, dstPath)
+          ("compacted", dstPath)
+        } else ("none", path)
+      case "ivf" =>
+        if (before.needsCompact || before.needsRebuild) {
+          val isPq = spark.read.parquet(s"$path/cells")
+            .schema.fieldNames.contains("codes")
+          val leg: (String, String) => Unit = ivfRebuild.getOrElse {
+            require(!isPq,
+              s"IndexHealth.maintain: the IVF-PQ index at $path stores " +
+                "lossy codes — its rebuild needs the current " +
+                "full-precision corpus; pass ivfRebuild = (src, dst) => " +
+                "Similarity.rebuildIvfPqIndex(corpus, ..., src, dst, ...)")
+            (src, dst) =>
+              Similarity.rebuildIvfIndex(spark, src, dst,
+                nCells = spark.read.parquet(s"$src/centroids")
+                  .count().toInt)
+          }
+          leg(path, dstPath); ("rebuilt", dstPath)
+        } else ("none", path)
+    }
+    MaintainResult(before, action, active, report(spark, active))
+  }
 }

@@ -505,7 +505,13 @@ object Retrieval {
     */
   def deleteFromBm25Index(
       spark: org.apache.spark.sql.SparkSession,
-      ids: DataFrame, idCol: String, path: String): Unit = {
+      ids: DataFrame, idCol: String, path: String,
+      maxTombstones: Long = Dedup.defaultMaxTombstones): Unit = {
+    // the requested id set bounds what lands in the tombstone tree
+    // (one row per id actually held), so guard on it
+    Dedup.guardTombstoneScale("deleteFromBm25Index", path,
+      ids.select(col(idCol)).distinct().count(),
+      Dedup.pendingTombstoneCount(spark, path), maxTombstones)
     val (gen, base) = readCurrentGen(spark, path)
     committedPostings(spark, path, gen, base)
       .join(broadcast(ids.select(col(idCol).as("doc_id")).distinct()),

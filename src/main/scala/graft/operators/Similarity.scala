@@ -705,9 +705,13 @@ object Similarity {
     * and then removed; re-ingested vectors land under fresh ids.
     */
   def deleteFromIvfIndex(
-      ids: DataFrame, idCol: String, path: String): Unit =
-    ids.select(col(idCol).as("id")).distinct()
-      .repartition(1).write.mode("append").parquet(s"$path/tombstones")
+      ids: DataFrame, idCol: String, path: String,
+      maxTombstones: Long = Dedup.defaultMaxTombstones): Unit = {
+    val ts = ids.select(col(idCol).as("id")).distinct()
+    Dedup.guardTombstoneScale("deleteFromIvfIndex", path, ts.count(),
+      Dedup.pendingTombstoneCount(ids.sparkSession, path), maxTombstones)
+    ts.repartition(1).write.mode("append").parquet(s"$path/tombstones")
+  }
 
   private[operators] def ivfTombstones(
       spark: org.apache.spark.sql.SparkSession,
