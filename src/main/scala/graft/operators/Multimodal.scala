@@ -474,6 +474,56 @@ object Multimodal {
     Dedup.hammingPairs(audioEnergySig(media), "media_id", "asig",
       maxHamming)
 
+  /** Any-modality near-duplicate report per document pair (round 14):
+    * compose the text MinHash verdict with the image dHash and audio
+    * energy-signature verdicts into ONE row per flagged pair —
+    * (id_a, id_b, text_dup, image_dup, audio_dup, n_modalities) —
+    * the multimodal-corpus curation question "are these two documents
+    * duplicates in ANY modality, and which?".
+    *
+    * Each leg is the existing bucketed operator unchanged —
+    * [[graft.operators.Dedup.minhashDuplicates]] (band-bucket join)
+    * over every document's text, [[imageNearDup]] / [[audioNearDup]]
+    * (pigeonhole hamming chunk joins) over the matching kind slices
+    * of [[fromDocuments]] — so the composition inherits their scale
+    * shape: every pair-producing join is keyed, never all-pairs, and
+    * the final rollup is one (id_a, id_b) aggregation over the
+    * already-sparse verdict union. Video carries no JDK codec and no
+    * fingerprint (the documented d12/d14 stub boundary), so video-kind
+    * payloads contribute only their text verdict.
+    */
+  def multimodalNearDup(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+      threshold: Double = 0.5, maxHamming: Int = 3,
+      maxBucketSize: Int = Int.MaxValue)
+      (implicit spark: SparkSession): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    val text = Dedup.minhashDuplicates(base, "doc_id", "text",
+        shingleK = shingleK, numHashes = numHashes, bands = bands,
+        threshold = threshold, maxBucketSize = maxBucketSize)
+      .select(col("id_a"), col("id_b"), lit("text").as("modality"))
+    val media = fromDocuments(base)
+    val img = imageNearDup(media.where(col("kind") === "image"),
+        maxHamming)
+      .select(col("id_a"), col("id_b"), lit("image").as("modality"))
+    val aud = audioNearDup(media.where(col("kind") === "audio"),
+        maxHamming)
+      .select(col("id_a"), col("id_b"), lit("audio").as("modality"))
+    text.unionByName(img).unionByName(aud)
+      .groupBy("id_a", "id_b")
+      .agg(
+        max(when(col("modality") === "text", 1).otherwise(0))
+          .as("text_dup"),
+        max(when(col("modality") === "image", 1).otherwise(0))
+          .as("image_dup"),
+        max(when(col("modality") === "audio", 1).otherwise(0))
+          .as("audio_dup"))
+      .withColumn("n_modalities",
+        col("text_dup") + col("image_dup") + col("audio_dup"))
+  }
+
   /** Per-kind rollup of extracted features. */
   def featureSummary(features: Dataset[MediaFeatures]): DataFrame =
     features.groupBy("kind")

@@ -142,6 +142,46 @@ private[queries] object PipelineDedup {
       Some(d14OracleSql)),
 
 
+    // any-modality duplicate report (round 14): text MinHash + image
+    // dHash + audio energy-sig verdicts composed into one row per
+    // flagged pair — which modalities call these two documents
+    // duplicates. Planting must keep the brute-force oracle valid
+    // against LSH candidacy, so the copies are TOKEN-PRESERVING:
+    // exact twins (+6M on doc_id%8) and first-space→tab edits (+3M on
+    // doc_id%4; same codepoint length, same token stream — a changed
+    // byte the stub hashes see as content while the shingle set, and
+    // therefore the MinHash signature and every band bucket, is
+    // IDENTICAL to the source's). A copy thus collides exactly where
+    // its source does, and d02 pins that every natural ≥0.5 pair is a
+    // candidate — so candidacy is never the filter, only the exact
+    // jaccard verify both sides replay. (A one-codepoint 'x' edit —
+    // d12's, which only needs stub-hash locality — was measured to
+    // create 0.7-jaccard crosses that 16-band LSH deterministically
+    // misses.) 4 and 8 are coprime to 3, so every kind slice receives
+    // copies; +3M/+6M ≡ 0 (mod 3) keeps the source's kind. The oracle
+    // replays all three legs in SQL and may go quadratic; the plan
+    // under test is band-bucket + pigeonhole joins (see d16OracleSql).
+    Q("d16_multimodal_dedup",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val docs = Tables.load(s, dir, "documents")
+        val loc = locate(" ", col("text"))
+        val edited = docs.where(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            when(loc > 0, concat(
+                col("text").substr(lit(1), loc - 1), lit("\t"),
+                col("text").substr(loc + 1, length(col("text")))))
+              .otherwise(col("text")).as("text"))
+        val twins = docs.where(col("doc_id") % 8 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
+        val base = docs.select("doc_id", "text")
+          .unionByName(edited).unionByName(twins)
+        Multimodal.multimodalNearDup(base, "doc_id", "text")
+          .orderBy("id_a", "id_b")
+      },
+      Some(d16OracleSql)),
+
+
     // duplicated-SPAN removal (windowed exact-substring dedup, Lee et
     // al. 2021): every 8-token window occurring ≥2 times corpus-wide
     // is duplicated; per doc the duplicated windows merge into

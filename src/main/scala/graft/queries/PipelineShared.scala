@@ -337,6 +337,106 @@ private[queries] object PipelineShared {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** d16 oracle: one SQL replay of all three modality verdicts over
+    * the shared planted base — d02's brute-force shingle Jaccard for
+    * the text leg, d12's stub-grid dHash for the image-kind slice
+    * (doc_id % 3 = 0), d14's 65-window delta-sign signature for the
+    * audio-kind slice (doc_id % 3 = 1) — unioned and rolled up per
+    * (id_a, id_b). The modality legs may be quadratic here; the Spark
+    * plan under test runs the band-bucket / pigeonhole joins.
+    * Planting: doc_id % 4 first-space→tab edits (+3000000 — token-
+    * preserving, see the query comment for why that is what keeps
+    * this brute-force oracle valid against LSH candidacy) and
+    * doc_id % 8 exact twins (+6000000); 4 and 8 are coprime to 3, so
+    * every kind slice receives planted copies, and the +3M/+6M offsets
+    * are ≡ 0 (mod 3), so a copy keeps its source's kind.
+    */
+  lazy val d16OracleSql: String = {
+    val M = "18446744073709551616" // 2^64
+    val signed = (u: String) =>
+      s"CAST(CASE WHEN $u >= 9223372036854775808 THEN $u - $M ELSE $u END AS BIGINT)"
+    val iBitSum = (for { y <- 0 until 8; x <- 0 until 8 } yield {
+      val idx = y * 8 + x
+      val l = y * 9 + x + 1
+      s"(CASE WHEN gr[$l] > gr[${l + 1}] THEN CAST(${java.math.BigInteger.TWO.pow(idx)} AS HUGEINT) ELSE 0 END)"
+    }).mkString(" +\n    ")
+    val aBitSum = (0 until 64).map { i =>
+      s"(CASE WHEN gr[${i + 1}] > gr[${i + 2}] THEN CAST(${java.math.BigInteger.TWO.pow(i)} AS HUGEINT) ELSE 0 END)"
+    }.mkString(" +\n    ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000,
+       |    CASE WHEN strpos(text, ' ') > 0
+       |      THEN substr(text, 1, strpos(text, ' ') - 1) || chr(9)
+       |           || substr(text, strpos(text, ' ') + 1)
+       |      ELSE text END
+       |  FROM documents WHERE doc_id % 4 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 8 = 0
+       |), t AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(trim(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS w
+       |  FROM base
+       |), sh AS (
+       |  SELECT doc_id, CASE WHEN len(w) >= 3
+       |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
+       |                        for i in range(1, len(w) - 1)])
+       |    ELSE [array_to_string(w, ' ')] END AS s
+       |  FROM t
+       |), tpairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+       |    / len(list_distinct(a.s || b.s)) >= 0.5
+       |), icp AS (
+       |  SELECT doc_id,
+       |    [unicode(ch) for ch in string_split(text, '')] AS cps
+       |  FROM base WHERE doc_id % 3 = 0
+       |), ig AS (
+       |  SELECT doc_id, CASE WHEN len(cps) = 0
+       |    THEN [0 for i in range(0, 72)]
+       |    ELSE [cps[CAST((i * len(cps)) // 72 AS BIGINT) + 1]
+       |          for i in range(0, 72)] END AS gr
+       |  FROM icp
+       |), ih AS (
+       |  SELECT doc_id, ${signed(s"($iBitSum)")} AS phash FROM ig
+       |), ipairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ih a JOIN ih b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+       |), acp AS (
+       |  SELECT doc_id,
+       |    [unicode(ch) for ch in string_split(text, '')] AS cps
+       |  FROM base WHERE doc_id % 3 = 1
+       |), ag AS (
+       |  SELECT doc_id, CASE WHEN len(cps) = 0
+       |    THEN [0 for i in range(0, 65)]
+       |    ELSE [cps[CAST((i * len(cps)) // 65 AS BIGINT) + 1]
+       |          for i in range(0, 65)] END AS gr
+       |  FROM acp
+       |), ah AS (
+       |  SELECT doc_id, ${signed(s"($aBitSum)")} AS asig FROM ag
+       |), apairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM ah a JOIN ah b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.asig, b.asig)) <= 3
+       |), u AS (
+       |  SELECT id_a, id_b, 1 AS td, 0 AS im, 0 AS au FROM tpairs
+       |  UNION ALL
+       |  SELECT id_a, id_b, 0, 1, 0 FROM ipairs
+       |  UNION ALL
+       |  SELECT id_a, id_b, 0, 0, 1 FROM apairs
+       |)
+       |SELECT id_a, id_b,
+       |  CAST(max(td) AS INT) AS text_dup,
+       |  CAST(max(im) AS INT) AS image_dup,
+       |  CAST(max(au) AS INT) AS audio_dup,
+       |  CAST(max(td) + max(im) + max(au) AS INT) AS n_modalities
+       |FROM u GROUP BY id_a, id_b
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // planted shared passages for d13 (see the query comment): a footer
   // shared by doc_id%5 docs, a header by doc_id%7, a within-doc
   // repeated phrase on doc_id%11 — all ≥8 tokens so each carries
