@@ -189,6 +189,32 @@ object Similarity {
       sampleSize: Int = 4096, iters: Int = 20,
       seed: Long = 42L) extends CentroidStrategy
 
+  /** Distributed spherical k-means (round 14): the SAME k-means++
+    * seeding over the same bounded content-defined sample as
+    * [[KMeansCentroids]] (the two strategies differ only in who runs
+    * Lloyd), then `iters` DISTRIBUTED Lloyd rounds over the FULL
+    * corpus: each round is one narrow aggregation job — assign every
+    * vector with the codegen'd nearest-centroid kernel the builds
+    * use, posexplode to (cell, dim) keys, exact DECIMAL(38,18) sums
+    * (order-free, so the fit is bit-deterministic across partition
+    * layouts — the t29 stance, decimal-shaped) with map-side combine,
+    * and a collect bounded by nCells·dim rows. No corpus data ever
+    * reaches the driver.
+    *
+    * When to pay the rounds: [[KMeansCentroids]]' driver Lloyd fits
+    * the SAMPLE's geometry — at a bounded cap the sample under-weights
+    * exactly the mass concentrations that make cells skew, so on a
+    * heavily duplicated/drifted corpus the sample-trained cells can
+    * trip [[needsRebuild]] while a full-corpus fit balances (measured
+    * in SURVEY §4's k-means probe). This strategy weights centroids by
+    * TRUE corpus mass at one scan per round — the classic map-reduce
+    * Lloyd, priced for indexes whose build cost is dominated by the
+    * cells write anyway.
+    */
+  final case class KMeansCentroidsDistributed(
+      sampleSize: Int = 4096, iters: Int = 10,
+      seed: Long = 42L) extends CentroidStrategy
+
   /** IVF-style index: assign every vector to its nearest of `nCells`
     * centroid cells — one narrow pass computing
     * `argmax_i dot(vec, c_i)`, output written partitioned/bucketed by
@@ -208,13 +234,131 @@ object Similarity {
           .select(vecCol).collect()
           .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       case KMeansCentroids(sampleSize, iters, seed) =>
-        val sample = df
-          .select(col(idCol).as("id"), col(vecCol).as("vec"))
-          .orderBy(xxhash64(col("id")), col("id")).limit(sampleSize)
-          .select("vec").collect()
-          .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-        kmeansOnSample(sample, nCells, iters, seed)
+        kmeansOnSample(collectSample(df, idCol, vecCol, sampleSize),
+          nCells, iters, seed)
+      case KMeansCentroidsDistributed(sampleSize, iters, seed) =>
+        kmeansDistributed(df, idCol, vecCol, nCells, sampleSize, iters,
+          seed)
     }
+
+  /** The bounded content-defined sample both k-means strategies seed
+    * from: the `sampleSize` lowest-xxhash64(id) vectors — stable
+    * across partition layouts, one bounded TakeOrdered.
+    */
+  private def collectSample(
+      df: DataFrame, idCol: String, vecCol: String,
+      sampleSize: Int): Array[Array[Double]] =
+    df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(sampleSize)
+      .select("vec").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  /** Distributed Lloyd (see [[KMeansCentroidsDistributed]]): k-means++
+    * seeding on the bounded sample (zero driver Lloyd rounds), then
+    * one corpus aggregation per round. Stops early when a round moves
+    * no centroid. Zero vectors drop (no direction). Deterministic:
+    * the assignment kernel's tie-break is the build contract (lowest
+    * cell), the per-(cell, dim) sums are exact decimals, and the
+    * driver's mean/normalize arithmetic has a fixed evaluation order.
+    *
+    * EMPTY cells re-seed from the corpus — the capability the sampled
+    * strategy physically cannot have: when the bounded sample holds
+    * fewer distinct locations than nCells (a duplicate-heavy corpus —
+    * the 100 TB norm), k-means++ runs out of distance mass and stacks
+    * COINCIDENT centroids, whose tie-broken twins stay empty forever
+    * under plain Lloyd (a coincident pair partitions identically, so
+    * no round can separate it — on the driver there is no more sample
+    * to separate it WITH). Here each round re-seeds its empty cells
+    * at the corpus's worst-covered distinct vectors (lowest max-dot
+    * against the current fit — the k-means++ choice, deterministically
+    * tie-broken), one bounded TakeOrdered job paid only on rounds
+    * that have empties.
+    */
+  private[graft] def kmeansDistributed(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+      sampleSize: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = {
+      val seeded = kmeansOnSample(
+        collectSample(df, idCol, vecCol, sampleSize), nCells, 0, seed)
+      // the sample can hold fewer distinct points than nCells
+      // (kmeansOnSample caps there — the driver strategy's hard
+      // ceiling); pad with coincident copies, which tie-break empty
+      // and are re-seeded from the corpus on the first round
+      if (seeded.length >= nCells) seeded
+      else seeded ++ Array.fill(nCells - seeded.length)(seeded.head.clone())
+    }
+    val dim = cents.head.length
+    // unit-normalize once: spherical k-means assigns by max dot over
+    // unit vectors, and the mean-of-units is what re-normalizes
+    val unit = df
+      .select(col(vecCol).cast("array<double>").as("v0"))
+      .withColumn("_n",
+        sqrt(graft.functions.VectorOps.dot(col("v0"), col("v0"))))
+      .where(col("_n") > 0d)
+      .select(transform(col("v0"), x => x / col("_n")).as("v"))
+    var it = 0
+    var changed = true
+    while (it < iters && changed) {
+      val assigned = unit.select(col("v"),
+        graft.functions.VectorOps
+          .nearestCentroid(col("v"), cents.flatten, dim).as("cell"))
+      val rows = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cell", "d")
+        .agg(sum(col("x")
+            .cast(org.apache.spark.sql.types.DecimalType(38, 18))).as("s"),
+          count(lit(1)).as("n"))
+        .collect() // bounded: ≤ nCells·dim rows
+      val sums = Array.fill(nCells, dim)(java.math.BigDecimal.ZERO)
+      val counts = new Array[Long](nCells)
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        sums(c)(r.getInt(1)) = r.getDecimal(2)
+        counts(c) = r.getLong(3)
+      }
+      val next = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0L) old
+        else {
+          val mean = Array.tabulate(dim) { d =>
+            (BigDecimal(sums(c)(d)) / BigDecimal(counts(c))).toDouble
+          }
+          val norm = math.sqrt(mean.map(x => x * x).sum)
+          if (norm == 0d) old else mean.map(_ / norm)
+        }
+      }
+      val empties = (0 until nCells).filter(counts(_) == 0L)
+      if (empties.nonEmpty) {
+        // re-seed at the corpus's worst-covered mass: per DISTINCT
+        // vector, badness = multiplicity × (1 − max dot vs the updated
+        // fit) — corpus-mass D², the k-means++ weight. Multiplicity
+        // matters: a 10⁶-copy duplicate stack sharing a centroid with
+        // another stack outweighs any lone far outlier, so re-seeds
+        // split merged heavy cells instead of chasing noise. One
+        // bounded TakeOrdered job, paid only on rounds with empties.
+        val flat = typedlit(next.flatten.toSeq)
+        val reseed = assigned
+          .groupBy(col("v")).agg(count(lit(1)).as("_m"))
+          .select(col("v"), col("_m"),
+            graft.functions.VectorOps
+              .nearestCentroid(col("v"), next.flatten, dim).as("nc"))
+          .select(col("v"),
+            ((lit(1d) - aggregate(
+              zip_with(col("v"),
+                slice(flat, col("nc") * dim + 1, lit(dim)),
+                (a, b) => a * b),
+              lit(0d), (acc, x) => acc + x)) * col("_m")).as("_s"))
+          .orderBy(col("_s").desc, col("v").asc)
+          .limit(empties.size).collect()
+          .map(_.getSeq[Double](0).toArray)
+        empties.zip(reseed).foreach { case (c, p) => next(c) = p }
+      }
+      changed = !next.zip(cents)
+        .forall { case (a, b) => java.util.Arrays.equals(a, b) }
+      cents = next
+      it += 1
+    }
+    cents
+  }
 
   /** Driver-side spherical k-means over an already-collected sample:
     * unit-normalize, k-means++ seeding (D² weighting with distance
