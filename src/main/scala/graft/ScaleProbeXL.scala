@@ -273,6 +273,54 @@ object ScaleProbeXL {
         f"probe=$tTd%.1fs (clean $tProbe%.1fs) pairs=$nPairsTd%-7d")
     }
 
+    // ── takedown crossover (round 14): tombstones ride probe-time
+    // broadcast anti-joins, and the maxTombstones guard (default 1M)
+    // encodes "a corpus-scale delete is a REBUILD". This family
+    // measures where that crossover actually sits: one index, then
+    // cumulative synthetic tombstone sets stepping 10³ → 10⁶ ids
+    // (anti-join cost depends on the broadcast set's size, not on
+    // membership, so ids above the real id range measure the same
+    // curve without shrinking the matched pairs), probing at each
+    // step. The printed build time is the rebuild alternative the
+    // guard points at — the crossover is where per-probe overhead ×
+    // expected probes before the next fold exceeds it. ──
+    if (fam("takedown-crossover")) {
+      val rep = reps.max
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-xl-tdx$rep").toString
+      val big = saltedDocs(rep)
+      val batch = evalSplit.select(
+        (col("doc_id") + lit(900000000L)).as("doc_id"),
+        regexp_replace(col("text"), " ", " zq0 ").as("text"))
+      val tb0 = System.nanoTime()
+      operators.Dedup.writeLshIndex(big, "doc_id", "text", dir)
+      operators.Dedup.unpersistAll()
+      val tBuild = (System.nanoTime() - tb0) / 1e9
+      def probeOnce(): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = operators.Dedup.dedupAgainstLshIndex(
+          batch, "doc_id", "text", dir).count()
+        operators.Dedup.unpersistAll()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      probeOnce() // untimed warm-up: JIT/codegen/footer warmth
+      val (nClean, tClean) = probeOnce()
+      println(f"[probe-xl] takedown-crossover rep=$rep%-4d tombstones=0 " +
+        f"probe=$tClean%.2fs build=$tBuild%.1fs pairs=$nClean%-7d")
+      var written = 0L
+      for (target <- Seq(1000L, 10000L, 100000L, 1000000L)) {
+        operators.Dedup.deleteFromLshIndex(
+          spark.range(written, target)
+            .select((col("id") + lit(800000000L)).as("doc_id")),
+          "doc_id", dir, maxTombstones = 2000000L)
+        written = target
+        val (n, t) = probeOnce()
+        println(f"[probe-xl] takedown-crossover rep=$rep%-4d " +
+          f"tombstones=$target%-8d probe=$t%.2fs (clean $tClean%.2fs, " +
+          f"build $tBuild%.1fs) pairs=$n%-7d")
+      }
+    }
+
     // ── incremental BPE trainer (round 11): the corpus is touched
     // ONCE (the word-frequency groupBy); every merge round rides the
     // persisted pair-delta table, whose size tracks word TYPES (the

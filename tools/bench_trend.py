@@ -26,10 +26,15 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # Queries whose in-sweep cost measurably depends on what ran before
 # them (SURVEY.md §4 "Context-sensitive queries": order-randomized
-# sweep score >= 0.5, plus the two historical same-tree swing cases).
+# sweep score >= 0.5, plus the historical same-tree swing cases).
 # The trend table marks a round's max-headroom query with "~" when it
 # is in this set: a spike there reads as sweep context, not plan
 # regression (the bench's 1.5x retry rule adjudicates it upstream).
+# t29/t30 joined in round 14 on adjudicated evidence: their r13
+# in-sweep spikes (2.36 s / 1.46 s) read 1.2x/1.4x over pins with NO
+# t29/t30-path code change, and quiet-box isolated minima (4 in-JVM
+# rounds) came back at 1.85 s / 1.01 s -- at or under their 1.97 /
+# 1.02 pins, confirming context, not plan.
 CONTEXT_SENSITIVE = {
     "s02_knn_lsh", "q19_union", "t24_quality_quantiles",
     "d09_semantic_decontaminate", "c01_curate", "q42_cube",
@@ -37,6 +42,7 @@ CONTEXT_SENSITIVE = {
     "t23_freq_spectrum", "q41_stats_moments", "s19_knn_pq_rotated",
     "t27_mix_bpe", "t15_mix_allocation", "q15_join_inner",
     "t26_bpe_encode", "c05_topic_clusters", "c09_quality_score",
+    "t29_lm_perplexity", "t30_vocab_coverage",
 }
 
 
