@@ -139,6 +139,42 @@ object ScaleProbeXL {
         f"groups=${rep / GroupSize}%-3d pairs=$nPairs%-9d time=$sec%.1fs")
     }
 
+    // ── distributed k-means (round 14): the strategy's claim is one
+    // narrow aggregation job per Lloyd round (assign → posexplode →
+    // decimal sums, collect bounded by nCells·dim) — so a 10× corpus
+    // must cost ~10× per round with the driver-side work FLAT, and
+    // the fit must stay bit-deterministic across the replication's
+    // different partition layouts. The sampled strategy is timed
+    // alongside: its cost is corpus-independent (bounded TakeOrdered
+    // + driver Lloyd), the baseline the distributed rounds buy
+    // corpus-true cell mass over. ──
+    if (fam("kmeans-distributed")) for (rep <- Seq(reps.min, reps.max)) {
+      val big = saltedEmb(rep)
+      val t0 = System.nanoTime()
+      val cd = operators.Similarity.kmeansDistributed(
+        big, "vec_id", "embedding", nCells = 16, sampleSize = 4096,
+        iters = 5, seed = 42L)
+      val tDist = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      operators.Similarity.kmeansOnSample(
+        big.select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .orderBy(xxhash64(col("id")), col("id")).limit(4096)
+          .select("vec").collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toArray),
+        16, 20, 42L)
+      val tSample = (System.nanoTime() - t1) / 1e9
+      // determinism across layouts: same corpus, different partition
+      // count → identical centroids (the decimal-sum claim)
+      val cd2 = operators.Similarity.kmeansDistributed(
+        big.repartition(7), "vec_id", "embedding", nCells = 16,
+        sampleSize = 4096, iters = 5, seed = 42L)
+      val det = cd.zip(cd2).forall { case (a, b) =>
+        java.util.Arrays.equals(a, b) }
+      println(f"[probe-xl] kmeans-distributed rep=$rep%-4d " +
+        f"vectors=${n0 * rep}%-8d distributed=$tDist%.1fs " +
+        f"sampled=$tSample%.1fs deterministic=$det")
+    }
+
     // ── cross-corpus decontamination: eval fixed, train grows — the
     // unsalted replication is already the right shape (cross-pair
     // growth is linear in rep by construction) ──

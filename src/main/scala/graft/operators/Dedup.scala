@@ -547,6 +547,63 @@ object Dedup {
       .distinct()
   }
 
+  /** Stream-vs-static pigeonhole hamming flag — [[hammingPairs]]'s
+    * ingest-time twin over ANY 64-bit sketch column: flag arriving
+    * sketches within `maxHamming` of a STATIC reference side. Fully
+    * STATELESS on the stream side (the streamingDecontaminate
+    * stance): chunk extraction is a per-row projection, the match is
+    * a stream-static equi-join on (chunk, value), the radius test is
+    * row-local — no watermark, no state. The static side's chunked
+    * projection persists once in the streaming cache scope, so
+    * per-batch work is O(batch), not O(reference).
+    *
+    * EXACTLY-ONCE emit without state: a pair inside the radius can
+    * agree on several chunks (one join hit each), but which chunks
+    * agree is derivable from the two sketches alone — so rows where
+    * the matched chunk is not the pair's FIRST agreeing chunk are
+    * filtered out row-locally, and each flagged pair emits exactly
+    * one row per micro-batch with no distinct/aggregation. (The
+    * batch operator dedups the same multiplicity with a distinct —
+    * stateful on a stream; this is the stateless equivalent.)
+    *
+    * Output: (id_left, id_right, hamming) with hamming ≤ maxHamming.
+    */
+  def hammingFlagStream(
+      stream: DataFrame, static: DataFrame, idCol: String,
+      sketchCol: String, maxHamming: Int,
+      scope: CacheScope = streamingScope): DataFrame = {
+    val nChunks = maxHamming + 1
+    require(nChunks <= 16, "radius > 15 would make chunks < 4 bits")
+    val widths = Array.tabulate(nChunks)(i =>
+      64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def chunked(df: DataFrame, idAs: String, simAs: String): DataFrame =
+      df.select(col(idCol).as(idAs), col(sketchCol).as(simAs))
+        .select(col(idAs), col(simAs),
+          explode(array((0 until nChunks).map { c =>
+            struct(lit(c).as("chunk"),
+              shiftright(col(simAs), offsets(c))
+                .bitwiseAND(lit((1L << widths(c)) - 1)).as("cv"))
+          }: _*)).as("ch"))
+        .select(col(idAs), col(simAs),
+          col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
+    val r = chunked(
+      scope.persistTracked(static.select(col(idCol), col(sketchCol))),
+      "id_right", "sim_r")
+    val l = chunked(stream, "id_left", "sim_l")
+    val xor = col("sim_l").bitwiseXOR(col("sim_r"))
+    // first agreeing chunk = first chunk whose XOR window is zero;
+    // total on joined rows (the matched chunk itself agrees)
+    val firstAgree = coalesce((0 until nChunks).map { c =>
+      when(shiftright(xor, offsets(c))
+        .bitwiseAND(lit((1L << widths(c)) - 1)) === 0L, lit(c))
+    }: _*)
+    l.join(r, l("chunk") === r("chunk") && l("cv") === r("cv"))
+      .where(bit_count(xor) <= maxHamming && l("chunk") === firstAgree)
+      .select(col("id_left"), col("id_right"),
+        bit_count(xor).as("hamming"))
+  }
+
   /** Streaming exact dedup: first document per content hash within
     * the watermark survives; later copies are dropped. The same
     * content-hash contract as [[exact]] lifted onto Structured

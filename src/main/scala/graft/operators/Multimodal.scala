@@ -524,6 +524,62 @@ object Multimodal {
         col("text_dup") + col("image_dup") + col("audio_dup"))
   }
 
+  /** Streaming any-modality duplicate flag — [[multimodalNearDup]]'s
+    * ingest-time twin: flag ARRIVING documents that duplicate a
+    * STATIC reference corpus in any modality, with the modality
+    * named. Composed from stateless stream-static legs only, so it
+    * runs inside ingest at any scale with zero watermark state:
+    *
+    *  - text: [[graft.operators.Dedup.streamingDecontaminate]]
+    *    (banded MinHash match + row-local Jaccard verify against the
+    *    corpus's persisted banding);
+    *  - image / audio: [[graft.operators.Dedup.hammingFlagStream]]
+    *    over [[imageDHash]] / [[audioEnergySig]] of the matching kind
+    *    slices (pigeonhole chunk equi-joins; the static fingerprints
+    *    persist once in the streaming scope).
+    *
+    * Output: (id_left, id_right, modality) — id_left the arriving
+    * doc, id_right the corpus doc. The hamming legs emit exactly
+    * once per flagged pair (stateless first-agreeing-chunk filter);
+    * the text leg keeps streamingDecontaminate's documented
+    * per-colliding-band multiplicity, so exactly-once flags follow
+    * the same consumption pattern StreamingSpec pins for it:
+    * foreachBatch + per-batch dropDuplicates — a within-stream
+    * distinct would itself be a stateful aggregate.
+    */
+  def multimodalFlagStream(
+      stream: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, shingleK: Int = 3, numHashes: Int = 128,
+      bands: Int = 16, threshold: Double = 0.5, maxHamming: Int = 3,
+      maxStaticBucketSize: Int = Int.MaxValue,
+      scope: Dedup.CacheScope = Dedup.streamingScope)
+      (implicit spark: SparkSession): DataFrame = {
+    val sBase = stream.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    val cBase = corpus.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    val text = Dedup.streamingDecontaminate(sBase, cBase, "doc_id",
+        "text", shingleK, numHashes, bands, threshold,
+        maxStaticBucketSize, scope)
+      .select(col("id_left"), col("id_right"),
+        lit("text").as("modality"))
+    val sMedia = fromDocuments(sBase)
+    val cMedia = fromDocuments(cBase)
+    val img = Dedup.hammingFlagStream(
+        imageDHash(sMedia.where(col("kind") === "image")),
+        imageDHash(cMedia.where(col("kind") === "image")),
+        "media_id", "phash", maxHamming, scope)
+      .select(col("id_left"), col("id_right"),
+        lit("image").as("modality"))
+    val aud = Dedup.hammingFlagStream(
+        audioEnergySig(sMedia.where(col("kind") === "audio")),
+        audioEnergySig(cMedia.where(col("kind") === "audio")),
+        "media_id", "asig", maxHamming, scope)
+      .select(col("id_left"), col("id_right"),
+        lit("audio").as("modality"))
+    text.unionByName(img).unionByName(aud)
+  }
+
   /** Per-kind rollup of extracted features. */
   def featureSummary(features: Dataset[MediaFeatures]): DataFrame =
     features.groupBy("kind")

@@ -1086,4 +1086,64 @@ class StreamingSpec extends SparkSpec {
         s"second start must be the first doc's token count: $out")
     } finally q.stop()
   }
+
+  test("multimodalFlagStream: arrivals flag against the static corpus per modality; hamming legs exactly once") {
+    import graft.operators.{Dedup, Multimodal}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // corpus ids pick their fromDocuments kind: 300 %3=0 image,
+    // 301 %3=1 audio, 302 %3=2 video (no fingerprint — text leg only)
+    val corpus = Seq(
+      (300L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (301L, "red orange yellow green blue indigo violet ultra"),
+      (302L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[StreamDoc]
+    val scope = new Dedup.CacheScope
+    val flagged = Multimodal.multimodalFlagStream(
+      mem.toDF(), corpus, "doc_id", "text",
+      shingleK = 2, numHashes = 32, bands = 16, threshold = 0.4,
+      scope = scope)
+    val rawByModality =
+      new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val sink = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Long, String)]())
+    val q = flagged.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.groupBy("modality").count().collect().foreach(r =>
+          rawByModality.merge(r.getString(0), r.getLong(1), _ + _))
+        batch.dropDuplicates("id_left", "id_right", "modality")
+          .select("id_left", "id_right", "modality").collect()
+          .foreach(r => sink.add((r.getLong(0), r.getLong(1), r.getString(2))))
+        ()
+      }
+      .start()
+    try {
+      mem.addData(
+        // 3 %3=0 image-kind: exact copy of 300 → text + image flags
+        StreamDoc(3, ts(0), "alpha beta gamma delta epsilon zeta eta theta"),
+        // 4 %3=1 audio-kind: exact copy of 301 → text + audio flags
+        StreamDoc(4, ts(0), "red orange yellow green blue indigo violet ultra"))
+      q.processAllAvailable()
+      mem.addData(
+        // 5 %3=2 video-kind: exact copy of 302 → text flag ONLY
+        StreamDoc(5, ts(1), "one two three four five six seven eight"),
+        // 6 %3=0 image-kind, clean → no flags
+        StreamDoc(6, ts(1), "totally different words nothing shared here at all"))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(sink.asScala.toSet == Set(
+        (3L, 300L, "text"), (3L, 300L, "image"),
+        (4L, 301L, "text"), (4L, 301L, "audio"),
+        (5L, 302L, "text")),
+        s"got ${sink.asScala.toSet}")
+      // the hamming legs emit exactly once per flagged pair even
+      // PRE-dedup (stateless first-agreeing-chunk filter: an exact
+      // copy agrees on all 4 chunks yet yields one row); the text
+      // leg keeps its documented per-colliding-band multiplicity
+      assert(rawByModality.get("image") == 1L, rawByModality.toString)
+      assert(rawByModality.get("audio") == 1L, rawByModality.toString)
+      assert(rawByModality.get("text") > 3L, rawByModality.toString)
+    } finally { q.stop(); scope.release() }
+  }
 }
