@@ -345,9 +345,14 @@ object ScaleProbeXL {
         f"probe=$tClean%.2fs build=$tBuild%.1fs pairs=$nClean%-7d")
       var written = 0L
       for (target <- Seq(1000L, 10000L, 100000L, 1000000L)) {
+        // synthetic id base sits far above ANY salted id (doc_id +
+        // rep·10⁷ tops out near 2·10⁹ at rep 200) so the measured
+        // curve is pure broadcast overhead — at the earlier 8·10⁸
+        // base the 10⁶-id block exactly covered replica copy 80's
+        // live ids (round-14 review fix)
         operators.Dedup.deleteFromLshIndex(
           spark.range(written, target)
-            .select((col("id") + lit(800000000L)).as("doc_id")),
+            .select((col("id") + lit(100000000000L)).as("doc_id")),
           "doc_id", dir, maxTombstones = 2000000L)
         written = target
         val (n, t) = probeOnce()

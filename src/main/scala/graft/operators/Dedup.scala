@@ -515,6 +515,11 @@ object Dedup {
     // near-equal chunk widths summing to 64
     val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    // 1L << 64 wraps to 1 in JVM shift semantics, so the radius-0
+    // single-chunk mask must be spelled -1L (round-14 review fix: the
+    // wrapped mask made every chunk value 0 — a constant join key,
+    // i.e. a silent cross join)
+    def maskOf(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
     // materialize the (id, sketch) projection ONCE: the sketch column
     // (a simhash/dHash/audio-sig expression) is referenced by every
     // chunk extraction on BOTH self-join sides — inlined, the
@@ -530,7 +535,7 @@ object Dedup {
         explode(array((0 until nChunks).map { c =>
           struct(lit(c).as("chunk"),
                  shiftright(col("sim"), offsets(c))
-                   .bitwiseAND(lit((1L << widths(c)) - 1)).as("cv"))
+                   .bitwiseAND(lit(maskOf(widths(c)))).as("cv"))
         }: _*)).as("ch"))
       .select(col("id"), col("sim"), col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
     chunked.as("a")
@@ -577,26 +582,33 @@ object Dedup {
     val widths = Array.tabulate(nChunks)(i =>
       64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
+    // radius-0 single-chunk mask must be -1L, not the wrapped 1L<<64
+    // (see hammingPairs — same fix, same silent-cross-join failure)
+    def maskOf(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
     def chunked(df: DataFrame, idAs: String, simAs: String): DataFrame =
       df.select(col(idCol).as(idAs), col(sketchCol).as(simAs))
         .select(col(idAs), col(simAs),
           explode(array((0 until nChunks).map { c =>
             struct(lit(c).as("chunk"),
               shiftright(col(simAs), offsets(c))
-                .bitwiseAND(lit((1L << widths(c)) - 1)).as("cv"))
+                .bitwiseAND(lit(maskOf(widths(c)))).as("cv"))
           }: _*)).as("ch"))
         .select(col(idAs), col(simAs),
           col("ch.chunk").as("chunk"), col("ch.cv").as("cv"))
-    val r = chunked(
-      scope.persistTracked(static.select(col(idCol), col(sketchCol))),
-      "id_right", "sim_r")
+    // persist the CHUNKED static side, not its pre-explode input:
+    // every micro-batch replays the stream-static join's static
+    // subtree, so anything above the cache re-runs over the whole
+    // reference per batch — the streamingDecontaminate banded-side
+    // stance (round-14 review fix; the pre-explode cache left the
+    // chunk extraction O(reference) per batch)
+    val r = scope.persistTracked(chunked(static, "id_right", "sim_r"))
     val l = chunked(stream, "id_left", "sim_l")
     val xor = col("sim_l").bitwiseXOR(col("sim_r"))
     // first agreeing chunk = first chunk whose XOR window is zero;
     // total on joined rows (the matched chunk itself agrees)
     val firstAgree = coalesce((0 until nChunks).map { c =>
       when(shiftright(xor, offsets(c))
-        .bitwiseAND(lit((1L << widths(c)) - 1)) === 0L, lit(c))
+        .bitwiseAND(lit(maskOf(widths(c)))) === 0L, lit(c))
     }: _*)
     l.join(r, l("chunk") === r("chunk") && l("cv") === r("cv"))
       .where(bit_count(xor) <= maxHamming && l("chunk") === firstAgree)
@@ -1095,11 +1107,28 @@ object Dedup {
     */
   def deleteFromLshIndex(
       ids: DataFrame, idCol: String, path: String,
-      maxTombstones: Long = defaultMaxTombstones): Unit = {
-    val ts = ids.select(col(idCol).as("id")).distinct()
-    guardTombstoneScale("deleteFromLshIndex", path, ts.count(),
-      pendingTombstoneCount(ids.sparkSession, path), maxTombstones)
-    ts.repartition(1).write.mode("append").parquet(s"$path/tombstones")
+      maxTombstones: Long = defaultMaxTombstones): Unit =
+    guardedTombstoneWrite("deleteFromLshIndex",
+      ids.select(col(idCol).as("id")).distinct(), path, maxTombstones)
+
+  /** Shared tail of every id/hash-keyed takedown: persist the
+    * distinct'd set so the guard's count and the write are ONE
+    * computation (round-14 review fix — the unpersisted form ran the
+    * full distinct twice, and a non-deterministic input could even
+    * write a different set than the one the guard admitted), guard,
+    * then append. A refused delete writes nothing.
+    */
+  private[operators] def guardedTombstoneWrite(
+      op: String, ts: DataFrame, path: String,
+      maxTombstones: Long): Unit = {
+    val cached =
+      ts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      guardTombstoneScale(op, path, cached.count(),
+        pendingTombstoneCount(ts.sparkSession, path), maxTombstones)
+      cached.repartition(1).write.mode("append")
+        .parquet(s"$path/tombstones")
+    } finally cached.unpersist(false)
   }
 
   /** Ceiling on a persisted index's PENDING tombstone set (requested
@@ -1615,13 +1644,10 @@ object Dedup {
     */
   def deleteFromExactLedger(
       docs: DataFrame, textCol: String, path: String,
-      maxTombstones: Long = defaultMaxTombstones): Unit = {
-    val ts = docs.select(xxhash64(col(textCol)).as("content_hash"))
-      .distinct()
-    guardTombstoneScale("deleteFromExactLedger", path, ts.count(),
-      pendingTombstoneCount(docs.sparkSession, path), maxTombstones)
-    ts.repartition(1).write.mode("append").parquet(s"$path/tombstones")
-  }
+      maxTombstones: Long = defaultMaxTombstones): Unit =
+    guardedTombstoneWrite("deleteFromExactLedger",
+      docs.select(xxhash64(col(textCol)).as("content_hash")).distinct(),
+      path, maxTombstones)
 
   private def ledgerTombstones(
       spark: org.apache.spark.sql.SparkSession,

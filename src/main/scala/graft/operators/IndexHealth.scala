@@ -78,10 +78,11 @@ object IndexHealth {
     n
   }
 
+  // one tombstone-count helper serves both the health report and the
+  // takedown guard — the two must never disagree (round-14 review fix:
+  // this was a duplicate body of Dedup.pendingTombstoneCount)
   private def tombstoneCount(spark: SparkSession, path: String): Long =
-    if (exists(spark, s"$path/tombstones"))
-      spark.read.parquet(s"$path/tombstones").count()
-    else 0L
+    Dedup.pendingTombstoneCount(spark, path)
 
   /** Detect the index kind from the layout and dispatch. Fails fast
     * on a path that matches no known layout.
@@ -304,9 +305,12 @@ object IndexHealth {
     *
     * LSH `needsRebuild` (bucket saturation) is NOT auto-fixed: new
     * banding geometry is a build-parameter decision the caller owns.
-    * The compaction still runs (folding tombstones/duplicates), and
-    * the returned `after.needsRebuild` surfaces the remaining
-    * saturation.
+    * When needsCompact is ALSO set the compaction runs (folding
+    * tombstones/duplicates) and the returned `after.needsRebuild`
+    * surfaces the remaining saturation; a needsRebuild-ONLY pass is
+    * a no-op that surfaces the flag — compaction can't clear
+    * saturation, so running it would make a periodic loop rewrite
+    * the index every pass without converging.
     */
   def maintain(spark: SparkSession, path: String, dstPath: String,
                ivfRebuild: Option[(String, String) => Unit] = None)
@@ -323,7 +327,14 @@ object IndexHealth {
           ("compacted", dstPath)
         } else ("none", path)
       case "lsh" =>
-        if (before.needsCompact || before.needsRebuild) {
+        // compact ONLY on needsCompact: LSH needsRebuild is bucket
+        // saturation, which folding tombstones/duplicates cannot
+        // clear — routing it into the copy made a periodic maintain
+        // loop rewrite the whole index every pass forever without
+        // converging (round-14 review fix). A needsRebuild-only pass
+        // is a no-op that surfaces the flag; new banding geometry is
+        // a build-parameter decision the caller owns.
+        if (before.needsCompact) {
           Dedup.compactLshIndex(spark, path, dstPath)
           ("compacted", dstPath)
         } else ("none", path)

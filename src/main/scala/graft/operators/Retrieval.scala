@@ -274,38 +274,18 @@ object Retrieval {
     * commit in ONE atomic rename.
     */
   private[operators] def readCurrentGen(
-      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, buf) finally in.close()
-    val parts = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-      .trim.split("\\s+")
-    (parts(0).toInt, if (parts.length > 1) parts(1).toInt else 0)
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, Int) =
+    graft.sources.GenPointer.read(spark, path)
 
-  /** Atomically (re)point CURRENT at (`gen`, `base`): write
-    * CURRENT.tmp, then rename with OVERWRITE via FileContext — the
-    * one metadata op HDFS and POSIX both make atomic. A crash before
-    * the rename leaves the old pointer (and thus the old index state)
-    * fully intact. base=0 writes the bare-int legacy format so a
-    * never-compacted index stays readable by pre-compaction code.
+  /** Atomic CURRENT commit — the shared
+    * [[graft.sources.GenPointer]] protocol (round 14: extracted so
+    * the crash-safety-critical rename and the race-free read live
+    * once, here and in CorpusStore).
     */
   private def commitCurrentGen(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      gen: Int, base: Int = 0): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/CURRENT.tmp")
-    val fs = dst.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    val text = if (base == 0) gen.toString else s"$gen $base"
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+      gen: Int, base: Int = 0): Unit =
+    graft.sources.GenPointer.commit(spark, path, gen, base)
 
   /** Committed postings scan: only generations base..CURRENT are
     * listed (explicit per-generation paths + basePath, so a crashed
@@ -507,18 +487,26 @@ object Retrieval {
       spark: org.apache.spark.sql.SparkSession,
       ids: DataFrame, idCol: String, path: String,
       maxTombstones: Long = Dedup.defaultMaxTombstones): Unit = {
-    // the requested id set bounds what lands in the tombstone tree
-    // (one row per id actually held), so guard on it
-    Dedup.guardTombstoneScale("deleteFromBm25Index", path,
-      ids.select(col(idCol)).distinct().count(),
-      Dedup.pendingTombstoneCount(spark, path), maxTombstones)
     val (gen, base) = readCurrentGen(spark, path)
-    committedPostings(spark, path, gen, base)
+    // BM25 tombstones land only for ids the index actually HOLDS (the
+    // postings join below filters the rest), so the guard must count
+    // the held set, not the request — a bulk takedown feed of mostly-
+    // absent candidate ids would otherwise be refused for rows that
+    // would never be written (round-14 review fix). Persisting the
+    // held frame makes the guard's count and the write one
+    // computation.
+    val held = committedPostings(spark, path, gen, base)
       .join(broadcast(ids.select(col(idCol).as("doc_id")).distinct()),
         Seq("doc_id"))
       .groupBy("doc_id").agg(max("dl").as("dl"))
-      .withColumn("gen_seen", lit(gen))
-      .repartition(1).write.mode("append").parquet(s"$path/tombstones")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Dedup.guardTombstoneScale("deleteFromBm25Index", path,
+        held.count(), Dedup.pendingTombstoneCount(spark, path),
+        maxTombstones)
+      held.withColumn("gen_seen", lit(gen))
+        .repartition(1).write.mode("append").parquet(s"$path/tombstones")
+    } finally held.unpersist(false)
   }
 
   /** Applicable tombstones at `base` — None when the index has no

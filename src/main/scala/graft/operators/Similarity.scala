@@ -850,12 +850,9 @@ object Similarity {
     */
   def deleteFromIvfIndex(
       ids: DataFrame, idCol: String, path: String,
-      maxTombstones: Long = Dedup.defaultMaxTombstones): Unit = {
-    val ts = ids.select(col(idCol).as("id")).distinct()
-    Dedup.guardTombstoneScale("deleteFromIvfIndex", path, ts.count(),
-      Dedup.pendingTombstoneCount(ids.sparkSession, path), maxTombstones)
-    ts.repartition(1).write.mode("append").parquet(s"$path/tombstones")
-  }
+      maxTombstones: Long = Dedup.defaultMaxTombstones): Unit =
+    Dedup.guardedTombstoneWrite("deleteFromIvfIndex",
+      ids.select(col(idCol).as("id")).distinct(), path, maxTombstones)
 
   private[operators] def ivfTombstones(
       spark: org.apache.spark.sql.SparkSession,

@@ -54,39 +54,19 @@ object CorpusStore {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The committed (gen, base) pair from `CURRENT`; fails fast on a
-    * store that was never committed.
+  /** The committed (gen, base) pair from `CURRENT` (the shared
+    * [[GenPointer]] protocol — race-free read, see there); fails fast
+    * on a store that was never committed.
     */
   def currentGen(spark: SparkSession, path: String): (Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    val f = fs(spark, path)
-    require(f.exists(p),
+    require(GenPointer.exists(spark, path),
       s"CorpusStore: no CURRENT at $path — no committed snapshot")
-    val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-    val in = f.open(p)
-    try in.readFully(0, buf) finally in.close()
-    val parts = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-      .trim.split("\\s+")
-    (parts(0).toInt, if (parts.length > 1) parts(1).toInt else 0)
+    GenPointer.read(spark, path)
   }
 
-  /** Atomically (re)point CURRENT at (gen, base): write CURRENT.tmp,
-    * rename with OVERWRITE via FileContext — the one metadata op HDFS
-    * and POSIX both make atomic. A crash before the rename leaves the
-    * previous version fully committed.
-    */
   private def commitCurrent(spark: SparkSession, path: String,
-                            gen: Int, base: Int): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/CURRENT.tmp")
-    val out = fs(spark, path).create(tmp, true)
-    val text = if (base == 0) gen.toString else s"$gen $base"
-    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+                            gen: Int, base: Int): Unit =
+    GenPointer.commit(spark, path, gen, base)
 
   /** Commit `df` as the next corpus version and return its generation
     * (0 for a fresh store). The data and manifest land in
@@ -101,8 +81,7 @@ object CorpusStore {
     val spark = df.sparkSession
     import spark.implicits._
     val (gen, base) =
-      if (fs(spark, path).exists(
-          new org.apache.hadoop.fs.Path(s"$path/CURRENT")))
+      if (GenPointer.exists(spark, path))
         currentGen(spark, path) match { case (g, b) => (g + 1, b) }
       else (0, 0)
     df.write.mode("overwrite").parquet(s"$path/snapshots/gen=$gen")

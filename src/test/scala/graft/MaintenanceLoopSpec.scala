@@ -215,6 +215,28 @@ class MaintenanceLoopSpec extends SparkSpec {
       r.after.totalRows == emb.count() - 1, r.after.toString)
   }
 
+  test("lsh maintain: a needsRebuild-only pass is a no-op that surfaces the flag, not a futile rewrite") {
+    // bucket saturation (needsRebuild) with nothing to compact:
+    // 1100 distinct ids sharing one text → every band has one
+    // >1000-row bucket (satFrac 1.0), dupFrac 0 (ids distinct), no
+    // tombstones. Compaction cannot clear saturation, so a periodic
+    // maintain loop that ran it would rewrite the whole index every
+    // pass forever (round-14 review fix) — the pass must be a no-op
+    // with the flag surfaced for the caller's rebanding decision.
+    val src = tmp("graft-ml-lshsat")
+    val dst = tmp("graft-ml-lshsatc")
+    val docs = spark.range(1100).select(col("id").as("doc_id"),
+      lit("the same saturated text in every single document").as("text"))
+    Dedup.writeLshIndex(docs, "doc_id", "text", src)
+    val before = IndexHealth.report(spark, src)
+    assert(before.needsRebuild && !before.needsCompact, before.toString)
+    val r = IndexHealth.maintain(spark, src, dst)
+    assert(r.action == "none" && r.activePath == src, r.toString)
+    assert(r.after.needsRebuild, r.after.toString)
+    val d = new java.io.File(dst)
+    assert(!d.exists || d.list().isEmpty, "no-op pass must not write")
+  }
+
   test("takedown scale guard: every deleteFrom* fails fast past maxTombstones, counting pending rows") {
     val lsh = tmp("graft-ml-g-lsh")
     val led = tmp("graft-ml-g-led")
@@ -245,6 +267,17 @@ class MaintenanceLoopSpec extends SparkSpec {
       emb.select("vec_id"), "vec_id", ivf, maxTombstones = 2))
     // nothing was written by a refused delete
     assert(IndexHealth.report(spark, lsh).tombstones == 0)
+
+    // BM25's guard counts the HELD set, not the request: tombstones
+    // land only for ids the index holds, so a bulk takedown feed of
+    // mostly-absent candidate ids must not be refused for rows that
+    // would never be written (round-14 review fix) — 101 requested,
+    // 1 held, ceiling 2 → proceeds and writes exactly the held row
+    Retrieval.deleteFromBm25Index(spark,
+      spark.range(5000, 5100).select(col("id").as("doc_id"))
+        .unionByName(Seq(1L).toDF("doc_id")),
+      "doc_id", bm, maxTombstones = 2)
+    assert(IndexHealth.report(spark, bm).tombstones == 1)
 
     // the ceiling is CUMULATIVE: pending rows count against it
     Dedup.deleteFromLshIndex(Seq(1L).toDF("doc_id"), "doc_id", lsh,

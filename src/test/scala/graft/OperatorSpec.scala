@@ -146,6 +146,25 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_ <= 10))
   }
 
+  test("radius-0 pigeonhole join matches exact sketches through a keyed join, not a cross join") {
+    // 1L << 64 wraps to 1 in JVM shift semantics, so the single
+    // 64-bit chunk's mask must be -1L — the wrapped mask made every
+    // chunk value 0 (a constant join key, i.e. a silent cross join
+    // whose output happened to survive the hamming filter); this
+    // pins the round-14 fix on results AND plan shape
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact copy of 1
+      (3L, "completely different words in this document here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashDuplicates(df, "doc_id", "text", maxHamming = 0)
+    val pairs = got.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    val phys = got.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"), phys)
+  }
+
   test("char-ngram jaccard verify keeps only true near-dups") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
     val got = Dedup.charJaccardVerify(cands, docs, "doc_id", "text",
