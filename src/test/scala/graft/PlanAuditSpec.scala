@@ -582,4 +582,24 @@ class PlanAuditSpec extends SparkSpec {
       s"sketch projection not materialized before the chunk join:\n$plan")
     Dedup.unpersistAll()
   }
+
+  test("d16: all three modality legs are keyed joins — no cartesian anywhere in the composition") {
+    // the any-modality report composes three pair-producing joins
+    // (band-bucket, two pigeonhole chunk joins); a regression in ANY
+    // leg toward a cross product would still hash-match at sf0.01
+    // (the verdicts are equality-filtered) while silently going
+    // quadratic at corpus scale — so the composed physical plan is
+    // pinned free of unkeyed join strategies
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Multimodal
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val phys = Multimodal.multimodalNearDup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoopJoin"),
+      s"unkeyed join in the multimodal composition:\n$phys")
+    graft.operators.Dedup.unpersistAll()
+  }
 }
