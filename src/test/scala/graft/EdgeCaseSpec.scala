@@ -482,4 +482,48 @@ class EdgeCaseSpec extends SparkSpec {
       .as[(Long, Long, Double)].head()
     assert(r._2 == n && r._3 == n.toDouble / (n + 10))
   }
+
+  test("CorpusStore: an empty snapshot round-trips schema-exact; over-long vacuum retention is a no-op") {
+    import graft.sources.CorpusStore
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-edge-cs").toString
+    // an empty recrawl result is still a legitimate corpus version —
+    // the store must version it, not choke on it
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(CorpusStore.writeCorpusSnapshot(empty, path) == 0)
+    val back = CorpusStore.readCorpusSnapshot(spark, path)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("doc_id", "text"))
+    // delta from an empty founding version is pure additions
+    assert(CorpusStore.writeCorpusSnapshot(
+      Seq((1L, "alpha")).toDF("doc_id", "text"), path) == 1)
+    val d = CorpusStore.snapshotDelta(spark, path, 0, 1, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(d == Map(1L -> "added"), d.toString)
+    // keepLast beyond the history keeps everything, twice over
+    CorpusStore.vacuumCorpusSnapshots(spark, path, keepLast = 99)
+    assert(CorpusStore.currentGen(spark, path) == ((1, 0)))
+    assert(CorpusStore.readCorpusSnapshotAt(spark, path, 0).count() == 0)
+  }
+
+  test("multimodalNearDup: kinds absent from the corpus contribute no verdicts; no-text corpora flag nothing") {
+    import graft.operators.Multimodal
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    // all doc_id % 3 == 2 → every payload is video-KIND: no image or
+    // audio fingerprints exist, so the only possible verdicts are
+    // text — the composition must not fail on empty modality slices
+    val videoOnly = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (5L, "alpha beta gamma delta epsilon zeta"),
+      (8L, "totally different words here in this one")).toDF("doc_id", "text")
+    val got = Multimodal.multimodalNearDup(videoOnly, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getInt(2), r.getInt(3), r.getInt(4))).toSeq
+    assert(got == Seq((2L, 5L, 1, 0, 0)), got.toString)
+    Dedup.unpersistAll()
+    // an empty corpus produces an empty report, not a crash
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Multimodal.multimodalNearDup(none, "doc_id", "text").isEmpty)
+    Dedup.unpersistAll()
+  }
 }
