@@ -141,6 +141,47 @@ private[queries] object PipelineShared {
     * over two DOUBLE[] expressions (norm-product-then-divide, zero
     * norms → 0) — shared by every kNN oracle's scoring step.
     */
+  /** s20 oracle: the MMR greedy loop as a WITH RECURSIVE CTE. One row
+    * per rank; the working row carries the picked ids AND vectors in
+    * list columns so each step's redundancy term is
+    * list_max(list_transform(picked, pv -> cos(c.v, pv))) — the same
+    * running-max the Scala loop keeps. Rank 1 is the pure-relevance
+    * argmax (no penalty term, mirroring the picked.isEmpty branch);
+    * later ranks order by score DESC then candidate order ASC (the
+    * strict-> tie-break). (1.0 - 0.7) stays a subtraction so both
+    * engines compute the identical IEEE 0.30000000000000004.
+    */
+  lazy val s20OracleSql: String = {
+    val lam = "0.7"
+    val score =
+      s"$lam*c.cos - (1.0 - $lam) * list_max(" +
+        s"list_transform(p.pvecs, pv -> ${cosineSql("c.v", "pv")}))"
+    s"""WITH RECURSIVE q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings ORDER BY vec_id LIMIT 1
+       |), e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cand AS (
+       |  SELECT id, v, cos,
+       |    ROW_NUMBER() OVER (ORDER BY cos DESC, id ASC) AS ord
+       |  FROM (SELECT vec_id AS id, v, ${cosineSql("v", "qv")} AS cos
+       |        FROM e, q)
+       |  ORDER BY cos DESC, id ASC LIMIT 40
+       |), pick (rank, id, cos, mmr, pids, pvecs) AS (
+       |  (SELECT 1, id, cos, $lam * cos, [id], [v]
+       |   FROM cand ORDER BY $lam * cos DESC, ord ASC LIMIT 1)
+       |  UNION ALL
+       |  (SELECT p.rank + 1, c.id, c.cos, $score,
+       |     list_append(p.pids, c.id), list_append(p.pvecs, c.v)
+       |   FROM pick p JOIN cand c ON NOT list_contains(p.pids, c.id)
+       |   WHERE p.rank < 10
+       |   ORDER BY $score DESC, c.ord ASC
+       |   LIMIT 1)
+       |)
+       |SELECT rank, id, ${r6sql("cos")} AS cosine, ${r6sql("mmr")} AS mmr
+       |FROM pick ORDER BY rank""".stripMargin
+  }
+
   def cosineSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(list_dot_product($a, $a))
        |        * sqrt(list_dot_product($b, $b)) = 0 THEN 0
