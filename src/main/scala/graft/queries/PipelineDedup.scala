@@ -182,6 +182,37 @@ private[queries] object PipelineDedup {
       Some(d16OracleSql)),
 
 
+    // LSH candidate-stage tuning eval (round 14, 149th entry): the
+    // banding geometry's precision/recall against brute-force shingle
+    // Jaccard truth on a planted eval sample — the report a corpus
+    // owner reads BEFORE committing an index build's (bands,
+    // rowsPerBand) point. Planting reuses d16's token-preserving
+    // copies (the raw doc_id%10 sample has no true pairs, which would
+    // gate nothing); the oracle replays the WHOLE pipeline — FNV
+    // shingle hashing in HUGEINT, the Random(42) coefficient family
+    // inlined as a VALUES table, the 16-band FNV bucket fold, the
+    // any-band collision join — so n_candidates pins the banding
+    // itself, not just the threshold property (see d17OracleSql).
+    Q("d17_lsh_tuning_eval",
+      (s, dir) => {
+        val docs = Tables.load(s, dir, "documents")
+        val sample = docs.where(col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+        val loc = locate(" ", col("text"))
+        val edited = docs.where(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            when(loc > 0, concat(
+                col("text").substr(lit(1), loc - 1), lit("\t"),
+                col("text").substr(loc + 1, length(col("text")))))
+              .otherwise(col("text")).as("text"))
+        val twins = docs.where(col("doc_id") % 40 === 0)
+          .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
+        Dedup.lshCandidateEval(
+          sample.unionByName(edited).unionByName(twins), "doc_id", "text")
+      },
+      Some(d17OracleSql)),
+
+
     // duplicated-SPAN removal (windowed exact-substring dedup, Lee et
     // al. 2021): every 8-token window occurring ≥2 times corpus-wide
     // is duplicated; per doc the duplicated windows merge into

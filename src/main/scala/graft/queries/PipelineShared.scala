@@ -141,6 +141,106 @@ private[queries] object PipelineShared {
     * over two DOUBLE[] expressions (norm-product-then-divide, zero
     * norms → 0) — shared by every kNN oracle's scoring step.
     */
+  /** d17 oracle: replays the ENTIRE lshCandidateEval pipeline in
+    * DuckDB — FNV word/shingle hashing in HUGEINT mod 2⁶⁴ (the d03
+    * idiom), the brute-force shingle-set Jaccard truth, the 128-hash
+    * MinHash signature with the kernel's Random(42) coefficient
+    * family INLINED as a VALUES table (the s02 hyperplane stance:
+    * JVM-derived constants become literals), the 16-band FNV bucket
+    * fold, the any-band collision join, and the one-row
+    * precision/recall report. Signature arithmetic stays in BIGINT —
+    * a ≤ 2³⁰, (h mod 2³⁰) < 2³⁰, so a·h+b < 2⁶¹ never overflows.
+    * Planting mirrors d16's token-preserving copies so the eval has
+    * real true pairs (the raw doc_id%10 sample has none).
+    */
+  lazy val d17OracleSql: String = {
+    // the EXACT coefficient family MinHashSig(…, 128, seed=42) draws
+    // (SketchOps.scala:32-38) — scala.util.Random wraps java.util
+    // .Random, so this sequence is pinned by the JDK LCG contract
+    val coefs = {
+      val mask = (1L << 30) - 1
+      val rnd = new scala.util.Random(42L)
+      Seq.fill(128)((rnd.nextLong() & mask | 1L, rnd.nextLong() & mask))
+    }
+    val vals = coefs.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    val M = "18446744073709551616" // 2^64
+    val off = "14695981039346656037" // FNV offset basis (unsigned)
+    val fold = s"(h, c2) -> (xor(h, c2) * 1099511628211) % $M"
+    val collide = (1 to 16).map(b => s"a.bk[$b] = b.bk[$b]").mkString(" OR ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000,
+       |    CASE WHEN strpos(text, ' ') > 0
+       |      THEN substr(text, 1, strpos(text, ' ') - 1) || chr(9)
+       |           || substr(text, strpos(text, ' ') + 1)
+       |      ELSE text END
+       |  FROM documents WHERE doc_id % 20 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 40 = 0
+       |), w AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'),
+       |                x -> x <> '') AS words
+       |  FROM base
+       |), wh AS (
+       |  SELECT doc_id,
+       |    [list_reduce([CAST($off AS HUGEINT)] ||
+       |       [CAST(unicode(ch) AS HUGEINT) for ch in string_split(wd, '')],
+       |       $fold)
+       |     for wd in words] AS whs
+       |  FROM w
+       |), sh AS (
+       |  SELECT doc_id, CASE
+       |    WHEN len(whs) = 0 THEN [CAST($off AS HUGEINT)]
+       |    WHEN len(whs) < 3
+       |      THEN [list_reduce([CAST($off AS HUGEINT)] || whs, $fold)]
+       |    ELSE [list_reduce(
+       |            [CAST($off AS HUGEINT), whs[i], whs[i+1], whs[i+2]],
+       |            $fold)
+       |          for i in range(1, len(whs) - 1)]
+       |    END AS s
+       |  FROM wh
+       |), truth AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(list_distinct(a.s),
+       |                                list_distinct(b.s))) AS DOUBLE)
+       |    / len(list_distinct(a.s || b.s)) >= 0.5
+       |), coef AS (
+       |  SELECT * FROM (VALUES $vals) t(i, ca, cb)
+       |), sigrow AS (
+       |  SELECT doc_id, i,
+       |    MIN((ca * CAST(hm % 1073741824 AS BIGINT) + cb) % 1073741789)
+       |      AS v
+       |  FROM (SELECT doc_id, unnest(s) AS hm FROM sh), coef
+       |  GROUP BY doc_id, i
+       |), sig AS (
+       |  SELECT doc_id, list(v ORDER BY i) AS sg FROM sigrow GROUP BY doc_id
+       |), bk AS (
+       |  SELECT doc_id,
+       |    [list_reduce([CAST($off AS HUGEINT)] ||
+       |       [CAST(sg[j] AS HUGEINT) for j in range(b*8+1, b*8+9)], $fold)
+       |     for b in range(0, 16)] AS bk
+       |  FROM sig
+       |), cand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bk a JOIN bk b ON a.doc_id < b.doc_id AND ($collide)
+       |), agg AS (
+       |  SELECT
+       |    (SELECT COUNT(*) FROM truth) AS n_true,
+       |    (SELECT COUNT(*) FROM cand) AS n_candidates,
+       |    (SELECT COUNT(*) FROM truth JOIN cand USING (id_a, id_b)) AS n_hit
+       |)
+       |SELECT n_true, n_candidates, n_hit,
+       |  CASE WHEN n_candidates > 0
+       |    THEN CAST(n_hit AS DOUBLE) / n_candidates ELSE 1.0 END AS precision,
+       |  CASE WHEN n_true > 0
+       |    THEN CAST(n_hit AS DOUBLE) / n_true ELSE 1.0 END AS recall
+       |FROM agg""".stripMargin
+  }
+
   /** s20 oracle: the MMR greedy loop as a WITH RECURSIVE CTE. One row
     * per rank; the working row carries the picked ids AND vectors in
     * list columns so each step's redundancy term is
