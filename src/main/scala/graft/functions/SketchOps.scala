@@ -27,13 +27,10 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
 
   require(numHashes >= 1)
 
-  // the standard seeded coefficient family (must stay formula-identical
-  // to Dedup.minhashSignatureHof, its composed-builtin test oracle)
+  // the standard seeded coefficient family — shared derivation, see
+  // MinHashSig.coefficients
   @transient private lazy val coefs: (Array[Long], Array[Long]) = {
-    val mask = (1L << 30) - 1
-    val rnd = new scala.util.Random(seed)
-    val cs = Seq.fill(numHashes)(
-      (rnd.nextLong() & mask | 1L, rnd.nextLong() & mask))
+    val cs = MinHashSig.coefficients(numHashes, seed)
     (cs.map(_._1).toArray, cs.map(_._2).toArray)
   }
   private def coefsA: Array[Long] = coefs._1
@@ -113,6 +110,18 @@ case class MinHashSig(child: Expression, numHashes: Int, seed: Long)
 object MinHashSig {
   /** Largest prime below 2^30 — keeps a·h+b < 2^60 overflow-free. */
   final val Prime = 1073741789L
+
+  /** THE seeded (a, b) coefficient family — the one derivation the
+    * kernel, the composed-builtin test oracle
+    * (Dedup.minhashSignatureHof) and the d17 cross-engine oracle's
+    * VALUES table all share (round-14 review: three inline copies of
+    * this formula had to stay identical by eyeball).
+    */
+  def coefficients(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val mask = (1L << 30) - 1
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((rnd.nextLong() & mask | 1L, rnd.nextLong() & mask))
+  }
 }
 
 /** LSH band buckets of a MinHash signature in one pass: the signature

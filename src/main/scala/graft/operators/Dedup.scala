@@ -76,14 +76,12 @@ object Dedup {
     */
   def minhashSignatureHof(hashes: Column, numHashes: Int, seed: Long = 42L): Column = {
     val mask = (1L << 30) - 1
-    val rnd = new scala.util.Random(seed)
-    val coefs = Seq.fill(numHashes)(
-      (rnd.nextLong() & mask | 1L, rnd.nextLong() & mask))
-    array(coefs.map { case (a, b) =>
-      array_min(transform(hashes,
-        h => (h.bitwiseAND(lit(mask)) * lit(a) + lit(b)) %
-          lit(graft.functions.MinHashSig.Prime)))
-    }: _*)
+    array(graft.functions.MinHashSig.coefficients(numHashes, seed)
+      .map { case (a, b) =>
+        array_min(transform(hashes,
+          h => (h.bitwiseAND(lit(mask)) * lit(a) + lit(b)) %
+            lit(graft.functions.MinHashSig.Prime)))
+      }: _*)
   }
 
   /** MinHash signature (codegen'd kernel). */

@@ -165,13 +165,9 @@ private[queries] object PipelineDedup {
       (s, dir) => {
         implicit val sp: SparkSession = s
         val docs = Tables.load(s, dir, "documents")
-        val loc = locate(" ", col("text"))
         val edited = docs.where(col("doc_id") % 4 === 0)
           .select((col("doc_id") + 3000000L).as("doc_id"),
-            when(loc > 0, concat(
-                col("text").substr(lit(1), loc - 1), lit("\t"),
-                col("text").substr(loc + 1, length(col("text")))))
-              .otherwise(col("text")).as("text"))
+            tabEdit(col("text")).as("text"))
         val twins = docs.where(col("doc_id") % 8 === 0)
           .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
         val base = docs.select("doc_id", "text")
@@ -198,13 +194,9 @@ private[queries] object PipelineDedup {
         val docs = Tables.load(s, dir, "documents")
         val sample = docs.where(col("doc_id") % 10 === 0)
           .select("doc_id", "text")
-        val loc = locate(" ", col("text"))
         val edited = docs.where(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 3000000L).as("doc_id"),
-            when(loc > 0, concat(
-                col("text").substr(lit(1), loc - 1), lit("\t"),
-                col("text").substr(loc + 1, length(col("text")))))
-              .otherwise(col("text")).as("text"))
+            tabEdit(col("text")).as("text"))
         val twins = docs.where(col("doc_id") % 40 === 0)
           .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
         Dedup.lshCandidateEval(

@@ -33,6 +33,32 @@ private[queries] object PipelineShared {
         .orderBy("vec_id").select("embedding").head()
         .getSeq[Float](0).toArray)
 
+  /** The token-preserving first-space→tab edit shared by the d16/d17
+    * planting — LOAD-BEARING fixture: same codepoint length and same
+    * token stream, one changed byte, so a planted copy collides in
+    * exactly its source's LSH buckets while the stub hashes see new
+    * content (see d16's query comment for the oracle-validity
+    * argument). One Scala source and one SQL twin so the four former
+    * copies cannot drift (round-14 review).
+    */
+  def tabEdit(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val loc = locate(" ", text)
+    when(loc > 0, concat(text.substr(lit(1), loc - 1), lit("\t"),
+        text.substr(loc + 1, length(text))))
+      .otherwise(text)
+  }
+
+  /** DuckDB fragment mirroring [[tabEdit]] over a column named `text`.
+    * No continuation line may START with `||`: the fragment is
+    * interpolated into stripMargin templates, which would eat one pipe
+    * and leave a VARCHAR bitwise-or.
+    */
+  val tabEditSql: String =
+    """CASE WHEN strpos(text, ' ') > 0
+      |    THEN substr(text, 1, strpos(text, ' ') - 1) || chr(9) ||
+      |         substr(text, strpos(text, ' ') + 1)
+      |    ELSE text END""".stripMargin
+
   /** Cross-engine 6-decimal rounding: `floor(x·1e6 + 0.5)/1e6` is the
     * same sequence of IEEE double ops in Spark and DuckDB, so both
     * engines produce bit-identical values — `round(x, 6)` does not
@@ -154,14 +180,10 @@ private[queries] object PipelineShared {
     * real true pairs (the raw doc_id%10 sample has none).
     */
   lazy val d17OracleSql: String = {
-    // the EXACT coefficient family MinHashSig(…, 128, seed=42) draws
-    // (SketchOps.scala:32-38) — scala.util.Random wraps java.util
-    // .Random, so this sequence is pinned by the JDK LCG contract
-    val coefs = {
-      val mask = (1L << 30) - 1
-      val rnd = new scala.util.Random(42L)
-      Seq.fill(128)((rnd.nextLong() & mask | 1L, rnd.nextLong() & mask))
-    }
+    // the EXACT coefficient family MinHashSig(…, 128, seed=42) draws —
+    // the ONE shared derivation (MinHashSig.coefficients), inlined as
+    // literals the way s02 inlines its hyperplanes
+    val coefs = graft.functions.MinHashSig.coefficients(128, 42L)
     val vals = coefs.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     val M = "18446744073709551616" // 2^64
@@ -172,10 +194,7 @@ private[queries] object PipelineShared {
        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
        |  UNION ALL
        |  SELECT doc_id + 3000000,
-       |    CASE WHEN strpos(text, ' ') > 0
-       |      THEN substr(text, 1, strpos(text, ' ') - 1) || chr(9)
-       |           || substr(text, strpos(text, ' ') + 1)
-       |      ELSE text END
+       |    $tabEditSql
        |  FROM documents WHERE doc_id % 20 = 0
        |  UNION ALL
        |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 40 = 0
@@ -508,10 +527,7 @@ private[queries] object PipelineShared {
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
        |  SELECT doc_id + 3000000,
-       |    CASE WHEN strpos(text, ' ') > 0
-       |      THEN substr(text, 1, strpos(text, ' ') - 1) || chr(9)
-       |           || substr(text, strpos(text, ' ') + 1)
-       |      ELSE text END
+       |    $tabEditSql
        |  FROM documents WHERE doc_id % 4 = 0
        |  UNION ALL
        |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 8 = 0

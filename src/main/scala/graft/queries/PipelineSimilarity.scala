@@ -772,29 +772,6 @@ private[queries] object PipelineSimilarity {
     // exact. Codebook = the 16 lowest-id vectors' ROTATED subvectors
     // (what an OPQ build stores); oracle = s10's chain over
     // list_reverse'd vectors with original-order corpus norms.
-    // MMR diversified re-ranking (round 14, 148th entry): the greedy
-    // λ·relevance − (1−λ)·max-redundancy pick over a 40-candidate
-    // overfetch. The corpus-side work is a brute top-k probe; the
-    // greedy loop runs on the DRIVER over the bounded candidate set
-    // (the kmeansOnSample stance) — and the oracle replays that loop
-    // as a WITH RECURSIVE CTE carrying the picked vectors in a list
-    // column, one row per rank, same strict-> tie-break (ORDER BY
-    // score DESC, candidate order ASC). (1.0 - 0.7) is written as the
-    // SUBTRACTION in SQL so both engines use the same IEEE double
-    // (0.30000000000000004), and the candidate-candidate cosine is
-    // the same sqrt(a·a)·sqrt(b·b) shape as cosLocal.
-    Q("s20_mmr_diversify",
-      (s, dir) => {
-        Similarity.diversifyTopK(Tables.load(s, dir, "embeddings"),
-            "vec_id", "embedding", queryVec(s, dir),
-            k = 10, lambdaRel = 0.7, overfetch = 4)
-          .select(col("rank"), col("id"), r6(col("cosine")).as("cosine"),
-            r6(col("mmr")).as("mmr"))
-          .orderBy("rank")
-      },
-      Some(s20OracleSql)),
-
-
     Q("s19_knn_pq_rotated",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
@@ -1089,5 +1066,28 @@ private[queries] object PipelineSimilarity {
              |SELECT query_id, CAST(rnk AS INT) AS rank, doc_id,
              |  n_occurrences
              |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+
+    // MMR diversified re-ranking (round 14, 148th entry): the greedy
+    // λ·relevance − (1−λ)·max-redundancy pick over a 40-candidate
+    // overfetch. The corpus-side work is a brute top-k probe; the
+    // greedy loop runs on the DRIVER over the bounded candidate set
+    // (the kmeansOnSample stance) — and the oracle replays that loop
+    // as a WITH RECURSIVE CTE carrying the picked vectors in a list
+    // column, one row per rank, same strict-> tie-break (ORDER BY
+    // score DESC, candidate order ASC). (1.0 - 0.7) is written as the
+    // SUBTRACTION in SQL so both engines use the same IEEE double
+    // (0.30000000000000004), and the candidate-candidate cosine is
+    // the same sqrt(a·a)·sqrt(b·b) shape as cosLocal.
+    Q("s20_mmr_diversify",
+      (s, dir) => {
+        Similarity.diversifyTopK(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", queryVec(s, dir),
+            k = 10, lambdaRel = 0.7, overfetch = 4)
+          .select(col("rank"), col("id"), r6(col("cosine")).as("cosine"),
+            r6(col("mmr")).as("mmr"))
+          .orderBy("rank")
+      },
+      Some(s20OracleSql)),
   )
 }

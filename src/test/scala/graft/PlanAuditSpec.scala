@@ -590,7 +590,6 @@ class PlanAuditSpec extends SparkSpec {
     // (the verdicts are equality-filtered) while silently going
     // quadratic at corpus scale — so the composed physical plan is
     // pinned free of unkeyed join strategies
-    import org.apache.spark.sql.functions.col
     import graft.operators.Multimodal
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     val docs = Tables.load(spark, sfDir, "documents")
