@@ -189,15 +189,22 @@ private[queries] object PipelineDedup {
     // inlined as a VALUES table, the 16-band FNV bucket fold, the
     // any-band collision join — so n_candidates pins the banding
     // itself, not just the threshold property (see d17OracleSql).
+    // Round 15 (verdict task 4): the pool is CAPPED at d17SampleCap
+    // rows by a cross-engine hash order (see PipelineShared), and the
+    // plants derive FROM the capped sample, so the eval's |sample|²
+    // truth join is a harness constant at any corpus size.
     Q("d17_lsh_tuning_eval",
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val sample = docs.where(col("doc_id") % 10 === 0)
           .select("doc_id", "text")
-        val edited = docs.where(col("doc_id") % 20 === 0)
+          .orderBy((col("doc_id") * lit(2654435761L)) % lit(1000000007L),
+            col("doc_id"))
+          .limit(d17SampleCap)
+        val edited = sample.where(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 3000000L).as("doc_id"),
             tabEdit(col("text")).as("text"))
-        val twins = docs.where(col("doc_id") % 40 === 0)
+        val twins = sample.where(col("doc_id") % 40 === 0)
           .select((col("doc_id") + 6000000L).as("doc_id"), col("text"))
         Dedup.lshCandidateEval(
           sample.unionByName(edited).unionByName(twins), "doc_id", "text")

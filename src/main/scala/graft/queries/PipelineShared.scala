@@ -167,6 +167,28 @@ private[queries] object PipelineShared {
     * over two DOUBLE[] expressions (norm-product-then-divide, zero
     * norms → 0) — shared by every kNN oracle's scoring step.
     */
+  /** d17 eval-sample cap (round 15 — verdict task 4): the eval's
+    * |sample|² ground-truth join must not grow with the corpus, so
+    * the doc_id%10 pool is ranked by a multiplicative hash both
+    * engines compute identically in BIGINT ((doc_id·2654435761) mod
+    * 1000000007 — max doc_id · the multiplier stays far under 2⁶³)
+    * with doc_id as the total-order tie-break, and only the first
+    * `d17SampleCap` rows enter the eval. At sf0.01 (50 pool rows)
+    * the cap is slack — the entry's behavior there is unchanged —
+    * and from sf0.1 up it binds, making the eval's cost a constant
+    * of the harness, not of the corpus. The edited/twin plants then
+    * derive FROM the capped sample (not from the raw corpus), so
+    * every planted copy's original is in the frame by construction
+    * and the eval keeps its true pairs at any cap.
+    */
+  val d17SampleCap = 200
+
+  /** The capped hash-ordered d17 pool, as one DuckDB fragment. */
+  val d17SampSql: String =
+    "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0\n" +
+      "  ORDER BY (doc_id * 2654435761) % 1000000007, doc_id " +
+      s"LIMIT $d17SampleCap"
+
   /** d17 oracle: replays the ENTIRE lshCandidateEval pipeline in
     * DuckDB — FNV word/shingle hashing in HUGEINT mod 2⁶⁴ (the d03
     * idiom), the brute-force shingle-set Jaccard truth, the 128-hash
@@ -177,7 +199,9 @@ private[queries] object PipelineShared {
     * precision/recall report. Signature arithmetic stays in BIGINT —
     * a ≤ 2³⁰, (h mod 2³⁰) < 2³⁰, so a·h+b < 2⁶¹ never overflows.
     * Planting mirrors d16's token-preserving copies so the eval has
-    * real true pairs (the raw doc_id%10 sample has none).
+    * real true pairs (the raw doc_id%10 sample has none), and the
+    * pool is capped by [[d17SampSql]] so the eval's deliberate
+    * |sample|² truth join stays corpus-size-independent.
     */
   lazy val d17OracleSql: String = {
     // the EXACT coefficient family MinHashSig(…, 128, seed=42) draws —
@@ -190,14 +214,16 @@ private[queries] object PipelineShared {
     val off = "14695981039346656037" // FNV offset basis (unsigned)
     val fold = s"(h, c2) -> (xor(h, c2) * 1099511628211) % $M"
     val collide = (1 to 16).map(b => s"a.bk[$b] = b.bk[$b]").mkString(" OR ")
-    s"""WITH base AS (
-       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    s"""WITH samp AS (
+       |  $d17SampSql
+       |), base AS (
+       |  SELECT doc_id, text FROM samp
        |  UNION ALL
        |  SELECT doc_id + 3000000,
        |    $tabEditSql
-       |  FROM documents WHERE doc_id % 20 = 0
+       |  FROM samp WHERE doc_id % 20 = 0
        |  UNION ALL
-       |  SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 40 = 0
+       |  SELECT doc_id + 6000000, text FROM samp WHERE doc_id % 40 = 0
        |), w AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'),
