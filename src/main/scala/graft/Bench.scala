@@ -44,6 +44,52 @@ object Bench {
       err2: Option[String]): (Double, Option[String]) =
     if (err2.isDefined) (t1, None) else (math.min(t1, t2), None)
 
+  /** Post-sweep adjudication trigger (round 15 — verdict task 3: the
+    * automatic form of the manual BenchAdjudicate protocol that ate a
+    * verdict cycle per round on CONTEXT_SENSITIVE queries). A query
+    * whose post-retry reading still exceeds 1.3x of max(pin, floor)
+    * gets [[adjRounds]] quiet re-runs AFTER the whole sweep — same
+    * JVM (JIT/codegen/footer warmth shared, the BenchAdjudicate
+    * stance), nothing else running — and the gate judges the
+    * adjudicated minimum. 1.3 sits BELOW the retry's 1.5 on purpose:
+    * the retry catches mid-sweep ambient bursts immediately; this
+    * catches the residual sweep-context tax that two passes inside a
+    * busy sweep both pay (c05: three rounds of 1.38x in-sweep
+    * readings vs a 1.00x isolated minimum).
+    */
+  private[graft] val adjRatio = 1.3
+  private[graft] val adjRounds = 3
+
+  private[graft] def needsAdjudication(t: Double, err: Option[String],
+                                       baseline: Option[Double]): Boolean =
+    err.isEmpty && baseline.exists(b =>
+      t > adjRatio * math.max(b, gateFloorSec))
+
+  /** Pure adjudicated-value rule (spec-pinned): the minimum of the
+    * sweep reading and every SUCCESSFUL quiet run — an errored quiet
+    * run contributes nothing (its fast-fail time is not a
+    * measurement, the adjudicateRetry stance), and if every quiet
+    * run errors the sweep reading stands.
+    */
+  private[graft] def adjudicateFinal(sweep: Double,
+      runs: Seq[(Double, Option[String])]): Double =
+    (sweep +: runs.collect { case (t, None) => t }).min
+
+  /** Pure adjudicated-artifact entry (spec-pinned): the sweep reading
+    * and EVERY quiet run stay auditable next to the min the gate
+    * judges; an errored run appears as a marked string, never as a
+    * bare time (the retryArtifactValue stance).
+    */
+  private[graft] def adjudicatedArtifactValue(sweep: Double,
+      runs: Seq[(Double, Option[String])]): String = {
+    val rs = runs.map {
+      case (t, None) => t.toString
+      case (_, Some(m)) =>
+        SparkEntry.jsonStr("adj_error: " + m.take(200))
+    }.mkString("[", ",", "]")
+    s"""{"sweep":$sweep,"runs":$rs,"min":${adjudicateFinal(sweep, runs)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -158,7 +204,7 @@ object Bench {
       }
     val retried =
       scala.collection.mutable.LinkedHashMap[String, (Double, Double, Option[String])]()
-    val results = firstPass.map { case (name, t1, err1) =>
+    val sweepResults = firstPass.map { case (name, t1, err1) =>
       if (!Bench.needsRetry(t1, err1, baseline.get(name))) (name, t1, err1)
       else {
         System.err.println(f"[bench] $name%s first pass $t1%.2fs over " +
@@ -167,6 +213,41 @@ object Bench {
         retried(name) = (t1, t2, err2)
         val (t, err) = Bench.adjudicateRetry(t1, t2, err2)
         (name, t, err)
+      }
+    }
+    // Post-sweep quiet-box adjudication (round 15): queries still over
+    // 1.3x of their pin after the retry re-run adjRounds times at the
+    // END of the sweep — the same JVM with nothing else running, which
+    // is exactly the manual BenchAdjudicate environment — and the
+    // artifact's queries map (what tools/bench_gate.py judges) carries
+    // the adjudicated min, with every pass auditable under
+    // "adjudicated". Sweep-context noise stops consuming a verdict
+    // cycle; a real plan regression is slow in all adjRounds+1
+    // readings and still fails the gate.
+    val adjudicated = scala.collection.mutable.LinkedHashMap[
+      String, (Double, Seq[(Double, Option[String])])]()
+    val adjNames = sweepResults.collect {
+      case (name, t, err)
+          if Bench.needsAdjudication(t, err, baseline.get(name)) => name
+    }
+    if (adjNames.nonEmpty) {
+      System.err.println(s"[bench] adjudicating ${adjNames.mkString(", ")} " +
+        s"(${adjRounds} quiet re-runs each)")
+      // interleave whole rounds over the flagged set (the
+      // BenchAdjudicate stance) rather than back-to-back repeats
+      val runs = (1 to adjRounds).map { _ =>
+        adjNames.map(n => n -> timeOne(n, selected(n))).toMap
+      }
+      val sweepT = sweepResults.map { case (n, t, _) => n -> t }.toMap
+      adjNames.foreach { n =>
+        adjudicated(n) = (sweepT(n), runs.map(_(n)))
+      }
+    }
+    val results = sweepResults.map { case (name, t, err) =>
+      adjudicated.get(name) match {
+        case Some((sweep, runs)) =>
+          (name, Bench.adjudicateFinal(sweep, runs), err)
+        case None => (name, t, err)
       }
     }
     def jstr(s: String): String = SparkEntry.jsonStr(s)
@@ -181,6 +262,11 @@ object Bench {
     // retries are marked — see [[retryArtifactValue]]
     val retries = retried.map { case (k, (a, b, e2)) =>
       s"\"" + k + "\":" + Bench.retryArtifactValue(a, b, e2)
+    }.mkString("{", ",", "}")
+    // every adjudicated query's sweep reading + quiet runs + min stay
+    // auditable next to the min the gate judges
+    val adjJson = adjudicated.map { case (k, (sweep, runs)) =>
+      s"\"" + k + "\":" + Bench.adjudicatedArtifactValue(sweep, runs)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Bench-gate headroom (round 10): the gate is per-query 2x of
@@ -201,7 +287,7 @@ object Bench {
           s""""max_query":${jstr(worstName)},"n":${ratios.size}}"""
       }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retries,"headroom":$headroom,"order":${jstr(orderSpec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retries,"adjudicated":$adjJson,"headroom":$headroom,"order":${jstr(orderSpec)},"sf":"$sfDir"}"""
     println(full)
     // Truncation-proofing, twice over: bounded stdout captures have
     // lost the head (round 3) and the per-query tail (round 4) of the

@@ -32,6 +32,44 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(Bench.adjudicateRetry(0.8, 1.2, None) == (0.8, None))
   }
 
+  test("needsAdjudication trips past 1.3x of max(baseline, floor), on success, with a baseline") {
+    // 1.0s pin → trigger at 1.3s (below the 1.5x retry on purpose)
+    assert(Bench.needsAdjudication(1.31, None, Some(1.0)))
+    assert(!Bench.needsAdjudication(1.29, None, Some(1.0)))
+    // sub-floor pins use the 0.25s floor: trigger at 0.325s
+    assert(Bench.needsAdjudication(0.33, None, Some(0.01)))
+    assert(!Bench.needsAdjudication(0.32, None, Some(0.01)))
+    // an errored reading is not adjudicated; no pin → no adjudication
+    assert(!Bench.needsAdjudication(99.0, Some("boom"), Some(1.0)))
+    assert(!Bench.needsAdjudication(99.0, None, None))
+  }
+
+  test("adjudicateFinal: min over sweep + successful quiet runs; errored runs contribute nothing") {
+    assert(Bench.adjudicateFinal(2.26,
+      Seq((1.0, None), (1.05, None), (1.2, None))) == 1.0)
+    // sweep reading can itself be the min
+    assert(Bench.adjudicateFinal(0.9, Seq((1.0, None), (1.1, None))) == 0.9)
+    // an errored quiet run's fast-fail time never enters the min
+    assert(Bench.adjudicateFinal(2.0,
+      Seq((0.1, Some("boom")), (1.5, None))) == 1.5)
+    // all quiet runs errored → the sweep reading stands
+    assert(Bench.adjudicateFinal(2.0,
+      Seq((0.1, Some("a")), (0.2, Some("b")))) == 2.0)
+  }
+
+  test("adjudicatedArtifactValue: sweep + every run auditable, errored runs marked, min judged") {
+    val v = Bench.adjudicatedArtifactValue(2.26,
+      Seq((1.0, None), (0.1, Some("boom: stage 3"))))
+    assert(v ==
+      """{"sweep":2.26,"runs":[1.0,"adj_error: boom: stage 3"],"min":1.0}""",
+      v)
+    // error strings bounded and JSON-escaped
+    val long = Bench.adjudicatedArtifactValue(1.0, Seq((0.1, Some("x" * 999))))
+    assert(long.length < 300, long)
+    val quoted = Bench.adjudicatedArtifactValue(1.0, Seq((0.1, Some("a\"b"))))
+    assert(quoted.contains("a\\\"b"), quoted)
+  }
+
   test("retryArtifactValue: errored retry's fast-fail time is marked, never a bare measurement") {
     // clean retry: plain two-element array, both passes auditable
     assert(Bench.retryArtifactValue(1.6, 0.9, None) == "[1.6,0.9]")

@@ -17,14 +17,19 @@ Rules (pure function `gate()`; unit-tested in tools/test_bench_gate.py):
  - a query only in current: reported as NEW (informational).
  - a query only in baseline: FAIL (a query silently disappeared from
    the bench — that is how coverage quietly rots).
-Ambient adjudication lives UPSTREAM of this gate: graft.Bench re-runs
-any query whose first pass exceeds 1.5x of the same max(baseline,
-floor) — deliberately BELOW this gate's 2.0x, so near-gate noise gets
-re-measured before it can threaten the gate (round 11) — and reports
-the min of its two passes (both visible under "retried" in the dump).
-A one-off co-tenant burst never reaches this gate as a time, while a
-real plan regression — slow in both passes — still fails here.
-Exit code 1 on any FAIL.
+Ambient adjudication lives UPSTREAM of this gate, in two layers:
+graft.Bench re-runs any query whose first pass exceeds 1.5x of the
+same max(baseline, floor) — deliberately BELOW this gate's 2.0x, so
+near-gate noise gets re-measured before it can threaten the gate
+(round 11) — and reports the min of its two passes (both visible under
+"retried" in the dump). Then any query STILL reading over 1.3x after
+the retry gets three quiet re-runs at the end of the sweep (same JVM,
+nothing else running — the automatic form of the old manual
+BenchAdjudicate protocol, round 15) and the "queries" value this gate
+judges is the adjudicated min, with every pass auditable under
+"adjudicated". A one-off co-tenant burst never reaches this gate as a
+time, while a real plan regression — slow in every pass — still fails
+here. Exit code 1 on any FAIL.
 """
 import json
 import sys
@@ -72,8 +77,14 @@ def main() -> int:
         print(line)
     for name, passes in sorted(cur_doc.get("retried", {}).items()):
         print(f"RETRY {name:29s} passes "
-              + "/".join(f"{p:.2f}s" for p in passes)
+              + "/".join(f"{p:.2f}s" if isinstance(p, float) else str(p)
+                         for p in passes)
               + " (min reported)")
+    for name, adj in sorted(cur_doc.get("adjudicated", {}).items()):
+        runs = "/".join(f"{p:.2f}s" if isinstance(p, float) else str(p)
+                        for p in adj["runs"])
+        print(f"ADJ  {name:30s} sweep {adj['sweep']:.2f}s, quiet runs "
+              f"{runs} -> {adj['min']:.2f}s judged")
     tot_c = sum(cur.values())
     tot_b = sum(v for k, v in base.items() if k in cur)
     print(f"\n{len(cur)} queries, total {tot_c:.1f}s "
