@@ -58,6 +58,28 @@ object TokenizerIO {
       .split("\n", -1).map(_.stripSuffix("\r"))
   }
 
+  /** The file's content lines with their 1-based line numbers, blank
+    * tolerance pinned down (round 15 — ADVICE): TRAILING blank lines
+    * are fine (editors add them), but a blank line FOLLOWED by any
+    * content is a truncated or corrupted artifact and fails fast with
+    * its line number — silently dropping it would renumber every
+    * subsequent merge rank / piece, the exact silent mis-parse this
+    * module's fail-fast stance exists to prevent.
+    */
+  private def nonBlankBody(lines: Array[String], path: String,
+                           what: String): Vector[(String, Int)] = {
+    val last = lines.lastIndexWhere(_.nonEmpty)
+    lines.iterator.take(math.max(last + 1, 0)).zipWithIndex
+      .foreach { case (l, i) =>
+        require(l.nonEmpty,
+          s"$what: $path line ${i + 1} is blank but content follows — " +
+            "truncated/corrupted artifact (only trailing blank lines " +
+            "are tolerated)")
+      }
+    lines.iterator.take(last + 1).zipWithIndex
+      .map { case (l, i) => (l, i + 1) }.toVector
+  }
+
   /** Save a trained BPE merge table as merges.txt. Ranks must be the
     * contiguous 1..N sequence [[graft.operators.TextAnalysis.bpeTrain]]
     * emits (rank IS the line order in this format — a gap would
@@ -89,21 +111,19 @@ object TokenizerIO {
 
   /** Load a merges.txt file back into [[BpeMerge]] rows (rank = line
     * order, 1-based; counts restored as 0). Tolerates the optional
-    * `#version:` header and trailing blank lines; anything else that
-    * is not exactly `<left> <right>` fails fast with its line number,
-    * as do duplicate pairs (bpeEncode would reject them later with
-    * less context).
+    * `#version:` header and TRAILING blank lines (a mid-file blank
+    * fails fast with its line number — see [[nonBlankBody]]);
+    * anything else that is not exactly `<left> <right>` fails fast
+    * with its line number, as do duplicate pairs (bpeEncode would
+    * reject them later with less context).
     */
   def loadBpeMerges(spark: SparkSession, path: String): Seq[BpeMerge] = {
-    val lines = readLines(spark, path)
-    val body = lines.iterator.zipWithIndex
-      .filterNot { case (l, i) =>
-        (i == 0 && l.startsWith("#version:")) || l.isEmpty
-      }
+    val body = nonBlankBody(readLines(spark, path), path, "loadBpeMerges")
+      .filterNot { case (l, n) => n == 1 && l.startsWith("#version:") }
     val merges = body.zipWithIndex.map { case ((line, lineNo), rank0) =>
       val parts = line.split(" ", -1)
       require(parts.length == 2 && parts.forall(_.nonEmpty),
-        s"loadBpeMerges: $path line ${lineNo + 1} is not " +
+        s"loadBpeMerges: $path line $lineNo is not " +
           s"'<left> <right>': '$line'")
       BpeMerge(rank0 + 1, parts(0), parts(1), 0L)
     }.toVector
@@ -152,25 +172,26 @@ object TokenizerIO {
   }
 
   /** Load a `.vocab` TSV back into [[UnigramPiece]] rows (file order
-    * preserved). Trailing blank lines are tolerated; a line without
-    * exactly one tab, an unparsable or non-finite logprob, or a
-    * duplicate piece fails fast with its line number.
+    * preserved). TRAILING blank lines are tolerated (a mid-file blank
+    * fails fast with its line number — see [[nonBlankBody]]); a line
+    * without exactly one tab, an unparsable or non-finite logprob, or
+    * a duplicate piece fails fast with its line number.
     */
   def loadUnigramVocab(spark: SparkSession,
                        path: String): Seq[UnigramPiece] = {
-    val pieces = readLines(spark, path).iterator.zipWithIndex
-      .filterNot(_._1.isEmpty)
+    val pieces = nonBlankBody(readLines(spark, path), path,
+        "loadUnigramVocab")
       .map { case (line, lineNo) =>
         val parts = line.split("\t", -1)
         require(parts.length == 2 && parts(0).nonEmpty,
-          s"loadUnigramVocab: $path line ${lineNo + 1} is not " +
+          s"loadUnigramVocab: $path line $lineNo is not " +
             s"'<piece>\\t<logprob>': '$line'")
         val lp = parts(1).toDoubleOption.getOrElse(
           throw new IllegalArgumentException(
-            s"loadUnigramVocab: $path line ${lineNo + 1} has " +
+            s"loadUnigramVocab: $path line $lineNo has " +
               s"unparsable logprob '${parts(1)}'"))
         require(!lp.isNaN && !lp.isInfinite,
-          s"loadUnigramVocab: $path line ${lineNo + 1} has " +
+          s"loadUnigramVocab: $path line $lineNo has " +
             s"non-finite logprob")
         UnigramPiece(parts(0), lp)
       }.toVector
@@ -191,5 +212,148 @@ object TokenizerIO {
       table.select("piece", "logprob").collect()
         .map(r => UnigramPiece(r.getString(0), r.getDouble(1)))
         .toIndexedSeq,
+      path)
+
+  // ——— HuggingFace tokenizer.json (BPE model) ————————————————————————
+  //
+  // merges.txt covers subword-nmt-style consumers; the file HF *fast*
+  // tokenizers actually load is tokenizer.json, whose BPE model block
+  // is {"type":"BPE","vocab":{token:id,…},"merges":["l r",…]} (round
+  // 15 — verdict stretch task). The writer derives the vocab the way
+  // BPE defines it — base alphabet first, then one new token per merge
+  // in rank order — and validates the table IS a BPE table (each
+  // merge's sides already in the vocab, no product collision), so an
+  // inconsistent hand-built table fails at save, not in the consumer.
+
+  /** The (token → id) vocabulary a merge table induces: the base
+    * alphabet (every distinct character of every merge symbol, sorted
+    * by codepoint) at ids 0.., then each merge's product in rank
+    * order. Fails fast when a merge's side is not yet in the vocab
+    * (not a BPE table — ranks out of order or a foreign symbol) or
+    * when two merges produce the same string (("a","bc") after
+    * ("ab","c") — the id map a consumer keys on would silently lose a
+    * token).
+    */
+  def bpeVocabOf(merges: Seq[BpeMerge]): Seq[(String, Int)] = {
+    require(merges.nonEmpty, "bpeVocabOf: empty merge table")
+    val sorted = merges.sortBy(_.rank)
+    val alphabet = sorted.flatMap(m => (m.left + m.right).toSeq)
+      .distinct.sorted.map(_.toString)
+    val vocab = scala.collection.mutable.LinkedHashMap[String, Int]()
+    alphabet.foreach(c => vocab(c) = vocab.size)
+    sorted.foreach { m =>
+      Seq("left" -> m.left, "right" -> m.right).foreach { case (side, s) =>
+        require(vocab.contains(s),
+          s"bpeVocabOf: merge rank ${m.rank} $side symbol '$s' is not " +
+            "in the vocabulary yet — not a valid BPE merge order")
+      }
+      val product = m.left + m.right
+      require(!vocab.contains(product),
+        s"bpeVocabOf: merge rank ${m.rank} product '$product' collides " +
+          "with an existing token — two merges cannot map to one id")
+      vocab(product) = vocab.size
+    }
+    vocab.toSeq
+  }
+
+  /** Save a trained BPE merge table as a minimal HF-style
+    * tokenizer.json: deterministic field order, vocab entries in id
+    * order, merges in rank order, all strings JSON-escaped. The
+    * symbol validation is [[saveBpeMerges]]'s (no whitespace inside a
+    * symbol — the "l r" merge strings are space-delimited here too)
+    * plus [[bpeVocabOf]]'s BPE-consistency checks.
+    */
+  def saveBpeTokenizerJson(spark: SparkSession, merges: Seq[BpeMerge],
+                           path: String): Unit = {
+    require(merges.nonEmpty, "saveBpeTokenizerJson: empty merge table")
+    val sorted = merges.sortBy(_.rank)
+    sorted.iterator.zipWithIndex.foreach { case (m, i) =>
+      require(m.rank == i + 1,
+        s"saveBpeTokenizerJson: ranks must be contiguous 1..N (found " +
+          s"rank ${m.rank} at position ${i + 1})")
+      Seq("left" -> m.left, "right" -> m.right).foreach { case (side, s) =>
+        require(s.nonEmpty && !s.exists(_.isWhitespace),
+          s"saveBpeTokenizerJson: $side symbol '$s' (rank ${m.rank}) " +
+            "cannot ride a space-delimited merge string")
+      }
+    }
+    def js(s: String): String = graft.SparkEntry.jsonStr(s)
+    val vocabJson = bpeVocabOf(sorted)
+      .map { case (tok, id) => s"${js(tok)}:$id" }
+      .mkString("{", ",", "}")
+    val mergesJson = sorted.map(m => js(s"${m.left} ${m.right}"))
+      .mkString("[", ",", "]")
+    writeText(spark, path,
+      s"""{"version":"1.0","truncation":null,"padding":null,""" +
+        s""""added_tokens":[],"normalizer":null,"pre_tokenizer":null,""" +
+        s""""post_processor":null,"decoder":null,"model":{"type":"BPE",""" +
+        s""""vocab":$vocabJson,"merges":$mergesJson}}""")
+  }
+
+  /** Load a tokenizer.json back: returns the merge table (rank = list
+    * order) and the (token → id) vocabulary. Validates model.type is
+    * BPE, every merge string is exactly `<left> <right>`, there are
+    * no duplicate merges, and the stored vocab is EXACTLY the one the
+    * merge list induces ([[bpeVocabOf]]) — a drifted pair would make
+    * the consumer's ids disagree with the encoder's segmentation.
+    */
+  def loadBpeTokenizerJson(spark: SparkSession, path: String)
+      : (Seq[BpeMerge], Map[String, Int]) = {
+    val text = readLines(spark, path).mkString("\n")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(text)
+    val model = root.path("model")
+    require(!model.isMissingNode,
+      s"loadBpeTokenizerJson: $path has no model block")
+    require(model.path("type").asText("") == "BPE",
+      s"loadBpeTokenizerJson: $path model.type is " +
+        s"'${model.path("type").asText("")}', not BPE")
+    val mergesNode = model.path("merges")
+    require(mergesNode.isArray && mergesNode.size > 0,
+      s"loadBpeTokenizerJson: $path model.merges is not a non-empty array")
+    val merges = (0 until mergesNode.size).map { i =>
+      val s = mergesNode.get(i).asText()
+      val parts = s.split(" ", -1)
+      require(parts.length == 2 && parts.forall(_.nonEmpty),
+        s"loadBpeTokenizerJson: $path merges[$i] is not " +
+          s"'<left> <right>': '$s'")
+      BpeMerge(i + 1, parts(0), parts(1), 0L)
+    }.toVector
+    val dup = merges.groupBy(m => (m.left, m.right))
+      .collectFirst { case (p, ms) if ms.size > 1 => p }
+    require(dup.isEmpty,
+      s"loadBpeTokenizerJson: duplicate merge pair $dup in $path")
+    val vocabNode = model.path("vocab")
+    require(vocabNode.isObject,
+      s"loadBpeTokenizerJson: $path model.vocab is not an object")
+    val vocab = {
+      val b = Map.newBuilder[String, Int]
+      val it = vocabNode.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        require(e.getValue.isIntegralNumber,
+          s"loadBpeTokenizerJson: $path vocab['${e.getKey}'] is not " +
+            "an integer id")
+        b += e.getKey -> e.getValue.asInt()
+      }
+      b.result()
+    }
+    val induced = bpeVocabOf(merges).toMap
+    require(vocab == induced,
+      s"loadBpeTokenizerJson: $path stored vocab disagrees with the " +
+        s"merge-induced one (stored-only: ${(vocab.keySet -- induced.keySet).take(3)}, " +
+        s"induced-only: ${(induced.keySet -- vocab.keySet).take(3)}, " +
+        s"id drift: ${vocab.collect { case (k, v) if induced.get(k).exists(_ != v) => k }.take(3)})")
+    (merges, vocab)
+  }
+
+  /** Convenience: save [[graft.operators.TextAnalysis.bpeTrain]]'s
+    * DataFrame as tokenizer.json directly (bounded collect).
+    */
+  def saveBpeTokenizerJson(merges: DataFrame, path: String): Unit =
+    saveBpeTokenizerJson(merges.sparkSession,
+      merges.select("rank", "left", "right", "n").collect()
+        .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toIndexedSeq,
       path)
 }

@@ -103,6 +103,107 @@ class TokenizerIOSpec extends SparkSpec {
     assert(gap.getMessage.contains("contiguous"), gap.getMessage)
   }
 
+  test("blank-line policy: trailing blanks tolerated, a mid-file blank fails with its line number") {
+    def write(suffix: String, content: String): String = {
+      val p = tmp("graft-blank", suffix)
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        content.getBytes("UTF-8"))
+      p
+    }
+    // trailing blanks (including several) still load
+    assert(TokenizerIO.loadBpeMerges(spark,
+      write(".txt", "#version: 0.2\na b\n\n\n")).size == 1)
+    assert(TokenizerIO.loadUnigramVocab(spark,
+      write(".tsv", "ab\t-1.5\n\n")).size == 1)
+    // a blank line FOLLOWED by content would silently renumber every
+    // later rank — the ADVICE finding this pins; the line number names
+    // the blank, not the content after it
+    val bpe = intercept[IllegalArgumentException] {
+      TokenizerIO.loadBpeMerges(spark,
+        write(".txt", "#version: 0.2\na b\n\nab c\n"))
+    }
+    assert(bpe.getMessage.contains("line 3") &&
+      bpe.getMessage.contains("blank"), bpe.getMessage)
+    val uni = intercept[IllegalArgumentException] {
+      TokenizerIO.loadUnigramVocab(spark,
+        write(".tsv", "ab\t-1.5\n\ncd\t-2.0\n"))
+    }
+    assert(uni.getMessage.contains("line 2") &&
+      uni.getMessage.contains("blank"), uni.getMessage)
+  }
+
+  test("tokenizer.json: train → save → load → merges identical, vocab merge-induced, encode row-identical") {
+    val trained = TextAnalysis.bpeTrain(docs, "text", numMerges = 12)
+    val path = tmp("graft-tok", ".json")
+    TokenizerIO.saveBpeTokenizerJson(trained, path)
+
+    // format pin: deterministic field order, BPE model block
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    assert(text.startsWith(
+      """{"version":"1.0","truncation":null,"padding":null,""" +
+        """"added_tokens":[],"normalizer":null,"pre_tokenizer":null,""" +
+        """"post_processor":null,"decoder":null,"model":{"type":"BPE","vocab":{"""),
+      text.take(200))
+
+    val mem = trained.collect().map(r =>
+      BpeMerge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_.rank).toIndexedSeq
+    val (loaded, vocab) = TokenizerIO.loadBpeTokenizerJson(spark, path)
+    assert(loaded.map(m => (m.rank, m.left, m.right)) ==
+      mem.map(m => (m.rank, m.left, m.right)),
+      s"merge table drifted:\n mem: $mem\n load: $loaded")
+    // vocab: contiguous ids 0..N-1, alphabet first, then merge
+    // products in rank order
+    assert(vocab.values.toSeq.sorted == (0 until vocab.size),
+      s"ids not contiguous: $vocab")
+    val alphaN = vocab.size - mem.size
+    mem.iterator.zipWithIndex.foreach { case (m, i) =>
+      assert(vocab(m.left + m.right) == alphaN + i,
+        s"product '${m.left + m.right}' id ${vocab(m.left + m.right)} " +
+          s"!= ${alphaN + i}")
+    }
+    assertSameRows(
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", mem),
+      TextAnalysis.bpeEncode(docs, "doc_id", "text", loaded))
+  }
+
+  test("tokenizer.json save/load fail fast on non-BPE tables and drifted files") {
+    // a merge whose side was never introduced is not a BPE order
+    val foreign = intercept[IllegalArgumentException] {
+      TokenizerIO.saveBpeTokenizerJson(spark,
+        Seq(BpeMerge(1, "ab", "c", 0L)), tmp("graft-tokf", ".json"))
+    }
+    assert(foreign.getMessage.contains("not in the vocabulary"),
+      foreign.getMessage)
+    // two merges producing one string would lose a vocab id
+    val collide = intercept[IllegalArgumentException] {
+      TokenizerIO.saveBpeTokenizerJson(spark, Seq(
+        BpeMerge(1, "a", "b", 0L), BpeMerge(2, "b", "c", 0L),
+        BpeMerge(3, "ab", "c", 0L), BpeMerge(4, "a", "bc", 0L)),
+        tmp("graft-tokc", ".json"))
+    }
+    assert(collide.getMessage.contains("collides"), collide.getMessage)
+    // load-side: a vocab that disagrees with the merges fails fast
+    def write(content: String): String = {
+      val p = tmp("graft-tokbad", ".json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        content.getBytes("UTF-8"))
+      p
+    }
+    val drift = intercept[IllegalArgumentException] {
+      TokenizerIO.loadBpeTokenizerJson(spark, write(
+        """{"model":{"type":"BPE","vocab":{"a":0,"b":1,"ab":5},""" +
+          """"merges":["a b"]}}"""))
+    }
+    assert(drift.getMessage.contains("disagrees"), drift.getMessage)
+    val notBpe = intercept[IllegalArgumentException] {
+      TokenizerIO.loadBpeTokenizerJson(spark, write(
+        """{"model":{"type":"Unigram","vocab":{},"merges":[]}}"""))
+    }
+    assert(notBpe.getMessage.contains("not BPE"), notBpe.getMessage)
+  }
+
   test("unigram load: malformed lines, bad doubles and duplicates fail fast") {
     def write(content: String): String = {
       val p = tmp("graft-badvocab", ".tsv")
