@@ -340,18 +340,30 @@ object IndexHealth {
         } else ("none", path)
       case "ivf" =>
         if (before.needsCompact || before.needsRebuild) {
-          val isPq = spark.read.parquet(s"$path/cells")
-            .schema.fieldNames.contains("codes")
+          val fields = spark.read.parquet(s"$path/cells")
+            .schema.fieldNames
+          val isPq = fields.contains("codes")
+          val hasVec = fields.contains("vec")
           val leg: (String, String) => Unit = ivfRebuild.getOrElse {
-            require(!isPq,
-              s"IndexHealth.maintain: the IVF-PQ index at $path stores " +
-                "lossy codes — its rebuild needs the current " +
-                "full-precision corpus; pass ivfRebuild = (src, dst) => " +
-                "Similarity.rebuildIvfPqIndex(corpus, ..., src, dst, ...)")
-            (src, dst) =>
-              Similarity.rebuildIvfIndex(spark, src, dst,
-                nCells = spark.read.parquet(s"$src/centroids")
-                  .count().toInt)
+            if (isPq && hasVec)
+              // a storeVectors IVF-PQ index is self-sufficient: the
+              // stored full-precision vectors are the rebuild corpus
+              // (round 15 — the last caller-leg requirement retired)
+              (src, dst) =>
+                Similarity.rebuildIvfPqIndexFromStored(spark, src, dst)
+            else {
+              require(!isPq,
+                s"IndexHealth.maintain: the IVF-PQ index at $path " +
+                  "stores only lossy codes — its rebuild needs the " +
+                  "current full-precision corpus; build it with " +
+                  "storeVectors = true for self-sufficient " +
+                  "maintenance, or pass ivfRebuild = (src, dst) => " +
+                  "Similarity.rebuildIvfPqIndex(corpus, ..., src, dst, ...)")
+              (src, dst) =>
+                Similarity.rebuildIvfIndex(spark, src, dst,
+                  nCells = spark.read.parquet(s"$src/centroids")
+                    .count().toInt)
+            }
           }
           leg(path, dstPath); ("rebuilt", dstPath)
         } else ("none", path)

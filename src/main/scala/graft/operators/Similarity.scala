@@ -2149,19 +2149,32 @@ object Similarity {
   }
 
   /** Persist an IVF-PQ index: PQ codes+norms partitioned by IVF cell
-    * (`path/cells/cell=N/…` holding (id, codes, norm) — NO float
-    * vectors: the index is nProbe-prunable AND 16-32× compressed),
-    * plus the centroids (`path/centroids`, [[writeIvfIndex]]'s
-    * contract) and the codebook (`path/codebook`, [[writePqIndex]]'s),
-    * so a probe replays the exact build-time geometry. ONE narrow
-    * pass over the corpus: cell assignment and PQ encoding are both
-    * per-row codegen'd expressions — no shuffle, no join; the only
-    * data movement is the partitioned write.
+    * (`path/cells/cell=N/…` holding (id, codes, norm) — by default NO
+    * float vectors: the index is nProbe-prunable AND 16-32×
+    * compressed), plus the centroids (`path/centroids`,
+    * [[writeIvfIndex]]'s contract) and the codebook (`path/codebook`,
+    * [[writePqIndex]]'s), so a probe replays the exact build-time
+    * geometry. ONE narrow pass over the corpus: cell assignment and
+    * PQ encoding are both per-row codegen'd expressions — no shuffle,
+    * no join; the only data movement is the partitioned write.
+    *
+    * `storeVectors = true` (round 15 — verdict task 5) additionally
+    * stores the full-precision vectors NEXT TO the codes, at the
+    * documented 4 bytes/dim/row cost (vs the m bytes the codes cost —
+    * e.g. a 64-dim float corpus stores 256 extra bytes/row). What it
+    * buys: the index becomes SELF-SUFFICIENT for maintenance —
+    * [[rebuildIvfPqIndexFromStored]] retrains centroids and codebook
+    * from the stored vectors, so [[IndexHealth.maintain]] can rebuild
+    * a drifted IVF-PQ index without a caller-supplied corpus leg.
+    * Probes are UNCHANGED either way: every probe path reads only
+    * (id, codes, norm [, attrs]), and parquet's columnar layout means
+    * the vec column's bytes are never touched outside a rebuild.
     */
   def writeIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                       path: String, cb: PqCodebook, nCells: Int = 16,
                       strategy: CentroidStrategy = SeededCentroids,
-                      attrCols: Seq[String] = Nil): Unit = {
+                      attrCols: Seq[String] = Nil,
+                      storeVectors: Boolean = false): Unit = {
     requireIntegralId(df, idCol)
     val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
     // attrCols store filterable metadata NEXT TO the codes — the
@@ -2173,12 +2186,13 @@ object Similarity {
     // independent of the code frame); only the encode input rotates
     val encIn = cb.rotation.map(rotateExpr(col("vec"), _))
       .getOrElse(col("vec"))
+    val vecOut = if (storeVectors) Seq(col("vec")) else Nil
     assignCells(df, idCol, vecCol, cents, extraCols = attrCols)
       .select(Seq(col("id").cast("long").as("id"),
         graft.functions.VectorOps.pqEncodeCodes(
           encIn, cb.flat, cb.m, cb.nCodes).as("codes"),
         sqrt(graft.functions.VectorOps.dot(col("vec"), col("vec")))
-          .as("norm")) ++ attrCols.map(col) :+ col("cell"): _*)
+          .as("norm")) ++ vecOut ++ attrCols.map(col) :+ col("cell"): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     val spark = df.sparkSession
     import spark.implicits._
@@ -2311,8 +2325,12 @@ object Similarity {
     // under the STORED names — a missing one would silently
     // schema-drift the cell files out from under the filtered probe
     val stored = spark.read.parquet(s"$path/cells").schema
+    // a storeVectors index keeps its vec column through appends (the
+    // self-sufficient-rebuild contract) — it is index machinery, not
+    // a caller attribute
+    val hasVec = stored.fieldNames.contains("vec")
     val attrs = stored.fieldNames.toSeq
-      .filterNot(Set("id", "codes", "norm", "cell"))
+      .filterNot(Set("id", "codes", "norm", "cell", "vec"))
     val missing = attrs.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"appendToIvfPqIndex: index at $path stores attribute columns " +
@@ -2330,12 +2348,13 @@ object Similarity {
           .mkString(", "))
     val encIn = cb.rotation.map(rotateExpr(col("vec"), _))
       .getOrElse(col("vec"))
+    val vecOut = if (hasVec) Seq(col("vec")) else Nil
     assignCells(df, idCol, vecCol, cents, extraCols = attrs)
       .select(Seq(col("id").cast("long").as("id"),
         graft.functions.VectorOps.pqEncodeCodes(
           encIn, cb.flat, cb.m, cb.nCodes).as("codes"),
         sqrt(graft.functions.VectorOps.dot(col("vec"), col("vec")))
-          .as("norm")) ++ attrs.map(col) :+ col("cell"): _*)
+          .as("norm")) ++ vecOut ++ attrs.map(col) :+ col("cell"): _*)
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
@@ -2350,7 +2369,9 @@ object Similarity {
       oldPath: String, newPath: String, nCells: Int, m: Int,
       nCodes: Int,
       strategy: CentroidStrategy = KMeansCentroids(),
-      opq: Boolean = false): Unit = {
+      opq: Boolean = false,
+      attrCols: Seq[String] = Nil,
+      storeVectors: Boolean = false): Unit = {
     require(new org.apache.hadoop.fs.Path(oldPath) !=
         new org.apache.hadoop.fs.Path(newPath),
       "rebuildIvfPqIndex: newPath must differ from oldPath")
@@ -2365,7 +2386,44 @@ object Similarity {
     // is the natural OPQ upgrade point for a drifted (or pre-OPQ)
     // index, since stored codes can't be re-rotated in place
     val cb = pqTrainCodebook(src, idCol, vecCol, m, nCodes, opq = opq)
-    writeIvfPqIndex(src, idCol, vecCol, newPath, cb, nCells, strategy)
+    writeIvfPqIndex(src, idCol, vecCol, newPath, cb, nCells, strategy,
+      attrCols, storeVectors)
+  }
+
+  /** Rebuild a storeVectors IVF-PQ index FROM ITSELF (round 15 —
+    * verdict task 5): the stored full-precision vectors (minus
+    * tombstones) are the training corpus, every build parameter
+    * replays from the stored artifacts — nCells from the centroid
+    * count, (m, nCodes) from the codebook's shape, OPQ from whether a
+    * rotation is stored — and attribute columns carry over, so the
+    * rebuilt index serves the same filtered probes. This closes the
+    * one maintenance gap lossy codes forced: [[IndexHealth.maintain]]
+    * rebuilds a drifted storeVectors IVF-PQ index with no caller leg.
+    * New-path-only, like every rebuild here: probes against oldPath
+    * stay correct until the caller swaps pointers. The new tree is
+    * storeVectors again (self-sufficiency survives the rebuild).
+    */
+  def rebuildIvfPqIndexFromStored(
+      spark: org.apache.spark.sql.SparkSession,
+      oldPath: String, newPath: String,
+      strategy: CentroidStrategy = KMeansCentroids()): Unit = {
+    val stored = spark.read.parquet(s"$oldPath/cells")
+    require(stored.schema.fieldNames.contains("vec"),
+      s"rebuildIvfPqIndexFromStored: the index at $oldPath stores only " +
+        "lossy codes (built without storeVectors = true) — rebuild " +
+        "needs the current full-precision corpus via rebuildIvfPqIndex")
+    val nCells = spark.read.parquet(s"$oldPath/centroids").count().toInt
+    val cbOld = readPqCodebook(spark, oldPath)
+    val attrs = stored.schema.fieldNames.toSeq
+      .filterNot(Set("id", "codes", "norm", "cell", "vec"))
+    // tombstones fold inside rebuildIvfPqIndex; stored codes/norms are
+    // recomputed from the vectors, so only (id, vec, attrs) feed it
+    rebuildIvfPqIndex(
+      stored.select((Seq("id", "vec") ++ attrs).map(col): _*),
+      "id", "vec", oldPath, newPath, nCells,
+      m = cbOld.m, nCodes = cbOld.nCodes, strategy = strategy,
+      opq = cbOld.rotation.isDefined, attrCols = attrs,
+      storeVectors = true)
   }
 
   /** Batch probe of a persisted IVF-PQ index — the serving shape for

@@ -200,11 +200,13 @@ class MaintenanceLoopSpec extends SparkSpec {
     val anyId = emb.select("vec_id").orderBy("vec_id").head().getLong(0)
     Similarity.deleteFromIvfIndex(Seq(anyId).toDF("vec_id"), "vec_id", dir)
     // PQ codes can't be decoded back to vectors — maintain must fail
-    // fast rather than rebuild from garbage
+    // fast rather than rebuild from garbage (and the message points at
+    // the storeVectors fix)
     val e = intercept[IllegalArgumentException] {
       IndexHealth.maintain(spark, dir, dst)
     }
-    assert(e.getMessage.contains("full-precision"), e.getMessage)
+    assert(e.getMessage.contains("full-precision") &&
+      e.getMessage.contains("storeVectors"), e.getMessage)
     // the caller's leg (closed over the current corpus) completes it
     val r = IndexHealth.maintain(spark, dir, dst,
       ivfRebuild = Some((src, d) =>
@@ -213,6 +215,57 @@ class MaintenanceLoopSpec extends SparkSpec {
     assert(r.action == "rebuilt" && r.activePath == dst, r.toString)
     assert(r.after.tombstones == 0 && !r.after.needsCompact &&
       r.after.totalRows == emb.count() - 1, r.after.toString)
+  }
+
+  test("ivf-pq storeVectors cycle: append keeps vectors → takedown → maintain self-rebuilds with NO caller leg → exact-probe parity, self-sufficiency survives") {
+    val dir = tmp("graft-ml-ivfpqv")
+    val dst = tmp("graft-ml-ivfpqvr")
+    val emb = Tables.load(spark, sfDir, "embeddings").cache()
+    val total = emb.count()
+    val ids = emb.select("vec_id").orderBy("vec_id")
+      .limit(3).collect().map(_.getLong(0))
+    val cb = Similarity.pqTrainCodebook(emb, "vec_id", "embedding",
+      m = 4, nCodes = 16, sampleSize = 500, iters = 5, seed = 9)
+    Similarity.writeIvfPqIndex(
+      emb.where($"vec_id" =!= ids(0)), "vec_id", "embedding", dir, cb,
+      nCells = 4, storeVectors = true)
+    // the append path must carry the vec column through (schema-driven,
+    // like attrCols) or the self-rebuild would train on a partial corpus
+    Similarity.appendToIvfPqIndex(
+      emb.where($"vec_id" === ids(0)), "vec_id", "embedding", dir)
+    val vecCount = spark.read.parquet(s"$dir/cells")
+      .where(col("vec").isNotNull).count()
+    assert(vecCount == total, s"stored vectors after append: $vecCount")
+
+    val qv = emb.where($"vec_id" === ids(1))
+      .select("embedding").head().getSeq[Float](0).toArray
+    // nProbe = nCells and k·overfetch ≥ corpus → the probe is EXACT,
+    // so parity across the retrained-codebook rebuild is guaranteed
+    def probe(path: String): Seq[String] =
+      sortedRows(Similarity.knnIvfPqIndexed(spark, path, emb,
+        "vec_id", "embedding", qv, k = 5, nProbe = 4, overfetch = 100))
+    val p1 = probe(dir)
+    assert(p1.size == 5, s"k=5 probe: $p1")
+
+    Similarity.deleteFromIvfIndex(Seq(ids(1)).toDF("vec_id"), "vec_id", dir)
+    val p2 = probe(dir)
+    assert(p2.size == 5 && !p2.exists(_.startsWith(s"[${ids(1)},")),
+      s"tombstoned vector still probe-visible: $p2")
+    val flagged = IndexHealth.report(spark, dir)
+    assert(flagged.tombstones == 1 && flagged.needsCompact,
+      flagged.toString)
+
+    // NO ivfRebuild argument — the stored vectors are the corpus
+    val r = IndexHealth.maintain(spark, dir, dst)
+    assert(r.action == "rebuilt" && r.activePath == dst, r.toString)
+    assert(r.after.tombstones == 0 && !r.after.needsCompact &&
+      r.after.totalRows == total - 1, r.after.toString)
+    assert(probe(dst) == p2, "probe drifted across the self-rebuild")
+    // self-sufficiency survives: the rebuilt tree stores vectors again
+    assert(spark.read.parquet(s"$dst/cells")
+      .schema.fieldNames.contains("vec"), "rebuilt index lost its vectors")
+    val r2 = IndexHealth.maintain(spark, dst, tmp("graft-ml-ivfpqv2"))
+    assert(r2.action == "none" && r2.activePath == dst, r2.toString)
   }
 
   test("lsh maintain: a needsRebuild-only pass is a no-op that surfaces the flag, not a futile rewrite") {
