@@ -10,10 +10,16 @@ import org.apache.spark.sql.types.DecimalType
   * linear scorer over [[Featurize.hashedTfIdf]] features.
   *
   * Division of labor at 100 TB:
-  *  - TRAINING is driver-side on a BOUNDED labeled sample (quality
-  *    labels are human- or LLM-annotated — thousands of rows, never
-  *    corpus-scale), so a deterministic Newton/IRLS fit on the driver
-  *    is the honest tool, exactly like the IVF/PQ codebooks.
+  *  - TRAINING has two shapes. [[train]] is driver-side Newton/IRLS
+  *    on a BOUNDED labeled sample (fails fast past `maxSample`) —
+  *    the honest tool for human-annotated label sets of thousands of
+  *    rows. [[trainDistributed]] (round 15 — verdict task 2) is the
+  *    corpus-scale trainer for DCLM-style pipelines whose labels are
+  *    model-annotated in the millions: the same Newton iteration, but
+  *    each round's gradient and Hessian are FULL-CORPUS aggregation
+  *    jobs in exact integer/DECIMAL arithmetic (the
+  *    KMeansCentroidsDistributed pattern) and the driver holds only
+  *    the (dim+1)² solve.
   *  - SCORING is corpus-scale and stays declarative AND integer-exact:
   *    weights quantize to 6-decimal scaled longs, features are already
   *    6-decimal scaled longs ([[Featurize.hashedTfIdfSparse]]), and
@@ -107,6 +113,148 @@ object QualityModel {
       val step = solve(hess, g)
       j = 0
       while (j < d) { w(j) += step(j); j += 1 }
+      iter += 1
+    }
+    LinearModel(dim, w(dim), w.take(dim))
+  }
+
+  /** Corpus-scale L2-regularized logistic regression: Newton/IRLS
+    * where every per-iteration sum is a DISTRIBUTED aggregation in
+    * exact integer arithmetic, so the labeled set can be millions of
+    * model-annotated rows (the DCLM shape) instead of [[train]]'s
+    * bounded driver sample. Per iteration:
+    *
+    *  1. margins replay [[score]]'s exact integer pipeline — current
+    *     weights quantized to 6-decimal scaled longs against the
+    *     cached sparse feature rows, products summed in decimal(38,0)
+    *     — so every margin is a pure function of the document;
+    *  2. per-doc residual `e = y − σ(margin)` and IRLS weight
+    *     `r = max(σ(1−σ), 1e-6)` (codegen'd StrictMath.exp —
+    *     deterministic per row) quantize to 6-decimal scaled longs;
+    *  3. gradient `Σ e·x`, Hessian `Σ r·x·xᵀ` and their bias
+    *     row/column accumulate as decimal(38,0) sums of exact integer
+    *     products — order-free, so the fit is BIT-DETERMINISTIC
+    *     across partition layouts (spec-pinned), and overflow fails
+    *     loudly under ANSI instead of corrupting the fit;
+    *  4. the driver solves the (dim+1)² ridge system ([[solve]], the
+    *     [[train]] solver) and steps.
+    *
+    * Scale shape: the feature frame is cached ONCE; each round is one
+    * margin aggregation keyed by doc, one doc-level reduce, one
+    * bucket-keyed reduce (≤ dim rows out), and one sparse×sparse
+    * self-join on the doc id for the Hessian's upper triangle —
+    * per-doc cost (distinct buckets)², collected as ≤ dim·(dim+1)/2
+    * rows. No corpus data ever reaches the driver.
+    *
+    * Contract differences vs [[train]]: the fit optimizes the same
+    * objective with residuals/weights quantized at 1e-6, so weights
+    * agree with the driver fit to quantization tolerance (spec-pinned
+    * on planted corpora), not bit-for-bit; determinism here is across
+    * partition layouts of the SAME data.
+    */
+  def trainDistributed(labeled: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int = 256, iters: Int = 8,
+      l2: Double = 1e-2,
+      scope: Dedup.CacheScope = Dedup.batchScope): LinearModel = {
+    require(iters >= 1 && l2 > 0,
+      "trainDistributed: iters >= 1 and l2 > 0 required")
+    val dec = DecimalType(38, 0)
+    val d = dim + 1 // weights + bias (bias at index dim)
+    val labels = scope.persistTracked(labeled.select(
+      col(idCol).cast("long").as("_qm_id"),
+      col(labelCol).cast("double").as("_qm_y")))
+    require(labels.where(col("_qm_y").isNull ||
+        (col("_qm_y") =!= 0d && col("_qm_y") =!= 1d)).limit(1).count() == 0,
+      "trainDistributed: labels must be 0/1")
+    require(labels.limit(1).count() > 0,
+      "trainDistributed: empty labeled sample")
+    // one feature pass, cached for every iteration: (id, bucket, v6)
+    val sparse = scope.persistTracked(
+      Featurize.hashedTfIdfSparse(labeled, idCol, textCol, dim, scope)
+        .select(col("_fh_id").cast("long").as("_qm_id"),
+          col("_fh_b"), col("_fh_v6")))
+
+    val w = new Array[Double](d)
+    var iter = 0
+    while (iter < iters) {
+      val bias = w(dim)
+      val w6 = (0 until dim).map(j => math.floor(w(j) * 1e6 + 0.5).toLong)
+      val wLit = typedlit(w6)
+      // [[score]]'s margin, verbatim: exact integer products in
+      // decimal(38,0), one doc-keyed exchange
+      val margins = sparse
+        .select(col("_qm_id"),
+          (element_at(wLit, col("_fh_b") + 1).cast(dec) *
+            col("_fh_v6").cast(dec)).as("_qm_p"))
+        .groupBy("_qm_id").agg(sum("_qm_p").as("_qm_s"))
+        .select(col("_qm_id"),
+          (lit(bias) + col("_qm_s").cast("double") / lit(1e12))
+            .as("_qm_m"))
+      // token-less docs have no sparse rows: their margin is the bias
+      // (the score() restore), and they still push the bias gradient
+      val prob = lit(1.0) /
+        (lit(1.0) + exp(-coalesce(col("_qm_m"), lit(bias))))
+      val docStats = labels.join(margins, Seq("_qm_id"), "left")
+        .select(col("_qm_id"),
+          floor((col("_qm_y") - prob) * lit(1e6) + lit(0.5))
+            .cast("long").as("_qm_e6"),
+          floor(greatest(prob * (lit(1.0) - prob), lit(1e-6)) * lit(1e6) +
+            lit(0.5)).cast("long").as("_qm_r6"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // bias terms: g(dim) = Σe (/1e6), H(dim)(dim) = Σr (/1e6)
+        val bt = docStats.agg(
+          sum(col("_qm_e6").cast(dec)).as("ge"),
+          sum(col("_qm_r6").cast(dec)).as("hbb")).head()
+        // per-bucket terms: g(j) = Σ e·x (/1e12),
+        // H(j)(dim) = Σ r·x (/1e12) — one bucket-keyed reduce
+        val bRows = sparse.join(docStats, Seq("_qm_id"))
+          .groupBy("_fh_b")
+          .agg(sum(col("_qm_e6").cast(dec) * col("_fh_v6").cast(dec))
+              .as("g"),
+            sum(col("_qm_r6").cast(dec) * col("_fh_v6").cast(dec))
+              .as("hb"))
+          .collect()
+        // Hessian upper triangle: H(j)(k) = Σ r·x_j·x_k (/1e18) —
+        // the sparse self-join on the doc id (co-partitioned; per-doc
+        // fan-out is (distinct buckets)² ≤ dim²)
+        val va = sparse.toDF("_qm_id", "_qm_j", "_qm_vj")
+        val vb = sparse.toDF("_qm_id", "_qm_k", "_qm_vk")
+        val hRows = va.join(vb, Seq("_qm_id"))
+          .where(col("_qm_j") <= col("_qm_k"))
+          .join(docStats.select("_qm_id", "_qm_r6"), Seq("_qm_id"))
+          .groupBy("_qm_j", "_qm_k")
+          .agg(sum(col("_qm_r6").cast(dec) * col("_qm_vj").cast(dec) *
+            col("_qm_vk").cast(dec)).as("h"))
+          .collect()
+
+        val g = new Array[Double](d)
+        val hess = Array.fill(d)(new Array[Double](d))
+        g(dim) = BigDecimal(bt.getDecimal(0)).toDouble / 1e6
+        hess(dim)(dim) = BigDecimal(bt.getDecimal(1)).toDouble / 1e6
+        bRows.foreach { r =>
+          val j = r.getInt(0)
+          g(j) = BigDecimal(r.getDecimal(1)).toDouble / 1e12
+          val hj = BigDecimal(r.getDecimal(2)).toDouble / 1e12
+          hess(j)(dim) = hj
+          hess(dim)(j) = hj
+        }
+        hRows.foreach { r =>
+          val (j, k) = (r.getInt(0), r.getInt(1))
+          val h = BigDecimal(r.getDecimal(2)).toDouble / 1e18
+          hess(j)(k) = h
+          hess(k)(j) = h
+        }
+        var j = 0
+        while (j < d) {
+          g(j) -= l2 * w(j)
+          hess(j)(j) += l2
+          j += 1
+        }
+        val step = solve(hess, g)
+        j = 0
+        while (j < d) { w(j) += step(j); j += 1 }
+      } finally docStats.unpersist(false)
       iter += 1
     }
     LinearModel(dim, w(dim), w.take(dim))

@@ -73,6 +73,52 @@ class FeaturizeSpec extends SparkSpec {
     } finally scope.release()
   }
 
+  test("distributed quality trainer: driver-IRLS parity, bit-deterministic across layouts, no sample cap") {
+    val scope = new Dedup.CacheScope
+    try {
+      val labeled = ((1 to 30).map(i => (i.toLong, goodDoc(i), 1)) ++
+        (31 to 60).map(i => (i.toLong, badDoc(i), 0)))
+        .toDF("doc_id", "text", "label").localCheckpoint()
+      val driver = QualityModel.train(labeled, "doc_id", "text", "label",
+        dim = 64, scope = scope)
+      val dist = QualityModel.trainDistributed(labeled, "doc_id", "text",
+        "label", dim = 64, scope = scope)
+      // parity to quantization tolerance: the distributed fit rounds
+      // residuals/IRLS weights at 1e-6 per Newton round, so weights
+      // agree closely but not bit-for-bit
+      val dw = (dist.weights :+ dist.bias)
+        .zip(driver.weights :+ driver.bias)
+        .map { case (a, b) => math.abs(a - b) }.max
+      assert(dw < 1e-3, s"distributed fit drifted from driver IRLS: $dw")
+      // and the model it ships separates held-out docs the same way
+      val held = ((101 to 110).map(i => (i.toLong, goodDoc(i))) ++
+        (201 to 210).map(i => (i.toLong, badDoc(i))))
+        .toDF("doc_id", "text")
+      val probs = QualityModel.score(held, "doc_id", "text", dist,
+          scope = scope)
+        .as[(Long, Double, Double)].collect().map(s => s._1 -> s._3).toMap
+      assert((101 to 110).forall(i => probs(i.toLong) > 0.5) &&
+        (201 to 210).forall(i => probs(i.toLong) < 0.5),
+        s"distributed model lost separation: $probs")
+      // bit-determinism across partition layouts: every distributed
+      // sum is an exact integer in decimal(38,0)
+      val dist2 = QualityModel.trainDistributed(labeled.repartition(13),
+        "doc_id", "text", "label", dim = 64, scope = scope)
+      assert(dist.bias == dist2.bias &&
+        dist.weights.toSeq == dist2.weights.toSeq,
+        "distributed training diverged across partitionings")
+      // the probe the bounded trainer fails: past maxSample the driver
+      // path refuses while the distributed path trains the same data
+      intercept[IllegalArgumentException] {
+        QualityModel.train(labeled, "doc_id", "text", "label", dim = 64,
+          maxSample = 10, scope = scope)
+      }
+      val uncapped = QualityModel.trainDistributed(labeled, "doc_id",
+        "text", "label", dim = 64, scope = scope)
+      assert(uncapped.weights.length == 64)
+    } finally scope.release()
+  }
+
   test("quality trainer fails fast on bad labels and oversized samples") {
     val scope = new Dedup.CacheScope
     try {
