@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
 
-/** Versioned corpus snapshots (round 14 — verdict task 7): the BM25
-  * index's generation-pointer idiom (Retrieval.scala `CURRENT`
-  * protocol) applied to the corpus ITSELF, so "which exact dataset
-  * version did run X train on?" has a first-class answer.
+/** Versioned corpus snapshots: the BM25 index's generation-pointer
+  * idiom (Retrieval.scala `CURRENT` protocol) applied to the corpus
+  * ITSELF, so "which exact dataset version did run X train on?" has a
+  * first-class answer. Two storage layouts share one commit protocol:
   *
-  * Layout under `path`:
+  * FULL layout (round 14) under `path`:
   *  - `snapshots/gen=<g>/` — one IMMUTABLE parquet tree per version
   *    (whatever schema the caller's pipeline produces);
   *  - `meta/gen=<g>/` — a 1-row (gen, n_rows) manifest so listing
@@ -19,40 +19,71 @@ import graft.operators.Dedup
   *    oldest RETAINED generation b (b moves only at vacuum time).
   *    Both numbers ride one file so they commit in one atomic rename.
   *
-  * The pointer is the commit: a writer materializes everything into
-  * generation-private directories no reader ever lists, and the
-  * version becomes visible only when the `CURRENT` rename lands.
-  * Readers resolve the pointer ONCE (at DataFrame construction) to an
-  * explicit `gen=<g>` path, and generation directories are never
-  * mutated after commit — so a reader that resolved before a swap
-  * keeps reading its version bit-identically while new readers see
-  * the new one (concurrent-reader safety across swaps is spec-pinned
-  * in CorpusStoreSpec).
+  * COPY-ON-WRITE layout (round 15 — verdict task 1) under `path`:
+  *  - `cowmeta/` — 1 row (id_col, num_buckets): the store's OWN
+  *    content-defined partitioning (bucket = pmod(xxhash64(id), N)),
+  *    fixed at init so every generation buckets identically;
+  *  - `parts/gen=<g>/_cs_bucket=<b>/` — immutable PER-BUCKET trees; a
+  *    generation writes ONLY the buckets it touches;
+  *  - `manifest/gen=<g>/` — (bucket, src_gen) rows: which generation
+  *    OWNS each bucket of version g. A read of version g unions
+  *    exactly the manifest's referenced bucket trees;
+  *  - `meta/gen=<g>/` + `CURRENT` — as above.
   *
-  * Cost model at 100 TB: a snapshot write is the full materialization
-  * the producing pipeline (recrawl, refilter, dedup pass) was writing
-  * ANYWAY — the store adds only the manifest row and the rename;
-  * nothing is copied twice. Time-travel retention is then a storage
-  * policy, not a compute one: [[vacuumCorpusSnapshots]] trims old
-  * generations by moving `base` atomically BEFORE deleting, so a
-  * crash mid-vacuum leaves unreachable orphans, never a half-visible
-  * version. Between-version review is [[snapshotDelta]] —
+  * Why COW: in the full layout a takedown of 100 docs from a 100 TB
+  * corpus costs a 100 TB write ([[writeCorpusSnapshot]] materializes
+  * every generation). Under COW, [[deleteFromCorpusCow]] /
+  * [[upsertIntoCorpusCow]] read and rewrite ONLY the buckets the
+  * changed ids hash into — cost = touched/num_buckets of the corpus —
+  * and untouched buckets are SHARED across generations through the
+  * manifest. num_buckets sets the granularity trade: rewrite cost per
+  * touched bucket is corpus/N, while a k-id takedown touches ≤ k
+  * buckets; size N so corpus/N is an acceptable single-job rewrite
+  * (e.g. 4096 buckets × 25 GB at 100 TB).
+  *
+  * The pointer is the commit, in both layouts: a writer materializes
+  * everything into generation-private directories no reader ever
+  * lists, and the version becomes visible only when the `CURRENT`
+  * rename lands. Readers resolve the pointer ONCE (at DataFrame
+  * construction) to explicit generation paths, and generation
+  * directories are never mutated after commit — so a reader that
+  * resolved before a swap keeps reading its version bit-identically
+  * while new readers see the new one (concurrent-reader safety across
+  * swaps is spec-pinned in CorpusStoreSpec).
+  *
+  * WRITERS ARE SINGLE-WRITER PER PATH (round 15 — ADVICE): two
+  * concurrent writers both resolve CURRENT=g and both materialize
+  * generation g+1, and the interleaved data writes can publish one
+  * writer's rows under the other's manifest. Every commit therefore
+  * writes a writer-unique token into the generation it is about to
+  * publish and re-reads it immediately before the CURRENT rename,
+  * failing fast when another writer overwrote the directory in
+  * between — a BEST-EFFORT tripwire (the verify→rename window is not
+  * atomic without a CAS primitive the FileSystem API lacks), not a
+  * lock. Serialize writers externally; readers need nothing.
+  *
+  * Retention is [[vacuumCorpusSnapshots]] in both layouts: the new
+  * base commits in ONE atomic rename FIRST, then doomed directories
+  * are deleted — under COW with a REFERENCE COUNT: a bucket tree of a
+  * vacuumed generation survives while any retained generation's
+  * manifest still points at it (spec-pinned), so sharing never breaks
+  * a live version. Between-version review is [[snapshotDelta]] —
   * [[graft.operators.Dedup.snapshotDiff]] over two committed
   * generations: the full-outer exchange carries (id, 8-byte hash),
   * never document text.
-  *
-  * A read-modify-write cycle (read CURRENT, transform, write next) is
-  * safe by construction: the new generation lands in a fresh
-  * directory, so the scan of generation g never races its successor's
-  * write — the self-overwrite trap of un-versioned corpus paths (read
-  * and overwrite of the same parquet tree) structurally cannot
-  * happen.
   */
 object CorpusStore {
 
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
+
+  /** Whether the store at `path` is copy-on-write. */
+  def isCow(spark: SparkSession, path: String): Boolean =
+    exists(spark, s"$path/cowmeta")
 
   /** The committed (gen, base) pair from `CURRENT` (the shared
     * [[GenPointer]] protocol — race-free read, see there); fails fast
@@ -68,6 +99,43 @@ object CorpusStore {
                             gen: Int, base: Int): Unit =
     GenPointer.commit(spark, path, gen, base)
 
+  /** Best-effort concurrent-writer tripwire (see the module doc's
+    * single-writer contract): write a writer-unique token as an
+    * underscore file (ignored by parquet readers) into the
+    * generation directory this commit publishes, then re-read it —
+    * a second writer that overwrote the directory in the meantime
+    * replaced or removed it, and this commit must fail fast rather
+    * than publish a manifest over the other writer's data.
+    */
+  private def verifyWriterToken(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_WRITER")
+    val token = java.util.UUID.randomUUID().toString
+    val out = f.create(p, true)
+    try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val readBack =
+      try {
+        val in = f.open(p)
+        val buf = new java.io.ByteArrayOutputStream(64)
+        try {
+          val chunk = new Array[Byte](256)
+          var n = in.read(chunk)
+          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        } finally in.close()
+        new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      } catch { case _: java.io.IOException => "" }
+    if (readBack != token)
+      throw new IllegalStateException(
+        s"CorpusStore: concurrent writer detected at $dir — another " +
+          "writer overwrote this generation between its write and " +
+          "commit. The store is single-writer per path; serialize " +
+          "writers and retry.")
+  }
+
+  // ——— Full-materialization layout ——————————————————————————————————
+
   /** Commit `df` as the next corpus version and return its generation
     * (0 for a fresh store). The data and manifest land in
     * generation-private directories in OVERWRITE mode — a crashed
@@ -75,11 +143,16 @@ object CorpusStore {
     * idempotent — and only then does the atomic CURRENT rename
     * publish the version. The input may itself read the current
     * committed generation (read-modify-write): source and destination
-    * directories never coincide.
+    * directories never coincide. Full layout only — a COW store's
+    * versions are written by [[writeCorpusCow]] /
+    * [[upsertIntoCorpusCow]] / [[deleteFromCorpusCow]].
     */
   def writeCorpusSnapshot(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(!isCow(spark, path),
+      s"CorpusStore: $path is a copy-on-write store — use " +
+        "writeCorpusCow/upsertIntoCorpusCow/deleteFromCorpusCow")
     val (gen, base) =
       if (GenPointer.exists(spark, path))
         currentGen(spark, path) match { case (g, b) => (g + 1, b) }
@@ -88,13 +161,204 @@ object CorpusStore {
     val n = spark.read.parquet(s"$path/snapshots/gen=$gen").count()
     Seq((gen, n)).toDF("gen", "n_rows")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta/gen=$gen")
+    verifyWriterToken(spark, s"$path/snapshots/gen=$gen")
     commitCurrent(spark, path, gen, base)
     gen
   }
 
+  // ——— Copy-on-write layout —————————————————————————————————————————
+
+  private def readCowMeta(spark: SparkSession, path: String): (String, Int) = {
+    val r = spark.read.parquet(s"$path/cowmeta").head()
+    (r.getAs[String]("id_col"), r.getAs[Int]("num_buckets"))
+  }
+
+  /** (bucket, src_gen) rows of version `gen`'s manifest — bounded by
+    * num_buckets.
+    */
+  private def readCowManifest(spark: SparkSession, path: String,
+                              gen: Int): Map[Int, Int] =
+    spark.read.parquet(s"$path/manifest/gen=$gen")
+      .select("bucket", "src_gen").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+  private def cowBucketDir(path: String, srcGen: Int, bucket: Int): String =
+    s"$path/parts/gen=$srcGen/_cs_bucket=$bucket"
+
+  /** The content-defined bucket of each row — pmod(xxhash64(id), N):
+    * stable across partition layouts, replays, and engines' row
+    * orders, so a row's bucket is a pure function of its id.
+    */
+  private def bucketExpr(idCol: String, numBuckets: Int) =
+    pmod(xxhash64(col(idCol)), lit(numBuckets.toLong)).cast("int")
+
+  /** Shared COW commit tail: manifest + meta + writer token + pointer.
+    * The manifest directory carries the token — it is the one
+    * generation-private directory every COW commit writes.
+    */
+  private def commitCowGen(spark: SparkSession, path: String, gen: Int,
+      base: Int, manifest: Map[Int, Int], nRows: Long): Int = {
+    import spark.implicits._
+    manifest.toSeq.sorted.toDF("bucket", "src_gen")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$path/manifest/gen=$gen")
+    Seq((gen, nRows)).toDF("gen", "n_rows")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta/gen=$gen")
+    verifyWriterToken(spark, s"$path/manifest/gen=$gen")
+    commitCurrent(spark, path, gen, base)
+    gen
+  }
+
+  /** Initialize a copy-on-write store (or commit a FULL rewrite of an
+    * existing one — every bucket owned by the new generation, e.g.
+    * after a corpus-wide refilter). `idCol`/`numBuckets` fix the
+    * store's bucketing at init; a rewrite must pass the same values
+    * (they are the sharing contract every manifest depends on).
+    * Returns the committed generation.
+    */
+  def writeCorpusCow(df: DataFrame, path: String, idCol: String,
+                     numBuckets: Int = 256): Int = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numBuckets >= 1, "writeCorpusCow: numBuckets must be >= 1")
+    require(df.columns.contains(idCol),
+      s"writeCorpusCow: frame has no column '$idCol'")
+    val (gen, base) =
+      if (GenPointer.exists(spark, path)) {
+        require(isCow(spark, path),
+          s"CorpusStore: $path is a full-materialization store — use " +
+            "writeCorpusSnapshot")
+        val (storedId, storedN) = readCowMeta(spark, path)
+        require(storedId == idCol && storedN == numBuckets,
+          s"writeCorpusCow: store at $path buckets by " +
+            s"pmod(xxhash64($storedId), $storedN); got ($idCol, $numBuckets)")
+        currentGen(spark, path) match { case (g, b) => (g + 1, b) }
+      } else {
+        Seq((idCol, numBuckets)).toDF("id_col", "num_buckets")
+          .repartition(1).write.mode("overwrite").parquet(s"$path/cowmeta")
+        (0, 0)
+      }
+    df.withColumn("_cs_bucket", bucketExpr(idCol, numBuckets))
+      .write.mode("overwrite").partitionBy("_cs_bucket")
+      .parquet(s"$path/parts/gen=$gen")
+    // the written tree (with partition inference) names the buckets
+    // this generation owns and the version's row count in one scan
+    val counts = spark.read.parquet(s"$path/parts/gen=$gen")
+      .groupBy("_cs_bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "writeCorpusCow: refusing an empty corpus")
+    commitCowGen(spark, path, gen, base,
+      counts.keys.map(_ -> gen).toMap, counts.values.sum)
+  }
+
+  /** Shared body of upsert/delete: read ONLY the buckets the change
+    * set hashes into (from whichever generations own them), transform
+    * them, write the survivors as generation-private bucket trees,
+    * and commit a manifest that points untouched buckets at their
+    * existing owners. Cost is proportional to the touched buckets,
+    * never the corpus.
+    */
+  private def cowModify(spark: SparkSession, path: String,
+      changeBuckets: Array[Int],
+      merge: Option[DataFrame] => DataFrame): Int = {
+    val (idCol, numBuckets) = readCowMeta(spark, path)
+    val (g, base) = currentGen(spark, path)
+    val gen = g + 1
+    val manifest = readCowManifest(spark, path, g)
+    val prevN = spark.read.parquet(s"$path/meta/gen=$g")
+      .head().getAs[Long]("n_rows")
+    val oldDirs = changeBuckets.toSeq.sorted
+      .flatMap(b => manifest.get(b).map(src => cowBucketDir(path, src, b)))
+    val old =
+      if (oldDirs.nonEmpty) Some(spark.read.parquet(oldDirs: _*)) else None
+    val merged = merge(old)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val oldTouchedN = old.map(_.count()).getOrElse(0L)
+      val bucketOf = bucketExpr(idCol, numBuckets)
+      val counts = merged.groupBy(bucketOf.as("_cs_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      require(counts.keySet.subsetOf(changeBuckets.toSet),
+        "cowModify: merge produced rows outside the touched buckets")
+      if (counts.nonEmpty)
+        merged.withColumn("_cs_bucket", bucketOf)
+          .write.mode("overwrite").partitionBy("_cs_bucket")
+          .parquet(s"$path/parts/gen=$gen")
+      val newManifest = (manifest -- changeBuckets) ++
+        counts.keys.map(_ -> gen)
+      commitCowGen(spark, path, gen, base, newManifest,
+        prevN - oldTouchedN + counts.values.sum)
+    } finally merged.unpersist(false)
+  }
+
+  /** The buckets a change frame's ids hash into — bounded collect
+    * (≤ num_buckets distinct values).
+    */
+  private def touchedBuckets(df: DataFrame, idCol: String,
+                             numBuckets: Int): Array[Int] =
+    df.select(bucketExpr(idCol, numBuckets).as("_cs_bucket"))
+      .distinct().collect().map(_.getInt(0))
+
+  /** Upsert into a COW store: rows of `df` REPLACE same-id rows and
+    * insert otherwise; only the buckets the incoming ids hash into
+    * are read and rewritten. `df` must carry the store's full row
+    * schema (it becomes the stored row). Returns the committed
+    * generation.
+    */
+  def upsertIntoCorpusCow(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    require(isCow(spark, path),
+      s"CorpusStore: $path is not a copy-on-write store")
+    val (idCol, numBuckets) = readCowMeta(spark, path)
+    require(df.columns.contains(idCol),
+      s"upsertIntoCorpusCow: frame has no column '$idCol'")
+    val changes = df.localCheckpoint()
+    val touched = touchedBuckets(changes, idCol, numBuckets)
+    require(touched.nonEmpty, "upsertIntoCorpusCow: empty change set")
+    cowModify(spark, path, touched, {
+      case Some(old) => old
+        .join(changes.select(col(idCol)), Seq(idCol), "left_anti")
+        .unionByName(changes)
+      case None => changes
+    })
+  }
+
+  /** Takedown from a COW store: remove the given ids. THE operation
+    * COW exists for — a k-id takedown reads and rewrites at most k
+    * buckets (corpus/num_buckets bytes each), never the corpus.
+    * Unknown ids are harmless no-ops. Returns the committed
+    * generation.
+    */
+  def deleteFromCorpusCow(ids: DataFrame, path: String): Int = {
+    val spark = ids.sparkSession
+    require(isCow(spark, path),
+      s"CorpusStore: $path is not a copy-on-write store")
+    val (idCol, numBuckets) = readCowMeta(spark, path)
+    require(ids.columns.contains(idCol),
+      s"deleteFromCorpusCow: frame has no column '$idCol'")
+    val del = ids.select(col(idCol)).distinct().localCheckpoint()
+    val touched = touchedBuckets(del, idCol, numBuckets)
+    require(touched.nonEmpty, "deleteFromCorpusCow: empty takedown set")
+    cowModify(spark, path, touched, {
+      case Some(old) => old.join(broadcast(del), Seq(idCol), "left_anti")
+      case None =>
+        // no touched bucket physically exists: nothing to remove —
+        // an empty frame in the store's row shape commits a
+        // no-change generation
+        spark.read.parquet(
+          readCowManifest(spark, path, currentGen(spark, path)._1)
+            .map { case (b, src) => cowBucketDir(path, src, b) }
+            .toSeq.sorted: _*)
+          .limit(0)
+    })
+  }
+
+  // ——— Reads (both layouts) —————————————————————————————————————————
+
   /** The committed corpus version — resolves CURRENT once, then reads
-    * the explicit generation path (no glob over other generations, so
-    * concurrent writers and vacuum orphans are invisible).
+    * the explicit generation path(s) (no glob over other generations,
+    * so concurrent writers and vacuum orphans are invisible).
     */
   def readCorpusSnapshot(spark: SparkSession, path: String): DataFrame =
     readCorpusSnapshotAt(spark, path, currentGen(spark, path)._1)
@@ -102,7 +366,9 @@ object CorpusStore {
   /** Time-travel read of a specific retained generation. Fails fast
     * outside [base, CURRENT] — below base the data was vacuumed,
     * above CURRENT it was never committed (a crashed writer's orphan
-    * directory must not be readable as if it were a version).
+    * directory must not be readable as if it were a version). Under
+    * COW the read unions exactly the generation's manifest-referenced
+    * bucket trees — a bounded path list, still resolved once.
     */
   def readCorpusSnapshotAt(spark: SparkSession, path: String,
                            gen: Int): DataFrame = {
@@ -110,7 +376,13 @@ object CorpusStore {
     require(gen >= b && gen <= g,
       s"CorpusStore: generation $gen is not retained at $path " +
         s"(committed $g, oldest retained $b)")
-    spark.read.parquet(s"$path/snapshots/gen=$gen")
+    if (isCow(spark, path)) {
+      val manifest = readCowManifest(spark, path, gen)
+      require(manifest.nonEmpty,
+        s"CorpusStore: generation $gen at $path holds no rows")
+      spark.read.parquet(manifest.toSeq.sorted
+        .map { case (bk, src) => cowBucketDir(path, src, bk) }: _*)
+    } else spark.read.parquet(s"$path/snapshots/gen=$gen")
   }
 
   /** (gen, n_rows) per retained version, from the 1-row manifests —
@@ -125,7 +397,8 @@ object CorpusStore {
 
   /** Between-version review: [[graft.operators.Dedup.snapshotDiff]]
     * (per id: added / removed / changed / unchanged) from generation
-    * `genFrom` to `genTo`. Both must be retained.
+    * `genFrom` to `genTo`. Both must be retained. Works identically
+    * across COW generations (the reads resolve through manifests).
     */
   def snapshotDelta(spark: SparkSession, path: String,
                     genFrom: Int, genTo: Int,
@@ -137,13 +410,18 @@ object CorpusStore {
   /** Trim time-travel history to the newest `keepLast` generations.
     * Ordering is the crash-safety contract: the new base commits in
     * ONE atomic rename FIRST — from that instant no new reader can
-    * resolve a doomed generation — and only then are the directories
+    * resolve a doomed generation — and only then are directories
     * below it deleted. A crash between the two leaves unreachable
     * orphan directories (readCorpusSnapshotAt refuses gens below
     * base; re-running the vacuum removes them). Readers that resolved
     * a doomed generation BEFORE the vacuum may fail mid-scan — trim
     * retention only past your longest reader, the same contract every
     * table-format vacuum carries.
+    *
+    * Under COW the physical delete is REFERENCE-COUNTED: a vacuumed
+    * generation's manifest and meta go, but each of its bucket trees
+    * survives while ANY retained generation's manifest still points
+    * at it — sharing never breaks a live version (spec-pinned).
     */
   def vacuumCorpusSnapshots(spark: SparkSession, path: String,
                             keepLast: Int): Unit = {
@@ -152,10 +430,36 @@ object CorpusStore {
     val newBase = math.max(b, g - keepLast + 1)
     if (newBase != b) commitCurrent(spark, path, g, newBase)
     val f = fs(spark, path)
-    (0 until newBase).foreach { i =>
-      Seq("snapshots", "meta").foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(s"$path/$d/gen=$i")
-        if (f.exists(p)) f.delete(p, true)
+    def rm(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (f.exists(p)) f.delete(p, true)
+    }
+    if (isCow(spark, path)) {
+      // every (src_gen, bucket) a RETAINED manifest references must
+      // survive — collected before any delete, bounded by
+      // (retained gens) × num_buckets
+      val referenced = (newBase to g).flatMap(i =>
+        readCowManifest(spark, path, i).toSeq
+          .map { case (bk, src) => (src, bk) })
+        .toSet
+      (0 until newBase).foreach { i =>
+        rm(s"$path/manifest/gen=$i")
+        rm(s"$path/meta/gen=$i")
+        val genDir = new org.apache.hadoop.fs.Path(s"$path/parts/gen=$i")
+        if (f.exists(genDir)) {
+          val buckets = f.listStatus(genDir).filter(_.isDirectory)
+            .map(_.getPath.getName)
+            .collect { case n if n.startsWith("_cs_bucket=") =>
+              n.stripPrefix("_cs_bucket=").toInt
+            }
+          buckets.filterNot(bk => referenced((i, bk)))
+            .foreach(bk => rm(cowBucketDir(path, i, bk)))
+          if (buckets.forall(bk => !referenced((i, bk)))) rm(genDir.toString)
+        }
+      }
+    } else {
+      (0 until newBase).foreach { i =>
+        Seq("snapshots", "meta").foreach(d => rm(s"$path/$d/gen=$i"))
       }
     }
   }

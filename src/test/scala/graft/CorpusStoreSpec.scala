@@ -133,4 +133,157 @@ class CorpusStoreSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq ==
       v1.orderBy("doc_id").collect().toSeq)
   }
+
+  // ——— Copy-on-write layout (round 15 — verdict task 1) ————————————
+
+  private val cowBuckets = 8
+
+  private def cowCorpus = (1 to 40)
+    .map(i => (i.toLong, s"document number $i body"))
+    .toDF("doc_id", "text")
+
+  /** The store's own bucket function, replayed for assertions. */
+  private def bucketsOf(ids: Seq[Long]): Set[Int] =
+    ids.toDF("doc_id")
+      .select(pmod(xxhash64(col("doc_id")), lit(cowBuckets.toLong))
+        .cast("int"))
+      .as[Int].collect().toSet
+
+  private def bucketDirs(path: String, gen: Int): Set[Int] = {
+    val d = new java.io.File(s"$path/parts/gen=$gen")
+    if (!d.exists) Set.empty
+    else d.listFiles.filter(_.isDirectory).map(_.getName)
+      .collect { case n if n.startsWith("_cs_bucket=") =>
+        n.stripPrefix("_cs_bucket=").toInt
+      }.toSet
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+    df.select("doc_id", "text").as[(Long, String)].collect()
+      .sortBy(_._1).toSeq
+
+  test("cow: a small takedown rewrites ONLY its touched buckets; every retained generation reads bit-identically") {
+    val path = tmp("graft-cs-cow")
+    assert(CorpusStore.writeCorpusCow(cowCorpus, path, "doc_id",
+      cowBuckets) == 0)
+    assert(CorpusStore.isCow(spark, path))
+    assert(rows(CorpusStore.readCorpusSnapshot(spark, path)) ==
+      rows(cowCorpus))
+    // gen 0 owns every populated bucket
+    assert(bucketDirs(path, 0) == bucketsOf(1L to 40L))
+
+    // THE COW case: a 2-id takedown must write only the buckets those
+    // ids hash into — file-count asserted, the verdict's named pin
+    val doomed = Seq(5L, 17L)
+    val touched = bucketsOf(doomed)
+    assert(CorpusStore.deleteFromCorpusCow(
+      doomed.toDF("doc_id"), path) == 1)
+    assert(bucketDirs(path, 1) == touched,
+      s"takedown wrote ${bucketDirs(path, 1)}, touched only $touched")
+    // new version lost exactly the doomed ids
+    assert(rows(CorpusStore.readCorpusSnapshot(spark, path)) ==
+      rows(cowCorpus.where(!col("doc_id").isin(doomed: _*))))
+    // the PREVIOUS version still reads bit-identically (shared
+    // untouched buckets + its own manifest)
+    assert(rows(CorpusStore.readCorpusSnapshotAt(spark, path, 0)) ==
+      rows(cowCorpus))
+    // untouched buckets of gen 1 are SERVED FROM gen 0 (the manifest
+    // is the sharing contract)
+    val m1 = spark.read.parquet(s"$path/manifest/gen=1")
+      .as[(Int, Int)].collect().toMap
+    assert(touched.forall(b => m1(b) == 1), m1.toString)
+    assert((bucketsOf(1L to 40L) -- touched).forall(b => m1(b) == 0),
+      m1.toString)
+    // meta rows track per-version counts without scanning
+    assert(CorpusStore.listCorpusSnapshots(spark, path)
+      .as[(Int, Long)].collect().toSeq == Seq((0, 40L), (1, 38L)))
+  }
+
+  test("cow: upsert replaces and inserts bucket-locally; snapshotDelta works across cow generations") {
+    val path = tmp("graft-cs-cowup")
+    CorpusStore.writeCorpusCow(cowCorpus, path, "doc_id", cowBuckets)
+    CorpusStore.deleteFromCorpusCow(Seq(17L).toDF("doc_id"), path)
+    val up = Seq((5L, "document five REWRITTEN"),
+      (41L, "document forty one NEW")).toDF("doc_id", "text")
+    assert(CorpusStore.upsertIntoCorpusCow(up, path) == 2)
+    assert(bucketDirs(path, 2) == bucketsOf(Seq(5L, 41L)))
+    val want = cowCorpus.where(!col("doc_id").isin(5L, 17L))
+      .unionByName(up)
+    assert(rows(CorpusStore.readCorpusSnapshot(spark, path)) == rows(want))
+    assert(CorpusStore.listCorpusSnapshots(spark, path)
+      .as[(Int, Long)].collect().toSeq ==
+      Seq((0, 40L), (1, 39L), (2, 40L)))
+    // prior versions stay bit-identical after the upsert
+    assert(rows(CorpusStore.readCorpusSnapshotAt(spark, path, 0)) ==
+      rows(cowCorpus))
+    // between-version review resolves through manifests transparently
+    val delta = CorpusStore
+      .snapshotDelta(spark, path, 0, 2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(delta(17L) == "removed" && delta(5L) == "changed" &&
+      delta(41L) == "added" && delta(1L) == "unchanged", delta.toString)
+    assert(delta.values.count(_ == "unchanged") == 38, delta.toString)
+  }
+
+  test("cow vacuum: refcounted — shared buckets of a vacuumed generation survive while any retained manifest references them") {
+    val path = tmp("graft-cs-cowvac")
+    CorpusStore.writeCorpusCow(cowCorpus, path, "doc_id", cowBuckets)
+    val touched1 = bucketsOf(Seq(5L, 17L))
+    CorpusStore.deleteFromCorpusCow(Seq(5L, 17L).toDF("doc_id"), path)
+    val touched2 = bucketsOf(Seq(23L))
+    CorpusStore.deleteFromCorpusCow(Seq(23L).toDF("doc_id"), path)
+    val keep1 = rows(CorpusStore.readCorpusSnapshotAt(spark, path, 1))
+    val keep2 = rows(CorpusStore.readCorpusSnapshotAt(spark, path, 2))
+
+    CorpusStore.vacuumCorpusSnapshots(spark, path, keepLast = 2)
+    assert(CorpusStore.currentGen(spark, path) == ((2, 1)))
+    // gen 0's manifest/meta are gone and reads of it fail fast
+    assert(!new java.io.File(s"$path/manifest/gen=0").exists)
+    val e = intercept[IllegalArgumentException] {
+      CorpusStore.readCorpusSnapshotAt(spark, path, 0)
+    }
+    assert(e.getMessage.contains("not retained"))
+    // refcount: gen 0's buckets still referenced by the retained
+    // manifests SURVIVE; only the ones every retained manifest has
+    // remapped (touched1 — rewritten by gen 1) are deleted
+    val all = bucketsOf(1L to 40L)
+    assert(bucketDirs(path, 0) == all -- touched1,
+      s"vacuum broke sharing: ${bucketDirs(path, 0)} vs ${all -- touched1}")
+    // and both retained generations still read bit-identically
+    assert(rows(CorpusStore.readCorpusSnapshotAt(spark, path, 1)) == keep1)
+    assert(rows(CorpusStore.readCorpusSnapshotAt(spark, path, 2)) == keep2)
+    // idempotent re-run (crash-retry)
+    CorpusStore.vacuumCorpusSnapshots(spark, path, keepLast = 2)
+    assert(rows(CorpusStore.readCorpusSnapshotAt(spark, path, 2)) == keep2)
+    assert(touched2.nonEmpty) // fixture sanity: gen 2 rewrote something
+  }
+
+  test("cow: layout guards — full and cow stores refuse each other's writers; bucketing is pinned at init") {
+    val cow = tmp("graft-cs-cowg")
+    CorpusStore.writeCorpusCow(cowCorpus, cow, "doc_id", cowBuckets)
+    val full = tmp("graft-cs-fullg")
+    CorpusStore.writeCorpusSnapshot(v0, full)
+    assert(intercept[IllegalArgumentException] {
+      CorpusStore.writeCorpusSnapshot(v0, cow)
+    }.getMessage.contains("copy-on-write"))
+    assert(intercept[IllegalArgumentException] {
+      CorpusStore.upsertIntoCorpusCow(v0, full)
+    }.getMessage.contains("not a copy-on-write"))
+    assert(intercept[IllegalArgumentException] {
+      CorpusStore.deleteFromCorpusCow(v0.select("doc_id"), full)
+    }.getMessage.contains("not a copy-on-write"))
+    assert(intercept[IllegalArgumentException] {
+      CorpusStore.writeCorpusCow(v0, full, "doc_id", cowBuckets)
+    }.getMessage.contains("full-materialization"))
+    // the bucketing is the sharing contract — a rewrite must match it
+    assert(intercept[IllegalArgumentException] {
+      CorpusStore.writeCorpusCow(cowCorpus, cow, "doc_id", cowBuckets + 1)
+    }.getMessage.contains("buckets by"))
+    // a matching FULL rewrite commits with every bucket re-owned
+    assert(CorpusStore.writeCorpusCow(cowCorpus, cow, "doc_id",
+      cowBuckets) == 1)
+    assert(bucketDirs(cow, 1) == bucketsOf(1L to 40L))
+    assert(rows(CorpusStore.readCorpusSnapshot(spark, cow)) ==
+      rows(cowCorpus))
+  }
 }
