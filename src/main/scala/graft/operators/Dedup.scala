@@ -161,7 +161,10 @@ object Dedup {
       java.util.Collections.newSetFromMap(
         new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
 
-    private[operators] def persistTracked(df: DataFrame): DataFrame = {
+    // private[graft]: query entries composing multi-stage pipelines
+    // (c10) persist their shared stage outputs through the same
+    // scope-tracked registry the operators use
+    private[graft] def persistTracked(df: DataFrame): DataFrame = {
       val p = df.persist(StorageLevel.MEMORY_AND_DISK)
       handles.add(p)
       p

@@ -300,6 +300,60 @@ private[queries] object PipelineCuration {
               |GROUP BY 1, 2 ORDER BY source, lang""".stripMargin)),
 
 
+    // END-TO-END PIPELINE CAPSTONE (round 15 — verdict task 6): the
+    // five stages a training-data run actually chains — curate (c01's
+    // metric filters + hash-keyed exact-dedup survivor window) →
+    // decontaminate (d07's cross-corpus LSH + exact verify against
+    // the raw eval split, realized as an anti-join) → mix-allocate
+    // (t15's per-source budget rates over the CLEAN corpus) →
+    // deterministic rate-keep (cross-engine hash-uniform — the same
+    // multiplicative-hash idiom as d17's sample) → pack (p01's
+    // shard-partitioned concat-and-chunk manifest) — composed as ONE
+    // plan. Both real bugs of rounds 13-14 were composition bugs;
+    // this puts stage composition under the hard CORRECTNESS signal.
+    // Scan sharing is the plan contract (PlanAuditSpec): the curated
+    // survivor frame persists ONCE and feeds the decontamination
+    // probe, the rate aggregation and the final pack; only the eval
+    // split re-touches the parquet. The oracle replays all five
+    // stages as one CTE chain (see c10OracleSql's recall argument for
+    // banding on the curated subset).
+    Q("c10_pipeline_capstone",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.load(s, dir, "documents")
+        val curated = Dedup.batchScope.persistTracked(docs
+          .where(TextAnalysis.qualityScore(col("text")) >= 0.75 &&
+            TextAnalysis.dupWordFrac(col("text")) <= 0.7)
+          .withColumn("_c_surv",
+            min("doc_id").over(Window.partitionBy(xxhash64(col("text")))))
+          .where(col("doc_id") === col("_c_surv"))
+          .select("doc_id", "source", "text"))
+        val train = curated.where(col("doc_id") % 10 =!= 0)
+        val evalSplit = docs.where(col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+        val contaminated = Dedup.decontaminate(train, evalSplit,
+            "doc_id", "text", shingleK = 3, numHashes = 128, bands = 16,
+            threshold = 0.5, maxBucketSize = 8)
+          .select(col("id_left").as("doc_id")).distinct()
+        val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+        val rates = clean.groupBy("source")
+          .agg(sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+            .as("_c_nt"))
+          .withColumn("_c_rate", r6(least(lit(1.0),
+            lit(100000.0) / count(lit(1)).over(Window.partitionBy()) /
+              col("_c_nt"))))
+          .select("source", "_c_rate")
+        val sampled = clean.join(broadcast(rates), Seq("source"))
+          .where(((col("doc_id") * lit(2654435761L)) % lit(1000003L))
+            .cast("double") / lit(1000003.0) < col("_c_rate"))
+        Packing.packSequences(sampled, "doc_id",
+            TextAnalysis.bpePieceCount(col("text")),
+            seqLen = 2048, numShards = 8)
+          .orderBy("shard", "chunk_id")
+      },
+      Some(c10OracleSql)),
+
+
     // curation funnel: per-source drop accounting for c01's stages,
     // mutually exclusive in stage order (quality → repetition →
     // dedup → kept) — the report a curation run hands its owner.

@@ -189,6 +189,98 @@ private[queries] object PipelineShared {
       "  ORDER BY (doc_id * 2654435761) % 1000000007, doc_id " +
       s"LIMIT $d17SampleCap"
 
+  /** c10 oracle: replays the ENTIRE curate → dedup → decontaminate →
+    * mix-allocate → pack pipeline as one CTE chain — each stage is the
+    * SAME SQL its standalone oracle runs (c01's quality/repetition
+    * metrics and text-keyed survivor window, d07's brute-force
+    * word-3-shingle Jaccard for the decontamination truth, t15's
+    * budget-rate formula with the identical IEEE division order, the
+    * cross-engine hash-uniform keep, p01's shard hash + per-shard
+    * cumulative window + rollup). Banding recall on the curated
+    * subset follows from d07's separation argument: a pair's band
+    * collisions are content-defined (independent of other docs), so a
+    * pair found on the full corpus is found on any subset, and the
+    * maxBucketSize guard only ever sees smaller buckets.
+    */
+  lazy val c10OracleSql: String = {
+    val jac = "CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) " +
+      "/ len(list_distinct(a.s || b.s))"
+    def shingles(src: String): String =
+      s"""SELECT doc_id, CASE WHEN len(w) >= 3
+         |    THEN list_distinct([array_to_string(w[i:i+2], ' ')
+         |                        for i in range(1, len(w) - 1)])
+         |    ELSE [array_to_string(w, ' ')] END AS s
+         |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(
+         |          trim(text), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS w
+         |        FROM $src)""".stripMargin
+    s"""WITH f AS (
+       |  SELECT doc_id, source, text,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+       |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) AS n_punct,
+       |    list_filter(regexp_split_to_array(trim(lower(text)),
+       |      '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id, source, text,
+       |    least(1.0, greatest(0.0,
+       |      0.25 * least(len(toks) / 20.0, 1.0) +
+       |      0.25 * (n_alpha / greatest(n_chars, 1.0)) +
+       |      0.25 * (1.0 - least((n_punct / greatest(n_chars, 1.0)) * 5.0, 1.0)) +
+       |      0.25 * least((len(list_intersect(list_distinct(toks),
+       |        ['the','a','of','and','to','in','is','that','it','for'])) / 10.0)
+       |        * 2.0, 1.0))) AS qual,
+       |    CASE WHEN len(toks) = 0 THEN 0.0
+       |         ELSE (len(toks) - len(list_distinct(toks)))
+       |              / CAST(len(toks) AS DOUBLE) END AS dwf,
+       |    MIN(doc_id) OVER (PARTITION BY text) AS surv
+       |  FROM f
+       |), cur AS (
+       |  SELECT doc_id, source, text FROM g
+       |  WHERE doc_id = surv AND qual >= 0.75 AND dwf <= 0.7
+       |), trs AS (
+       |  ${shingles("cur WHERE doc_id % 10 <> 0")}
+       |), evs AS (
+       |  ${shingles("documents WHERE doc_id % 10 = 0")}
+       |), contam AS (
+       |  SELECT DISTINCT a.doc_id
+       |  FROM trs a JOIN evs b ON $jac >= 0.5
+       |), clean AS (
+       |  SELECT doc_id, source, text FROM cur
+       |  WHERE doc_id % 10 <> 0
+       |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+       |), mix AS (
+       |  SELECT source,
+       |    CAST(SUM(len(list_filter(regexp_split_to_array(trim(text),
+       |      '[ \\t\\n\\v\\f\\r]+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+       |  FROM clean GROUP BY source
+       |), rates AS (
+       |  SELECT source,
+       |    ${r6sql("LEAST(1.0, 100000.0 / (SELECT COUNT(*) FROM mix) / n_tokens)")}
+       |      AS rate
+       |  FROM mix
+       |), samp AS (
+       |  SELECT c.doc_id, c.text
+       |  FROM clean c JOIN rates r USING (source)
+       |  WHERE ((c.doc_id * 2654435761) % 1000003) / 1000003.0 < r.rate
+       |), t AS (
+       |  SELECT doc_id,
+       |    ((doc_id % 2147483647) * 2654435761) % 8 AS shard,
+       |    len(regexp_extract_all(text,
+       |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tok
+       |  FROM samp
+       |), cc AS (
+       |  SELECT shard, doc_id, n_tok,
+       |    SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+       |  FROM t
+       |)
+       |SELECT shard,
+       |  CAST(FLOOR((cum_tok - n_tok) / 2048.0) AS BIGINT) AS chunk_id,
+       |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+       |FROM cc GROUP BY 1, 2 ORDER BY shard, chunk_id""".stripMargin
+  }
+
   /** d17 oracle: replays the ENTIRE lshCandidateEval pipeline in
     * DuckDB — FNV word/shingle hashing in HUGEINT mod 2⁶⁴ (the d03
     * idiom), the brute-force shingle-set Jaccard truth, the 128-hash

@@ -583,6 +583,59 @@ class PlanAuditSpec extends SparkSpec {
     Dedup.unpersistAll()
   }
 
+  test("c10: outside the stage caches the corpus is never re-scanned; pack window per-shard; no cartesian") {
+    // the capstone's plan contract (round 15 — verdict task 6): the
+    // curated survivor frame and the two shingle projections persist
+    // once and every later stage reads those caches — so the TOP-LEVEL
+    // physical plan (descent stopped at cache boundaries; the nested
+    // cache-build prints make string counts meaningless here) must
+    // contain ZERO corpus file scans. A regression that re-derived a
+    // stage from the parquet would still hash-match at sf0.01 while
+    // re-reading 100 TB per stage at scale.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val next = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case _: InMemoryTableScanExec => Nil // cache boundary
+        case other => other.children
+      }
+      p +: next.flatMap(flatten)
+    }
+    spark.catalog.clearCache()
+    val df = build("c10_pipeline_capstone")
+    df.collect()
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val caches = nodes.collect { case i: InMemoryTableScanExec => i }
+    assert(caches.size >= 3,
+      s"pipeline stages no longer share caches (${caches.size} cache reads)")
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"a stage re-reads the corpus outside the caches:\n" +
+        scans.map(_.toString).mkString("\n"))
+    // windows: the pack window rides the shard key; the ONE
+    // unpartitioned window is t15's carve-out over the ≤|sources|
+    // aggregated rates frame
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.exists(_.partitionSpec.exists(_.toString.contains("shard"))),
+      s"pack window lost its shard partitioning:\n${windows.mkString("\n")}")
+    val global = windows.filter(_.partitionSpec.isEmpty)
+    assert(global.size <= 1 &&
+      global.forall(_.toString.contains("_c_nt")),
+      s"unexpected global window:\n${global.mkString("\n")}")
+    // and no stage degenerates to an unkeyed join
+    val phys = df.queryExecution.executedPlan.toString
+    assert(!phys.contains("CartesianProduct"),
+      "cartesian product in the pipeline composition")
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("d16: all three modality legs are keyed joins — no cartesian anywhere in the composition") {
     // the any-modality report composes three pair-producing joins
     // (band-bucket, two pigeonhole chunk joins); a regression in ANY
