@@ -297,11 +297,16 @@ object IndexHealth {
     *    both route to the rebuild — the rebuild IS this kind's
     *    compaction. A plain IVF index rebuilds from its own stored
     *    vectors ([[Similarity.rebuildIvfIndex]], keeping the stored
-    *    cell count, k-means retrain). An IVF-PQ index CANNOT — PQ codes
-    *    are lossy — so it requires the caller's `ivfRebuild` leg
-    *    (typically `Similarity.rebuildIvfPqIndex` closed over the
-    *    current full-precision corpus); maintain fails fast rather
-    *    than guessing.
+    *    cell count, k-means retrain). An IVF-PQ index built with
+    *    `storeVectors = true` is equally self-sufficient
+    *    ([[Similarity.rebuildIvfPqIndexFromStored]] — centroids and
+    *    codebook retrain from the stored full-precision vectors, a
+    *    KMeans fit the storeVectors opt-in is consent for). A
+    *    LOSSY-CODES IVF-PQ index cannot rebuild from itself, so it
+    *    requires the caller's `ivfRebuild` leg (typically
+    *    `Similarity.rebuildIvfPqIndex` closed over the current
+    *    full-precision corpus); maintain fails fast rather than
+    *    guessing.
     *
     * LSH `needsRebuild` (bucket saturation) is NOT auto-fixed: new
     * banding geometry is a build-parameter decision the caller owns.

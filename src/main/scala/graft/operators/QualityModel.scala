@@ -139,12 +139,15 @@ object QualityModel {
     *  4. the driver solves the (dim+1)² ridge system ([[solve]], the
     *     [[train]] solver) and steps.
     *
-    * Scale shape: the feature frame is cached ONCE; each round is one
-    * margin aggregation keyed by doc, one doc-level reduce, one
-    * bucket-keyed reduce (≤ dim rows out), and one sparse×sparse
-    * self-join on the doc id for the Hessian's upper triangle —
-    * per-doc cost (distinct buckets)², collected as ≤ dim·(dim+1)/2
-    * rows. No corpus data ever reaches the driver.
+    * Scale shape: the feature frame AND the Hessian's
+    * iteration-invariant pair products (the sparse×sparse self-join
+    * on the doc id — per-doc cost (distinct buckets)², the trainer's
+    * dominant stage) are each computed and cached ONCE; every round
+    * is then one margin aggregation keyed by doc, one doc-level
+    * reduce, one bucket-keyed reduce (≤ dim rows out), and one
+    * doc-keyed join of the round's IRLS weights into the cached
+    * pairs, collected as ≤ dim·(dim+1)/2 rows. No corpus data ever
+    * reaches the driver.
     *
     * Contract differences vs [[train]]: the fit optimizes the same
     * objective with residuals/weights quantized at 1e-6, so weights
@@ -158,6 +161,20 @@ object QualityModel {
       scope: Dedup.CacheScope = Dedup.batchScope): LinearModel = {
     require(iters >= 1 && l2 > 0,
       "trainDistributed: iters >= 1 and l2 > 0 required")
+    // the internal joins key on the id cast to long; a non-integral
+    // id (string/UUID/fractional) would cast to null or truncate,
+    // silently training a bias-only or corrupted model while train()
+    // on the same frame works — fail fast instead (the knnBruteBatch
+    // stance; round-15 review finding)
+    locally {
+      import org.apache.spark.sql.types._
+      val dt = labeled.schema(idCol).dataType
+      require(dt == LongType || dt == IntegerType || dt == ShortType ||
+          dt == ByteType,
+        s"trainDistributed requires an integral id column (joins key " +
+          s"on the id as long); '$idCol' is $dt — add a surrogate " +
+          "long id or use the driver-side train()")
+    }
     val dec = DecimalType(38, 0)
     val d = dim + 1 // weights + bias (bias at index dim)
     val labels = scope.persistTracked(labeled.select(
@@ -173,6 +190,19 @@ object QualityModel {
       Featurize.hashedTfIdfSparse(labeled, idCol, textCol, dim, scope)
         .select(col("_fh_id").cast("long").as("_qm_id"),
           col("_fh_b"), col("_fh_v6")))
+    // the Hessian's pair products v_j·v_k are ITERATION-INVARIANT —
+    // only the per-doc IRLS weight changes per round — so the
+    // sparse×sparse self-join (the trainer's dominant cost, per-doc
+    // (distinct buckets)² fan-out) runs ONCE and every Newton round
+    // joins just the doc-keyed r6 factors into it (round-15 review
+    // finding: previously re-joined every iteration)
+    val pairs = scope.persistTracked(
+      sparse.toDF("_qm_id", "_qm_j", "_qm_vj")
+        .join(sparse.toDF("_qm_id", "_qm_k", "_qm_vk"), Seq("_qm_id"))
+        .where(col("_qm_j") <= col("_qm_k"))
+        .select(col("_qm_id"), col("_qm_j"), col("_qm_k"),
+          (col("_qm_vj").cast(dec) * col("_qm_vk").cast(dec))
+            .as("_qm_pjk")))
 
     val w = new Array[Double](d)
     var iter = 0
@@ -216,16 +246,12 @@ object QualityModel {
               .as("hb"))
           .collect()
         // Hessian upper triangle: H(j)(k) = Σ r·x_j·x_k (/1e18) —
-        // the sparse self-join on the doc id (co-partitioned; per-doc
-        // fan-out is (distinct buckets)² ≤ dim²)
-        val va = sparse.toDF("_qm_id", "_qm_j", "_qm_vj")
-        val vb = sparse.toDF("_qm_id", "_qm_k", "_qm_vk")
-        val hRows = va.join(vb, Seq("_qm_id"))
-          .where(col("_qm_j") <= col("_qm_k"))
+        // the cached iteration-invariant pair products joined with
+        // this round's doc-keyed IRLS weights
+        val hRows = pairs
           .join(docStats.select("_qm_id", "_qm_r6"), Seq("_qm_id"))
           .groupBy("_qm_j", "_qm_k")
-          .agg(sum(col("_qm_r6").cast(dec) * col("_qm_vj").cast(dec) *
-            col("_qm_vk").cast(dec)).as("h"))
+          .agg(sum(col("_qm_r6").cast(dec) * col("_qm_pjk")).as("h"))
           .collect()
 
         val g = new Array[Double](d)

@@ -100,39 +100,59 @@ object CorpusStore {
     GenPointer.commit(spark, path, gen, base)
 
   /** Best-effort concurrent-writer tripwire (see the module doc's
-    * single-writer contract): write a writer-unique token as an
-    * underscore file (ignored by parquet readers) into the
-    * generation directory this commit publishes, then re-read it —
-    * a second writer that overwrote the directory in the meantime
-    * replaced or removed it, and this commit must fail fast rather
-    * than publish a manifest over the other writer's data.
+    * single-writer contract), in two halves so the guarded window
+    * covers the whole write phase, not just the final milliseconds
+    * (round-15 review finding): [[stampWriterToken]] writes a
+    * writer-unique token as an underscore file (ignored by parquet
+    * readers) into a generation-private directory IMMEDIATELY after
+    * that directory's data lands, and [[verifyWriterTokens]] re-reads
+    * every stamp immediately before the CURRENT rename. A token that
+    * changed or vanished means another writer overwrote that
+    * directory somewhere between the two calls — the commit fails
+    * fast rather than publish a manifest over the other writer's
+    * data.
     */
-  private def verifyWriterToken(spark: SparkSession, dir: String): Unit = {
+  private def stampWriterToken(spark: SparkSession,
+                               dir: String): (String, String) = {
     val f = fs(spark, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/_WRITER")
     val token = java.util.UUID.randomUUID().toString
     val out = f.create(p, true)
     try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val readBack =
-      try {
-        val in = f.open(p)
-        val buf = new java.io.ByteArrayOutputStream(64)
-        try {
-          val chunk = new Array[Byte](256)
-          var n = in.read(chunk)
-          while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
-        } finally in.close()
-        new String(buf.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8)
-      } catch { case _: java.io.IOException => "" }
-    if (readBack != token)
-      throw new IllegalStateException(
-        s"CorpusStore: concurrent writer detected at $dir — another " +
-          "writer overwrote this generation between its write and " +
-          "commit. The store is single-writer per path; serialize " +
-          "writers and retry.")
+    (dir, token)
   }
+
+  private def verifyWriterTokens(spark: SparkSession,
+                                 stamps: Seq[(String, String)]): Unit =
+    stamps.foreach { case (dir, token) =>
+      val f = fs(spark, dir)
+      val p = new org.apache.hadoop.fs.Path(s"$dir/_WRITER")
+      // the file VANISHING is the concurrent-overwrite signature (we
+      // wrote it — only another writer's directory overwrite removes
+      // it); any OTHER read-back I/O failure PROPAGATES, since
+      // mapping it to a mismatch would blame a concurrent writer for
+      // a transient storage error and misdirect the operator toward
+      // serializing writers instead of retrying
+      val readBack =
+        try {
+          val in = f.open(p)
+          val buf = new java.io.ByteArrayOutputStream(64)
+          try {
+            val chunk = new Array[Byte](256)
+            var n = in.read(chunk)
+            while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+          } finally in.close()
+          new String(buf.toByteArray,
+            java.nio.charset.StandardCharsets.UTF_8)
+        } catch { case _: java.io.FileNotFoundException => "" }
+      if (readBack != token)
+        throw new IllegalStateException(
+          s"CorpusStore: concurrent writer detected at $dir — another " +
+            "writer overwrote this generation between its write and " +
+            "commit. The store is single-writer per path; serialize " +
+            "writers and retry.")
+    }
 
   // ——— Full-materialization layout ——————————————————————————————————
 
@@ -158,10 +178,12 @@ object CorpusStore {
         currentGen(spark, path) match { case (g, b) => (g + 1, b) }
       else (0, 0)
     df.write.mode("overwrite").parquet(s"$path/snapshots/gen=$gen")
+    val dataStamp = stampWriterToken(spark, s"$path/snapshots/gen=$gen")
     val n = spark.read.parquet(s"$path/snapshots/gen=$gen").count()
     Seq((gen, n)).toDF("gen", "n_rows")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta/gen=$gen")
-    verifyWriterToken(spark, s"$path/snapshots/gen=$gen")
+    val metaStamp = stampWriterToken(spark, s"$path/meta/gen=$gen")
+    verifyWriterTokens(spark, Seq(dataStamp, metaStamp))
     commitCurrent(spark, path, gen, base)
     gen
   }
@@ -192,19 +214,24 @@ object CorpusStore {
   private def bucketExpr(idCol: String, numBuckets: Int) =
     pmod(xxhash64(col(idCol)), lit(numBuckets.toLong)).cast("int")
 
-  /** Shared COW commit tail: manifest + meta + writer token + pointer.
-    * The manifest directory carries the token — it is the one
-    * generation-private directory every COW commit writes.
+  /** Shared COW commit tail: manifest + meta + writer-token
+    * verification + pointer. `dataStamps` are the tokens stamped into
+    * the generation's data trees right after their writes — verified
+    * here, at the last moment before the rename, together with the
+    * manifest's own stamp, so the tripwire covers the whole write
+    * phase.
     */
   private def commitCowGen(spark: SparkSession, path: String, gen: Int,
-      base: Int, manifest: Map[Int, Int], nRows: Long): Int = {
+      base: Int, manifest: Map[Int, Int], nRows: Long,
+      dataStamps: Seq[(String, String)]): Int = {
     import spark.implicits._
     manifest.toSeq.sorted.toDF("bucket", "src_gen")
       .repartition(1).write.mode("overwrite")
       .parquet(s"$path/manifest/gen=$gen")
     Seq((gen, nRows)).toDF("gen", "n_rows")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta/gen=$gen")
-    verifyWriterToken(spark, s"$path/manifest/gen=$gen")
+    val manifestStamp = stampWriterToken(spark, s"$path/manifest/gen=$gen")
+    verifyWriterTokens(spark, dataStamps :+ manifestStamp)
     commitCurrent(spark, path, gen, base)
     gen
   }
@@ -241,6 +268,7 @@ object CorpusStore {
     df.withColumn("_cs_bucket", bucketExpr(idCol, numBuckets))
       .write.mode("overwrite").partitionBy("_cs_bucket")
       .parquet(s"$path/parts/gen=$gen")
+    val dataStamp = stampWriterToken(spark, s"$path/parts/gen=$gen")
     // the written tree (with partition inference) names the buckets
     // this generation owns and the version's row count in one scan
     val counts = spark.read.parquet(s"$path/parts/gen=$gen")
@@ -248,7 +276,7 @@ object CorpusStore {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "writeCorpusCow: refusing an empty corpus")
     commitCowGen(spark, path, gen, base,
-      counts.keys.map(_ -> gen).toMap, counts.values.sum)
+      counts.keys.map(_ -> gen).toMap, counts.values.sum, Seq(dataStamp))
   }
 
   /** Shared body of upsert/delete: read ONLY the buckets the change
@@ -281,14 +309,27 @@ object CorpusStore {
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       require(counts.keySet.subsetOf(changeBuckets.toSet),
         "cowModify: merge produced rows outside the touched buckets")
-      if (counts.nonEmpty)
-        merged.withColumn("_cs_bucket", bucketOf)
-          .write.mode("overwrite").partitionBy("_cs_bucket")
-          .parquet(s"$path/parts/gen=$gen")
+      val dataStamps =
+        if (counts.isEmpty) Nil
+        else {
+          merged.withColumn("_cs_bucket", bucketOf)
+            .write.mode("overwrite").partitionBy("_cs_bucket")
+            .parquet(s"$path/parts/gen=$gen")
+          Seq(stampWriterToken(spark, s"$path/parts/gen=$gen"))
+        }
       val newManifest = (manifest -- changeBuckets) ++
         counts.keys.map(_ -> gen)
+      // a takedown that would empty the store must not commit: the
+      // store refuses empty corpora at init, and an empty CURRENT
+      // would make every subsequent read fail — a full-corpus
+      // takedown is a store drop, not a delete (round-15 review
+      // finding)
+      require(newManifest.nonEmpty,
+        "CorpusStore: refusing to commit an EMPTY generation — this " +
+          "change removes every remaining row; a full-corpus takedown " +
+          "is a store drop, not a delete")
       commitCowGen(spark, path, gen, base, newManifest,
-        prevN - oldTouchedN + counts.values.sum)
+        prevN - oldTouchedN + counts.values.sum, dataStamps)
     } finally merged.unpersist(false)
   }
 

@@ -226,21 +226,26 @@ object TokenizerIO {
   // inconsistent hand-built table fails at save, not in the consumer.
 
   /** The (token → id) vocabulary a merge table induces: the base
-    * alphabet (every distinct character of every merge symbol, sorted
-    * by codepoint) at ids 0.., then each merge's product in rank
+    * alphabet — every distinct character of every merge symbol PLUS
+    * the caller's `alphabet` characters (corpus characters that never
+    * participated in a merge still need vocab ids, or the consumer
+    * drops/errors on them — round-15 review finding), sorted by
+    * codepoint — at ids 0.., then each merge's product in rank
     * order. Fails fast when a merge's side is not yet in the vocab
     * (not a BPE table — ranks out of order or a foreign symbol) or
     * when two merges produce the same string (("a","bc") after
     * ("ab","c") — the id map a consumer keys on would silently lose a
     * token).
     */
-  def bpeVocabOf(merges: Seq[BpeMerge]): Seq[(String, Int)] = {
+  def bpeVocabOf(merges: Seq[BpeMerge],
+                 alphabet: Seq[Char] = Nil): Seq[(String, Int)] = {
     require(merges.nonEmpty, "bpeVocabOf: empty merge table")
     val sorted = merges.sortBy(_.rank)
-    val alphabet = sorted.flatMap(m => (m.left + m.right).toSeq)
+    val mergeAlpha = sorted.flatMap(m => (m.left + m.right).toSeq)
+    val alpha = (mergeAlpha ++ alphabet)
       .distinct.sorted.map(_.toString)
     val vocab = scala.collection.mutable.LinkedHashMap[String, Int]()
-    alphabet.foreach(c => vocab(c) = vocab.size)
+    alpha.foreach(c => vocab(c) = vocab.size)
     sorted.foreach { m =>
       Seq("left" -> m.left, "right" -> m.right).foreach { case (side, s) =>
         require(vocab.contains(s),
@@ -261,11 +266,21 @@ object TokenizerIO {
     * order, merges in rank order, all strings JSON-escaped. The
     * symbol validation is [[saveBpeMerges]]'s (no whitespace inside a
     * symbol — the "l r" merge strings are space-delimited here too)
-    * plus [[bpeVocabOf]]'s BPE-consistency checks.
+    * plus [[bpeVocabOf]]'s BPE-consistency checks. Pass `alphabet` =
+    * the CORPUS character set (e.g. distinct codepoints of
+    * `TextAnalysis.tokens` output) so characters that never
+    * participated in a merge still get vocab ids — in-repo
+    * `bpeEncode` emits such characters as standalone pieces, and a
+    * consumer keying on this vocab would otherwise drop or error on
+    * them (round-15 review finding; whitespace characters are
+    * rejected, they cannot ride the format).
     */
   def saveBpeTokenizerJson(spark: SparkSession, merges: Seq[BpeMerge],
-                           path: String): Unit = {
+                           path: String,
+                           alphabet: Seq[Char] = Nil): Unit = {
     require(merges.nonEmpty, "saveBpeTokenizerJson: empty merge table")
+    require(!alphabet.exists(_.isWhitespace),
+      "saveBpeTokenizerJson: whitespace cannot be a vocab token")
     val sorted = merges.sortBy(_.rank)
     sorted.iterator.zipWithIndex.foreach { case (m, i) =>
       require(m.rank == i + 1,
@@ -278,7 +293,7 @@ object TokenizerIO {
       }
     }
     def js(s: String): String = graft.SparkEntry.jsonStr(s)
-    val vocabJson = bpeVocabOf(sorted)
+    val vocabJson = bpeVocabOf(sorted, alphabet)
       .map { case (tok, id) => s"${js(tok)}:$id" }
       .mkString("{", ",", "}")
     val mergesJson = sorted.map(m => js(s"${m.left} ${m.right}"))
@@ -338,7 +353,15 @@ object TokenizerIO {
       }
       b.result()
     }
-    val induced = bpeVocabOf(merges).toMap
+    // the writer's extra alphabet reconstructs from the stored vocab
+    // itself: single-char tokens beyond the merge symbols' characters
+    // (merge products are ≥ 2 chars, so no product is ever length 1)
+    val mergeChars = merges
+      .flatMap(m => (m.left + m.right).toSeq).toSet
+    val extra = vocab.keysIterator
+      .filter(t => t.length == 1 && !mergeChars(t.charAt(0)))
+      .map(_.charAt(0)).toSeq
+    val induced = bpeVocabOf(merges, extra).toMap
     require(vocab == induced,
       s"loadBpeTokenizerJson: $path stored vocab disagrees with the " +
         s"merge-induced one (stored-only: ${(vocab.keySet -- induced.keySet).take(3)}, " +
@@ -348,12 +371,18 @@ object TokenizerIO {
   }
 
   /** Convenience: save [[graft.operators.TextAnalysis.bpeTrain]]'s
-    * DataFrame as tokenizer.json directly (bounded collect).
+    * DataFrame as tokenizer.json directly (bounded collect), with the
+    * corpus alphabet passed through.
     */
-  def saveBpeTokenizerJson(merges: DataFrame, path: String): Unit =
+  def saveBpeTokenizerJson(merges: DataFrame, path: String,
+                           alphabet: Seq[Char]): Unit =
     saveBpeTokenizerJson(merges.sparkSession,
       merges.select("rank", "left", "right", "n").collect()
         .map(r => BpeMerge(r.getInt(0), r.getString(1), r.getString(2),
           r.getLong(3))).toIndexedSeq,
-      path)
+      path, alphabet)
+
+  /** Convenience overload without an extra alphabet. */
+  def saveBpeTokenizerJson(merges: DataFrame, path: String): Unit =
+    saveBpeTokenizerJson(merges, path, Nil)
 }

@@ -258,6 +258,23 @@ class CorpusStoreSpec extends SparkSpec {
     assert(touched2.nonEmpty) // fixture sanity: gen 2 rewrote something
   }
 
+  test("cow: a takedown that would empty the store is refused before any commit") {
+    // round-15 review finding: an empty CURRENT generation would make
+    // every subsequent read fail — a full-corpus takedown is a store
+    // drop, not a delete
+    val path = tmp("graft-cs-cowempty")
+    CorpusStore.writeCorpusCow(cowCorpus, path, "doc_id", cowBuckets)
+    val e = intercept[IllegalArgumentException] {
+      CorpusStore.deleteFromCorpusCow(
+        cowCorpus.select("doc_id"), path)
+    }
+    assert(e.getMessage.contains("EMPTY generation"), e.getMessage)
+    // nothing committed: CURRENT still points at gen 0 and it reads
+    assert(CorpusStore.currentGen(spark, path) == ((0, 0)))
+    assert(rows(CorpusStore.readCorpusSnapshot(spark, path)) ==
+      rows(cowCorpus))
+  }
+
   test("cow: layout guards — full and cow stores refuse each other's writers; bucketing is pinned at init") {
     val cow = tmp("graft-cs-cowg")
     CorpusStore.writeCorpusCow(cowCorpus, cow, "doc_id", cowBuckets)

@@ -116,6 +116,15 @@ class FeaturizeSpec extends SparkSpec {
       val uncapped = QualityModel.trainDistributed(labeled, "doc_id",
         "text", "label", dim = 64, scope = scope)
       assert(uncapped.weights.length == 64)
+      // a non-integral id would cast to null in the internal joins and
+      // silently train a bias-only model — fail fast instead
+      // (round-15 review finding)
+      val strId = intercept[IllegalArgumentException] {
+        QualityModel.trainDistributed(
+          labeled.withColumn("doc_id", concat(lit("d"), col("doc_id"))),
+          "doc_id", "text", "label", dim = 64, scope = scope)
+      }
+      assert(strId.getMessage.contains("integral id"), strId.getMessage)
     } finally scope.release()
   }
 

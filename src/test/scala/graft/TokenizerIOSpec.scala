@@ -168,6 +168,29 @@ class TokenizerIOSpec extends SparkSpec {
       TextAnalysis.bpeEncode(docs, "doc_id", "text", loaded))
   }
 
+  test("tokenizer.json: corpus alphabet beyond the merge symbols gets vocab ids and round-trips") {
+    // round-15 review finding: characters that never participate in a
+    // merge (digits, rare punctuation) still need ids — bpeEncode
+    // emits them as standalone pieces
+    val merges = Seq(BpeMerge(1, "a", "b", 0L), BpeMerge(2, "ab", "c", 0L))
+    val path = tmp("graft-tokalpha", ".json")
+    TokenizerIO.saveBpeTokenizerJson(spark, merges, path,
+      alphabet = Seq('7', 'z', 'a' /* overlap is deduped */))
+    val (loaded, vocab) = TokenizerIO.loadBpeTokenizerJson(spark, path)
+    assert(loaded.map(m => (m.left, m.right)) ==
+      merges.map(m => (m.left, m.right)))
+    // alphabet sorted by codepoint first ('7' < 'a' < 'b' < 'c' < 'z'),
+    // then merge products in rank order
+    assert(vocab == Map("7" -> 0, "a" -> 1, "b" -> 2, "c" -> 3,
+      "z" -> 4, "ab" -> 5, "abc" -> 6), vocab.toString)
+    // whitespace cannot be a token of the format
+    val ws = intercept[IllegalArgumentException] {
+      TokenizerIO.saveBpeTokenizerJson(spark, merges,
+        tmp("graft-tokws", ".json"), alphabet = Seq(' '))
+    }
+    assert(ws.getMessage.contains("whitespace"), ws.getMessage)
+  }
+
   test("tokenizer.json save/load fail fast on non-BPE tables and drifted files") {
     // a merge whose side was never introduced is not a BPE order
     val foreign = intercept[IllegalArgumentException] {
