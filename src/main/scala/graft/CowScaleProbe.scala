@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.CorpusStore
+
+/** COW-vs-full takedown cost probe (round 15 — backs the §4 numbers
+  * for the CorpusStore copy-on-write claim with measurements, the
+  * takedown-crossover/k-means-probe convention): replicate the
+  * documents table to several corpus sizes, then time a 100-doc
+  * takedown through
+  *
+  *  (a) the COW layout (`deleteFromCorpusCow` — rewrites only the
+  *      buckets the 100 ids hash into), and
+  *  (b) the full layout (read CURRENT, anti-join, writeCorpusSnapshot
+  *      — the materialize-everything cost COW exists to retire),
+  *
+  * reporting wall time and the BYTES each new generation wrote
+  * (du over the generation's data tree — the metric that scales to
+  * 100 TB, where wall time is cluster-dependent but write volume is
+  * not). Expectation: full-layout bytes grow linearly with the
+  * corpus; COW bytes grow with corpus/numBuckets (the touched-bucket
+  * size), i.e. the takedown's write volume is ~min(k, N)/N of the
+  * corpus per replication step.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=16 \
+  *   sbt "runMain graft.CowScaleProbe 1 4 16"
+  */
+object CowScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val reps: Seq[Int] =
+      if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 4, 16)
+    val numBuckets = sys.env.get("SPARK_GRAFT_COW_BUCKETS")
+      .map(_.toInt).getOrElse(64)
+    // takedown size: the granularity trade is k vs numBuckets — at
+    // k ≳ numBuckets a random-id takedown touches nearly every bucket
+    // (COW degenerates to a full rewrite by design), at k ≪ numBuckets
+    // it writes ~k/numBuckets of the corpus
+    val k = sys.env.get("SPARK_GRAFT_COW_TAKEDOWN")
+      .map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def du(dir: String): Long = {
+      val root = new java.io.File(dir)
+      if (!root.exists) 0L
+      else {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+        walk(root)
+      }
+    }
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    println("rep,n_docs,layout,init_sec,takedown_sec,gen_bytes,corpus_bytes")
+    reps.foreach { rep =>
+      // replicate with disjoint ids (the ScaleProbe idiom: content
+      // replicates, ids stay unique)
+      val corpus = (0 until rep).map(i =>
+          docs.select((col("doc_id") + lit(i.toLong * 10000000L))
+            .as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val n = corpus.count()
+      val doomed = corpus.select("doc_id")
+        .orderBy(xxhash64(col("doc_id")), col("doc_id")).limit(k)
+        .localCheckpoint()
+
+      val cowDir = java.nio.file.Files
+        .createTempDirectory(s"graft-cowprobe-$rep").toString
+      val (_, cowInit) = time {
+        CorpusStore.writeCorpusCow(corpus, cowDir, "doc_id", numBuckets)
+      }
+      val (_, cowDel) = time {
+        CorpusStore.deleteFromCorpusCow(doomed, cowDir)
+      }
+      val cowGenBytes = du(s"$cowDir/parts/gen=1")
+      val cowCorpusBytes = du(s"$cowDir/parts/gen=0")
+      println(s"$rep,$n,cow,$cowInit,$cowDel,$cowGenBytes,$cowCorpusBytes")
+
+      val fullDir = java.nio.file.Files
+        .createTempDirectory(s"graft-fullprobe-$rep").toString
+      val (_, fullInit) = time {
+        CorpusStore.writeCorpusSnapshot(corpus, fullDir)
+      }
+      val (_, fullDel) = time {
+        CorpusStore.writeCorpusSnapshot(
+          CorpusStore.readCorpusSnapshot(spark, fullDir)
+            .join(doomed, Seq("doc_id"), "left_anti"),
+          fullDir)
+      }
+      val fullGenBytes = du(s"$fullDir/snapshots/gen=1")
+      val fullCorpusBytes = du(s"$fullDir/snapshots/gen=0")
+      println(s"$rep,$n,full,$fullInit,$fullDel,$fullGenBytes,$fullCorpusBytes")
+    }
+    spark.stop()
+  }
+}

@@ -105,4 +105,66 @@ class LivingCorpusSpec extends SparkSpec {
     assert(CorpusStore.listCorpusSnapshots(spark, store)
       .select("gen").as[Int].collect().toSeq == Seq(0, 1, 2, 3))
   }
+
+  test("cow living corpus: admit → upsert → delta → takedown → re-admission without ever rewriting untouched buckets") {
+    // the same corpus-level cycle on the round-15 COW layout — here
+    // the snapshot step is an UPSERT of just the admitted rows (never
+    // a full read-union-rewrite), and the takedown is a bucket-local
+    // delete: the composition the COW store exists for
+    val store = tmp("graft-lcc-store")
+    val ledger = tmp("graft-lcc-ledger")
+    val batch1 = (1L to 30L).map(i => (i, s"founding doc number $i"))
+      .toDF("doc_id", "text")
+    Dedup.writeExactLedger(batch1, "text", ledger)
+    assert(CorpusStore.writeCorpusCow(batch1, store, "doc_id",
+      numBuckets = 8) == 0)
+
+    // v1: recrawl with one new doc and one exact dup — only the new
+    // content upserts, touching only its own bucket
+    val batch2 = Seq(
+      (41L, "freshly crawled new content"),
+      (42L, "founding doc number 7")).toDF("doc_id", "text")
+    val admitted = Dedup.admitAgainstExactLedger(
+      batch2, "doc_id", "text", ledger).select("doc_id", "text")
+      .localCheckpoint()
+    assert(admitted.select("doc_id").as[Long].collect().toSeq == Seq(41L))
+    assert(CorpusStore.upsertIntoCorpusCow(admitted, store) == 1)
+    Dedup.appendToExactLedger(admitted, "text", ledger)
+    Dedup.unpersistAll()
+    val d01 = CorpusStore.snapshotDelta(spark, store, 0, 1, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(d01(41L) == "added" && d01.count(_._2 != "unchanged") == 1,
+      d01.toString)
+
+    // takedown: bucket-local delete + ledger delete; delta names it
+    assert(CorpusStore.deleteFromCorpusCow(
+      Seq(7L).toDF("doc_id"), store) == 2)
+    Dedup.deleteFromExactLedger(
+      Seq("founding doc number 7").toDF("text"), "text", ledger)
+    val d12 = CorpusStore.snapshotDelta(spark, store, 1, 2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(d12(7L) == "removed" && d12.count(_._2 == "removed") == 1,
+      d12.toString)
+
+    // re-admission under a fresh id re-establishes dedup
+    val back = Seq((51L, "founding doc number 7")).toDF("doc_id", "text")
+    val readmitted = Dedup.admitAgainstExactLedger(
+      back, "doc_id", "text", ledger).select("doc_id", "text")
+      .localCheckpoint()
+    assert(readmitted.select("doc_id").as[Long].collect().toSeq == Seq(51L))
+    assert(CorpusStore.upsertIntoCorpusCow(readmitted, store) == 3)
+    Dedup.appendToExactLedger(readmitted, "text", ledger)
+    Dedup.unpersistAll()
+
+    // every version reads bit-identically, and the CURRENT corpus is
+    // the founding set minus doc 7 plus the two admissions
+    assert(CorpusStore.readCorpusSnapshotAt(spark, store, 0)
+      .orderBy("doc_id").collect().toSeq ==
+      batch1.orderBy("doc_id").collect().toSeq)
+    assert(CorpusStore.readCorpusSnapshot(spark, store)
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      ((1L to 30L).filterNot(_ == 7L) ++ Seq(41L, 51L)))
+    assert(CorpusStore.listCorpusSnapshots(spark, store)
+      .select("gen").as[Int].collect().toSeq == Seq(0, 1, 2, 3))
+  }
 }
