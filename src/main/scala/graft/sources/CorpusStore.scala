@@ -395,6 +395,51 @@ object CorpusStore {
     })
   }
 
+  /** One micro-batch of the streaming COW corpus writer — the
+    * foreachBatch body that gives an ingest stream versioned,
+    * replay-safe corpus commits (the [[graft.operators.Dedup]]
+    * lshIngestBatch idiom applied to the corpus itself):
+    *
+    *  1. replay guard: `path/ingest_log` records (batch_id, gen);
+    *     a restarted stream re-offering a logged batch id is a no-op,
+    *     so batches commit exactly-once per batch id;
+    *  2. the batch UPSERTS bucket-locally ([[upsertIntoCorpusCow]])
+    *     — one new generation per non-empty micro-batch, touching
+    *     only the buckets the batch's ids hash into;
+    *  3. the batch id is logged with its committed generation.
+    *
+    * Crash window: a failure between the generation commit and the
+    * log write leaves the batch unlogged, so the restarted stream
+    * replays it and upserts AGAIN — one extra generation whose
+    * content is identical (an upsert of the same rows replaces the
+    * same ids), never wrong data; history gains a redundant version,
+    * every read stays correct. Empty micro-batches commit nothing.
+    *
+    * Wire it:
+    * {{{
+    * docs.writeStream
+    *   .foreachBatch(CorpusStore.cowIngestBatch(path) _)
+    *   .start()
+    * }}}
+    */
+  def cowIngestBatch(path: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$path/ingest_log"
+    val replayed =
+      try spark.read.parquet(logPath)
+        .where(col("batch_id") === batchId).limit(1).count() > 0
+      catch { case scala.util.control.NonFatal(_) => false } // no log yet
+    if (replayed) return
+    // eager checkpoint: the upsert reads store paths it then mutates;
+    // the streaming source's batch must also be pinned before reuse
+    val b = batch.localCheckpoint()
+    if (b.isEmpty) return
+    val gen = upsertIntoCorpusCow(b, path)
+    Seq((batchId, gen)).toDF("batch_id", "gen")
+      .repartition(1).write.mode("append").parquet(logPath)
+  }
+
   // ——— Reads (both layouts) —————————————————————————————————————————
 
   /** The committed corpus version — resolves CURRENT once, then reads

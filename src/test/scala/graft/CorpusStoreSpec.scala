@@ -275,6 +275,35 @@ class CorpusStoreSpec extends SparkSpec {
       rows(cowCorpus))
   }
 
+  test("cow ingest loop: exactly-once generations per batch id; replay is a no-op; crash-replay adds only a redundant identical version") {
+    val path = tmp("graft-cs-cowing")
+    CorpusStore.writeCorpusCow(cowCorpus, path, "doc_id", cowBuckets)
+    val b1 = Seq((101L, "streamed doc one"), (102L, "streamed doc two"))
+      .toDF("doc_id", "text")
+    CorpusStore.cowIngestBatch(path)(b1, 0L)
+    assert(CorpusStore.currentGen(spark, path)._1 == 1)
+    // replaying the SAME batch id is a no-op — no new generation
+    CorpusStore.cowIngestBatch(path)(b1, 0L)
+    assert(CorpusStore.currentGen(spark, path)._1 == 1)
+    // a new batch id commits the next generation
+    val b2 = Seq((103L, "streamed doc three")).toDF("doc_id", "text")
+    CorpusStore.cowIngestBatch(path)(b2, 1L)
+    assert(CorpusStore.currentGen(spark, path)._1 == 2)
+    assert(rows(CorpusStore.readCorpusSnapshot(spark, path)) ==
+      rows(cowCorpus.unionByName(b1).unionByName(b2)))
+    // crash-replay simulation: the generation committed but the log
+    // write was lost — re-offering the batch under a FRESH batch id
+    // (what an unlogged restart does) upserts again: one extra
+    // generation, identical content, never wrong data
+    CorpusStore.cowIngestBatch(path)(b2, 2L)
+    assert(CorpusStore.currentGen(spark, path)._1 == 3)
+    assert(rows(CorpusStore.readCorpusSnapshot(spark, path)) ==
+      rows(CorpusStore.readCorpusSnapshotAt(spark, path, 2)))
+    // empty micro-batches commit nothing
+    CorpusStore.cowIngestBatch(path)(b2.limit(0), 3L)
+    assert(CorpusStore.currentGen(spark, path)._1 == 3)
+  }
+
   test("cow: layout guards — full and cow stores refuse each other's writers; bucketing is pinned at init") {
     val cow = tmp("graft-cs-cowg")
     CorpusStore.writeCorpusCow(cowCorpus, cow, "doc_id", cowBuckets)
