@@ -25,9 +25,10 @@ import graft.operators.Dedup
   *    fixed at init so every generation buckets identically;
   *  - `parts/gen=<g>/_cs_bucket=<b>/` — immutable PER-BUCKET trees; a
   *    generation writes ONLY the buckets it touches;
-  *  - `manifest/gen=<g>/` — (bucket, src_gen) rows: which generation
-  *    OWNS each bucket of version g. A read of version g unions
-  *    exactly the manifest's referenced bucket trees;
+  *  - `manifest/gen=<g>/` — (bucket, src_gen, n_rows) rows: which
+  *    generation OWNS each bucket of version g, and its row count
+  *    (so occupancy/health stay metadata-scale). A read of version g
+  *    unions exactly the manifest's referenced bucket trees;
   *  - `meta/gen=<g>/` + `CURRENT` — as above.
   *
   * Why COW: in the full layout a takedown of 100 docs from a 100 TB
@@ -195,14 +196,17 @@ object CorpusStore {
     (r.getAs[String]("id_col"), r.getAs[Int]("num_buckets"))
   }
 
-  /** (bucket, src_gen) rows of version `gen`'s manifest — bounded by
-    * num_buckets.
+  /** (bucket → (src_gen, n_rows)) of version `gen`'s manifest —
+    * bounded by num_buckets. Carrying the per-bucket row count in the
+    * manifest makes occupancy/health METADATA-scale (the IndexHealth
+    * stance) and lets modifications derive their counts from the
+    * previous manifest instead of re-counting touched buckets.
     */
   private def readCowManifest(spark: SparkSession, path: String,
-                              gen: Int): Map[Int, Int] =
+                              gen: Int): Map[Int, (Int, Long)] =
     spark.read.parquet(s"$path/manifest/gen=$gen")
-      .select("bucket", "src_gen").collect()
-      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+      .select("bucket", "src_gen", "n_rows").collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2)))).toMap
 
   private def cowBucketDir(path: String, srcGen: Int, bucket: Int): String =
     s"$path/parts/gen=$srcGen/_cs_bucket=$bucket"
@@ -222,13 +226,14 @@ object CorpusStore {
     * phase.
     */
   private def commitCowGen(spark: SparkSession, path: String, gen: Int,
-      base: Int, manifest: Map[Int, Int], nRows: Long,
+      base: Int, manifest: Map[Int, (Int, Long)],
       dataStamps: Seq[(String, String)]): Int = {
     import spark.implicits._
-    manifest.toSeq.sorted.toDF("bucket", "src_gen")
+    manifest.toSeq.map { case (b, (s, n)) => (b, s, n) }.sorted
+      .toDF("bucket", "src_gen", "n_rows")
       .repartition(1).write.mode("overwrite")
       .parquet(s"$path/manifest/gen=$gen")
-    Seq((gen, nRows)).toDF("gen", "n_rows")
+    Seq((gen, manifest.values.map(_._2).sum)).toDF("gen", "n_rows")
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta/gen=$gen")
     val manifestStamp = stampWriterToken(spark, s"$path/manifest/gen=$gen")
     verifyWriterTokens(spark, dataStamps :+ manifestStamp)
@@ -276,7 +281,7 @@ object CorpusStore {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "writeCorpusCow: refusing an empty corpus")
     commitCowGen(spark, path, gen, base,
-      counts.keys.map(_ -> gen).toMap, counts.values.sum, Seq(dataStamp))
+      counts.map { case (b, n) => b -> ((gen, n)) }, Seq(dataStamp))
   }
 
   /** Shared body of upsert/delete: read ONLY the buckets the change
@@ -293,16 +298,15 @@ object CorpusStore {
     val (g, base) = currentGen(spark, path)
     val gen = g + 1
     val manifest = readCowManifest(spark, path, g)
-    val prevN = spark.read.parquet(s"$path/meta/gen=$g")
-      .head().getAs[Long]("n_rows")
     val oldDirs = changeBuckets.toSeq.sorted
-      .flatMap(b => manifest.get(b).map(src => cowBucketDir(path, src, b)))
+      .flatMap(b => manifest.get(b).map { case (src, _) =>
+        cowBucketDir(path, src, b)
+      })
     val old =
       if (oldDirs.nonEmpty) Some(spark.read.parquet(oldDirs: _*)) else None
     val merged = merge(old)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val oldTouchedN = old.map(_.count()).getOrElse(0L)
       val bucketOf = bucketExpr(idCol, numBuckets)
       val counts = merged.groupBy(bucketOf.as("_cs_bucket"))
         .agg(count(lit(1)).as("n"))
@@ -318,7 +322,7 @@ object CorpusStore {
           Seq(stampWriterToken(spark, s"$path/parts/gen=$gen"))
         }
       val newManifest = (manifest -- changeBuckets) ++
-        counts.keys.map(_ -> gen)
+        counts.map { case (b, n) => b -> ((gen, n)) }
       // a takedown that would empty the store must not commit: the
       // store refuses empty corpora at init, and an empty CURRENT
       // would make every subsequent read fail — a full-corpus
@@ -328,8 +332,7 @@ object CorpusStore {
         "CorpusStore: refusing to commit an EMPTY generation — this " +
           "change removes every remaining row; a full-corpus takedown " +
           "is a store drop, not a delete")
-      commitCowGen(spark, path, gen, base, newManifest,
-        prevN - oldTouchedN + counts.values.sum, dataStamps)
+      commitCowGen(spark, path, gen, base, newManifest, dataStamps)
     } finally merged.unpersist(false)
   }
 
@@ -389,7 +392,7 @@ object CorpusStore {
         // no-change generation
         spark.read.parquet(
           readCowManifest(spark, path, currentGen(spark, path)._1)
-            .map { case (b, src) => cowBucketDir(path, src, b) }
+            .map { case (b, (src, _)) => cowBucketDir(path, src, b) }
             .toSeq.sorted: _*)
           .limit(0)
     })
@@ -466,8 +469,8 @@ object CorpusStore {
       val manifest = readCowManifest(spark, path, gen)
       require(manifest.nonEmpty,
         s"CorpusStore: generation $gen at $path holds no rows")
-      spark.read.parquet(manifest.toSeq.sorted
-        .map { case (bk, src) => cowBucketDir(path, src, bk) }: _*)
+      spark.read.parquet(manifest.toSeq.sortBy(_._1)
+        .map { case (bk, (src, _)) => cowBucketDir(path, src, bk) }: _*)
     } else spark.read.parquet(s"$path/snapshots/gen=$gen")
   }
 
@@ -526,7 +529,7 @@ object CorpusStore {
       // (retained gens) × num_buckets
       val referenced = (newBase to g).flatMap(i =>
         readCowManifest(spark, path, i).toSeq
-          .map { case (bk, src) => (src, bk) })
+          .map { case (bk, (src, _)) => (src, bk) })
         .toSet
       (0 until newBase).foreach { i =>
         rm(s"$path/manifest/gen=$i")
@@ -543,10 +546,104 @@ object CorpusStore {
           if (buckets.forall(bk => !referenced((i, bk)))) rm(genDir.toString)
         }
       }
+      // ABOVE-current orphans (crashed/abandoned writers): gens
+      // STRICTLY past g+1 can never be resolved by a reader and can
+      // never be an in-flight writer's work-in-progress either — an
+      // in-flight writer materializes exactly g+1 (it read CURRENT=g)
+      // and its own overwrite truncates that one on retry. g+1 itself
+      // is left alone for that reason.
+      cowGenDirsOnDisk(spark, path).filter(_ > g + 1).foreach { i =>
+        rm(s"$path/parts/gen=$i")
+        rm(s"$path/manifest/gen=$i")
+        rm(s"$path/meta/gen=$i")
+      }
     } else {
       (0 until newBase).foreach { i =>
         Seq("snapshots", "meta").foreach(d => rm(s"$path/$d/gen=$i"))
       }
     }
+  }
+
+  /** Generation numbers with a physical parts tree on disk —
+    * committed or not (orphans included). Filesystem listing only.
+    */
+  private def cowGenDirsOnDisk(spark: SparkSession,
+                               path: String): Seq[Int] = {
+    val f = fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(s"$path/parts")
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") =>
+        n.stripPrefix("gen=").toInt
+      }.toSeq.sorted
+  }
+
+  /** One health row for a COW store — the [[graft.operators
+    * .IndexHealth]] stance applied to the corpus itself, and
+    * METADATA-scale throughout: occupancy comes from the CURRENT
+    * manifest's per-bucket row counts (never a data scan), orphans
+    * from filesystem listings against the retained manifests'
+    * reference set.
+    *
+    *  - `totalRows` / `populatedBuckets` / `maxBucket` / `skew`:
+    *    CURRENT-version occupancy of the store's pruning unit (skew =
+    *    max/mean over populated buckets — the worst-case
+    *    touched-bucket rewrite multiplier);
+    *  - `generations`: retained version count (g − base + 1);
+    *  - `orphanDirs` / `orphanBytes`: bucket trees no retained
+    *    manifest references (interrupted vacuums below base, crashed
+    *    writers above CURRENT+1 — the in-flight g+1 slot is NOT
+    *    counted, it may be a writer mid-materialization);
+    *  - `needsVacuum`: orphans exist or retention exceeds
+    *    `maxGenerations`. [[vacuumCorpusSnapshots]] clears both.
+    */
+  final case class CowHealth(
+      current: Int, base: Int, generations: Int,
+      totalRows: Long, numBuckets: Int, populatedBuckets: Int,
+      maxBucket: Long, skew: Double,
+      orphanDirs: Long, orphanBytes: Long,
+      needsVacuum: Boolean)
+
+  def cowHealthReport(spark: SparkSession, path: String,
+                      maxGenerations: Int = 16): CowHealth = {
+    require(isCow(spark, path),
+      s"CorpusStore: $path is not a copy-on-write store")
+    val (_, numBuckets) = readCowMeta(spark, path)
+    val (g, b) = currentGen(spark, path)
+    val cur = readCowManifest(spark, path, g)
+    val total = cur.values.map(_._2).sum
+    val maxB = if (cur.isEmpty) 0L else cur.values.map(_._2).max
+    val mean = if (cur.isEmpty) 0.0 else total.toDouble / cur.size
+    val referenced = (b to g).flatMap(i =>
+      readCowManifest(spark, path, i).toSeq
+        .map { case (bk, (src, _)) => (src, bk) })
+      .toSet
+    val f = fs(spark, path)
+    val orphans = cowGenDirsOnDisk(spark, path)
+      .filterNot(_ == g + 1) // possibly a writer mid-materialization
+      .flatMap { i =>
+        val genDir = new org.apache.hadoop.fs.Path(s"$path/parts/gen=$i")
+        f.listStatus(genDir).filter(_.isDirectory)
+          .map(_.getPath.getName)
+          .collect { case n if n.startsWith("_cs_bucket=") =>
+            (i, n.stripPrefix("_cs_bucket=").toInt)
+          }
+          .filterNot(referenced)
+      }
+    val orphanBytes = orphans.map { case (i, bk) =>
+      f.getContentSummary(
+        new org.apache.hadoop.fs.Path(cowBucketDir(path, i, bk)))
+        .getLength
+    }.sum
+    CowHealth(
+      current = g, base = b, generations = g - b + 1,
+      totalRows = total, numBuckets = numBuckets,
+      populatedBuckets = cur.size,
+      maxBucket = maxB,
+      skew = if (mean > 0) maxB / mean else 0.0,
+      orphanDirs = orphans.size.toLong,
+      orphanBytes = orphanBytes,
+      needsVacuum = orphans.nonEmpty || (g - b + 1) > maxGenerations)
   }
 }

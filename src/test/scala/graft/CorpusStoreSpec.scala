@@ -188,12 +188,15 @@ class CorpusStoreSpec extends SparkSpec {
     assert(rows(CorpusStore.readCorpusSnapshotAt(spark, path, 0)) ==
       rows(cowCorpus))
     // untouched buckets of gen 1 are SERVED FROM gen 0 (the manifest
-    // is the sharing contract)
+    // is the sharing contract), and the manifest's per-bucket counts
+    // sum to the version's rows (metadata-scale occupancy)
     val m1 = spark.read.parquet(s"$path/manifest/gen=1")
-      .as[(Int, Int)].collect().toMap
+      .select("bucket", "src_gen").as[(Int, Int)].collect().toMap
     assert(touched.forall(b => m1(b) == 1), m1.toString)
     assert((bucketsOf(1L to 40L) -- touched).forall(b => m1(b) == 0),
       m1.toString)
+    assert(spark.read.parquet(s"$path/manifest/gen=1")
+      .agg(sum("n_rows")).as[Long].head() == 38L)
     // meta rows track per-version counts without scanning
     assert(CorpusStore.listCorpusSnapshots(spark, path)
       .as[(Int, Long)].collect().toSeq == Seq((0, 40L), (1, 38L)))
@@ -256,6 +259,44 @@ class CorpusStoreSpec extends SparkSpec {
     CorpusStore.vacuumCorpusSnapshots(spark, path, keepLast = 2)
     assert(rows(CorpusStore.readCorpusSnapshotAt(spark, path, 2)) == keep2)
     assert(touched2.nonEmpty) // fixture sanity: gen 2 rewrote something
+  }
+
+  test("cow health report: metadata-scale occupancy, orphan detection, vacuum clears both flags") {
+    val path = tmp("graft-cs-cowh")
+    CorpusStore.writeCorpusCow(cowCorpus, path, "doc_id", cowBuckets)
+    val h0 = CorpusStore.cowHealthReport(spark, path)
+    assert(h0.current == 0 && h0.generations == 1 &&
+      h0.totalRows == 40L &&
+      h0.populatedBuckets == bucketsOf(1L to 40L).size &&
+      h0.numBuckets == cowBuckets &&
+      h0.orphanDirs == 0 && !h0.needsVacuum, h0.toString)
+    CorpusStore.deleteFromCorpusCow(Seq(5L, 17L).toDF("doc_id"), path)
+    val h1 = CorpusStore.cowHealthReport(spark, path)
+    assert(h1.current == 1 && h1.totalRows == 38L, h1.toString)
+    // retention pressure flips needsVacuum past maxGenerations
+    assert(CorpusStore.cowHealthReport(spark, path,
+      maxGenerations = 1).needsVacuum)
+    // a crashed/abandoned writer's orphan tree (well past CURRENT+1)
+    // is detected with its bytes — while the CURRENT+1 slot is NOT
+    // flagged (it may be a writer mid-materialization)
+    val orphan = new java.io.File(s"$path/parts/gen=9/_cs_bucket=0")
+    orphan.mkdirs()
+    java.nio.file.Files.write(orphan.toPath.resolve("part-0.parquet"),
+      Array.fill(64)(7.toByte))
+    val inflight = new java.io.File(s"$path/parts/gen=2/_cs_bucket=0")
+    inflight.mkdirs()
+    val h2 = CorpusStore.cowHealthReport(spark, path)
+    assert(h2.orphanDirs == 1 && h2.orphanBytes == 64L &&
+      h2.needsVacuum, h2.toString)
+    // vacuum removes the above-CURRENT+1 orphan (and the below-base
+    // remapped buckets), leaving the in-flight slot alone
+    CorpusStore.vacuumCorpusSnapshots(spark, path, keepLast = 1)
+    val h3 = CorpusStore.cowHealthReport(spark, path)
+    assert(h3.orphanDirs == 0 && h3.base == 1, h3.toString)
+    assert(!new java.io.File(s"$path/parts/gen=9").exists)
+    assert(inflight.exists, "vacuum must not touch the CURRENT+1 slot")
+    // the store still reads correctly after the cleanup
+    assert(CorpusStore.readCorpusSnapshot(spark, path).count() == 38)
   }
 
   test("cow: a takedown that would empty the store is refused before any commit") {
