@@ -195,7 +195,11 @@ object QualityModel {
     // sparse×sparse self-join (the trainer's dominant cost, per-doc
     // (distinct buckets)² fan-out) runs ONCE and every Newton round
     // joins just the doc-keyed r6 factors into it (round-15 review
-    // finding: previously re-joined every iteration)
+    // finding: previously re-joined every iteration). Cache
+    // footprint: ≤ |docs|·dim·(dim+1)/2 rows (dim bounds per-doc
+    // nnz), spilled MEMORY_AND_DISK — the same row volume ONE
+    // iteration's join shuffled before, now stored once instead of
+    // re-shuffled `iters` times
     val pairs = scope.persistTracked(
       sparse.toDF("_qm_id", "_qm_j", "_qm_vj")
         .join(sparse.toDF("_qm_id", "_qm_k", "_qm_vk"), Seq("_qm_id"))
