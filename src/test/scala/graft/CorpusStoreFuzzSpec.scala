@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.CorpusStore
+
+/** Model-based fuzz of the COW corpus store (round 15 — the
+  * SqlGenFuzzSpec stance applied to the round's newest component):
+  * a seeded random schedule of upserts / takedowns / vacuums runs
+  * against BOTH the store and a driver-side model (a plain Map per
+  * version), and after every operation the store's CURRENT read, a
+  * randomly chosen retained historical version, and the meta row
+  * counts must all match the model exactly. What a hand-written
+  * lifecycle spec can't cover: interleavings — upserts over
+  * previously deleted ids, deletes of never-present ids, vacuums
+  * landing between arbitrary modification pairs, bucket sharing
+  * chains across many generations.
+  */
+class CorpusStoreFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def toDf(m: Map[Long, String]) =
+    m.toSeq.toDF("doc_id", "text")
+
+  private def readAsMap(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+    df.select("doc_id", "text").as[(Long, String)].collect().toMap
+
+  test("cow model fuzz: 30 seeded random upserts/deletes/vacuums match the model at every retained version") {
+    val rnd = new scala.util.Random(15L)
+    val path = tmp("graft-cs-fuzz")
+    // id 0 is protected from deletion so the store never empties
+    // (the empty-generation refusal is pinned separately)
+    var model: Map[Long, String] =
+      (0L to 29L).map(i => i -> s"seed doc $i").toMap
+    CorpusStore.writeCorpusCow(toDf(model), path, "doc_id",
+      numBuckets = 8)
+    val history = scala.collection.mutable.Map[Int, Map[Long, String]]()
+    history(0) = model
+    var gen = 0
+    var base = 0
+
+    (1 to 30).foreach { step =>
+      rnd.nextInt(10) match {
+        case r if r <= 5 =>
+          // upsert 1-4 rows: mix of existing ids (rewrite), previously
+          // deleted ids (resurrection) and fresh ids (insert)
+          val k = 1 + rnd.nextInt(4)
+          val ids = Seq.fill(k)(rnd.nextInt(40).toLong).distinct
+          val up = ids.map(i => i -> s"step $step text for $i").toMap
+          gen = CorpusStore.upsertIntoCorpusCow(toDf(up), path)
+          model = model ++ up
+          history(gen) = model
+        case r if r <= 8 =>
+          // delete 1-3 ids: mix of present and never-present, id 0
+          // protected so the store never empties
+          val k = 1 + rnd.nextInt(3)
+          val ids = Seq.fill(k)(1L + rnd.nextInt(45)).distinct
+          gen = CorpusStore.deleteFromCorpusCow(
+            ids.toDF("doc_id"), path)
+          model = model -- ids
+          history(gen) = model
+        case _ =>
+          val keep = 1 + rnd.nextInt(3)
+          CorpusStore.vacuumCorpusSnapshots(spark, path, keepLast = keep)
+          base = math.max(base, gen - keep + 1)
+          history.keys.filter(_ < base).toSeq.foreach(history.remove)
+      }
+      // CURRENT matches the model after every op
+      assert(CorpusStore.currentGen(spark, path) == ((gen, base)),
+        s"step $step pointer drift")
+      assert(readAsMap(CorpusStore.readCorpusSnapshot(spark, path)) ==
+        model, s"step $step CURRENT read diverged from the model")
+      // one random retained historical version stays bit-identical
+      val probe = base + rnd.nextInt(gen - base + 1)
+      assert(readAsMap(
+        CorpusStore.readCorpusSnapshotAt(spark, path, probe)) ==
+        history(probe),
+        s"step $step retained gen $probe diverged from its history")
+    }
+
+    // end state: EVERY retained version matches its model snapshot,
+    // and the meta rows track the model sizes without scanning
+    (base to gen).foreach { i =>
+      assert(readAsMap(
+        CorpusStore.readCorpusSnapshotAt(spark, path, i)) == history(i),
+        s"final sweep: gen $i diverged")
+    }
+    val meta = CorpusStore.listCorpusSnapshots(spark, path)
+      .as[(Int, Long)].collect().toMap
+    assert(meta == history.map { case (g, m) => g -> m.size.toLong }.toMap,
+      s"meta counts drifted: $meta")
+    // the health report agrees with the model at the end
+    val h = CorpusStore.cowHealthReport(spark, path)
+    assert(h.totalRows == model.size.toLong && h.current == gen &&
+      h.base == base && h.orphanDirs == 0, h.toString)
+  }
+}
