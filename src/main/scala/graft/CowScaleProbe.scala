@@ -8,8 +8,9 @@ import graft.sources.CorpusStore
 /** COW-vs-full takedown cost probe (round 15 — backs the §4 numbers
   * for the CorpusStore copy-on-write claim with measurements, the
   * takedown-crossover/k-means-probe convention): replicate the
-  * documents table to several corpus sizes, then time a 100-doc
-  * takedown through
+  * documents table to several corpus sizes, then time a k-doc
+  * takedown (k = SPARK_GRAFT_COW_TAKEDOWN, default 10 — the §4 run)
+  * through
   *
   *  (a) the COW layout (`deleteFromCorpusCow` — rewrites only the
   *      buckets the 100 ids hash into), and

@@ -50,14 +50,26 @@ object Takedown {
       ivfPaths: Seq[String] = Nil)
 
   /** What one takedown did: ids requested (distinct), ids actually
-    * present in the CURRENT corpus version (the rows whose text fed
-    * the ledger delete), and the corpus generation the removal
-    * committed (None when nothing was present — a re-run, or an
-    * index-only takedown).
+    * present in the CURRENT corpus version, content hashes cleared
+    * from the ledger (== nInCorpus when a ledger target is set — the
+    * ledger can only be cleared for content the corpus still holds,
+    * see the divergence note on [[takedownEverywhere]]), and the
+    * corpus generation the removal committed (None when nothing was
+    * present — a re-run, or an index-only takedown).
     */
   final case class TakedownReport(
-      nRequested: Long, nInCorpus: Long, corpusGen: Option[Int])
+      nRequested: Long, nInCorpus: Long, nLedgerCleared: Long,
+      corpusGen: Option[Int])
 
+  /** See the module doc for the ordering contract. One limitation,
+    * surfaced rather than hidden (round-15 review): the ledger is
+    * keyed by CONTENT HASH, so this orchestrator can clear ledger
+    * entries only for ids the CURRENT corpus still holds (their text
+    * is the hash input). If ledger and corpus have diverged — content
+    * in the ledger whose corpus row is already gone — `nLedgerCleared`
+    * comes back below expectations and the repair is a direct
+    * [[Dedup.deleteFromExactLedger]] call with the content itself.
+    */
   def takedownEverywhere(spark: SparkSession, ids: DataFrame,
       idCol: String, textCol: String, targets: TakedownTargets,
       maxTombstones: Long = Dedup.defaultMaxTombstones): TakedownReport = {
@@ -74,10 +86,15 @@ object Takedown {
     val nRequested = del.count()
     require(nRequested > 0, "takedownEverywhere: empty id set")
     // step 1: resolve the doomed rows from the CURRENT corpus while
-    // it still holds them
+    // it still holds them. Text rides along ONLY when a ledger target
+    // needs it (round-15 review: an id-only corpus takedown must not
+    // require a text column or checkpoint full documents for nothing)
     val doomedRows = targets.corpusPath.map { cp =>
+      val cols =
+        if (targets.ledgerPath.isDefined) Seq(col(idCol), col(textCol))
+        else Seq(col(idCol))
       CorpusStore.readCorpusSnapshot(spark, cp)
-        .join(del, Seq(idCol)).select(col(idCol), col(textCol))
+        .join(del, Seq(idCol)).select(cols: _*)
         .localCheckpoint()
     }
     val nInCorpus = doomedRows.map(_.count()).getOrElse(0L)
@@ -90,16 +107,23 @@ object Takedown {
     targets.ivfPaths.foreach(p =>
       Similarity.deleteFromIvfIndex(del, idCol, p, maxTombstones))
     // step 3: the ledger entry goes so a clean recrawl re-admits
-    if (nInCorpus > 0)
-      targets.ledgerPath.foreach(p =>
-        Dedup.deleteFromExactLedger(doomedRows.get, textCol, p,
-          maxTombstones))
+    val nLedgerCleared =
+      if (nInCorpus > 0 && targets.ledgerPath.isDefined) {
+        Dedup.deleteFromExactLedger(doomedRows.get, textCol,
+          targets.ledgerPath.get, maxTombstones)
+        nInCorpus
+      } else 0L
     // step 4: the corpus commit is the operation's "done" — skipped
-    // when nothing is present, so re-runs add no redundant generation
+    // when nothing is present (re-runs add no redundant generation),
+    // and driven by the ids KNOWN PRESENT, never the raw request: a
+    // bulk feed of mostly-absent candidates must not read and rewrite
+    // every bucket the absent ids hash into (round-15 review — at the
+    // 100 TB design point that is pure write amplification)
     val gen = targets.corpusPath.flatMap { cp =>
       if (nInCorpus == 0) None
-      else Some(CorpusStore.deleteFromCorpusCow(del, cp))
+      else Some(CorpusStore.deleteFromCorpusCow(
+        doomedRows.get.select(col(idCol)), cp))
     }
-    TakedownReport(nRequested, nInCorpus, gen)
+    TakedownReport(nRequested, nInCorpus, nLedgerCleared, gen)
   }
 }

@@ -201,6 +201,11 @@ object CorpusStore {
     * manifest makes occupancy/health METADATA-scale (the IndexHealth
     * stance) and lets modifications derive their counts from the
     * previous manifest instead of re-counting touched buckets.
+    * FORMAT NOTE: (bucket, src_gen, n_rows) is the COW manifest's v1
+    * schema — the layout and this refactor shipped in the same round,
+    * before any store crossed a session boundary, so there is no
+    * 2-column legacy manifest to migrate; a FUTURE schema change must
+    * add versioning here.
     */
   private def readCowManifest(spark: SparkSession, path: String,
                               gen: Int): Map[Int, (Int, Long)] =
@@ -347,8 +352,12 @@ object CorpusStore {
   /** Upsert into a COW store: rows of `df` REPLACE same-id rows and
     * insert otherwise; only the buckets the incoming ids hash into
     * are read and rewritten. `df` must carry the store's full row
-    * schema (it becomes the stored row). Returns the committed
-    * generation.
+    * schema (it becomes the stored row) and be ID-UNIQUE — two rows
+    * under one id have no deterministic survivor (dropping one
+    * arbitrarily would make the committed content depend on partition
+    * order), so a duplicated id FAILS FAST (round-15 review finding;
+    * dedupe upstream — the admission operators exist for exactly
+    * this). Returns the committed generation.
     */
   def upsertIntoCorpusCow(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
@@ -358,6 +367,12 @@ object CorpusStore {
     require(df.columns.contains(idCol),
       s"upsertIntoCorpusCow: frame has no column '$idCol'")
     val changes = df.localCheckpoint()
+    val dup = changes.groupBy(col(idCol)).agg(count(lit(1)).as("_cs_n"))
+      .where(col("_cs_n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsertIntoCorpusCow: duplicated id ${dup.head.get(0)} in the " +
+        "change set — a keyed store has no deterministic survivor for " +
+        "two rows under one id; dedupe the batch first")
     val touched = touchedBuckets(changes, idCol, numBuckets)
     require(touched.nonEmpty, "upsertIntoCorpusCow: empty change set")
     cowModify(spark, path, touched, {
@@ -417,6 +432,10 @@ object CorpusStore {
     * content is identical (an upsert of the same rows replaces the
     * same ids), never wrong data; history gains a redundant version,
     * every read stays correct. Empty micro-batches commit nothing.
+    * Batches must be ID-UNIQUE ([[upsertIntoCorpusCow]]'s fail-fast
+    * contract — an intra-batch duplicated id has no deterministic
+    * survivor); route the stream through an admission/dedup operator
+    * first.
     *
     * Wire it:
     * {{{
@@ -429,10 +448,13 @@ object CorpusStore {
     val spark = batch.sparkSession
     import spark.implicits._
     val logPath = s"$path/ingest_log"
-    val replayed =
-      try spark.read.parquet(logPath)
+    // "no log yet" is an explicit existence check, NOT a swallowed
+    // read error (round-15 review finding): a corrupted log would
+    // otherwise silently downgrade exactly-once to replay-everything
+    // forever — corruption must surface loudly instead
+    val replayed = exists(spark, logPath) &&
+      spark.read.parquet(logPath)
         .where(col("batch_id") === batchId).limit(1).count() > 0
-      catch { case scala.util.control.NonFatal(_) => false } // no log yet
     if (replayed) return
     // eager checkpoint: the upsert reads store paths it then mutates;
     // the streaming source's batch must also be pinned before reuse
@@ -534,16 +556,12 @@ object CorpusStore {
       (0 until newBase).foreach { i =>
         rm(s"$path/manifest/gen=$i")
         rm(s"$path/meta/gen=$i")
-        val genDir = new org.apache.hadoop.fs.Path(s"$path/parts/gen=$i")
-        if (f.exists(genDir)) {
-          val buckets = f.listStatus(genDir).filter(_.isDirectory)
-            .map(_.getPath.getName)
-            .collect { case n if n.startsWith("_cs_bucket=") =>
-              n.stripPrefix("_cs_bucket=").toInt
-            }
+        if (exists(spark, s"$path/parts/gen=$i")) {
+          val buckets = cowBucketsOnDisk(spark, path, i)
           buckets.filterNot(bk => referenced((i, bk)))
             .foreach(bk => rm(cowBucketDir(path, i, bk)))
-          if (buckets.forall(bk => !referenced((i, bk)))) rm(genDir.toString)
+          if (buckets.forall(bk => !referenced((i, bk))))
+            rm(s"$path/parts/gen=$i")
         }
       }
       // ABOVE-current orphans (crashed/abandoned writers): gens
@@ -578,6 +596,23 @@ object CorpusStore {
         n.stripPrefix("gen=").toInt
       }.toSeq.sorted
   }
+
+  /** Bucket numbers with a physical tree under `parts/gen=<gen>` —
+    * the ONE dir-listing idiom vacuum's refcount sweep and the health
+    * report's orphan scan both use (round-15 review finding: a
+    * naming/tolerance change must not be appliable to one and not the
+    * other, or the reference set and the orphan set silently
+    * disagree). Caller checks existence of the gen dir.
+    */
+  private def cowBucketsOnDisk(spark: SparkSession, path: String,
+                               gen: Int): Seq[Int] =
+    fs(spark, path)
+      .listStatus(new org.apache.hadoop.fs.Path(s"$path/parts/gen=$gen"))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("_cs_bucket=") =>
+        n.stripPrefix("_cs_bucket=").toInt
+      }.toSeq
 
   /** One health row for a COW store — the [[graft.operators
     * .IndexHealth]] stance applied to the corpus itself, and
@@ -623,13 +658,7 @@ object CorpusStore {
     val orphans = cowGenDirsOnDisk(spark, path)
       .filterNot(_ == g + 1) // possibly a writer mid-materialization
       .flatMap { i =>
-        val genDir = new org.apache.hadoop.fs.Path(s"$path/parts/gen=$i")
-        f.listStatus(genDir).filter(_.isDirectory)
-          .map(_.getPath.getName)
-          .collect { case n if n.startsWith("_cs_bucket=") =>
-            (i, n.stripPrefix("_cs_bucket=").toInt)
-          }
-          .filterNot(referenced)
+        cowBucketsOnDisk(spark, path, i).map((i, _)).filterNot(referenced)
       }
     val orphanBytes = orphans.map { case (i, bk) =>
       f.getContentSummary(

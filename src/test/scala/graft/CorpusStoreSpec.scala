@@ -299,6 +299,24 @@ class CorpusStoreSpec extends SparkSpec {
     assert(CorpusStore.readCorpusSnapshot(spark, path).count() == 38)
   }
 
+  test("cow upsert refuses intra-batch duplicated ids (no deterministic survivor)") {
+    // round-15 review finding: a keyed store must not commit two rows
+    // under one id — the anti-join removes the OLD copy but both
+    // change rows would survive, and dropping one arbitrarily would
+    // make the committed content partition-order-dependent
+    val path = tmp("graft-cs-cowdup")
+    CorpusStore.writeCorpusCow(cowCorpus, path, "doc_id", cowBuckets)
+    val e = intercept[IllegalArgumentException] {
+      CorpusStore.upsertIntoCorpusCow(
+        Seq((41L, "first body"), (41L, "second body"))
+          .toDF("doc_id", "text"), path)
+    }
+    assert(e.getMessage.contains("duplicated id"), e.getMessage)
+    // nothing committed
+    assert(CorpusStore.currentGen(spark, path) == ((0, 0)))
+    assert(CorpusStore.readCorpusSnapshot(spark, path).count() == 40)
+  }
+
   test("cow: a takedown that would empty the store is refused before any commit") {
     // round-15 review finding: an empty CURRENT generation would make
     // every subsequent read fail — a full-corpus takedown is a store

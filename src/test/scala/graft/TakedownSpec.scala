@@ -77,7 +77,7 @@ class TakedownSpec extends SparkSpec {
         corpusPath = Some(store), ledgerPath = Some(ledger),
         lshPath = Some(lsh), bm25Path = Some(bm25),
         ivfPaths = Seq(ivf)))
-    assert(report == Takedown.TakedownReport(3L, 2L, Some(1)),
+    assert(report == Takedown.TakedownReport(3L, 2L, 2L, Some(1)),
       report.toString)
 
     // corpus: CURRENT lacks the ids, the prior version keeps them
@@ -101,7 +101,7 @@ class TakedownSpec extends SparkSpec {
         corpusPath = Some(store), ledgerPath = Some(ledger),
         lshPath = Some(lsh), bm25Path = Some(bm25),
         ivfPaths = Seq(ivf)))
-    assert(again == Takedown.TakedownReport(3L, 0L, None), again.toString)
+    assert(again == Takedown.TakedownReport(3L, 0L, 0L, None), again.toString)
     assert(CorpusStore.currentGen(spark, store)._1 == 1)
     assert(lshHits() == 0L && bm25Hits().isEmpty)
 
@@ -120,5 +120,37 @@ class TakedownSpec extends SparkSpec {
       Takedown.takedownEverywhere(spark, Seq(1L).toDF("doc_id"),
         "doc_id", "text", TakedownTargets())
     }.getMessage.contains("no targets"))
+  }
+
+  test("id-only corpus takedown resolves no text; absent ids never touch a bucket") {
+    // round-15 review findings: (a) text rides along ONLY for a
+    // ledger target, so a corpus without the named text column still
+    // takes down by id; (b) the corpus delete is driven by the ids
+    // KNOWN PRESENT — a bulk feed of mostly-absent candidates must
+    // not rewrite the buckets the absent ids hash into
+    val store = tmp("graft-td-idonly")
+    val corpus = (0L to 9L).map(i => (i, i * 2.0))
+      .toDF("doc_id", "weight").localCheckpoint()
+    CorpusStore.writeCorpusCow(corpus, store, "doc_id", numBuckets = 4)
+    val r = Takedown.takedownEverywhere(spark,
+      Seq(3L).toDF("doc_id"), "doc_id", "text_column_that_does_not_exist",
+      TakedownTargets(corpusPath = Some(store)))
+    assert(r == Takedown.TakedownReport(1L, 1L, 0L, Some(1)), r.toString)
+    assert(CorpusStore.readCorpusSnapshot(spark, store)
+      .select("doc_id").as[Long].collect().toSet ==
+      (0L to 9L).toSet - 3L)
+    // mostly-absent request: only id 5's bucket is rewritten
+    val r2 = Takedown.takedownEverywhere(spark,
+      (Seq(5L) ++ (100L to 140L)).toDF("doc_id"), "doc_id", "ignored",
+      TakedownTargets(corpusPath = Some(store)))
+    assert(r2.nInCorpus == 1L && r2.corpusGen.contains(2), r2.toString)
+    val bucketOf5 = Seq(5L).toDF("doc_id")
+      .select(pmod(xxhash64(col("doc_id")), lit(4L)).cast("int"))
+      .as[Int].head()
+    val gen2Dirs = new java.io.File(s"$store/parts/gen=2")
+      .listFiles.filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("_cs_bucket=")).toSet
+    assert(gen2Dirs == Set(s"_cs_bucket=$bucketOf5"),
+      s"absent ids touched buckets: $gen2Dirs")
   }
 }
