@@ -444,18 +444,34 @@ object CorpusStore {
     *   .start()
     * }}}
     */
+  /** Whether an ingest log records `batchId`. "No log yet" is an
+    * explicit existence check, NOT a swallowed read error (round-15
+    * review finding): a corrupted log would otherwise silently
+    * downgrade exactly-once to replay-everything forever —
+    * corruption must surface loudly instead. Shared by
+    * [[cowIngestBatch]] and [[graft.operators.Ingest]].
+    */
+  private[graft] def ingestLogContains(spark: SparkSession,
+      logPath: String, batchId: Long): Boolean =
+    exists(spark, logPath) &&
+      spark.read.parquet(logPath)
+        .where(col("batch_id") === batchId).limit(1).count() > 0
+
+  /** The store's (id column, num buckets) — the keying contract
+    * cross-store orchestrators need (package-private surface).
+    */
+  private[graft] def cowKey(spark: SparkSession,
+                            path: String): (String, Int) = {
+    require(isCow(spark, path),
+      s"CorpusStore: $path is not a copy-on-write store")
+    readCowMeta(spark, path)
+  }
+
   def cowIngestBatch(path: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
     val logPath = s"$path/ingest_log"
-    // "no log yet" is an explicit existence check, NOT a swallowed
-    // read error (round-15 review finding): a corrupted log would
-    // otherwise silently downgrade exactly-once to replay-everything
-    // forever — corruption must surface loudly instead
-    val replayed = exists(spark, logPath) &&
-      spark.read.parquet(logPath)
-        .where(col("batch_id") === batchId).limit(1).count() > 0
-    if (replayed) return
+    if (ingestLogContains(spark, logPath, batchId)) return
     // eager checkpoint: the upsert reads store paths it then mutates;
     // the streaming source's batch must also be pinned before reuse
     val b = batch.localCheckpoint()
