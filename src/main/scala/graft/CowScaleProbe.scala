@@ -108,6 +108,53 @@ object CowScaleProbe {
       val fullCorpusBytes = du(s"$fullDir/snapshots/gen=0")
       println(s"$rep,$n,full,$fullInit,$fullDel,$fullGenBytes,$fullCorpusBytes")
     }
+
+    // ——— Streaming-ingest write amplification (round 16 — verdict
+    // task 1's measurement): B small batches through (a) bucket-
+    // rewrite upserts (the round-15 streaming writer) vs (b) delta
+    // generations + one final compaction. The verdict's bar: the
+    // delta path writes O(Σ batch) bytes where the rewrite path
+    // writes O(touched buckets) per batch — the gap is the corpus/
+    // numBuckets multiplier, so it WIDENS with corpus size.
+    val batches = sys.env.get("SPARK_GRAFT_COW_BATCHES")
+      .map(_.toInt).getOrElse(8)
+    val batchRows = sys.env.get("SPARK_GRAFT_COW_BATCH_ROWS")
+      .map(_.toInt).getOrElse(20)
+    println("rep,n_docs,mode,ingest_sec,ingest_bytes,compact_sec,compact_bytes")
+    reps.foreach { rep =>
+      val corpus = (0 until rep).map(i =>
+          docs.select((col("doc_id") + lit(i.toLong * 10000000L))
+            .as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val n = corpus.count()
+      def mkBatch(b: Int) = corpus
+        .orderBy(xxhash64(col("doc_id") + lit(b)), col("doc_id"))
+        .limit(batchRows)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          col("text"))
+        .localCheckpoint()
+      val batchDfs = (0 until batches).map(mkBatch)
+
+      Seq(false, true).foreach { asDeltas =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-ingprobe-$rep-$asDeltas").toString
+        CorpusStore.writeCorpusCow(corpus, dir, "doc_id", numBuckets)
+        val (_, ingSec) = time {
+          batchDfs.zipWithIndex.foreach { case (b, i) =>
+            CorpusStore.cowIngestBatch(dir, asDeltas = asDeltas)(b, i.toLong)
+          }
+        }
+        val root = if (asDeltas) "deltas" else "parts"
+        val ingBytes = (1 to batches).map(g => du(s"$dir/$root/gen=$g")).sum
+        val (cg, cSec) =
+          if (asDeltas) time(CorpusStore.compactCorpusCow(spark, dir))
+          else (batches, 0.0)
+        val cBytes = if (asDeltas) du(s"$dir/parts/gen=$cg") else 0L
+        val mode = if (asDeltas) "delta" else "rewrite"
+        println(s"$rep,$n,$mode,$ingSec,$ingBytes,$cSec,$cBytes")
+      }
+    }
     spark.stop()
   }
 }

@@ -50,10 +50,10 @@ import graft.sources.CorpusStore
 object Ingest {
 
   def corpusIngestBatch(corpusPath: String, ledgerPath: String,
-                        lshPath: Option[String] = None)
+                        lshPath: Option[String] = None,
+                        asDeltas: Boolean = true)
                        (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    import spark.implicits._
     val logPath = s"$corpusPath/ingest_log"
     val replayed = CorpusStore.ingestLogContains(spark, logPath, batchId)
     if (replayed) return
@@ -76,15 +76,23 @@ object Ingest {
         .select(batch.columns.map(col): _*)
         .localCheckpoint()
       finally scope.release()
-    if (admitted.limit(1).count() > 0) {
-      // corpus first (see the ordering contract above)
-      CorpusStore.upsertIntoCorpusCow(admitted, corpusPath)
-      lshPath.foreach(p =>
-        Dedup.appendToLshIndex(admitted, idCol, "text", p))
-      Dedup.appendToExactLedger(admitted, "text", ledgerPath)
-    }
-    Seq((batchId, admitted.count()))
-      .toDF("batch_id", "n_admitted")
-      .repartition(1).write.mode("append").parquet(logPath)
+    val gen =
+      if (admitted.limit(1).count() > 0) {
+        // corpus first (see the ordering contract above); as a DELTA
+        // generation by default — O(batch) bytes per micro-batch
+        // (round 16), the bucket-rewrite path behind asDeltas = false
+        val g =
+          if (asDeltas) CorpusStore.appendDeltaToCorpusCow(admitted, corpusPath)
+          else CorpusStore.upsertIntoCorpusCow(admitted, corpusPath)
+        lshPath.foreach(p =>
+          Dedup.appendToLshIndex(admitted, idCol, "text", p))
+        Dedup.appendToExactLedger(admitted, "text", ledgerPath)
+        Some(g)
+      } else None
+    // the unified (batch_id, gen, n_admitted) row shape every ingest
+    // writer shares (round 16 — verdict task 3): gen is null when the
+    // batch committed nothing (all content deduplicated away)
+    CorpusStore.appendIngestLog(spark, logPath, batchId, gen,
+      admitted.count())
   }
 }

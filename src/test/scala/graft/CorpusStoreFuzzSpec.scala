@@ -97,4 +97,85 @@ class CorpusStoreFuzzSpec extends SparkSpec {
     assert(h.totalRows == model.size.toLong && h.current == gen &&
       h.base == base && h.orphanDirs == 0, h.toString)
   }
+
+  test("cow delta fuzz: 30 seeded random delta-appends/upserts/deletes/compactions/rebuckets/vacuums match the model at every retained version") {
+    // round 16: the same model, now with the delta legs in the
+    // schedule — what a hand-written spec can't cover is CHAINS:
+    // deltas over deltas over rewritten buckets, compactions landing
+    // mid-chain, rebuckets under live delta pressure, vacuums
+    // straddling mixed base+delta+rebucketed manifests
+    val rnd = new scala.util.Random(16L)
+    val path = tmp("graft-cs-dfuzz")
+    var model: Map[Long, String] =
+      (0L to 29L).map(i => i -> s"seed doc $i").toMap
+    CorpusStore.writeCorpusCow(toDf(model), path, "doc_id",
+      numBuckets = 8)
+    val history = scala.collection.mutable.Map[Int, Map[Long, String]]()
+    history(0) = model
+    var gen = 0
+    var base = 0
+
+    (1 to 30).foreach { step =>
+      rnd.nextInt(12) match {
+        case r if r <= 3 =>
+          // DELTA append 1-4 rows (the round-16 op under fuzz)
+          val k = 1 + rnd.nextInt(4)
+          val ids = Seq.fill(k)(rnd.nextInt(40).toLong).distinct
+          val up = ids.map(i => i -> s"step $step delta for $i").toMap
+          gen = CorpusStore.appendDeltaToCorpusCow(toDf(up), path)
+          model = model ++ up
+          history(gen) = model
+        case r if r <= 6 =>
+          val k = 1 + rnd.nextInt(4)
+          val ids = Seq.fill(k)(rnd.nextInt(40).toLong).distinct
+          val up = ids.map(i => i -> s"step $step text for $i").toMap
+          gen = CorpusStore.upsertIntoCorpusCow(toDf(up), path)
+          model = model ++ up
+          history(gen) = model
+        case r if r <= 8 =>
+          val k = 1 + rnd.nextInt(3)
+          val ids = Seq.fill(k)(1L + rnd.nextInt(45)).distinct
+          gen = CorpusStore.deleteFromCorpusCow(ids.toDF("doc_id"), path)
+          model = model -- ids
+          history(gen) = model
+        case 9 =>
+          // compaction: a no-op returns CURRENT unchanged; otherwise
+          // one new generation with the SAME content
+          val g2 = CorpusStore.compactCorpusCow(spark, path)
+          if (g2 != gen) { gen = g2; history(gen) = model }
+        case 10 =>
+          // rebucket to a random count: same content, new granularity
+          gen = CorpusStore.rebucketCorpusCow(spark, path,
+            Seq(4, 8, 16)(rnd.nextInt(3)))
+          history(gen) = model
+        case _ =>
+          val keep = 1 + rnd.nextInt(3)
+          CorpusStore.vacuumCorpusSnapshots(spark, path, keepLast = keep)
+          base = math.max(base, gen - keep + 1)
+          history.keys.filter(_ < base).toSeq.foreach(history.remove)
+      }
+      assert(CorpusStore.currentGen(spark, path) == ((gen, base)),
+        s"step $step pointer drift")
+      assert(readAsMap(CorpusStore.readCorpusSnapshot(spark, path)) ==
+        model, s"step $step CURRENT read diverged from the model")
+      val probe = base + rnd.nextInt(gen - base + 1)
+      assert(readAsMap(
+        CorpusStore.readCorpusSnapshotAt(spark, path, probe)) ==
+        history(probe),
+        s"step $step retained gen $probe diverged from its history")
+    }
+
+    (base to gen).foreach { i =>
+      assert(readAsMap(
+        CorpusStore.readCorpusSnapshotAt(spark, path, i)) == history(i),
+        s"final sweep: gen $i diverged")
+    }
+    val meta = CorpusStore.listCorpusSnapshots(spark, path)
+      .as[(Int, Long)].collect().toMap
+    assert(meta == history.map { case (g, m) => g -> m.size.toLong }.toMap,
+      s"meta counts drifted: $meta")
+    val h = CorpusStore.cowHealthReport(spark, path)
+    assert(h.totalRows == model.size.toLong && h.current == gen &&
+      h.base == base && h.orphanDirs == 0, h.toString)
+  }
 }

@@ -153,4 +153,31 @@ class TakedownSpec extends SparkSpec {
     assert(gen2Dirs == Set(s"_cs_bucket=$bucketOf5"),
       s"absent ids touched buckets: $gen2Dirs")
   }
+
+  test("a full-layout corpus target fails fast BEFORE any store mutates") {
+    // round 16 — ADVICE: the COW check used to live in step 4 (inside
+    // deleteFromCorpusCow), AFTER the index tombstones and the ledger
+    // delete had landed — a half-applied takedown with no report
+    val full = tmp("graft-td-full")
+    val lsh = tmp("graft-td-full-lsh")
+    val corpus = (0L to 9L).map(i => (i, text(i))).toDF("doc_id", "text")
+      .localCheckpoint()
+    CorpusStore.writeCorpusSnapshot(corpus, full)
+    Dedup.writeLshIndex(corpus, "doc_id", "text", lsh)
+    val e = intercept[IllegalArgumentException] {
+      Takedown.takedownEverywhere(spark, Seq(3L).toDF("doc_id"),
+        "doc_id", "text",
+        TakedownTargets(corpusPath = Some(full), lshPath = Some(lsh)))
+    }
+    assert(e.getMessage.contains("not a copy-on-write"), e.getMessage)
+    // NOTHING mutated: the LSH index still serves the doomed id and
+    // the corpus still holds it
+    val hits =
+      try Dedup.dedupAgainstLshIndex(
+        Seq((103L, text(3L))).toDF("doc_id", "text"),
+        "doc_id", "text", lsh, threshold = 0.5).count()
+      finally Dedup.unpersistAll()
+    assert(hits == 1L, "index tombstoned before the fail-fast")
+    assert(CorpusStore.readCorpusSnapshot(spark, full).count() == 10)
+  }
 }
