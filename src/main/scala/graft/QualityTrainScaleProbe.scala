@@ -61,7 +61,7 @@ object QualityTrainScaleProbe {
       (a, (System.nanoTime() - t0) / 1e9)
     }
 
-    println("rep,n_labels,train_sec,deterministic,good_rate,bad_rate")
+    println("rep,n_labels,train_sec,recompute_sec,pairs_rows,sparse_rows,bitwise_equal,deterministic,good_rate,bad_rate")
     reps.foreach { rep =>
       val df = labeled(rep)
       val n = df.count()
@@ -69,7 +69,29 @@ object QualityTrainScaleProbe {
       try {
         val (m1, t) = time {
           QualityModel.trainDistributed(df, "doc_id", "text", "label",
-            dim = dim, iters = iters, scope = scope)
+            dim = dim, iters = iters, cachePairs = true, scope = scope)
+        }
+        // the round-16 trade measured (verdict task 4): the cached
+        // path persists the pair-products frame for the whole run —
+        // its row count IS the trainer's memory ceiling — while the
+        // recompute path (the default) holds only the sparse feature
+        // frame and must reproduce the fit bit-for-bit
+        val (mr, tr) = time {
+          QualityModel.trainDistributed(df, "doc_id", "text", "label",
+            dim = dim, iters = iters, cachePairs = false, scope = scope)
+        }
+        val bitEq = m1.bias == mr.bias &&
+          java.util.Arrays.equals(
+            m1.weights.map(java.lang.Double.doubleToLongBits),
+            mr.weights.map(java.lang.Double.doubleToLongBits))
+        val sparseRows = graft.operators.Featurize
+          .hashedTfIdfSparse(df, "doc_id", "text", dim, scope).count()
+        val pairRows = { // what cachePairs = true persists
+          val s = graft.operators.Featurize
+            .hashedTfIdfSparse(df, "doc_id", "text", dim, scope)
+            .select(col("_fh_id"), col("_fh_b"))
+          s.toDF("i", "j").join(s.toDF("i", "k"), Seq("i"))
+            .where(col("j") <= col("k")).count()
         }
         // bit-determinism across partition layouts, at probe scale
         val m2 = QualityModel.trainDistributed(df.repartition(7),
@@ -88,8 +110,8 @@ object QualityTrainScaleProbe {
             (col("quality_prob") > 0.5).cast("int").as("pred"))
           .groupBy("label").agg(avg("pred").as("p")).collect()
           .map(r => r.getInt(0) -> r.getDouble(1)).toMap
-        println(f"$rep,$n,$t%.2f,$det," +
-          f"${probs(1)}%.4f,${probs(0)}%.4f")
+        println(f"$rep,$n,$t%.2f,$tr%.2f,$pairRows,$sparseRows," +
+          f"$bitEq,$det,${probs(1)}%.4f,${probs(0)}%.4f")
       } finally scope.release()
     }
     // the bounded driver trainer refuses what the distributed one
