@@ -385,4 +385,119 @@ object TokenizerIO {
   /** Convenience overload without an extra alphabet. */
   def saveBpeTokenizerJson(merges: DataFrame, path: String): Unit =
     saveBpeTokenizerJson(merges, path, Nil)
+
+  // ——— HuggingFace tokenizer.json (Unigram model) ———————————————————
+  //
+  // The SP-style TSV above covers SentencePiece-adjacent consumers;
+  // the HF fast-tokenizer file for a unigram model is tokenizer.json
+  // with {"type":"Unigram","unk_id":N|null,"vocab":[[piece,logprob],
+  // …]} (round 16 — verdict task 5, completing the surface the BPE
+  // exporter opened). Logprobs ride as Double.toString — the shortest
+  // uniquely-identifying decimal, so the load parses back the SAME
+  // IEEE bits (spec-pinned) — and piece ids are the vocab list order,
+  // exactly how HF keys them.
+
+  /** Save a trained unigram piece table as a minimal HF-style
+    * tokenizer.json: deterministic field order, vocab entries in the
+    * given order (order IS the id map), logprobs IEEE-exact. Same
+    * table validation as [[saveUnigramVocab]] minus the TSV
+    * whitespace restriction (JSON escapes anything) — pieces must be
+    * non-empty, distinct, with finite logprobs; `unkId`, when given,
+    * must index into the table.
+    */
+  def saveUnigramTokenizerJson(spark: SparkSession,
+      table: Seq[UnigramPiece], path: String,
+      unkId: Option[Int] = None): Unit = {
+    require(table.nonEmpty, "saveUnigramTokenizerJson: empty piece table")
+    table.foreach { p =>
+      require(p.piece.nonEmpty,
+        "saveUnigramTokenizerJson: empty piece")
+      require(!p.logprob.isNaN && !p.logprob.isInfinite,
+        s"saveUnigramTokenizerJson: non-finite logprob for piece " +
+          s"'${p.piece}'")
+    }
+    require(table.map(_.piece).distinct.size == table.size,
+      "saveUnigramTokenizerJson: duplicate pieces in table")
+    unkId.foreach(u => require(u >= 0 && u < table.size,
+      s"saveUnigramTokenizerJson: unk_id $u outside the table " +
+        s"(size ${table.size})"))
+    def js(s: String): String = graft.SparkEntry.jsonStr(s)
+    val vocabJson = table
+      .map(p => s"[${js(p.piece)},${p.logprob}]")
+      .mkString("[", ",", "]")
+    writeText(spark, path,
+      s"""{"version":"1.0","truncation":null,"padding":null,""" +
+        s""""added_tokens":[],"normalizer":null,"pre_tokenizer":null,""" +
+        s""""post_processor":null,"decoder":null,""" +
+        s""""model":{"type":"Unigram","unk_id":${unkId.getOrElse("null")},""" +
+        s""""vocab":$vocabJson}}""")
+  }
+
+  /** Load a Unigram tokenizer.json back: the piece table in file
+    * order (order IS the id map) plus the stored unk_id. Fails fast
+    * with the offending entry on: missing/non-Unigram model block, a
+    * vocab that is not an array of [string, number] pairs, empty or
+    * duplicate pieces, non-finite logprobs, or an unk_id outside the
+    * table. Logprobs parse back to the exact IEEE bits the save wrote
+    * (spec-pinned).
+    */
+  def loadUnigramTokenizerJson(spark: SparkSession, path: String)
+      : (Seq[UnigramPiece], Option[Int]) = {
+    val text = readLines(spark, path).mkString("\n")
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(text)
+    val model = root.path("model")
+    require(!model.isMissingNode,
+      s"loadUnigramTokenizerJson: $path has no model block")
+    require(model.path("type").asText("") == "Unigram",
+      s"loadUnigramTokenizerJson: $path model.type is " +
+        s"'${model.path("type").asText("")}', not Unigram")
+    val vocabNode = model.path("vocab")
+    require(vocabNode.isArray && vocabNode.size > 0,
+      s"loadUnigramTokenizerJson: $path model.vocab is not a " +
+        "non-empty array")
+    val pieces = (0 until vocabNode.size).map { i =>
+      val e = vocabNode.get(i)
+      require(e.isArray && e.size == 2 && e.get(0).isTextual &&
+          e.get(1).isNumber,
+        s"loadUnigramTokenizerJson: $path vocab[$i] is not a " +
+          "[piece, logprob] pair")
+      val piece = e.get(0).asText()
+      require(piece.nonEmpty,
+        s"loadUnigramTokenizerJson: $path vocab[$i] has an empty piece")
+      val lp = e.get(1).asDouble()
+      require(!lp.isNaN && !lp.isInfinite,
+        s"loadUnigramTokenizerJson: $path vocab[$i] ('$piece') has a " +
+          "non-finite logprob")
+      UnigramPiece(piece, lp)
+    }.toVector
+    val dup = pieces.groupBy(_.piece)
+      .collectFirst { case (p, ps) if ps.size > 1 => p }
+    require(dup.isEmpty,
+      s"loadUnigramTokenizerJson: duplicate piece '${dup.orNull}' in $path")
+    val unkNode = model.path("unk_id")
+    val unkId =
+      if (unkNode.isMissingNode || unkNode.isNull) None
+      else {
+        require(unkNode.isIntegralNumber,
+          s"loadUnigramTokenizerJson: $path unk_id is not an integer")
+        val u = unkNode.asInt()
+        require(u >= 0 && u < pieces.size,
+          s"loadUnigramTokenizerJson: $path unk_id $u outside the " +
+            s"vocab (size ${pieces.size})")
+        Some(u)
+      }
+    (pieces, unkId)
+  }
+
+  /** Convenience: save [[graft.operators.TextAnalysis.unigramTrain]]'s
+    * (piece, logprob) DataFrame as tokenizer.json directly (bounded
+    * collect — piece tables are driver-scale artifacts).
+    */
+  def saveUnigramTokenizerJson(table: DataFrame, path: String): Unit =
+    saveUnigramTokenizerJson(table.sparkSession,
+      table.select("piece", "logprob").collect()
+        .map(r => UnigramPiece(r.getString(0), r.getDouble(1)))
+        .toIndexedSeq,
+      path)
 }

@@ -227,6 +227,97 @@ class TokenizerIOSpec extends SparkSpec {
     assert(notBpe.getMessage.contains("not BPE"), notBpe.getMessage)
   }
 
+  test("unigram tokenizer.json: train → save → load → pieces bit-identical, encode row-identical, unk_id round-trips") {
+    // round 16 — verdict task 5: the HF surface the BPE exporter
+    // opened, completed for the unigram model
+    val trained = TextAnalysis.unigramTrain(docs, "text",
+      vocabSize = 40, emIters = 1, seedSize = 64, maxPieceLen = 4)
+    val path = tmp("graft-unitok", ".json")
+    TokenizerIO.saveUnigramTokenizerJson(trained, path)
+
+    // format pin: deterministic field order, Unigram model block with
+    // [piece, logprob] pairs in id order
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")
+    assert(text.startsWith(
+      """{"version":"1.0","truncation":null,"padding":null,""" +
+        """"added_tokens":[],"normalizer":null,"pre_tokenizer":null,""" +
+        """"post_processor":null,"decoder":null,""" +
+        """"model":{"type":"Unigram","unk_id":null,"vocab":[["""),
+      text.take(250))
+
+    val mem = trained.collect().map(r =>
+      UnigramPiece(r.getString(0), r.getDouble(1))).toIndexedSeq
+    val (loaded, unk) = TokenizerIO.loadUnigramTokenizerJson(spark, path)
+    assert(unk.isEmpty)
+    // EXACT double equality — Double.toString round-trips IEEE bits
+    // through JSON, so a near-tie Viterbi decision cannot flip
+    assert(loaded == mem, s"piece table drifted:\n mem: $mem\n load: $loaded")
+    assertSameRows(
+      TextAnalysis.unigramEncode(docs, "doc_id", "text", mem),
+      TextAnalysis.unigramEncode(docs, "doc_id", "text", loaded))
+    // unk_id rides the round trip when set
+    val path2 = tmp("graft-unitok2", ".json")
+    TokenizerIO.saveUnigramTokenizerJson(spark, mem, path2,
+      unkId = Some(0))
+    val (loaded2, unk2) = TokenizerIO.loadUnigramTokenizerJson(spark, path2)
+    assert(loaded2 == mem && unk2.contains(0))
+  }
+
+  test("unigram tokenizer.json save/load fail fast on malformed and drifted files") {
+    def write(content: String): String = {
+      val p = tmp("graft-unibad", ".json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        content.getBytes("UTF-8"))
+      p
+    }
+    // save-side: duplicates, non-finite logprobs, out-of-range unk_id
+    val dupS = intercept[IllegalArgumentException] {
+      TokenizerIO.saveUnigramTokenizerJson(spark,
+        Seq(UnigramPiece("ab", -1.0), UnigramPiece("ab", -2.0)),
+        tmp("graft-unidup", ".json"))
+    }
+    assert(dupS.getMessage.contains("duplicate"), dupS.getMessage)
+    val infS = intercept[IllegalArgumentException] {
+      TokenizerIO.saveUnigramTokenizerJson(spark,
+        Seq(UnigramPiece("ab", Double.NegativeInfinity)),
+        tmp("graft-uniinf", ".json"))
+    }
+    assert(infS.getMessage.contains("non-finite"), infS.getMessage)
+    val unkS = intercept[IllegalArgumentException] {
+      TokenizerIO.saveUnigramTokenizerJson(spark,
+        Seq(UnigramPiece("ab", -1.0)), tmp("graft-uniunk", ".json"),
+        unkId = Some(5))
+    }
+    assert(unkS.getMessage.contains("unk_id"), unkS.getMessage)
+    // load-side: a BPE file is not a unigram model
+    val notUni = intercept[IllegalArgumentException] {
+      TokenizerIO.loadUnigramTokenizerJson(spark, write(
+        """{"model":{"type":"BPE","vocab":{},"merges":[]}}"""))
+    }
+    assert(notUni.getMessage.contains("not Unigram"), notUni.getMessage)
+    // a vocab entry that is not a [piece, logprob] pair, named by index
+    val badEntry = intercept[IllegalArgumentException] {
+      TokenizerIO.loadUnigramTokenizerJson(spark, write(
+        """{"model":{"type":"Unigram","unk_id":null,""" +
+          """"vocab":[["ab",-1.0],["cd"]]}}"""))
+    }
+    assert(badEntry.getMessage.contains("vocab[1]"), badEntry.getMessage)
+    // duplicates, non-finite logprobs and bad unk_id on load
+    val dupL = intercept[IllegalArgumentException] {
+      TokenizerIO.loadUnigramTokenizerJson(spark, write(
+        """{"model":{"type":"Unigram","unk_id":null,""" +
+          """"vocab":[["ab",-1.0],["ab",-2.0]]}}"""))
+    }
+    assert(dupL.getMessage.contains("duplicate"), dupL.getMessage)
+    val unkL = intercept[IllegalArgumentException] {
+      TokenizerIO.loadUnigramTokenizerJson(spark, write(
+        """{"model":{"type":"Unigram","unk_id":7,""" +
+          """"vocab":[["ab",-1.0]]}}"""))
+    }
+    assert(unkL.getMessage.contains("unk_id"), unkL.getMessage)
+  }
+
   test("unigram load: malformed lines, bad doubles and duplicates fail fast") {
     def write(content: String): String = {
       val p = tmp("graft-badvocab", ".tsv")
