@@ -344,7 +344,8 @@ private[queries] object PipelineCuration {
               col("_c_nt"))))
           .select("source", "_c_rate")
         val sampled = clean.join(broadcast(rates), Seq("source"))
-          .where(((col("doc_id") * lit(2654435761L)) % lit(1000003L))
+          .where(((pmod(col("doc_id"), lit(2147483647L)) *
+              lit(2654435761L)) % lit(1000003L))
             .cast("double") / lit(1000003.0) < col("_c_rate"))
         Packing.packSequences(sampled, "doc_id",
             TextAnalysis.bpePieceCount(col("text")),
@@ -722,7 +723,14 @@ private[queries] object PipelineCuration {
       (s, dir) => {
         val docs = Tables.load(s, dir, "documents")
         val train = docs.where(col("doc_id") % 10 =!= 0)
+        // probes capped by the cross-engine hash order (round 16 —
+        // see PipelineShared.c03ProbeCap: a bench suite is fixed, it
+        // does not grow with the training corpus)
         val probes = docs.where(col("doc_id") % 1000 === 0)
+          .orderBy((pmod(col("doc_id"), lit(2147483647L)) *
+              lit(2654435761L)) % lit(1000000007L),
+            col("doc_id"))
+          .limit(c03ProbeCap)
           .select(col("doc_id").as("query_id"), col("text").as("query_text"))
         val overlap = Dedup.ngramOverlapScore(
             train, docs.where(col("doc_id") % 10 === 0),
@@ -755,11 +763,13 @@ private[queries] object PipelineCuration {
              |  SELECT (SELECT COUNT(*) FROM documents
              |          WHERE doc_id % 10 <> 0) AS n_docs,
              |         (SELECT coalesce(SUM(dl), 0) FROM dl) AS n_tokens
+             |), qprobes AS (
+             |  $c03ProbeSql
              |), qterms AS (
              |  SELECT doc_id AS query_id, unnest(list_distinct(list_filter(
              |    regexp_split_to_array(trim(lower(text)),
              |    '[ \\t\\n\\v\\f\\r]+'), x -> x <> ''))) AS term
-             |  FROM documents WHERE doc_id % 1000 = 0
+             |  FROM qprobes
              |), matched AS (
              |  SELECT p.* FROM postings p
              |  WHERE term IN (SELECT term FROM qterms)

@@ -198,7 +198,8 @@ private[queries] object PipelineDedup {
         val docs = Tables.load(s, dir, "documents")
         val sample = docs.where(col("doc_id") % 10 === 0)
           .select("doc_id", "text")
-          .orderBy((col("doc_id") * lit(2654435761L)) % lit(1000000007L),
+          .orderBy((pmod(col("doc_id"), lit(2147483647L)) *
+              lit(2654435761L)) % lit(1000000007L),
             col("doc_id"))
           .limit(d17SampleCap)
         val edited = sample.where(col("doc_id") % 20 === 0)

@@ -170,8 +170,11 @@ private[queries] object PipelineShared {
   /** d17 eval-sample cap (round 15 — verdict task 4): the eval's
     * |sample|² ground-truth join must not grow with the corpus, so
     * the doc_id%10 pool is ranked by a multiplicative hash both
-    * engines compute identically in BIGINT ((doc_id·2654435761) mod
-    * 1000000007 — max doc_id · the multiplier stays far under 2⁶³)
+    * engines compute identically in BIGINT (((doc_id mod 2³¹−1) ·
+    * 2654435761) mod 1000000007 — the PRE-REDUCTION keeps the product
+    * under 2⁶³ for ANY doc_id; round 16: the unreduced form
+    * overflowed ANSI longs past doc_id ≈ 3.47·10⁹, i.e. at real
+    * 100 TB id ranges, caught by PipelineSfScaleProbe's 100× run)
     * with doc_id as the total-order tie-break, and only the first
     * `d17SampleCap` rows enter the eval. At sf0.01 (50 pool rows)
     * the cap is slack — the entry's behavior there is unchanged —
@@ -186,8 +189,30 @@ private[queries] object PipelineShared {
   /** The capped hash-ordered d17 pool, as one DuckDB fragment. */
   val d17SampSql: String =
     "SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0\n" +
-      "  ORDER BY (doc_id * 2654435761) % 1000000007, doc_id " +
-      s"LIMIT $d17SampleCap"
+      "  ORDER BY ((doc_id % 2147483647) * 2654435761) % 1000000007, " +
+      s"doc_id LIMIT $d17SampleCap"
+
+  /** c03 probe cap (round 16 — PipelineSfScaleProbe's one
+    * super-linear finding, triaged): the audit's retrieval leg
+    * scored every (probe, train doc) pair, and BOTH sides grow with
+    * the corpus (probes are the doc_id%1000 bench sample) — on the
+    * degenerate 31-word synthetic vocabulary every pair matches, so
+    * the contribution mass is quadratic and c03 measured 233× at
+    * 100× data (629 s, 35 GB of shuffle spill). A real audit runs a
+    * FIXED bench suite, not one that grows with the training corpus:
+    * the probe pool is ranked by the same cross-engine multiplicative
+    * hash as d17's sample and capped, making the retrieval leg's
+    * probe side a harness constant. Slack at sf0.01/sf0.1 (≤ 5 pool
+    * rows — behavior unchanged, same oracle rows); binding from
+    * ~20× up. Post-fix measurement in §4.
+    */
+  val c03ProbeCap = 100
+
+  /** The capped hash-ordered c03 probe pool, as one DuckDB fragment. */
+  val c03ProbeSql: String =
+    "SELECT doc_id, text FROM documents WHERE doc_id % 1000 = 0\n" +
+      "  ORDER BY ((doc_id % 2147483647) * 2654435761) % 1000000007, " +
+      s"doc_id LIMIT $c03ProbeCap"
 
   /** c10 oracle: replays the ENTIRE curate → dedup → decontaminate →
     * mix-allocate → pack pipeline as one CTE chain — each stage is the
@@ -262,7 +287,8 @@ private[queries] object PipelineShared {
        |), samp AS (
        |  SELECT c.doc_id, c.text
        |  FROM clean c JOIN rates r USING (source)
-       |  WHERE ((c.doc_id * 2654435761) % 1000003) / 1000003.0 < r.rate
+       |  WHERE (((c.doc_id % 2147483647) * 2654435761) % 1000003)
+       |        / 1000003.0 < r.rate
        |), t AS (
        |  SELECT doc_id,
        |    ((doc_id % 2147483647) * 2654435761) % 8 AS shard,
