@@ -640,6 +640,10 @@ object CorpusStore {
     val changes = df.localCheckpoint()
     requireChangeFrame(spark, path, changes, idCol, manifest,
       "appendDeltaToCorpusCow")
+    // empty frames fail HERE with the contract's message — after the
+    // write they would surface as an unreadable zero-file tree
+    require(changes.limit(1).count() > 0,
+      "appendDeltaToCorpusCow: empty change set")
     // the delta write IS the whole data write: the batch's own rows,
     // partitioned by bucket, under the generation's private deltas dir
     changes.withColumn("_cs_bucket", bucketExpr(idCol, numBuckets))
@@ -837,6 +841,89 @@ object CorpusStore {
     require(isCow(spark, path),
       s"CorpusStore: $path is not a copy-on-write store")
     (cowIdCol(spark, path), effectiveNumBuckets(spark, path))
+  }
+
+  // ——— Incremental reads (round 16 — verdict stretch task 8) ————————
+
+  /** The rows generations `(fromGen, toGen]` INTRODUCED — resolved
+    * from toGen's manifest alone: exactly the trees with
+    * src_gen > fromGen, merged last-writer-wins where several cover
+    * one bucket. This is how a downstream consumer (index ingest,
+    * pack writer) follows the living corpus WITHOUT rescanning
+    * CURRENT: for delta generations (the streaming ingest default)
+    * the new trees hold exactly the upserted rows, so the read is
+    * O(changes). `fromGen = -1` bootstraps with the full version.
+    * fromGen itself needs no retention — only its NUMBER is used, and
+    * every tree toGen references is refcount-protected regardless of
+    * how far vacuum moved base.
+    *
+    * Delivery contract (document before wiring a consumer):
+    *  - AT-LEAST-the-changes: a bucket REWRITE generation (upsert /
+    *    takedown / compaction / rebucket) re-emits its whole
+    *    bucket(s), carried rows included — so consumers must be
+    *    idempotent per row, exactly what the index-ingest stores
+    *    already are (byte-identical appends both probes distinct
+    *    away);
+    *  - DELETIONS never surface (a takedown's removals are absent,
+    *    not emitted) — removal fan-out is
+    *    [[graft.operators.Takedown.takedownEverywhere]]'s job, not a
+    *    change feed's.
+    */
+  def corpusChangesSince(spark: SparkSession, path: String,
+                         fromGen: Int, toGen: Int): DataFrame = {
+    require(isCow(spark, path),
+      s"CorpusStore: $path is not a copy-on-write store")
+    val (g, b) = currentGen(spark, path)
+    require(toGen >= b && toGen <= g,
+      s"CorpusStore: generation $toGen is not retained at $path " +
+        s"(committed $g, oldest retained $b)")
+    require(fromGen <= toGen,
+      s"corpusChangesSince: fromGen $fromGen > toGen $toGen")
+    if (fromGen < 0) readCorpusSnapshotAt(spark, path, toGen)
+    else {
+      val manifest = readCowManifest(spark, path, toGen)
+      val changed = manifest.flatMap { case (bk, st) =>
+        val es = st.entries.filter(_.srcGen > fromGen)
+        if (es.isEmpty) None else Some(bk -> CowBucket(st.live, es))
+      }
+      if (changed.isEmpty)
+        readCorpusSnapshotAt(spark, path, toGen).limit(0)
+      else readCowView(spark, path, cowIdCol(spark, path), changed)
+    }
+  }
+
+  /** One pull of a named durable follower — the consumer-group idiom
+    * over [[corpusChangesSince]]: the follower's acknowledged
+    * generation lives at `path/followers/<consumer>` (the same atomic
+    * [[GenPointer]] file as every commit in this module), each call
+    * hands `body` the changes from that offset to CURRENT, and the
+    * offset advances ONLY after `body` returns — a crash inside the
+    * body replays the same generation range on the next call
+    * (at-least-once per range; consumers are idempotent per row by
+    * the [[corpusChangesSince]] contract, so the chain is
+    * exactly-once in EFFECT — spec-pinned end to end against the LSH
+    * index). A fresh consumer bootstraps with the full CURRENT
+    * version. Returns the (fromGen, toGen] range processed, or None
+    * when the follower is already current (no body call, no commit).
+    */
+  def followCorpus(spark: SparkSession, path: String, consumer: String)
+                  (body: DataFrame => Unit): Option[(Int, Int)] = {
+    require(isCow(spark, path),
+      s"CorpusStore: $path is not a copy-on-write store")
+    require(consumer.nonEmpty && !consumer.contains("/"),
+      s"followCorpus: '$consumer' is not a valid consumer name")
+    val (cur, _) = currentGen(spark, path)
+    val offPath = s"$path/followers/$consumer"
+    val from =
+      if (GenPointer.exists(spark, offPath))
+        GenPointer.read(spark, offPath)._1
+      else -1
+    if (from >= cur) None
+    else {
+      body(corpusChangesSince(spark, path, from, cur))
+      GenPointer.commit(spark, offPath, cur)
+      Some((from, cur))
+    }
   }
 
   // ——— Reads (both layouts) —————————————————————————————————————————
@@ -1076,5 +1163,51 @@ object CorpusStore {
       orphanBytes = orphanBytes,
       needsVacuum = orphans.nonEmpty || (g - b + 1) > maxGenerations,
       needsCompaction = maxChain >= compactAfterDeltas)
+  }
+
+  /** What one COW maintenance pass did — the
+    * [[graft.operators.IndexHealth.MaintainResult]] stance for the
+    * corpus store: the health row that triggered it, the actions
+    * taken (in order), and the health row after.
+    */
+  final case class CowMaintainResult(before: CowHealth,
+      actions: Seq[String], after: CowHealth)
+
+  /** One periodic maintenance pass over a COW store — the
+    * [[graft.operators.IndexHealth.maintain]] idiom applied to the
+    * corpus (round 16, closing the delta layer's ops loop): read the
+    * health row, COMPACT when delta chains reached
+    * `compactAfterDeltas` (folds every delta-carrying bucket — the
+    * read-side merge price resets to zero), then VACUUM when
+    * retention exceeds `maxGenerations` or orphans exist (trims to
+    * the newest `maxGenerations` versions and sweeps unreferenced
+    * trees). Compaction runs FIRST: it commits one more generation,
+    * and the vacuum that follows applies the retention policy to the
+    * post-compaction history, so a single pass converges to a clean
+    * store (spec-pinned; a healthy store is a no-op that returns its
+    * health unchanged). Both operations keep every remaining
+    * generation reading bit-identically — this loop never changes
+    * CURRENT's content. The vacuum's reader contract applies: trim
+    * `maxGenerations` only past your longest-running reader.
+    */
+  def maintainCorpusCow(spark: SparkSession, path: String,
+      maxGenerations: Int = 16,
+      compactAfterDeltas: Int = 8): CowMaintainResult = {
+    val before = cowHealthReport(spark, path, maxGenerations,
+      compactAfterDeltas)
+    val actions = Seq.newBuilder[String]
+    if (before.needsCompaction) {
+      compactCorpusCow(spark, path)
+      actions += "compacted"
+    }
+    // re-check retention AFTER the compaction generation (health's
+    // needsVacuum saw the pre-compaction count)
+    val (g, b) = currentGen(spark, path)
+    if (before.needsVacuum || (g - b + 1) > maxGenerations) {
+      vacuumCorpusSnapshots(spark, path, keepLast = maxGenerations)
+      actions += "vacuumed"
+    }
+    CowMaintainResult(before, actions.result(),
+      cowHealthReport(spark, path, maxGenerations, compactAfterDeltas))
   }
 }

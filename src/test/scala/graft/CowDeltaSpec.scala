@@ -252,6 +252,73 @@ class CowDeltaSpec extends SparkSpec {
     }
   }
 
+  test("maintainCorpusCow: one pass compacts delta pressure then vacuums retention/orphans; a healthy store is a no-op") {
+    val path = tmp("graft-cowm")
+    CorpusStore.writeCorpusCow(corpus, path, "doc_id", nBuckets)
+    // healthy: nothing to do, health unchanged
+    val idle = CorpusStore.maintainCorpusCow(spark, path)
+    assert(idle.actions.isEmpty && idle.after == idle.before,
+      idle.toString)
+    // build pressure: 3 deltas on one id (chain = 3) + enough
+    // generations to exceed a retention policy of 2
+    (2 to 4).foreach(v => CorpusStore.appendDeltaToCorpusCow(
+      Seq((5L, s"five v$v")).toDF("doc_id", "text"), path))
+    val want = rows(CorpusStore.readCorpusSnapshot(spark, path))
+    val r = CorpusStore.maintainCorpusCow(spark, path,
+      maxGenerations = 2, compactAfterDeltas = 3)
+    assert(r.actions == Seq("compacted", "vacuumed"), r.toString)
+    assert(r.before.needsCompaction && r.before.needsVacuum, r.toString)
+    // one pass converges: flags clear, retention at policy, content
+    // bit-identical
+    assert(!r.after.needsCompaction && !r.after.needsVacuum &&
+      r.after.generations == 2 && r.after.maxDeltaChain == 0,
+      r.after.toString)
+    assert(rows(CorpusStore.readCorpusSnapshot(spark, path)) == want)
+    // the vacuum applied the policy to the POST-compaction history
+    // (the compaction generation itself is the newest retained one)
+    assert(CorpusStore.currentGen(spark, path) == ((4, 3)))
+  }
+
+  test("corpusChangesSince: delta generations emit exactly their rows; rewrites re-emit their bucket; a vacuumed fromGen still resolves") {
+    val path = tmp("graft-cowch")
+    CorpusStore.writeCorpusCow(corpus, path, "doc_id", nBuckets)
+    CorpusStore.appendDeltaToCorpusCow(
+      Seq((5L, "five v2"), (41L, "fortyone")).toDF("doc_id", "text"),
+      path)                                                    // gen 1
+    CorpusStore.appendDeltaToCorpusCow(
+      Seq((42L, "fortytwo")).toDF("doc_id", "text"), path)     // gen 2
+    // delta ranges hand back EXACTLY the upserted rows, LWW-merged
+    assert(rows(CorpusStore.corpusChangesSince(spark, path, 0, 1)) ==
+      Seq((5L, "five v2"), (41L, "fortyone")))
+    assert(rows(CorpusStore.corpusChangesSince(spark, path, 0, 2)) ==
+      Seq((5L, "five v2"), (41L, "fortyone"), (42L, "fortytwo")))
+    assert(rows(CorpusStore.corpusChangesSince(spark, path, 1, 2)) ==
+      Seq((42L, "fortytwo")))
+    // an empty range reads zero rows without touching data
+    assert(CorpusStore.corpusChangesSince(spark, path, 2, 2).count() == 0)
+    // a takedown REWRITES its bucket: the feed re-emits the carried
+    // rows of that bucket (the documented superset contract) and the
+    // removal itself never surfaces
+    CorpusStore.deleteFromCorpusCow(Seq(17L).toDF("doc_id"), path) // gen 3
+    val reEmitted = rows(CorpusStore.corpusChangesSince(spark, path, 2, 3))
+    val bucket17 = bucketsOf(Seq(17L)).head
+    val expected = rows(CorpusStore.readCorpusSnapshot(spark, path))
+      .filter { case (id, _) => bucketsOf(Seq(id)).head == bucket17 }
+    assert(reEmitted == expected, s"$reEmitted vs $expected")
+    assert(!reEmitted.exists(_._1 == 17L))
+    // bootstrap: fromGen = -1 is the full version
+    assert(rows(CorpusStore.corpusChangesSince(spark, path, -1, 3)) ==
+      rows(CorpusStore.readCorpusSnapshot(spark, path)))
+    // fromGen needs no retention — only its NUMBER is used; every
+    // tree the retained manifest references is refcount-protected
+    // (the union is distinct-by-id: if 42 hashed into 17's bucket the
+    // takedown fold already carries it in the re-emitted base)
+    CorpusStore.vacuumCorpusSnapshots(spark, path, keepLast = 1)
+    assert(rows(CorpusStore.corpusChangesSince(spark, path, 1, 3)) ==
+      (Seq((42L, "fortytwo")) ++ expected)
+        .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1))
+  }
+
   test("both streaming ingest writers share one ingest-log schema — a store serviced by both replays correctly and reads every column") {
     val path = tmp("graft-cowlog")
     val ledger = tmp("graft-cowlog-led")

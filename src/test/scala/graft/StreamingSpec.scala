@@ -1146,4 +1146,85 @@ class StreamingSpec extends SparkSpec {
       assert(rawByModality.get("text") > 3L, rawByModality.toString)
     } finally { q.stop(); scope.release() }
   }
+
+  test("followCorpus: cowIngestBatch → change feed → LSH ingest, exactly-once in effect across a crash replay") {
+    // round 16 — verdict stretch task 8: a downstream consumer
+    // follows the living corpus through the generation-aware change
+    // feed instead of rescanning CURRENT; the offset commits AFTER
+    // the consumer body, so a crash replays the range and the
+    // idempotent index append absorbs it
+    import graft.operators.Dedup
+    import graft.sources.CorpusStore
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    def dtext(i: Long): String =
+      (0 until 8).map(j => s"f${i}x$j").mkString(" ")
+    val store = tmp("graft-fc-store")
+    val lsh = tmp("graft-fc-lsh")
+    val founding = (0L to 9L).map(i => (i, dtext(i)))
+      .toDF("doc_id", "text")
+    CorpusStore.writeCorpusCow(founding, store, "doc_id", numBuckets = 8)
+    Dedup.writeLshIndex(founding, "doc_id", "text", lsh)
+    def lshCollides(i: Long): Boolean =
+      try Dedup.dedupAgainstLshIndex(
+        Seq((900L + i, dtext(i))).toDF("doc_id", "text"),
+        "doc_id", "text", lsh, threshold = 0.5).count() > 0
+      finally Dedup.unpersistAll()
+
+    // a fresh follower bootstraps with the full CURRENT version
+    var seen = -1L
+    assert(CorpusStore.followCorpus(spark, store, "lsh-ingest") { df =>
+      seen = df.count()
+    }.contains((-1, 0)))
+    assert(seen == 10L)
+    // already current: no body call, no commit
+    var called = false
+    assert(CorpusStore.followCorpus(spark, store, "lsh-ingest") { _ =>
+      called = true
+    }.isEmpty && !called)
+
+    // two streamed micro-batches through the COW ingest writer
+    // (delta generations — the change feed reads O(changes))
+    CorpusStore.cowIngestBatch(store)(
+      Seq((20L, dtext(20L))).toDF("doc_id", "text"), 0L)
+    CorpusStore.cowIngestBatch(store)(
+      Seq((21L, dtext(21L))).toDF("doc_id", "text"), 1L)
+    var got = Set.empty[Long]
+    assert(CorpusStore.followCorpus(spark, store, "lsh-ingest") { df =>
+      got = df.select("doc_id").as[Long].collect().toSet
+      Dedup.appendToLshIndex(df, "doc_id", "text", lsh)
+    }.contains((0, 2)))
+    assert(got == Set(20L, 21L), got.toString)
+    assert(lshCollides(20L) && lshCollides(21L),
+      "followed batches must be probe-visible in the index")
+
+    // crash window: the append LANDED but the offset commit didn't
+    // (body throws after its writes) — the replay re-offers the same
+    // range and the byte-identical re-append is distinct-ed away by
+    // every probe (exactly-once in effect)
+    CorpusStore.cowIngestBatch(store)(
+      Seq((22L, dtext(22L))).toDF("doc_id", "text"), 2L)
+    intercept[RuntimeException] {
+      CorpusStore.followCorpus(spark, store, "lsh-ingest") { df =>
+        Dedup.appendToLshIndex(df, "doc_id", "text", lsh)
+        throw new RuntimeException("crash after append, before commit")
+      }
+    }
+    val replay = CorpusStore.followCorpus(spark, store, "lsh-ingest") { df =>
+      assert(df.select("doc_id").as[Long].collect().toSet == Set(22L))
+      Dedup.appendToLshIndex(df, "doc_id", "text", lsh)
+    }
+    assert(replay.contains((2, 3)), replay.toString)
+    assert(lshCollides(22L))
+    // the doubled append collapses to ONE match in the probe
+    val hits =
+      try Dedup.dedupAgainstLshIndex(
+        Seq((922L, dtext(22L))).toDF("doc_id", "text"),
+        "doc_id", "text", lsh, threshold = 0.5).count()
+      finally Dedup.unpersistAll()
+    assert(hits == 1L, s"replayed append must distinct away, got $hits")
+    // and the follower is current again
+    assert(CorpusStore.followCorpus(spark, store, "lsh-ingest")(_ => ())
+      .isEmpty)
+  }
 }
