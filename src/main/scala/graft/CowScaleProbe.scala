@@ -120,7 +120,8 @@ object CowScaleProbe {
       .map(_.toInt).getOrElse(8)
     val batchRows = sys.env.get("SPARK_GRAFT_COW_BATCH_ROWS")
       .map(_.toInt).getOrElse(20)
-    println("rep,n_docs,mode,ingest_sec,ingest_bytes,compact_sec,compact_bytes")
+    println("rep,n_docs,mode,ingest_sec,ingest_bytes,compact_sec," +
+      "compact_bytes,read_before_sec,read_after_sec")
     reps.foreach { rep =>
       val corpus = (0 until rep).map(i =>
           docs.select((col("doc_id") + lit(i.toLong * 10000000L))
@@ -147,12 +148,22 @@ object CowScaleProbe {
         }
         val root = if (asDeltas) "deltas" else "parts"
         val ingBytes = (1 to batches).map(g => du(s"$dir/$root/gen=$g")).sum
+        // the delta layer's READ price: CURRENT with the batches'
+        // delta chains pays the LWW merge window; compaction retires
+        // it — both sides measured so the §4 trade is two-sided
+        val (_, readBefore) = time {
+          CorpusStore.readCorpusSnapshot(spark, dir).count()
+        }
         val (cg, cSec) =
           if (asDeltas) time(CorpusStore.compactCorpusCow(spark, dir))
           else (batches, 0.0)
         val cBytes = if (asDeltas) du(s"$dir/parts/gen=$cg") else 0L
+        val (_, readAfter) = time {
+          CorpusStore.readCorpusSnapshot(spark, dir).count()
+        }
         val mode = if (asDeltas) "delta" else "rewrite"
-        println(s"$rep,$n,$mode,$ingSec,$ingBytes,$cSec,$cBytes")
+        println(s"$rep,$n,$mode,$ingSec,$ingBytes,$cSec,$cBytes," +
+          s"$readBefore,$readAfter")
       }
     }
     spark.stop()

@@ -51,7 +51,8 @@ object Ingest {
 
   def corpusIngestBatch(corpusPath: String, ledgerPath: String,
                         lshPath: Option[String] = None,
-                        asDeltas: Boolean = true)
+                        asDeltas: Boolean = true,
+                        maintainEvery: Option[Long] = None)
                        (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val logPath = s"$corpusPath/ingest_log"
@@ -94,5 +95,13 @@ object Ingest {
     // batch committed nothing (all content deduplicated away)
     CorpusStore.appendIngestLog(spark, logPath, batchId, gen,
       admitted.count())
+    // delta-layer compaction cadence (round 16): health-gated, one
+    // pass every n-th batch id, after the log — content-neutral, so
+    // crashes/replays around it change nothing (see cowIngestBatch)
+    maintainEvery.foreach { n =>
+      require(n >= 1, "corpusIngestBatch: maintainEvery must be >= 1")
+      if (batchId % n == n - 1)
+        CorpusStore.maintainCorpusCow(spark, corpusPath)
+    }
   }
 }

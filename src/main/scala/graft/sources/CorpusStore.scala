@@ -777,8 +777,14 @@ object CorpusStore {
     * Empty micro-batches commit nothing. Batches must be ID-UNIQUE
     * (the shared fail-fast contract — an intra-batch duplicated id
     * has no deterministic survivor); route the stream through an
-    * admission/dedup operator first. Run [[compactCorpusCow]] when
-    * [[cowHealthReport]] flags delta pressure.
+    * admission/dedup operator first. `maintainEvery = Some(n)` runs
+    * one [[maintainCorpusCow]] pass after every n-th batch id (the
+    * delta layer's compaction cadence, wired into the stream so the
+    * read-side merge price stays bounded without an external
+    * scheduler); the pass runs AFTER the batch-id log, is
+    * content-neutral and converges from any state, so replays and
+    * crashes around it change nothing about the data — and it stays
+    * a health-gated no-op when the store is clean.
     *
     * Wire it:
     * {{{
@@ -787,7 +793,10 @@ object CorpusStore {
     *   .start()
     * }}}
     */
-  def cowIngestBatch(path: String, asDeltas: Boolean = true)
+  def cowIngestBatch(path: String, asDeltas: Boolean = true,
+                     maintainEvery: Option[Long] = None,
+                     maxGenerations: Int = 16,
+                     compactAfterDeltas: Int = 8)
                     (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val logPath = s"$path/ingest_log"
@@ -800,6 +809,11 @@ object CorpusStore {
       if (asDeltas) appendDeltaToCorpusCow(b, path)
       else upsertIntoCorpusCow(b, path)
     appendIngestLog(spark, logPath, batchId, Some(gen), b.count())
+    maintainEvery.foreach { n =>
+      require(n >= 1, "cowIngestBatch: maintainEvery must be >= 1")
+      if (batchId % n == n - 1)
+        maintainCorpusCow(spark, path, maxGenerations, compactAfterDeltas)
+    }
   }
 
   /** Whether an ingest log records `batchId`. "No log yet" is an

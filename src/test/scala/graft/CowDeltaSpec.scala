@@ -279,6 +279,32 @@ class CowDeltaSpec extends SparkSpec {
     assert(CorpusStore.currentGen(spark, path) == ((4, 3)))
   }
 
+  test("cowIngestBatch maintainEvery: the stream self-compacts on cadence; chains stay bounded; replays stay no-ops") {
+    val path = tmp("graft-cowauto")
+    CorpusStore.writeCorpusCow(corpus, path, "doc_id", nBuckets)
+    val ingest = (b: Seq[(Long, String)], id: Long) =>
+      CorpusStore.cowIngestBatch(path, maintainEvery = Some(3L),
+        maxGenerations = 32, compactAfterDeltas = 2)(
+        b.toDF("doc_id", "text"), id)
+    // six single-doc batches, all upserting the SAME id (worst-case
+    // chain growth on one bucket); cadence hits at batch ids 2 and 5
+    (0 to 5).foreach(i => ingest(Seq((41L, s"doc41 v$i")), i.toLong))
+    val h = CorpusStore.cowHealthReport(spark, path)
+    // without the cadence the chain would be 6; each cadence pass
+    // folds it, so at most the 3 deltas since the last pass remain
+    assert(h.maxDeltaChain <= 3, h.toString)
+    // content is last-writer-wins correct through the compactions
+    assert(rows(CorpusStore.readCorpusSnapshot(spark, path)) ==
+      rows(corpus.unionByName(Seq((41L, "doc41 v5"))
+        .toDF("doc_id", "text"))))
+    // replaying a logged batch id is still a no-op (the maintenance
+    // pass never runs for replayed ids either — the guard returns
+    // first)
+    val gen = CorpusStore.currentGen(spark, path)._1
+    ingest(Seq((41L, "doc41 v0")), 0L)
+    assert(CorpusStore.currentGen(spark, path)._1 == gen)
+  }
+
   test("corpusChangesSince: delta generations emit exactly their rows; rewrites re-emit their bucket; a vacuumed fromGen still resolves") {
     val path = tmp("graft-cowch")
     CorpusStore.writeCorpusCow(corpus, path, "doc_id", nBuckets)

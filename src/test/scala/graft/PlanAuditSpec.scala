@@ -636,6 +636,48 @@ class PlanAuditSpec extends SparkSpec {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("corpusChangesSince over a delta range scans ONLY delta trees; base-only reads skip the LWW window — the O(changes) plan pins") {
+    // the change feed's 100 TB claim (round 16 — verdict stretch 8):
+    // a consumer following delta generations reads O(changes), never
+    // the corpus. A regression that resolved changes through
+    // snapshotDelta-style diffing would still return the same rows at
+    // spec scale while re-reading every base tree per poll — so the
+    // physical plan is pinned to the delta directories
+    import graft.sources.CorpusStore
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-pa-feed").toString
+    val corpus = (1 to 40).map(i => (i.toLong, s"doc $i body"))
+      .toDF("doc_id", "text")
+    CorpusStore.writeCorpusCow(corpus, path, "doc_id", numBuckets = 8)
+    CorpusStore.appendDeltaToCorpusCow(
+      Seq((5L, "five v2"), (41L, "fortyone")).toDF("doc_id", "text"), path)
+    CorpusStore.appendDeltaToCorpusCow(
+      Seq((42L, "fortytwo")).toDF("doc_id", "text"), path)
+    val feed = CorpusStore.corpusChangesSince(spark, path, 0, 2)
+    val phys = feed.queryExecution.executedPlan.toString
+    assert(phys.contains("/deltas/gen="),
+      s"feed lost its delta scans:\n$phys")
+    assert(!phys.contains("/parts/gen="),
+      s"change feed re-reads base trees — O(corpus) per poll at " +
+        s"scale:\n$phys")
+    // the fast path: a base-only store's read is the plain multi-dir
+    // scan — no LWW window, no exchange beyond the scan
+    val plainPath = java.nio.file.Files
+      .createTempDirectory("graft-pa-plain").toString
+    CorpusStore.writeCorpusCow(corpus, plainPath, "doc_id", numBuckets = 8)
+    val plain = CorpusStore.readCorpusSnapshot(spark, plainPath)
+      .queryExecution.executedPlan.toString
+    assert(!plain.contains("Window") && !plain.contains("Exchange"),
+      s"base-only read lost its plain-scan fast path:\n$plain")
+    // while a delta-carrying CURRENT pays the merge window ONLY over
+    // the delta buckets (the base-only buckets stay a plain scan leg)
+    val merged = CorpusStore.readCorpusSnapshot(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(merged.contains("Window"),
+      "delta-carrying read lost its last-writer-wins merge")
+  }
+
   test("d16: all three modality legs are keyed joins — no cartesian anywhere in the composition") {
     // the any-modality report composes three pair-producing joins
     // (band-bucket, two pigeonhole chunk joins); a regression in ANY
