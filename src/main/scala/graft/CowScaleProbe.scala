@@ -166,6 +166,53 @@ object CowScaleProbe {
           s"$readBefore,$readAfter")
       }
     }
+
+    // ——— Takedown write amplification (round 16 — tombstones): the
+    // SAME k-id takedown through (a) the eager bucket rewrite
+    // (deleteFromCorpusCow) vs (b) an id-only tombstone generation
+    // (appendTombstonesToCorpusCow). Tombstone bytes are O(k ids) —
+    // CONSTANT in the corpus size — where rewrite bytes are
+    // O(k · corpus/numBuckets); at the 100 TB design point
+    // (4096 × 24 GB buckets) that constant-vs-multi-TB gap is the
+    // operation's reason to exist. The read price after the tombstone
+    // (the LWW merge on the touched buckets) and the later compaction
+    // cost are both measured so the trade is two-sided here too.
+    println("rep,n_docs,mode,takedown_sec,takedown_bytes,read_sec," +
+      "compact_sec,compact_bytes")
+    reps.foreach { rep =>
+      val corpus = (0 until rep).map(i =>
+          docs.select((col("doc_id") + lit(i.toLong * 10000000L))
+            .as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+        .localCheckpoint()
+      val n = corpus.count()
+      val doomed = corpus.select("doc_id")
+        .orderBy(xxhash64(col("doc_id")), col("doc_id")).limit(k)
+        .localCheckpoint()
+      Seq(false, true).foreach { asTombstones =>
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-tombprobe-$rep-$asTombstones")
+          .toString
+        CorpusStore.writeCorpusCow(corpus, dir, "doc_id", numBuckets)
+        val (_, delSec) = time {
+          if (asTombstones)
+            CorpusStore.appendTombstonesToCorpusCow(doomed, dir)
+          else CorpusStore.deleteFromCorpusCow(doomed, dir)
+        }
+        val root = if (asTombstones) "deltas" else "parts"
+        val delBytes = du(s"$dir/$root/gen=1")
+        val (_, readSec) = time {
+          CorpusStore.readCorpusSnapshot(spark, dir).count()
+        }
+        val (cSec, cBytes) =
+          if (asTombstones) {
+            val (cg, s) = time(CorpusStore.compactCorpusCow(spark, dir))
+            (s, du(s"$dir/parts/gen=$cg"))
+          } else (0.0, 0L)
+        val mode = if (asTombstones) "tombstone" else "rewrite"
+        println(s"$rep,$n,$mode,$delSec,$delBytes,$readSec,$cSec,$cBytes")
+      }
+    }
     spark.stop()
   }
 }

@@ -425,4 +425,53 @@ object EventsAnalytics {
       .select(col("from_type"), col("to_type"), col("n"), col("total_from"),
         (col("n").cast("double") / col("total_from").cast("double")).as("p"))
   }
+
+  /** Rolling z-score spike detection over daily event volumes
+    * (round 16): per `typeCol`, each day's count is scored against the
+    * mean/stddev of the `window` PRECEDING days (the day itself
+    * excluded — a spike must not dilute its own baseline). Days
+    * without a full baseline window emit z = null (no partial-window
+    * guesses), as do zero-variance baselines (a flat history makes
+    * any change "infinitely" anomalous — surfaced as null, not ±Inf).
+    *
+    * Exactness chain (the e08 stance): daily counts are exact longs;
+    * the baseline sums Σx and Σx² ride the window as LONGS (order-free
+    * exact integer sums), and z derives in ONE fixed IEEE expression —
+    *   z = (x − Σx/n) / sqrt((n·Σx² − (Σx)²) / (n·(n−1)))
+    * — so both engines replay it bit-identically (sample variance via
+    * integer numerator, no Welford-vs-textbook drift).
+    *
+    * Scale shape: one exchange keyed by type for the daily rollup —
+    * the frame entering the per-type window is |types| × |days|
+    * (metadata-scale next to the event log), so the ordered window is
+    * over a tiny frame; the event scan itself is one map-side-combined
+    * groupBy. Output: (event_type, d, n, z, is_anomaly) with
+    * is_anomaly = |z| ≥ zThreshold.
+    */
+  def dailyAnomalies(events: DataFrame, typeCol: String, tsCol: String,
+      window: Int = 7, zThreshold: Double = 2.0): DataFrame = {
+    require(window >= 2, "dailyAnomalies: window must be >= 2")
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"),
+        to_date(col(tsCol)).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+      .rowsBetween(-window, -1)
+    val nW = lit(window.toLong)
+    val scored = daily
+      .withColumn("_ea_sx", sum(col("n")).over(w))
+      .withColumn("_ea_sxx", sum(col("n") * col("n")).over(w))
+      .withColumn("_ea_cnt", count(lit(1)).over(w))
+    val varNum = nW * col("_ea_sxx") - col("_ea_sx") * col("_ea_sx")
+    val z = (col("n").cast("double") -
+        col("_ea_sx").cast("double") / nW.cast("double")) /
+      sqrt(varNum.cast("double") /
+        (nW * (nW - lit(1L))).cast("double"))
+    scored
+      .withColumn("z",
+        when(col("_ea_cnt") === window && varNum > 0, z))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) >= zThreshold, lit(false)))
+      .select("event_type", "d", "n", "z", "is_anomaly")
+  }
 }

@@ -685,4 +685,47 @@ object Retrieval {
           col("_bm_q.score").as("score"))
         .where(col("score") > threshold)
   }
+
+  /** Reciprocal-rank fusion of two per-query rankings (round 16 —
+    * hybrid retrieval: the standard way to combine a lexical BM25
+    * list with a dense ANN list without calibrating their
+    * incomparable scores; Cormack et al., SIGIR'09). Both inputs
+    * carry (queryCol, idCol, rankCol) with rank 1 = best; an id
+    * missing from one list simply contributes nothing from it:
+    *
+    *   rrf(id) = Σ_lists 1 / (c + rank_list(id))
+    *
+    * with the conventional c = 60 damping ties toward consensus.
+    * Output: (query_id, rank, id, rrf), top `k` per query, ties →
+    * smaller id. The fused score is a FIXED two-term IEEE expression
+    * (left list first, absent side +0.0), so it is bit-deterministic
+    * and oracle-replayable.
+    *
+    * Scale shape: the inputs are top-k lists — ≤ |queries|·k rows
+    * each — so the full-outer merge and the per-query window run on
+    * frames BOUNDED BY THE PROBE SET, never the corpus; the corpus
+    * work happened upstream in the two retrievers. No broadcast hints
+    * needed: AQE sees two tiny sides.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, queryCol: String,
+      idCol: String, rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(k >= 1, "rrfFuse: k must be positive")
+    require(c >= 0, "rrfFuse: damping c must be >= 0")
+    def side(df: DataFrame, out: String) =
+      df.select(col(queryCol).as("query_id"), col(idCol).as("id"),
+        (lit(1.0) / (lit(c.toDouble) + col(rankCol).cast("double")))
+          .as(out))
+    val fused = side(a, "_rrf_a")
+      .join(side(b, "_rrf_b"), Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"),
+        (coalesce(col("_rrf_a"), lit(0.0)) +
+          coalesce(col("_rrf_b"), lit(0.0))).as("rrf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("id").asc)
+    fused
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("rrf"))
+  }
 }

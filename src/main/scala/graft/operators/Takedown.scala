@@ -69,10 +69,21 @@ object Takedown {
     * in the ledger whose corpus row is already gone — `nLedgerCleared`
     * comes back below expectations and the repair is a direct
     * [[Dedup.deleteFromExactLedger]] call with the content itself.
+    *
+    * `corpusAsTombstones = true` (round 16) commits the corpus leg as
+    * an O(k ids) TOMBSTONE generation
+    * ([[CorpusStore.appendTombstonesToCorpusCow]]) instead of the
+    * bucket rewrite — same probe-invisible-then-corpus-gone ordering
+    * and the same read semantics, but the content's BYTES persist
+    * until the store's next compaction + vacuum. Use it for high-rate
+    * takedown feeds where write amplification dominates; keep the
+    * default rewrite when the request demands immediate physical
+    * erasure.
     */
   def takedownEverywhere(spark: SparkSession, ids: DataFrame,
       idCol: String, textCol: String, targets: TakedownTargets,
-      maxTombstones: Long = Dedup.defaultMaxTombstones): TakedownReport = {
+      maxTombstones: Long = Dedup.defaultMaxTombstones,
+      corpusAsTombstones: Boolean = false): TakedownReport = {
     require(targets.corpusPath.isDefined || targets.ledgerPath.isDefined ||
         targets.lshPath.isDefined || targets.bm25Path.isDefined ||
         targets.ivfPaths.nonEmpty,
@@ -130,6 +141,9 @@ object Takedown {
     // 100 TB design point that is pure write amplification)
     val gen = targets.corpusPath.flatMap { cp =>
       if (nInCorpus == 0) None
+      else if (corpusAsTombstones)
+        Some(CorpusStore.appendTombstonesToCorpusCow(
+          doomedRows.get.select(col(idCol)), cp))
       else Some(CorpusStore.deleteFromCorpusCow(
         doomedRows.get.select(col(idCol)), cp))
     }

@@ -1089,5 +1089,116 @@ private[queries] object PipelineSimilarity {
           .orderBy("rank")
       },
       Some(s20OracleSql)),
+
+
+    // hybrid retrieval (round 16, 151st entry): BM25 lexical top-20
+    // and brute-cosine dense top-20 per query, fused by reciprocal
+    // rank (rrf = Σ 1/(60+rank), Cormack'09 — the standard score-free
+    // combiner). The probe set pairs each s09 text query with a
+    // deterministic query vector (the embedding at vec_id = 7·qid —
+    // doc_id and vec_id share one id space in the testdata). The
+    // fused score is a fixed two-term IEEE sum (lexical side first),
+    // so the oracle replays the s09 BM25 chain, the s04 cosine chain
+    // and the same full-outer fusion bit-identically.
+    Q("s21_rrf_fusion",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.load(s, dir, "documents")
+        val emb = Tables.load(s, dir, "embeddings")
+        val probes = Seq(
+          (1, "hash join table"),
+          (2, "window agg sort stream"),
+          (3, "fast vector scan")).toDF("query_id", "query_text")
+        val qvecs = emb.where(col("vec_id").isin(7L, 14L, 21L))
+          .select((col("vec_id") / 7).cast("int").as("query_id"),
+            col("embedding"))
+        val lex = graft.operators.Retrieval.bm25(docs, "doc_id", "text",
+            probes, "query_id", "query_text", k = 20)
+          .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+        val dw = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("id").asc)
+        val dense = Similarity.knnBruteBatch(qvecs, "query_id",
+            "embedding", emb, "vec_id", "embedding", k = 20)
+          .withColumn("rank", row_number().over(dw))
+        graft.operators.Retrieval.rrfFuse(lex, dense,
+            "query_id", "id", "rank", k = 10)
+          .select(col("query_id"), col("rank"), col("id"),
+            r6(col("rrf")).as("rrf"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH q(query_id, qtext) AS (
+             |  VALUES (1, 'hash join table'), (2, 'window agg sort stream'),
+             |         (3, 'fast vector scan')
+             |), toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(
+             |    trim(lower(text)), '[ \\t\\n\\v\\f\\r]+'), x -> x <> '')) AS term
+             |  FROM documents
+             |), postings AS (
+             |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+             |), dl AS (
+             |  SELECT doc_id, SUM(tf) AS dl FROM postings GROUP BY doc_id
+             |), stats AS (
+             |  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             |         (SELECT coalesce(SUM(dl), 0) FROM dl) AS n_tokens
+             |), qterms AS (
+             |  SELECT query_id, unnest(list_distinct(list_filter(
+             |    regexp_split_to_array(trim(lower(qtext)), '[ \\t\\n\\v\\f\\r]+'),
+             |    x -> x <> ''))) AS term
+             |  FROM q
+             |), matched AS (
+             |  SELECT p.* FROM postings p
+             |  WHERE term IN (SELECT term FROM qterms)
+             |), dfreq AS (
+             |  SELECT term, COUNT(*) AS doc_freq FROM matched GROUP BY term
+             |), contrib AS (
+             |  SELECT qt.query_id, m.doc_id,
+             |    CAST(FLOOR(
+             |      ((n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+             |      * (CAST(m.tf AS DOUBLE) * (1.2 + 1.0))
+             |      / (CAST(m.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+             |         + 0.75 * (CAST(d.dl AS DOUBLE)
+             |                   / (CAST(n_tokens AS DOUBLE) / n_docs))))
+             |      * 1000000 + 0.5) AS BIGINT) AS ci
+             |  FROM matched m
+             |  JOIN qterms qt USING (term)
+             |  JOIN dfreq USING (term)
+             |  JOIN dl d ON m.doc_id = d.doc_id, stats
+             |), sc AS (
+             |  SELECT query_id, doc_id, SUM(ci) AS score_i
+             |  FROM contrib GROUP BY query_id, doc_id
+             |), lexk AS (
+             |  SELECT query_id, doc_id AS id, rnk FROM (
+             |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY score_i DESC, doc_id ASC) AS rnk
+             |    FROM sc) WHERE rnk <= 20
+             |), qv AS (
+             |  SELECT CAST(vec_id / 7 AS INT) AS query_id,
+             |         CAST(embedding AS DOUBLE[]) AS qv
+             |  FROM embeddings WHERE vec_id IN (7, 14, 21)
+             |), e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+             |), denk AS (
+             |  SELECT query_id, id, rnk FROM (
+             |    SELECT query_id, vec_id AS id, ROW_NUMBER() OVER (
+             |      PARTITION BY query_id
+             |      ORDER BY ${cosineSql("v", "qv")} DESC, vec_id ASC) AS rnk
+             |    FROM e CROSS JOIN qv) WHERE rnk <= 20
+             |), fused AS (
+             |  SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             |         COALESCE(l.id, d.id) AS id,
+             |         COALESCE(1.0 / (60 + l.rnk), 0)
+             |           + COALESCE(1.0 / (60 + d.rnk), 0) AS rrf
+             |  FROM lexk l FULL OUTER JOIN denk d
+             |    ON l.query_id = d.query_id AND l.id = d.id
+             |), r AS (
+             |  SELECT query_id, id, rrf, ROW_NUMBER() OVER (
+             |    PARTITION BY query_id ORDER BY rrf DESC, id ASC) AS rnk
+             |  FROM fused
+             |)
+             |SELECT query_id, CAST(rnk AS INT) AS rank, id,
+             |  ${r6sql("rrf")} AS rrf
+             |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin)),
   )
 }

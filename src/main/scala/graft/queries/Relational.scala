@@ -1443,6 +1443,49 @@ object Relational {
              |  CAST(SUM(m) AS DOUBLE) / 1000000 AS score
              |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Rolling z-score spike detection on daily event volumes
+    // (round 16): each day's count vs the mean/stddev of the 7
+    // PRECEDING days. Exactness chain: window sums Σx/Σx² ride as
+    // longs (order-free), z is one fixed IEEE expression with sample
+    // variance via the integer numerator (n·Σx² − (Σx)²) — no
+    // Welford-vs-textbook drift between engines; partial baselines
+    // and zero variance emit null, surfaced not guessed.
+    Q("e09_anomaly",
+      (s, dir) => {
+        graft.operators.EventsAnalytics.dailyAnomalies(
+            Tables.events(s, dir), "event_type", "ts",
+            window = 7, zThreshold = 2.0)
+          .select(col("event_type"), col("d"), col("n"),
+            (floor(col("z") * lit(1e6) + lit(0.5)) / lit(1e6)).as("z"),
+            col("is_anomaly"))
+          .orderBy("event_type", "d")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+             |    COUNT(*) AS n
+             |  FROM events GROUP BY 1, 2
+             |), wnd AS (
+             |  SELECT event_type, d, n,
+             |    SUM(n) OVER w AS sx,
+             |    SUM(n * n) OVER w AS sxx,
+             |    COUNT(*) OVER w AS cnt
+             |  FROM daily
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY d
+             |               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+             |), scored AS (
+             |  SELECT event_type, d, n,
+             |    CASE WHEN cnt = 7 AND 7 * sxx - sx * sx > 0 THEN
+             |      (CAST(n AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(7 AS DOUBLE))
+             |      / sqrt(CAST(7 * sxx - sx * sx AS DOUBLE)
+             |             / CAST(7 * 6 AS DOUBLE))
+             |    END AS z
+             |  FROM wnd
+             |)
+             |SELECT event_type, d, n,
+             |  FLOOR(z * 1000000 + 0.5) / 1000000.0 AS z,
+             |  COALESCE(abs(z) >= 2.0, FALSE) AS is_anomaly
+             |FROM scored ORDER BY event_type, d""".stripMargin)),
+
     // ───────────────────────── plan → SQL → results gate ─────────────────────────
     // The reference's headline capability exercised end-to-end: build a
     // DataFrame plan, regenerate SQL from its Catalyst plan, and return

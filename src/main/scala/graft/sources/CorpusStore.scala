@@ -30,16 +30,20 @@ import graft.operators.Dedup
   *    trees; a generation writes ONLY the buckets it touches;
   *  - `deltas/gen=<g>/_cs_bucket=<b>/` — immutable PER-BUCKET DELTA
   *    trees (round 16 — verdict task 1): the rows one delta
-  *    generation upserted into that bucket, WITHOUT rewriting it;
-  *  - `manifest/gen=<g>/` — (bucket, src_gen, is_delta, n_rows,
-  *    live_rows) rows: which trees make up each bucket of version g.
-  *    A bucket is one BASE tree (its oldest entry — every rewrite
-  *    folds deltas away) plus zero or more DELTA trees in src_gen
-  *    order; `n_rows` is the tree's physical rows, `live_rows` the
-  *    bucket's exact live count after last-writer-wins (denormalized
-  *    on each row). A v1 manifest (no `is_delta` column — the
-  *    round-15 base-only format) reads as all-base with
-  *    live_rows = n_rows;
+  *    generation upserted into that bucket, WITHOUT rewriting it; a
+  *    TOMBSTONE generation's trees (round 16, second half of the
+  *    write-amplification story) live here too and hold ONLY the id
+  *    column — the ids one delete generation removed;
+  *  - `manifest/gen=<g>/` — (bucket, src_gen, is_delta, is_tombstone,
+  *    n_rows, live_rows) rows: which trees make up each bucket of
+  *    version g. A bucket is one BASE tree (its oldest entry — every
+  *    rewrite folds deltas away) plus zero or more DELTA/TOMBSTONE
+  *    trees in src_gen order; `n_rows` is the tree's physical rows,
+  *    `live_rows` the bucket's exact live count after
+  *    last-writer-wins (denormalized on each row). A v1 manifest (no
+  *    `is_delta` column — the round-15 base-only format) reads as
+  *    all-base with live_rows = n_rows; a v2 manifest (no
+  *    `is_tombstone`) as tombstone-free;
   *  - `meta/gen=<g>/` — (gen, n_rows, num_buckets): the version's
   *    exact live row count and the bucket count it was written under
   *    (the rebucket contract — see below); `CURRENT` as above.
@@ -65,6 +69,24 @@ import graft.operators.Dedup
   * every delta-carrying bucket back into a single base tree as a new
   * generation, restoring the plain multi-dir scan, and
   * [[cowHealthReport]] surfaces the delta pressure that says when.
+  *
+  * Why TOMBSTONES (round 16): the delta leg fixed INGEST
+  * amplification, but a k-id takedown still rewrote k buckets in full
+  * — at 4096 buckets × 24 GB (the 100 TB design point) a 100-id
+  * takedown is a multi-TB write. [[appendTombstonesToCorpusCow]]
+  * commits a generation whose trees hold ONLY the doomed ids
+  * (O(k ids) bytes): a tombstone participates in the same
+  * last-writer-wins merge as any delta — it is a "dead" row that
+  * shadows every older row of its id and is filtered from the view —
+  * so a LATER upsert of the same id resurrects it (delete-then-
+  * recrawl works), and [[compactCorpusCow]] folds tombstone chains
+  * away exactly like upsert chains (a bucket emptied by tombstones
+  * drops from the manifest). [[deleteFromCorpusCow]] remains the
+  * eager-rewrite path: use it when the content must leave DISK
+  * immediately (true compliance erasure — a tombstoned id's bytes
+  * persist until compaction + vacuum); use tombstones when takedown
+  * LATENCY and write cost matter and a maintenance pass will compact
+  * soon after.
   *
   * REBUCKETING (round 16 — verdict task 2): num_buckets was frozen at
   * init in round 15, so a corpus that grows 100× had buckets 100×
@@ -233,14 +255,16 @@ object CorpusStore {
   // ——— Copy-on-write layout —————————————————————————————————————————
 
   /** One tree of one bucket: the generation that wrote it, whether it
-    * is a delta (under `deltas/`) or a base (under `parts/`), and its
-    * physical row count. Within a bucket the base — if present — is
-    * always the OLDEST entry (every rewrite folds deltas away), so
-    * last-writer-wins order is src_gen with base pinned below every
-    * delta.
+    * is a delta (under `deltas/`) or a base (under `parts/`), whether
+    * it is a TOMBSTONE tree (id-only delete markers — tombstones are
+    * always deltas), and its physical row count. Within a bucket the
+    * base — if present — is always the OLDEST entry (every rewrite
+    * folds deltas away), so last-writer-wins order is src_gen with
+    * base pinned below every delta.
     */
   private final case class CowEntry(srcGen: Int, isDelta: Boolean,
-                                    nRows: Long)
+                                    nRows: Long,
+                                    isTombstone: Boolean = false)
 
   /** One bucket of one version: its exact live row count (after
     * last-writer-wins) and its trees, base first then deltas in
@@ -284,17 +308,24 @@ object CorpusStore {
   private def readCowManifest(spark: SparkSession, path: String,
                               gen: Int): Map[Int, CowBucket] = {
     val df = spark.read.parquet(s"$path/manifest/gen=$gen")
-    if (df.columns.contains("is_delta"))
-      df.select("bucket", "src_gen", "is_delta", "n_rows", "live_rows")
+    if (df.columns.contains("is_delta")) {
+      // v2 manifests (no is_tombstone column) are tombstone-free
+      val withTomb =
+        if (df.columns.contains("is_tombstone")) df
+        else df.withColumn("is_tombstone", lit(false))
+      withTomb
+        .select("bucket", "src_gen", "is_delta", "is_tombstone",
+          "n_rows", "live_rows")
         .collect()
         .map(r => (r.getInt(0),
-          CowEntry(r.getInt(1), r.getBoolean(2), r.getLong(3)),
-          r.getLong(4)))
+          CowEntry(r.getInt(1), r.getBoolean(2), r.getLong(4),
+            isTombstone = r.getBoolean(3)),
+          r.getLong(5)))
         .groupBy(_._1)
         .map { case (b, rows) =>
           b -> CowBucket(rows.head._3, sortEntries(rows.map(_._2).toSeq))
         }
-    else
+    } else
       df.select("bucket", "src_gen", "n_rows").collect()
         .map(r => r.getInt(0) ->
           CowBucket(r.getLong(2),
@@ -313,19 +344,43 @@ object CorpusStore {
   private def bucketExpr(idCol: String, numBuckets: Int) =
     pmod(xxhash64(col(idCol)), lit(numBuckets.toLong)).cast("int")
 
+  /** The store's row schema, resolved from the first NON-TOMBSTONE
+    * tree the given manifest references (tombstone trees carry only
+    * the id column) — one parquet footer, metadata-scale.
+    */
+  private def storeRowSchema(spark: SparkSession, path: String,
+      manifest: Map[Int, CowBucket])
+      : org.apache.spark.sql.types.StructType = {
+    val anchor = manifest.toSeq.sortBy(_._1)
+      .flatMap { case (b, st) =>
+        st.entries.filterNot(_.isTombstone)
+          .map(e => cowEntryDir(path, b, e))
+      }.headOption
+      .getOrElse(throw new IllegalStateException(
+        "CorpusStore: manifest references no data tree"))
+    spark.read.parquet(anchor).schema
+  }
+
   /** The materialized view of the given buckets. Base-only buckets
     * union in ONE multi-dir parquet scan (the fast path — the only
     * plan a delta-free store ever sees, unchanged from round 15);
-    * delta-carrying buckets merge base ∪ deltas LAST-WRITER-WINS per
-    * id: trees group by (kind, src_gen) so each generation's delta
-    * files read in one scan, a literal `_cs_lww` orders them (base
-    * pinned at 0 — always the bucket's oldest entry), and a
-    * row_number window per id keeps the newest row. The window's
-    * id-keyed exchange is the documented read price of delta
-    * pressure; [[compactCorpusCow]] retires it.
+    * delta-carrying buckets merge base ∪ deltas ∪ tombstones
+    * LAST-WRITER-WINS per id: trees group by (kind, src_gen) so each
+    * generation's delta files read in one scan, a literal `_cs_lww`
+    * orders them (base pinned at 0 — always the bucket's oldest
+    * entry), a `_cs_dead` flag marks tombstone rows (id-only trees,
+    * remaining columns null-filled in the store's row types), and a
+    * row_number window per id keeps the newest row — dead winners are
+    * then filtered out, which is exactly how a tombstone deletes and
+    * a later upsert resurrects. The window's id-keyed exchange is the
+    * documented read price of delta pressure; [[compactCorpusCow]]
+    * retires it. `fallbackSchema` is forced only when the read set
+    * holds no data tree at all (a tombstone-only change range).
     */
   private def readCowView(spark: SparkSession, path: String, idCol: String,
-                          buckets: Map[Int, CowBucket]): DataFrame = {
+      buckets: Map[Int, CowBucket],
+      fallbackSchema: => org.apache.spark.sql.types.StructType)
+      : DataFrame = {
     require(buckets.nonEmpty, "CorpusStore: no buckets to read")
     val (plain, deltaful) =
       buckets.partition(!_._2.entries.exists(_.isDelta))
@@ -339,19 +394,35 @@ object CorpusStore {
       else {
         val groups = deltaful.toSeq
           .flatMap { case (b, st) =>
-            st.entries.map(e => (e.isDelta, e.srcGen, cowEntryDir(path, b, e)))
+            st.entries.map(e => (e.isDelta, e.srcGen, e.isTombstone,
+              cowEntryDir(path, b, e)))
           }
-          .groupBy { case (d, g, _) => (d, g) }.toSeq
-          .sortBy { case ((d, g), _) => (d, g) }
-        val unioned = groups.map { case ((isDelta, srcGen), dirs) =>
-          spark.read.parquet(dirs.map(_._3).sorted: _*)
-            .withColumn("_cs_lww", lit(if (isDelta) srcGen.toLong else 0L))
+          .groupBy { case (d, g, t, _) => (d, g, t) }.toSeq
+          .sortBy { case ((d, g, t), _) => (d, g, t) }
+        // the row shape every group projects to: the store schema,
+        // from the first data group here or (tombstone-only read
+        // sets) the caller's fallback
+        val schema = groups.collectFirst {
+          case ((_, _, false), dirs) =>
+            spark.read.parquet(dirs.head._4).schema
+        }.getOrElse(fallbackSchema)
+        val unioned = groups.map { case ((isDelta, srcGen, isTomb), dirs) =>
+          val lww = lit(if (isDelta) srcGen.toLong else 0L)
+          val df = spark.read.parquet(dirs.map(_._4).sorted: _*)
+          if (!isTomb)
+            df.select(schema.fieldNames.map(col) :+
+              lww.as("_cs_lww") :+ lit(false).as("_cs_dead"): _*)
+          else
+            df.select(schema.fields.map { f =>
+              if (f.name == idCol) col(idCol).cast(f.dataType).as(f.name)
+              else lit(null).cast(f.dataType).as(f.name)
+            } :+ lww.as("_cs_lww") :+ lit(true).as("_cs_dead"): _*)
         }.reduce(_ unionByName _)
         val w = Window.partitionBy(col(idCol)).orderBy(col("_cs_lww").desc)
         Some(unioned
           .withColumn("_cs_rn", row_number().over(w))
-          .where(col("_cs_rn") === 1)
-          .drop("_cs_lww", "_cs_rn"))
+          .where(col("_cs_rn") === 1 && !col("_cs_dead"))
+          .drop("_cs_lww", "_cs_rn", "_cs_dead"))
       }
     (plainDf, mergedDf) match {
       case (Some(p), Some(m)) => p.unionByName(m.select(p.columns.map(col): _*))
@@ -359,6 +430,38 @@ object CorpusStore {
       case (None, Some(m))    => m
       case (None, None)       => throw new IllegalStateException("unreachable")
     }
+  }
+
+  /** The CURRENT liveness state of every id in the given buckets —
+    * (id, `_cs_dead`), one row per id after last-writer-wins — from a
+    * COLUMN-PRUNED scan (the id column of data trees, the whole of
+    * tombstone trees). What [[appendDeltaToCorpusCow]]'s live-count
+    * bookkeeping and [[appendTombstonesToCorpusCow]]'s
+    * present-and-live filter both need: with tombstones in a chain,
+    * "id appears in some tree" no longer implies "id is live" — a
+    * resurrecting upsert must raise the live count and a re-delete of
+    * a dead id must not lower it.
+    */
+  private def cowIdState(spark: SparkSession, path: String, idCol: String,
+      buckets: Map[Int, CowBucket]): DataFrame = {
+    val groups = buckets.toSeq
+      .flatMap { case (b, st) =>
+        st.entries.map(e => (e.isDelta, e.srcGen, e.isTombstone,
+          cowEntryDir(path, b, e)))
+      }
+      .groupBy { case (d, g, t, _) => (d, g, t) }.toSeq
+      .sortBy { case ((d, g, t), _) => (d, g, t) }
+    val unioned = groups.map { case ((isDelta, srcGen, isTomb), dirs) =>
+      spark.read.parquet(dirs.map(_._4).sorted: _*)
+        .select(col(idCol),
+          lit(if (isDelta) srcGen.toLong else 0L).as("_cs_lww"),
+          lit(isTomb).as("_cs_dead"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_cs_lww").desc)
+    unioned
+      .withColumn("_cs_rn", row_number().over(w))
+      .where(col("_cs_rn") === 1)
+      .select(col(idCol), col("_cs_dead"))
   }
 
   /** Shared COW commit tail: manifest + meta + writer-token
@@ -376,8 +479,10 @@ object CorpusStore {
       dataStamps: Seq[(String, String)]): Int = {
     import spark.implicits._
     manifest.toSeq.sortBy(_._1).flatMap { case (b, st) =>
-      st.entries.map(e => (b, e.srcGen, e.isDelta, e.nRows, st.live))
-    }.toDF("bucket", "src_gen", "is_delta", "n_rows", "live_rows")
+      st.entries.map(e =>
+        (b, e.srcGen, e.isDelta, e.isTombstone, e.nRows, st.live))
+    }.toDF("bucket", "src_gen", "is_delta", "is_tombstone", "n_rows",
+        "live_rows")
       .repartition(1).write.mode("overwrite")
       .parquet(s"$path/manifest/gen=$gen")
     Seq((gen, manifest.values.map(_.live).sum, numBuckets))
@@ -395,21 +500,30 @@ object CorpusStore {
     * all hash to previously-empty buckets would otherwise commit
     * bucket trees in whatever shape the caller passed, and later
     * multi-generation reads (mergeSchema=false) would silently
-    * null-fill or drop columns. The stored schema resolves from one
-    * existing tree's parquet footer — metadata-only.
+    * null-fill or drop columns. TYPES are part of the contract too
+    * (round-16 review): same-named columns with drifted types would
+    * pass a name-set check, commit, and only fail — or worse, coerce —
+    * at read time. The stored schema resolves from one existing
+    * non-tombstone tree's parquet footer — metadata-only.
     */
   private def requireStoreSchema(spark: SparkSession, path: String,
       df: DataFrame, manifest: Map[Int, CowBucket], op: String): Unit = {
-    val anchor = manifest.toSeq.sortBy(_._1).headOption
-      .map { case (b, st) => cowEntryDir(path, b, st.entries.head) }
-    anchor.foreach { dir =>
-      val stored = spark.read.parquet(dir).schema.fieldNames.toSet
-      require(df.columns.toSet == stored,
-        s"$op: change frame columns ${df.columns.toSet.toSeq.sorted
-          .mkString("(", ", ", ")")} don't match the store's row schema " +
-          s"${stored.toSeq.sorted.mkString("(", ", ", ")")} — a keyed " +
-          "store's rows share one shape; project the batch first")
-    }
+    val stored = storeRowSchema(spark, path, manifest)
+    val storedCols = stored.fields.map(f => f.name -> f.dataType).toMap
+    val frameCols = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(frameCols.keySet == storedCols.keySet,
+      s"$op: change frame columns ${frameCols.keySet.toSeq.sorted
+        .mkString("(", ", ", ")")} don't match the store's row schema " +
+        s"${storedCols.keySet.toSeq.sorted.mkString("(", ", ", ")")} — " +
+        "a keyed store's rows share one shape; project the batch first")
+    val drifted = storedCols.keySet.toSeq.sorted
+      .filter(c => frameCols(c) != storedCols(c))
+    require(drifted.isEmpty,
+      s"$op: change frame column types drift from the store's row " +
+        s"schema: ${drifted.map(c =>
+          s"$c is ${frameCols(c).simpleString}, stored " +
+            s"${storedCols(c).simpleString}").mkString("; ")} — cast " +
+        "the batch to the stored types first")
   }
 
   /** Initialize a copy-on-write store (or commit a FULL rewrite of an
@@ -488,7 +602,8 @@ object CorpusStore {
     val oldBuckets = manifest.filter(kv => changeBuckets.contains(kv._1))
     val old =
       if (oldBuckets.nonEmpty)
-        Some(readCowView(spark, path, idCol, oldBuckets))
+        Some(readCowView(spark, path, idCol, oldBuckets,
+          storeRowSchema(spark, path, manifest)))
       else None
     val merged = merge(old)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -587,7 +702,11 @@ object CorpusStore {
     * COW exists for — a k-id takedown reads and rewrites at most k
     * buckets (corpus/num_buckets bytes each), never the corpus.
     * Unknown ids are harmless no-ops. A touched bucket's deltas fold
-    * away in the rewrite. Returns the committed generation.
+    * away in the rewrite. Returns the committed generation. This is
+    * the EAGER path — the content's bytes leave the new generation
+    * immediately (true erasure once vacuum retires the old ones); for
+    * O(k ids) write cost with deferred physical removal use
+    * [[appendTombstonesToCorpusCow]].
     */
   def deleteFromCorpusCow(ids: DataFrame, path: String): Int = {
     val spark = ids.sparkSession
@@ -654,15 +773,17 @@ object CorpusStore {
       .groupBy("_cs_bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "appendDeltaToCorpusCow: empty change set")
-    // replacements per bucket — ids already live in a touched bucket
-    // don't raise its live count. Column-pruned scan of the touched
-    // trees' id columns only; the batch side broadcasts.
-    val priorDirs = counts.keySet.toSeq.sorted
-      .flatMap(b => manifest.get(b).toSeq
-        .flatMap(_.entries.map(e => cowEntryDir(path, b, e))))
+    // replacements per bucket — ids already LIVE in a touched bucket
+    // don't raise its live count; ids present but TOMBSTONED do (the
+    // upsert resurrects them — round-16 review: a plain
+    // present-in-some-tree check undercounts live rows after a
+    // tombstone). Column-pruned scan of the touched trees' id
+    // columns only; the batch side broadcasts.
+    val priorBuckets = manifest.filter(kv => counts.contains(kv._1))
     val replaced: Map[Int, Long] =
-      if (priorDirs.isEmpty) Map.empty
-      else spark.read.parquet(priorDirs: _*).select(col(idCol)).distinct()
+      if (priorBuckets.isEmpty) Map.empty
+      else cowIdState(spark, path, idCol, priorBuckets)
+        .where(!col("_cs_dead"))
         .join(broadcast(changes.select(col(idCol))), Seq(idCol))
         .groupBy(bucketExpr(idCol, numBuckets).as("_cs_bucket"))
         .agg(count(lit(1)).as("n"))
@@ -675,6 +796,78 @@ object CorpusStore {
         prior.map(_.entries).getOrElse(Nil) :+
           CowEntry(gen, isDelta = true, n))
     }
+    commitCowGen(spark, path, gen, base, newManifest, numBuckets,
+      Seq(dataStamp))
+  }
+
+  /** Takedown WITHOUT rewriting any bucket (round 16 — the delete
+    * mirror of [[appendDeltaToCorpusCow]]): the doomed ids land as
+    * id-only TOMBSTONE trees — O(k ids) bytes, never
+    * O(k · corpus/num_buckets) — and reads treat a tombstone as the
+    * id's newest, dead row: filtered from every view, shadowed again
+    * by any LATER upsert (delete-then-recrawl resurrects).
+    * [[compactCorpusCow]] folds tombstone chains into clean base
+    * trees (a bucket emptied by tombstones drops from the manifest),
+    * and only compaction + vacuum remove the content's BYTES — for
+    * immediate physical erasure use [[deleteFromCorpusCow]], the
+    * eager-rewrite path.
+    *
+    * Only ids that are present AND LIVE in CURRENT are tombstoned
+    * (verified with a column-pruned id-state scan of the touched
+    * buckets): absent ids must not write markers — at the 100 TB
+    * design point a bulk feed of mostly-absent candidates would
+    * otherwise pay chain pressure (and later compaction rewrites) on
+    * every bucket the absent ids hash into — and already-dead ids
+    * must not decrement live counts twice. When NOTHING in the set is
+    * live the call commits no generation and returns CURRENT
+    * unchanged. Refuses to tombstone the last live rows (the
+    * empty-store refusal every delete path shares). Returns the
+    * committed generation.
+    */
+  def appendTombstonesToCorpusCow(ids: DataFrame, path: String): Int = {
+    val spark = ids.sparkSession
+    require(isCow(spark, path),
+      s"CorpusStore: $path is not a copy-on-write store")
+    val idCol = cowIdCol(spark, path)
+    require(ids.columns.contains(idCol),
+      s"appendTombstonesToCorpusCow: frame has no column '$idCol'")
+    val numBuckets = effectiveNumBuckets(spark, path)
+    val (g, base) = currentGen(spark, path)
+    val gen = g + 1
+    val manifest = readCowManifest(spark, path, g)
+    val idType = storeRowSchema(spark, path, manifest)(idCol).dataType
+    val del = ids.select(col(idCol).cast(idType).as(idCol)).distinct()
+      .localCheckpoint()
+    require(del.limit(1).count() > 0,
+      "appendTombstonesToCorpusCow: empty takedown set")
+    // restrict to ids present AND live — the trees to consult are the
+    // touched buckets that physically exist in the manifest
+    val touched = touchedBuckets(del, idCol, numBuckets)
+    val priorBuckets = manifest.filter(kv => touched.contains(kv._1))
+    if (priorBuckets.isEmpty) return g
+    val doomed = cowIdState(spark, path, idCol, priorBuckets)
+      .where(!col("_cs_dead"))
+      .join(broadcast(del), Seq(idCol))
+      .select(col(idCol))
+      .localCheckpoint()
+    if (doomed.limit(1).count() == 0) return g
+    doomed.withColumn("_cs_bucket", bucketExpr(idCol, numBuckets))
+      .write.mode("overwrite").partitionBy("_cs_bucket")
+      .parquet(s"$path/deltas/gen=$gen")
+    val dataStamp = stampWriterToken(spark, s"$path/deltas/gen=$gen")
+    val counts = spark.read.parquet(s"$path/deltas/gen=$gen")
+      .groupBy("_cs_bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val newManifest = manifest ++ counts.map { case (b, n) =>
+      val prior = manifest(b) // doomed ids are live ⇒ bucket exists
+      b -> CowBucket(prior.live - n,
+        prior.entries :+ CowEntry(gen, isDelta = true, n,
+          isTombstone = true))
+    }
+    require(newManifest.values.map(_.live).sum > 0,
+      "CorpusStore: refusing to commit an EMPTY generation — this " +
+        "change removes every remaining row; a full-corpus takedown " +
+        "is a store drop, not a delete")
     commitCowGen(spark, path, gen, base, newManifest, numBuckets,
       Seq(dataStamp))
   }
@@ -702,27 +895,38 @@ object CorpusStore {
     val deltaful = manifest.filter(_._2.entries.exists(_.isDelta))
     if (deltaful.isEmpty) return g
     val gen = g + 1
-    readCowView(spark, path, idCol, deltaful)
-      .withColumn("_cs_bucket", bucketExpr(idCol, numBuckets))
-      .write.mode("overwrite").partitionBy("_cs_bucket")
-      .parquet(s"$path/parts/gen=$gen")
-    val dataStamp = stampWriterToken(spark, s"$path/parts/gen=$gen")
-    val counts = spark.read.parquet(s"$path/parts/gen=$gen")
-      .groupBy("_cs_bucket").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // buckets whose chains fold to zero live rows (emptied by
+    // tombstones) write no tree and DROP from the manifest
+    val expectLive = deltaful.filter(_._2.live > 0)
+    val dataStamps =
+      if (expectLive.isEmpty) Nil
+      else {
+        readCowView(spark, path, idCol, expectLive,
+          storeRowSchema(spark, path, manifest))
+          .withColumn("_cs_bucket", bucketExpr(idCol, numBuckets))
+          .write.mode("overwrite").partitionBy("_cs_bucket")
+          .parquet(s"$path/parts/gen=$gen")
+        Seq(stampWriterToken(spark, s"$path/parts/gen=$gen"))
+      }
+    val counts =
+      if (expectLive.isEmpty) Map.empty[Int, Long]
+      else spark.read.parquet(s"$path/parts/gen=$gen")
+        .groupBy("_cs_bucket").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     // self-check: the folded trees must hold exactly the manifest's
     // live counts — a mismatch means the LWW merge or the counts'
     // bookkeeping broke, and committing it would corrupt the store
-    require(counts.keySet == deltaful.keySet &&
-        deltaful.forall { case (b, st) => counts(b) == st.live },
+    require(counts.keySet == expectLive.keySet &&
+        expectLive.forall { case (b, st) => counts(b) == st.live },
       s"compactCorpusCow: folded counts $counts diverge from manifest " +
-        s"live counts ${deltaful.map { case (b, st) => b -> st.live }} — " +
-        "refusing to commit")
-    val newManifest = manifest ++ counts.map { case (b, n) =>
-      b -> CowBucket(n, Seq(CowEntry(gen, isDelta = false, n)))
-    }
+        s"live counts ${expectLive.map { case (b, st) => b -> st.live }} " +
+        "— refusing to commit")
+    val newManifest = (manifest -- deltaful.keySet) ++
+      counts.map { case (b, n) =>
+        b -> CowBucket(n, Seq(CowEntry(gen, isDelta = false, n)))
+      }
     commitCowGen(spark, path, gen, base, newManifest, numBuckets,
-      Seq(dataStamp))
+      dataStamps)
   }
 
   /** Re-bucket the store under a new bucket count (round 16 — verdict
@@ -879,7 +1083,10 @@ object CorpusStore {
     *    already are (byte-identical appends both probes distinct
     *    away);
     *  - DELETIONS never surface (a takedown's removals are absent,
-    *    not emitted) — removal fan-out is
+    *    not emitted — a rewrite generation simply omits them, and a
+    *    TOMBSTONE generation's markers are dead winners the merge
+    *    filters out, so a tombstone-only range emits zero rows) —
+    *    removal fan-out is
     *    [[graft.operators.Takedown.takedownEverywhere]]'s job, not a
     *    change feed's.
     */
@@ -902,7 +1109,8 @@ object CorpusStore {
       }
       if (changed.isEmpty)
         readCorpusSnapshotAt(spark, path, toGen).limit(0)
-      else readCowView(spark, path, cowIdCol(spark, path), changed)
+      else readCowView(spark, path, cowIdCol(spark, path), changed,
+        storeRowSchema(spark, path, manifest))
     }
   }
 
@@ -967,7 +1175,8 @@ object CorpusStore {
       val manifest = readCowManifest(spark, path, gen)
       require(manifest.nonEmpty,
         s"CorpusStore: generation $gen at $path holds no rows")
-      readCowView(spark, path, cowIdCol(spark, path), manifest)
+      readCowView(spark, path, cowIdCol(spark, path), manifest,
+        storeRowSchema(spark, path, manifest))
     } else spark.read.parquet(s"$path/snapshots/gen=$gen")
   }
 
@@ -1115,9 +1324,16 @@ object CorpusStore {
     *  - `bucketsWithDeltas` / `deltaEntries` / `maxDeltaChain`
     *    (round 16): delta pressure — buckets currently reading
     *    through a last-writer-wins merge, the total delta trees the
-    *    CURRENT manifest references, and the longest per-bucket
-    *    chain; `needsCompaction` flips when the longest chain reaches
-    *    `compactAfterDeltas` ([[compactCorpusCow]] clears it);
+    *    CURRENT manifest references (tombstone trees INCLUDED — they
+    *    are chain elements the merge pays for), and the longest
+    *    per-bucket chain; `needsCompaction` flips when the longest
+    *    chain reaches `compactAfterDeltas` ([[compactCorpusCow]]
+    *    clears it);
+    *  - `tombstoneEntries` / `tombstonedRows` (round 16): how many of
+    *    the CURRENT manifest's chain elements are tombstone trees and
+    *    the total delete markers they hold — rows whose BYTES are
+    *    still on disk awaiting compaction + vacuum (the physical-
+    *    erasure lag [[appendTombstonesToCorpusCow]] documents);
     *  - `orphanDirs` / `orphanBytes`: base or delta trees no retained
     *    manifest references (interrupted vacuums below base, crashed
     *    writers above CURRENT+1 — the in-flight g+1 slot is NOT
@@ -1130,6 +1346,7 @@ object CorpusStore {
       totalRows: Long, numBuckets: Int, populatedBuckets: Int,
       maxBucket: Long, skew: Double,
       bucketsWithDeltas: Int, deltaEntries: Long, maxDeltaChain: Int,
+      tombstoneEntries: Long, tombstonedRows: Long,
       orphanDirs: Long, orphanBytes: Long,
       needsVacuum: Boolean, needsCompaction: Boolean)
 
@@ -1142,10 +1359,14 @@ object CorpusStore {
     val (g, b) = currentGen(spark, path)
     val cur = readCowManifest(spark, path, g)
     val total = cur.values.map(_.live).sum
+    // a bucket can sit in the manifest with live = 0 (emptied by
+    // tombstones, awaiting compaction) — occupancy counts LIVE buckets
+    val pop = cur.count(_._2.live > 0)
     val maxB = if (cur.isEmpty) 0L else cur.values.map(_.live).max
-    val mean = if (cur.isEmpty) 0.0 else total.toDouble / cur.size
+    val mean = if (pop == 0) 0.0 else total.toDouble / pop
     val chains = cur.values.map(_.entries.count(_.isDelta))
     val maxChain = if (chains.isEmpty) 0 else chains.max
+    val tombs = cur.values.flatMap(_.entries.filter(_.isTombstone))
     val referenced = (b to g).flatMap(i =>
       readCowManifest(spark, path, i).toSeq.flatMap { case (bk, st) =>
         st.entries.map(e => (e.isDelta, e.srcGen, bk))
@@ -1167,12 +1388,14 @@ object CorpusStore {
     CowHealth(
       current = g, base = b, generations = g - b + 1,
       totalRows = total, numBuckets = numBuckets,
-      populatedBuckets = cur.size,
+      populatedBuckets = pop,
       maxBucket = maxB,
       skew = if (mean > 0) maxB / mean else 0.0,
       bucketsWithDeltas = chains.count(_ > 0),
       deltaEntries = chains.map(_.toLong).sum,
       maxDeltaChain = maxChain,
+      tombstoneEntries = tombs.size.toLong,
+      tombstonedRows = tombs.map(_.nRows).sum,
       orphanDirs = orphans.size.toLong,
       orphanBytes = orphanBytes,
       needsVacuum = orphans.nonEmpty || (g - b + 1) > maxGenerations,

@@ -178,4 +178,99 @@ class CorpusStoreFuzzSpec extends SparkSpec {
     assert(h.totalRows == model.size.toLong && h.current == gen &&
       h.base == base && h.orphanDirs == 0, h.toString)
   }
+
+  test("cow tombstone fuzz: 30 seeded random tombstones/deltas/upserts/rewrites/compactions/rebuckets/vacuums match the model at every retained version") {
+    // round 16, second schedule extension: tombstones in the mix —
+    // what only interleavings cover is kill/resurrect/rekill chains
+    // braided with eager rewrites (which must fold markers away),
+    // compactions landing on half-dead buckets, rebuckets carrying
+    // tombstone history across bucketings, and no-op tombstones of
+    // absent or already-dead ids between all of them
+    val rnd = new scala.util.Random(1616L)
+    val path = tmp("graft-cs-tfuzz")
+    var model: Map[Long, String] =
+      (0L to 29L).map(i => i -> s"seed doc $i").toMap
+    CorpusStore.writeCorpusCow(toDf(model), path, "doc_id",
+      numBuckets = 8)
+    val history = scala.collection.mutable.Map[Int, Map[Long, String]]()
+    history(0) = model
+    var gen = 0
+    var base = 0
+
+    (1 to 30).foreach { step =>
+      rnd.nextInt(14) match {
+        case r if r <= 3 =>
+          // TOMBSTONE 1-3 ids: mix of live, dead and never-present;
+          // id 0 protected; a batch with no live member commits
+          // nothing (the returned gen is unchanged)
+          val ids = Seq.fill(1 + rnd.nextInt(3))(1L + rnd.nextInt(45))
+            .distinct
+          val g2 = CorpusStore.appendTombstonesToCorpusCow(
+            ids.toDF("doc_id"), path)
+          val live = ids.filter(model.contains)
+          if (live.isEmpty) assert(g2 == gen,
+            s"step $step: no-live tombstone committed a generation")
+          else {
+            assert(g2 == gen + 1)
+            gen = g2
+            model = model -- live
+            history(gen) = model
+          }
+        case r if r <= 6 =>
+          val ids = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(40).toLong)
+            .distinct
+          val up = ids.map(i => i -> s"step $step delta for $i").toMap
+          gen = CorpusStore.appendDeltaToCorpusCow(toDf(up), path)
+          model = model ++ up
+          history(gen) = model
+        case r if r <= 8 =>
+          val ids = Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(40).toLong)
+            .distinct
+          val up = ids.map(i => i -> s"step $step text for $i").toMap
+          gen = CorpusStore.upsertIntoCorpusCow(toDf(up), path)
+          model = model ++ up
+          history(gen) = model
+        case r if r <= 9 =>
+          val ids = Seq.fill(1 + rnd.nextInt(3))(1L + rnd.nextInt(45))
+            .distinct
+          gen = CorpusStore.deleteFromCorpusCow(ids.toDF("doc_id"), path)
+          model = model -- ids
+          history(gen) = model
+        case 10 =>
+          val g2 = CorpusStore.compactCorpusCow(spark, path)
+          if (g2 != gen) { gen = g2; history(gen) = model }
+        case 11 =>
+          gen = CorpusStore.rebucketCorpusCow(spark, path,
+            Seq(4, 8, 16)(rnd.nextInt(3)))
+          history(gen) = model
+        case _ =>
+          val keep = 1 + rnd.nextInt(3)
+          CorpusStore.vacuumCorpusSnapshots(spark, path, keepLast = keep)
+          base = math.max(base, gen - keep + 1)
+          history.keys.filter(_ < base).toSeq.foreach(history.remove)
+      }
+      assert(CorpusStore.currentGen(spark, path) == ((gen, base)),
+        s"step $step pointer drift")
+      assert(readAsMap(CorpusStore.readCorpusSnapshot(spark, path)) ==
+        model, s"step $step CURRENT read diverged from the model")
+      val probe = base + rnd.nextInt(gen - base + 1)
+      assert(readAsMap(
+        CorpusStore.readCorpusSnapshotAt(spark, path, probe)) ==
+        history(probe),
+        s"step $step retained gen $probe diverged from its history")
+    }
+
+    (base to gen).foreach { i =>
+      assert(readAsMap(
+        CorpusStore.readCorpusSnapshotAt(spark, path, i)) == history(i),
+        s"final sweep: gen $i diverged")
+    }
+    val meta = CorpusStore.listCorpusSnapshots(spark, path)
+      .as[(Int, Long)].collect().toMap
+    assert(meta == history.map { case (g, m) => g -> m.size.toLong }.toMap,
+      s"meta counts drifted: $meta")
+    val h = CorpusStore.cowHealthReport(spark, path)
+    assert(h.totalRows == model.size.toLong && h.current == gen &&
+      h.base == base && h.orphanDirs == 0, h.toString)
+  }
 }

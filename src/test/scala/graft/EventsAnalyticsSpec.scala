@@ -292,4 +292,38 @@ class EventsAnalyticsSpec extends SparkSpec {
       .as[(String, String, Long, Long, Double)].collect().toSeq
     assert(out == Seq(("a", "b", 1L, 1L, 1.0), ("b", "c", 1L, 1L, 1.0)))
   }
+
+  test("dailyAnomalies: spike flags against the 7 preceding days; partial and flat baselines emit null") {
+    // type "a": 8 quiet days (counts 4,5,4,5,4,5,4,5) then a 20-event
+    // spike; type "flat": constant 3/day — zero variance, never scored
+    def burst(t: String, day: Int, n: Int) = (1 to n).map(i =>
+      (t, ts(f"2024-01-${day}%02d 10:${i % 60}%02d:${i / 60}%02d")))
+    val counts = Seq(4, 5, 4, 5, 4, 5, 4, 5)
+    val events = (counts.zipWithIndex.flatMap { case (n, i) =>
+      burst("a", i + 1, n)
+    } ++ burst("a", 9, 20) ++ (1 to 9).flatMap(d => burst("flat", d, 3)))
+      .toDF("event_type", "ts")
+    val out = EventsAnalytics.dailyAnomalies(events, "event_type", "ts",
+        window = 7, zThreshold = 2.0)
+      .select(col("event_type"), dayofmonth(col("d")).as("day"),
+        col("n"), col("z"), col("is_anomaly"))
+      .as[(String, Int, Long, Option[Double], Boolean)]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    val a = out.filter(_._1 == "a")
+    // days 1-7 lack a full baseline: z null, never flagged
+    assert(a.take(7).forall(r => r._4.isEmpty && !r._5), a.toString)
+    // day 8 (count 5 vs baseline 4,5,4,5,4,5,4): ordinary, unflagged
+    val d8 = a(7)
+    assert(d8._4.isDefined && !d8._5, d8.toString)
+    // the planted spike flags; z matches the hand-computed sample
+    // z-score of 20 against (5,4,5,4,5,4,5): mean 32/7, var from the
+    // integer numerator (7·148 − 32²)/42
+    val d9 = a(8)
+    val zExp = (20.0 - 32.0 / 7.0) /
+      math.sqrt((7.0 * 148 - 32.0 * 32) / 42.0)
+    assert(d9._3 == 20L && d9._4.contains(zExp) && d9._5, d9.toString)
+    // flat type: full window but zero variance — null, unflagged
+    val f = out.filter(_._1 == "flat")
+    assert(f.forall(r => r._4.isEmpty && !r._5), f.toString)
+  }
 }

@@ -461,4 +461,38 @@ class RetrievalSpec extends SparkSpec {
         s"query terms and lengths must broadcast:\n$plan")
     } finally scope.release()
   }
+
+  test("rrfFuse: consensus outranks a single-list #1; absent sides contribute nothing; ties break by id") {
+    // list A: 10 best, 20 second, 30 third. list B: 20 best, 10 second,
+    // 40 third. Doc 20 (ranks 2+1) and doc 10 (ranks 1+2) tie on the
+    // symmetric rrf sum and MUST order by id; both outrank the
+    // single-list #1s would-be winner if fusion ignored consensus.
+    val a = Seq((1, 10L, 1), (1, 20L, 2), (1, 30L, 3))
+      .toDF("query_id", "id", "rank")
+    val b = Seq((1, 20L, 1), (1, 10L, 2), (1, 40L, 3))
+      .toDF("query_id", "id", "rank")
+    val fused = Retrieval.rrfFuse(a, b, "query_id", "id", "rank", k = 4)
+      .select("rank", "id", "rrf").as[(Int, Long, Double)]
+      .collect().toSeq.sortBy(_._1)
+    assert(fused.map(_._2) == Seq(10L, 20L, 30L, 40L), fused.toString)
+    // the tied pair carries the identical two-term sum
+    assert(fused(0)._3 == fused(1)._3)
+    assert(fused(0)._3 == 1.0 / 61 + 1.0 / 62)
+    // single-list docs carry exactly their one reciprocal
+    assert(fused(2)._3 == 1.0 / 63 && fused(3)._3 == 1.0 / 63)
+    // k truncates per query and rank is dense from 1
+    val top1 = Retrieval.rrfFuse(a, b, "query_id", "id", "rank", k = 1)
+      .select("rank", "id").as[(Int, Long)].collect().toSeq
+    assert(top1 == Seq((1, 10L)))
+  }
+
+  test("rrfFuse: queries fuse independently; a query present in one list only still ranks") {
+    val a = Seq((1, 10L, 1), (2, 50L, 1)).toDF("query_id", "id", "rank")
+    val b = Seq((1, 10L, 1)).toDF("query_id", "id", "rank")
+    val fused = Retrieval.rrfFuse(a, b, "query_id", "id", "rank", k = 5)
+      .select("query_id", "rank", "id", "rrf")
+      .as[(Int, Int, Long, Double)].collect().toSet
+    assert(fused == Set((1, 1, 10L, 2.0 / 61), (2, 1, 50L, 1.0 / 61)),
+      fused.toString)
+  }
 }
