@@ -247,4 +247,72 @@ class CowTombstoneSpec extends SparkSpec {
       finally Dedup.unpersistAll()
     assert(hits == 0L, "tombstoned doc still serves from the LSH index")
   }
+
+  test("living-corpus circle through tombstones: takedown, clean recrawl re-admits, same-id recrawl resurrects") {
+    val store = tmp("graft-tombcirc")
+    val ledger = tmp("graft-tombcirc-led")
+    CorpusStore.writeCorpusCow(corpus, store, "doc_id", nBuckets)
+    Dedup.writeExactLedger(corpus, "text", ledger)
+    def ingest(rows: Seq[(Long, String)], id: Long): Unit = {
+      graft.operators.Ingest.corpusIngestBatch(store, ledger)(
+        rows.toDF("doc_id", "text"), id)
+      Dedup.unpersistAll()
+    }
+    // tombstone takedown clears corpus AND ledger
+    Takedown.takedownEverywhere(spark, Seq(5L).toDF("doc_id"),
+      "doc_id", "text",
+      Takedown.TakedownTargets(corpusPath = Some(store),
+        ledgerPath = Some(ledger)),
+      corpusAsTombstones = true)
+    Dedup.unpersistAll()
+    assert(!rows(CorpusStore.readCorpusSnapshot(spark, store))
+      .exists(_._1 == 5L))
+    // a clean recrawl of the SAME content re-admits under a fresh id
+    // (the ledger entry went with the takedown)
+    ingest(Seq((50L, "document number 5 body")), 0L)
+    assert(rows(CorpusStore.readCorpusSnapshot(spark, store))
+      .exists(_._1 == 50L), "taken-down content must re-admit")
+    // and a recrawl under the ORIGINAL id resurrects it through the
+    // tombstone (the newest delta shadows the dead marker)
+    Takedown.takedownEverywhere(spark, Seq(50L).toDF("doc_id"),
+      "doc_id", "text",
+      Takedown.TakedownTargets(corpusPath = Some(store),
+        ledgerPath = Some(ledger)),
+      corpusAsTombstones = true)
+    Dedup.unpersistAll()
+    ingest(Seq((5L, "document number 5 body")), 1L)
+    val finalRows = rows(CorpusStore.readCorpusSnapshot(spark, store))
+    assert(finalRows.exists(_._1 == 5L), "same-id recrawl must resurrect")
+    assert(!finalRows.exists(_._1 == 50L))
+    // live counts stayed exact through the circle
+    assert(CorpusStore.cowHealthReport(spark, store).totalRows ==
+      finalRows.size.toLong)
+  }
+
+  test("plan pins: a tombstone-only change range scans no base trees; a tombstone-carrying CURRENT pays exactly the merge window") {
+    val path = tmp("graft-tombplan")
+    CorpusStore.writeCorpusCow(corpus, path, "doc_id", nBuckets)
+    CorpusStore.appendTombstonesToCorpusCow(
+      Seq(5L, 17L).toDF("doc_id"), path)
+    // the feed's O(changes) contract extends to tombstone ranges:
+    // resolving "what changed" must not re-read the corpus even when
+    // the change is a deletion that emits nothing. Catalyst actually
+    // does one better here — a group whose every row is a dead marker
+    // constant-folds (`!lit(true)` prunes the subtree) to an empty
+    // LocalTableScan, ZERO I/O — so the pin is "no scan of anything",
+    // with the base-tree assertion as the regression tripwire
+    val feed = CorpusStore.corpusChangesSince(spark, path, 0, 1)
+    val phys = feed.queryExecution.executedPlan.toString
+    assert(!phys.contains("/parts/gen="),
+      s"tombstone-only change range re-reads base trees:\n$phys")
+    assert(phys.contains("LocalTableScan") || phys.contains("/deltas/gen="),
+      s"unexpected tombstone-range plan:\n$phys")
+    assert(feed.count() == 0)
+    // CURRENT merges (window present) — untombstoned buckets keep a
+    // plain scan leg alongside
+    val cur = CorpusStore.readCorpusSnapshot(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(cur.contains("Window"),
+      "tombstone-carrying read lost its last-writer-wins merge")
+  }
 }
