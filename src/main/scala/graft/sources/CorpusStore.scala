@@ -344,6 +344,46 @@ object CorpusStore {
   private def bucketExpr(idCol: String, numBuckets: Int) =
     pmod(xxhash64(col(idCol)), lit(numBuckets.toLong)).cast("int")
 
+  /** ONE physical layout for every COW tree write (round 16): rows
+    * range-partition by (bucket, id) and sort by id within files —
+    * a point read (`readCorpusSnapshot(...).where(id = X)`, the
+    * serving-store access pattern Layout.scala exists for) then
+    * prunes row groups by the id min/max stats, and sorted ids
+    * compress better. The range sort costs one exchange per COMMIT,
+    * paid where it amortizes over every later read — and it fixes
+    * the many-small-files shape a plain dynamic-partition write
+    * produces (each input task otherwise writes its own file into
+    * every bucket it touches).
+    *
+    * BASE trees (`bloom = true`) additionally carry an ADAPTIVE
+    * parquet bloom filter on the id column for the
+    * in-range-but-absent probes (the writeSortedHashes idiom,
+    * Dedup.scala). Delta and tombstone trees do NOT: their readers —
+    * the LWW merge, the id-state scan, compaction — always scan them
+    * in full, so a bloom would be pure overhead on trees whose whole
+    * point is O(batch)/O(k ids) bytes. max.bytes 128 KB floors the
+    * adaptive candidate ladder at 8 KB per file (the parquet-1.16
+    * default 1 MB ladder bottoms out at a 64 KB tax — measured — and
+    * the candidates.number knob does not propagate through the
+    * datasource options); at 1% fpp the 128 KB cap right-sizes
+    * ~100k-row row groups, the shape of a real document row group.
+    */
+  private def writeCowTree(df: DataFrame, idCol: String,
+      numBuckets: Int, dest: String, bloom: Boolean): Unit = {
+    val sorted = df
+      .withColumn("_cs_bucket", bucketExpr(idCol, numBuckets))
+      .repartitionByRange(col("_cs_bucket"), col(idCol))
+      .sortWithinPartitions("_cs_bucket", idCol)
+      .write.mode("overwrite").partitionBy("_cs_bucket")
+    val w =
+      if (!bloom) sorted
+      else sorted
+        .option(s"parquet.bloom.filter.enabled#$idCol", "true")
+        .option("parquet.bloom.filter.adaptive.enabled", "true")
+        .option("parquet.bloom.filter.max.bytes", "131072")
+    w.parquet(dest)
+  }
+
   /** The store's row schema, resolved from the first NON-TOMBSTONE
     * tree the given manifest references (tombstone trees carry only
     * the id column) — one parquet footer, metadata-scale.
@@ -567,9 +607,8 @@ object CorpusStore {
   private def writeCowBase(df: DataFrame, path: String, gen: Int,
       base: Int, idCol: String, numBuckets: Int): Int = {
     val spark = df.sparkSession
-    df.withColumn("_cs_bucket", bucketExpr(idCol, numBuckets))
-      .write.mode("overwrite").partitionBy("_cs_bucket")
-      .parquet(s"$path/parts/gen=$gen")
+    writeCowTree(df, idCol, numBuckets, s"$path/parts/gen=$gen",
+      bloom = true)
     val dataStamp = stampWriterToken(spark, s"$path/parts/gen=$gen")
     // the written tree (with partition inference) names the buckets
     // this generation owns and the version's row count in one scan
@@ -617,9 +656,8 @@ object CorpusStore {
       val dataStamps =
         if (counts.isEmpty) Nil
         else {
-          merged.withColumn("_cs_bucket", bucketOf)
-            .write.mode("overwrite").partitionBy("_cs_bucket")
-            .parquet(s"$path/parts/gen=$gen")
+          writeCowTree(merged, idCol, numBuckets,
+            s"$path/parts/gen=$gen", bloom = true)
           Seq(stampWriterToken(spark, s"$path/parts/gen=$gen"))
         }
       val newManifest = (manifest -- changeBuckets) ++
@@ -765,9 +803,8 @@ object CorpusStore {
       "appendDeltaToCorpusCow: empty change set")
     // the delta write IS the whole data write: the batch's own rows,
     // partitioned by bucket, under the generation's private deltas dir
-    changes.withColumn("_cs_bucket", bucketExpr(idCol, numBuckets))
-      .write.mode("overwrite").partitionBy("_cs_bucket")
-      .parquet(s"$path/deltas/gen=$gen")
+    writeCowTree(changes, idCol, numBuckets,
+      s"$path/deltas/gen=$gen", bloom = false)
     val dataStamp = stampWriterToken(spark, s"$path/deltas/gen=$gen")
     val counts = spark.read.parquet(s"$path/deltas/gen=$gen")
       .groupBy("_cs_bucket").agg(count(lit(1)).as("n"))
@@ -851,9 +888,8 @@ object CorpusStore {
       .select(col(idCol))
       .localCheckpoint()
     if (doomed.limit(1).count() == 0) return g
-    doomed.withColumn("_cs_bucket", bucketExpr(idCol, numBuckets))
-      .write.mode("overwrite").partitionBy("_cs_bucket")
-      .parquet(s"$path/deltas/gen=$gen")
+    writeCowTree(doomed, idCol, numBuckets,
+      s"$path/deltas/gen=$gen", bloom = false)
     val dataStamp = stampWriterToken(spark, s"$path/deltas/gen=$gen")
     val counts = spark.read.parquet(s"$path/deltas/gen=$gen")
       .groupBy("_cs_bucket").agg(count(lit(1)).as("n"))
@@ -901,11 +937,10 @@ object CorpusStore {
     val dataStamps =
       if (expectLive.isEmpty) Nil
       else {
-        readCowView(spark, path, idCol, expectLive,
-          storeRowSchema(spark, path, manifest))
-          .withColumn("_cs_bucket", bucketExpr(idCol, numBuckets))
-          .write.mode("overwrite").partitionBy("_cs_bucket")
-          .parquet(s"$path/parts/gen=$gen")
+        writeCowTree(
+          readCowView(spark, path, idCol, expectLive,
+            storeRowSchema(spark, path, manifest)),
+          idCol, numBuckets, s"$path/parts/gen=$gen", bloom = true)
         Seq(stampWriterToken(spark, s"$path/parts/gen=$gen"))
       }
     val counts =

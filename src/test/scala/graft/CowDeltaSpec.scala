@@ -345,6 +345,50 @@ class CowDeltaSpec extends SparkSpec {
         .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1))
   }
 
+  test("COW tree layout: every tree id-sorted; base trees carry an adaptive id bloom, delta trees (always fully scanned) carry none") {
+    // round 16: a point read of the corpus (the serving-store access
+    // pattern) prunes row groups by id min/max stats on any tree, and
+    // BASE trees add a bloom for in-range-but-absent ids. Delta and
+    // tombstone trees skip the bloom — their readers (LWW merge,
+    // id-state scan, compaction) always scan them in full, and the
+    // adaptive ladder's per-file floor would dwarf a 2-row marker
+    // tree (the O(batch)/O(k ids) byte claims)
+    val path = tmp("graft-cowlay")
+    CorpusStore.writeCorpusCow(corpus, path, "doc_id", nBuckets)
+    CorpusStore.appendDeltaToCorpusCow(
+      Seq((5L, "five v2"), (41L, "fortyone")).toDF("doc_id", "text"), path)
+    def checkTree(dir: String, wantBloom: Boolean): Unit = {
+      val files = new java.io.File(dir).listFiles
+        .filter(_.isDirectory).flatMap(_.listFiles)
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty, s"no parquet files under $dir")
+      files.foreach { f =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+            spark.sessionState.newHadoopConf()))
+        try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.foreach { rg =>
+            val idCol = rg.getColumns.asScala
+              .find(_.getPath.toDotString == "doc_id").get
+            if (wantBloom) assert(idCol.getBloomFilterOffset >= 0,
+              s"doc_id bloom filter missing in ${f.getName}")
+            else assert(idCol.getBloomFilterOffset < 0,
+              s"unexpected bloom overhead on delta tree ${f.getName}")
+          }
+        } finally reader.close()
+        // rows within the file are id-sorted (the min/max-stats
+        // pruning contract)
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select("doc_id").as[Long].collect().toSeq
+        assert(ids == ids.sorted, s"${f.getName} not id-sorted: $ids")
+      }
+    }
+    checkTree(s"$path/parts/gen=0", wantBloom = true)
+    checkTree(s"$path/deltas/gen=1", wantBloom = false)
+  }
+
   test("both streaming ingest writers share one ingest-log schema — a store serviced by both replays correctly and reads every column") {
     val path = tmp("graft-cowlog")
     val ledger = tmp("graft-cowlog-led")

@@ -486,6 +486,53 @@ class RetrievalSpec extends SparkSpec {
     assert(top1 == Seq((1, 10L)))
   }
 
+  test("indexed hybrid serving: BM25-index + IVF-index probes fuse identically to the in-memory retrievers") {
+    // the s21 entry fuses the in-memory retrievers; production serves
+    // from the PERSISTED indexes — this pins that the served fusion
+    // is row-identical, i.e. rrfFuse composes with the index
+    // lifecycle without a parity gap anywhere in the chain
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sfDir, "documents")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val probes = Seq((1, "hash join table"),
+      (2, "window agg sort stream"), (3, "fast vector scan"))
+      .toDF("query_id", "query_text")
+    val qvecs = emb.where(col("vec_id").isin(7L, 14L, 21L))
+      .select((col("vec_id") / 7).cast("int").as("query_id"),
+        col("embedding"))
+    val bmDir = java.nio.file.Files
+      .createTempDirectory("graft-hyb-bm").toString
+    val ivfDir = java.nio.file.Files
+      .createTempDirectory("graft-hyb-ivf").toString
+    val scope = new Dedup.CacheScope
+    try {
+      Retrieval.writeBm25Index(docs, "doc_id", "text", bmDir)
+      Similarity.writeIvfIndex(emb, "vec_id", "embedding", ivfDir,
+        nCells = 16)
+      def rank(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("rank", row_number().over(Window
+          .partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("id").asc)))
+      val served = Retrieval.rrfFuse(
+        Retrieval.bm25AgainstIndex(probes, "query_id", "query_text",
+            bmDir, k = 20, scope = scope)
+          .select(col("query_id"), col("doc_id").as("id"), col("rank")),
+        rank(Similarity.knnIvfBatchIndexed(spark, ivfDir, qvecs,
+          "query_id", "embedding", k = 20, nProbe = 4)),
+        "query_id", "id", "rank", k = 10)
+      val inMemory = Retrieval.rrfFuse(
+        Retrieval.bm25(docs, "doc_id", "text", probes, "query_id",
+            "query_text", k = 20, scope = scope)
+          .select(col("query_id"), col("doc_id").as("id"), col("rank")),
+        rank(Similarity.knnIvfBatch(qvecs, "query_id", "embedding",
+          emb, "vec_id", "embedding", k = 20, nCells = 16, nProbe = 4)),
+        "query_id", "id", "rank", k = 10)
+      assertSameRows(served, inMemory)
+      assert(served.count() == 30)
+    } finally scope.release()
+  }
+
   test("rrfFuse: queries fuse independently; a query present in one list only still ranks") {
     val a = Seq((1, 10L, 1), (2, 50L, 1)).toDF("query_id", "id", "rank")
     val b = Seq((1, 10L, 1)).toDF("query_id", "id", "rank")
