@@ -27,7 +27,13 @@ object IndexHealth {
   /** One health row, uniform across index kinds.
     *
     *  - `kind`: "lsh" | "exact_ledger" | "bm25" | "ivf" (IVF-PQ
-    *    reports as "ivf" — same cells layout, same maintenance).
+    *    reports as "ivf" — same cells layout, same maintenance) |
+    *    "corpus_cow" (round 16 — the COW corpus store joins the SAME
+    *    catalog loop: partitions = buckets, tombstones = pending
+    *    delete markers, needsCompact = delta-chain pressure OR
+    *    retention/orphans, fixed by [[graft.sources.CorpusStore
+    *    .maintainCorpusCow]]; the richer store-specific row stays at
+    *    [[graft.sources.CorpusStore.cowHealthReport]]).
     *  - `totalRows` / `nPartitions` / `maxPartition` / `skew` /
     *    `emptyPartitions`: occupancy of the index's pruning unit
     *    (band buckets, ledger files, term buckets, cells). `skew` is
@@ -88,13 +94,48 @@ object IndexHealth {
     * on a path that matches no known layout.
     */
   def report(spark: SparkSession, path: String): Health =
-    if (exists(spark, s"$path/CURRENT")) reportBm25(spark, path)
+    // cowmeta FIRST: a COW corpus store also has a CURRENT pointer
+    // and a meta/ directory — the BM25 branch would mis-detect it
+    if (exists(spark, s"$path/cowmeta")) reportCorpusCow(spark, path)
+    else if (exists(spark, s"$path/CURRENT")) reportBm25(spark, path)
     else if (exists(spark, s"$path/centroids")) reportIvf(spark, path)
     else if (exists(spark, s"$path/buckets") &&
              exists(spark, s"$path/meta")) reportLsh(spark, path)
     else if (exists(spark, s"$path/hashes")) reportExactLedger(spark, path)
     else throw new IllegalArgumentException(
       s"IndexHealth.report: no known index layout at $path")
+
+  /** COW corpus store mapped into the uniform row (round 16): the
+    * catalog loop treats the corpus like any other store. Partition
+    * unit = buckets (live occupancy from the CURRENT manifest —
+    * metadata-scale, the cowHealthReport numbers re-shaped);
+    * `tombstones` = pending delete markers awaiting compaction;
+    * `generations` = retained versions; `needsCompact` = delta-chain
+    * pressure OR retention/orphan pressure (both fixed by ONE
+    * [[graft.sources.CorpusStore.maintainCorpusCow]] pass, so the
+    * uniform row needs no second flag); `needsRebuild` never (the
+    * store has no geometry to degrade — rebucketing is a capacity
+    * decision the caller owns, like LSH banding).
+    */
+  def reportCorpusCow(spark: SparkSession, path: String,
+      maxGenerations: Int = 16,
+      compactAfterDeltas: Int = 8): Health = {
+    val h = graft.sources.CorpusStore.cowHealthReport(spark, path,
+      maxGenerations, compactAfterDeltas)
+    Health(
+      kind = "corpus_cow",
+      totalRows = h.totalRows,
+      nPartitions = h.populatedBuckets.toLong,
+      maxPartition = h.maxBucket,
+      skew = h.skew,
+      emptyPartitions = (h.numBuckets - h.populatedBuckets).toLong,
+      dataFiles = dataFileCount(spark, s"$path/parts") +
+        dataFileCount(spark, s"$path/deltas"),
+      generations = h.generations,
+      tombstones = h.tombstonedRows,
+      needsCompact = h.needsCompaction || h.needsVacuum,
+      needsRebuild = false)
+  }
 
   /** LSH dedup index: partition unit = (band, bucket). needsRebuild
     * when `saturatedRowFrac` (rows in buckets past the probe-time
@@ -322,6 +363,15 @@ object IndexHealth {
       : MaintainResult = {
     val before = report(spark, path)
     val (action, active) = before.kind match {
+      case "corpus_cow" =>
+        // in-place (generations ARE the copy mechanism; dstPath
+        // unused): one maintainCorpusCow pass compacts chain
+        // pressure then vacuums retention/orphans — content of every
+        // remaining generation bit-identical (its own spec contract)
+        if (before.needsCompact) {
+          val r = graft.sources.CorpusStore.maintainCorpusCow(spark, path)
+          (if (r.actions.isEmpty) "none" else r.actions.mkString("+"), path)
+        } else ("none", path)
       case "bm25" =>
         if (before.needsCompact) {
           Retrieval.compactBm25Index(spark, path); ("compacted", path)

@@ -1183,6 +1183,31 @@ object CorpusStore {
     }
   }
 
+  /** The store's row schema (from the CURRENT manifest's first data
+    * tree — one parquet footer). What the streaming source and
+    * schema-aware consumers resolve before reading any data.
+    */
+  def corpusSchema(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType = {
+    require(isCow(spark, path),
+      s"CorpusStore: $path is not a copy-on-write store")
+    storeRowSchema(spark, path,
+      readCowManifest(spark, path, currentGen(spark, path)._1))
+  }
+
+  /** The living corpus as a streaming DataFrame — each committed
+    * generation range arrives as a micro-batch (offsets ARE
+    * generation numbers, checkpointed by Spark). See
+    * [[CorpusStreamProvider]] for the delivery and retention
+    * contract. Sugar for
+    * `spark.readStream.format("graft-corpus").option("path", p).load()`.
+    */
+  def readCorpusStream(spark: SparkSession, path: String): DataFrame = {
+    require(isCow(spark, path),
+      s"CorpusStore: $path is not a copy-on-write store")
+    spark.readStream.format("graft-corpus").option("path", path).load()
+  }
+
   // ——— Reads (both layouts) —————————————————————————————————————————
 
   /** The committed corpus version — resolves CURRENT once, then reads

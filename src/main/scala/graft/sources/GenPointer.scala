@@ -19,12 +19,31 @@ import org.apache.spark.sql.SparkSession
   * directory entry, not the open handle's data), so a reader always
   * sees one complete pointer value, before or after the swap — never
   * a hybrid.
+  *
+  * Checksum-sidecar race, fixed in round 16 (surfaced by the
+  * streaming corpus source — the first reader that polls CURRENT
+  * from its own thread while a writer commits): on Hadoop's LOCAL
+  * filesystem the checksum layer (ChecksumFs) renames the data file
+  * and its `.crc` sidecar in TWO steps, so a reader opening between
+  * them validates the NEW bytes against the OLD checksum and throws
+  * "Checksum error: …/CURRENT". The pointer file therefore bypasses
+  * the checksum layer entirely — created and opened through the RAW
+  * filesystem (no sidecar written, none validated; [[commit]] also
+  * removes any sidecar a pre-fix writer left, so migrated stores
+  * stop tripping too). Atomicity still comes from the single data-
+  * file rename; integrity of a tens-of-bytes pointer is the rename's
+  * to give, not a CRC's. Non-checksummed filesystems (HDFS, object
+  * stores) are unaffected — raw IS the filesystem there.
   */
 object GenPointer {
 
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        c.getRawFileSystem
+      case other => other
+    }
 
   /** Whether `path/CURRENT` exists (a store/index with no committed
     * generation has none).
@@ -50,22 +69,47 @@ object GenPointer {
   }
 
   /** Atomically (re)point CURRENT at (gen, base): write CURRENT.tmp,
-    * then rename with OVERWRITE via FileContext — the one metadata op
-    * HDFS and POSIX both make atomic. A crash before the rename
-    * leaves the previous pointer (and thus the previous committed
-    * state) fully intact. base=0 writes the bare-int legacy format so
-    * never-compacted stores stay readable by pre-compaction code.
+    * then one atomic overwrite-rename — rename(2) on local paths,
+    * FileContext OVERWRITE on remote filesystems (HDFS rename2); see
+    * the inline note for why local must NOT go through FileContext.
+    * A crash before the rename leaves the previous pointer (and thus
+    * the previous committed state) fully intact. base=0 writes the
+    * bare-int legacy format so never-compacted stores stay readable
+    * by pre-compaction code.
     */
   def commit(spark: SparkSession, path: String, gen: Int,
              base: Int = 0): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    val f = fs(spark, path)
     val dst = new org.apache.hadoop.fs.Path(s"$path/CURRENT")
     val tmp = new org.apache.hadoop.fs.Path(s"$path/CURRENT.tmp")
-    val out = fs(spark, path).create(tmp, true)
+    // migration: a pre-fix writer's checksum sidecars would make a
+    // checksummed reader validate fresh bytes against stale CRCs —
+    // remove them once here (no-ops on raw/remote filesystems)
+    Seq(s"$path/.CURRENT.crc", s"$path/.CURRENT.tmp.crc").foreach { c =>
+      val p = new org.apache.hadoop.fs.Path(c)
+      if (f.exists(p)) f.delete(p, false)
+    }
+    val out = f.create(tmp, true)
     val text = if (base == 0) gen.toString else s"$gen $base"
     try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
-      .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // second round-16 sidecar-class finding (same concurrent-poll
+    // trigger): FileContext's OVERWRITE rename is delete-then-rename
+    // on the LOCAL AbstractFileSystem — a window where CURRENT does
+    // not exist at all, which a polling reader hits as "no committed
+    // snapshot". On local paths use the POSIX rename(2) overwrite
+    // (atomic, no gap) via java.nio; FileContext stays the remote
+    // path, where HDFS's rename2 IS atomic.
+    if ("file" == dst.toUri.getScheme ||
+        f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem])
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(dst.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else
+      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

@@ -65,6 +65,47 @@ class CorpusStoreSpec extends SparkSpec {
       v1.orderBy("doc_id").collect().toSeq)
   }
 
+  test("GenPointer hammer: a polling reader never errors or sees a gap/regression while a writer swaps CURRENT in a loop") {
+    // round 16, surfaced by the streaming corpus source (the first
+    // reader polling CURRENT from its own thread): two latent races
+    // on the LOCAL filesystem — (1) ChecksumFs renames the pointer
+    // and its .crc sidecar in two steps, so a read between them threw
+    // "Checksum error: CURRENT"; (2) FileContext's OVERWRITE rename
+    // is delete-then-rename locally, so a read in the gap threw "no
+    // CURRENT". Both fixed in GenPointer (raw-fs pointer I/O + POSIX
+    // atomic rename); this hammer is the regression pin — hundreds of
+    // concurrent swap/read pairs, every read must succeed and be
+    // monotonically non-decreasing.
+    import graft.sources.GenPointer
+    val dir = tmp("graft-genptr")
+    GenPointer.commit(spark, dir, 0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val writer = new Thread(() => {
+      var g = 1
+      try while (!stop.get && g <= 400) {
+        GenPointer.commit(spark, dir, g, base = g / 2)
+        g += 1
+      } catch { case t: Throwable => failure.set(t) }
+      finally stop.set(true)
+    })
+    writer.start()
+    var last = 0
+    var reads = 0
+    try {
+      while (!stop.get) {
+        val (g, b) = GenPointer.read(spark, dir)
+        assert(g >= last, s"pointer regressed: $last -> $g")
+        assert(b == 0 || b == g / 2, s"torn read: ($g, $b)")
+        last = g
+        reads += 1
+      }
+    } finally { stop.set(true); writer.join() }
+    assert(failure.get == null, String.valueOf(failure.get))
+    assert(last > 0 && reads > 50, s"hammer too weak: $reads reads")
+    assert(GenPointer.read(spark, dir) == ((400, 200)))
+  }
+
   test("read-modify-write: next version derives from CURRENT without self-overwrite") {
     val path = tmp("graft-cs-rmw")
     CorpusStore.writeCorpusSnapshot(v0, path)

@@ -314,5 +314,19 @@ class CowTombstoneSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(cur.contains("Window"),
       "tombstone-carrying read lost its last-writer-wins merge")
+    // the layout's payoff: an id point read pushes its predicate into
+    // the parquet scans on BOTH paths — the plain leg directly, and
+    // the merged leg THROUGH the LWW window (the id is the window's
+    // partition key, so Catalyst pushes the filter below it) — where
+    // the id-sorted row groups and the base trees' blooms prune.
+    // A regression that re-keyed the window or filtered above it
+    // would silently turn every point read into a bucket scan.
+    val point = CorpusStore.readCorpusSnapshot(spark, path)
+      .where(col("doc_id") === 23L)
+      .queryExecution.executedPlan.toString
+    val pushed = point.linesIterator
+      .filter(_.contains("PushedFilters")).toSeq
+    assert(pushed.nonEmpty && pushed.forall(_.contains("doc_id")),
+      s"point read lost its scan pushdown:\n$point")
   }
 }

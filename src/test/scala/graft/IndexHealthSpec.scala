@@ -132,4 +132,41 @@ class IndexHealthSpec extends SparkSpec {
     assert(rebuilt.totalRows == emb.count() && rebuilt.tombstones == 0 &&
       !rebuilt.needsCompact, rebuilt.toString)
   }
+
+  test("corpus_cow health: the COW store joins the catalog loop — detected ahead of bm25, pressure flagged, maintain clears it in place") {
+    import graft.sources.CorpusStore
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ih-cow").toString
+    val corpus = (1 to 40).map(i => (i.toLong, s"doc $i body"))
+      .toDF("doc_id", "text")
+    CorpusStore.writeCorpusCow(corpus, dir, "doc_id", numBuckets = 8)
+    // a COW store also has CURRENT + meta/ — the detector must NOT
+    // fall into the bm25 branch
+    val clean = IndexHealth.report(spark, dir)
+    assert(clean.kind == "corpus_cow" && clean.totalRows == 40 &&
+      clean.generations == 1 && !clean.needsCompact &&
+      !clean.needsRebuild, clean.toString)
+    // pressure: a 10-delta chain on one id + pending tombstones
+    (1 to 10).foreach(v => CorpusStore.appendDeltaToCorpusCow(
+      Seq((5L, s"five v$v")).toDF("doc_id", "text"), dir))
+    CorpusStore.appendTombstonesToCorpusCow(
+      Seq(17L).toDF("doc_id"), dir)
+    val dirty = IndexHealth.report(spark, dir)
+    assert(dirty.needsCompact && dirty.tombstones == 1 &&
+      dirty.totalRows == 39, dirty.toString)
+    // one uniform maintain pass fixes it in place (dstPath unused)
+    val want = CorpusStore.readCorpusSnapshot(spark, dir)
+      .orderBy("doc_id").collect().toSeq
+    val r = IndexHealth.maintain(spark, dir, dstPath = dir)
+    // chain pressure without retention pressure (12 gens < the
+    // default 16): exactly the compaction leg runs
+    assert(r.action == "compacted", r.toString)
+    assert(!r.after.needsCompact && r.after.tombstones == 0,
+      r.after.toString)
+    assert(CorpusStore.readCorpusSnapshot(spark, dir)
+      .orderBy("doc_id").collect().toSeq == want)
+    // healthy store: maintain is a no-op
+    assert(IndexHealth.maintain(spark, dir, dstPath = dir)
+      .action == "none")
+  }
 }

@@ -1147,6 +1147,74 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); scope.release() }
   }
 
+  test("readCorpusStream: the living corpus as a streaming source — bootstrap, per-generation micro-batches, silent deletions, checkpointed restart") {
+    // round 16: the change feed as a REAL Structured Streaming source
+    // (generations as offsets) — Spark's own checkpoint replaces the
+    // followCorpus offset file, so restart recovery is the engine's
+    import graft.sources.CorpusStore
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    val store = tmp("graft-rcs-store")
+    val ckpt = tmp("graft-rcs-ckpt")
+    val founding = (0L to 9L).map(i => (i, s"doc $i body"))
+      .toDF("doc_id", "text")
+    CorpusStore.writeCorpusCow(founding, store, "doc_id", numBuckets = 8)
+    val seen =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def start() = CorpusStore.readCorpusStream(spark, store)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val ids = df.select("doc_id").as[Long].collect().toSet
+        seen.synchronized { seen += (id -> ids) }
+        ()
+      }
+      .start()
+
+    val q = start()
+    try {
+      q.processAllAvailable()
+      // bootstrap: the full CURRENT version is batch 0
+      assert(seen.map(_._2).reduce(_ ++ _) == (0L to 9L).toSet,
+        seen.toString)
+      // two delta generations through the streaming ingest writer:
+      // the feed emits exactly the upserted rows (possibly split
+      // across micro-batches — the poll thread may pick up the first
+      // generation before the second commits)
+      CorpusStore.cowIngestBatch(store)(
+        Seq((20L, "doc 20")).toDF("doc_id", "text"), 0L)
+      CorpusStore.cowIngestBatch(store)(
+        Seq((21L, "doc 21"), (5L, "doc 5 v2")).toDF("doc_id", "text"), 1L)
+      q.processAllAvailable()
+      val fed = seen.synchronized {
+        seen.filter(_._1 >= 1).map(_._2)
+          .foldLeft(Set.empty[Long])(_ ++ _)
+      }
+      assert(fed == Set(20L, 21L, 5L), seen.toString)
+      // a tombstone generation advances the offset but surfaces NO
+      // rows (deletions are silent — the change-feed contract)
+      CorpusStore.appendTombstonesToCorpusCow(
+        Seq(21L).toDF("doc_id"), store)
+      val b2 = seen.size
+      q.processAllAvailable()
+      assert(seen.drop(b2).map(_._2).forall(_.isEmpty), seen.toString)
+    } finally q.stop()
+
+    // restart from the SAME checkpoint: only generations committed
+    // while the stream was down arrive — no re-bootstrap
+    CorpusStore.cowIngestBatch(store)(
+      Seq((22L, "doc 22")).toDF("doc_id", "text"), 2L)
+    val preRestart = seen.size
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val replayed = seen.drop(preRestart)
+        .map(_._2).foldLeft(Set.empty[Long])(_ ++ _)
+      assert(replayed == Set(22L),
+        s"restart must resume from the checkpointed generation: $seen")
+    } finally q2.stop()
+  }
+
   test("followCorpus: cowIngestBatch → change feed → LSH ingest, exactly-once in effect across a crash replay") {
     // round 16 — verdict stretch task 8: a downstream consumer
     // follows the living corpus through the generation-aware change
