@@ -343,6 +343,21 @@ class CowDeltaSpec extends SparkSpec {
     assert(rows(CorpusStore.corpusChangesSince(spark, path, 1, 3)) ==
       (Seq((42L, "fortytwo")) ++ expected)
         .groupBy(_._1).map(_._2.head).toSeq.sortBy(_._1))
+    // a REBUCKET generation owns every bucket, so the feed re-emits
+    // the full corpus for its range (the documented at-least-the-
+    // changes superset — idempotent consumers absorb it) and crosses
+    // the bucket-count boundary without error
+    CorpusStore.rebucketCorpusCow(spark, path, 16)             // gen 4
+    assert(rows(CorpusStore.corpusChangesSince(spark, path, 3, 4)) ==
+      rows(CorpusStore.readCorpusSnapshot(spark, path)))
+    // toGen itself MUST be retained: a consumer whose checkpointed
+    // range was vacuumed away fails FAST (the retention contract —
+    // "size retention past your longest stream downtime"), never
+    // silently skips history
+    val e = intercept[IllegalArgumentException] {
+      CorpusStore.corpusChangesSince(spark, path, 0, 2)
+    }
+    assert(e.getMessage.contains("not retained"), e.getMessage)
   }
 
   test("COW tree layout: every tree id-sorted; base trees carry an adaptive id bloom, delta trees (always fully scanned) carry none") {
