@@ -213,6 +213,45 @@ object CowScaleProbe {
         println(s"$rep,$n,$mode,$delSec,$delBytes,$readSec,$cSec,$cBytes")
       }
     }
+
+    // ——— Ingest-log replay-guard cost (round 17 — verdict task 1):
+    // the per-trigger `ingestLogContains` probe BEFORE the fold (one
+    // file per logged batch, all listed+footer-read) vs AFTER
+    // `compactIngestLog` (watermark pointer read + single-file scan).
+    // Batch counts stand in for stream lifetime: the before-cost
+    // grows with B forever, the after-cost is flat — the last
+    // O(batches)-per-trigger curve in the streaming ingest path.
+    println("log_batches,tail_files_before,probe_logged_ms_before," +
+      "probe_fresh_ms_before,fold_sec,tail_files_after," +
+      "probe_logged_ms_after,probe_fresh_ms_after")
+    Seq(16, 64, 256).foreach { nb =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-logprobe-$nb").toString
+      val seed = docs.limit(64).localCheckpoint()
+      CorpusStore.writeCorpusCow(seed, dir, "doc_id", 16)
+      val one = seed.limit(1)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+        .localCheckpoint()
+      (0 until nb).foreach(i =>
+        CorpusStore.cowIngestBatch(dir)(one
+          .select((col("doc_id") + lit(i.toLong)).as("doc_id"),
+            col("text")), i.toLong))
+      val logPath = s"$dir/ingest_log"
+      def probeMs(id: Long): Double = {
+        val t0 = System.nanoTime()
+        CorpusStore.ingestLogContains(spark, logPath, id)
+        (System.nanoTime() - t0) / 1e6
+      }
+      val tailBefore = CorpusStore.ingestLogTailFiles(spark, logPath).size
+      val loggedBefore = probeMs(nb / 2L)
+      val freshBefore = probeMs(nb + 100L)
+      val (_, foldSec) = time(CorpusStore.compactIngestLog(spark, logPath))
+      val tailAfter = CorpusStore.ingestLogTailFiles(spark, logPath).size
+      val loggedAfter = probeMs(nb / 2L) // watermark pointer read
+      val freshAfter = probeMs(nb + 100L) // one-file scan
+      println(f"$nb,$tailBefore,$loggedBefore%.1f,$freshBefore%.1f," +
+        f"$foldSec%.2f,$tailAfter,$loggedAfter%.1f,$freshAfter%.1f")
+    }
     spark.stop()
   }
 }

@@ -61,20 +61,7 @@ object PipelineSfScaleProbe {
     val synthDir = java.nio.file.Files
       .createTempDirectory("graft-sf1").toString
     val docs = Tables.load(spark, sfDir, "documents")
-    docs.repartition(64)
-      .select(col("*"), explode(sequence(lit(0), lit(rep - 1))).as("_i"))
-      .withColumn("doc_id",
-        col("doc_id") + col("_i").cast("long") * lit(100000000L))
-      .withColumn("text", array_join(
-        transform(
-          array_sort(transform(split(col("text"), " +"), t =>
-            struct(
-              xxhash64(concat(t, lit("#"), col("_i").cast("string")))
-                .as("h"),
-              t.as("t")))),
-          s => s.getField("t")),
-        " "))
-      .drop("_i")
+    SfSynth.replicateDocuments(docs, rep)
       .write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
     val n0 = docs.count()
     println(s"sf0.1 docs=$n0, synthetic sf1.0 docs=${n0 * rep} at $synthDir")

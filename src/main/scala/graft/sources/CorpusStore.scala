@@ -401,6 +401,169 @@ object CorpusStore {
     spark.read.parquet(anchor).schema
   }
 
+  // ——— Schema evolution (round 17 — r16 missing item 1) ————————————
+  //
+  // `requireStoreSchema` refuses ANY drift — the right default, but
+  // it left a living corpus no migration path: adding a
+  // quality-score or language column to a 100 TB store meant a full
+  // rewrite. [[evolveCorpusCowSchema]] commits an EVOLVE generation:
+  // zero data writes (the manifest re-points at every existing
+  // tree), one `schemas/gen=<g>/SCHEMA.json` file recording the new
+  // shape. Resolution is BY GENERATION — a version's schema is the
+  // newest evolve at-or-below it, footer-resolved before the first
+  // evolve — so time travel crosses the boundary bit-identically:
+  // pre-evolve versions read in the old shape, post-evolve versions
+  // read every pre-evolve tree with the added columns filled by the
+  // recorded read-time default (field metadata key `graft.default`,
+  // a constant SQL expression) or null. Trees are never rewritten;
+  // rewrites that do happen (upsert/compaction/rebucket) naturally
+  // materialize the evolved shape. mergeSchema stays off — the
+  // recorded schema, not footer union, is the one source of truth.
+
+  private val DefaultKey = "graft.default"
+
+  /** Generations with a recorded schema, sorted — one listing. */
+  private def schemaGensOnDisk(spark: SparkSession,
+      path: String): Seq[Int] = {
+    val f = fs(spark, path)
+    val r = new org.apache.hadoop.fs.Path(s"$path/schemas")
+    if (!f.exists(r)) Nil
+    else f.listStatus(r).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") =>
+        n.stripPrefix("gen=").toInt
+      }.toSeq.sorted
+  }
+
+  private def readSchemaFile(spark: SparkSession, path: String,
+      gen: Int): org.apache.spark.sql.types.StructType = {
+    val f = fs(spark, path)
+    val in = f.open(new org.apache.hadoop.fs.Path(
+      s"$path/schemas/gen=$gen/SCHEMA.json"))
+    val buf = new java.io.ByteArrayOutputStream(1024)
+    try {
+      val chunk = new Array[Byte](4096)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+    } finally in.close()
+    org.apache.spark.sql.types.DataType
+      .fromJson(new String(buf.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
+  /** Write (overwriting a crashed attempt's leftover) the recorded
+    * schema for a generation about to commit; returns the directory's
+    * writer-token stamp for the commit-time tripwire.
+    */
+  private def writeSchemaFile(spark: SparkSession, path: String,
+      gen: Int, schema: org.apache.spark.sql.types.StructType)
+      : (String, String) = {
+    val dir = s"$path/schemas/gen=$gen"
+    val f = fs(spark, dir)
+    val out = f.create(
+      new org.apache.hadoop.fs.Path(s"$dir/SCHEMA.json"), true)
+    try out.write(schema.json
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    stampWriterToken(spark, dir)
+  }
+
+  /** The recorded schema governing generation `gen`, if the store
+    * ever evolved at-or-below it.
+    */
+  private def schemaAt(spark: SparkSession, path: String,
+      gen: Int): Option[org.apache.spark.sql.types.StructType] =
+    schemaGensOnDisk(spark, path).filter(_ <= gen).lastOption
+      .map(e => readSchemaFile(spark, path, e))
+
+  /** Generation-aware row schema: the recorded schema when one
+    * governs `gen`, else the footer of the manifest's first data
+    * tree (never-evolved stores and pre-evolve generations).
+    */
+  private def storeRowSchemaAt(spark: SparkSession, path: String,
+      gen: Int, manifest: Map[Int, CowBucket])
+      : org.apache.spark.sql.types.StructType =
+    schemaAt(spark, path, gen)
+      .getOrElse(storeRowSchema(spark, path, manifest))
+
+  /** The read-time filler for a column a pre-evolve tree lacks: the
+    * evolve-recorded constant default, else null.
+    */
+  private def fillExpr(
+      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.Column =
+    if (f.metadata.contains(DefaultKey))
+      expr(f.metadata.getString(DefaultKey)).cast(f.dataType)
+    else lit(null).cast(f.dataType)
+
+  /** Project `df` to exactly the target shape, filling columns it
+    * lacks ([[fillExpr]]) — the identity (no plan change) when the
+    * shapes already agree, so never-evolved reads keep their exact
+    * pre-evolution plan.
+    */
+  private def conformTo(df: DataFrame,
+      target: org.apache.spark.sql.types.StructType): DataFrame = {
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val want = target.fields.map(f => f.name -> f.dataType).toMap
+    if (have == want) df
+    else df.select(target.fields.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else fillExpr(f).as(f.name)
+    }: _*)
+  }
+
+  /** Evolve a COW store's row schema by ADDING nullable columns
+    * (round 17): commits one metadata-only generation — the manifest
+    * re-points at every existing tree (zero data bytes written, full
+    * sharing), `schemas/gen=<g>` records the new shape — after which
+    * change frames must carry the added columns
+    * ([[requireStoreSchema]] enforces the evolved shape and its
+    * error names the missing columns), reads of every retained
+    * pre-evolve tree fill them with `defaults` (constant SQL
+    * expressions, validated here so a bad one fails the evolve, not
+    * every later read) or null, and time travel below the evolve
+    * generation keeps the old shape. Type changes, drops and renames
+    * stay refused — those reshape every row and are a full rewrite
+    * ([[writeCorpusCow]], which records whatever shape it is given).
+    * Returns the committed generation.
+    */
+  def evolveCorpusCowSchema(spark: SparkSession, path: String,
+      newCols: org.apache.spark.sql.types.StructType,
+      defaults: Map[String, String] = Map.empty): Int = {
+    require(isCow(spark, path),
+      s"CorpusStore: $path is not a copy-on-write store")
+    require(newCols.nonEmpty, "evolveCorpusCowSchema: no columns to add")
+    val (g, base) = currentGen(spark, path)
+    val manifest = readCowManifest(spark, path, g)
+    val old = storeRowSchemaAt(spark, path, g, manifest)
+    val clash = newCols.fieldNames.toSet.intersect(old.fieldNames.toSet)
+    require(clash.isEmpty,
+      s"evolveCorpusCowSchema: column(s) ${clash.toSeq.sorted.mkString(", ")} " +
+        "already exist — evolution is add-nullable-column only; a type " +
+        "or meaning change is a full rewrite (writeCorpusCow)")
+    val orphanDefaults = defaults.keySet -- newCols.fieldNames.toSet
+    require(orphanDefaults.isEmpty,
+      s"evolveCorpusCowSchema: defaults for unknown column(s) " +
+        orphanDefaults.toSeq.sorted.mkString(", "))
+    val added = newCols.fields.map { f =>
+      val md = defaults.get(f.name).map { d =>
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(DefaultKey, d).build()
+      }.getOrElse(f.metadata)
+      f.copy(nullable = true, metadata = md)
+    }
+    val target = org.apache.spark.sql.types.StructType(old.fields ++ added)
+    // force-analyze every filler NOW: a misspelled function or a
+    // column reference in a default must fail the evolve
+    spark.range(0).select(added.map(f => fillExpr(f).as(f.name)).toSeq: _*)
+      .queryExecution.analyzed
+    val gen = g + 1
+    val schemaStamp = writeSchemaFile(spark, path, gen, target)
+    commitCowGen(spark, path, gen, base, manifest,
+      effectiveNumBuckets(spark, path), Seq(schemaStamp),
+      wroteSchema = true)
+  }
+
   /** The materialized view of the given buckets. Base-only buckets
     * union in ONE multi-dir parquet scan (the fast path — the only
     * plan a delta-free store ever sees, unchanged from round 15);
@@ -414,21 +577,47 @@ object CorpusStore {
     * then filtered out, which is exactly how a tombstone deletes and
     * a later upsert resurrects. The window's id-keyed exchange is the
     * documented read price of delta pressure; [[compactCorpusCow]]
-    * retires it. `fallbackSchema` is forced only when the read set
-    * holds no data tree at all (a tombstone-only change range).
+    * retires it.
+    *
+    * `target` is the schema of the GENERATION being read
+    * ([[storeRowSchemaAt]]): on a never-evolved store every tree
+    * already matches it and the fast path is ONE multi-dir scan (the
+    * pre-evolution plan, unchanged); on an evolved store trees group
+    * by schema EPOCH — the newest evolve at-or-below their src_gen,
+    * resolved from the schemas listing, never per-tree footers — and
+    * each pre-evolve group conforms (added columns filled by the
+    * recorded default or null) before the union. Group count is
+    * bounded by evolve count, not tree count.
     */
   private def readCowView(spark: SparkSession, path: String, idCol: String,
       buckets: Map[Int, CowBucket],
-      fallbackSchema: => org.apache.spark.sql.types.StructType)
+      target: org.apache.spark.sql.types.StructType)
       : DataFrame = {
     require(buckets.nonEmpty, "CorpusStore: no buckets to read")
+    val schemaGens = schemaGensOnDisk(spark, path)
+    def epochOf(srcGen: Int): Int =
+      schemaGens.filter(_ <= srcGen).lastOption.getOrElse(-1)
     val (plain, deltaful) =
       buckets.partition(!_._2.entries.exists(_.isDelta))
     val plainDf =
       if (plain.isEmpty) None
-      else Some(spark.read.parquet(plain.toSeq.sortBy(_._1).flatMap {
-        case (b, st) => st.entries.map(e => cowEntryDir(path, b, e))
-      }: _*))
+      else if (schemaGens.isEmpty)
+        Some(spark.read.parquet(plain.toSeq.sortBy(_._1).flatMap {
+          case (b, st) => st.entries.map(e => cowEntryDir(path, b, e))
+        }: _*))
+      else {
+        val byEpoch = plain.toSeq
+          .flatMap { case (b, st) =>
+            st.entries.map(e => (epochOf(e.srcGen), b, e))
+          }
+          .groupBy(_._1).toSeq.sortBy(_._1)
+        Some(byEpoch.map { case (_, trees) =>
+          conformTo(
+            spark.read.parquet(trees.sortBy(t => (t._2, t._3.srcGen))
+              .map(t => cowEntryDir(path, t._2, t._3)): _*),
+            target)
+        }.reduce(_ unionByName _))
+      }
     val mergedDf =
       if (deltaful.isEmpty) None
       else {
@@ -439,21 +628,15 @@ object CorpusStore {
           }
           .groupBy { case (d, g, t, _) => (d, g, t) }.toSeq
           .sortBy { case ((d, g, t), _) => (d, g, t) }
-        // the row shape every group projects to: the store schema,
-        // from the first data group here or (tombstone-only read
-        // sets) the caller's fallback
-        val schema = groups.collectFirst {
-          case ((_, _, false), dirs) =>
-            spark.read.parquet(dirs.head._4).schema
-        }.getOrElse(fallbackSchema)
         val unioned = groups.map { case ((isDelta, srcGen, isTomb), dirs) =>
           val lww = lit(if (isDelta) srcGen.toLong else 0L)
           val df = spark.read.parquet(dirs.map(_._4).sorted: _*)
           if (!isTomb)
-            df.select(schema.fieldNames.map(col) :+
-              lww.as("_cs_lww") :+ lit(false).as("_cs_dead"): _*)
+            conformTo(df, target).select(
+              target.fieldNames.map(col) :+
+                lww.as("_cs_lww") :+ lit(false).as("_cs_dead"): _*)
           else
-            df.select(schema.fields.map { f =>
+            df.select(target.fields.map { f =>
               if (f.name == idCol) col(idCol).cast(f.dataType).as(f.name)
               else lit(null).cast(f.dataType).as(f.name)
             } :+ lww.as("_cs_lww") :+ lit(true).as("_cs_dead"): _*)
@@ -516,8 +699,18 @@ object CorpusStore {
     */
   private def commitCowGen(spark: SparkSession, path: String, gen: Int,
       base: Int, manifest: Map[Int, CowBucket], numBuckets: Int,
-      dataStamps: Seq[(String, String)]): Int = {
+      dataStamps: Seq[(String, String)],
+      wroteSchema: Boolean = false): Int = {
     import spark.implicits._
+    // a CRASHED evolve may have left `schemas/gen=<gen>` behind; a
+    // commit of this slot that did NOT record a schema must remove it
+    // — otherwise schema resolution would trust a shape no committed
+    // generation ever declared (round 17)
+    if (!wroteSchema && schemaGensOnDisk(spark, path).contains(gen)) {
+      val f = fs(spark, path)
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/schemas/gen=$gen"),
+        true)
+    }
     manifest.toSeq.sortBy(_._1).flatMap { case (b, st) =>
       st.entries.map(e =>
         (b, e.srcGen, e.isDelta, e.isTombstone, e.nRows, st.live))
@@ -547,8 +740,9 @@ object CorpusStore {
     * non-tombstone tree's parquet footer — metadata-only.
     */
   private def requireStoreSchema(spark: SparkSession, path: String,
-      df: DataFrame, manifest: Map[Int, CowBucket], op: String): Unit = {
-    val stored = storeRowSchema(spark, path, manifest)
+      df: DataFrame, gen: Int, manifest: Map[Int, CowBucket],
+      op: String): Unit = {
+    val stored = storeRowSchemaAt(spark, path, gen, manifest)
     val storedCols = stored.fields.map(f => f.name -> f.dataType).toMap
     val frameCols = df.schema.fields.map(f => f.name -> f.dataType).toMap
     require(frameCols.keySet == storedCols.keySet,
@@ -616,10 +810,19 @@ object CorpusStore {
       .groupBy("_cs_bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "writeCorpusCow: refusing an empty corpus")
+    // on an EVOLVED store a full rewrite resets the schema epoch: it
+    // owns every tree, so whatever shape it materialized IS the
+    // store's shape from this generation on — recorded so resolution
+    // stays by-generation (pre-rewrite versions keep their epochs)
+    val stamps =
+      if (schemaGensOnDisk(spark, path).isEmpty) Seq(dataStamp)
+      else Seq(dataStamp, writeSchemaFile(spark, path, gen,
+        org.apache.spark.sql.types.StructType(
+          df.schema.fields.map(_.copy(nullable = true)))))
     commitCowGen(spark, path, gen, base,
       counts.map { case (b, n) =>
         b -> CowBucket(n, Seq(CowEntry(gen, isDelta = false, n)))
-      }, numBuckets, Seq(dataStamp))
+      }, numBuckets, stamps, wroteSchema = stamps.size > 1)
   }
 
   /** Shared body of upsert/delete: read ONLY the buckets the change
@@ -642,7 +845,7 @@ object CorpusStore {
     val old =
       if (oldBuckets.nonEmpty)
         Some(readCowView(spark, path, idCol, oldBuckets,
-          storeRowSchema(spark, path, manifest)))
+          storeRowSchemaAt(spark, path, g, manifest)))
       else None
     val merged = merge(old)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -686,6 +889,25 @@ object CorpusStore {
     df.select(bucketExpr(idCol, numBuckets).as("_cs_bucket"))
       .distinct().collect().map(_.getInt(0))
 
+  /** Driver-memory guard on the change paths' id-probe joins
+    * (round 17 — r16 review finding 2): within the documented
+    * micro-batch contract the batch's id set broadcasts — the right
+    * plan for a few-thousand-row trigger — but
+    * [[appendDeltaToCorpusCow]] / [[appendTombstonesToCorpusCow]] /
+    * [[deleteFromCorpusCow]] are public, and a bulk backfill caller
+    * feeding tens of millions of ids would turn the unconditional
+    * hint into a driver OOM instead of a slower-but-correct plan.
+    * Above the cap the hint is simply dropped: the join plans as a
+    * shuffle join, and AQE still converts it back to broadcast at
+    * runtime if the actual size allows. 4M ids ≈ 64 MB driver-side
+    * (longs + row overhead) — far under the broadcast hard limit,
+    * far over any sane micro-batch. `var` is a test seam only.
+    */
+  private[graft] var maxBroadcastIds: Long = 4L * 1000 * 1000
+
+  private def boundedBroadcastHint(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= maxBroadcastIds) broadcast(df) else df
+
   /** The fail-fast contract every row-carrying COW write shares:
     * the frame has the id column, no intra-batch duplicated id (a
     * keyed store has no deterministic survivor for two rows under one
@@ -693,7 +915,7 @@ object CorpusStore {
     * (round-16 ADVICE — see [[requireStoreSchema]]).
     */
   private def requireChangeFrame(spark: SparkSession, path: String,
-      changes: DataFrame, idCol: String,
+      changes: DataFrame, idCol: String, gen: Int,
       manifest: Map[Int, CowBucket], op: String): Unit = {
     require(changes.columns.contains(idCol),
       s"$op: frame has no column '$idCol'")
@@ -703,7 +925,7 @@ object CorpusStore {
       s"$op: duplicated id ${dup.headOption.map(_.get(0)).orNull} in " +
         "the change set — a keyed store has no deterministic survivor " +
         "for two rows under one id; dedupe the batch first")
-    requireStoreSchema(spark, path, changes, manifest, op)
+    requireStoreSchema(spark, path, changes, gen, manifest, op)
   }
 
   /** Upsert into a COW store: rows of `df` REPLACE same-id rows and
@@ -723,8 +945,9 @@ object CorpusStore {
       s"upsertIntoCorpusCow: frame has no column '$idCol'")
     val numBuckets = effectiveNumBuckets(spark, path)
     val changes = df.localCheckpoint()
-    val manifest = readCowManifest(spark, path, currentGen(spark, path)._1)
-    requireChangeFrame(spark, path, changes, idCol, manifest,
+    val g = currentGen(spark, path)._1
+    val manifest = readCowManifest(spark, path, g)
+    requireChangeFrame(spark, path, changes, idCol, g, manifest,
       "upsertIntoCorpusCow")
     val touched = touchedBuckets(changes, idCol, numBuckets)
     require(touched.nonEmpty, "upsertIntoCorpusCow: empty change set")
@@ -755,10 +978,12 @@ object CorpusStore {
       s"deleteFromCorpusCow: frame has no column '$idCol'")
     val numBuckets = effectiveNumBuckets(spark, path)
     val del = ids.select(col(idCol)).distinct().localCheckpoint()
+    val delN = del.count()
+    require(delN > 0, "deleteFromCorpusCow: empty takedown set")
     val touched = touchedBuckets(del, idCol, numBuckets)
-    require(touched.nonEmpty, "deleteFromCorpusCow: empty takedown set")
     cowModify(spark, path, touched, {
-      case Some(old) => old.join(broadcast(del), Seq(idCol), "left_anti")
+      case Some(old) =>
+        old.join(boundedBroadcastHint(del, delN), Seq(idCol), "left_anti")
       case None =>
         // no touched bucket physically exists: nothing to remove —
         // an empty frame in the store's row shape commits a
@@ -795,12 +1020,13 @@ object CorpusStore {
     val gen = g + 1
     val manifest = readCowManifest(spark, path, g)
     val changes = df.localCheckpoint()
-    requireChangeFrame(spark, path, changes, idCol, manifest,
+    requireChangeFrame(spark, path, changes, idCol, g, manifest,
       "appendDeltaToCorpusCow")
     // empty frames fail HERE with the contract's message — after the
-    // write they would surface as an unreadable zero-file tree
-    require(changes.limit(1).count() > 0,
-      "appendDeltaToCorpusCow: empty change set")
+    // write they would surface as an unreadable zero-file tree; the
+    // exact count also sizes the replacement probe's join strategy
+    val batchN = changes.count()
+    require(batchN > 0, "appendDeltaToCorpusCow: empty change set")
     // the delta write IS the whole data write: the batch's own rows,
     // partitioned by bucket, under the generation's private deltas dir
     writeCowTree(changes, idCol, numBuckets,
@@ -821,7 +1047,8 @@ object CorpusStore {
       if (priorBuckets.isEmpty) Map.empty
       else cowIdState(spark, path, idCol, priorBuckets)
         .where(!col("_cs_dead"))
-        .join(broadcast(changes.select(col(idCol))), Seq(idCol))
+        .join(boundedBroadcastHint(changes.select(col(idCol)), batchN),
+          Seq(idCol))
         .groupBy(bucketExpr(idCol, numBuckets).as("_cs_bucket"))
         .agg(count(lit(1)).as("n"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -872,10 +1099,12 @@ object CorpusStore {
     val (g, base) = currentGen(spark, path)
     val gen = g + 1
     val manifest = readCowManifest(spark, path, g)
-    val idType = storeRowSchema(spark, path, manifest)(idCol).dataType
+    val idType =
+      storeRowSchemaAt(spark, path, g, manifest)(idCol).dataType
     val del = ids.select(col(idCol).cast(idType).as(idCol)).distinct()
       .localCheckpoint()
-    require(del.limit(1).count() > 0,
+    val delN = del.count()
+    require(delN > 0,
       "appendTombstonesToCorpusCow: empty takedown set")
     // restrict to ids present AND live — the trees to consult are the
     // touched buckets that physically exist in the manifest
@@ -884,7 +1113,7 @@ object CorpusStore {
     if (priorBuckets.isEmpty) return g
     val doomed = cowIdState(spark, path, idCol, priorBuckets)
       .where(!col("_cs_dead"))
-      .join(broadcast(del), Seq(idCol))
+      .join(boundedBroadcastHint(del, delN), Seq(idCol))
       .select(col(idCol))
       .localCheckpoint()
     if (doomed.limit(1).count() == 0) return g
@@ -939,7 +1168,7 @@ object CorpusStore {
       else {
         writeCowTree(
           readCowView(spark, path, idCol, expectLive,
-            storeRowSchema(spark, path, manifest)),
+            storeRowSchemaAt(spark, path, g, manifest)),
           idCol, numBuckets, s"$path/parts/gen=$gen", bloom = true)
         Seq(stampWriterToken(spark, s"$path/parts/gen=$gen"))
       }
@@ -1061,12 +1290,160 @@ object CorpusStore {
     * downgrade exactly-once to replay-everything forever —
     * corruption must surface loudly instead. Shared by
     * [[cowIngestBatch]] and [[graft.operators.Ingest]].
+    *
+    * Round 17 (r16 verdict task 1 — the last O(batches)-per-trigger
+    * cost in the streaming ingest path): the check consults, in
+    * order,
+    *  1. the WATERMARK — the max-contiguous-from-0 batch id recorded
+    *     at the last log compaction (one raw pointer read; Spark's
+    *     micro-batch ids are contiguous from 0 per checkpoint, so a
+    *     restart's replayed id almost always resolves here);
+    *  2. the COMPACT file — the whole logged history folded into ONE
+    *     sorted parquet file by [[compactIngestLog]], so the probe is
+    *     a single-file scan with batch_id min/max + predicate
+    *     pushdown;
+    *  3. the TAIL — `logPath` itself, one small file per batch logged
+    *     SINCE the last compaction (bounded by the maintenance
+    *     cadence, never by the stream's lifetime).
     */
   private[graft] def ingestLogContains(spark: SparkSession,
-      logPath: String, batchId: Long): Boolean =
-    exists(spark, logPath) &&
-      spark.read.parquet(logPath)
+      logPath: String, batchId: Long): Boolean = {
+    if (ingestLogWatermark(spark, logPath).exists(batchId <= _)) return true
+    val compact = compactLogFile(spark, logPath)
+    val sources =
+      (if (exists(spark, compact)) Seq(compact) else Nil) ++
+        (if (ingestLogTailFiles(spark, logPath).nonEmpty) Seq(logPath)
+         else Nil)
+    sources.nonEmpty &&
+      spark.read.parquet(sources: _*)
         .where(col("batch_id") === batchId).limit(1).count() > 0
+  }
+
+  /** The committed compact-log parquet file for `logPath`, whether or
+    * not it exists yet: `<logPath>_compact/gen=<k>/LOG.parquet` with
+    * the generation resolved from the sibling [[GenPointer]] — the
+    * store's one commit primitive, so the fold swaps atomically.
+    */
+  private def compactLogFile(spark: SparkSession, logPath: String): String = {
+    val root = s"${logPath}_compact"
+    if (!GenPointer.exists(spark, root)) s"$root/gen=-1/LOG.parquet"
+    else s"$root/gen=${GenPointer.read(spark, root)._1}/LOG.parquet"
+  }
+
+  /** The max-contiguous-from-0 batch id as of the last compaction, if
+    * one was recorded — a raw pointer read ([[GenPointer]] format).
+    */
+  private[graft] def ingestLogWatermark(spark: SparkSession,
+      logPath: String): Option[Long] = {
+    val wm = s"${logPath}_compact/watermark"
+    if (GenPointer.exists(spark, wm)) Some(GenPointer.read(spark, wm)._1.toLong)
+    else None
+  }
+
+  /** The tail's physical parquet files (what grows one file per
+    * logged batch between compactions) — filesystem listing only.
+    */
+  private[graft] def ingestLogTailFiles(spark: SparkSession,
+      logPath: String): Seq[String] = {
+    val f = fs(spark, logPath)
+    val p = new org.apache.hadoop.fs.Path(logPath)
+    if (!f.exists(p)) Nil
+    else f.listStatus(p).filter(_.isFile).map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")
+        && !n.startsWith(".")).toSeq
+  }
+
+  /** Fold the whole logged history — previous compact file plus every
+    * tail file — into ONE sorted parquet file, record the
+    * max-contiguous batch-id watermark, and delete the folded tail
+    * (round 17 — r16 verdict task 1). Before this, `appendIngestLog`'s
+    * one-file-per-batch tail was listed and footer-read on EVERY
+    * trigger: an O(batches) per-trigger metadata cost that grows
+    * without bound — 100k micro-batches is 100k tiny files on object
+    * storage, the same small-files disease `Layout.compact` cures for
+    * data. After it, the replay check is a pointer read (watermark)
+    * plus at most one single-file scan plus the since-compaction tail.
+    *
+    * Crash-safe by the same ordering every commit in this module
+    * uses, with the fold's writer token verified immediately before
+    * the swap:
+    *  1. the folded file materializes in a generation-private
+    *     `<logPath>_compact/gen=<k+1>` directory no reader resolves;
+    *  2. one atomic [[GenPointer]] rename publishes it — a crash
+    *     before this leaves the old compact file + full tail
+    *     readable;
+    *  3. the watermark pointer commits (conservative: computed from
+    *     exactly the ids the folded file holds);
+    *  4. the SNAPSHOTTED tail files are deleted — a file appended by
+    *     a concurrent trigger after the snapshot survives, and a
+    *     crash mid-delete leaves duplicates the contains-check (a
+    *     pure existence probe) never notices and the next fold
+    *     dedups away.
+    *
+    * Idempotent and convergent from any crash state. Returns the
+    * number of tail files folded.
+    */
+  private[graft] def compactIngestLog(spark: SparkSession,
+      logPath: String): Int = {
+    import spark.implicits._
+    val tail = ingestLogTailFiles(spark, logPath)
+    val root = s"${logPath}_compact"
+    val prev =
+      if (GenPointer.exists(spark, root)) Some(GenPointer.read(spark, root)._1)
+      else None
+    val prevFile = prev.map(g => s"$root/gen=$g/LOG.parquet")
+      .filter(exists(spark, _))
+    if (tail.isEmpty && prevFile.isDefined) return 0
+    val srcs = prevFile.toSeq ++ tail.map(n => s"$logPath/$n")
+    if (srcs.isEmpty) return 0
+    val all = spark.read.parquet(srcs: _*)
+      .select(col("batch_id").cast("long").as("batch_id"),
+        col("gen").cast("int").as("gen"),
+        col("n_admitted").cast("long").as("n_admitted"))
+      .dropDuplicates("batch_id")
+    val gen = prev.map(_ + 1).getOrElse(0)
+    all.repartition(1).sortWithinPartitions("batch_id")
+      .write.mode("overwrite").parquet(s"$root/gen=$gen")
+    // the dir-level overwrite writes part-*.parquet; give the reader
+    // ONE stable name so the committed file is addressable without a
+    // listing
+    val f = fs(spark, root)
+    val genDir = new org.apache.hadoop.fs.Path(s"$root/gen=$gen")
+    val part = f.listStatus(genDir).map(_.getPath)
+      .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
+      .getOrElse(throw new IllegalStateException(
+        s"compactIngestLog: fold wrote no parquet file under $genDir"))
+    f.rename(part, new org.apache.hadoop.fs.Path(s"$root/gen=$gen/LOG.parquet"))
+    val stamp = stampWriterToken(spark, s"$root/gen=$gen")
+    // watermark: the longest 0..W prefix with every id logged — one
+    // window over the (metadata-scale) id column
+    val w = org.apache.spark.sql.expressions.Window.orderBy("batch_id")
+    val wm = spark.read.parquet(s"$root/gen=$gen/LOG.parquet")
+      .select("batch_id")
+      .withColumn("_rn", row_number().over(w))
+      .where(col("batch_id") === col("_rn").cast("long") - 1L)
+      .agg(max("batch_id")).as[Option[Long]].head()
+    verifyWriterTokens(spark, Seq(stamp))
+    GenPointer.commit(spark, root, gen)
+    // the pointer carries an Int; a stream past 2^31 micro-batches
+    // (68 years at 1/s) keeps a stale-but-conservative watermark
+    wm.filter(_ <= Int.MaxValue.toLong)
+      .foreach(v => GenPointer.commit(spark, s"$root/watermark", v.toInt))
+    // retire the superseded compact generation and the folded tail —
+    // failures past the pointer swap leave only harmless duplicates
+    prev.foreach(g => {
+      val p = new org.apache.hadoop.fs.Path(s"$root/gen=$g")
+      if (f.exists(p)) f.delete(p, true)
+    })
+    val lf = fs(spark, logPath)
+    tail.foreach { n =>
+      val p = new org.apache.hadoop.fs.Path(s"$logPath/$n")
+      if (lf.exists(p)) lf.delete(p, false)
+      val crc = new org.apache.hadoop.fs.Path(s"$logPath/.$n.crc")
+      if (lf.exists(crc)) lf.delete(crc, false)
+    }
+    tail.size
+  }
 
   /** Append one ingest-log row — ONE schema for every writer
     * (round 16 — verdict task 3 / ADVICE): [[cowIngestBatch]] and
@@ -1145,7 +1522,7 @@ object CorpusStore {
       if (changed.isEmpty)
         readCorpusSnapshotAt(spark, path, toGen).limit(0)
       else readCowView(spark, path, cowIdCol(spark, path), changed,
-        storeRowSchema(spark, path, manifest))
+        storeRowSchemaAt(spark, path, toGen, manifest))
     }
   }
 
@@ -1183,6 +1560,40 @@ object CorpusStore {
     }
   }
 
+  /** Every registered follower and its acknowledged generation —
+    * the offsets [[vacuumCorpusSnapshots]] floors retention at
+    * (round 17 — r16 missing item 3). Filesystem listing + one
+    * pointer read per follower; sorted by name.
+    */
+  def listCorpusFollowers(spark: SparkSession,
+      path: String): Seq[(String, Int)] = {
+    val f = fs(spark, path)
+    val root = new org.apache.hadoop.fs.Path(s"$path/followers")
+    if (!f.exists(root)) Nil
+    else f.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+      .flatMap { c =>
+        val off = s"$path/followers/$c"
+        if (GenPointer.exists(spark, off))
+          Some(c -> GenPointer.read(spark, off)._1)
+        else None
+      }
+  }
+
+  /** Complete a follower's lifecycle: remove its offset so vacuum
+    * stops flooring retention at a consumer that will never advance
+    * (round 17). Returns whether the follower existed. A later
+    * [[followCorpus]] under the same name bootstraps fresh.
+    */
+  def unregisterFollower(spark: SparkSession, path: String,
+      consumer: String): Boolean = {
+    require(consumer.nonEmpty && !consumer.contains("/"),
+      s"unregisterFollower: '$consumer' is not a valid consumer name")
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/followers/$consumer")
+    f.exists(p) && f.delete(p, true)
+  }
+
   /** The store's row schema (from the CURRENT manifest's first data
     * tree — one parquet footer). What the streaming source and
     * schema-aware consumers resolve before reading any data.
@@ -1191,8 +1602,8 @@ object CorpusStore {
       path: String): org.apache.spark.sql.types.StructType = {
     require(isCow(spark, path),
       s"CorpusStore: $path is not a copy-on-write store")
-    storeRowSchema(spark, path,
-      readCowManifest(spark, path, currentGen(spark, path)._1))
+    val g = currentGen(spark, path)._1
+    storeRowSchemaAt(spark, path, g, readCowManifest(spark, path, g))
   }
 
   /** The living corpus as a streaming DataFrame — each committed
@@ -1236,7 +1647,7 @@ object CorpusStore {
       require(manifest.nonEmpty,
         s"CorpusStore: generation $gen at $path holds no rows")
       readCowView(spark, path, cowIdCol(spark, path), manifest,
-        storeRowSchema(spark, path, manifest))
+        storeRowSchemaAt(spark, path, gen, manifest))
     } else spark.read.parquet(s"$path/snapshots/gen=$gen")
   }
 
@@ -1280,12 +1691,36 @@ object CorpusStore {
     * each of its base AND delta trees survives while ANY retained
     * generation's manifest still points at it — sharing never breaks
     * a live version (spec-pinned across mixed base+delta manifests).
+    *
+    * FOLLOWER-AWARE (round 17 — r16 missing item 3): retention is
+    * floored at the slowest registered follower — a consumer acked at
+    * generation f still has the range (f, CURRENT] to read, so base
+    * never moves past f+1 while its offset stands. Before this, a
+    * lagging STREAMING consumer's checkpointed end offset could be
+    * vacuumed away and the resumed stream killed by the loud
+    * fail-fast; now the maintenance policy yields to the consumer
+    * instead, and the returned [[VacuumReport]] names the binding
+    * follower so the operator sees WHY retention exceeds policy.
+    * A follower that will never advance is the operator's to retire
+    * via [[unregisterFollower]]. Consumers that never registered
+    * (plain time-travel readers) keep the old contract: trim past
+    * your longest reader.
     */
+  final case class VacuumReport(requestedBase: Int, base: Int,
+      floor: Option[(String, Int)])
+
   def vacuumCorpusSnapshots(spark: SparkSession, path: String,
-                            keepLast: Int): Unit = {
+                            keepLast: Int): VacuumReport = {
     require(keepLast >= 1, "vacuumCorpusSnapshots: keepLast must be >= 1")
     val (g, b) = currentGen(spark, path)
-    val newBase = math.max(b, g - keepLast + 1)
+    val requested = math.max(b, g - keepLast + 1)
+    // the binding follower: the smallest acked offset whose f+1 sits
+    // below the requested base (ties broken by name for determinism)
+    val binding = listCorpusFollowers(spark, path)
+      .filter { case (_, f) => f + 1 < requested }
+      .sortBy { case (c, f) => (f, c) }.headOption
+    val newBase = binding
+      .map { case (_, f) => math.max(b, f + 1) }.getOrElse(requested)
     if (newBase != b) commitCurrent(spark, path, g, newBase)
     val f = fs(spark, path)
     def rm(dir: String): Unit = {
@@ -1329,11 +1764,18 @@ object CorpusStore {
           rm(s"$path/meta/gen=$i")
         }
       }
+      // schema records BELOW base stay — a retained generation's epoch
+      // may predate base (trees shared across the vacuum line resolve
+      // their shape through it); above-CURRENT+1 orphans go with the
+      // rest of a crashed writer's leavings
+      schemaGensOnDisk(spark, path).filter(_ > g + 1)
+        .foreach(i => rm(s"$path/schemas/gen=$i"))
     } else {
       (0 until newBase).foreach { i =>
         Seq("snapshots", "meta").foreach(d => rm(s"$path/$d/gen=$i"))
       }
     }
+    VacuumReport(requested, newBase, binding)
   }
 
   /** Generation numbers with a physical tree on disk under `root`
@@ -1399,7 +1841,13 @@ object CorpusStore {
     *    writers above CURRENT+1 — the in-flight g+1 slot is NOT
     *    counted, it may be a writer mid-materialization);
     *  - `needsVacuum`: orphans exist or retention exceeds
-    *    `maxGenerations`. [[vacuumCorpusSnapshots]] clears both.
+    *    `maxGenerations`. [[vacuumCorpusSnapshots]] clears both;
+    *  - `ingestLogTail` / `needsLogCompaction` (round 17): the replay
+    *    guard's one-file-per-batch tail since the last log fold —
+    *    the per-trigger metadata cost [[compactIngestLog]] resets;
+    *    the flag flips once the combined compact+tail file count
+    *    exceeds one, so a maintained store's replay check stays a
+    *    pointer read plus at most one single-file scan.
     */
   final case class CowHealth(
       current: Int, base: Int, generations: Int,
@@ -1408,7 +1856,8 @@ object CorpusStore {
       bucketsWithDeltas: Int, deltaEntries: Long, maxDeltaChain: Int,
       tombstoneEntries: Long, tombstonedRows: Long,
       orphanDirs: Long, orphanBytes: Long,
-      needsVacuum: Boolean, needsCompaction: Boolean)
+      needsVacuum: Boolean, needsCompaction: Boolean,
+      ingestLogTail: Int = 0, needsLogCompaction: Boolean = false)
 
   def cowHealthReport(spark: SparkSession, path: String,
                       maxGenerations: Int = 16,
@@ -1445,6 +1894,9 @@ object CorpusStore {
     val orphanBytes = orphans.map { dir =>
       f.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
     }.sum
+    val logTail = ingestLogTailFiles(spark, s"$path/ingest_log").size
+    val logHasCompact =
+      exists(spark, compactLogFile(spark, s"$path/ingest_log"))
     CowHealth(
       current = g, base = b, generations = g - b + 1,
       totalRows = total, numBuckets = numBuckets,
@@ -1459,7 +1911,10 @@ object CorpusStore {
       orphanDirs = orphans.size.toLong,
       orphanBytes = orphanBytes,
       needsVacuum = orphans.nonEmpty || (g - b + 1) > maxGenerations,
-      needsCompaction = maxChain >= compactAfterDeltas)
+      needsCompaction = maxChain >= compactAfterDeltas,
+      ingestLogTail = logTail,
+      needsLogCompaction =
+        logTail + (if (logHasCompact) 1 else 0) > 1)
   }
 
   /** What one COW maintenance pass did — the
@@ -1501,8 +1956,21 @@ object CorpusStore {
     // needsVacuum saw the pre-compaction count)
     val (g, b) = currentGen(spark, path)
     if (before.needsVacuum || (g - b + 1) > maxGenerations) {
-      vacuumCorpusSnapshots(spark, path, keepLast = maxGenerations)
+      val r = vacuumCorpusSnapshots(spark, path, keepLast = maxGenerations)
       actions += "vacuumed"
+      // a lagging follower floored retention above policy — surface
+      // WHO, so the operator can retire it (unregisterFollower) or
+      // accept the extra retained history
+      r.floor.foreach { case (c, f) =>
+        actions += s"vacuum floored at follower '$c' gen $f"
+      }
+    }
+    // fold the replay guard's tail (round 17 — the last O(batches)
+    // per-trigger cost): content-neutral, crash-convergent, so the
+    // maintenance loop is the right cadence for it
+    if (before.needsLogCompaction) {
+      compactIngestLog(spark, s"$path/ingest_log")
+      actions += "log_compacted"
     }
     CowMaintainResult(before, actions.result(),
       cowHealthReport(spark, path, maxGenerations, compactAfterDeltas))

@@ -40,6 +40,27 @@ import org.apache.spark.sql.types.StructType
   * plan the batch feed reads — a DSv2 MicroBatchStream would have to
   * re-implement the scan row-by-row for zero gain on a
   * generation-granular source.
+  *
+  * CATCH-UP IS BOUNDED on request (round 17 — r16 missing item 2):
+  * without it `getOffset` always returns CURRENT, so a stream resumed
+  * after N generations of downtime drains the whole backlog as ONE
+  * micro-batch — at the 100 TB design point an unbounded unit of
+  * retry. `.option("maxGenerationsPerTrigger", n)` caps every batch
+  * at n generations past the last one this source handed out: the
+  * backlog drains in ceil(N/n) batches, each a normal checkpointed
+  * unit. The source's own high-water pointer (a [[GenPointer]] file
+  * under the stream's PRIVATE metadata directory, advanced in
+  * `getBatch` — which Spark replays for the last recovered range
+  * before asking for new offsets) makes the cap restart-safe: a
+  * capped `getOffset` never regresses below what the checkpoint
+  * already committed. The BOOTSTRAP batch is still one full snapshot
+  * (a fresh consumer needs the corpus; no per-generation cap can
+  * shrink that) taken at the OLDEST retained generation consistent
+  * with the cap, so catch-up after it stays capped. The vacuumed-
+  * offset fail-fast is unchanged: if the cap makes the stream fall
+  * behind retention, the next range's end generation is below base
+  * and [[CorpusStore.corpusChangesSince]] kills the stream loudly —
+  * register the stream as a follower or size retention past the lag.
   */
 class CorpusStreamProvider extends StreamSourceProvider
     with DataSourceRegister {
@@ -49,6 +70,18 @@ class CorpusStreamProvider extends StreamSourceProvider
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-corpus source requires .option(\"path\", <cow store>)"))
+
+  private def capOf(parameters: Map[String, String]): Option[Int] =
+    parameters.get("maxGenerationsPerTrigger").map { s =>
+      val n = try s.trim.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-corpus source: maxGenerationsPerTrigger '$s' is not " +
+            "an integer")
+      }
+      require(n >= 1,
+        s"graft-corpus source: maxGenerationsPerTrigger must be >= 1, got $n")
+      n
+    }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -60,13 +93,15 @@ class CorpusStreamProvider extends StreamSourceProvider
     require(schema.isEmpty,
       "graft-corpus source: the schema is the store's row schema — " +
         "don't pass one")
+    capOf(parameters) // validate at analysis time, not first trigger
     (shortName(), CorpusStore.corpusSchema(spark, path))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new CorpusStreamSource(sqlContext.sparkSession, pathOf(parameters))
+    new CorpusStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      capOf(parameters), metadataPath)
 }
 
 /** One committed generation number as a streaming offset. */
@@ -75,7 +110,8 @@ private[sources] case class GenOffset(gen: Int) extends Offset {
 }
 
 private[sources] class CorpusStreamSource(spark: SparkSession,
-    path: String) extends Source {
+    path: String, maxGensPerTrigger: Option[Int],
+    metadataPath: String) extends Source {
 
   override val schema: StructType = CorpusStore.corpusSchema(spark, path)
 
@@ -84,12 +120,53 @@ private[sources] class CorpusStreamSource(spark: SparkSession,
   // match on GenOffset
   private def genOf(o: Offset): Int = o.json.trim.toInt
 
-  override def getOffset: Option[Offset] =
-    Some(GenOffset(CorpusStore.currentGen(spark, path)._1))
+  // the capped source's restart-safe high-water mark: the largest end
+  // generation this source ever handed to getBatch, persisted in the
+  // stream's private metadata dir. Spark replays getBatch for the
+  // last recovered range before constructing a new batch, so by the
+  // first capped getOffset after a restart this pointer is at least
+  // the checkpoint's committed end — a capped offer can never
+  // regress below it. Untouched (and never written) without the cap.
+  private def hwPath = s"$metadataPath/graft-gen-hw"
+
+  private def highWater: Option[Int] =
+    if (GenPointer.exists(spark, hwPath))
+      Some(GenPointer.read(spark, hwPath)._1)
+    else None
+
+  override def getOffset: Option[Offset] = {
+    val (cur, base) = CorpusStore.currentGen(spark, path)
+    val offered = maxGensPerTrigger match {
+      case None => cur
+      case Some(n) => highWater match {
+        case Some(hw) => math.max(hw, math.min(cur, hw + n))
+        case None =>
+          // bootstrap: one full snapshot at the oldest RETAINED
+          // generation the cap allows — never below base (a vacuumed
+          // bootstrap target would fail for no reason), never above
+          // CURRENT
+          math.min(cur, math.max(base, n - 1))
+      }
+    }
+    Some(GenOffset(offered))
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endGen = genOf(end)
+    if (maxGensPerTrigger.isDefined && !highWater.exists(_ >= endGen))
+      GenPointer.commit(spark, hwPath, endGen)
     val batch = CorpusStore.corpusChangesSince(spark, path,
-      start.map(genOf).getOrElse(-1), genOf(end))
+      start.map(genOf).getOrElse(-1), endGen)
+    // the V1 contract fixes the schema at stream start; a schema
+    // evolved mid-stream must restart the query, not feed mismatched
+    // batches into a sink planned for the old shape
+    require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+        schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"graft-corpus source: the store's row schema evolved while the " +
+        "stream was running (stream started with " +
+        s"${schema.fieldNames.mkString(", ")}; generation $endGen reads " +
+        s"as ${batch.schema.fieldNames.mkString(", ")}) — restart the " +
+        "query to pick up the new shape")
     // re-tag the change feed's plan as a streaming frame (the V1
     // Source contract): same physical scan, evaluated once for this
     // micro-batch

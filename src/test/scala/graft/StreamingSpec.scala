@@ -1295,4 +1295,104 @@ class StreamingSpec extends SparkSpec {
     assert(CorpusStore.followCorpus(spark, store, "lsh-ingest")(_ => ())
       .isEmpty)
   }
+
+  test("readCorpusStream maxGenerationsPerTrigger: backlog drains in capped batches, restart stays capped without re-bootstrap, and a vacuumed end still dies loudly") {
+    // round 17 — r16 missing item 2: getOffset always returned
+    // CURRENT, so N generations of downtime arrived as ONE unbounded
+    // micro-batch; the cap turns catch-up into ceil(N/n) normal
+    // checkpointed units
+    import graft.sources.CorpusStore
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    val store = tmp("graft-cap-store")
+    val ckpt = tmp("graft-cap-ckpt")
+    CorpusStore.writeCorpusCow(
+      (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      store, "doc_id", numBuckets = 8)                          // gen 0
+    // six delta generations BEFORE the stream ever starts: a cold
+    // consumer facing a backlog
+    (1 to 6).foreach(v => CorpusStore.appendDeltaToCorpusCow(
+      Seq((100L + v, s"doc ${100 + v}")).toDF("doc_id", "text"), store))
+    val seen =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    // the capped reader: bootstrap at min(cur, max(base, n-1)) = 1,
+    // then (1,3], (3,5], (5,6] — four batches, none wider than 2 gens
+    val q = spark.readStream.format("graft-corpus")
+      .option("path", store)
+      .option("maxGenerationsPerTrigger", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val ids = df.select("doc_id").as[Long].collect().toSet
+        seen.synchronized { seen += (id -> ids) }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      val snap = seen.synchronized(seen.toVector)
+      assert(snap.size == 4, s"expected 4 capped batches: $snap")
+      // bootstrap batch: the full gen-1 snapshot (10 founding + 1)
+      assert(snap.head._2 == (0L to 9L).toSet + 101L, snap.toString)
+      // catch-up batches: exactly the later deltas, in ranges
+      assert(snap.drop(1).map(_._2) ==
+        Vector(Set(102L, 103L), Set(104L, 105L), Set(106L)), snap.toString)
+    } finally q.stop()
+
+    // restart after more downtime: drains capped, never re-bootstraps
+    (7 to 9).foreach(v => CorpusStore.appendDeltaToCorpusCow(
+      Seq((100L + v, s"doc ${100 + v}")).toDF("doc_id", "text"), store))
+    val pre = seen.size
+    val q2 = spark.readStream.format("graft-corpus")
+      .option("path", store)
+      .option("maxGenerationsPerTrigger", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        val ids = df.select("doc_id").as[Long].collect().toSet
+        seen.synchronized { seen += (id -> ids) }
+        ()
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      val snap = seen.synchronized(seen.drop(pre).toVector)
+      assert(snap.map(_._2) ==
+        Vector(Set(107L, 108L), Set(109L)), snap.toString)
+    } finally q2.stop()
+
+    // the cap does NOT weaken the retention fail-fast: vacuum the
+    // store past the stream's checkpoint, and the capped next range's
+    // END generation is below base — the stream dies loudly instead
+    // of silently skipping history
+    (10 to 13).foreach(v => CorpusStore.appendDeltaToCorpusCow(
+      Seq((100L + v, s"doc ${100 + v}")).toDF("doc_id", "text"), store))
+    CorpusStore.vacuumCorpusSnapshots(spark, store, keepLast = 1)
+    val q3 = spark.readStream.format("graft-corpus")
+      .option("path", store)
+      .option("maxGenerationsPerTrigger", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val dead = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.processAllAvailable()
+      q3.awaitTermination(30000)
+    }
+    assert(dead.getMessage.contains("not retained") ||
+      Option(dead.getCause).exists(_.getMessage.contains("not retained")),
+      dead.getMessage)
+    // option validation is analysis-time
+    val bad = intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-corpus")
+        .option("path", store)
+        .option("maxGenerationsPerTrigger", "0")
+        .load()
+    }
+    assert(bad.getMessage.contains("maxGenerationsPerTrigger"),
+      bad.getMessage)
+  }
 }

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Add or refresh baseline pins from a BenchAdjudicate quiet-run CSV —
+the scripted form of the re-pin protocol, so BENCH_BASELINE_QUERIES.json
+is never hand-edited (round 17 — r16 next-task 5).
+
+Usage:
+  sbt "runMain graft.BenchAdjudicate q1,q2 3" | tee /tmp/adj.csv
+  python3 tools/pin_baseline.py /tmp/adj.csv [--refresh]
+
+Reads BenchAdjudicate's CSV (query,run1..runN,min — sbt [info] prefixes
+are stripped), takes each query's quiet-run MIN (the same adjudication
+rule Bench.adjudicateFinal applies, spec-pinned in BenchLogicSpec), and
+merges it into BENCH_BASELINE_QUERIES.json's "queries" map. By default
+only NEW queries are pinned (existing pins are the regression
+reference and must not drift silently); --refresh also overwrites
+existing pins, for the same-round-plan-change protocol the gate's
+docstring describes. The artifact's total is recomputed.
+"""
+import json
+import re
+import sys
+
+BASELINE = "BENCH_BASELINE_QUERIES.json"
+
+
+def parse_adjudicate_csv(text):
+    """-> {query: min_seconds} from BenchAdjudicate stdout."""
+    pins = {}
+    for line in text.splitlines():
+        line = re.sub(r"^\[info\]\s*", "", line.strip())
+        m = re.match(r"^([a-z][A-Za-z0-9_]*),((?:[0-9.]+,)+)([0-9.]+)$", line)
+        if m:
+            pins[m.group(1)] = float(m.group(3))
+    return pins
+
+
+def merge(doc, pins, refresh=False):
+    """-> (updated doc, added names, refreshed names, skipped names)."""
+    queries = doc["queries"]
+    added, refreshed, skipped = [], [], []
+    for name, val in sorted(pins.items()):
+        if name not in queries:
+            queries[name] = val
+            added.append(name)
+        elif refresh:
+            queries[name] = val
+            refreshed.append(name)
+        else:
+            skipped.append(name)
+    doc["value"] = sum(queries.values())
+    return doc, added, refreshed, skipped
+
+
+def main():
+    args = [a for a in sys.argv[1:] if a != "--refresh"]
+    refresh = "--refresh" in sys.argv[1:]
+    if not args:
+        print(__doc__)
+        return 2
+    pins = parse_adjudicate_csv(open(args[0]).read())
+    if not pins:
+        print(f"no adjudication rows found in {args[0]}")
+        return 1
+    doc = json.load(open(BASELINE))
+    doc, added, refreshed, skipped = merge(doc, pins, refresh)
+    json.dump(doc, open(BASELINE, "w"))
+    for n in added:
+        print(f"PINNED    {n:30s} {pins[n]:.3f}s")
+    for n in refreshed:
+        print(f"REFRESHED {n:30s} {pins[n]:.3f}s")
+    for n in skipped:
+        print(f"KEPT      {n:30s} (existing pin; use --refresh to overwrite)")
+    print(f"total now {doc['value']:.1f}s over {len(doc['queries'])} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
