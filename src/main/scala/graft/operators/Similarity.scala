@@ -2710,4 +2710,323 @@ object Similarity {
       .toDF("batch_id", "n_queries")
       .repartition(1).write.mode("append").parquet(logPath)
   }
+
+  // ——— Graph ANN: per-cell navigable-small-world (round 17 —
+  // r16 next-task 7, the one ANN regime the suite lacked) ———————————
+  //
+  // The serving regime IVF-PQ is weakest in — high recall at low
+  // per-query latency without a large nProbe — is what graph indexes
+  // (HNSW/NSW) exist for: a query WALKS a neighbor graph reading
+  // O(ef · m · rounds) vectors instead of scanning whole probed
+  // cells. The distributed shape here composes the two families:
+  // the corpus is cell-partitioned exactly like the IVF index
+  // (argmax-dot centroids, the same probe ranking), and each cell
+  // carries its own SINGLE-LAYER NSW graph, built INSIDE the cell —
+  // so graph build never shuffles across cells, the walk runs
+  // in-partition against bounded state (a cell is sized to executor
+  // memory, corpus/nCells — the same contract every per-cell
+  // operator in this file documents), and a 1000-executor cluster
+  // walks thousands of probed cells concurrently.
+  //
+  // Everything is DETERMINISTIC and replayable (the s02/s03 oracle
+  // stance):
+  //  - adjacency: node u's neighbors = its top-`m` same-cell nodes
+  //    by (cosine DESC, id ASC) — the brute kNN-graph, the
+  //    strongest (and order-free) form of the NSW neighbor
+  //    heuristic, built as one within-cell self-join the optimizer
+  //    can see;
+  //  - entry point: the cell's MINIMUM id (fixed, like HNSW's pinned
+  //    entry node);
+  //  - search: `rounds` beam-expansion steps — candidates = beam ∪
+  //    neighbors(beam), keep the top-`ef` by (cosine DESC, id ASC) —
+  //    then the final beams of all probed cells merge into the
+  //    global top-k. Fixed rounds instead of walk-until-converged
+  //    keeps the computation a pure function of the inputs (and
+  //    SQL-replayable as chained CTEs); ef ≥ k and rounds ≈ graph
+  //    diameter give the convergence a tunable budget measured by
+  //    [[hnswRecall]].
+  //
+  // The in-memory walk mirrors the codegen'd cosine bit-for-bit
+  // (sequential left-to-right accumulation, zero-norm → 0), so the
+  // walked result is row-identical to the declarative replay — spec-
+  // pinned, and the s22 oracle replays the whole chain in SQL.
+
+  /** Exact mirror of [[VectorOps.cosine]] / the DotProduct codegen:
+    * sequential accumulation, zero-norm guard. Double parity with
+    * the kernel (and DuckDB's list_dot_product chain) is what makes
+    * the in-memory walk oracle-checkable.
+    */
+  private def cosExact(a: Array[Double], b: Array[Double]): Double = {
+    var i = 0; var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    while (i < a.length) {
+      dab += a(i) * b(i); daa += a(i) * a(i); dbb += b(i) * b(i); i += 1
+    }
+    val d = math.sqrt(daa) * math.sqrt(dbb)
+    if (d == 0) 0.0 else dab / d
+  }
+
+  /** Within-cell kNN-graph adjacency over an [[assignCells]] frame:
+    * (cell, id, nbrs) with nbrs = top-`m` same-cell neighbors by
+    * (cosine DESC, id ASC), sorted for a deterministic persisted
+    * layout. One within-cell self-join — Σ|cell|² cosines, the
+    * graph-build cost the cell partitioning bounds.
+    */
+  private def hnswAdjacency(indexed: DataFrame, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val left = indexed.select(col("cell"), col("id"), col("vec"))
+    val right = indexed.select(col("cell"),
+      col("id").as("_g_nid"), col("vec").as("_g_nvec"))
+    val w = Window.partitionBy("cell", "id")
+      .orderBy(col("_g_cos").desc, col("_g_nid").asc)
+    left.join(right, Seq("cell"))
+      .where(col("id") =!= col("_g_nid"))
+      .withColumn("_g_cos", VectorOps.cosine(col("vec"), col("_g_nvec")))
+      .withColumn("_g_rn", row_number().over(w))
+      .where(col("_g_rn") <= m)
+      .groupBy(col("cell"), col("id"))
+      .agg(sort_array(collect_list(col("_g_nid"))).as("nbrs"))
+  }
+
+  /** The deterministic beam walk of ONE cell's graph (runs inside a
+    * partition): entry = min id, `rounds` expansions, beam capped at
+    * `ef`. Returns the final beam with exact cosines.
+    */
+  private def walkCell(qd: Array[Double], ids: Array[Long],
+      vecs: Array[Array[Double]], nbrs: Map[Long, Array[Long]],
+      ef: Int, rounds: Int): Seq[(Long, Double)] = {
+    val idx = ids.zipWithIndex.toMap
+    val cos = scala.collection.mutable.HashMap.empty[Long, Double]
+    def scoreOf(id: Long): Double =
+      cos.getOrElseUpdate(id, cosExact(vecs(idx(id)), qd))
+    var beam = Vector(ids.min)
+    var r = 0
+    while (r < rounds) {
+      val cand = (beam ++ beam.flatMap(id =>
+        nbrs.getOrElse(id, Array.empty[Long]))).distinct
+      beam = cand.sortBy(id => (-scoreOf(id), id)).take(ef)
+      r += 1
+    }
+    beam.map(id => (id, scoreOf(id)))
+  }
+
+  /** Shared walk stage: (cell, id, vec, nbrs) rows → the union of
+    * every cell's final beam, as an (id, cosine) frame. groupByKey by
+    * cell keeps each walk's state bounded by one cell.
+    */
+  private def walkCells(cellRows: DataFrame,
+      qd: Array[Double], ef: Int, rounds: Int): DataFrame = {
+    val spark = cellRows.sparkSession
+    import spark.implicits._
+    cellRows
+      .select(col("cell"), col("id"),
+        col("vec").cast("array<double>").as("vec"), col("nbrs"))
+      .as[(Int, Long, Seq[Double], Option[Seq[Long]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        val ids = rows.map(_._2)
+        val vecs = rows.map(_._3.toArray)
+        val adj = rows.collect {
+          case (_, id, _, Some(ns)) => id -> ns.toArray
+        }.toMap
+        walkCell(qd, ids, vecs, adj, ef, rounds).iterator
+      }
+      .toDF("id", "cosine")
+  }
+
+  /** Graph ANN top-k, inline form (index built on the fly over the
+    * PROBED cells only — adjacency is within-cell, so it is
+    * identical to the slice of a full build): probe `nProbe` cells
+    * by the IVF centroid ranking, walk each cell's NSW graph, merge
+    * beams into the global top-k. Same output contract as
+    * [[knnIvf]]: (id, cosine), ties by id. The persisted form
+    * ([[writeHnswIndex]] / [[knnHnswIndexed]]) is what serves at
+    * 100 TB — this form exists for evals and the oracle gate.
+    */
+  def knnHnsw(
+      df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Float], k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 6, ef: Int = 12, rounds: Int = 4,
+      strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+    require(ef >= k, s"knnHnsw: ef ($ef) must be >= k ($k) — the final " +
+      "beam is the candidate pool")
+    val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
+    val indexed = assignCells(df, idCol, vecCol, cents)
+    val qd = query.map(_.toDouble)
+    val probeCells = cents.zipWithIndex
+      .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2)
+    val probed = indexed
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .localCheckpoint() // one assignment pass feeds both join sides
+    val withAdj = probed.join(hnswAdjacency(probed, m),
+      Seq("cell", "id"), "left")
+    walkCells(withAdj, qd, ef, rounds)
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Persist the graph index: the IVF `cells` layout (vectors +
+    * optional attr columns, partitioned by cell) plus a `graph` tree
+    * (per-cell adjacency, same partitioning) and the centroids.
+    * Probes prune BOTH trees to the probed cells. Build cost:
+    * one assignment pass + the within-cell self-join.
+    */
+  def writeHnswIndex(
+      df: DataFrame, idCol: String, vecCol: String, path: String,
+      nCells: Int = 16, m: Int = 6,
+      strategy: CentroidStrategy = SeededCentroids,
+      attrCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
+    val assigned = assignCells(df, idCol, vecCol, cents,
+      extraCols = attrCols).localCheckpoint()
+    assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/cells")
+    hnswAdjacency(assigned, m).write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/graph")
+    cents.zipWithIndex.toIndexedSeq
+      .map { case (c, i) => (c.toSeq, i) }.toDF("cv", "cell")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    Seq((m, nCells)).toDF("m", "n_cells")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/hnswmeta")
+  }
+
+  /** Probe a persisted graph index: partition-pruned reads of the
+    * probed cells' vectors AND adjacency, the in-partition beam walk,
+    * global top-k. Tombstones ([[deleteFromIvfIndex]] — the shared
+    * `tombstones` layout) are honored the graph way: a deleted node
+    * may still ROUTE (its edges exist until the next rebuild — the
+    * standard graph-index delete semantics) but can never be
+    * RETURNED; the anti-join masks it from the final beam merge.
+    */
+  def knnHnswIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Float], k: Int, nProbe: Int = 4,
+      ef: Int = 12, rounds: Int = 4): DataFrame = {
+    require(ef >= k, s"knnHnswIndexed: ef ($ef) must be >= k ($k)")
+    val qd = query.map(_.toDouble)
+    val probeCells = readCentroids(spark, path).zipWithIndex
+      .map { case (cv, cell) =>
+        (cv.zip(qd).map { case (a, b) => a * b }.sum, cell)
+      }
+      .sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2)
+    val cells = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+    val graph = spark.read.parquet(s"$path/graph")
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+      .select(col("cell"), col("id"), col("nbrs"))
+    val walked = walkCells(
+      cells.select(col("cell"), col("id"), col("vec"))
+        .join(graph, Seq("cell", "id"), "left"),
+      qd, ef, rounds)
+    cellsMinusTombstones(walked, ivfTombstones(spark, path))
+      .orderBy(col("cosine").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Batch form over a persisted graph index: each query walks the
+    * graphs of its OWN probed cells; one pruned read serves the whole
+    * batch (cells union over the batch's probes), and the final
+    * top-k per query runs through the bounded-heap aggregate. The
+    * query batch collects to the driver — same bounded-batch contract
+    * as the broadcast query side of [[knnBruteBatch]].
+    */
+  def knnHnswBatch(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int = 4, ef: Int = 12, rounds: Int = 4): DataFrame = {
+    require(ef >= k, s"knnHnswBatch: ef ($ef) must be >= k ($k)")
+    requireIntegralId(queries, qIdCol)
+    import spark.implicits._
+    val cents = readCentroids(spark, path)
+    val qs: Array[(Long, Array[Double])] = queries
+      .select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<double>").as("qv"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (qid, qv) => (qid, qv.toArray) }
+    val probesOf: Map[Long, Seq[Int]] = qs.map { case (qid, qd) =>
+      qid -> cents.zipWithIndex
+        .map { case (cv, cell) =>
+          (cv.zip(qd).map { case (a, b) => a * b }.sum, cell)
+        }
+        .sortBy { case (score, cell) => (-score, cell) }
+        .take(nProbe).map(_._2).toSeq
+    }.toMap
+    val allCells = probesOf.values.flatten.toSeq.distinct
+    // (cell → the queries probing it) rides the closure — bounded by
+    // |queries| · nProbe pairs, the batch contract
+    val byCell: Map[Int, Seq[(Long, Array[Double])]] = probesOf.toSeq
+      .flatMap { case (qid, cells) => cells.map(c => c -> qid) }
+      .groupBy(_._1)
+      .map { case (c, xs) =>
+        c -> xs.map(_._2).sorted.map(qid =>
+          qid -> qs.find(_._1 == qid).get._2)
+      }
+    val cellRows = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(allCells: _*))
+      .select(col("cell"), col("id"), col("vec"))
+      .join(spark.read.parquet(s"$path/graph")
+        .where(col("cell").isin(allCells: _*))
+        .select(col("cell"), col("id"), col("nbrs")),
+        Seq("cell", "id"), "left")
+    val walked = cellRows
+      .select(col("cell"), col("id"),
+        col("vec").cast("array<double>").as("vec"), col("nbrs"))
+      .as[(Int, Long, Seq[Double], Option[Seq[Long]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rows = it.toArray
+        val ids = rows.map(_._2)
+        val vecs = rows.map(_._3.toArray)
+        val adj = rows.collect {
+          case (_, id, _, Some(ns)) => id -> ns.toArray
+        }.toMap
+        byCell.getOrElse(cell, Nil).iterator.flatMap {
+          case (qid, qd) =>
+            walkCell(qd, ids, vecs, adj, ef, rounds)
+              .map { case (id, c) => (qid, id, c) }
+        }
+      }
+      .toDF("query_id", "id", "cosine")
+    cellsMinusTombstones(walked, ivfTombstones(spark, path))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cosine"), col("id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"),
+        col("e.ord").as("cosine"))
+  }
+
+  /** Recall@k of the graph walk against the exact brute top-k —
+    * [[ivfRecall]]'s report for the graph family. This is the eval
+    * that justifies the family: at MATCHED probe cost (same nProbe,
+    * same cells read) the walk's recall should meet or beat the
+    * flat probed-cell scan once ef/rounds cover the graph, and the
+    * report is how those two knobs get sized before serving.
+    */
+  def hnswRecall(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 6, ef: Int = 12, rounds: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qs = queries
+      .select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).cast("array<float>").as("qv"))
+      .as[(Long, Seq[Float])].collect()
+    val approx = qs.map { case (qid, qv) =>
+      knnHnsw(corpus, idCol, vecCol, qv.toArray, k, nCells, nProbe,
+        m, ef, rounds)
+        .select(lit(qid).as("query_id"), col("id"))
+    }.reduce(_ unionByName _)
+    val exact = knnBruteBatch(queries, qIdCol, qVecCol, corpus, idCol,
+      vecCol, k)
+    recallReport(queries, qIdCol, approx, exact, k)
+  }
 }

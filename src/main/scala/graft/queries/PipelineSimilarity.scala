@@ -1200,5 +1200,84 @@ private[queries] object PipelineSimilarity {
              |SELECT query_id, CAST(rnk AS INT) AS rank, id,
              |  ${r6sql("rrf")} AS rrf
              |FROM r WHERE rnk <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+
+    // graph ANN (round 17): per-cell navigable-small-world walk —
+    // s03's cell partitioning + a within-cell kNN graph (top-6
+    // neighbors by cosine, ties→lower id), entry = min id per probed
+    // cell, 4 beam-expansion rounds at ef=12, beams merged into the
+    // global top-10. Fully deterministic, so the oracle replays the
+    // WHOLE chain — centroids, assignment, probe, graph edges, each
+    // beam round as a chained CTE pair, final merge — bit-identically
+    // (the s02/s03 stance; the walk's in-memory cosine mirrors the
+    // codegen kernel op-for-op).
+    Q("s22_knn_hnsw",
+      (s, dir) => {
+        Similarity.knnHnsw(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", queryVec(s, dir), k = 10,
+            nCells = 16, nProbe = 4, m = 6, ef = 12, rounds = 4)
+          .select(col("id"), r6(col("cosine")).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      Some(s22OracleSql)),
   )
+
+  /** The s22 oracle: the deterministic NSW chain in DuckDB, beam
+    * rounds unrolled as CTE pairs (candN = beam ∪ its out-edges;
+    * beamN = per-cell top-ef by cosine-to-query, ties→id).
+    */
+  private def s22OracleSql: String = {
+    val rounds = 4
+    val roundCtes = (1 to rounds).map { r =>
+      s"""cand$r AS (
+         |  SELECT DISTINCT cell, id FROM (
+         |    SELECT cell, id FROM beam${r - 1}
+         |    UNION ALL
+         |    SELECT g.cell, g.dst AS id FROM beam${r - 1} b
+         |    JOIN edge g ON g.cell = b.cell AND g.src = b.id)
+         |), beam$r AS (
+         |  SELECT cell, id FROM (
+         |    SELECT c.cell, c.id, ROW_NUMBER() OVER (PARTITION BY c.cell
+         |      ORDER BY ${cosineSql("n.v", "qv")} DESC, c.id ASC) AS rk
+         |    FROM cand$r c
+         |    JOIN node n ON n.cell = c.cell AND n.id = c.id, q)
+         |  WHERE rk <= 12
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH cent AS (
+       |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell,
+       |         CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+       |), q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings ORDER BY vec_id LIMIT 1
+       |), e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), assigned AS (
+       |  SELECT vec_id, v, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) DESC, cell ASC) AS rn
+       |  FROM e CROSS JOIN cent
+       |), probe AS (
+       |  SELECT cell FROM cent, q
+       |  ORDER BY list_dot_product(cv, qv) DESC, cell ASC LIMIT 4
+       |), node AS (
+       |  SELECT vec_id AS id, v, cell FROM assigned
+       |  WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+       |), edge AS (
+       |  SELECT cell, src, dst FROM (
+       |    SELECT a.cell AS cell, a.id AS src, b.id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY a.id
+       |        ORDER BY ${cosineSql("a.v", "b.v")} DESC, b.id ASC) AS rk
+       |    FROM node a JOIN node b ON a.cell = b.cell AND a.id <> b.id)
+       |  WHERE rk <= 6
+       |), beam0 AS (
+       |  SELECT cell, MIN(id) AS id FROM node GROUP BY cell
+       |), $roundCtes
+       |SELECT id, ${r6sql("cos")} AS cosine FROM (
+       |  SELECT b.id, ${cosineSql("n.v", "qv")} AS cos
+       |  FROM beam$rounds b
+       |  JOIN node n ON n.cell = b.cell AND n.id = b.id, q)
+       |ORDER BY cos DESC, id LIMIT 10""".stripMargin
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Graph ANN — per-cell navigable-small-world (round 17, r16
+  * next-task 7). The family's pinned contract:
+  *
+  *  - a COVERING walk (complete within-cell graph, beam ≥ cell,
+  *    every cell probed) degenerates to exact brute-force top-k —
+  *    the correctness anchor that needs no recall argument;
+  *  - the inline build and the persisted index return row-identical
+  *    results (the IVF inline/indexed parity stance), and the batch
+  *    surface equals per-query probes;
+  *  - a persisted probe reads ONLY the probed cells of BOTH trees
+  *    (vectors and adjacency) — partition pruning pinned in the
+  *    plan;
+  *  - tombstoned nodes still route but are never returned;
+  *  - at matched probe cost the walk's recall meets or beats the
+  *    compressed IVF-PQ probe it complements (the regime the family
+  *    exists for), measured by [[Similarity.hnswRecall]] vs
+  *    [[Similarity.pqRecall]] on the same data and knobs.
+  */
+class HnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings")
+    .localCheckpoint()
+  private lazy val query: Array[Float] = emb.orderBy("vec_id").limit(1)
+    .select(col("embedding")).as[Seq[Float]].head().toArray
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select(col("id"), round(col("cosine"), 9).as("c"))
+      .as[(Long, Double)].collect().sortBy(r => (-r._2, r._1)).toSeq
+
+  test("covering walk equals exact brute-force top-k") {
+    // complete graph per cell (m ≥ cell size), beam ≥ cell, all cells
+    // probed, 2 rounds (entry reaches every neighbor in one hop):
+    // the walk IS brute force, merged across cells
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding",
+      query, k = 10)
+    val walked = Similarity.knnHnsw(emb, "vec_id", "embedding",
+      query, k = 10, nCells = 8, nProbe = 8, m = 500, ef = 500,
+      rounds = 2)
+    assert(rows(walked) == rows(brute))
+  }
+
+  test("inline, indexed and batch probes are row-identical; only probed cells are read") {
+    val path = tmp("graft-hnsw")
+    Similarity.writeHnswIndex(emb, "vec_id", "embedding", path,
+      nCells = 16, m = 6)
+    val inline = Similarity.knnHnsw(emb, "vec_id", "embedding",
+      query, k = 10, nCells = 16, nProbe = 4, m = 6, ef = 12, rounds = 4)
+    val indexed = Similarity.knnHnswIndexed(spark, path, query,
+      k = 10, nProbe = 4, ef = 12, rounds = 4)
+    assert(rows(indexed) == rows(inline))
+    // the graph walk actually prunes: both scans carry a cell
+    // partition filter in the physical plan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("cell"), plan.take(2000))
+
+    // batch surface: three queries, each row-identical to its own
+    // indexed probe
+    val queries = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = Similarity.knnHnswBatch(spark, path, queries,
+      "qid", "embedding", k = 10, nProbe = 4, ef = 12, rounds = 4)
+    val qs = queries.as[(Long, Seq[Float])].collect()
+    qs.foreach { case (qid, qv) =>
+      val single = Similarity.knnHnswIndexed(spark, path, qv.toArray,
+        k = 10, nProbe = 4, ef = 12, rounds = 4)
+      assert(rows(batch.where(col("query_id") === qid)
+        .select("id", "cosine")) == rows(single),
+        s"batch result for query $qid diverges from the single probe")
+    }
+  }
+
+  test("tombstoned nodes route but are never returned") {
+    val path = tmp("graft-hnsw-tomb")
+    Similarity.writeHnswIndex(emb, "vec_id", "embedding", path,
+      nCells = 16, m = 6)
+    val before = Similarity.knnHnswIndexed(spark, path, query,
+      k = 10, nProbe = 4, ef = 12, rounds = 4)
+    val victim = rows(before).head._1
+    Similarity.deleteFromIvfIndex(Seq(victim).toDF("id"), "id", path)
+    val after = Similarity.knnHnswIndexed(spark, path, query,
+      k = 10, nProbe = 4, ef = 12, rounds = 4)
+    val ids = rows(after).map(_._1)
+    assert(!ids.contains(victim), s"tombstoned $victim still returned")
+    // the rest of the beam survives the mask (ef > k headroom)
+    assert(ids.size == 10, s"masked probe returned ${ids.size} rows")
+    assert(rows(before).map(_._1).filterNot(_ == victim)
+      .forall(ids.contains), "masking removed more than the victim")
+  }
+
+  test("recall at matched probe cost meets or beats the compressed IVF-PQ probe") {
+    val queries = emb.orderBy("vec_id").limit(5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    def avg(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(org.apache.spark.sql.functions.avg("recall"))
+        .as[Double].head()
+    val hnsw = avg(Similarity.hnswRecall(queries, "qid", "embedding",
+      emb, "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4,
+      m = 8, ef = 20, rounds = 4))
+    val cb = Similarity.pqSeededCodebook(emb, "vec_id", "embedding",
+      m = 8, nCodes = 16)
+    val pq = avg(Similarity.pqRecall(queries, "qid", "embedding",
+      emb, "vec_id", "embedding", k = 10, cb, overfetch = 2))
+    assert(hnsw > 0.5, s"hnsw recall degenerate: $hnsw")
+    assert(hnsw >= pq - 1e-9,
+      s"graph walk recall $hnsw below compressed probe $pq at matched cost")
+  }
+}
