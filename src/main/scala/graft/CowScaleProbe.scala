@@ -42,6 +42,12 @@ object CowScaleProbe {
     // it writes ~k/numBuckets of the corpus
     val k = sys.env.get("SPARK_GRAFT_COW_TAKEDOWN")
       .map(_.toInt).getOrElse(10)
+    // comma-separated section filter for local iteration (the full
+    // probe is tens of minutes; a re-measure usually wants one
+    // curve): takedown, ingest, tombstone, log. Unset = all.
+    val sections = sys.env.get("SPARK_GRAFT_COW_SECTIONS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("takedown", "ingest", "tombstone", "log"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -67,6 +73,7 @@ object CowScaleProbe {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
+    if (sections("takedown")) {
     println("rep,n_docs,layout,init_sec,takedown_sec,gen_bytes,corpus_bytes")
     reps.foreach { rep =>
       // replicate with disjoint ids (the ScaleProbe idiom: content
@@ -108,6 +115,7 @@ object CowScaleProbe {
       val fullCorpusBytes = du(s"$fullDir/snapshots/gen=0")
       println(s"$rep,$n,full,$fullInit,$fullDel,$fullGenBytes,$fullCorpusBytes")
     }
+    }
 
     // ——— Streaming-ingest write amplification (round 16 — verdict
     // task 1's measurement): B small batches through (a) bucket-
@@ -120,6 +128,7 @@ object CowScaleProbe {
       .map(_.toInt).getOrElse(8)
     val batchRows = sys.env.get("SPARK_GRAFT_COW_BATCH_ROWS")
       .map(_.toInt).getOrElse(20)
+    if (sections("ingest")) {
     println("rep,n_docs,mode,ingest_sec,ingest_bytes,compact_sec," +
       "compact_bytes,read_before_sec,read_after_sec")
     reps.foreach { rep =>
@@ -166,6 +175,7 @@ object CowScaleProbe {
           s"$readBefore,$readAfter")
       }
     }
+    }
 
     // ——— Takedown write amplification (round 16 — tombstones): the
     // SAME k-id takedown through (a) the eager bucket rewrite
@@ -177,6 +187,7 @@ object CowScaleProbe {
     // operation's reason to exist. The read price after the tombstone
     // (the LWW merge on the touched buckets) and the later compaction
     // cost are both measured so the trade is two-sided here too.
+    if (sections("tombstone")) {
     println("rep,n_docs,mode,takedown_sec,takedown_bytes,read_sec," +
       "compact_sec,compact_bytes")
     reps.foreach { rep =>
@@ -213,6 +224,7 @@ object CowScaleProbe {
         println(s"$rep,$n,$mode,$delSec,$delBytes,$readSec,$cSec,$cBytes")
       }
     }
+    }
 
     // ——— Ingest-log replay-guard cost (round 17 — verdict task 1):
     // the per-trigger `ingestLogContains` probe BEFORE the fold (one
@@ -220,23 +232,26 @@ object CowScaleProbe {
     // `compactIngestLog` (watermark pointer read + single-file scan).
     // Batch counts stand in for stream lifetime: the before-cost
     // grows with B forever, the after-cost is flat — the last
-    // O(batches)-per-trigger curve in the streaming ingest path.
+    // O(batches)-per-trigger curve in the streaming ingest path. The
+    // tail is built by the log writer DIRECTLY (appendIngestLog —
+    // exactly the file-per-batch shape cowIngestBatch leaves): the
+    // guard's cost is a pure function of the LOG, not the corpus,
+    // and driving full corpus commits here would only time the data
+    // path the other sections already measure.
+    if (sections("log")) {
     println("log_batches,tail_files_before,probe_logged_ms_before," +
       "probe_fresh_ms_before,fold_sec,tail_files_after," +
       "probe_logged_ms_after,probe_fresh_ms_after")
-    Seq(16, 64, 256).foreach { nb =>
+    val logSizes = sys.env.get("SPARK_GRAFT_COW_LOG_BATCHES")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(16, 64, 256))
+    logSizes.foreach { nb =>
       val dir = java.nio.file.Files
         .createTempDirectory(s"graft-logprobe-$nb").toString
-      val seed = docs.limit(64).localCheckpoint()
-      CorpusStore.writeCorpusCow(seed, dir, "doc_id", 16)
-      val one = seed.limit(1)
-        .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
-        .localCheckpoint()
-      (0 until nb).foreach(i =>
-        CorpusStore.cowIngestBatch(dir)(one
-          .select((col("doc_id") + lit(i.toLong)).as("doc_id"),
-            col("text")), i.toLong))
       val logPath = s"$dir/ingest_log"
+      (0 until nb).foreach(i =>
+        CorpusStore.appendIngestLog(spark, logPath, i.toLong,
+          Some(i + 1), 1L))
       def probeMs(id: Long): Double = {
         val t0 = System.nanoTime()
         CorpusStore.ingestLogContains(spark, logPath, id)
@@ -251,6 +266,7 @@ object CowScaleProbe {
       val freshAfter = probeMs(nb + 100L) // one-file scan
       println(f"$nb,$tailBefore,$loggedBefore%.1f,$freshBefore%.1f," +
         f"$foldSec%.2f,$tailAfter,$loggedAfter%.1f,$freshAfter%.1f")
+    }
     }
     spark.stop()
   }

@@ -95,9 +95,13 @@ object IndexHealth {
     */
   def report(spark: SparkSession, path: String): Health =
     // cowmeta FIRST: a COW corpus store also has a CURRENT pointer
-    // and a meta/ directory — the BM25 branch would mis-detect it
+    // and a meta/ directory — the BM25 branch would mis-detect it.
+    // hnswmeta BEFORE centroids: a graph index carries the IVF cells
+    // layout PLUS a graph tree — the ivf branch would mis-detect it
+    // and maintain would then rebuild it graph-less (round 17)
     if (exists(spark, s"$path/cowmeta")) reportCorpusCow(spark, path)
     else if (exists(spark, s"$path/CURRENT")) reportBm25(spark, path)
+    else if (exists(spark, s"$path/hnswmeta")) reportHnsw(spark, path)
     else if (exists(spark, s"$path/centroids")) reportIvf(spark, path)
     else if (exists(spark, s"$path/buckets") &&
              exists(spark, s"$path/meta")) reportLsh(spark, path)
@@ -308,6 +312,28 @@ object IndexHealth {
       needsRebuild = Similarity.needsRebuild(s, maxSkew, maxEmptyFrac))
   }
 
+  /** Graph (HNSW/NSW) index — the SIXTH store kind (round 17): the
+    * IVF cell occupancy numbers verbatim (same cells layout, same
+    * live-row stance) plus the graph-specific compaction signal:
+    * `needsCompact` also flips on UNKNITTED nodes — live vectors a
+    * crashed append left edge-less ([[Similarity.hnswUnknitted]]);
+    * probes stay correct but cannot surface those nodes, and the
+    * repair is a bounded re-knit, not a rebuild. `needsRebuild` =
+    * the IVF skew/empty-cell trigger (drift off the build
+    * centroids), fixed by [[Similarity.rebuildHnswIndex]].
+    */
+  def reportHnsw(spark: SparkSession, path: String,
+                 maxSkew: Double = 4.0,
+                 maxEmptyFrac: Double = 0.5,
+                 maxDataFiles: Long = 256): Health = {
+    val ivf = reportIvf(spark, path, maxSkew, maxEmptyFrac, maxDataFiles)
+    val unknitted = Similarity.hnswUnknitted(spark, path)
+    ivf.copy(
+      kind = "hnsw",
+      dataFiles = ivf.dataFiles + dataFileCount(spark, s"$path/graph"),
+      needsCompact = ivf.needsCompact || unknitted > 0)
+  }
+
   /** What one [[maintain]] pass did: the health row that triggered it,
     * the action taken ("none" | "compacted" | "rebuilt"), the path now
     * holding the maintained index (== the input path for in-place BM25
@@ -392,6 +418,27 @@ object IndexHealth {
         if (before.needsCompact) {
           Dedup.compactLshIndex(spark, path, dstPath)
           ("compacted", dstPath)
+        } else ("none", path)
+      case "hnsw" =>
+        // rebuild absorbs drift AND folds tombstones (both reshape
+        // the cells tree, which re-knits every graph anyway); a
+        // tombstone-free unknitted state — the append crash window —
+        // repairs with a bounded in-place re-knit of exactly the
+        // affected cells, never a rebuild
+        if (before.needsRebuild || before.tombstones > 0) {
+          Similarity.rebuildHnswIndex(spark, path, dstPath)
+          ("rebuilt", dstPath)
+        } else if (before.needsCompact) {
+          val cells = Similarity.hnswUnknittedCells(spark, path)
+          if (cells.nonEmpty) {
+            Similarity.knitHnswCells(spark, path, cells)
+            ("knitted", path)
+          } else {
+            // needsCompact without tombstones or unknitted nodes =
+            // file fragmentation — the rebuild is the compaction
+            Similarity.rebuildHnswIndex(spark, path, dstPath)
+            ("rebuilt", dstPath)
+          }
         } else ("none", path)
       case "ivf" =>
         if (before.needsCompact || before.needsRebuild) {

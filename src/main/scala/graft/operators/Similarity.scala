@@ -2771,7 +2771,12 @@ object Similarity {
     * layout. One within-cell self-join — Σ|cell|² cosines, the
     * graph-build cost the cell partitioning bounds.
     */
-  private def hnswAdjacency(indexed: DataFrame, m: Int): DataFrame = {
+  /** The within-cell kNN-graph EDGES of an [[assignCells]] frame:
+    * (cell, src, dst) with dst among src's top-`m` same-cell
+    * neighbors by (cosine DESC, id ASC) — the pre-grouping half of
+    * [[hnswAdjacency]], used directly by the declarative walk.
+    */
+  private def hnswEdges(indexed: DataFrame, m: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val left = indexed.select(col("cell"), col("id"), col("vec"))
     val right = indexed.select(col("cell"),
@@ -2783,9 +2788,13 @@ object Similarity {
       .withColumn("_g_cos", VectorOps.cosine(col("vec"), col("_g_nvec")))
       .withColumn("_g_rn", row_number().over(w))
       .where(col("_g_rn") <= m)
-      .groupBy(col("cell"), col("id"))
-      .agg(sort_array(collect_list(col("_g_nid"))).as("nbrs"))
+      .select(col("cell"), col("id").as("src"), col("_g_nid").as("dst"))
   }
+
+  private def hnswAdjacency(indexed: DataFrame, m: Int): DataFrame =
+    hnswEdges(indexed, m)
+      .groupBy(col("cell"), col("src").as("id"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
 
   /** The deterministic beam walk of ONE cell's graph (runs inside a
     * partition): entry = min id, `rounds` expansions, beam capped at
@@ -2834,12 +2843,16 @@ object Similarity {
       .toDF("id", "cosine")
   }
 
-  /** Graph ANN top-k, inline form (index built on the fly over the
-    * PROBED cells only — adjacency is within-cell, so it is
-    * identical to the slice of a full build): probe `nProbe` cells
-    * by the IVF centroid ranking, walk each cell's NSW graph, merge
-    * beams into the global top-k. Same output contract as
-    * [[knnIvf]]: (id, cosine), ties by id. The persisted form
+  /** Graph ANN top-k, inline DECLARATIVE form (index built on the
+    * fly over the PROBED cells only — adjacency is within-cell, so
+    * it is identical to the slice of a full build): probe `nProbe`
+    * cells by the IVF centroid ranking, then unroll the fixed
+    * `rounds` beam expansions as plain joins + per-cell rank windows
+    * — the exact relational shape the s22 oracle replays, and a plan
+    * SqlGen prints (the zero-carve-outs roundtrip contract; the
+    * typed in-memory walk lives in the SERVING paths below, pinned
+    * row-identical to this form in HnswSpec). Same output contract
+    * as [[knnIvf]]: (id, cosine), ties by id. The persisted form
     * ([[writeHnswIndex]] / [[knnHnswIndexed]]) is what serves at
     * 100 TB — this form exists for evals and the oracle gate.
     */
@@ -2849,6 +2862,7 @@ object Similarity {
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 6, ef: Int = 12, rounds: Int = 4,
       strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     require(ef >= k, s"knnHnsw: ef ($ef) must be >= k ($k) — the final " +
       "beam is the candidate pool")
     val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
@@ -2858,12 +2872,31 @@ object Similarity {
       .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (score, cell) => (-score, cell) }
       .take(nProbe).map(_._2)
-    val probed = indexed
+    val nodes = indexed
       .where(col("cell").isin(probeCells.toIndexedSeq: _*))
-      .localCheckpoint() // one assignment pass feeds both join sides
-    val withAdj = probed.join(hnswAdjacency(probed, m),
-      Seq("cell", "id"), "left")
-    walkCells(withAdj, qd, ef, rounds)
+    val edges = hnswEdges(nodes, m)
+    val q = typedlit(query.toSeq)
+    val w = Window.partitionBy("cell")
+      .orderBy(col("_w_cos").desc, col("id").asc)
+    // beam0 = each probed cell's min-id entry; each round: candidates
+    // = beam ∪ out-edges(beam), keep the per-cell top-ef by cosine
+    val out = edges.select(col("cell").as("_e_cell"),
+      col("src").as("_e_src"), col("dst"))
+    var beam: DataFrame = nodes.groupBy("cell").agg(min("id").as("id"))
+    (1 to rounds).foreach { _ =>
+      val cand = beam
+        .unionByName(beam.join(out,
+            col("cell") === col("_e_cell") && col("id") === col("_e_src"))
+          .select(col("cell"), col("dst").as("id")))
+        .distinct()
+      beam = cand.join(nodes, Seq("cell", "id"))
+        .withColumn("_w_cos", VectorOps.cosine(col("vec"), q))
+        .withColumn("_w_rk", row_number().over(w))
+        .where(col("_w_rk") <= ef)
+        .select(col("cell"), col("id"))
+    }
+    beam.join(nodes, Seq("cell", "id"))
+      .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
@@ -3000,6 +3033,135 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e.id").as("id"),
         col("e.ord").as("cosine"))
+  }
+
+  /** The persisted graph index's build parameters (m, n_cells) —
+    * bounded 1-row read.
+    */
+  private def hnswMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Int, Int) = {
+    val r = spark.read.parquet(s"$path/hnswmeta").head()
+    (r.getAs[Int]("m"), r.getAs[Int]("n_cells"))
+  }
+
+  /** Incrementally append vectors to a persisted graph index
+    * (round 17 — the graph family joins the IVF lifecycle): new rows
+    * assign against the STORED centroids (same contract as
+    * [[appendToIvfIndex]], including the attribute-schema fail-fast)
+    * and append to their cell partitions, then the TOUCHED cells'
+    * graphs re-knit ([[knitHnswCells]]) — adjacency is within-cell,
+    * so only those cells' self-joins re-run; untouched cells' graph
+    * files are never read or written. Centroids are deliberately NOT
+    * updated (the IVF append contract); drift is [[cellStats]]' /
+    * IndexHealth's to flag and [[rebuildHnswIndex]]'s to fix.
+    *
+    * Crash window: a failure between the cells append and the
+    * re-knit leaves the new nodes PRESENT but EDGE-LESS — probes
+    * stay correct on the old graph but cannot surface the new nodes
+    * (except as a cell's min-id entry). IndexHealth's hnsw report
+    * counts such unknitted nodes and flags needsCompact; the repair
+    * is exactly [[knitHnswCells]] over the affected cells
+    * (maintain runs it), after which probes see everything.
+    */
+  def appendToHnswIndex(
+      df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val cents = readCentroids(spark, path)
+    require(cents.nonEmpty, s"appendToHnswIndex: no centroids at $path")
+    val stored = spark.read.parquet(s"$path/cells").schema
+    val attrs = stored.fieldNames.toSeq.filterNot(Set("id", "vec", "cell"))
+    val missing = attrs.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"appendToHnswIndex: index at $path stores attribute columns " +
+        s"${attrs.mkString(", ")}; append frame is missing " +
+        missing.mkString(", "))
+    val assigned = assignCells(df, idCol, vecCol, cents,
+      extraCols = attrs).localCheckpoint()
+    assigned.write.mode("append").partitionBy("cell")
+      .parquet(s"$path/cells")
+    val touched = assigned.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by nCells
+    knitHnswCells(spark, path, touched)
+  }
+
+  /** (Re)build the adjacency of the given cells from the CURRENT
+    * cells tree — live nodes only (tombstoned ids neither gain edges
+    * nor keep in-edges in re-knit cells), written with dynamic
+    * partition overwrite so untouched cells' graph files are never
+    * rewritten. Idempotent; the append path's second half and the
+    * maintain loop's repair action.
+    */
+  def knitHnswCells(spark: org.apache.spark.sql.SparkSession,
+      path: String, cells: Seq[Int]): Unit = {
+    if (cells.isEmpty) return
+    val (m, _) = hnswMeta(spark, path)
+    val live = cellsMinusTombstones(
+      spark.read.parquet(s"$path/cells")
+        .where(col("cell").isin(cells: _*))
+        .select("cell", "id", "vec"),
+      ivfTombstones(spark, path))
+    hnswAdjacency(live, m)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$path/graph")
+  }
+
+  /** Live node ids missing an adjacency row while their cell holds
+    * other live nodes — the unknitted-append crash signature
+    * (IndexHealth's hnsw needsCompact input). Single-node cells are
+    * NOT unknitted: a one-node graph has no edges and the walk
+    * reaches the node as the cell entry.
+    */
+  private[operators] def hnswUnknittedNodes(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val live = cellsMinusTombstones(
+      spark.read.parquet(s"$path/cells").select("cell", "id"),
+      ivfTombstones(spark, path))
+    val knitted = spark.read.parquet(s"$path/graph").select("cell", "id")
+    val cellSizes = live.groupBy("cell").agg(count(lit(1)).as("_n"))
+    live.join(knitted, Seq("cell", "id"), "left_anti")
+      .join(cellSizes, Seq("cell"))
+      .where(col("_n") > 1)
+      .select("cell", "id")
+  }
+
+  private[operators] def hnswUnknitted(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    hnswUnknittedNodes(spark, path).count()
+
+  /** The distinct cells holding unknitted nodes — the bounded
+    * (≤ nCells) repair set [[knitHnswCells]] takes.
+    */
+  private[operators] def hnswUnknittedCells(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Int] =
+    hnswUnknittedNodes(spark, path).select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** Full rebuild of a graph index into a FRESH path (the
+    * [[rebuildIvfIndex]] contract: probes against oldPath stay
+    * correct throughout; the pointer swap is the caller's): fold
+    * tombstones out, recompute centroids over the current corpus
+    * (k-means by default — rebuilds exist to absorb drift), rebuild
+    * every cell's graph under the stored (m, nCells).
+    */
+  def rebuildHnswIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      oldPath: String, newPath: String,
+      strategy: CentroidStrategy = KMeansCentroids()): Unit = {
+    require(new org.apache.hadoop.fs.Path(oldPath) !=
+        new org.apache.hadoop.fs.Path(newPath),
+      "rebuildHnswIndex: newPath must differ from oldPath (overwrite " +
+        "truncates the output before the read runs; swap pointers " +
+        "after the rebuild lands)")
+    val (m, nCells) = hnswMeta(spark, oldPath)
+    val stored = spark.read.parquet(s"$oldPath/cells")
+    val attrs = stored.schema.fieldNames.toSeq
+      .filterNot(Set("id", "vec", "cell"))
+    val clean = cellsMinusTombstones(
+      stored.select(Seq(col("id"), col("vec")) ++ attrs.map(col): _*),
+      ivfTombstones(spark, oldPath))
+    writeHnswIndex(clean, "id", "vec", newPath, nCells, m, strategy,
+      attrCols = attrs)
   }
 
   /** Recall@k of the graph walk against the exact brute top-k —

@@ -60,7 +60,17 @@ import org.apache.spark.sql.types.StructType
   * offset fail-fast is unchanged: if the cap makes the stream fall
   * behind retention, the next range's end generation is below base
   * and [[CorpusStore.corpusChangesSince]] kills the stream loudly —
-  * register the stream as a follower or size retention past the lag.
+  * register the stream as a follower (below) or size retention past
+  * the lag.
+  *
+  * `.option("consumer", name)` (round 17) registers the stream as a
+  * DURABLE FOLLOWER: each getBatch acks the range's committed start
+  * generation at `<store>/followers/<name>` (the
+  * [[CorpusStore.followCorpus]] offset file), so the follower-aware
+  * vacuum floors retention at exactly the range the stream still
+  * needs — a registered stream survives arbitrary downtime under a
+  * maintenance loop instead of dying on the fail-fast. Retire a
+  * decommissioned stream with [[CorpusStore.unregisterFollower]].
   */
 class CorpusStreamProvider extends StreamSourceProvider
     with DataSourceRegister {
@@ -70,6 +80,13 @@ class CorpusStreamProvider extends StreamSourceProvider
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-corpus source requires .option(\"path\", <cow store>)"))
+
+  private def consumerOf(parameters: Map[String, String]): Option[String] =
+    parameters.get("consumer").map { c =>
+      require(c.nonEmpty && !c.contains("/"),
+        s"graft-corpus source: '$c' is not a valid consumer name")
+      c
+    }
 
   private def capOf(parameters: Map[String, String]): Option[Int] =
     parameters.get("maxGenerationsPerTrigger").map { s =>
@@ -94,6 +111,7 @@ class CorpusStreamProvider extends StreamSourceProvider
       "graft-corpus source: the schema is the store's row schema — " +
         "don't pass one")
     capOf(parameters) // validate at analysis time, not first trigger
+    consumerOf(parameters)
     (shortName(), CorpusStore.corpusSchema(spark, path))
   }
 
@@ -101,7 +119,7 @@ class CorpusStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new CorpusStreamSource(sqlContext.sparkSession, pathOf(parameters),
-      capOf(parameters), metadataPath)
+      capOf(parameters), consumerOf(parameters), metadataPath)
 }
 
 /** One committed generation number as a streaming offset. */
@@ -111,7 +129,7 @@ private[sources] case class GenOffset(gen: Int) extends Offset {
 
 private[sources] class CorpusStreamSource(spark: SparkSession,
     path: String, maxGensPerTrigger: Option[Int],
-    metadataPath: String) extends Source {
+    consumer: Option[String], metadataPath: String) extends Source {
 
   override val schema: StructType = CorpusStore.corpusSchema(spark, path)
 
@@ -155,6 +173,19 @@ private[sources] class CorpusStreamSource(spark: SparkSession,
     val endGen = genOf(end)
     if (maxGensPerTrigger.isDefined && !highWater.exists(_ >= endGen))
       GenPointer.commit(spark, hwPath, endGen)
+    // `.option("consumer", name)` registers the stream as a durable
+    // follower (round 17): everything at-or-below `start` is
+    // sink-committed (Spark hands a range to getBatch only after the
+    // previous batch committed), so acking `start` makes the
+    // follower-aware vacuum floor retention at start+1 — exactly the
+    // range this stream still needs — and a long-stopped registered
+    // stream survives maintenance instead of dying on the
+    // vacuumed-offset fail-fast. Unregistered streams keep the old
+    // contract (size retention past your downtime).
+    // a bootstrap batch (start = None) acks -1 — retain everything
+    // until Spark's commit callback acks the processed end; a
+    // replayed range acks its committed start the same way
+    ackFollower(start.map(genOf).getOrElse(-1))
     val batch = CorpusStore.corpusChangesSince(spark, path,
       start.map(genOf).getOrElse(-1), endGen)
     // the V1 contract fixes the schema at stream start; a schema
@@ -172,6 +203,24 @@ private[sources] class CorpusStreamSource(spark: SparkSession,
     // micro-batch
     org.apache.spark.sql.graft.StreamingFrame.asStreaming(batch)
   }
+
+  /** Monotonic follower ack at `<store>/followers/<consumer>` — a
+    * no-op for unregistered streams.
+    */
+  private def ackFollower(gen: Int): Unit =
+    consumer.foreach { c =>
+      val offPath = s"$path/followers/$c"
+      val prev =
+        if (GenPointer.exists(spark, offPath))
+          GenPointer.read(spark, offPath)._1
+        else Int.MinValue
+      if (gen > prev) GenPointer.commit(spark, offPath, gen)
+    }
+
+  // Spark calls this when a batch is fully committed downstream — the
+  // authoritative follower ack: everything at-or-below `end` is
+  // processed, so vacuum may reclaim up to end+1
+  override def commit(end: Offset): Unit = ackFollower(genOf(end))
 
   override def stop(): Unit = ()
 }

@@ -98,6 +98,99 @@ class HnswSpec extends SparkSpec {
       .forall(ids.contains), "masking removed more than the victim")
   }
 
+  test("append joins the lifecycle: new vectors probe-visible via a bounded re-knit; untouched cells' graph files never rewritten") {
+    import graft.operators.IndexHealth
+    val path = tmp("graft-hnsw-app")
+    // the founding half holds the 16 lowest vec_ids, so the STORED
+    // centroids equal the full corpus's seeded centroids and the
+    // post-append index is comparable to an inline build over the
+    // full set
+    val first = emb.orderBy("vec_id").limit(250).localCheckpoint()
+    val extra = emb.orderBy(col("vec_id").desc).limit(3).localCheckpoint()
+    Similarity.writeHnswIndex(first, "vec_id", "embedding", path,
+      nCells = 16, m = 6)
+    def graphFiles(): Map[String, Seq[(String, Long)]] = {
+      val root = new java.io.File(s"$path/graph")
+      root.listFiles.filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles.filter(_.isFile)
+          .map(f => (f.getName, f.lastModified)).sortBy(_._1).toSeq
+      }.toMap
+    }
+    val before = graphFiles()
+    Similarity.appendToHnswIndex(extra, "vec_id", "embedding", path)
+    val after = graphFiles()
+    // ≤3 appended vectors touch ≤3 cells; every other cell's graph
+    // partition is byte-untouched (dynamic partition overwrite)
+    val changed = after.keySet.filter(c => before.get(c) != after.get(c))
+    assert(changed.nonEmpty && changed.size <= 3, changed.toString)
+    // the appended vectors are probe-visible and the whole index is
+    // row-identical to an inline build over the full set
+    val full = first.unionByName(extra)
+    val inline = Similarity.knnHnsw(full, "vec_id", "embedding",
+      query, k = 10, nCells = 16, nProbe = 4, m = 6, ef = 12, rounds = 4)
+    val indexed = Similarity.knnHnswIndexed(spark, path, query,
+      k = 10, nProbe = 4, ef = 12, rounds = 4)
+    assert(rows(indexed) == rows(inline))
+    // clean state reads healthy under the catalog loop
+    val h = IndexHealth.report(spark, path)
+    assert(h.kind == "hnsw" && !h.needsCompact && !h.needsRebuild,
+      h.toString)
+  }
+
+  test("append crash window: unknitted nodes flag needsCompact; maintain repairs with an in-place knit, not a rebuild") {
+    import graft.operators.IndexHealth
+    val path = tmp("graft-hnsw-crash")
+    Similarity.writeHnswIndex(emb, "vec_id", "embedding", path,
+      nCells = 16, m = 6)
+    val want = rows(Similarity.knnHnswIndexed(spark, path, query,
+      k = 10, nProbe = 4, ef = 12, rounds = 4))
+    // simulate the crash's end state — nodes present, edges missing —
+    // by dropping one probed cell's graph partition
+    val victimCell = new java.io.File(s"$path/graph").listFiles
+      .filter(_.isDirectory).map(_.getName).sorted.head
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$path/graph/$victimCell"))
+    val h = IndexHealth.report(spark, path)
+    assert(h.kind == "hnsw" && h.needsCompact && h.tombstones == 0,
+      h.toString)
+    val r = IndexHealth.maintain(spark, path, tmp("graft-hnsw-dst"))
+    assert(r.action == "knitted" && r.activePath == path, r.toString)
+    assert(!r.after.needsCompact, r.after.toString)
+    assert(rows(Similarity.knnHnswIndexed(spark, path, query,
+      k = 10, nProbe = 4, ef = 12, rounds = 4)) == want,
+      "the re-knit index must probe identically to the pre-crash one")
+  }
+
+  test("takedown → rebuild lifecycle: maintain rebuilds a tombstoned graph index into a clean tree, parity with an inline build over the live set") {
+    import graft.operators.IndexHealth
+    val path = tmp("graft-hnsw-reb")
+    val dst = tmp("graft-hnsw-reb-dst")
+    Similarity.writeHnswIndex(emb, "vec_id", "embedding", path,
+      nCells = 16, m = 6)
+    val victims = rows(Similarity.knnHnswIndexed(spark, path, query,
+      k = 10, nProbe = 4, ef = 12, rounds = 4)).map(_._1).take(2)
+    Similarity.deleteFromIvfIndex(victims.toDF("id"), "id", path)
+    val h = IndexHealth.report(spark, path)
+    assert(h.kind == "hnsw" && h.needsCompact && h.tombstones == 2,
+      h.toString)
+    val r = IndexHealth.maintain(spark, path, dst)
+    assert(r.action == "rebuilt" && r.activePath == dst, r.toString)
+    assert(r.after.kind == "hnsw" && r.after.tombstones == 0 &&
+      !r.after.needsCompact, r.after.toString)
+    // the rebuilt index equals an inline build over the live corpus
+    // with the same (kmeans) centroids — and the victims are gone
+    val live = emb.where(!col("vec_id").isin(victims: _*))
+    val inline = Similarity.knnHnsw(live, "vec_id", "embedding",
+      query, k = 10, nCells = 16, nProbe = 4, m = 6, ef = 12,
+      rounds = 4, strategy = Similarity.KMeansCentroids())
+    val rebuilt = Similarity.knnHnswIndexed(spark, dst, query,
+      k = 10, nProbe = 4, ef = 12, rounds = 4)
+    assert(rows(rebuilt) == rows(inline))
+    assert(!rows(rebuilt).map(_._1).exists(victims.contains))
+  }
+
   test("recall at matched probe cost meets or beats the compressed IVF-PQ probe") {
     val queries = emb.orderBy("vec_id").limit(5)
       .select(col("vec_id").as("qid"), col("embedding"))
@@ -111,6 +204,7 @@ class HnswSpec extends SparkSpec {
       m = 8, nCodes = 16)
     val pq = avg(Similarity.pqRecall(queries, "qid", "embedding",
       emb, "vec_id", "embedding", k = 10, cb, overfetch = 2))
+    info(f"recall@10 over 5 queries: hnsw=$hnsw%.3f ivfpq=$pq%.3f")
     assert(hnsw > 0.5, s"hnsw recall degenerate: $hnsw")
     assert(hnsw >= pq - 1e-9,
       s"graph walk recall $hnsw below compressed probe $pq at matched cost")

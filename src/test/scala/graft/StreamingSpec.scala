@@ -1395,4 +1395,70 @@ class StreamingSpec extends SparkSpec {
     assert(bad.getMessage.contains("maxGenerationsPerTrigger"),
       bad.getMessage)
   }
+
+  test("a consumer-registered corpus stream survives aggressive vacuum: the follower floor holds its unread range across downtime") {
+    // round 17: `.option("consumer", name)` makes the stream a
+    // durable follower, so maintenance can run keepLast=1 retention
+    // while the stream is DOWN and the resumed stream still drains —
+    // the unregistered twin of this schedule dies on the
+    // vacuumed-offset fail-fast (pinned in the cap test above)
+    import graft.sources.CorpusStore
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    val store = tmp("graft-fol-store")
+    val ckpt = tmp("graft-fol-ckpt")
+    CorpusStore.writeCorpusCow(
+      (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      store, "doc_id", numBuckets = 8)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    def start() = spark.readStream.format("graft-corpus")
+      .option("path", store)
+      .option("consumer", "packer")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = df.select("doc_id").as[Long].collect().toSet
+        seen.synchronized { seen += ids }
+        ()
+      }
+      .start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      CorpusStore.appendDeltaToCorpusCow(
+        Seq((100L, "doc 100")).toDF("doc_id", "text"), store) // gen 1
+      q.processAllAvailable()
+    } finally q.stop()
+    // the stream acked generation 0 as its follower offset
+    assert(CorpusStore.listCorpusFollowers(spark, store)
+      .exists(_._1 == "packer"))
+    // five generations land while the stream is down, then an
+    // aggressive maintenance pass — retention floors at the follower
+    (2 to 6).foreach(v => CorpusStore.appendDeltaToCorpusCow(
+      Seq((100L + v, s"doc ${100 + v}")).toDF("doc_id", "text"), store))
+    val r = CorpusStore.vacuumCorpusSnapshots(spark, store, keepLast = 1)
+    assert(r.floor.exists(_._1 == "packer"), r.toString)
+    // the resumed stream drains the downtime backlog without the
+    // fail-fast, and the follower advances past the old floor
+    val pre = seen.size
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val got = seen.synchronized(seen.drop(pre).toVector)
+        .foldLeft(Set.empty[Long])(_ ++ _)
+      assert(got == (2 to 6).map(100L + _).toSet, got.toString)
+      // the ack trails by one trigger (getBatch acks the committed
+      // START; the commit callback fires on the next cycle) — one
+      // more generation drives the follower past the drained range
+      CorpusStore.appendDeltaToCorpusCow(
+        Seq((107L, "doc 107")).toDF("doc_id", "text"), store) // gen 7
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // with the follower advanced, the next pass reclaims to policy
+    val r2 = CorpusStore.vacuumCorpusSnapshots(spark, store, keepLast = 1)
+    assert(r2.floor.isEmpty && r2.base == r2.requestedBase, r2.toString)
+    // lifecycle completes: a decommissioned stream stops flooring
+    assert(CorpusStore.unregisterFollower(spark, store, "packer"))
+  }
 }
