@@ -39,8 +39,10 @@ import graft.sources.CorpusStore
 object Takedown {
 
   /** Which stores serve the content being taken down. Omitted stores
-    * are untouched; `ivfPaths` covers IVF, PQ and IVF-PQ indexes
-    * (shared tombstone layout).
+    * are untouched; `ivfPaths` covers IVF, PQ, IVF-PQ AND graph
+    * (hnsw) indexes — all share the cells+tombstones layout, and the
+    * graph probe additionally guarantees a tombstoned node may
+    * still route but is never returned (HnswSpec).
     */
   final case class TakedownTargets(
       corpusPath: Option[String] = None,

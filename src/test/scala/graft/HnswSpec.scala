@@ -191,6 +191,40 @@ class HnswSpec extends SparkSpec {
     assert(!rows(rebuilt).map(_._1).exists(victims.contains))
   }
 
+  test("hnsw serving loop: streamed queries equal the direct batch probe, replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("graft-hnsw-srv")
+    val out = tmp("graft-hnsw-srv-out")
+    Similarity.writeHnswIndex(emb, "vec_id", "embedding", dir,
+      nCells = 16, m = 6)
+    val qset = emb.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .as[(Long, Array[Float])].collect()
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("query_id", "qvec").writeStream
+      .foreachBatch(Similarity.hnswServeBatch(dir, "query_id", "qvec",
+        out, k = 10, nProbe = 4) _)
+      .start()
+    try {
+      mem.addData(qset(0), qset(1)); q.processAllAvailable()
+      mem.addData(qset(2), qset(3)); q.processAllAvailable()
+    } finally q.stop()
+    val served = spark.read.parquet(s"$out/results")
+      .select("query_id", "id", "cosine")
+    val direct = Similarity.knnHnswBatch(spark, dir,
+      qset.toSeq.toDF("query_id", "qvec"), "query_id", "qvec",
+      k = 10, nProbe = 4)
+    assertSameRows(served, direct)
+    // replaying a served batch id appends nothing
+    val before = spark.read.parquet(s"$out/results").count()
+    Similarity.hnswServeBatch(dir, "query_id", "qvec", out,
+      k = 10, nProbe = 4)(Seq(qset(0)).toDF("query_id", "qvec"), 0L)
+    assert(spark.read.parquet(s"$out/results").count() == before,
+      "replayed batch id must not re-serve")
+    assert(spark.read.parquet(s"$out/serve_log").count() == 2)
+  }
+
   test("recall at matched probe cost meets or beats the compressed IVF-PQ probe") {
     val queries = emb.orderBy("vec_id").limit(5)
       .select(col("vec_id").as("qid"), col("embedding"))

@@ -1461,4 +1461,61 @@ class StreamingSpec extends SparkSpec {
     // lifecycle completes: a decommissioned stream stops flooring
     assert(CorpusStore.unregisterFollower(spark, store, "packer"))
   }
+
+  test("a mid-stream schema evolution kills the corpus stream loudly — restart picks up the new shape") {
+    // round 17: the V1 Source contract fixes the schema at stream
+    // start; a store evolved underneath must fail the query with the
+    // restart instruction, never feed new-shape batches into a sink
+    // planned for the old shape
+    import graft.sources.CorpusStore
+    import org.apache.spark.sql.types._
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    val store = tmp("graft-evo-store")
+    val ckpt = tmp("graft-evo-ckpt")
+    CorpusStore.writeCorpusCow(
+      (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      store, "doc_id", numBuckets = 8)
+    def start() = CorpusStore.readCorpusStream(spark, store)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val q = start()
+    try q.processAllAvailable() finally ()
+    // evolve while the stream is live, then commit a new-shape delta
+    CorpusStore.evolveCorpusCowSchema(spark, store,
+      StructType(Seq(StructField("lang", StringType))),
+      defaults = Map("lang" -> "'und'"))
+    CorpusStore.appendDeltaToCorpusCow(
+      Seq((20L, "doc 20", "en")).toDF("doc_id", "text", "lang"), store)
+    val dead = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(dead).exists(_.contains("restart the query")),
+      msgs(dead).mkString(" | "))
+    q.stop()
+    // the restarted stream reads the evolved shape and drains the
+    // backlog (the evolve generation + the new-shape delta)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q2 = CorpusStore.readCorpusStream(spark, store)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(df.columns.toSeq == Seq("doc_id", "text", "lang"))
+        val ids = df.select("doc_id").as[Long].collect().toSet
+        got.synchronized { got += ids }
+        ()
+      }
+      .start()
+    try {
+      q2.processAllAvailable()
+      assert(got.synchronized(got.toVector).exists(_.contains(20L)),
+        got.toString)
+    } finally q2.stop()
+  }
 }
