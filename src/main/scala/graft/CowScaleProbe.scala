@@ -230,6 +230,11 @@ object CowScaleProbe {
     // the per-trigger `ingestLogContains` probe BEFORE the fold (one
     // file per logged batch, all listed+footer-read) vs AFTER
     // `compactIngestLog` (watermark pointer read + single-file scan).
+    // Round 18: the fold generalized into graft.sources.BatchLog and
+    // the ANN serving loops' `serve_log` (Similarity.compactServeLog)
+    // plus the index ingest loop's log ride the SAME module, so this
+    // curve — the probe is a pure function of the LOG's file count,
+    // not of what the rows mean — is their curve too.
     // Batch counts stand in for stream lifetime: the before-cost
     // grows with B forever, the after-cost is flat — the last
     // O(batches)-per-trigger curve in the streaming ingest path. The

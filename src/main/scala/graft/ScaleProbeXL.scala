@@ -269,6 +269,49 @@ object ScaleProbeXL {
         f"cells=${probed.size}/64")
     }
 
+    // ── graph-ANN batch probe (round 18 — r17 verdict task 1): the
+    // probe is DISTRIBUTED — per-query probed cells computed in the
+    // plan, query fan-out via a cogroup on cell — so DRIVER heap must
+    // stay flat as the query batch grows 100× (the old form collected
+    // every query vector and shipped a per-cell map in the task
+    // closure: O(|Q|·dim) driver bytes + an O(|Q|²) scan). One index
+    // build, then batches of 50 / 500 / 5000 queries; the carrying
+    // metrics are probe time ≲ linear in |Q| and the driver-heap
+    // delta NOT tracking |Q|. ──
+    if (fam("hnsw-batch")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-xl-hnsw").toString
+      val big = saltedEmb(20)
+      val tb = System.nanoTime()
+      operators.Similarity.writeHnswIndex(big, "vec_id", "embedding", dir,
+        nCells = 64, m = 6)
+      val tBuild = (System.nanoTime() - tb) / 1e9
+      def usedHeapMb(): Long = {
+        System.gc(); System.gc()
+        val r = Runtime.getRuntime
+        (r.totalMemory - r.freeMemory) / (1024 * 1024)
+      }
+      for (nq <- Seq(50, 500, 5000)) {
+        // queries derive from the corpus with shifted ids — same dim,
+        // deterministic, |Q|-scalable without touching the driver
+        val queries = emb.repartition(32)
+          .select(explode(sequence(lit(0), lit((nq + n0 - 1) / n0 - 1)))
+            .as("i"), col("vec_id"), col("embedding"))
+          .select((col("vec_id") + col("i") * lit(10000000L))
+            .as("query_id"), col("embedding"))
+          .orderBy("query_id").limit(nq).localCheckpoint()
+        val h0 = usedHeapMb()
+        val t0 = System.nanoTime()
+        val n = operators.Similarity.knnHnswBatch(spark, dir, queries,
+          "query_id", "embedding", k = 10, nProbe = 4).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val h1 = usedHeapMb()
+        println(f"[probe-xl] hnsw-batch queries=$nq%-5d rows=$n%-7d " +
+          f"build=$tBuild%.1fs probe=$sec%.1fs " +
+          f"driver_heap=${h0}MB->${h1}MB (delta ${h1 - h0}MB)")
+      }
+    }
+
     // ── persisted LSH index: probe a FIXED ingest batch against a 1×
     // vs 10× index. The incremental-dedup claim that carries to
     // 100 TB is that probe cost tracks the BATCH and its candidates

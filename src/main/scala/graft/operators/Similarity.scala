@@ -2629,10 +2629,11 @@ object Similarity {
     val spark = batch.sparkSession
     import spark.implicits._
     val logPath = s"$path/ingest_log"
-    val replayed =
-      try spark.read.parquet(logPath)
-        .where(col("batch_id") === batchId).limit(1).count() > 0
-      catch { case scala.util.control.NonFatal(_) => false } // no log yet
+    // watermark → compact → tail (round 18: the shared BatchLog probe
+    // replaces the naive whole-log scan, so a long-lived ingest stream
+    // stops paying O(batches) listing metadata per trigger once
+    // [[compactServeLog]]'s sibling fold runs on this log)
+    val replayed = graft.sources.BatchLog.contains(spark, logPath, batchId)
     if (replayed) return
     // sever the batch plan from the index paths before the append
     // mutates them (the lshIngestBatch stance; here the plan doesn't
@@ -2684,10 +2685,12 @@ object Similarity {
     val spark = batch.sparkSession
     import spark.implicits._
     val logPath = s"$outPath/serve_log"
-    val replayed =
-      try spark.read.parquet(logPath)
-        .where(col("batch_id") === batchId).limit(1).count() > 0
-      catch { case scala.util.control.NonFatal(_) => false } // no log yet
+    // watermark → compact → tail (round 18 — r17 verdict task 2: the
+    // naive whole-log scan paid O(batches) listing metadata on every
+    // trigger, growing forever; [[compactServeLog]] folds the tail on
+    // the maintenance cadence and this probe then costs one pointer
+    // read plus at most one single-file scan)
+    val replayed = graft.sources.BatchLog.contains(spark, logPath, batchId)
     if (replayed) return
     // pin the batch: the probe collects its cell set AND joins it
     // twice — without the checkpoint each action re-runs the source
@@ -2736,10 +2739,8 @@ object Similarity {
     val spark = batch.sparkSession
     import spark.implicits._
     val logPath = s"$outPath/serve_log"
-    val replayed =
-      try spark.read.parquet(logPath)
-        .where(col("batch_id") === batchId).limit(1).count() > 0
-      catch { case scala.util.control.NonFatal(_) => false } // no log yet
+    // the shared watermark → compact → tail probe (see ivfPqServeBatch)
+    val replayed = graft.sources.BatchLog.contains(spark, logPath, batchId)
     if (replayed) return
     val queries = batch.localCheckpoint()
     if (!queries.isEmpty) {
@@ -2814,9 +2815,12 @@ object Similarity {
     * graph-build cost the cell partitioning bounds.
     */
   /** The within-cell kNN-graph EDGES of an [[assignCells]] frame:
-    * (cell, src, dst) with dst among src's top-`m` same-cell
-    * neighbors by (cosine DESC, id ASC) — the pre-grouping half of
-    * [[hnswAdjacency]], used directly by the declarative walk.
+    * (cell, src, dst, rk) with dst among src's top-`m` same-cell
+    * neighbors by (cosine DESC, id ASC), rk its rank in that order —
+    * the pre-grouping half of [[hnswAdjacency]], used directly by the
+    * declarative walk. Because the ranking is the same at every m, a
+    * smaller m's edge set is exactly `rk <= m` of a larger build —
+    * what lets [[hnswTuningEval]] sweep m from ONE self-join.
     */
   private def hnswEdges(indexed: DataFrame, m: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -2830,7 +2834,8 @@ object Similarity {
       .withColumn("_g_cos", VectorOps.cosine(col("vec"), col("_g_nvec")))
       .withColumn("_g_rn", row_number().over(w))
       .where(col("_g_rn") <= m)
-      .select(col("cell"), col("id").as("src"), col("_g_nid").as("dst"))
+      .select(col("cell"), col("id").as("src"), col("_g_nid").as("dst"),
+        col("_g_rn").as("rk"))
   }
 
   private def hnswAdjacency(indexed: DataFrame, m: Int): DataFrame =
@@ -2839,17 +2844,27 @@ object Similarity {
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
 
   /** The deterministic beam walk of ONE cell's graph (runs inside a
-    * partition): entry = min id, `rounds` expansions, beam capped at
-    * `ef`. Returns the final beam with exact cosines.
+    * partition): entry = the cell's minimum LIVE id, `rounds`
+    * expansions, beam capped at `ef`. Tombstoned nodes (`dead`) keep
+    * ROUTING — they stay walkable wherever adjacency still references
+    * them, the standard graph-index delete semantics — but are never
+    * EMITTED, and crucially never seed the walk: a tombstoned min-id
+    * node re-knit out of the adjacency ([[knitHnswCells]] builds from
+    * live nodes only) would otherwise trap the beam at a dead,
+    * edge-less entry and hide every live node in the cell until a
+    * full rebuild (round 18 — r17 ADVICE). Returns the final live
+    * beam with exact cosines; a fully-tombstoned cell returns empty.
     */
   private def walkCell(qd: Array[Double], ids: Array[Long],
       vecs: Array[Array[Double]], nbrs: Map[Long, Array[Long]],
-      ef: Int, rounds: Int): Seq[(Long, Double)] = {
+      dead: Long => Boolean, ef: Int, rounds: Int): Seq[(Long, Double)] = {
     val idx = ids.zipWithIndex.toMap
     val cos = scala.collection.mutable.HashMap.empty[Long, Double]
     def scoreOf(id: Long): Double =
       cos.getOrElseUpdate(id, cosExact(vecs(idx(id)), qd))
-    var beam = Vector(ids.min)
+    val live = ids.filterNot(dead)
+    if (live.isEmpty) return Nil
+    var beam = Vector(live.min)
     var r = 0
     while (r < rounds) {
       val cand = (beam ++ beam.flatMap(id =>
@@ -2857,12 +2872,37 @@ object Similarity {
       beam = cand.sortBy(id => (-scoreOf(id), id)).take(ef)
       r += 1
     }
-    beam.map(id => (id, scoreOf(id)))
+    beam.filterNot(dead).map(id => (id, scoreOf(id)))
   }
 
-  /** Shared walk stage: (cell, id, vec, nbrs) rows → the union of
-    * every cell's final beam, as an (id, cosine) frame. groupByKey by
-    * cell keeps each walk's state bounded by one cell.
+  /** (cell, id, vec, nbrs, dead) rows of a persisted graph index's
+    * probed cells, liveness joined in — the shared input of every
+    * walk stage, so seeding and masking see the same tombstone set.
+    */
+  private def hnswCellRows(spark: org.apache.spark.sql.SparkSession,
+      path: String, cells: Seq[Int]): DataFrame = {
+    val nodes = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(cells: _*))
+      .select(col("cell"), col("id"),
+        col("vec").cast("array<double>").as("vec"))
+      .join(spark.read.parquet(s"$path/graph")
+        .where(col("cell").isin(cells: _*))
+        .select(col("cell"), col("id"), col("nbrs")),
+        Seq("cell", "id"), "left")
+    // broadcast stance of cellsMinusTombstones: takedowns are
+    // human-scale; a corpus-scale delete is a rebuild
+    ivfTombstones(spark, path) match {
+      case Some(t) => nodes
+        .join(broadcast(t.withColumn("_dead", lit(true))), Seq("id"), "left")
+        .select(col("cell"), col("id"), col("vec"), col("nbrs"),
+          coalesce(col("_dead"), lit(false)).as("_dead"))
+      case None => nodes.withColumn("_dead", lit(false))
+    }
+  }
+
+  /** Shared walk stage: (cell, id, vec, nbrs, dead) rows → the union
+    * of every cell's final live beam, as an (id, cosine) frame.
+    * groupByKey by cell keeps each walk's state bounded by one cell.
     */
   private def walkCells(cellRows: DataFrame,
       qd: Array[Double], ef: Int, rounds: Int): DataFrame = {
@@ -2870,17 +2910,19 @@ object Similarity {
     import spark.implicits._
     cellRows
       .select(col("cell"), col("id"),
-        col("vec").cast("array<double>").as("vec"), col("nbrs"))
-      .as[(Int, Long, Seq[Double], Option[Seq[Long]])]
+        col("vec").cast("array<double>").as("vec"), col("nbrs"),
+        col("_dead"))
+      .as[(Int, Long, Seq[Double], Option[Seq[Long]], Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
         val ids = rows.map(_._2)
         val vecs = rows.map(_._3.toArray)
         val adj = rows.collect {
-          case (_, id, _, Some(ns)) => id -> ns.toArray
+          case (_, id, _, Some(ns), _) => id -> ns.toArray
         }.toMap
-        walkCell(qd, ids, vecs, adj, ef, rounds).iterator
+        val dead = rows.collect { case (_, id, _, _, true) => id }.toSet
+        walkCell(qd, ids, vecs, adj, dead, ef, rounds).iterator
       }
       .toDF("id", "cosine")
   }
@@ -2977,7 +3019,9 @@ object Similarity {
     * `tombstones` layout) are honored the graph way: a deleted node
     * may still ROUTE (its edges exist until the next rebuild — the
     * standard graph-index delete semantics) but can never be
-    * RETURNED; the anti-join masks it from the final beam merge.
+    * RETURNED, and never seeds a walk (see [[walkCell]]); the
+    * liveness flag rides the walk input itself so both rules see one
+    * tombstone set.
     */
   def knnHnswIndexed(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -2991,16 +3035,8 @@ object Similarity {
       }
       .sortBy { case (score, cell) => (-score, cell) }
       .take(nProbe).map(_._2)
-    val cells = spark.read.parquet(s"$path/cells")
-      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
-    val graph = spark.read.parquet(s"$path/graph")
-      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
-      .select(col("cell"), col("id"), col("nbrs"))
-    val walked = walkCells(
-      cells.select(col("cell"), col("id"), col("vec"))
-        .join(graph, Seq("cell", "id"), "left"),
-      qd, ef, rounds)
-    cellsMinusTombstones(walked, ivfTombstones(spark, path))
+    walkCells(hnswCellRows(spark, path, probeCells.toIndexedSeq),
+        qd, ef, rounds)
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
   }
@@ -3008,9 +3044,23 @@ object Similarity {
   /** Batch form over a persisted graph index: each query walks the
     * graphs of its OWN probed cells; one pruned read serves the whole
     * batch (cells union over the batch's probes), and the final
-    * top-k per query runs through the bounded-heap aggregate. The
-    * query batch collects to the driver — same bounded-batch contract
-    * as the broadcast query side of [[knnBruteBatch]].
+    * top-k per query runs through the bounded-heap aggregate.
+    *
+    * FULLY DISTRIBUTED (round 18 — r17 verdict task 1; the previous
+    * form collected every query vector to the driver and shipped a
+    * per-cell map in the task closure, O(|Q|·dim) driver heap):
+    * per-query probed cells are computed IN the plan by the same
+    * centroid-literal array expression [[knnIvfBatch]] uses, and the
+    * query fan-out reaches each cell's walk through a typed COGROUP
+    * on `cell` — node rows on one side, (qid, qvec) probes on the
+    * other — so the only driver-side state is the centroid list
+    * (bounded by nCells) and the probed-cell union that prunes the
+    * two parquet scans (≤ nCells values). Driver memory is FLAT in
+    * the batch size; a 100×-larger query batch only widens the probe
+    * shuffle, never the driver. Per-cell walk state stays bounded by
+    * one cell plus the queries probing it (a hot cell serializes its
+    * queries in one task — the per-cell serving economics this family
+    * documents).
     */
   def knnHnswBatch(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -3020,56 +3070,49 @@ object Similarity {
     requireIntegralId(queries, qIdCol)
     import spark.implicits._
     val cents = readCentroids(spark, path)
-    val qs: Array[(Long, Array[Double])] = queries
+    // (-score, cell) structs sort ascending = score desc, ties → lower
+    // cell — the knnIvfBatch probe shape, identical ranking to the
+    // single-probe driver-side math
+    val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
+             lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val probes = queries
       .select(col(qIdCol).cast("long").as("qid"),
         col(qVecCol).cast("array<double>").as("qv"))
-      .as[(Long, Seq[Double])].collect()
-      .map { case (qid, qv) => (qid, qv.toArray) }
-    val probesOf: Map[Long, Seq[Int]] = qs.map { case (qid, qd) =>
-      qid -> cents.zipWithIndex
-        .map { case (cv, cell) =>
-          (cv.zip(qd).map { case (a, b) => a * b }.sum, cell)
-        }
-        .sortBy { case (score, cell) => (-score, cell) }
-        .take(nProbe).map(_._2).toSeq
-    }.toMap
-    val allCells = probesOf.values.flatten.toSeq.distinct
-    // (cell → the queries probing it) rides the closure — bounded by
-    // |queries| · nProbe pairs, the batch contract
-    val byCell: Map[Int, Seq[(Long, Array[Double])]] = probesOf.toSeq
-      .flatMap { case (qid, cells) => cells.map(c => c -> qid) }
-      .groupBy(_._1)
-      .map { case (c, xs) =>
-        c -> xs.map(_._2).sorted.map(qid =>
-          qid -> qs.find(_._1 == qid).get._2)
-      }
-    val cellRows = spark.read.parquet(s"$path/cells")
-      .where(col("cell").isin(allCells: _*))
-      .select(col("cell"), col("id"), col("vec"))
-      .join(spark.read.parquet(s"$path/graph")
-        .where(col("cell").isin(allCells: _*))
-        .select(col("cell"), col("id"), col("nbrs")),
-        Seq("cell", "id"), "left")
-    val walked = cellRows
+      .select(col("qid"), col("qv"),
+        explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
+          s => s.getField("cell"))).as("cell"))
+      .localCheckpoint() // two consumers: the cell-union collect + the walk
+    // bounded collect: ≤ nCells distinct values prune BOTH index trees
+    val allCells = probes.select("cell").distinct()
+      .as[Int].collect().toIndexedSeq
+    val walked = hnswCellRows(spark, path, allCells)
       .select(col("cell"), col("id"),
-        col("vec").cast("array<double>").as("vec"), col("nbrs"))
-      .as[(Int, Long, Seq[Double], Option[Seq[Long]])]
+        col("vec").cast("array<double>").as("vec"), col("nbrs"),
+        col("_dead"))
+      .as[(Int, Long, Seq[Double], Option[Seq[Long]], Boolean)]
       .groupByKey(_._1)
-      .flatMapGroups { (cell, it) =>
-        val rows = it.toArray
-        val ids = rows.map(_._2)
-        val vecs = rows.map(_._3.toArray)
-        val adj = rows.collect {
-          case (_, id, _, Some(ns)) => id -> ns.toArray
-        }.toMap
-        byCell.getOrElse(cell, Nil).iterator.flatMap {
-          case (qid, qd) =>
-            walkCell(qd, ids, vecs, adj, ef, rounds)
-              .map { case (id, c) => (qid, id, c) }
-        }
+      .cogroup(probes.select(col("cell"), col("qid"), col("qv"))
+        .as[(Int, Long, Seq[Double])].groupByKey(_._1)) {
+        (_, nodeIt, qIt) =>
+          val rows = nodeIt.toArray
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val ids = rows.map(_._2)
+            val vecs = rows.map(_._3.toArray)
+            val adj = rows.collect {
+              case (_, id, _, Some(ns), _) => id -> ns.toArray
+            }.toMap
+            val dead = rows.collect { case (_, id, _, _, true) => id }.toSet
+            qIt.flatMap { case (_, qid, qv) =>
+              walkCell(qv.toArray, ids, vecs, adj, dead, ef, rounds)
+                .map { case (id, c) => (qid, id, c) }
+            }
+          }
       }
       .toDF("query_id", "id", "cosine")
-    cellsMinusTombstones(walked, ivfTombstones(spark, path))
+    walked
       .groupBy(col("query_id"))
       .agg(graft.functions.TopK.topk(col("cosine"), col("id"), k).as("top"))
       .select(col("query_id"), explode(col("top")).as("e"))
@@ -3233,4 +3276,160 @@ object Similarity {
       vecCol, k)
     recallReport(queries, qIdCol, approx, exact, k)
   }
+
+  /** Recall@k of a PERSISTED graph index's batch probe against the
+    * exact brute top-k over the caller's full-precision vectors —
+    * [[ivfPqRecallIndexed]]'s report for the graph family, and the
+    * eval that measures ENTRY DRIFT after appends (round 18 — r17
+    * verdict task 7): [[appendToHnswIndex]] can displace a cell's
+    * walk entry when a new node takes the cell's minimum id, so
+    * recall after a batch of appends is measured here, not assumed
+    * from the fixture parity spec.
+    */
+  def hnswRecallIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4, ef: Int = 12, rounds: Int = 4): DataFrame = {
+    val approx = knnHnswBatch(spark, path, queries, qIdCol, qVecCol,
+      k, nProbe, ef, rounds)
+    val exact = knnBruteBatch(queries, qIdCol, qVecCol, corpus, idCol,
+      vecCol, k)
+    recallReport(queries, qIdCol, approx, exact, k)
+  }
+
+  /** Recall/probe-cost curve of the graph walk over (m, ef, rounds)
+    * configurations, from ONE build (round 18 — r17 verdict task 3:
+    * d17's treatment for the graph family; before this, sizing the
+    * three walk knobs was guesswork spot-checked by [[hnswRecall]]).
+    *
+    * One centroid pass, one cell assignment, ONE within-cell
+    * self-join at max(m) — the ranked edge list's `rk <= m` prefix IS
+    * the smaller build (the neighbor ranking is m-independent), so
+    * the sweep pays the quadratic build cost once. Each (config,
+    * query, probed cell) walk then runs in-partition and reports its
+    * final beam plus the number of distinct nodes it SCORED — the
+    * walk's true per-query read cost, the axis recall trades against.
+    *
+    * Output: one row per config — (m, ef, rounds, n_queries,
+    * avg_recall, avg_visited) with avg_recall = Σ hits / (k·|Q|) and
+    * avg_visited = Σ scored / |Q| (integer sums, one division each —
+    * bit-stable cross-engine). The eval runs on a SAMPLE of queries
+    * (collected, bounded — the recall-eval stance); everything is
+    * deterministic, so the whole curve replays in SQL (the s23
+    * oracle).
+    */
+  def hnswTuningEval(
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      configs: Seq[(Int, Int, Int)] = Seq((2, 10, 2), (4, 12, 3), (6, 12, 4)),
+      strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(configs.nonEmpty, "hnswTuningEval: no configs to sweep")
+    configs.foreach { case (m, ef, rounds) =>
+      require(m >= 1 && rounds >= 1 && ef >= k,
+        s"hnswTuningEval: config (m=$m, ef=$ef, rounds=$rounds) invalid " +
+          s"— need m >= 1, rounds >= 1, ef >= k ($k)")
+    }
+    // fully DECLARATIVE — joins, windows, unions, aggregates only
+    // (the knnHnsw inline stance): the whole sweep SqlGen-prints
+    // (zero-carve-outs roundtrip) and replays as the s23 oracle's CTE
+    // chains. No collect but the centroid literals, no typed stages.
+    val mMax = configs.map(_._1).max
+    val cents = centroidVectors(corpus, idCol, vecCol, nCells, strategy)
+    val indexed = assignCells(corpus, idCol, vecCol, cents)
+    val qdf = queries.select(col(qIdCol).cast("long").as("query_id"),
+      col(qVecCol).cast("array<double>").as("qv"))
+    // per-query probed cells IN the plan (the knnIvfBatch shape)
+    val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
+             lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    val probes = qdf.select(col("query_id"),
+      explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
+        s => s.getField("cell"))).as("cell"))
+    val nodes = indexed
+      .join(probes.select("cell").distinct(), Seq("cell"), "left_semi")
+    // edges ranked to max(m) from ONE self-join; config c walks the
+    // rk <= m_c prefix
+    val edges = hnswEdges(nodes, mMax).select(
+      col("cell").as("_e_cell"), col("src").as("_e_src"),
+      col("dst"), col("rk"))
+    // entry per (query, probed cell): the cell's min id
+    val beam0 = nodes.groupBy("cell").agg(min("id").as("id"))
+      .join(probes, Seq("cell"))
+      .select(col("query_id"), col("cell"), col("id"))
+    val exact = knnBruteBatch(queries, qIdCol, qVecCol, corpus, idCol,
+      vecCol, k).select(col("query_id"), col("id"))
+    val nQexpr = qdf.agg(count(lit(1)).as("_t_nq"))
+    val perConfig = configs.map { case (m, ef, rounds) =>
+      val wBeam = Window.partitionBy("query_id", "cell")
+        .orderBy(col("_w_cos").desc, col("id").asc)
+      var beam = beam0
+      var cands: Seq[DataFrame] = Nil
+      (1 to rounds).foreach { _ =>
+        val cand = beam
+          .unionByName(beam.join(edges,
+              col("cell") === col("_e_cell") &&
+                col("id") === col("_e_src") && col("rk") <= m)
+            .select(col("query_id"), col("cell"), col("dst").as("id")))
+          .distinct()
+        cands = cands :+ cand
+        beam = cand.join(indexed.select(col("cell"), col("id"), col("vec")),
+            Seq("cell", "id"))
+          .join(qdf, Seq("query_id"))
+          .withColumn("_w_cos", VectorOps.cosine(col("vec"), col("qv")))
+          .withColumn("_w_rk", row_number().over(wBeam))
+          .where(col("_w_rk") <= ef)
+          .select(col("query_id"), col("cell"), col("id"))
+      }
+      val wTop = Window.partitionBy("query_id")
+        .orderBy(col("_w_cos").desc, col("id").asc)
+      val approx = beam
+        .join(indexed.select(col("cell"), col("id"), col("vec")),
+          Seq("cell", "id"))
+        .join(qdf, Seq("query_id"))
+        .withColumn("_w_cos", VectorOps.cosine(col("vec"), col("qv")))
+        .withColumn("_t_rk", row_number().over(wTop))
+        .where(col("_t_rk") <= k)
+        .select(col("query_id"), col("id"))
+      // the walk's true read cost: distinct nodes SCORED = the union
+      // of its candidate sets, per query, summed over the sample
+      val vis = cands.map(_.select(col("query_id"), col("id")))
+        .reduce(_ unionByName _).distinct()
+        .groupBy("query_id").agg(count(lit(1)).as("_t_nv"))
+        .agg(sum(col("_t_nv")).as("_t_vis"))
+      val hits = approx.join(exact, Seq("query_id", "id"))
+        .agg(count(lit(1)).as("_t_hits"))
+      hits.crossJoin(vis).crossJoin(nQexpr)
+        .select(lit(m).as("m"), lit(ef).as("ef"), lit(rounds).as("rounds"),
+          col("_t_nq").cast("int").as("n_queries"),
+          (coalesce(col("_t_hits"), lit(0L)).cast("double") /
+            (lit(k) * col("_t_nq")).cast("double")).as("avg_recall"),
+          (coalesce(col("_t_vis"), lit(0L)).cast("double") /
+            col("_t_nq").cast("double")).as("avg_visited"))
+    }
+    perConfig.reduce(_ unionByName _)
+  }
+
+  /** Fold a serving loop's `serve_log` ([[ivfPqServeBatch]] /
+    * [[hnswServeBatch]]) into one file + watermark — the maintenance
+    * action that keeps a long-lived serving stream's replay probe a
+    * pointer read (round 18 — r17 verdict task 2; the
+    * [[graft.sources.CorpusStore.compactIngestLog]] idiom via the
+    * shared [[graft.sources.BatchLog]]). Content-neutral and
+    * crash-convergent; run it on the index-maintenance cadence.
+    * Returns the number of tail files folded.
+    */
+  def compactServeLog(spark: org.apache.spark.sql.SparkSession,
+      outPath: String): Int =
+    graft.sources.BatchLog.compact(spark, s"$outPath/serve_log")
+
+  /** The ingest-loop twin of [[compactServeLog]]: fold an index's
+    * `ingest_log` ([[ivfPqIngestBatch]]) tail.
+    */
+  def compactIngestReplayLog(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    graft.sources.BatchLog.compact(spark, s"$path/ingest_log")
 }

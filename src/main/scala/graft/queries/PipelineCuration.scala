@@ -355,6 +355,107 @@ private[queries] object PipelineCuration {
       Some(c10OracleSql)),
 
 
+    // THE CAPSTONE THROUGH THE CORPUS STORE (round 18 — r17 verdict
+    // task 4 / missing item 3): c10's five stages, but the corpus
+    // REACHES the pipeline the way a living 100 TB corpus would —
+    // through the COW store and its streaming source — instead of a
+    // raw parquet scan. The chain this puts under the hard
+    // correctness signal: a founding COW write + three exactly-once
+    // ingest-loop batches (the replay guard, delta generations), then
+    // a graft-corpus STREAM drains the store as a REGISTERED FOLLOWER
+    // under a CAPPED catch-up (one generation per trigger — bootstrap
+    // snapshot + three delta batches, each ack'd for the
+    // follower-aware vacuum), and the drained materialization feeds
+    // curate → decontaminate → mix → pack. The oracle is c10's,
+    // reading the raw documents parquet: the store, the ingest loop
+    // and the stream must be VALUE-INVISIBLE — any lost, duplicated
+    // or reshaped row anywhere in the chain breaks the hash.
+    Q("c11_store_capstone",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.sources.CorpusStore
+        val docs = Tables.load(s, dir, "documents")
+        val tmpRoot = java.nio.file.Files
+          .createTempDirectory("graft-c11").toString
+        val store = s"$tmpRoot/store"
+        // founding quarter, then three ingest-loop batches (id-keyed
+        // quarters — id-unique per batch, the ingest contract)
+        CorpusStore.writeCorpusCow(
+          docs.where(pmod(col("doc_id"), lit(4)) === 0), store,
+          "doc_id", numBuckets = 8)
+        (1 to 3).foreach { i =>
+          CorpusStore.cowIngestBatch(store)(
+            docs.where(pmod(col("doc_id"), lit(4)) === i), i.toLong)
+        }
+        // drain THROUGH the streaming source: registered follower,
+        // capped catch-up, Spark-checkpointed offsets
+        val staged = s"$tmpRoot/staged"
+        val q = s.readStream.format("graft-corpus")
+          .option("path", store)
+          .option("maxGenerationsPerTrigger", "1")
+          .option("consumer", "c11")
+          .load()
+          .writeStream
+          .option("checkpointLocation", s"$tmpRoot/ckpt")
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("append").parquet(staged); ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        // the follower materialization: at-least-once re-emissions
+        // (byte-identical under the append-only ingest) collapse per
+        // id — the idempotent-consumer contract the change feed
+        // documents. A row_number survivor window, not dropDuplicates:
+        // same keyed exchange, and the plan stays SqlGen-printable
+        // (the zero-carve-outs roundtrip contract). The staged dir is
+        // an anonymous parquet tree, so register its name for SqlGen
+        // + the matching temp view (the documented custom-relation
+        // hook; unique per run — temp dirs never collide)
+        val raw = s.read.parquet(staged)
+        graft.sqlgen.SqlGen.register("c11_staged", raw)
+        raw.createOrReplaceTempView("c11_staged")
+        val corpus = raw
+          .withColumn("_c_rn", row_number().over(
+            Window.partitionBy("doc_id").orderBy("doc_id")))
+          .where(col("_c_rn") === 1)
+          .select(raw.columns.map(col).toIndexedSeq: _*)
+        // c10's five stages over the DRAINED corpus (same plan, same
+        // oracle — the store chain must be value-invisible)
+        val curated = Dedup.batchScope.persistTracked(corpus
+          .where(TextAnalysis.qualityScore(col("text")) >= 0.75 &&
+            TextAnalysis.dupWordFrac(col("text")) <= 0.7)
+          .withColumn("_c_surv",
+            min("doc_id").over(Window.partitionBy(xxhash64(col("text")))))
+          .where(col("doc_id") === col("_c_surv"))
+          .select("doc_id", "source", "text"))
+        val train = curated.where(col("doc_id") % 10 =!= 0)
+        val evalSplit = corpus.where(col("doc_id") % 10 === 0)
+          .select("doc_id", "text")
+        val contaminated = Dedup.decontaminate(train, evalSplit,
+            "doc_id", "text", shingleK = 3, numHashes = 128, bands = 16,
+            threshold = 0.5, maxBucketSize = 8)
+          .select(col("id_left").as("doc_id")).distinct()
+        val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+        val rates = clean.groupBy("source")
+          .agg(sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+            .as("_c_nt"))
+          .withColumn("_c_rate", r6(least(lit(1.0),
+            lit(100000.0) / count(lit(1)).over(Window.partitionBy()) /
+              col("_c_nt"))))
+          .select("source", "_c_rate")
+        val sampled = clean.join(broadcast(rates), Seq("source"))
+          .where(((pmod(col("doc_id"), lit(2147483647L)) *
+              lit(2654435761L)) % lit(1000003L))
+            .cast("double") / lit(1000003.0) < col("_c_rate"))
+        Packing.packSequences(sampled, "doc_id",
+            TextAnalysis.bpePieceCount(col("text")),
+            seqLen = 2048, numShards = 8)
+          .orderBy("shard", "chunk_id")
+      },
+      Some(c10OracleSql)),
+
+
     // curation funnel: per-source drop accounting for c01's stages,
     // mutually exclusive in stage order (quality → repetition →
     // dedup → kept) — the report a curation run hands its owner.

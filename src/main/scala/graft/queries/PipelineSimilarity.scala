@@ -1220,6 +1220,36 @@ private[queries] object PipelineSimilarity {
           .orderBy(col("cosine").desc, col("id"))
       },
       Some(s22OracleSql)),
+
+
+    // graph-ANN tuning eval (round 18 — r17 verdict task 3): d17's
+    // recall/cost-curve treatment for the s22 family. ONE build (cell
+    // assignment + the within-cell kNN edges ranked to max(m) — a
+    // smaller m's graph is the rk<=m prefix, by construction of the
+    // shared neighbor ranking) swept over three (m, ef, rounds)
+    // budgets; per config, recall@10 of the walk against the brute
+    // truth and the walk's true read cost (distinct nodes SCORED =
+    // the union of its candidate sets). Sums-then-one-division keeps
+    // the doubles bit-stable cross-engine; the oracle replays every
+    // config's full beam chain as unrolled CTE pairs (the s22
+    // stance), plus the visited-count union and the recall join.
+    // The curve is what sizes the default knobs: on this corpus
+    // (m=6, ef=12, rounds=4) buys its recall with ~2-3x the reads of
+    // the cheapest config — the data behind s22's defaults.
+    Q("s23_hnsw_tuning_eval",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val queries = emb.orderBy("vec_id").limit(3)
+          .select(col("vec_id").as("qid"), col("embedding"))
+        Similarity.hnswTuningEval(queries, "qid", "embedding",
+            emb, "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4,
+            configs = Seq((2, 10, 2), (4, 12, 3), (6, 12, 4)))
+          .select(col("m"), col("ef"), col("rounds"), col("n_queries"),
+            r6(col("avg_recall")).as("avg_recall"),
+            r6(col("avg_visited")).as("avg_visited"))
+          .orderBy("m", "ef", "rounds")
+      },
+      Some(s23OracleSql)),
   )
 
   /** The s22 oracle: the deterministic NSW chain in DuckDB, beam
@@ -1279,5 +1309,121 @@ private[queries] object PipelineSimilarity {
        |  FROM beam$rounds b
        |  JOIN node n ON n.cell = b.cell AND n.id = b.id, q)
        |ORDER BY cos DESC, id LIMIT 10""".stripMargin
+  }
+
+  /** The s23 oracle: the tuning sweep's every config replayed as its
+    * own unrolled beam chain over ONE shared node/edge build (edges
+    * ranked to max(m); a config filters `rk <= m`), plus the
+    * visited-count union and the recall join against the brute
+    * truth. Multi-query: every beam/cand CTE carries query_id and
+    * the per-cell windows partition by (query_id, cell).
+    */
+  private def s23OracleSql: String = {
+    val k = 10
+    val nQ = 3
+    val configs = Seq((2, 10, 2), (4, 12, 3), (6, 12, 4))
+    val mMax = configs.map(_._1).max
+    val perConfig = configs.zipWithIndex.map { case ((m, ef, rounds), ci) =>
+      val chain = (1 to rounds).map { r =>
+        s"""c${ci}_$r AS (
+           |  SELECT DISTINCT query_id, cell, id FROM (
+           |    SELECT query_id, cell, id FROM ${if (r == 1) "beam0"
+              else s"b${ci}_${r - 1}"}
+           |    UNION ALL
+           |    SELECT b.query_id, g.cell, g.dst AS id
+           |    FROM ${if (r == 1) "beam0" else s"b${ci}_${r - 1}"} b
+           |    JOIN edge g ON g.cell = b.cell AND g.src = b.id
+           |      AND g.rk <= $m)
+           |), b${ci}_$r AS (
+           |  SELECT query_id, cell, id FROM (
+           |    SELECT c.query_id, c.cell, c.id, ROW_NUMBER() OVER (
+           |      PARTITION BY c.query_id, c.cell
+           |      ORDER BY ${cosineSql("n.v", "qq.qv")} DESC, c.id ASC)
+           |      AS rk
+           |    FROM c${ci}_$r c
+           |    JOIN node n ON n.cell = c.cell AND n.id = c.id
+           |    JOIN q qq ON qq.query_id = c.query_id)
+           |  WHERE rk <= $ef
+           |)""".stripMargin
+      }.mkString(", ")
+      val candUnion = (1 to rounds)
+        .map(r => s"SELECT query_id, id FROM c${ci}_$r")
+        .mkString("\n    UNION ALL\n    ")
+      s"""$chain, appx$ci AS (
+         |  SELECT query_id, id FROM (
+         |    SELECT bb.query_id, bb.id, ROW_NUMBER() OVER (
+         |      PARTITION BY bb.query_id
+         |      ORDER BY ${cosineSql("n.v", "qq.qv")} DESC, bb.id ASC)
+         |      AS rk
+         |    FROM b${ci}_$rounds bb
+         |    JOIN node n ON n.cell = bb.cell AND n.id = bb.id
+         |    JOIN q qq ON qq.query_id = bb.query_id)
+         |  WHERE rk <= $k
+         |), vis$ci AS (
+         |  SELECT SUM(nv) AS sv FROM (
+         |    SELECT query_id, COUNT(DISTINCT id) AS nv FROM (
+         |    $candUnion
+         |    ) GROUP BY query_id)
+         |), hit$ci AS (
+         |  SELECT COUNT(*) AS nh FROM appx$ci a
+         |  JOIN exact x ON a.query_id = x.query_id AND a.id = x.id
+         |)""".stripMargin
+    }
+    val rows = configs.zipWithIndex.map { case ((m, ef, rounds), ci) =>
+      s"""SELECT CAST($m AS INT) AS m, CAST($ef AS INT) AS ef,
+         |  CAST($rounds AS INT) AS rounds, CAST($nQ AS INT) AS n_queries,
+         |  ${r6sql(s"nh / ${k * nQ}.0")} AS avg_recall,
+         |  ${r6sql(s"sv / $nQ.0")} AS avg_visited
+         |FROM hit$ci, vis$ci""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH cent AS (
+       |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell,
+       |         CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+       |), q AS (
+       |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings ORDER BY vec_id LIMIT $nQ
+       |), e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), assigned AS (
+       |  SELECT vec_id, v, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) DESC, cell ASC) AS rn
+       |  FROM e CROSS JOIN cent
+       |), probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT query_id, cell, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id
+       |      ORDER BY list_dot_product(cv, qv) DESC, cell ASC) AS pk
+       |    FROM cent CROSS JOIN q)
+       |  WHERE pk <= 4
+       |), node AS (
+       |  SELECT vec_id AS id, v, cell FROM assigned
+       |  WHERE rn = 1 AND cell IN (SELECT DISTINCT cell FROM probe)
+       |), edge AS (
+       |  SELECT cell, src, dst, rk FROM (
+       |    SELECT a.cell AS cell, a.id AS src, b.id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY a.id
+       |        ORDER BY ${cosineSql("a.v", "b.v")} DESC, b.id ASC) AS rk
+       |    FROM node a JOIN node b ON a.cell = b.cell AND a.id <> b.id)
+       |  WHERE rk <= $mMax
+       |), bscored AS (
+       |  SELECT q.query_id, e.vec_id AS id,
+       |    ${cosineSql("e.v", "q.qv")} AS cos
+       |  FROM e CROSS JOIN q
+       |), exact AS (
+       |  SELECT query_id, id FROM (
+       |    SELECT query_id, id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, id ASC) AS rk
+       |    FROM bscored)
+       |  WHERE rk <= $k
+       |), beam0 AS (
+       |  SELECT p.query_id, n.cell, MIN(n.id) AS id
+       |  FROM node n JOIN probe p ON n.cell = p.cell
+       |  GROUP BY 1, 2
+       |), ${perConfig.mkString(", ")}
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY m, ef, rounds""".stripMargin
   }
 }

@@ -175,7 +175,7 @@ object CorpusStore {
     * fast rather than publish a manifest over the other writer's
     * data.
     */
-  private def stampWriterToken(spark: SparkSession,
+  private[sources] def stampWriterToken(spark: SparkSession,
                                dir: String): (String, String) = {
     val f = fs(spark, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/_WRITER")
@@ -186,7 +186,7 @@ object CorpusStore {
     (dir, token)
   }
 
-  private def verifyWriterTokens(spark: SparkSession,
+  private[sources] def verifyWriterTokens(spark: SparkSession,
                                  stamps: Seq[(String, String)]): Unit =
     stamps.foreach { case (dir, token) =>
       val f = fs(spark, dir)
@@ -501,7 +501,7 @@ object CorpusStore {
     * shapes already agree, so never-evolved reads keep their exact
     * pre-evolution plan.
     */
-  private def conformTo(df: DataFrame,
+  private[sources] def conformTo(df: DataFrame,
       target: org.apache.spark.sql.types.StructType): DataFrame = {
     val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val want = target.fields.map(f => f.name -> f.dataType).toMap
@@ -1307,51 +1307,28 @@ object CorpusStore {
     *     cadence, never by the stream's lifetime).
     */
   private[graft] def ingestLogContains(spark: SparkSession,
-      logPath: String, batchId: Long): Boolean = {
-    if (ingestLogWatermark(spark, logPath).exists(batchId <= _)) return true
-    val compact = compactLogFile(spark, logPath)
-    val sources =
-      (if (exists(spark, compact)) Seq(compact) else Nil) ++
-        (if (ingestLogTailFiles(spark, logPath).nonEmpty) Seq(logPath)
-         else Nil)
-    sources.nonEmpty &&
-      spark.read.parquet(sources: _*)
-        .where(col("batch_id") === batchId).limit(1).count() > 0
-  }
+      logPath: String, batchId: Long): Boolean =
+    BatchLog.contains(spark, logPath, batchId)
 
-  /** The committed compact-log parquet file for `logPath`, whether or
-    * not it exists yet: `<logPath>_compact/gen=<k>/LOG.parquet` with
-    * the generation resolved from the sibling [[GenPointer]] — the
-    * store's one commit primitive, so the fold swaps atomically.
+  /** The committed compact-log parquet file for `logPath` — resolved
+    * by the shared [[BatchLog]] module since round 18 (the fold's
+    * machinery generalized out of this object so the serving loops'
+    * `serve_log` shares it; r17 verdict task 2).
     */
-  private def compactLogFile(spark: SparkSession, logPath: String): String = {
-    val root = s"${logPath}_compact"
-    if (!GenPointer.exists(spark, root)) s"$root/gen=-1/LOG.parquet"
-    else s"$root/gen=${GenPointer.read(spark, root)._1}/LOG.parquet"
-  }
 
   /** The max-contiguous-from-0 batch id as of the last compaction, if
     * one was recorded — a raw pointer read ([[GenPointer]] format).
     */
   private[graft] def ingestLogWatermark(spark: SparkSession,
-      logPath: String): Option[Long] = {
-    val wm = s"${logPath}_compact/watermark"
-    if (GenPointer.exists(spark, wm)) Some(GenPointer.read(spark, wm)._1.toLong)
-    else None
-  }
+      logPath: String): Option[Long] =
+    BatchLog.watermark(spark, logPath)
 
   /** The tail's physical parquet files (what grows one file per
     * logged batch between compactions) — filesystem listing only.
     */
   private[graft] def ingestLogTailFiles(spark: SparkSession,
-      logPath: String): Seq[String] = {
-    val f = fs(spark, logPath)
-    val p = new org.apache.hadoop.fs.Path(logPath)
-    if (!f.exists(p)) Nil
-    else f.listStatus(p).filter(_.isFile).map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_")
-        && !n.startsWith(".")).toSeq
-  }
+      logPath: String): Seq[String] =
+    BatchLog.tailFiles(spark, logPath)
 
   /** Fold the whole logged history — previous compact file plus every
     * tail file — into ONE sorted parquet file, record the
@@ -1384,66 +1361,13 @@ object CorpusStore {
     * number of tail files folded.
     */
   private[graft] def compactIngestLog(spark: SparkSession,
-      logPath: String): Int = {
-    import spark.implicits._
-    val tail = ingestLogTailFiles(spark, logPath)
-    val root = s"${logPath}_compact"
-    val prev =
-      if (GenPointer.exists(spark, root)) Some(GenPointer.read(spark, root)._1)
-      else None
-    val prevFile = prev.map(g => s"$root/gen=$g/LOG.parquet")
-      .filter(exists(spark, _))
-    if (tail.isEmpty && prevFile.isDefined) return 0
-    val srcs = prevFile.toSeq ++ tail.map(n => s"$logPath/$n")
-    if (srcs.isEmpty) return 0
-    val all = spark.read.parquet(srcs: _*)
-      .select(col("batch_id").cast("long").as("batch_id"),
+      logPath: String): Int =
+    // the normalize projection reconciles the pre-round-16 mixed
+    // writer schemas into the shared (batch_id, gen, n_admitted) row
+    BatchLog.compact(spark, logPath, df =>
+      df.select(col("batch_id").cast("long").as("batch_id"),
         col("gen").cast("int").as("gen"),
-        col("n_admitted").cast("long").as("n_admitted"))
-      .dropDuplicates("batch_id")
-    val gen = prev.map(_ + 1).getOrElse(0)
-    all.repartition(1).sortWithinPartitions("batch_id")
-      .write.mode("overwrite").parquet(s"$root/gen=$gen")
-    // the dir-level overwrite writes part-*.parquet; give the reader
-    // ONE stable name so the committed file is addressable without a
-    // listing
-    val f = fs(spark, root)
-    val genDir = new org.apache.hadoop.fs.Path(s"$root/gen=$gen")
-    val part = f.listStatus(genDir).map(_.getPath)
-      .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("."))
-      .getOrElse(throw new IllegalStateException(
-        s"compactIngestLog: fold wrote no parquet file under $genDir"))
-    f.rename(part, new org.apache.hadoop.fs.Path(s"$root/gen=$gen/LOG.parquet"))
-    val stamp = stampWriterToken(spark, s"$root/gen=$gen")
-    // watermark: the longest 0..W prefix with every id logged — one
-    // window over the (metadata-scale) id column
-    val w = org.apache.spark.sql.expressions.Window.orderBy("batch_id")
-    val wm = spark.read.parquet(s"$root/gen=$gen/LOG.parquet")
-      .select("batch_id")
-      .withColumn("_rn", row_number().over(w))
-      .where(col("batch_id") === col("_rn").cast("long") - 1L)
-      .agg(max("batch_id")).as[Option[Long]].head()
-    verifyWriterTokens(spark, Seq(stamp))
-    GenPointer.commit(spark, root, gen)
-    // the pointer carries an Int; a stream past 2^31 micro-batches
-    // (68 years at 1/s) keeps a stale-but-conservative watermark
-    wm.filter(_ <= Int.MaxValue.toLong)
-      .foreach(v => GenPointer.commit(spark, s"$root/watermark", v.toInt))
-    // retire the superseded compact generation and the folded tail —
-    // failures past the pointer swap leave only harmless duplicates
-    prev.foreach(g => {
-      val p = new org.apache.hadoop.fs.Path(s"$root/gen=$g")
-      if (f.exists(p)) f.delete(p, true)
-    })
-    val lf = fs(spark, logPath)
-    tail.foreach { n =>
-      val p = new org.apache.hadoop.fs.Path(s"$logPath/$n")
-      if (lf.exists(p)) lf.delete(p, false)
-      val crc = new org.apache.hadoop.fs.Path(s"$logPath/.$n.crc")
-      if (lf.exists(crc)) lf.delete(crc, false)
-    }
-    tail.size
-  }
+        col("n_admitted").cast("long").as("n_admitted")))
 
   /** Append one ingest-log row — ONE schema for every writer
     * (round 16 — verdict task 3 / ADVICE): [[cowIngestBatch]] and
@@ -1896,7 +1820,7 @@ object CorpusStore {
     }.sum
     val logTail = ingestLogTailFiles(spark, s"$path/ingest_log").size
     val logHasCompact =
-      exists(spark, compactLogFile(spark, s"$path/ingest_log"))
+      BatchLog.hasCompact(spark, s"$path/ingest_log")
     CowHealth(
       current = g, base = b, generations = g - b + 1,
       totalRows = total, numBuckets = numBuckets,

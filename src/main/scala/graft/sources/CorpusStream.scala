@@ -186,18 +186,34 @@ private[sources] class CorpusStreamSource(spark: SparkSession,
     // until Spark's commit callback acks the processed end; a
     // replayed range acks its committed start the same way
     ackFollower(start.map(genOf).getOrElse(-1))
-    val batch = CorpusStore.corpusChangesSince(spark, path,
+    val raw = CorpusStore.corpusChangesSince(spark, path,
       start.map(genOf).getOrElse(-1), endGen)
-    // the V1 contract fixes the schema at stream start; a schema
-    // evolved mid-stream must restart the query, not feed mismatched
-    // batches into a sink planned for the old shape
-    require(batch.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
-        schema.fields.map(f => (f.name, f.dataType)).toSeq,
-      s"graft-corpus source: the store's row schema evolved while the " +
-        "stream was running (stream started with " +
-        s"${schema.fieldNames.mkString(", ")}; generation $endGen reads " +
-        s"as ${batch.schema.fieldNames.mkString(", ")}) — restart the " +
-        "query to pick up the new shape")
+    val rawShape = raw.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val fixedShape = schema.fields.map(f => (f.name, f.dataType)).toSeq
+    // The V1 contract fixes the schema at stream start. Two distinct
+    // mismatch cases (round 18 — r17 ADVICE):
+    //  - the batch reads in an OLDER epoch than the stream's fixed
+    //    schema (evolution is append-nullable-only, so older = a
+    //    strict field PREFIX): a capped/lagging stream restarted
+    //    after an evolve is draining pre-evolve generations. Conform
+    //    the batch UP with the evolve-recorded defaults — exactly the
+    //    fill a post-evolve batch read applies — or the old guard
+    //    deadlocked the stream: every restart re-fixed `schema` to
+    //    the evolved shape and the capped backlog could never cross
+    //    the boundary ("restart the query" never helped).
+    //  - the batch reads in a NEWER shape than the stream's fixed
+    //    schema: a true mid-stream evolve. Fail loudly — the sink
+    //    was planned for the old shape; restarting genuinely fixes it.
+    val batch =
+      if (rawShape == fixedShape) raw
+      else if (fixedShape.startsWith(rawShape))
+        CorpusStore.conformTo(raw, schema)
+      else throw new IllegalStateException(
+        s"graft-corpus source: the store's row schema evolved while " +
+          "the stream was running (stream started with " +
+          s"${schema.fieldNames.mkString(", ")}; generation $endGen " +
+          s"reads as ${raw.schema.fieldNames.mkString(", ")}) — " +
+          "restart the query to pick up the new shape")
     // re-tag the change feed's plan as a streaming frame (the V1
     // Source contract): same physical scan, evaluated once for this
     // micro-batch

@@ -70,6 +70,34 @@ class BenchLogicSpec extends AnyFunSuite {
     assert(quoted.contains("a\\\"b"), quoted)
   }
 
+  test("canaryRatio: current/pin; absent or degenerate pin disables normalization") {
+    assert(Bench.canaryRatio(1.15, Some(1.0)).contains(1.15))
+    assert(Bench.canaryRatio(0.9, Some(1.2)).exists(r =>
+      math.abs(r - 0.75) < 1e-12))
+    // no pin / zero / negative pin → None, never a division or a
+    // fabricated 1.0
+    assert(Bench.canaryRatio(1.0, None).isEmpty)
+    assert(Bench.canaryRatio(1.0, Some(0.0)).isEmpty)
+    assert(Bench.canaryRatio(1.0, Some(-1.0)).isEmpty)
+  }
+
+  test("normalizeRatios divides the ambient common mode out of every gate ratio") {
+    // the r17 regime: a uniformly 15% hotter box inflates every raw
+    // ratio together; normalized readings recover ~1.0x
+    val raw = Seq("a" -> 1.15, "b" -> 1.38, "c" -> 2.3)
+    val norm = Bench.normalizeRatios(raw, 1.15).toMap
+    assert(math.abs(norm("a") - 1.0) < 1e-12)
+    assert(math.abs(norm("b") - 1.2) < 1e-12)
+    assert(math.abs(norm("c") - 2.0) < 1e-12)
+    // a genuinely slow query stays visibly slow after normalization —
+    // the canary must never mask a real regression
+    assert(norm("c") > 1.9)
+    // degenerate divisor refuses loudly rather than inverting signs
+    intercept[IllegalArgumentException] {
+      Bench.normalizeRatios(raw, 0.0)
+    }
+  }
+
   test("retryArtifactValue: errored retry's fast-fail time is marked, never a bare measurement") {
     // clean retry: plain two-element array, both passes auditable
     assert(Bench.retryArtifactValue(1.6, 0.9, None) == "[1.6,0.9]")

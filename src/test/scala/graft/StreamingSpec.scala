@@ -1518,4 +1518,62 @@ class StreamingSpec extends SparkSpec {
         got.toString)
     } finally q2.stop()
   }
+
+  test("a capped stream lagging behind an evolve conforms old-epoch batches up with the recorded defaults instead of deadlocking") {
+    // round 18 — r17 ADVICE: a capped batch whose end generation is
+    // BELOW a later evolve reads in the old shape, while every
+    // (re)started source fixes its schema to the CURRENT evolved
+    // shape. The old guard fired on that mismatch at every restart,
+    // so a lagging capped stream (or a capped bootstrap predating the
+    // evolve) could never cross the boundary. Now the old-epoch batch
+    // conforms UP — the same default fill a post-evolve batch read
+    // applies — and only a batch NEWER than the stream's shape (the
+    // true mid-stream evolve, pinned above) still fails.
+    import graft.sources.CorpusStore
+    import org.apache.spark.sql.types._
+    def tmp(prefix: String): String =
+      java.nio.file.Files.createTempDirectory(prefix).toString
+    val store = tmp("graft-evoc-store")
+    val ckpt = tmp("graft-evoc-ckpt")
+    CorpusStore.writeCorpusCow(
+      (0L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text"),
+      store, "doc_id", numBuckets = 8)                           // gen 0
+    CorpusStore.appendDeltaToCorpusCow(
+      Seq((20L, "doc 20")).toDF("doc_id", "text"), store)        // gen 1
+    CorpusStore.evolveCorpusCowSchema(spark, store,
+      StructType(Seq(StructField("lang", StringType))),
+      defaults = Map("lang" -> "'und'"))                         // gen 2
+    CorpusStore.appendDeltaToCorpusCow(
+      Seq((21L, "doc 21", "en")).toDF("doc_id", "text", "lang"),
+      store)                                                     // gen 3
+    // a FRESH capped stream bootstraps at generation 0 — an old-epoch
+    // snapshot — and then drains one generation per trigger across
+    // the evolve boundary
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = spark.readStream.format("graft-corpus")
+      .option("path", store)
+      .option("maxGenerationsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // EVERY batch arrives in the stream's fixed (evolved) shape
+        assert(df.columns.toSeq == Seq("doc_id", "text", "lang"),
+          df.columns.mkString(", "))
+        val rows = df.select("doc_id", "lang").as[(Long, String)]
+          .collect()
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val byId = got.synchronized(got.toVector).groupBy(_._1)
+      .map { case (id, xs) => id -> xs.map(_._2).toSet }
+    // pre-evolve rows carry the recorded default; post-evolve rows
+    // their written value
+    assert(byId.get(0L).exists(_ == Set("und")), byId.toString)
+    assert(byId.get(20L).exists(_.contains("und")), byId.toString)
+    assert(byId.get(21L).exists(_ == Set("en")), byId.toString)
+    assert((0L to 9L).forall(byId.contains), byId.keys.toSeq.sorted.toString)
+  }
 }

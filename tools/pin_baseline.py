@@ -15,6 +15,11 @@ only NEW queries are pinned (existing pins are the regression
 reference and must not drift silently); --refresh also overwrites
 existing pins, for the same-round-plan-change protocol the gate's
 docstring describes. The artifact's total is recomputed.
+
+--canary <sec> (round 18) pins the box-speed canary as the TOP-LEVEL
+"canary" number (outside the "queries" map the gate reads — it is
+calibration, not a benched query; see Bench.scala's canary fields).
+Pinned once; like query pins it only overwrites under --refresh.
 """
 import json
 import re
@@ -52,17 +57,31 @@ def merge(doc, pins, refresh=False):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--refresh"]
-    refresh = "--refresh" in sys.argv[1:]
-    if not args:
+    argv = sys.argv[1:]
+    refresh = "--refresh" in argv
+    canary = None
+    if "--canary" in argv:
+        i = argv.index("--canary")
+        canary = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--refresh"]
+    if not args and canary is None:
         print(__doc__)
         return 2
-    pins = parse_adjudicate_csv(open(args[0]).read())
-    if not pins:
+    pins = parse_adjudicate_csv(open(args[0]).read()) if args else {}
+    if args and not pins:
         print(f"no adjudication rows found in {args[0]}")
         return 1
     doc = json.load(open(BASELINE))
     doc, added, refreshed, skipped = merge(doc, pins, refresh)
+    if canary is not None:
+        if "canary" not in doc or refresh:
+            verb = "REFRESHED" if "canary" in doc else "PINNED"
+            doc["canary"] = canary
+            print(f"{verb} canary {canary:.3f}s (top-level)")
+        else:
+            print(f"KEPT canary {doc['canary']:.3f}s "
+                  "(existing pin; use --refresh to overwrite)")
     json.dump(doc, open(BASELINE, "w"))
     for n in added:
         print(f"PINNED    {n:30s} {pins[n]:.3f}s")
