@@ -1040,14 +1040,26 @@ object Dedup {
     */
   private[graft] def copyLshIngestLog(
       spark: org.apache.spark.sql.SparkSession,
-      srcPath: String, dstPath: String): Unit = {
-    val srcLog = new org.apache.hadoop.fs.Path(s"$srcPath/ingest_log")
-    val fs = srcLog.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(srcLog))
-      spark.read.parquet(s"$srcPath/ingest_log")
-        .repartition(1).write.mode("overwrite")
-        .parquet(s"$dstPath/ingest_log")
-  }
+      srcPath: String, dstPath: String): Unit =
+    // read through BatchLog (round 18): the carried history must
+    // include the COMPACTED file, not just the tail — a folded batch
+    // id losing its guard at the new path would re-ingest on replay.
+    // The new path starts as one tail file; fold it there on the
+    // normal cadence ([[compactIngestReplayLog]]).
+    graft.sources.BatchLog.readAll(spark, s"$srcPath/ingest_log")
+      .foreach(_.repartition(1).write.mode("overwrite")
+        .parquet(s"$dstPath/ingest_log"))
+
+  /** Fold the LSH ingest loop's replay log into one file + watermark —
+    * the [[graft.operators.Similarity.compactIngestReplayLog]] twin
+    * for this index family (round 18; shared
+    * [[graft.sources.BatchLog]] machinery). Content-neutral,
+    * crash-convergent; run on the index-maintenance cadence. Returns
+    * the number of tail files folded.
+    */
+  def compactIngestReplayLog(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    graft.sources.BatchLog.compact(spark, s"$path/ingest_log")
 
   /** Data-snapshot leg of [[compactLshIndex]]: meta + re-banded
     * buckets + distinct'd hashes, all re-derived from the stored
@@ -1237,10 +1249,11 @@ object Dedup {
     val spark = batch.sparkSession
     import spark.implicits._
     val logPath = s"$path/ingest_log"
-    val replayed =
-      try spark.read.parquet(logPath)
-        .where(col("batch_id") === batchId).limit(1).count() > 0
-      catch { case scala.util.control.NonFatal(_) => false } // no log yet
+    // watermark → compact → tail (round 18, the shared BatchLog
+    // probe): a long-lived ingest stream stops paying O(batches)
+    // listing metadata per trigger once [[compactIngestReplayLog]]'s
+    // fold runs on the maintenance cadence
+    val replayed = graft.sources.BatchLog.contains(spark, logPath, batchId)
     if (replayed) return
     val (shingleK, numHashes, bands) = lshMetaOf(spark, path)
     val scope = new CacheScope

@@ -271,10 +271,11 @@ object EventsAnalytics {
     val spark = batch.sparkSession
     import spark.implicits._
     val logPath = s"$path/ingest_log"
-    val replayed =
-      try spark.read.parquet(logPath)
-        .where(col("batch_id") === batchId).limit(1).count() > 0
-      catch { case scala.util.control.NonFatal(_) => false } // no log yet
+    // watermark → compact → tail (round 18, the shared BatchLog
+    // probe — see Similarity.ivfPqServeBatch): the guard stops paying
+    // O(batches) listing metadata per trigger once the fold inside
+    // [[compactEngagementLedger]] (or a direct BatchLog.compact) runs
+    val replayed = graft.sources.BatchLog.contains(spark, logPath, batchId)
     if (replayed) return
     batch
       .select(col(userCol).as("user"), to_date(col(tsCol)).as("day"),
@@ -312,8 +313,15 @@ object EventsAnalytics {
       .groupBy("user", "day").agg(sum("v").as("v"))
       .withColumn("batch_id", lit(-1L))
       .write.mode("overwrite").parquet(s"$outPath/daily")
-    spark.read.parquet(s"$inPath/ingest_log")
-      .write.mode("overwrite").parquet(s"$outPath/ingest_log")
+    // carry the replay guard through BatchLog (round 18): the copy
+    // must include the COMPACTED history, not just the tail, and the
+    // new path's log re-folds immediately — one file + watermark, so
+    // the compacted ledger's guard starts life a pointer read
+    graft.sources.BatchLog.readAll(spark, s"$inPath/ingest_log")
+      .foreach(_.repartition(1).write.mode("overwrite")
+        .parquet(s"$outPath/ingest_log"))
+    graft.sources.BatchLog.compact(spark, s"$outPath/ingest_log")
+    ()
   }
 
   /** Decayed scores from the persisted ledger, anchored at the

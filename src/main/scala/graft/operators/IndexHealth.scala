@@ -62,7 +62,13 @@ object IndexHealth {
       generations: Int,
       tombstones: Long,
       needsCompact: Boolean,
-      needsRebuild: Boolean)
+      needsRebuild: Boolean,
+      /** One-file-per-batch replay-log tail since the last fold
+        * (round 18 — the ingest loops' `ingest_log` through the
+        * shared [[graft.sources.BatchLog]]); [[maintain]] folds it on
+        * the same cadence as everything else it repairs.
+        */
+      replayLogTail: Int = 0)
 
   private def fs(spark: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path)
@@ -89,6 +95,12 @@ object IndexHealth {
   // this was a duplicate body of Dedup.pendingTombstoneCount)
   private def tombstoneCount(spark: SparkSession, path: String): Long =
     Dedup.pendingTombstoneCount(spark, path)
+
+  /** The index's replay-log tail size (0 for kinds/paths without an
+    * ingest loop) — what [[maintain]]'s log fold resets.
+    */
+  private def replayTail(spark: SparkSession, path: String): Int =
+    graft.sources.BatchLog.tailFiles(spark, s"$path/ingest_log").size
 
   /** Detect the index kind from the layout and dispatch. Fails fast
     * on a path that matches no known layout.
@@ -138,7 +150,8 @@ object IndexHealth {
       generations = h.generations,
       tombstones = h.tombstonedRows,
       needsCompact = h.needsCompaction || h.needsVacuum,
-      needsRebuild = false)
+      needsRebuild = false,
+      replayLogTail = h.ingestLogTail)
   }
 
   /** LSH dedup index: partition unit = (band, bucket). needsRebuild
@@ -195,7 +208,8 @@ object IndexHealth {
       needsCompact = files > maxDataFiles || dupFrac > maxDupFrac ||
         ts > 0,
       needsRebuild = bandTotal > 0 &&
-        satRows.toDouble / bandTotal > maxSaturatedFrac)
+        satRows.toDouble / bandTotal > maxSaturatedFrac,
+      replayLogTail = replayTail(spark, path))
   }
 
   /** Exact-dedup ledger: partition unit = data file (the range-sorted
@@ -231,7 +245,8 @@ object IndexHealth {
       tombstones = ts,
       needsCompact = files > maxDataFiles || dupFrac > maxDupFrac ||
         ts > 0,
-      needsRebuild = false)
+      needsRebuild = false,
+      replayLogTail = replayTail(spark, path))
   }
 
   /** BM25 inverted index: partition unit = term bucket; generations
@@ -265,7 +280,8 @@ object IndexHealth {
       tombstones = ts,
       needsCompact = gens > maxGenerations || files > maxDataFiles ||
         ts > 0,
-      needsRebuild = false)
+      needsRebuild = false,
+      replayLogTail = replayTail(spark, path))
   }
 
   /** IVF / IVF-PQ index: partition unit = cell;
@@ -309,7 +325,8 @@ object IndexHealth {
       generations = 1,
       tombstones = ts,
       needsCompact = ts > 0 || files > maxDataFiles,
-      needsRebuild = Similarity.needsRebuild(s, maxSkew, maxEmptyFrac))
+      needsRebuild = Similarity.needsRebuild(s, maxSkew, maxEmptyFrac),
+      replayLogTail = replayTail(spark, path))
   }
 
   /** Graph (HNSW/NSW) index — the SIXTH store kind (round 17): the
@@ -470,6 +487,20 @@ object IndexHealth {
           leg(path, dstPath); ("rebuilt", dstPath)
         } else ("none", path)
     }
-    MaintainResult(before, action, active, report(spark, active))
+    // fold the ACTIVE path's replay log on the same cadence (round 18
+    // — the corpus store's maintainCorpusCow already folds its own):
+    // content-neutral and crash-convergent, so it composes with any
+    // action above; fold only when compact+tail exceed one file (the
+    // maintained-log invariant), so a quiet index stays a no-op
+    val finalAction =
+      if (before.kind != "corpus_cow" && {
+        val lp = s"$active/ingest_log"
+        graft.sources.BatchLog.tailFiles(spark, lp).size +
+          (if (graft.sources.BatchLog.hasCompact(spark, lp)) 1 else 0) > 1
+      }) {
+        graft.sources.BatchLog.compact(spark, s"$active/ingest_log")
+        if (action == "none") "log_folded" else action + "+log_folded"
+      } else action
+    MaintainResult(before, finalAction, active, report(spark, active))
   }
 }

@@ -93,6 +93,20 @@ private[graft] object BatchLog {
   def hasCompact(spark: SparkSession, logPath: String): Boolean =
     exists(spark, compactFile(spark, logPath))
 
+  /** Every logged row — the previous compact file plus the tail — or
+    * None for a log never written. The carry-over read for
+    * rebuild-to-fresh-path flows (compactLshIndex,
+    * compactEngagementLedger): a naive directory copy of `logPath`
+    * would silently drop the COMPACTED history, un-guarding every
+    * folded batch id at the new path.
+    */
+  def readAll(spark: SparkSession, logPath: String): Option[DataFrame] = {
+    val compact = compactFile(spark, logPath)
+    val srcs = (if (exists(spark, compact)) Seq(compact) else Nil) ++
+      (if (tailFiles(spark, logPath).nonEmpty) Seq(logPath) else Nil)
+    if (srcs.isEmpty) None else Some(spark.read.parquet(srcs: _*))
+  }
+
   /** Whether `batchId` was logged: watermark → compact file → tail.
     * A FileNotFoundException mid-scan means a concurrent fold retired
     * a snapshotted file between resolution and the action — the fold

@@ -266,10 +266,22 @@ class EventsAnalyticsSpec extends SparkSpec {
       rows.select("user", "day").distinct().count(),
       "compacted ledger must hold one row per (user, day)")
     ingest2(dir2)(b1, 1L) // replayed old batch id: still a no-op
-    assert(spark.read.parquet(s"$dir2/ingest_log").count() == 2)
+    // round 18: the carried log arrives FOLDED at the new path — zero
+    // tail files, one compact file, and the replay guard (including
+    // compacted history — the ids live nowhere else) still refuses
+    import graft.sources.BatchLog
+    assert(BatchLog.tailFiles(spark, s"$dir2/ingest_log").isEmpty,
+      "compacted ledger's log must arrive folded")
+    assert(BatchLog.hasCompact(spark, s"$dir2/ingest_log"))
+    assert(BatchLog.contains(spark, s"$dir2/ingest_log", 2L))
+    assert(!BatchLog.contains(spark, s"$dir2/ingest_log", 7L))
     assertSameRows(
       EventsAnalytics.serveDecayedEngagement(spark, dir2, halvingDays = 2),
       served)
+    // life goes on: a genuinely new batch ingests on the compacted
+    // path and logs to a fresh tail
+    ingest2(dir2)(b2.limit(0), 3L) // empty batch still guards its id
+    assert(BatchLog.contains(spark, s"$dir2/ingest_log", 3L))
     // in-place compaction refused
     val e = intercept[IllegalArgumentException](
       EventsAnalytics.compactEngagementLedger(spark, dir2, dir2))

@@ -76,6 +76,43 @@ class MaintenanceLoopSpec extends SparkSpec {
     assert(r2.action == "none" && r2.activePath == dst, r2.toString)
   }
 
+  test("maintain folds the replay log on its own cadence: tail collapses, the guard stays a pointer read, probes untouched") {
+    import graft.sources.BatchLog
+    val src = tmp("graft-ml-lshlog")
+    Dedup.writeLshIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), "doc_id", "text", src)
+    // two ingest batches: enough to grow a >1-file tail while the
+    // data trees stay under the report's file-count compaction
+    // threshold — the pass must be fold-ONLY
+    val texts = Seq(
+      "red orange yellow green blue indigo violet ultraviolet",
+      "one two three four five six seven eight")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      Dedup.lshIngestBatch("doc_id", "text", src)(
+        Seq((10L + i, t)).toDF("doc_id", "text"), i.toLong)
+      Dedup.unpersistAll()
+    }
+    val before = IndexHealth.report(spark, src)
+    assert(before.replayLogTail == 2 && !before.needsCompact,
+      before.toString)
+    // a clean index with a grown log tail: maintain's only action is
+    // the fold
+    val r = IndexHealth.maintain(spark, src, tmp("graft-ml-lshlog-d"))
+    assert(r.action == "log_folded" && r.activePath == src, r.toString)
+    assert(r.after.replayLogTail == 0, r.after.toString)
+    assert(BatchLog.watermark(spark, s"$src/ingest_log").contains(1L))
+    // replay across the fold is still refused
+    val rows = spark.read.parquet(s"$src/hashes").count()
+    Dedup.lshIngestBatch("doc_id", "text", src)(
+      Seq((10L, texts(0))).toDF("doc_id", "text"), 0L)
+    Dedup.unpersistAll()
+    assert(spark.read.parquet(s"$src/hashes").count() == rows)
+    // and a re-pass is a full no-op (compact file alone never re-folds)
+    val r2 = IndexHealth.maintain(spark, src, tmp("graft-ml-lshlog-d2"))
+    assert(r2.action == "none", r2.toString)
+  }
+
   test("exact-ledger cycle: ingest → takedown → flags → maintain compacts → admission parity, flags clear") {
     val src = tmp("graft-ml-led")
     val dst = tmp("graft-ml-ledc")

@@ -856,6 +856,51 @@ class StreamingSpec extends SparkSpec {
     Dedup.unpersistAll()
   }
 
+  test("lsh ingest-log fold: the tail collapses to one file, replay stays refused, and index compaction carries the FOLDED history") {
+    import graft.operators.Dedup
+    import graft.sources.BatchLog
+    val src = java.nio.file.Files.createTempDirectory("graft-lshf-s").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-lshf-d").toString
+    val logPath = s"$src/ingest_log"
+    Dedup.writeLshIndex(
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), "doc_id", "text", src)
+    val texts = Seq(
+      "red orange yellow green blue indigo violet ultraviolet",
+      "one two three four five six seven eight",
+      "north south east west up down left right",
+      "spring summer autumn winter solstice equinox dawn dusk")
+    texts.zipWithIndex.foreach { case (t, i) =>
+      Dedup.lshIngestBatch("doc_id", "text", src)(
+        Seq((10L + i, t)).toDF("doc_id", "text"), i.toLong)
+      Dedup.unpersistAll()
+    }
+    assert(BatchLog.tailFiles(spark, logPath).size == 4)
+    assert(Dedup.compactIngestReplayLog(spark, src) == 4)
+    assert(BatchLog.tailFiles(spark, logPath).isEmpty)
+    assert(BatchLog.watermark(spark, logPath).contains(3L))
+    // replay across the fold is a no-op: the index is byte-unchanged
+    val before = spark.read.parquet(s"$src/hashes").count()
+    (0 until 4).foreach { i =>
+      Dedup.lshIngestBatch("doc_id", "text", src)(
+        Seq((10L + i, texts(i))).toDF("doc_id", "text"), i.toLong)
+      Dedup.unpersistAll()
+    }
+    assert(spark.read.parquet(s"$src/hashes").count() == before)
+    // index compaction carries the FOLDED history — the ids live
+    // nowhere else, and a naive tail copy would un-guard them
+    Dedup.compactLshIndex(spark, src, dst)
+    (0 until 4).foreach(i =>
+      assert(BatchLog.contains(spark, s"$dst/ingest_log", i.toLong),
+        s"folded batch $i lost by the compaction carry"))
+    val dstBefore = spark.read.parquet(s"$dst/hashes").count()
+    Dedup.lshIngestBatch("doc_id", "text", dst)(
+      Seq((10L, texts(0))).toDF("doc_id", "text"), 0L)
+    Dedup.unpersistAll()
+    assert(spark.read.parquet(s"$dst/hashes").count() == dstBefore,
+      "a folded-and-carried batch id re-ingested at the compacted path")
+  }
+
   test("streaming semantic decontamination flags near-parallel vectors, statelessly") {
     import graft.operators.{Dedup, Similarity}
     implicit val sqlCtx = spark.sqlContext
