@@ -2646,6 +2646,51 @@ object Similarity {
       .repartition(1).write.mode("append").parquet(logPath)
   }
 
+  /** One micro-batch of the streaming GRAPH-index ingest loop
+    * (round 18 — the last missing leg of the family's lifecycle
+    * symmetry with IVF-PQ: [[ivfPqIngestBatch]] feeds that index,
+    * [[hnswServeBatch]] asks this one, and this loop feeds it):
+    * assignment against the STORED centroids is stateless per row and
+    * the touched cells re-knit in place ([[appendToHnswIndex]]'s
+    * whole contract, including the bounded-re-knit and the unknitted
+    * crash window IndexHealth repairs), so the only loop state is the
+    * replay guard — exactly-once per batch id via `path/ingest_log`
+    * (the shared [[graft.sources.BatchLog]] probe; fold on the
+    * maintenance cadence, [[compactIngestReplayLog]] or
+    * IndexHealth.maintain).
+    *
+    * Crash window: a failure between the cells append and the log
+    * write replays the batch and re-appends byte-identical (id, vec,
+    * cell) rows. Probes stay ROW-correct — the in-partition walk
+    * scores and emits per distinct id — but duplicate rows inflate
+    * the re-knit's neighbor ranking (a duplicated neighbor occupies
+    * two of a node's m slots), mildly degrading recall until a
+    * rebuild folds the duplicates; the same accept-duplicates stance
+    * as the IVF append loop, where duplicates spend overfetch slots.
+    *
+    * Wire it:
+    * {{{
+    * vecs.writeStream
+    *   .foreachBatch(Similarity.hnswIngestBatch("vec_id", "embedding", path) _)
+    *   .start()
+    * }}}
+    */
+  def hnswIngestBatch(idCol: String, vecCol: String, path: String)
+                     (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val logPath = s"$path/ingest_log"
+    if (graft.sources.BatchLog.contains(spark, logPath, batchId)) return
+    // sever the batch plan from the index paths before the append
+    // mutates them (the ivfPqIngestBatch stance)
+    val admitted = batch.localCheckpoint()
+    if (!admitted.isEmpty)
+      appendToHnswIndex(admitted, idCol, vecCol, path)
+    Seq((batchId, admitted.count()))
+      .toDF("batch_id", "n_appended")
+      .repartition(1).write.mode("append").parquet(logPath)
+  }
+
   /** One micro-batch of the streaming ANN SERVING loop — the
     * foreachBatch body for a live stream of query vectors probing a
     * persisted IVF-PQ index: the online counterpart to
@@ -2680,7 +2725,8 @@ object Similarity {
   def ivfPqServeBatch(path: String, vectors: DataFrame, idCol: String,
       vecCol: String, qIdCol: String, qVecCol: String, outPath: String,
       k: Int, nProbe: Int = 4, overfetch: Int = 4,
-      predicate: Option[Column] = None)
+      predicate: Option[Column] = None,
+      compactEvery: Option[Long] = None)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -2712,6 +2758,15 @@ object Similarity {
     Seq((batchId, queries.count()))
       .toDF("batch_id", "n_queries")
       .repartition(1).write.mode("append").parquet(logPath)
+    // self-folding serve log (round 18 — the cowIngestBatch
+    // maintainEvery idiom): a long-lived serving stream folds its own
+    // tail without an external scheduler. Runs AFTER the log write,
+    // content-neutral and crash-convergent, so replays and crashes
+    // around it change nothing.
+    compactEvery.foreach { n =>
+      require(n >= 1, "ivfPqServeBatch: compactEvery must be >= 1")
+      if (batchId % n == n - 1) compactServeLog(spark, outPath)
+    }
   }
 
   /** Streaming ANN serving against a persisted GRAPH index
@@ -2734,7 +2789,7 @@ object Similarity {
     */
   def hnswServeBatch(path: String, qIdCol: String, qVecCol: String,
       outPath: String, k: Int, nProbe: Int = 4, ef: Int = 12,
-      rounds: Int = 4)
+      rounds: Int = 4, compactEvery: Option[Long] = None)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -2752,6 +2807,11 @@ object Similarity {
     Seq((batchId, queries.count()))
       .toDF("batch_id", "n_queries")
       .repartition(1).write.mode("append").parquet(logPath)
+    // self-folding serve log — see ivfPqServeBatch
+    compactEvery.foreach { n =>
+      require(n >= 1, "hnswServeBatch: compactEvery must be >= 1")
+      if (batchId % n == n - 1) compactServeLog(spark, outPath)
+    }
   }
 
   // ——— Graph ANN: per-cell navigable-small-world (round 17 —

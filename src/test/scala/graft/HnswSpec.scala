@@ -323,6 +323,56 @@ class HnswSpec extends SparkSpec {
     assert(covering._5 == 1.0, s"covering config recall ${covering._5}")
   }
 
+  test("hnsw ingest loop: streamed appends equal direct appends, replay is a no-op; the serving loop self-folds its log") {
+    import graft.sources.BatchLog
+    val path = tmp("graft-hnsw-ing")
+    // founding half holds the 16 lowest vec_ids, so the stored
+    // centroids equal the full corpus's seeded centroids (the append
+    // test's fixture argument) and inline parity holds post-ingest
+    val first = emb.orderBy("vec_id").limit(250).localCheckpoint()
+    val extra = emb.orderBy(col("vec_id").desc).limit(6).localCheckpoint()
+    Similarity.writeHnswIndex(first, "vec_id", "embedding", path,
+      nCells = 16, m = 6)
+    val b0 = extra.where(pmod(col("vec_id"), lit(2)) === 0)
+    val b1 = extra.where(pmod(col("vec_id"), lit(2)) === 1)
+    Similarity.hnswIngestBatch("vec_id", "embedding", path)(b0, 0L)
+    Similarity.hnswIngestBatch("vec_id", "embedding", path)(b1, 1L)
+    // replay: byte-unchanged index
+    val cellsBefore = spark.read.parquet(s"$path/cells").count()
+    Similarity.hnswIngestBatch("vec_id", "embedding", path)(b0, 0L)
+    assert(spark.read.parquet(s"$path/cells").count() == cellsBefore,
+      "replayed ingest batch re-appended")
+    // streamed appends ≡ an inline build over the full set (the
+    // appendToHnswIndex parity, now through the loop)
+    val full = first.unionByName(extra)
+    val inline = Similarity.knnHnsw(full, "vec_id", "embedding",
+      query, k = 10, nCells = 16, nProbe = 4, m = 6, ef = 12, rounds = 4)
+    val indexed = Similarity.knnHnswIndexed(spark, path, query,
+      k = 10, nProbe = 4, ef = 12, rounds = 4)
+    assert(rows(indexed) == rows(inline))
+
+    // self-folding serving: compactEvery = 2 folds after batch ids
+    // 1 and 3 — no external scheduler, tail never outgrows the cadence
+    val out = tmp("graft-hnsw-ing-out")
+    val qs = emb.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .as[(Long, Seq[Float])].collect()
+    (0 until 4).foreach { i =>
+      Similarity.hnswServeBatch(path, "query_id", "qvec", out,
+        k = 10, nProbe = 4, compactEvery = Some(2L))(
+        Seq((qs(i)._1, qs(i)._2)).toDF("query_id", "qvec"), i.toLong)
+    }
+    assert(BatchLog.tailFiles(spark, s"$out/serve_log").isEmpty,
+      "self-fold left a tail")
+    assert(BatchLog.watermark(spark, s"$out/serve_log").contains(3L))
+    assert(spark.read.parquet(s"$out/results").count() == 40)
+    // replay after the fold is still refused
+    Similarity.hnswServeBatch(path, "query_id", "qvec", out,
+      k = 10, nProbe = 4, compactEvery = Some(2L))(
+      Seq((qs(0)._1, qs(0)._2)).toDF("query_id", "qvec"), 0L)
+    assert(spark.read.parquet(s"$out/results").count() == 40)
+  }
+
   test("recall after appends: entry drift from new min-id nodes is measured, not assumed") {
     // round 18 — r17 verdict task 7: the founding half holds the
     // HIGHEST vec_ids, so every appended batch brings new per-cell
