@@ -2789,7 +2789,8 @@ object Similarity {
     */
   def hnswServeBatch(path: String, qIdCol: String, qVecCol: String,
       outPath: String, k: Int, nProbe: Int = 4, ef: Int = 12,
-      rounds: Int = 4, compactEvery: Option[Long] = None)
+      rounds: Int = 4, compactEvery: Option[Long] = None,
+      predicate: Option[Column] = None)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
@@ -2800,7 +2801,7 @@ object Similarity {
     val queries = batch.localCheckpoint()
     if (!queries.isEmpty) {
       knnHnswBatch(spark, path, queries, qIdCol, qVecCol, k, nProbe,
-          ef, rounds)
+          ef, rounds, predicate)
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(s"$outPath/results")
     }
@@ -2915,9 +2916,17 @@ object Similarity {
     * full rebuild (round 18 — r17 ADVICE). Returns the final live
     * beam with exact cosines; a fully-tombstoned cell returns empty.
     */
+  /** `hidden` (round 18 — filtered graph probes): nodes failing the
+    * caller's attribute predicate ROUTE and even SEED (they are live
+    * graph structure — walking only the filtered subgraph would
+    * disconnect it, the standard filtered-graph-ANN argument) but are
+    * never emitted; size ef above k to keep emission headroom under
+    * selective predicates (the documented filtered-walk contract).
+    */
   private def walkCell(qd: Array[Double], ids: Array[Long],
       vecs: Array[Array[Double]], nbrs: Map[Long, Array[Long]],
-      dead: Long => Boolean, ef: Int, rounds: Int): Seq[(Long, Double)] = {
+      dead: Long => Boolean, hidden: Long => Boolean,
+      ef: Int, rounds: Int): Seq[(Long, Double)] = {
     val idx = ids.zipWithIndex.toMap
     val cos = scala.collection.mutable.HashMap.empty[Long, Double]
     def scoreOf(id: Long): Double =
@@ -2932,19 +2941,26 @@ object Similarity {
       beam = cand.sortBy(id => (-scoreOf(id), id)).take(ef)
       r += 1
     }
-    beam.filterNot(dead).map(id => (id, scoreOf(id)))
+    beam.filterNot(id => dead(id) || hidden(id))
+      .map(id => (id, scoreOf(id)))
   }
 
-  /** (cell, id, vec, nbrs, dead) rows of a persisted graph index's
-    * probed cells, liveness joined in — the shared input of every
-    * walk stage, so seeding and masking see the same tombstone set.
+  /** (cell, id, vec, nbrs, dead, hide) rows of a persisted graph
+    * index's probed cells — liveness (tombstones) and the caller's
+    * attribute predicate joined in, so seeding, routing and emission
+    * all see one consistent view. `hide` = the predicate FAILS (null
+    * = fail, SQL filter semantics), evaluated against the cells
+    * tree's stored attribute columns inside the pruned scan.
     */
   private def hnswCellRows(spark: org.apache.spark.sql.SparkSession,
-      path: String, cells: Seq[Int]): DataFrame = {
+      path: String, cells: Seq[Int],
+      predicate: Option[Column] = None): DataFrame = {
     val nodes = spark.read.parquet(s"$path/cells")
       .where(col("cell").isin(cells: _*))
       .select(col("cell"), col("id"),
-        col("vec").cast("array<double>").as("vec"))
+        col("vec").cast("array<double>").as("vec"),
+        predicate.map(p => !coalesce(p, lit(false)))
+          .getOrElse(lit(false)).as("_hide"))
       .join(spark.read.parquet(s"$path/graph")
         .where(col("cell").isin(cells: _*))
         .select(col("cell"), col("id"), col("nbrs")),
@@ -2955,14 +2971,15 @@ object Similarity {
       case Some(t) => nodes
         .join(broadcast(t.withColumn("_dead", lit(true))), Seq("id"), "left")
         .select(col("cell"), col("id"), col("vec"), col("nbrs"),
-          coalesce(col("_dead"), lit(false)).as("_dead"))
+          coalesce(col("_dead"), lit(false)).as("_dead"), col("_hide"))
       case None => nodes.withColumn("_dead", lit(false))
     }
   }
 
-  /** Shared walk stage: (cell, id, vec, nbrs, dead) rows → the union
-    * of every cell's final live beam, as an (id, cosine) frame.
-    * groupByKey by cell keeps each walk's state bounded by one cell.
+  /** Shared walk stage: (cell, id, vec, nbrs, dead, hide) rows → the
+    * union of every cell's final live+visible beam, as an
+    * (id, cosine) frame. groupByKey by cell keeps each walk's state
+    * bounded by one cell.
     */
   private def walkCells(cellRows: DataFrame,
       qd: Array[Double], ef: Int, rounds: Int): DataFrame = {
@@ -2971,18 +2988,19 @@ object Similarity {
     cellRows
       .select(col("cell"), col("id"),
         col("vec").cast("array<double>").as("vec"), col("nbrs"),
-        col("_dead"))
-      .as[(Int, Long, Seq[Double], Option[Seq[Long]], Boolean)]
+        col("_dead"), col("_hide"))
+      .as[(Int, Long, Seq[Double], Option[Seq[Long]], Boolean, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
         val ids = rows.map(_._2)
         val vecs = rows.map(_._3.toArray)
         val adj = rows.collect {
-          case (_, id, _, Some(ns), _) => id -> ns.toArray
+          case (_, id, _, Some(ns), _, _) => id -> ns.toArray
         }.toMap
-        val dead = rows.collect { case (_, id, _, _, true) => id }.toSet
-        walkCell(qd, ids, vecs, adj, dead, ef, rounds).iterator
+        val dead = rows.collect { case (_, id, _, _, true, _) => id }.toSet
+        val hide = rows.collect { case (_, id, _, _, _, true) => id }.toSet
+        walkCell(qd, ids, vecs, adj, dead, hide, ef, rounds).iterator
       }
       .toDF("id", "cosine")
   }
@@ -3000,17 +3018,37 @@ object Similarity {
     * ([[writeHnswIndex]] / [[knnHnswIndexed]]) is what serves at
     * 100 TB — this form exists for evals and the oracle gate.
     */
+  /** `predicate`/`attrCols` (round 18 — the filtered graph probe,
+    * s15's treatment for this family): the walk runs over the FULL
+    * graph — filtered nodes still route and seed, because walking
+    * only the predicate-passing subgraph would disconnect it (the
+    * standard filtered-graph-ANN argument, and the opposite trade
+    * from [[knnIvfFiltered]]'s exact pre-filter, which can afford to
+    * drop rows because a flat scan has no connectivity to lose) —
+    * and the predicate masks EMISSION: only passing nodes leave the
+    * final beam. Consequence: top-k draws from the ≤ ef·nProbe
+    * visible beam survivors, so size ef ABOVE k in proportion to the
+    * predicate's selectivity (ef ≈ k/selectivity), or recall under
+    * selective predicates starves — the documented filtered-walk
+    * contract, measurable with [[hnswRecall]]'s machinery.
+    */
   def knnHnsw(
       df: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 6, ef: Int = 12, rounds: Int = 4,
-      strategy: CentroidStrategy = SeededCentroids): DataFrame = {
+      strategy: CentroidStrategy = SeededCentroids,
+      attrCols: Seq[String] = Nil,
+      predicate: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(ef >= k, s"knnHnsw: ef ($ef) must be >= k ($k) — the final " +
       "beam is the candidate pool")
+    require(predicate.isEmpty || attrCols.nonEmpty,
+      "knnHnsw: a predicate needs the attribute columns it reads — " +
+        "pass them via attrCols")
     val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
-    val indexed = assignCells(df, idCol, vecCol, cents)
+    val indexed = assignCells(df, idCol, vecCol, cents,
+      extraCols = attrCols)
     val qd = query.map(_.toDouble)
     val probeCells = cents.zipWithIndex
       .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
@@ -3039,7 +3077,8 @@ object Similarity {
         .where(col("_w_rk") <= ef)
         .select(col("cell"), col("id"))
     }
-    beam.join(nodes, Seq("cell", "id"))
+    val merged = beam.join(nodes, Seq("cell", "id"))
+    predicate.map(merged.where).getOrElse(merged)
       .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
@@ -3086,7 +3125,8 @@ object Similarity {
   def knnHnswIndexed(
       spark: org.apache.spark.sql.SparkSession, path: String,
       query: Array[Float], k: Int, nProbe: Int = 4,
-      ef: Int = 12, rounds: Int = 4): DataFrame = {
+      ef: Int = 12, rounds: Int = 4,
+      predicate: Option[Column] = None): DataFrame = {
     require(ef >= k, s"knnHnswIndexed: ef ($ef) must be >= k ($k)")
     val qd = query.map(_.toDouble)
     val probeCells = readCentroids(spark, path).zipWithIndex
@@ -3095,7 +3135,7 @@ object Similarity {
       }
       .sortBy { case (score, cell) => (-score, cell) }
       .take(nProbe).map(_._2)
-    walkCells(hnswCellRows(spark, path, probeCells.toIndexedSeq),
+    walkCells(hnswCellRows(spark, path, probeCells.toIndexedSeq, predicate),
         qd, ef, rounds)
       .orderBy(col("cosine").desc, col("id").asc)
       .limit(k)
@@ -3125,7 +3165,8 @@ object Similarity {
   def knnHnswBatch(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      k: Int, nProbe: Int = 4, ef: Int = 12, rounds: Int = 4): DataFrame = {
+      k: Int, nProbe: Int = 4, ef: Int = 12, rounds: Int = 4,
+      predicate: Option[Column] = None): DataFrame = {
     require(ef >= k, s"knnHnswBatch: ef ($ef) must be >= k ($k)")
     requireIntegralId(queries, qIdCol)
     import spark.implicits._
@@ -3147,11 +3188,11 @@ object Similarity {
     // bounded collect: ≤ nCells distinct values prune BOTH index trees
     val allCells = probes.select("cell").distinct()
       .as[Int].collect().toIndexedSeq
-    val walked = hnswCellRows(spark, path, allCells)
+    val walked = hnswCellRows(spark, path, allCells, predicate)
       .select(col("cell"), col("id"),
         col("vec").cast("array<double>").as("vec"), col("nbrs"),
-        col("_dead"))
-      .as[(Int, Long, Seq[Double], Option[Seq[Long]], Boolean)]
+        col("_dead"), col("_hide"))
+      .as[(Int, Long, Seq[Double], Option[Seq[Long]], Boolean, Boolean)]
       .groupByKey(_._1)
       .cogroup(probes.select(col("cell"), col("qid"), col("qv"))
         .as[(Int, Long, Seq[Double])].groupByKey(_._1)) {
@@ -3162,11 +3203,14 @@ object Similarity {
             val ids = rows.map(_._2)
             val vecs = rows.map(_._3.toArray)
             val adj = rows.collect {
-              case (_, id, _, Some(ns), _) => id -> ns.toArray
+              case (_, id, _, Some(ns), _, _) => id -> ns.toArray
             }.toMap
-            val dead = rows.collect { case (_, id, _, _, true) => id }.toSet
+            val dead = rows.collect {
+              case (_, id, _, _, true, _) => id }.toSet
+            val hide = rows.collect {
+              case (_, id, _, _, _, true) => id }.toSet
             qIt.flatMap { case (_, qid, qv) =>
-              walkCell(qv.toArray, ids, vecs, adj, dead, ef, rounds)
+              walkCell(qv.toArray, ids, vecs, adj, dead, hide, ef, rounds)
                 .map { case (id, c) => (qid, id, c) }
             }
           }

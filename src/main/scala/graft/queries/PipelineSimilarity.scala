@@ -1255,13 +1255,39 @@ private[queries] object PipelineSimilarity {
           .orderBy("m", "ef", "rounds")
       },
       Some(s23OracleSql)),
+
+
+    // filtered graph ANN (round 18 — s15's treatment for the s22
+    // family, closing the last IVF↔graph symmetry gap): top-k among
+    // predicate-passing nodes via the graph walk. The walk runs over
+    // the FULL graph — filtered nodes still route and seed (walking
+    // only the passing subgraph would disconnect it; the opposite
+    // trade from s15's exact pre-filter, which a flat scan can
+    // afford) — and the predicate masks EMISSION, with ef sized above
+    // k for the selectivity (ef=20 at ~50% here). Oracle = s22's
+    // chain with the predicate on the final merge only.
+    Q("s24_knn_hnsw_filtered",
+      (s, dir) => {
+        Similarity.knnHnsw(Tables.load(s, dir, "embeddings"),
+            "vec_id", "embedding", queryVec(s, dir), k = 10,
+            nCells = 16, nProbe = 4, m = 6, ef = 20, rounds = 4,
+            attrCols = Seq("label"),
+            predicate = Some(col("label") % 2 === 0))
+          .select(col("id"), r6(col("cosine")).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      Some(hnswWalkOracleSql(20, Some("n.label % 2 = 0")))),
   )
 
-  /** The s22 oracle: the deterministic NSW chain in DuckDB, beam
-    * rounds unrolled as CTE pairs (candN = beam ∪ its out-edges;
-    * beamN = per-cell top-ef by cosine-to-query, ties→id).
+  /** The s22/s24 oracle generator: the deterministic NSW chain in
+    * DuckDB, beam rounds unrolled as CTE pairs (candN = beam ∪ its
+    * out-edges; beamN = per-cell top-ef by cosine-to-query, ties→id).
+    * `finalPred` (s24) filters EMISSION only — the walk's beams are
+    * untouched, the filtered-graph-ANN contract the Spark side
+    * documents on knnHnsw.
     */
-  private def s22OracleSql: String = {
+  private def hnswWalkOracleSql(ef: Int,
+      finalPred: Option[String]): String = {
     val rounds = 4
     val roundCtes = (1 to rounds).map { r =>
       s"""cand$r AS (
@@ -1276,7 +1302,7 @@ private[queries] object PipelineSimilarity {
          |      ORDER BY ${cosineSql("n.v", "qv")} DESC, c.id ASC) AS rk
          |    FROM cand$r c
          |    JOIN node n ON n.cell = c.cell AND n.id = c.id, q)
-         |  WHERE rk <= 12
+         |  WHERE rk <= $ef
          |)""".stripMargin
     }.mkString(", ")
     s"""WITH cent AS (
@@ -1287,9 +1313,10 @@ private[queries] object PipelineSimilarity {
        |  SELECT CAST(embedding AS DOUBLE[]) AS qv
        |  FROM embeddings ORDER BY vec_id LIMIT 1
        |), e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
        |), assigned AS (
-       |  SELECT vec_id, v, cell,
+       |  SELECT vec_id, label, v, cell,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY list_dot_product(v, cv) DESC, cell ASC) AS rn
        |  FROM e CROSS JOIN cent
@@ -1297,7 +1324,7 @@ private[queries] object PipelineSimilarity {
        |  SELECT cell FROM cent, q
        |  ORDER BY list_dot_product(cv, qv) DESC, cell ASC LIMIT 4
        |), node AS (
-       |  SELECT vec_id AS id, v, cell FROM assigned
+       |  SELECT vec_id AS id, label, v, cell FROM assigned
        |  WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
        |), edge AS (
        |  SELECT cell, src, dst FROM (
@@ -1312,9 +1339,12 @@ private[queries] object PipelineSimilarity {
        |SELECT id, ${r6sql("cos")} AS cosine FROM (
        |  SELECT b.id, ${cosineSql("n.v", "qv")} AS cos
        |  FROM beam$rounds b
-       |  JOIN node n ON n.cell = b.cell AND n.id = b.id, q)
+       |  JOIN node n ON n.cell = b.cell AND n.id = b.id, q
+       |  ${finalPred.map(p => s"WHERE $p").getOrElse("")})
        |ORDER BY cos DESC, id LIMIT 10""".stripMargin
   }
+
+  private def s22OracleSql: String = hnswWalkOracleSql(12, None)
 
   /** The s23 oracle: the tuning sweep's every config replayed as its
     * own unrolled beam chain over ONE shared node/edge build (edges

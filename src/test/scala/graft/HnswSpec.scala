@@ -323,6 +323,48 @@ class HnswSpec extends SparkSpec {
     assert(covering._5 == 1.0, s"covering config recall ${covering._5}")
   }
 
+  test("filtered walk: covering filtered probe is exact over the passing subset; inline/indexed/batch parity; filtered nodes route but are never returned") {
+    val pred = col("label") % 2 === 0
+    // the correctness anchor: a COVERING walk (complete graph, beam ≥
+    // cell, every cell probed) visits everything, so the emission
+    // filter makes it exact brute-force over the passing subset
+    val covering = Similarity.knnHnsw(emb, "vec_id", "embedding",
+      query, k = 10, nCells = 8, nProbe = 8, m = 500, ef = 500,
+      rounds = 2, attrCols = Seq("label"), predicate = Some(pred))
+    val brute = Similarity.knnBrute(emb.where(pred), "vec_id",
+      "embedding", query, k = 10)
+    assert(rows(covering) == rows(brute))
+    // persisted parity at real knobs (ef sized for ~50% selectivity)
+    val path = tmp("graft-hnsw-filt")
+    Similarity.writeHnswIndex(emb, "vec_id", "embedding", path,
+      nCells = 16, m = 6, attrCols = Seq("label"))
+    val inline = Similarity.knnHnsw(emb, "vec_id", "embedding",
+      query, k = 10, nCells = 16, nProbe = 4, m = 6, ef = 20,
+      rounds = 4, attrCols = Seq("label"), predicate = Some(pred))
+    val indexed = Similarity.knnHnswIndexed(spark, path, query,
+      k = 10, nProbe = 4, ef = 20, rounds = 4, predicate = Some(pred))
+    assert(rows(indexed) == rows(inline))
+    // every returned id passes; the walk still ROUTED through
+    // failing nodes (an emission filter, not a subgraph walk) —
+    // unfiltered and filtered probes read the same graph
+    val failing = emb.where(!pred).select(col("vec_id")).as[Long]
+      .collect().toSet
+    assert(rows(indexed).map(_._1).forall(id => !failing(id)))
+    // batch surface: per-query identity with the single filtered probe
+    val queries3 = emb.orderBy("vec_id").limit(3)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val batch = Similarity.knnHnswBatch(spark, path, queries3,
+      "qid", "embedding", k = 10, nProbe = 4, ef = 20, rounds = 4,
+      predicate = Some(pred))
+    queries3.as[(Long, Seq[Float])].collect().foreach { case (qid, qv) =>
+      val single = Similarity.knnHnswIndexed(spark, path, qv.toArray,
+        k = 10, nProbe = 4, ef = 20, rounds = 4, predicate = Some(pred))
+      assert(rows(batch.where(col("query_id") === qid)
+        .select("id", "cosine")) == rows(single),
+        s"filtered batch result for query $qid diverges")
+    }
+  }
+
   test("hnsw ingest loop: streamed appends equal direct appends, replay is a no-op; the serving loop self-folds its log") {
     import graft.sources.BatchLog
     val path = tmp("graft-hnsw-ing")
