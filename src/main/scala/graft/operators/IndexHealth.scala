@@ -337,18 +337,34 @@ object IndexHealth {
     * probes stay correct but cannot surface those nodes, and the
     * repair is a bounded re-knit, not a rebuild. `needsRebuild` =
     * the IVF skew/empty-cell trigger (drift off the build
-    * centroids), fixed by [[Similarity.rebuildHnswIndex]].
+    * centroids), fixed by [[Similarity.rebuildHnswIndex]] — OR
+    * (round 18) APPEND DRIFT: when more than `maxAppendedFrac` of
+    * the live corpus arrived after the last (re)build, the stored
+    * centroids and displaced min-id entries degrade the walk's
+    * recall invisibly — hnswRecallIndexed MEASURED 0.50 vs 0.92
+    * rebuilt on the adversarial append fixture — so the catalog loop
+    * acts on the drift instead of a human reading the eval. The
+    * founding size is the build's recorded `n_built`; a
+    * pre-round-18 index without the column never trips this trigger
+    * (conservative: unknown founding size is not evidence of drift).
     */
   def reportHnsw(spark: SparkSession, path: String,
                  maxSkew: Double = 4.0,
                  maxEmptyFrac: Double = 0.5,
-                 maxDataFiles: Long = 256): Health = {
+                 maxDataFiles: Long = 256,
+                 maxAppendedFrac: Double = 0.3): Health = {
     val ivf = reportIvf(spark, path, maxSkew, maxEmptyFrac, maxDataFiles)
     val unknitted = Similarity.hnswUnknitted(spark, path)
+    val appendedFrac = Similarity.hnswBuiltRows(spark, path) match {
+      case Some(nBuilt) if ivf.totalRows > 0 =>
+        math.max(0L, ivf.totalRows - nBuilt).toDouble / ivf.totalRows
+      case _ => 0.0
+    }
     ivf.copy(
       kind = "hnsw",
       dataFiles = ivf.dataFiles + dataFileCount(spark, s"$path/graph"),
-      needsCompact = ivf.needsCompact || unknitted > 0)
+      needsCompact = ivf.needsCompact || unknitted > 0,
+      needsRebuild = ivf.needsRebuild || appendedFrac > maxAppendedFrac)
   }
 
   /** What one [[maintain]] pass did: the health row that triggered it,

@@ -3108,7 +3108,11 @@ object Similarity {
       .map { case (c, i) => (c.toSeq, i) }.toDF("cv", "cell")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    Seq((m, nCells)).toDF("m", "n_cells")
+    // n_built (round 18): the corpus size this build's centroids and
+    // entries were sized FOR — what IndexHealth's append-drift
+    // trigger compares the live count against (appends deliberately
+    // never update it; a rebuild re-records it)
+    Seq((m, nCells, assigned.count())).toDF("m", "n_cells", "n_built")
       .repartition(1).write.mode("overwrite").parquet(s"$path/hnswmeta")
   }
 
@@ -3231,6 +3235,18 @@ object Similarity {
       path: String): (Int, Int) = {
     val r = spark.read.parquet(s"$path/hnswmeta").head()
     (r.getAs[Int]("m"), r.getAs[Int]("n_cells"))
+  }
+
+  /** The corpus size the current build was sized for (None on a
+    * pre-round-18 index without the column) — IndexHealth's
+    * append-drift input.
+    */
+  private[operators] def hnswBuiltRows(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Long] = {
+    val df = spark.read.parquet(s"$path/hnswmeta")
+    if (!df.columns.contains("n_built")) None
+    else Some(df.head().getAs[Long]("n_built"))
   }
 
   /** Incrementally append vectors to a persisted graph index

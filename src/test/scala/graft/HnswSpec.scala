@@ -463,6 +463,32 @@ class HnswSpec extends SparkSpec {
       s"rebuilt reference degenerate: $rebuilt")
   }
 
+  test("append drift trips needsRebuild at the recorded founding size; maintain rebuilds and the trigger resets") {
+    import graft.operators.IndexHealth
+    // round 18: the drift hnswRecallIndexed MEASURES (0.50 vs 0.92 on
+    // the adversarial fixture) now has an automatic trigger — more
+    // than maxAppendedFrac of the live corpus arrived after the
+    // build, so the catalog loop rebuilds without a human reading
+    // the eval
+    val path = tmp("graft-hnsw-agedr")
+    val founding = emb.orderBy(col("vec_id").desc).limit(300)
+      .localCheckpoint()
+    val rest = emb.orderBy(col("vec_id").asc).limit(200).localCheckpoint()
+    Similarity.writeHnswIndex(founding, "vec_id", "embedding", path,
+      nCells = 16, m = 6)
+    assert(!IndexHealth.report(spark, path).needsRebuild)
+    Similarity.appendToHnswIndex(rest, "vec_id", "embedding", path)
+    val h = IndexHealth.report(spark, path)
+    // 200 of 500 live rows post-date the build: 0.4 > the 0.3 default
+    assert(h.kind == "hnsw" && h.needsRebuild, h.toString)
+    val dst = tmp("graft-hnsw-agedr-d")
+    val r = IndexHealth.maintain(spark, path, dst)
+    assert(r.action == "rebuilt" && r.activePath == dst, r.toString)
+    // the rebuild re-records its founding size — the trigger resets
+    assert(!r.after.needsRebuild, r.after.toString)
+    assert(r.after.totalRows == 500, r.after.toString)
+  }
+
   test("recall at matched probe cost meets or beats the compressed IVF-PQ probe") {
     val queries = emb.orderBy("vec_id").limit(5)
       .select(col("vec_id").as("qid"), col("embedding"))
