@@ -14,8 +14,9 @@ object Bench {
     * instead of 153 queries each reading 1.15x. Diagnostic only — the
     * gate still judges raw values.
     *
-    * The workload is pure fixed-shape CPU (range → xxhash64 → sum;
-    * no parquet, no shuffle), so it tracks the machine, not the
+    * The workload is pure fixed-shape CPU (range → xxhash64 →
+    * min/max/count; no parquet, no shuffle), so it tracks the
+    * machine, not the
     * engine. MUST NEVER CHANGE across rounds — it is the unit of
     * measurement the pin is denominated in.
     */
@@ -148,8 +149,11 @@ object Bench {
     import org.apache.spark.sql.functions.{col, count, lit, max, min, xxhash64}
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
-      // min/max/count, not sum — summing 100M hashes overflows long
-      // under ANSI; these still force every hash to be computed
+      // min/max/count, not sum — summing canaryRows (4B) xxhash64
+      // longs overflows under ANSI; these still force every hash to
+      // be computed. The 4B-row sizing is intentional: ~3s/run on
+      // this box, large enough that scheduling noise is <5% of it
+      // (a sub-second canary would measure jitter, not the machine)
       spark.range(0L, canaryRows, 1L, canaryPartitions)
         .select(xxhash64(col("id")).as("h"))
         .agg(min(col("h")), max(col("h")), count(lit(1))).collect()

@@ -1041,14 +1041,13 @@ object Dedup {
   private[graft] def copyLshIngestLog(
       spark: org.apache.spark.sql.SparkSession,
       srcPath: String, dstPath: String): Unit =
-    // read through BatchLog (round 18): the carried history must
+    // carry through BatchLog (round 18): the carried history must
     // include the COMPACTED file, not just the tail — a folded batch
     // id losing its guard at the new path would re-ingest on replay.
     // The new path starts as one tail file; fold it there on the
     // normal cadence ([[compactIngestReplayLog]]).
-    graft.sources.BatchLog.readAll(spark, s"$srcPath/ingest_log")
-      .foreach(_.repartition(1).write.mode("overwrite")
-        .parquet(s"$dstPath/ingest_log"))
+    graft.sources.BatchLog.copyTo(spark,
+      s"$srcPath/ingest_log", s"$dstPath/ingest_log")
 
   /** Fold the LSH ingest loop's replay log into one file + watermark —
     * the [[graft.operators.Similarity.compactIngestReplayLog]] twin

@@ -978,6 +978,10 @@ object Similarity {
       "rebuildIvfIndex: newPath must differ from oldPath (overwrite " +
         "truncates the output before the read runs; swap pointers " +
         "after the rebuild lands)")
+    // ingest-log carry first, data after (the rebuildHnswIndex
+    // ordering; no-op for an index never stream-fed)
+    graft.sources.BatchLog.copyTo(spark,
+      s"$oldPath/ingest_log", s"$newPath/ingest_log")
     // takedown fold: tombstoned vectors leave the rebuild physically
     // and the tombstones are not carried — the new tree starts clean
     val stored = cellsMinusTombstones(
@@ -2375,6 +2379,11 @@ object Similarity {
     require(new org.apache.hadoop.fs.Path(oldPath) !=
         new org.apache.hadoop.fs.Path(newPath),
       "rebuildIvfPqIndex: newPath must differ from oldPath")
+    // ingest-log carry first, data after (the rebuildHnswIndex
+    // ordering): an [[ivfPqIngestBatch]] stream resuming at newPath
+    // keeps its exactly-once guard across the pointer swap
+    graft.sources.BatchLog.copyTo(df.sparkSession,
+      s"$oldPath/ingest_log", s"$newPath/ingest_log")
     // takedown fold: the caller's current corpus may still carry
     // vectors tombstoned on the old index — drop them before training
     // so deleted content influences neither codebook nor centroids
@@ -3358,6 +3367,16 @@ object Similarity {
       "rebuildHnswIndex: newPath must differ from oldPath (overwrite " +
         "truncates the output before the read runs; swap pointers " +
         "after the rebuild lands)")
+    // ingest-log carry FIRST, data after (the compactLshIndex ordering
+    // contract, r18 ADVICE): a [[hnswIngestBatch]] stream resuming
+    // against newPath after the pointer swap must find its replay
+    // guard — IndexHealth's append-drift trigger auto-rebuilds
+    // precisely while ingest streams are live, so a dropped log here
+    // would re-append every Spark-replayed batch as duplicate rows. A
+    // batch landing AFTER the carry is at worst data-without-log: the
+    // resumed stream replays it as an idempotent re-append.
+    graft.sources.BatchLog.copyTo(spark,
+      s"$oldPath/ingest_log", s"$newPath/ingest_log")
     val (m, nCells) = hnswMeta(spark, oldPath)
     val stored = spark.read.parquet(s"$oldPath/cells")
     val attrs = stored.schema.fieldNames.toSeq

@@ -375,8 +375,9 @@ private[queries] object PipelineCuration {
         import org.apache.spark.sql.expressions.Window
         import graft.sources.CorpusStore
         val docs = Tables.load(s, dir, "documents")
-        val tmpRoot = java.nio.file.Files
-          .createTempDirectory("graft-c11").toString
+        // per-run unique, deleted at JVM exit — sweeps re-running the
+        // query must not leak COW stores + checkpoints into /tmp
+        val tmpRoot = PipelineShared.tempRootForRun("graft-c11")
         val store = s"$tmpRoot/store"
         // founding quarter, then three ingest-loop batches (id-keyed
         // quarters — id-unique per batch, the ingest contract)

@@ -19,6 +19,28 @@ import graft.queries.Relational.Q
   */
 private[queries] object PipelineShared {
 
+  /** A per-run unique temp directory that is recursively deleted at
+    * JVM exit (r18 ADVICE): c11-style queries materialize COW stores
+    * and streaming checkpoints under it, and the returned DataFrame
+    * keeps reading from it for the life of the run — so cleanup can't
+    * happen inline, but bench sweeps re-running the query across
+    * rounds must not steadily leak stores into /tmp. One shutdown
+    * hook per created root; the count per JVM is bounded by the
+    * number of query (re)executions in that run.
+    */
+  def tempRootForRun(prefix: String): String = {
+    val root = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: java.io.IOException => () })
+      } catch { case _: Throwable => () }))
+    root.toString
+  }
+
   /** First embedding (vec_id = min) as the query vector for the ANN
     * entries — fetched per scale-factor directory so the query composes
     * at any SF. Memoized: four ANN entries share the identical vector,

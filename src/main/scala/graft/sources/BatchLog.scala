@@ -107,13 +107,31 @@ private[graft] object BatchLog {
     if (srcs.isEmpty) None else Some(spark.read.parquet(srcs: _*))
   }
 
+  /** Carry the full logged history — previous compact file plus tail
+    * — to a log at a FRESH path, as one tail file the destination
+    * folds on its normal cadence. The rebuild-to-new-path carry
+    * (compactLshIndex, rebuildHnswIndex, rebuildIvfPqIndex): a naive
+    * directory copy would drop the compacted history, and SKIPPING
+    * the carry un-guards every logged batch id at the new path — a
+    * stream replay after the pointer swap would re-append rows the
+    * old path already holds. No-op for a log never written.
+    */
+  def copyTo(spark: SparkSession, srcLogPath: String,
+      dstLogPath: String): Unit =
+    readAll(spark, srcLogPath).foreach(
+      _.repartition(1).write.mode("overwrite").parquet(dstLogPath))
+
   /** Whether `batchId` was logged: watermark → compact file → tail.
-    * A FileNotFoundException mid-scan means a concurrent fold retired
+    * A missing-file failure mid-scan means a concurrent fold retired
     * a snapshotted file between resolution and the action — the fold
     * preserves every logged id, so re-resolving and retrying reads
     * the post-fold truth instead of failing the trigger (r17 ADVICE);
     * any other failure propagates (a corrupt log must never silently
-    * downgrade exactly-once to replay-everything).
+    * downgrade exactly-once to replay-everything). Missing-file has
+    * two shapes (r18 ADVICE): FileNotFoundException somewhere in the
+    * cause chain (file deleted mid-read), and AnalysisException
+    * PATH_NOT_FOUND with no FNF cause (the resolved gen=<k> path
+    * deleted between resolution and spark.read's analysis).
     */
   def contains(spark: SparkSession, logPath: String,
       batchId: Long): Boolean = {
@@ -129,10 +147,16 @@ private[graft] object BatchLog {
     }
     try attempt()
     catch {
-      case e: org.apache.spark.SparkException
-          if rootIsFileNotFound(e) => attempt()
-      case _: java.io.FileNotFoundException => attempt()
+      case e: Throwable if isMissingFile(e) => attempt()
     }
+  }
+
+  private[graft] def isMissingFile(t: Throwable): Boolean = t match {
+    case a: org.apache.spark.sql.AnalysisException
+        if a.getCondition == "PATH_NOT_FOUND" ||
+          Option(a.getMessage).exists(_.contains("PATH_NOT_FOUND")) =>
+      true
+    case _ => rootIsFileNotFound(t)
   }
 
   private def rootIsFileNotFound(t: Throwable): Boolean = {

@@ -415,6 +415,41 @@ class HnswSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/results").count() == 40)
   }
 
+  test("rebuild carries the ingest log: carried batch ids stay refused at the new path (folded history included)") {
+    // r18 ADVICE: IndexHealth's append-drift trigger auto-rebuilds
+    // precisely while an ingest stream is live — after the pointer
+    // swap, a Spark-replayed batch id must find its replay guard at
+    // the new path or it re-appends duplicate rows. The carry must
+    // include the FOLDED history (compactLshIndex's contract), so one
+    // batch is folded before the rebuild and one stays in the tail.
+    import graft.sources.BatchLog
+    val path = tmp("graft-hnsw-carry")
+    val first = emb.orderBy("vec_id").limit(250).localCheckpoint()
+    val extra = emb.orderBy(col("vec_id").desc).limit(6).localCheckpoint()
+    Similarity.writeHnswIndex(first, "vec_id", "embedding", path,
+      nCells = 16, m = 6)
+    val b0 = extra.where(pmod(col("vec_id"), lit(2)) === 0)
+    val b1 = extra.where(pmod(col("vec_id"), lit(2)) === 1)
+    Similarity.hnswIngestBatch("vec_id", "embedding", path)(b0, 0L)
+    assert(Similarity.compactIngestReplayLog(spark, path) == 1)
+    Similarity.hnswIngestBatch("vec_id", "embedding", path)(b1, 1L)
+    val dst = tmp("graft-hnsw-carry-dst")
+    Similarity.rebuildHnswIndex(spark, path, dst,
+      strategy = Similarity.SeededCentroids)
+    (0 to 1).foreach(i =>
+      assert(BatchLog.contains(spark, s"$dst/ingest_log", i.toLong),
+        s"batch $i lost its replay guard across the rebuild"))
+    val before = spark.read.parquet(s"$dst/cells").count()
+    Similarity.hnswIngestBatch("vec_id", "embedding", dst)(b0, 0L)
+    Similarity.hnswIngestBatch("vec_id", "embedding", dst)(b1, 1L)
+    assert(spark.read.parquet(s"$dst/cells").count() == before,
+      "a carried batch id re-appended at the rebuilt path")
+    // a genuinely NEW batch id still ingests
+    Similarity.hnswIngestBatch("vec_id", "embedding", dst)(
+      b0.limit(0), 2L)
+    assert(BatchLog.contains(spark, s"$dst/ingest_log", 2L))
+  }
+
   test("recall after appends: entry drift from new min-id nodes is measured, not assumed") {
     // round 18 — r17 verdict task 7: the founding half holds the
     // HIGHEST vec_ids, so every appended batch brings new per-cell

@@ -1692,6 +1692,20 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.knnIvfPqIndexed(spark, dir2, emb, "vec_id",
       "embedding", qv, k = 10, nProbe = 3)
     assertSameRows(a, b)
+    // rebuild carries the ingest log (r18 ADVICE): a replayed batch id
+    // finds its guard at the new path and stays a no-op
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-ivfpq-k").toString
+    Similarity.rebuildIvfPqIndex(emb, "vec_id", "embedding", dir1, dir3,
+      nCells = 8, m = 4, nCodes = 16,
+      strategy = Similarity.SeededCentroids)
+    Seq(1L, 2L).foreach(i =>
+      assert(graft.sources.BatchLog.contains(
+        spark, s"$dir3/ingest_log", i),
+        s"batch $i lost its replay guard across the rebuild"))
+    val rowsBefore = Similarity.cellStats(spark, dir3).totalRows
+    Similarity.ivfPqIngestBatch("vec_id", "embedding", dir3)(batchA, 1L)
+    assert(Similarity.cellStats(spark, dir3).totalRows == rowsBefore,
+      "a carried batch id re-appended at the rebuilt path")
   }
 
   test("ivfpq serving loop: streamed queries equal the direct batch probe, replay is a no-op") {

@@ -901,6 +901,34 @@ class StreamingSpec extends SparkSpec {
       "a folded-and-carried batch id re-ingested at the compacted path")
   }
 
+  test("batch-log missing-file classification: PATH_NOT_FOUND analysis errors retry like FNF; copyTo no-ops on a log never written") {
+    import graft.sources.BatchLog
+    // r18 ADVICE: a concurrent fold deleting the resolved gen=<k>
+    // file between resolution and spark.read's ANALYSIS surfaces as
+    // AnalysisException PATH_NOT_FOUND with no FNF cause — contains()
+    // must classify it as a retryable missing-file, not a corrupt log
+    val pnf = new org.apache.spark.sql.AnalysisException(
+      errorClass = "PATH_NOT_FOUND",
+      messageParameters = Map("path" -> "/nowhere/gen=3/LOG.parquet"))
+    assert(BatchLog.isMissingFile(pnf),
+      "PATH_NOT_FOUND AnalysisException not classified retryable")
+    val fnfWrapped = new org.apache.spark.SparkException("task failed",
+      new RuntimeException(
+        new java.io.FileNotFoundException("/gone.parquet")))
+    assert(BatchLog.isMissingFile(fnfWrapped),
+      "FNF-caused SparkException not classified retryable")
+    // a corrupt log must never silently downgrade exactly-once
+    assert(!BatchLog.isMissingFile(
+      new RuntimeException("parquet footer corrupt")))
+    // carry of an absent log: a rebuild of a never-stream-fed index
+    // writes nothing (and the probe at the new path stays false)
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-blog-copy").toString
+    BatchLog.copyTo(spark, s"$dst/absent_src", s"$dst/ingest_log")
+    assert(BatchLog.tailFiles(spark, s"$dst/ingest_log").isEmpty)
+    assert(!BatchLog.contains(spark, s"$dst/ingest_log", 0L))
+  }
+
   test("streaming semantic decontamination flags near-parallel vectors, statelessly") {
     import graft.operators.{Dedup, Similarity}
     implicit val sqlCtx = spark.sqlContext

@@ -62,7 +62,20 @@ def main():
     canary = None
     if "--canary" in argv:
         i = argv.index("--canary")
-        canary = float(argv[i + 1])
+        if i + 1 >= len(argv):
+            print("--canary requires a value (seconds)\n")
+            print(__doc__)
+            return 2
+        try:
+            canary = float(argv[i + 1])
+        except ValueError:
+            print(f"--canary value {argv[i + 1]!r} is not a number\n")
+            print(__doc__)
+            return 2
+        if canary <= 0:
+            print(f"--canary value must be a positive float, got {canary}\n")
+            print(__doc__)
+            return 2
         argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if a != "--refresh"]
     if not args and canary is None:
