@@ -3471,15 +3471,28 @@ object Similarity {
         s"hnswTuningEval: config (m=$m, ef=$ef, rounds=$rounds) invalid " +
           s"— need m >= 1, rounds >= 1, ef >= k ($k)")
     }
-    // fully DECLARATIVE — joins, windows, unions, aggregates only
-    // (the knnHnsw inline stance): the whole sweep SqlGen-prints
-    // (zero-carve-outs roundtrip) and replays as the s23 oracle's CTE
-    // chains. No collect but the centroid literals, no typed stages.
-    // The shared frames CACHE through the batch scope (the c10
-    // persistTracked idiom — caching wraps execution, never the
-    // analyzed plan, so printability survives): every config's every
-    // round re-joins nodes/edges, and without the cache each join
-    // re-runs the corpus assignment scan.
+    // fully DECLARATIVE — joins, aggregates, and higher-order
+    // lambdas only (the knnHnsw inline stance): the whole sweep
+    // SqlGen-prints (zero-carve-outs roundtrip) and replays as the
+    // s23 oracle's CTE chains. No collect but the centroid literals,
+    // no typed stages.
+    //
+    // Round-19 shape (r18 verdict task 2 — the former per-round
+    // join/window chain was 9 SEQUENTIAL beam stages across the
+    // configs, each a full exchange; at eval scale the sweep was
+    // bound by stage-scheduling latency, data-independent, and its
+    // wall time was the one gate-variance risk in the suite): each
+    // probed cell's nodes and ranked edges PACK into one row of
+    // map/struct-array columns, and a config's whole multi-round walk
+    // runs as ONE aggregate() fold over that row — zero exchanges per
+    // round; the per-config work collapses to a projection over ≤
+    // |Q|·nProbe packed rows plus two tiny aggregations. Every
+    // intermediate set is computed by the same rules as the join form
+    // (cand = beam ∪ rk≤m out-edges, distinct; beam = top-ef by
+    // cosine DESC id ASC; final = top-k across cells; visited =
+    // distinct scored nodes), over the same typed inputs
+    // (array<float> node vecs against the array<double> query), so
+    // every double and therefore the s23 oracle hash is unchanged.
     val mMax = configs.map(_._1).max
     val cents = centroidVectors(corpus, idCol, vecCol, nCells, strategy)
     val indexed = assignCells(corpus, idCol, vecCol, cents)
@@ -3498,59 +3511,94 @@ object Similarity {
     val nodes = Dedup.batchScope.persistTracked(indexed
       .join(probes.select("cell").distinct(), Seq("cell"), "left_semi"))
     // edges ranked to max(m) from ONE self-join; config c walks the
-    // rk <= m_c prefix
-    val edges = Dedup.batchScope.persistTracked(
-      hnswEdges(nodes, mMax).select(
-        col("cell").as("_e_cell"), col("src").as("_e_src"),
-        col("dst"), col("rk")))
-    // entry per (query, probed cell): the cell's min id
-    val beam0 = nodes.groupBy("cell").agg(min("id").as("id"))
-      .join(probes, Seq("cell"))
-      .select(col("query_id"), col("cell"), col("id"))
-    val exact = Dedup.batchScope.persistTracked(
-      knnBruteBatch(queries, qIdCol, qVecCol, corpus, idCol,
-        vecCol, k).select(col("query_id"), col("id")))
-    val nQexpr = qdf.agg(count(lit(1)).as("_t_nq"))
-    val perConfig = configs.map { case (m, ef, rounds) =>
-      val wBeam = Window.partitionBy("query_id", "cell")
-        .orderBy(col("_w_cos").desc, col("id").asc)
-      var beam = beam0
-      var cands: Seq[DataFrame] = Nil
-      (1 to rounds).foreach { _ =>
-        val cand = beam
-          .unionByName(beam.join(edges,
-              col("cell") === col("_e_cell") &&
-                col("id") === col("_e_src") && col("rk") <= m)
-            .select(col("query_id"), col("cell"), col("dst").as("id")))
-          .distinct()
-        cands = cands :+ cand
-        beam = cand.join(nodes.select(col("cell"), col("id"), col("vec")),
-            Seq("cell", "id"))
-          .join(qdf, Seq("query_id"))
-          .withColumn("_w_cos", VectorOps.cosine(col("vec"), col("qv")))
-          .withColumn("_w_rk", row_number().over(wBeam))
-          .where(col("_w_rk") <= ef)
-          .select(col("query_id"), col("cell"), col("id"))
-      }
-      val wTop = Window.partitionBy("query_id")
-        .orderBy(col("_w_cos").desc, col("id").asc)
-      val approx = beam
-        .join(nodes.select(col("cell"), col("id"), col("vec")),
-          Seq("cell", "id"))
-        .join(qdf, Seq("query_id"))
-        .withColumn("_w_cos", VectorOps.cosine(col("vec"), col("qv")))
-        .withColumn("_t_rk", row_number().over(wTop))
-        .where(col("_t_rk") <= k)
+    // length-m prefix of each node's rank-sorted out-edge list
+    val edges = hnswEdges(nodes, mMax)
+    // pack: one row per probed cell — (id → vec) map, (src →
+    // rk-sorted out-edges) map, and the walk entry (min id). A
+    // cell's whole graph rides one row, so a beam round is array
+    // algebra, not an exchange. Eval-bounded by design (the probed
+    // cells of a SAMPLE of queries); serving keeps the in-partition
+    // walk.
+    val nodePack = nodes.groupBy("cell").agg(
+      map_from_entries(collect_list(struct(col("id"), col("vec"))))
+        .as("_p_vecs"),
+      min("id").as("_p_entry"))
+    val edgePack = edges
+      .groupBy("cell", "src")
+      .agg(transform(array_sort(collect_list(struct(col("rk"), col("dst")))),
+        e => e.getField("dst")).as("_p_dsts"))
+      .groupBy("cell")
+      .agg(map_from_entries(collect_list(struct(col("src"), col("_p_dsts"))))
+        .as("_p_adj"))
+    // left join: a 1-node cell has no edges; lookups null-propagate
+    val packed = Dedup.batchScope.persistTracked(
+      nodePack.join(edgePack, Seq("cell"), "left"))
+    val qc = Dedup.batchScope.persistTracked(
+      probes.join(qdf, Seq("query_id")).join(packed, Seq("cell")))
+    val exactPack = Dedup.batchScope.persistTracked(
+      knnBruteBatch(queries, qIdCol, qVecCol, corpus, idCol, vecCol, k)
         .select(col("query_id"), col("id"))
-      // the walk's true read cost: distinct nodes SCORED = the union
-      // of its candidate sets, per query, summed over the sample
-      val vis = cands.map(_.select(col("query_id"), col("id")))
-        .reduce(_ unionByName _).distinct()
-        .groupBy("query_id").agg(count(lit(1)).as("_t_nv"))
-        .agg(sum(col("_t_nv")).as("_t_vis"))
-      val hits = approx.join(exact, Seq("query_id", "id"))
-        .agg(count(lit(1)).as("_t_hits"))
-      hits.crossJoin(vis).crossJoin(nQexpr)
+        .groupBy("query_id")
+        .agg(collect_list(col("id")).as("_p_exact")))
+    val nQexpr = qdf.agg(count(lit(1)).as("_t_nq"))
+    // (cosine DESC, id ASC) — the walk's one total order, as an
+    // array_sort comparator (ids are distinct, so it is total)
+    def byCosDescIdAsc(l: Column, r: Column): Column =
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .when(l.getField("id") < r.getField("id"), -1)
+        .when(l.getField("id") > r.getField("id"), 1)
+        .otherwise(0)
+    def scoredOf(ids: Column): Column = array_sort(
+      transform(ids, i => struct(
+        VectorOps.cosine(element_at(col("_p_vecs"), i), col("qv"))
+          .as("cos"),
+        i.as("id"))),
+      byCosDescIdAsc)
+    // an empty array of the id column's own type, without naming it
+    def emptyLike(c: Column): Column = slice(array(c), 1, 0)
+    val perConfig = configs.map { case (m, ef, rounds) =>
+      // the fold: state = (beam, visited); per round, cand = beam ∪
+      // the rk≤m edge prefix of every beam node (distinct), beam =
+      // ids of the top-ef scored candidates, visited ∪= cand. Every
+      // cand id is a node of the cell, so the vec lookup never misses.
+      def candOf(st: Column): Column = array_distinct(concat(
+        st.getField("beam"),
+        flatten(transform(st.getField("beam"),
+          i => coalesce(slice(element_at(col("_p_adj"), i), 1, m),
+            emptyLike(i))))))
+      val walk = aggregate(
+        sequence(lit(1), lit(rounds)),
+        struct(array(col("_p_entry")).as("beam"),
+          emptyLike(col("_p_entry")).as("vis")),
+        (st, _) => struct(
+          transform(slice(scoredOf(candOf(st)), 1, ef),
+            s => s.getField("id")).as("beam"),
+          array_distinct(concat(st.getField("vis"), candOf(st)))
+            .as("vis")))
+      // per (query, cell): the final beam re-scored for the
+      // cross-cell merge, plus the cell's visited count (cells
+      // partition the ids, so per-cell counts SUM to the per-query
+      // distinct-union the join form counted)
+      val perCell = qc.select(col("query_id"),
+        scoredOf(walk.getField("beam")).as("_p_fin"),
+        size(walk.getField("vis")).as("_p_nv"))
+      val perQuery = perCell.groupBy("query_id").agg(
+        flatten(collect_list(col("_p_fin"))).as("_p_allfin"),
+        sum(col("_p_nv")).as("_p_vis"))
+      // global top-k across the probed cells' beams — same (cosine
+      // DESC, id ASC) order the window form ranked by; hits = |top-k
+      // ∩ exact| (both sides distinct ids)
+      val joined = perQuery.join(exactPack, Seq("query_id"))
+        .select(
+          size(array_intersect(
+            transform(slice(array_sort(col("_p_allfin"), byCosDescIdAsc),
+              1, k), s => s.getField("id")),
+            col("_p_exact"))).as("_p_hits"),
+          col("_p_vis"))
+      val totals = joined.agg(sum(col("_p_hits")).as("_t_hits"),
+        sum(col("_p_vis")).as("_t_vis"))
+      totals.crossJoin(nQexpr)
         .select(lit(m).as("m"), lit(ef).as("ef"), lit(rounds).as("rounds"),
           col("_t_nq").cast("int").as("n_queries"),
           (coalesce(col("_t_hits"), lit(0L)).cast("double") /
