@@ -47,6 +47,40 @@ object Bench {
     */
   private[graft] val retryRatio = 1.5
 
+  /** Dispersion alarm (round 19 — r18 verdict task 8): the r18
+    * driver sweep read canary 0.84 — box FASTER than at pin time —
+    * while one structurally variance-prone query sat at 2.23× its
+    * pin. A scalar canary measures the COMMON mode only; these two
+    * knobs flag the spread: alarm when p90/p50 of the per-query gate
+    * ratios exceeds the band, or when any query's ratio exceeds
+    * outlierFactor·p50 while also being slow in absolute terms
+    * (ratio > 1) — a fast sweep with one hot query is exactly the
+    * failure the canary cannot see. Diagnostic like the canary: the
+    * gate still judges raw values.
+    */
+  private[graft] val dispersionBand = 1.35
+  private[graft] val dispersionOutlierFactor = 1.5
+
+  /** Pure dispersion rule (spec-pinned). Input: (name, gateRatio)
+    * pairs. Output: (p90/p50, outliers, alarm); None under 5 samples
+    * (percentile spread over a handful of ratios is noise, not
+    * signal).
+    */
+  private[graft] def dispersionReport(rs: Seq[(String, Double)])
+      : Option[(Double, Seq[(String, Double)], Boolean)] = {
+    if (rs.size < 5) return None
+    val sorted = rs.sortBy(_._2)
+    def pct(p: Double): Double =
+      sorted(math.min(sorted.size - 1, (p * sorted.size).toInt))._2
+    val p50 = pct(0.5)
+    val p90 = pct(0.9)
+    if (p50 <= 0) return None
+    val spread = p90 / p50
+    val outliers = sorted.filter { case (_, r) =>
+      r > math.max(1.0, dispersionOutlierFactor * p50) }
+    Some((spread, outliers, spread > dispersionBand || outliers.nonEmpty))
+  }
+
   /** Same floor as the gate: sub-second queries, where per-query
     * constants dominate, don't trip retries on scheduler noise.
     */
@@ -373,8 +407,19 @@ object Bench {
     val headroomCanary = cRatio
       .map(r => headroomJson(Bench.normalizeRatios(ratios, r)))
       .getOrElse("{}")
+    // dispersion alarm (round 19): the spread the scalar canary
+    // cannot see — see [[Bench.dispersionReport]]
+    val dispJson = Bench.dispersionReport(ratios) match {
+      case None => "{}"
+      case Some((spread, outliers, alarm)) =>
+        val o = outliers.map { case (n, r) => s"${jstr(n)}:$r" }
+          .mkString("{", ",", "}")
+        s"""{"p90_over_p50":$spread,"band":${Bench.dispersionBand},""" +
+          s""""outlier_factor":${Bench.dispersionOutlierFactor},""" +
+          s""""outliers":$o,"alarm":$alarm}"""
+    }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retries,"adjudicated":$adjJson,"headroom":$headroom,"canary":$canaryJson,"headroom_canary":$headroomCanary,"order":${jstr(orderSpec)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"retried":$retries,"adjudicated":$adjJson,"headroom":$headroom,"canary":$canaryJson,"headroom_canary":$headroomCanary,"dispersion":$dispJson,"order":${jstr(orderSpec)},"sf":"$sfDir"}"""
     println(full)
     // Truncation-proofing, twice over: bounded stdout captures have
     // lost the head (round 3) and the per-query tail (round 4) of the

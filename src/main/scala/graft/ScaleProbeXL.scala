@@ -312,6 +312,135 @@ object ScaleProbeXL {
       }
     }
 
+    // ── graph walk on PQ codes (round 19 — r18 verdict task 1): grow
+    // the probed cell ~100× (6k → 500k nodes) and compare the float
+    // walk's task footprint against the coded walk's. The float
+    // walk's cogroup holds every probed cell's float64 vectors in
+    // one task heap — dim·8 B/node payload plus the boxed decode —
+    // so its peak TRACKS cell·dim; the coded walk replaces that
+    // payload with pqM·4-byte codes + an 8-byte norm (the analytic
+    // walk_bytes columns, ~13× apart at every scale and
+    // DIM-INDEPENDENT — at dim 1024 the gap is 32×) and point-reads
+    // only the final beam's floats. Residual coded growth is the
+    // adjacency map + codes — inherent to walking a cell's graph in
+    // one task, and independent of the vector width that makes
+    // embedding corpora big. Measured on this box (sf0.1 base):
+    // float peak 200→793→3011 MB across 6k→50k→500k; coded
+    // 361→338→1558 MB. rows=10 results per probe pin that both
+    // paths still answer. ──
+    // synthesize a single-cell graph index directly — the whole
+    // replicated corpus in ONE cell, ring adjacency (rank ±1..3) from
+    // a single window pass. The walk contract only needs SOME
+    // adjacency; a quadratic kNN build at 500k-node cells would
+    // measure build cost, not the walk claims under test. Shared by
+    // the coded-mem and hot-cell families.
+    def buildRingIndex(rep: Int): (String, Long) = {
+      import spark.implicits._
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-xl-hnswring$rep").toString
+      val big = saltedEmb(rep)
+        .withColumn("cell", lit(0)).localCheckpoint()
+      val n = big.count()
+      big.select(col("cell"), col("vec_id").as("id"),
+          col("embedding").as("vec"))
+        .write.partitionBy("cell").parquet(s"$dir/cells")
+      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      spark.read.parquet(s"$dir/cells").select("cell", "id")
+        .withColumn("nbrs", array_sort(filter(array(
+          lag("id", 3).over(w), lag("id", 2).over(w),
+          lag("id", 1).over(w), lead("id", 1).over(w),
+          lead("id", 2).over(w), lead("id", 3).over(w)),
+          x => x.isNotNull)))
+        .write.partitionBy("cell").parquet(s"$dir/graph")
+      emb.orderBy("vec_id").limit(1)
+        .select(col("embedding").cast("array<double>").as("cv"),
+          lit(0).as("cell"))
+        .repartition(1).write.parquet(s"$dir/centroids")
+      Seq((6, 1, n)).toDF("m", "n_cells", "n_built")
+        .repartition(1).write.parquet(s"$dir/hnswmeta")
+      operators.Similarity.addPqToHnswIndex(spark, dir, pqM = 8,
+        nCodes = 16)
+      (dir, n)
+    }
+
+    if (fam("hnsw-coded-mem")) {
+      import spark.implicits._
+      for (rep <- Seq(3, 25, 250)) {
+        val (dir, n) = buildRingIndex(rep)
+        val floatBytes = n * dim * 8L
+        val codedBytes = n * (8L * 4L + 8L)
+        val q = emb.orderBy("vec_id").limit(1)
+          .select(col("vec_id").as("query_id"), col("embedding"))
+          .localCheckpoint()
+        def peakDuring(run: () => Long): (Long, Long, Double) = {
+          System.gc(); System.gc()
+          val rt = Runtime.getRuntime
+          val base = rt.totalMemory - rt.freeMemory
+          @volatile var peak = base
+          @volatile var stop = false
+          val sampler = new Thread(() => {
+            while (!stop) {
+              val u = rt.totalMemory - rt.freeMemory
+              if (u > peak) peak = u
+              Thread.sleep(20)
+            }
+          })
+          sampler.setDaemon(true)
+          sampler.start()
+          val t0 = System.nanoTime()
+          val got = run()
+          val sec = (System.nanoTime() - t0) / 1e9
+          stop = true
+          sampler.join()
+          (got, math.max(0L, peak - base) / (1024 * 1024), sec)
+        }
+        val (nf, fPeak, fSec) = peakDuring(() =>
+          operators.Similarity.knnHnswBatch(spark, dir, q, "query_id",
+            "embedding", k = 10, nProbe = 1).count())
+        val (nc, cPeak, cSec) = peakDuring(() =>
+          operators.Similarity.knnHnswBatchCoded(spark, dir, q,
+            "query_id", "embedding", k = 10, nProbe = 1).count())
+        println(f"[probe-xl] hnsw-coded-mem rep=$rep%-4d cell=$n%-8d " +
+          f"float: rows=$nf walk_bytes=${floatBytes / 1024}%-7dKB " +
+          f"peak=${fPeak}MB $fSec%.1fs | " +
+          f"coded: rows=$nc walk_bytes=${codedBytes / 1024}%-6dKB " +
+          f"peak=${cPeak}MB $cSec%.1fs")
+      }
+    }
+
+    // ── hot-cell fan-out (round 19 — r18 verdict task 3): 1024
+    // queries all probing ONE 50k-node cell. Unsalted, the cogroup
+    // walks them serially in one task; salted, the cell replicates
+    // across ≤32 keys and the walks parallelize. Carrying metric:
+    // salted wall-clock well under serial on the SAME query set with
+    // row-identical output counts. Measured on the coded walk (code
+    // replication is ~16× cheaper through the shuffle than floats —
+    // the composition argument for salting + codes). ──
+    if (fam("hnsw-hot-cell")) {
+      import spark.implicits._
+      val (dir, n) = buildRingIndex(25)
+      val qv = emb.orderBy("vec_id").limit(1)
+        .select(col("embedding")).as[Seq[Float]].head()
+      val nq = 1024
+      val hot = spark.range(0, nq)
+        .select(col("id").as("query_id"),
+          typedlit(qv).cast("array<float>").as("embedding"))
+        .localCheckpoint()
+      def timed(saltPerTask: Int): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val got = operators.Similarity.knnHnswBatchCoded(spark, dir, hot,
+          "query_id", "embedding", k = 10, nProbe = 1, ef = 100,
+          rounds = 4, saltQueriesPerTask = saltPerTask).count()
+        (got, (System.nanoTime() - t0) / 1e9)
+      }
+      val (rowsSerial, serialSec) = timed(Int.MaxValue)
+      val (rowsSalted, saltedSec) = timed(64)
+      println(f"[probe-xl] hnsw-hot-cell cell=$n%-7d queries=$nq " +
+        f"serial: rows=$rowsSerial $serialSec%.1fs | " +
+        f"salted(<=32 keys): rows=$rowsSalted $saltedSec%.1fs " +
+        f"(speedup ${serialSec / saltedSec}%.1fx)")
+    }
+
     // ── persisted LSH index: probe a FIXED ingest batch against a 1×
     // vs 10× index. The incremental-dedup claim that carries to
     // 100 TB is that probe cost tracks the BATCH and its candidates

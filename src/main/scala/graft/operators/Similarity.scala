@@ -1256,7 +1256,7 @@ object Similarity {
     * (query_id, id) agreements, restore zero-hit queries via the
     * query spine. Touches only k·|queries| rows per side.
     */
-  private def recallReport(queries: DataFrame, qIdCol: String,
+  private[graft] def recallReport(queries: DataFrame, qIdCol: String,
       approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
     val hits = approx.select("query_id", "id")
       .join(exact.select("query_id", "id"), Seq("query_id", "id"))
@@ -3175,12 +3175,40 @@ object Similarity {
     * queries in one task — the per-cell serving economics this family
     * documents).
     */
+  /** Per-cell salt counts for the hot-cell fan-out:
+    * ceil(queries/threshold), capped so a pathological single-cell
+    * batch cannot replicate a cell past maxCellSalts copies.
+    */
+  private[graft] val maxCellSalts = 32
+  private[graft] def saltsOf(counts: Map[Int, Long],
+      perTask: Int): Map[Int, Int] =
+    counts.map { case (c, n) =>
+      c -> math.min(maxCellSalts.toLong,
+        math.max(1L, (n + perTask - 1) / perTask)).toInt
+    }
+
+  /** `saltQueriesPerTask` (round 19 — r18 verdict task 3, hot-cell
+    * fan-out): the cogroup keys walks BY CELL, so every query probing
+    * a popular cell lands in ONE task and walks serially there — the
+    * realistic serving batch (thousands of queries concentrated on a
+    * few hot cells) was throughput-bound by one core per cell. Above
+    * the threshold the cell's rows REPLICATE across ceil(q/threshold)
+    * salt keys (capped at maxCellSalts) and each query hashes to one
+    * salt — per-task state is unchanged (one cell copy + a slice of
+    * the queries), wall-clock parallelizes, and results are
+    * row-identical because every salt replica holds the FULL cell
+    * (spec-pinned). The cost is shipping the cell S× through the
+    * shuffle — exactly the trade the coded walk shrinks 16×.
+    */
   def knnHnswBatch(
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       k: Int, nProbe: Int = 4, ef: Int = 12, rounds: Int = 4,
-      predicate: Option[Column] = None): DataFrame = {
+      predicate: Option[Column] = None,
+      saltQueriesPerTask: Int = 64): DataFrame = {
     require(ef >= k, s"knnHnswBatch: ef ($ef) must be >= k ($k)")
+    require(saltQueriesPerTask >= 1,
+      "knnHnswBatch: saltQueriesPerTask must be >= 1")
     requireIntegralId(queries, qIdCol)
     import spark.implicits._
     val cents = readCentroids(spark, path)
@@ -3198,31 +3226,40 @@ object Similarity {
         explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
           s => s.getField("cell"))).as("cell"))
       .localCheckpoint() // two consumers: the cell-union collect + the walk
-    // bounded collect: ≤ nCells distinct values prune BOTH index trees
-    val allCells = probes.select("cell").distinct()
-      .as[Int].collect().toIndexedSeq
+    // bounded collect: ≤ nCells rows — the probed-cell union prunes
+    // BOTH index trees AND sizes each cell's salt fan-out
+    val cellCounts = probes.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    val allCells = cellCounts.keys.toIndexedSeq.sorted
+    val salts = saltsOf(cellCounts, saltQueriesPerTask)
+    val saltLit = typedlit(salts)
     val walked = hnswCellRows(spark, path, allCells, predicate)
-      .select(col("cell"), col("id"),
-        col("vec").cast("array<double>").as("vec"), col("nbrs"),
-        col("_dead"), col("_hide"))
-      .as[(Int, Long, Seq[Double], Option[Seq[Long]], Boolean, Boolean)]
-      .groupByKey(_._1)
-      .cogroup(probes.select(col("cell"), col("qid"), col("qv"))
-        .as[(Int, Long, Seq[Double])].groupByKey(_._1)) {
+      .select(col("cell"),
+        explode(sequence(lit(0),
+          element_at(saltLit, col("cell")) - 1)).as("_salt"),
+        col("id"), col("vec").cast("array<double>").as("vec"),
+        col("nbrs"), col("_dead"), col("_hide"))
+      .as[(Int, Int, Long, Seq[Double], Option[Seq[Long]], Boolean, Boolean)]
+      .groupByKey(r => (r._1, r._2))
+      .cogroup(probes.select(col("cell"),
+          pmod(xxhash64(col("qid")), element_at(saltLit, col("cell")))
+            .cast("int").as("_salt"),
+          col("qid"), col("qv"))
+        .as[(Int, Int, Long, Seq[Double])].groupByKey(r => (r._1, r._2))) {
         (_, nodeIt, qIt) =>
           val rows = nodeIt.toArray
           if (rows.isEmpty) Iterator.empty
           else {
-            val ids = rows.map(_._2)
-            val vecs = rows.map(_._3.toArray)
+            val ids = rows.map(_._3)
+            val vecs = rows.map(_._4.toArray)
             val adj = rows.collect {
-              case (_, id, _, Some(ns), _, _) => id -> ns.toArray
+              case (_, _, id, _, Some(ns), _, _) => id -> ns.toArray
             }.toMap
             val dead = rows.collect {
-              case (_, id, _, _, true, _) => id }.toSet
+              case (_, _, id, _, _, true, _) => id }.toSet
             val hide = rows.collect {
-              case (_, id, _, _, _, true) => id }.toSet
-            qIt.flatMap { case (_, qid, qv) =>
+              case (_, _, id, _, _, _, true) => id }.toSet
+            qIt.flatMap { case (_, _, qid, qv) =>
               walkCell(qv.toArray, ids, vecs, adj, dead, hide, ef, rounds)
                 .map { case (id, c) => (qid, id, c) }
             }
@@ -3235,6 +3272,349 @@ object Similarity {
       .select(col("query_id"), explode(col("top")).as("e"))
       .select(col("query_id"), col("e.id").as("id"),
         col("e.ord").as("cosine"))
+  }
+
+  /** Attach a PQ code sidecar to a persisted graph index (round 19 —
+    * r18 verdict task 1, the family's last scale cliff): the serving
+    * walks ([[walkCells]], [[knnHnswBatch]]'s cogroup) hold every
+    * probed cell's FULL float64 vectors in one task heap, so task
+    * memory grows linearly with cell size — dim·8 bytes per node.
+    * This trains a PQ codebook over the stored vectors (the s11
+    * machinery) and writes `path/pqcodes` (cell-partitioned m-byte
+    * codes + norms) and `path/pq/codebook`; the CODED walks
+    * ([[knnHnswIndexedCoded]] / [[knnHnswBatchCoded]]) then walk the
+    * beam on ADC scores — m LUT lookups per candidate, pqM·4 bytes
+    * of codes per node in the task heap instead of dim·8 of floats —
+    * and exact-rerank ONLY the final beam against the float tree via
+    * the bounded static-In point read ([[exactRerankIsin]]'s
+    * stance). Per-task memory becomes FLAT in the vector dimension
+    * and ~dim·8/(pqM·4)× smaller per node; recall at matched knobs
+    * is pinned against the float walk (HnswSpec), not assumed.
+    *
+    * Lifecycle: [[appendToHnswIndex]] extends the sidecar with the
+    * STORED codebook (appends stay probe-consistent);
+    * [[rebuildHnswIndex]] retrains a fresh sidecar at the new path
+    * when the old index carries one (drift absorption, the rebuild
+    * stance); tombstones are honored by the walk itself (dead nodes
+    * route, never emit, never seed).
+    */
+  def addPqToHnswIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, pqM: Int, nCodes: Int, opq: Boolean = false): Unit = {
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("cell"), col("id"), col("vec"))
+    val cb = pqTrainCodebook(cells, "id", "vec", pqM, nCodes, opq = opq)
+    writeHnswPqCodes(cells, cb, path, "overwrite")
+    dumpCodebook(spark, cb, s"$path/pq")
+  }
+
+  /** Encode (cell, id, vec) rows with the index's codebook and land
+    * them in the cell-partitioned sidecar — build + append legs
+    * share the one encoder so codes never drift by path.
+    */
+  private def writeHnswPqCodes(cells: DataFrame, cb: PqCodebook,
+      path: String, mode: String): Unit = {
+    val enc = cb.rotation.map(rotateExpr(col("vec").cast("array<double>"), _))
+      .getOrElse(col("vec"))
+    cells.select(col("cell"), col("id").cast("long").as("id"),
+        graft.functions.VectorOps.pqEncodeCodes(
+          enc, cb.flat, cb.m, cb.nCodes).as("codes"),
+        sqrt(VectorOps.dot(col("vec"), col("vec"))).as("norm"))
+      .write.mode(mode).partitionBy("cell").parquet(s"$path/pqcodes")
+  }
+
+  /** Whether the graph index at `path` carries the PQ sidecar. */
+  def hnswHasPq(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/pqcodes")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** [[walkCell]] on ADC scores: identical beam mechanics (min LIVE
+    * id entry, cand = beam ∪ out-edges, top-ef by (score DESC, id
+    * ASC), dead/hidden route-but-never-emit) with the cosine replaced
+    * by the PQ approximation Σ lut(s·nCodes + code_s) / (qnorm·norm)
+    * — the [[knnPqBatch]] kernel's exact arithmetic, accumulated in
+    * the same left-to-right order. Returns the final live+visible
+    * beam IDS only: exact cosines are the rerank's job, computed
+    * against the float tree the walk never reads.
+    */
+  private def walkCellAdc(lut: Array[Double], nCodes: Int,
+      qnorm: Double, ids: Array[Long], codes: Array[Array[Int]],
+      norms: Array[Double], nbrs: Map[Long, Array[Long]],
+      dead: Long => Boolean, hidden: Long => Boolean,
+      ef: Int, rounds: Int): Seq[Long] = {
+    val idx = ids.zipWithIndex.toMap
+    val score = scala.collection.mutable.HashMap.empty[Long, Double]
+    def scoreOf(id: Long): Double = score.getOrElseUpdate(id, {
+      val i = idx(id)
+      val cs = codes(i)
+      var s = 0d
+      var j = 0
+      while (j < cs.length) { s += lut(j * nCodes + cs(j)); j += 1 }
+      val denom = qnorm * norms(i)
+      if (denom == 0d) 0d else s / denom
+    })
+    val live = ids.filterNot(dead)
+    if (live.isEmpty) return Nil
+    var beam = Vector(live.min)
+    var r = 0
+    while (r < rounds) {
+      val cand = (beam ++ beam.flatMap(id =>
+        nbrs.getOrElse(id, Array.empty[Long]))).distinct
+      beam = cand.sortBy(id => (-scoreOf(id), id)).take(ef)
+      r += 1
+    }
+    beam.filterNot(id => dead(id) || hidden(id))
+  }
+
+  /** (cell, id, codes, norm, nbrs, dead, hide) rows of the probed
+    * cells — the coded walk's input. The float `vec` column is NEVER
+    * read: codes+norms come from the sidecar, adjacency from the
+    * graph tree, and the predicate's hide flag is evaluated against
+    * the cells tree's ATTRIBUTE columns only (column pruning keeps
+    * the vector bytes out of that scan too).
+    */
+  private def hnswCodedCellRows(spark: org.apache.spark.sql.SparkSession,
+      path: String, cells: Seq[Int],
+      predicate: Option[Column]): DataFrame = {
+    val codes = spark.read.parquet(s"$path/pqcodes")
+      .where(col("cell").isin(cells: _*))
+      .select(col("cell"), col("id"), col("codes"), col("norm"))
+    val withHide = predicate match {
+      case Some(p) => codes.join(
+        spark.read.parquet(s"$path/cells")
+          .where(col("cell").isin(cells: _*))
+          .select(col("cell"), col("id"),
+            (!coalesce(p, lit(false))).as("_hide")),
+        Seq("cell", "id"), "left")
+        // a coded row with no cells-tree twin cannot prove it passes
+        .withColumn("_hide", coalesce(col("_hide"), lit(true)))
+      case None => codes.withColumn("_hide", lit(false))
+    }
+    val withNbrs = withHide.join(
+      spark.read.parquet(s"$path/graph")
+        .where(col("cell").isin(cells: _*))
+        .select(col("cell"), col("id"), col("nbrs")),
+      Seq("cell", "id"), "left")
+    ivfTombstones(spark, path) match {
+      case Some(t) => withNbrs
+        .join(broadcast(t.withColumn("_dead", lit(true))), Seq("id"), "left")
+        .select(col("cell"), col("id"), col("codes"), col("norm"),
+          col("nbrs"), coalesce(col("_dead"), lit(false)).as("_dead"),
+          col("_hide"))
+      case None => withNbrs.select(col("cell"), col("id"), col("codes"),
+        col("norm"), col("nbrs"), lit(false).as("_dead"), col("_hide"))
+    }
+  }
+
+  /** The per-query LUT + rotated-norm, driver-side, mirroring the
+    * declarative [[knnPqBatch]] LUT expression entry-for-entry (same
+    * slice offsets, same left-to-right accumulation).
+    */
+  private def adcLutOf(cb: PqCodebook,
+      qd: Array[Double]): (Array[Double], Double) = {
+    val qr = cb.rotation
+      .map(r => r.map(row => dotSeq(row, qd, 0)))
+      .getOrElse(qd)
+    val lut = Array.tabulate(cb.m * cb.nCodes) { i =>
+      val s = i / cb.nCodes
+      val c = i % cb.nCodes
+      dotSeq(qr, cb.codebooks(s)(c), s * cb.subDim)
+    }
+    (lut, math.sqrt(dotSeq(qr, qr, 0)))
+  }
+
+  /** Memory-bounded probe of a persisted graph index (round 19): the
+    * beam walks the probed cells on PQ codes (the [[addPqToHnswIndex]]
+    * sidecar), then ONLY the final beam's ≤ ef·nProbe ids point-read
+    * the float tree through a static `In` filter for the exact
+    * rerank. Task heap per probed cell: pqM·4-byte codes + an 8-byte
+    * norm per node — flat in the vector dimension; the float column
+    * is read for ≤ ef·nProbe rows total. Recall at matched knobs vs
+    * the float walk is measured ([[hnswRecallIndexedCoded]]), not
+    * assumed — codes approximate the ranking, so beams can diverge
+    * where ADC transposes near-equal scores.
+    */
+  def knnHnswIndexedCoded(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Float], k: Int, nProbe: Int = 4,
+      ef: Int = 12, rounds: Int = 4,
+      predicate: Option[Column] = None): DataFrame = {
+    require(ef >= k, s"knnHnswIndexedCoded: ef ($ef) must be >= k ($k)")
+    import spark.implicits._
+    val cb = readPqCodebook(spark, s"$path/pq")
+    val qd = query.map(_.toDouble)
+    val (lut, qnorm) = adcLutOf(cb, qd)
+    val probeCells = readCentroids(spark, path).zipWithIndex
+      .map { case (cv, cell) =>
+        (cv.zip(qd).map { case (a, b) => a * b }.sum, cell)
+      }
+      .sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2)
+    val nCodes = cb.nCodes
+    val beamIds = hnswCodedCellRows(spark, path,
+        probeCells.toIndexedSeq, predicate)
+      .select(col("cell"), col("id"), col("codes"), col("norm"),
+        col("nbrs"), col("_dead"), col("_hide"))
+      .as[(Int, Long, Seq[Int], Double, Option[Seq[Long]], Boolean, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map(r =>
+          (r._2, r._3.toArray, r._4, r._5.map(_.toArray), r._6, r._7))
+          .toArray
+        val ids = rows.map(_._1)
+        val codes = rows.map(_._2)
+        val norms = rows.map(_._3)
+        val adj = rows.collect { case (id, _, _, Some(ns), _, _) =>
+          id -> ns }.toMap
+        val dead = rows.collect { case (id, _, _, _, true, _) => id }.toSet
+        val hide = rows.collect { case (id, _, _, _, _, true) => id }.toSet
+        walkCellAdc(lut, nCodes, qnorm, ids, codes, norms, adj,
+          dead, hide, ef, rounds).iterator
+      }
+      .collect() // bounded: ≤ ef · nProbe ids — the s12 point-read set
+    exactRerankIsin(
+      spark.read.parquet(s"$path/cells")
+        .where(col("cell").isin(probeCells.toIndexedSeq: _*)),
+      "id", "vec", beamIds, query, k)
+  }
+
+  /** Batch form of the coded walk — [[knnHnswBatch]]'s distributed
+    * shape (per-query probes in the plan, typed cogroup on cell) with
+    * the walk on ADC scores: each query ships its (m·nCodes)-double
+    * LUT through the probe shuffle instead of nothing extra (the
+    * float walk ships qv anyway), the cogrouped task holds codes not
+    * vectors, and the final ≤ |Q|·ef·nProbe candidates exact-rerank
+    * against the float tree — static-In point read when the
+    * collected set fits [[maxRerankRows]] (the serving shape), join
+    * rerank past it (no driver cliff at any batch size).
+    */
+  def knnHnswBatchCoded(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      k: Int, nProbe: Int = 4, ef: Int = 12, rounds: Int = 4,
+      predicate: Option[Column] = None,
+      saltQueriesPerTask: Int = 64): DataFrame = {
+    require(ef >= k, s"knnHnswBatchCoded: ef ($ef) must be >= k ($k)")
+    require(saltQueriesPerTask >= 1,
+      "knnHnswBatchCoded: saltQueriesPerTask must be >= 1")
+    requireIntegralId(queries, qIdCol)
+    import spark.implicits._
+    val cb = readPqCodebook(spark, s"$path/pq")
+    val cents = readCentroids(spark, path)
+    val scoreStructs = array(cents.zipWithIndex.map { case (c, i) =>
+      struct((-VectorOps.dot(col("qv"), typedlit(c.toSeq))).as("neg"),
+             lit(i).as("cell"))
+    }.toIndexedSeq: _*)
+    // OPQ: the LUT and its norm read the ROTATED query; centroid
+    // ranking stays on the original (the ivfPqBatchIndexedImpl
+    // contract)
+    val lutExpr = array((for { s <- 0 until cb.m; c <- 0 until cb.nCodes }
+      yield VectorOps.dot(
+        slice(col("qvr"), lit(s * cb.subDim + 1), lit(cb.subDim)),
+        typedlit(cb.codebooks(s)(c).toSeq))): _*)
+    val probes = queries
+      .select(col(qIdCol).cast("long").as("qid"),
+        col(qVecCol).as("qvf"),
+        col(qVecCol).cast("array<double>").as("qv"))
+      .withColumn("qvr", cb.rotation
+        .map(rotateExpr(col("qv"), _)).getOrElse(col("qv")))
+      .select(col("qid"), col("qvf"),
+        explode(transform(slice(array_sort(scoreStructs), 1, nProbe),
+          s => s.getField("cell"))).as("cell"),
+        lutExpr.as("lut"),
+        sqrt(VectorOps.dot(col("qvr"), col("qvr"))).as("qnorm"))
+      .localCheckpoint() // three consumers: cell union, walk, rerank
+    // bounded collect sizes the hot-cell salt fan-out too (the
+    // knnHnswBatch treatment — replicating CODES is 16× cheaper than
+    // replicating floats, which is why salting composes best here)
+    val cellCounts = probes.groupBy("cell").count()
+      .as[(Int, Long)].collect().toMap
+    val allCells = cellCounts.keys.toIndexedSeq.sorted
+    val salts = saltsOf(cellCounts, saltQueriesPerTask)
+    val saltLit = typedlit(salts)
+    val nCodes = cb.nCodes
+    val cand = hnswCodedCellRows(spark, path, allCells, predicate)
+      .select(col("cell"),
+        explode(sequence(lit(0),
+          element_at(saltLit, col("cell")) - 1)).as("_salt"),
+        col("id"), col("codes"), col("norm"),
+        col("nbrs"), col("_dead"), col("_hide"))
+      .as[(Int, Int, Long, Seq[Int], Double, Option[Seq[Long]], Boolean, Boolean)]
+      .groupByKey(r => (r._1, r._2))
+      .cogroup(probes.select(col("cell"),
+          pmod(xxhash64(col("qid")), element_at(saltLit, col("cell")))
+            .cast("int").as("_salt"),
+          col("qid"), col("lut"), col("qnorm"))
+        .as[(Int, Int, Long, Seq[Double], Double)]
+        .groupByKey(r => (r._1, r._2))) {
+        (_, nodeIt, qIt) =>
+          val rows = nodeIt.map(r =>
+            (r._3, r._4.toArray, r._5, r._6.map(_.toArray), r._7, r._8))
+            .toArray
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val ids = rows.map(_._1)
+            val codes = rows.map(_._2)
+            val norms = rows.map(_._3)
+            val adj = rows.collect { case (id, _, _, Some(ns), _, _) =>
+              id -> ns }.toMap
+            val dead = rows.collect {
+              case (id, _, _, _, true, _) => id }.toSet
+            val hide = rows.collect {
+              case (id, _, _, _, _, true) => id }.toSet
+            qIt.flatMap { case (_, _, qid, lut, qnorm) =>
+              walkCellAdc(lut.toArray, nCodes, qnorm, ids, codes, norms,
+                adj, dead, hide, ef, rounds).map(id => (qid, id))
+            }
+          }
+      }
+      .toDF("query_id", "id").distinct()
+    // exact rerank over the float tree (probed cells only): the
+    // ivfPqBatchIndexedImpl point-read-or-join tail
+    val vectors = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(allCells: _*))
+      .select(col("id").cast("long").as("id"), col("vec"))
+    val pointRead: Option[(Array[org.apache.spark.sql.Row], Array[Long])] = {
+      val rows = cand.limit(maxRerankRows + 1).collect()
+      if (rows.length > maxRerankRows) None
+      else Some((rows, rows.map(_.getLong(1)).distinct.sorted))
+    }
+    val rerankBase = pointRead match {
+      case Some((candRows, candIds)) =>
+        val candDf = spark.createDataFrame(
+          java.util.Arrays.asList(candRows: _*), cand.schema)
+        vectors.where(col("id").isin(candIds.toIndexedSeq: _*))
+          .join(broadcast(candDf), "id")
+      case None => vectors.join(cand, "id")
+    }
+    rerankBase
+      .join(probes.select(col("qid").as("query_id"), col("qvf")).distinct(),
+        "query_id")
+      .select(col("query_id"), col("id"),
+        VectorOps.cosine(col("vec"), col("qvf")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopK.topk(col("cosine"), col("id"), k).as("top"))
+      .select(col("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"),
+        col("e.ord").as("cosine"))
+  }
+
+  /** [[hnswRecallIndexed]] for the coded walk — the eval that earns
+    * the sidecar its serving role: recall at matched knobs vs the
+    * brute truth, comparable row-for-row with the float walk's
+    * report on the same queries.
+    */
+  def hnswRecallIndexedCoded(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 4, ef: Int = 12, rounds: Int = 4): DataFrame = {
+    val approx = knnHnswBatchCoded(spark, path, queries, qIdCol, qVecCol,
+      k, nProbe, ef, rounds)
+    val exact = knnBruteBatch(queries, qIdCol, qVecCol, corpus, idCol,
+      vecCol, k)
+    recallReport(queries, qIdCol, approx, exact, k)
   }
 
   /** The persisted graph index's build parameters (m, n_cells) —
@@ -3293,6 +3673,12 @@ object Similarity {
       extraCols = attrs).localCheckpoint()
     assigned.write.mode("append").partitionBy("cell")
       .parquet(s"$path/cells")
+    // PQ sidecar (round 19): appended nodes encode with the STORED
+    // codebook — a coded walk after the append sees every node, or
+    // the sidecar would silently hide new content from serving
+    if (hnswHasPq(spark, path))
+      writeHnswPqCodes(assigned.select("cell", "id", "vec"),
+        readPqCodebook(spark, s"$path/pq"), path, "append")
     val touched = assigned.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by nCells
     knitHnswCells(spark, path, touched)
@@ -3386,6 +3772,14 @@ object Similarity {
       ivfTombstones(spark, oldPath))
     writeHnswIndex(clean, "id", "vec", newPath, nCells, m, strategy,
       attrCols = attrs)
+    // PQ sidecar (round 19): retrain over the clean corpus at the
+    // SAME code shape — an auto-rebuild (IndexHealth's append-drift
+    // trigger) must not silently drop the coded serving path
+    if (hnswHasPq(spark, oldPath)) {
+      val cbOld = readPqCodebook(spark, s"$oldPath/pq")
+      addPqToHnswIndex(spark, newPath, cbOld.m, cbOld.nCodes,
+        opq = cbOld.rotation.isDefined)
+    }
   }
 
   /** Recall@k of the graph walk against the exact brute top-k —
@@ -3401,16 +3795,18 @@ object Similarity {
       k: Int, nCells: Int = 16, nProbe: Int = 4,
       m: Int = 6, ef: Int = 12, rounds: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
-    val qs = queries
-      .select(col(qIdCol).cast("long").as("qid"),
-        col(qVecCol).cast("array<float>").as("qv"))
-      .as[(Long, Seq[Float])].collect()
-    val approx = qs.map { case (qid, qv) =>
-      knnHnsw(corpus, idCol, vecCol, qv.toArray, k, nCells, nProbe,
-        m, ef, rounds)
-        .select(lit(qid).as("query_id"), col("id"))
-    }.reduce(_ unionByName _)
+    // ride the BATCH probe (round 19 — r18 verdict task 4; the old
+    // form collected the queries and unioned one inline knnHnsw plan
+    // PER query — a 500-query eval built a 500-arm union of unrolled
+    // join chains that took minutes to plan): build the index once
+    // (same build inputs — SeededCentroids, the knnHnsw default, so
+    // per-query results are the pinned inline≡indexed parity) into a
+    // run-scoped temp dir and fan every query through the one
+    // cogrouped walk hnswRecallIndexed already rides.
+    val path = graft.TempRoots.forRun("graft-recall-hnsw")
+    writeHnswIndex(corpus, idCol, vecCol, path, nCells, m)
+    val approx = knnHnswBatch(spark, path, queries, qIdCol, qVecCol,
+      k, nProbe, ef, rounds)
     val exact = knnBruteBatch(queries, qIdCol, qVecCol, corpus, idCol,
       vecCol, k)
     recallReport(queries, qIdCol, approx, exact, k)

@@ -28,18 +28,8 @@ private[queries] object PipelineShared {
     * hook per created root; the count per JVM is bounded by the
     * number of query (re)executions in that run.
     */
-  def tempRootForRun(prefix: String): String = {
-    val root = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
-            catch { case _: java.io.IOException => () })
-      } catch { case _: Throwable => () }))
-    root.toString
-  }
+  def tempRootForRun(prefix: String): String =
+    graft.TempRoots.forRun(prefix)
 
   /** First embedding (vec_id = min) as the query vector for the ANN
     * entries — fetched per scale-factor directory so the query composes

@@ -111,4 +111,37 @@ class BenchLogicSpec extends AnyFunSuite {
     val quoted = Bench.retryArtifactValue(1.0, 0.1, Some("a\"b"))
     assert(quoted.contains("a\\\"b"), quoted)
   }
+
+  test("dispersionReport: p90/p50 + slow-side outliers; alarm on either; silent under 5 samples") {
+    // the r18 failure mode: a quiet sweep (p50 ~0.95) with ONE query
+    // at 2.23x its pin while the canary read FAST — the outlier leg
+    // must flag it even though p90/p50 stays in band
+    val quietButOneHot = Seq(
+      "a" -> 0.9, "b" -> 0.95, "c" -> 1.0, "d" -> 1.05, "e" -> 0.92,
+      "f" -> 0.97, "g" -> 1.1, "h" -> 0.88, "i" -> 1.02, "s23" -> 2.23)
+    val Some((spread1, out1, alarm1)) = Bench.dispersionReport(quietButOneHot)
+    assert(alarm1 && out1.map(_._1) == Seq("s23"),
+      s"outlier leg missed the hot query: $out1 (spread $spread1)")
+    // a uniformly quiet sweep: no alarm, no outliers
+    val quiet = Seq("a" -> 0.9, "b" -> 0.95, "c" -> 1.0, "d" -> 1.05,
+      "e" -> 0.92, "f" -> 0.97, "g" -> 1.1, "h" -> 0.88)
+    val Some((_, out2, alarm2)) = Bench.dispersionReport(quiet)
+    assert(!alarm2 && out2.isEmpty, s"false alarm on a quiet sweep: $out2")
+    // a uniformly HOT sweep (every ratio ~1.8): the canary's job, not
+    // this alarm's — outliers need r > outlierFactor*p50, and the
+    // spread stays flat
+    val hotCommon = Seq("a" -> 1.7, "b" -> 1.75, "c" -> 1.8, "d" -> 1.85,
+      "e" -> 1.72, "f" -> 1.77, "g" -> 1.9, "h" -> 1.68)
+    val Some((_, out3, alarm3)) = Bench.dispersionReport(hotCommon)
+    assert(!alarm3 && out3.isEmpty,
+      s"dispersion alarm fired on a common-mode-hot sweep: $out3")
+    // wide spread without a single >1.5x-of-p50 point past 1.0 still
+    // alarms via the band leg
+    val spreadWide = Seq("a" -> 0.5, "b" -> 0.55, "c" -> 0.6, "d" -> 0.9,
+      "e" -> 0.95, "f" -> 0.6, "g" -> 0.58, "h" -> 0.92)
+    val Some((sp4, _, alarm4)) = Bench.dispersionReport(spreadWide)
+    assert(alarm4 && sp4 > Bench.dispersionBand, s"band leg missed: $sp4")
+    // bounded-sample silence: percentile spread over 4 ratios is noise
+    assert(Bench.dispersionReport(quiet.take(4)).isEmpty)
+  }
 }

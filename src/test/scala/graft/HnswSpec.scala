@@ -450,6 +450,102 @@ class HnswSpec extends SparkSpec {
     assert(BatchLog.contains(spark, s"$dst/ingest_log", 2L))
   }
 
+  test("coded walk: covering probe is exact, recall matches the float walk at matched knobs, batch equals single probes") {
+    // round 19 — r18 verdict task 1: the serving walk on PQ codes
+    // (ADC beam) + the bounded point-read exact rerank. Correctness
+    // anchor first: a COVERING coded walk (complete graph, every
+    // cell probed, beam ≥ cell) visits every node no matter how ADC
+    // ranks them, and the rerank is exact — so the output must equal
+    // brute force with no recall argument.
+    val path = tmp("graft-hnsw-pqc")
+    Similarity.writeHnswIndex(emb, "vec_id", "embedding", path,
+      nCells = 8, m = 500, attrCols = Seq("label"))
+    Similarity.addPqToHnswIndex(spark, path, pqM = 8, nCodes = 16)
+    val covering = Similarity.knnHnswIndexedCoded(spark, path, query,
+      k = 10, nProbe = 8, ef = 500, rounds = 2)
+    val brute = Similarity.knnBrute(emb, "vec_id", "embedding", query,
+      k = 10)
+    assert(rows(covering) == rows(brute), "covering coded walk not exact")
+
+    // matched-knobs recall: the tuned index (m=6) walked on codes vs
+    // on floats, same (k, nProbe, ef, rounds), brute truth
+    val tuned = tmp("graft-hnsw-pqt")
+    Similarity.writeHnswIndex(emb, "vec_id", "embedding", tuned,
+      nCells = 16, m = 6, attrCols = Seq("label"))
+    Similarity.addPqToHnswIndex(spark, tuned, pqM = 8, nCodes = 16)
+    val queries5 = emb.orderBy("vec_id").limit(5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    def avgOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(org.apache.spark.sql.functions.avg("recall")).as[Double].head()
+    val floatR = avgOf(Similarity.hnswRecallIndexed(spark, tuned,
+      queries5, "qid", "embedding", emb, "vec_id", "embedding",
+      k = 10, nProbe = 4, ef = 20, rounds = 4))
+    val codedR = avgOf(Similarity.hnswRecallIndexedCoded(spark, tuned,
+      queries5, "qid", "embedding", emb, "vec_id", "embedding",
+      k = 10, nProbe = 4, ef = 20, rounds = 4))
+    info(f"recall@10 float=$floatR%.3f coded=$codedR%.3f")
+    assert(codedR >= floatR - 0.1,
+      s"coded walk recall $codedR collapsed vs float walk $floatR")
+
+    // batch surface ≡ per-query coded probes (the family's parity
+    // stance)
+    val batch = Similarity.knnHnswBatchCoded(spark, tuned, queries5,
+      "qid", "embedding", k = 10, nProbe = 4, ef = 20, rounds = 4)
+    queries5.as[(Long, Seq[Float])].collect().foreach { case (qid, qv) =>
+      val single = Similarity.knnHnswIndexedCoded(spark, tuned,
+        qv.toArray, k = 10, nProbe = 4, ef = 20, rounds = 4)
+      assert(rows(batch.where(col("query_id") === qid)
+        .select("id", "cosine")) == rows(single),
+        s"coded batch result for query $qid diverges")
+    }
+  }
+
+  test("coded walk lifecycle: appends encode with the stored codebook, tombstones never emit, filters mask emission, rebuild retrains the sidecar") {
+    val path = tmp("graft-hnsw-pql")
+    val first = emb.orderBy("vec_id").limit(250).localCheckpoint()
+    val extra = emb.orderBy(col("vec_id").desc).limit(6).localCheckpoint()
+    Similarity.writeHnswIndex(first, "vec_id", "embedding", path,
+      nCells = 8, m = 6, attrCols = Seq("label"))
+    Similarity.addPqToHnswIndex(spark, path, pqM = 8, nCodes = 16)
+    // append extends the sidecar: a covering coded probe AT an
+    // appended vector must return it (exact self-match, cosine 1)
+    Similarity.appendToHnswIndex(extra, "vec_id", "embedding", path)
+    assert(spark.read.parquet(s"$path/pqcodes").count() == 256,
+      "append did not extend the pq sidecar")
+    val (aid, av) = extra.orderBy("vec_id")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].head()
+    val hit = Similarity.knnHnswIndexedCoded(spark, path, av.toArray,
+      k = 5, nProbe = 8, ef = 300, rounds = 3)
+    assert(hit.select("id").as[Long].collect().contains(aid),
+      "appended vector invisible to the coded walk")
+    // tombstone: delete it — the coded walk must never return it
+    Similarity.deleteFromIvfIndex(Seq(aid).toDF("id"), "id", path)
+    val afterDel = Similarity.knnHnswIndexedCoded(spark, path, av.toArray,
+      k = 5, nProbe = 8, ef = 300, rounds = 3)
+    assert(!afterDel.select("id").as[Long].collect().contains(aid),
+      "tombstoned id emitted by the coded walk")
+    // filtered: only predicate-passing ids emit (emission mask, the
+    // s24 contract), checked against the corpus's failing set
+    val pred = col("label") % 2 === 0
+    val filtered = Similarity.knnHnswIndexedCoded(spark, path, query,
+      k = 5, nProbe = 8, ef = 300, rounds = 3, predicate = Some(pred))
+    val failing = emb.where(!pred).select(col("vec_id")).as[Long]
+      .collect().toSet
+    assert(filtered.select("id").as[Long].collect()
+      .forall(id => !failing(id)), "filtered coded walk emitted a failer")
+    // rebuild carries the sidecar (retrained at the same code shape)
+    val dst = tmp("graft-hnsw-pql-dst")
+    Similarity.rebuildHnswIndex(spark, path, dst,
+      strategy = Similarity.SeededCentroids)
+    assert(Similarity.hnswHasPq(spark, dst),
+      "rebuild dropped the pq sidecar")
+    // and the tombstoned node is physically gone from the new sidecar
+    assert(spark.read.parquet(s"$dst/pqcodes")
+      .where(col("id") === aid).isEmpty,
+      "rebuild carried a tombstoned node's codes")
+  }
+
   test("recall after appends: entry drift from new min-id nodes is measured, not assumed") {
     // round 18 — r17 verdict task 7: the founding half holds the
     // HIGHEST vec_ids, so every appended batch brings new per-cell
@@ -522,6 +618,83 @@ class HnswSpec extends SparkSpec {
     // the rebuild re-records its founding size — the trigger resets
     assert(!r.after.needsRebuild, r.after.toString)
     assert(r.after.totalRows == 500, r.after.toString)
+  }
+
+  test("hot-cell salting: a concentrated batch fans out across salt keys with row-identical results") {
+    // round 19 — r18 verdict task 3: the cogroup keys walks by cell,
+    // so a batch concentrated on one cell used to walk serially in
+    // one task. Salting replicates the cell across ceil(q/threshold)
+    // keys; every replica holds the FULL cell, so results must be
+    // row-identical at any threshold — pinned here on both the float
+    // and the coded walk, plus the pure sizing rule.
+    assert(Similarity.saltsOf(Map(0 -> 40L), 4) == Map(0 -> 10))
+    assert(Similarity.saltsOf(Map(0 -> 3L, 1 -> 65L), 64) ==
+      Map(0 -> 1, 1 -> 2))
+    assert(Similarity.saltsOf(Map(0 -> 1000000L), 1) ==
+      Map(0 -> Similarity.maxCellSalts))
+    val path = tmp("graft-hnsw-salt")
+    Similarity.writeHnswIndex(emb, "vec_id", "embedding", path,
+      nCells = 8, m = 6)
+    Similarity.addPqToHnswIndex(spark, path, pqM = 8, nCodes = 16)
+    // 40 queries sharing one vector: every probe lands on the same
+    // cells — the hot-cell regime
+    val hot = Seq.tabulate(40)(i =>
+        (1000L + i, query.toSeq))
+      .toDF("qid", "embedding")
+      .select(col("qid"), col("embedding").cast("array<float>")
+        .as("embedding"))
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val serial = Similarity.knnHnswBatch(spark, path, hot,
+      "qid", "embedding", k = 10, nProbe = 4,
+      saltQueriesPerTask = Int.MaxValue)
+    val fanned = Similarity.knnHnswBatch(spark, path, hot,
+      "qid", "embedding", k = 10, nProbe = 4, saltQueriesPerTask = 4)
+    assert(rowsOf(fanned) == rowsOf(serial),
+      "salted float walk diverged from the serial form")
+    assert(serial.count() == 400)
+    val serialC = Similarity.knnHnswBatchCoded(spark, path, hot,
+      "qid", "embedding", k = 10, nProbe = 4,
+      saltQueriesPerTask = Int.MaxValue)
+    val fannedC = Similarity.knnHnswBatchCoded(spark, path, hot,
+      "qid", "embedding", k = 10, nProbe = 4, saltQueriesPerTask = 4)
+    assert(rowsOf(fannedC) == rowsOf(serialC),
+      "salted coded walk diverged from the serial form")
+  }
+
+  test("hnswRecall rides the batch probe: report equals the per-query inline form, and a 500-query eval is one plan") {
+    // round 19 — r18 verdict task 4: the old form unioned one inline
+    // knnHnsw plan per query. Parity: the batch-probe report must
+    // equal the per-query-union report row-for-row (the pinned
+    // inline ≡ indexed ≡ batch chain, composed).
+    val queries = emb.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val report = Similarity.hnswRecall(queries, "qid", "embedding",
+      emb, "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4,
+      m = 6, ef = 12, rounds = 4)
+    val perQueryApprox = queries.as[(Long, Seq[Float])].collect()
+      .map { case (qid, qv) =>
+        Similarity.knnHnsw(emb, "vec_id", "embedding", qv.toArray,
+            k = 10, nCells = 16, nProbe = 4, m = 6, ef = 12, rounds = 4)
+          .select(lit(qid).as("query_id"), col("id"))
+      }.reduce(_ unionByName _)
+    val exact = Similarity.knnBruteBatch(queries, "qid", "embedding",
+      emb, "vec_id", "embedding", k = 10)
+    val oldForm = Similarity.recallReport(queries, "qid",
+      perQueryApprox, exact, 10)
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sortedRows(report) == sortedRows(oldForm),
+      "batch-probe recall report diverges from the per-query form")
+    // the scale point: 500 queries are ONE batch plan, not 500
+    // unioned walks — this completes in seconds where the old form
+    // took minutes to even plan
+    val q500 = emb.limit(500)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val big = Similarity.hnswRecall(q500, "qid", "embedding",
+      emb, "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4,
+      m = 6, ef = 12, rounds = 4)
+    assert(big.count() == 500)
   }
 
   test("recall at matched probe cost meets or beats the compressed IVF-PQ probe") {

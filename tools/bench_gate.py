@@ -64,6 +64,33 @@ def gate(cur, base, max_ratio=2.0, floor_sec=FLOOR_SEC):
     return fails, news, lines
 
 
+DISPERSION_BAND = 1.35      # mirror graft.Bench.dispersionBand
+OUTLIER_FACTOR = 1.5        # mirror graft.Bench.dispersionOutlierFactor
+
+
+def dispersion(cur, base, floor_sec=FLOOR_SEC):
+    """The sweep-spread alarm (round 19): p90/p50 of per-query gate
+    ratios plus slow-side outliers above OUTLIER_FACTOR*p50 — the
+    failure mode a scalar canary cannot see (r18: canary 0.84, one
+    query at 2.23x its pin). Pure; returns None under 5 shared
+    queries. Diagnostic: the gate above still judges raw values.
+    """
+    ratios = sorted(
+        (cur[n] / max(base[n], floor_sec), n)
+        for n in set(cur) & set(base))
+    if len(ratios) < 5:
+        return None
+    def pct(p):
+        return ratios[min(len(ratios) - 1, int(p * len(ratios)))][0]
+    p50, p90 = pct(0.5), pct(0.9)
+    if p50 <= 0:
+        return None
+    outliers = [(n, r) for r, n in ratios
+                if r > max(1.0, OUTLIER_FACTOR * p50)]
+    spread = p90 / p50
+    return spread, outliers, spread > DISPERSION_BAND or bool(outliers)
+
+
 def main() -> int:
     cur_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_QUERIES.json"
     base_path = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE_QUERIES.json"
@@ -85,6 +112,13 @@ def main() -> int:
                         for p in adj["runs"])
         print(f"ADJ  {name:30s} sweep {adj['sweep']:.2f}s, quiet runs "
               f"{runs} -> {adj['min']:.2f}s judged")
+    disp = dispersion(cur, base)
+    if disp is not None:
+        spread, outliers, alarm = disp
+        flag = "ALARM" if alarm else "ok"
+        out = ", ".join(f"{n} {r:.2f}x" for n, r in outliers) or "none"
+        print(f"\nDISPERSION {flag}: p90/p50 {spread:.2f} "
+              f"(band {DISPERSION_BAND}), outliers: {out}")
     tot_c = sum(cur.values())
     tot_b = sum(v for k, v in base.items() if k in cur)
     print(f"\n{len(cur)} queries, total {tot_c:.1f}s "
