@@ -133,6 +133,13 @@ private[sources] class CorpusStreamSource(spark: SparkSession,
 
   override val schema: StructType = CorpusStore.corpusSchema(spark, path)
 
+  // the schema epoch this source instance fixed its shape under —
+  // the reference point for the conform-up-vs-fail direction test in
+  // getBatch (a restart creates a fresh source, re-fixing both)
+  private val startEpoch: Int =
+    CorpusStore.schemaEpochAt(spark, path,
+      CorpusStore.currentGen(spark, path)._1)
+
   // an Offset arriving back from the checkpoint log is a
   // SerializedOffset carrying only the json — parse, never pattern
   // match on GenOffset
@@ -152,7 +159,65 @@ private[sources] class CorpusStreamSource(spark: SparkSession,
       Some(GenPointer.read(spark, hwPath)._1)
     else None
 
+  // The checkpoint root and this source's index within it, recovered
+  // from the V1 contract's metadataPath (= <ckpt>/sources/<i>) — what
+  // lets the follower ack ride the OFFSET COMMIT LOG itself (round 19
+  // — r18 verdict task 5): Spark's Source.commit callback for batch N
+  // fires at the start of trigger N+1, so an ack driven only by the
+  // callback trails a full cadence and a stream that stalls right
+  // after a sink commit holds vacuum retention one generation longer
+  // than it needs. The commit log IS the durable truth of what the
+  // sink committed; reading its latest entry (and that batch's end
+  // offset from the offset log) each trigger advances the follower
+  // floor in the SAME trigger the commit landed, including empty
+  // triggers where no callback would ever fire.
+  private val ckptAndIdx: Option[(String, Int)] = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath)
+    val idx = scala.util.Try(p.getName.toInt).toOption
+    val parent = p.getParent
+    if (idx.isDefined && parent != null && parent.getName == "sources" &&
+        parent.getParent != null)
+      Some((parent.getParent.toString, idx.get))
+    else None
+  }
+  private lazy val commitLog = ckptAndIdx.map { case (root, _) =>
+    new org.apache.spark.sql.execution.streaming.checkpointing.CommitLog(
+      spark, s"$root/commits")
+  }
+  private lazy val offsetLog = ckptAndIdx.map { case (root, _) =>
+    new org.apache.spark.sql.execution.streaming.checkpointing.OffsetSeqLog(
+      spark, s"$root/offsets")
+  }
+
+  /** The last SINK-COMMITTED batch's end generation, straight from
+    * the checkpoint logs (commit log → that batch's entry in the
+    * offset log → this source's offset). Best-effort: a
+    * malformed/foreign checkpoint layout reads as None rather than
+    * failing a trigger.
+    */
+  private def latestCommittedEnd(): Option[Int] =
+    try {
+      for {
+        cl <- commitLog
+        ol <- offsetLog
+        (batchId, _) <- cl.getLatest()
+        seq <- ol.get(batchId)
+        (_, i) <- ckptAndIdx
+        off <- seq.offsets.lift(i).flatten
+      } yield off.json.trim.toInt
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Ack the last sink-committed end. Safe precisely because the
+    * recovery replay of a committed range is tolerated below: once
+    * (s, e] is in the commit log the stream never needs gens ≤ e
+    * again — the only post-commit read of that range is the V1
+    * restart replay, whose result the engine discards.
+    */
+  private def ackCommittedFromLog(): Unit =
+    if (consumer.isDefined) latestCommittedEnd().foreach(ackFollower)
+
   override def getOffset: Option[Offset] = {
+    ackCommittedFromLog()
     val (cur, base) = CorpusStore.currentGen(spark, path)
     val offered = maxGensPerTrigger match {
       case None => cur
@@ -186,27 +251,48 @@ private[sources] class CorpusStreamSource(spark: SparkSession,
     // until Spark's commit callback acks the processed end; a
     // replayed range acks its committed start the same way
     ackFollower(start.map(genOf).getOrElse(-1))
+    ackCommittedFromLog()
+    // Recovery replay of a COMMITTED range whose generations vacuum
+    // already reclaimed (round 19): on restart the V1 engine replays
+    // getBatch for the last recovered range before constructing a
+    // new batch, and DISCARDS the result when the commit log already
+    // holds that batch — so when the range's end generation is below
+    // the store's retained base AND the checkpoint commit log proves
+    // it sink-committed, an empty frame is the correct answer, not
+    // the vacuumed-offset fail-fast. This is what makes acking the
+    // committed END safe (the lag-free follower floor): the genuine
+    // lost-data case — an UNcommitted range pointing below base —
+    // still fails loudly below, and the follower ack can never have
+    // advanced past an uncommitted range in the first place.
+    val (_, baseGen) = CorpusStore.currentGen(spark, path)
+    if (endGen < baseGen && latestCommittedEnd().exists(_ >= endGen))
+      return org.apache.spark.sql.graft.StreamingFrame.asStreaming(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema))
     val raw = CorpusStore.corpusChangesSince(spark, path,
       start.map(genOf).getOrElse(-1), endGen)
     val rawShape = raw.schema.fields.map(f => (f.name, f.dataType)).toSeq
     val fixedShape = schema.fields.map(f => (f.name, f.dataType)).toSeq
     // The V1 contract fixes the schema at stream start. Two distinct
-    // mismatch cases (round 18 — r17 ADVICE):
-    //  - the batch reads in an OLDER epoch than the stream's fixed
-    //    schema (evolution is append-nullable-only, so older = a
-    //    strict field PREFIX): a capped/lagging stream restarted
-    //    after an evolve is draining pre-evolve generations. Conform
-    //    the batch UP with the evolve-recorded defaults — exactly the
-    //    fill a post-evolve batch read applies — or the old guard
-    //    deadlocked the stream: every restart re-fixed `schema` to
-    //    the evolved shape and the capped backlog could never cross
-    //    the boundary ("restart the query" never helped).
-    //  - the batch reads in a NEWER shape than the stream's fixed
-    //    schema: a true mid-stream evolve. Fail loudly — the sink
-    //    was planned for the old shape; restarting genuinely fixes it.
+    // mismatch cases (round 18 — r17 ADVICE; round 19 — epoch-
+    // directed now that drops/renames exist and SHAPE no longer
+    // encodes direction: an older-epoch batch can have MORE columns
+    // than the fixed schema, not just a prefix of it):
+    //  - the batch's end generation reads in an epoch AT-OR-BELOW
+    //    the one this source started under: a capped/lagging stream
+    //    draining pre-evolve generations. Conform the batch UP —
+    //    adds fill with the recorded defaults, drops project away,
+    //    renames resolve through the provenance chain — or the old
+    //    guard deadlocked the stream: every restart re-fixed
+    //    `schema` to the evolved shape and the capped backlog could
+    //    never cross the boundary ("restart the query" never
+    //    helped).
+    //  - the batch reads in a NEWER epoch than the stream started
+    //    under: a true mid-stream evolve. Fail loudly — the sink was
+    //    planned for the old shape; restarting genuinely fixes it.
     val batch =
       if (rawShape == fixedShape) raw
-      else if (fixedShape.startsWith(rawShape))
+      else if (CorpusStore.schemaEpochAt(spark, path, endGen) <= startEpoch)
         CorpusStore.conformTo(raw, schema)
       else throw new IllegalStateException(
         s"graft-corpus source: the store's row schema evolved while " +

@@ -207,6 +207,145 @@ class CowSchemaEvolutionSpec extends SparkSpec {
       .apply(41L) == (("new doc", Some("en"), Some(0.9))))
   }
 
+  test("drop is metadata-only: gone above the boundary, kept below it, refused for re-add and for the id column") {
+    // round 19 — r18 verdict task 6 / missing 4: constant-DEFAULT
+    // drops as metadata generations
+    val path = tmp("graft-evo-drop")
+    CorpusStore.writeCorpusCow(corpus, path, "doc_id", nBuckets) // gen 0
+    CorpusStore.evolveCorpusCowSchema(spark, path, addCols,
+      defaults = Map("lang" -> "'und'"))                         // gen 1
+    CorpusStore.upsertIntoCorpusCow(
+      Seq((100L, "late doc", "en", 0.5)).toDF(
+        "doc_id", "text", "lang", "score"), path)                // gen 2
+    val g = CorpusStore.dropCorpusCowColumns(spark, path, Seq("score"))
+    assert(g == 3)
+    // metadata-only: the drop generation owns no data trees
+    assert(!new java.io.File(s"$path/parts/gen=3").exists)
+    // current reads project the column away, on every tree vintage
+    val now = CorpusStore.readCorpusSnapshot(spark, path)
+    assert(now.columns.toSeq == Seq("doc_id", "text", "lang"),
+      now.columns.mkString(", "))
+    assert(now.count() == 41)
+    assert(now.where(col("doc_id") === 100L).select("lang")
+      .as[String].head() == "en")
+    // time travel below the drop keeps the full shape
+    val at2 = CorpusStore.readCorpusSnapshotAt(spark, path, 2)
+    assert(at2.columns.contains("score"), at2.columns.mkString(", "))
+    assert(at2.where(col("doc_id") === 100L).select("score")
+      .as[Double].head() == 0.5)
+    // change frames must arrive WITHOUT the dropped column
+    val refused = intercept[IllegalArgumentException] {
+      CorpusStore.upsertIntoCorpusCow(
+        Seq((101L, "x", "en", 1.0)).toDF(
+          "doc_id", "text", "lang", "score"), path)
+    }
+    assert(refused.getMessage.contains("score"), refused.getMessage)
+    // and the NAME retires: re-adding would resurrect old trees'
+    // values at read time
+    val readd = intercept[IllegalArgumentException] {
+      CorpusStore.evolveCorpusCowSchema(spark, path,
+        StructType(Seq(StructField("score", DoubleType))))
+    }
+    assert(readd.getMessage.contains("retired") ||
+      readd.getMessage.contains("dropped"), readd.getMessage)
+    // the id/bucketing column can never drop
+    val idDrop = intercept[IllegalArgumentException] {
+      CorpusStore.dropCorpusCowColumns(spark, path, Seq("doc_id"))
+    }
+    assert(idDrop.getMessage.contains("doc_id"), idDrop.getMessage)
+    // a post-drop ingest in the narrowed shape lands cleanly
+    CorpusStore.upsertIntoCorpusCow(
+      Seq((102L, "post drop", "fr")).toDF("doc_id", "text", "lang"), path)
+    assert(CorpusStore.readCorpusSnapshot(spark, path).count() == 42)
+  }
+
+  test("rename resolves through the provenance chain: chained renames keep reading every tree vintage; old names retire") {
+    val path = tmp("graft-evo-ren")
+    CorpusStore.writeCorpusCow(corpus, path, "doc_id", nBuckets) // gen 0
+    CorpusStore.renameCorpusCowColumn(spark, path, "text", "body") // gen 1
+    val r1 = CorpusStore.readCorpusSnapshot(spark, path)
+    assert(r1.columns.toSeq == Seq("doc_id", "body"),
+      r1.columns.mkString(", "))
+    assert(r1.where(col("doc_id") === 1L).select("body")
+      .as[String].head() == "document number 1 body")
+    // a row written under the NEW name (gen 2), then a second rename
+    CorpusStore.upsertIntoCorpusCow(
+      Seq((200L, "mid-epoch doc")).toDF("doc_id", "body"), path)  // gen 2
+    CorpusStore.renameCorpusCowColumn(spark, path, "body", "content") // gen 3
+    val r2 = CorpusStore.readCorpusSnapshot(spark, path)
+    assert(r2.columns.toSeq == Seq("doc_id", "content"))
+    // founding trees resolve text→body→content; the gen-2 tree body→content
+    assert(r2.where(col("doc_id") === 1L).select("content")
+      .as[String].head() == "document number 1 body")
+    assert(r2.where(col("doc_id") === 200L).select("content")
+      .as[String].head() == "mid-epoch doc")
+    // time travel keeps each epoch's own names
+    assert(CorpusStore.readCorpusSnapshotAt(spark, path, 0)
+      .columns.toSeq == Seq("doc_id", "text"))
+    assert(CorpusStore.readCorpusSnapshotAt(spark, path, 2)
+      .columns.toSeq == Seq("doc_id", "body"))
+    // renaming BACK to an ancestor of the same column is SAFE — the
+    // provenance chain already owns the name, so old trees resolve
+    // to the same values — but a name retired by a DIFFERENT column
+    // stays refused, and so does the id column
+    CorpusStore.evolveCorpusCowSchema(spark, path,
+      StructType(Seq(StructField("tag", StringType))))            // gen 4
+    CorpusStore.dropCorpusCowColumns(spark, path, Seq("tag"))     // gen 5
+    val toRetired = intercept[IllegalArgumentException] {
+      CorpusStore.renameCorpusCowColumn(spark, path, "content", "tag")
+    }
+    assert(toRetired.getMessage.contains("retired") ||
+      toRetired.getMessage.contains("renamed"), toRetired.getMessage)
+    intercept[IllegalArgumentException] {
+      CorpusStore.renameCorpusCowColumn(spark, path, "doc_id", "id")
+    }
+    // compaction materializes the current names physically and reads
+    // stay identical
+    val before = r2.orderBy("doc_id").collect().map(_.toString).toSeq
+    CorpusStore.compactCorpusCow(spark, path)
+    val after = CorpusStore.readCorpusSnapshot(spark, path)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(after == before)
+  }
+
+  test("a capped stream crosses a DROP boundary: old-epoch batches (with the extra column) conform down to the stream's shape") {
+    // round 19: with drops, an older-epoch batch has MORE columns
+    // than the stream's fixed schema — the prefix test could not
+    // encode direction, the epoch comparison does
+    val store = tmp("graft-evo-dropstream")
+    val ckpt = tmp("graft-evo-dropstream-ckpt")
+    CorpusStore.writeCorpusCow(
+      (0L to 9L).map(i => (i, s"doc $i", i.toDouble))
+        .toDF("doc_id", "text", "score"),
+      store, "doc_id", nBuckets)                                 // gen 0
+    CorpusStore.appendDeltaToCorpusCow(
+      Seq((20L, "doc 20", 20.0)).toDF("doc_id", "text", "score"),
+      store)                                                     // gen 1
+    CorpusStore.dropCorpusCowColumns(spark, store, Seq("score"))  // gen 2
+    CorpusStore.appendDeltaToCorpusCow(
+      Seq((21L, "doc 21")).toDF("doc_id", "text"), store)        // gen 3
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-corpus")
+      .option("path", store)
+      .option("maxGenerationsPerTrigger", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // every batch arrives in the stream's fixed (post-drop) shape
+        assert(df.columns.toSeq == Seq("doc_id", "text"),
+          df.columns.mkString(", "))
+        val rows = df.select("doc_id").as[Long].collect()
+        got.synchronized { got ++= rows }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val ids = got.synchronized(got.toSet)
+    assert(((0L to 9L).toSet ++ Set(20L, 21L)).subsetOf(ids),
+      ids.toSeq.sorted.toString)
+  }
+
   test("evolution fuzz: 24 seeded random ops across the evolve boundary match the model at every retained version") {
     val rnd = new scala.util.Random(17L)
     val path = tmp("graft-evofuzz")

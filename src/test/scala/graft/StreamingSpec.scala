@@ -1521,13 +1521,15 @@ class StreamingSpec extends SparkSpec {
       val got = seen.synchronized(seen.drop(pre).toVector)
         .foldLeft(Set.empty[Long])(_ ++ _)
       assert(got == (2 to 6).map(100L + _).toSet, got.toString)
-      // the ack trails by one trigger (getBatch acks the committed
-      // START; the commit callback fires on the next cycle) — one
-      // more generation drives the follower past the drained range
-      CorpusStore.appendDeltaToCorpusCow(
-        Seq((107L, "doc 107")).toDF("doc_id", "text"), store) // gen 7
-      q2.processAllAvailable()
     } finally q2.stop()
+    // the ack rides the checkpoint's COMMIT LOG (round 19 — r18
+    // verdict task 5; before, it waited on Spark's one-trigger-late
+    // commit callback and a stalled stream held retention a full
+    // cadence): a restart with NO new generations re-reads the last
+    // committed batch's end offset at its first poll and advances
+    // the follower to the drained range — no fresh append needed
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
     // with the follower advanced, the next pass reclaims to policy
     val r2 = CorpusStore.vacuumCorpusSnapshots(spark, store, keepLast = 1)
     assert(r2.floor.isEmpty && r2.base == r2.requestedBase, r2.toString)
