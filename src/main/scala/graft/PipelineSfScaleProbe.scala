@@ -61,10 +61,27 @@ object PipelineSfScaleProbe {
     val synthDir = java.nio.file.Files
       .createTempDirectory("graft-sf1").toString
     val docs = Tables.load(spark, sfDir, "documents")
-    SfSynth.replicateDocuments(docs, rep)
-      .write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
     val n0 = docs.count()
-    println(s"sf0.1 docs=$n0, synthetic sf1.0 docs=${n0 * rep} at $synthDir")
+    // SPARK_GRAFT_SF_SHAPE=zipf (round 19 — r18 verdict task 7):
+    // generate BOTH scales from the Zipf-real vocabulary instead of
+    // replicating the 31-word synthetic corpus, so the ratio
+    // measures the operator on realistic posting lists — the small
+    // scale is regenerated too (same law, 1× mass) and swapped in as
+    // the baseline dir
+    val shape = sys.env.getOrElse("SPARK_GRAFT_SF_SHAPE", "replicate")
+    val baseDir =
+      if (shape == "zipf") {
+        val d = java.nio.file.Files
+          .createTempDirectory("graft-sf01z").toString
+        SfSynth.zipfDocuments(spark, n0)
+          .write.mode("overwrite").parquet(s"$d/documents.parquet")
+        d
+      } else sfDir
+    (if (shape == "zipf") SfSynth.zipfDocuments(spark, n0 * rep)
+     else SfSynth.replicateDocuments(docs, rep))
+      .write.mode("overwrite").parquet(s"$synthDir/documents.parquet")
+    println(s"shape=$shape sf0.1 docs=$n0, synthetic " +
+      s"${rep}x docs=${n0 * rep} at $synthDir")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -75,8 +92,8 @@ object PipelineSfScaleProbe {
 
     println("entry,sf01_sec,sf10_sec,ratio")
     entries.foreach { e =>
-      time(e, sfDir) // untimed warm-up: JIT/codegen/footer warmth
-      val t1 = time(e, sfDir)
+      time(e, baseDir) // untimed warm-up: JIT/codegen/footer warmth
+      val t1 = time(e, baseDir)
       val t10 = time(e, synthDir)
       println(f"$e,$t1%.2f,$t10%.2f,${t10 / t1}%.2f")
     }

@@ -46,6 +46,42 @@ object SfSynth {
   private val IdShift = 100000000L    // documents / embeddings / dims
   private val OrderShift = 1000000000L // orders / lineitem / events ids
 
+  /** A documents fixture with a REALISTIC word-frequency law
+    * (round 19 — r18 verdict task 7 / missing 5): the shipped
+    * synthetic corpus draws from ~31 distinct words, so a BM25
+    * probe's postings degenerate to the whole corpus and the c03
+    * contamination audit's 100× residual measured that pathology,
+    * not the operator. Here each position samples a word rank from
+    * Zipf(s=1) over a `vocab`-word vocabulary by inverse CDF —
+    * rank = ⌊V^u⌋ with u uniform, so P(rank r) ∝ 1/r, the standard
+    * natural-language frequency law — fully declaratively
+    * (hash → uniform → pow), deterministic in (doc_id, position,
+    * seed). Schema matches the shipped table (doc_id, text, lang,
+    * source, n_chars).
+    */
+  def zipfDocuments(spark: SparkSession, nDocs: Long,
+      vocab: Int = 50000, seed: Long = 42L): DataFrame = {
+    require(nDocs > 0 && vocab > 1, "zipfDocuments: degenerate shape")
+    val lenExpr = (lit(50) +
+      pmod(xxhash64(col("doc_id"), lit(seed)), lit(150L))).cast("int")
+    def rankOf(p: org.apache.spark.sql.Column) = {
+      val u = pmod(xxhash64(col("doc_id"), p, lit(seed)), lit(1000003L))
+        .cast("double") / lit(1000003.0)
+      greatest(lit(1L), least(lit(vocab.toLong),
+        floor(pow(lit(vocab.toDouble), u)).cast("long")))
+    }
+    spark.range(nDocs)
+      .repartition(math.max(32, math.min(512, (nDocs / 10000L).toInt)))
+      .select(col("id").as("doc_id"))
+      .withColumn("text", array_join(
+        transform(sequence(lit(0), lenExpr - 1),
+          p => concat(lit("w"), rankOf(p).cast("string"))), " "))
+      .withColumn("lang", lit("en"))
+      .withColumn("source",
+        concat(lit("src"), pmod(col("doc_id"), lit(5L)).cast("string")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   /** The round-16 probe's replication of the documents table: copy i
     * shifts doc_id by i·10⁸ and word-shuffles text deterministically
     * (multiset-invariant; copy 0 shuffles too, so all copies are

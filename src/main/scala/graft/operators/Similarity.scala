@@ -3302,7 +3302,19 @@ object Similarity {
       path: String, pqM: Int, nCodes: Int, opq: Boolean = false): Unit = {
     val cells = spark.read.parquet(s"$path/cells")
       .select(col("cell"), col("id"), col("vec"))
-    val cb = pqTrainCodebook(cells, "id", "vec", pqM, nCodes, opq = opq)
+    addPqToHnswIndex(spark, path,
+      pqTrainCodebook(cells, "id", "vec", pqM, nCodes, opq = opq))
+  }
+
+  /** Overload taking a prebuilt codebook — what the oracle-gated
+    * entry uses (pqSeededCodebook is SQL-replayable; the k-means
+    * trainer is not) and what a fleet sharing one codebook across
+    * many indexes would call.
+    */
+  def addPqToHnswIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, cb: PqCodebook): Unit = {
+    val cells = spark.read.parquet(s"$path/cells")
+      .select(col("cell"), col("id"), col("vec"))
     writeHnswPqCodes(cells, cb, path, "overwrite")
     dumpCodebook(spark, cb, s"$path/pq")
   }
@@ -3451,9 +3463,28 @@ object Similarity {
       }
       .sortBy { case (score, cell) => (-score, cell) }
       .take(nProbe).map(_._2)
+    val beamIds = codedBeamIds(spark, path, cb, lut, qnorm,
+      probeCells.toIndexedSeq, ef, rounds, predicate)
+    exactRerankIsin(
+      spark.read.parquet(s"$path/cells")
+        .where(col("cell").isin(probeCells.toIndexedSeq: _*)),
+      "id", "vec", beamIds, query, k)
+  }
+
+  /** The coded walk's final live+visible beam ids over the probed
+    * cells — the bounded (≤ ef·nProbe) point-read set the exact
+    * rerank consumes. Exposed in-package so an oracle-gated entry can
+    * run the walk imperatively and keep its FINAL frame (the rerank
+    * over the registered cells tree) SqlGen-printable.
+    */
+  private[graft] def codedBeamIds(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      cb: PqCodebook, lut: Array[Double], qnorm: Double,
+      cells: Seq[Int], ef: Int, rounds: Int,
+      predicate: Option[Column]): Array[Long] = {
+    import spark.implicits._
     val nCodes = cb.nCodes
-    val beamIds = hnswCodedCellRows(spark, path,
-        probeCells.toIndexedSeq, predicate)
+    hnswCodedCellRows(spark, path, cells, predicate)
       .select(col("cell"), col("id"), col("codes"), col("norm"),
         col("nbrs"), col("_dead"), col("_hide"))
       .as[(Int, Long, Seq[Int], Double, Option[Seq[Long]], Boolean, Boolean)]
@@ -3473,10 +3504,26 @@ object Similarity {
           dead, hide, ef, rounds).iterator
       }
       .collect() // bounded: ≤ ef · nProbe ids — the s12 point-read set
-    exactRerankIsin(
-      spark.read.parquet(s"$path/cells")
-        .where(col("cell").isin(probeCells.toIndexedSeq: _*)),
-      "id", "vec", beamIds, query, k)
+  }
+
+  /** Driver-side probe-cell ranking + LUT for one query against a
+    * persisted coded index — the pieces [[knnHnswIndexedCoded]]
+    * assembles, exposed for the oracle entry.
+    */
+  private[graft] def codedProbePlan(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Float], nProbe: Int)
+      : (PqCodebook, Array[Double], Double, Seq[Int]) = {
+    val cb = readPqCodebook(spark, s"$path/pq")
+    val qd = query.map(_.toDouble)
+    val (lut, qnorm) = adcLutOf(cb, qd)
+    val probeCells = readCentroids(spark, path).zipWithIndex
+      .map { case (cv, cell) =>
+        (cv.zip(qd).map { case (a, b) => a * b }.sum, cell)
+      }
+      .sortBy { case (score, cell) => (-score, cell) }
+      .take(nProbe).map(_._2)
+    (cb, lut, qnorm, probeCells.toIndexedSeq)
   }
 
   /** Batch form of the coded walk — [[knnHnswBatch]]'s distributed

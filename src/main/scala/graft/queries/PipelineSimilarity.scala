@@ -1277,6 +1277,50 @@ private[queries] object PipelineSimilarity {
           .orderBy(col("cosine").desc, col("id"))
       },
       Some(hnswWalkOracleSql(20, Some("n.label % 2 = 0")))),
+
+
+    // coded graph ANN (round 19 — r18 verdict task 1's oracle gate):
+    // the memory-bounded serving walk — beam on PQ ADC scores over
+    // the persisted sidecar, exact rerank of only the final beam ids
+    // via the static-In point read. The entry builds a real index
+    // (SeededCentroids + the SQL-replayable seeded codebook) in a
+    // self-deleting temp root, runs the walk imperatively (typed
+    // cogroup — the c11 stance: store machinery imperative, the
+    // FINAL frame declarative), registers the cells tree for SqlGen
+    // and returns the rerank as a printable plan. The oracle replays
+    // the WHOLE chain: s22's centroid/assign/probe/edge CTEs + s11's
+    // codebook/code/LUT/ADC CTEs fused into per-node walk scores,
+    // four beam rounds ranked by ADC (the walk's one behavioral
+    // difference from s22 — bit-identical arithmetic, same
+    // left-to-right accumulation), exact-cosine rerank of beam4.
+    Q("s25_knn_hnsw_coded",
+      (s, dir) => {
+        val emb = Tables.load(s, dir, "embeddings")
+        val root = tempRootForRun("graft-s25")
+        val path = s"$root/hnsw"
+        Similarity.writeHnswIndex(emb, "vec_id", "embedding", path,
+          nCells = 16, m = 6)
+        Similarity.addPqToHnswIndex(s, path,
+          Similarity.pqSeededCodebook(emb, "vec_id", "embedding",
+            m = 4, nCodes = 16))
+        val qv = queryVec(s, dir)
+        val (cb, lut, qnorm, probeCells) =
+          Similarity.codedProbePlan(s, path, qv, nProbe = 4)
+        val ids = Similarity.codedBeamIds(s, path, cb, lut, qnorm,
+          probeCells, ef = 12, rounds = 4, None)
+        val cells = s.read.parquet(s"$path/cells")
+        graft.sqlgen.SqlGen.register("s25_cells", cells)
+        cells.createOrReplaceTempView("s25_cells")
+        cells.where(col("cell").isin(probeCells: _*))
+          .where(col("id").isin(ids.toIndexedSeq: _*))
+          .select(col("id"),
+            graft.functions.VectorOps.cosine(col("vec"),
+              typedlit(qv.toSeq)).as("cosine"))
+          .orderBy(col("cosine").desc, col("id").asc).limit(10)
+          .select(col("id"), r6(col("cosine")).as("cosine"))
+          .orderBy(col("cosine").desc, col("id"))
+      },
+      Some(s25OracleSql)),
   )
 
   /** The s22/s24 oracle generator: the deterministic NSW chain in
@@ -1345,6 +1389,133 @@ private[queries] object PipelineSimilarity {
   }
 
   private def s22OracleSql: String = hnswWalkOracleSql(12, None)
+
+  /** The s25 oracle: the coded walk replayed end to end — s22's
+    * build/probe CTEs, s11's seeded-codebook encode + per-node
+    * LUT/ADC score against the one query, beam rounds ranked by that
+    * score, exact-cosine rerank of the final beam. subDim = 16
+    * (dim 64 / pqM 4), nCodes = 16.
+    */
+  private def s25OracleSql: String =
+    s"""WITH cent AS (
+       |  SELECT (ROW_NUMBER() OVER (ORDER BY vec_id)) - 1 AS cell,
+       |         CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+       |), q AS (
+       |  SELECT CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings ORDER BY vec_id LIMIT 1
+       |), e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), assigned AS (
+       |  SELECT vec_id, v, cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY list_dot_product(v, cv) DESC, cell ASC) AS rn
+       |  FROM e CROSS JOIN cent
+       |), probe AS (
+       |  SELECT cell FROM cent, q
+       |  ORDER BY list_dot_product(cv, qv) DESC, cell ASC LIMIT 4
+       |), node AS (
+       |  SELECT vec_id AS id, v, cell FROM assigned
+       |  WHERE rn = 1 AND cell IN (SELECT cell FROM probe)
+       |), edge AS (
+       |  SELECT cell, src, dst FROM (
+       |    SELECT a.cell AS cell, a.id AS src, b.id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY a.id
+       |        ORDER BY ${cosineSql("a.v", "b.v")} DESC, b.id ASC) AS rk
+       |    FROM node a JOIN node b ON a.cell = b.cell AND a.id <> b.id)
+       |  WHERE rk <= 6
+       |), cbsrc AS (
+       |  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS c
+       |  FROM e ORDER BY vec_id LIMIT 16
+       |), cb AS (
+       |  SELECT c, s, v[s * 16 + 1 : s * 16 + 16] AS scv
+       |  FROM cbsrc, range(0, 4) t(s)
+       |), sub AS (
+       |  SELECT id, s, v[s * 16 + 1 : s * 16 + 16] AS sv
+       |  FROM node, range(0, 4) t(s)
+       |), d AS (
+       |  SELECT id, s, c,
+       |    list_reduce([(sv[j] - scv[j]) * (sv[j] - scv[j])
+       |                 for j in range(1, 17)],
+       |                (a, b) -> a + b) AS dist
+       |  FROM sub JOIN cb USING (s)
+       |), code AS (
+       |  SELECT id, s, c FROM (
+       |    SELECT id, s, c,
+       |      row_number() OVER (PARTITION BY id, s
+       |                         ORDER BY dist, c) AS rn
+       |    FROM d) WHERE rn = 1
+       |), lutt AS (
+       |  SELECT id, s,
+       |    list_dot_product(qv[s * 16 + 1 : s * 16 + 16], scv) AS term
+       |  FROM code JOIN cb USING (s, c), q
+       |), adcv AS (
+       |  SELECT id,
+       |    list_reduce(list(term ORDER BY s), (a, b) -> a + b) AS adc
+       |  FROM lutt GROUP BY id
+       |), nsc AS (
+       |  SELECT n.cell, n.id,
+       |    CASE WHEN sqrt(list_dot_product(qv, qv))
+       |              * sqrt(list_dot_product(v, v)) = 0 THEN 0
+       |    ELSE adc / (sqrt(list_dot_product(qv, qv))
+       |                * sqrt(list_dot_product(v, v))) END AS sc
+       |  FROM node n JOIN adcv ON n.id = adcv.id, q
+       |), beam0 AS (
+       |  SELECT cell, MIN(id) AS id FROM node GROUP BY cell
+       |), cand1 AS (
+       |  SELECT DISTINCT cell, id FROM (
+       |    SELECT cell, id FROM beam0
+       |    UNION ALL
+       |    SELECT g.cell, g.dst AS id FROM beam0 b
+       |    JOIN edge g ON g.cell = b.cell AND g.src = b.id)
+       |), beam1 AS (
+       |  SELECT cell, id FROM (
+       |    SELECT c.cell, c.id, ROW_NUMBER() OVER (PARTITION BY c.cell
+       |      ORDER BY w.sc DESC, c.id ASC) AS rk
+       |    FROM cand1 c JOIN nsc w ON w.cell = c.cell AND w.id = c.id)
+       |  WHERE rk <= 12
+       |), cand2 AS (
+       |  SELECT DISTINCT cell, id FROM (
+       |    SELECT cell, id FROM beam1
+       |    UNION ALL
+       |    SELECT g.cell, g.dst AS id FROM beam1 b
+       |    JOIN edge g ON g.cell = b.cell AND g.src = b.id)
+       |), beam2 AS (
+       |  SELECT cell, id FROM (
+       |    SELECT c.cell, c.id, ROW_NUMBER() OVER (PARTITION BY c.cell
+       |      ORDER BY w.sc DESC, c.id ASC) AS rk
+       |    FROM cand2 c JOIN nsc w ON w.cell = c.cell AND w.id = c.id)
+       |  WHERE rk <= 12
+       |), cand3 AS (
+       |  SELECT DISTINCT cell, id FROM (
+       |    SELECT cell, id FROM beam2
+       |    UNION ALL
+       |    SELECT g.cell, g.dst AS id FROM beam2 b
+       |    JOIN edge g ON g.cell = b.cell AND g.src = b.id)
+       |), beam3 AS (
+       |  SELECT cell, id FROM (
+       |    SELECT c.cell, c.id, ROW_NUMBER() OVER (PARTITION BY c.cell
+       |      ORDER BY w.sc DESC, c.id ASC) AS rk
+       |    FROM cand3 c JOIN nsc w ON w.cell = c.cell AND w.id = c.id)
+       |  WHERE rk <= 12
+       |), cand4 AS (
+       |  SELECT DISTINCT cell, id FROM (
+       |    SELECT cell, id FROM beam3
+       |    UNION ALL
+       |    SELECT g.cell, g.dst AS id FROM beam3 b
+       |    JOIN edge g ON g.cell = b.cell AND g.src = b.id)
+       |), beam4 AS (
+       |  SELECT cell, id FROM (
+       |    SELECT c.cell, c.id, ROW_NUMBER() OVER (PARTITION BY c.cell
+       |      ORDER BY w.sc DESC, c.id ASC) AS rk
+       |    FROM cand4 c JOIN nsc w ON w.cell = c.cell AND w.id = c.id)
+       |  WHERE rk <= 12
+       |)
+       |SELECT id, ${r6sql("cos")} AS cosine FROM (
+       |  SELECT b.id, ${cosineSql("n.v", "qv")} AS cos
+       |  FROM beam4 b
+       |  JOIN node n ON n.cell = b.cell AND n.id = b.id, q)
+       |ORDER BY cos DESC, id LIMIT 10""".stripMargin
 
   /** The s23 oracle: the tuning sweep's every config replayed as its
     * own unrolled beam chain over ONE shared node/edge build (edges
