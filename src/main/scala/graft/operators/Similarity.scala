@@ -2796,21 +2796,36 @@ object Similarity {
     *   .start()
     * }}}
     */
+  /** `useCodes = true` (round 19): serve each trigger through the
+    * memory-bounded CODED walk ([[knnHnswBatchCoded]] — ADC beam
+    * over the PQ sidecar, exact point-read rerank) instead of the
+    * float walk. Requires [[addPqToHnswIndex]] to have run on the
+    * index; the serving loop is where the sidecar pays — hot cells
+    * replicate cheaply through the salt fan-out and the task heap
+    * stays flat in the vector dimension across a long-lived stream.
+    */
   def hnswServeBatch(path: String, qIdCol: String, qVecCol: String,
       outPath: String, k: Int, nProbe: Int = 4, ef: Int = 12,
       rounds: Int = 4, compactEvery: Option[Long] = None,
-      predicate: Option[Column] = None)
+      predicate: Option[Column] = None, useCodes: Boolean = false)
       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
+    require(!useCodes || hnswHasPq(spark, path),
+      s"hnswServeBatch: useCodes = true but $path has no PQ sidecar " +
+        "— run addPqToHnswIndex first")
     val logPath = s"$outPath/serve_log"
     // the shared watermark → compact → tail probe (see ivfPqServeBatch)
     val replayed = graft.sources.BatchLog.contains(spark, logPath, batchId)
     if (replayed) return
     val queries = batch.localCheckpoint()
     if (!queries.isEmpty) {
-      knnHnswBatch(spark, path, queries, qIdCol, qVecCol, k, nProbe,
-          ef, rounds, predicate)
+      (if (useCodes)
+        knnHnswBatchCoded(spark, path, queries, qIdCol, qVecCol, k,
+          nProbe, ef, rounds, predicate)
+      else
+        knnHnswBatch(spark, path, queries, qIdCol, qVecCol, k, nProbe,
+          ef, rounds, predicate))
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(s"$outPath/results")
     }

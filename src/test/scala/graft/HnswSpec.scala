@@ -620,6 +620,45 @@ class HnswSpec extends SparkSpec {
     assert(r.after.totalRows == 500, r.after.toString)
   }
 
+  test("coded serving loop: useCodes triggers equal the direct coded batch probe; replay stays a no-op") {
+    import graft.sources.BatchLog
+    val path = tmp("graft-hnsw-pqserve")
+    Similarity.writeHnswIndex(emb, "vec_id", "embedding", path,
+      nCells = 16, m = 6)
+    Similarity.addPqToHnswIndex(spark, path, pqM = 8, nCodes = 16)
+    val out = tmp("graft-hnsw-pqserve-out")
+    val qs = emb.orderBy("vec_id").limit(4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      .as[(Long, Seq[Float])].collect()
+    (0 until 2).foreach { i =>
+      Similarity.hnswServeBatch(path, "query_id", "qvec", out,
+        k = 10, nProbe = 4, useCodes = true)(
+        Seq(qs(2 * i), qs(2 * i + 1)).toDF("query_id", "qvec"), i.toLong)
+    }
+    val served = spark.read.parquet(s"$out/results")
+      .select("query_id", "id", "cosine")
+    val direct = Similarity.knnHnswBatchCoded(spark, path,
+      qs.toSeq.toDF("query_id", "qvec"), "query_id", "qvec",
+      k = 10, nProbe = 4)
+    assert(served.collect().map(_.toString).sorted.toSeq ==
+      direct.collect().map(_.toString).sorted.toSeq,
+      "coded serving loop diverges from the direct coded batch probe")
+    // replay is refused; an index without the sidecar is too
+    Similarity.hnswServeBatch(path, "query_id", "qvec", out,
+      k = 10, nProbe = 4, useCodes = true)(
+      Seq(qs(0), qs(1)).toDF("query_id", "qvec"), 0L)
+    assert(spark.read.parquet(s"$out/results").count() == 40)
+    assert(BatchLog.contains(spark, s"$out/serve_log", 1L))
+    val bare = tmp("graft-hnsw-nopq")
+    Similarity.writeHnswIndex(emb.limit(50), "vec_id", "embedding",
+      bare, nCells = 4, m = 4)
+    intercept[IllegalArgumentException] {
+      Similarity.hnswServeBatch(bare, "query_id", "qvec", out,
+        k = 4, nProbe = 2, ef = 8, useCodes = true)(
+        Seq(qs(0)).toDF("query_id", "qvec"), 9L)
+    }
+  }
+
   test("hot-cell salting: a concentrated batch fans out across salt keys with row-identical results") {
     // round 19 — r18 verdict task 3: the cogroup keys walks by cell,
     // so a batch concentrated on one cell used to walk serially in
