@@ -360,10 +360,15 @@ object IndexHealth {
         math.max(0L, ivf.totalRows - nBuilt).toDouble / ivf.totalRows
       case _ => 0.0
     }
+    // round 19: the coded-walk sidecar has its own append crash
+    // window (cells landed, codes didn't — nodes the ADC beam can
+    // never score); parity with the cells tree is a compaction
+    // signal with a bounded in-place repair, the unknitted stance
+    val uncoded = Similarity.hnswPqUncoded(spark, path)
     ivf.copy(
       kind = "hnsw",
       dataFiles = ivf.dataFiles + dataFileCount(spark, s"$path/graph"),
-      needsCompact = ivf.needsCompact || unknitted > 0,
+      needsCompact = ivf.needsCompact || unknitted > 0 || uncoded > 0,
       needsRebuild = ivf.needsRebuild || appendedFrac > maxAppendedFrac)
   }
 
@@ -463,12 +468,18 @@ object IndexHealth {
           ("rebuilt", dstPath)
         } else if (before.needsCompact) {
           val cells = Similarity.hnswUnknittedCells(spark, path)
+          // sidecar repair first (round 19): encode-missing is
+          // independent of the knit and both are bounded in-place
+          // fixes for the same append crash window
+          val recoded = Similarity.encodeMissingHnswPqCodes(spark, path)
           if (cells.nonEmpty) {
             Similarity.knitHnswCells(spark, path, cells)
-            ("knitted", path)
-          } else {
-            // needsCompact without tombstones or unknitted nodes =
-            // file fragmentation — the rebuild is the compaction
+            (if (recoded > 0) "knitted+recoded" else "knitted", path)
+          } else if (recoded > 0) ("recoded", path)
+          else {
+            // needsCompact without tombstones, unknitted or uncoded
+            // nodes = file fragmentation — the rebuild is the
+            // compaction
             Similarity.rebuildHnswIndex(spark, path, dstPath)
             ("rebuilt", dstPath)
           }

@@ -3349,6 +3349,47 @@ object Similarity {
       .write.mode(mode).partitionBy("cell").parquet(s"$path/pqcodes")
   }
 
+  /** Live cells-tree ids the PQ sidecar lacks — the append crash
+    * signature for the CODED walk ([[appendToHnswIndex]] writes
+    * cells, then pqcodes, then knits; a crash between the first two
+    * leaves nodes the ADC beam can never score, exactly like an
+    * unknitted node is walkable-but-unreachable). 0 for an index
+    * without the sidecar. IndexHealth's needsCompact input; the
+    * repair is [[encodeMissingHnswPqCodes]], bounded and in-place.
+    */
+  private[operators] def hnswPqUncoded(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long =
+    if (!hnswHasPq(spark, path)) 0L
+    else spark.read.parquet(s"$path/cells")
+      .select(col("id").cast("long").as("id"))
+      .join(spark.read.parquet(s"$path/pqcodes").select("id"),
+        Seq("id"), "left_anti")
+      .count()
+
+  /** Encode every sidecar-missing node with the STORED codebook and
+    * append — the bounded in-place repair for the coded-walk crash
+    * window (the [[knitHnswCells]] twin). Idempotent; tombstoned
+    * nodes encode too (sidecar parity is with the CELLS TREE — the
+    * walk's dead-mask, not the sidecar, owns deletion semantics).
+    * Returns the number of nodes encoded.
+    */
+  def encodeMissingHnswPqCodes(
+      spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    if (!hnswHasPq(spark, path)) return 0L
+    // sever the plan from the sidecar path before appending to it
+    val missing = spark.read.parquet(s"$path/cells")
+      .select(col("cell"), col("id"), col("vec"))
+      .join(spark.read.parquet(s"$path/pqcodes")
+          .select(col("id").cast("long").as("_p_have")),
+        col("id").cast("long") === col("_p_have"), "left_anti")
+      .localCheckpoint()
+    val n = missing.count()
+    if (n > 0)
+      writeHnswPqCodes(missing, readPqCodebook(spark, s"$path/pq"),
+        path, "append")
+    n
+  }
+
   /** Whether the graph index at `path` carries the PQ sidecar. */
   def hnswHasPq(spark: org.apache.spark.sql.SparkSession,
       path: String): Boolean = {

@@ -498,6 +498,26 @@ class HnswSpec extends SparkSpec {
         .select("id", "cosine")) == rows(single),
         s"coded batch result for query $qid diverges")
     }
+
+    // OPQ sidecar: batch ≡ single is the real rotation cross-check —
+    // the single probe rotates the query DRIVER-side (adcLutOf's
+    // dotSeq rows), the batch rotates it DECLARATIVELY (the MatVec
+    // kernel); a mismatch between the two LUTs through the rotation
+    // would diverge the beams here
+    val opqd = tmp("graft-hnsw-pqopq")
+    Similarity.writeHnswIndex(emb, "vec_id", "embedding", opqd,
+      nCells = 16, m = 6)
+    Similarity.addPqToHnswIndex(spark, opqd, pqM = 8, nCodes = 16,
+      opq = true)
+    val obatch = Similarity.knnHnswBatchCoded(spark, opqd, queries5,
+      "qid", "embedding", k = 10, nProbe = 4, ef = 20, rounds = 4)
+    queries5.as[(Long, Seq[Float])].collect().foreach { case (qid, qv) =>
+      val single = Similarity.knnHnswIndexedCoded(spark, opqd,
+        qv.toArray, k = 10, nProbe = 4, ef = 20, rounds = 4)
+      assert(rows(obatch.where(col("query_id") === qid)
+        .select("id", "cosine")) == rows(single),
+        s"OPQ coded batch result for query $qid diverges")
+    }
   }
 
   test("coded walk lifecycle: appends encode with the stored codebook, tombstones never emit, filters mask emission, rebuild retrains the sidecar") {
@@ -618,6 +638,38 @@ class HnswSpec extends SparkSpec {
     // the rebuild re-records its founding size — the trigger resets
     assert(!r.after.needsRebuild, r.after.toString)
     assert(r.after.totalRows == 500, r.after.toString)
+  }
+
+  test("coded sidecar crash window: uncoded nodes flag needsCompact; maintain re-encodes in place, never a rebuild") {
+    import graft.operators.IndexHealth
+    val path = tmp("graft-hnsw-pqcrash")
+    Similarity.writeHnswIndex(emb, "vec_id", "embedding", path,
+      nCells = 8, m = 6)
+    Similarity.addPqToHnswIndex(spark, path, pqM = 8, nCodes = 16)
+    assert(!IndexHealth.report(spark, path).needsCompact)
+    val want = Similarity.knnHnswIndexedCoded(spark, path, query,
+      k = 10, nProbe = 8, ef = 20, rounds = 4)
+      .collect().map(_.toString).sorted.toSeq
+    // simulate the cells-landed-codes-didn't crash signature: one
+    // cell's sidecar partition vanishes (the knit-crash test's
+    // graph-partition drop, aimed at pqcodes)
+    val victimCell = new java.io.File(s"$path/pqcodes").listFiles
+      .filter(_.isDirectory).map(_.getName).sorted.head
+    def rmrf(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$path/pqcodes/$victimCell"))
+    val h = IndexHealth.report(spark, path)
+    assert(h.kind == "hnsw" && h.needsCompact, h.toString)
+    val r = IndexHealth.maintain(spark, path, tmp("graft-hnsw-pqcrash-d"))
+    assert(r.action == "recoded" && r.activePath == path, r.toString)
+    assert(!r.after.needsCompact, r.after.toString)
+    // the deterministic encoder restores byte-identical codes: the
+    // coded probe equals its pre-crash self
+    val got = Similarity.knnHnswIndexedCoded(spark, path, query,
+      k = 10, nProbe = 8, ef = 20, rounds = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want, "re-encoded sidecar changed the coded probe")
   }
 
   test("coded serving loop: useCodes triggers equal the direct coded batch probe; replay stays a no-op") {

@@ -111,6 +111,29 @@ class PlanAuditSpec extends SparkSpec {
       s"quantized scan+rank must not shuffle:\n$plan")
   }
 
+  test("s23 packed sweep: exchange count is rounds-independent — beam rounds are fold projections, not shuffles") {
+    // round 19: the pre-packed form ran one join+window exchange PER
+    // beam round per config (9 sequential exchanges across the swept
+    // configs — the stage-latency variance the r18 verdict flagged).
+    // The packed fold's rounds live inside ONE aggregate() expression,
+    // so doubling rounds must not add a single exchange to the plan.
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.orderBy("vec_id").limit(3)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("qid"),
+        org.apache.spark.sql.functions.col("embedding"))
+    def exchanges(rounds: Int): Int =
+      "Exchange".r.findAllIn(explain(
+        Similarity.hnswTuningEval(queries, "qid", "embedding",
+          emb, "vec_id", "embedding", k = 10, nCells = 16, nProbe = 4,
+          configs = Seq((6, 12, rounds))))).size
+    val base = exchanges(4)
+    assert(base == exchanges(8),
+      s"exchange count grew with rounds: $base vs ${exchanges(8)} — " +
+        "a beam round has re-entered the shuffle path")
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("d01 exact dedup is a single hash-shuffle aggregation") {
     val plan = explain(build("d01_dedup_exact"))
     // one Exchange for the groupBy, one for the final orderBy — no join
