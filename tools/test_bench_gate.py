@@ -6,7 +6,7 @@ Run: python3 -m unittest discover -s tools  (or python3 tools/test_bench_gate.py
 """
 import unittest
 
-from bench_gate import gate
+from bench_gate import gate, dispersion, DISPERSION_BAND
 
 
 class GateRuleTest(unittest.TestCase):
@@ -61,6 +61,41 @@ class GateRuleTest(unittest.TestCase):
         self.assertEqual(fails, [])
         fails, _, _ = gate({"q": regression_min}, {"q": 1.0})
         self.assertEqual(fails, ["q"])
+
+
+class TestDispersion(unittest.TestCase):
+    # mirror of graft.Bench.dispersionReport (BenchLogicSpec owns the
+    # Scala rules; these pin the python twin bench_gate prints from)
+
+    def test_one_hot_query_alarms_via_outlier_leg(self):
+        base = {f"q{i}": 1.0 for i in range(9)} | {"s23": 1.0}
+        cur = {f"q{i}": 0.95 for i in range(9)} | {"s23": 2.23}
+        spread, outliers, alarm = dispersion(cur, base)
+        self.assertTrue(alarm)
+        self.assertEqual([n for n, _ in outliers], ["s23"])
+
+    def test_quiet_and_common_mode_hot_sweeps_stay_silent(self):
+        base = {f"q{i}": 1.0 for i in range(8)}
+        quiet = {f"q{i}": 0.9 + 0.02 * i for i in range(8)}
+        _, outliers, alarm = dispersion(quiet, base)
+        self.assertFalse(alarm)
+        self.assertEqual(outliers, [])
+        hot = {f"q{i}": 1.7 + 0.02 * i for i in range(8)}
+        _, outliers, alarm = dispersion(hot, base)
+        self.assertFalse(alarm)   # the canary's job, not this alarm's
+
+    def test_wide_spread_alarms_via_band_leg(self):
+        base = {f"q{i}": 1.0 for i in range(8)}
+        # p50 = 0.5, p90 = 0.75: spread 1.5 over the band, yet no
+        # single ratio crosses 1.0 — only the band leg can catch it
+        cur = {f"q{i}": (0.5 if i < 6 else 0.75) for i in range(8)}
+        spread, _, alarm = dispersion(cur, base)
+        self.assertTrue(alarm)
+        self.assertGreater(spread, DISPERSION_BAND)
+
+    def test_under_five_samples_returns_none(self):
+        base = {f"q{i}": 1.0 for i in range(4)}
+        self.assertIsNone(dispersion(dict(base), base))
 
 
 if __name__ == "__main__":
