@@ -322,12 +322,18 @@ object ScaleProbeXL {
     // walk_bytes columns, ~13× apart at every scale and
     // DIM-INDEPENDENT — at dim 1024 the gap is 32×) and point-reads
     // only the final beam's floats. Residual coded growth is the
-    // adjacency map + codes — inherent to walking a cell's graph in
-    // one task, and independent of the vector width that makes
-    // embedding corpora big. Measured on this box (sf0.1 base):
-    // float peak 200→793→3011 MB across 6k→50k→500k; coded
-    // 361→338→1558 MB. rows=10 results per probe pin that both
-    // paths still answer. ──
+    // rank-indexed adjacency + codes — inherent to walking a cell's
+    // graph in one task, and independent of the vector width that
+    // makes embedding corpora big. The ANALYTIC columns carry the
+    // claim; the measured peak is a whole-JVM sample (all local
+    // tasks + parquet decode + shuffle buffers + GC timing) and
+    // reads noisy across runs: float 1774–3011 MB at the 500k cell
+    // across two runs (always TRACKING the cell: ~200 → ~800 →
+    // 1774+ MB), coded 1558–1801 MB (dominated by the shuffle/decode
+    // machinery both paths share, not the scoring payload — the
+    // retained per-task scoring state is 264 MB of double vectors vs
+    // 24 MB of codes at 500k nodes). rows=10 results per probe pin
+    // that both paths still answer. ──
     // synthesize a single-cell graph index directly — the whole
     // replicated corpus in ONE cell, ring adjacency (rank ±1..3) from
     // a single window pass. The walk contract only needs SOME

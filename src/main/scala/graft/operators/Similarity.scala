@@ -2947,26 +2947,80 @@ object Similarity {
     * never emitted; size ef above k to keep emission headroom under
     * selective predicates (the documented filtered-walk contract).
     */
-  private def walkCell(qd: Array[Double], ids: Array[Long],
-      vecs: Array[Array[Double]], nbrs: Map[Long, Array[Long]],
-      dead: Long => Boolean, hidden: Long => Boolean,
-      ef: Int, rounds: Int): Seq[(Long, Double)] = {
-    val idx = ids.zipWithIndex.toMap
-    val cos = scala.collection.mutable.HashMap.empty[Long, Double]
-    def scoreOf(id: Long): Double =
-      cos.getOrElseUpdate(id, cosExact(vecs(idx(id)), qd))
-    val live = ids.filterNot(dead)
-    if (live.isEmpty) return Nil
-    var beam = Vector(live.min)
+  /** Rank-indexed cell state for one walk task (round 19): ids
+    * sorted ascending, every per-node fact addressed by the node's
+    * RANK — adjacency as int offsets resolved once by binary search,
+    * dead/hide as boolean arrays. The per-id HashMap form cost
+    * ~120 B/node in boxed Long keys and entry objects on top of the
+    * payload; this representation costs the adjacency ints alone.
+    * Pure representation change: ordering tie-breaks still compare
+    * the REAL ids, so walk results are byte-identical (every parity
+    * spec and the s22/s24/s25 oracles pin it).
+    */
+  private final class CellState(
+      val ids: Array[Long],
+      val adj: Array[Array[Int]],
+      val dead: Array[Boolean],
+      val hide: Array[Boolean]) {
+    def size: Int = ids.length
+  }
+
+  /** Sort rows by id and convert to rank space. `P` is the scoring
+    * payload (float-walk vectors / coded-walk codes+norm), returned
+    * aligned to the same ranks. A graph neighbor whose cells row is
+    * absent is dropped (the map form THREW on it at score time — an
+    * impossible state under the write ordering, now also a safe one).
+    */
+  private def buildCellState[P: scala.reflect.ClassTag](
+      rows: Array[(Long, P, Option[Array[Long]], Boolean, Boolean)])
+      : (CellState, Array[P]) = {
+    val sorted = rows.sortBy(_._1)
+    val ids = sorted.map(_._1)
+    val payload = sorted.map(_._2)
+    val adj = sorted.map { r =>
+      r._3.map(_.flatMap { nid =>
+        val i = java.util.Arrays.binarySearch(ids, nid)
+        if (i >= 0) Some(i) else None
+      }).getOrElse(Array.empty[Int])
+    }
+    (new CellState(ids, adj, sorted.map(_._4), sorted.map(_._5)), payload)
+  }
+
+  /** The beam walk in rank space: entry = the first (lowest-id)
+    * LIVE rank, `rounds` expansions of cand = beam ∪ out-edges,
+    * top-ef by (score DESC, id ASC), dead/hidden filtered from
+    * EMISSION only. Scores memoized per call (per query).
+    */
+  private def walkCellIdx(st: CellState, scoreOf: Int => Double,
+      ef: Int, rounds: Int): Seq[Int] = {
+    val memo = new Array[Double](st.size)
+    val has = new Array[Boolean](st.size)
+    def sc(i: Int): Double = {
+      if (!has(i)) { memo(i) = scoreOf(i); has(i) = true }
+      memo(i)
+    }
+    val entry = st.ids.indices.find(i => !st.dead(i))
+    if (entry.isEmpty) return Nil
+    var beam = Vector(entry.get)
     var r = 0
     while (r < rounds) {
-      val cand = (beam ++ beam.flatMap(id =>
-        nbrs.getOrElse(id, Array.empty[Long]))).distinct
-      beam = cand.sortBy(id => (-scoreOf(id), id)).take(ef)
+      val cand = (beam ++ beam.flatMap(i => st.adj(i))).distinct
+      beam = cand.sortBy(i => (-sc(i), st.ids(i))).take(ef)
       r += 1
     }
-    beam.filterNot(id => dead(id) || hidden(id))
-      .map(id => (id, scoreOf(id)))
+    beam.filterNot(i => st.dead(i) || st.hide(i))
+  }
+
+  private def walkCell(qd: Array[Double], st: CellState,
+      vecs: Array[Array[Double]], ef: Int,
+      rounds: Int): Seq[(Long, Double)] = {
+    val cos = new Array[Double](st.size)
+    val has = new Array[Boolean](st.size)
+    def sc(i: Int): Double = {
+      if (!has(i)) { cos(i) = cosExact(vecs(i), qd); has(i) = true }
+      cos(i)
+    }
+    walkCellIdx(st, sc, ef, rounds).map(i => (st.ids(i), sc(i)))
   }
 
   /** (cell, id, vec, nbrs, dead, hide) rows of a persisted graph
@@ -3016,15 +3070,9 @@ object Similarity {
       .as[(Int, Long, Seq[Double], Option[Seq[Long]], Boolean, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val rows = it.toArray
-        val ids = rows.map(_._2)
-        val vecs = rows.map(_._3.toArray)
-        val adj = rows.collect {
-          case (_, id, _, Some(ns), _, _) => id -> ns.toArray
-        }.toMap
-        val dead = rows.collect { case (_, id, _, _, true, _) => id }.toSet
-        val hide = rows.collect { case (_, id, _, _, _, true) => id }.toSet
-        walkCell(qd, ids, vecs, adj, dead, hide, ef, rounds).iterator
+        val (st, vecs) = buildCellState(it.map(r =>
+          (r._2, r._3.toArray, r._4.map(_.toArray), r._5, r._6)).toArray)
+        walkCell(qd, st, vecs, ef, rounds).iterator
       }
       .toDF("id", "cosine")
   }
@@ -3262,20 +3310,13 @@ object Similarity {
           col("qid"), col("qv"))
         .as[(Int, Int, Long, Seq[Double])].groupByKey(r => (r._1, r._2))) {
         (_, nodeIt, qIt) =>
-          val rows = nodeIt.toArray
+          val rows = nodeIt.map(r =>
+            (r._3, r._4.toArray, r._5.map(_.toArray), r._6, r._7)).toArray
           if (rows.isEmpty) Iterator.empty
           else {
-            val ids = rows.map(_._3)
-            val vecs = rows.map(_._4.toArray)
-            val adj = rows.collect {
-              case (_, _, id, _, Some(ns), _, _) => id -> ns.toArray
-            }.toMap
-            val dead = rows.collect {
-              case (_, _, id, _, _, true, _) => id }.toSet
-            val hide = rows.collect {
-              case (_, _, id, _, _, _, true) => id }.toSet
+            val (st, vecs) = buildCellState(rows)
             qIt.flatMap { case (_, _, qid, qv) =>
-              walkCell(qv.toArray, ids, vecs, adj, dead, hide, ef, rounds)
+              walkCell(qv.toArray, st, vecs, ef, rounds)
                 .map { case (id, c) => (qid, id, c) }
             }
           }
@@ -3407,32 +3448,17 @@ object Similarity {
     * against the float tree the walk never reads.
     */
   private def walkCellAdc(lut: Array[Double], nCodes: Int,
-      qnorm: Double, ids: Array[Long], codes: Array[Array[Int]],
-      norms: Array[Double], nbrs: Map[Long, Array[Long]],
-      dead: Long => Boolean, hidden: Long => Boolean,
-      ef: Int, rounds: Int): Seq[Long] = {
-    val idx = ids.zipWithIndex.toMap
-    val score = scala.collection.mutable.HashMap.empty[Long, Double]
-    def scoreOf(id: Long): Double = score.getOrElseUpdate(id, {
-      val i = idx(id)
+      qnorm: Double, st: CellState, codes: Array[Array[Int]],
+      norms: Array[Double], ef: Int, rounds: Int): Seq[Long] = {
+    def scoreOf(i: Int): Double = {
       val cs = codes(i)
       var s = 0d
       var j = 0
       while (j < cs.length) { s += lut(j * nCodes + cs(j)); j += 1 }
       val denom = qnorm * norms(i)
       if (denom == 0d) 0d else s / denom
-    })
-    val live = ids.filterNot(dead)
-    if (live.isEmpty) return Nil
-    var beam = Vector(live.min)
-    var r = 0
-    while (r < rounds) {
-      val cand = (beam ++ beam.flatMap(id =>
-        nbrs.getOrElse(id, Array.empty[Long]))).distinct
-      beam = cand.sortBy(id => (-scoreOf(id), id)).take(ef)
-      r += 1
     }
-    beam.filterNot(id => dead(id) || hidden(id))
+    walkCellIdx(st, scoreOf, ef, rounds).map(st.ids)
   }
 
   /** (cell, id, codes, norm, nbrs, dead, hide) rows of the probed
@@ -3546,18 +3572,11 @@ object Similarity {
       .as[(Int, Long, Seq[Int], Double, Option[Seq[Long]], Boolean, Boolean)]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val rows = it.map(r =>
-          (r._2, r._3.toArray, r._4, r._5.map(_.toArray), r._6, r._7))
-          .toArray
-        val ids = rows.map(_._1)
-        val codes = rows.map(_._2)
-        val norms = rows.map(_._3)
-        val adj = rows.collect { case (id, _, _, Some(ns), _, _) =>
-          id -> ns }.toMap
-        val dead = rows.collect { case (id, _, _, _, true, _) => id }.toSet
-        val hide = rows.collect { case (id, _, _, _, _, true) => id }.toSet
-        walkCellAdc(lut, nCodes, qnorm, ids, codes, norms, adj,
-          dead, hide, ef, rounds).iterator
+        val (st, payload) = buildCellState(it.map(r =>
+          (r._2, (r._3.toArray, r._4), r._5.map(_.toArray), r._6, r._7))
+          .toArray)
+        walkCellAdc(lut, nCodes, qnorm, st, payload.map(_._1),
+          payload.map(_._2), ef, rounds).iterator
       }
       .collect() // bounded: ≤ ef · nProbe ids — the s12 point-read set
   }
@@ -3653,22 +3672,16 @@ object Similarity {
         .groupByKey(r => (r._1, r._2))) {
         (_, nodeIt, qIt) =>
           val rows = nodeIt.map(r =>
-            (r._3, r._4.toArray, r._5, r._6.map(_.toArray), r._7, r._8))
+            (r._3, (r._4.toArray, r._5), r._6.map(_.toArray), r._7, r._8))
             .toArray
           if (rows.isEmpty) Iterator.empty
           else {
-            val ids = rows.map(_._1)
-            val codes = rows.map(_._2)
-            val norms = rows.map(_._3)
-            val adj = rows.collect { case (id, _, _, Some(ns), _, _) =>
-              id -> ns }.toMap
-            val dead = rows.collect {
-              case (id, _, _, _, true, _) => id }.toSet
-            val hide = rows.collect {
-              case (id, _, _, _, _, true) => id }.toSet
+            val (st, payload) = buildCellState(rows)
+            val codes = payload.map(_._1)
+            val norms = payload.map(_._2)
             qIt.flatMap { case (_, _, qid, lut, qnorm) =>
-              walkCellAdc(lut.toArray, nCodes, qnorm, ids, codes, norms,
-                adj, dead, hide, ef, rounds).map(id => (qid, id))
+              walkCellAdc(lut.toArray, nCodes, qnorm, st, codes, norms,
+                ef, rounds).map(id => (qid, id))
             }
           }
       }
