@@ -3104,6 +3104,81 @@ object Similarity {
     * selective predicates starves — the documented filtered-walk
     * contract, measurable with [[hnswRecall]]'s machinery.
     */
+  /** (cosine DESC, id ASC) — the walk's one total order, as an
+    * array_sort comparator (ids are distinct, so it is total).
+    * Shared by the packed inline walk and the packed tuning sweep.
+    */
+  private def byCosDescIdAsc(l: Column, r: Column): Column =
+    when(l.getField("cos") > r.getField("cos"), -1)
+      .when(l.getField("cos") < r.getField("cos"), 1)
+      .when(l.getField("id") < r.getField("id"), -1)
+      .when(l.getField("id") > r.getField("id"), 1)
+      .otherwise(0)
+
+  /** An empty array of the id column's own type, without naming it. */
+  private def emptyLike(c: Column): Column = slice(array(c), 1, 0)
+
+  /** Score ids against `qv` via the packed id→vec map and sort by the
+    * walk order — the packed form of the join/window beam ranking.
+    * The cosine call is the same [[VectorOps.cosine]] kernel the join
+    * form applied row-wise, so every double is unchanged.
+    */
+  private def scoredOf(ids: Column, qv: Column): Column = array_sort(
+    transform(ids, i => struct(
+      VectorOps.cosine(element_at(col("_p_vecs"), i), qv).as("cos"),
+      i.as("id"))),
+    byCosDescIdAsc)
+
+  /** Pack each cell's graph into one row: (id → vec) map, (src →
+    * rk-sorted out-edge list) map, and the walk entry (min id). A
+    * cell's whole graph rides one row, so a beam round is array
+    * algebra, not an exchange. Left join: a 1-node cell has no edges;
+    * lookups null-propagate into [[packedWalk]]'s coalesce.
+    */
+  private def packCellGraph(nodes: DataFrame, edges: DataFrame)
+      : DataFrame = {
+    val nodePack = nodes.groupBy("cell").agg(
+      map_from_entries(collect_list(struct(col("id"), col("vec"))))
+        .as("_p_vecs"),
+      min("id").as("_p_entry"))
+    val edgePack = edges
+      .groupBy("cell", "src")
+      .agg(transform(array_sort(collect_list(struct(col("rk"), col("dst")))),
+        e => e.getField("dst")).as("_p_dsts"))
+      .groupBy("cell")
+      .agg(map_from_entries(collect_list(struct(col("src"), col("_p_dsts"))))
+        .as("_p_adj"))
+    nodePack.join(edgePack, Seq("cell"), "left")
+  }
+
+  /** One cell's whole multi-round beam walk as a single aggregate()
+    * fold over the packed row: state = (beam, visited); per round,
+    * cand = beam ∪ the rk≤m edge prefix of every beam node
+    * (distinct), beam = ids of the top-ef scored candidates, visited
+    * ∪= cand. Every cand id is a node of the cell, so the vec lookup
+    * never misses. rounds = 0 returns the entry beam untouched
+    * (sequence(1, 0) would count DOWN — two steps, not zero).
+    */
+  private def packedWalk(qv: Column, m: Int, ef: Int,
+      rounds: Int): Column = {
+    def candOf(st: Column): Column = array_distinct(concat(
+      st.getField("beam"),
+      flatten(transform(st.getField("beam"),
+        i => coalesce(slice(element_at(col("_p_adj"), i), 1, m),
+          emptyLike(i))))))
+    val init = struct(array(col("_p_entry")).as("beam"),
+      emptyLike(col("_p_entry")).as("vis"))
+    if (rounds == 0) init
+    else aggregate(
+      sequence(lit(1), lit(rounds)),
+      init,
+      (st, _) => struct(
+        transform(slice(scoredOf(candOf(st), qv), 1, ef),
+          s => s.getField("id")).as("beam"),
+        array_distinct(concat(st.getField("vis"), candOf(st)))
+          .as("vis")))
+  }
+
   def knnHnsw(
       df: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int,
@@ -3112,7 +3187,6 @@ object Similarity {
       strategy: CentroidStrategy = SeededCentroids,
       attrCols: Seq[String] = Nil,
       predicate: Option[Column] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(ef >= k, s"knnHnsw: ef ($ef) must be >= k ($k) — the final " +
       "beam is the candidate pool")
     require(predicate.isEmpty || attrCols.nonEmpty,
@@ -3126,30 +3200,30 @@ object Similarity {
       .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (score, cell) => (-score, cell) }
       .take(nProbe).map(_._2)
-    val nodes = indexed
-      .where(col("cell").isin(probeCells.toIndexedSeq: _*))
+    val nodes = Dedup.batchScope.persistTracked(indexed
+      .where(col("cell").isin(probeCells.toIndexedSeq: _*)))
     val edges = hnswEdges(nodes, m)
     val q = typedlit(query.toSeq)
-    val w = Window.partitionBy("cell")
-      .orderBy(col("_w_cos").desc, col("id").asc)
-    // beam0 = each probed cell's min-id entry; each round: candidates
-    // = beam ∪ out-edges(beam), keep the per-cell top-ef by cosine
-    val out = edges.select(col("cell").as("_e_cell"),
-      col("src").as("_e_src"), col("dst"))
-    var beam: DataFrame = nodes.groupBy("cell").agg(min("id").as("id"))
-    (1 to rounds).foreach { _ =>
-      val cand = beam
-        .unionByName(beam.join(out,
-            col("cell") === col("_e_cell") && col("id") === col("_e_src"))
-          .select(col("cell"), col("dst").as("id")))
-        .distinct()
-      beam = cand.join(nodes, Seq("cell", "id"))
-        .withColumn("_w_cos", VectorOps.cosine(col("vec"), q))
-        .withColumn("_w_rk", row_number().over(w))
-        .where(col("_w_rk") <= ef)
-        .select(col("cell"), col("id"))
-    }
-    val merged = beam.join(nodes, Seq("cell", "id"))
+    // Round-19 shape (the hnswTuningEval stance, r18 verdict task 2
+    // applied to the inline walk): the former per-round join/window
+    // chain referenced `beam` TWICE per round (cand = beam ∪
+    // beam⋈edges), doubling the shared subtree every round — 4 rounds
+    // planned ~2^4 copies of the assignment scan and paid ~3 exchanges
+    // per round in sequential stage latency. Each probed cell now
+    // PACKS into one row (id→vec map, rank-sorted adjacency, min-id
+    // entry) and the whole multi-round walk runs as ONE aggregate()
+    // fold over ≤ nProbe rows — zero exchanges per round, linear plan.
+    // Every intermediate set follows the same rules as the join form
+    // (cand = beam ∪ out-edges, distinct; beam = top-ef by cosine
+    // DESC id ASC) over the same typed inputs (array<float> node vecs
+    // against the array<float> query literal — the identical
+    // VectorOps.cosine kernel call), so every double, and therefore
+    // the s22/s24 oracle hashes and the inline↔indexed parity specs,
+    // are unchanged.
+    val packed = packCellGraph(nodes, edges)
+    val beamIds = packed.select(col("cell"),
+      explode(packedWalk(q, m, ef, rounds).getField("beam")).as("id"))
+    val merged = beamIds.join(nodes, Seq("cell", "id"))
     predicate.map(merged.where).getOrElse(merged)
       .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("id").asc)
@@ -3976,7 +4050,6 @@ object Similarity {
       k: Int, nCells: Int = 16, nProbe: Int = 4,
       configs: Seq[(Int, Int, Int)] = Seq((2, 10, 2), (4, 12, 3), (6, 12, 4)),
       strategy: CentroidStrategy = SeededCentroids): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(configs.nonEmpty, "hnswTuningEval: no configs to sweep")
     configs.foreach { case (m, ef, rounds) =>
       require(m >= 1 && rounds >= 1 && ef >= k,
@@ -4026,25 +4099,13 @@ object Similarity {
     // length-m prefix of each node's rank-sorted out-edge list
     val edges = hnswEdges(nodes, mMax)
     // pack: one row per probed cell — (id → vec) map, (src →
-    // rk-sorted out-edges) map, and the walk entry (min id). A
-    // cell's whole graph rides one row, so a beam round is array
-    // algebra, not an exchange. Eval-bounded by design (the probed
-    // cells of a SAMPLE of queries); serving keeps the in-partition
-    // walk.
-    val nodePack = nodes.groupBy("cell").agg(
-      map_from_entries(collect_list(struct(col("id"), col("vec"))))
-        .as("_p_vecs"),
-      min("id").as("_p_entry"))
-    val edgePack = edges
-      .groupBy("cell", "src")
-      .agg(transform(array_sort(collect_list(struct(col("rk"), col("dst")))),
-        e => e.getField("dst")).as("_p_dsts"))
-      .groupBy("cell")
-      .agg(map_from_entries(collect_list(struct(col("src"), col("_p_dsts"))))
-        .as("_p_adj"))
-    // left join: a 1-node cell has no edges; lookups null-propagate
+    // rk-sorted out-edges) map, and the walk entry (min id); the
+    // [[packCellGraph]] layout shared with the inline walk. A cell's
+    // whole graph rides one row, so a beam round is array algebra,
+    // not an exchange. Eval-bounded by design (the probed cells of a
+    // SAMPLE of queries); serving keeps the in-partition walk.
     val packed = Dedup.batchScope.persistTracked(
-      nodePack.join(edgePack, Seq("cell"), "left"))
+      packCellGraph(nodes, edges))
     val qc = Dedup.batchScope.persistTracked(
       probes.join(qdf, Seq("query_id")).join(packed, Seq("cell")))
     val exactPack = Dedup.batchScope.persistTracked(
@@ -4053,47 +4114,17 @@ object Similarity {
         .groupBy("query_id")
         .agg(collect_list(col("id")).as("_p_exact")))
     val nQexpr = qdf.agg(count(lit(1)).as("_t_nq"))
-    // (cosine DESC, id ASC) — the walk's one total order, as an
-    // array_sort comparator (ids are distinct, so it is total)
-    def byCosDescIdAsc(l: Column, r: Column): Column =
-      when(l.getField("cos") > r.getField("cos"), -1)
-        .when(l.getField("cos") < r.getField("cos"), 1)
-        .when(l.getField("id") < r.getField("id"), -1)
-        .when(l.getField("id") > r.getField("id"), 1)
-        .otherwise(0)
-    def scoredOf(ids: Column): Column = array_sort(
-      transform(ids, i => struct(
-        VectorOps.cosine(element_at(col("_p_vecs"), i), col("qv"))
-          .as("cos"),
-        i.as("id"))),
-      byCosDescIdAsc)
-    // an empty array of the id column's own type, without naming it
-    def emptyLike(c: Column): Column = slice(array(c), 1, 0)
     val perConfig = configs.map { case (m, ef, rounds) =>
-      // the fold: state = (beam, visited); per round, cand = beam ∪
-      // the rk≤m edge prefix of every beam node (distinct), beam =
-      // ids of the top-ef scored candidates, visited ∪= cand. Every
-      // cand id is a node of the cell, so the vec lookup never misses.
-      def candOf(st: Column): Column = array_distinct(concat(
-        st.getField("beam"),
-        flatten(transform(st.getField("beam"),
-          i => coalesce(slice(element_at(col("_p_adj"), i), 1, m),
-            emptyLike(i))))))
-      val walk = aggregate(
-        sequence(lit(1), lit(rounds)),
-        struct(array(col("_p_entry")).as("beam"),
-          emptyLike(col("_p_entry")).as("vis")),
-        (st, _) => struct(
-          transform(slice(scoredOf(candOf(st)), 1, ef),
-            s => s.getField("id")).as("beam"),
-          array_distinct(concat(st.getField("vis"), candOf(st)))
-            .as("vis")))
+      // the whole multi-round walk as the shared [[packedWalk]] fold
+      // (state = (beam, visited); cand = beam ∪ rk≤m edge prefix,
+      // distinct; beam = top-ef scored candidates; visited ∪= cand)
+      val walk = packedWalk(col("qv"), m, ef, rounds)
       // per (query, cell): the final beam re-scored for the
       // cross-cell merge, plus the cell's visited count (cells
       // partition the ids, so per-cell counts SUM to the per-query
       // distinct-union the join form counted)
       val perCell = qc.select(col("query_id"),
-        scoredOf(walk.getField("beam")).as("_p_fin"),
+        scoredOf(walk.getField("beam"), col("qv")).as("_p_fin"),
         size(walk.getField("vis")).as("_p_nv"))
       val perQuery = perCell.groupBy("query_id").agg(
         flatten(collect_list(col("_p_fin"))).as("_p_allfin"),
