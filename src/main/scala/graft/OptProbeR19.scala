@@ -31,6 +31,31 @@ object OptProbeR19 {
     spark.sparkContext.setLogLevel("WARN")
     Tables.names.foreach(n => Tables.load(spark, dir, n).count())
     val what = if (args.isEmpty) Set("c11") else args.toSet
+    if (what("jobs")) {
+      // per-Spark-job wall time with call sites — attributes a
+      // multi-job phase's cost to the exact actions inside it
+      val lock = new Object
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val starts =
+            scala.collection.mutable.Map[Int, (Long, String)]()
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            lock.synchronized {
+              starts(j.jobId) = (System.nanoTime(),
+                Option(j.properties.getProperty("callSite.short"))
+                  .getOrElse("?"))
+            }
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+            lock.synchronized {
+              starts.remove(j.jobId).foreach { case (t0, site) =>
+                println(f"[job] ${(System.nanoTime() - t0) / 1e9}%7.3f s  " +
+                  f"job=${j.jobId}%-4d $site")
+              }
+            }
+        })
+    }
     if (what("c11")) probeC11(spark, dir)
     if (what("s25")) probeS25(spark, dir)
     spark.stop()

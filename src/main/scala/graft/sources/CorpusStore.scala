@@ -1093,7 +1093,19 @@ object CorpusStore {
     require(df.columns.contains(idCol),
       s"upsertIntoCorpusCow: frame has no column '$idCol'")
     val numBuckets = effectiveNumBuckets(spark, path)
-    val changes = df.localCheckpoint()
+    upsertPinned(df.localCheckpoint(), path, idCol, numBuckets)
+  }
+
+  /** [[upsertIntoCorpusCow]] over a frame the caller already pinned —
+    * the ingest loop's path (round 19 optimization, the
+    * [[appendDeltaPinned]] stance: no second localCheckpoint job for
+    * a batch the stream already materialized).
+    */
+  private def upsertPinned(changes: DataFrame, path: String,
+      idCol: String, numBuckets: Int): Int = {
+    val spark = changes.sparkSession
+    require(isCow(spark, path),
+      s"CorpusStore: $path is not a copy-on-write store")
     val g = currentGen(spark, path)._1
     val manifest = readCowManifest(spark, path, g)
     requireChangeFrame(spark, path, changes, idCol, g, manifest,
@@ -1157,25 +1169,42 @@ object CorpusStore {
     * fail-fast contract as upsert (id column, id-unique, store
     * schema). Returns the committed generation.
     */
-  def appendDeltaToCorpusCow(df: DataFrame, path: String): Int = {
-    val spark = df.sparkSession
+  def appendDeltaToCorpusCow(df: DataFrame, path: String): Int =
+    appendDeltaPinned(df.localCheckpoint(), path,
+      knownNonEmpty = false)._1
+
+  /** [[appendDeltaToCorpusCow]] over a frame the CALLER already
+    * pinned with localCheckpoint — the ingest loop's path (round 19
+    * optimization: [[cowIngestBatch]] checkpoints the batch before
+    * its replay/empty guards, and the public method re-checkpointed
+    * and re-counted it, so every streamed batch paid two extra
+    * materialization jobs; a micro-batch commit is stage-latency
+    * bound, so redundant jobs are the whole cost). The batch row
+    * count now derives from the per-bucket read-back counts (their
+    * sum IS the batch count — the write is the batch's own rows)
+    * instead of a separate count() job. Returns (generation, batch
+    * row count).
+    */
+  private def appendDeltaPinned(changes: DataFrame, path: String,
+      knownNonEmpty: Boolean): (Int, Long) = {
+    val spark = changes.sparkSession
     require(isCow(spark, path),
       s"CorpusStore: $path is not a copy-on-write store")
     val idCol = cowIdCol(spark, path)
-    require(df.columns.contains(idCol),
+    require(changes.columns.contains(idCol),
       s"appendDeltaToCorpusCow: frame has no column '$idCol'")
     val numBuckets = effectiveNumBuckets(spark, path)
     val (g, base) = currentGen(spark, path)
     val gen = g + 1
     val manifest = readCowManifest(spark, path, g)
-    val changes = df.localCheckpoint()
     requireChangeFrame(spark, path, changes, idCol, g, manifest,
       "appendDeltaToCorpusCow")
     // empty frames fail HERE with the contract's message — after the
-    // write they would surface as an unreadable zero-file tree; the
-    // exact count also sizes the replacement probe's join strategy
-    val batchN = changes.count()
-    require(batchN > 0, "appendDeltaToCorpusCow: empty change set")
+    // write they would surface as an unreadable zero-file tree. A
+    // limit-1 probe of the pinned frame, not a full count: the exact
+    // count comes for free from the read-back below.
+    require(knownNonEmpty || !changes.isEmpty,
+      "appendDeltaToCorpusCow: empty change set")
     // the delta write IS the whole data write: the batch's own rows,
     // partitioned by bucket, under the generation's private deltas dir
     writeCowTree(changes, idCol, numBuckets,
@@ -1185,6 +1214,9 @@ object CorpusStore {
       .groupBy("_cs_bucket").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, "appendDeltaToCorpusCow: empty change set")
+    // the batch's exact count — sizes the replacement probe's join
+    // strategy and feeds the caller's ingest-log row
+    val batchN = counts.values.sum
     // replacements per bucket — ids already LIVE in a touched bucket
     // don't raise its live count; ids present but TOMBSTONED do (the
     // upsert resurrects them — round-16 review: a plain
@@ -1209,8 +1241,8 @@ object CorpusStore {
         prior.map(_.entries).getOrElse(Nil) :+
           CowEntry(gen, isDelta = true, n))
     }
-    commitCowGen(spark, path, gen, base, newManifest, numBuckets,
-      Seq(dataStamp))
+    (commitCowGen(spark, path, gen, base, newManifest, numBuckets,
+      Seq(dataStamp)), batchN)
   }
 
   /** Takedown WITHOUT rewriting any bucket (round 16 — the delete
@@ -1419,13 +1451,21 @@ object CorpusStore {
     val logPath = s"$path/ingest_log"
     if (ingestLogContains(spark, logPath, batchId)) return
     // eager checkpoint: the upsert reads store paths it then mutates;
-    // the streaming source's batch must also be pinned before reuse
+    // the streaming source's batch must also be pinned before reuse.
+    // The pinned write variants skip the public methods' second
+    // checkpoint, and the delta path's read-back counts supply the
+    // log's n_admitted — a streamed batch pays one materialization
+    // and no standalone count jobs (round 19).
     val b = batch.localCheckpoint()
     if (b.isEmpty) return
-    val gen =
-      if (asDeltas) appendDeltaToCorpusCow(b, path)
-      else upsertIntoCorpusCow(b, path)
-    appendIngestLog(spark, logPath, batchId, Some(gen), b.count())
+    val (gen, n) =
+      if (asDeltas) appendDeltaPinned(b, path, knownNonEmpty = true)
+      else {
+        val idCol = cowIdCol(spark, path)
+        val numBuckets = effectiveNumBuckets(spark, path)
+        (upsertPinned(b, path, idCol, numBuckets), b.count())
+      }
+    appendIngestLog(spark, logPath, batchId, Some(gen), n)
     maintainEvery.foreach { n =>
       require(n >= 1, "cowIngestBatch: maintainEvery must be >= 1")
       if (batchId % n == n - 1)
