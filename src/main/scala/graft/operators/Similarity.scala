@@ -3246,20 +3246,45 @@ object Similarity {
     val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
     val assigned = assignCells(df, idCol, vecCol, cents,
       extraCols = attrCols).localCheckpoint()
-    assigned.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/cells")
-    hnswAdjacency(assigned, m).write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/graph")
-    cents.zipWithIndex.toIndexedSeq
-      .map { case (c, i) => (c.toSeq, i) }.toDF("cv", "cell")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    // n_built (round 18): the corpus size this build's centroids and
-    // entries were sized FOR — what IndexHealth's append-drift
-    // trigger compares the live count against (appends deliberately
-    // never update it; a rebuild re-records it)
-    Seq((m, nCells, assigned.count())).toDF("m", "n_cells", "n_built")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/hnswmeta")
+    // The four output trees (cells, graph, centroids, hnswmeta) all
+    // derive from the pinned assignment and are independent of each
+    // other — submit them as concurrent jobs so the later writes
+    // back-fill the tail of the earlier ones (round 19 optimization;
+    // actions are only sequential because driver code calls them
+    // sequentially). Readers only ever see the index through the
+    // caller's ordering (probe after build / pointer swap after
+    // rebuild), so write order inside the build never mattered.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val writes = Seq(
+      Future {
+        assigned.write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$path/cells")
+      },
+      Future {
+        hnswAdjacency(assigned, m).write.mode("overwrite")
+          .partitionBy("cell").parquet(s"$path/graph")
+      },
+      Future {
+        cents.zipWithIndex.toIndexedSeq
+          .map { case (c, i) => (c.toSeq, i) }.toDF("cv", "cell")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/centroids")
+      },
+      Future {
+        // n_built (round 18): the corpus size this build's centroids
+        // and entries were sized FOR — what IndexHealth's append-drift
+        // trigger compares the live count against (appends
+        // deliberately never update it; a rebuild re-records it)
+        Seq((m, nCells, assigned.count())).toDF("m", "n_cells", "n_built")
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$path/hnswmeta")
+      })
+    // surface the FIRST failure, but only after every write finished
+    // — a failed build must not leave another thread still writing
+    writes.foreach(f => Await.ready(f, Duration.Inf))
+    writes.foreach(f => Await.result(f, Duration.Inf))
   }
 
   /** Probe a persisted graph index: partition-pruned reads of the

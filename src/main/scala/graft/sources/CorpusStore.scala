@@ -860,16 +860,31 @@ object CorpusStore {
       f.delete(new org.apache.hadoop.fs.Path(s"$path/schemas/gen=$gen"),
         true)
     }
-    manifest.toSeq.sortBy(_._1).flatMap { case (b, st) =>
-      st.entries.map(e =>
-        (b, e.srcGen, e.isDelta, e.isTombstone, e.nRows, st.live))
-    }.toDF("bucket", "src_gen", "is_delta", "is_tombstone", "n_rows",
-        "live_rows")
-      .repartition(1).write.mode("overwrite")
-      .parquet(s"$path/manifest/gen=$gen")
-    Seq((gen, manifest.values.map(_.live).sum, numBuckets))
-      .toDF("gen", "n_rows", "num_buckets")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/meta/gen=$gen")
+    // manifest and meta are independent tiny trees, both stamped and
+    // verified before the CURRENT rename below — overlap the two
+    // writes so a commit pays one small-job latency, not two
+    // (round 19 optimization; the guide's concurrent-jobs idiom)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val metaWrites = Seq(
+      Future {
+        manifest.toSeq.sortBy(_._1).flatMap { case (b, st) =>
+          st.entries.map(e =>
+            (b, e.srcGen, e.isDelta, e.isTombstone, e.nRows, st.live))
+        }.toDF("bucket", "src_gen", "is_delta", "is_tombstone", "n_rows",
+            "live_rows")
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$path/manifest/gen=$gen")
+      },
+      Future {
+        Seq((gen, manifest.values.map(_.live).sum, numBuckets))
+          .toDF("gen", "n_rows", "num_buckets")
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$path/meta/gen=$gen")
+      })
+    metaWrites.foreach(f => Await.ready(f, Duration.Inf))
+    metaWrites.foreach(f => Await.result(f, Duration.Inf))
     val manifestStamp = stampWriterToken(spark, s"$path/manifest/gen=$gen")
     val metaStamp = stampWriterToken(spark, s"$path/meta/gen=$gen")
     verifyWriterTokens(spark, dataStamps :+ manifestStamp :+ metaStamp)
