@@ -58,6 +58,20 @@ object OptProbeR19 {
     }
     if (what("c11")) probeC11(spark, dir)
     if (what("s25")) probeS25(spark, dir)
+    if (what("c10legs")) probeC10Legs(spark, dir)
+    // any bench query name: run it 3x in one JVM — the first pass
+    // carries the one-time cost (analysis + codegen compile), the
+    // later passes are the marginal execution cost; the gap tells
+    // which side to optimize
+    args.filter(SparkEntry.queries.contains).foreach { name =>
+      (1 to 3).foreach { i =>
+        t(s"$name run$i") {
+          SparkEntry.queries(name)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          graft.operators.Dedup.unpersistAll()
+        }
+      }
+    }
     spark.stop()
   }
 
@@ -100,6 +114,53 @@ object OptProbeR19 {
       // separately so the store+stream overhead above is isolated
       q(s, dir).write.format("noop").mode("overwrite").save()
       graft.operators.Dedup.unpersistAll()
+    }
+  }
+
+  private def probeC10Legs(s: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, Packing, TextAnalysis}
+    println("===== c10 legs =====")
+    (1 to 2).foreach { rep =>
+      val docs = Tables.load(s, dir, "documents")
+      val curated = Dedup.batchScope.persistTracked(docs
+        .where(TextAnalysis.qualityScore(col("text")) >= 0.75 &&
+          TextAnalysis.dupWordFrac(col("text")) <= 0.7)
+        .withColumn("_c_surv",
+          min("doc_id").over(Window.partitionBy(xxhash64(col("text")))))
+        .where(col("doc_id") === col("_c_surv"))
+        .select("doc_id", "source", "text"))
+      t(s"rep$rep curate+persist") { curated.count() }
+      val train = curated.where(col("doc_id") % 10 =!= 0)
+      val evalSplit = docs.where(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      val contaminated = Dedup.decontaminate(train, evalSplit,
+          "doc_id", "text", shingleK = 3, numHashes = 128, bands = 16,
+          threshold = 0.5, maxBucketSize = 8)
+        .select(col("id_left").as("doc_id")).distinct()
+      t(s"rep$rep decontaminate") {
+        contaminated.write.format("noop").mode("overwrite").save()
+      }
+      val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
+      val rates = clean.groupBy("source")
+        .agg(sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
+          .as("_c_nt"))
+        .withColumn("_c_rate", round(least(lit(1.0),
+          lit(100000.0) / count(lit(1)).over(Window.partitionBy()) /
+            col("_c_nt")), 6))
+        .select("source", "_c_rate")
+      val sampled = clean.join(broadcast(rates), Seq("source"))
+        .where(((pmod(col("doc_id"), lit(2147483647L)) *
+            lit(2654435761L)) % lit(1000003L))
+          .cast("double") / lit(1000003.0) < col("_c_rate"))
+      t(s"rep$rep mix+pack tail") {
+        Packing.packSequences(sampled, "doc_id",
+            TextAnalysis.bpePieceCount(col("text")),
+            seqLen = 2048, numShards = 8)
+          .orderBy("shard", "chunk_id")
+          .write.format("noop").mode("overwrite").save()
+      }
+      Dedup.unpersistAll()
     }
   }
 

@@ -331,10 +331,19 @@ private[queries] object PipelineCuration {
         val train = curated.where(col("doc_id") % 10 =!= 0)
         val evalSplit = docs.where(col("doc_id") % 10 === 0)
           .select("doc_id", "text")
-        val contaminated = Dedup.decontaminate(train, evalSplit,
+        // persistTracked: `clean` is consumed TWICE (the rate
+        // aggregation and the final sampled join), and without the
+        // cache the whole LSH decontamination chain — the most
+        // expensive stage — executed once per consumer (two LeftAnti
+        // subtrees in the round-19 plan audit). The cached frame is
+        // the CONTAMINATED ID SET: bounded by the eval split, tiny at
+        // any corpus size, while `clean` itself carries text payloads
+        // (round 19 optimization).
+        val contaminated = Dedup.batchScope.persistTracked(
+          Dedup.decontaminate(train, evalSplit,
             "doc_id", "text", shingleK = 3, numHashes = 128, bands = 16,
             threshold = 0.5, maxBucketSize = 8)
-          .select(col("id_left").as("doc_id")).distinct()
+          .select(col("id_left").as("doc_id")).distinct())
         val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
         val rates = clean.groupBy("source")
           .agg(sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
@@ -433,10 +442,19 @@ private[queries] object PipelineCuration {
         val train = curated.where(col("doc_id") % 10 =!= 0)
         val evalSplit = corpus.where(col("doc_id") % 10 === 0)
           .select("doc_id", "text")
-        val contaminated = Dedup.decontaminate(train, evalSplit,
+        // persistTracked: `clean` is consumed TWICE (the rate
+        // aggregation and the final sampled join), and without the
+        // cache the whole LSH decontamination chain — the most
+        // expensive stage — executed once per consumer (two LeftAnti
+        // subtrees in the round-19 plan audit). The cached frame is
+        // the CONTAMINATED ID SET: bounded by the eval split, tiny at
+        // any corpus size, while `clean` itself carries text payloads
+        // (round 19 optimization).
+        val contaminated = Dedup.batchScope.persistTracked(
+          Dedup.decontaminate(train, evalSplit,
             "doc_id", "text", shingleK = 3, numHashes = 128, bands = 16,
             threshold = 0.5, maxBucketSize = 8)
-          .select(col("id_left").as("doc_id")).distinct()
+          .select(col("id_left").as("doc_id")).distinct())
         val clean = train.join(contaminated, Seq("doc_id"), "left_anti")
         val rates = clean.groupBy("source")
           .agg(sum(TextAnalysis.wsTokenCount(col("text")).cast("long"))
