@@ -134,6 +134,32 @@ class PlanAuditSpec extends SparkSpec {
     graft.operators.Dedup.unpersistAll()
   }
 
+  test("s22 packed inline walk: exchange count is rounds-independent — the round-19 fold, not the per-round join/window chain") {
+    // round 19 optimization: the inline knnHnsw referenced the beam
+    // subtree twice per round (cand = beam ∪ beam⋈edges), doubling
+    // the shared subtree every round — rounds=4 planned 214 Exchange
+    // nodes. The packed fold keeps every beam round inside ONE
+    // aggregate() expression, so doubling rounds must not add a
+    // single exchange, and the total must stay far under the old
+    // blown-up shape.
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val qv = emb.orderBy("vec_id").select("embedding")
+      .head().getSeq[Float](0).toArray
+    def exchanges(rounds: Int): Int =
+      "Exchange".r.findAllIn(explain(
+        Similarity.knnHnsw(emb, "vec_id", "embedding", qv, k = 10,
+          nCells = 16, nProbe = 4, m = 6, ef = 12,
+          rounds = rounds))).size
+    val base = exchanges(4)
+    assert(base == exchanges(8),
+      s"exchange count grew with rounds: $base vs ${exchanges(8)} — " +
+        "a beam round has re-entered the shuffle path")
+    assert(base <= 12, s"packed inline walk has $base exchanges — " +
+      "the linear-plan contract is broken")
+    graft.operators.Dedup.unpersistAll()
+  }
+
   test("d01 exact dedup is a single hash-shuffle aggregation") {
     val plan = explain(build("d01_dedup_exact"))
     // one Exchange for the groupBy, one for the final orderBy — no join
