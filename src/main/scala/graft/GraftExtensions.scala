@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryMinu
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{AudioEnergySig, BpeSegmentExpr, UnigramSegmentExpr, CharNgramHashes, DotProduct, FnvHash64, HyperplaneSigs, ImageDHash, MatVec, MediaFeaturesExpr, MinHashBandBuckets, MinHashSig, NearestCentroid, PqEncodeCodes, SimHash64, TokenShingleHashes, TokenWindowHashes, TopKRows}
+import graft.functions.{AudioEnergySig, BpeSegmentExpr, UnigramSegmentExpr, CharNgramHashes, DotProduct, FnvHash64, HyperplaneSigs, ImageDHash, MatVec, MediaFeaturesExpr, MinHashBandBuckets, MinHashSig, NearestCentroid, PqEncodeCodes, SimHash64, SortedJaccard, TokenShingleHashes, TokenWindowHashes, TopKRows}
 
 /** Session extension registering graft's native expressions in the
   * SQL function registry, so `spark.sql` users get the codegen'd
@@ -22,6 +22,7 @@ import graft.functions.{AudioEnergySig, BpeSegmentExpr, UnigramSegmentExpr, Char
   *   char_ngram_hashes(s, n)       — distinct char-n-gram hashes
   *   fnv_hash64(s)                 — FNV-1a codepoint hash of a string
   *   token_window_hashes(s, k)     — positional word-k-window hashes
+  *   sorted_jaccard(a, b)          — merge-pass Jaccard of sorted-distinct array<bigint>
   *   topk_rows(struct(ord,id), k)  — bounded-heap top-k aggregate
   *   minhash_sig(hashes, k, seed)  — k-permutation MinHash signature
   *   minhash_band_buckets(sig, bands) — (band, bucket) pairs of a signature
@@ -99,6 +100,11 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity(args, 2, "token_window_hashes")
         TokenWindowHashes(args(0), intArg(args(1), "token_window_hashes", 2))
+      }),
+    ("sorted_jaccard",
+      new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
+      (args: Seq[Expression]) => {
+        arity(args, 2, "sorted_jaccard"); SortedJaccard(args(0), args(1))
       }),
     ("topk_rows",
       new ExpressionInfo(classOf[TopKRows].getName, "topk_rows"),

@@ -210,6 +210,29 @@ object TextKernels {
     new GenericArrayData(
       pieces.map(p => UTF8String.fromString(p): Any).toArray)
   }
+
+  /** |A∩B| of two SORTED-DISTINCT long arrays (the invariant every
+    * hash-set kernel above guarantees via [[distinctSorted]]) in one
+    * merge pass — no hash set, no materialized intersection array.
+    * |A∪B| follows as |A|+|B|−|A∩B|, so one call prices a whole
+    * Jaccard. Unsorted or duplicated input undercounts; callers own
+    * the invariant.
+    */
+  def sortedInterCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
 }
 
 /** Expression wrapper: FNV-1a codepoint hash of a string (see
@@ -342,6 +365,69 @@ case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
     copy(child = newChild)
   override def prettyName: String = "char_ngram_hashes"
+}
+
+/** Jaccard |A∩B| / |A∪B| of two SORTED-DISTINCT `array<bigint>`
+  * columns via one sorted-merge pass — the codegen'd replacement for
+  * `size(array_intersect(a,b)) / size(array_union(a,b))` on the
+  * shingle / char-gram hash sets, which allocates a hash set AND two
+  * materialized arrays per pair just to read two lengths. Value
+  * equivalence is exact: both counts are the same integers (merge
+  * count = |A∩B| for sorted-distinct inputs; |A∪B| = |A|+|B|−|A∩B|),
+  * divided by the same IEEE double division; both-empty inputs yield
+  * NULL (the builtin's 0/0 divide throws under ANSI — a case no
+  * sorted-distinct hash kernel can produce, so the queries never
+  * reach it either way). CONTRACT: inputs must
+  * be sorted distinct (the [[TextKernels]] output invariant —
+  * `distinctSorted`); unsorted input undercounts the intersection.
+  */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  // both-empty inputs divide 0/0 → NULL even when the children are
+  // non-nullable
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_jaccard expects two array<bigint> args, got " +
+            s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  /** Print as the registered two-argument SQL function so SqlGen
+    * output re-parses.
+    */
+  override def sql: String = s"sorted_jaccard(${left.sql}, ${right.sql})"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val inter = TextKernels.sortedInterCount(a, b)
+    val union = a.numElements().toLong + b.numElements() - inter
+    if (union == 0L) null else inter.toDouble / union
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kern = TextKernels.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val inter = ctx.freshName("inter")
+    val union = ctx.freshName("union")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |int $inter = $kern.sortedInterCount($a, $b);
+      |long $union = (long) $a.numElements() + $b.numElements() - $inter;
+      |if ($union == 0L) { ${ev.isNull} = true; }
+      |else { ${ev.value} = $inter / (double) $union; }
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "sorted_jaccard"
 }
 
 /** BPE-segment a word against a trained merge table: repeatedly merge
@@ -513,6 +599,12 @@ object TextKernelOps {
     GraftBridge.column(CharNgramHashes(GraftBridge.expression(text), n))
   def tokenWindowHashes(text: Column, k: Int): Column =
     GraftBridge.column(TokenWindowHashes(GraftBridge.expression(text), k))
+  /** Sorted-merge Jaccard of two sorted-distinct array<bigint>
+    * columns (see [[SortedJaccard]] for the contract).
+    */
+  def sortedJaccard(a: Column, b: Column): Column =
+    GraftBridge.column(SortedJaccard(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
   /** Codegen'd BPE segmentation; the merge table (rank order) rides as
     * an array-of-"left right" literal.
     */

@@ -122,7 +122,22 @@ object BloomPrune {
   def mightContain(key: Column, words: Array[Long], numHashes: Int): Column = {
     val numBits = words.length * 64
     checkParams(numBits, numHashes)
-    val wordsLit = lit(words)
+    // Compact literal (r20 optimization — guide §2/§5, task binary
+    // size): `lit(Array[Long])` converts to a GenericArrayData of
+    // BOXED longs, and the expression tree holds one copy per hash
+    // probe below, so Java-serializing the stage's task binary paid
+    // ~50 B per boxed element × numHashes copies (q43's 2048-word
+    // filter × 9 hashes serialized to a 1.1 MiB task binary — every
+    // task deserializes that). UnsafeArrayData is Externalizable as
+    // raw bytes: the same literal ships as 8 B/element. Value and
+    // plan semantics are identical — both are ArrayData holding the
+    // same longs under ArrayType(LongType).
+    val wordsLit = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(words),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false)))
     // xxhash64 hashes a NULL input to the seed value (it is null-
     // TOLERANT, not null-propagating), so without the explicit guard a
     // null key could false-positive through the filter; equi-join

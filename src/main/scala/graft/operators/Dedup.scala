@@ -129,6 +129,22 @@ object Dedup {
     df.select(col(idCol).as("id"),
               shingleHashes(col(textCol), shingleK).as("sh"))
 
+  /** The ONE Jaccard expression every verify pass computes,
+    * |A∩B| / |A∪B| over sorted-distinct hash arrays — a single
+    * codegen'd merge pass ([[graft.functions.SortedJaccard]]) instead
+    * of `size(array_intersect)/size(array_union)`, which builds a
+    * hash set and materializes both result arrays per pair just to
+    * take two lengths. Exact value equivalence (same integer counts,
+    * same IEEE division; a 0/0 pair — impossible for these kernels'
+    * never-empty outputs — is NULL instead of the builtin's ANSI
+    * divide error); valid because every hash
+    * array here comes from the TextKernels sorted-distinct kernels
+    * (directly or via a parquet round-trip, which preserves element
+    * order).
+    */
+  private def jaccardOf(a: Column, b: Column): Column =
+    graft.functions.TextKernelOps.sortedJaccard(a, b)
+
   /** (id → idAs, band, bucket) banding of a pre-hashed (id, sh) corpus —
     * the ONE implementation of signature + band bucketing every MinHash
     * operator shares (within-corpus, cross-corpus, streaming).
@@ -327,8 +343,7 @@ object Dedup {
       .join(shL.withColumnsRenamed(Map("id" -> "id_left", "sh" -> "sh_l")), "id_left")
       .join(shR.withColumnsRenamed(Map("id" -> "id_right", "sh" -> "sh_r")), "id_right")
       .select(col("id_left"), col("id_right"),
-        (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
-         size(array_union(col("sh_l"), col("sh_r")))).as("jaccard"))
+        jaccardOf(col("sh_l"), col("sh_r")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -366,8 +381,7 @@ object Dedup {
       .join(sh.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
       .join(sh.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-         size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        jaccardOf(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
 
   /** End-to-end MinHash near-dup detection: candidates → verify.
@@ -450,8 +464,7 @@ object Dedup {
       .join(shR.withColumnsRenamed(Map("id" -> "id_right", "sh" -> "sh_r")),
         "id_right")
       .select(col("id_left"), col("id_right"),
-        (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
-         size(array_union(col("sh_l"), col("sh_r")))).as("jaccard"))
+        jaccardOf(col("sh_l"), col("sh_r")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -751,9 +764,17 @@ object Dedup {
         .select(col("id"), col("label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
         .localCheckpoint(true)
-      converged = updated.where(col("new_label") < col("label")).isEmpty
-      labels = updated.select(col("id"), col("new_label").as("label"))
       iters += 1
+      // convergence probe every OTHER round (r20 optimization —
+      // halves the per-round action count): propagation at the
+      // fixpoint is a no-op, so the one extra round a skipped probe
+      // can cost leaves the labels output-identical (the fixpoint
+      // argument; cadence pinned by EdgeCaseSpec's parity test). A
+      // probe on the final permitted round is skipped too — the loop
+      // exits on `iters == maxIters` regardless of its answer.
+      converged = iters % 2 == 0 && iters < maxIters &&
+        updated.where(col("new_label") < col("label")).isEmpty
+      labels = updated.select(col("id"), col("new_label").as("label"))
     }
     val out = labels.select(col("id"), col("label").as("cluster"))
     // plan→SQL provenance: attach the WITH RECURSIVE twin to this
@@ -792,8 +813,7 @@ object Dedup {
       .join(gr.withColumnsRenamed(Map("id" -> "id_a", "gr" -> "gr_a")), "id_a")
       .join(gr.withColumnsRenamed(Map("id" -> "id_b", "gr" -> "gr_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("gr_a"), col("gr_b"))).cast("double") /
-         size(array_union(col("gr_a"), col("gr_b")))).as("char_jaccard"))
+        jaccardOf(col("gr_a"), col("gr_b")).as("char_jaccard"))
       .where(col("char_jaccard") >= threshold)
   }
 
@@ -821,8 +841,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     val truth = sh.toDF("id_a", "sh_a")
       .join(sh.toDF("id_b", "sh_b"), col("id_a") < col("id_b"))
-      .where((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b")))) >= threshold)
+      .where(jaccardOf(col("sh_a"), col("sh_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
     val hit = cands.join(truth, Seq("id_a", "id_b"))
     val agg = truth.agg(count(lit(1))).crossJoin(cands.agg(count(lit(1))))
@@ -1386,8 +1405,7 @@ object Dedup {
       .join(shIdx.withColumnsRenamed(Map("id" -> "id_left", "sh" -> "sh_l")), "id_left")
       .join(shB.withColumnsRenamed(Map("id" -> "id_right", "sh" -> "sh_r")), "id_right")
       .select(col("id_left"), col("id_right"),
-        (size(array_intersect(col("sh_l"), col("sh_r"))).cast("double") /
-         size(array_union(col("sh_l"), col("sh_r")))).as("jaccard"))
+        jaccardOf(col("sh_l"), col("sh_r")).as("jaccard"))
       .where(col("jaccard") >= threshold)
       // duplicate tolerance: a [[lshIngestBatch]] crash-window replay
       // can leave byte-identical duplicate index rows, which multiply

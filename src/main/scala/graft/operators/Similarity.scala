@@ -3159,16 +3159,24 @@ object Similarity {
     * never misses. rounds = 0 returns the entry beam untouched
     * (sequence(1, 0) would count DOWN — two steps, not zero).
     */
-  private def packedWalk(qv: Column, m: Int, ef: Int,
-      rounds: Int): Column = {
-    def candOf(st: Column): Column = array_distinct(concat(
-      st.getField("beam"),
-      flatten(transform(st.getField("beam"),
+  /** cand = beam ∪ the rk≤m out-edge prefix of every beam node,
+    * distinct — the ONE candidate rule both packed folds share.
+    */
+  private def candOfBeam(beam: Column, m: Int): Column =
+    array_distinct(concat(beam,
+      flatten(transform(beam,
         i => coalesce(slice(element_at(col("_p_adj"), i), 1, m),
           emptyLike(i))))))
+
+  private def packedWalk(qv: Column, m: Int, ef: Int,
+      rounds: Int): Column = {
+    def candOf(st: Column): Column = candOfBeam(st.getField("beam"), m)
     val init = struct(array(col("_p_entry")).as("beam"),
       emptyLike(col("_p_entry")).as("vis"))
-    if (rounds == 0) init
+    // rounds ≤ 0 returns the entry beam untouched: sequence(1, rounds)
+    // counts DOWN for rounds < 0 (extra iterations, not zero), and the
+    // pre-fold (1 to rounds) loop was a no-op there (r19 ADVICE)
+    if (rounds <= 0) init
     else aggregate(
       sequence(lit(1), lit(rounds)),
       init,
@@ -3179,6 +3187,37 @@ object Similarity {
           .as("vis")))
   }
 
+  /** The beam-only packed walk the INLINE probe consumes: identical
+    * beam evolution to [[packedWalk]] — vis never feeds beam — with
+    * the visited accumulator (a per-round distinct-union over a
+    * monotonically growing set, plus a second candOf evaluation)
+    * dropped, because only the tuning eval reads it (r19 ADVICE; r20
+    * optimization).
+    */
+  private def packedBeam(qv: Column, m: Int, ef: Int,
+      rounds: Int): Column = {
+    val init = array(col("_p_entry"))
+    if (rounds <= 0) init
+    else aggregate(
+      sequence(lit(1), lit(rounds)),
+      init,
+      (beam, _) => transform(
+        slice(scoredOf(candOfBeam(beam, m), qv), 1, ef),
+        s => s.getField("id")))
+  }
+
+  /** Cell-size bound (r19 ADVICE): [[packCellGraph]] folds each probed
+    * cell into ONE row (id→vec map), so the inline walk is bounded by
+    * single-row limits (~2 GB array cap / executor heap) for very
+    * large cells — soft-bounded in practice by [[hnswEdges]]' per-cell
+    * self-join, and acceptable because this form is the eval/oracle
+    * path; the persisted form ([[knnHnswIndexed]]) serves at 100 TB.
+    *
+    * Cache release (r19 ADVICE): the probed cells persist in `scope`
+    * (default [[Dedup.batchScope]]); callers invoking this repeatedly
+    * without `Dedup.unpersistAll()` should pass their own scope and
+    * release it once the result is consumed.
+    */
   def knnHnsw(
       df: DataFrame, idCol: String, vecCol: String,
       query: Array[Float], k: Int,
@@ -3186,7 +3225,8 @@ object Similarity {
       m: Int = 6, ef: Int = 12, rounds: Int = 4,
       strategy: CentroidStrategy = SeededCentroids,
       attrCols: Seq[String] = Nil,
-      predicate: Option[Column] = None): DataFrame = {
+      predicate: Option[Column] = None,
+      scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
     require(ef >= k, s"knnHnsw: ef ($ef) must be >= k ($k) — the final " +
       "beam is the candidate pool")
     require(predicate.isEmpty || attrCols.nonEmpty,
@@ -3200,7 +3240,7 @@ object Similarity {
       .map { case (c, i) => (c.zip(qd).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (score, cell) => (-score, cell) }
       .take(nProbe).map(_._2)
-    val nodes = Dedup.batchScope.persistTracked(indexed
+    val nodes = scope.persistTracked(indexed
       .where(col("cell").isin(probeCells.toIndexedSeq: _*)))
     val edges = hnswEdges(nodes, m)
     val q = typedlit(query.toSeq)
@@ -3222,7 +3262,7 @@ object Similarity {
     // are unchanged.
     val packed = packCellGraph(nodes, edges)
     val beamIds = packed.select(col("cell"),
-      explode(packedWalk(q, m, ef, rounds).getField("beam")).as("id"))
+      explode(packedBeam(q, m, ef, rounds)).as("id"))
     val merged = beamIds.join(nodes, Seq("cell", "id"))
     predicate.map(merged.where).getOrElse(merged)
       .select(col("id"), VectorOps.cosine(col("vec"), q).as("cosine"))
@@ -3246,17 +3286,18 @@ object Similarity {
     val cents = centroidVectors(df, idCol, vecCol, nCells, strategy)
     val assigned = assignCells(df, idCol, vecCol, cents,
       extraCols = attrCols).localCheckpoint()
-    // The four output trees (cells, graph, centroids, hnswmeta) all
-    // derive from the pinned assignment and are independent of each
-    // other — submit them as concurrent jobs so the later writes
-    // back-fill the tail of the earlier ones (round 19 optimization;
-    // actions are only sequential because driver code calls them
-    // sequentially). Readers only ever see the index through the
-    // caller's ordering (probe after build / pointer swap after
-    // rebuild), so write order inside the build never mattered.
+    // The three DATA trees (cells, graph, centroids) all derive from
+    // the pinned assignment and are independent of each other —
+    // submit them as concurrent jobs so the later writes back-fill
+    // the tail of the earlier ones (round 19 optimization; actions
+    // are only sequential because driver code calls them
+    // sequentially).
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
+    // read-only, so it may overlap the data writes even though the
+    // hnswmeta WRITE below must not
+    val nBuilt = Future { assigned.count() }
     val writes = Seq(
       Future {
         assigned.write.mode("overwrite").partitionBy("cell")
@@ -3271,20 +3312,24 @@ object Similarity {
           .map { case (c, i) => (c.toSeq, i) }.toDF("cv", "cell")
           .repartition(1)
           .write.mode("overwrite").parquet(s"$path/centroids")
-      },
-      Future {
-        // n_built (round 18): the corpus size this build's centroids
-        // and entries were sized FOR — what IndexHealth's append-drift
-        // trigger compares the live count against (appends
-        // deliberately never update it; a rebuild re-records it)
-        Seq((m, nCells, assigned.count())).toDF("m", "n_cells", "n_built")
-          .repartition(1).write.mode("overwrite")
-          .parquet(s"$path/hnswmeta")
       })
     // surface the FIRST failure, but only after every write finished
     // — a failed build must not leave another thread still writing
     writes.foreach(f => Await.ready(f, Duration.Inf))
     writes.foreach(f => Await.result(f, Duration.Inf))
+    // hnswmeta lands LAST, sequentially: it is the marker IndexHealth
+    // uses to classify a path as a graph index, so writing it only
+    // after every data tree succeeded keeps it the de-facto commit
+    // marker — a failed build can never leave a partial tree that
+    // probes/health checks would treat as a complete index (r19
+    // ADVICE). n_built (round 18): the corpus size this build's
+    // centroids and entries were sized FOR — what IndexHealth's
+    // append-drift trigger compares the live count against (appends
+    // deliberately never update it; a rebuild re-records it).
+    Seq((m, nCells, Await.result(nBuilt, Duration.Inf)))
+      .toDF("m", "n_cells", "n_built")
+      .repartition(1).write.mode("overwrite")
+      .parquet(s"$path/hnswmeta")
   }
 
   /** Probe a persisted graph index: partition-pruned reads of the

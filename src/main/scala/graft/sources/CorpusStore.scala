@@ -144,6 +144,70 @@ object CorpusStore {
   private def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
 
+  /** Driver-direct parquet write of a TINY metadata tree (r20
+    * optimization — guide §5: the driver may do trivial metadata
+    * work; a few-row manifest needs no cluster job). Replaces the
+    * `repartition(1).write.parquet` Spark job a COW commit paid per
+    * metadata tree with one ParquetWriter file streamed straight
+    * through the Hadoop FS. The physical schema is DECLARED by the
+    * caller to match what `Seq(tuples).toDF(...).write.parquet`
+    * produced — required int32/int64/boolean fields, same names,
+    * same order — so every reader (positional
+    * getInt/getLong/getBoolean after a by-name select,
+    * column-presence probes like `columns.contains("is_delta")`)
+    * sees the identical shape. Overwrite semantics match the Spark
+    * writer: the directory is replaced, and a `_SUCCESS` marker is
+    * left for layout parity.
+    */
+  private def writeTinyParquet(spark: SparkSession, dir: String,
+      parquetSchema: String, rows: Seq[Seq[Any]]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(parquetSchema)
+    val f = fs(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    f.delete(dirPath, true)
+    f.mkdirs(dirPath)
+    val file = new org.apache.hadoop.fs.Path(
+      s"$dir/part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
+    val writer = ExampleParquetWriter.builder(file)
+      .withConf(spark.sessionState.newHadoopConf())
+      .withType(schema)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    // Field writes are SCHEMA-driven, not value-class-driven: Scala
+    // harmonizes a mixed Int/Long Seq to Seq[Long] (widening the Int
+    // elements), so matching on the runtime class would hand a
+    // LongValue to an int32 column writer (an
+    // UnsupportedOperationException deep in the page writer). The
+    // declared field type is the single source of truth; a value the
+    // field can't exactly hold fails loudly here instead.
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val fieldTypes = (0 until schema.getFieldCount).map(i =>
+      schema.getType(i).asPrimitiveType().getPrimitiveTypeName)
+    try rows.foreach { r =>
+      require(r.size == fieldTypes.size,
+        s"writeTinyParquet: row arity ${r.size} != schema ${fieldTypes.size}")
+      val g = new SimpleGroup(schema)
+      r.zipWithIndex.foreach { case (v, i) =>
+        (fieldTypes(i), v) match {
+          case (PrimitiveTypeName.INT32, n: Int) => g.add(i, n)
+          case (PrimitiveTypeName.INT32, n: Long) if n.isValidInt =>
+            g.add(i, n.toInt)
+          case (PrimitiveTypeName.INT64, n: Int) => g.add(i, n.toLong)
+          case (PrimitiveTypeName.INT64, n: Long) => g.add(i, n)
+          case (PrimitiveTypeName.BOOLEAN, b: Boolean) => g.add(i, b)
+          case (t, x) => throw new IllegalArgumentException(
+            s"writeTinyParquet: value $x does not fit field $i ($t)")
+        }
+      }
+      writer.write(g)
+    } finally writer.close()
+    f.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
+  }
+
   /** Whether the store at `path` is copy-on-write. */
   def isCow(spark: SparkSession, path: String): Boolean =
     exists(spark, s"$path/cowmeta")
@@ -850,7 +914,6 @@ object CorpusStore {
       base: Int, manifest: Map[Int, CowBucket], numBuckets: Int,
       dataStamps: Seq[(String, String)],
       wroteSchema: Boolean = false): Int = {
-    import spark.implicits._
     // a CRASHED evolve may have left `schemas/gen=<gen>` behind; a
     // commit of this slot that did NOT record a schema must remove it
     // — otherwise schema resolution would trust a shape no committed
@@ -860,31 +923,32 @@ object CorpusStore {
       f.delete(new org.apache.hadoop.fs.Path(s"$path/schemas/gen=$gen"),
         true)
     }
-    // manifest and meta are independent tiny trees, both stamped and
-    // verified before the CURRENT rename below — overlap the two
-    // writes so a commit pays one small-job latency, not two
-    // (round 19 optimization; the guide's concurrent-jobs idiom)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val metaWrites = Seq(
-      Future {
-        manifest.toSeq.sortBy(_._1).flatMap { case (b, st) =>
-          st.entries.map(e =>
-            (b, e.srcGen, e.isDelta, e.isTombstone, e.nRows, st.live))
-        }.toDF("bucket", "src_gen", "is_delta", "is_tombstone", "n_rows",
-            "live_rows")
-          .repartition(1).write.mode("overwrite")
-          .parquet(s"$path/manifest/gen=$gen")
-      },
-      Future {
-        Seq((gen, manifest.values.map(_.live).sum, numBuckets))
-          .toDF("gen", "n_rows", "num_buckets")
-          .repartition(1).write.mode("overwrite")
-          .parquet(s"$path/meta/gen=$gen")
+    // manifest and meta are tiny driver-resident trees (bounded by
+    // num_buckets × retained deltas, resp. 1 row) — written
+    // driver-direct through [[writeTinyParquet]] instead of paying
+    // two Spark jobs per commit (r20 optimization, replacing r19's
+    // overlapped-jobs shape; the rows live in `manifest`, a plain
+    // Map, so no cluster work is skipped — only job scheduling)
+    writeTinyParquet(spark, s"$path/manifest/gen=$gen",
+      """message spark_schema {
+        |  required int32 bucket;
+        |  required int32 src_gen;
+        |  required boolean is_delta;
+        |  required boolean is_tombstone;
+        |  required int64 n_rows;
+        |  required int64 live_rows;
+        |}""".stripMargin,
+      manifest.toSeq.sortBy(_._1).flatMap { case (b, st) =>
+        st.entries.map(e =>
+          Seq(b, e.srcGen, e.isDelta, e.isTombstone, e.nRows, st.live))
       })
-    metaWrites.foreach(f => Await.ready(f, Duration.Inf))
-    metaWrites.foreach(f => Await.result(f, Duration.Inf))
+    writeTinyParquet(spark, s"$path/meta/gen=$gen",
+      """message spark_schema {
+        |  required int32 gen;
+        |  required int64 n_rows;
+        |  required int32 num_buckets;
+        |}""".stripMargin,
+      Seq(Seq(gen, manifest.values.map(_.live).sum, numBuckets)))
     val manifestStamp = stampWriterToken(spark, s"$path/manifest/gen=$gen")
     val metaStamp = stampWriterToken(spark, s"$path/meta/gen=$gen")
     verifyWriterTokens(spark, dataStamps :+ manifestStamp :+ metaStamp)

@@ -154,10 +154,25 @@ private[sources] class CorpusStreamSource(spark: SparkSession,
   // regress below it. Untouched (and never written) without the cap.
   private def hwPath = s"$metadataPath/graft-gen-hw"
 
-  private def highWater: Option[Int] =
-    if (GenPointer.exists(spark, hwPath))
-      Some(GenPointer.read(spark, hwPath)._1)
-    else None
+  // In-memory mirror of the high-water pointer (r20 optimization —
+  // the stream-floor item: per-trigger metadata reads whose answer
+  // this source itself wrote last). The FILE stays the durable truth
+  // a restart recovers from; within one source instance every write
+  // goes through [[advanceHighWater]], so the mirror can never lag
+  // the file. All Source methods run on the stream's single
+  // microbatch thread — no synchronization needed.
+  private var hwMem: Option[Int] = None
+
+  private def highWater: Option[Int] = {
+    if (hwMem.isEmpty && GenPointer.exists(spark, hwPath))
+      hwMem = Some(GenPointer.read(spark, hwPath)._1)
+    hwMem
+  }
+
+  private def advanceHighWater(gen: Int): Unit = {
+    GenPointer.commit(spark, hwPath, gen)
+    hwMem = Some(gen)
+  }
 
   // The checkpoint root and this source's index within it, recovered
   // from the V1 contract's metadataPath (= <ckpt>/sources/<i>) — what
@@ -195,17 +210,26 @@ private[sources] class CorpusStreamSource(spark: SparkSession,
     * malformed/foreign checkpoint layout reads as None rather than
     * failing a trigger.
     */
-  private def latestCommittedEnd(): Option[Int] =
+  private def latestCommittedBatch(): Option[Long] =
+    try commitLog.flatMap(_.getLatest()).map(_._1)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The end generation batch `batchId` committed, from the offset
+    * log (both logs are append-only, so a batch id resolves to one
+    * end forever).
+    */
+  private def committedEndOf(batchId: Long): Option[Int] =
     try {
       for {
-        cl <- commitLog
         ol <- offsetLog
-        (batchId, _) <- cl.getLatest()
         seq <- ol.get(batchId)
         (_, i) <- ckptAndIdx
         off <- seq.offsets.lift(i).flatten
       } yield off.json.trim.toInt
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def latestCommittedEnd(): Option[Int] =
+    latestCommittedBatch().flatMap(committedEndOf)
 
   /** Ack the last sink-committed end. Safe precisely because the
     * recovery replay of a committed range is tolerated below: once
@@ -213,8 +237,25 @@ private[sources] class CorpusStreamSource(spark: SparkSession,
     * again — the only post-commit read of that range is the V1
     * restart replay, whose result the engine discards.
     */
+  // The last commit-log batch id whose end offset this source already
+  // resolved and acked (r20): getOffset AND getBatch both consult the
+  // commit log every trigger, but a batch id can only resolve to ONE
+  // end offset (both logs are append-only), so re-reading the offset
+  // log and re-acking for a batch id already handled is pure
+  // per-trigger fixed cost. The listing (getLatest) stays — it is the
+  // poll that notices NEW commits.
+  private var lastAckedCommitBatch: Option[Long] = None
+
   private def ackCommittedFromLog(): Unit =
-    if (consumer.isDefined) latestCommittedEnd().foreach(ackFollower)
+    if (consumer.isDefined) {
+      latestCommittedBatch()
+        .filterNot(lastAckedCommitBatch.contains).foreach { batchId =>
+          committedEndOf(batchId).foreach { end =>
+            ackFollower(end)
+            lastAckedCommitBatch = Some(batchId)
+          }
+        }
+    }
 
   override def getOffset: Option[Offset] = {
     ackCommittedFromLog()
@@ -237,7 +278,7 @@ private[sources] class CorpusStreamSource(spark: SparkSession,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endGen = genOf(end)
     if (maxGensPerTrigger.isDefined && !highWater.exists(_ >= endGen))
-      GenPointer.commit(spark, hwPath, endGen)
+      advanceHighWater(endGen)
     // `.option("consumer", name)` registers the stream as a durable
     // follower (round 17): everything at-or-below `start` is
     // sink-committed (Spark hands a range to getBatch only after the
@@ -306,17 +347,35 @@ private[sources] class CorpusStreamSource(spark: SparkSession,
     org.apache.spark.sql.graft.StreamingFrame.asStreaming(batch)
   }
 
+  // In-memory mirror of the follower pointer (r20, same stance as
+  // hwMem): this source is the pointer's only writer, so after the
+  // first read the file can never hold more than the mirror — the
+  // monotonicity check no longer needs a read per call, and a
+  // non-advancing ack (the steady-state getBatch(start) ack, already
+  // covered by the previous trigger's committed-end ack) skips the
+  // write too. The ack that ADVANCES the floor still hits disk
+  // before returning, so vacuum sees exactly the same durable floor
+  // at exactly the same points.
+  private var followerAckMem: Option[Int] = None
+
   /** Monotonic follower ack at `<store>/followers/<consumer>` — a
     * no-op for unregistered streams.
     */
   private def ackFollower(gen: Int): Unit =
     consumer.foreach { c =>
       val offPath = s"$path/followers/$c"
-      val prev =
-        if (GenPointer.exists(spark, offPath))
-          GenPointer.read(spark, offPath)._1
-        else Int.MinValue
-      if (gen > prev) GenPointer.commit(spark, offPath, gen)
+      val prev = followerAckMem.getOrElse {
+        val p =
+          if (GenPointer.exists(spark, offPath))
+            GenPointer.read(spark, offPath)._1
+          else Int.MinValue
+        followerAckMem = Some(p)
+        p
+      }
+      if (gen > prev) {
+        GenPointer.commit(spark, offPath, gen)
+        followerAckMem = Some(gen)
+      }
     }
 
   // Spark calls this when a batch is fully committed downstream — the

@@ -44,6 +44,24 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.duplicateClusters(pairs).isEmpty)
   }
 
+  test("duplicateClusters convergence cadence: path graphs of odd and even diameter resolve identically") {
+    // the probe runs every OTHER round (r20 optimization), so pin
+    // correctness at BOTH parities of rounds-to-fixpoint: min-label
+    // propagation over a path 1–2–…–n needs ~n rounds, and every node
+    // must still land on cluster = 1 whichever parity the fixpoint
+    // round has; a second component pins that labels never bleed
+    // across components while the extra (no-op) round runs
+    for (n <- Seq(4L, 5L, 6L, 7L)) {
+      val path = (1L until n).map(i => (i, i + 1))
+      val other = Seq((100L, 101L))
+      val pairs = (path ++ other).toDF("id_a", "id_b")
+      val got = Dedup.duplicateClusters(pairs)
+        .as[(Long, Long)].collect().toMap
+      val want = ((1L to n).map(_ -> 1L) ++ Seq(100L -> 100L, 101L -> 100L)).toMap
+      assert(got == want, s"path of $n nodes")
+    }
+  }
+
   test("decontaminate with an empty eval side finds nothing") {
     val docs = Tables.load(spark, sfDir, "documents")
     val out = Dedup.decontaminate(docs, docs.where(lit(false)), "doc_id", "text")

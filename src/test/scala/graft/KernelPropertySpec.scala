@@ -92,6 +92,49 @@ class KernelPropertySpec extends SparkSpec with TableDrivenPropertyChecks {
     assertSameRows(a, b)
   }
 
+  test("sorted_jaccard equals the array_intersect/array_union builtin on generated texts and edges") {
+    import graft.functions.TextKernelOps
+    // the kernel replaces the builtin in EVERY verify pass (r20
+    // optimization) — pin exact value equivalence on both hash
+    // families it serves, with codegen fallback disabled so the
+    // generated code path is the one under test
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val sh = docs.select($"doc_id", Dedup.shingleHashes($"text", 3).as("sh"),
+        TextKernelOps.charNgramHashes($"text", 3).as("gr"))
+      val pairs = sh.toDF("id_a", "sh_a", "gr_a")
+        .crossJoin(sh.toDF("id_b", "sh_b", "gr_b"))
+        .where($"id_a" < $"id_b")
+      val a = pairs.select($"id_a", $"id_b",
+        TextKernelOps.sortedJaccard($"sh_a", $"sh_b").as("j1"),
+        TextKernelOps.sortedJaccard($"gr_a", $"gr_b").as("j2"))
+      val b = pairs.select($"id_a", $"id_b",
+        (size(array_intersect($"sh_a", $"sh_b")).cast("double") /
+         size(array_union($"sh_a", $"sh_b"))).as("j1"),
+        (size(array_intersect($"gr_a", $"gr_b")).cast("double") /
+         size(array_union($"gr_a", $"gr_b"))).as("j2"))
+      assertSameRows(a, b)
+      // edges the corpus can't produce: one-empty → 0.0 like the
+      // builtin; negatives keep the signed sort order. Both-empty is
+      // asserted separately against NULL — under ANSI (the session
+      // default) the BUILTIN's 0/0 division throws, so it cannot be
+      // the reference there; the sorted-distinct kernels never emit
+      // empty arrays, so the case is unreachable from any query path
+      val edge = Seq(
+        (1L, Seq.empty[Long], Seq(1L, 2L)),
+        (2L, Seq.empty[Long], Seq.empty[Long]),
+        (3L, Seq(-5L, 0L, 7L), Seq(-5L, 7L, 9L)),
+        (4L, Seq(Long.MinValue, Long.MaxValue), Seq(Long.MinValue))).toDF("id", "x", "y")
+      val ea = edge.select($"id", TextKernelOps.sortedJaccard($"x", $"y").as("j"))
+      val eb = edge.where($"id" =!= 2L).select($"id",
+        (size(array_intersect($"x", $"y")).cast("double") /
+         size(array_union($"x", $"y"))).as("j"))
+      assertSameRows(ea.where($"id" =!= 2L), eb)
+      assert(ea.where($"id" === 2L).head().isNullAt(1),
+        "both-empty must be NULL (a 0/0 Jaccard has no value)")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("fingerprint and split labels are partition-independent") {
     val wide = docs.repartition(13)
     val narrow = docs.coalesce(1)
