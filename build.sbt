@@ -41,3 +41,34 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// ── Test wall-clock (round 20) ────────────────────────────────────
+// One forked JVM ran every suite SEQUENTIALLY on its 4-core local
+// session — 28½ minutes on a 32-core box, which overran the external
+// test budget (round 19's third-party run was cut off mid-suite with
+// zero failures). The suites are independent — each JVM builds its
+// own SparkSession (SparkSpec.session), temp roots are per-run
+// unique, the sf inputs are read-only — so split them into forked
+// GROUPS and let sbt run the groups concurrently. Coverage is
+// unchanged: same suites, same tests, same assertions; only the
+// process layout differs. Group count × local[4] session × -Xmx8g
+// fits the 128 GiB box with ample slack. Suites are DEALT by name
+// round-robin, which splits the alphabetical clusters of heavy
+// suites (Cow*/Corpus*, SqlGen*) across groups.
+val testForkGroups = 6
+Test / testGrouping := {
+  val opts = (Test / javaOptions).value.toVector
+  val fo = ForkOptions().withRunJVMOptions(opts)
+  (Test / definedTests).value.sortBy(_.name).zipWithIndex
+    .groupBy(_._2 % testForkGroups).toSeq.sortBy(_._1)
+    .map { case (i, ts) =>
+      Tests.Group(s"fork$i", ts.map(_._1), Tests.SubProcess(fo))
+    }
+}
+// let the forked groups actually overlap (sbt's default tag limits
+// would serialize them); everything else keeps a CPU-bound cap
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testForkGroups),
+  Tags.limitAll(testForkGroups + 2))
+// per-test durations in the output — the profiling that sized the
+// groups, kept on so future rounds see where the time goes
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")

@@ -3,6 +3,53 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** The bloom word array as a COMPACT constant expression (r20 — task
+  * binary size, guide §2/§5). `lit(Array[Long])` converts to a
+  * GenericArrayData of BOXED longs and Java-serializes at ~50 B per
+  * element per occurrence — q43's 2048-word filter referenced once
+  * per hash probe cost a ~1.1 MiB task binary, re-deserialized by
+  * every task. This leaf holds the primitive array (8 B/element on
+  * the wire) and evaluates to a cached UnsafeArrayData. A plain
+  * `Literal(UnsafeArrayData, ...)` would ship just as compactly but
+  * its `.sql` prints the JVM object's toString — unparseable — which
+  * breaks the SqlGen roundtrip contract; this node prints the same
+  * `ARRAY(..L, ..)` literal text the boxed form printed, so the
+  * generated SQL re-parses (to an equivalent CreateArray of
+  * literals). Deliberately NOT foldable: constant folding would
+  * replace it with exactly that unparseable Literal.
+  */
+private[operators] case class PackedLongArray(
+    words: scala.collection.immutable.ArraySeq[Long])
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression {
+  require(words.nonEmpty, "packed_long_array: empty array")
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+
+  @transient private lazy val packed =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(words.toArray)
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = packed
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen._
+    val ref = ctx.addReferenceObj("packedWords", packed,
+      classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName)
+    ExprCode.forNonNullValue(JavaCode.global(ref, dataType))
+  }
+
+  override def sql: String = words.mkString("ARRAY(", "L, ", "L)")
+  override def prettyName: String = "packed_long_array"
+}
+
 /** Bloom-filter runtime pruning for large-large joins.
   *
   * A shuffle join of a 100 TB probe side against a selective build side
@@ -122,22 +169,12 @@ object BloomPrune {
   def mightContain(key: Column, words: Array[Long], numHashes: Int): Column = {
     val numBits = words.length * 64
     checkParams(numBits, numHashes)
-    // Compact literal (r20 optimization — guide §2/§5, task binary
-    // size): `lit(Array[Long])` converts to a GenericArrayData of
-    // BOXED longs, and the expression tree holds one copy per hash
-    // probe below, so Java-serializing the stage's task binary paid
-    // ~50 B per boxed element × numHashes copies (q43's 2048-word
-    // filter × 9 hashes serialized to a 1.1 MiB task binary — every
-    // task deserializes that). UnsafeArrayData is Externalizable as
-    // raw bytes: the same literal ships as 8 B/element. Value and
-    // plan semantics are identical — both are ArrayData holding the
-    // same longs under ArrayType(LongType).
+    // ships 8 B/element instead of lit(...)'s ~50 B/boxed element per
+    // occurrence, and still prints replayable SQL — see
+    // [[PackedLongArray]]
     val wordsLit = org.apache.spark.sql.GraftBridge.column(
-      org.apache.spark.sql.catalyst.expressions.Literal(
-        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-          .fromPrimitiveArray(words),
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.LongType, containsNull = false)))
+      PackedLongArray(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(words.clone())))
     // xxhash64 hashes a NULL input to the seed value (it is null-
     // TOLERANT, not null-propagating), so without the explicit guard a
     // null key could false-positive through the filter; equi-join
