@@ -3326,10 +3326,15 @@ object Similarity {
     // centroids and entries were sized FOR — what IndexHealth's
     // append-drift trigger compares the live count against (appends
     // deliberately never update it; a rebuild re-records it).
-    Seq((m, nCells, Await.result(nBuilt, Duration.Inf)))
-      .toDF("m", "n_cells", "n_built")
-      .repartition(1).write.mode("overwrite")
-      .parquet(s"$path/hnswmeta")
+    // driver-direct 1-row write (r20 — TinyParquet): the Spark job a
+    // repartition(1) write paid here was pure fixed cost per build
+    graft.sources.TinyParquet.write(spark, s"$path/hnswmeta",
+      """message spark_schema {
+        |  required int32 m;
+        |  required int32 n_cells;
+        |  required int64 n_built;
+        |}""".stripMargin,
+      Seq(Seq[Any](m, nCells, Await.result(nBuilt, Duration.Inf))))
   }
 
   /** Probe a persisted graph index: partition-pruned reads of the
@@ -3882,8 +3887,10 @@ object Similarity {
     */
   private def hnswMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int) = {
-    val r = spark.read.parquet(s"$path/hnswmeta").head()
-    (r.getAs[Int]("m"), r.getAs[Int]("n_cells"))
+    // driver-direct read (r20 — TinyParquet): the spark.read job on
+    // this 1-row file was pure fixed cost on every probe
+    val g = graft.sources.TinyParquet.readGroups(spark, s"$path/hnswmeta").head
+    (g.getInteger("m", 0), g.getInteger("n_cells", 0))
   }
 
   /** The corpus size the current build was sized for (None on a
@@ -3893,9 +3900,9 @@ object Similarity {
   private[operators] def hnswBuiltRows(
       spark: org.apache.spark.sql.SparkSession,
       path: String): Option[Long] = {
-    val df = spark.read.parquet(s"$path/hnswmeta")
-    if (!df.columns.contains("n_built")) None
-    else Some(df.head().getAs[Long]("n_built"))
+    val g = graft.sources.TinyParquet.readGroups(spark, s"$path/hnswmeta").head
+    if (!g.getType.containsField("n_built")) None
+    else Some(g.getLong("n_built", 0))
   }
 
   /** Incrementally append vectors to a persisted graph index

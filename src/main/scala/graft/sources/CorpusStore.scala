@@ -144,69 +144,13 @@ object CorpusStore {
   private def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new org.apache.hadoop.fs.Path(path))
 
-  /** Driver-direct parquet write of a TINY metadata tree (r20
-    * optimization — guide §5: the driver may do trivial metadata
-    * work; a few-row manifest needs no cluster job). Replaces the
-    * `repartition(1).write.parquet` Spark job a COW commit paid per
-    * metadata tree with one ParquetWriter file streamed straight
-    * through the Hadoop FS. The physical schema is DECLARED by the
-    * caller to match what `Seq(tuples).toDF(...).write.parquet`
-    * produced — required int32/int64/boolean fields, same names,
-    * same order — so every reader (positional
-    * getInt/getLong/getBoolean after a by-name select,
-    * column-presence probes like `columns.contains("is_delta")`)
-    * sees the identical shape. Overwrite semantics match the Spark
-    * writer: the directory is replaced, and a `_SUCCESS` marker is
-    * left for layout parity.
+  /** Driver-direct parquet I/O of the TINY metadata trees (r20
+    * optimization — guide §5): see [[TinyParquet]] for the layout
+    * and schema-parity contract.
     */
   private def writeTinyParquet(spark: SparkSession, dir: String,
-      parquetSchema: String, rows: Seq[Seq[Any]]): Unit = {
-    import org.apache.parquet.example.data.simple.SimpleGroup
-    import org.apache.parquet.hadoop.example.ExampleParquetWriter
-    import org.apache.parquet.hadoop.metadata.CompressionCodecName
-    import org.apache.parquet.schema.MessageTypeParser
-    val schema = MessageTypeParser.parseMessageType(parquetSchema)
-    val f = fs(spark, dir)
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    f.delete(dirPath, true)
-    f.mkdirs(dirPath)
-    val file = new org.apache.hadoop.fs.Path(
-      s"$dir/part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
-    val writer = ExampleParquetWriter.builder(file)
-      .withConf(spark.sessionState.newHadoopConf())
-      .withType(schema)
-      .withCompressionCodec(CompressionCodecName.SNAPPY)
-      .build()
-    // Field writes are SCHEMA-driven, not value-class-driven: Scala
-    // harmonizes a mixed Int/Long Seq to Seq[Long] (widening the Int
-    // elements), so matching on the runtime class would hand a
-    // LongValue to an int32 column writer (an
-    // UnsupportedOperationException deep in the page writer). The
-    // declared field type is the single source of truth; a value the
-    // field can't exactly hold fails loudly here instead.
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-    val fieldTypes = (0 until schema.getFieldCount).map(i =>
-      schema.getType(i).asPrimitiveType().getPrimitiveTypeName)
-    try rows.foreach { r =>
-      require(r.size == fieldTypes.size,
-        s"writeTinyParquet: row arity ${r.size} != schema ${fieldTypes.size}")
-      val g = new SimpleGroup(schema)
-      r.zipWithIndex.foreach { case (v, i) =>
-        (fieldTypes(i), v) match {
-          case (PrimitiveTypeName.INT32, n: Int) => g.add(i, n)
-          case (PrimitiveTypeName.INT32, n: Long) if n.isValidInt =>
-            g.add(i, n.toInt)
-          case (PrimitiveTypeName.INT64, n: Int) => g.add(i, n.toLong)
-          case (PrimitiveTypeName.INT64, n: Long) => g.add(i, n)
-          case (PrimitiveTypeName.BOOLEAN, b: Boolean) => g.add(i, b)
-          case (t, x) => throw new IllegalArgumentException(
-            s"writeTinyParquet: value $x does not fit field $i ($t)")
-        }
-      }
-      writer.write(g)
-    } finally writer.close()
-    f.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
-  }
+      parquetSchema: String, rows: Seq[Seq[Any]]): Unit =
+    TinyParquet.write(spark, dir, parquetSchema, rows)
 
   /** Whether the store at `path` is copy-on-write. */
   def isCow(spark: SparkSession, path: String): Boolean =
@@ -342,11 +286,17 @@ object CorpusStore {
   /** The id column the store buckets by — fixed at init, forever
     * (rebucketing changes the COUNT, never the key).
     */
+  // cowmeta/meta/manifest reads below go through TinyParquet (r20):
+  // each was a spark.read.parquet + collect — listing, schema
+  // resolve, plan, one-task job — on a few-row file, paid on EVERY
+  // ingest batch, change-feed trigger and time-travel read.
   private def cowIdCol(spark: SparkSession, path: String): String =
-    spark.read.parquet(s"$path/cowmeta").head().getAs[String]("id_col")
+    TinyParquet.readGroups(spark, s"$path/cowmeta").head
+      .getString("id_col", 0)
 
   private def cowMetaNumBuckets(spark: SparkSession, path: String): Int =
-    spark.read.parquet(s"$path/cowmeta").head().getAs[Int]("num_buckets")
+    TinyParquet.readGroups(spark, s"$path/cowmeta").head
+      .getInteger("num_buckets", 0)
 
   /** The bucket count writes must use: the CURRENT generation's meta
     * `num_buckets` (the rebucket contract — the count swaps atomically
@@ -355,9 +305,9 @@ object CorpusStore {
     */
   private def effectiveNumBuckets(spark: SparkSession, path: String): Int = {
     val (g, _) = currentGen(spark, path)
-    val meta = spark.read.parquet(s"$path/meta/gen=$g")
-    if (meta.columns.contains("num_buckets"))
-      meta.head().getAs[Int]("num_buckets")
+    val meta = TinyParquet.readGroups(spark, s"$path/meta/gen=$g").head
+    if (meta.getType.containsField("num_buckets"))
+      meta.getInteger("num_buckets", 0)
     else cowMetaNumBuckets(spark, path)
   }
 
@@ -371,29 +321,29 @@ object CorpusStore {
     */
   private def readCowManifest(spark: SparkSession, path: String,
                               gen: Int): Map[Int, CowBucket] = {
-    val df = spark.read.parquet(s"$path/manifest/gen=$gen")
-    if (df.columns.contains("is_delta")) {
+    val groups = TinyParquet.readGroups(spark, s"$path/manifest/gen=$gen")
+    if (groups.nonEmpty && groups.head.getType.containsField("is_delta")) {
       // v2 manifests (no is_tombstone column) are tombstone-free
-      val withTomb =
-        if (df.columns.contains("is_tombstone")) df
-        else df.withColumn("is_tombstone", lit(false))
-      withTomb
-        .select("bucket", "src_gen", "is_delta", "is_tombstone",
-          "n_rows", "live_rows")
-        .collect()
-        .map(r => (r.getInt(0),
-          CowEntry(r.getInt(1), r.getBoolean(2), r.getLong(4),
-            isTombstone = r.getBoolean(3)),
-          r.getLong(5)))
+      val hasTomb = groups.head.getType.containsField("is_tombstone")
+      groups
+        .map(g => (g.getInteger("bucket", 0),
+          CowEntry(g.getInteger("src_gen", 0),
+            g.getBoolean("is_delta", 0),
+            g.getLong("n_rows", 0),
+            isTombstone = hasTomb && g.getBoolean("is_tombstone", 0)),
+          g.getLong("live_rows", 0)))
         .groupBy(_._1)
         .map { case (b, rows) =>
           b -> CowBucket(rows.head._3, sortEntries(rows.map(_._2).toSeq))
         }
     } else
-      df.select("bucket", "src_gen", "n_rows").collect()
-        .map(r => r.getInt(0) ->
-          CowBucket(r.getLong(2),
-            Seq(CowEntry(r.getInt(1), isDelta = false, r.getLong(2)))))
+      groups
+        .map { g =>
+          val n = g.getLong("n_rows", 0)
+          g.getInteger("bucket", 0) ->
+            CowBucket(n,
+              Seq(CowEntry(g.getInteger("src_gen", 0), isDelta = false, n)))
+        }
         .toMap
   }
 
