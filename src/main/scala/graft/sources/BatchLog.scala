@@ -135,21 +135,61 @@ private[graft] object BatchLog {
     */
   def contains(spark: SparkSession, logPath: String,
       batchId: Long): Boolean = {
+    // Driver-direct probe (r20 — TinyParquet): the fallback scan was
+    // a spark.read + filter + count — listing, plan, one-task job —
+    // per trigger on metadata-scale files. The probe only needs
+    // `batch_id`, read here through the example Group API with an
+    // early exit on the first hit; a file whose batch_id is not a
+    // plain int32/int64 (the normalize-reconciled legacy shapes are)
+    // falls back to the old Spark scan rather than guessing.
+    def fileHas(p: org.apache.hadoop.fs.Path): Boolean =
+      TinyParquet.readGroupsFile(spark, p).exists { g =>
+        val t = g.getType
+        if (!t.containsField("batch_id")) false
+        else {
+          val idx = t.getFieldIndex("batch_id")
+          val ft = t.getType(idx)
+          if (!ft.isPrimitive || g.getFieldRepetitionCount(idx) == 0) false
+          else ft.asPrimitiveType().getPrimitiveTypeName match {
+            case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+                .INT64 => g.getLong(idx, 0) == batchId
+            case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+                .INT32 => g.getInteger(idx, 0).toLong == batchId
+            case _ => throw new BatchIdShapeFallback
+          }
+        }
+      }
     def attempt(): Boolean = {
       if (watermark(spark, logPath).exists(batchId <= _)) return true
       val compact = compactFile(spark, logPath)
-      val sources =
-        (if (exists(spark, compact)) Seq(compact) else Nil) ++
-          (if (tailFiles(spark, logPath).nonEmpty) Seq(logPath) else Nil)
-      sources.nonEmpty &&
-        spark.read.parquet(sources: _*)
-          .where(col("batch_id") === batchId).limit(1).count() > 0
+      val compactSrc =
+        if (exists(spark, compact))
+          Seq(new org.apache.hadoop.fs.Path(compact))
+        else Nil
+      val tailSrc = tailFiles(spark, logPath)
+        .map(n => new org.apache.hadoop.fs.Path(s"$logPath/$n"))
+      try (compactSrc ++ tailSrc).exists(fileHas)
+      catch {
+        case _: BatchIdShapeFallback =>
+          val sources =
+            (if (compactSrc.nonEmpty) Seq(compact) else Nil) ++
+              (if (tailSrc.nonEmpty) Seq(logPath) else Nil)
+          sources.nonEmpty &&
+            spark.read.parquet(sources: _*)
+              .where(col("batch_id") === batchId).limit(1).count() > 0
+      }
     }
     try attempt()
     catch {
       case e: Throwable if isMissingFile(e) => attempt()
     }
   }
+
+  /** Control-flow marker: a log file whose batch_id shape the direct
+    * probe doesn't recognize — re-probe through the Spark reader.
+    */
+  private final class BatchIdShapeFallback
+      extends RuntimeException(null, null, false, false)
 
   private[graft] def isMissingFile(t: Throwable): Boolean = t match {
     case a: org.apache.spark.sql.AnalysisException

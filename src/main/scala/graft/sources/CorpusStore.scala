@@ -1598,11 +1598,18 @@ object CorpusStore {
     * processed and must still log).
     */
   private[graft] def appendIngestLog(spark: SparkSession, logPath: String,
-      batchId: Long, gen: Option[Int], nAdmitted: Long): Unit = {
-    import spark.implicits._
-    Seq((batchId, gen, nAdmitted)).toDF("batch_id", "gen", "n_admitted")
-      .repartition(1).write.mode("append").parquet(logPath)
-  }
+      batchId: Long, gen: Option[Int], nAdmitted: Long): Unit =
+    // driver-direct 1-row append (r20 — TinyParquet): the Spark job a
+    // repartition(1) append paid here was pure per-trigger fixed
+    // cost. Same physical shape the Spark writer produced (gen
+    // OPTIONAL — a None lands as an unset field).
+    TinyParquet.appendRows(spark, logPath,
+      """message spark_schema {
+        |  required int64 batch_id;
+        |  optional int32 gen;
+        |  required int64 n_admitted;
+        |}""".stripMargin,
+      Seq(Seq[Any](batchId, gen.map(Int.box).orNull, nAdmitted)))
 
   /** The store's (id column, effective num buckets) — the keying
     * contract cross-store orchestrators need (package-private

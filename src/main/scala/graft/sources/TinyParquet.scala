@@ -40,16 +40,39 @@ private[graft] object TinyParquet {
     */
   def write(spark: SparkSession, dir: String,
       parquetSchema: String, rows: Seq[Seq[Any]]): Unit = {
+    val f = fs(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    f.delete(dirPath, true)
+    f.mkdirs(dirPath)
+    writePartFile(spark, dir, parquetSchema, rows)
+    f.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
+  }
+
+  /** APPEND `rows` to `dir` as one new uniquely-named part file — the
+    * per-batch log-append shape (`write.mode("append")` parity): the
+    * directory is created if missing and never cleared, so files from
+    * the Spark writer and this one coexist (same declared schema ⇒
+    * the by-name union resolves identically). A `null` value is
+    * written as an unset OPTIONAL field, matching how the Spark
+    * writer lands a None.
+    */
+  def appendRows(spark: SparkSession, dir: String,
+      parquetSchema: String, rows: Seq[Seq[Any]]): Unit = {
+    val f = fs(spark, dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    if (!f.exists(dirPath)) f.mkdirs(dirPath)
+    writePartFile(spark, dir, parquetSchema, rows)
+  }
+
+  private def writePartFile(spark: SparkSession, dir: String,
+      parquetSchema: String, rows: Seq[Seq[Any]]): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroup
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     import org.apache.parquet.hadoop.metadata.CompressionCodecName
     import org.apache.parquet.schema.MessageTypeParser
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.Type.Repetition
     val schema = MessageTypeParser.parseMessageType(parquetSchema)
-    val f = fs(spark, dir)
-    val dirPath = new org.apache.hadoop.fs.Path(dir)
-    f.delete(dirPath, true)
-    f.mkdirs(dirPath)
     val file = new org.apache.hadoop.fs.Path(
       s"$dir/part-00000-${java.util.UUID.randomUUID()}.snappy.parquet")
     val writer = ExampleParquetWriter.builder(file)
@@ -65,6 +88,9 @@ private[graft] object TinyParquet {
       val g = new SimpleGroup(schema)
       r.zipWithIndex.foreach { case (v, i) =>
         (fieldTypes(i), v) match {
+          case (_, null) =>
+            require(schema.getType(i).isRepetition(Repetition.OPTIONAL),
+              s"TinyParquet.write: null for non-optional field $i")
           case (PrimitiveTypeName.INT32, n: Int) => g.add(i, n)
           case (PrimitiveTypeName.INT32, n: Long) if n.isValidInt =>
             g.add(i, n.toInt)
@@ -77,7 +103,6 @@ private[graft] object TinyParquet {
       }
       writer.write(g)
     } finally writer.close()
-    f.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
   }
 
   /** Every row of every `*.parquet` file under `dir` (non-recursive,
@@ -90,18 +115,21 @@ private[graft] object TinyParquet {
     */
   def readGroups(spark: SparkSession, dir: String)
       : Seq[org.apache.parquet.example.data.Group] = {
-    val conf = spark.sessionState.newHadoopConf()
     val files = fs(spark, dir)
       .listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    files.flatMap { st =>
-      val reader = org.apache.parquet.hadoop.ParquetReader
-        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
-          st.getPath)
-        .withConf(conf).build()
-      try Iterator.continually(reader.read()).takeWhile(_ != null).toVector
-      finally reader.close()
-    }.toSeq
+    files.flatMap(st => readGroupsFile(spark, st.getPath)).toSeq
+  }
+
+  /** Every row of ONE parquet file, as example Groups. */
+  def readGroupsFile(spark: SparkSession,
+      file: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.parquet.example.data.Group] = {
+    val reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), file)
+      .withConf(spark.sessionState.newHadoopConf()).build()
+    try Iterator.continually(reader.read()).takeWhile(_ != null).toVector
+    finally reader.close()
   }
 }
