@@ -44,6 +44,11 @@ object OptProbeR19 {
             lock.synchronized {
               starts(j.jobId) = (System.nanoTime(),
                 Option(j.properties.getProperty("callSite.short"))
+                  .filter(_.nonEmpty)
+                  .orElse(Option(
+                    j.properties.getProperty("spark.job.description")))
+                  .orElse(Option(j.properties.getProperty(
+                    "spark.sql.execution.root.id")).map("sqlRoot=" + _))
                   .getOrElse("?"))
             }
           override def onJobEnd(
