@@ -912,10 +912,25 @@ object Dedup {
 
   private[operators] def lshMetaOf(spark: org.apache.spark.sql.SparkSession,
       path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/meta").head()
-    (r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"),
-      r.getAs[Int]("bands"))
+    // driver-direct 1-row read (r20 — TinyParquet): the spark.read
+    // job here was pure fixed cost on every index probe/ingest batch
+    val g = graft.sources.TinyParquet.readGroups(spark, s"$path/meta").head
+    (g.getInteger("shingle_k", 0), g.getInteger("num_hashes", 0),
+      g.getInteger("bands", 0))
   }
+
+  /** Driver-direct write of the LSH index's 1-row meta (r20 —
+    * TinyParquet; same physical shape the Spark writer produced).
+    */
+  private def writeLshMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String, shingleK: Int, numHashes: Int, bands: Int): Unit =
+    graft.sources.TinyParquet.write(spark, s"$path/meta",
+      """message spark_schema {
+        |  required int32 shingle_k;
+        |  required int32 num_hashes;
+        |  required int32 bands;
+        |}""".stripMargin,
+      Seq(Seq[Any](shingleK, numHashes, bands)))
 
   /** Build a persisted LSH dedup index over a corpus. One text-hashing
     * pass (persisted, shared by the banding write and the hashes
@@ -960,9 +975,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((shingleK, numHashes, bands))
-      .toDF("shingle_k", "num_hashes", "bands")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeLshMeta(spark, path, shingleK, numHashes, bands)
     // local persist, released before returning: both writes consume it
     // eagerly and nothing lazy escapes — unlike the probe, whose
     // returned frame still references its cache
@@ -1089,9 +1102,7 @@ object Dedup {
       srcPath: String, dstPath: String): Unit = {
     val (shingleK, numHashes, bands) = lshMetaOf(spark, srcPath)
     import spark.implicits._
-    Seq((shingleK, numHashes, bands))
-      .toDF("shingle_k", "num_hashes", "bands")
-      .repartition(1).write.mode("overwrite").parquet(s"$dstPath/meta")
+    writeLshMeta(spark, dstPath, shingleK, numHashes, bands)
     // takedown fold: tombstoned docs are physically absent from the
     // rewrite, and the tombstones themselves are NOT carried — the
     // compacted tree starts clean ([[deleteFromLshIndex]]'s lifecycle)
@@ -1295,9 +1306,13 @@ object Dedup {
         .join(idxDrop, Seq(idCol), "left_anti")
         .localCheckpoint()
       appendToLshIndex(admitted, idCol, textCol, path)
-      Seq((batchId, admitted.count()))
-        .toDF("batch_id", "n_admitted")
-        .repartition(1).write.mode("append").parquet(logPath)
+      // driver-direct 1-row log append (r20 — TinyParquet)
+      graft.sources.TinyParquet.appendRows(spark, logPath,
+        """message spark_schema {
+          |  required int64 batch_id;
+          |  required int64 n_admitted;
+          |}""".stripMargin,
+        Seq(Seq[Any](batchId, admitted.count())))
     } finally scope.release()
   }
 

@@ -283,8 +283,10 @@ object EventsAnalytics {
       .groupBy("user", "day").agg(sum("v").as("v"))
       .withColumn("batch_id", lit(batchId))
       .write.mode("append").parquet(s"$path/daily")
-    Seq(batchId).toDF("batch_id").repartition(1)
-      .write.mode("append").parquet(logPath)
+    // driver-direct 1-row log append (r20 — TinyParquet)
+    graft.sources.TinyParquet.appendRows(spark, logPath,
+      "message spark_schema { required int64 batch_id; }",
+      Seq(Seq[Any](batchId)))
   }
 
   /** Compact the engagement ledger into a FRESH path: per-batch

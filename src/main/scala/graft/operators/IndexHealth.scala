@@ -257,7 +257,8 @@ object IndexHealth {
   def reportBm25(spark: SparkSession, path: String,
                  maxGenerations: Int = 4,
                  maxDataFiles: Long = 256): Health = {
-    val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val numBuckets = graft.sources.TinyParquet
+      .readGroups(spark, s"$path/meta").head.getInteger("num_buckets", 0)
     val (gen, base) = Retrieval.readCurrentGen(spark, path)
     val counts = Retrieval.committedPostings(spark, path, gen, base)
       .groupBy("tbucket").agg(count(lit(1)).as("n"))

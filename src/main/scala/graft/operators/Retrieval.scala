@@ -304,6 +304,37 @@ object Retrieval {
       gen: Int): DataFrame =
     spark.read.parquet(s"$path/stats/gen=$gen").select("n_docs", "n_tokens")
 
+  /** The 1-row stats read driver-direct (r20 — TinyParquet) for the
+    * consumers that only want the two longs; the frame form above
+    * stays for plans that JOIN the stats in.
+    */
+  private def committedStatsHead(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      gen: Int): (Long, Long) = {
+    val g = graft.sources.TinyParquet
+      .readGroups(spark, s"$path/stats/gen=$gen").head
+    (g.getLong("n_docs", 0), g.getLong("n_tokens", 0))
+  }
+
+  /** Driver-direct write of the 1-row cumulative stats (r20 —
+    * TinyParquet; the values are already on the driver at every call
+    * site, so the repartition(1) Spark job was pure fixed cost).
+    */
+  private def writeBm25Stats(spark: org.apache.spark.sql.SparkSession,
+      path: String, gen: Int, nDocs: Long, nTokens: Long): Unit =
+    graft.sources.TinyParquet.write(spark, s"$path/stats/gen=$gen",
+      """message spark_schema {
+        |  required int64 n_docs;
+        |  required int64 n_tokens;
+        |}""".stripMargin,
+      Seq(Seq[Any](nDocs, nTokens)))
+
+  /** The index's bucket count — driver-direct 1-row read (r20). */
+  private def bm25NumBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    graft.sources.TinyParquet.readGroups(spark, s"$path/meta").head
+      .getInteger("num_buckets", 0)
+
   /** Persist an inverted index for [[bm25AgainstIndex]]: postings
     * hash-partitioned into `numBuckets` term buckets (a probe reads
     * only its query terms' buckets — the partition-pruning contract
@@ -329,8 +360,9 @@ object Retrieval {
     require(numBuckets > 0, "writeBm25Index: numBuckets must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq(numBuckets).toDF("num_buckets")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    graft.sources.TinyParquet.write(spark, s"$path/meta",
+      "message spark_schema { required int32 num_buckets; }",
+      Seq(Seq[Any](numBuckets)))
     val toked = docs
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("_bm_toks"))
@@ -365,10 +397,9 @@ object Retrieval {
       docs: DataFrame, idCol: String, textCol: String, path: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val numBuckets = bm25NumBuckets(spark, path)
     val (gen, base) = readCurrentGen(spark, path)
-    val old = committedStats(spark, path, gen).head()
-    val (oldDocs, oldToks) = (old.getLong(0), old.getLong(1))
+    val (oldDocs, oldToks) = committedStatsHead(spark, path, gen)
     val toked = docs
       .select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("_bm_toks"))
@@ -380,10 +411,8 @@ object Retrieval {
         .write.mode("overwrite").partitionBy("tbucket")
         .parquet(s"$path/postings/gen=${gen + 1}")
       val batch = statsOfToked(toked).head()
-      Seq((oldDocs + batch.getLong(0), oldToks + batch.getLong(1)))
-        .toDF("n_docs", "n_tokens")
-        .repartition(1).write.mode("overwrite")
-        .parquet(s"$path/stats/gen=${gen + 1}")
+      writeBm25Stats(spark, path, gen + 1,
+        oldDocs + batch.getLong(0), oldToks + batch.getLong(1))
     } finally toked.unpersist(false)
     commitCurrentGen(spark, path, gen + 1, base)
   }
@@ -433,11 +462,8 @@ object Retrieval {
       .select("doc_id", "term", "dl", "tf", "tbucket")
       .write.mode("overwrite").partitionBy("tbucket")
       .parquet(s"$path/postings/gen=${gen + 1}")
-    committedStats(spark, path, gen)
-      .select((col("n_docs") - tsDocs).as("n_docs"),
-        (col("n_tokens") - tsToks).as("n_tokens"))
-      .repartition(1).write.mode("overwrite")
-      .parquet(s"$path/stats/gen=${gen + 1}")
+    val (curDocs, curToks) = committedStatsHead(spark, path, gen)
+    writeBm25Stats(spark, path, gen + 1, curDocs - tsDocs, curToks - tsToks)
     commitCurrentGen(spark, path, gen + 1, gen + 1)
     if (vacuum) {
       val conf = spark.sparkContext.hadoopConfiguration
@@ -554,7 +580,7 @@ object Retrieval {
       path: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
       scope: Dedup.CacheScope = Dedup.batchScope): DataFrame = {
     val spark = queries.sparkSession
-    val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val numBuckets = bm25NumBuckets(spark, path)
     val (gen, base) = readCurrentGen(spark, path)
     val qterms = queryTerms(queries, queryIdCol, queryTextCol)
     // bounded collect: ≤ |query vocab| bucket ids
@@ -617,9 +643,8 @@ object Retrieval {
     val (curGen, curBase) = readCurrentGen(spark, path)
     val ts = bm25Tombstones(spark, path, curBase)
     val (tsDocs, tsToks) = tombstoneStatsAdjust(ts)
-    val stats = committedStats(spark, path, curGen).head()
-    val (nDocs, nTokens) = (stats.getLong(0) - tsDocs,
-      stats.getLong(1) - tsToks)
+    val (csDocs, csToks) = committedStatsHead(spark, path, curGen)
+    val (nDocs, nTokens) = (csDocs - tsDocs, csToks - tsToks)
     require(nDocs > 0, s"bm25FlagAgainstIndex: empty index at $path")
     val avgdl = nTokens.toDouble / nDocs
 
@@ -634,7 +659,7 @@ object Retrieval {
     val vocab = qtoks.flatMap(_._2).distinct
     // df per query term from the index — one partition-pruned probe of
     // the term buckets, ≤ |vocab| result rows
-    val numBuckets = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val numBuckets = bm25NumBuckets(spark, path)
     val dfMap: Map[String, Long] = {
       import spark.implicits._
       val vdf = vocab.toDF("term")

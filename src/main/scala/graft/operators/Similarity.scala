@@ -2633,6 +2633,16 @@ object Similarity {
     *   .start()
     * }}}
     */
+  /** The ingest/serve replay-log row shape, for the driver-direct
+    * 1-row appends (r20 — TinyParquet): (batch_id, <count column>),
+    * byte-matching what `Seq((Long, Long)).toDF.write` produced.
+    */
+  private def serveLogSchema(countCol: String): String =
+    s"""message spark_schema {
+       |  required int64 batch_id;
+       |  required int64 $countCol;
+       |}""".stripMargin
+
   def ivfPqIngestBatch(idCol: String, vecCol: String, path: String)
                       (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -2650,9 +2660,10 @@ object Similarity {
     // re-running the source)
     val admitted = batch.localCheckpoint()
     appendToIvfPqIndex(admitted, idCol, vecCol, path)
-    Seq((batchId, admitted.count()))
-      .toDF("batch_id", "n_appended")
-      .repartition(1).write.mode("append").parquet(logPath)
+    // driver-direct 1-row log append (r20 — TinyParquet)
+    graft.sources.TinyParquet.appendRows(spark, logPath,
+      serveLogSchema("n_appended"),
+      Seq(Seq[Any](batchId, admitted.count())))
   }
 
   /** One micro-batch of the streaming GRAPH-index ingest loop
@@ -2695,9 +2706,9 @@ object Similarity {
     val admitted = batch.localCheckpoint()
     if (!admitted.isEmpty)
       appendToHnswIndex(admitted, idCol, vecCol, path)
-    Seq((batchId, admitted.count()))
-      .toDF("batch_id", "n_appended")
-      .repartition(1).write.mode("append").parquet(logPath)
+    graft.sources.TinyParquet.appendRows(spark, logPath,
+      serveLogSchema("n_appended"),
+      Seq(Seq[Any](batchId, admitted.count())))
   }
 
   /** One micro-batch of the streaming ANN SERVING loop — the
@@ -2764,9 +2775,9 @@ object Similarity {
       res.withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(s"$outPath/results")
     }
-    Seq((batchId, queries.count()))
-      .toDF("batch_id", "n_queries")
-      .repartition(1).write.mode("append").parquet(logPath)
+    graft.sources.TinyParquet.appendRows(spark, logPath,
+      serveLogSchema("n_queries"),
+      Seq(Seq[Any](batchId, queries.count())))
     // self-folding serve log (round 18 — the cowIngestBatch
     // maintainEvery idiom): a long-lived serving stream folds its own
     // tail without an external scheduler. Runs AFTER the log write,
@@ -2829,9 +2840,9 @@ object Similarity {
         .withColumn("batch_id", lit(batchId))
         .write.mode("append").parquet(s"$outPath/results")
     }
-    Seq((batchId, queries.count()))
-      .toDF("batch_id", "n_queries")
-      .repartition(1).write.mode("append").parquet(logPath)
+    graft.sources.TinyParquet.appendRows(spark, logPath,
+      serveLogSchema("n_queries"),
+      Seq(Seq[Any](batchId, queries.count())))
     // self-folding serve log — see ivfPqServeBatch
     compactEvery.foreach { n =>
       require(n >= 1, "hnswServeBatch: compactEvery must be >= 1")
